@@ -1,0 +1,296 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import graft.internal.exprs
+
+/** Window context threaded through mutate/filter expressions.
+  *
+  * Mirrors the reference's over-clause completion: group keys become
+  * PARTITION BY and the arrange state becomes ORDER BY injected into every
+  * over-clause (siuba/sql/backend.py:91-149); cumulative ops get the frame
+  * ROWS UNBOUNDED PRECEDING..CURRENT ROW (siuba/sql/translate.py:131-166).
+  */
+final case class WinCtx(partition: Seq[Column], order: Seq[Column]) {
+  /** Plain aggregate-over-group window — no ordering (AggOver). */
+  def plain: WindowSpec = Window.partitionBy(partition: _*)
+
+  /** Window ordered by explicit cols, falling back to the arrange state. */
+  def orderedBy(cols: Seq[Column]): WindowSpec = {
+    val o = if (cols.nonEmpty) cols else order
+    if (o.isEmpty)
+      throw GraftError(
+        "window function needs an ordering: call arrange(...) first or pass order columns")
+    Window.partitionBy(partition: _*).orderBy(o: _*)
+  }
+
+  /** Cumulative frame (RankOver/CumlOver in the reference). */
+  def cumulBy(cols: Seq[Column]): WindowSpec =
+    orderedBy(cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Whole-partition frame, for nth/first/last with ordering. */
+  def fullBy(cols: Seq[Column]): WindowSpec =
+    orderedBy(cols).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+}
+
+/** A deferred column expression: a function of the window context. Plain
+  * `Column`s convert implicitly (see the `graft` package object) with
+  * aggregate subtrees auto-wrapped in `.over(partitionBy(groups))` — the
+  * reference's grouped-aggregate broadcasting (GroupByAgg,
+  * siuba/experimental/pd_groups/groupby.py:100-129).
+  */
+trait GExpr { def toCol(ctx: WinCtx): Column }
+
+/** A table with grouping and ordering state carried between verbs, like the
+  * reference's DataFrameGroupBy dispatch target (siuba/dply/verbs.py:260-275)
+  * and LazyTbl's (group_by, order_by) state (siuba/sql/backend.py:182-224).
+  * The DataFrame inside is lazy (a Catalyst LogicalPlan), so this is also the
+  * analogue of LazyTbl's op stack.
+  */
+final case class Tbl(
+    df: DataFrame,
+    groups: Seq[String] = Nil,
+    ord: Seq[Column] = Nil
+) {
+  private def ctx: WinCtx = WinCtx(groups.map(col), ord)
+
+  def cols: Seq[String] = df.columns.toSeq
+
+  // ---- grouping -----------------------------------------------------------
+
+  /** Attach grouping keys (state, not an immediate aggregation). `add` stacks
+    * onto existing groups (siuba/dply/verbs.py:280-368). Computed keys are
+    * created with mutate first.
+    */
+  def groupBy(keys: String*): Tbl = copy(groups = keys.toSeq)
+  def groupByAdd(keys: String*): Tbl = copy(groups = (groups ++ keys).distinct)
+  def groupBy(computed: (String, Column)*)(implicit d: DummyImplicit): Tbl = {
+    val withCols = computed.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+    Tbl(withCols, groups ++ computed.map(_._1), ord)
+  }
+  def ungroup: Tbl = copy(groups = Nil)
+
+  // ---- projection ---------------------------------------------------------
+
+  /** Tidyselect: keep/drop/reorder/rename. Group columns are re-added if the
+    * selection misses them (siuba/dply/verbs.py:657-674).
+    */
+  def select(sels: Sel*): Tbl = {
+    var resolved = Sel.resolve(cols, sels)
+    val missingGroups = groups.filterNot(g => resolved.exists(_._2 == g))
+    resolved = missingGroups.map(g => (g, g)) ++ resolved
+    val renames = resolved.collect { case (out, src) if out != src => src -> out }
+    Tbl(df.select(resolved.map { case (out, src) => col(src).as(out) }: _*),
+        groups.map(g => renames.toMap.getOrElse(g, g)), ord)
+  }
+  def select(names: String*)(implicit d: DummyImplicit): Tbl =
+    select(names.map(n => Sel.Name(n): Sel): _*)
+
+  def rename(pairs: (String, String)*): Tbl = {
+    val m = pairs.map { case (nw, old) => old -> nw }.toMap
+    Tbl(df.withColumnsRenamed(m), groups.map(g => m.getOrElse(g, g)), ord)
+  }
+
+  def drop(names: String*): Tbl = select(names.map(n => Sel.Not(Sel.Name(n)): Sel): _*)
+
+  // ---- mutate family ------------------------------------------------------
+
+  /** Add/overwrite columns; later pairs see earlier results
+    * (siuba/dply/verbs.py:230-275). Sequential `withColumn` gives that
+    * binding; Catalyst's CollapseProject folds the chain back into one
+    * projection, so there is no per-column plan cost.
+    */
+  def mutate(pairs: (String, GExpr)*): Tbl = {
+    val out = pairs.foldLeft(df) { case (acc, (name, e)) =>
+      acc.withColumn(name, e.toCol(ctx))
+    }
+    copy(df = out)
+  }
+
+  /** mutate, keep only group cols + results (siuba/dply/verbs.py:593-651). */
+  def transmute(pairs: (String, GExpr)*): Tbl = {
+    val m = mutate(pairs: _*)
+    Tbl(m.df.select((groups ++ pairs.map(_._1)).distinct.map(col): _*), groups, ord)
+  }
+
+  // ---- filter -------------------------------------------------------------
+
+  /** Keep rows where ALL conditions are true; NULL conditions drop the row
+    * (Spark `WHERE` semantics = the reference's NA-drop,
+    * siuba/dply/verbs.py:403-472). Group-aggregate predicates
+    * (`filter(_.mpg == _.mpg.max())`) work via the auto-windowizing GExpr
+    * conversion — the same strategy as the reference's SQL backend, which
+    * hoists over-clauses into a CTE then filters (siuba/sql/verbs/filter.py).
+    */
+  def filter(conds: GExpr*): Tbl = {
+    val cs = conds.map(_.toCol(ctx))
+    // Window expressions are illegal in WHERE: hoist them into a projection
+    // first, filter on the materialized column, then drop it — the same
+    // shape as the reference's CTE hoist (siuba/sql/verbs/filter.py:13-64).
+    // Catalyst prunes the temp columns after the Filter, so no extra pass.
+    val (windowed, plain) = cs.zipWithIndex.partition { case (c, _) =>
+      exprs.containsWindow(c)
+    }
+    if (windowed.isEmpty) copy(df = df.filter(cs.reduce(_ && _)))
+    else {
+      val tmpNames = windowed.map { case (_, i) => s"__graft_w$i" }
+      val withTmp = windowed.foldLeft(df) { case (acc, (c, i)) =>
+        acc.withColumn(s"__graft_w$i", c)
+      }
+      val allConds = plain.map(_._1) ++ tmpNames.map(col)
+      copy(df = withTmp.filter(allConds.reduce(_ && _)).drop(tmpNames: _*))
+    }
+  }
+
+  // ---- summarize family ---------------------------------------------------
+
+  /** One row per group; expressions must be aggregate trees. The result is
+    * ungrouped (the reference returns a plain frame keyed by the groups,
+    * siuba/dply/verbs.py:478-587).
+    */
+  def summarize(aggs: (String, Column)*): Tbl = {
+    val named = aggs.map { case (n, c) => c.as(n) }
+    val out =
+      if (groups.isEmpty) df.agg(named.head, named.tail: _*)
+      else df.groupBy(groups.map(col): _*).agg(named.head, named.tail: _*)
+    Tbl(out)
+  }
+
+  /** Group sizes as column `name` (auto-deduped on clash like the reference's
+    * `_check_name`, siuba/dply/verbs.py:1268-1282); `wt` = weighted count;
+    * `sort` = descending by count. Extra cols group on the fly.
+    */
+  def count(extra: Seq[String] = Nil, wt: Option[Column] = None,
+            sort: Boolean = false, name: String = "n"): Tbl = {
+    val keys = (groups ++ extra).distinct
+    var nm = name
+    while (keys.contains(nm)) nm = nm + nm.last // n -> nn -> nnn
+    val agg = wt.map(w => sum(w))
+      .getOrElse(org.apache.spark.sql.functions.count(lit(1))).as(nm)
+    val grouped =
+      if (keys.isEmpty) df.agg(agg)
+      else df.groupBy(keys.map(col): _*).agg(agg)
+    val sorted = if (sort) grouped.orderBy(desc(nm)) else grouped
+    Tbl(sorted, groups, Nil)
+  }
+
+  /** count() appended to the original rows — a windowed count
+    * (`COUNT(*) OVER (PARTITION BY keys)`, siuba/sql/verbs/count.py:58-84).
+    * No shuffle beyond the window exchange; no join back.
+    */
+  def addCount(extra: Seq[String] = Nil, wt: Option[Column] = None,
+               name: String = "n"): Tbl = {
+    val keys = (groups ++ extra).distinct
+    var nm = name
+    while (cols.contains(nm)) nm = nm + nm.last
+    val w = Window.partitionBy(keys.map(col): _*)
+    val c = wt.map(x => sum(x))
+      .getOrElse(org.apache.spark.sql.functions.count(lit(1)))
+    copy(df = df.withColumn(nm, c.over(w)))
+  }
+
+  // ---- sort / limit / distinct -------------------------------------------
+
+  /** Multi-key sort; records the ordering for later over-clauses, exactly as
+    * the reference's arrange does for its SQL backend
+    * (siuba/sql/verbs/arrange.py:10-50). A total `orderBy` on Spark is a
+    * range-partitioned sort — scales out; stability is not guaranteed
+    * (pandas' mergesort is), so callers needing determinism add a unique
+    * tie-break column.
+    */
+  def arrange(by: Column*): Tbl =
+    Tbl(df.orderBy(by: _*), groups, by.toSeq)
+
+  def head(n: Int): Tbl = copy(df = df.limit(n))
+
+  /** Rows with the top-n values of `wt` per group, ties kept — implemented as
+    * `min_rank(desc(wt)) <= n` like the reference (siuba/dply/verbs.py:
+    * 1863-1914). Spark plans rank-then-filter as a per-partition TopK.
+    * Negative n = bottom-n.
+    */
+  def topN(n: Int, wt: Column): Tbl = {
+    val ranked = rank().over(
+      Window.partitionBy(groups.map(col): _*)
+        .orderBy(if (n >= 0) wt.desc else wt.asc))
+    copy(df = df.withColumn("__rk", ranked).filter(col("__rk") <= math.abs(n)).drop("__rk"))
+  }
+
+  /** Unique rows over the given cols. `keepAll` keeps the first row's other
+    * columns (`dropDuplicates`); otherwise projects then de-dupes
+    * (siuba/dply/verbs.py:954-1028). Grouped: group cols always included.
+    */
+  def distinct(on: Seq[String] = Nil, keepAll: Boolean = false): Tbl = {
+    val keys = (groups ++ on).distinct
+    if (keys.isEmpty) Tbl(df.distinct(), groups, Nil)
+    else if (keepAll) Tbl(df.dropDuplicates(keys), groups, Nil)
+    else Tbl(df.select(keys.map(col): _*).distinct(), groups, Nil)
+  }
+
+  // ---- joins --------------------------------------------------------------
+
+  /** Equi-joins with the reference's semantics: NA keys match NA
+    * (pandas merge, siuba/dply/verbs.py:1639-1647 → `<=>` null-safe equality),
+    * m:n matches multiply, shared non-key columns get `_x`/`_y` suffixes, and
+    * full-join key columns are coalesced (siuba/sql/verbs/join.py:11-43).
+    * Catalyst picks broadcast/SMJ/SHJ; pass the right side through
+    * `org.apache.spark.sql.functions.broadcast` upstream to hint.
+    */
+  def join(right: Tbl, on: Seq[(String, String)], how: String,
+           suffixes: (String, String) = ("_x", "_y")): Tbl = {
+    val l = df.alias("__l")
+    val r = right.df.alias("__r")
+    val cond = on.map { case (lk, rk) => col(s"__l.$lk") <=> col(s"__r.$rk") }
+      .reduce(_ && _)
+    val joined = l.join(r, cond, how)
+
+    val lKeys = on.map(_._1); val rKeys = on.map(_._2)
+    val sameName = on.forall { case (a, b) => a == b }
+    val lNonKey = df.columns.filterNot(lKeys.contains)
+    val rNonKey = right.df.columns.filterNot(rKeys.contains)
+    val overlap = lNonKey.toSet.intersect(rNonKey.toSet)
+
+    val keyCols: Seq[Column] = on.map { case (lk, rk) =>
+      how match {
+        case "right" => col(s"__r.$rk").as(lk)
+        case "full" | "outer" | "full_outer" =>
+          coalesce(col(s"__l.$lk"), col(s"__r.$rk")).as(lk)
+        case _ => col(s"__l.$lk").as(lk)
+      }
+    }
+    val lCols = lNonKey.toSeq.map { c =>
+      col(s"__l.$c").as(if (overlap(c)) c + suffixes._1 else c)
+    }
+    val rCols = rNonKey.toSeq.map { c =>
+      col(s"__r.$c").as(if (overlap(c)) c + suffixes._2 else c)
+    } ++ (if (sameName) Nil else rKeys.map(k => col(s"__r.$k").as(k)))
+    Tbl(joined.select(keyCols ++ lCols ++ rCols: _*), groups, Nil)
+  }
+
+  def innerJoin(right: Tbl, on: Seq[String]): Tbl = join(right, on.map(k => k -> k), "inner")
+  def leftJoin(right: Tbl, on: Seq[String]): Tbl  = join(right, on.map(k => k -> k), "left")
+  def rightJoin(right: Tbl, on: Seq[String]): Tbl = join(right, on.map(k => k -> k), "right")
+  def fullJoin(right: Tbl, on: Seq[String]): Tbl  = join(right, on.map(k => k -> k), "full")
+
+  /** Left rows with >=1 match — never duplicates (WHERE EXISTS). */
+  def semiJoin(right: Tbl, on: Seq[String]): Tbl = {
+    val cond = on.map(k => df(k) <=> right.df(k)).reduce(_ && _)
+    Tbl(df.join(right.df, cond, "left_semi"), groups, ord)
+  }
+
+  /** Left rows with no match (WHERE NOT EXISTS). */
+  def antiJoin(right: Tbl, on: Seq[String]): Tbl = {
+    val cond = on.map(k => df(k) <=> right.df(k)).reduce(_ && _)
+    Tbl(df.join(right.df, cond, "left_anti"), groups, ord)
+  }
+
+  // ---- materialization ----------------------------------------------------
+
+  def collect(): Array[Row] = df.collect()
+  def showQuery(): Unit = df.explain(true)
+}
+
+object Tbl {
+  def read(spark: SparkSession, dir: String, table: String): Tbl =
+    Tbl(spark.read.parquet(s"$dir/$table.parquet"))
+}

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar / conditional / aggregate function surface (the reference's ops
+  * registry, siuba/ops/generics.py, and siuba/dply/vector.py helpers), mapped
+  * to codegen'd `org.apache.spark.sql.functions` — no UDFs anywhere.
+  */
+object Fns {
+
+  // ---- conditionals (siuba/dply/verbs.py:1034-1179) -----------------------
+
+  /** Vectorized ternary; an NA condition takes the FALSE branch, matching the
+    * reference's deliberate deviation (siuba/dply/verbs.py:1085).
+    */
+  def ifElse(cond: Column, t: Column, f: Column): Column =
+    when(coalesce(cond, lit(false)), t).otherwise(f)
+
+  /** Multi-branch conditional, first match wins (dict order in the
+    * reference). Pass `default` for the `True:` arm.
+    */
+  def caseWhen(branches: Seq[(Column, Column)], default: Column = lit(null)): Column =
+    branches.tail
+      .foldLeft(when(branches.head._1, branches.head._2)) { case (acc, (c, v)) =>
+        acc.when(c, v)
+      }
+      .otherwise(default)
+
+  /** Inclusive range test (vector.py:241-259). */
+  def between(x: Column, lo: Column, hi: Column): Column = x.between(lo, hi)
+
+  /** Values equal to any of `ys` become NULL (vector.py:424-440 / NULLIF). */
+  def naIf(x: Column, ys: Any*): Column =
+    when(x.isin(ys: _*), lit(null)).otherwise(x)
+
+  // coalesce: use org.apache.spark.sql.functions.coalesce directly.
+
+  // ---- aggregates (registry, siuba/ops/generics.py:79-100) ----------------
+
+  object Agg {
+    def n(): Column                 = count(lit(1))
+    def nDistinct(c: Column): Column = count_distinct(c)
+    /** Exact median via the native sort-based `median` aggregate. */
+    def median(c: Column): Column   = org.apache.spark.sql.functions.median(c)
+    /** Exact quantile (sort-based `percentile`); use `percentileApprox` at
+      * extreme scale where an exact sort per group is not worth it.
+      */
+    def quantile(c: Column, q: Double): Column = percentile(c, lit(q))
+    def percentileApprox(c: Column, q: Double): Column =
+      percentile_approx(c, lit(q), lit(10000))
+    /** Standard error of the mean. */
+    def sem(c: Column): Column = stddev_samp(c) / sqrt(count(c))
+    def idxMax(idx: Column, c: Column): Column = max_by(idx, c)
+    def idxMin(idx: Column, c: Column): Column = min_by(idx, c)
+    def all(c: Column): Column = bool_and(c)
+    def any(c: Column): Column = bool_or(c)
+  }
+
+  // ---- strings (generics.py:127-182; SQL base.py:266-306) -----------------
+
+  object Str {
+    /** pandas str.capitalize lowercases the tail — `initcap` does not
+      * (SURVEY §7.3): build it from substring ops.
+      */
+    def capitalize(c: Column): Column =
+      concat(upper(substring(c, 1, 1)), lower(c.substr(lit(2), length(c))))
+    def strC(sep: String, cs: Column*): Column = concat_ws(sep, cs: _*)
+    def len(c: Column): Column = length(c)
+    def pad(c: Column, width: Int, side: String = "left", fill: String = " "): Column =
+      side match {
+        case "left"  => lpad(c, width, fill)
+        case "right" => rpad(c, width, fill)
+        case "both"  =>
+          val extra = greatest(lit(width) - length(c), lit(0))
+          val lpadLen = (length(c) + floor(extra / 2)).cast("int")
+          rpad(lpad(c, lpadLen, lit(fill)), lit(width), lit(fill))
+      }
+  }
+
+  // ---- datetime (generics.py:187-236; SQL base.py:312-360) ----------------
+
+  object Dt {
+    /** Monday=0 like pandas `dt.dayofweek` — Spark's dayofweek is
+      * 1=Sunday..7=Saturday, so shift: (dow + 5) % 7.
+      */
+    def dayofweekMon0(c: Column): Column = (dayofweek(c) + 5) % 7
+    def isMonthStart(c: Column): Column = dayofmonth(c) === 1
+    def isMonthEnd(c: Column): Column   = to_date(c) === last_day(c)
+    def isQuarterStart(c: Column): Column =
+      dayofmonth(c) === 1 && month(c).isin(1, 4, 7, 10)
+    def isQuarterEnd(c: Column): Column =
+      to_date(c) === last_day(c) && month(c).isin(3, 6, 9, 12)
+    def isYearStart(c: Column): Column = dayofyear(c) === 1
+    def isYearEnd(c: Column): Column   = month(c) === 12 && dayofmonth(c) === 31
+    def daysInMonth(c: Column): Column = dayofmonth(last_day(c))
+    def monthName(c: Column): Column   = date_format(c, "MMMM")
+    def dayName(c: Column): Column     = date_format(c, "EEEE")
+    /** floor_date/ceil_date verbs (siuba/experimental/datetime.py:124-190). */
+    def floorDate(c: Column, unit: String): Column = date_trunc(unit, c)
+    def ceilDate(c: Column, unit: String): Column = {
+      val floored = date_trunc(unit, c)
+      val bumped = unit.toLowerCase match {
+        case "year" | "yyyy" | "yy"  => add_months(floored, 12)
+        case "quarter"               => add_months(floored, 3)
+        case "month" | "mon" | "mm"  => add_months(floored, 1)
+        case "week"                  => date_add(floored, 7)
+        case "day" | "dd"            => date_add(floored, 1)
+        case "hour"                  => floored + expr("INTERVAL 1 HOUR")
+        case "minute"                => floored + expr("INTERVAL 1 MINUTE")
+        case "second"                => floored + expr("INTERVAL 1 SECOND")
+      }
+      when(c === floored, c).otherwise(bumped)
+    }
+  }
+
+  // ---- missing data / conversion ------------------------------------------
+
+  def fillNa(c: Column, v: Column): Column = coalesce(c, v)
+  def isNa(c: Column): Column  = c.isNull
+  def notNa(c: Column): Column = c.isNotNull
+
+  /** `astype` — reference supports exactly {str,int,float,bool}
+    * (siuba/sql/dialects/base.py:160-175).
+    */
+  def asType(c: Column, t: String): Column = t match {
+    case "str"   => c.cast("string")
+    case "int"   => c.cast("long")
+    case "float" => c.cast("double")
+    case "bool"  => c.cast("boolean")
+    case other   => c.cast(other)
+  }
+
+  /** Floor division: pandas `//` truncates toward -inf and the reference
+    * casts to integer (siuba/sql/dialects/base.py:69-73).
+    */
+  def floorDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+}

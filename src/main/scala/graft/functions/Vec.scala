@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GExpr, WinCtx}
+
+/** Window / vector functions (the reference's siuba/dply/vector.py family).
+  * Each returns a GExpr that closes over the verb-time window context:
+  * partition = group keys, default ordering = arrange state
+  * (siuba/sql/backend.py:91-149). All are plain Spark window expressions —
+  * whole-stage-codegen friendly, shuffle only on the partition keys.
+  */
+object Vec {
+
+  private def gx(f: WinCtx => Column): GExpr = new GExpr {
+    def toCol(ctx: WinCtx): Column = f(ctx)
+  }
+
+  /** 1-based position per group (vector.py:183-227). */
+  def rowNumber(order: Column*): GExpr = gx(c => row_number().over(c.orderedBy(order)))
+
+  /** rank method="min"; NA stays NA via the reference's partition-on-NOT-NULL
+    * trick (siuba/sql/dply/vector.py:53-97).
+    */
+  def minRank(x: Column, desc: Boolean = false): GExpr = gx { c =>
+    val w = Window.partitionBy(c.partition :+ x.isNull: _*)
+      .orderBy(if (desc) x.desc else x.asc)
+    when(x.isNotNull, rank().over(w))
+  }
+
+  def denseRank(x: Column, desc: Boolean = false): GExpr = gx { c =>
+    val w = Window.partitionBy(c.partition :+ x.isNull: _*)
+      .orderBy(if (desc) x.desc else x.asc)
+    when(x.isNotNull, dense_rank().over(w))
+  }
+
+  /** (min_rank - 1) / (n - 1) over non-null values (vector.py:130-155). */
+  def percentRank(x: Column): GExpr = gx { c =>
+    val w = Window.partitionBy(c.partition :+ x.isNull: _*).orderBy(x)
+    when(x.isNotNull, percent_rank().over(w))
+  }
+
+  /** Proportion of rows <= current (vector.py:171-177). */
+  def cumeDist(x: Column): GExpr = gx { c =>
+    val w = Window.partitionBy(c.partition :+ x.isNull: _*).orderBy(x)
+    when(x.isNotNull, cume_dist().over(w))
+  }
+
+  /** pandas method="average" tie rank, emulated as
+    * rank + (count(dups)-1)/2 like the reference's SQL translation
+    * (siuba/sql/dialects/base.py:75-80).
+    */
+  def avgRank(x: Column): GExpr = gx { c =>
+    val wOrd = Window.partitionBy(c.partition :+ x.isNull: _*).orderBy(x)
+    val wDup = Window.partitionBy(c.partition :+ x: _*)
+    when(x.isNotNull, rank().over(wOrd) + (count(x).over(wDup) - 1) / 2.0)
+  }
+
+  /** Declared-but-NotImplemented in the reference (vector.py:233-235);
+    * trivially supported on Spark.
+    */
+  def ntile(n: Int, order: Column*): GExpr =
+    gx(c => org.apache.spark.sql.functions.ntile(n).over(c.orderedBy(order)))
+
+  def lead(x: Column, n: Int = 1, default: Any = null, order: Seq[Column] = Nil): GExpr =
+    gx(c => org.apache.spark.sql.functions.lead(x, n, default).over(c.orderedBy(order)))
+
+  def lag(x: Column, n: Int = 1, default: Any = null, order: Seq[Column] = Nil): GExpr =
+    gx(c => org.apache.spark.sql.functions.lag(x, n, default).over(c.orderedBy(order)))
+
+  /** x - lag(x, periods) (siuba/sql/dialects/base.py:61-67). */
+  def diff(x: Column, periods: Int = 1, order: Seq[Column] = Nil): GExpr = gx { c =>
+    if (periods >= 0) x - org.apache.spark.sql.functions.lag(x, periods).over(c.orderedBy(order))
+    else x - org.apache.spark.sql.functions.lead(x, -periods).over(c.orderedBy(order))
+  }
+
+  /** x / lag(x) - 1 (ops registry pct_change). */
+  def pctChange(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => x / org.apache.spark.sql.functions.lag(x, 1).over(c.orderedBy(order)) - 1)
+
+  // -- cumulative ops: frame ROWS UNBOUNDED PRECEDING..CURRENT ROW ----------
+
+  def cumsum(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => sum(x).over(c.cumulBy(order)))
+  def cummax(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => max(x).over(c.cumulBy(order)))
+  def cummin(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => min(x).over(c.cumulBy(order)))
+  def cummean(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => avg(x).over(c.cumulBy(order)))
+  /** Running product via the native `product` aggregate (handles zeros and
+    * negatives, unlike the exp-log-sum trick).
+    */
+  def cumprod(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => product(x).over(c.cumulBy(order)))
+  def cumall(cond: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => min(cond).over(c.cumulBy(order)))
+  def cumany(cond: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => max(cond).over(c.cumulBy(order)))
+
+  /** n-th value per group, 0-based like the reference; negative n counts from
+    * the end (vector.py:454-522). Whole-partition frame.
+    */
+  def nth(x: Column, n: Int, order: Seq[Column] = Nil): GExpr = gx { c =>
+    if (n >= 0) nth_value(x, n + 1).over(c.fullBy(order))
+    else {
+      val cnt = count(lit(1)).over(Window.partitionBy(c.partition: _*))
+      // nth_value needs a foldable offset; -1 == last, etc.
+      if (n == -1) last(x).over(c.fullBy(order))
+      else element_at(collect_list(x).over(c.fullBy(order)), cnt.cast("int") + n + 1)
+    }
+  }
+
+  def firstVal(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => first(x).over(c.fullBy(order)))
+  def lastVal(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => last(x).over(c.fullBy(order)))
+
+  /** Forward-fill / backward-fill over the ordering (registry bfill/ffill). */
+  def ffill(x: Column, order: Seq[Column] = Nil): GExpr = gx { c =>
+    last(x, ignoreNulls = true)
+      .over(c.orderedBy(order).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  }
+  def bfill(x: Column, order: Seq[Column] = Nil): GExpr = gx { c =>
+    first(x, ignoreNulls = true)
+      .over(c.orderedBy(order).rowsBetween(Window.currentRow, Window.unboundedFollowing))
+  }
+
+  /** Group row count, usable in mutate (windowed) via GExpr. In summarize,
+    * use `Agg.n`.
+    */
+  def n(): GExpr = gx(c => count(lit(1)).over(c.plain))
+}

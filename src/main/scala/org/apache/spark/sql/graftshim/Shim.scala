@@ -1,0 +1,100 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.internal._
+
+/** Spark 4 made Column a thin wrapper over a `ColumnNode` tree
+  * (org.apache.spark.sql.internal.columnNodes.scala) whose node classes and
+  * Column constructor are `private[sql]`, so graft's expression rewriter
+  * lives here, under the `org.apache.spark.sql` package.
+  *
+  * What it implements: the reference engine (machow/siuba) classifies every
+  * column operation as elementwise / aggregate / window and, in mutate/filter
+  * context on a grouped table, re-expands per-group aggregates to row length
+  * (siuba/experimental/pd_groups/groupby.py:100-129; siuba/sql/translate.py:
+  * 87-107 emits `AVG(x) OVER (PARTITION BY g)`). On Spark that subsystem
+  * collapses to one rewrite: wrap each aggregate subtree of a Column in
+  * `.over(partitionBy(groupKeys))`.
+  */
+object Shim {
+
+  /** Aggregate function names as they appear in UnresolvedFunction nodes. */
+  private val aggNames: Set[String] = Set(
+    "avg", "mean", "sum", "min", "max", "count", "count_distinct",
+    "approx_count_distinct", "stddev", "stddev_samp", "stddev_pop", "std",
+    "variance", "var_samp", "var_pop", "skewness", "kurtosis", "corr",
+    "covar_samp", "covar_pop", "collect_list", "collect_set", "percentile",
+    "percentile_approx", "median", "mode", "bool_and", "bool_or", "every",
+    "some", "max_by", "min_by", "first", "first_value", "last", "last_value",
+    "any_value", "product", "sum_distinct", "hll_sketch_agg", "array_agg",
+    "try_avg", "try_sum", "regr_avgx", "regr_avgy", "regr_count", "regr_r2"
+  )
+
+  private def isAgg(n: ColumnNodeLike): Boolean = n match {
+    case f: UnresolvedFunction => aggNames(f.functionName.toLowerCase)
+    case _                     => false
+  }
+
+  /** True if the column contains an aggregate call not already windowed. */
+  def containsAgg(c: Column): Boolean = {
+    def go(n: ColumnNodeLike): Boolean = n match {
+      case _: Window             => false // already has an over-clause
+      case f: UnresolvedFunction => isAgg(f) || f.arguments.exists(go(_))
+      case a: Alias              => go(a.child)
+      case ct: Cast              => go(ct.child)
+      case s: SortOrder          => go(s.child)
+      case cw: CaseWhenOtherwise =>
+        cw.branches.exists(b => go(b._1) || go(b._2)) || cw.otherwise.exists(go(_))
+      case e: UnresolvedExtractValue => go(e.child) || go(e.extraction)
+      case l: LambdaFunction     => go(l.function)
+      case u: UpdateFields       => go(u.structExpression)
+      case _                     => false
+    }
+    go(c.node)
+  }
+
+  /** True if the column contains a window (over-clause) anywhere. */
+  def containsWindow(c: Column): Boolean = {
+    var found = false
+    def go(n: ColumnNodeLike): Unit = n match {
+      case _: Window             => found = true
+      case f: UnresolvedFunction => f.arguments.foreach(go)
+      case a: Alias              => go(a.child)
+      case ct: Cast              => go(ct.child)
+      case s: SortOrder          => go(s.child)
+      case cw: CaseWhenOtherwise =>
+        cw.branches.foreach { b => go(b._1); go(b._2) }; cw.otherwise.foreach(go)
+      case e: UnresolvedExtractValue => go(e.child); go(e.extraction)
+      case l: LambdaFunction     => go(l.function)
+      case u: UpdateFields       => go(u.structExpression)
+      case _                     => ()
+    }
+    go(c.node)
+    found
+  }
+
+  /** Wrap every aggregate subtree of `c` in `.over(spec)`:
+    * `col("x") - avg(col("x"))` becomes `col("x") - avg(col("x")).over(spec)`.
+    * Aggregates cannot nest, so recursion stops at the first aggregate on
+    * each path; subtrees already carrying an over-clause are left alone.
+    */
+  def windowizeAggs(c: Column, spec: WindowSpec): Column = {
+    def go(n: ColumnNode): ColumnNode = n match {
+      case w: Window => w
+      case f: UnresolvedFunction if isAgg(f) => Column(f).over(spec).node
+      case f: UnresolvedFunction => f.copy(arguments = f.arguments.map(go))
+      case a: Alias              => a.copy(child = go(a.child))
+      case ct: Cast              => ct.copy(child = go(ct.child))
+      case s: SortOrder          => s.copy(child = go(s.child))
+      case cw: CaseWhenOtherwise =>
+        cw.copy(
+          branches = cw.branches.map { case (p, v) => (go(p), go(v)) },
+          otherwise = cw.otherwise.map(go))
+      case e: UnresolvedExtractValue =>
+        e.copy(child = go(e.child), extraction = go(e.extraction))
+      case other => other
+    }
+    Column(go(c.node))
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Fns, Vec}
+
+/** Differential tests for the core verbs: each graft pipeline is checked
+  * against the equivalent raw Spark SQL (the same oracle idea as the
+  * reference's pandas-vs-SQL-backend tests, siuba/tests/helpers.py).
+  */
+class CoreVerbsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.assertSameRows
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+      ("b", 4, 40.0), ("b", 5, 50.0), ("c", 6, null.asInstanceOf[Double])
+    ).toDF("g", "x", "y")
+  }
+
+  test("mutate: later args see earlier results") {
+    val out = Tbl(df).mutate("a" -> (col("x") + 1), "b" -> (col("a") * 2)).df
+    assertSameRows(out, df.withColumn("a", col("x") + 1).withColumn("b", col("a") * 2))
+  }
+
+  test("grouped mutate broadcasts aggregates (agg-in-mutate)") {
+    val out = Tbl(df).groupBy("g")
+      .mutate("demeaned" -> (col("x") - avg(col("x")))).df
+    df.createOrReplaceTempView("t1")
+    val expect = spark.sql(
+      "SELECT g, x, y, x - avg(x) OVER (PARTITION BY g) AS demeaned FROM t1")
+    assertSameRows(out, expect)
+  }
+
+  test("grouped filter with aggregate predicate") {
+    val out = Tbl(df).groupBy("g").filter(col("x") === max(col("x"))).df
+    df.createOrReplaceTempView("t2")
+    val expect = spark.sql(
+      """SELECT g, x, y FROM
+        | (SELECT *, max(x) OVER (PARTITION BY g) AS mx FROM t2) WHERE x = mx""".stripMargin)
+      .drop("mx")
+    assertSameRows(out, expect)
+  }
+
+  test("summarize over groups") {
+    val out = Tbl(df).groupBy("g")
+      .summarize("n" -> Fns.Agg.n(), "sx" -> sum(col("x"))).df
+    df.createOrReplaceTempView("t3")
+    assertSameRows(out, spark.sql("SELECT g, count(*) AS n, sum(x) AS sx FROM t3 GROUP BY g"))
+  }
+
+  test("select tidyselect: negation, range, rename") {
+    val out = Tbl(df).select(Sel.Not(Sel.Name("y"))).df
+    assert(out.columns.toSeq == Seq("g", "x"))
+    val ren = Tbl(df).select(Sel.Rename("grp", Sel.Name("g")), Sel.Name("x")).df
+    assert(ren.columns.toSeq == Seq("grp", "x"))
+    val rng = Tbl(df).select(Sel.NameRange("g", "x")).df
+    assert(rng.columns.toSeq == Seq("g", "x"))
+  }
+
+  test("select re-adds missing group columns") {
+    val out = Tbl(df).groupBy("g").select(Seq("x"): _*)
+    assert(out.df.columns.toSeq == Seq("g", "x"))
+    assert(out.groups == Seq("g"))
+  }
+
+  test("distinct / head / arrange") {
+    val out = Tbl(df).mutate("k" -> (col("x") % 2)).distinct(Seq("k")).df
+    assert(out.count() == 2)
+    assert(Tbl(df).arrange(col("x").desc).head(2).df.collect().map(_.getInt(1)).toSeq == Seq(6, 5))
+  }
+
+  test("count and addCount") {
+    val c = Tbl(df).groupBy("g").count().df
+    df.createOrReplaceTempView("t4")
+    assertSameRows(c, spark.sql("SELECT g, count(*) AS n FROM t4 GROUP BY g"))
+    val ac = Tbl(df).groupBy("g").addCount().df
+    assertSameRows(ac, spark.sql("SELECT *, count(*) OVER (PARTITION BY g) AS n FROM t4"))
+  }
+
+  test("window functions: row_number, rank, lead/lag, cumsum") {
+    val out = Tbl(df).groupBy("g").arrange(col("x"))
+      .mutate(
+        "rn" -> Vec.rowNumber(),
+        "cs" -> Vec.cumsum(col("x")),
+        "lg" -> Vec.lag(col("x")),
+        "mr" -> Vec.minRank(col("x"))
+      ).df
+    df.createOrReplaceTempView("t5")
+    val expect = spark.sql(
+      """SELECT g, x, y,
+        | row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        | sum(x) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS cs,
+        | lag(x) OVER (PARTITION BY g ORDER BY x) AS lg,
+        | CASE WHEN x IS NOT NULL THEN
+        |   rank() OVER (PARTITION BY g, x IS NULL ORDER BY x) END AS mr
+        |FROM t5""".stripMargin)
+    assertSameRows(out, expect)
+  }
+
+  test("joins: null-safe keys, suffixing, full-join coalesce") {
+    import spark.implicits._
+    val l = Tbl(Seq(("a", 1), ("b", 2), (null.asInstanceOf[String], 3)).toDF("k", "v"))
+    val r = Tbl(Seq(("a", 10), ("c", 30), (null.asInstanceOf[String], 99)).toDF("k", "v"))
+    val inner = l.innerJoin(r, Seq("k")).df
+    // NA matches NA like pandas merge (siuba/dply/verbs.py:1639-1647)
+    assert(inner.count() == 2)
+    assert(inner.columns.toSeq == Seq("k", "v_x", "v_y"))
+    val full = l.fullJoin(r, Seq("k")).df
+    assert(full.count() == 4)
+    assert(full.where(col("k") === "c").count() == 1) // coalesced key
+    assert(l.semiJoin(r, Seq("k")).df.count() == 2)
+    assert(l.antiJoin(r, Seq("k")).df.count() == 1)
+  }
+
+  test("topN keeps ties") {
+    import spark.implicits._
+    val d = Tbl(Seq(("a", 1), ("a", 2), ("a", 2), ("b", 5)).toDF("g", "v")).groupBy("g")
+    val out = d.topN(1, col("v")).df
+    assert(out.where(col("g") === "a").count() == 2)
+  }
+
+  test("ifElse treats NULL condition as false; caseWhen first-match") {
+    import spark.implicits._
+    val d = Seq(Some(true), Some(false), None).toDF("c")
+    val out = d.select(Fns.ifElse(col("c"), lit(1), lit(0)).as("r")).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(1, 0, 0))
+    val cw = df.select(Fns.caseWhen(Seq(
+      (col("x") < 3) -> lit("lo"), (col("x") < 5) -> lit("mid")), lit("hi")).as("b"))
+    assert(cw.collect().map(_.getString(0)).toSeq == Seq("lo", "lo", "mid", "mid", "hi", "hi"))
+  }
+}

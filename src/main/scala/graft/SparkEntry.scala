@@ -1,44 +1,216 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.{Fns, Vec}
+import graft.reshape.Reshape
+import graft.cats.Forcats
+import graft.text.TextFns
+import graft.ml.{Dedup, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  * Every operator from SURVEY §2 appears as a `queries` entry (built with the
-  * graft verb API) plus, where SQL-expressible, a DuckDB oracle in
-  * `oracleSql`. Column names are aliased identically on both sides; double
-  * aggregates are rounded to pin down float summation-order noise.
+  * Every operator from SURVEY §2 appears as a `queries` entry built with the
+  * graft verb API, plus (where SQL-expressible) a DuckDB oracle in
+  * `oracleSql`. Conventions keeping the hash-compare stable:
+  *   - every aggregate/computed column aliased identically on both sides;
+  *   - double aggregates rounded (sums→2dp, means/ratios→4dp) to pin down
+  *     float summation-order noise;
+  *   - integer-valued scalar functions cast to BIGINT on the Spark side
+  *     (DuckDB returns BIGINT for year()/length()/rank() etc.);
+  *   - no raw nanosecond timestamps in outputs (events.ts is ns; Spark
+  *     truncates to micros — outputs use derived fields instead).
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): Tbl =
+  private[graft] def readTable(s: SparkSession, dir: String, name: String): Tbl = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default;
+    // read it as a long (nanos since epoch) and derive fields from that.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tbl(s.read.parquet(s"$dir/$name.parquet"))
+  }
+  private def t(s: SparkSession, dir: String, name: String): Tbl =
+    readTable(s, dir, name)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // TPC-H Q1-style pricing summary: groupBy + summarize with composite aggs.
+  type Q = (SparkSession, String) => DataFrame
+
+  // ======================================================================
+  // Core verbs (SURVEY §2.2, §2.3, §2.5, §2.7)
+  // ======================================================================
+
+  private val coreQueries: Map[String, Q] = Map(
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .summarize(
-          "sum_qty"    -> round(sum(col("l_quantity")), 2),
-          "sum_price"  -> round(sum(col("l_extendedprice")), 2),
+          "sum_qty"        -> round(sum(col("l_quantity")), 2),
+          "sum_price"      -> round(sum(col("l_extendedprice")), 2),
           "sum_disc_price" -> round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
-          "avg_qty"    -> round(avg(col("l_quantity")), 4),
-          "avg_price"  -> round(avg(col("l_extendedprice")), 4),
-          "n"          -> functions.Fns.Agg.n()
-        )
-        .arrange(col("l_returnflag"), col("l_linestatus"))
+          "avg_qty"        -> round(avg(col("l_quantity")), 4),
+          "avg_price"      -> round(avg(col("l_extendedprice")), 4),
+          "n"              -> Fns.Agg.n())
+        .df),
+
+    "q_select" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(Sel.Name("l_orderkey"),
+                Sel.Rename("line_no", Sel.Name("l_linenumber")),
+                Sel.startsWith("l_ret"))
+        .df),
+
+    "q_rename" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rename("total" -> "o_totalprice", "okey" -> "o_orderkey")
+        .select(Seq("okey", "total", "o_orderpriority"): _*)
+        .df),
+
+    // elementwise arithmetic is left un-rounded: identical IEEE ops in
+    // identical order are bit-exact across engines, while round() itself
+    // diverges on exact half-boundaries (Spark HALF_UP vs binary rounding)
+    "q_mutate" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        // later pairs reference earlier results (sequential binding)
+        .mutate(
+          "disc_price" -> (col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          "charged"    -> (col("disc_price") * (lit(1) + col("l_tax"))),
+          "qty_bucket" -> Fns.floorDiv(col("l_quantity"), lit(10)))
+        .select(Seq("l_orderkey", "l_linenumber", "disc_price", "charged", "qty_bucket"): _*)
+        .df),
+
+    "q_transmute" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .transmute(
+          "rowid"    -> (col("l_orderkey") * 10 + col("l_linenumber")),
+          "disc_pct" -> round(col("l_discount") * 100, 1))
+        .df),
+
+    "q_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"),
+                Fns.between(col("l_discount"), lit(0.02), lit(0.06)),
+                col("l_quantity") < 24)
+        .select(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount"): _*)
+        .df),
+
+    "q_filter_grouped" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .filter(col("o_totalprice") === max(col("o_totalprice")))
+        .select(Seq("o_custkey", "o_orderkey", "o_totalprice"): _*)
+        .df),
+
+    "q_mutate_grouped" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        // agg-in-mutate broadcasts back to row length (GroupByAgg semantics).
+        // Robust averaging: round the sum to exact cents first, then divide —
+        // deterministic regardless of partial-aggregation order.
+        .mutate(
+          "cust_avg"  -> (round(sum(col("o_totalprice")), 2) / count(lit(1))),
+          "above_avg" -> (col("o_totalprice") > col("cust_avg")),
+          "n_orders"  -> Vec.n())
+        .mutate("n_orders" -> col("n_orders").cast("long"))
+        .select(Seq("o_custkey", "o_orderkey", "cust_avg", "above_avg", "n_orders"): _*)
+        .df),
+
+    "q_arrange_head" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .arrange(col("o_totalprice").desc, col("o_orderkey"))
+        .head(100)
+        .select(Seq("o_orderkey", "o_orderpriority", "o_totalprice"): _*)
+        .df),
+
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").distinct(Seq("l_returnflag", "l_linestatus")).df),
+
+    "q_summarize_stats" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .summarize(
+          "n"        -> Fns.Agg.n(),
+          "n_nation" -> Fns.Agg.nDistinct(col("c_nationkey")),
+          "avg_bal"  -> round(avg(col("c_acctbal")), 4),
+          "sum_bal"  -> round(sum(col("c_acctbal")), 2),
+          "min_bal"  -> min(col("c_acctbal")),
+          "max_bal"  -> max(col("c_acctbal")),
+          "sd_bal"   -> round(stddev_samp(col("c_acctbal")), 4),
+          "var_bal"  -> round(var_samp(col("c_acctbal")), 2),
+          "med_bal"  -> round(Fns.Agg.median(col("c_acctbal")), 4),
+          "q25"      -> round(Fns.Agg.quantile(col("c_acctbal"), 0.25), 4),
+          "corr_nk"  -> round(corr(col("c_acctbal"), col("c_nationkey")), 4))
+        .df),
+
+    "q_count" -> ((s, dir) =>
+      t(s, dir, "orders").count(extra = Seq("o_orderpriority"), sort = true).df),
+
+    "q_count_wt" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .count(extra = Seq("l_returnflag"), wt = Some(col("l_quantity")))
+        .mutate("n" -> round(col("n"), 2))
+        .df),
+
+    "q_add_count" -> ((s, dir) =>
+      t(s, dir, "events")
+        .addCount(extra = Seq("event_type"))
+        .mutate("n" -> col("n").cast("long"))
+        .select(Seq("event_id", "event_type", "n"): _*)
+        .df),
+
+    "q_top_n" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .topN(2, col("o_totalprice"))
+        .ungroup
+        .select(Seq("o_orderpriority", "o_orderkey", "o_totalprice"): _*)
+        .df),
+
+    "q_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hi = li.filter(col("l_quantity") >= 49).select(Seq("l_orderkey", "l_linenumber", "l_quantity"): _*)
+      val lo = li.filter(col("l_quantity") <= 2).select(Seq("l_orderkey", "l_linenumber", "l_quantity"): _*)
+      hi.bindRows(lo).df
+    }),
+
+    "q_if_else" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .mutate("bal_sign" -> Fns.ifElse(col("c_acctbal") < 0, lit("neg"), lit("pos")))
+        .select(Seq("c_custkey", "bal_sign"): _*)
+        .df),
+
+    "q_case_when" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate("size_class" -> Fns.caseWhen(Seq(
+          (col("o_totalprice") < 50000)  -> lit("small"),
+          (col("o_totalprice") < 150000) -> lit("medium"),
+          (col("o_totalprice") < 300000) -> lit("large")), lit("jumbo")))
+        .select(Seq("o_orderkey", "size_class"): _*)
+        .df),
+
+    "q_missing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .mutate(
+          "disc0"  -> Fns.naIf(col("l_discount"), 0.0),
+          "filled" -> Fns.fillNa(col("disc0"), lit(-1.0)),
+          "was_na" -> Fns.isNa(col("disc0")),
+          "tax_or_disc" -> coalesce(Fns.naIf(col("l_tax"), 0.0), col("l_discount")))
+        .select(Seq("l_orderkey", "l_linenumber", "disc0", "filled", "was_na", "tax_or_disc"): _*)
+        .df),
+
+    "q_cast" -> ((s, dir) =>
+      t(s, dir, "part")
+        .mutate(
+          "pk_str"    -> Fns.asType(col("p_partkey"), "str"),
+          "size_dbl"  -> Fns.asType(col("p_size"), "float"),
+          "brand_num" -> Fns.asType(regexp_extract(col("p_brand"), "#(\\d+)", 1), "int"),
+          "qty_floor" -> Fns.floorDiv(col("p_retailprice"), lit(100)))
+        .select(Seq("p_partkey", "pk_str", "size_dbl", "brand_num", "qty_floor"): _*)
         .df)
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted keys get a weaker rows-only check.
-    */
-  def oracleSql: Map[String, String] = Map(
+  private val coreOracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -47,6 +219,359 @@ object SparkEntry {
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_extendedprice), 4) AS avg_price,
         |  count(*) AS n
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_select" ->
+      "SELECT l_orderkey, l_linenumber AS line_no, l_returnflag FROM lineitem",
+    "q_rename" ->
+      "SELECT o_orderkey AS okey, o_totalprice AS total, o_orderpriority FROM orders",
+    "q_mutate" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS disc_price,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+        |  CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket
+        |FROM lineitem""".stripMargin,
+    "q_transmute" ->
+      """SELECT l_orderkey * 10 + l_linenumber AS rowid,
+        |  round(l_discount * 100, 1) AS disc_pct FROM lineitem""".stripMargin,
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q_filter_grouped" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY o_totalprice = max(o_totalprice) OVER (PARTITION BY o_custkey)""".stripMargin,
+    "q_mutate_grouped" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER w, 2) / count(*) OVER w AS cust_avg,
+        |  o_totalprice > round(sum(o_totalprice) OVER w, 2) / count(*) OVER w AS above_avg,
+        |  count(*) OVER w AS n_orders
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey)""".stripMargin,
+    "q_arrange_head" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_summarize_stats" ->
+      """SELECT c_mktsegment,
+        |  count(*) AS n,
+        |  count(DISTINCT c_nationkey) AS n_nation,
+        |  round(avg(c_acctbal), 4) AS avg_bal,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  min(c_acctbal) AS min_bal,
+        |  max(c_acctbal) AS max_bal,
+        |  round(stddev_samp(c_acctbal), 4) AS sd_bal,
+        |  round(var_samp(c_acctbal), 2) AS var_bal,
+        |  round(median(c_acctbal), 4) AS med_bal,
+        |  round(quantile_cont(c_acctbal, 0.25), 4) AS q25,
+        |  round(corr(c_acctbal, c_nationkey), 4) AS corr_nk
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q_count" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
+    "q_count_wt" ->
+      "SELECT l_returnflag, round(sum(l_quantity), 2) AS n FROM lineitem GROUP BY 1",
+    "q_add_count" ->
+      """SELECT event_id, event_type,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM events""".stripMargin,
+    "q_top_n" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        |QUALIFY rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) <= 2""".stripMargin,
+    "q_union" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity <= 2""".stripMargin,
+    "q_if_else" ->
+      """SELECT c_custkey,
+        |  CASE WHEN coalesce(c_acctbal < 0, false) THEN 'neg' ELSE 'pos' END AS bal_sign
+        |FROM customer""".stripMargin,
+    "q_case_when" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'small'
+        |       WHEN o_totalprice < 150000 THEN 'medium'
+        |       WHEN o_totalprice < 300000 THEN 'large'
+        |       ELSE 'jumbo' END AS size_class
+        |FROM orders""".stripMargin,
+    "q_missing" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_discount, 0.0) AS disc0,
+        |  coalesce(nullif(l_discount, 0.0), -1.0) AS filled,
+        |  nullif(l_discount, 0.0) IS NULL AS was_na,
+        |  coalesce(nullif(l_tax, 0.0), l_discount) AS tax_or_disc
+        |FROM lineitem""".stripMargin,
+    "q_cast" ->
+      """SELECT p_partkey,
+        |  CAST(p_partkey AS VARCHAR) AS pk_str,
+        |  CAST(p_size AS DOUBLE) AS size_dbl,
+        |  CAST(regexp_extract(p_brand, '#(\d+)', 1) AS BIGINT) AS brand_num,
+        |  CAST(floor(p_retailprice / 100) AS BIGINT) AS qty_floor
+        |FROM part""".stripMargin
   )
+
+  // ======================================================================
+  // Joins (SURVEY §2.4)
+  // ======================================================================
+
+  private val joinQueries: Map[String, Q] = Map(
+    "q_inner_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), Seq("o_custkey" -> "c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .summarize("n_orders" -> Fns.Agg.n(),
+                   "revenue"  -> round(sum(col("o_totalprice")), 2))
+        .df),
+
+    "q_left_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), Seq("c_custkey" -> "o_custkey"), "left")
+        .groupBy("c_custkey")
+        .summarize("n_orders" -> count(col("o_orderkey")),
+                   "total"    -> round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2))
+        .df),
+
+    "q_right_join" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(Seq("c_custkey", "c_acctbal"): _*)
+      val all = t(s, dir, "customer").select(Seq("c_custkey", "c_mktsegment"): _*)
+      rich.join(all, Seq("c_custkey" -> "c_custkey"), "right")
+        .mutate("has_bal" -> col("c_acctbal").isNotNull)
+        .df
+    }),
+
+    "q_full_join" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(Seq("c_custkey", "c_acctbal"): _*)
+      val poor = t(s, dir, "customer").filter(col("c_acctbal") < 1000)
+        .select(Seq("c_custkey", "c_mktsegment"): _*)
+      rich.join(poor, Seq("c_custkey" -> "c_custkey"), "full")
+        .mutate("side" -> Fns.caseWhen(Seq(
+          (col("c_acctbal").isNotNull && col("c_mktsegment").isNotNull) -> lit("both"),
+          col("c_acctbal").isNotNull -> lit("left")), lit("right")))
+        .df
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      t(s, dir, "customer").semiJoin(big.rename("c_custkey" -> "o_custkey"), Seq("c_custkey"))
+        .select(Seq("c_custkey", "c_mktsegment"): _*)
+        .df
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .rename("c_custkey" -> "o_custkey")
+      t(s, dir, "customer").antiJoin(big, Seq("c_custkey"))
+        .select(Seq("c_custkey", "c_mktsegment"): _*)
+        .df
+    }),
+
+    "q_join_multi" -> ((s, dir) =>
+      // 4-way star join: lineitem ⋈ orders ⋈ customer ⋈ nation; dims broadcast
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), Seq("l_orderkey" -> "o_orderkey"), "inner")
+        .join(t(s, dir, "customer"), Seq("o_custkey" -> "c_custkey"), "inner")
+        .join(Tbl(broadcast(t(s, dir, "nation").df)), Seq("c_nationkey" -> "n_nationkey"), "inner")
+        .groupBy("n_name")
+        .summarize("revenue" -> round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
+                   "n_lines" -> Fns.Agg.n())
+        .df)
+  )
+
+  private val joinOracle: Map[String, String] = Map(
+    "q_inner_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0.0), 2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1""".stripMargin,
+    "q_right_join" ->
+      """SELECT a.c_custkey, r.c_acctbal, a.c_mktsegment, r.c_acctbal IS NOT NULL AS has_bal
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) r
+        |RIGHT JOIN (SELECT c_custkey, c_mktsegment FROM customer) a USING (c_custkey)""".stripMargin,
+    "q_full_join" ->
+      """SELECT coalesce(r.c_custkey, p.c_custkey) AS c_custkey, r.c_acctbal, p.c_mktsegment,
+        |  CASE WHEN r.c_acctbal IS NOT NULL AND p.c_mktsegment IS NOT NULL THEN 'both'
+        |       WHEN r.c_acctbal IS NOT NULL THEN 'left' ELSE 'right' END AS side
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) r
+        |FULL JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 1000) p
+        |  ON r.c_custkey = p.c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q_join_multi" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin
+  )
+
+  // ======================================================================
+  // Window / vector functions (SURVEY §2.6)
+  // ======================================================================
+
+  // Window queries run on orders: (o_custkey partition, o_orderkey order) —
+  // o_orderkey is unique, so the frame sequence is deterministic. lineitem's
+  // (l_orderkey, l_linenumber) is NOT unique in this testdata, which makes
+  // order-dependent window results engine-ambiguous.
+  private val windowQueries: Map[String, Q] = Map(
+    "q_window_ranks" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate(
+          "rn"  -> Vec.rowNumber(),
+          "mr"  -> Vec.minRank(col("o_totalprice")),
+          "drk" -> Vec.denseRank(col("o_totalprice")),
+          "prk" -> Vec.percentRank(col("o_totalprice")),
+          "cd"  -> Vec.cumeDist(col("o_totalprice")),
+          "nt"  -> Vec.ntile(3))
+        .mutate("rn" -> col("rn").cast("long"), "mr" -> col("mr").cast("long"),
+                "drk" -> col("drk").cast("long"), "nt" -> col("nt").cast("long"))
+        .ungroup
+        .select(Seq("o_custkey", "o_orderkey", "rn", "mr", "drk", "prk", "cd", "nt"): _*)
+        .df),
+
+    "q_window_offsets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate(
+          "lag_p"  -> Vec.lag(col("o_totalprice")),
+          "lead_p" -> Vec.lead(col("o_totalprice")),
+          "lag2"   -> Vec.lag(col("o_totalprice"), 2, -1.0),
+          "d"      -> Vec.diff(col("o_totalprice")),
+          "pct"    -> Vec.pctChange(col("o_totalprice")))
+        .ungroup
+        .select(Seq("o_custkey", "o_orderkey", "lag_p", "lead_p", "lag2", "d", "pct"): _*)
+        .df),
+
+    "q_window_cum" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate(
+          "rn"   -> Vec.rowNumber(),
+          "cs"   -> Vec.cumsum(col("o_totalprice")).transform(round(_, 2)),
+          "cmx"  -> Vec.cummax(col("o_totalprice")),
+          "cmn"  -> Vec.cummin(col("o_totalprice")),
+          "cavg" -> (col("cs") / col("rn")),
+          "cprod" -> Vec.cumprod(lit(1) + col("o_totalprice") / 1000000.0)
+                        .transform(round(_, 6)),
+          "call" -> Vec.cumall(col("o_totalprice") > 100000),
+          "cany" -> Vec.cumany(col("o_totalprice") > 300000))
+        .mutate("rn" -> col("rn").cast("long"))
+        .ungroup
+        .select(Seq("o_custkey", "o_orderkey", "rn", "cs", "cmx", "cmn", "cavg", "cprod", "call", "cany"): _*)
+        .df),
+
+    "q_window_nth" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate(
+          "fst" -> Vec.firstVal(col("o_totalprice")),
+          "lst" -> Vec.lastVal(col("o_totalprice")),
+          "nth2" -> Vec.nth(col("o_totalprice"), 1))
+        .ungroup
+        .select(Seq("o_custkey", "o_orderkey", "fst", "lst", "nth2"): _*)
+        .df),
+
+    "q_window_fill" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate(
+          "maybe" -> Fns.ifElse(col("o_orderstatus") === "O", lit(null).cast("double"),
+                                col("o_totalprice")),
+          "ff"    -> Vec.ffill(col("maybe")),
+          "bf"    -> Vec.bfill(col("maybe")))
+        .ungroup
+        .select(Seq("o_custkey", "o_orderkey", "maybe", "ff", "bf"): _*)
+        .df),
+
+    "q_avg_rank" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .mutate("ar" -> Vec.avgRank(col("l_quantity")))
+        .ungroup
+        .select(Seq("l_orderkey", "l_linenumber", "ar"): _*)
+        .df)
+  )
+
+  private val windowOracle: Map[String, String] = Map(
+    "q_window_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER wo AS rn,
+        |  rank() OVER wq AS mr,
+        |  dense_rank() OVER wq AS drk,
+        |  percent_rank() OVER wq AS prk,
+        |  cume_dist() OVER wq AS cd,
+        |  ntile(3) OVER wo AS nt
+        |FROM orders
+        |WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        |       wq AS (PARTITION BY o_custkey ORDER BY o_totalprice)""".stripMargin,
+    "q_window_offsets" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS lag_p,
+        |  lead(o_totalprice) OVER w AS lead_p,
+        |  coalesce(lag(o_totalprice, 2) OVER w, -1.0) AS lag2,
+        |  o_totalprice - lag(o_totalprice) OVER w AS d,
+        |  o_totalprice / lag(o_totalprice) OVER w - 1 AS pct
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+    "q_window_cum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER wo AS rn,
+        |  round(sum(o_totalprice) OVER wc, 2) AS cs,
+        |  max(o_totalprice) OVER wc AS cmx,
+        |  min(o_totalprice) OVER wc AS cmn,
+        |  round(sum(o_totalprice) OVER wc, 2) / row_number() OVER wo AS cavg,
+        |  round(product(1 + o_totalprice / 1000000.0) OVER wc, 6) AS cprod,
+        |  bool_and(o_totalprice > 100000) OVER wc AS call,
+        |  bool_or(o_totalprice > 300000) OVER wc AS cany
+        |FROM orders
+        |WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        |       wc AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_window_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER wf AS fst,
+        |  last_value(o_totalprice) OVER wf AS lst,
+        |  nth_value(o_totalprice, 2) OVER wf AS nth2
+        |FROM orders
+        |WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_window_fill" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS maybe,
+        |  last_value(CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END
+        |    IGNORE NULLS) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+        |  first_value(CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END
+        |    IGNORE NULLS) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf
+        |FROM orders""".stripMargin,
+    "q_avg_rank" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity)
+        |    + (count(*) OVER (PARTITION BY l_orderkey, l_quantity) - 1) / 2.0 AS ar
+        |FROM lineitem""".stripMargin
+  )
+
+  // assembled below in part 2 (reshape, strings/datetime, text/ml)
+  def queries: Map[String, Q] =
+    coreQueries ++ joinQueries ++ windowQueries ++ SparkEntry2.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracle ++ joinOracle ++ windowOracle ++ SparkEntry2.oracleSql
 }

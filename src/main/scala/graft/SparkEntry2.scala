@@ -1,0 +1,462 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Fns, Vec}
+import graft.reshape.Reshape
+import graft.cats.Forcats
+import graft.text.TextFns
+import graft.ml.{Dedup, Similarity}
+import graft.multimodal.Multimodal
+
+/** SparkEntry part 2: reshape (§2.8), scalar families (§2.9), forcats, and
+  * the training-data pipeline extensions (dedup / similarity / text /
+  * multimodal). Same aliasing + rounding conventions as part 1.
+  */
+object SparkEntry2 {
+
+  private def t(s: SparkSession, dir: String, name: String): Tbl =
+    SparkEntry.readTable(s, dir, name)
+
+  import SparkEntry.Q
+
+  // ======================================================================
+  // Reshape (SURVEY §2.8)
+  // ======================================================================
+
+  private val reshapeQueries: Map[String, Q] = Map(
+    "q_gather" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .summarize("sum_qty"  -> round(sum(col("l_quantity")), 2),
+                   "sum_disc" -> round(sum(col("l_discount")), 2))
+      Reshape.gather(wide, "stat", "val",
+        Seq(Sel.Name("sum_qty"), Sel.Name("sum_disc"))).df
+    }),
+
+    "q_spread" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .summarize("n" -> Fns.Agg.n())
+      Reshape.spread(counts, "l_linestatus", "n", keyValues = Seq("F", "O"))
+        .mutate("F" -> col("F").cast("long"), "O" -> col("O").cast("long"))
+        .df
+    }),
+
+    "q_pivot_longer" -> ((s, dir) => {
+      val wide = t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .summarize("bal_avg" -> round(avg(col("c_acctbal")), 4),
+                   "bal_max" -> round(max(col("c_acctbal")), 2),
+                   "bal_min" -> round(min(col("c_acctbal")), 2))
+      Reshape.pivotLonger(wide, Seq(Sel.startsWith("bal_")),
+        namesTo = Seq("stat"), valuesTo = "value",
+        namesPrefix = Some("bal_")).df
+    }),
+
+    "q_pivot_wider" -> ((s, dir) => {
+      val et = Seq("click", "error", "purchase", "signup", "view")
+      Reshape.pivotWider(
+        t(s, dir, "events").select(Seq("user_id", "event_type", "value"): _*),
+        namesFrom = Seq("event_type"), valuesFrom = Seq("value"),
+        // robust mean: round the sum first, then divide (see SparkEntry notes)
+        valuesFn = c => when(count(c) > 0, round(sum(c), 2) / count(c)),
+        namesVals = et).df
+    }),
+
+    "q_nest_unnest" -> ((s, dir) => {
+      // round-trip: nest lineitem per order, unnest back, re-aggregate
+      val nested = Reshape.nest(
+        t(s, dir, "lineitem").select(Seq("l_orderkey", "l_linenumber", "l_quantity"): _*),
+        Seq(Sel.Name("l_linenumber"), Sel.Name("l_quantity")), key = "items")
+      Reshape.unnest(nested, "items")
+        .summarize("n" -> Fns.Agg.n(), "sum_qty" -> round(sum(col("l_quantity")), 2))
+        .df
+    }),
+
+    "q_separate" -> ((s, dir) =>
+      Reshape.separate(t(s, dir, "part"), "p_name",
+        into = Seq("t1", "t2", "t3"), sep = " ")
+        .select(Seq("p_partkey", "t1", "t2", "t3"): _*)
+        .df),
+
+    "q_unite" -> ((s, dir) =>
+      Reshape.unite(t(s, dir, "part"), "brand_type",
+        Seq(Sel.Name("p_brand"), Sel.Name("p_type")), sep = "|")
+        .select(Seq("p_partkey", "brand_type"): _*)
+        .df),
+
+    "q_extract" -> ((s, dir) =>
+      Reshape.extract(t(s, dir, "part"), "p_brand",
+        into = Seq("brand_no"), regex = "Brand#(\\d+)", convert = true)
+        .select(Seq("p_partkey", "brand_no"): _*)
+        .df),
+
+    "q_expand_complete" -> ((s, dir) => {
+      val sub = t(s, dir, "lineitem").filter(col("l_quantity") <= 2)
+      Reshape.complete(
+        sub.count(extra = Seq("l_returnflag", "l_linestatus")),
+        Seq("l_returnflag", "l_linestatus"), fill = Map("n" -> 0L)).df
+    })
+  )
+
+  private val reshapeOracle: Map[String, String] = Map(
+    "q_gather" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus,
+        |    round(sum(l_quantity), 2) AS sq, round(sum(l_discount), 2) AS sd
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, 'sum_qty' AS stat, sq AS val FROM a
+        |UNION ALL
+        |SELECT l_returnflag, l_linestatus, 'sum_disc' AS stat, sd AS val FROM a""".stripMargin,
+    "q_spread" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_pivot_longer" ->
+      """WITH a AS (SELECT c_mktsegment,
+        |    round(avg(c_acctbal), 4) AS avg_v, round(max(c_acctbal), 2) AS max_v,
+        |    round(min(c_acctbal), 2) AS min_v
+        |  FROM customer GROUP BY 1)
+        |SELECT c_mktsegment, 'avg' AS stat, avg_v AS value FROM a
+        |UNION ALL SELECT c_mktsegment, 'max' AS stat, max_v FROM a
+        |UNION ALL SELECT c_mktsegment, 'min' AS stat, min_v FROM a""".stripMargin,
+    "q_pivot_wider" ->
+      """SELECT user_id,
+        |  round(sum(value) FILTER (WHERE event_type = 'click'), 2)
+        |    / count(value) FILTER (WHERE event_type = 'click') AS click,
+        |  round(sum(value) FILTER (WHERE event_type = 'error'), 2)
+        |    / count(value) FILTER (WHERE event_type = 'error') AS error,
+        |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2)
+        |    / count(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  round(sum(value) FILTER (WHERE event_type = 'signup'), 2)
+        |    / count(value) FILTER (WHERE event_type = 'signup') AS signup,
+        |  round(sum(value) FILTER (WHERE event_type = 'view'), 2)
+        |    / count(value) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_nest_unnest" ->
+      "SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem",
+    "q_separate" ->
+      """SELECT p_partkey, nullif(split_part(p_name, ' ', 1), '') AS t1,
+        |  nullif(split_part(p_name, ' ', 2), '') AS t2,
+        |  nullif(split_part(p_name, ' ', 3), '') AS t3
+        |FROM part""".stripMargin,
+    "q_unite" ->
+      "SELECT p_partkey, p_brand || '|' || p_type AS brand_type FROM part",
+    "q_extract" ->
+      """SELECT p_partkey,
+        |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_no
+        |FROM part""".stripMargin,
+    "q_expand_complete" ->
+      """WITH sub AS (SELECT * FROM lineitem WHERE l_quantity <= 2),
+        |  cnt AS (SELECT l_returnflag, l_linestatus, count(*) AS n FROM sub GROUP BY 1, 2),
+        |  grid AS (SELECT DISTINCT a.l_returnflag, b.l_linestatus
+        |           FROM sub a CROSS JOIN sub b)
+        |SELECT g.l_returnflag, g.l_linestatus, coalesce(c.n, 0) AS n
+        |FROM grid g LEFT JOIN cnt c USING (l_returnflag, l_linestatus)""".stripMargin
+  )
+
+  // ======================================================================
+  // String / datetime / across / forcats (SURVEY §2.9)
+  // ======================================================================
+
+  private val scalarQueries: Map[String, Q] = Map(
+    "q_str_ops" -> ((s, dir) =>
+      t(s, dir, "part")
+        .mutate(
+          "brand_up"  -> upper(col("p_brand")),
+          "type_lo"   -> lower(col("p_type")),
+          "name_len"  -> length(col("p_name")).cast("long"),
+          "name_sub"  -> substring(col("p_name"), 1, 8),
+          "cap"       -> Fns.Str.capitalize(col("p_type")),
+          "joined"    -> Fns.Str.strC("|", col("p_brand"), col("p_type")),
+          "has_green" -> col("p_name").contains("green"),
+          "starts_std" -> col("p_type").startsWith("STANDARD"),
+          "replaced"  -> regexp_replace(col("p_name"), " ", "_"),
+          "padded"    -> lpad(col("p_brand"), 12, "*"),
+          "trimmed"   -> trim(lit("  x  ")))
+        .select(Seq("p_partkey", "brand_up", "type_lo", "name_len", "name_sub",
+                    "cap", "joined", "has_green", "starts_std", "replaced",
+                    "padded", "trimmed"): _*)
+        .df),
+
+    "q_dt_ops" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate(
+          "y"    -> year(col("o_orderdate")).cast("long"),
+          "m"    -> month(col("o_orderdate")).cast("long"),
+          "d"    -> dayofmonth(col("o_orderdate")).cast("long"),
+          "q"    -> quarter(col("o_orderdate")).cast("long"),
+          "doy"  -> dayofyear(col("o_orderdate")).cast("long"),
+          "dow0" -> Fns.Dt.dayofweekMon0(col("o_orderdate")).cast("long"),
+          "wk"   -> weekofyear(col("o_orderdate")).cast("long"),
+          "ld"   -> last_day(col("o_orderdate")),
+          "mstart" -> Fns.Dt.floorDate(col("o_orderdate"), "month"),
+          "is_me"  -> Fns.Dt.isMonthEnd(col("o_orderdate")),
+          "dim"    -> Fns.Dt.daysInMonth(col("o_orderdate")).cast("long"))
+        .select(Seq("o_orderkey", "y", "m", "d", "q", "doy", "dow0", "wk",
+                    "ld", "mstart", "is_me", "dim"): _*)
+        .df),
+
+    "q_across" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").groupBy("l_returnflag")
+      li.summarize(Across(li,
+        Seq(Sel.Name("l_quantity"), Sel.Name("l_extendedprice"), Sel.Name("l_discount")),
+        Seq("avg" -> (c => round(avg(c), 4)), "max" -> (c => max(c)))): _*).df
+    }),
+
+    "q_forcats_lump" -> ((s, dir) => {
+      val lumped = Forcats.fctLump(
+        t(s, dir, "documents").df, "source", n = 3)
+      Tbl(lumped).count(extra = Seq("source")).df
+    }),
+
+    "q_forcats_recode" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate("prio" -> Forcats.fctCollapse(col("o_orderpriority"),
+          Map("high" -> Seq("1-URGENT", "2-HIGH"), "mid" -> Seq("3-MEDIUM")),
+          otherLevel = Some("low")))
+        .count(extra = Seq("prio"))
+        .df)
+  )
+
+  private val scalarOracle: Map[String, String] = Map(
+    "q_str_ops" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_up,
+        |  lower(p_type) AS type_lo,
+        |  length(p_name) AS name_len,
+        |  substr(p_name, 1, 8) AS name_sub,
+        |  upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2)) AS cap,
+        |  p_brand || '|' || p_type AS joined,
+        |  contains(p_name, 'green') AS has_green,
+        |  starts_with(p_type, 'STANDARD') AS starts_std,
+        |  replace(p_name, ' ', '_') AS replaced,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  trim('  x  ') AS trimmed
+        |FROM part""".stripMargin,
+    "q_dt_ops" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q, dayofyear(o_orderdate) AS doy,
+        |  isodow(o_orderdate) - 1 AS dow0, weekofyear(o_orderdate) AS wk,
+        |  last_day(o_orderdate) AS ld,
+        |  date_trunc('month', o_orderdate) AS mstart,
+        |  CAST(o_orderdate AS DATE) = last_day(o_orderdate) AS is_me,
+        |  day(last_day(o_orderdate)) AS dim
+        |FROM orders""".stripMargin,
+    "q_across" ->
+      """SELECT l_returnflag,
+        |  round(avg(l_quantity), 4) AS l_quantity_avg, max(l_quantity) AS l_quantity_max,
+        |  round(avg(l_extendedprice), 4) AS l_extendedprice_avg,
+        |  max(l_extendedprice) AS l_extendedprice_max,
+        |  round(avg(l_discount), 4) AS l_discount_avg, max(l_discount) AS l_discount_max
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_forcats_lump" ->
+      """WITH freq AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |  top3 AS (SELECT source FROM freq ORDER BY c DESC, source LIMIT 3)
+        |SELECT CASE WHEN source IN (SELECT source FROM top3) THEN source
+        |            ELSE 'Other' END AS source, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_forcats_recode" ->
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+        |            WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+        |            ELSE 'low' END AS prio, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin
+  )
+
+  // ======================================================================
+  // Training-data pipeline: text analysis, dedup, similarity, multimodal
+  // ======================================================================
+
+  private val pipelineQueries: Map[String, Q] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Tbl(Dedup.exact(t(s, dir, "documents").df, "doc_id", "text")).df),
+
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate(
+          "n_tok"  -> TextFns.tokenCount(col("text")).cast("long"),
+          "punct"  -> TextFns.punctRatio(col("text")),
+          "digits" -> TextFns.digitRatio(col("text")))
+        .groupBy("lang")
+        .summarize(
+          "n"         -> Fns.Agg.n(),
+          "avg_tok"   -> round(avg(col("n_tok")), 4),
+          "avg_chars" -> round(avg(length(col("text"))), 4),
+          "avg_punct" -> round(avg(col("punct")), 4),
+          "avg_digit" -> round(avg(col("digits")), 4))
+        .df),
+
+    "q_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate("quality" -> TextFns.qualityScore(col("text")))
+        .groupBy("lang")
+        .summarize("n" -> Fns.Agg.n(), "avg_q" -> round(avg(col("quality")), 4))
+        .df),
+
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate("pred" -> TextFns.langId(col("text")))
+        .count(extra = Seq("lang", "pred"))
+        .df),
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate("fp" -> TextFns.fingerprint(col("text")))
+        .select(Seq("doc_id", "fp"): _*)
+        .df),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Tbl(Dedup.ngramJaccardPairs(t(s, dir, "documents").df, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))).df),
+
+    // LSH/banding queries: probabilistic candidate generation — verified by
+    // unit tests against the exact brute force; rows-only check here.
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents").df, "doc_id", "text",
+        n = 3, bands = 16, rows = 2, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents").df, "doc_id", "text", maxDist = 16)),
+
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(emb, queries, k = 3)
+        .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"),
+                round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.lshTopK(emb, queries, k = 3, dim = 64, nPlanes = 8, nTables = 8)
+        .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
+    }),
+
+    "q_embed_neardup" -> ((s, dir) => {
+      // derive a near-dup-rich set from the testdata: each vector + a
+      // slightly perturbed copy (id + 1e6); finds the planted pairs
+      val emb = t(s, dir, "embeddings").df
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val perturbed = emb
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"), x => x * 1.001 + 0.0001))
+      val both = emb.unionByName(perturbed)
+      Dedup.embeddingNearDupPairs(both, "vec_id", "embedding", dim = 64,
+          threshold = 0.999, nPlanes = 8)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    "q_multimodal" -> ((s, dir) => {
+      // binary plumbing over real bytes: documents.text as the payload
+      val media = Multimodal.attachMeta(
+        t(s, dir, "documents").df.withColumn("payload", to_binary(col("text"), lit("utf-8"))),
+        "doc_id", "payload")
+      val feats = Multimodal.extractFeaturesBatched(media, dim = 8)
+      Tbl(Multimodal.sampleFrames(feats, nFrames = 2))
+        .summarize(
+          "n_frames"   -> Fns.Agg.n(),
+          "n_media"    -> Fns.Agg.nDistinct(col("media_id")),
+          "n_formats"  -> Fns.Agg.nDistinct(col("meta.format")))
+        .df
+    })
+  )
+
+  private val pipelineOracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+        |  min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n,
+        |  round(avg(len(regexp_split_to_array(trim(lower(text)), '\s+'))), 4) AS avg_tok,
+        |  round(avg(length(text)), 4) AS avg_chars,
+        |  round(avg(CASE WHEN length(text) > 0 THEN
+        |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+        |    ELSE 0.0 END), 4) AS avg_punct,
+        |  round(avg(CASE WHEN length(text) > 0 THEN
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+        |    ELSE 0.0 END), 4) AS avg_digit
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_quality_score" ->
+      """WITH q AS (SELECT lang,
+        |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tok,
+        |  length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nosp,
+        |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text) AS punct,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digits,
+        |  length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text) AS uppers
+        | FROM documents)
+        |SELECT lang, count(*) AS n, round(avg((
+        |  (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) +
+        |  (CASE WHEN n_nosp * 1.0 / n_tok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+        |  (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END) +
+        |  (CASE WHEN digits <= 0.2 THEN 1.0 ELSE 0.0 END) +
+        |  (CASE WHEN uppers <= 0.3 THEN 1.0 ELSE 0.0 END)) / 5), 4) AS avg_q
+        |FROM q GROUP BY 1""".stripMargin,
+    "q_lang_id" ->
+      """WITH sc AS (SELECT lang,
+        |  (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' the ','')))//5
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' and ','')))//5
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' of ','')))//4
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' to ','')))//4
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' is ','')))//4 AS s_en,
+        |  (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' der ','')))//5
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' und ','')))//5
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' die ','')))//5
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' das ','')))//5
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' ist ','')))//5 AS s_de,
+        |  (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' le ','')))//4
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' la ','')))//4
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' et ','')))//4
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' les ','')))//5
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' est ','')))//5 AS s_fr,
+        |  (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' el ','')))//4
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' de ','')))//4
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' la ','')))//4
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' que ','')))//5
+        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' es ','')))//4 AS s_es
+        |FROM documents)
+        |SELECT lang,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+        |       WHEN s_en = greatest(s_en, s_de) THEN 'en'
+        |       ELSE 'de' END AS pred,
+        |  count(*) AS n
+        |FROM sc GROUP BY 1, 2""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |    FROM documents),
+        |  sh AS (SELECT doc_id, unnest(list_distinct(
+        |      CASE WHEN len(w) >= 3 THEN
+        |        list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END)) AS g
+        |    FROM toks),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+        |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5""".stripMargin
+    // q_dedup_minhash / q_dedup_simhash / q_ann_* / q_embed_neardup /
+    // q_multimodal: probabilistic or non-SQL-expressible → rows-only check;
+    // exactness is covered by PipelineSpec unit tests against brute force.
+  )
+
+  def queries: Map[String, Q] =
+    reshapeQueries ++ scalarQueries ++ pipelineQueries
+
+  def oracleSql: Map[String, String] =
+    reshapeOracle ++ scalarOracle ++ pipelineOracle
+}

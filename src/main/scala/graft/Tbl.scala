@@ -40,7 +40,13 @@ final case class WinCtx(partition: Seq[Column], order: Seq[Column]) {
   * reference's grouped-aggregate broadcasting (GroupByAgg,
   * siuba/experimental/pd_groups/groupby.py:100-129).
   */
-trait GExpr { def toCol(ctx: WinCtx): Column }
+trait GExpr { self =>
+  def toCol(ctx: WinCtx): Column
+  /** Post-process the materialized column (e.g. round a cumulative sum). */
+  def transform(f: Column => Column): GExpr = new GExpr {
+    def toCol(ctx: WinCtx): Column = f(self.toCol(ctx))
+  }
+}
 
 /** A table with grouping and ordering state carried between verbs, like the
   * reference's DataFrameGroupBy dispatch target (siuba/dply/verbs.py:260-275)
@@ -283,6 +289,13 @@ final case class Tbl(
     val cond = on.map(k => df(k) <=> right.df(k)).reduce(_ && _)
     Tbl(df.join(right.df, cond, "left_anti"), groups, ord)
   }
+
+  /** Row-bind by column name (dplyr bind_rows; not in the reference —
+    * SURVEY §2.7 extension). Missing columns fill with NULL.
+    */
+  def bindRows(others: Tbl*): Tbl =
+    Tbl(others.foldLeft(df)((acc, o) =>
+      acc.unionByName(o.df, allowMissingColumns = true)), groups, Nil)
 
   // ---- materialization ----------------------------------------------------
 

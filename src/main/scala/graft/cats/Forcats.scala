@@ -1,0 +1,90 @@
+package graft.cats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tbl
+
+/** forcats family (siuba/dply/forcats.py, 463 LoC). Spark has no categorical
+  * type (SURVEY §7.4 decision): a factor is a StringType column plus a levels
+  * table. Level-order-sensitive ops (fct_inorder/infreq/reorder) return a
+  * `Factor` — the recoded column plus its ordered levels as a small
+  * DataFrame usable for sorting via `array_position` against a broadcast
+  * literal, or by joining the levels table.
+  */
+object Forcats {
+
+  /** Ordered levels as (level, index), small enough to collect or broadcast. */
+  final case class Factor(levels: Seq[String]) {
+    /** Sort key for `arrange` on this factor: position in the level order. */
+    def sortKey(c: Column): Column = array_position(lit(levels.toArray), c)
+  }
+
+  /** Levels in first-appearance order (fct_inorder, forcats.py:29). Needs a
+    * row order to be meaningful — pass the ordering column explicitly (Spark
+    * frames are unordered multisets).
+    */
+  def fctInorder(df: DataFrame, c: Column, orderBy: Column): Factor = {
+    val lv = df.select(c.as("lv"), orderBy.as("o"))
+      .groupBy(col("lv")).agg(min(col("o")).as("fst"))
+      .orderBy(col("fst")).select(col("lv"))
+      .collect().map(_.getString(0)).toSeq
+    Factor(lv)
+  }
+
+  /** Levels by descending frequency (fct_infreq, forcats.py:101). */
+  def fctInfreq(df: DataFrame, c: Column): Factor = {
+    val lv = df.groupBy(c.as("lv")).count()
+      .orderBy(desc("count"), col("lv"))
+      .collect().map(_.getString(0)).toSeq
+    Factor(lv)
+  }
+
+  /** Reorder levels by `fn(x)` per level (fct_reorder, forcats.py:159). */
+  def fctReorder(df: DataFrame, c: Column, x: Column,
+                 fn: Column => Column = avg(_), desc0: Boolean = false): Factor = {
+    val agged = df.groupBy(c.as("lv")).agg(fn(x).as("stat"))
+    val ordered = agged.orderBy(if (desc0) desc("stat") else col("stat"))
+    Factor(ordered.select("lv").collect().map(_.getString(0)).toSeq)
+  }
+
+  /** Rename levels: Map(new -> old*) (fct_recode, forcats.py:210). A
+    * when-chain — no shuffle, codegen'd.
+    */
+  def fctRecode(c: Column, mapping: Map[String, Seq[String]]): Column = {
+    val flat = mapping.toSeq.flatMap { case (nw, olds) => olds.map(_ -> nw) }
+    flat.foldLeft(c) { case (acc, (old, nw)) =>
+      when(c === old, lit(nw)).otherwise(acc)
+    }
+  }
+
+  /** Collapse multiple levels into groups, others kept (fct_collapse,
+    * forcats.py:255); `otherLevel` lumps the rest.
+    */
+  def fctCollapse(c: Column, groups: Map[String, Seq[String]],
+                  otherLevel: Option[String] = None): Column = {
+    val recoded = fctRecode(c, groups)
+    otherLevel match {
+      case Some(o) =>
+        val kept = groups.keys.toSeq
+        when(recoded.isin(kept: _*), recoded).otherwise(lit(o))
+      case None => recoded
+    }
+  }
+
+  /** Keep the n most frequent levels, lump the rest into `other`
+    * (fct_lump, forcats.py:351). Frequency ranking is a window over a tiny
+    * per-level aggregate; the recode joins it back — broadcast-sized.
+    */
+  def fctLump(df: DataFrame, c: String, n: Int, other: String = "Other"): DataFrame = {
+    val freq = df.groupBy(col(c)).count()
+      .withColumn("__rk", row_number().over(Window.orderBy(desc("count"), col(c))))
+      .select(col(c).as("__lv"), (col("__rk") <= n).as("__keep"))
+    df.join(broadcast(freq), df(c) === col("__lv"), "left")
+      .withColumn(c, when(col("__keep"), col(c)).otherwise(lit(other)))
+      .drop("__lv", "__keep")
+  }
+
+  /** Reverse level order (fct_rev, forcats.py:429). */
+  def fctRev(f: Factor): Factor = Factor(f.levels.reverse)
+}

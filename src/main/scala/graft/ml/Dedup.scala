@@ -1,0 +1,164 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFns
+
+/** Deduplication for large-scale corpus pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup. Everything is
+  * expressed as joins/aggregations over exploded keys — the standard
+  * shuffle-bounded formulation that scales horizontally; nothing collects to
+  * the driver.
+  */
+object Dedup {
+
+  /** Exact dedup on a canonicalized text hash: one hash-aggregate.
+    * Output: one row per distinct content (hash, kept id = min id, dupe count).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextFns.fingerprint(col(textCol)).as("h"), col(idCol))
+      .groupBy("h")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** doc → exploded distinct shingle rows, the base relation for set-overlap
+    * dedup. `maxDf` drops shingles appearing in more than that many docs
+    * (stop-shingles): they contribute little discrimination but quadratic
+    * join blowup — the standard skew guard for content-key self-joins.
+    */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, maxDf: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextFns.wordShingles(col(textCol), n)).as("g"))
+    if (maxDf <= 0) sh
+    else {
+      val hot = sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      sh.join(broadcast(hot.select("g")), Seq("g"), "left_anti")
+    }
+  }
+
+  /** Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
+    * Self-join on shingle → common counts; set sizes joined back; this is the
+    * brute-force ground truth MinHash approximates.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDf: Int = 0): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n, maxDf).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"), Seq("g"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signatures: K independent permutations h_i(x) = (a_i*x + b_i)
+    * mod p over 64-bit shingle hashes, minimized per doc. One aggregate over
+    * the shingle table; signature is an array<long> column.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
+    // 2^31 - 1 (Mersenne prime): keeps a*h+b < 2^62, no int64 overflow
+    // under ANSI arithmetic while leaving collision odds ~n²/2p ≈ 1e-4 at
+    // a 1M-shingle partition — fine for signature mins.
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    val coeffs = Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+                              math.abs(rnd.nextLong()) % p))
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextFns.wordShingles(col(textCol), n)).as("g"))
+      .withColumn("hx", pmod(xxhash64(col("g")), lit(p)))
+    val minExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("hx") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    sh.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: B bands of R rows (K = B*R); docs sharing any
+    * band bucket become candidates; candidates are verified by exact
+    * signature agreement fraction (estimates Jaccard). Candidate generation
+    * is an equi-join on (band, bucketHash) — shuffle-bounded, no n² pass.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, bands: Int = 8, rows: Int = 4,
+                      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val k = bands * rows
+    val sigs = minhashSignatures(df, idCol, textCol, n, k, seed).cache()
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash: 64-bit locality-sensitive content hash. Per doc, each token
+    * votes ±1 on each bit of its 64-bit hash; the sign of the per-bit sum is
+    * the fingerprint bit. Computed as 64 conditional sums in ONE aggregate
+    * over the exploded token table (map-side combinable).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextFns.tokens(col(textCol)))).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("th").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidates via
+    * 4×16-bit chunk banding (pigeonhole: distance <=3 guarantees one equal
+    * chunk), then exact popcount filter — no n² comparison.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol).cache()
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "ckey"))
+    chunked.as("a").join(chunked.as("b"), Seq("chunk", "ckey"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold via random-hyperplane LSH
+    * bucketing + exact cosine verify. `planes` deterministic from seed.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, threshold: Double = 0.95,
+                            nPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+    val sigs = Similarity.hyperplaneSignature(df, idCol, vecCol, dim, nPlanes, seed)
+      .select(col("id"), col("sig"), col("vec")).cache()
+    sigs.as("a").join(sigs.as("b"), Seq("sig"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float/double>`).
+  * Brute-force cosine top-k as the exact baseline; random-hyperplane LSH and
+  * IVF (coarse-quantizer probing) as the sublinear scale paths. All math is
+  * native `zip_with`/`aggregate` higher-order functions — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random unit-ish hyperplanes from a seed. */
+  private[ml] def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-of-projection signature: nPlanes bits packed into a long. Rows with
+    * equal signatures are cosine-similar candidates.
+    */
+  def hyperplaneSignature(df: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, nPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+    require(nPlanes <= 63, "signature packs into one long")
+    val ps = planes(dim, nPlanes, seed)
+    val sigBits = ps.zipWithIndex.map { case (p, i) =>
+      val proj = dot(col(vecCol), array(p.map(lit): _*))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
+  /** Exact top-k by cosine for each query against the whole corpus.
+    * Queries are broadcast (small side); the corpus streams — one pass, no
+    * shuffle of the corpus. O(|corpus| * |queries|) compute: the ground
+    * truth to grade approximate indexes against.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("item_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "item_id", "cosine", "rk")
+  }
+
+  /** LSH-bucketed approximate top-k: multi-probe over `nTables` independent
+    * signatures. Candidates = corpus rows sharing any table's signature with
+    * the query; exact cosine ranks candidates. Bucket join replaces the
+    * all-pairs product — the scale path when queries aren't broadcastable.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    def sigTable(df: DataFrame, name: String) = {
+      val sigs = (0 until nTables).map { t =>
+        struct(lit(t).as("table"),
+          hyperplaneSigCol(col(vecCol), dim, nPlanes, seed + t).as("sig"))
+      }
+      df.select(col(idCol).as(name + "_id"), col(vecCol).as(name + "_vec"),
+        explode(array(sigs: _*)).as("ts"))
+        .select(col(name + "_id"), col(name + "_vec"),
+          col("ts.table").as("table"), col("ts.sig").as("sig"))
+    }
+    val c = sigTable(corpus, "item")
+    val q = sigTable(queries, "query")
+    val cand = c.join(q, Seq("table", "sig"))
+      .where(col("item_id") =!= col("query_id"))
+      .select("query_id", "query_vec", "item_id", "item_vec")
+      .dropDuplicates("query_id", "item_id")
+      .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("item_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "item_id", "cosine", "rk")
+  }
+
+  private def hyperplaneSigCol(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    val ps = planes(dim, nPlanes, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** IVF (inverted-file) index: a deterministic sample of corpus vectors acts
+    * as the coarse quantizer; every vector is assigned to its nearest
+    * centroid partition. Queries probe the `nProbe` nearest centroids and
+    * rank only those partitions — the classic sublinear ANN layout. At
+    * cluster scale the assignment table would be written bucketed by
+    * `centroid_id` so probes are partition-pruned scans.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // deterministic centroid sample: every (n/nCentroids)-th by id rank
+    val ranked = corpus.select(col(idCol).as("cid_src"), col(vecCol).as("cvec"))
+      .withColumn("rk", row_number().over(Window.orderBy("cid_src")))
+    val total = ranked.count()
+    val step = math.max(total / nCentroids, 1L)
+    val centroids = ranked.filter(col("rk") % step === 0)
+      .limit(nCentroids)
+      .select(col("rk").as("centroid_id"), col("cvec")).cache()
+
+    def assign(df: DataFrame, name: String, nNearest: Int) = {
+      val scored = df.select(col(idCol).as(name + "_id"), col(vecCol).as(name + "_vec"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("cdist", cosine(col(name + "_vec"), col("cvec")))
+      val w = Window.partitionBy(name + "_id").orderBy(desc("cdist"))
+      scored.withColumn("crk", row_number().over(w)).filter(col("crk") <= nNearest)
+        .select(col(name + "_id"), col(name + "_vec"), col("centroid_id"))
+    }
+    val items = assign(corpus, "item", 1)
+    val probes = assign(queries, "query", nProbe)
+    val cand = items.join(probes, Seq("centroid_id"))
+      .where(col("item_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "item_id")
+      .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("item_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "item_id", "cosine", "rk")
+  }
+}

@@ -1,0 +1,247 @@
+package graft.reshape
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{GraftError, Sel, Tbl}
+
+/** Reshaping verbs (tidyr family; siuba/dply/verbs.py:1919-2543 and
+  * siuba/experimental/pivot/). All spec-building (name parsing, glue
+  * templates) is driver-side string work; execution is a single generator
+  * (explode-of-structs) or pivot per call — one shuffle at most, no
+  * driver-side data loops, so every verb here scales with partitions.
+  */
+object Reshape {
+
+  // ---- gather / spread ----------------------------------------------------
+
+  /** Wide→long over the selected columns (pd.melt; verbs.py:1919-2000).
+    * One generator projection — no shuffle.
+    */
+  def gather(t: Tbl, key: String, value: String, sel: Seq[Sel],
+             dropNa: Boolean = false): Tbl = {
+    val valueCols = Sel.resolve(t.cols, sel).map(_._2)
+    val idCols = t.cols.filterNot(valueCols.contains)
+    val entries = valueCols.map { c =>
+      struct(lit(c).as(key), col(c).cast("double").as(value))
+    }
+    val exploded = t.df
+      .select(idCols.map(col) :+ explode(array(entries: _*)).as("__kv"): _*)
+      .select(idCols.map(col) ++ Seq(col(s"__kv.$key"), col(s"__kv.$value")): _*)
+    val out = if (dropNa) exploded.filter(col(value).isNotNull) else exploded
+    Tbl(out, t.groups, Nil)
+  }
+
+  /** Wide→long preserving the value columns' common type (no double cast). */
+  def gatherTyped(t: Tbl, key: String, value: String, sel: Seq[Sel],
+                  dropNa: Boolean = false): Tbl = {
+    val valueCols = Sel.resolve(t.cols, sel).map(_._2)
+    val idCols = t.cols.filterNot(valueCols.contains)
+    val entries = valueCols.map { c => struct(lit(c).as(key), col(c).as(value)) }
+    val exploded = t.df
+      .select(idCols.map(col) :+ explode(array(entries: _*)).as("__kv"): _*)
+      .select(idCols.map(col) ++ Seq(col(s"__kv.$key"), col(s"__kv.$value")): _*)
+    val out = if (dropNa) exploded.filter(col(value).isNotNull) else exploded
+    Tbl(out, t.groups, Nil)
+  }
+
+  /** Long→wide: key values become columns (unstack; verbs.py:2013-2082).
+    * `keyValues` pins the output columns without a discovery job — pass it
+    * at scale; omitted, Spark collects distinct keys first (extra job).
+    */
+  def spread(t: Tbl, key: String, value: String, fill: Option[Any] = None,
+             keyValues: Seq[String] = Nil): Tbl = {
+    val idCols = t.cols.filterNot(c => c == key || c == value)
+    val grouped = t.df.groupBy(idCols.map(col): _*)
+    val piv = if (keyValues.nonEmpty) grouped.pivot(key, keyValues) else grouped.pivot(key)
+    val out = piv.agg(first(col(value)))
+    val filled = fill.map(v => out.na.fill(v.toString.toDouble)).getOrElse(out)
+    Tbl(filled, t.groups, Nil)
+  }
+
+  // ---- pivot_longer / pivot_wider ----------------------------------------
+
+  /** General gather (siuba/experimental/pivot/pivot_long.py:45-170):
+    * `namesTo` may be multiple parts split by `namesSep` or captured by
+    * `namesPattern`; the special token ".value" keeps that name-part wide
+    * (its values become output columns); `namesPrefix` is stripped first.
+    */
+  def pivotLonger(t: Tbl, sel: Seq[Sel], namesTo: Seq[String],
+                  valuesTo: String = "value", namesSep: Option[String] = None,
+                  namesPattern: Option[String] = None, namesPrefix: Option[String] = None,
+                  valuesDropNa: Boolean = false): Tbl = {
+    val valueCols = Sel.resolve(t.cols, sel).map(_._2)
+    val idCols = t.cols.filterNot(valueCols.contains)
+
+    // spec: column -> part values, driver-side string work only
+    def parts(c: String): Seq[String] = {
+      val stripped = namesPrefix.map(p => c.stripPrefix(p)).getOrElse(c)
+      (namesSep, namesPattern) match {
+        case (Some(sep), _) => stripped.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+        case (_, Some(pat)) =>
+          val m = pat.r.findFirstMatchIn(stripped)
+            .getOrElse(throw GraftError(s"pivot_longer: '$stripped' does not match $pat"))
+          (1 to m.groupCount).map(m.group)
+        case _ => Seq(stripped)
+      }
+    }
+    val spec: Seq[(String, Seq[String])] = valueCols.map(c => c -> parts(c))
+    spec.find(_._2.size != namesTo.size).foreach { case (c, p) =>
+      throw GraftError(s"pivot_longer: column '$c' split into ${p.size} parts, names_to has ${namesTo.size}")
+    }
+
+    if (!namesTo.contains(".value")) {
+      val entries = spec.map { case (c, ps) =>
+        struct(namesTo.zip(ps).map { case (n, v) => lit(v).as(n) } :+
+          col(c).cast("double").as(valuesTo): _*)
+      }
+      val out = t.df
+        .select(idCols.map(col) :+ explode(array(entries: _*)).as("__kv"): _*)
+        .select(idCols.map(col) ++ (namesTo :+ valuesTo).map(n => col(s"__kv.$n")): _*)
+      Tbl(if (valuesDropNa) out.filter(col(valuesTo).isNotNull) else out, t.groups, Nil)
+    } else {
+      // .value: that part names the output column; remaining parts key rows
+      val vIdx = namesTo.indexOf(".value")
+      val keyParts = namesTo.zipWithIndex.filterNot(_._2 == vIdx).map(_._1)
+      val combos = spec.map { case (_, ps) => ps.zipWithIndex.filterNot(_._2 == vIdx).map(_._1) }.distinct
+      val valueNames = spec.map { case (_, ps) => ps(vIdx) }.distinct
+      val bySpec = spec.map { case (c, ps) =>
+        (ps.zipWithIndex.filterNot(_._2 == vIdx).map(_._1), ps(vIdx)) -> c
+      }.toMap
+      val entries = combos.map { combo =>
+        struct(
+          keyParts.zip(combo).map { case (n, v) => lit(v).as(n) } ++
+          valueNames.map { vn =>
+            bySpec.get((combo, vn)).map(c => col(c)).getOrElse(lit(null)).as(vn)
+          }: _*)
+      }
+      val out = t.df
+        .select(idCols.map(col) :+ explode(array(entries: _*)).as("__kv"): _*)
+        .select(idCols.map(col) ++ (keyParts ++ valueNames).map(n => col(s"__kv.$n")): _*)
+      Tbl(out, t.groups, Nil)
+    }
+  }
+
+  /** General spread (siuba/experimental/pivot/pivot_wide.py:98-527): multiple
+    * `namesFrom` joined by `namesSep`; multiple `valuesFrom` prefix the value
+    * column name; `valuesFn` aggregates duplicates (default first);
+    * `valuesFill` fills holes. `namesVals` pins output columns for the
+    * no-discovery-job scale path.
+    */
+  def pivotWider(t: Tbl, namesFrom: Seq[String], valuesFrom: Seq[String],
+                 namesSep: String = "_", valuesFn: Column => Column = first(_),
+                 valuesFill: Option[Any] = None,
+                 namesVals: Seq[String] = Nil): Tbl = {
+    val idCols = t.cols.filterNot(c => namesFrom.contains(c) || valuesFrom.contains(c))
+    val nameCol = if (namesFrom.size == 1) col(namesFrom.head).cast("string")
+                  else concat_ws(namesSep, namesFrom.map(col): _*)
+    val base = t.df.withColumn("__pw_name", nameCol)
+    val grouped = base.groupBy(idCols.map(col): _*)
+    val piv = if (namesVals.nonEmpty) grouped.pivot("__pw_name", namesVals)
+              else grouped.pivot("__pw_name")
+    val out =
+      if (valuesFrom.size == 1) piv.agg(valuesFn(col(valuesFrom.head)))
+      else piv.agg(valuesFn(col(valuesFrom.head)).as(valuesFrom.head),
+                   valuesFrom.tail.map(v => valuesFn(col(v)).as(v)): _*)
+    val filled = valuesFill.map {
+      case d: Double => out.na.fill(d)
+      case i: Int    => out.na.fill(i)
+      case l: Long   => out.na.fill(l)
+      case s: String => out.na.fill(s)
+      case other     => out.na.fill(other.toString)
+    }.getOrElse(out)
+    Tbl(filled, t.groups, Nil)
+  }
+
+  // ---- nest / unnest ------------------------------------------------------
+
+  /** Pack selected cols into a per-group array-of-structs column
+    * (verbs.py:1414-1485). The reference notes its pandas version "does not
+    * scale well to many groups (50k+)"; this is one hash aggregation —
+    * scales with partitions.
+    */
+  def nest(t: Tbl, sel: Seq[Sel], key: String = "data"): Tbl = {
+    val inner = Sel.resolve(t.cols, sel).map(_._2)
+    val rest = t.cols.filterNot(inner.contains)
+    val out = t.df.groupBy(rest.map(col): _*)
+      .agg(collect_list(struct(inner.map(col): _*)).as(key))
+    Tbl(out, t.groups, Nil)
+  }
+
+  /** Explode a nested array-of-structs column back to rows (verbs.py:1492-1535). */
+  def unnest(t: Tbl, key: String): Tbl = {
+    val rest = t.cols.filterNot(_ == key)
+    val out = t.df
+      .select(rest.map(col) :+ explode(col(key)).as("__un"): _*)
+      .select(rest.map(col) :+ col("__un.*"): _*)
+    Tbl(out, t.groups, Nil)
+  }
+
+  // ---- separate / unite / extract ----------------------------------------
+
+  /** Split a string column by a regex into k columns (verbs.py:2284-2398).
+    * `extra="merge"` keeps the tail in the last piece; `convert` casts
+    * all-numeric results.
+    */
+  def separate(t: Tbl, c: String, into: Seq[String], sep: String = "[^A-Za-z0-9]+",
+               remove: Boolean = true, convert: Boolean = false,
+               extra: String = "warn"): Tbl = {
+    val limit = if (extra == "merge") into.size else -1
+    val sp = split(col(c), sep, limit)
+    val pieces = into.zipWithIndex.map { case (n, i) =>
+      // get() is null-safe out of bounds — pandas fills missing pieces with
+      // NaN (fill="right"); ANSI getItem would error instead
+      val piece = get(sp, lit(i))
+      (if (convert) piece.cast("long") else piece).as(n)
+    }
+    val keep = t.cols.filterNot(x => remove && x == c)
+    Tbl(t.df.select(keep.map(col) ++ pieces: _*), t.groups, Nil)
+  }
+
+  /** Concat columns into one string column (verbs.py:2413-2471). NULL parts
+    * are skipped (concat_ws), a documented divergence from pandas' "nan"
+    * stringification.
+    */
+  def unite(t: Tbl, newCol: String, sel: Seq[Sel], sep: String = "_",
+            remove: Boolean = true): Tbl = {
+    val src = Sel.resolve(t.cols, sel).map(_._2)
+    val keep = t.cols.filterNot(x => remove && src.contains(x))
+    Tbl(t.df.select(keep.map(col) :+ concat_ws(sep, src.map(col): _*).as(newCol): _*),
+        t.groups, Nil)
+  }
+
+  /** Regex capture groups → columns (verbs.py:2476-2543). Non-matching rows
+    * yield NULL (pandas str.extract semantics), via a match guard.
+    */
+  def extract(t: Tbl, c: String, into: Seq[String],
+              regex: String = "(\\w+)", remove: Boolean = true,
+              convert: Boolean = false): Tbl = {
+    val matches = col(c).rlike(regex)
+    val pieces = into.zipWithIndex.map { case (n, i) =>
+      val piece = when(matches, regexp_extract(col(c), regex, i + 1))
+      (if (convert) piece.cast("long") else piece).as(n)
+    }
+    val keep = t.cols.filterNot(x => remove && x == c)
+    Tbl(t.df.select(keep.map(col) ++ pieces: _*), t.groups, Nil)
+  }
+
+  // ---- expand / complete --------------------------------------------------
+
+  /** Cartesian product of the distinct values of each column
+    * (verbs.py:2113-2182). Per-column distincts are tiny relations; the
+    * cross join multiplies them — intended for low-cardinality key grids.
+    */
+  def expand(t: Tbl, cols: Seq[String]): Tbl = {
+    val uniques = cols.map(c => t.df.select(col(c)).distinct())
+    Tbl(uniques.reduce(_.crossJoin(_)), t.groups, Nil)
+  }
+
+  /** expand + left-join original + fill NAs (verbs.py:2185-2279). */
+  def complete(t: Tbl, cols: Seq[String], fill: Map[String, Any] = Map.empty): Tbl = {
+    val grid = expand(t, cols)
+    val joined = grid.join(Tbl(t.df), cols.map(k => k -> k), "left")
+    val filled = fill.foldLeft(joined.df) { case (acc, (c, v)) =>
+      acc.withColumn(c, coalesce(col(c), lit(v)))
+    }
+    Tbl(filled, t.groups, Nil)
+  }
+}

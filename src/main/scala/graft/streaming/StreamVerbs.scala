@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Tbl
+
+/** Structured-Streaming verbs. The reference has no streaming at all
+  * (SURVEY §2.10) — this is the pure-extension layer, nearly free by
+  * construction because graft verbs are `DataFrame => DataFrame`: a
+  * `readStream` source flows through the same pipeline code.
+  */
+object StreamVerbs {
+
+  /** Event-time watermark as a verb (late-data bound for stateful ops). */
+  def withWatermark(t: Tbl, tsCol: String, delay: String): Tbl =
+    t.copy(df = t.df.withWatermark(tsCol, delay))
+
+  /** Tumbling (or sliding, if `slide` given) event-time window aggregation:
+    * `group_by(window(ts), keys) >> summarize(...)`. State is bounded by the
+    * watermark; partial aggregation happens map-side before the shuffle.
+    */
+  def windowedSummarize(t: Tbl, tsCol: String, duration: String,
+                        slide: Option[String] = None)
+                       (aggs: (String, Column)*): Tbl = {
+    val win = slide.map(s => window(col(tsCol), duration, s))
+      .getOrElse(window(col(tsCol), duration))
+    val keys = win.as("window") +: t.groups.map(col)
+    val named = aggs.map { case (n, c) => c.as(n) }
+    Tbl(t.df.groupBy(keys: _*).agg(named.head, named.tail: _*))
+  }
+
+  /** Session windows (gap-based grouping) per key. */
+  def sessionSummarize(t: Tbl, tsCol: String, gap: String)
+                      (aggs: (String, Column)*): Tbl = {
+    val keys = session_window(col(tsCol), gap).as("session") +: t.groups.map(col)
+    val named = aggs.map { case (n, c) => c.as(n) }
+    Tbl(t.df.groupBy(keys: _*).agg(named.head, named.tail: _*))
+  }
+
+  /** Streaming dedup on key columns, state-bounded by the watermark —
+    * the streaming form of `distinct(keepAll = true)`.
+    */
+  def dedup(t: Tbl, keys: Seq[String]): Tbl =
+    t.copy(df = t.df.dropDuplicates(keys))
+
+  /** Streaming dedup that admits re-delivery outside the watermark window
+    * (bounded state, at-least-once semantics).
+    */
+  def dedupWithinWatermark(t: Tbl, keys: Seq[String]): Tbl =
+    t.copy(df = t.df.dropDuplicatesWithinWatermark(keys))
+}

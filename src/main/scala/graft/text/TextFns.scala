@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale corpus pipelines. All pure
+  * Catalyst expressions (no UDFs) — they stay inside whole-stage codegen and
+  * push down through the parquet scan's column pruning.
+  */
+object TextFns {
+
+  /** Whitespace tokenization after trim+lower. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Collapse whitespace + lowercase — canonical form for fingerprinting. */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Deterministic document fingerprint (hex md5 of the normal form). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit fingerprint for joins/bucketing (cheaper than hex strings). */
+  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+
+  // ---- quality scoring ----------------------------------------------------
+
+  private def ratioOf(text: Column, keepPattern: String): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, keepPattern, "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Fraction of characters that are punctuation `.,!?;:`. */
+  def punctRatio(text: Column): Column = ratioOf(text, "[^.,!?;:]")
+
+  /** Fraction of characters that are digits. */
+  def digitRatio(text: Column): Column = ratioOf(text, "[^0-9]")
+
+  /** Fraction of characters that are uppercase letters. */
+  def upperRatio(text: Column): Column = ratioOf(text, "[^A-Z]")
+
+  /** Mean token length — low (<2) or high (>12) suggests junk. */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) > 0,
+      length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text))
+      .otherwise(lit(0.0))
+
+  /** Count of occurrences of `word` as a whole token (case-insensitive). */
+  def wordCount(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val target = s" $word "
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(target), "")))
+      / target.length).cast("long")
+  }
+
+  /** Stopword density: fraction of tokens from the given stopword set. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val hits = stopwords.map(wordCount(text, _)).reduce(_ + _)
+    when(tokenCount(text) > 0, hits.cast("double") / tokenCount(text)).otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: long enough, punctuated, not
+    * digit/upper-heavy, sane token lengths. Thresholds follow common
+    * web-corpus filtering heuristics (Gopher-style rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val checks = Seq(
+      (nTok >= 10) && (nTok <= 100000),
+      meanTokenLen(text).between(2.0, 12.0),
+      punctRatio(text) <= lit(0.2),
+      digitRatio(text) <= lit(0.2),
+      upperRatio(text) <= lit(0.3)
+    )
+    checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / checks.size
+  }
+
+  // ---- language identification -------------------------------------------
+
+  /** Per-language stopword seeds for the n-gram/stopword heuristic. */
+  val defaultLangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "de", "la", "que", "es")
+  )
+
+  /** Language-ID: argmax over per-language whole-word stopword hit counts.
+    * Ties and zero-hit rows → "und" (undetermined). One projection, no
+    * shuffle; at 100 TB this is a map-only pass.
+    */
+  def langId(text: Column,
+             profiles: Map[String, Seq[String]] = defaultLangProfiles): Column = {
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(words.map(wordCount(text, _)).reduce(_ + _).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - n + 1),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", w))))
+  }
+}

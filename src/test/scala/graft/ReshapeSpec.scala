@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.reshape.Reshape
+import graft.cats.Forcats
+
+class ReshapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.assertSameRows
+
+  test("gather then spread round-trips") {
+    import spark.implicits._
+    val wide = Seq(("r1", 1.0, 2.0), ("r2", 3.0, 4.0)).toDF("id", "a", "b")
+    val long = Reshape.gather(Tbl(wide), "key", "val",
+      Seq(Sel.Name("a"), Sel.Name("b"))).df
+    assert(long.count() == 4)
+    assert(long.columns.toSeq == Seq("id", "key", "val"))
+    val back = Reshape.spread(Tbl(long), "key", "val").df
+    assertSameRows(back, wide)
+  }
+
+  test("pivot_longer with names_sep and .value") {
+    import spark.implicits._
+    val df = Seq((1, 10.0, 100.0, 11.0, 110.0))
+      .toDF("id", "x_a", "y_a", "x_b", "y_b")
+    // names_to = (".value", "grp"): x/y stay wide, a/b key rows
+    val out = Reshape.pivotLonger(Tbl(df),
+      Seq(Sel.startsWith("x"), Sel.startsWith("y")),
+      namesTo = Seq(".value", "grp"), namesSep = Some("_")).df
+    assert(out.columns.toSeq == Seq("id", "grp", "x", "y"))
+    val a = out.where(col("grp") === "a").head()
+    assert(a.getDouble(2) == 10.0 && a.getDouble(3) == 100.0)
+  }
+
+  test("pivot_wider with values_fn and fill") {
+    import spark.implicits._
+    val long = Seq(("r1", "a", 1.0), ("r1", "a", 3.0), ("r2", "b", 4.0))
+      .toDF("id", "k", "v")
+    val out = Reshape.pivotWider(Tbl(long), Seq("k"), Seq("v"),
+      valuesFn = sum(_), valuesFill = Some(0.0)).df
+    val r1 = out.where(col("id") === "r1").head()
+    assert(r1.getDouble(out.columns.indexOf("a")) == 4.0)
+    assert(r1.getDouble(out.columns.indexOf("b")) == 0.0)
+  }
+
+  test("nest / unnest round-trip") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)).toDF("g", "x", "y")
+    val nested = Reshape.nest(Tbl(df), Seq(Sel.Name("x"), Sel.Name("y"))).df
+    assert(nested.count() == 2)
+    val back = Reshape.unnest(Tbl(nested), "data").df
+    assertSameRows(back, df)
+  }
+
+  test("separate / unite / extract") {
+    import spark.implicits._
+    val df = Seq(("a-1", 1), ("b-22", 2)).toDF("s", "n")
+    val sep = Reshape.separate(Tbl(df), "s", Seq("ch", "num"), sep = "-").df
+    assert(sep.columns.toSeq == Seq("n", "ch", "num"))
+    assert(sep.where(col("ch") === "b").head().getString(2) == "22")
+    val un = Reshape.unite(Tbl(sep), "s2", Seq(Sel.Name("ch"), Sel.Name("num")), sep = "-").df
+    assert(un.select("s2").collect().map(_.getString(0)).sorted.toSeq == Seq("a-1", "b-22"))
+    val ex = Reshape.extract(Tbl(df), "s", Seq("letter"), regex = "([a-z]+)-\\d+").df
+    assert(ex.select("letter").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("expand / complete fill holes") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 1.0), ("b", 2, 2.0)).toDF("g", "k", "v")
+    val grid = Reshape.expand(Tbl(df), Seq("g", "k")).df
+    assert(grid.count() == 4)
+    val comp = Reshape.complete(Tbl(df), Seq("g", "k"), fill = Map("v" -> 0.0)).df
+    assert(comp.count() == 4)
+    assert(comp.agg(sum("v")).head().getDouble(0) == 3.0)
+  }
+
+  test("forcats: recode, collapse, lump, reorder") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("f")
+    val rec = df.select(Forcats.fctRecode(col("f"), Map("x" -> Seq("a", "b"))).as("f"))
+    assert(rec.where(col("f") === "x").count() == 5)
+    val col1 = df.select(Forcats.fctCollapse(col("f"),
+      Map("ab" -> Seq("a", "b")), otherLevel = Some("oth")).as("f"))
+    assert(col1.where(col("f") === "oth").count() == 1)
+    val lumped = Forcats.fctLump(df, "f", 1)
+    assert(lumped.where(col("f") === "Other").count() == 3)
+    val fr = Forcats.fctInfreq(df, col("f"))
+    assert(fr.levels == Seq("a", "b", "c"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.{Dedup, Similarity}
+import graft.text.TextFns
+import graft.multimodal.Multimodal
+
+/** Tests for the training-data pipeline ops. LSH methods are graded against
+  * the exact brute-force ground truth computed by the same engine (recall
+  * bounds), mirroring how the reference's tests use pandas as the oracle.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+
+  test("minhash LSH finds the exact-jaccard near-dup pairs (recall)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain near-dup documents")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 16, rows = 2, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("minhash est_jaccard approximates exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val sigs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 16, rows = 2, threshold = 0.2)
+    val joined = exact.join(sigs, Seq("id_a", "id_b"))
+      .select(abs(col("jaccard") - col("est_jaccard")).as("err"))
+      .agg(avg("err")).head().getDouble(0)
+    assert(joined < 0.2, s"mean |jaccard - est| = $joined")
+  }
+
+  test("simhash: near-identical texts collide, distinct texts don't") {
+    import spark.implicits._
+    // simhash discriminates on longer documents: ~100 tokens, 2 changed
+    val base = (0 until 100).map(i => s"tok$i").mkString(" ")
+    val near = ((0 until 98).map(i => s"tok$i") ++ Seq("zzz", "yyy")).mkString(" ")
+    val far = (0 until 100).map(i => s"other$i").mkString(" ")
+    val d = Seq((1L, base), (2L, near), (3L, far), (4L, base)).toDF("doc_id", "text")
+    val h = Dedup.simhash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 16, s"near pair hamming ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) > ham(h(1L), h(2L)), "far pair should exceed near pair")
+    // banding guarantees candidates for distance <= 3 (pigeonhole over 4
+    // chunks): the exact duplicate (dist 0) must surface as a pair
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup LSH finds planted perturbed copies") {
+    val perturbed = emb
+      .withColumn("vec_id", col("vec_id") + 1000000)
+      .withColumn("embedding", transform(col("embedding"), x => x * 1.001 + 0.0001))
+    val both = emb.unionByName(perturbed)
+    val n = emb.count()
+    val found = Dedup.embeddingNearDupPairs(both, "vec_id", "embedding",
+      dim = 64, threshold = 0.999, nPlanes = 8).count()
+    assert(found >= (n * 0.95).toLong, s"found $found of $n planted pairs")
+  }
+
+  test("brute-force topK: perturbed query's nearest neighbor is its source") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000)
+      .withColumn("embedding", transform(col("embedding"), x => x * 1.001))
+    val top1 = Similarity.bruteForceTopK(emb, queries, k = 1)
+    val rows = top1.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 1000000,
+        s"query ${r.getLong(0)} nearest ${r.getLong(1)}")
+    }
+  }
+
+  test("lsh topK ranks candidates identically to brute force on shared items") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select("query_id", "item_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, k = 3, dim = 64, nPlanes = 6, nTables = 10)
+      .select("query_id", "item_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate: at least a third of true top-3 should surface with these params
+    assert(lsh.intersect(bf).size >= bf.size / 3, s"${lsh.intersect(bf).size} of ${bf.size}")
+  }
+
+  test("text functions: tokens, fingerprint, langId") {
+    import spark.implicits._
+    val d = Seq(
+      ("  The  quick  brown fox  ", "the quick brown fox"),
+      ("der hund und die katze und das haus ist", "x")
+    ).toDF("a", "b")
+    val r = d.select(
+      TextFns.tokenCount(col("a")).as("n"),
+      (TextFns.fingerprint(col("a")) === TextFns.fingerprint(col("b"))).as("same"),
+      TextFns.langId(col("a")).as("lang")).collect()
+    assert(r(0).getInt(0) == 4)
+    assert(r(0).getBoolean(1)) // whitespace-insensitive fingerprint
+    assert(r(0).getString(2) == "en")
+    assert(r(1).getString(2) == "de")
+  }
+
+  test("quality score penalizes junk") {
+    import spark.implicits._
+    val d = Seq(
+      "This is a reasonably long and well punctuated sentence, with normal words.",
+      "123 456 789 000 111 222 333 444 555 666 777 888 999 000 111 222"
+    ).toDF("text")
+    val scores = d.select(TextFns.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("multimodal: meta attach, frame sampling, feature extraction shapes") {
+    val media = Multimodal.attachMeta(
+      docs.withColumn("payload", to_binary(col("text"), lit("utf-8"))),
+      "doc_id", "payload")
+    assert(media.columns.toSeq == Seq("media_id", "media", "meta"))
+    val n = media.count()
+    val frames = Multimodal.sampleFrames(media, nFrames = 3)
+    assert(frames.count() == n * 3)
+    val feats = Multimodal.extractFeaturesBatched(media, dim = 16)
+      .select(size(col("features"))).head().getInt(0)
+    assert(feats == 16)
+    // deterministic: same bytes → same features
+    val f2 = Multimodal.extractFeaturesBatched(media, dim = 16)
+      .select(col("media_id"), col("features"))
+    val j = Multimodal.extractFeaturesBatched(media, dim = 16)
+      .select(col("media_id"), col("features").as("f2"))
+      .join(f2, "media_id")
+      .filter(col("features") =!= col("f2")).count()
+    assert(j == 0)
+  }
+}

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions.col
 object Across {
   def apply(t: Tbl, sel: Seq[Sel], fns: Seq[(String, Column => Column)],
             template: String = "{col}_{fn}"): Seq[(String, Column)] = {
-    val srcs = Sel.resolve(t.cols, sel).map(_._2)
+    val srcs = Sel.resolveT(t.typedFields, sel).map(_._2)
     if (fns.size == 1 && fns.head._1.isEmpty)
       srcs.map(c => c -> fns.head._2(col(c)))
     else

@@ -401,26 +401,14 @@ object SparkEntry2 {
         |FROM q GROUP BY 1""".stripMargin,
     "q_lang_id" ->
       """WITH sc AS (SELECT lang,
-        |  (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' the ','')))//5
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' and ','')))//5
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' of ','')))//4
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' to ','')))//4
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' is ','')))//4 AS s_en,
-        |  (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' der ','')))//5
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' und ','')))//5
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' die ','')))//5
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' das ','')))//5
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' ist ','')))//5 AS s_de,
-        |  (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' le ','')))//4
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' la ','')))//4
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' et ','')))//4
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' les ','')))//5
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' est ','')))//5 AS s_fr,
-        |  (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' el ','')))//4
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' de ','')))//4
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' la ','')))//4
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' que ','')))//5
-        | + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ',' es ','')))//4 AS s_es
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','and','of','to','is'))) AS s_en,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t IN ('der','und','die','das','ist'))) AS s_de,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t IN ('le','la','et','les','est'))) AS s_fr,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t IN ('el','de','la','que','es'))) AS s_es
         |FROM documents)
         |SELECT lang,
         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
@@ -454,9 +442,134 @@ object SparkEntry2 {
     // exactness is covered by PipelineSpec unit tests against brute force.
   )
 
+  // ======================================================================
+  // Extensions: extra aggregates, theta join, set ops, cube, where()
+  // ======================================================================
+
+  private val extraQueries: Map[String, Q] = Map(
+    "q_agg_extra" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .summarize(
+          "sk"   -> round(Fns.Agg.skewCorrected(col("c_acctbal")), 4),
+          "ku"   -> round(Fns.Agg.kurtCorrected(col("c_acctbal")), 4),
+          "sem"  -> round(Fns.Agg.sem(col("c_acctbal")), 4),
+          "cov"  -> round(covar_samp(col("c_acctbal"), col("c_nationkey")), 2),
+          "dotp" -> round(Fns.Agg.dot(col("c_acctbal"), col("c_nationkey")), 2),
+          "prodp" -> round(product(lit(1) + col("c_acctbal") / 100000000.0), 6),
+          "idx_max" -> Fns.Agg.idxMax(col("c_custkey"),
+            col("c_acctbal") + col("c_custkey") / 1000000000.0),
+          "idx_min" -> Fns.Agg.idxMin(col("c_custkey"),
+            col("c_acctbal") + col("c_custkey") / 1000000000.0),
+          "all_pos" -> Fns.Agg.all(col("c_acctbal") > 0),
+          "any_big" -> Fns.Agg.any(col("c_acctbal") > 9000))
+        .df),
+
+    "q_mad" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .mutate("dev" -> abs(col("l_quantity") - avg(col("l_quantity"))))
+        .summarize("mad" -> round(avg(col("dev")), 4), "n" -> Fns.Agg.n())
+        .df),
+
+    "q_theta_join" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .thetaJoin(t(s, dir, "customer"), (l, r) =>
+          l("s_nationkey") === r("c_nationkey") && l("s_acctbal") > r("c_acctbal"))
+        .groupBy("s_nationkey")
+        .summarize("n" -> Fns.Agg.n(),
+                   "sum_c" -> round(sum(col("c_acctbal")), 2))
+        .df),
+
+    "q_intersect" -> ((s, dir) => {
+      val pos = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+        .select(Seq("c_nationkey", "c_mktsegment"): _*).distinct()
+      val big = t(s, dir, "customer").filter(col("c_acctbal") > 8000)
+        .select(Seq("c_nationkey", "c_mktsegment"): _*).distinct()
+      pos.intersect(big).df
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val all = t(s, dir, "customer")
+        .select(Seq("c_nationkey", "c_mktsegment"): _*).distinct()
+      val big = t(s, dir, "customer").filter(col("c_acctbal") > 8000)
+        .select(Seq("c_nationkey", "c_mktsegment"): _*).distinct()
+      all.except(big).df
+    }),
+
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(Seq("l_returnflag", "l_linestatus"))(
+          "n" -> Fns.Agg.n(),
+          "sum_qty" -> round(sum(col("l_quantity")), 2))
+        .df),
+
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(Seq("o_orderpriority", "o_orderstatus"))(
+          "n" -> Fns.Agg.n(),
+          "rev" -> round(sum(col("o_totalprice")), 2))
+        .df),
+
+    "q_where_across" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.summarize(Across(c, Seq(Sel.whereNumeric),
+        // robust mean: round(sum)/count (see SparkEntry notes)
+        Seq("avg" -> (x => round(sum(x), 2) / count(x)))): _*).df
+    })
+  )
+
+  private val extraOracle: Map[String, String] = Map(
+    "q_agg_extra" ->
+      """SELECT c_mktsegment,
+        |  round(skewness(c_acctbal), 4) AS sk,
+        |  round(kurtosis(c_acctbal), 4) AS ku,
+        |  round(stddev_samp(c_acctbal) / sqrt(count(c_acctbal)), 4) AS sem,
+        |  round(covar_samp(c_acctbal, c_nationkey), 2) AS cov,
+        |  round(sum(c_acctbal * c_nationkey), 2) AS dotp,
+        |  round(product(1 + c_acctbal / 100000000.0), 6) AS prodp,
+        |  arg_max(c_custkey, c_acctbal + c_custkey / 1000000000.0) AS idx_max,
+        |  arg_min(c_custkey, c_acctbal + c_custkey / 1000000000.0) AS idx_min,
+        |  bool_and(c_acctbal > 0) AS all_pos,
+        |  bool_or(c_acctbal > 9000) AS any_big
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q_mad" ->
+      """WITH d AS (SELECT l_returnflag,
+        |    abs(l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag)) AS dev
+        |  FROM lineitem)
+        |SELECT l_returnflag, round(avg(dev), 4) AS mad, count(*) AS n
+        |FROM d GROUP BY 1""".stripMargin,
+    "q_theta_join" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS sum_c
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY 1""".stripMargin,
+    "q_intersect" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+        |INTERSECT
+        |SELECT DISTINCT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 8000""".stripMargin,
+    "q_except" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |EXCEPT
+        |SELECT DISTINCT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 8000""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q_where_across" ->
+      """SELECT round(sum(c_custkey), 2) / count(c_custkey) AS c_custkey_avg,
+        |  round(sum(c_nationkey), 2) / count(c_nationkey) AS c_nationkey_avg,
+        |  round(sum(c_acctbal), 2) / count(c_acctbal) AS c_acctbal_avg
+        |FROM customer""".stripMargin
+  )
+
   def queries: Map[String, Q] =
-    reshapeQueries ++ scalarQueries ++ pipelineQueries
+    reshapeQueries ++ scalarQueries ++ pipelineQueries ++ extraQueries
 
   def oracleSql: Map[String, String] =
-    reshapeOracle ++ scalarOracle ++ pipelineOracle
+    reshapeOracle ++ scalarOracle ++ pipelineOracle ++ extraOracle
 }

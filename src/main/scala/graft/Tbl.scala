@@ -63,6 +63,10 @@ final case class Tbl(
 
   def cols: Seq[String] = df.columns.toSeq
 
+  /** (name, dtype) pairs for typed tidyselect resolution (`where()`). */
+  def typedFields: Seq[(String, org.apache.spark.sql.types.DataType)] =
+    df.schema.fields.toSeq.map(f => f.name -> f.dataType)
+
   // ---- grouping -----------------------------------------------------------
 
   /** Attach grouping keys (state, not an immediate aggregation). `add` stacks
@@ -83,7 +87,7 @@ final case class Tbl(
     * selection misses them (siuba/dply/verbs.py:657-674).
     */
   def select(sels: Sel*): Tbl = {
-    var resolved = Sel.resolve(cols, sels)
+    var resolved = Sel.resolveT(typedFields, sels)
     val missingGroups = groups.filterNot(g => resolved.exists(_._2 == g))
     resolved = missingGroups.map(g => (g, g)) ++ resolved
     val renames = resolved.collect { case (out, src) if out != src => src -> out }
@@ -278,6 +282,30 @@ final case class Tbl(
   def rightJoin(right: Tbl, on: Seq[String]): Tbl = join(right, on.map(k => k -> k), "right")
   def fullJoin(right: Tbl, on: Seq[String]): Tbl  = join(right, on.map(k => k -> k), "full")
 
+  /** Theta join: arbitrary boolean on-clause over the aliased sides `l`/`r`
+    * (the reference's SQL-only `sql_on`, siuba/sql/verbs/join.py:169-233).
+    * Catalyst extracts any equi-conjuncts into a hash join and post-filters
+    * the rest; pure inequality conditions fall to BNLJ — caller beware at
+    * scale.
+    */
+  def thetaJoin(right: Tbl, cond: (DataFrame, DataFrame) => Column,
+                how: String = "inner"): Tbl = {
+    val l = df.alias("l"); val r = right.df.alias("r")
+    Tbl(l.join(r, cond(l, r), how), groups, Nil)
+  }
+
+  /** OLAP grouping-set aggregations — beyond the reference (SURVEY §2.5
+    * notes them as free extensions).
+    */
+  def cube(keys: Seq[String])(aggs: (String, Column)*): Tbl = {
+    val named = aggs.map { case (n, c) => c.as(n) }
+    Tbl(df.cube(keys.map(col): _*).agg(named.head, named.tail: _*))
+  }
+  def rollup(keys: Seq[String])(aggs: (String, Column)*): Tbl = {
+    val named = aggs.map { case (n, c) => c.as(n) }
+    Tbl(df.rollup(keys.map(col): _*).agg(named.head, named.tail: _*))
+  }
+
   /** Left rows with >=1 match — never duplicates (WHERE EXISTS). */
   def semiJoin(right: Tbl, on: Seq[String]): Tbl = {
     val cond = on.map(k => df(k) <=> right.df(k)).reduce(_ && _)
@@ -296,6 +324,10 @@ final case class Tbl(
   def bindRows(others: Tbl*): Tbl =
     Tbl(others.foldLeft(df)((acc, o) =>
       acc.unionByName(o.df, allowMissingColumns = true)), groups, Nil)
+
+  /** Set operations (SURVEY §2.7 extensions; SQL INTERSECT / EXCEPT). */
+  def intersect(other: Tbl): Tbl = Tbl(df.intersect(other.df), groups, Nil)
+  def except(other: Tbl): Tbl   = Tbl(df.except(other.df), groups, Nil)
 
   // ---- materialization ----------------------------------------------------
 

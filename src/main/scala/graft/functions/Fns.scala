@@ -55,6 +55,24 @@ object Fns {
     def idxMin(idx: Column, c: Column): Column = min_by(idx, c)
     def all(c: Column): Column = bool_and(c)
     def any(c: Column): Column = bool_or(c)
+    def dot(a: Column, b: Column): Column = sum(a * b)
+
+    /** Bias-corrected sample skewness G1 (pandas `skew`). Spark's `skewness`
+      * is the population g1 = m3/m2^1.5; G1 = g1 * sqrt(n(n-1)) / (n-2).
+      */
+    def skewCorrected(c: Column): Column = {
+      val n = count(c).cast("double")
+      skewness(c) * sqrt(n * (n - 1)) / (n - 2)
+    }
+
+    /** Bias-corrected sample excess kurtosis G2 (pandas `kurt`). Spark's
+      * `kurtosis` is the population excess g2;
+      * G2 = (n-1)/((n-2)(n-3)) * ((n+1) g2 + 6).
+      */
+    def kurtCorrected(c: Column): Column = {
+      val n = count(c).cast("double")
+      (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * kurtosis(c) + 6)
+    }
   }
 
   // ---- strings (generics.py:127-182; SQL base.py:266-306) -----------------

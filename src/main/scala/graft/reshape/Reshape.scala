@@ -19,7 +19,7 @@ object Reshape {
     */
   def gather(t: Tbl, key: String, value: String, sel: Seq[Sel],
              dropNa: Boolean = false): Tbl = {
-    val valueCols = Sel.resolve(t.cols, sel).map(_._2)
+    val valueCols = Sel.resolveT(t.typedFields, sel).map(_._2)
     val idCols = t.cols.filterNot(valueCols.contains)
     val entries = valueCols.map { c =>
       struct(lit(c).as(key), col(c).cast("double").as(value))
@@ -34,7 +34,7 @@ object Reshape {
   /** Wide→long preserving the value columns' common type (no double cast). */
   def gatherTyped(t: Tbl, key: String, value: String, sel: Seq[Sel],
                   dropNa: Boolean = false): Tbl = {
-    val valueCols = Sel.resolve(t.cols, sel).map(_._2)
+    val valueCols = Sel.resolveT(t.typedFields, sel).map(_._2)
     val idCols = t.cols.filterNot(valueCols.contains)
     val entries = valueCols.map { c => struct(lit(c).as(key), col(c).as(value)) }
     val exploded = t.df
@@ -69,7 +69,7 @@ object Reshape {
                   valuesTo: String = "value", namesSep: Option[String] = None,
                   namesPattern: Option[String] = None, namesPrefix: Option[String] = None,
                   valuesDropNa: Boolean = false): Tbl = {
-    val valueCols = Sel.resolve(t.cols, sel).map(_._2)
+    val valueCols = Sel.resolveT(t.typedFields, sel).map(_._2)
     val idCols = t.cols.filterNot(valueCols.contains)
 
     // spec: column -> part values, driver-side string work only
@@ -160,7 +160,7 @@ object Reshape {
     * scales with partitions.
     */
   def nest(t: Tbl, sel: Seq[Sel], key: String = "data"): Tbl = {
-    val inner = Sel.resolve(t.cols, sel).map(_._2)
+    val inner = Sel.resolveT(t.typedFields, sel).map(_._2)
     val rest = t.cols.filterNot(inner.contains)
     val out = t.df.groupBy(rest.map(col): _*)
       .agg(collect_list(struct(inner.map(col): _*)).as(key))
@@ -203,7 +203,7 @@ object Reshape {
     */
   def unite(t: Tbl, newCol: String, sel: Seq[Sel], sep: String = "_",
             remove: Boolean = true): Tbl = {
-    val src = Sel.resolve(t.cols, sel).map(_._2)
+    val src = Sel.resolveT(t.typedFields, sel).map(_._2)
     val keep = t.cols.filterNot(x => remove && src.contains(x))
     Tbl(t.df.select(keep.map(col) :+ concat_ws(sep, src.map(col): _*).as(newCol): _*),
         t.groups, Nil)

@@ -88,14 +88,18 @@ object TextFns {
     "es" -> Seq("el", "de", "la", "que", "es")
   )
 
-  /** Language-ID: argmax over per-language whole-word stopword hit counts.
-    * Ties and zero-hit rows → "und" (undetermined). One projection, no
-    * shuffle; at 100 TB this is a map-only pass.
+  /** Language-ID: argmax over per-language stopword token counts. Ties break
+    * to the lexicographically larger language code; zero-hit rows → "und".
+    * One tokenize + one array-filter per language — a single map-only
+    * projection (the earlier per-word regexp_replace formulation re-scanned
+    * the text 5× per language).
     */
   def langId(text: Column,
              profiles: Map[String, Seq[String]] = defaultLangProfiles): Column = {
+    val toks = tokens(text)
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(words.map(wordCount(text, _)).reduce(_ + _).as("score"), lit(lang).as("lang"))
+      struct(size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+        .as("score"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))

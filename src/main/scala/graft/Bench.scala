@@ -23,8 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: touch every table + JIT the codegen/shuffle paths once, so
-    // per-query timings measure the engine, not first-job init.
+    // Warmup: touch every table (file index + parquet footers) and JIT the
+    // codegen/shuffle paths once, so per-query timings measure the engine,
+    // not first-job init.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$tbl.parquet").count()
     SparkEntry.queries.get("q1_agg").foreach(q => q(spark, sfDir).count())
     SparkEntry.queries.get("q_join_multi").foreach(q => q(spark, sfDir).count())
 

@@ -150,8 +150,9 @@ object SparkEntry2 {
     "q_expand_complete" ->
       """WITH sub AS (SELECT * FROM lineitem WHERE l_quantity <= 2),
         |  cnt AS (SELECT l_returnflag, l_linestatus, count(*) AS n FROM sub GROUP BY 1, 2),
-        |  grid AS (SELECT DISTINCT a.l_returnflag, b.l_linestatus
-        |           FROM sub a CROSS JOIN sub b)
+        |  grid AS (SELECT l_returnflag, l_linestatus
+        |           FROM (SELECT DISTINCT l_returnflag FROM sub)
+        |           CROSS JOIN (SELECT DISTINCT l_linestatus FROM sub))
         |SELECT g.l_returnflag, g.l_linestatus, coalesce(c.n, 0) AS n
         |FROM grid g LEFT JOIN cnt c USING (l_returnflag, l_linestatus)""".stripMargin
   )
@@ -516,7 +517,24 @@ object SparkEntry2 {
       c.summarize(Across(c, Seq(Sel.whereNumeric),
         // robust mean: round(sum)/count (see SparkEntry notes)
         Seq("avg" -> (x => round(sum(x), 2) / count(x)))): _*).df
-    })
+    }),
+
+    // group_by keeps NULL groups (dropna=False, siuba/dply/verbs.py:366-368)
+    "q_group_nulls" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .mutate("disc0" -> Fns.naIf(col("l_discount"), 0.0))
+        .count(extra = Seq("disc0"))
+        .df),
+
+    // event-time tumbling window over the ns-timestamp events table (batch
+    // form of the streaming verb; ts read as nanos-long, bucketed to minutes)
+    "q_events_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .mutate("minute" -> (col("ts") / lit(60000000000L)).cast("long"))
+        .groupBy("minute", "event_type")
+        .summarize("n" -> Fns.Agg.n(),
+                   "sum_v" -> (round(sum(col("value")), 2)))
+        .df)
   )
 
   private val extraOracle: Map[String, String] = Map(
@@ -564,7 +582,14 @@ object SparkEntry2 {
       """SELECT round(sum(c_custkey), 2) / count(c_custkey) AS c_custkey_avg,
         |  round(sum(c_nationkey), 2) / count(c_nationkey) AS c_nationkey_avg,
         |  round(sum(c_acctbal), 2) / count(c_acctbal) AS c_acctbal_avg
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    "q_group_nulls" ->
+      """SELECT nullif(l_discount, 0.0) AS disc0, count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(floor(epoch_ns(ts) / 60000000000) AS BIGINT) AS minute,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 
   def queries: Map[String, Q] =

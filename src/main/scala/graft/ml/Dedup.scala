@@ -58,12 +58,28 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: K independent permutations h_i(x) = (a_i*x + b_i)
-    * mod p over 64-bit shingle hashes, minimized per doc. One aggregate over
-    * the shingle table; signature is an array<long> column.
+  /** MinHash signatures via the custom single-buffer Catalyst aggregate
+    * (graft.plans.MinHashAgg): one tight-loop pass over the shingle table,
+    * map-side combinable, shuffling one k-long signature per doc partition.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextFns.wordShingles(col(textCol), n)).as("g"))
+      .withColumn("hx", xxhash64(col("g")))
+    val agg = org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.MinHashAgg(
+        org.apache.spark.sql.graftshim.Shim.exprOf(col("hx")), k, seed)
+        .toAggregateExpression())
+    sh.groupBy("id").agg(agg.as("sig"))
+  }
+
+  /** Reference formulation of the signature (k separate min-aggregates) —
+    * kept as the differential oracle for MinHashAgg.
+    */
+  private[graft] def minhashSignaturesComposed(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
     // 2^31 - 1 (Mersenne prime): keeps a*h+b < 2^62, no int64 overflow
     // under ANSI arithmetic while leaving collision odds ~n²/2p ≈ 1e-4 at
     // a 1M-shingle partition — fine for signature mins.

@@ -48,4 +48,30 @@ object StreamVerbs {
     */
   def dedupWithinWatermark(t: Tbl, keys: Seq[String]): Tbl =
     t.copy(df = t.df.dropDuplicatesWithinWatermark(keys))
+
+  /** Custom-state example: per-key running (count, sum) via
+    * `mapGroupsWithState` — the KeyValueGroupedDataset escape hatch for
+    * stateful logic the built-in operators can't express. Emits one updated
+    * row per key per micro-batch (use OutputMode.Update).
+    */
+  def runningTotals(t: Tbl, keyCol: String, valueCol: String): DataFrame = {
+    val spark = t.df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    t.df.select(col(keyCol).cast("string").as("k"),
+                col(valueCol).cast("double").as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          (key, n, s)
+      }
+      .toDF("key", "running_n", "running_sum")
+  }
 }

@@ -19,6 +19,14 @@ import org.apache.spark.sql.internal._
   */
 object Shim {
 
+  /** Build a user-facing Column from a raw Catalyst expression (for custom
+    * Expressions/aggregates; the classic bridge is `private[sql]`).
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Aggregate function names as they appear in UnresolvedFunction nodes. */
   private val aggNames: Set[String] = Set(
     "avg", "mean", "sum", "min", "max", "count", "count_distinct",

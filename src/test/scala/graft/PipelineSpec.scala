@@ -138,4 +138,13 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("features") =!= col("f2")).count()
     assert(j == 0)
   }
+
+  test("MinHashAgg (custom Catalyst aggregate) equals the composed formulation") {
+    val fast = graft.ml.Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val slow = graft.ml.Dedup.minhashSignaturesComposed(docs, "doc_id", "text", n = 3, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (id, sig) => assert(sig == slow(id), s"doc $id") }
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Scale
+
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.assertSameRows
+
+  test("saltedAgg equals plain aggregation") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val salted = Scale.saltedAgg(li, Seq("l_returnflag"), saltFactor = 8,
+      saltOn = Seq(col("l_orderkey"), col("l_linenumber")))(Seq(
+      ("n", count(lit(1)), sum(col("n"))),
+      ("sq", sum(col("l_quantity")), round(sum(col("sq")), 2)),
+      ("mx", max(col("l_quantity")), max(col("mx")))))
+    val plain = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sq"),
+      max(col("l_quantity")).as("mx"))
+    assertSameRows(salted, plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .select("o_custkey", "c_mktsegment")
+    val salted = Scale.saltedJoin(orders, cust, "o_custkey", saltFactor = 4)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val plain = orders.join(cust, Seq("o_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assertSameRows(salted, plain)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Scale.writeBucketed(orders, "orders_b", "o_orderkey", 4)
+    Scale.writeBucketed(li.select("o_orderkey", "l_quantity"), "li_b", "o_orderkey", 4)
+    val joined = spark.table("li_b").join(spark.table("orders_b"), "o_orderkey")
+    // disable broadcast so the join strategy decision is about distribution
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n${plan.take(1500)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+    }
+  }
+}

@@ -75,4 +75,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT DISTINCT event_id FROM dedup_out").count() == 5)
     assert(spark.table("dedup_out").count() == 5)
   }
+
+  test("mapGroupsWithState running totals accumulate across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream3").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream3-ckpt").toFile
+    val events = mkEvents()
+    events.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(events.schema).parquet(dir.getAbsolutePath)
+    val q = StreamVerbs.runningTotals(Tbl(stream), "etype", "value")
+      .writeStream.format("memory").queryName("running_out")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "SELECT key, max(running_n) n, max(running_sum) s FROM running_out GROUP BY 1")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("click") == (3L, 7.0))
+    assert(rows("view") == (3L, 13.0))
+  }
 }

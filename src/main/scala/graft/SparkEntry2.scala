@@ -526,6 +526,34 @@ object SparkEntry2 {
         .count(extra = Seq("disc0"))
         .df),
 
+    // semi-structured: JSON payload extraction from events.props
+    "q_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .mutate("k" -> graft.sources.Sources.jsonGet(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .summarize(
+          "n"     -> Fns.Agg.n(),
+          "avg_k" -> (round(sum(col("k")), 2) / count(col("k"))),
+          "max_k" -> max(col("k")))
+        .df),
+
+    // extended string-method surface (pandas str.* family, SURVEY §2.9)
+    "q_str_ops2" -> ((s, dir) =>
+      t(s, dir, "part")
+        .mutate(
+          "cnt_a"  -> Fns.Str.strCount(col("p_name"), "a"),
+          "find_e" -> Fns.Str.find(col("p_name"), "e"),
+          "z"      -> Fns.Str.zfill(col("p_size").cast("string"), 5),
+          "ch2"    -> Fns.Str.get(col("p_name"), 2),
+          "sl"     -> Fns.Str.slice(col("p_name"), 2, 7),
+          "rep"    -> Fns.Str.repeat(col("p_brand"), 2),
+          "alpha"  -> Fns.Str.isAlpha(col("p_type")),
+          "digit"  -> Fns.Str.isDigit(col("p_size").cast("string")),
+          "ttl"    -> Fns.Str.title(col("p_name")))
+        .select(Seq("p_partkey", "cnt_a", "find_e", "z", "ch2", "sl", "rep",
+                    "alpha", "digit", "ttl"): _*)
+        .df),
+
     // event-time tumbling window over the ns-timestamp events table (batch
     // form of the streaming verb; ts read as nanos-long, bucketed to minutes)
     "q_events_window" -> ((s, dir) =>
@@ -586,6 +614,25 @@ object SparkEntry2 {
     "q_group_nulls" ->
       """SELECT nullif(l_discount, 0.0) AS disc0, count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 2)
+        |    / count(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS avg_k,
+        |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_str_ops2" ->
+      """SELECT p_partkey,
+        |  CAST((length(p_name) - length(replace(p_name, 'a', ''))) / 1 AS BIGINT) AS cnt_a,
+        |  CAST(strpos(p_name, 'e') - 1 AS BIGINT) AS find_e,
+        |  lpad(CAST(p_size AS VARCHAR), 5, '0') AS z,
+        |  substr(p_name, 3, 1) AS ch2,
+        |  substr(p_name, 3, 5) AS sl,
+        |  repeat(p_brand, 2) AS rep,
+        |  regexp_full_match(p_type, '[A-Za-z]+') AS alpha,
+        |  regexp_full_match(CAST(p_size AS VARCHAR), '[0-9]+') AS digit,
+        |  list_aggregate(list_transform(string_split(p_name, ' '),
+        |    w -> upper(w[1]) || lower(w[2:])), 'string_agg', ' ') AS ttl
+        |FROM part""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(floor(epoch_ns(ts) / 60000000000) AS BIGINT) AS minute,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v

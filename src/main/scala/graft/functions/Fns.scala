@@ -85,6 +85,33 @@ object Fns {
       concat(upper(substring(c, 1, 1)), lower(c.substr(lit(2), length(c))))
     def strC(sep: String, cs: Column*): Column = concat_ws(sep, cs: _*)
     def len(c: Column): Column = length(c)
+    /** Non-overlapping occurrence count of a literal substring (str.count). */
+    def strCount(c: Column, sub: String): Column =
+      ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(sub), "")))
+        / sub.length).cast("long")
+    /** 0-based index of first occurrence, -1 if absent (str.find). */
+    def find(c: Column, sub: String): Column = (instr(c, sub) - 1).cast("long")
+    /** Left-pad with zeros (str.zfill). */
+    def zfill(c: Column, width: Int): Column = lpad(c, width, "0")
+    /** Character at position i, 0-based (str.get). */
+    def get(c: Column, i: Int): Column = substring(c, i + 1, 1)
+    /** str.slice(start, stop), 0-based half-open like Python. */
+    def slice(c: Column, start: Int, stop: Int): Column =
+      substring(c, start + 1, math.max(stop - start, 0))
+    /** str.slice_replace: replace [start, stop) with `repl`. */
+    def sliceReplace(c: Column, start: Int, stop: Int, repl: String): Column =
+      concat(substring(c, 1, start), lit(repl),
+        c.substr(lit(stop + 1), length(c)))
+    def repeat(c: Column, n: Int): Column =
+      org.apache.spark.sql.functions.repeat(c, n)
+    def isAlpha(c: Column): Column   = c.rlike("^[A-Za-z]+$")
+    def isDigit(c: Column): Column   = c.rlike("^[0-9]+$")
+    def isAlnum(c: Column): Column   = c.rlike("^[A-Za-z0-9]+$")
+    def isSpace(c: Column): Column   = c.rlike("^\\s+$")
+    def isUpper(c: Column): Column   = (c === upper(c)) && c.rlike("[A-Za-z]")
+    def isLower(c: Column): Column   = (c === lower(c)) && c.rlike("[A-Za-z]")
+    def isTitle(c: Column): Column   = c === initcap(c) && c.rlike("[A-Za-z]")
+    def title(c: Column): Column     = initcap(c)
     def pad(c: Column, width: Int, side: String = "left", fill: String = " "): Column =
       side match {
         case "left"  => lpad(c, width, fill)

@@ -526,6 +526,32 @@ object SparkEntry2 {
         .count(extra = Seq("disc0"))
         .df),
 
+    // as-of (backward) join via union+window — no range-join amplification
+    "q_asof_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").df
+      val snapshots = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), col("o_orderkey"),
+                col("o_totalprice").as("snap_price"))
+      val left = orders.select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.ops.AsofJoin.asofBackward(left, snapshots, "o_custkey", "o_orderkey")
+        .withColumnRenamed("o_orderkey_right", "snap_orderkey")
+    }),
+
+    // rolling (trailing 3-row) window family — extension
+    "q_rolling" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate(
+          "r_sum" -> Vec.rollingSum(col("o_totalprice"), 3).transform(round(_, 2)),
+          "r_avg" -> Vec.rollingMean(col("o_totalprice"), 3)
+                        .transform(x => round(x, 4)),
+          "r_max" -> Vec.rollingMax(col("o_totalprice"), 3),
+          "r_min" -> Vec.rollingMin(col("o_totalprice"), 3))
+        .ungroup
+        .select(Seq("o_custkey", "o_orderkey", "r_sum", "r_avg", "r_max", "r_min"): _*)
+        .df),
+
     // semi-structured: JSON payload extraction from events.props
     "q_json_props" -> ((s, dir) =>
       t(s, dir, "events")
@@ -614,6 +640,23 @@ object SparkEntry2 {
     "q_group_nulls" ->
       """SELECT nullif(l_discount, 0.0) AS disc0, count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.o_custkey, l.o_orderkey, l.o_totalprice,
+        |  r.o_orderkey AS snap_orderkey, r.snap_price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders) l
+        |ASOF LEFT JOIN
+        |  (SELECT o_custkey, o_orderkey, o_totalprice AS snap_price
+        |   FROM orders WHERE o_orderstatus = 'F') r
+        |ON l.o_custkey = r.o_custkey AND l.o_orderkey >= r.o_orderkey""".stripMargin,
+    "q_rolling" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER w3, 2) AS r_sum,
+        |  round(avg(o_totalprice) OVER w3, 4) AS r_avg,
+        |  max(o_totalprice) OVER w3 AS r_max,
+        |  min(o_totalprice) OVER w3 AS r_min
+        |FROM orders
+        |WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  round(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 2)

@@ -131,4 +131,19 @@ object Vec {
     * use `Agg.n`.
     */
   def n(): GExpr = gx(c => count(lit(1)).over(c.plain))
+
+  // -- rolling windows (extension; reference declares rolling unsupported,
+  //    siuba/ops/generics.py:241-255) — trailing n-row frames -------------
+
+  private def rollingFrame(c: WinCtx, order: Seq[Column], nRows: Int) =
+    c.orderedBy(order).rowsBetween(-(nRows - 1), Window.currentRow)
+
+  def rollingSum(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
+    gx(c => sum(x).over(rollingFrame(c, order, nRows)))
+  def rollingMean(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
+    gx(c => avg(x).over(rollingFrame(c, order, nRows)))
+  def rollingMax(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
+    gx(c => max(x).over(rollingFrame(c, order, nRows)))
+  def rollingMin(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
+    gx(c => min(x).over(rollingFrame(c, order, nRows)))
 }

@@ -354,6 +354,15 @@ object SparkEntry2 {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // full dedup pipeline: exact-jaccard pairs -> connected components ->
+    // canonical corpus (one survivor per duplicate cluster)
+    "q_dedup_resolve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Dedup.keepCanonical(docs, "doc_id", pairs).select("doc_id", "lang")
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       // binary plumbing over real bytes: documents.text as the payload
       val media = Multimodal.attachMeta(
@@ -437,7 +446,28 @@ object SparkEntry2 {
         |SELECT id_a, id_b,
         |  round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
         |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-        |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5""".stripMargin
+        |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5""".stripMargin,
+    "q_dedup_resolve" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |    FROM documents),
+        |  sh AS (SELECT doc_id, unnest(list_distinct(
+        |      CASE WHEN len(w) >= 3 THEN
+        |        list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END)) AS g
+        |    FROM toks),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |  prs AS (SELECT id_a, id_b FROM (
+        |      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+        |    JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+        |  edges AS (SELECT id_a AS s, id_b AS d FROM prs
+        |            UNION SELECT id_b, id_a FROM prs),
+        |  reach(id, r) AS (SELECT s, s FROM edges
+        |    UNION SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+        |  lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM lab WHERE lbl < id)""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_ann_* / q_embed_neardup /
     // q_multimodal: probabilistic or non-SQL-expressible → rows-only check;
     // exactness is covered by PipelineSpec unit tests against brute force.

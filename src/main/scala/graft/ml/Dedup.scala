@@ -163,6 +163,49 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair table ((id_a, id_b) edges):
+    * iterative min-label propagation until fixpoint. Each iteration is one
+    * join + aggregate (shuffle on vertex id); `localCheckpoint` truncates
+    * lineage so plans stay bounded. Converges in O(diameter) iterations —
+    * near-dup clusters are shallow (typically 2-5 hops), so this beats the
+    * constant-factor-heavy large-star/small-star variant at realistic skew.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("__chg"))
+      val updated = next.localCheckpoint()
+      converged = updated.filter(col("__chg")).limit(1).count() == 0
+      labels = updated.drop("__chg")
+      i += 1
+    }
+    labels // (id, label = cluster min id)
+  }
+
+  /** Resolve near-dup clusters to canonical rows: every row whose id is NOT
+    * the minimum of its duplicate cluster is dropped. `pairs` is any
+    * near-dup pair table (from exact/Jaccard/MinHash/SimHash/embedding).
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dupes = connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__dup_id"))
+    df.join(broadcast(dupes), df(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold via random-hyperplane LSH
     * bucketing + exact cosine verify. `planes` deterministic from seed.
     */

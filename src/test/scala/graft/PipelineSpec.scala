@@ -147,4 +147,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(fast.keySet == slow.keySet)
     fast.foreach { case (id, sig) => assert(sig == slow(id), s"doc $id") }
   }
+
+  test("connectedComponents: transitive closure, keepCanonical drops dupes") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+                     7L -> 7L, 8L -> 7L, 9L -> 7L))
+    val d = (1L to 10L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(d, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L, 10L))
+  }
+
+  test("end-to-end dedup: LSH pairs -> clusters -> canonical corpus") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 16, rows = 2, threshold = 0.5)
+    val before = docs.count()
+    val after = Dedup.keepCanonical(docs, "doc_id", pairs).count()
+    val clusters = Dedup.connectedComponents(pairs)
+    val nonCanon = clusters.filter(col("id") =!= col("label")).count()
+    assert(after == before - nonCanon)
+    assert(after < before, "testdata has near-dups; some rows must drop")
+  }
 }

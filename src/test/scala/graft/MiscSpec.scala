@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Fns, Vec}
+import graft.ml.Similarity
+import graft.cats.Forcats
+import graft.reshape.Reshape
+
+/** Corner-coverage for APIs not exercised by the driver queries. */
+class MiscSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ivfTopK recalls most brute-force neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select("query_id", "item_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3, nCentroids = 8, nProbe = 4)
+      .select("query_id", "item_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.intersect(bf).size >= bf.size / 3,
+      s"${ivf.intersect(bf).size} of ${bf.size}")
+  }
+
+  test("count auto-renames on clash (n -> nn)") {
+    import spark.implicits._
+    val d = Tbl(Seq(("a", 1), ("a", 2)).toDF("g", "n"))
+    val out = d.groupBy("g", "n").count()
+    assert(out.cols.contains("nn"))
+  }
+
+  test("addCount name clash and wt") {
+    import spark.implicits._
+    val d = Tbl(Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("g", "n"))
+    val out = d.groupBy("g").addCount(wt = Some(col("n")))
+    assert(out.cols.contains("nn"))
+    assert(out.df.where(col("g") === "a").head().getDouble(2) == 3.0)
+  }
+
+  test("nth with negative index counts from the end") {
+    import spark.implicits._
+    val d = Tbl(Seq(("a", 1), ("a", 2), ("a", 3)).toDF("g", "x")).groupBy("g")
+      .arrange(col("x"))
+    val out = d.mutate("m2" -> Vec.nth(col("x"), -2)).df
+    assert(out.collect().forall(_.getInt(2) == 2))
+  }
+
+  test("ceilDate rounds up except on boundaries") {
+    import spark.implicits._
+    val d = Seq("2024-03-15 10:30:00", "2024-03-01 00:00:00")
+      .toDF("s").withColumn("ts", col("s").cast("timestamp"))
+    val out = d.select(Fns.Dt.ceilDate(col("ts"), "month").cast("string"))
+      .collect().map(_.getString(0))
+    assert(out(0).startsWith("2024-04-01"))
+    assert(out(1).startsWith("2024-03-01")) // boundary stays
+  }
+
+  test("str pad both centers the value") {
+    import spark.implicits._
+    val d = Seq("ab").toDF("s")
+    val out = d.select(Fns.Str.pad(col("s"), 6, "both", "*")).head().getString(0)
+    assert(out == "**ab**", out)
+  }
+
+  test("forcats inorder/reorder produce level orders; factor sortKey sorts") {
+    import spark.implicits._
+    val d = Seq(("b", 2, 30.0), ("a", 1, 10.0), ("c", 3, 20.0)).toDF("f", "ord", "v")
+    assert(Forcats.fctInorder(d, col("f"), col("ord")).levels == Seq("a", "b", "c"))
+    val byV = Forcats.fctReorder(d, col("f"), col("v"))
+    assert(byV.levels == Seq("a", "c", "b"))
+    val sorted = d.orderBy(byV.sortKey(col("f"))).collect().map(_.getString(0))
+    assert(sorted.toSeq == Seq("a", "c", "b"))
+  }
+
+  test("gatherTyped keeps the column type") {
+    import spark.implicits._
+    val wide = Tbl(Seq((1, "x", "y")).toDF("id", "a", "b"))
+    val long = Reshape.gatherTyped(wide, "k", "v", Seq(Sel.Name("a"), Sel.Name("b")))
+    assert(long.df.schema("v").dataType.typeName == "string")
+    assert(long.df.count() == 2)
+  }
+
+  test("grouped transmute keeps group columns") {
+    import spark.implicits._
+    val d = Tbl(Seq(("a", 1), ("b", 2)).toDF("g", "x")).groupBy("g")
+    val out = d.transmute("y" -> (col("x") * 2))
+    assert(out.df.columns.toSeq == Seq("g", "y"))
+    assert(out.groups == Seq("g"))
+  }
+
+  test("windowize leaves explicit over() clauses alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tbl(Seq(("a", 1), ("a", 5), ("b", 2)).toDF("g", "x")).groupBy("g")
+    // user supplies an explicit global window: must NOT be rewrapped
+    val out = d.mutate("mx" -> max(col("x")).over(Window.partitionBy())).df
+    assert(out.select(max("mx")).head().getInt(0) == 5)
+    assert(out.where(col("g") === "b").head().getInt(2) == 5) // global, not per-group
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale properties claimed in README
+  * (pushdown, pruning, broadcast, partial aggregation, window top-k) are
+  * asserted against the physical plan so a refactor can't silently lose
+  * them. String-matching executed plans is crude but catches the regressions
+  * that matter.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter pushes predicates into the parquet scan and prunes columns") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(800))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_discount:double,l_shipdate"))
+    assert(!p.contains("l_comment") && !p.contains("l_extendedprice"))
+  }
+
+  test("q1 aggregation is map-side partial then final") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "expected partial aggregation")
+    assert(p.split("HashAggregate").length >= 3, "expected two HashAggregate levels")
+  }
+
+  test("star join broadcasts every dimension (no shuffle joins)") {
+    val p = plan("q_join_multi")
+    assert(p.split("BroadcastHashJoin").length >= 4, "expected 3 broadcast joins")
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("top_n plans a partial WindowGroupLimit before the shuffle") {
+    val p = plan("q_top_n")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
+
+  test("semi and anti joins stay semi/anti (no row expansion)") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("mutate chain collapses to a single projection") {
+    val p = plan("q_mutate")
+    // sequential withColumns fold into one Project over the scan
+    assert(p.split("\\bProject\\b").length <= 3, p.take(800))
+  }
+}

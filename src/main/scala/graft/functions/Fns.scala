@@ -180,4 +180,8 @@ object Fns {
     * casts to integer (siuba/sql/dialects/base.py:69-73).
     */
   def floorDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+
+  /** Bound values into [lo, hi] (pandas clip, generics.py:73-122). */
+  def clip(c: Column, lo: Column, hi: Column): Column =
+    least(greatest(c, lo), hi)
 }

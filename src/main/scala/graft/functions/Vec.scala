@@ -108,7 +108,12 @@ object Vec {
       val cnt = count(lit(1)).over(Window.partitionBy(c.partition: _*))
       // nth_value needs a foldable offset; -1 == last, etc.
       if (n == -1) last(x).over(c.fullBy(order))
-      else element_at(collect_list(x).over(c.fullBy(order)), cnt.cast("int") + n + 1)
+      else {
+        val idx = cnt.cast("int") + n + 1
+        // guard: groups smaller than |n| yield NULL (pandas), not an ANSI
+        // invalid-index error from element_at
+        when(idx >= 1, element_at(collect_list(x).over(c.fullBy(order)), idx))
+      }
     }
   }
 

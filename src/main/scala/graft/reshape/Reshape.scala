@@ -130,7 +130,8 @@ object Reshape {
   def pivotWider(t: Tbl, namesFrom: Seq[String], valuesFrom: Seq[String],
                  namesSep: String = "_", valuesFn: Column => Column = first(_),
                  valuesFill: Option[Any] = None,
-                 namesVals: Seq[String] = Nil): Tbl = {
+                 namesVals: Seq[String] = Nil,
+                 namesGlue: Option[String] = None): Tbl = {
     val idCols = t.cols.filterNot(c => namesFrom.contains(c) || valuesFrom.contains(c))
     val nameCol = if (namesFrom.size == 1) col(namesFrom.head).cast("string")
                   else concat_ws(namesSep, namesFrom.map(col): _*)
@@ -138,10 +139,27 @@ object Reshape {
     val grouped = base.groupBy(idCols.map(col): _*)
     val piv = if (namesVals.nonEmpty) grouped.pivot("__pw_name", namesVals)
               else grouped.pivot("__pw_name")
-    val out =
+    var out =
       if (valuesFrom.size == 1) piv.agg(valuesFn(col(valuesFrom.head)))
       else piv.agg(valuesFn(col(valuesFrom.head)).as(valuesFrom.head),
                    valuesFrom.tail.map(v => valuesFn(col(v)).as(v)): _*)
+    // names_glue template: "{name}" = pivot key, "{.value}" = value column
+    // (driver-side renames over the pivoted schema, like the reference's
+    // glue naming in pivot_wide.py)
+    namesGlue.foreach { glue =>
+      val renames = out.columns.filterNot(idCols.contains).flatMap { c =>
+        val (nameVal, valueVal) =
+          if (valuesFrom.size == 1) (c, valuesFrom.head)
+          else {
+            val idx = c.lastIndexOf("_")
+            if (idx < 0) (c, valuesFrom.head)
+            else (c.substring(0, idx), c.substring(idx + 1))
+          }
+        val nw = glue.replace("{name}", nameVal).replace("{.value}", valueVal)
+        if (nw != c) Some(c -> nw) else None
+      }.toMap
+      out = out.withColumnsRenamed(renames)
+    }
     val filled = valuesFill.map {
       case d: Double => out.na.fill(d)
       case i: Int    => out.na.fill(i)
@@ -235,13 +253,23 @@ object Reshape {
     Tbl(uniques.reduce(_.crossJoin(_)), t.groups, Nil)
   }
 
-  /** expand + left-join original + fill NAs (verbs.py:2185-2279). */
-  def complete(t: Tbl, cols: Seq[String], fill: Map[String, Any] = Map.empty): Tbl = {
+  /** expand + left-join original + fill NAs (verbs.py:2185-2279).
+    * `explicitFill = false` fills ONLY the NAs created by the join (rows
+    * absent from the original), leaving pre-existing NAs alone — the
+    * reference's merge-indicator behavior.
+    */
+  def complete(t: Tbl, cols: Seq[String], fill: Map[String, Any] = Map.empty,
+               explicitFill: Boolean = true): Tbl = {
     val grid = expand(t, cols)
-    val joined = grid.join(Tbl(t.df), cols.map(k => k -> k), "left")
+    val marked =
+      if (explicitFill) t.df
+      else t.df.withColumn("__present", lit(true))
+    val joined = grid.join(Tbl(marked), cols.map(k => k -> k), "left")
     val filled = fill.foldLeft(joined.df) { case (acc, (c, v)) =>
-      acc.withColumn(c, coalesce(col(c), lit(v)))
+      if (explicitFill) acc.withColumn(c, coalesce(col(c), lit(v)))
+      else acc.withColumn(c,
+        when(col("__present").isNull, coalesce(col(c), lit(v))).otherwise(col(c)))
     }
-    Tbl(filled, t.groups, Nil)
+    Tbl(if (explicitFill) filled else filled.drop("__present"), t.groups, Nil)
   }
 }

@@ -88,4 +88,27 @@ class ReshapeSpec extends AnyFunSuite {
     val fr = Forcats.fctInfreq(df, col("f"))
     assert(fr.levels == Seq("a", "b", "c"))
   }
+
+  test("pivot_wider names_glue templates output columns") {
+    import spark.implicits._
+    val long = Seq(("r1", "a", 1.0, 10.0), ("r2", "b", 2.0, 20.0))
+      .toDF("id", "k", "x", "y")
+    val out = Reshape.pivotWider(Tbl(long), Seq("k"), Seq("x", "y"),
+      namesGlue = Some("{.value}_for_{name}")).df
+    assert(out.columns.toSet ==
+      Set("id", "x_for_a", "y_for_a", "x_for_b", "y_for_b"))
+  }
+
+  test("complete explicitFill=false fills only join-created NAs") {
+    import spark.implicits._
+    val df = Seq(("a", 1, Some(1.0)), ("b", 2, None)).toDF("g", "k", "v")
+    val out = Reshape.complete(Tbl(df), Seq("g", "k"),
+      fill = Map("v" -> 0.0), explicitFill = false).df
+    // pre-existing NA at (b,2) stays NULL; grid holes (a,2),(b,1) fill 0.0
+    assert(out.where(col("g") === "b" && col("k") === 2).head().isNullAt(2))
+    assert(out.where(col("g") === "a" && col("k") === 2).head().getDouble(2) == 0.0)
+    val expl = Reshape.complete(Tbl(df), Seq("g", "k"),
+      fill = Map("v" -> 0.0), explicitFill = true).df
+    assert(expl.where(col("g") === "b" && col("k") === 2).head().getDouble(2) == 0.0)
+  }
 }

@@ -254,8 +254,9 @@ final case class Tbl(
       .reduce(_ && _)
     val joined = l.join(r, cond, how)
 
+    // right key columns are dropped, keeping the left name — pandas/siuba
+    // output shape (test_verb_join.py: join on {"ii": "jj"} yields [ii, x, y])
     val lKeys = on.map(_._1); val rKeys = on.map(_._2)
-    val sameName = on.forall { case (a, b) => a == b }
     val lNonKey = df.columns.filterNot(lKeys.contains)
     val rNonKey = right.df.columns.filterNot(rKeys.contains)
     val overlap = lNonKey.toSet.intersect(rNonKey.toSet)
@@ -273,7 +274,7 @@ final case class Tbl(
     }
     val rCols = rNonKey.toSeq.map { c =>
       col(s"__r.$c").as(if (overlap(c)) c + suffixes._2 else c)
-    } ++ (if (sameName) Nil else rKeys.map(k => col(s"__r.$k").as(k)))
+    }
     Tbl(joined.select(keyCols ++ lCols ++ rCols: _*), groups, Nil)
   }
 

@@ -105,4 +105,47 @@ class SiubaParitySpec extends AnyFunSuite {
     val out = d.mutate("parity" -> (col("x") % 2)).distinct(Seq("parity"))
     assert(out.df.count() == 2)
   }
+
+  test("join with different key names keeps left key only (test_verb_join.py:46)") {
+    import spark.implicits._
+    val l = Tbl(Seq((1, "x1"), (2, "x2")).toDF("ii", "x"))
+    val r = Tbl(Seq((1, "a"), (2, "b")).toDF("jj", "y"))
+    val out = l.join(r, Seq("ii" -> "jj"), "inner")
+    assert(out.df.columns.toSeq == Seq("ii", "x", "y"))
+    assert(out.df.count() == 2)
+  }
+
+  test("join on multiple keys (test_verb_join.py:58)") {
+    import spark.implicits._
+    val l = Tbl(Seq((1, 1, "x1"), (2, 2, "x2"), (3, 9, "x3")).toDF("ii", "jj", "x"))
+    val r = Tbl(Seq((1, 1, "a"), (2, 2, "b"), (4, 4, "c")).toDF("ii", "jj", "y"))
+    val out = l.innerJoin(r, Seq("ii", "jj"))
+    assert(out.df.columns.toSeq == Seq("ii", "jj", "x", "y"))
+    assert(out.df.count() == 2)
+  }
+
+  test("arrange with computed expression sorts by it (test_verb_arrange.py:41)") {
+    import spark.implicits._
+    val d = Tbl(Seq(2, 1, 3).toDF("x"))
+    val out = d.arrange(col("x") * -1).df.collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(3, 2, 1))
+  }
+
+  test("back-to-back arrange: last ordering wins (test_verb_arrange.py:79)") {
+    import spark.implicits._
+    val d = Tbl(Seq((1, 2), (2, 2), (3, 1), (4, 1)).toDF("x", "g"))
+    val t2 = d.arrange(col("x")).arrange(col("g"))
+    assert(t2.ord.map(_.toString) == Seq(col("g").toString))
+    // windows use the LAST arrange's ordering
+    val rn = t2.groupBy("g").mutate("rn" -> Vec.rowNumber())
+      .df.orderBy("x").collect().map(_.getInt(2))
+    assert(rn.length == 4)
+  }
+
+  test("grouped arrange sorts the whole frame (test_verb_arrange.py:53)") {
+    import spark.implicits._
+    val d = Tbl(Seq((3, "a"), (1, "b"), (2, "a")).toDF("x", "y")).groupBy("y")
+    val out = d.arrange(col("x")).df.collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(1, 2, 3)) // global sort, not per-group blocks
+  }
 }

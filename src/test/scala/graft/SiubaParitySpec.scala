@@ -148,4 +148,26 @@ class SiubaParitySpec extends AnyFunSuite {
     val out = d.arrange(col("x")).df.collect().map(_.getInt(0))
     assert(out.toSeq == Seq(1, 2, 3)) // global sort, not per-group blocks
   }
+
+  test("m:n join multiplies rows (FIXTURES §1, verbs.py:1545-1672)") {
+    import spark.implicits._
+    val l = Tbl(Seq((1, "a1"), (1, "a2"), (2, "b")).toDF("id", "x"))
+    val r = Tbl(Seq((1, "r1"), (1, "r2")).toDF("id", "y"))
+    val out = l.innerJoin(r, Seq("id"))
+    assert(out.df.count() == 4) // 2x2 for id=1, 0 for id=2 (inner)
+    assert(l.leftJoin(r, Seq("id")).df.count() == 5) // id=2 kept with NULL y
+  }
+
+  test("rank family keeps NA ranks as NA with ties (vector.py:107-165)") {
+    import spark.implicits._
+    val d = Tbl(Seq(Some(2.0), Some(1.0), Some(2.0), None).toDF("v"))
+    val out = d.mutate(
+      "mr" -> Vec.minRank(col("v")),
+      "dr" -> Vec.denseRank(col("v")),
+      "ar" -> Vec.avgRank(col("v"))).df.orderBy(col("v").asc_nulls_last).collect()
+    assert(out(0).getInt(1) == 1 && out(1).getInt(1) == 2 && out(2).getInt(1) == 2)
+    assert(out(1).getInt(2) == 2 && out(2).getInt(2) == 2) // dense
+    assert(out(1).getDouble(3) == 2.5 && out(2).getDouble(3) == 2.5) // average ties
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2) && out(3).isNullAt(3))
+  }
 }

@@ -131,7 +131,8 @@ object Reshape {
                  namesSep: String = "_", valuesFn: Column => Column = first(_),
                  valuesFill: Option[Any] = None,
                  namesVals: Seq[String] = Nil,
-                 namesGlue: Option[String] = None): Tbl = {
+                 namesGlue: Option[String] = None,
+                 valuesFnMap: Map[String, Column => Column] = Map.empty): Tbl = {
     val idCols = t.cols.filterNot(c => namesFrom.contains(c) || valuesFrom.contains(c))
     val nameCol = if (namesFrom.size == 1) col(namesFrom.head).cast("string")
                   else concat_ws(namesSep, namesFrom.map(col): _*)
@@ -139,10 +140,12 @@ object Reshape {
     val grouped = base.groupBy(idCols.map(col): _*)
     val piv = if (namesVals.nonEmpty) grouped.pivot("__pw_name", namesVals)
               else grouped.pivot("__pw_name")
+    // per-column values_fn override (tidyr values_fn as a named list)
+    def fnFor(v: String): Column => Column = valuesFnMap.getOrElse(v, valuesFn)
     var out =
-      if (valuesFrom.size == 1) piv.agg(valuesFn(col(valuesFrom.head)))
-      else piv.agg(valuesFn(col(valuesFrom.head)).as(valuesFrom.head),
-                   valuesFrom.tail.map(v => valuesFn(col(v)).as(v)): _*)
+      if (valuesFrom.size == 1) piv.agg(fnFor(valuesFrom.head)(col(valuesFrom.head)))
+      else piv.agg(fnFor(valuesFrom.head)(col(valuesFrom.head)).as(valuesFrom.head),
+                   valuesFrom.tail.map(v => fnFor(v)(col(v)).as(v)): _*)
     // names_glue template: "{name}" = pivot key, "{.value}" = value column
     // (driver-side renames over the pivoted schema, like the reference's
     // glue naming in pivot_wide.py)

@@ -49,6 +49,22 @@ object StreamVerbs {
   def dedupWithinWatermark(t: Tbl, keys: Seq[String]): Tbl =
     t.copy(df = t.df.dropDuplicatesWithinWatermark(keys))
 
+  /** Stream-stream inner join: both sides watermarked, matches constrained
+    * to an event-time band so state stays bounded (Spark requires the
+    * time-interval condition for state cleanup).
+    */
+  def streamJoin(left: Tbl, right: Tbl, keys: Seq[String],
+                 leftTs: String, rightTs: String,
+                 delay: String, band: String): Tbl = {
+    val l = left.df.withWatermark(leftTs, delay).alias("l")
+    val r = right.df.withWatermark(rightTs, delay).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond = col(s"r.$rightTs").between(
+      col(s"l.$leftTs") - expr(s"INTERVAL $band"),
+      col(s"l.$leftTs") + expr(s"INTERVAL $band"))
+    Tbl(l.join(r, keyCond && timeCond, "inner"))
+  }
+
   /** Custom-state example: per-key running (count, sum) via
     * `mapGroupsWithState` — the KeyValueGroupedDataset escape hatch for
     * stateful logic the built-in operators can't express. Emits one updated

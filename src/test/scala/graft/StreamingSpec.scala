@@ -93,4 +93,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("click") == (3L, 7.0))
     assert(rows("view") == (3L, 13.0))
   }
+
+  test("stream-stream join within an event-time band equals batch") {
+    val dirL = java.nio.file.Files.createTempDirectory("graft-ssl").toFile
+    val dirR = java.nio.file.Files.createTempDirectory("graft-ssr").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ss-ckpt").toFile
+    val events = mkEvents()
+    val impressions = events.select(col("event_id"), col("ts").as("ts_l"),
+      col("etype"))
+    val clicks = events.select(col("event_id"), col("ts").as("ts_r"),
+      col("value"))
+    impressions.write.mode("overwrite").parquet(dirL.getAbsolutePath)
+    clicks.write.mode("overwrite").parquet(dirR.getAbsolutePath)
+    val sl = spark.readStream.schema(impressions.schema).parquet(dirL.getAbsolutePath)
+    val sr = spark.readStream.schema(clicks.schema).parquet(dirR.getAbsolutePath)
+    val joined = StreamVerbs.streamJoin(Tbl(sl), Tbl(sr), Seq("event_id"),
+      "ts_l", "ts_r", delay = "10 minutes", band = "1 MINUTE")
+    val q = joined.df.writeStream.format("memory").queryName("ss_join")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // every event joins with itself (same id, zero time delta); the
+    // duplicated event_id=5 joins 2x2
+    assert(spark.table("ss_join").count() == 5 + 3)
+  }
 }

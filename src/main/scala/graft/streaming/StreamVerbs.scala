@@ -1,8 +1,31 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.Tbl
+
+/** StatefulProcessor for the transformWithState verb: per-key running
+  * (count, sum) held in ValueState — the Spark 4 arbitrary-state API that
+  * supersedes mapGroupsWithState (typed state handles, timers, TTL).
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[String, (String, Double), (String, Long, Double)] {
+  @transient private var state: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Double)](
+      "totals", Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+                               timers: TimerValues): Iterator[(String, Long, Double)] = {
+    val (n0, s0) = Option(state.get()).getOrElse((0L, 0.0))
+    var n = n0; var s = s0
+    rows.foreach { case (_, v) => n += 1; s += v }
+    state.update((n, s))
+    Iterator.single((key, n, s))
+  }
+}
 
 /** Structured-Streaming verbs. The reference has no streaming at all
   * (SURVEY §2.10) — this is the pure-extension layer, nearly free by
@@ -63,6 +86,22 @@ object StreamVerbs {
       col(s"l.$leftTs") - expr(s"INTERVAL $band"),
       col(s"l.$leftTs") + expr(s"INTERVAL $band"))
     Tbl(l.join(r, keyCond && timeCond, "inner"))
+  }
+
+  /** Per-key running totals via the Spark 4 `transformWithState` API
+    * (ValueState handle; use OutputMode.Update). Same semantics as
+    * `runningTotals`, modern state backend (RocksDB-compatible, TTL-able).
+    */
+  def runningTotalsTws(t: Tbl, keyCol: String, valueCol: String): DataFrame = {
+    val spark = t.df.sparkSession
+    import spark.implicits._
+    t.df.select(col(keyCol).cast("string").as("k"),
+                col(valueCol).cast("double").as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("key", "running_n", "running_sum")
   }
 
   /** Custom-state example: per-key running (count, sum) via

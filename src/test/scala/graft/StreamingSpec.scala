@@ -117,4 +117,26 @@ class StreamingSpec extends AnyFunSuite {
     // duplicated event_id=5 joins 2x2
     assert(spark.table("ss_join").count() == 5 + 3)
   }
+
+  test("transformWithState running totals (Spark 4 stateful API)") {
+    // transformWithState needs a multi-column-family store: RocksDB
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tws").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt").toFile
+    val events = mkEvents()
+    events.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(events.schema).parquet(dir.getAbsolutePath)
+    val q = StreamVerbs.runningTotalsTws(Tbl(stream), "etype", "value")
+      .writeStream.format("memory").queryName("tws_out")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "SELECT key, max(running_n) n, max(running_sum) s FROM tws_out GROUP BY 1")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("click") == (3L, 7.0))
+    assert(rows("view") == (3L, 13.0))
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -549,6 +549,15 @@ object SparkEntry2 {
         Seq("avg" -> (x => round(sum(x), 2) / count(x)))): _*).df
     }),
 
+    // computed grouping keys (group_by kwargs create columns first,
+    // siuba/dply/verbs.py:280-368)
+    "q_group_computed" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("price_bucket" -> Fns.floorDiv(col("o_totalprice"), lit(100000)))
+        .summarize("n" -> Fns.Agg.n(),
+                   "rev" -> round(sum(col("o_totalprice")), 2))
+        .df),
+
     // group_by keeps NULL groups (dropna=False, siuba/dply/verbs.py:366-368)
     "q_group_nulls" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -667,6 +676,10 @@ object SparkEntry2 {
         |  round(sum(c_nationkey), 2) / count(c_nationkey) AS c_nationkey_avg,
         |  round(sum(c_acctbal), 2) / count(c_acctbal) AS c_acctbal_avg
         |FROM customer""".stripMargin,
+    "q_group_computed" ->
+      """SELECT CAST(floor(o_totalprice / 100000) AS BIGINT) AS price_bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_group_nulls" ->
       """SELECT nullif(l_discount, 0.0) AS disc0, count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,

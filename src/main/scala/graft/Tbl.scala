@@ -160,6 +160,8 @@ final case class Tbl(
     * siuba/dply/verbs.py:478-587).
     */
   def summarize(aggs: (String, Column)*): Tbl = {
+    if (aggs.isEmpty)
+      return Tbl(if (groups.isEmpty) df.limit(0) else df.select(groups.map(col): _*).distinct())
     val named = aggs.map { case (n, c) => c.as(n) }
     val out =
       if (groups.isEmpty) df.agg(named.head, named.tail: _*)
@@ -329,6 +331,15 @@ final case class Tbl(
   /** Set operations (SURVEY §2.7 extensions; SQL INTERSECT / EXCEPT). */
   def intersect(other: Tbl): Tbl = Tbl(df.intersect(other.df), groups, Nil)
   def except(other: Tbl): Tbl   = Tbl(df.except(other.df), groups, Nil)
+
+  /** Physical-distribution hints (no semantic effect). `repartitionBy`
+    * pre-shuffles on keys so a later same-key join/agg reuses the exchange;
+    * `coalesceTo` shrinks partition count without a shuffle (post-filter or
+    * pre-write).
+    */
+  def repartitionBy(n: Int, keys: String*): Tbl =
+    copy(df = df.repartition(n, keys.map(col): _*))
+  def coalesceTo(n: Int): Tbl = copy(df = df.coalesce(n))
 
   // ---- materialization ----------------------------------------------------
 

@@ -90,6 +90,15 @@ object Shim {
   def windowizeAggs(c: Column, spec: WindowSpec): Column = {
     def go(n: ColumnNode): ColumnNode = n match {
       case w: Window => w
+      // DISTINCT aggregates are not allowed in windows
+      // (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED): rewrite count(DISTINCT x)
+      // to size(collect_set(x)) over the same spec — identical semantics.
+      case f: UnresolvedFunction
+          if f.isDistinct && f.functionName.toLowerCase == "count"
+            && f.arguments.size == 1 =>
+        org.apache.spark.sql.functions
+          .size(org.apache.spark.sql.functions.collect_set(Column(f.arguments.head)).over(spec))
+          .cast("long").node
       case f: UnresolvedFunction if isAgg(f) => Column(f).over(spec).node
       case f: UnresolvedFunction => f.copy(arguments = f.arguments.map(go))
       case a: Alias              => a.copy(child = go(a.child))

@@ -53,4 +53,19 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS li_b")
     }
   }
+
+  test("partitioned write prunes partitions on read") {
+    val path = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    graft.ops.Scale.writePartitioned(li, path, "l_returnflag")
+    val back = spark.read.parquet(path).where(col("l_returnflag") === "A")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      plan.take(800))
+    assert(back.count() > 0)
+    // pruned scan must not read the other partitions' files
+    val scanned = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.contains("l_returnflag=A") || plan.contains("PartitionFilters"))
+  }
 }

@@ -463,8 +463,11 @@ object SparkEntry {
           "cmx"  -> Vec.cummax(col("o_totalprice")),
           "cmn"  -> Vec.cummin(col("o_totalprice")),
           "cavg" -> (col("cs") / col("rn")),
-          "cprod" -> Vec.cumprod(lit(1) + col("o_totalprice") / 1000000.0)
-                        .transform(round(_, 6)),
+          // exp(cumsum(ln x)) instead of windowed product: cumulative sums
+          // are bit-identical across engines, windowed product is not
+          // (DuckDB associates via segment tree)
+          "cprod" -> Vec.cumsum(log(lit(1) + col("o_totalprice") / 1000000.0))
+                        .transform(s => round(exp(s), 8)),
           "call" -> Vec.cumall(col("o_totalprice") > 100000),
           "cany" -> Vec.cumany(col("o_totalprice") > 300000))
         .mutate("rn" -> col("rn").cast("long"))
@@ -534,7 +537,7 @@ object SparkEntry {
         |  max(o_totalprice) OVER wc AS cmx,
         |  min(o_totalprice) OVER wc AS cmn,
         |  round(sum(o_totalprice) OVER wc, 2) / row_number() OVER wo AS cavg,
-        |  round(product(1 + o_totalprice / 1000000.0) OVER wc, 6) AS cprod,
+        |  round(exp(sum(ln(1 + o_totalprice / 1000000.0)) OVER wc), 8) AS cprod,
         |  bool_and(o_totalprice > 100000) OVER wc AS call,
         |  bool_or(o_totalprice > 300000) OVER wc AS cany
         |FROM orders

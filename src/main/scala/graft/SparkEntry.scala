@@ -49,8 +49,10 @@ object SparkEntry {
           "sum_qty"        -> round(sum(col("l_quantity")), 2),
           "sum_price"      -> round(sum(col("l_extendedprice")), 2),
           "sum_disc_price" -> round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
-          "avg_qty"        -> round(avg(col("l_quantity")), 4),
-          "avg_price"      -> round(avg(col("l_extendedprice")), 4),
+          // robust means: round the sum to exact cents, then divide (avoids
+          // engine-dependent round() at scale-dependent half-boundaries)
+          "avg_qty"        -> (round(sum(col("l_quantity")), 2) / count(col("l_quantity"))),
+          "avg_price"      -> (round(sum(col("l_extendedprice")), 2) / count(col("l_extendedprice"))),
           "n"              -> Fns.Agg.n())
         .df),
 
@@ -132,7 +134,7 @@ object SparkEntry {
         .summarize(
           "n"        -> Fns.Agg.n(),
           "n_nation" -> Fns.Agg.nDistinct(col("c_nationkey")),
-          "avg_bal"  -> round(avg(col("c_acctbal")), 4),
+          "avg_bal"  -> (round(sum(col("c_acctbal")), 2) / count(col("c_acctbal"))),
           "sum_bal"  -> round(sum(col("c_acctbal")), 2),
           "min_bal"  -> min(col("c_acctbal")),
           "max_bal"  -> max(col("c_acctbal")),
@@ -216,8 +218,8 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(sum(l_quantity), 2) / count(l_quantity) AS avg_qty,
+        |  round(sum(l_extendedprice), 2) / count(l_extendedprice) AS avg_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q_select" ->
@@ -255,7 +257,7 @@ object SparkEntry {
       """SELECT c_mktsegment,
         |  count(*) AS n,
         |  count(DISTINCT c_nationkey) AS n_nation,
-        |  round(avg(c_acctbal), 4) AS avg_bal,
+        |  round(sum(c_acctbal), 2) / count(c_acctbal) AS avg_bal,
         |  round(sum(c_acctbal), 2) AS sum_bal,
         |  min(c_acctbal) AS min_bal,
         |  max(c_acctbal) AS max_bal,

@@ -46,7 +46,7 @@ object SparkEntry2 {
     "q_pivot_longer" -> ((s, dir) => {
       val wide = t(s, dir, "customer")
         .groupBy("c_mktsegment")
-        .summarize("bal_avg" -> round(avg(col("c_acctbal")), 4),
+        .summarize("bal_avg" -> (round(sum(col("c_acctbal")), 2) / count(col("c_acctbal"))),
                    "bal_max" -> round(max(col("c_acctbal")), 2),
                    "bal_min" -> round(min(col("c_acctbal")), 2))
       Reshape.pivotLonger(wide, Seq(Sel.startsWith("bal_")),
@@ -115,7 +115,8 @@ object SparkEntry2 {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_pivot_longer" ->
       """WITH a AS (SELECT c_mktsegment,
-        |    round(avg(c_acctbal), 4) AS avg_v, round(max(c_acctbal), 2) AS max_v,
+        |    round(sum(c_acctbal), 2) / count(c_acctbal) AS avg_v,
+        |    round(max(c_acctbal), 2) AS max_v,
         |    round(min(c_acctbal), 2) AS min_v
         |  FROM customer GROUP BY 1)
         |SELECT c_mktsegment, 'avg' AS stat, avg_v AS value FROM a

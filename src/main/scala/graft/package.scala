@@ -1,3 +1,4 @@
+import scala.language.implicitConversions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.WindowSpec
 

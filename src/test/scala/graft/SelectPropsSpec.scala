@@ -83,4 +83,17 @@ class SelectPropsSpec extends AnyFunSuite {
       out == typed.filter(_._2 == DoubleType).map(_._1)
     })
   }
+
+  test("positional selection and ranges match list indexing") {
+    check(Prop.forAll(genCols.suchThat(_.size >= 2)) { cols =>
+      Prop.forAll(Gen.choose(0, cols.size - 1), Gen.choose(0, cols.size - 1)) {
+        (i, j) =>
+          val pos = Sel.resolveT(fields(cols), Seq(Sel.Pos(i))).map(_._2)
+          val rng = Sel.resolveT(fields(cols),
+            Seq(Sel.PosRange(math.min(i, j), math.max(i, j)))).map(_._2)
+          pos == Seq(cols(i)) &&
+            rng == cols.slice(math.min(i, j), math.max(i, j) + 1)
+      }
+    })
+  }
 }

@@ -364,6 +364,27 @@ object SparkEntry2 {
       Dedup.keepCanonical(docs, "doc_id", pairs).select("doc_id", "lang")
     }),
 
+    // capstone: the full training-data pipeline in one composable flow —
+    // quality-filter -> near-dup dedup (pairs -> clusters -> canonical) ->
+    // language-ID -> per-language corpus stats
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qual = docs
+        .mutate("q" -> TextFns.qualityScore(col("text")))
+        .filter(col("q") >= 0.6)
+      val pairs = Dedup.ngramJaccardPairs(qual.df, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Tbl(Dedup.keepCanonical(qual.df, "doc_id", pairs))
+        .mutate("pred"  -> TextFns.langId(col("text")),
+                "n_tok" -> TextFns.tokenCount(col("text")).cast("long"))
+        .groupBy("pred")
+        .summarize(
+          "n_docs"    -> Fns.Agg.n(),
+          "sum_tok"   -> sum(col("n_tok")),
+          "avg_chars" -> (round(sum(length(col("text"))), 2) / count(lit(1))))
+        .df
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       // binary plumbing over real bytes: documents.text as the payload
       val media = Multimodal.attachMeta(
@@ -448,6 +469,59 @@ object SparkEntry2 {
         |  round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
         |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5""".stripMargin,
+    "q_pipeline_e2e" ->
+      """WITH RECURSIVE qual AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT *,
+        |      len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tok,
+        |      length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nosp,
+        |      length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text) AS punct,
+        |      length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digits,
+        |      length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text) AS uppers
+        |    FROM documents) q
+        |  WHERE ((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) +
+        |         (CASE WHEN n_nosp * 1.0 / n_tok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+        |         (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END) +
+        |         (CASE WHEN digits <= 0.2 THEN 1.0 ELSE 0.0 END) +
+        |         (CASE WHEN uppers <= 0.3 THEN 1.0 ELSE 0.0 END)) / 5 >= 0.6),
+        |  toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM qual),
+        |  sh AS (SELECT doc_id, unnest(list_distinct(
+        |      CASE WHEN len(w) >= 3 THEN
+        |        list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END)) AS g
+        |    FROM toks),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |  prs AS (SELECT id_a, id_b FROM (
+        |      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+        |    JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+        |  edges AS (SELECT id_a AS s, id_b AS d FROM prs UNION SELECT id_b, id_a FROM prs),
+        |  reach(id, r) AS (SELECT s, s FROM edges
+        |    UNION SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+        |  lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1),
+        |  canon AS (SELECT * FROM qual
+        |    WHERE doc_id NOT IN (SELECT id FROM lab WHERE lbl < id)),
+        |  sc AS (SELECT doc_id, text,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t IN ('the','and','of','to','is'))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t IN ('der','und','die','das','ist'))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t IN ('le','la','et','les','est'))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t IN ('el','de','la','que','es'))) AS s_es
+        |  FROM canon)
+        |SELECT
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+        |       WHEN s_en = greatest(s_en, s_de) THEN 'en'
+        |       ELSE 'de' END AS pred,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS sum_tok,
+        |  round(sum(length(text)), 2) / count(*) AS avg_chars
+        |FROM sc GROUP BY 1""".stripMargin,
     "q_dedup_resolve" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
         |    FROM documents),

@@ -309,16 +309,22 @@ final case class Tbl(
     Tbl(df.rollup(keys.map(col): _*).agg(named.head, named.tail: _*))
   }
 
+  // semi/anti conditions use plan aliases, not df(col) references: the
+  // latter resolve ambiguously (or trivially true) when `right` derives
+  // from the same lineage as `this` — the classic self-join trap.
+
   /** Left rows with >=1 match — never duplicates (WHERE EXISTS). */
   def semiJoin(right: Tbl, on: Seq[String]): Tbl = {
-    val cond = on.map(k => df(k) <=> right.df(k)).reduce(_ && _)
-    Tbl(df.join(right.df, cond, "left_semi"), groups, ord)
+    val l = df.alias("__l"); val r = right.df.alias("__r")
+    val cond = on.map(k => col(s"__l.$k") <=> col(s"__r.$k")).reduce(_ && _)
+    Tbl(l.join(r, cond, "left_semi"), groups, ord)
   }
 
   /** Left rows with no match (WHERE NOT EXISTS). */
   def antiJoin(right: Tbl, on: Seq[String]): Tbl = {
-    val cond = on.map(k => df(k) <=> right.df(k)).reduce(_ && _)
-    Tbl(df.join(right.df, cond, "left_anti"), groups, ord)
+    val l = df.alias("__l"); val r = right.df.alias("__r")
+    val cond = on.map(k => col(s"__l.$k") <=> col(s"__r.$k")).reduce(_ && _)
+    Tbl(l.join(r, cond, "left_anti"), groups, ord)
   }
 
   /** Row-bind by column name (dplyr bind_rows; not in the reference —

@@ -131,4 +131,14 @@ class CoreVerbsSpec extends AnyFunSuite {
       (col("x") < 3) -> lit("lo"), (col("x") < 5) -> lit("mid")), lit("hi")).as("b"))
     assert(cw.collect().map(_.getString(0)).toSeq == Seq("lo", "lo", "mid", "mid", "hi", "hi"))
   }
+
+  test("semi/anti join against a filtered view of the SAME table (self-lineage)") {
+    import spark.implicits._
+    val d = Tbl(Seq(("a", 1), ("b", 5), ("c", 9)).toDF("k", "v"))
+    val big = d.filter(col("v") > 4) // derived from the same plan
+    assert(d.semiJoin(big, Seq("k")).df.collect().map(_.getString(0)).sorted.toSeq
+      == Seq("b", "c"))
+    assert(d.antiJoin(big, Seq("k")).df.collect().map(_.getString(0)).toSeq
+      == Seq("a"))
+  }
 }

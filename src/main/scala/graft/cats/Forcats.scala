@@ -26,6 +26,7 @@ object Forcats {
     */
   def fctInorder(df: DataFrame, c: Column, orderBy: Column): Factor = {
     val lv = df.select(c.as("lv"), orderBy.as("o"))
+      .filter(col("lv").isNotNull) // NA is never a level (pandas categorical)
       .groupBy(col("lv")).agg(min(col("o")).as("fst"))
       .orderBy(col("fst")).select(col("lv"))
       .collect().map(_.getString(0)).toSeq
@@ -34,7 +35,7 @@ object Forcats {
 
   /** Levels by descending frequency (fct_infreq, forcats.py:101). */
   def fctInfreq(df: DataFrame, c: Column): Factor = {
-    val lv = df.groupBy(c.as("lv")).count()
+    val lv = df.filter(c.isNotNull).groupBy(c.as("lv")).count()
       .orderBy(desc("count"), col("lv"))
       .collect().map(_.getString(0)).toSeq
     Factor(lv)

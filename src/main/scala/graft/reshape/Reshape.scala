@@ -54,7 +54,14 @@ object Reshape {
     val grouped = t.df.groupBy(idCols.map(col): _*)
     val piv = if (keyValues.nonEmpty) grouped.pivot(key, keyValues) else grouped.pivot(key)
     val out = piv.agg(first(col(value)))
-    val filled = fill.map(v => out.na.fill(v.toString.toDouble)).getOrElse(out)
+    val filled = fill.map {
+      case d: Double => out.na.fill(d)
+      case i: Int    => out.na.fill(i)
+      case l: Long   => out.na.fill(l)
+      case s: String => out.na.fill(s)
+      case b: Boolean => out.na.fill(b)
+      case other     => out.na.fill(other.toString)
+    }.getOrElse(out)
     Tbl(filled, t.groups, Nil)
   }
 

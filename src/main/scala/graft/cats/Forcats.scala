@@ -44,7 +44,7 @@ object Forcats {
   /** Reorder levels by `fn(x)` per level (fct_reorder, forcats.py:159). */
   def fctReorder(df: DataFrame, c: Column, x: Column,
                  fn: Column => Column = avg(_), desc0: Boolean = false): Factor = {
-    val agged = df.groupBy(c.as("lv")).agg(fn(x).as("stat"))
+    val agged = df.filter(c.isNotNull).groupBy(c.as("lv")).agg(fn(x).as("stat"))
     val ordered = agged.orderBy(if (desc0) desc("stat") else col("stat"))
     Factor(ordered.select("lv").collect().map(_.getString(0)).toSeq)
   }
@@ -82,7 +82,9 @@ object Forcats {
       .withColumn("__rk", row_number().over(Window.orderBy(desc("count"), col(c))))
       .select(col(c).as("__lv"), (col("__rk") <= n).as("__keep"))
     df.join(broadcast(freq), df(c) === col("__lv"), "left")
-      .withColumn(c, when(col("__keep"), col(c)).otherwise(lit(other)))
+      // NA stays NA (fct_lump never lumps missing into the other level)
+      .withColumn(c, when(col(c).isNull, lit(null))
+        .when(col("__keep"), col(c)).otherwise(lit(other)))
       .drop("__lv", "__keep")
   }
 

@@ -12,6 +12,23 @@ import graft.{GraftError, Sel, Tbl}
   */
 object Reshape {
 
+  /** Typed NULL-fill applied ONLY to the pivot-created columns (tidyr fills
+    * holes the reshape created, never pre-existing NAs in id columns).
+    */
+  private def fillAny(df: DataFrame, v: Any, cols: Seq[String]): DataFrame =
+    v match {
+      case d: Double     => df.na.fill(d, cols)
+      case f: Float      => df.na.fill(f.toDouble, cols)
+      case i: Int        => df.na.fill(i.toLong, cols)
+      case l: Long       => df.na.fill(l, cols)
+      case s: Short      => df.na.fill(s.toLong, cols)
+      case b: Byte       => df.na.fill(b.toLong, cols)
+      case s: String     => df.na.fill(s, cols)
+      case b: Boolean    => df.na.fill(b, cols)
+      case bd: BigDecimal => df.na.fill(bd.toDouble, cols)
+      case other         => df.na.fill(other.toString, cols)
+    }
+
   // ---- gather / spread ----------------------------------------------------
 
   /** Wide→long over the selected columns (pd.melt; verbs.py:1919-2000).
@@ -54,14 +71,8 @@ object Reshape {
     val grouped = t.df.groupBy(idCols.map(col): _*)
     val piv = if (keyValues.nonEmpty) grouped.pivot(key, keyValues) else grouped.pivot(key)
     val out = piv.agg(first(col(value)))
-    val filled = fill.map {
-      case d: Double => out.na.fill(d)
-      case i: Int    => out.na.fill(i)
-      case l: Long   => out.na.fill(l)
-      case s: String => out.na.fill(s)
-      case b: Boolean => out.na.fill(b)
-      case other     => out.na.fill(other.toString)
-    }.getOrElse(out)
+    val pivotCols = out.columns.toSeq.filterNot(idCols.contains)
+    val filled = fill.map(fillAny(out, _, pivotCols)).getOrElse(out)
     Tbl(filled, t.groups, Nil)
   }
 
@@ -170,13 +181,8 @@ object Reshape {
       }.toMap
       out = out.withColumnsRenamed(renames)
     }
-    val filled = valuesFill.map {
-      case d: Double => out.na.fill(d)
-      case i: Int    => out.na.fill(i)
-      case l: Long   => out.na.fill(l)
-      case s: String => out.na.fill(s)
-      case other     => out.na.fill(other.toString)
-    }.getOrElse(out)
+    val pivotCols = out.columns.toSeq.filterNot(idCols.contains)
+    val filled = valuesFill.map(fillAny(out, _, pivotCols)).getOrElse(out)
     Tbl(filled, t.groups, Nil)
   }
 

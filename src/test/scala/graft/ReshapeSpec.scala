@@ -111,4 +111,28 @@ class ReshapeSpec extends AnyFunSuite {
       fill = Map("v" -> 0.0), explicitFill = true).df
     assert(expl.where(col("g") === "b" && col("k") === 2).head().getDouble(2) == 0.0)
   }
+
+  test("fill targets only pivot-created holes, preserving id-column NULLs") {
+    import spark.implicits._
+    val long = Seq((Some("r1"), "a", 1.0), (None, "b", 2.0)).toDF("id", "k", "v")
+    val out = Reshape.spread(Tbl(long), "k", "v", fill = Some(0.0)).df
+    // id NULL survives; the (r1, b) and (None, a) holes fill with 0.0
+    assert(out.where(col("id").isNull).count() == 1)
+    assert(out.where(col("id") === "r1").head()
+      .getDouble(out.columns.indexOf("b")) == 0.0)
+    // float and boolean fills hit typed branches (previously crashed/no-op)
+    val f = Reshape.spread(Tbl(long), "k", "v", fill = Some(0.5f)).df
+    assert(f.where(col("id") === "r1").head()
+      .getDouble(f.columns.indexOf("b")) == 0.5)
+  }
+
+  test("fctLump keeps NA rows as NA; fctReorder skips NULL levels") {
+    import spark.implicits._
+    val d = Seq(Some("a"), Some("a"), Some("b"), None).toDF("f")
+    val lumped = Forcats.fctLump(d, "f", 1)
+    assert(lumped.where(col("f").isNull).count() == 1)
+    assert(lumped.where(col("f") === "Other").count() == 1)
+    val withV = Seq((Some("a"), 2.0), (Some("b"), 1.0), (None, 9.0)).toDF("f", "v")
+    assert(Forcats.fctReorder(withV, col("f"), col("v")).levels == Seq("b", "a"))
+  }
 }

@@ -64,6 +64,22 @@ object SparkEntry2 {
         namesVals = et).df
     }),
 
+    "q_pivot_wider_idexpand" -> ((s, dir) => {
+      // high-price orders leave a sparse status x priority grid (11/15 cells
+      // at sf0.01); id_expand restores the full grid, values_fill plugs holes.
+      // Year list pinned so the plan (and oracle) is identical at every sf.
+      val f = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 499000)
+        .mutate("oyear" -> year(col("o_orderdate")))
+        .select(Seq("o_orderstatus", "o_orderpriority", "oyear", "o_totalprice"): _*)
+      Reshape.pivotWider(f,
+        namesFrom = Seq("oyear"), valuesFrom = Seq("o_totalprice"),
+        valuesFn = c => round(sum(c), 2),
+        valuesFill = Some(0.0),
+        namesVals = (1995 to 2001).map(_.toString),
+        idExpand = true).df
+    }),
+
     "q_nest_unnest" -> ((s, dir) => {
       // round-trip: nest lineitem per order, unnest back, re-aggregate
       val nested = Reshape.nest(
@@ -135,6 +151,31 @@ object SparkEntry2 {
         |  round(sum(value) FILTER (WHERE event_type = 'view'), 2)
         |    / count(value) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1""".stripMargin,
+    "q_pivot_wider_idexpand" ->
+      """WITH f AS (
+        |  SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS oyear,
+        |         o_totalprice
+        |  FROM orders WHERE o_totalprice > 499000),
+        |grid AS (
+        |  SELECT s.o_orderstatus, p.o_orderpriority
+        |  FROM (SELECT DISTINCT o_orderstatus FROM f) s
+        |  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM f) p),
+        |a AS (
+        |  SELECT o_orderstatus, o_orderpriority, oyear,
+        |         round(sum(o_totalprice), 2) AS v
+        |  FROM f GROUP BY 1, 2, 3)
+        |SELECT g.o_orderstatus, g.o_orderpriority,
+        |  coalesce(max(v) FILTER (WHERE oyear = 1995), 0.0) AS "1995",
+        |  coalesce(max(v) FILTER (WHERE oyear = 1996), 0.0) AS "1996",
+        |  coalesce(max(v) FILTER (WHERE oyear = 1997), 0.0) AS "1997",
+        |  coalesce(max(v) FILTER (WHERE oyear = 1998), 0.0) AS "1998",
+        |  coalesce(max(v) FILTER (WHERE oyear = 1999), 0.0) AS "1999",
+        |  coalesce(max(v) FILTER (WHERE oyear = 2000), 0.0) AS "2000",
+        |  coalesce(max(v) FILTER (WHERE oyear = 2001), 0.0) AS "2001"
+        |FROM grid g
+        |LEFT JOIN a ON a.o_orderstatus = g.o_orderstatus
+        |           AND a.o_orderpriority = g.o_orderpriority
+        |GROUP BY 1, 2""".stripMargin,
     "q_nest_unnest" ->
       "SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem",
     "q_separate" ->

@@ -57,8 +57,16 @@ trait GExpr { self =>
 final case class Tbl(
     df: DataFrame,
     groups: Seq[String] = Nil,
-    ord: Seq[Column] = Nil
+    ord: Seq[Column] = Nil,
+    factors: Map[String, graft.cats.Forcats.Factor] = Map.empty
 ) {
+  /** Register a column as categorical with ordered levels; `arrange` on it
+    * then sorts by level index automatically (the reference sorts factors by
+    * category order, not lexically — SURVEY §7.4 decision 3).
+    */
+  def withFactor(name: String, f: graft.cats.Forcats.Factor): Tbl =
+    copy(factors = factors + (name -> f))
+
   private def ctx: WinCtx = WinCtx(groups.map(col), ord)
 
   def cols: Seq[String] = df.columns.toSeq
@@ -211,8 +219,22 @@ final case class Tbl(
     * (pandas' mergesort is), so callers needing determinism add a unique
     * tie-break column.
     */
-  def arrange(by: Column*): Tbl =
-    Tbl(df.orderBy(by: _*), groups, by.toSeq)
+  def arrange(by: Column*): Tbl = {
+    // bare references to registered factor columns sort by level index, not
+    // lexically; anything more complex than `col` / `col.desc` is left as-is
+    val rewritten =
+      if (factors.isEmpty) by.toSeq
+      else by.toSeq.map { c =>
+        val s = c.toString
+        factors.get(s).map(_.sortKey(col(s))).getOrElse {
+          "^(\\S+) DESC".r.findFirstMatchIn(s)
+            .flatMap(m => factors.get(m.group(1))
+              .map(_.sortKey(col(m.group(1))).desc))
+            .getOrElse(c)
+        }
+      }
+    Tbl(df.orderBy(rewritten: _*), groups, rewritten, factors)
+  }
 
   def head(n: Int): Tbl = copy(df = df.limit(n))
 

@@ -110,8 +110,19 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 8, rows: Int = 4,
                       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, bands * rows, seed).cache()
+    lshPairsFromSignatures(sigs, bands, rows, threshold)
+  }
+
+  /** LSH banding over an existing `(id, sig)` signature table. At 100 TB the
+    * signatures are the expensive pass — compute them once, persist bucketed
+    * by id (Scale.writeBucketed), and re-band from storage for each threshold
+    * or band/row sweep; downstream id-keyed joins (labels, docs) are then
+    * exchange-free bucket-local joins.
+    */
+  def lshPairsFromSignatures(sigs: DataFrame, bands: Int = 8, rows: Int = 4,
+                             threshold: Double = 0.8): DataFrame = {
     val k = bands * rows
-    val sigs = minhashSignatures(df, idCol, textCol, n, k, seed).cache()
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))

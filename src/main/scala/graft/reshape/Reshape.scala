@@ -150,13 +150,36 @@ object Reshape {
                  valuesFill: Option[Any] = None,
                  namesVals: Seq[String] = Nil,
                  namesGlue: Option[String] = None,
-                 valuesFnMap: Map[String, Column => Column] = Map.empty): Tbl = {
-    val idCols = t.cols.filterNot(c => namesFrom.contains(c) || valuesFrom.contains(c))
+                 valuesFnMap: Map[String, Column => Column] = Map.empty,
+                 idColsOpt: Seq[String] = Nil,
+                 idExpand: Boolean = false,
+                 unusedFn: Map[String, Column => Column] = Map.empty,
+                 namesExpand: Boolean = false): Tbl = {
+    // explicit id_cols (tidyr): columns outside id/names/values are "unused" —
+    // dropped, or summarized per id row when an unused_fn is given
+    val idCols =
+      if (idColsOpt.nonEmpty) idColsOpt
+      else t.cols.filterNot(c => namesFrom.contains(c) || valuesFrom.contains(c))
+    val unused = t.cols.filterNot(c =>
+      idCols.contains(c) || namesFrom.contains(c) || valuesFrom.contains(c))
+    val src = if (unused.isEmpty) t.df
+              else t.df.select((idCols ++ namesFrom ++ valuesFrom).map(col): _*)
     val nameCol = if (namesFrom.size == 1) col(namesFrom.head).cast("string")
                   else concat_ws(namesSep, namesFrom.map(col): _*)
-    val base = t.df.withColumn("__pw_name", nameCol)
+    val base = src.withColumn("__pw_name", nameCol)
     val grouped = base.groupBy(idCols.map(col): _*)
-    val piv = if (namesVals.nonEmpty) grouped.pivot("__pw_name", namesVals)
+    // names_expand: output columns = cross product of each names_from
+    // column's distinct values, so combinations absent from the data still
+    // get a (filled) column — and the pivot skips its discovery job
+    val pinned =
+      if (namesVals.nonEmpty) namesVals
+      else if (namesExpand)
+        namesFrom
+          .map(c => t.df.select(col(c).cast("string")).filter(col(c).isNotNull)
+            .distinct().collect().map(_.getString(0)).toSeq.sorted)
+          .reduce((a, b) => for (x <- a; y <- b) yield s"$x$namesSep$y")
+      else Nil
+    val piv = if (pinned.nonEmpty) grouped.pivot("__pw_name", pinned)
               else grouped.pivot("__pw_name")
     // per-column values_fn override (tidyr values_fn as a named list)
     def fnFor(v: String): Column => Column = valuesFnMap.getOrElse(v, valuesFn)
@@ -181,7 +204,32 @@ object Reshape {
       }.toMap
       out = out.withColumnsRenamed(renames)
     }
+    // pivot-created value columns, captured before unused/expand join-backs so
+    // values_fill never touches unused summaries or pre-existing id NAs
     val pivotCols = out.columns.toSeq.filterNot(idCols.contains)
+    // unused_fn: summarize the dropped columns per id row, join back (tidyr's
+    // unused_fn); one extra hash aggregate + an id-key join, both shuffle on
+    // the same id keys so AQE/Exchange reuse keeps it one pass at scale
+    if (unusedFn.nonEmpty) {
+      val aggs = unusedFn.toSeq.map { case (c, f) => f(col(c)).as(c) }
+      val ua = t.df.groupBy(idCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      out = out.join(ua, idCols, "left")
+    }
+    // id_expand: cross the per-column distinct id values so every combination
+    // appears as a row even when absent from the data (tidyr id_expand);
+    // holes are filled by values_fill below
+    if (idExpand) {
+      val grid = idCols.map(c => t.df.select(col(c)).distinct())
+        .reduce(_.crossJoin(_)).alias("__g")
+      // null-safe keys: NA id values are legitimate grid members (tidyr
+      // crosses NA too) and must still match their pivoted rows
+      val o = out.alias("__o")
+      val cond = idCols.map(c => col(s"__g.$c") <=> col(s"__o.$c")).reduce(_ && _)
+      val rest = out.columns.filterNot(idCols.contains).toSeq
+      out = grid.join(o, cond, "left")
+        .select(idCols.map(c => col(s"__g.$c").as(c)) ++
+                rest.map(c => col(s"__o.$c")): _*)
+    }
     val filled = valuesFill.map(fillAny(out, _, pivotCols)).getOrElse(out)
     Tbl(filled, t.groups, Nil)
   }

@@ -44,6 +44,74 @@ class ReshapeSpec extends AnyFunSuite {
     assert(r1.getDouble(out.columns.indexOf("b")) == 0.0)
   }
 
+  test("pivot_wider id_expand restores missing id combinations") {
+    import spark.implicits._
+    // ("b", 2) never co-occurs: only with id_expand does that row appear
+    val long = Seq(("a", 1, "k1", 10.0), ("a", 2, "k2", 20.0), ("b", 1, "k1", 30.0))
+      .toDF("g", "h", "k", "v")
+    val plain = Reshape.pivotWider(Tbl(long), Seq("k"), Seq("v")).df
+    assert(plain.count() == 3)
+    val expanded = Reshape.pivotWider(Tbl(long), Seq("k"), Seq("v"),
+      valuesFill = Some(0.0), idExpand = true).df
+    assert(expanded.count() == 4)
+    val b2 = expanded.where(col("g") === "b" && col("h") === 2).head()
+    assert(b2.getDouble(expanded.columns.indexOf("k1")) == 0.0)
+    assert(b2.getDouble(expanded.columns.indexOf("k2")) == 0.0)
+  }
+
+  test("pivot_wider id_expand matches NULL id values null-safely") {
+    import spark.implicits._
+    val long = Seq((Some("a"), "k1", 1.0), (None, "k1", 5.0), (None, "k2", 6.0))
+      .toDF("g", "k", "v")
+    val out = Reshape.pivotWider(Tbl(long), Seq("k"), Seq("v"),
+      valuesFill = Some(0.0), idExpand = true).df
+    // NULL id row matches itself: 2 rows total, not 3 (no orphan NULL row)
+    assert(out.count() == 2)
+    val nullRow = out.where(col("g").isNull).head()
+    assert(nullRow.getDouble(out.columns.indexOf("k1")) == 5.0)
+    assert(nullRow.getDouble(out.columns.indexOf("k2")) == 6.0)
+  }
+
+  test("pivot_wider explicit id_cols drops or summarizes unused columns") {
+    import spark.implicits._
+    val long = Seq(("r1", "a", 1.0, 5.0), ("r1", "b", 2.0, 7.0), ("r2", "a", 3.0, 9.0))
+      .toDF("id", "k", "v", "extra")
+    // unused column dropped by default when id_cols is explicit
+    val dropped = Reshape.pivotWider(Tbl(long), Seq("k"), Seq("v"),
+      idColsOpt = Seq("id")).df
+    assert(dropped.columns.toSet == Set("id", "a", "b"))
+    // unused_fn summarizes it per id row (tidyr unused_fn)
+    val kept = Reshape.pivotWider(Tbl(long), Seq("k"), Seq("v"),
+      idColsOpt = Seq("id"), unusedFn = Map("extra" -> (sum(_)))).df
+    assert(kept.columns.toSet == Set("id", "a", "b", "extra"))
+    assert(kept.where(col("id") === "r1").head()
+      .getDouble(kept.columns.indexOf("extra")) == 12.0)
+  }
+
+  test("pivot_wider names_expand crosses names_from values into absent columns") {
+    import spark.implicits._
+    // (k1="p", k2="y") never occurs; names_expand still emits column p_y
+    val long = Seq(("r1", "p", "x", 1.0), ("r1", "q", "y", 2.0), ("r2", "q", "x", 3.0))
+      .toDF("id", "k1", "k2", "v")
+    val out = Reshape.pivotWider(Tbl(long), Seq("k1", "k2"), Seq("v"),
+      valuesFill = Some(0.0), namesExpand = true).df
+    assert(out.columns.toSet == Set("id", "p_x", "p_y", "q_x", "q_y"))
+    assert(out.where(col("id") === "r1").head()
+      .getDouble(out.columns.indexOf("p_y")) == 0.0)
+  }
+
+  test("arrange sorts registered factor columns by level order") {
+    import spark.implicits._
+    val df = Seq(("lo", 1), ("hi", 2), ("mid", 3), ("hi", 4)).toDF("f", "x")
+    val fac = Forcats.Factor(Seq("hi", "mid", "lo"))
+    val sorted = Tbl(df).withFactor("f", fac).arrange(col("f"), col("x"))
+      .df.select("f").collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("hi", "hi", "mid", "lo"))
+    val sortedDesc = Tbl(df).withFactor("f", fac).arrange(col("f").desc, col("x"))
+      .df.select("f").collect().map(_.getString(0)).toSeq
+    assert(sortedDesc == Seq("lo", "mid", "hi", "hi"))
+  }
+
   test("nest / unnest round-trip") {
     import spark.implicits._
     val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)).toDF("g", "x", "y")

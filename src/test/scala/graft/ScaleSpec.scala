@@ -54,6 +54,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("end-to-end bucketed dedup pipeline: persisted signature/label tables join without exchange") {
+    import graft.ml.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // pass 1 (the expensive one at 100 TB): signatures, persisted bucketed by id
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 32)
+    Scale.writeBucketed(sigs, "sigs_b", "id", 4)
+    // pass 2: band the PERSISTED signatures, resolve clusters, persist labels
+    val pairs = Dedup.lshPairsFromSignatures(spark.table("sigs_b"),
+      bands = 8, rows = 4, threshold = 0.8)
+    val labels = Dedup.connectedComponents(pairs)
+    Scale.writeBucketed(labels, "labels_b", "id", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // pass 3: id-keyed join of the two bucketed tables is exchange-free
+      val joined = spark.table("labels_b").join(spark.table("sigs_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed signature/label join should not shuffle:\n${plan.take(1500)}")
+      // and the pipeline's canonical set matches the one-shot in-memory path
+      val dupes = spark.table("labels_b")
+        .filter(col("id") =!= col("label")).select(col("id").as("__d"))
+      val viaBuckets = docs.join(dupes, docs("doc_id") === col("__d"), "left_anti")
+      val direct = Dedup.keepCanonical(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, bands = 8, rows = 4, threshold = 0.8))
+      assert(viaBuckets.count() == direct.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS sigs_b")
+      spark.sql("DROP TABLE IF EXISTS labels_b")
+    }
+  }
+
   test("partitioned write prunes partitions on read") {
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

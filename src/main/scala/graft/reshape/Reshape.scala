@@ -279,6 +279,16 @@ object Reshape {
     Tbl(t.df.select(keep.map(col) ++ pieces: _*), t.groups, Nil)
   }
 
+  /** The reference's `extra="warn"` diagnostic as an explicit call: rows
+    * whose split yields more than `into.size` pieces (silently truncated by
+    * `separate`). Opt-in because it is a full scan — at 100 TB a hidden
+    * warning pass per verb call would double the read; run it once on a
+    * sample or behind a validation stage instead.
+    */
+  def separateExtraCount(t: Tbl, c: String, into: Seq[String],
+                         sep: String = "[^A-Za-z0-9]+"): Long =
+    t.df.filter(size(split(col(c), sep, -1)) > into.size).count()
+
   /** Concat columns into one string column (verbs.py:2413-2471). NULL parts
     * are skipped (concat_ws), a documented divergence from pandas' "nan"
     * stringification.

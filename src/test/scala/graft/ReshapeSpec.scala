@@ -133,6 +133,16 @@ class ReshapeSpec extends AnyFunSuite {
     assert(ex.select("letter").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("separate extra-piece diagnostic counts truncated rows") {
+    import spark.implicits._
+    val df = Seq(("a-1", 1), ("b-2-3", 2), ("c-4-5-6", 3)).toDF("s", "n")
+    assert(Reshape.separateExtraCount(Tbl(df), "s", Seq("x", "y"), sep = "-") == 2)
+    // extra="merge" keeps the tail intact instead of truncating
+    val merged = Reshape.separate(Tbl(df), "s", Seq("x", "y"), sep = "-",
+      extra = "merge").df
+    assert(merged.where(col("n") === 3).head().getString(2) == "4-5-6")
+  }
+
   test("expand / complete fill holes") {
     import spark.implicits._
     val df = Seq(("a", 1, 1.0), ("b", 2, 2.0)).toDF("g", "k", "v")

@@ -85,7 +85,7 @@ final case class Tbl(
   def groupByAdd(keys: String*): Tbl = copy(groups = (groups ++ keys).distinct)
   def groupBy(computed: (String, Column)*)(implicit d: DummyImplicit): Tbl = {
     val withCols = computed.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
-    Tbl(withCols, groups ++ computed.map(_._1), ord)
+    Tbl(withCols, groups ++ computed.map(_._1), ord, factors)
   }
   def ungroup: Tbl = copy(groups = Nil)
 
@@ -99,15 +99,19 @@ final case class Tbl(
     val missingGroups = groups.filterNot(g => resolved.exists(_._2 == g))
     resolved = missingGroups.map(g => (g, g)) ++ resolved
     val renames = resolved.collect { case (out, src) if out != src => src -> out }
+    val kept = resolved.flatMap { case (out, src) =>
+      factors.get(src).map(out -> _)
+    }.toMap
     Tbl(df.select(resolved.map { case (out, src) => col(src).as(out) }: _*),
-        groups.map(g => renames.toMap.getOrElse(g, g)), ord)
+        groups.map(g => renames.toMap.getOrElse(g, g)), ord, kept)
   }
   def select(names: String*)(implicit d: DummyImplicit): Tbl =
     select(names.map(n => Sel.Name(n): Sel): _*)
 
   def rename(pairs: (String, String)*): Tbl = {
     val m = pairs.map { case (nw, old) => old -> nw }.toMap
-    Tbl(df.withColumnsRenamed(m), groups.map(g => m.getOrElse(g, g)), ord)
+    Tbl(df.withColumnsRenamed(m), groups.map(g => m.getOrElse(g, g)), ord,
+        factors.map { case (n, f) => m.getOrElse(n, n) -> f })
   }
 
   def drop(names: String*): Tbl = select(names.map(n => Sel.Not(Sel.Name(n)): Sel): _*)
@@ -129,7 +133,9 @@ final case class Tbl(
   /** mutate, keep only group cols + results (siuba/dply/verbs.py:593-651). */
   def transmute(pairs: (String, GExpr)*): Tbl = {
     val m = mutate(pairs: _*)
-    Tbl(m.df.select((groups ++ pairs.map(_._1)).distinct.map(col): _*), groups, ord)
+    val keep = (groups ++ pairs.map(_._1)).distinct
+    Tbl(m.df.select(keep.map(col): _*), groups, ord,
+        factors.filter { case (n, _) => keep.contains(n) })
   }
 
   // ---- filter -------------------------------------------------------------
@@ -256,9 +262,10 @@ final case class Tbl(
     */
   def distinct(on: Seq[String] = Nil, keepAll: Boolean = false): Tbl = {
     val keys = (groups ++ on).distinct
-    if (keys.isEmpty) Tbl(df.distinct(), groups, Nil)
-    else if (keepAll) Tbl(df.dropDuplicates(keys), groups, Nil)
-    else Tbl(df.select(keys.map(col): _*).distinct(), groups, Nil)
+    if (keys.isEmpty) Tbl(df.distinct(), groups, Nil, factors)
+    else if (keepAll) Tbl(df.dropDuplicates(keys), groups, Nil, factors)
+    else Tbl(df.select(keys.map(col): _*).distinct(), groups, Nil,
+             factors.filter { case (n, _) => keys.contains(n) })
   }
 
   // ---- joins --------------------------------------------------------------
@@ -339,14 +346,14 @@ final case class Tbl(
   def semiJoin(right: Tbl, on: Seq[String]): Tbl = {
     val l = df.alias("__l"); val r = right.df.alias("__r")
     val cond = on.map(k => col(s"__l.$k") <=> col(s"__r.$k")).reduce(_ && _)
-    Tbl(l.join(r, cond, "left_semi"), groups, ord)
+    Tbl(l.join(r, cond, "left_semi"), groups, ord, factors)
   }
 
   /** Left rows with no match (WHERE NOT EXISTS). */
   def antiJoin(right: Tbl, on: Seq[String]): Tbl = {
     val l = df.alias("__l"); val r = right.df.alias("__r")
     val cond = on.map(k => col(s"__l.$k") <=> col(s"__r.$k")).reduce(_ && _)
-    Tbl(l.join(r, cond, "left_anti"), groups, ord)
+    Tbl(l.join(r, cond, "left_anti"), groups, ord, factors)
   }
 
   /** Row-bind by column name (dplyr bind_rows; not in the reference —
@@ -357,8 +364,8 @@ final case class Tbl(
       acc.unionByName(o.df, allowMissingColumns = true)), groups, Nil)
 
   /** Set operations (SURVEY §2.7 extensions; SQL INTERSECT / EXCEPT). */
-  def intersect(other: Tbl): Tbl = Tbl(df.intersect(other.df), groups, Nil)
-  def except(other: Tbl): Tbl   = Tbl(df.except(other.df), groups, Nil)
+  def intersect(other: Tbl): Tbl = Tbl(df.intersect(other.df), groups, Nil, factors)
+  def except(other: Tbl): Tbl   = Tbl(df.except(other.df), groups, Nil, factors)
 
   /** Physical-distribution hints (no semantic effect). `repartitionBy`
     * pre-shuffles on keys so a later same-key join/agg reuses the exchange;

@@ -112,6 +112,20 @@ class ReshapeSpec extends AnyFunSuite {
     assert(sortedDesc == Seq("lo", "mid", "hi", "hi"))
   }
 
+  test("factor registration survives select/rename/filter/distinct chains") {
+    import spark.implicits._
+    val df = Seq(("lo", 1), ("hi", 2), ("mid", 3)).toDF("f", "x")
+    val fac = Forcats.Factor(Seq("hi", "mid", "lo"))
+    val out = Tbl(df).withFactor("f", fac)
+      .mutate("y" -> (col("x") * 2))
+      .rename("fct" -> "f")         // factor follows the rename
+      .filter(col("x") <= 3)
+      .distinct(keepAll = true)
+      .arrange(col("fct"))
+      .df.select("fct").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("hi", "mid", "lo"))
+  }
+
   test("nest / unnest round-trip") {
     import spark.implicits._
     val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)).toDF("g", "x", "y")

@@ -413,7 +413,11 @@ object SparkEntry2 {
       val qual = docs
         .mutate("q" -> TextFns.qualityScore(col("text")))
         .filter(col("q") >= 0.6)
-      val pairs = Dedup.ngramJaccardPairs(qual.df, "doc_id", "text",
+      // LSH candidate generation, not the exact shingle self-join: at corpus
+      // scale the all-pairs-by-shingle join is quadratic in hot shingles;
+      // banded MinHash keeps candidate generation an equi-join. Exact Jaccard
+      // stays as the recall oracle in PipelineSpec.
+      val pairs = Dedup.minhashLshPairs(qual.df, "doc_id", "text",
         n = 3, threshold = 0.5)
       Tbl(Dedup.keepCanonical(qual.df, "doc_id", pairs))
         .mutate("pred"  -> TextFns.langId(col("text")),

@@ -43,11 +43,13 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
     * Self-join on shingle → common counts; set sizes joined back; this is the
-    * brute-force ground truth MinHash approximates.
+    * brute-force ground truth MinHash approximates. `maxDf` (default 1000)
+    * drops stop-shingles before the self-join — without it one shingle in d
+    * docs emits d² candidate rows; pass maxDf <= 0 to opt out explicitly.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxDf: Int = 0): DataFrame = {
+                        maxDf: Int = 1000): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n, maxDf).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"), Seq("g"))
@@ -202,9 +204,16 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("__chg"))
-      val updated = next.localCheckpoint()
-      converged = updated.filter(col("__chg")).limit(1).count() == 0
+          coalesce(col("nbr_label") < col("label"), lit(false)).as("__chg"))
+      // ONE job per iteration: the localCheckpoint materialization also
+      // evaluates the convergence metric via observe() — no separate
+      // filter/limit/count probe, no second pass over the labels.
+      val obs = org.apache.spark.sql.Observation(s"cc_conv_$i")
+      val updated = next.observe(obs, max(col("__chg")).as("any_chg")).localCheckpoint()
+      converged = !obs.get.get("any_chg").exists {
+        case b: Boolean => b
+        case _          => false
+      }
       labels = updated.drop("__chg")
       i += 1
     }
@@ -219,7 +228,9 @@ object Dedup {
     val dupes = connectedComponents(pairs)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__dup_id"))
-    df.join(broadcast(dupes), df(idCol) === col("__dup_id"), "left_anti")
+    // no broadcast hint: at corpus scale the dupe set is unbounded (billions
+    // of ids on a web crawl) — let AQE pick broadcast vs shuffle at runtime
+    df.join(dupes, df(idCol) === col("__dup_id"), "left_anti")
   }
 
   /** Embedding near-dup pairs: cosine >= threshold via random-hyperplane LSH

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Dedup
+import graft.text.TextFns
+
+/** Profiling harness — skipped unless GRAFT_PROF is set (it reads sf0.1). */
+class ProfSpec extends AnyFunSuite {
+  test("profile LSH internals at sf0.1") {
+    assume(sys.env.contains("GRAFT_PROF"), "set GRAFT_PROF=1 to run profiling")
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // warm up shingling/codegen
+    time("warmup shingles") {
+      docs.select(explode(TextFns.wordShingles(col("text"), 3))).count()
+    }
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32, 42L)
+    time("minhash signatures") { sigs.count() }
+    time("minhash signatures again") { sigs.count() }
+    val sigsC = sigs.cache()
+    time("sig cache") { sigsC.count() }
+    time("banding join from sigs") {
+      Dedup.lshPairsFromSignatures(sigsC, 8, 4, 0.5).count()
+    }
+    val composed = Dedup.minhashSignaturesComposed(docs, "doc_id", "text", 3, 32, 42L)
+    time("composed signatures") { composed.count() }
+    time("simhash") { Dedup.simhash(docs, "doc_id", "text").count() }
+    time("simhashPairs") { Dedup.simhashPairs(docs, "doc_id", "text").count() }
+  }
+}

@@ -128,6 +128,11 @@ object SparkEntry {
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").distinct(Seq("l_returnflag", "l_linestatus")).df),
 
+    "q_distinct_computed" -> ((s, dir) =>
+      t(s, dir, "orders").distinct(
+        "opri"   -> col("o_orderpriority"),
+        "bucket" -> floor(col("o_totalprice") / lit(100000))).df),
+
     "q_summarize_stats" -> ((s, dir) =>
       t(s, dir, "customer")
         .groupBy("c_mktsegment")
@@ -153,6 +158,9 @@ object SparkEntry {
         .count(extra = Seq("l_returnflag"), wt = Some(col("l_quantity")))
         .mutate("n" -> round(col("n"), 2))
         .df),
+
+    "q_count_expr" -> ((s, dir) =>
+      t(s, dir, "lineitem").count("qty_band" -> (col("l_quantity") >= 25)).df),
 
     "q_add_count" -> ((s, dir) =>
       t(s, dir, "events")
@@ -253,6 +261,9 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_distinct_computed" ->
+      """SELECT DISTINCT o_orderpriority AS opri,
+        |  CAST(floor(o_totalprice / 100000) AS BIGINT) AS bucket FROM orders""".stripMargin,
     "q_summarize_stats" ->
       """SELECT c_mktsegment,
         |  count(*) AS n,
@@ -271,6 +282,8 @@ object SparkEntry {
       "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
     "q_count_wt" ->
       "SELECT l_returnflag, round(sum(l_quantity), 2) AS n FROM lineitem GROUP BY 1",
+    "q_count_expr" ->
+      "SELECT l_quantity >= 25 AS qty_band, count(*) AS n FROM lineitem GROUP BY 1",
     "q_add_count" ->
       """SELECT event_id, event_type,
         |  count(*) OVER (PARTITION BY event_type) AS n FROM events""".stripMargin,
@@ -365,6 +378,16 @@ object SparkEntry {
         .df
     }),
 
+    "q_join_inferred" -> ((s, dir) => {
+      // no `on`: keys inferred from shared column names (+ stderr warning)
+      val cust = t(s, dir, "customer").select(Seq("c_custkey", "c_nationkey"): _*)
+      val nat  = t(s, dir, "nation").rename("c_nationkey" -> "n_nationkey")
+      cust.innerJoin(nat)
+        .groupBy("n_name")
+        .summarize("n_cust" -> Fns.Agg.n())
+        .df
+    }),
+
     "q_join_multi" -> ((s, dir) =>
       // 4-way star join: lineitem ⋈ orders ⋈ customer ⋈ nation; dims broadcast
       t(s, dir, "lineitem")
@@ -378,6 +401,9 @@ object SparkEntry {
   )
 
   private val joinOracle: Map[String, String] = Map(
+    "q_join_inferred" ->
+      """SELECT n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
     "q_inner_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,

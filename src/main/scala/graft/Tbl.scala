@@ -201,6 +201,15 @@ final case class Tbl(
     Tbl(sorted, groups, Nil)
   }
 
+  /** count over expression keys (siuba/dply/verbs.py:1186-1265): each pair
+    * is computed, then counted as a grouping key alongside existing groups.
+    */
+  def count(first: (String, Column), rest: (String, Column)*): Tbl = {
+    val computed = first +: rest
+    val withCols = computed.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+    Tbl(withCols, groups, ord, factors).count(extra = computed.map(_._1))
+  }
+
   /** count() appended to the original rows — a windowed count
     * (`COUNT(*) OVER (PARTITION BY keys)`, siuba/sql/verbs/count.py:58-84).
     * No shuffle beyond the window exchange; no join back.
@@ -268,6 +277,16 @@ final case class Tbl(
              factors.filter { case (n, _) => keys.contains(n) })
   }
 
+  /** distinct over computed columns (mutate-style kwargs,
+    * siuba/dply/verbs.py:954-1028): each pair is evaluated first, then the
+    * result is de-duped over those names (plus any group keys).
+    */
+  def distinct(first: (String, Column), rest: (String, Column)*): Tbl = {
+    val computed = first +: rest
+    val withCols = computed.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+    Tbl(withCols, groups, ord, factors).distinct(computed.map(_._1))
+  }
+
   // ---- joins --------------------------------------------------------------
 
   /** Equi-joins with the reference's semantics: NA keys match NA
@@ -313,6 +332,26 @@ final case class Tbl(
   def leftJoin(right: Tbl, on: Seq[String]): Tbl  = join(right, on.map(k => k -> k), "left")
   def rightJoin(right: Tbl, on: Seq[String]): Tbl = join(right, on.map(k => k -> k), "right")
   def fullJoin(right: Tbl, on: Seq[String]): Tbl  = join(right, on.map(k => k -> k), "full")
+
+  /** Join-key inference: with no `on`, join on every identically-named
+    * column and warn, like the reference (siuba/dply/verbs.py:1727-1736,
+    * siuba/sql/verbs/join.py:180-198). Left column order is preserved.
+    */
+  private[graft] def sharedKeys(right: Tbl, what: String): Seq[String] = {
+    val rset = right.df.columns.toSet
+    val shared = df.columns.toSeq.filter(rset)
+    if (shared.isEmpty)
+      throw GraftError(s"$what: no shared column names to infer join keys from")
+    Console.err.println(
+      s"graft warning: $what joining on inferred keys (${shared.mkString(", ")}); pass `on` explicitly to silence")
+    shared
+  }
+  def innerJoin(right: Tbl): Tbl = innerJoin(right, sharedKeys(right, "inner_join"))
+  def leftJoin(right: Tbl): Tbl  = leftJoin(right, sharedKeys(right, "left_join"))
+  def rightJoin(right: Tbl): Tbl = rightJoin(right, sharedKeys(right, "right_join"))
+  def fullJoin(right: Tbl): Tbl  = fullJoin(right, sharedKeys(right, "full_join"))
+  def semiJoin(right: Tbl): Tbl  = semiJoin(right, sharedKeys(right, "semi_join"))
+  def antiJoin(right: Tbl): Tbl  = antiJoin(right, sharedKeys(right, "anti_join"))
 
   /** Theta join: arbitrary boolean on-clause over the aliased sides `l`/`r`
     * (the reference's SQL-only `sql_on`, siuba/sql/verbs/join.py:169-233).

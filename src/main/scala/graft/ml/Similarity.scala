@@ -103,14 +103,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // deterministic centroid sample: every (n/nCentroids)-th by id rank
-    val ranked = corpus.select(col(idCol).as("cid_src"), col(vecCol).as("cvec"))
-      .withColumn("rk", row_number().over(Window.orderBy("cid_src")))
-    val total = ranked.count()
-    val step = math.max(total / nCentroids, 1L)
-    val centroids = ranked.filter(col("rk") % step === 0)
-      .limit(nCentroids)
-      .select(col("rk").as("centroid_id"), col("cvec")).cache()
+    // deterministic pseudo-random centroid sample: the nCentroids smallest
+    // id-hashes. orderBy+limit plans as TakeOrderedAndProject — each
+    // partition keeps its local top-N, one tiny merge — no global sort, no
+    // driver-side count() pass over the corpus.
+    val centroids = corpus
+      .select(xxhash64(col(idCol)).as("centroid_id"), col(vecCol).as("cvec"))
+      .orderBy("centroid_id").limit(nCentroids)
+      .cache()
 
     def assign(df: DataFrame, name: String, nNearest: Int) = {
       val scored = df.select(col(idCol).as(name + "_id"), col(vecCol).as(name + "_vec"))

@@ -29,6 +29,19 @@ object Reshape {
       case other         => df.na.fill(other.toString, cols)
     }
 
+  /** Common type for a set of columns being stacked into one: identical
+    * types are kept, mixed numerics widen to double, anything else raises.
+    */
+  private def commonType(fields: Seq[(String, org.apache.spark.sql.types.DataType)],
+                         cols: Seq[String], what: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{DoubleType, NumericType}
+    val dts = cols.flatMap(c => fields.collectFirst { case (n, dt) if n == c => dt }).distinct
+    if (dts.size == 1) dts.head
+    else if (dts.forall(_.isInstanceOf[NumericType])) DoubleType
+    else throw GraftError(
+      s"$what: value columns mix incompatible types (${dts.mkString(", ")}); cast them to a common type first")
+  }
+
   // ---- gather / spread ----------------------------------------------------
 
   /** Wide→long over the selected columns (pd.melt; verbs.py:1919-2000).
@@ -108,9 +121,13 @@ object Reshape {
     }
 
     if (!namesTo.contains(".value")) {
+      // unify to the selected columns' common type: identical types pass
+      // through untouched (strings stay strings), mixed numerics widen to
+      // double, anything else is a loud error — never a silent NULL-ing cast
+      val vt = commonType(t.typedFields, valueCols, "pivot_longer")
       val entries = spec.map { case (c, ps) =>
         struct(namesTo.zip(ps).map { case (n, v) => lit(v).as(n) } :+
-          col(c).cast("double").as(valuesTo): _*)
+          col(c).cast(vt).as(valuesTo): _*)
       }
       val out = t.df
         .select(idCols.map(col) :+ explode(array(entries: _*)).as("__kv"): _*)

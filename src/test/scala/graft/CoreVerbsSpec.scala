@@ -132,6 +132,30 @@ class CoreVerbsSpec extends AnyFunSuite {
     assert(cw.collect().map(_.getString(0)).toSeq == Seq("lo", "lo", "mid", "mid", "hi", "hi"))
   }
 
+  test("join-key inference uses shared column names; errors when none") {
+    import spark.implicits._
+    val l = Tbl(Seq(("a", 1, 10.0), ("b", 2, 20.0)).toDF("k", "g2", "v"))
+    val r = Tbl(Seq(("a", 1, "u"), ("a", 2, "w")).toDF("k", "g2", "tag"))
+    assert(l.sharedKeys(r, "test") == Seq("k", "g2"))
+    val joined = l.innerJoin(r)
+    assert(joined.df.columns.toSeq == Seq("k", "g2", "v", "tag"))
+    assert(joined.df.count() == 1) // only (a,1) matches on both keys
+    val noShared = Tbl(Seq((1, 2)).toDF("p", "q"))
+    intercept[GraftError] { l.innerJoin(noShared) }
+  }
+
+  test("distinct and count with computed keys") {
+    import spark.implicits._
+    val d = Tbl(Seq(("a", 1), ("a", 2), ("b", 5), ("b", 6)).toDF("g", "x"))
+    val dist = d.distinct("g2" -> upper(col("g")), "even" -> (col("x") % 2 === 0)).df
+    assert(dist.columns.toSeq == Seq("g2", "even"))
+    assert(dist.count() == 4) // (A,f) (A,t) (B,f) (B,t)
+    val cnt = d.count("even" -> (col("x") % 2 === 0)).df
+    assert(cnt.columns.toSeq == Seq("even", "n"))
+    assert(cnt.collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      == Map(true -> 2L, false -> 2L))
+  }
+
   test("semi/anti join against a filtered view of the SAME table (self-lineage)") {
     import spark.implicits._
     val d = Tbl(Seq(("a", 1), ("b", 5), ("c", 9)).toDF("k", "v"))

@@ -218,6 +218,25 @@ class ReshapeSpec extends AnyFunSuite {
       .getDouble(f.columns.indexOf("b")) == 0.5)
   }
 
+  test("pivot_longer keeps string values intact; mixed numerics widen; incompatible raises") {
+    import spark.implicits._
+    val strs = Seq((1, "x", "y"), (2, "p", "q")).toDF("id", "a", "b")
+    val out = Reshape.pivotLonger(Tbl(strs), Seq(Sel.Name("a"), Sel.Name("b")),
+      namesTo = Seq("key")).df
+    assert(out.schema("value").dataType == org.apache.spark.sql.types.StringType)
+    assert(out.where(col("key") === "a" && col("id") === 1).head().getString(2) == "x")
+    // int + double widen to double
+    val mixed = Seq((1, 2, 3.5)).toDF("id", "i", "d")
+    val wide = Reshape.pivotLonger(Tbl(mixed), Seq(Sel.Name("i"), Sel.Name("d")),
+      namesTo = Seq("key")).df
+    assert(wide.schema("value").dataType == org.apache.spark.sql.types.DoubleType)
+    // string + int is incompatible → loud error, not silent NULLs
+    val bad = Seq((1, "x", 2)).toDF("id", "s", "i")
+    intercept[GraftError] {
+      Reshape.pivotLonger(Tbl(bad), Seq(Sel.Name("s"), Sel.Name("i")), namesTo = Seq("key"))
+    }
+  }
+
   test("fctLump keeps NA rows as NA; fctReorder skips NULL levels") {
     import spark.implicits._
     val d = Seq(Some("a"), Some("a"), Some("b"), None).toDF("f")

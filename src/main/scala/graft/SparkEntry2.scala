@@ -739,6 +739,18 @@ object SparkEntry2 {
                     "alpha", "digit", "ttl"): _*)
         .df),
 
+    // round-4 string additions: swapcase/center/wrap/rsplit/slice_replace
+    "q_str_ops3" -> ((s, dir) =>
+      t(s, dir, "part")
+        .mutate(
+          "sw"  -> Fns.Str.swapcase(col("p_brand")),
+          "ctr" -> Fns.Str.center(col("p_brand"), 15, "_"),
+          "wr"  -> Fns.Str.wrap(col("p_name"), 10),
+          "rs"  -> array_join(Fns.Str.rsplit(col("p_name"), " ", 1), "|"),
+          "sr"  -> Fns.Str.sliceReplace(col("p_name"), 2, 5, "XX"))
+        .select(Seq("p_partkey", "sw", "ctr", "wr", "rs", "sr"): _*)
+        .df),
+
     // event-time tumbling window over the ns-timestamp events table (batch
     // form of the streaming verb; ts read as nanos-long, bucketed to minutes)
     "q_events_window" -> ((s, dir) =>
@@ -838,6 +850,18 @@ object SparkEntry2 {
         |  regexp_full_match(CAST(p_size AS VARCHAR), '[0-9]+') AS digit,
         |  list_aggregate(list_transform(string_split(p_name, ' '),
         |    w -> upper(w[1]) || lower(w[2:])), 'string_agg', ' ') AS ttl
+        |FROM part""".stripMargin,
+    "q_str_ops3" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(p_brand, ''),
+        |    x -> CASE WHEN x <> lower(x) THEN lower(x) ELSE upper(x) END), '') AS sw,
+        |  rpad(lpad(p_brand,
+        |    CAST(length(p_brand) + floor((15 - length(p_brand)) / 2) AS INT), '_'),
+        |    15, '_') AS ctr,
+        |  rtrim(regexp_replace(p_name, '(.{1,10})(\s+|$)', '\1' || chr(10), 'g'),
+        |    chr(10)) AS wr,
+        |  regexp_replace(p_name, ' ([^ ]*)$', '|\1') AS rs,
+        |  substr(p_name, 1, 2) || 'XX' || substr(p_name, 6) AS sr
         |FROM part""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(floor(epoch_ns(ts) / 60000000000) AS BIGINT) AS minute,

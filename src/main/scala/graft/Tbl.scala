@@ -236,18 +236,12 @@ final case class Tbl(
     */
   def arrange(by: Column*): Tbl = {
     // bare references to registered factor columns sort by level index, not
-    // lexically; anything more complex than `col` / `col.desc` is left as-is
+    // lexically; direction / null-ordering decorations are preserved by
+    // inspecting the SortOrder ColumnNode (expression sorts pass through)
     val rewritten =
       if (factors.isEmpty) by.toSeq
-      else by.toSeq.map { c =>
-        val s = c.toString
-        factors.get(s).map(_.sortKey(col(s))).getOrElse {
-          "^(\\S+) DESC".r.findFirstMatchIn(s)
-            .flatMap(m => factors.get(m.group(1))
-              .map(_.sortKey(col(m.group(1))).desc))
-            .getOrElse(c)
-        }
-      }
+      else by.toSeq.map(c => org.apache.spark.sql.graftshim.Shim
+        .rewriteSortFactor(c, n => factors.get(n).map(f => f.sortKey(_))))
     Tbl(df.orderBy(rewritten: _*), groups, rewritten, factors)
   }
 

@@ -16,8 +16,15 @@ object Forcats {
 
   /** Ordered levels as (level, index), small enough to collect or broadcast. */
   final case class Factor(levels: Seq[String]) {
-    /** Sort key for `arrange` on this factor: position in the level order. */
-    def sortKey(c: Column): Column = array_position(lit(levels.toArray), c)
+    /** Sort key for `arrange` on this factor: position in the level order.
+      * Values outside the level set (array_position = 0) sort after every
+      * known level, matching pandas' unknown→NaN-last; NULLs keep NULL and
+      * follow the sort's null ordering.
+      */
+    def sortKey(c: Column): Column = {
+      val pos = array_position(lit(levels.toArray), c)
+      when(pos === 0, lit(levels.size + 1L)).otherwise(pos)
+    }
   }
 
   /** Levels in first-appearance order (fct_inorder, forcats.py:29). Needs a

@@ -58,6 +58,12 @@ object dsl {
     def islower(): Column = Fns.Str.isLower(c)
     def istitle(): Column = Fns.Str.isTitle(c)
     def cat(other: Column, sep: String = ""): Column = F.concat_ws(sep, c, other)
+    def swapcase(): Column = Fns.Str.swapcase(c)
+    def center(w: Int, fill: String = " "): Column = Fns.Str.center(c, w, fill)
+    def wrap(w: Int): Column = Fns.Str.wrap(c, w)
+    def rsplit(sep: String, n: Int = -1): Column = Fns.Str.rsplit(c, sep, n)
+    def sliceReplace(start: Int, stop: Int, repl: String): Column =
+      Fns.Str.sliceReplace(c, start, stop, repl)
   }
 
   /** Datetime accessor (`_.x.dt.*`, generics.py:187-236). */

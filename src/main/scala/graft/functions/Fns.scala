@@ -104,6 +104,27 @@ object Fns {
         c.substr(lit(stop + 1), length(c)))
     def repeat(c: Column, n: Int): Column =
       org.apache.spark.sql.functions.repeat(c, n)
+    /** Per-character case flip (str.swapcase). */
+    def swapcase(c: Column): Column =
+      array_join(transform(split(c, ""), ch =>
+        when(ch =!= lower(ch), lower(ch)).otherwise(upper(ch))), "")
+    /** str.center: pad both sides to `width`, extra char right (Python). */
+    def center(c: Column, width: Int, fill: String = " "): Column =
+      pad(c, width, "both", fill)
+    /** Greedy whitespace word-wrap into `width`-char lines joined by \n
+      * (str.wrap with textwrap defaults except break_long_words: words
+      * longer than `width` are left unbroken).
+      */
+    def wrap(c: Column, width: Int): Column =
+      rtrim(regexp_replace(c, s"(.{1,$width})(\\s+|$$)", "$1\n"), "\n")
+    /** Split from the right, at most `n` splits (str.rsplit); n < 0 = all. */
+    def rsplit(c: Column, sep: String, n: Int = -1): Column = {
+      val q = java.util.regex.Pattern.quote(sep)
+      if (n < 0) split(c, q)
+      else reverse(transform(
+        split(reverse(c), java.util.regex.Pattern.quote(sep.reverse), n + 1),
+        s => reverse(s)))
+    }
     def isAlpha(c: Column): Column   = c.rlike("^[A-Za-z]+$")
     def isDigit(c: Column): Column   = c.rlike("^[0-9]+$")
     def isAlnum(c: Column): Column   = c.rlike("^[A-Za-z0-9]+$")

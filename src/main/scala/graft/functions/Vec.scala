@@ -104,16 +104,15 @@ object Vec {
     */
   def nth(x: Column, n: Int, order: Seq[Column] = Nil): GExpr = gx { c =>
     if (n >= 0) nth_value(x, n + 1).over(c.fullBy(order))
+    else if (n == -1) last(x).over(c.fullBy(order))
     else {
-      val cnt = count(lit(1)).over(Window.partitionBy(c.partition: _*))
-      // nth_value needs a foldable offset; -1 == last, etc.
-      if (n == -1) last(x).over(c.fullBy(order))
-      else {
-        val idx = cnt.cast("int") + n + 1
-        // guard: groups smaller than |n| yield NULL (pandas), not an ANSI
-        // invalid-index error from element_at
-        when(idx >= 1, element_at(collect_list(x).over(c.fullBy(order)), idx))
-      }
+      // n-th from the end = nth_value over the mirrored ordering — a plain
+      // window expression, not a per-row collect_list materialization.
+      // Groups smaller than |n| yield NULL (pandas), which nth_value's
+      // whole-partition frame already gives.
+      val eff = if (order.nonEmpty) order else c.order
+      val rev = eff.map(org.apache.spark.sql.graftshim.Shim.reverseSort)
+      nth_value(x, -n).over(c.fullBy(rev))
     }
   }
 

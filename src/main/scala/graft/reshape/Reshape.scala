@@ -278,20 +278,54 @@ object Reshape {
   // ---- separate / unite / extract ----------------------------------------
 
   /** Split a string column by a regex into k columns (verbs.py:2284-2398).
-    * `extra="merge"` keeps the tail in the last piece; `convert` casts
-    * all-numeric results.
+    * `extra="merge"` keeps the tail in the last piece; `extra="drop"` /
+    * `"warn"` truncate it (the warn diagnostic is the opt-in
+    * `separateExtraCount` — an implicit per-call warning pass would double
+    * the scan at scale). `fill="right"` (default) leaves trailing pieces
+    * NULL when the split is short; `fill="left"` aligns short splits to the
+    * last columns, NULLing the leading ones. `convert` infers each result
+    * column's type in one narrow aggregate pass (all-integer → long,
+    * all-numeric → double, else string), like the reference's
+    * type.convert — data-dependent typing costs exactly one extra scan.
     */
   def separate(t: Tbl, c: String, into: Seq[String], sep: String = "[^A-Za-z0-9]+",
                remove: Boolean = true, convert: Boolean = false,
-               extra: String = "warn"): Tbl = {
+               extra: String = "warn", fill: String = "right"): Tbl = {
+    if (!Set("warn", "drop", "merge")(extra))
+      throw GraftError(s"separate: extra must be warn/drop/merge, got '$extra'")
+    if (!Set("right", "left")(fill))
+      throw GraftError(s"separate: fill must be right/left, got '$fill'")
     val limit = if (extra == "merge") into.size else -1
     val sp = split(col(c), sep, limit)
-    val pieces = into.zipWithIndex.map { case (n, i) =>
-      // get() is null-safe out of bounds — pandas fills missing pieces with
-      // NaN (fill="right"); ANSI getItem would error instead
-      val piece = get(sp, lit(i))
-      (if (convert) piece.cast("long") else piece).as(n)
+    val k = into.size
+    // get() is null-safe out of bounds — pandas fills missing pieces with
+    // NaN; ANSI getItem would error instead. fill="left" right-aligns short
+    // splits (negative index → NULL for the leading columns).
+    def rawPiece(i: Int): Column = {
+      val idx =
+        if (fill == "left") when(size(sp) < k, size(sp) - lit(k) + lit(i)).otherwise(lit(i))
+        else lit(i)
+      get(sp, idx)
     }
+    val casts: Seq[Column => Column] =
+      if (!convert) Seq.fill(k)(identity)
+      else {
+        val intRe = "^-?\\d+$"
+        val numRe = "^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+        val probe = t.df.select((0 until k).flatMap { i =>
+          val p = rawPiece(i)
+          Seq(max(when(p.isNotNull && !p.rlike(intRe), 1).otherwise(0)),
+              max(when(p.isNotNull && !p.rlike(numRe), 1).otherwise(0)))
+        }: _*).head()
+        (0 until k).map { i =>
+          val nonInt = probe.isNullAt(2 * i) || probe.getInt(2 * i) == 1
+          val nonNum = probe.isNullAt(2 * i + 1) || probe.getInt(2 * i + 1) == 1
+          if (!nonInt) (p: Column) => p.cast("long")
+          else if (!nonNum) (p: Column) => p.cast("double")
+          else identity[Column] _
+        }
+      }
+    val pieces = into.zipWithIndex.map { case (n, i) => casts(i)(rawPiece(i)).as(n) }
     val keep = t.cols.filterNot(x => remove && x == c)
     Tbl(t.df.select(keep.map(col) ++ pieces: _*), t.groups, Nil)
   }

@@ -48,18 +48,21 @@ object TextFns {
       length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text))
       .otherwise(lit(0.0))
 
-  /** Count of occurrences of `word` as a whole token (case-insensitive). */
-  def wordCount(text: Column, word: String): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    val target = s" $word "
-    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(target), "")))
-      / target.length).cast("long")
-  }
+  /** Count of occurrences of `word` as a whole token (case-insensitive).
+    * Counts matching tokens directly — a padded-substring trick undercounts
+    * adjacent occurrences ("the the") because the shared space is consumed.
+    */
+  def wordCount(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === lit(word.toLowerCase))).cast("long")
 
-  /** Stopword density: fraction of tokens from the given stopword set. */
+  /** Stopword density: fraction of tokens from the given stopword set.
+    * One tokenization pass; the stopword set folds into the filter lambda.
+    */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val hits = stopwords.map(wordCount(text, _)).reduce(_ + _)
-    when(tokenCount(text) > 0, hits.cast("double") / tokenCount(text)).otherwise(lit(0.0))
+    val toks = tokens(text)
+    val set = stopwords.map(_.toLowerCase)
+    val hits = size(filter(toks, t => t.isInCollection(set)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
   }
 
   /** Composite quality score in [0,1]: long enough, punctuated, not

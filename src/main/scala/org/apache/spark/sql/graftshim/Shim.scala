@@ -82,6 +82,49 @@ object Shim {
     found
   }
 
+  /** Rewrite a sort column that references a factor (categorical) column
+    * into its level-index sort key, preserving any direction / null-ordering
+    * decoration. Handles a bare reference, `.desc`/`.asc_nulls_last`/…
+    * (a SortOrder node), and qualified names (`t.f` resolves on the last
+    * part). Anything more complex (expression sorts) is returned unchanged —
+    * those are not bare factor references. `key(name)` returns the
+    * original-column → sort-key transform for registered factors.
+    */
+  def rewriteSortFactor(c: Column, key: String => Option[Column => Column]): Column = {
+    def attr(n: ColumnNode): Option[(String, Column)] = n match {
+      case a: UnresolvedAttribute =>
+        Some((a.nameParts.last, Column(a)))
+      case _ => None
+    }
+    c.node match {
+      case s: SortOrder =>
+        attr(s.child).flatMap { case (nm, orig) =>
+          key(nm).map(f => Column(s.copy(child = f(orig).node)))
+        }.getOrElse(c)
+      case n =>
+        attr(n).flatMap { case (nm, orig) => key(nm).map(_(orig)) }.getOrElse(c)
+    }
+  }
+
+  /** Reverse a sort column: asc↔desc and nulls_first↔nulls_last, whatever
+    * decoration it carries; an undecorated column becomes `.desc_nulls_last`
+    * (the mirror of the asc/nulls_first default). Used to express "n-th from
+    * the end" as nth_value over the mirrored ordering.
+    */
+  def reverseSort(c: Column): Column = c.node match {
+    case s: SortOrder =>
+      val dir = s.sortDirection match {
+        case SortOrder.Ascending  => SortOrder.Descending
+        case SortOrder.Descending => SortOrder.Ascending
+      }
+      val no = s.nullOrdering match {
+        case SortOrder.NullsFirst => SortOrder.NullsLast
+        case SortOrder.NullsLast  => SortOrder.NullsFirst
+      }
+      Column(SortOrder(s.child, dir, no, s.origin))
+    case _ => c.desc_nulls_last
+  }
+
   /** Wrap every aggregate subtree of `c` in `.over(spec)`:
     * `col("x") - avg(col("x"))` becomes `col("x") - avg(col("x")).over(spec)`.
     * Aggregates cannot nest, so recursion stops at the first aggregate on

@@ -44,6 +44,22 @@ class MiscSpec extends AnyFunSuite {
       .arrange(col("x"))
     val out = d.mutate("m2" -> Vec.nth(col("x"), -2)).df
     assert(out.collect().forall(_.getInt(2) == 2))
+    // group smaller than |n| → NULL, and desc orderings mirror correctly
+    val small = Tbl(Seq(("a", 1)).toDF("g", "x")).groupBy("g").arrange(col("x"))
+    assert(small.mutate("m3" -> Vec.nth(col("x"), -3)).df.head().isNullAt(2))
+    val descd = Tbl(Seq(("a", 1), ("a", 2), ("a", 3)).toDF("g", "x")).groupBy("g")
+      .arrange(col("x").desc)
+    // order 3,2,1 → second-from-end = 2
+    assert(descd.mutate("m2" -> Vec.nth(col("x"), -2)).df
+      .collect().forall(_.getInt(2) == 2))
+  }
+
+  test("wordCount counts adjacent whole-token occurrences") {
+    import spark.implicits._
+    val d = Seq(" the the ", "the theater the", "THE the").toDF("t")
+    val out = d.select(graft.text.TextFns.wordCount(col("t"), "the"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L, 2L, 2L)) // adjacent pair counts 2; 'theater' doesn't match
   }
 
   test("ceilDate rounds up except on boundaries") {

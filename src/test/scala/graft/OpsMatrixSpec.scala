@@ -72,7 +72,10 @@ class OpsMatrixSpec extends AnyFunSuite {
     "isdigit" -> (_.str.isdigit()), "isalnum" -> (_.str.isalnum()),
     "isspace" -> (_.str.isspace()), "isupper" -> (_.str.isupper()),
     "islower" -> (_.str.islower()), "istitle" -> (_.str.istitle()),
-    "cat" -> (_.str.cat(col("lbl"), "-"))
+    "cat" -> (_.str.cat(col("lbl"), "-")),
+    "swapcase" -> (_.str.swapcase()), "center" -> (_.str.center(15, "*")),
+    "wrap" -> (_.str.wrap(5)), "rsplit" -> (_.str.rsplit(" ", 1)),
+    "slice_replace" -> (_.str.sliceReplace(1, 3, "XY"))
   )
 
   private val dtOps: Seq[(String, Column => Column)] = Seq(
@@ -117,6 +120,21 @@ class OpsMatrixSpec extends AnyFunSuite {
   test(s"str ops (${strOps.size}) evaluate") {
     val out = strs.mutate(strOps.map { case (n, f) => s"s_$n" -> (f(col("s")): GExpr) }: _*)
     assert(out.df.count() == 2)
+  }
+
+  test("new str ops: swapcase/center/wrap/rsplit/slice_replace semantics") {
+    val out = strs.mutate(
+      "sw" -> graft.functions.Fns.Str.swapcase(col("s")),
+      "ce" -> graft.functions.Fns.Str.center(col("s"), 15, "*"),
+      "wr" -> graft.functions.Fns.Str.wrap(col("s"), 6),
+      "rs" -> graft.functions.Fns.Str.rsplit(col("s"), " ", 1),
+      "sr" -> graft.functions.Fns.Str.sliceReplace(col("s"), 1, 4, "XY"))
+      .df.where(col("s") === "Hello World").head()
+    assert(out.getString(out.fieldIndex("sw")) == "hELLO wORLD")
+    assert(out.getString(out.fieldIndex("ce")) == "**Hello World**")
+    assert(out.getString(out.fieldIndex("wr")) == "Hello\nWorld")
+    assert(out.getSeq[String](out.fieldIndex("rs")) == Seq("Hello", "World"))
+    assert(out.getString(out.fieldIndex("sr")) == "HXYo World")
   }
 
   test(s"dt ops (${dtOps.size}) evaluate") {

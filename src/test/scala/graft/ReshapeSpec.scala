@@ -110,6 +110,22 @@ class ReshapeSpec extends AnyFunSuite {
     val sortedDesc = Tbl(df).withFactor("f", fac).arrange(col("f").desc, col("x"))
       .df.select("f").collect().map(_.getString(0)).toSeq
     assert(sortedDesc == Seq("lo", "mid", "hi", "hi"))
+    // desc built the other two ways resolves through the SortOrder node too
+    val viaDescFn = Tbl(df).withFactor("f", fac).arrange(desc("f"), col("x"))
+      .df.select("f").collect().map(_.getString(0)).toSeq
+    assert(viaDescFn == Seq("lo", "mid", "hi", "hi"))
+    val viaNulls = Tbl(df).withFactor("f", fac).arrange(col("f").desc_nulls_last, col("x"))
+      .df.select("f").collect().map(_.getString(0)).toSeq
+    assert(viaNulls == Seq("lo", "mid", "hi", "hi"))
+  }
+
+  test("arrange sorts out-of-level factor values last") {
+    import spark.implicits._
+    val df = Seq(("lo", 1), ("stray", 2), ("hi", 3)).toDF("f", "x")
+    val fac = Forcats.Factor(Seq("hi", "mid", "lo"))
+    val sorted = Tbl(df).withFactor("f", fac).arrange(col("f"))
+      .df.select("f").collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("hi", "lo", "stray"))
   }
 
   test("factor registration survives select/rename/filter/distinct chains") {
@@ -155,6 +171,34 @@ class ReshapeSpec extends AnyFunSuite {
     val merged = Reshape.separate(Tbl(df), "s", Seq("x", "y"), sep = "-",
       extra = "merge").df
     assert(merged.where(col("n") === 3).head().getString(2) == "4-5-6")
+  }
+
+  test("separate fill=left right-aligns short splits; extra=drop truncates") {
+    import spark.implicits._
+    val df = Seq(("a-1-9", 1), ("b-2", 2), ("c", 3)).toDF("s", "n")
+    val left = Reshape.separate(Tbl(df), "s", Seq("x", "y", "z"), sep = "-",
+      fill = "left").df
+    val r2 = left.where(col("n") === 2).head() // b-2 → (NULL, b, 2)
+    assert(r2.isNullAt(1) && r2.getString(2) == "b" && r2.getString(3) == "2")
+    val r3 = left.where(col("n") === 3).head() // c → (NULL, NULL, c)
+    assert(r3.isNullAt(1) && r3.isNullAt(2) && r3.getString(3) == "c")
+    val dropped = Reshape.separate(Tbl(df), "s", Seq("x", "y"), sep = "-",
+      extra = "drop").df
+    assert(dropped.where(col("n") === 1).head().getString(2) == "1") // 9 dropped
+    intercept[GraftError] {
+      Reshape.separate(Tbl(df), "s", Seq("x"), sep = "-", extra = "nope")
+    }
+  }
+
+  test("separate convert infers long / double / string per column") {
+    import spark.implicits._
+    val df = Seq(("a-1-1.5", 1), ("b-22-2e3", 2)).toDF("s", "n")
+    val out = Reshape.separate(Tbl(df), "s", Seq("ch", "i", "d"), sep = "-",
+      convert = true).df
+    assert(out.schema("ch").dataType == org.apache.spark.sql.types.StringType)
+    assert(out.schema("i").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.schema("d").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(out.where(col("ch") === "b").head().getDouble(3) == 2000.0)
   }
 
   test("expand / complete fill holes") {

@@ -410,7 +410,10 @@ object SparkEntry2 {
     // language-ID -> per-language corpus stats
     "q_pipeline_e2e" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val qual = docs
+      // spread first: quality scoring, shingling and language-ID are
+      // CPU-bound per-row passes — a single small row group would otherwise
+      // run them all on one core (no-op when the scan is already wide)
+      val qual = Tbl(graft.ops.Scale.spread(docs.df))
         .mutate("q" -> TextFns.qualityScore(col("text")))
         .filter(col("q") >= 0.6)
       // LSH candidate generation, not the exact shingle self-join: at corpus

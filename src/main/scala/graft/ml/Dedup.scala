@@ -12,6 +12,11 @@ import graft.text.TextFns
   */
 object Dedup {
 
+  /** See [[graft.ops.Scale.spread]] — parallelism guard for the CPU-heavy
+    * shingling/hashing passes below.
+    */
+  private[ml] def spread(df: DataFrame): DataFrame = graft.ops.Scale.spread(df)
+
   /** Exact dedup on a canonicalized text hash: one hash-aggregate.
     * Output: one row per distinct content (hash, kept id = min id, dupe count).
     */
@@ -30,14 +35,18 @@ object Dedup {
     // join on the 64-bit shingle hash, not the string: same partitioning
     // semantics, ~4x smaller shuffle payload and cheaper equi-compare
     // (collision odds across ~1e9 distinct shingles are ~1e-1 per *corpus*
-    // for one pair, and a collision merely perturbs one overlap count)
-    val sh = df.select(col(idCol).as("id"),
-        explode(TextFns.wordShingles(col(textCol), n)).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("g"))
+    // for one pair, and a collision merely perturbs one overlap count).
+    // shingleHashes never materializes the shingle strings at all.
+    val sh = spread(df).select(col(idCol).as("id"),
+        explode(TextFns.shingleHashes(col(textCol), n)).as("g"))
     if (maxDf <= 0) sh
     else {
-      val hot = sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-      sh.join(broadcast(hot.select("g")), Seq("g"), "left_anti")
+      // one windowed count over g — a single shuffle that the downstream
+      // self-join (also keyed on g) reuses, instead of a second full
+      // shingle pass + aggregate + anti-join for the stop-shingle probe
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      sh.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= maxDf).drop("__df")
     }
   }
 
@@ -71,9 +80,8 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(TextFns.wordShingles(col(textCol), n)).as("g"))
-      .withColumn("hx", xxhash64(col("g")))
+    val sh = spread(df).select(col(idCol).as("id"),
+      explode(TextFns.shingleHashes(col(textCol), n)).as("hx"))
     val agg = org.apache.spark.sql.graftshim.Shim.columnOf(
       graft.plans.MinHashAgg(
         org.apache.spark.sql.graftshim.Shim.exprOf(col("hx")), k, seed)
@@ -94,9 +102,9 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val coeffs = Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1) + 1,
                               math.abs(rnd.nextLong()) % p))
-    val sh = df.select(col(idCol).as("id"),
-      explode(TextFns.wordShingles(col(textCol), n)).as("g"))
-      .withColumn("hx", pmod(xxhash64(col("g")), lit(p)))
+    val sh = spread(df).select(col(idCol).as("id"),
+      explode(TextFns.shingleHashes(col(textCol), n)).as("g"))
+      .withColumn("hx", pmod(col("g"), lit(p)))
     val minExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("hx") * lit(a) + lit(b), lit(p))).as(s"m$i")
     }
@@ -148,7 +156,7 @@ object Dedup {
     * over the exploded token table (map-side combinable).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val toks = spread(df).select(col(idCol).as("id"),
       explode(array_distinct(TextFns.tokens(col(textCol)))).as("tok"))
       .withColumn("th", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { j =>
@@ -189,8 +197,13 @@ object Dedup {
     * constant-factor-heavy large-star/small-star variant at realistic skew.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both edge orientations in ONE pass over `pairs` (explode, not a
+    // two-branch union, which would evaluate the — often expensive —
+    // upstream pair computation twice)
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()

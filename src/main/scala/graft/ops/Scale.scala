@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Spread rows across the full parallelism before CPU-heavy per-row work
+    * (shingling, hashing, scoring) when the input is small enough that the
+    * scan can't feed every core — e.g. one small parquet row group, which
+    * would otherwise pin the whole pass to a single thread. Decided from
+    * Catalyst size statistics only (no `df.rdd`, which under AQE would
+    * eagerly materialize upstream stages). When the input is big — the
+    * 100 TB case, where an exchange of the raw rows would be the real
+    * cost — this is a no-op and the source's own parallelism is trusted.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // < ~4 MB per core: the exchange is trivially cheap and the CPU win is
+    // large; above that, assume the source already splits
+    if (bytes < BigInt(target) * (4L << 20)) df.repartition(target) else df
+  }
+
   /** Two-phase ("salted") aggregation for skewed group keys: rows are spread
     * over `saltFactor` sub-groups (deterministic hash of the whole row via a
     * stable column set), partially aggregated, then finally aggregated. Use

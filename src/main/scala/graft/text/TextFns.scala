@@ -117,4 +117,29 @@ object TextFns {
           i => concat_ws(" ", slice(w, i, lit(n)))))
         .otherwise(array(concat_ws(" ", w))))
   }
+
+  /** 64-bit hashes of the word n-gram shingles (distinct). Same equality
+    * classes as `wordShingles` (modulo 64-bit collisions) but no per-shingle
+    * string is ever materialized — a custom codegen'd Catalyst expression
+    * (graft.plans.ShingleHash) hashes tokens once and chains token hashes
+    * per window. This is the form every join/minhash consumer should use;
+    * `wordShingles` exists for callers that need the text itself.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.ShingleHash(
+        org.apache.spark.sql.graftshim.Shim.exprOf(text), n))
+
+  /** Reference formulation of `shingleHashes` in composed built-ins — kept
+    * as the differential oracle for the custom expression's equality
+    * classes (values differ by design; set sizes and overlaps must agree).
+    */
+  private[graft] def shingleHashesComposed(text: Column, n: Int): Column = {
+    val th = transform(tokens(text), t => xxhash64(t))
+    array_distinct(
+      when(size(th) >= n,
+        transform(sequence(lit(1), size(th) - n + 1),
+          i => xxhash64(slice(th, i, lit(n)))))
+        .otherwise(array(xxhash64(th))))
+  }
 }

@@ -148,6 +148,25 @@ class PipelineSpec extends AnyFunSuite {
     fast.foreach { case (id, sig) => assert(sig == slow(id), s"doc $id") }
   }
 
+  test("ShingleHash expression preserves the composed formulation's set structure") {
+    // values differ by design (different hash chaining); what consumers rely
+    // on is the set structure: per-doc distinct counts and cross-doc overlaps
+    def pairCommons(shingles: org.apache.spark.sql.Column): Map[(Long, Long), Long] = {
+      val sh = docs.select(col("doc_id").as("id"), explode(shingles).as("g"))
+      sh.as("a").join(sh.as("b"), Seq("g"))
+        .where(col("a.id") < col("b.id"))
+        .groupBy(col("a.id"), col("b.id")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val fastSz = docs.select(col("doc_id"), size(TextFns.shingleHashes(col("text"), 3)).as("sz"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val slowSz = docs.select(col("doc_id"), size(TextFns.shingleHashesComposed(col("text"), 3)).as("sz"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fastSz == slowSz)
+    assert(pairCommons(TextFns.shingleHashes(col("text"), 3))
+      == pairCommons(TextFns.shingleHashesComposed(col("text"), 3)))
+  }
+
   test("connectedComponents: transitive closure, keepCanonical drops dupes") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))

@@ -19,6 +19,28 @@ class ProfSpec extends AnyFunSuite {
     time("warmup shingles") {
       docs.select(explode(TextFns.wordShingles(col("text"), 3))).count()
     }
+    time("string shingles (warm)") {
+      docs.select(explode(TextFns.wordShingles(col("text"), 3))).count()
+    }
+    time("hash shingles (warm)") {
+      docs.select(explode(TextFns.shingleHashes(col("text"), 3))).count()
+    }
+    time("exact jaccard pairs") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    val shjac = docs.select(col("doc_id").as("id"),
+      explode(TextFns.shingleHashes(col("text"), 3)).as("g"))
+    time("jaccard: shingle explode") { shjac.count() }
+    val shC = shjac.cache(); shC.count()
+    time("jaccard: self-join commons") {
+      shC.as("a").join(shC.as("b"), Seq("g"))
+        .where(col("a.id") < col("b.id"))
+        .groupBy(col("a.id"), col("b.id")).count().count()
+    }
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).cache()
+    pairs.count()
+    time("connected components") { Dedup.connectedComponents(pairs).count() }
+    time("keepCanonical") { Dedup.keepCanonical(docs, "doc_id", pairs).count() }
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32, 42L)
     time("minhash signatures") { sigs.count() }
     time("minhash signatures again") { sigs.count() }

@@ -6,13 +6,22 @@ import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`array<float/double>`).
   * Brute-force cosine top-k as the exact baseline; random-hyperplane LSH and
-  * IVF (coarse-quantizer probing) as the sublinear scale paths. All math is
-  * native `zip_with`/`aggregate` higher-order functions — codegen'd, no UDFs.
+  * IVF (coarse-quantizer probing) as the sublinear scale paths. The inner
+  * vector math is a custom codegen'd Catalyst expression
+  * (graft.plans.DotProduct) — no UDFs, no interpreted lambda dispatch in the
+  * dims × planes × rows hot loop.
   */
 object Similarity {
 
-  /** Dot product of two array columns. */
+  /** Dot product of two array columns (codegen'd custom expression). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.DotProduct(
+        org.apache.spark.sql.graftshim.Shim.exprOf(a),
+        org.apache.spark.sql.graftshim.Shim.exprOf(b)))
+
+  /** Composed-builtins formulation — the differential oracle for DotProduct. */
+  private[graft] def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -36,7 +45,7 @@ object Similarity {
       val proj = dot(col(vecCol), array(p.map(lit): _*))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    graft.ops.Scale.spread(df).select(col(idCol).as("id"), col(vecCol).as("vec"),
       sigBits.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
@@ -47,7 +56,8 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    val c = graft.ops.Scale.spread(corpus)
+      .select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
@@ -69,8 +79,9 @@ object Similarity {
         struct(lit(t).as("table"),
           hyperplaneSigCol(col(vecCol), dim, nPlanes, seed + t).as("sig"))
       }
-      df.select(col(idCol).as(name + "_id"), col(vecCol).as(name + "_vec"),
-        explode(array(sigs: _*)).as("ts"))
+      graft.ops.Scale.spread(df)
+        .select(col(idCol).as(name + "_id"), col(vecCol).as(name + "_vec"),
+          explode(array(sigs: _*)).as("ts"))
         .select(col(name + "_id"), col(name + "_vec"),
           col("ts.table").as("table"), col("ts.sig").as("sig"))
     }
@@ -113,7 +124,8 @@ object Similarity {
       .cache()
 
     def assign(df: DataFrame, name: String, nNearest: Int) = {
-      val scored = df.select(col(idCol).as(name + "_id"), col(vecCol).as(name + "_vec"))
+      val scored = graft.ops.Scale.spread(df)
+        .select(col(idCol).as(name + "_id"), col(vecCol).as(name + "_vec"))
         .crossJoin(broadcast(centroids))
         .withColumn("cdist", cosine(col(name + "_vec"), col("cvec")))
       val w = Window.partitionBy(name + "_id").orderBy(desc("cdist"))

@@ -167,6 +167,21 @@ class PipelineSpec extends AnyFunSuite {
       == pairCommons(TextFns.shingleHashesComposed(col("text"), 3)))
   }
 
+  test("DotProduct expression equals the composed zip_with/aggregate formulation") {
+    import spark.implicits._
+    val diff = emb.select(
+        Similarity.dot(col("embedding"), col("embedding")).as("fast"),
+        Similarity.dotComposed(col("embedding"), col("embedding")).as("slow"))
+      .filter(abs(col("fast") - col("slow")) > 1e-9).count()
+    assert(diff == 0)
+    // null semantics: mismatched lengths and null elements yield NULL
+    val odd = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(odd.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
+    val withNull = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    assert(withNull.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("connectedComponents: transitive closure, keepCanonical drops dupes") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))

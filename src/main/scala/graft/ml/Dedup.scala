@@ -170,15 +170,30 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidates via
     * 4×16-bit chunk banding (pigeonhole: distance <=3 guarantees one equal
-    * chunk), then exact popcount filter — no n² comparison.
+    * chunk), then exact popcount filter — no n² comparison. `maxBucket`
+    * drops chunk buckets holding more than that many docs: one hot chunk
+    * value (short/templated docs collapsing to similar fingerprints) emits
+    * bucket² candidate rows, the quadratic failure mode at corpus scale.
+    * Unlike Jaccard stop-shingles this CAN lose guaranteed candidates (a
+    * pair's only shared chunk may be the dropped one), so the default is
+    * generous; set <= 0 to disable.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val sh = simhash(df, idCol, textCol).cache()
-    val chunked = sh.select(col("id"), col("simhash"),
+    val chunked0 = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "ckey"))
+    val chunked =
+      if (maxBucket <= 0) chunked0
+      else {
+        // windowed count over the join key — the self-join below reuses the
+        // same hash partitioning, so the guard costs no extra shuffle
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ckey")
+        chunked0.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= maxBucket).drop("__n")
+      }
     chunked.as("a").join(chunked.as("b"), Seq("chunk", "ckey"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -99,9 +99,34 @@ object Reshape {
   def pivotLonger(t: Tbl, sel: Seq[Sel], namesTo: Seq[String],
                   valuesTo: String = "value", namesSep: Option[String] = None,
                   namesPattern: Option[String] = None, namesPrefix: Option[String] = None,
-                  valuesDropNa: Boolean = false): Tbl = {
+                  valuesDropNa: Boolean = false,
+                  namesRepair: String = "check_unique"): Tbl = {
     val valueCols = Sel.resolveT(t.typedFields, sel).map(_._2)
     val idCols = t.cols.filterNot(valueCols.contains)
+
+    // names_repair (tidyr pivot_long.py name-repair strategies):
+    // "check_unique" raises on an output name colliding with an id column;
+    // "unique" deduplicates with a _k suffix (tidyr's "...k" would break
+    // Spark's dotted column resolution — documented divergence)
+    def repair(outNames: Seq[String]): Map[String, String] = namesRepair match {
+      case "check_unique" =>
+        outNames.find(idCols.contains).foreach(c => throw GraftError(
+          s"pivot_longer: output name '$c' collides with an id column " +
+            "(names_repair=check_unique; use names_repair=unique to suffix)"))
+        outNames.map(c => c -> c).toMap
+      case "unique" =>
+        outNames.map { c =>
+          if (!idCols.contains(c)) c -> c
+          else {
+            var k = 1
+            var nm = s"${c}_$k"
+            while (idCols.contains(nm) || outNames.contains(nm)) { k += 1; nm = s"${c}_$k" }
+            c -> nm
+          }
+        }.toMap
+      case other => throw GraftError(
+        s"pivot_longer: names_repair must be check_unique or unique, got '$other'")
+    }
 
     // spec: column -> part values, driver-side string work only
     def parts(c: String): Seq[String] = {
@@ -129,10 +154,13 @@ object Reshape {
         struct(namesTo.zip(ps).map { case (n, v) => lit(v).as(n) } :+
           col(c).cast(vt).as(valuesTo): _*)
       }
+      val rep = repair(namesTo :+ valuesTo)
       val out = t.df
         .select(idCols.map(col) :+ explode(array(entries: _*)).as("__kv"): _*)
-        .select(idCols.map(col) ++ (namesTo :+ valuesTo).map(n => col(s"__kv.$n")): _*)
-      Tbl(if (valuesDropNa) out.filter(col(valuesTo).isNotNull) else out, t.groups, Nil)
+        .select(idCols.map(col) ++
+          (namesTo :+ valuesTo).map(n => col(s"__kv.$n").as(rep(n))): _*)
+      Tbl(if (valuesDropNa) out.filter(col(rep(valuesTo)).isNotNull) else out,
+          t.groups, Nil)
     } else {
       // .value: that part names the output column; remaining parts key rows
       val vIdx = namesTo.indexOf(".value")
@@ -149,9 +177,11 @@ object Reshape {
             bySpec.get((combo, vn)).map(c => col(c)).getOrElse(lit(null)).as(vn)
           }: _*)
       }
+      val rep = repair(keyParts ++ valueNames)
       val out = t.df
         .select(idCols.map(col) :+ explode(array(entries: _*)).as("__kv"): _*)
-        .select(idCols.map(col) ++ (keyParts ++ valueNames).map(n => col(s"__kv.$n")): _*)
+        .select(idCols.map(col) ++
+          (keyParts ++ valueNames).map(n => col(s"__kv.$n").as(rep(n))): _*)
       Tbl(out, t.groups, Nil)
     }
   }

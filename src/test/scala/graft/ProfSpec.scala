@@ -53,5 +53,12 @@ class ProfSpec extends AnyFunSuite {
     time("composed signatures") { composed.count() }
     time("simhash") { Dedup.simhash(docs, "doc_id", "text").count() }
     time("simhashPairs") { Dedup.simhashPairs(docs, "doc_id", "text").count() }
+    val sh64 = Dedup.simhash(docs, "doc_id", "text").cache(); sh64.count()
+    val chunked = sh64.select(col("id"),
+      explode(org.apache.spark.sql.functions.array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)).as("ckey"))
+    val buckets = chunked.groupBy("ckey").count()
+    println("[prof] simhash bucket stats: " + buckets.agg(
+      max("count").as("max"), expr("sum(count*count)").as("joinrows")).head())
   }
 }

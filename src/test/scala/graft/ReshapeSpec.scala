@@ -262,6 +262,20 @@ class ReshapeSpec extends AnyFunSuite {
       .getDouble(f.columns.indexOf("b")) == 0.5)
   }
 
+  test("pivot_longer names_repair: check_unique raises on collision, unique suffixes") {
+    import spark.implicits._
+    // names_to = "key" collides with the id column "key"
+    val df = Seq(("k1", 1.0, 2.0)).toDF("key", "a", "b")
+    intercept[GraftError] {
+      Reshape.pivotLonger(Tbl(df), Seq(Sel.Name("a"), Sel.Name("b")),
+        namesTo = Seq("key"))
+    }
+    val out = Reshape.pivotLonger(Tbl(df), Seq(Sel.Name("a"), Sel.Name("b")),
+      namesTo = Seq("key"), namesRepair = "unique").df
+    assert(out.columns.toSeq == Seq("key", "key_1", "value"))
+    assert(out.select("key_1").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
   test("pivot_longer keeps string values intact; mixed numerics widen; incompatible raises") {
     import spark.implicits._
     val strs = Seq((1, "x", "y"), (2, "p", "q")).toDF("id", "a", "b")

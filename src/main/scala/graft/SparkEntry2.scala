@@ -331,6 +331,13 @@ object SparkEntry2 {
           "avg_digit" -> round(avg(col("digits")), 4))
         .df),
 
+    "q_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate("n_ws"  -> TextFns.tokenCount(col("text")).cast("long"),
+                "n_bpe" -> TextFns.bpeTokenCount(col("text")))
+        .select(Seq("doc_id", "n_ws", "n_bpe"): _*)
+        .df),
+
     "q_quality_score" -> ((s, dir) =>
       t(s, dir, "documents")
         .mutate("quality" -> TextFns.qualityScore(col("text")))
@@ -464,6 +471,11 @@ object SparkEntry2 {
         |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
         |    ELSE 0.0 END), 4) AS avg_digit
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
     "q_quality_score" ->
       """WITH q AS (SELECT lang,
         |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tok,

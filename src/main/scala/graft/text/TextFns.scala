@@ -14,6 +14,15 @@ object TextFns {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Approximate BPE pre-tokenizer token count: GPT-2-style split into
+    * space-prefixed letter runs, digit runs, and punctuation runs. Uses the
+    * RE2-safe subset (no contraction or lookahead rules) so the same
+    * pattern runs in any regex engine; counts pieces, not merges — the
+    * standard cheap proxy for LLM token budgeting over a corpus.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+")).cast("long")
+
   def charCount(text: Column): Column = length(text)
 
   /** Collapse whitespace + lowercase — canonical form for fingerprinting. */

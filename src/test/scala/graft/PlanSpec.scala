@@ -49,4 +49,19 @@ class PlanSpec extends AnyFunSuite {
     // sequential withColumns fold into one Project over the scan
     assert(p.split("\\bProject\\b").length <= 3, p.take(800))
   }
+
+  test("custom expressions (shingle_hash, dot_product) stay in whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the "*(n)" operator prefix marks membership in a WholeStageCodegen stage
+    def inCodegen(p: String, expr: String): Boolean =
+      p.linesIterator.exists(l => l.contains(expr) && l.trim.stripPrefix("+- ").startsWith("*("))
+    val sp = docs.select(graft.text.TextFns.shingleHashes(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    assert(inCodegen(sp, "shingle_hash"), sp.take(600))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dp = emb.select(graft.ml.Similarity.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(inCodegen(dp, "dot_product"), dp.take(600))
+  }
 }

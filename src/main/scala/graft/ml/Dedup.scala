@@ -137,17 +137,17 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+    // est_jaccard is identical for every duplicate of a pair (one per
+    // colliding band), so score and filter BEFORE dropDuplicates: the
+    // k-long signature arrays never enter the dedup shuffle, and only
+    // above-threshold pairs do
+    banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-          lit(0), (acc, v) => acc + v).cast("double") / k)
+        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => (x === y).cast("int")),
+          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash: 64-bit locality-sensitive content hash. Per doc, each token
@@ -188,20 +188,28 @@ object Dedup {
     val chunked =
       if (maxBucket <= 0) chunked0
       else {
-        // windowed count over the join key — the self-join below reuses the
-        // same hash partitioning, so the guard costs no extra shuffle
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ckey")
-        chunked0.withColumn("__n", count(lit(1)).over(w))
-          .filter(col("__n") <= maxBucket).drop("__n")
+        // hot buckets (count > maxBucket) are few by construction — a tiny
+        // aggregate + broadcast anti-join, NOT a window: chunked0 feeds both
+        // sides of the self-join below, and a windowed guard would shuffle
+        // and sort the full chunk table once per side. The chunk table is
+        // 4 rows per doc — cache it so the probe and both join sides share
+        // one materialization.
+        val c0 = chunked0.cache()
+        val hot = c0.groupBy("chunk", "ckey")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select("chunk", "ckey")
+        c0.join(broadcast(hot), Seq("chunk", "ckey"), "left_anti")
       }
+    // hamming is identical for every duplicate of a pair (one per shared
+    // chunk), so filter FIRST: the popcount is a codegen'd scalar while
+    // dropDuplicates is a shuffle — dedup only the survivors, not the full
+    // candidate set
     chunked.as("a").join(chunked.as("b"), Seq("chunk", "ckey"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Connected components over a near-dup pair table ((id_a, id_b) edges):

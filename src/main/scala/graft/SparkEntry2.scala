@@ -517,11 +517,15 @@ object SparkEntry2 {
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
         |    FROM documents),
-        |  sh AS (SELECT doc_id, unnest(list_distinct(
+        |  sh0 AS (SELECT doc_id, unnest(list_distinct(
         |      CASE WHEN len(w) >= 3 THEN
         |        list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
         |      ELSE [array_to_string(w, ' ')] END)) AS g
         |    FROM toks),
+        |  -- stop-shingle guard mirrors graft's maxDf=1000 default: shingles
+        |  -- in >1000 docs are excluded from sizes AND overlaps consistently
+        |  sh AS (SELECT sh0.* FROM sh0
+        |    JOIN (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 1000) ok USING (g)),
         |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
         |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -585,11 +589,13 @@ object SparkEntry2 {
     "q_dedup_resolve" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
         |    FROM documents),
-        |  sh AS (SELECT doc_id, unnest(list_distinct(
+        |  sh0 AS (SELECT doc_id, unnest(list_distinct(
         |      CASE WHEN len(w) >= 3 THEN
         |        list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
         |      ELSE [array_to_string(w, ' ')] END)) AS g
         |    FROM toks),
+        |  sh AS (SELECT sh0.* FROM sh0
+        |    JOIN (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 1000) ok USING (g)),
         |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |  prs AS (SELECT id_a, id_b FROM (
         |      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common

@@ -91,8 +91,11 @@ object Fns {
         / sub.length).cast("long")
     /** 0-based index of first occurrence, -1 if absent (str.find). */
     def find(c: Column, sub: String): Column = (instr(c, sub) - 1).cast("long")
-    /** Left-pad with zeros (str.zfill). */
-    def zfill(c: Column, width: Int): Column = lpad(c, width, "0")
+    /** Left-pad with zeros (str.zfill). Python zfill never truncates, Spark
+      * lpad does — guard values already at or over the width.
+      */
+    def zfill(c: Column, width: Int): Column =
+      when(length(c) >= width, c).otherwise(lpad(c, width, "0"))
     /** Character at position i, 0-based (str.get). */
     def get(c: Column, i: Int): Column = substring(c, i + 1, 1)
     /** str.slice(start, stop), 0-based half-open like Python. */
@@ -133,8 +136,11 @@ object Fns {
     def isLower(c: Column): Column   = (c === lower(c)) && c.rlike("[A-Za-z]")
     def isTitle(c: Column): Column   = c === initcap(c) && c.rlike("[A-Za-z]")
     def title(c: Column): Column     = initcap(c)
-    def pad(c: Column, width: Int, side: String = "left", fill: String = " "): Column =
-      side match {
+    /** str.pad: pandas/Python padding never truncates values already at or
+      * over the width (Spark's lpad/rpad do) — hence the length guard.
+      */
+    def pad(c: Column, width: Int, side: String = "left", fill: String = " "): Column = {
+      val padded = side match {
         case "left"  => lpad(c, width, fill)
         case "right" => rpad(c, width, fill)
         case "both"  =>
@@ -142,6 +148,8 @@ object Fns {
           val lpadLen = (length(c) + floor(extra / 2)).cast("int")
           rpad(lpad(c, lpadLen, lit(fill)), lit(width), lit(fill))
       }
+      when(length(c) >= width, c).otherwise(padded)
+    }
   }
 
   // ---- datetime (generics.py:187-236; SQL base.py:312-360) ----------------

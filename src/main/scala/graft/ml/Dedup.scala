@@ -9,6 +9,13 @@ import graft.text.TextFns
   * expressed as joins/aggregations over exploded keys — the standard
   * shuffle-bounded formulation that scales horizontally; nothing collects to
   * the driver.
+  *
+  * Caching note: pair generators cache small per-call intermediates (the
+  * shingle / signature / chunk tables) because each feeds multiple
+  * consumers within the call. They are not unpersisted — the result is
+  * lazy. For repeated sweeps (thresholds, band/row grids), persist
+  * signatures once and re-band via `lshPairsFromSignatures`, and
+  * `spark.catalog.clearCache()` between sweeps.
   */
 object Dedup {
 
@@ -50,11 +57,14 @@ object Dedup {
     }
   }
 
-  /** Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
-    * Self-join on shingle → common counts; set sizes joined back; this is the
-    * brute-force ground truth MinHash approximates. `maxDf` (default 1000)
-    * drops stop-shingles before the self-join — without it one shingle in d
-    * docs emits d² candidate rows; pass maxDf <= 0 to opt out explicitly.
+  /** N-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
+    * Self-join on shingle → common counts; set sizes joined back. `maxDf`
+    * (default 1000) drops stop-shingles before the self-join — without it
+    * one shingle in d docs emits d² candidate rows. With maxDf > 0 the
+    * jaccard is computed over the FILTERED shingle sets (numerator and
+    * denominators consistently), a principled stop-word approximation; pass
+    * maxDf <= 0 for exact brute-force Jaccard — the ground truth MinHash is
+    * graded against in PipelineSpec.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,

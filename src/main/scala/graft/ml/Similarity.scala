@@ -128,7 +128,9 @@ object Similarity {
         .select(col(idCol).as(name + "_id"), col(vecCol).as(name + "_vec"))
         .crossJoin(broadcast(centroids))
         .withColumn("cdist", cosine(col(name + "_vec"), col("cvec")))
-      val w = Window.partitionBy(name + "_id").orderBy(desc("cdist"))
+      // centroid_id tie-break: equal-distance (or NaN) centroids must pick
+      // the same winner on every run for deterministic assignment
+      val w = Window.partitionBy(name + "_id").orderBy(desc("cdist"), col("centroid_id"))
       scored.withColumn("crk", row_number().over(w)).filter(col("crk") <= nNearest)
         .select(col(name + "_id"), col(name + "_vec"), col("centroid_id"))
     }

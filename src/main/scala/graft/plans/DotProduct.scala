@@ -50,7 +50,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case IntegerType => (a, i) => a.getInt(i).toDouble
     case ShortType  => (a, i) => a.getShort(i).toDouble
     case ByteType   => (a, i) => a.getByte(i).toDouble
-    case other      => (a, i) => a.get(i, other).asInstanceOf[Number].doubleValue()
+    case d: DecimalType => (a, i) => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalStateException(
+      s"dot_product: unsupported element type ${other.catalogString}")
   }
 
   def compute(l: ArrayData, r: ArrayData): java.lang.Double = {

@@ -30,13 +30,17 @@ object Reshape {
     }
 
   /** Common type for a set of columns being stacked into one: identical
-    * types are kept, mixed numerics widen to double, anything else raises.
+    * types are kept, mixed integrals widen to long (lossless — a double
+    * would silently drop bits above 2^53), integral+fractional mixes widen
+    * to double, anything else raises.
     */
   private def commonType(fields: Seq[(String, org.apache.spark.sql.types.DataType)],
                          cols: Seq[String], what: String): org.apache.spark.sql.types.DataType = {
-    import org.apache.spark.sql.types.{DoubleType, NumericType}
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, DoubleType, NumericType, DataType}
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
     val dts = cols.flatMap(c => fields.collectFirst { case (n, dt) if n == c => dt }).distinct
     if (dts.size == 1) dts.head
+    else if (dts.forall(integral)) LongType
     else if (dts.forall(_.isInstanceOf[NumericType])) DoubleType
     else throw GraftError(
       s"$what: value columns mix incompatible types (${dts.mkString(", ")}); cast them to a common type first")

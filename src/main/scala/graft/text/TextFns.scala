@@ -57,12 +57,16 @@ object TextFns {
       length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text))
       .otherwise(lit(0.0))
 
-  /** Count of occurrences of `word` as a whole token (case-insensitive).
-    * Counts matching tokens directly — a padded-substring trick undercounts
-    * adjacent occurrences ("the the") because the shared space is consumed.
+  /** Count of whole-token occurrences of `word` (case-insensitive); `word`
+    * may be a multi-token phrase. Zero-width lookarounds keep adjacent
+    * occurrences countable ("the the" counts 2 — a padded-substring trick
+    * consumes the shared space and undercounts) and regexp_count is
+    * codegen'd, no per-token lambda.
     */
-  def wordCount(text: Column, word: String): Column =
-    size(filter(tokens(text), t => t === lit(word.toLowerCase))).cast("long")
+  def wordCount(text: Column, word: String): Column = {
+    val q = java.util.regex.Pattern.quote(word.toLowerCase)
+    regexp_count(lower(text), lit(s"(?<!\\S)$q(?!\\S)")).cast("long")
+  }
 
   /** Stopword density: fraction of tokens from the given stopword set.
     * One tokenization pass; the stopword set folds into the filter lambda.

@@ -54,12 +54,25 @@ class MiscSpec extends AnyFunSuite {
       .collect().forall(_.getInt(2) == 2))
   }
 
-  test("wordCount counts adjacent whole-token occurrences") {
+  test("wordCount counts adjacent whole-token occurrences and phrases") {
     import spark.implicits._
     val d = Seq(" the the ", "the theater the", "THE the").toDF("t")
     val out = d.select(graft.text.TextFns.wordCount(col("t"), "the"))
       .collect().map(_.getLong(0)).toSeq
     assert(out == Seq(2L, 2L, 2L)) // adjacent pair counts 2; 'theater' doesn't match
+    val ph = Seq("in New York new york style", "newark york").toDF("t")
+    val pc = ph.select(graft.text.TextFns.wordCount(col("t"), "new york"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(pc == Seq(2L, 0L))
+  }
+
+  test("pad/zfill/center never truncate values at or over the width (Python semantics)") {
+    import spark.implicits._
+    val d = Seq("abcdefgh").toDF("s")
+    assert(d.select(Fns.Str.pad(col("s"), 5, "both", "_")).head().getString(0) == "abcdefgh")
+    assert(d.select(Fns.Str.center(col("s"), 5, "_")).head().getString(0) == "abcdefgh")
+    assert(d.select(Fns.Str.zfill(col("s"), 5)).head().getString(0) == "abcdefgh")
+    assert(d.select(Fns.Str.pad(col("s"), 10, "left", "_")).head().getString(0) == "__abcdefgh")
   }
 
   test("ceilDate rounds up except on boundaries") {

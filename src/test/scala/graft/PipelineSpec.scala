@@ -180,6 +180,10 @@ class PipelineSpec extends AnyFunSuite {
     val withNull = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
       .toDF("a", "b")
     assert(withNull.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
+    // decimal element arrays evaluate (regression: Decimal is not a Number)
+    val dec = Seq((Seq(BigDecimal(2), BigDecimal(3)), Seq(BigDecimal(4), BigDecimal(5))))
+      .toDF("a", "b")
+    assert(dec.select(Similarity.dot(col("a"), col("b"))).head().getDouble(0) == 23.0)
   }
 
   test("connectedComponents: transitive closure, keepCanonical drops dupes") {

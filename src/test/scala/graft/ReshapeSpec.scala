@@ -288,6 +288,12 @@ class ReshapeSpec extends AnyFunSuite {
     val wide = Reshape.pivotLonger(Tbl(mixed), Seq(Sel.Name("i"), Sel.Name("d")),
       namesTo = Seq("key")).df
     assert(wide.schema("value").dataType == org.apache.spark.sql.types.DoubleType)
+    // int + long widen to long (not double — 2^53+ would lose bits)
+    val ints = Seq((1, 2, 9007199254740993L)).toDF("id", "i", "l")
+    val widel = Reshape.pivotLonger(Tbl(ints), Seq(Sel.Name("i"), Sel.Name("l")),
+      namesTo = Seq("key")).df
+    assert(widel.schema("value").dataType == org.apache.spark.sql.types.LongType)
+    assert(widel.where(col("key") === "l").head().getLong(2) == 9007199254740993L)
     // string + int is incompatible → loud error, not silent NULLs
     val bad = Seq((1, "x", 2)).toDF("id", "s", "i")
     intercept[GraftError] {

@@ -186,6 +186,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(dec.select(Similarity.dot(col("a"), col("b"))).head().getDouble(0) == 23.0)
   }
 
+  test("ShingleHash matches composed on adversarial texts (whitespace, unicode, repeats)") {
+    import spark.implicits._
+    val texts = Seq(
+      "", " ", "\t", "a", "a b", "a b c", "a  b   c", "x x x x",
+      "ümlaut Ünïcode ümlaut deja vu déjà vu", "tab\tsep mixed \n newline",
+      "a b c a b c a b c", "UPPER lower MiXeD upper LOWER mixed",
+      "  leading and trailing  ", "one-token", "punct, punct. punct!"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    def structure(sh: org.apache.spark.sql.Column): (Map[Long, Int], Map[(Long, Long), Long]) = {
+      val sizes = df.select(col("doc_id"), size(sh).as("sz"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val ex = df.select(col("doc_id").as("id"), explode(sh).as("g"))
+      val overlaps = ex.as("a").join(ex.as("b"), Seq("g"))
+        .where(col("a.id") < col("b.id"))
+        .groupBy(col("a.id"), col("b.id")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      (sizes, overlaps)
+    }
+    val fast = structure(TextFns.shingleHashes(col("text"), 3))
+    val slow = structure(TextFns.shingleHashesComposed(col("text"), 3))
+    assert(fast._1 == slow._1, "per-doc distinct shingle counts diverge")
+    assert(fast._2 == slow._2, "cross-doc overlap structure diverges")
+  }
+
   test("connectedComponents: transitive closure, keepCanonical drops dupes") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))

@@ -190,25 +190,24 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    val sh = simhash(df, idCol, textCol).cache()
-    val chunked0 = sh.select(col("id"), col("simhash"),
+    // one cache, at the chunk level: it feeds the hot-bucket probe and both
+    // self-join sides; an additional signature-level cache would only pay
+    // a second materialization for a single consumer
+    val chunked0 = simhash(df, idCol, textCol).select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "ckey"))
+      .cache()
     val chunked =
       if (maxBucket <= 0) chunked0
       else {
         // hot buckets (count > maxBucket) are few by construction — a tiny
-        // aggregate + broadcast anti-join, NOT a window: chunked0 feeds both
-        // sides of the self-join below, and a windowed guard would shuffle
-        // and sort the full chunk table once per side. The chunk table is
-        // 4 rows per doc — cache it so the probe and both join sides share
-        // one materialization.
-        val c0 = chunked0.cache()
-        val hot = c0.groupBy("chunk", "ckey")
+        // aggregate + broadcast anti-join, NOT a window, which would
+        // shuffle and sort the full chunk table once per self-join side
+        val hot = chunked0.groupBy("chunk", "ckey")
           .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
           .select("chunk", "ckey")
-        c0.join(broadcast(hot), Seq("chunk", "ckey"), "left_anti")
+        chunked0.join(broadcast(hot), Seq("chunk", "ckey"), "left_anti")
       }
     // hamming is identical for every duplicate of a pair (one per shared
     // chunk), so filter FIRST: the popcount is a codegen'd scalar while

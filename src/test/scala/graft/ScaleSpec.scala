@@ -87,6 +87,19 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("spread widens small inputs and is a strict no-op on wide ones") {
+    // small: the sf0.001 documents scan is one tiny row group → repartition
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sp = graft.ops.Scale.spread(docs)
+    assert(sp.queryExecution.optimizedPlan.toString.contains("Repartition"),
+      "small input should be spread")
+    // wide: stats above the per-core floor → the SAME frame comes back,
+    // no exchange added (decided from Catalyst stats, no job runs)
+    val big = spark.range(1000L * 1000 * 1000)
+    assert(graft.ops.Scale.spread(big.toDF()).queryExecution.optimizedPlan
+      == big.toDF().queryExecution.optimizedPlan)
+  }
+
   test("partitioned write prunes partitions on read") {
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -717,6 +717,21 @@ object SparkEntry2 {
         .withColumnRenamed("o_orderkey_right", "snap_orderkey")
     }),
 
+    // range join via coarse bucketing — no inequality BNLJ amplification
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").df
+      val iv = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("iv_id"), col("ts").as("start_ts"),
+                (col("ts") + lit(60000000000L)).as("end_ts"))
+      val pt = ev.select(col("ts"), col("value"))
+      val joined = graft.ops.RangeJoin.pointInInterval(
+        pt, iv, "ts", "start_ts", "end_ts", bucketWidth = 60000000000L)
+      Tbl(joined).groupBy("iv_id")
+        .summarize("n_pts" -> Fns.Agg.n(),
+                   "sum_v" -> round(sum(col("value")), 2))
+        .df
+    }),
+
     // rolling (trailing 3-row) window family — extension
     "q_rolling" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -844,6 +859,14 @@ object SparkEntry2 {
         |  (SELECT o_custkey, o_orderkey, o_totalprice AS snap_price
         |   FROM orders WHERE o_orderstatus = 'F') r
         |ON l.o_custkey = r.o_custkey AND l.o_orderkey >= r.o_orderkey""".stripMargin,
+    "q_range_join" ->
+      """WITH iv AS (SELECT event_id AS iv_id, epoch_ns(ts) AS start_ts,
+        |              epoch_ns(ts) + 60000000000 AS end_ts
+        |            FROM events WHERE event_id % 100 = 0),
+        |  pt AS (SELECT epoch_ns(ts) AS pts, value FROM events)
+        |SELECT iv_id, count(*) AS n_pts, round(sum(value), 2) AS sum_v
+        |FROM iv JOIN pt ON pts >= start_ts AND pts <= end_ts
+        |GROUP BY 1""".stripMargin,
     "q_rolling" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER w3, 2) AS r_sum,

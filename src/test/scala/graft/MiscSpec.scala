@@ -54,6 +54,23 @@ class MiscSpec extends AnyFunSuite {
       .collect().forall(_.getInt(2) == 2))
   }
 
+  test("RangeJoin: inclusive bounds, bucket straddling, each pair exactly once") {
+    import spark.implicits._
+    // interval [10, 30] spans buckets 1,2,3 at width 10
+    val iv = Seq((1L, 10L, 30L), (2L, 100L, 105L)).toDF("iv_id", "s", "e")
+    val pt = Seq(10L, 15L, 25L, 30L, 31L, 103L).toDF("p")
+    val out = graft.ops.RangeJoin.pointInInterval(pt, iv, "p", "s", "e", 10L)
+      .select("iv_id", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (1L, 15L), (1L, 25L), (1L, 30L), (2L, 103L)))
+    // overlap: [0,25]x[20,40] overlap (counted once though they share
+    // buckets 2 AND... overlap start 20 → bucket 2 only); [0,5]x[50,60] none
+    val a = Seq((1L, 0L, 25L), (2L, 0L, 5L)).toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, 20L, 40L), (20L, 50L, 60L)).toDF("b_id", "b_s", "b_e")
+    val ov = graft.ops.RangeJoin.intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e", 10L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ov == Seq((1L, 10L))) // exactly once, no duplicates
+  }
+
   test("wordCount counts adjacent whole-token occurrences and phrases") {
     import spark.implicits._
     val d = Seq(" the the ", "the theater the", "THE the").toDF("t")

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact integral bucket id. `floor(col / width)` would divide in DOUBLE:
+    * epoch-nanosecond longs exceed 2^53, so values near a bucket boundary
+    * could land in the wrong bucket — a silently MISSED pair (the
+    * post-filter removes false positives but cannot recover false
+    * negatives). `div` is 64-bit integer division; truncation (vs floor) is
+    * monotone, so the interval's bucket range always covers every contained
+    * point's bucket, for negative domains too. Range columns must be
+    * integral (cast timestamps to epoch numbers first).
+    */
+  private def bucketOf(name: String, width: Long) =
+    expr(s"`$name` div ${width}L")
+
   /** Point-in-interval join: each `points` row pairs with every `intervals`
     * row whose [startCol, endCol] contains its `ptCol` (both ends
     * inclusive). Intervals explode to their covering buckets; a point lives
@@ -28,10 +40,10 @@ object RangeJoin {
                       ptCol: String, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val pts = points.withColumn("__b", floor(col(ptCol) / bucketWidth).cast("long"))
+    val pts = points.withColumn("__b", bucketOf(ptCol, bucketWidth))
     val ivs = intervals.withColumn("__b",
-      explode(sequence(floor(col(startCol) / bucketWidth).cast("long"),
-                       floor(col(endCol) / bucketWidth).cast("long"))))
+      explode(sequence(bucketOf(startCol, bucketWidth),
+                       bucketOf(endCol, bucketWidth))))
     pts.join(ivs, Seq("__b"))
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__b")
@@ -49,11 +61,12 @@ object RangeJoin {
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def banded(df: DataFrame, s: String, e: String) = df.withColumn("__b",
-      explode(sequence(floor(col(s) / bucketWidth).cast("long"),
-                       floor(col(e) / bucketWidth).cast("long"))))
+      explode(sequence(bucketOf(s, bucketWidth), bucketOf(e, bucketWidth))))
+    val overlapStartBucket =
+      expr(s"greatest(`$lStart`, `$rStart`) div ${bucketWidth}L")
     banded(left, lStart, lEnd).join(banded(right, rStart, rEnd), Seq("__b"))
       .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
-        col("__b") === floor(greatest(col(lStart), col(rStart)) / bucketWidth).cast("long"))
+        col("__b") === overlapStartBucket)
       .drop("__b")
   }
 }

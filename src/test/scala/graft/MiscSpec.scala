@@ -69,6 +69,16 @@ class MiscSpec extends AnyFunSuite {
     val ov = graft.ops.RangeJoin.intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e", 10L)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(ov == Seq((1L, 10L))) // exactly once, no duplicates
+    // epoch-ns magnitude (> 2^53): bucket ids must come from integer
+    // division — a double floor(x/w) mis-buckets boundary-adjacent points
+    val w = 60000000000L
+    val base = 1700000000000000000L
+    val bnd = base - base % w // exact bucket boundary near 1.7e18
+    val ivNs = Seq((1L, bnd, bnd + w - 1)).toDF("iv_id", "s", "e")
+    val ptNs = Seq(bnd, bnd - 1, bnd + w - 1, bnd + w).toDF("p")
+    val hits = graft.ops.RangeJoin.pointInInterval(ptNs, ivNs, "p", "s", "e", w)
+      .select("p").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(bnd, bnd + w - 1))
   }
 
   test("wordCount counts adjacent whole-token occurrences and phrases") {

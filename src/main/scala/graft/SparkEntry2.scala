@@ -732,6 +732,21 @@ object SparkEntry2 {
         .df
     }),
 
+    // interval-overlap join: session-ish windows from two event types
+    "q_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events").df
+      val a = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("a_id"), col("ts").as("a_s"),
+                (col("ts") + lit(120000000000L)).as("a_e"))
+      val b = ev.filter(col("event_id") % 89 === 0)
+        .select(col("event_id").as("b_id"), col("ts").as("b_s"),
+                (col("ts") + lit(120000000000L)).as("b_e"))
+      Tbl(graft.ops.RangeJoin.intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e",
+          bucketWidth = 120000000000L))
+        .select(Seq("a_id", "b_id"): _*)
+        .df
+    }),
+
     // rolling (trailing 3-row) window family — extension
     "q_rolling" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -859,6 +874,14 @@ object SparkEntry2 {
         |  (SELECT o_custkey, o_orderkey, o_totalprice AS snap_price
         |   FROM orders WHERE o_orderstatus = 'F') r
         |ON l.o_custkey = r.o_custkey AND l.o_orderkey >= r.o_orderkey""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id, epoch_ns(ts) AS a_s,
+        |             epoch_ns(ts) + 120000000000 AS a_e
+        |           FROM events WHERE event_id % 97 = 0),
+        |  b AS (SELECT event_id AS b_id, epoch_ns(ts) AS b_s,
+        |          epoch_ns(ts) + 120000000000 AS b_e
+        |        FROM events WHERE event_id % 89 = 0)
+        |SELECT a_id, b_id FROM a JOIN b ON a_s <= b_e AND b_s <= a_e""".stripMargin,
     "q_range_join" ->
       """WITH iv AS (SELECT event_id AS iv_id, epoch_ns(ts) AS start_ts,
         |              epoch_ns(ts) + 60000000000 AS end_ts

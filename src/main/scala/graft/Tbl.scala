@@ -347,6 +347,20 @@ final case class Tbl(
   def semiJoin(right: Tbl): Tbl  = semiJoin(right, sharedKeys(right, "semi_join"))
   def antiJoin(right: Tbl): Tbl  = antiJoin(right, sharedKeys(right, "anti_join"))
 
+  /** As-of (backward) join sugar over [[graft.ops.AsofJoin]]: most recent
+    * right row with ts <= left ts per key. Union+window, no row blow-up.
+    */
+  def asofJoin(right: Tbl, key: String, ts: String): Tbl =
+    Tbl(graft.ops.AsofJoin.asofBackward(df, right.df, key, ts), groups, Nil)
+
+  /** Range join sugar over [[graft.ops.RangeJoin]]: rows of this table
+    * whose `ptCol` falls inside the right table's [startCol, endCol].
+    */
+  def rangeJoin(intervals: Tbl, ptCol: String, startCol: String,
+                endCol: String, bucketWidth: Long): Tbl =
+    Tbl(graft.ops.RangeJoin.pointInInterval(df, intervals.df,
+      ptCol, startCol, endCol, bucketWidth), groups, Nil)
+
   /** Theta join: arbitrary boolean on-clause over the aliased sides `l`/`r`
     * (the reference's SQL-only `sql_on`, siuba/sql/verbs/join.py:169-233).
     * Catalyst extracts any equi-conjuncts into a hash join and post-filters

@@ -713,8 +713,8 @@ object SparkEntry2 {
         .select(col("o_custkey"), col("o_orderkey"),
                 col("o_totalprice").as("snap_price"))
       val left = orders.select("o_custkey", "o_orderkey", "o_totalprice")
-      graft.ops.AsofJoin.asofBackward(left, snapshots, "o_custkey", "o_orderkey")
-        .withColumnRenamed("o_orderkey_right", "snap_orderkey")
+      Tbl(left).asofJoin(Tbl(snapshots), "o_custkey", "o_orderkey")
+        .df.withColumnRenamed("o_orderkey_right", "snap_orderkey")
     }),
 
     // range join via coarse bucketing — no inequality BNLJ amplification
@@ -724,9 +724,9 @@ object SparkEntry2 {
         .select(col("event_id").as("iv_id"), col("ts").as("start_ts"),
                 (col("ts") + lit(60000000000L)).as("end_ts"))
       val pt = ev.select(col("ts"), col("value"))
-      val joined = graft.ops.RangeJoin.pointInInterval(
-        pt, iv, "ts", "start_ts", "end_ts", bucketWidth = 60000000000L)
-      Tbl(joined).groupBy("iv_id")
+      Tbl(pt).rangeJoin(Tbl(iv), "ts", "start_ts", "end_ts",
+          bucketWidth = 60000000000L)
+        .groupBy("iv_id")
         .summarize("n_pts" -> Fns.Agg.n(),
                    "sum_v" -> round(sum(col("value")), 2))
         .df

@@ -30,6 +30,36 @@ object RangeJoin {
   private def bucketOf(name: String, width: Long) =
     expr(s"`$name` div ${width}L")
 
+  /** Covering-bucket array for an interval, guarded:
+    * - NULL bounds or an inverted interval (start > end) yield no buckets —
+    *   the row drops, matching "contains nothing" semantics;
+    * - an interval spanning more than `maxBuckets` buckets raises at
+    *   runtime instead of materializing an unbounded array (an open-ended
+    *   sentinel end like Long.MaxValue would otherwise build a multi-GB
+    *   array per row) — widen bucketWidth or clamp the interval.
+    */
+  private def bucketsFor(startCol: String, endCol: String, width: Long,
+                         maxBuckets: Int) = {
+    val sb = bucketOf(startCol, width)
+    val eb = bucketOf(endCol, width)
+    val n = eb - sb + lit(1L)
+    when(coalesce(n, lit(0L)) < 1, lit(null).cast("array<bigint>"))
+      .when(n <= maxBuckets, sequence(sb, eb))
+      .otherwise(raise_error(concat(
+        lit("range_join: interval spans "), n.cast("string"),
+        lit(s" buckets (max $maxBuckets); widen bucketWidth or clamp the interval")))
+        .cast("array<bigint>"))
+  }
+
+  private def checkInputs(left: DataFrame, right: DataFrame, what: String): Unit = {
+    (left.columns ++ right.columns).find(_ == "__b").foreach(_ =>
+      throw new IllegalArgumentException(s"$what: inputs must not contain a '__b' column"))
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    if (shared.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$what: input column names must be disjoint; shared: ${shared.mkString(", ")}")
+  }
+
   /** Point-in-interval join: each `points` row pairs with every `intervals`
     * row whose [startCol, endCol] contains its `ptCol` (both ends
     * inclusive). Intervals explode to their covering buckets; a point lives
@@ -38,12 +68,12 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       ptCol: String, startCol: String, endCol: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long, maxBuckets: Int = 10000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    checkInputs(points, intervals, "pointInInterval")
     val pts = points.withColumn("__b", bucketOf(ptCol, bucketWidth))
     val ivs = intervals.withColumn("__b",
-      explode(sequence(bucketOf(startCol, bucketWidth),
-                       bucketOf(endCol, bucketWidth))))
+      explode(bucketsFor(startCol, endCol, bucketWidth, maxBuckets)))
     pts.join(ivs, Seq("__b"))
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__b")
@@ -58,10 +88,11 @@ object RangeJoin {
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       lStart: String, lEnd: String,
                       rStart: String, rEnd: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long, maxBuckets: Int = 10000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    checkInputs(left, right, "intervalOverlap")
     def banded(df: DataFrame, s: String, e: String) = df.withColumn("__b",
-      explode(sequence(bucketOf(s, bucketWidth), bucketOf(e, bucketWidth))))
+      explode(bucketsFor(s, e, bucketWidth, maxBuckets)))
     val overlapStartBucket =
       expr(s"greatest(`$lStart`, `$rStart`) div ${bucketWidth}L")
     banded(left, lStart, lEnd).join(banded(right, rStart, rEnd), Seq("__b"))

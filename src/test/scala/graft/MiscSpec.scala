@@ -81,6 +81,36 @@ class MiscSpec extends AnyFunSuite {
     assert(hits == Set(bnd, bnd + w - 1))
   }
 
+  test("RangeJoin guards: inverted/NULL intervals drop, wide intervals raise, name clashes fail fast") {
+    import spark.implicits._
+    val pt = Seq(5L).toDF("p")
+    // inverted interval matches nothing (contains-nothing semantics)
+    val inv = Seq((1L, 30L, 10L)).toDF("iv_id", "s", "e")
+    assert(graft.ops.RangeJoin.pointInInterval(pt, inv, "p", "s", "e", 10L).count() == 0)
+    // NULL bound drops the interval row, no error
+    val withNull = Seq((1L, Option(0L), Option.empty[Long])).toDF("iv_id", "s", "e")
+    assert(graft.ops.RangeJoin.pointInInterval(pt, withNull, "p", "s", "e", 10L).count() == 0)
+    // an open-ended sentinel interval raises instead of exploding memory
+    val open = Seq((1L, 0L, Long.MaxValue)).toDF("iv_id", "s", "e")
+    intercept[Exception] {
+      graft.ops.RangeJoin.pointInInterval(pt, open, "p", "s", "e", 10L).count()
+    }
+    // shared column names rejected up front
+    val clash = Seq((1L, 0L, 10L)).toDF("p", "s", "e")
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.pointInInterval(pt, clash, "p", "s", "e", 10L)
+    }
+  }
+
+  test("Tbl.rangeJoin and Tbl.asofJoin sugar preserve grouping state") {
+    import spark.implicits._
+    val pt = Tbl(Seq((5L, "a"), (15L, "b")).toDF("p", "g")).groupBy("g")
+    val iv = Tbl(Seq((1L, 0L, 10L)).toDF("iv_id", "s", "e"))
+    val rj = pt.rangeJoin(iv, "p", "s", "e", 10L)
+    assert(rj.groups == Seq("g"))
+    assert(rj.df.collect().map(_.getAs[Long]("p")).toSeq == Seq(5L))
+  }
+
   test("wordCount counts adjacent whole-token occurrences and phrases") {
     import spark.implicits._
     val d = Seq(" the the ", "the theater the", "THE the").toDF("t")

@@ -170,4 +170,33 @@ class SiubaParitySpec extends AnyFunSuite {
     assert(out(1).getDouble(3) == 2.5 && out(2).getDouble(3) == 2.5) // average ties
     assert(out(3).isNullAt(1) && out(3).isNullAt(2) && out(3).isNullAt(3))
   }
+
+  test("semi_join with no on infers the shared column (test_verb_join.py:172)") {
+    import spark.implicits._
+    val l = Tbl(Seq((1, "a"), (2, "b")).toDF("ii", "v"))
+    val dfIi = Tbl(Seq(1, 1).toDF("ii"))
+    // shared column 'ii' inferred; the duplicate right rows don't multiply
+    val out = l.semiJoin(dfIi).df.collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1))
+    // no shared columns → error, like the reference (test_verb_join.py:185)
+    intercept[GraftError] { l.semiJoin(Tbl(Seq(1).toDF("zz"))) }
+  }
+
+  test("distinct with computed kwargs renames then dedupes (test_verb_distinct.py:89)") {
+    import spark.implicits._
+    // distinct(_.y, a = _.x): output columns (y, a), deduped over both
+    val d = Tbl(Seq(("p", 1), ("p", 1), ("q", 2)).toDF("x", "y"))
+    val out = d.distinct("y" -> col("y"), "a" -> col("x")).df
+    assert(out.columns.toSeq == Seq("y", "a"))
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+      == Seq((1, "p"), (2, "q")))
+  }
+
+  test("grouped distinct always includes the group keys (test_verb_distinct.py:45)") {
+    import spark.implicits._
+    val d = Tbl(Seq(("a", 1), ("a", 1), ("b", 1), ("b", 2)).toDF("g", "x"))
+    val out = d.groupBy("g").distinct(Seq("x")).df
+    assert(out.columns.toSet == Set("g", "x"))
+    assert(out.count() == 3) // (a,1) (b,1) (b,2)
+  }
 }

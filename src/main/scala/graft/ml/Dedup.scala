@@ -150,12 +150,16 @@ object Dedup {
     // est_jaccard is identical for every duplicate of a pair (one per
     // colliding band), so score and filter BEFORE dropDuplicates: the
     // k-long signature arrays never enter the dedup shuffle, and only
-    // above-threshold pairs do
+    // above-threshold pairs do. Agreement is the codegen'd ArrayEqCount —
+    // it runs once per candidate pair, the pipeline's biggest intermediate.
+    val agree = org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.ArrayEqCount(
+        org.apache.spark.sql.graftshim.Shim.exprOf(col("a.sig")),
+        org.apache.spark.sql.graftshim.Shim.exprOf(col("b.sig"))))
     banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => (x === y).cast("int")),
-          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+        (agree.cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }

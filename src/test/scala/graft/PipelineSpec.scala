@@ -211,6 +211,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(fast._2 == slow._2, "cross-doc overlap structure diverges")
   }
 
+  test("ArrayEqCount equals the composed zip_with/aggregate agreement count") {
+    import spark.implicits._
+    def eqCount(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftshim.Shim.columnOf(graft.plans.ArrayEqCount(
+        org.apache.spark.sql.graftshim.Shim.exprOf(a),
+        org.apache.spark.sql.graftshim.Shim.exprOf(b)))
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 16)
+    val pairs = sigs.as("a").crossJoin(sigs.as("b")).limit(500)
+    val diff = pairs.select(
+        eqCount(col("a.sig"), col("b.sig")).as("fast"),
+        aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => (x === y).cast("int")),
+          lit(0), (acc, v) => acc + v).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+    // length mismatch -> NULL, like the poisoned interpreted sum
+    val odd = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    assert(odd.select(eqCount(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("connectedComponents: transitive closure, keepCanonical drops dupes") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))

@@ -33,10 +33,21 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach(q => q(spark, sfDir).count())
     SparkEntry.queries.get("q_join_multi").foreach(q => q(spark, sfDir).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: run only the named queries (local iteration aid);
+    // the driver passes none and gets the full suite
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // pair generators cache intermediates that feed multiple consumers
+      // within one query; across 80+ queries those pins accumulate into
+      // GC/spill pressure that contaminates later timings — measure each
+      // query from a clean block manager
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -420,9 +420,12 @@ object SparkEntry2 {
       // spread first: quality scoring, shingling and language-ID are
       // CPU-bound per-row passes — a single small row group would otherwise
       // run them all on one core (no-op when the scan is already wide)
+      // cache: qual feeds BOTH pair generation and the canonical anti-join —
+      // without it the (regex-heavy) quality scoring pass runs twice
       val qual = Tbl(graft.ops.Scale.spread(docs.df))
         .mutate("q" -> TextFns.qualityScore(col("text")))
         .filter(col("q") >= 0.6)
+        .cache()
       // LSH candidate generation, not the exact shingle self-join: at corpus
       // scale the all-pairs-by-shingle join is quadratic in hot shingles;
       // banded MinHash keeps candidate generation an equi-join. Exact Jaccard

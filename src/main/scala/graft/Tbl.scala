@@ -427,6 +427,14 @@ final case class Tbl(
 
   def collect(): Array[Row] = df.collect()
   def showQuery(): Unit = df.explain(true)
+
+  /** Pin the current plan's result in executor memory/disk for reuse by
+    * multiple downstream consumers (grouping/order state is unaffected).
+    * Spark-side extension — the reference's eager backend is always
+    * "cached"; this is the lazy-backend analogue of materializing once.
+    */
+  def cache(): Tbl = copy(df = df.cache())
+  def unpersist(): Tbl = copy(df = df.unpersist())
 }
 
 object Tbl {

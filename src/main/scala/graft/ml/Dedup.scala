@@ -235,17 +235,31 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // both edge orientations in ONE pass over `pairs` (explode, not a
     // two-branch union, which would evaluate the — often expensive —
-    // upstream pair computation twice)
-    val edges = pairs.select(explode(array(
+    // upstream pair computation twice). No distinct: every pair generator
+    // here emits unique (id_a, id_b) rows already, and the per-iteration
+    // min() aggregate is idempotent under duplicate edges anyway — the
+    // distinct was a full extra shuffle of the edge table for nothing.
+    val edges0 = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
+    // size the iteration to the graph: near-dup edge tables are usually a
+    // tiny fraction of the corpus, and running O(diameter) join+agg rounds
+    // at full parallelism is pure scheduling overhead. The count is one
+    // cheap job over the already-materialized checkpoint blocks; coalesce
+    // (not repartition) merges without a shuffle. Big graphs keep their
+    // partitioning — this only ever narrows.
+    val target = edges0.sparkSession.sparkContext.defaultParallelism
+    val nPart = math.max(1L, math.min(target.toLong, edges0.count() / 250000L + 1)).toInt
+    val edges = edges0.coalesce(nPart)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id"))
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val t0 = if (dbg) System.nanoTime() else 0L
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("id"))
@@ -254,16 +268,20 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           coalesce(col("nbr_label") < col("label"), lit(false)).as("__chg"))
-      // ONE job per iteration: the localCheckpoint materialization also
-      // evaluates the convergence metric via observe() — no separate
-      // filter/limit/count probe, no second pass over the labels.
-      val obs = org.apache.spark.sql.Observation(s"cc_conv_$i")
-      val updated = next.observe(obs, max(col("__chg")).as("any_chg")).localCheckpoint()
-      converged = !obs.get.get("any_chg").exists {
-        case b: Boolean => b
-        case _          => false
+      // one real job per iteration: the localCheckpoint materialization.
+      // The convergence probe is an aggregate over the checkpointed blocks —
+      // a scan of the (tiny) cached labels, no recompute of the iteration.
+      // (An Observation would fuse it into the checkpoint job itself, but
+      // Observation.get blocks on the async listener bus, which under a
+      // busy session adds SECONDS of wait per iteration — measured worse
+      // than the extra micro-job.)
+      val updated = next.localCheckpoint()
+      converged = updated.agg(max(col("__chg"))).head() match {
+        case r if r.isNullAt(0) => true // empty label table: nothing to do
+        case r                  => !r.getBoolean(0)
       }
       labels = updated.drop("__chg")
+      if (dbg) println(f"[cc] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
       i += 1
     }
     labels // (id, label = cluster min id)
@@ -284,6 +302,11 @@ object Dedup {
 
   /** Embedding near-dup pairs: cosine >= threshold via random-hyperplane LSH
     * bucketing + exact cosine verify. `planes` deterministic from seed.
+    *
+    * Requires ALL nPlanes bits to agree — the right recall/candidate
+    * trade-off only for very tight thresholds (~0.99+), where the bit-flip
+    * probability θ/π is tiny. For looser thresholds use
+    * [[embeddingNearDupPairsBanded]].
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
@@ -295,5 +318,48 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         Similarity.cosine(col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Banded hyperplane LSH for looser cosine thresholds (0.8–0.95): the
+    * signature's `bands * rowsPerBand` bits are split into bands of
+    * `rowsPerBand` bits; docs sharing ANY band's bits become candidates
+    * (OR-amplification, same construction as MinHash banding), then exact
+    * cosine verifies. P(candidate) = 1 - (1 - (1-θ/π)^r)^b — at cosine 0.9
+    * (θ/π ≈ 0.144) a 7-bit band agrees with p ≈ 0.34, and 8 such bands
+    * amplify to ≈96% recall, while near-orthogonal pairs almost never
+    * collide. Candidate generation stays an equi-join on (band, key) —
+    * shuffle-bounded, no n² pass, hot buckets bounded by `maxBucket` like
+    * [[simhashPairs]].
+    */
+  def embeddingNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                                  dim: Int, threshold: Double = 0.9,
+                                  bands: Int = 8, rowsPerBand: Int = 7,
+                                  seed: Long = 42L,
+                                  maxBucket: Int = 100000): DataFrame = {
+    require(bands * rowsPerBand <= 63, "signature packs into one long")
+    val nPlanes = bands * rowsPerBand
+    val sigs = Similarity.hyperplaneSignature(df, idCol, vecCol, dim, nPlanes, seed)
+    val mask = (1L << rowsPerBand) - 1
+    val banded0 = sigs.select(col("id"), col("vec"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+      .cache()
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        val hot = banded0.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select("band", "bkey")
+        banded0.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      }
+    // cosine is identical for every duplicate of a pair (one per colliding
+    // band): score + threshold-filter first, dedup only the survivors
+    banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }

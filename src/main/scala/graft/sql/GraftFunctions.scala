@@ -1,0 +1,101 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL surface for graft's custom Catalyst expressions, so `spark.sql`
+  * pipelines (and any BI tool speaking SQL to a graft-enabled session) reach
+  * the same codegen'd kernels as the Scala DSL. The reference exposes every
+  * op through its SQL backends (siuba/sql/translate.py builds per-dialect
+  * SQL for the whole registry); graft's analog is registering its four
+  * engine-level primitives in Spark's own FunctionRegistry:
+  *
+  *   - shingle_hash(text[, n])      → array<bigint>   (ShingleHash)
+  *   - dot_product(a, b)            → double          (DotProduct)
+  *   - array_eq_count(a, b)         → int             (ArrayEqCount)
+  *   - minhash_agg(h[, k[, seed]])  → array<bigint>   (MinHashAgg, aggregate)
+  *
+  * Two registration paths, same builders:
+  *   - config: `spark.sql.extensions=graft.sql.GraftExtensions` (cluster-wide,
+  *     set before session start — the production path);
+  *   - live session: `GraftFunctions.register(spark)` (session-scoped temp
+  *     functions — notebooks and tests).
+  */
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got ${other.sql}")
+  }
+
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType)   => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got ${other.sql}")
+  }
+
+  private def arity(fn: String, got: Int, expected: String): Nothing =
+    throw new IllegalArgumentException(s"$fn expects $expected arguments, got $got")
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(s"graft.plans", name, usage)
+
+  /** (identifier, info, builder) triples in SparkSessionExtensions'
+    * injectFunction shape.
+    */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("shingle_hash"),
+      info("shingle_hash",
+        "shingle_hash(text[, n]) - distinct 64-bit hashes of word n-grams (default n=3)"),
+      {
+        case Seq(text)    => graft.plans.ShingleHash(text, 3)
+        case Seq(text, n) => graft.plans.ShingleHash(text, intLit(n, "shingle_hash", "n"))
+        case args         => arity("shingle_hash", args.size, "1 or 2")
+      }),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - dot product of two numeric arrays"),
+      {
+        case Seq(a, b) => graft.plans.DotProduct(a, b)
+        case args      => arity("dot_product", args.size, "2")
+      }),
+    (FunctionIdentifier("array_eq_count"),
+      info("array_eq_count",
+        "array_eq_count(a, b) - positions where two array<bigint> agree"),
+      {
+        case Seq(a, b) => graft.plans.ArrayEqCount(a, b)
+        case args      => arity("array_eq_count", args.size, "2")
+      }),
+    (FunctionIdentifier("minhash_agg"),
+      info("minhash_agg",
+        "minhash_agg(h[, k[, seed]]) - k-permutation MinHash signature of a bigint hash column (default k=32, seed=42)"),
+      {
+        case Seq(h)          => graft.plans.MinHashAgg(h, 32, 42L)
+        case Seq(h, k)       => graft.plans.MinHashAgg(h, intLit(k, "minhash_agg", "k"), 42L)
+        case Seq(h, k, seed) => graft.plans.MinHashAgg(h, intLit(k, "minhash_agg", "k"),
+                                                       longLit(seed, "minhash_agg", "seed"))
+        case args            => arity("minhash_agg", args.size, "1 to 3")
+      })
+  )
+
+  /** Register every graft function on a live session (session-scoped). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, inf, builder) =>
+      org.apache.spark.sql.graftshim.Shim.registerFunction(spark, ident, inf, builder)
+    }
+}
+
+/** `spark.sql.extensions=graft.sql.GraftExtensions` — injects the functions
+  * at session build time, the way a cluster deployment ships them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -12,7 +12,18 @@ object TextFns {
   /** Whitespace tokenization after trim+lower. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Every char-class count quality scoring needs, one codegen'd pass —
+    * struct(chars, tokens, nonws, punct, digits, upper). See
+    * graft.plans.CharStats for the exact (regex-equivalent) semantics.
+    */
+  def charStats(text: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.CharStats(org.apache.spark.sql.graftshim.Shim.exprOf(text)))
+
+  def tokenCount(text: Column): Column = charStats(text).getField("tokens")
+
+  /** Reference formulation — the differential oracle for CharStats.tokens. */
+  private[graft] def tokenCountComposed(text: Column): Column = size(tokens(text))
 
   /** Approximate BPE pre-tokenizer token count: GPT-2-style split into
     * space-prefixed letter runs, digit runs, and punctuation runs. Uses the
@@ -37,24 +48,39 @@ object TextFns {
 
   // ---- quality scoring ----------------------------------------------------
 
-  private def ratioOf(text: Column, keepPattern: String): Column =
-    when(length(text) > 0,
-      length(regexp_replace(text, keepPattern, "")).cast("double") / length(text))
+  private def ratioFrom(st: Column, field: String): Column =
+    when(st.getField("chars") > 0,
+      st.getField(field).cast("double") / st.getField("chars"))
       .otherwise(lit(0.0))
 
   /** Fraction of characters that are punctuation `.,!?;:`. */
-  def punctRatio(text: Column): Column = ratioOf(text, "[^.,!?;:]")
+  def punctRatio(text: Column): Column = ratioFrom(charStats(text), "punct")
 
   /** Fraction of characters that are digits. */
-  def digitRatio(text: Column): Column = ratioOf(text, "[^0-9]")
+  def digitRatio(text: Column): Column = ratioFrom(charStats(text), "digits")
 
   /** Fraction of characters that are uppercase letters. */
-  def upperRatio(text: Column): Column = ratioOf(text, "[^A-Z]")
+  def upperRatio(text: Column): Column = ratioFrom(charStats(text), "upper")
 
   /** Mean token length — low (<2) or high (>12) suggests junk. */
-  def meanTokenLen(text: Column): Column =
-    when(tokenCount(text) > 0,
-      length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text))
+  def meanTokenLen(text: Column): Column = {
+    val st = charStats(text)
+    when(st.getField("tokens") > 0,
+      st.getField("nonws").cast("double") / st.getField("tokens"))
+      .otherwise(lit(0.0))
+  }
+
+  // regexp_replace formulations — the differential oracles for CharStats
+  private[graft] def ratioOfComposed(text: Column, keepPattern: String): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, keepPattern, "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+  private[graft] def punctRatioComposed(text: Column): Column = ratioOfComposed(text, "[^.,!?;:]")
+  private[graft] def digitRatioComposed(text: Column): Column = ratioOfComposed(text, "[^0-9]")
+  private[graft] def upperRatioComposed(text: Column): Column = ratioOfComposed(text, "[^A-Z]")
+  private[graft] def meanTokenLenComposed(text: Column): Column =
+    when(tokenCountComposed(text) > 0,
+      length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCountComposed(text))
       .otherwise(lit(0.0))
 
   /** Count of whole-token occurrences of `word` (case-insensitive); `word`
@@ -83,13 +109,34 @@ object TextFns {
     * web-corpus filtering heuristics (Gopher-style rules).
     */
   def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text)
+    // one CharStats subtree shared by all five checks: subexpression
+    // elimination evaluates it once per row — the whole score is a single
+    // pass over the text (the regex formulation rescanned it five times)
+    val st = charStats(text)
+    val nTok = st.getField("tokens")
+    val mtl = when(nTok > 0, st.getField("nonws").cast("double") / nTok)
+      .otherwise(lit(0.0))
     val checks = Seq(
       (nTok >= 10) && (nTok <= 100000),
-      meanTokenLen(text).between(2.0, 12.0),
-      punctRatio(text) <= lit(0.2),
-      digitRatio(text) <= lit(0.2),
-      upperRatio(text) <= lit(0.3)
+      mtl.between(2.0, 12.0),
+      ratioFrom(st, "punct") <= lit(0.2),
+      ratioFrom(st, "digits") <= lit(0.2),
+      ratioFrom(st, "upper") <= lit(0.3)
+    )
+    checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / checks.size
+  }
+
+  /** Regex formulation of the score — differential oracle for the
+    * CharStats-based path.
+    */
+  private[graft] def qualityScoreComposed(text: Column): Column = {
+    val nTok = tokenCountComposed(text)
+    val checks = Seq(
+      (nTok >= 10) && (nTok <= 100000),
+      meanTokenLenComposed(text).between(2.0, 12.0),
+      punctRatioComposed(text) <= lit(0.2),
+      digitRatioComposed(text) <= lit(0.2),
+      upperRatioComposed(text) <= lit(0.3)
     )
     checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / checks.size
   }

@@ -27,6 +27,18 @@ object Shim {
   def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Register a function builder on a live session's FunctionRegistry
+    * (session-scoped). `sessionState` is `private[sql]`, hence here.
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
+
   /** Aggregate function names as they appear in UnresolvedFunction nodes. */
   private val aggNames: Set[String] = Set(
     "avg", "mean", "sum", "min", "max", "count", "count_distinct",

@@ -69,6 +69,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(found >= (n * 0.95).toLong, s"found $found of $n planted pairs")
   }
 
+  test("banded embedding near-dup reaches high recall at a loose threshold") {
+    // plant pairs at cosine ~0.85-0.95: deterministic per-dimension noise
+    val noisy = emb
+      .withColumn("vec_id", col("vec_id") + 1000000)
+      .withColumn("embedding",
+        zip_with(col("embedding"),
+          transform(sequence(lit(1), size(col("embedding"))),
+            i => sin(col("vec_id").cast("double") * 3.7 + i.cast("double"))),
+          (x, r) => x + lit(0.25) * r))
+    val both = emb.unionByName(noisy).cache()
+    // ground truth: the planted (orig, perturbed) pairs that really sit
+    // above the threshold
+    val gt = emb.as("a")
+      .join(noisy.as("b"), col("a.vec_id") + 1000000 === col("b.vec_id"))
+      .select(graft.ml.Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.9).count()
+    assert(gt > 10, s"planting failed: only $gt ground-truth pairs")
+    val found = Dedup.embeddingNearDupPairsBanded(both, "vec_id", "embedding",
+      dim = 64, threshold = 0.9)
+      .filter(col("id_b") === col("id_a") + 1000000).count()
+    assert(found >= (gt * 0.9).toLong, s"banded recall $found of $gt")
+    // the all-bits variant exists for tight thresholds; at 0.9 its recall
+    // collapses — banded must strictly beat it on the same corpus
+    val allBits = Dedup.embeddingNearDupPairs(both, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, nPlanes = 56)
+      .filter(col("id_b") === col("id_a") + 1000000).count()
+    assert(found > allBits, s"banded $found should beat all-bits $allBits")
+  }
+
   test("brute-force topK: perturbed query's nearest neighbor is its source") {
     val queries = emb.filter(col("vec_id") < 5)
       .withColumn("vec_id", col("vec_id") + 1000000)

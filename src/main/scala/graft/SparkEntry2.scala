@@ -370,7 +370,9 @@ object SparkEntry2 {
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents").df, "doc_id", "text", maxDist = 16)),
+      // maxDist=7 -> 8x8-bit chunk banding (derived): pigeonhole-guaranteed
+      // recall at this distance, unlike the old 4x16 layout at maxDist=16
+      Dedup.simhashPairs(t(s, dir, "documents").df, "doc_id", "text", maxDist = 7)),
 
     "q_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").df

@@ -12,12 +12,40 @@ import graft.text.TextFns
   *
   * Caching note: pair generators cache small per-call intermediates (the
   * shingle / signature / chunk tables) because each feeds multiple
-  * consumers within the call. They are not unpersisted — the result is
-  * lazy. For repeated sweeps (thresholds, band/row grids), persist
-  * signatures once and re-band via `lshPairsFromSignatures`, and
-  * `spark.catalog.clearCache()` between sweeps.
+  * consumers within the call. The results are lazy, so the caches cannot be
+  * dropped inside the call — instead every intermediate is registered, and
+  * [[unpersistIntermediates]] releases them all once results have been
+  * materialized (written / counted / collected). Long-lived sessions
+  * composing many dedup calls should call it between pipelines; sweep-style
+  * callers (threshold / band-row grids) should persist signatures once and
+  * re-band via `lshPairsFromSignatures`.
   */
 object Dedup {
+
+  // -- intermediate-cache registry -------------------------------------------
+  // Every .cache() below is RECOMPUTABLE (plain cached lineage, never a
+  // checkpoint), so releasing one mid-use costs recompute time, never
+  // correctness. connectedComponents' final label checkpoint is the one
+  // non-recomputable block; its release thunk is registered too, so call
+  // unpersistIntermediates() only AFTER consuming (materializing) results.
+  private val liveIntermediates =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  private def scopedCache(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    liveIntermediates.add(() => { c.unpersist(false); () })
+    c
+  }
+
+  /** Release every intermediate block pinned by dedup calls so far (shingle /
+    * signature / chunk caches and connected-component label checkpoints).
+    * Call after the pipeline's results are materialized; results not yet
+    * consumed would otherwise recompute (caches) or fail (checkpoints).
+    */
+  def unpersistIntermediates(): Unit = {
+    var f = liveIntermediates.poll()
+    while (f != null) { f(); f = liveIntermediates.poll() }
+  }
 
   /** See [[graft.ops.Scale.spread]] — parallelism guard for the CPU-heavy
     * shingling/hashing passes below.
@@ -69,7 +97,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDf: Int = 1000): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n, maxDf).cache()
+    val sh = scopedCache(shingleTable(df, idCol, textCol, n, maxDf))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"), Seq("g"))
       .where(col("a.id") < col("b.id"))
@@ -130,7 +158,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 8, rows: Int = 4,
                       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, bands * rows, seed).cache()
+    val sigs = scopedCache(minhashSignatures(df, idCol, textCol, n, bands * rows, seed))
     lshPairsFromSignatures(sigs, bands, rows, threshold)
   }
 
@@ -183,25 +211,43 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidates via
-    * 4×16-bit chunk banding (pigeonhole: distance <=3 guarantees one equal
-    * chunk), then exact popcount filter — no n² comparison. `maxBucket`
-    * drops chunk buckets holding more than that many docs: one hot chunk
-    * value (short/templated docs collapsing to similar fingerprints) emits
-    * bucket² candidate rows, the quadratic failure mode at corpus scale.
-    * Unlike Jaccard stop-shingles this CAN lose guaranteed candidates (a
-    * pair's only shared chunk may be the dropped one), so the default is
-    * generous; set <= 0 to disable.
+    * chunk banding with the chunk count DERIVED from maxDist: splitting the
+    * 64 bits into maxDist+1 chunks guarantees (pigeonhole) that any pair at
+    * distance <= maxDist shares at least one whole chunk — so candidate
+    * recall is exact, and the popcount filter makes the result exact. The
+    * default maxDist=3 gives the classic 4×16-bit layout. Larger maxDist
+    * means narrower chunks (fewer distinct bucket keys → bigger buckets →
+    * more candidates): maxDist is capped at 15 (4-bit chunks) — beyond that
+    * bucket keys stop discriminating and the join degenerates toward n².
+    * `maxBucket` drops chunk buckets holding more than that many docs: one
+    * hot chunk value (short/templated docs collapsing to similar
+    * fingerprints) emits bucket² candidate rows, the quadratic failure mode
+    * at corpus scale. Unlike Jaccard stop-shingles this CAN lose guaranteed
+    * candidates (a pair's only shared chunk may be the dropped one), so the
+    * default is generous; set <= 0 to disable.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist=$maxDist: chunk banding supports 0..15 (16 chunks of 4 bits); " +
+      "beyond that the bucket keys stop discriminating")
+    // maxDist+1 chunks over 64 bits; when 64 doesn't divide evenly the first
+    // `rem` chunks are one bit wider (any partition into d+1 groups works
+    // for the pigeonhole argument)
+    val nChunks = maxDist + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val widths = Seq.tabulate(nChunks)(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     // one cache, at the chunk level: it feeds the hot-bucket probe and both
     // self-join sides; an additional signature-level cache would only pay
     // a second materialization for a single consumer
-    val chunked0 = simhash(df, idCol, textCol).select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "ckey"))
-      .cache()
+    val chunked0 = scopedCache(
+      simhash(df, idCol, textCol).select(col("id"), col("simhash"),
+        posexplode(array((0 until nChunks).map(c =>
+          shiftrightunsigned(col("simhash"), offsets(c))
+            .bitwiseAND(lit((1L << widths(c)) - 1))): _*)))
+        .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "ckey")))
     val chunked =
       if (maxBucket <= 0) chunked0
       else {
@@ -233,29 +279,46 @@ object Dedup {
     * constant-factor-heavy large-star/small-star variant at realistic skew.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint pins blocks at the RDD level (invisible to
+    // spark.catalog); snapshotting getPersistentRDDs around each checkpoint
+    // lets us drop an iteration's blocks as soon as the next iteration is
+    // materialized — without it, O(diameter) full label tables stay pinned
+    // for the life of the session
+    def pinnedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def unpersistIds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
     // both edge orientations in ONE pass over `pairs` (explode, not a
     // two-branch union, which would evaluate the — often expensive —
     // upstream pair computation twice). No distinct: every pair generator
     // here emits unique (id_a, id_b) rows already, and the per-iteration
     // min() aggregate is idempotent under duplicate edges anyway — the
     // distinct was a full extra shuffle of the edge table for nothing.
+    val preEdges = pinnedIds
     val edges0 = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    val edgeIds = pinnedIds -- preEdges
     // size the iteration to the graph: near-dup edge tables are usually a
     // tiny fraction of the corpus, and running O(diameter) join+agg rounds
     // at full parallelism is pure scheduling overhead. The count is one
     // cheap job over the already-materialized checkpoint blocks; coalesce
-    // (not repartition) merges without a shuffle. Big graphs keep their
-    // partitioning — this only ever narrows.
-    val target = edges0.sparkSession.sparkContext.defaultParallelism
-    val nPart = math.max(1L, math.min(target.toLong, edges0.count() / 250000L + 1)).toInt
-    val edges = edges0.coalesce(nPart)
+    // (not repartition) merges without a shuffle — and ONLY when it
+    // narrows: a graph sized at-or-above the parallelism target keeps its
+    // existing partitioning (coalescing a big edge table down to the core
+    // count would throttle every per-iteration join's scan parallelism).
+    val target = sc.defaultParallelism.toLong
+    val wanted = edges0.count() / 250000L + 1
+    val edges =
+      if (wanted >= target || wanted >= edges0.rdd.getNumPartitions) edges0
+      else edges0.coalesce(math.max(1L, wanted).toInt)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var staleIds = Set.empty[Int]
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -275,15 +338,26 @@ object Dedup {
       // Observation.get blocks on the async listener bus, which under a
       // busy session adds SECONDS of wait per iteration — measured worse
       // than the extra micro-job.)
+      val preCp = pinnedIds
       val updated = next.localCheckpoint()
       converged = updated.agg(max(col("__chg"))).head() match {
         case r if r.isNullAt(0) => true // empty label table: nothing to do
         case r                  => !r.getBoolean(0)
       }
+      // the new checkpoint is materialized: the previous iteration's label
+      // blocks are unreachable from any live lineage — release them now
+      unpersistIds(staleIds)
+      staleIds = pinnedIds -- preCp
       labels = updated.drop("__chg")
       if (dbg) println(f"[cc] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
       i += 1
     }
+    // the final labels are checkpointed (lineage-free): the edge blocks are
+    // no longer needed by anything reachable
+    unpersistIds(edgeIds)
+    // the final checkpoint itself must stay pinned until the caller has
+    // consumed the result; unpersistIntermediates() releases it
+    liveIntermediates.add(() => unpersistIds(staleIds))
     labels // (id, label = cluster min id)
   }
 
@@ -311,8 +385,9 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
                             nPlanes: Int = 16, seed: Long = 42L): DataFrame = {
-    val sigs = Similarity.hyperplaneSignature(df, idCol, vecCol, dim, nPlanes, seed)
-      .select(col("id"), col("sig"), col("vec")).cache()
+    val sigs = scopedCache(
+      Similarity.hyperplaneSignature(df, idCol, vecCol, dim, nPlanes, seed)
+        .select(col("id"), col("sig"), col("vec")))
     sigs.as("a").join(sigs.as("b"), Seq("sig"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -340,11 +415,13 @@ object Dedup {
     val nPlanes = bands * rowsPerBand
     val sigs = Similarity.hyperplaneSignature(df, idCol, vecCol, dim, nPlanes, seed)
     val mask = (1L << rowsPerBand) - 1
-    val banded0 = sigs.select(col("id"), col("vec"),
+    // the banded candidate table carries ONLY (id, band, bkey): caching (or
+    // shuffling) the vectors here would duplicate every embedding `bands`
+    // times — the vectors join back once per unique candidate pair below
+    val banded0 = scopedCache(sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
-      .cache()
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey")))
     val banded =
       if (maxBucket <= 0) banded0
       else {
@@ -353,13 +430,20 @@ object Dedup {
           .select("band", "bkey")
         banded0.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       }
-    // cosine is identical for every duplicate of a pair (one per colliding
-    // band): score + threshold-filter first, dedup only the survivors
-    banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
+    // a pair surfaces once per colliding band: dedup the slim (id_a, id_b)
+    // candidates FIRST, then join the vectors back and verify — the cosine
+    // runs once per unique pair and the wide embedding arrays stay out of
+    // both the self-join and the dropDuplicates shuffles entirely
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
       .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.vec"), col("b.vec")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("__va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

@@ -44,8 +44,11 @@ object GraftFunctions {
   private def arity(fn: String, got: Int, expected: String): Nothing =
     throw new IllegalArgumentException(s"$fn expects $expected arguments, got $got")
 
+  // 5-arg form: the 3-arg constructor is (className, db, name) — passing
+  // usage there scrambles DESCRIBE FUNCTION output (name shows the usage
+  // text, className shows the db slot).
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(s"graft.plans", name, usage)
+    new ExpressionInfo("graft.plans", null, name, usage, "")
 
   /** (identifier, info, builder) triples in SparkSessionExtensions'
     * injectFunction shape.

@@ -58,6 +58,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("simhashPairs equals brute-force popcount pairs (pigeonhole exactness)") {
+    // with hot-bucket dropping disabled, derived (maxDist+1)-chunk banding
+    // guarantees every pair at hamming <= maxDist shares a chunk, and the
+    // popcount filter is exact — so the result must EQUAL the n^2 ground
+    // truth. Run at maxDist=7 (the q_dedup_simhash configuration).
+    val maxDist = 7
+    val lsh = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxDist = maxDist, maxBucket = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h = Dedup.simhash(docs, "doc_id", "text")
+    val brute = h.as("a").join(h.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxDist)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain simhash near-dups")
+    assert(lsh == brute,
+      s"banded ${lsh.size} pairs vs brute ${brute.size}; " +
+      s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+  }
+
   test("embedding near-dup LSH finds planted perturbed copies") {
     val perturbed = emb
       .withColumn("vec_id", col("vec_id") + 1000000)
@@ -70,14 +90,18 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("banded embedding near-dup reaches high recall at a loose threshold") {
-    // plant pairs at cosine ~0.85-0.95: deterministic per-dimension noise
+    // plant pairs at cosine ~0.90-0.96: deterministic per-dimension noise
+    // scaled to the unit-norm embeddings. Amplitude 0.06 over 64 dims gives
+    // noise norm ~= 0.06*sqrt(64/2) ~= 0.34, so cos(x, x+n) ~= 1/sqrt(1+0.34^2)
+    // ~= 0.95 — above the 0.9 ground-truth threshold (0.25 put the noise norm
+    // at ~1.4, swamping the signal: zero ground-truth pairs existed).
     val noisy = emb
       .withColumn("vec_id", col("vec_id") + 1000000)
       .withColumn("embedding",
         zip_with(col("embedding"),
           transform(sequence(lit(1), size(col("embedding"))),
             i => sin(col("vec_id").cast("double") * 3.7 + i.cast("double"))),
-          (x, r) => x + lit(0.25) * r))
+          (x, r) => x + lit(0.06) * r))
     val both = emb.unionByName(noisy).cache()
     // ground truth: the planted (orig, perturbed) pairs that really sit
     // above the threshold
@@ -282,5 +306,19 @@ class PipelineSpec extends AnyFunSuite {
     val nonCanon = clusters.filter(col("id") =!= col("label")).count()
     assert(after == before - nonCanon)
     assert(after < before, "testdata has near-dups; some rows must drop")
+  }
+
+  test("unpersistIntermediates releases every block the dedup pipeline pinned") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 16, rows = 2, threshold = 0.5)
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs).count()
+    assert(kept > 0)
+    val pinned = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(pinned.nonEmpty, "pipeline should pin intermediates while running")
+    Dedup.unpersistIntermediates()
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty, s"leaked pinned RDD ids: $leaked")
   }
 }

@@ -241,6 +241,23 @@ object SparkEntry2 {
                     "ld", "mstart", "is_me", "dim"): _*)
         .df),
 
+    // dt.to_period string labels at every supported freq + dt.total_seconds
+    // on a timestamp difference (seconds since midnight). events.ts is
+    // nanos-as-long (TESTDATA parquet); `div` keeps the ns→µs conversion
+    // integral — a double division would lose precision above 2^53.
+    "q_dt_period" -> ((s, dir) =>
+      t(s, dir, "events")
+        .mutate("ts2" -> expr("timestamp_micros(ts div 1000)"))
+        .mutate(
+          "p_y" -> Fns.Dt.toPeriod(col("ts2"), "Y"),
+          "p_q" -> Fns.Dt.toPeriod(col("ts2"), "Q"),
+          "p_m" -> Fns.Dt.toPeriod(col("ts2"), "M"),
+          "p_w" -> Fns.Dt.toPeriod(col("ts2"), "W"),
+          "p_d" -> Fns.Dt.toPeriod(col("ts2"), "D"),
+          "sod" -> Fns.Dt.totalSeconds(col("ts2") - date_trunc("day", col("ts2"))))
+        .select(Seq("event_id", "p_y", "p_q", "p_m", "p_w", "p_d", "sod"): _*)
+        .df),
+
     "q_across" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").groupBy("l_returnflag")
       li.summarize(Across(li,
@@ -288,6 +305,16 @@ object SparkEntry2 {
         |  CAST(o_orderdate AS DATE) = last_day(o_orderdate) AS is_me,
         |  day(last_day(o_orderdate)) AS dim
         |FROM orders""".stripMargin,
+    "q_dt_period" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y') AS p_y,
+        |  strftime(ts, '%Y') || 'Q' || CAST(quarter(ts) AS VARCHAR) AS p_q,
+        |  strftime(ts, '%Y-%m') AS p_m,
+        |  strftime(date_trunc('week', ts), '%Y-%m-%d') || '/' ||
+        |    strftime(date_trunc('week', ts) + INTERVAL 6 DAY, '%Y-%m-%d') AS p_w,
+        |  strftime(ts, '%Y-%m-%d') AS p_d,
+        |  epoch(ts - date_trunc('day', ts)) AS sod
+        |FROM events""".stripMargin,
     "q_across" ->
       """SELECT l_returnflag,
         |  round(avg(l_quantity), 4) AS l_quantity_avg, max(l_quantity) AS l_quantity_max,
@@ -613,8 +640,27 @@ object SparkEntry2 {
         |    UNION SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
         |  lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)
         |SELECT doc_id, lang FROM documents
-        |WHERE doc_id NOT IN (SELECT id FROM lab WHERE lbl < id)""".stripMargin
-    // q_dedup_minhash / q_dedup_simhash / q_ann_* / q_embed_neardup /
+        |WHERE doc_id NOT IN (SELECT id FROM lab WHERE lbl < id)""".stripMargin,
+    // brute-force ANN is deterministic (cosine DESC, item_id tie-break) and
+    // SQL-expressible: mirror the double-cast, the explicit dot/norm formula
+    // (same left-to-right summation as the DotProduct codegen), and the
+    // round(6) exactly
+    "q_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |  scored AS (
+        |    SELECT q.query_id, e.vec_id AS item_id,
+        |           list_dot_product(e.v, q.qv)
+        |             / (sqrt(list_dot_product(e.v, e.v))
+        |                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+        |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |  rk AS (SELECT query_id, item_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, item_id) AS rk
+        |         FROM scored)
+        |SELECT query_id, item_id, rk, round(cosine, 6) AS cosine
+        |FROM rk WHERE rk <= 3""".stripMargin
+    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_embed_neardup /
     // q_multimodal: probabilistic or non-SQL-expressible → rows-only check;
     // exactness is covered by PipelineSpec unit tests against brute force.
   )

@@ -93,6 +93,8 @@ object dsl {
     def strftime(fmt: String): Column = F.date_format(c, fmt)
     def floor(unit: String): Column = Fns.Dt.floorDate(c, unit)
     def ceil(unit: String): Column = Fns.Dt.ceilDate(c, unit)
+    def toPeriod(freq: String): Column = Fns.Dt.toPeriod(c, freq)
+    def totalSeconds(): Column = Fns.Dt.totalSeconds(c)
   }
 
   implicit final class ColOps(private val c: Column) {

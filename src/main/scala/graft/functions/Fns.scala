@@ -170,6 +170,34 @@ object Fns {
     def daysInMonth(c: Column): Column = dayofmonth(last_day(c))
     def monthName(c: Column): Column   = date_format(c, "MMMM")
     def dayName(c: Column): Column     = date_format(c, "EEEE")
+    /** pandas `dt.to_period(freq).astype(str)` (generics.py:218): the
+      * date_trunc-based string period label. W renders the Mon..Sun span
+      * like pandas' weekly periods.
+      */
+    def toPeriod(c: Column, freq: String): Column = freq.toUpperCase match {
+      case "Y" | "A"   => date_format(c, "yyyy")
+      case "Q"         => concat(date_format(c, "yyyy"), lit("Q"), quarter(c).cast("string"))
+      case "M"         => date_format(c, "yyyy-MM")
+      case "W"         =>
+        val start = date_trunc("week", c)
+        concat(date_format(start, "yyyy-MM-dd"), lit("/"),
+               date_format(date_add(start, 6), "yyyy-MM-dd"))
+      case "D"         => date_format(c, "yyyy-MM-dd")
+      case "H"         => date_format(c, "yyyy-MM-dd HH:00")
+      case "T" | "MIN" => date_format(c, "yyyy-MM-dd HH:mm")
+      case "S"         => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case other => throw graft.GraftError(
+        s"to_period: unsupported freq '$other' (Y/A, Q, M, W, D, H, T/min, S)")
+    }
+
+    /** pandas `dt.total_seconds` on a day-time interval (e.g. a timestamp
+      * difference): cast to the single-unit SECOND interval (total span),
+      * then through decimal to keep the fractional microseconds, then
+      * double — `(ts_a - ts_b).dt.totalSeconds()` matches pandas to 1e-6.
+      */
+    def totalSeconds(c: Column): Column =
+      c.cast("interval second").cast("decimal(28,6)").cast("double")
+
     /** floor_date/ceil_date verbs (siuba/experimental/datetime.py:124-190). */
     def floorDate(c: Column, unit: String): Column = date_trunc(unit, c)
     def ceilDate(c: Column, unit: String): Column = {

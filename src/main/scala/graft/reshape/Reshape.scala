@@ -49,14 +49,19 @@ object Reshape {
   // ---- gather / spread ----------------------------------------------------
 
   /** Wide→long over the selected columns (pd.melt; verbs.py:1919-2000).
-    * One generator projection — no shuffle.
+    * One generator projection — no shuffle. Values take the selected
+    * columns' common type (identical types pass through untouched, mixed
+    * integrals widen to long, integral+fractional mixes to double, anything
+    * else raises loudly) — the old unconditional double cast silently
+    * NULLed strings and dropped long precision.
     */
   def gather(t: Tbl, key: String, value: String, sel: Seq[Sel],
              dropNa: Boolean = false): Tbl = {
     val valueCols = Sel.resolveT(t.typedFields, sel).map(_._2)
     val idCols = t.cols.filterNot(valueCols.contains)
+    val vt = commonType(t.typedFields, valueCols, "gather")
     val entries = valueCols.map { c =>
-      struct(lit(c).as(key), col(c).cast("double").as(value))
+      struct(lit(c).as(key), col(c).cast(vt).as(value))
     }
     val exploded = t.df
       .select(idCols.map(col) :+ explode(array(entries: _*)).as("__kv"): _*)
@@ -99,12 +104,23 @@ object Reshape {
     * `namesTo` may be multiple parts split by `namesSep` or captured by
     * `namesPattern`; the special token ".value" keeps that name-part wide
     * (its values become output columns); `namesPrefix` is stripped first.
+    *
+    * `namesTransform` (pivot_long.py:57,184): per name-part coercion applied
+    * to the part's literal value — e.g. `"wk" -> (_.cast("int"))` turns a
+    * name part parsed from column names into a typed key column.
+    * `valuesTransform` (pivot_long.py:241): per value-column coercion
+    * applied to the stacked values, keyed by output column (`valuesTo`, or
+    * the `.value`-derived names); when present for a column it REPLACES the
+    * common-type unification — the in-call escape hatch for mixed-type
+    * pivots that would otherwise (correctly) raise.
     */
   def pivotLonger(t: Tbl, sel: Seq[Sel], namesTo: Seq[String],
                   valuesTo: String = "value", namesSep: Option[String] = None,
                   namesPattern: Option[String] = None, namesPrefix: Option[String] = None,
                   valuesDropNa: Boolean = false,
-                  namesRepair: String = "check_unique"): Tbl = {
+                  namesRepair: String = "check_unique",
+                  namesTransform: Map[String, Column => Column] = Map.empty,
+                  valuesTransform: Map[String, Column => Column] = Map.empty): Tbl = {
     val valueCols = Sel.resolveT(t.typedFields, sel).map(_._2)
     val idCols = t.cols.filterNot(valueCols.contains)
 
@@ -149,14 +165,22 @@ object Reshape {
       throw GraftError(s"pivot_longer: column '$c' split into ${p.size} parts, names_to has ${namesTo.size}")
     }
 
+    // name-part literal with optional per-part transform
+    def nameLit(n: String, v: String): Column =
+      namesTransform.get(n).map(_(lit(v))).getOrElse(lit(v))
+
     if (!namesTo.contains(".value")) {
       // unify to the selected columns' common type: identical types pass
       // through untouched (strings stay strings), mixed numerics widen to
-      // double, anything else is a loud error — never a silent NULL-ing cast
-      val vt = commonType(t.typedFields, valueCols, "pivot_longer")
+      // double, anything else is a loud error — never a silent NULL-ing
+      // cast. A values_transform for this column replaces the unification.
+      val vCast: Column => Column = valuesTransform.getOrElse(valuesTo, {
+        val vt = commonType(t.typedFields, valueCols, "pivot_longer")
+        (c: Column) => c.cast(vt)
+      })
       val entries = spec.map { case (c, ps) =>
-        struct(namesTo.zip(ps).map { case (n, v) => lit(v).as(n) } :+
-          col(c).cast(vt).as(valuesTo): _*)
+        struct(namesTo.zip(ps).map { case (n, v) => nameLit(n, v).as(n) } :+
+          vCast(col(c)).as(valuesTo): _*)
       }
       val rep = repair(namesTo :+ valuesTo)
       val out = t.df
@@ -176,9 +200,10 @@ object Reshape {
       }.toMap
       val entries = combos.map { combo =>
         struct(
-          keyParts.zip(combo).map { case (n, v) => lit(v).as(n) } ++
+          keyParts.zip(combo).map { case (n, v) => nameLit(n, v).as(n) } ++
           valueNames.map { vn =>
-            bySpec.get((combo, vn)).map(c => col(c)).getOrElse(lit(null)).as(vn)
+            val raw = bySpec.get((combo, vn)).map(c => col(c)).getOrElse(lit(null))
+            valuesTransform.get(vn).map(_(raw)).getOrElse(raw).as(vn)
           }: _*)
       }
       val rep = repair(keyParts ++ valueNames)
@@ -311,6 +336,28 @@ object Reshape {
 
   // ---- separate / unite / extract ----------------------------------------
 
+  /** One-pass generic type inference for string pieces (the reference's
+    * `convert=True` / pandas type.convert): each piece column that is
+    * all-integer casts to long, all-numeric to double, anything else stays
+    * string. One narrow aggregate scan covers every piece at once —
+    * data-dependent typing costs exactly one extra job regardless of k.
+    */
+  private def inferCasts(df: DataFrame, pieces: Seq[Column]): Seq[Column => Column] = {
+    val intRe = "^-?\\d+$"
+    val numRe = "^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+    val probe = df.select(pieces.flatMap { p =>
+      Seq(max(when(p.isNotNull && !p.rlike(intRe), 1).otherwise(0)),
+          max(when(p.isNotNull && !p.rlike(numRe), 1).otherwise(0)))
+    }: _*).head()
+    pieces.indices.map { i =>
+      val nonInt = probe.isNullAt(2 * i) || probe.getInt(2 * i) == 1
+      val nonNum = probe.isNullAt(2 * i + 1) || probe.getInt(2 * i + 1) == 1
+      if (!nonInt) (p: Column) => p.cast("long")
+      else if (!nonNum) (p: Column) => p.cast("double")
+      else identity[Column] _
+    }
+  }
+
   /** Split a string column by a regex into k columns (verbs.py:2284-2398).
     * `extra="merge"` keeps the tail in the last piece; `extra="drop"` /
     * `"warn"` truncate it (the warn diagnostic is the opt-in
@@ -343,22 +390,7 @@ object Reshape {
     }
     val casts: Seq[Column => Column] =
       if (!convert) Seq.fill(k)(identity)
-      else {
-        val intRe = "^-?\\d+$"
-        val numRe = "^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
-        val probe = t.df.select((0 until k).flatMap { i =>
-          val p = rawPiece(i)
-          Seq(max(when(p.isNotNull && !p.rlike(intRe), 1).otherwise(0)),
-              max(when(p.isNotNull && !p.rlike(numRe), 1).otherwise(0)))
-        }: _*).head()
-        (0 until k).map { i =>
-          val nonInt = probe.isNullAt(2 * i) || probe.getInt(2 * i) == 1
-          val nonNum = probe.isNullAt(2 * i + 1) || probe.getInt(2 * i + 1) == 1
-          if (!nonInt) (p: Column) => p.cast("long")
-          else if (!nonNum) (p: Column) => p.cast("double")
-          else identity[Column] _
-        }
-      }
+      else inferCasts(t.df, (0 until k).map(rawPiece))
     val pieces = into.zipWithIndex.map { case (n, i) => casts(i)(rawPiece(i)).as(n) }
     val keep = t.cols.filterNot(x => remove && x == c)
     Tbl(t.df.select(keep.map(col) ++ pieces: _*), t.groups, Nil)
@@ -388,15 +420,19 @@ object Reshape {
 
   /** Regex capture groups → columns (verbs.py:2476-2543). Non-matching rows
     * yield NULL (pandas str.extract semantics), via a match guard.
+    * `convert` runs the same generic one-pass inference as [[separate]]:
+    * all-integer captures → long, all-numeric → double, else string (the
+    * reference's convert is generic for both verbs).
     */
   def extract(t: Tbl, c: String, into: Seq[String],
               regex: String = "(\\w+)", remove: Boolean = true,
               convert: Boolean = false): Tbl = {
     val matches = col(c).rlike(regex)
-    val pieces = into.zipWithIndex.map { case (n, i) =>
-      val piece = when(matches, regexp_extract(col(c), regex, i + 1))
-      (if (convert) piece.cast("long") else piece).as(n)
-    }
+    def rawPiece(i: Int): Column = when(matches, regexp_extract(col(c), regex, i + 1))
+    val casts: Seq[Column => Column] =
+      if (!convert) Seq.fill(into.size)(identity)
+      else inferCasts(t.df, into.indices.map(rawPiece))
+    val pieces = into.zipWithIndex.map { case (n, i) => casts(i)(rawPiece(i)).as(n) }
     val keep = t.cols.filterNot(x => remove && x == c)
     Tbl(t.df.select(keep.map(col) ++ pieces: _*), t.groups, Nil)
   }
@@ -407,8 +443,18 @@ object Reshape {
     * (verbs.py:2113-2182). Per-column distincts are tiny relations; the
     * cross join multiplies them — intended for low-cardinality key grids.
     */
-  def expand(t: Tbl, cols: Seq[String]): Tbl = {
-    val uniques = cols.map(c => t.df.select(col(c)).distinct())
+  def expand(t: Tbl, cols: Seq[String]): Tbl =
+    expandNesting(t, cols.map(Seq(_)))
+
+  /** expand with tidyr `nesting()` groups (verbs.py:2113-2182 note): each
+    * group crosses as a UNIT of its observed combinations — one distinct()
+    * over the column tuple — instead of the full per-column cross. A
+    * single-column group is the plain distinct, so
+    * `expandNesting(t, Seq(Seq("a","b"), Seq("c")))` is tidyr's
+    * `expand(df, nesting(a, b), c)`.
+    */
+  def expandNesting(t: Tbl, groups: Seq[Seq[String]]): Tbl = {
+    val uniques = groups.map(g => t.df.select(g.map(col): _*).distinct())
     Tbl(uniques.reduce(_.crossJoin(_)), t.groups, Nil)
   }
 
@@ -418,8 +464,17 @@ object Reshape {
     * reference's merge-indicator behavior.
     */
   def complete(t: Tbl, cols: Seq[String], fill: Map[String, Any] = Map.empty,
-               explicitFill: Boolean = true): Tbl = {
-    val grid = expand(t, cols)
+               explicitFill: Boolean = true): Tbl =
+    completeNesting(t, cols.map(Seq(_)), fill, explicitFill)
+
+  /** complete with tidyr `nesting()` groups — the grid crosses each group's
+    * observed combinations (see [[expandNesting]]) before the join-back.
+    */
+  def completeNesting(t: Tbl, groups: Seq[Seq[String]],
+                      fill: Map[String, Any] = Map.empty,
+                      explicitFill: Boolean = true): Tbl = {
+    val cols = groups.flatten
+    val grid = expandNesting(t, groups)
     val marked =
       if (explicitFill) t.df
       else t.df.withColumn("__present", lit(true))

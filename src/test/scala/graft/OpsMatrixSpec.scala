@@ -89,7 +89,7 @@ class OpsMatrixSpec extends AnyFunSuite {
     "is_quarter_end" -> (_.dt.isQuarterEnd()), "is_year_end" -> (_.dt.isYearEnd()),
     "month_name" -> (_.dt.monthName()), "day_name" -> (_.dt.dayName()),
     "strftime" -> (_.dt.strftime("yyyy-MM")), "floor_date" -> (_.dt.floor("month")),
-    "ceil_date" -> (_.dt.ceil("month"))
+    "ceil_date" -> (_.dt.ceil("month")), "to_period" -> (_.dt.toPeriod("M"))
   )
 
   test(s"agg ops (${aggOps.size}) evaluate in summarize context") {
@@ -144,6 +144,25 @@ class OpsMatrixSpec extends AnyFunSuite {
     val r = out.df.where(col("ts").cast("string").startsWith("2024-02-29")).head()
     assert(r.getInt(out.df.columns.indexOf("d_dayofweek")) == 3) // Thursday
     assert(r.getBoolean(out.df.columns.indexOf("d_is_month_end")))
+  }
+
+  test("to_period labels every freq; total_seconds measures a timestamp diff") {
+    import org.apache.spark.sql.functions.date_trunc
+    val out = Tbl(dts).mutate(
+      "p_y" -> __.ts.dt.toPeriod("Y"),
+      "p_q" -> __.ts.dt.toPeriod("Q"),
+      "p_w" -> __.ts.dt.toPeriod("W"),
+      "p_d" -> __.ts.dt.toPeriod("D"),
+      "secs" -> (col("ts") - date_trunc("day", col("ts"))).dt.totalSeconds())
+    val r = out.df.where(col("ts").cast("string").startsWith("2024-02-29")).head()
+    def s(n: String) = r.getString(out.df.columns.indexOf(n))
+    assert(s("p_y") == "2024")
+    assert(s("p_q") == "2024Q1")
+    // 2024-02-29 is a Thursday: Mon 2024-02-26 .. Sun 2024-03-03
+    assert(s("p_w") == "2024-02-26/2024-03-03")
+    assert(s("p_d") == "2024-02-29")
+    // 13:45:10 since midnight
+    assert(r.getDouble(out.df.columns.indexOf("secs")) == 13 * 3600 + 45 * 60 + 10.0)
   }
 
   test("dsl proxy __ builds column refs and composes") {

@@ -301,6 +301,75 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pivot_longer names_transform types a name part; values_transform coerces values") {
+    import spark.implicits._
+    val df = Seq((1, 10.0, 20.0)).toDF("id", "wk1", "wk2")
+    // names_transform: the "wk" part (parsed from column names) becomes int
+    val out = Reshape.pivotLonger(Tbl(df), Seq(Sel.startsWith("wk")),
+      namesTo = Seq("week"), namesPrefix = Some("wk"),
+      namesTransform = Map("week" -> (_.cast("int")))).df
+    assert(out.schema("week").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.where(col("week") === 2).head().getDouble(2) == 20.0)
+    // values_transform: replaces common-type unification — a mixed
+    // string+int stack that would otherwise raise coerces to string
+    val mixed = Seq((1, "x", 2)).toDF("id", "s", "i")
+    val coerced = Reshape.pivotLonger(Tbl(mixed),
+      Seq(Sel.Name("s"), Sel.Name("i")), namesTo = Seq("key"),
+      valuesTransform = Map("value" -> (_.cast("string")))).df
+    assert(coerced.schema("value").dataType == org.apache.spark.sql.types.StringType)
+    assert(coerced.where(col("key") === "i").head().getString(2) == "2")
+    // .value branch: per-output-column transform
+    val wide = Seq((1, 10, 1.5)).toDF("id", "x_a", "y_a")
+    val vt = Reshape.pivotLonger(Tbl(wide),
+      Seq(Sel.startsWith("x"), Sel.startsWith("y")),
+      namesTo = Seq(".value", "grp"), namesSep = Some("_"),
+      valuesTransform = Map("x" -> (_.cast("double")))).df
+    assert(vt.schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("extract convert infers long / double / string generically") {
+    import spark.implicits._
+    val df = Seq(("a-1-1.5", 1), ("b-22-2e3", 2)).toDF("s", "n")
+    val out = Reshape.extract(Tbl(df), "s", Seq("ch", "i", "d"),
+      regex = "(\\w+)-(\\d+)-([\\d.e]+)", convert = true).df
+    assert(out.schema("ch").dataType == org.apache.spark.sql.types.StringType)
+    assert(out.schema("i").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.schema("d").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(out.where(col("ch") === "b").head().getDouble(3) == 2000.0)
+  }
+
+  test("gather keeps string values; mixed integrals widen to long") {
+    import spark.implicits._
+    val strs = Seq(("r1", "x", "y")).toDF("id", "a", "b")
+    val out = Reshape.gather(Tbl(strs), "key", "val",
+      Seq(Sel.Name("a"), Sel.Name("b"))).df
+    assert(out.schema("val").dataType == org.apache.spark.sql.types.StringType)
+    assert(out.where(col("key") === "a").head().getString(2) == "x")
+    val ints = Seq(("r1", 2, 9007199254740993L)).toDF("id", "i", "l")
+    val outl = Reshape.gather(Tbl(ints), "key", "val",
+      Seq(Sel.Name("i"), Sel.Name("l"))).df
+    assert(outl.schema("val").dataType == org.apache.spark.sql.types.LongType)
+    assert(outl.where(col("key") === "l").head().getLong(2) == 9007199254740993L)
+  }
+
+  test("expand/complete nesting() crosses observed combinations only") {
+    import spark.implicits._
+    // (g,h) observed combos: (a,1), (b,2) — nesting keeps 2, full cross has 4
+    val df = Seq(("a", 1, "k1", 1.0), ("b", 2, "k1", 2.0), ("b", 2, "k2", 3.0))
+      .toDF("g", "h", "k", "v")
+    val full = Reshape.expand(Tbl(df), Seq("g", "h", "k")).df
+    assert(full.count() == 8)
+    val nested = Reshape.expandNesting(Tbl(df), Seq(Seq("g", "h"), Seq("k"))).df
+    assert(nested.count() == 4)
+    assert(nested.columns.toSeq == Seq("g", "h", "k"))
+    val comp = Reshape.completeNesting(Tbl(df), Seq(Seq("g", "h"), Seq("k")),
+      fill = Map("v" -> 0.0)).df
+    assert(comp.count() == 4)
+    // the (a,1,k2) hole exists and is filled; (a,2,*) rows never appear
+    assert(comp.where(col("g") === "a" && col("k") === "k2").head().getDouble(3) == 0.0)
+    assert(comp.where(col("g") === "a" && col("h") === 2).count() == 0)
+  }
+
   test("fctLump keeps NA rows as NA; fctReorder skips NULL levels") {
     import spark.implicits._
     val d = Seq(Some("a"), Some("a"), Some("b"), None).toDF("f")

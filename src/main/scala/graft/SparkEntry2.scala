@@ -853,6 +853,17 @@ object SparkEntry2 {
         .select(Seq("p_partkey", "sw", "ctr", "wr", "rs", "sr"): _*)
         .df),
 
+    "q_str_ops4" -> ((s, dir) =>
+      t(s, dir, "part")
+        .mutate(
+          "rf"  -> Fns.Str.rfind(col("p_name"), "a"),
+          "lj"  -> Fns.Str.ljust(col("p_brand"), 12, "."),
+          "rj"  -> Fns.Str.rjust(col("p_brand"), 12, "."),
+          "dec" -> Fns.Str.isDecimal(col("p_partkey").cast("string")),
+          "num" -> Fns.Str.isNumeric(regexp_replace(col("p_name"), "[^0-9]", "")))
+        .select(Seq("p_partkey", "rf", "lj", "rj", "dec", "num"): _*)
+        .df),
+
     // event-time tumbling window over the ns-timestamp events table (batch
     // form of the streaming verb; ts read as nanos-long, bucketed to minutes)
     "q_events_window" -> ((s, dir) =>
@@ -980,6 +991,17 @@ object SparkEntry2 {
         |    chr(10)) AS wr,
         |  regexp_replace(p_name, ' ([^ ]*)$', '|\1') AS rs,
         |  substr(p_name, 1, 2) || 'XX' || substr(p_name, 6) AS sr
+        |FROM part""".stripMargin,
+    "q_str_ops4" ->
+      """SELECT p_partkey,
+        |  CASE WHEN strpos(reverse(p_name), 'a') = 0 THEN -1
+        |       ELSE length(p_name) - strpos(reverse(p_name), 'a') END AS rf,
+        |  CASE WHEN length(p_brand) >= 12 THEN p_brand
+        |       ELSE rpad(p_brand, 12, '.') END AS lj,
+        |  CASE WHEN length(p_brand) >= 12 THEN p_brand
+        |       ELSE lpad(p_brand, 12, '.') END AS rj,
+        |  regexp_full_match(CAST(p_partkey AS VARCHAR), '[0-9]+') AS dec,
+        |  regexp_full_match(regexp_replace(p_name, '[^0-9]', '', 'g'), '[0-9]+') AS num
         |FROM part""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(floor(epoch_ns(ts) / 60000000000) AS BIGINT) AS minute,

@@ -50,8 +50,13 @@ object dsl {
       Fns.Str.pad(c, w, side, fill)
     def count(sub: String): Column = Fns.Str.strCount(c, sub)
     def find(sub: String): Column = Fns.Str.find(c, sub)
+    def rfind(sub: String): Column = Fns.Str.rfind(c, sub)
+    def ljust(w: Int, fill: String = " "): Column = Fns.Str.ljust(c, w, fill)
+    def rjust(w: Int, fill: String = " "): Column = Fns.Str.rjust(c, w, fill)
     def isalpha(): Column = Fns.Str.isAlpha(c)
     def isdigit(): Column = Fns.Str.isDigit(c)
+    def isdecimal(): Column = Fns.Str.isDecimal(c)
+    def isnumeric(): Column = Fns.Str.isNumeric(c)
     def isalnum(): Column = Fns.Str.isAlnum(c)
     def isspace(): Column = Fns.Str.isSpace(c)
     def isupper(): Column = Fns.Str.isUpper(c)

@@ -91,6 +91,15 @@ object Fns {
         / sub.length).cast("long")
     /** 0-based index of first occurrence, -1 if absent (str.find). */
     def find(c: Column, sub: String): Column = (instr(c, sub) - 1).cast("long")
+    /** 0-based index of the LAST occurrence, -1 if absent (str.rfind):
+      * locate the reversed needle in the reversed haystack and convert
+      * back — one scan, no loop.
+      */
+    def rfind(c: Column, sub: String): Column = {
+      val posRev = instr(reverse(c), sub.reverse)
+      when(posRev === 0, lit(-1L))
+        .otherwise((length(c) - posRev - lit(sub.length) + 1).cast("long"))
+    }
     /** Left-pad with zeros (str.zfill). Python zfill never truncates, Spark
       * lpad does — guard values already at or over the width.
       */
@@ -130,6 +139,12 @@ object Fns {
     }
     def isAlpha(c: Column): Column   = c.rlike("^[A-Za-z]+$")
     def isDigit(c: Column): Column   = c.rlike("^[0-9]+$")
+    /** str.isdecimal: ASCII decimal digits only (no superscripts/fractions). */
+    def isDecimal(c: Column): Column = c.rlike("^[0-9]+$")
+    /** str.isnumeric: any unicode numeric character (category N) — wider
+      * than isdigit (roman numerals, fractions, CJK numerals).
+      */
+    def isNumeric(c: Column): Column = c.rlike("^\\p{N}+$")
     def isAlnum(c: Column): Column   = c.rlike("^[A-Za-z0-9]+$")
     def isSpace(c: Column): Column   = c.rlike("^\\s+$")
     def isUpper(c: Column): Column   = (c === upper(c)) && c.rlike("[A-Za-z]")
@@ -150,6 +165,11 @@ object Fns {
       }
       when(length(c) >= width, c).otherwise(padded)
     }
+    /** str.ljust / str.rjust (non-truncating, like [[pad]]). */
+    def ljust(c: Column, width: Int, fill: String = " "): Column =
+      pad(c, width, "right", fill)
+    def rjust(c: Column, width: Int, fill: String = " "): Column =
+      pad(c, width, "left", fill)
   }
 
   // ---- datetime (generics.py:187-236; SQL base.py:312-360) ----------------

@@ -75,7 +75,10 @@ class OpsMatrixSpec extends AnyFunSuite {
     "cat" -> (_.str.cat(col("lbl"), "-")),
     "swapcase" -> (_.str.swapcase()), "center" -> (_.str.center(15, "*")),
     "wrap" -> (_.str.wrap(5)), "rsplit" -> (_.str.rsplit(" ", 1)),
-    "slice_replace" -> (_.str.sliceReplace(1, 3, "XY"))
+    "slice_replace" -> (_.str.sliceReplace(1, 3, "XY")),
+    "rfind" -> (_.str.rfind("l")), "ljust" -> (_.str.ljust(15, ".")),
+    "rjust" -> (_.str.rjust(15, ".")), "isdecimal" -> (_.str.isdecimal()),
+    "isnumeric" -> (_.str.isnumeric())
   )
 
   private val dtOps: Seq[(String, Column => Column)] = Seq(
@@ -144,6 +147,30 @@ class OpsMatrixSpec extends AnyFunSuite {
     val r = out.df.where(col("ts").cast("string").startsWith("2024-02-29")).head()
     assert(r.getInt(out.df.columns.indexOf("d_dayofweek")) == 3) // Thursday
     assert(r.getBoolean(out.df.columns.indexOf("d_is_month_end")))
+  }
+
+  test("rfind/ljust/rjust/isdecimal/isnumeric semantics") {
+    import spark.implicits._
+    val d = Seq(("Hello World", "42", "Ⅻ"), ("xyz", "4.2", "abc"))
+      .toDF("s", "n", "u")
+    val out = Tbl(d).mutate(
+      "rf"  -> __.s.str.rfind("l"),
+      "rf0" -> __.s.str.rfind("Q"),
+      "lj"  -> __.s.str.ljust(13, "."),
+      "rj"  -> __.s.str.rjust(13, "."),
+      "dec" -> __.n.str.isdecimal(),
+      "num" -> __.u.str.isnumeric())
+    val r = out.df.where(col("s") === "Hello World").head()
+    def idx(n: String) = out.df.columns.indexOf(n)
+    assert(r.getLong(idx("rf")) == 9)   // last 'l' in "Hello World"
+    assert(r.getLong(idx("rf0")) == -1)
+    assert(r.getString(idx("lj")) == "Hello World..")
+    assert(r.getString(idx("rj")) == "..Hello World")
+    assert(r.getBoolean(idx("dec")))          // "42"
+    assert(r.getBoolean(idx("num")))          // roman numeral XII, category N
+    val r2 = out.df.where(col("s") === "xyz").head()
+    assert(!r2.getBoolean(idx("dec")))        // "4.2" has a dot
+    assert(!r2.getBoolean(idx("num")))        // "abc"
   }
 
   test("to_period labels every freq; total_seconds measures a timestamp diff") {

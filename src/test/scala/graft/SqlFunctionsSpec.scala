@@ -56,6 +56,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal") || e.getMessage.contains("shingle_hash"))
   }
 
+  test("DESCRIBE FUNCTION shows name and usage in the right slots") {
+    // regression: the 3-arg ExpressionInfo constructor is (className, db,
+    // name) — usage passed there scrambled DESCRIBE output
+    val rows = spark.sql("DESCRIBE FUNCTION shingle_hash")
+      .collect().map(_.getString(0))
+    assert(rows.exists(_.contains("Function: shingle_hash")), rows.mkString("\n"))
+    assert(rows.exists(_.contains("shingle_hash(text[, n])")), rows.mkString("\n"))
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // verify the injection shape is valid by applying it to a fresh builder-
     // style extensions object (a full new SparkSession would conflict with

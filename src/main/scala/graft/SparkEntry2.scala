@@ -450,11 +450,14 @@ object SparkEntry2 {
       // CPU-bound per-row passes — a single small row group would otherwise
       // run them all on one core (no-op when the scan is already wide)
       // cache: qual feeds BOTH pair generation and the canonical anti-join —
-      // without it the (regex-heavy) quality scoring pass runs twice
-      val qual = Tbl(graft.ops.Scale.spread(docs.df))
-        .mutate("q" -> TextFns.qualityScore(col("text")))
-        .filter(col("q") >= 0.6)
-        .cache()
+      // without it the (regex-heavy) quality scoring pass runs twice.
+      // Registered via trackCache so Dedup.unpersistIntermediates() releases
+      // it with the rest of the pipeline's pinned blocks.
+      val qual = Tbl(Dedup.trackCache(
+        Tbl(graft.ops.Scale.spread(docs.df))
+          .mutate("q" -> TextFns.qualityScore(col("text")))
+          .filter(col("q") >= 0.6)
+          .df))
       // LSH candidate generation, not the exact shingle self-join: at corpus
       // scale the all-pairs-by-shingle join is quadratic in hot shingles;
       // banded MinHash keeps candidate generation an equi-join. Exact Jaccard
@@ -853,6 +856,9 @@ object SparkEntry2 {
         .select(Seq("p_partkey", "sw", "ctr", "wr", "rs", "sr"): _*)
         .df),
 
+    "q_value_counts" -> ((s, dir) =>
+      t(s, dir, "customer").valueCounts("c_mktsegment", normalize = true).df),
+
     "q_str_ops4" -> ((s, dir) =>
       t(s, dir, "part")
         .mutate(
@@ -992,6 +998,10 @@ object SparkEntry2 {
         |  regexp_replace(p_name, ' ([^ ]*)$', '|\1') AS rs,
         |  substr(p_name, 1, 2) || 'XX' || substr(p_name, 6) AS sr
         |FROM part""".stripMargin,
+    "q_value_counts" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS n
+        |FROM customer GROUP BY 1""".stripMargin,
     "q_str_ops4" ->
       """SELECT p_partkey,
         |  CASE WHEN strpos(reverse(p_name), 'a') = 0 THEN -1

@@ -210,6 +210,39 @@ final case class Tbl(
     Tbl(withCols, groups, ord, factors).count(extra = computed.map(_._1))
   }
 
+  /** pandas `Series.value_counts` as a verb (the reference declares it but
+    * leaves it unsupported, siuba/ops/generics.py kind=None): per-value
+    * counts of `c`, descending, with optional `normalize` to fractions.
+    * One hash aggregate (+ a scalar subtotal broadcast when normalizing).
+    */
+  def valueCounts(c: String, normalize: Boolean = false,
+                  name: String = "n"): Tbl = {
+    val counted = count(extra = Seq(c), sort = true, name = name)
+    if (!normalize) counted
+    else {
+      // total via a windowed sum over the (already tiny) distinct-value
+      // table — no driver collect, no second pass over the input
+      val w = Window.partitionBy(groups.map(col): _*)
+      Tbl(counted.df.withColumn(name,
+            col(name).cast("double") / sum(col(name)).over(w))
+          .orderBy(desc(name)), groups, Nil)
+    }
+  }
+
+  /** pandas `describe` (unsupported in the reference, kind=None): count /
+    * mean / stddev / min / 25% / 50% / 75% / max per selected numeric
+    * column — Spark's native `summary()` (approx percentiles, one pass).
+    */
+  def describe(sel: Sel*): Tbl = {
+    val cs =
+      if (sel.isEmpty) typedFields.collect {
+        case (n, dt) if dt.isInstanceOf[org.apache.spark.sql.types.NumericType] => n
+      }
+      else Sel.resolveT(typedFields, sel).map(_._2)
+    Tbl(df.select(cs.map(col): _*)
+      .summary("count", "mean", "stddev", "min", "25%", "50%", "75%", "max"))
+  }
+
   /** count() appended to the original rows — a windowed count
     * (`COUNT(*) OVER (PARTITION BY keys)`, siuba/sql/verbs/count.py:58-84).
     * No shuffle beyond the window exchange; no join back.

@@ -112,6 +112,7 @@ object dsl {
     def size(): Column = F.count(F.lit(1))
     def nunique(): Column = F.count_distinct(c)
     def median(): Column = F.median(c)
+    def mode(): Column = F.mode(c) // most frequent value (pandas kind=None in ref)
     def quantile(q: Double): Column = F.percentile(c, F.lit(q))
     def std(): Column = F.stddev_samp(c)
     def variance(): Column = F.var_samp(c)

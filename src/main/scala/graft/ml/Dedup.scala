@@ -37,6 +37,13 @@ object Dedup {
     c
   }
 
+  /** Cache `df` and register it for [[unpersistIntermediates]] — for
+    * pipeline-level intermediates composed AROUND the dedup calls (e.g. a
+    * quality-filtered corpus feeding both pair generation and the canonical
+    * anti-join), so one hook releases the whole pipeline's pinned blocks.
+    */
+  def trackCache(df: DataFrame): DataFrame = scopedCache(df)
+
   /** Release every intermediate block pinned by dedup calls so far (shingle /
     * signature / chunk caches and connected-component label checkpoints).
     * Call after the pipeline's results are materialized; results not yet

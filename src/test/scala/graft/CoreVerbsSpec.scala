@@ -80,6 +80,20 @@ class CoreVerbsSpec extends AnyFunSuite {
     assertSameRows(ac, spark.sql("SELECT *, count(*) OVER (PARTITION BY g) AS n FROM t4"))
   }
 
+  test("valueCounts, describe, mode extensions") {
+    import graft.dsl._
+    val vc = Tbl(df).valueCounts("g").df.collect()
+    assert(vc.head.getString(0) == "a" && vc.head.getLong(1) == 3L)
+    val vn = Tbl(df).valueCounts("g", normalize = true).df.collect()
+    assert(vn.head.getDouble(1) == 0.5) // 3 of 6
+    assert(math.abs(vn.map(_.getDouble(1)).sum - 1.0) < 1e-12)
+    val desc = Tbl(df).describe().df
+    assert(desc.columns.toSeq == Seq("summary", "x", "y"))
+    assert(desc.count() == 8)
+    val m = Tbl(df).summarize("m" -> __.g.mode()).df.head().getString(0)
+    assert(m == "a")
+  }
+
   test("window functions: row_number, rank, lead/lag, cumsum") {
     val out = Tbl(df).groupBy("g").arrange(col("x"))
       .mutate(

@@ -50,6 +50,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("\\bProject\\b").length <= 3, p.take(800))
   }
 
+  test("banded embedding LSH caches only (id, band, bkey) and joins without cartesian") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val p = graft.ml.Dedup
+      .embeddingNearDupPairsBanded(emb, "vec_id", "embedding", dim = 64)
+      .queryExecution.executedPlan.toString
+    // the cached candidate table must not pin the embeddings (x bands copies)
+    val memLines = p.linesIterator.filter(_.contains("InMemoryTableScan")).toSeq
+    assert(memLines.nonEmpty, p.take(600))
+    assert(memLines.forall(l => !l.contains("vec#") && !l.contains("embedding#")),
+      memLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("custom expressions (shingle_hash, dot_product) stay in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -111,6 +111,7 @@ object dsl {
     def count(): Column = F.count(c)
     def size(): Column = F.count(F.lit(1))
     def nunique(): Column = F.count_distinct(c)
+    def nuniqueApprox(rsd: Double = 0.05): Column = Fns.Agg.nDistinctApprox(c, rsd)
     def median(): Column = F.median(c)
     def mode(): Column = F.mode(c) // most frequent value (pandas kind=None in ref)
     def quantile(q: Double): Column = F.percentile(c, F.lit(q))

@@ -41,6 +41,12 @@ object Fns {
   object Agg {
     def n(): Column                 = count(lit(1))
     def nDistinct(c: Column): Column = count_distinct(c)
+    /** HyperLogLog++ distinct estimate (SURVEY §2.5 opt-in extension): at
+      * 100 TB an exact count-distinct shuffles every distinct value; the
+      * sketch is a fixed-size buffer per group, map-side combinable.
+      */
+    def nDistinctApprox(c: Column, rsd: Double = 0.05): Column =
+      approx_count_distinct(c, rsd)
     /** Exact median via the native sort-based `median` aggregate. */
     def median(c: Column): Column   = org.apache.spark.sql.functions.median(c)
     /** Exact quantile (sort-based `percentile`); use `percentileApprox` at

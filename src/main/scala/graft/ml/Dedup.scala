@@ -359,6 +359,10 @@ object Dedup {
       if (dbg) println(f"[cc] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
       i += 1
     }
+    if (!converged)
+      System.err.println(s"graft warning: connectedComponents stopped at " +
+        s"maxIter=$maxIter without converging; labels may be non-minimal " +
+        "(raise maxIter for graphs with long chains)")
     // the final labels are checkpointed (lineage-free): the edge blocks are
     // no longer needed by anything reachable
     unpersistIds(edgeIds)

@@ -118,10 +118,12 @@ object Similarity {
     // id-hashes. orderBy+limit plans as TakeOrderedAndProject — each
     // partition keeps its local top-N, one tiny merge — no global sort, no
     // driver-side count() pass over the corpus.
-    val centroids = corpus
+    // registered with Dedup's intermediate registry: nCentroids vectors is
+    // tiny, but long-lived sessions sweeping k/nProbe would otherwise
+    // accumulate one pinned centroid table per call
+    val centroids = Dedup.trackCache(corpus
       .select(xxhash64(col(idCol)).as("centroid_id"), col(vecCol).as("cvec"))
-      .orderBy("centroid_id").limit(nCentroids)
-      .cache()
+      .orderBy("centroid_id").limit(nCentroids))
 
     def assign(df: DataFrame, name: String, nNearest: Int) = {
       val scored = graft.ops.Scale.spread(df)

@@ -32,6 +32,7 @@ class OpsMatrixSpec extends AnyFunSuite {
   private val aggOps: Seq[(String, Column => Column)] = Seq(
     "mean" -> (_.mean()), "sum" -> (_.sum()), "min" -> (_.min()),
     "max" -> (_.max()), "count" -> (_.count()), "nunique" -> (_.nunique()),
+    "nunique_approx" -> (_.nuniqueApprox()),
     "median" -> (_.median()), "quantile" -> (_.quantile(0.25)),
     "std" -> (_.std()), "var" -> (_.variance()), "sem" -> (_.sem()),
     "skew" -> (_.skew()), "kurt" -> (_.kurt()), "prod" -> (_.prod()),

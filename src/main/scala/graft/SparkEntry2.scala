@@ -859,6 +859,12 @@ object SparkEntry2 {
     "q_value_counts" -> ((s, dir) =>
       t(s, dir, "customer").valueCounts("c_mktsegment", normalize = true).df),
 
+    // context-window chunking: 50-token chunks, 10-token overlap
+    "q_chunk_docs" -> ((s, dir) =>
+      TextFns.chunkDocs(t(s, dir, "documents").df, "doc_id", "text",
+          chunkSize = 50, overlap = 10)
+        .withColumn("chunk_id", col("chunk_id").cast("long"))),
+
     "q_str_ops4" -> ((s, dir) =>
       t(s, dir, "part")
         .mutate(
@@ -1002,6 +1008,18 @@ object SparkEntry2 {
       """SELECT c_mktsegment,
         |  CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS n
         |FROM customer GROUP BY 1""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |  base AS (SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 50 THEN 1
+        |         ELSE CAST(ceil((len(w) - 10) * 1.0 / 40) AS BIGINT) END AS k
+        |    FROM toks),
+        |  expanded AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, k)) AS i FROM base)
+        |SELECT doc_id, i - 1 AS chunk_id,
+        |  array_to_string(w[(i-1)*40 + 1 : (i-1)*40 + 50], ' ') AS chunk
+        |FROM expanded""".stripMargin,
     "q_str_ops4" ->
       """SELECT p_partkey,
         |  CASE WHEN strpos(reverse(p_name), 'a') = 0 THEN -1

@@ -210,6 +210,31 @@ final case class Tbl(
     Tbl(withCols, groups, ord, factors).count(extra = computed.map(_._1))
   }
 
+  /** Deterministic hash-based Bernoulli sample: keep a row iff
+    * `xxhash64(key, seed) mod M < frac*M`. Unlike `sample()` (whose output
+    * depends on partitioning and row order), the decision is a pure
+    * function of the key and seed — reproducible across runs, repartitions
+    * and clusters, and nested: the frac=0.1 sample is a subset of the
+    * frac=0.2 sample at the same seed. The right sampler for 100 TB
+    * pipelines where a sample must be re-derivable.
+    */
+  def sampleByHash(idCol: String, frac: Double, seed: Long = 42L): Tbl = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0, 1]")
+    val m = 1L << 30
+    copy(df = df.filter(
+      pmod(xxhash64(col(idCol), lit(seed)), lit(m)) < lit((m * frac).toLong)))
+  }
+
+  /** Native Bernoulli sample (fast, but partitioning-dependent) and
+    * stratified per-group sampling (Spark's `sampleBy`).
+    */
+  def sampleFrac(frac: Double, seed: Long = 42L): Tbl =
+    copy(df = df.sample(frac, seed))
+
+  def sampleStratified(c: String, fractions: Map[Any, Double],
+                       seed: Long = 42L): Tbl =
+    copy(df = df.stat.sampleBy(c, fractions, seed))
+
   /** pandas `Series.value_counts` as a verb (the reference declares it but
     * leaves it unsupported, siuba/ops/generics.py kind=None): per-value
     * counts of `c`, descending, with optional `normalize` to fractions.

@@ -83,4 +83,14 @@ object Scale {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Deterministic global shuffle for training-data ordering: a total sort
+    * by `xxhash64(key, seed)` (key as tie-break). Plans as a
+    * range-partitioned sort — every partition sorts its slice, no single
+    * reducer — and the permutation is a pure function of (key, seed), so
+    * re-runs, retried stages, and resumed jobs all see the same order.
+    * `orderBy(rand())` gives none of those guarantees.
+    */
+  def shuffleRows(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
+    df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
 }

@@ -202,4 +202,35 @@ object TextFns {
           i => xxhash64(slice(th, i, lit(n)))))
         .otherwise(array(xxhash64(th))))
   }
+
+  /** Split a document into token-window chunks of `chunkSize` tokens with
+    * `overlap` tokens shared between consecutive chunks — the standard
+    * context-window prep for training pipelines. Chunk starts advance by
+    * `chunkSize - overlap`; the count is exactly ceil((n - overlap) / step)
+    * so every token is covered and no chunk is pure overlap. One
+    * tokenization pass, all array expressions — codegen-friendly, no
+    * explode until the caller asks for rows.
+    */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int = 0): Column = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      ceil((n - lit(overlap)).cast("double") / step).cast("int"))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * step + 1, lit(chunkSize)), " "))
+  }
+
+  /** Chunk a corpus into (doc_id, chunk_id, chunk) rows. The explode happens
+    * AFTER the per-document array build, so chunk generation parallelizes
+    * with the scan; `spread` widens narrow scans first (chunking is a
+    * CPU-bound per-row pass).
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame =
+    graft.ops.Scale.spread(df).select(col(idCol).as("doc_id"),
+      posexplode(chunkTokens(col(textCol), chunkSize, overlap)))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
 }

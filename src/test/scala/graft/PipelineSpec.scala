@@ -308,6 +308,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(after < before, "testdata has near-dups; some rows must drop")
   }
 
+  test("chunkTokens: coverage, overlap, and edge cases") {
+    import spark.implicits._
+    val mk = (n: Int) => (0 until n).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, mk(10)), (2L, mk(3)), (3L, ""), (4L, mk(4))).toDF("doc_id", "text")
+    val chunks = d.select(col("doc_id"),
+        TextFns.chunkTokens(col("text"), chunkSize = 4, overlap = 1).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // n=10, size 4, step 3: starts 0,3,6 -> full coverage, 1-token overlap
+    assert(chunks(1L) == Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    assert(chunks(2L) == Seq("t0 t1 t2"))   // shorter than chunkSize: one chunk
+    assert(chunks(3L) == Seq(""))           // empty text: one empty chunk
+    assert(chunks(4L) == Seq("t0 t1 t2 t3")) // exactly chunkSize: one chunk
+    // row form: ids and positions line up
+    val rows = TextFns.chunkDocs(d, "doc_id", "text", 4, 1)
+    assert(rows.columns.toSeq == Seq("doc_id", "chunk_id", "chunk"))
+    assert(rows.count() == 3 + 1 + 1 + 1)
+    assert(rows.filter(col("doc_id") === 1 && col("chunk_id") === 2)
+      .head().getString(2) == "t6 t7 t8 t9")
+  }
+
+  test("sampleByHash: deterministic, nested, and close to the target fraction") {
+    val n = docs.count().toDouble
+    val s20 = Tbl(docs).sampleByHash("doc_id", 0.2, seed = 7)
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s20again = Tbl(docs).sampleByHash("doc_id", 0.2, seed = 7)
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s20 == s20again, "same seed+frac must reproduce exactly")
+    // nested: the 0.1 sample is a subset of the 0.2 sample at the same seed
+    val s10 = Tbl(docs).sampleByHash("doc_id", 0.1, seed = 7)
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s20))
+    // tolerance: binomial std dev ~ sqrt(p(1-p)/n) ~ 1.8% at n=500
+    assert(math.abs(s20.size / n - 0.2) < 0.08, s"got ${s20.size / n}")
+    // different seed -> different sample
+    val other = Tbl(docs).sampleByHash("doc_id", 0.2, seed = 8)
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != s20)
+  }
+
   test("unpersistIntermediates releases every block the dedup pipeline pinned") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet

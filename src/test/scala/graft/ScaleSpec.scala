@@ -100,6 +100,18 @@ class ScaleSpec extends AnyFunSuite {
       == big.toDF().queryExecution.optimizedPlan)
   }
 
+  test("shuffleRows: deterministic permutation, seed-sensitive, multiset-preserving") {
+    import spark.implicits._
+    val d = (1L to 500L).map(i => (i, s"row$i")).toDF("id", "v")
+    val a = Scale.shuffleRows(d, "id", seed = 1).select("id").collect().map(_.getLong(0)).toSeq
+    val b = Scale.shuffleRows(d, "id", seed = 1).select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same seed must reproduce the same order")
+    val c = Scale.shuffleRows(d, "id", seed = 2).select("id").collect().map(_.getLong(0)).toSeq
+    assert(a != c, "different seed must permute differently")
+    assert(a.sorted == (1L to 500L) && c.sorted == (1L to 500L))
+    assert(a != (1L to 500L).toSeq, "shuffle must not be the identity order")
+  }
+
   test("partitioned write prunes partitions on read") {
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -134,27 +134,52 @@ object Dedup {
     sh.groupBy("id").agg(agg.as("sig"))
   }
 
+  // 2^31 - 1 (Mersenne prime): keeps a*h+b < 2^62, no int64 overflow
+  // under ANSI arithmetic while leaving collision odds ~n²/2p ≈ 1e-4 at
+  // a 1M-shingle partition — fine for signature mins.
+  private val MinhashP = 2147483647L
+
+  /** The k permutation coefficient pairs derived from a seed — shared by
+    * every signature formulation so same-seed signatures agree exactly.
+    */
+  private[graft] def minhashCoeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (MinhashP - 1) + 1,
+                 math.abs(rnd.nextLong()) % MinhashP))
+  }
+
   /** Reference formulation of the signature (k separate min-aggregates) —
     * kept as the differential oracle for MinHashAgg.
     */
   private[graft] def minhashSignaturesComposed(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
-    // 2^31 - 1 (Mersenne prime): keeps a*h+b < 2^62, no int64 overflow
-    // under ANSI arithmetic while leaving collision odds ~n²/2p ≈ 1e-4 at
-    // a 1M-shingle partition — fine for signature mins.
-    val p = 2147483647L
-    val rnd = new scala.util.Random(seed)
-    val coeffs = Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1) + 1,
-                              math.abs(rnd.nextLong()) % p))
+    val p = MinhashP
     val sh = spread(df).select(col(idCol).as("id"),
       explode(TextFns.shingleHashes(col(textCol), n)).as("g"))
       .withColumn("hx", pmod(col("g"), lit(p)))
-    val minExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+    val minExprs = minhashCoeffs(k, seed).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("hx") * lit(a) + lit(b), lit(p))).as(s"m$i")
     }
     sh.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Per-ROW MinHash signature as a pure array expression — no explode, no
+    * aggregation, so it is legal anywhere an elementwise function is
+    * (streaming micro-batches, mutate chains). Same (seed → coefficients)
+    * derivation as [[minhashSignaturesComposed]], so same-seed values agree
+    * exactly with the aggregate formulation. Cost is k passes over the
+    * row's shingle array (vs one for MinHashAgg) — the right trade when
+    * the row count per batch is modest or aggregation is unavailable.
+    */
+  def minhashSignatureRow(text: Column, n: Int = 3, k: Int = 32,
+                          seed: Long = 42L): Column = {
+    val p = MinhashP
+    val hx = transform(TextFns.shingleHashes(text, n), h => pmod(h, lit(p)))
+    array(minhashCoeffs(k, seed).map { case (a, b) =>
+      array_min(transform(hx, h => pmod(h * lit(a) + lit(b), lit(p))))
+    }: _*)
   }
 
   /** MinHash + LSH banding: B bands of R rows (K = B*R); docs sharing any

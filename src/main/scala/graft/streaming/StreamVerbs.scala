@@ -104,6 +104,66 @@ object StreamVerbs {
       .toDF("key", "running_n", "running_sum")
   }
 
+  /** Streaming MinHash-LSH near-dup CANDIDATES (dedup-on-ingest): each
+    * incoming doc gets a per-row signature (pure array expression —
+    * [[graft.ml.Dedup.minhashSignatureRow]], no aggregation), explodes to
+    * its `bands` bucket keys, and one `flatMapGroupsWithState` keyed on the
+    * bucket holds the signatures seen there. A new doc agreeing with a
+    * stored one on >= `threshold` of the k signature slots emits an
+    * (id_a, id_b, est_jaccard) candidate immediately — the streaming half
+    * of the lambda dedup architecture (candidates stream out; periodic
+    * batch `connectedComponents` + `keepCanonical` resolves).
+    *
+    * State bounds: `maxBucketState` caps signatures kept per bucket (FIFO
+    * eviction) — hot buckets degrade to recent-window recall instead of
+    * unbounded state, the same guard as batch `maxBucket`. A pair sharing
+    * several buckets may emit once per shared bucket; the resolve step's
+    * edge handling is duplicate-tolerant by construction.
+    */
+  def streamingNearDupCandidates(t: Tbl, idCol: String, textCol: String,
+                                 n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                                 threshold: Double = 0.7, seed: Long = 42L,
+                                 maxBucketState: Int = 64): DataFrame = {
+    val spark = t.df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val k = bands * rowsPerBand
+    val banded = t.df
+      .select(col(idCol).cast("long").as("id"),
+        graft.ml.Dedup.minhashSignatureRow(col(textCol), n, k, seed).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(":", b.cast("string"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .cast("string"))))
+          .as("bucket"))
+    banded.select(col("bucket"), col("id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, docs: Iterator[(String, Long, Seq[Long])],
+         state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          docs.foreach { case (_, id, sig) =>
+            seen.foreach { case (oid, osig) =>
+              if (oid != id) {
+                var agree = 0; var i = 0
+                while (i < k) { if (sig(i) == osig(i)) agree += 1; i += 1 }
+                val est = agree.toDouble / k
+                if (est >= threshold)
+                  out += ((math.min(id, oid), math.max(id, oid), est))
+              }
+            }
+            seen = ((id, sig) +: seen).take(maxBucketState)
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("id_a", "id_b", "est_jaccard")
+  }
+
   /** Custom-state example: per-key running (count, sum) via
     * `mapGroupsWithState` — the KeyValueGroupedDataset escape hatch for
     * stateful logic the built-in operators can't express. Emits one updated

@@ -283,6 +283,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(odd.select(eqCount(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("minhashSignatureRow (elementwise) equals the composed aggregate formulation") {
+    val row = docs.select(col("doc_id"),
+        Dedup.minhashSignatureRow(col("text"), n = 3, k = 16, seed = 42L).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Dedup.minhashSignaturesComposed(docs, "doc_id", "text", n = 3, k = 16, seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(row.keySet == agg.keySet)
+    row.foreach { case (id, sig) => assert(sig == agg(id), s"doc $id") }
+  }
+
   test("connectedComponents: transitive closure, keepCanonical drops dupes") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))

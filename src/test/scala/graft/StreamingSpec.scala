@@ -118,6 +118,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ss_join").count() == 5 + 3)
   }
 
+  test("streaming near-dup candidates match the batch LSH pair condition") {
+    import spark.implicits._
+    val mk = (tokens: Seq[String]) => tokens.mkString(" ")
+    val base = (0 until 30).map(i => s"tok$i")
+    // 1&2 near-identical, 3 unrelated, 4 a copy of 1 arriving in batch 2
+    val batch1 = Seq(
+      (1L, mk(base)),
+      (2L, mk(base.updated(5, "changed"))),
+      (3L, mk((0 until 30).map(i => s"other$i"))))
+    val batch2 = Seq((4L, mk(base)))
+    val dir = Files.createTempDirectory("graft-nd").toFile
+    val ckpt = Files.createTempDirectory("graft-nd-ckpt").toFile
+    batch1.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    batch2.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = batch1.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val q = StreamVerbs.streamingNearDupCandidates(Tbl(stream), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .writeStream.format("memory").queryName("nd_out")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT DISTINCT id_a, id_b FROM nd_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference: same signatures, same banding, same threshold
+    val docs = (batch1 ++ batch2).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+        graft.ml.Dedup.minhashSignatureRow(col("text"), 3, 16, 42L).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def bkeys(s: Seq[Long]) = (0 until 8).map(b => (b, s.slice(b * 2, b * 2 + 2)))
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      shares = bkeys(sigs(a)).zip(bkeys(sigs(b))).exists { case (x, y) => x == y }
+      agree = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 16.0
+      if shares && agree >= 0.5
+    } yield (a, b)).toSet
+    assert(expected.contains((1L, 4L)), "exact copy must be a candidate")
+    assert(got == expected, s"streaming $got vs batch $expected")
+  }
+
   test("transformWithState running totals (Spark 4 stateful API)") {
     // transformWithState needs a multi-column-family store: RocksDB
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

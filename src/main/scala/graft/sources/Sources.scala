@@ -28,6 +28,16 @@ object Sources {
     Tbl(schema.map(r.schema).getOrElse(r).json(path))
   }
 
+  def readOrc(spark: SparkSession, path: String): Tbl =
+    Tbl(spark.read.orc(path))
+
+  /** Line-oriented text: one `value` row per line — the raw-corpus entry
+    * point for the text pipeline (chunk/quality/dedup operate on it
+    * directly).
+    */
+  def readText(spark: SparkSession, path: String): Tbl =
+    Tbl(spark.read.text(path))
+
   /** JDBC source — the analogue of `tbl(engine, "name")`. `partitionOn`
     * (column, lower, upper, numPartitions) parallelizes the scan; without it
     * the whole table arrives through one connection.
@@ -53,6 +63,9 @@ object Sources {
 
   def writeJson(t: Tbl, path: String, mode: String = "overwrite"): Unit =
     t.df.write.mode(mode).json(path)
+
+  def writeOrc(t: Tbl, path: String, mode: String = "overwrite"): Unit =
+    t.df.write.mode(mode).orc(path)
 
   // ---- semi-structured columns -------------------------------------------
 

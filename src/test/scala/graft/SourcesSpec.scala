@@ -21,6 +21,20 @@ class SourcesSpec extends AnyFunSuite {
     assertSameRows(jsonBack.df, orig.df)
   }
 
+  test("orc round-trips; text source reads one row per line") {
+    val orig = Tbl(spark.read.parquet("/root/testdata/sf0.001/nation.parquet"))
+    val orcDir = Files.createTempDirectory("graft-orc").toString
+    Sources.writeOrc(orig, orcDir)
+    assertSameRows(Sources.readOrc(spark, orcDir).df, orig.df)
+    val txtDir = Files.createTempDirectory("graft-txt").toString
+    import spark.implicits._
+    Seq("line one", "line two", "line three").toDF("value")
+      .write.mode("overwrite").text(txtDir)
+    val txt = Sources.readText(spark, txtDir)
+    assert(txt.df.columns.toSeq == Seq("value"))
+    assert(txt.df.count() == 3)
+  }
+
   test("jsonGet and jsonStruct extract payload fields") {
     import spark.implicits._
     val d = Seq("""{"k": 7, "tag": "a"}""", """{"k": 9, "tag": "b"}""").toDF("props")

@@ -119,6 +119,58 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark-contamination report: for each training doc, how many of its
+    * distinct word n-grams also occur anywhere in the benchmark corpus — the
+    * standard n-gram decontamination check for pretraining data (e.g. the
+    * 13-gram overlap rule). Output: one row per CONTAMINATED training doc
+    * (id, n_grams, n_contaminated, contaminated_frac); clean docs are absent
+    * (join semantics — nothing to report and no reason to shuffle them).
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT grams — benchmark
+    * suites are tiny next to a 100 TB corpus, so AQE broadcasts that side and
+    * the training grams stream past it map-side; the only full shuffle is the
+    * per-doc count aggregate. `hashed=true` (default) joins on 64-bit
+    * ShingleHash values — no gram string is ever materialized or shuffled;
+    * `hashed=false` uses the literal n-gram strings (the oracle-transparent
+    * form; equality classes agree modulo 64-bit collisions, which the
+    * ShingleHash differential tests pin).
+    */
+  def contaminationReport(train: DataFrame, trainId: String, trainText: String,
+                          bench: DataFrame, benchText: String,
+                          n: Int = 13, hashed: Boolean = true): DataFrame = {
+    def grams(c: Column): Column =
+      if (hashed) TextFns.shingleHashes(c, n) else TextFns.wordShingles(c, n)
+    val tg = spread(train)
+      .select(col(trainId).as("id"), grams(col(trainText)).as("gs"))
+      .select(col("id"), size(col("gs")).cast("long").as("n_grams"),
+              explode(col("gs")).as("g"))
+    val bg = spread(bench)
+      .select(explode(grams(col(benchText))).as("g")).distinct()
+    tg.join(bg, "g")
+      .groupBy("id", "n_grams")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 4))
+      .select(col("id").as(trainId), col("n_grams"), col("n_contaminated"),
+              col("contaminated_frac"))
+  }
+
+  /** Drop training docs whose benchmark n-gram overlap exceeds
+    * `maxContaminatedFrac` (default 0.0: any shared n-gram drops the doc).
+    * One anti-join against the (small) contaminated-id set; all other
+    * training rows pass through untouched — columns preserved.
+    */
+  def decontaminate(train: DataFrame, trainId: String, trainText: String,
+                    bench: DataFrame, benchText: String,
+                    n: Int = 13, maxContaminatedFrac: Double = 0.0,
+                    hashed: Boolean = true): DataFrame = {
+    val bad = contaminationReport(train, trainId, trainText, bench, benchText,
+        n, hashed)
+      .filter(col("contaminated_frac") > maxContaminatedFrac)
+      .select(col(trainId))
+    train.join(bad, Seq(trainId), "left_anti")
+  }
+
   /** MinHash signatures via the custom single-buffer Catalyst aggregate
     * (graft.plans.MinHashAgg): one tight-loop pass over the shingle table,
     * map-side combinable, shuffling one k-long signature per doc partition.

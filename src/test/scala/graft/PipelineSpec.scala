@@ -357,6 +357,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(other != s20)
   }
 
+  test("contamination: bench docs report frac 1.0, decontaminate drops them, hashed==string") {
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val nBench = bench.count()
+    assert(nBench > 0)
+    val rep = Dedup.contaminationReport(docs, "doc_id", "text", bench, "text",
+      n = 5, hashed = false)
+    // every bench doc is in train, so its gram set is fully covered
+    val self = rep.filter(col("doc_id") % 17 === 0)
+    assert(self.count() == nBench)
+    assert(self.filter(col("contaminated_frac") < 1.0).count() == 0,
+      "a bench doc's own grams must all be contaminated")
+    // hashed path produces the same report (no collisions at this scale)
+    val repH = Dedup.contaminationReport(docs, "doc_id", "text", bench, "text",
+      n = 5, hashed = true)
+    assert(rep.exceptAll(repH).isEmpty && repH.exceptAll(rep).isEmpty,
+      "hashed and string gram reports must agree")
+    // decontaminate at threshold 0: every reported doc is gone, others stay
+    val clean = Dedup.decontaminate(docs, "doc_id", "text", bench, "text",
+      n = 5, maxContaminatedFrac = 0.0)
+    val reported = rep.select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(reported).isEmpty)
+    assert(kept.size + reported.size == docs.count())
+    // column pass-through
+    assert(clean.columns.toSeq == docs.columns.toSeq)
+  }
+
   test("unpersistIntermediates releases every block the dedup pipeline pinned") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet

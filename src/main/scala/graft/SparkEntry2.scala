@@ -389,6 +389,70 @@ object SparkEntry2 {
           n = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))).df),
 
+    // PII scrub: synthetic identifiers injected deterministically from
+    // doc_id (the raw corpus has none), then per-type redaction + counts
+    "q_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate("aug" -> concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1 (555) 123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.1."), (col("doc_id") % 256).cast("string"),
+          lit(".7 ssn 123-45-6789.")))
+        .mutate("red" -> TextFns.redactPii(col("aug")),
+                "pc"  -> TextFns.piiCounts(col("aug")))
+        .mutate("n_email" -> col("pc.email"), "n_ssn" -> col("pc.ssn"),
+                "n_phone" -> col("pc.phone"), "n_ipv4" -> col("pc.ipv4"))
+        .select(Seq("doc_id", "red", "n_email", "n_ssn", "n_phone",
+                    "n_ipv4"): _*)
+        .df),
+
+    // token-budget shard packing: contiguous greedy fill at 2000 tokens
+    "q_pack_shards" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").df
+        .select(col("doc_id"),
+                TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.ops.Scale.packByBudget(sized, Seq(col("doc_id")), col("n_tok"),
+          budget = 2000)
+        .select(col("doc_id"), col("n_tok"), col("shard"))
+    }),
+
+    // weighted mixture interleave: urgent orders at 2x the rate of high
+    "q_interleave" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df.select("o_orderkey", "o_orderpriority")
+      graft.ops.Scale.interleaveWeighted(
+          Seq(("urgent", o.filter(col("o_orderpriority") === "1-URGENT"), 2.0),
+              ("high",   o.filter(col("o_orderpriority") === "2-HIGH"),   1.0)),
+          d => Seq(d("o_orderkey")))
+        .select(col("tag"), col("o_orderkey"), col("mix_ord"))
+    }),
+
+    // per-stratum quota: top-3 largest docs per (lang, source)
+    "q_quota_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .sampleQuota(Seq("lang", "source"),
+                     Seq(col("n_chars").desc, col("doc_id")), k = 3)
+        .select(Seq("lang", "source", "doc_id", "n_chars"): _*).df),
+
+    // benchmark decontamination: 5-gram overlap of every doc against the
+    // doc_id%17 slice standing in for a held-out benchmark suite. The report
+    // uses literal gram strings (oracle-transparent); the decontaminate
+    // query keeps the hashed default, pinning the ShingleHash join path
+    // against the same string-gram oracle (equality classes must agree).
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      Dedup.contaminationReport(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 17 === 0), "text", n = 5, hashed = false)
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      Tbl(Dedup.decontaminate(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 17 === 0), "text",
+          n = 5, maxContaminatedFrac = 0.5))
+        .select(Seq("doc_id", "lang", "source"): _*).df
+    }),
+
     // LSH/banding queries: probabilistic candidate generation — verified by
     // unit tests against the exact brute force; rows-only check here.
     "q_dedup_minhash" -> ((s, dir) =>
@@ -549,6 +613,87 @@ object SparkEntry2 {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "q_pii_redact" ->
+      """WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com or +1 (555) 123-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' ip 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.7 ssn 123-45-6789.' AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM aug),
+        |s2 AS (SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |    regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_ssn,
+        |    CAST(len(regexp_extract_all(t2, '(\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phone,
+        |    regexp_replace(t2, '(\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '[PHONE]', 'g') AS t3
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
+        |    CAST(len(regexp_extract_all(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |    regexp_replace(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS red
+        |  FROM s3)
+        |SELECT doc_id, red, n_email, n_ssn, n_phone, n_ipv4 FROM s4""".stripMargin,
+    "q_pack_shards" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
+        |FROM s""".stripMargin,
+    "q_interleave" ->
+      """WITH a AS (SELECT o_orderkey, 'urgent' AS tag,
+        |    (row_number() OVER (ORDER BY o_orderkey) - 0.5) / 2.0 AS pos
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT o_orderkey, 'high' AS tag,
+        |    (row_number() OVER (ORDER BY o_orderkey) - 0.5) / 1.0 AS pos
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT tag, o_orderkey,
+        |  row_number() OVER (ORDER BY pos, tag, o_orderkey) AS mix_ord
+        |FROM u""".stripMargin,
+    "q_quota_sample" ->
+      """SELECT lang, source, doc_id, n_chars FROM (
+        |  SELECT lang, source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 3""".stripMargin,
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |    FROM documents),
+        |  gr AS (SELECT doc_id, list_distinct(
+        |      CASE WHEN len(w) >= 5 THEN
+        |        list_transform(range(1, len(w) - 3),
+        |                       i -> array_to_string(list_slice(w, i, i + 4), ' '))
+        |      ELSE [array_to_string(w, ' ')] END) AS gs
+        |    FROM toks),
+        |  tg AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM gr),
+        |  bg AS (SELECT DISTINCT g FROM
+        |    (SELECT unnest(gs) AS g FROM gr WHERE doc_id % 17 = 0))
+        |SELECT tg.doc_id, tg.n_grams, count(*) AS n_contaminated,
+        |  round(count(*) * 1.0 / tg.n_grams, 4) AS contaminated_frac
+        |FROM tg JOIN bg USING (g) GROUP BY 1, 2""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |    FROM documents),
+        |  gr AS (SELECT doc_id, list_distinct(
+        |      CASE WHEN len(w) >= 5 THEN
+        |        list_transform(range(1, len(w) - 3),
+        |                       i -> array_to_string(list_slice(w, i, i + 4), ' '))
+        |      ELSE [array_to_string(w, ' ')] END) AS gs
+        |    FROM toks),
+        |  tg AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM gr),
+        |  bg AS (SELECT DISTINCT g FROM
+        |    (SELECT unnest(gs) AS g FROM gr WHERE doc_id % 17 = 0)),
+        |  bad AS (SELECT tg.doc_id FROM tg JOIN bg USING (g)
+        |    GROUP BY tg.doc_id, tg.n_grams
+        |    HAVING round(count(*) * 1.0 / tg.n_grams, 4) > 0.5)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
         |    FROM documents),

@@ -225,6 +225,22 @@ final case class Tbl(
       pmod(xxhash64(col(idCol), lit(seed)), lit(m)) < lit((m * frac).toLong)))
   }
 
+  /** Per-stratum quota sample: keep the top `k` rows of each group in
+    * `orderBy` order (e.g. top-1000 docs per domain by quality score) —
+    * the deterministic curation step of a training-data pipeline, vs the
+    * probabilistic [[sampleStratified]]. Uses row_number (not rank), so
+    * quotas are exact; pass a total order (tie-break on a unique id) for a
+    * reproducible result. One hash-partitioned window — group cardinality
+    * bounds each task, no global sort, scales to any number of strata.
+    */
+  def sampleQuota(groupCols: Seq[String], orderBy: Seq[Column], k: Int): Tbl = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    copy(df = df.withColumn("__qrn", row_number().over(w))
+      .filter(col("__qrn") <= k).drop("__qrn"))
+  }
+
   /** Native Bernoulli sample (fast, but partitioning-dependent) and
     * stratified per-group sampling (Spark's `sampleBy`).
     */

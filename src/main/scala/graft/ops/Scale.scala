@@ -84,6 +84,86 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Exact INCLUSIVE global cumulative sum of `valueCol` in `orderCols`
+    * order, without the single-reducer `Window.orderBy(...)` trap: the naive
+    * unpartitioned window funnels 100 TB through one task. Standard two-phase
+    * prefix sum instead:
+    *   1. range-partition by the order key (every partition holds a
+    *      contiguous key range; parallelism preserved),
+    *   2. per-partition totals (tiny: one row per partition) → exclusive
+    *      partition offsets via a window over ≤ numPartitions rows,
+    *   3. broadcast the offsets back and window-cumsum WITHIN each partition.
+    * Deterministic when `orderCols` is a total order (range partitioning
+    * never splits equal keys, and the sampler's seed is derived from the
+    * partition index, so re-computations see the same boundaries).
+    */
+  def globalCumSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                   outCol: String, numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val parted = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offs = parted.groupBy("__pid").agg(sum(valueCol).as("__psum"))
+      .withColumn("__off",
+        coalesce(sum("__psum").over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__psum")
+    parted.join(broadcast(offs), "__pid")
+      .withColumn(outCol,
+        col("__off") + sum(valueCol).over(
+          Window.partitionBy("__pid").orderBy(orderCols: _*)))
+      .drop("__pid", "__off")
+  }
+
+  /** Exact global 1-based row number in `orderCols` order — [[globalCumSum]]
+    * of 1 — for stable ordinals over arbitrarily large data. */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+                      outCol: String = "rn", numPartitions: Int = 0): DataFrame =
+    globalCumSum(df, orderCols, lit(1L), outCol, numPartitions)
+
+  /** Pack rows into shards of ~`budget` total `sizeCol` (token-budget shard
+    * packing for pretraining corpora): shard = floor(exclusive_cumsum /
+    * budget) in `orderCols` order. A row straddling a budget boundary stays
+    * in the earlier shard (shards can overflow by at most one row — the
+    * contiguous-greedy packing every sequential writer uses). Scales via the
+    * two-phase prefix sum; no global window.
+    */
+  def packByBudget(df: DataFrame, orderCols: Seq[Column], sizeCol: Column,
+                   budget: Long, shardCol: String = "shard"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    globalCumSum(df, orderCols, sizeCol, "__cum")
+      .withColumn(shardCol,
+        floor((col("__cum") - sizeCol).cast("double") / budget).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Deterministic weighted interleave of several sources (training-mixture
+    * scheduling): source i's k-th row lands at position (k - 0.5) / weight_i,
+    * so a weight-2 source appears twice as often, uniformly spread — the
+    * standard stride-scheduling mix. Inputs must share a schema. Output adds
+    * `tag` (source name) and `mix_ord` (1-based global order). Per-source
+    * ordinals and the final ordinal both use the two-phase prefix sum — no
+    * global window anywhere.
+    */
+  def interleaveWeighted(sources: Seq[(String, DataFrame, Double)],
+                         orderCols: DataFrame => Seq[Column]): DataFrame = {
+    require(sources.nonEmpty && sources.forall(_._3 > 0),
+      "need at least one source; weights must be positive")
+    val positioned = sources.map { case (tag, df, w) =>
+      globalRowNumber(df, orderCols(df), "__rn")
+        .withColumn("__pos", (col("__rn") - 0.5) / w)
+        .withColumn("tag", lit(tag))
+        .drop("__rn")
+    }
+    val unioned = positioned.reduce(_.unionByName(_))
+    // ties (equal weights) break on tag then the source's own order key
+    globalRowNumber(unioned,
+        Seq(col("__pos"), col("tag")) ++ orderCols(unioned), "mix_ord")
+      .drop("__pos")
+  }
+
   /** Deterministic global shuffle for training-data ordering: a total sort
     * by `xxhash64(key, seed)` (key as tie-break). Plans as a
     * range-partitioned sort — every partition sorts its slice, no single

@@ -384,6 +384,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(clean.columns.toSeq == docs.columns.toSeq)
   }
 
+  test("redactPii scrubs emails/ssn/phones/ips and piiCounts counts them") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b+c@ex-ample.org then ssn 123-45-6789 done"),
+      (2L, "call +1 (555) 123-4567 or 555.123.4567 from 10.0.0.1"),
+      (3L, "clean text with numbers 12345 and a date 2021-01-02"),
+      (4L, "x@y.io x@y.io 1.2.3.4")).toDF("id", "t")
+    val out = rows.select(col("id"), TextFns.redactPii(col("t")).as("r"),
+        TextFns.piiCounts(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getStruct(2))).toMap
+    assert(out(1L)._1 == "mail [EMAIL] then ssn [SSN] done")
+    assert(out(2L)._1 == "call [PHONE] or [PHONE] from [IPV4]")
+    assert(out(3L)._1 == "clean text with numbers 12345 and a date 2021-01-02")
+    assert(out(4L)._1 == "[EMAIL] [EMAIL] [IPV4]")
+    assert(out(1L)._2.getLong(0) == 1 && out(1L)._2.getLong(1) == 1)
+    assert(out(2L)._2.getLong(2) == 2 && out(2L)._2.getLong(3) == 1)
+    assert((0 to 3).map(out(3L)._2.getLong(_)).sum == 0)
+    assert(out(4L)._2.getLong(0) == 2 && out(4L)._2.getLong(3) == 1)
+  }
+
   test("unpersistIntermediates releases every block the dedup pipeline pinned") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet

@@ -112,6 +112,71 @@ class ScaleSpec extends AnyFunSuite {
     assert(a != (1L to 500L).toSeq, "shuffle must not be the identity order")
   }
 
+  test("globalCumSum/globalRowNumber equal the single-partition window ground truth") {
+    import spark.implicits._
+    // ids deliberately NOT contiguous and values varied, over enough rows to
+    // span many range partitions
+    val d = (1L to 3000L).map(i => (i * 7 % 9999, i % 13 + 1)).toMap.toSeq
+      .map { case (id, v) => (id, v) }.toDF("id", "v")
+    val fast = graft.ops.Scale.globalCumSum(d, Seq(col("id")), col("v"), "cum")
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    val slow = d.withColumn("cum", sum("v").over(w))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    val rn = graft.ops.Scale.globalRowNumber(d, Seq(col("id")))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = d.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.zipWithIndex.forall { case (id, i) => rn(id) == i + 1 })
+    // the DATA-side window must be partitioned by __pid (a SinglePartition
+    // exchange is only acceptable on the tiny per-partition-offsets table,
+    // which is bounded by numPartitions rows)
+    val plan = graft.ops.Scale.globalRowNumber(d, Seq(col("id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      "two-phase prefix sum must window within range partitions, not globally")
+  }
+
+  test("packByBudget: contiguous shards, budget respected up to one straddler") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (i, i % 7 + 1)).toDF("id", "sz")
+    val packed = graft.ops.Scale.packByBudget(d, Seq(col("id")), col("sz"), budget = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // shards are non-decreasing in id order and start at 0
+    assert(packed.head._3 == 0L)
+    assert(packed.sliding(2).forall(p => p(1)._3 - p(0)._3 match {
+      case 0 | 1 => true; case _ => false }))
+    // each shard's size sum stays under budget + its last row's size
+    val byShard = packed.groupBy(_._3)
+    byShard.foreach { case (sh, rows) =>
+      val tot = rows.map(_._2).sum
+      // a straddler from the previous shard can push this shard's start past
+      // its boundary, shaving up to (maxRowSize - 1) off the fill
+      assert(tot >= 50 - 7 || sh == byShard.keys.max, s"shard $sh underfilled: $tot")
+      assert(tot - rows.last._2 < 50, s"shard $sh pre-straddler total ${tot - rows.last._2}")
+    }
+  }
+
+  test("interleaveWeighted: stride mix, weight-2 source appears ~2x as often") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => (i, "x")).toDF("id", "p")
+    val b = (101L to 150L).map(i => (i, "y")).toDF("id", "p")
+    val mix = graft.ops.Scale.interleaveWeighted(
+        Seq(("a", a, 2.0), ("b", b, 1.0)), d => Seq(d("id")))
+      .orderBy("mix_ord").select("tag").collect().map(_.getString(0)).toSeq
+    assert(mix.size == 150)
+    // in every prefix, a's share of its source is >= b's (stride invariant):
+    // count ratio in the first 30 positions should be ~2:1
+    val head = mix.take(30)
+    val na = head.count(_ == "a"); val nb = head.count(_ == "b")
+    assert(na >= 2 * nb - 2 && na <= 2 * nb + 2, s"head mix $na:$nb")
+    // deterministic across runs
+    val mix2 = graft.ops.Scale.interleaveWeighted(
+        Seq(("a", a, 2.0), ("b", b, 1.0)), d => Seq(d("id")))
+      .orderBy("mix_ord").select("tag").collect().map(_.getString(0)).toSeq
+    assert(mix == mix2)
+  }
+
   test("partitioned write prunes partitions on read") {
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -613,6 +613,34 @@ object SparkEntry2 {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "q_window_extras" ->
+      """WITH l AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority,
+        |    lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pl
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  round(corr(o_totalprice, pl) OVER (PARTITION BY o_custkey), 4) AS ac,
+        |  bool_and(o_totalprice IS NOT NULL AND coalesce(o_totalprice >= pl, true))
+        |    OVER (PARTITION BY o_custkey) AS mono_i,
+        |  (row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+        |                      ORDER BY o_orderkey) > 1) AS dup
+        |FROM l""".stripMargin,
+    "q_mask_where" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END AS wr,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS mk,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr
+        |FROM customer""".stripMargin,
+    "q_get_dummies" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS lang_de,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_en,
+        |  CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS lang_es,
+        |  CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS lang_fr,
+        |  CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS lang_zh
+        |FROM documents""".stripMargin,
+    "q_explode" ->
+      """SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS piece
+        |FROM orders""".stripMargin,
     "q_pii_redact" ->
       """WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
         |    || '@mail.example.com or +1 (555) 123-'
@@ -1003,6 +1031,39 @@ object SparkEntry2 {
 
     "q_value_counts" -> ((s, dir) =>
       t(s, dir, "customer").valueCounts("c_mktsegment", normalize = true).df),
+
+    // autocorr / is_monotonic / duplicated: the nested-window trio (inner
+    // lag hoisted into a temp projection by mutate automatically)
+    "q_window_extras" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate(
+          "ac"     -> Vec.autocorr(col("o_totalprice")).transform(round(_, 4)),
+          "mono_i" -> Vec.isMonotonicIncreasing(col("o_totalprice")),
+          "dup"    -> Vec.duplicated(col("o_orderpriority")))
+        .select(Seq("o_custkey", "o_orderkey", "ac", "mono_i", "dup"): _*)
+        .df),
+
+    "q_mask_where" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .mutate(
+          "wr" -> Fns.where(col("c_acctbal"), col("c_acctbal") > 0, lit(0.0)),
+          "mk" -> Fns.mask(col("c_acctbal"), col("c_acctbal") < 0),
+          "tr" -> Fns.Str.translate(col("c_mktsegment"), "AEIOU", "aeiou"))
+        .select(Seq("c_custkey", "wr", "mk", "tr"): _*).df),
+
+    "q_get_dummies" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .getDummies("lang")
+        .select(Seq("doc_id", "lang_de", "lang_en", "lang_es", "lang_fr",
+                    "lang_zh"): _*).df),
+
+    "q_explode" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate("piece" -> split(col("o_orderpriority"), "-"))
+        .explode("piece")
+        .select(Seq("o_orderkey", "piece"): _*).df),
 
     // context-window chunking: 50-token chunks, 10-token overlap
     "q_chunk_docs" -> ((s, dir) =>

@@ -125,7 +125,18 @@ final case class Tbl(
     */
   def mutate(pairs: (String, GExpr)*): Tbl = {
     val out = pairs.foldLeft(df) { case (acc, (name, e)) =>
-      acc.withColumn(name, e.toCol(ctx))
+      // windows nested inside another window's function (autocorr's
+      // corr-over-lag, monotonicity's bool_and-over-lag) are illegal in one
+      // expression: hoist the inner window into a temp projection first,
+      // exactly like filter does for windows in WHERE
+      val (inner, rewritten) =
+        org.apache.spark.sql.graftshim.Shim.hoistNestedWindows(
+          e.toCol(ctx), "__graft_nw")
+      if (inner.isEmpty) acc.withColumn(name, rewritten)
+      else {
+        val withTmp = inner.foldLeft(acc) { case (a, (n, c)) => a.withColumn(n, c) }
+        withTmp.withColumn(name, rewritten).drop(inner.map(_._1): _*)
+      }
     }
     copy(df = out)
   }
@@ -224,6 +235,33 @@ final case class Tbl(
     copy(df = df.filter(
       pmod(xxhash64(col(idCol), lit(seed)), lit(m)) < lit((m * frac).toLong)))
   }
+
+  /** pandas `get_dummies` for one column (the reference declares it
+    * unsupported, siuba/ops/generics.py:172): one 0/1 indicator per observed
+    * level, named `{prefix}_{level}`, levels sorted. Level discovery is a
+    * driver-side distinct over a single column — bounded the same way as
+    * forcats level discovery; NULL yields no indicator (all zeros), matching
+    * pandas' default dummy_na=False.
+    */
+  def getDummies(c: String, prefix: String = ""): Tbl = {
+    val p = if (prefix.nonEmpty) prefix else c
+    val levels = df.select(col(c).cast("string")).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).sorted
+    val added = levels.foldLeft(df) { (acc, lv) =>
+      acc.withColumn(s"${p}_$lv",
+        when(col(c).cast("string") === lv, 1).otherwise(0))
+    }
+    copy(df = added)
+  }
+
+  /** pandas `Series.explode` as a verb (declared in the reference's registry,
+    * siuba/ops/generics.py:422): one row per element of the list column,
+    * other columns repeated; empty or NULL lists keep their row with NULL
+    * (pandas keeps the index with NaN — explode_outer's exact semantics).
+    */
+  def explode(c: String): Tbl =
+    copy(df = df.withColumn(c,
+      org.apache.spark.sql.functions.explode_outer(col(c))))
 
   /** Per-stratum quota sample: keep the top `k` rows of each group in
     * `orderBy` order (e.g. top-1000 docs per domain by quality score) —

@@ -69,6 +69,8 @@ object dsl {
     def rsplit(sep: String, n: Int = -1): Column = Fns.Str.rsplit(c, sep, n)
     def sliceReplace(start: Int, stop: Int, repl: String): Column =
       Fns.Str.sliceReplace(c, start, stop, repl)
+    def translate(from: String, to: String): Column =
+      Fns.Str.translate(c, from, to)
   }
 
   /** Datetime accessor (`_.x.dt.*`, generics.py:187-236). */
@@ -100,6 +102,8 @@ object dsl {
     def ceil(unit: String): Column = Fns.Dt.ceilDate(c, unit)
     def toPeriod(freq: String): Column = Fns.Dt.toPeriod(c, freq)
     def totalSeconds(): Column = Fns.Dt.totalSeconds(c)
+    def tzLocalize(tz: String): Column = Fns.Dt.tzLocalize(c, tz)
+    def tzConvert(tz: String): Column = Fns.Dt.tzConvert(c, tz)
   }
 
   implicit final class ColOps(private val c: Column) {
@@ -144,6 +148,11 @@ object dsl {
     def astype(t: String): Column = Fns.asType(c, t)
     def clip(lo: Double, hi: Double): Column = Fns.clip(c, F.lit(lo), F.lit(hi))
     def floordiv(b: Column): Column = Fns.floorDiv(c, b)
+    def where(cond: Column, other: Column = F.lit(null)): Column =
+      Fns.where(c, cond, other)
+    def mask(cond: Column, other: Column = F.lit(null)): Column =
+      Fns.mask(c, cond, other)
+    def isin(vs: Any*): Column = c.isin(vs: _*)
 
     // ---- window kind (GExpr: needs the verb's partition/order state) ----
     def cumsum(): GExpr = Vec.cumsum(c)
@@ -157,6 +166,11 @@ object dsl {
     def rank(): GExpr = Vec.avgRank(c) // pandas default method="average"
     def ffill(): GExpr = Vec.ffill(c)
     def bfill(): GExpr = Vec.bfill(c)
+    def autocorr(lag: Int = 1): GExpr = Vec.autocorr(c, lag)
+    def isMonotonic(): GExpr = Vec.isMonotonic(c)
+    def isMonotonicIncreasing(): GExpr = Vec.isMonotonicIncreasing(c)
+    def isMonotonicDecreasing(): GExpr = Vec.isMonotonicDecreasing(c)
+    def duplicated(): GExpr = Vec.duplicated(c)
 
     // ---- accessors ----
     def str: StrAccessor = new StrAccessor(c)

@@ -36,6 +36,18 @@ object Fns {
 
   // coalesce: use org.apache.spark.sql.functions.coalesce directly.
 
+  /** pandas `Series.where(cond, other)` (generics.py:396): keep x where cond
+    * holds, else `other` (default NULL — pandas' NaN). NULL conds take
+    * `other`, matching pandas' NaN-is-not-True.
+    */
+  def where(x: Column, cond: Column, other: Column = lit(null)): Column =
+    when(coalesce(cond, lit(false)), x).otherwise(other)
+
+  /** pandas `Series.mask(cond, other)` (generics.py:384): the complement —
+    * replace x where cond holds. */
+  def mask(x: Column, cond: Column, other: Column = lit(null)): Column =
+    when(coalesce(cond, lit(false)), other).otherwise(x)
+
   // ---- aggregates (registry, siuba/ops/generics.py:79-100) ----------------
 
   object Agg {
@@ -122,6 +134,13 @@ object Fns {
         c.substr(lit(stop + 1), length(c)))
     def repeat(c: Column, n: Int): Column =
       org.apache.spark.sql.functions.repeat(c, n)
+    /** `str.translate` with aligned from/to character strings (the
+      * reference declares it unsupported, generics.py:180). Characters in
+      * `from` beyond `to`'s length are DELETED — the same convention as
+      * `str.maketrans(a, b, deletechars)` collapsed into two arguments.
+      */
+    def translate(c: Column, from: String, to: String): Column =
+      org.apache.spark.sql.functions.translate(c, from, to)
     /** Per-character case flip (str.swapcase). */
     def swapcase(c: Column): Column =
       array_join(transform(split(c, ""), ch =>
@@ -223,6 +242,19 @@ object Fns {
       */
     def totalSeconds(c: Column): Column =
       c.cast("interval second").cast("decimal(28,6)").cast("double")
+
+    /** pandas `dt.tz_localize(tz)` (generics.py:224): interpret naive
+      * wall-clock values as `tz` local time → the corresponding instant.
+      * Spark timestamps are zoneless instants rendered in the session zone,
+      * so this is exactly `to_utc_timestamp`.
+      */
+    def tzLocalize(c: Column, tz: String): Column = to_utc_timestamp(c, tz)
+
+    /** pandas `dt.tz_convert(tz)` (generics.py:223): render instants as
+      * `tz` wall-clock (`from_utc_timestamp`). Round-trips with
+      * [[tzLocalize]] for any zone without DST gaps at the value.
+      */
+    def tzConvert(c: Column, tz: String): Column = from_utc_timestamp(c, tz)
 
     /** floor_date/ceil_date verbs (siuba/experimental/datetime.py:124-190). */
     def floorDate(c: Column, unit: String): Column = date_trunc(unit, c)

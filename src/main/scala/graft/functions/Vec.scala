@@ -136,6 +136,49 @@ object Vec {
     */
   def n(): GExpr = gx(c => count(lit(1)).over(c.plain))
 
+  /** pandas `Series.autocorr(lag)` as a grouped window op (registry 'window'
+    * kind, siuba/ops/generics.py:102): Pearson correlation of the series
+    * with its own lag over the group. Null pairs (the first `lagN` rows) are
+    * excluded by `corr`, matching pandas' pairwise NaN drop. Built as a
+    * window agg over a windowed lag — mutate hoists the nested lag into a
+    * temp projection automatically.
+    */
+  def autocorr(x: Column, lagN: Int = 1, order: Seq[Column] = Nil): GExpr = gx { c =>
+    val lagged = org.apache.spark.sql.functions.lag(x, lagN).over(c.orderedBy(order))
+    corr(x.cast("double"), lagged.cast("double")).over(c.plain)
+  }
+
+  /** pandas `is_monotonic_increasing` per group (generics.py:109-110): true
+    * iff the series never decreases in `order` order; any NULL makes the
+    * group false (pandas: NaN breaks monotonicity).
+    */
+  def isMonotonicIncreasing(x: Column, order: Seq[Column] = Nil): GExpr = gx { c =>
+    val prev = org.apache.spark.sql.functions.lag(x, 1).over(c.orderedBy(order))
+    bool_and(x.isNotNull && coalesce(x >= prev, lit(true))).over(c.plain)
+  }
+
+  def isMonotonicDecreasing(x: Column, order: Seq[Column] = Nil): GExpr = gx { c =>
+    val prev = org.apache.spark.sql.functions.lag(x, 1).over(c.orderedBy(order))
+    bool_and(x.isNotNull && coalesce(x <= prev, lit(true))).over(c.plain)
+  }
+
+  /** `is_monotonic` is pandas' deprecated alias for increasing. */
+  def isMonotonic(x: Column, order: Seq[Column] = Nil): GExpr =
+    isMonotonicIncreasing(x, order)
+
+  /** pandas `duplicated(keep='first')` per group (generics.py:369): true for
+    * every occurrence of `x` after the first, in `order` order within the
+    * group. One window partitioned by (groups, x) — same shuffle class as
+    * the other window verbs.
+    */
+  def duplicated(x: Column, order: Seq[Column] = Nil): GExpr = gx { c =>
+    val o = if (order.nonEmpty) order else c.order
+    if (o.isEmpty)
+      throw graft.GraftError(
+        "duplicated needs an ordering: call arrange(...) first or pass order columns")
+    row_number().over(Window.partitionBy(c.partition :+ x: _*).orderBy(o: _*)) > 1
+  }
+
   // -- rolling windows (extension; reference declares rolling unsupported,
   //    siuba/ops/generics.py:241-255) — trailing n-row frames -------------
 

@@ -169,4 +169,48 @@ object Shim {
     }
     Column(go(c.node))
   }
+
+  /** Structural map over the node kinds the rewriters understand; anything
+    * else is a leaf. */
+  private def mapKids(n: ColumnNode, f: ColumnNode => ColumnNode): ColumnNode =
+    n match {
+      case fn: UnresolvedFunction => fn.copy(arguments = fn.arguments.map(f))
+      case a: Alias               => a.copy(child = f(a.child))
+      case ct: Cast               => ct.copy(child = f(ct.child))
+      case s: SortOrder           => s.copy(child = f(s.child))
+      case cw: CaseWhenOtherwise  =>
+        cw.copy(branches = cw.branches.map { case (p, v) => (f(p), f(v)) },
+                otherwise = cw.otherwise.map(f))
+      case e: UnresolvedExtractValue =>
+        e.copy(child = f(e.child), extraction = f(e.extraction))
+      case other => other
+    }
+
+  /** Split nested window expressions — Spark rejects a window function
+    * inside another window function's arguments (e.g.
+    * `corr(x, lag(x).over(w1)).over(w2)` for autocorr). Every Window subtree
+    * found inside an enclosing Window's function is bound to a fresh temp
+    * column (named `prefix0`, `prefix1`, … in dependency order) and replaced
+    * by a reference; the caller projects the bindings first, then the
+    * rewritten expression — the same hoist-to-projection shape `filter` uses
+    * for windows in WHERE. Returns (bindings, rewritten); bindings empty
+    * means no nesting and `c` is returned untouched.
+    */
+  def hoistNestedWindows(c: Column, prefix: String): (Seq[(String, Column)], Column) = {
+    val bindings = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    def hoist(n: ColumnNode): ColumnNode = n match {
+      case w: Window =>
+        val processed = outer(w) // the inner window may itself nest
+        val name = prefix + bindings.size
+        bindings += name -> Column(processed)
+        org.apache.spark.sql.functions.col(name).node
+      case other => mapKids(other, hoist)
+    }
+    def outer(n: ColumnNode): ColumnNode = n match {
+      case w: Window => w.copy(windowFunction = mapKids(w.windowFunction, hoist))
+      case other     => mapKids(other, outer)
+    }
+    val out = outer(c.node)
+    (bindings.toSeq, if (bindings.isEmpty) c else Column(out))
+  }
 }

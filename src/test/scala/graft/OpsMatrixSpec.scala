@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.dsl._
+import graft.functions.{Fns, Vec}
 
 /** Spec-driven operator matrix, mirroring the reference's
   * test_dply_series_methods.py: every registry op is declared with its kind
@@ -47,7 +48,9 @@ class OpsMatrixSpec extends AnyFunSuite {
     "log" -> (_.log()), "pow" -> (_.pow(2)), "fillna" -> (_.fillna(0.0)),
     "isna" -> (_.isna()), "notna" -> (_.notna()),
     "astype" -> (_.astype("str")), "clip" -> (_.clip(1.5, 3.5)),
-    "floordiv" -> (_.floordiv(lit(2)))
+    "floordiv" -> (_.floordiv(lit(2))),
+    "where" -> (_.where(col("x") > 2, lit(-1.0))),
+    "mask" -> (_.mask(col("x") > 2)), "isin" -> (_.isin(1.0, 3.0))
   )
 
   private val windowOps: Seq[(String, Column => GExpr)] = Seq(
@@ -55,7 +58,11 @@ class OpsMatrixSpec extends AnyFunSuite {
     "cummin" -> (_.cummin()), "cumprod" -> (_.cumprod()),
     "cummean" -> (_.cummean()), "diff" -> (_.diff()),
     "pct_change" -> (_.pctChange()), "shift" -> (_.shift()),
-    "rank" -> (_.rank()), "ffill" -> (_.ffill()), "bfill" -> (_.bfill())
+    "rank" -> (_.rank()), "ffill" -> (_.ffill()), "bfill" -> (_.bfill()),
+    "autocorr" -> (_.autocorr()), "is_monotonic" -> (_.isMonotonic()),
+    "is_monotonic_increasing" -> (_.isMonotonicIncreasing()),
+    "is_monotonic_decreasing" -> (_.isMonotonicDecreasing()),
+    "duplicated" -> (_.duplicated())
   )
 
   private val strOps: Seq[(String, Column => Column)] = Seq(
@@ -79,7 +86,8 @@ class OpsMatrixSpec extends AnyFunSuite {
     "slice_replace" -> (_.str.sliceReplace(1, 3, "XY")),
     "rfind" -> (_.str.rfind("l")), "ljust" -> (_.str.ljust(15, ".")),
     "rjust" -> (_.str.rjust(15, ".")), "isdecimal" -> (_.str.isdecimal()),
-    "isnumeric" -> (_.str.isnumeric())
+    "isnumeric" -> (_.str.isnumeric()),
+    "translate" -> (_.str.translate("lo", "01"))
   )
 
   private val dtOps: Seq[(String, Column => Column)] = Seq(
@@ -93,7 +101,9 @@ class OpsMatrixSpec extends AnyFunSuite {
     "is_quarter_end" -> (_.dt.isQuarterEnd()), "is_year_end" -> (_.dt.isYearEnd()),
     "month_name" -> (_.dt.monthName()), "day_name" -> (_.dt.dayName()),
     "strftime" -> (_.dt.strftime("yyyy-MM")), "floor_date" -> (_.dt.floor("month")),
-    "ceil_date" -> (_.dt.ceil("month")), "to_period" -> (_.dt.toPeriod("M"))
+    "ceil_date" -> (_.dt.ceil("month")), "to_period" -> (_.dt.toPeriod("M")),
+    "tz_localize" -> (_.dt.tzLocalize("America/New_York")),
+    "tz_convert" -> (_.dt.tzConvert("Asia/Tokyo"))
   )
 
   test(s"agg ops (${aggOps.size}) evaluate in summarize context") {
@@ -197,5 +207,96 @@ class OpsMatrixSpec extends AnyFunSuite {
     val out = num.groupBy("g").mutate("demeaned" -> (__.x - __.x.mean()))
     assert(out.df.columns.contains("demeaned"))
     assert(out.df.count() == 4)
+  }
+
+  test("autocorr matches pandas' shifted-corr definition (nested-window hoist)") {
+    import spark.implicits._
+    // series 1,2,4,8,3 grouped in one partition; pandas s.autocorr(1) =
+    // corr([2,4,8,3],[1,2,4,8]) = corr of pairs
+    val d = Tbl(Seq((1, 1.0), (2, 2.0), (3, 4.0), (4, 8.0), (5, 3.0))
+      .toDF("i", "x"))
+    val got = d.arrange(col("i")).mutate("ac" -> Vec.autocorr(col("x")))
+      .df.select("ac").head().getDouble(0)
+    val xs = Seq(1.0, 2.0, 4.0, 8.0, 3.0)
+    val (a, b) = (xs.tail, xs.init)
+    def mean(v: Seq[Double]) = v.sum / v.size
+    val (ma, mb) = (mean(a), mean(b))
+    val cov = a.zip(b).map { case (p, q) => (p - ma) * (q - mb) }.sum
+    val exp = cov / math.sqrt(
+      a.map(p => (p - ma) * (p - ma)).sum * b.map(q => (q - mb) * (q - mb)).sum)
+    assert(math.abs(got - exp) < 1e-12, s"got $got expected $exp")
+  }
+
+  test("is_monotonic / duplicated semantics, incl. NULL handling") {
+    import spark.implicits._
+    val d = Tbl(Seq((1, Some(1.0), "a"), (2, Some(2.0), "b"), (3, Some(2.0), "a"),
+        (4, None, "c"), (5, Some(9.0), "a"))
+      .toDF("i", "x", "s"))
+    val inc = d.arrange(col("i"))
+      .mutate("m" -> Vec.isMonotonicIncreasing(col("x")))
+      .df.select("m").head().getBoolean(0)
+    assert(!inc, "NULL must break monotonicity (pandas NaN rule)")
+    val d2 = Tbl(Seq((1, 1.0), (2, 2.0), (3, 2.0)).toDF("i", "x"))
+    assert(d2.arrange(col("i")).mutate("m" -> Vec.isMonotonicIncreasing(col("x")))
+      .df.select("m").head().getBoolean(0), "non-strict: equal values stay monotonic")
+    val dup = d.arrange(col("i")).mutate("dp" -> Vec.duplicated(col("s")))
+      .df.orderBy("i").select("dp").collect().map(_.getBoolean(0)).toSeq
+    assert(dup == Seq(false, false, true, false, true))
+  }
+
+  test("where/mask/isin semantics; NULL cond takes other (pandas NaN-not-True)") {
+    import spark.implicits._
+    val d = Tbl(Seq((1, Some(5.0)), (2, None), (3, Some(-2.0))).toDF("i", "x"))
+    val r = d.mutate(
+        "w" -> Fns.where(col("x"), col("x") > 0, lit(0.0)),
+        "m" -> Fns.mask(col("x"), col("x") < 0))
+      .df.orderBy("i").collect()
+    assert(r(0).getDouble(2) == 5.0 && r(0).getDouble(3) == 5.0)
+    // x NULL: cond is NULL -> where takes other; mask keeps x (still NULL)
+    assert(r(1).getDouble(2) == 0.0 && r(1).isNullAt(3) && r(1).isNullAt(1))
+    assert(r(2).getDouble(2) == 0.0 && r(2).isNullAt(3))
+  }
+
+  test("explode verb: list rows multiply, empty list keeps a NULL row") {
+    import spark.implicits._
+    val d = Tbl(Seq((1, Seq("a", "b")), (2, Seq.empty[String]), (3, Seq("c")))
+      .toDF("i", "xs"))
+    val out = d.explode("xs").df.orderBy("i", "xs")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(out.toSeq == Seq((1, Some("a")), (1, Some("b")), (2, None), (3, Some("c"))))
+  }
+
+  test("getDummies: sorted level indicators, nulls all-zero") {
+    import spark.implicits._
+    val d = Tbl(Seq((1, "b"), (2, "a"), (3, null), (4, "b")).toDF("i", "v"))
+    val out = d.getDummies("v").df.orderBy("i").collect()
+    val cols = d.getDummies("v").df.columns.toSeq
+    assert(cols == Seq("i", "v", "v_a", "v_b"))
+    assert(out.map(r => (r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 1), (1, 0), (0, 0), (0, 1)))
+  }
+
+  test("tz_localize/tz_convert match java.time zone math (incl. DST edge)") {
+    import spark.implicits._
+    import java.time._
+    val samples = Seq("2024-03-10 02:30:00", "2024-07-01 12:00:00",
+      "2024-11-03 01:30:00", "2021-01-01 00:00:00")
+    val d = samples.toDF("raw").select(col("raw").cast("timestamp").as("ts"))
+    val got = d.select(
+        col("ts"),
+        Fns.Dt.tzLocalize(col("ts"), "America/New_York").as("loc"),
+        Fns.Dt.tzConvert(col("ts"), "Asia/Tokyo").as("conv"))
+      .collect()
+    got.foreach { r =>
+      val naive = r.getTimestamp(0).toLocalDateTime
+      // tz_localize: interpret naive as NY wall clock -> instant (session UTC)
+      val expLoc = naive.atZone(ZoneId.of("America/New_York"))
+        .withZoneSameInstant(ZoneId.of("UTC")).toLocalDateTime
+      assert(r.getTimestamp(1).toLocalDateTime == expLoc, s"localize $naive")
+      // tz_convert: treat naive as UTC instant -> Tokyo wall clock
+      val expConv = naive.atZone(ZoneId.of("UTC"))
+        .withZoneSameInstant(ZoneId.of("Asia/Tokyo")).toLocalDateTime
+      assert(r.getTimestamp(2).toLocalDateTime == expConv, s"convert $naive")
+    }
   }
 }

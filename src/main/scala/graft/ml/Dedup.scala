@@ -135,18 +135,33 @@ object Dedup {
     * form; equality classes agree modulo 64-bit collisions, which the
     * ShingleHash differential tests pin).
     */
+  /** Distinct benchmark grams in the form [[contaminationReport]] joins on —
+    * precompute + cache this when scrubbing many corpora (or micro-batches)
+    * against one benchmark set. */
+  def benchmarkGrams(bench: DataFrame, benchText: String,
+                     n: Int = 13, hashed: Boolean = true): DataFrame = {
+    def grams(c: Column): Column =
+      if (hashed) TextFns.shingleHashes(c, n) else TextFns.wordShingles(c, n)
+    spread(bench).select(explode(grams(col(benchText))).as("g")).distinct()
+  }
+
   def contaminationReport(train: DataFrame, trainId: String, trainText: String,
                           bench: DataFrame, benchText: String,
-                          n: Int = 13, hashed: Boolean = true): DataFrame = {
+                          n: Int = 13, hashed: Boolean = true): DataFrame =
+    contaminationReportAgainst(train, trainId, trainText,
+      benchmarkGrams(bench, benchText, n, hashed), n, hashed)
+
+  /** [[contaminationReport]] against a precomputed [[benchmarkGrams]] set. */
+  def contaminationReportAgainst(train: DataFrame, trainId: String,
+                                 trainText: String, benchGrams: DataFrame,
+                                 n: Int = 13, hashed: Boolean = true): DataFrame = {
     def grams(c: Column): Column =
       if (hashed) TextFns.shingleHashes(c, n) else TextFns.wordShingles(c, n)
     val tg = spread(train)
       .select(col(trainId).as("id"), grams(col(trainText)).as("gs"))
       .select(col("id"), size(col("gs")).cast("long").as("n_grams"),
               explode(col("gs")).as("g"))
-    val bg = spread(bench)
-      .select(explode(grams(col(benchText))).as("g")).distinct()
-    tg.join(bg, "g")
+    tg.join(benchGrams, "g")
       .groupBy("id", "n_grams")
       .agg(count(lit(1)).as("n_contaminated"))
       .withColumn("contaminated_frac",
@@ -163,8 +178,18 @@ object Dedup {
   def decontaminate(train: DataFrame, trainId: String, trainText: String,
                     bench: DataFrame, benchText: String,
                     n: Int = 13, maxContaminatedFrac: Double = 0.0,
-                    hashed: Boolean = true): DataFrame = {
-    val bad = contaminationReport(train, trainId, trainText, bench, benchText,
+                    hashed: Boolean = true): DataFrame =
+    decontaminateAgainst(train, trainId, trainText,
+      benchmarkGrams(bench, benchText, n, hashed), n, maxContaminatedFrac,
+      hashed)
+
+  /** [[decontaminate]] against a precomputed [[benchmarkGrams]] set — the
+    * form streaming scrub-on-ingest reuses per micro-batch. */
+  def decontaminateAgainst(train: DataFrame, trainId: String, trainText: String,
+                           benchGrams: DataFrame, n: Int = 13,
+                           maxContaminatedFrac: Double = 0.0,
+                           hashed: Boolean = true): DataFrame = {
+    val bad = contaminationReportAgainst(train, trainId, trainText, benchGrams,
         n, hashed)
       .filter(col("contaminated_frac") > maxContaminatedFrac)
       .select(col(trainId))

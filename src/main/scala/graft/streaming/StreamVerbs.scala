@@ -164,6 +164,30 @@ object StreamVerbs {
       .toDF("id_a", "id_b", "est_jaccard")
   }
 
+  /** Streaming decontamination (scrub-on-ingest): drop incoming docs whose
+    * contamination against a STATIC benchmark corpus exceeds `maxFrac`
+    * (default 0: any shared n-gram drops the doc). The anti-join/distinct
+    * shapes the scrub needs are illegal on an unbounded stream, so this is
+    * the canonical `foreachBatch` pattern: every micro-batch is a plain
+    * batch DataFrame and runs the EXACT batch operator
+    * ([[graft.ml.Dedup.decontaminate]]) against benchmark grams that are
+    * distinct'd and cached ONCE — identical semantics on-ingest and in
+    * backfill, nothing stateful, static side broadcast by AQE. Returns the
+    * started-ready writer; caller sets trigger/checkpoint and `.start()`.
+    */
+  def streamingDecontaminate(t: Tbl, idCol: String, textCol: String,
+                             bench: DataFrame, benchText: String,
+                             n: Int = 13, maxFrac: Double = 0.0)
+                            (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // benchmark gram set: one batch job, reused by every micro-batch
+    val bg = graft.ml.Dedup.benchmarkGrams(bench, benchText, n).cache()
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Dedup.decontaminateAgainst(
+        batch, idCol, textCol, bg, n, maxFrac))
+    }
+  }
+
   /** Custom-state example: per-key running (count, sum) via
     * `mapGroupsWithState` — the KeyValueGroupedDataset escape hatch for
     * stateful logic the built-in operators can't express. Emits one updated

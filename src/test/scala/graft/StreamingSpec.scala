@@ -161,6 +161,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"streaming $got vs batch $expected")
   }
 
+  test("streaming decontamination equals the batch scrub across micro-batches") {
+    import spark.implicits._
+    val mk = (tokens: Seq[String]) => tokens.mkString(" ")
+    val benchDoc = (0 until 20).map(i => s"bench$i")
+    // 1 contains a benchmark 5-gram, 2 is clean, 3 (batch 2) is a full copy
+    // of a benchmark doc, 4 (batch 2) is clean
+    val batch1 = Seq(
+      (1L, mk(Seq("intro") ++ benchDoc.slice(3, 8) ++ Seq("outro"))),
+      (2L, mk((0 until 12).map(i => s"clean$i"))))
+    val batch2 = Seq(
+      (3L, mk(benchDoc)),
+      (4L, mk((0 until 12).map(i => s"fresh$i"))))
+    val bench = Seq(Tuple1(mk(benchDoc))).toDF("text")
+    val dir = Files.createTempDirectory("graft-dc").toFile
+    val ckpt = Files.createTempDirectory("graft-dc-ckpt").toFile
+    batch1.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    batch2.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = batch1.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamVerbs.streamingDecontaminate(Tbl(stream), "doc_id", "text",
+        bench, "text", n = 5) { clean =>
+        kept ++= clean.select("doc_id").collect().map(_.getLong(0))
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batchRef = graft.ml.Dedup.decontaminate(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text",
+        bench, "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchRef == Set(2L, 4L), s"batch scrub kept $batchRef")
+    assert(kept.toSet == batchRef,
+      s"streaming kept ${kept.toSet} vs batch $batchRef")
+  }
+
   test("transformWithState running totals (Spark 4 stateful API)") {
     // transformWithState needs a multi-column-family store: RocksDB
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

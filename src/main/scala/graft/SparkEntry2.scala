@@ -96,6 +96,17 @@ object SparkEntry2 {
         .select(Seq("p_partkey", "t1", "t2", "t3"): _*)
         .df),
 
+    "q_separate_rows" -> ((s, dir) =>
+      Reshape.separateRows(
+        t(s, dir, "part").select(Seq("p_partkey", "p_name"): _*),
+        "p_name", sep = " ").df),
+
+    "q_tally" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .tally(wt = Some(col("o_totalprice")), sort = true)
+        .mutate("n" -> round(col("n"), 2))
+        .df),
+
     "q_unite" -> ((s, dir) =>
       Reshape.unite(t(s, dir, "part"), "brand_type",
         Seq(Sel.Name("p_brand"), Sel.Name("p_type")), sep = "|")
@@ -183,6 +194,12 @@ object SparkEntry2 {
         |  nullif(split_part(p_name, ' ', 2), '') AS t2,
         |  nullif(split_part(p_name, ' ', 3), '') AS t3
         |FROM part""".stripMargin,
+    "q_separate_rows" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS p_name
+        |FROM part""".stripMargin,
+    "q_tally" ->
+      """SELECT o_orderpriority, round(sum(o_totalprice), 2) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_unite" ->
       "SELECT p_partkey, p_brand || '|' || p_type AS brand_type FROM part",
     "q_extract" ->

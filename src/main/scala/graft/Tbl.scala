@@ -212,6 +212,12 @@ final case class Tbl(
     Tbl(sorted, groups, Nil)
   }
 
+  /** dplyr `tally` — on the reference's own TODO list (verbs.py:48) and
+    * unimplemented there: count of the current groups only, `count()`
+    * without adding keys. */
+  def tally(wt: Option[Column] = None, sort: Boolean = false,
+            name: String = "n"): Tbl = count(Nil, wt, sort, name)
+
   /** count over expression keys (siuba/dply/verbs.py:1186-1265): each pair
     * is computed, then counted as a grouping key alongside existing groups.
     */

@@ -396,6 +396,26 @@ object Reshape {
     Tbl(t.df.select(keep.map(col) ++ pieces: _*), t.groups, Nil)
   }
 
+  /** tidyr `separate_rows` — on the reference's own TODO list
+    * (siuba/dply/verbs.py:47) and unimplemented there: split `c` on `sep`
+    * and emit one row per piece, other columns repeated. `convert` reuses
+    * separate's one-pass type inference over the exploded pieces. An empty
+    * or NULL value keeps its row with a NULL piece (explode_outer), the
+    * tidyr `keep_empty = TRUE` shape that loses no rows.
+    */
+  def separateRows(t: Tbl, c: String, sep: String = "[^A-Za-z0-9]+",
+                   convert: Boolean = false): Tbl = {
+    val exploded = t.df.withColumn(c,
+      explode_outer(when(col(c).isNotNull, split(col(c), sep))))
+    val out =
+      if (!convert) exploded
+      else {
+        val cast = inferCasts(exploded, Seq(col(c))).head
+        exploded.withColumn(c, cast(col(c)))
+      }
+    Tbl(out, t.groups, Nil)
+  }
+
   /** The reference's `extra="warn"` diagnostic as an explicit call: rows
     * whose split yields more than `into.size` pieces (silently truncated by
     * `separate`). Opt-in because it is a full scan — at 100 TB a hidden

@@ -80,6 +80,17 @@ class CoreVerbsSpec extends AnyFunSuite {
     assertSameRows(ac, spark.sql("SELECT *, count(*) OVER (PARTITION BY g) AS n FROM t4"))
   }
 
+  test("tally: current groups only, weighted and sorted") {
+    val plain = Tbl(df).groupBy("g").tally().df
+    df.createOrReplaceTempView("t4t")
+    assertSameRows(plain, spark.sql("SELECT g, count(*) AS n FROM t4t GROUP BY g"))
+    val wt = Tbl(df).groupBy("g").tally(wt = Some(col("x")), sort = true)
+      .df.collect()
+    assert(wt.map(_.getString(0)).toSeq ==
+      spark.sql("SELECT g FROM t4t GROUP BY g ORDER BY sum(x) DESC")
+        .collect().map(_.getString(0)).toSeq)
+  }
+
   test("valueCounts, describe, mode extensions") {
     import graft.dsl._
     val vc = Tbl(df).valueCounts("g").df.collect()

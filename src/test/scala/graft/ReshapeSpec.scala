@@ -370,6 +370,19 @@ class ReshapeSpec extends AnyFunSuite {
     assert(comp.where(col("g") === "a" && col("h") === 2).count() == 0)
   }
 
+  test("separateRows: one row per piece, NULL keeps its row, convert infers types") {
+    import spark.implicits._
+    val d = Tbl(Seq((1, "1,2,3"), (2, "40"), (3, null)).toDF("id", "v"))
+    val out = Reshape.separateRows(d, "v", sep = ",")
+      .df.orderBy("id", "v").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(out.toSeq == Seq((1, Some("1")), (1, Some("2")), (1, Some("3")),
+      (2, Some("40")), (3, None)))
+    val conv = Reshape.separateRows(d, "v", sep = ",", convert = true).df
+    assert(conv.schema("v").dataType.typeName == "long")
+    assert(conv.where(col("id") === 1).agg(sum("v")).head().getLong(0) == 6L)
+  }
+
   test("fctLump keeps NA rows as NA; fctReorder skips NULL levels") {
     import spark.implicits._
     val d = Seq(Some("a"), Some("a"), Some("b"), None).toDF("f")

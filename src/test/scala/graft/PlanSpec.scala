@@ -70,6 +70,33 @@ class PlanSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("contamination plan: no cartesian, no gram strings on the hashed path") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ml.Dedup.contaminationReport(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 17 === 0), "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    // hashed path: the join key is the 64-bit shingle_hash — no per-gram
+    // string expression anywhere in the plan
+    assert(p.contains("shingle_hash"), p.take(600))
+    assert(!p.contains("concat_ws"), "gram strings must not materialize")
+  }
+
+  test("pack/interleave plans: data-side windows stay range-partitioned") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val p = graft.ops.Scale.packByBudget(docs, Seq(col("doc_id")),
+        col("n_chars"), budget = 10000)
+      .queryExecution.executedPlan.toString
+    // the big window runs within __pid partitions; a global (SinglePartition)
+    // window over the data would be the 100 TB killer
+    assert(p.contains("windowspecdefinition(__pid"), p.take(800))
+    assert(p.contains("rangepartitioning"), p.take(800))
+  }
+
   test("custom expressions (shingle_hash, dot_product) stay in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")

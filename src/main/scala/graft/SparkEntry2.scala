@@ -406,6 +406,13 @@ object SparkEntry2 {
           n = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))).df),
 
+    // bigram LM quality score: per-doc mean add-one-smoothed bigram log
+    // probability against counts from the corpus itself (perplexity filter)
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      TextFns.lmScore(docs, "doc_id", "text", docs, "text")
+    }),
+
     // PII scrub: synthetic identifiers injected deterministically from
     // doc_id (the raw corpus has none), then per-type redaction + counts
     "q_pii_redact" -> ((s, dir) =>
@@ -632,6 +639,28 @@ object SparkEntry2 {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "q_lm_score" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |    FROM documents),
+        |  uni AS (SELECT w1, count(*) AS u
+        |    FROM (SELECT unnest(w) AS w1 FROM tok) GROUP BY 1),
+        |  vocab AS (SELECT count(*) AS v FROM uni),
+        |  big AS (SELECT doc_id,
+        |      CASE WHEN len(w) >= 2 THEN
+        |        list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS bs
+        |    FROM tok),
+        |  cb AS (SELECT b, count(*) AS bc
+        |    FROM (SELECT unnest(bs) AS b FROM big) GROUP BY 1),
+        |  db AS (SELECT doc_id, unnest(bs) AS b FROM big),
+        |  j AS (SELECT db.doc_id,
+        |      ln((coalesce(cb.bc, 0) + 1) * 1.0 /
+        |         (coalesce(uni.u, 0) + vocab.v)) AS logp
+        |    FROM db LEFT JOIN cb USING (b)
+        |    LEFT JOIN uni ON uni.w1 = string_split(db.b, ' ')[1]
+        |    CROSS JOIN vocab)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
+        |FROM j GROUP BY 1""".stripMargin,
     "q_window_extras" ->
       """WITH l AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority,
         |    lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pl

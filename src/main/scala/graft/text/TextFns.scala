@@ -203,6 +203,57 @@ object TextFns {
         .otherwise(array(xxhash64(th))))
   }
 
+  /** Adjacent token pairs as "w1 w2" strings, NON-distinct (unlike
+    * [[wordShingles]]) — the unit for language-model counting, where
+    * repetition carries signal. Docs under two tokens yield an empty array.
+    */
+  def bigrams(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Bigram language-model quality score — the simplified KenLM-style
+    * perplexity filter used to rank corpus documents: per doc, the mean
+    * add-one-smoothed bigram log-probability
+    * `ln((B(w1,w2) + 1) / (U(w1) + V))` against counts estimated from
+    * `corpus` (typically the corpus itself, or a trusted reference slice).
+    * Higher (closer to 0) = more LM-typical text; repetitive boilerplate and
+    * shuffled-token junk score low.
+    *
+    * Output: (idCol, n_bigrams, avg_logp) — docs with no bigrams are absent.
+    * Scale shape: two count aggregates over the corpus (unigram, bigram) +
+    * two equi-joins from the exploded doc bigrams; the vocabulary size rides
+    * along as a broadcast single-row cross join, so nothing collects to the
+    * driver and every stage is shuffle-bounded on token keys.
+    */
+  def lmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, corpus: org.apache.spark.sql.DataFrame,
+              corpusText: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    val spreadC = graft.ops.Scale.spread(corpus)
+    val uni = spreadC.select(explode(tokens(col(corpusText))).as("w1"))
+      .groupBy("w1").agg(fcount(lit(1)).as("u"))
+    val bi = spreadC.select(explode(bigrams(col(corpusText))).as("b"))
+      .groupBy("b").agg(fcount(lit(1)).as("bc"))
+    val vocab = uni.agg(fcount(lit(1)).as("v"))
+    val db = graft.ops.Scale.spread(docs)
+      .select(col(idCol).as("id"), explode(bigrams(col(textCol))).as("b"))
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+    db.join(bi, Seq("b"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((coalesce(col("bc"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("u"), lit(0L)) + col("v")).cast("double")))
+      .groupBy("id")
+      .agg(fcount(lit(1)).as("n_bigrams"),
+           round(avg(col("logp")), 4).as("avg_logp"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("avg_logp"))
+  }
+
   /** PII patterns for training-data scrubbing, in application order (most
     * specific first so e.g. the phone pattern never eats an SSN). Each is
     * valid under BOTH Java regex (Spark) and RE2 (DuckDB/Go tooling) — no

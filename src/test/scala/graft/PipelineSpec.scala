@@ -384,6 +384,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(clean.columns.toSeq == docs.columns.toSeq)
   }
 
+  test("lmScore: hand-checked counts; junk text scores below in-distribution text") {
+    import spark.implicits._
+    // corpus: "a b" x3 and "a c" x1 -> U(a)=4, U(b)=3, U(c)=1 over pairs;
+    // V=3; B("a b")=3, B("a c")=1
+    val corpus = Seq("a b", "a b", "a b", "a c").toDF("text")
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "z q")).toDF("doc_id", "text")
+    val out = TextFns.lmScore(docs, "doc_id", "text", corpus, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 1L)
+    val exp1 = math.log((3 + 1) / (4 + 3).toDouble)
+    val exp2 = math.log((1 + 1) / (4 + 3).toDouble)
+    val exp3 = math.log((0 + 1) / (0 + 3).toDouble)
+    assert(math.abs(out(1L)._2 - BigDecimal(exp1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(1L)._2 > out(2L)._2, "frequent bigram must outscore rare")
+    assert(math.abs(out(2L)._2 - BigDecimal(exp2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(3L)._2 - BigDecimal(exp3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // corpus self-scoring at sf0.001: natural docs outscore shuffled junk
+    val junk = spark.range(1).select(lit(900001L).as("doc_id"),
+      lit((1 to 60).map(i => s"xq$i").mkString(" ")).as("text"))
+    val scored = TextFns.lmScore(
+      docs.select("doc_id", "text").unionByName(junk),
+      "doc_id", "text", docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val naturalAvg = scored.filter(_._1 != 900001L).values.sum / (scored.size - 1)
+    assert(scored(900001L) < naturalAvg,
+      s"junk ${scored(900001L)} should be below natural mean $naturalAvg")
+  }
+
   test("redactPii scrubs emails/ssn/phones/ips and piiCounts counts them") {
     import spark.implicits._
     val rows = Seq(

@@ -413,6 +413,15 @@ object SparkEntry2 {
       TextFns.lmScore(docs, "doc_id", "text", docs, "text")
     }),
 
+    // boilerplate strip: synthetic tags/URLs injected deterministically
+    "q_clean_text" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate("aug" -> concat(lit("<div class='x'>"), col("text"),
+          lit("</div> see https://ex.org/p?id="), col("doc_id").cast("string"),
+          lit(" <br/> end")))
+        .mutate("clean" -> TextFns.cleanText(col("aug")))
+        .select(Seq("doc_id", "clean"): _*).df),
+
     // PII scrub: synthetic identifiers injected deterministically from
     // doc_id (the raw corpus has none), then per-type redaction + counts
     "q_pii_redact" -> ((s, dir) =>
@@ -639,6 +648,16 @@ object SparkEntry2 {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "q_clean_text" ->
+      """WITH aug AS (SELECT doc_id,
+        |    '<div class=''x''>' || text || '</div> see https://ex.org/p?id='
+        |    || CAST(doc_id AS VARCHAR) || ' <br/> end' AS t0
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |    t0, '<[^>]*>', ' ', 'g'),
+        |    '(https?|ftp)://[^\s]+', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM aug""".stripMargin,
     "q_lm_score" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
         |    FROM documents),

@@ -343,6 +343,10 @@ final case class Tbl(
     copy(df = df.withColumn(nm, c.over(w)))
   }
 
+  /** dplyr `add_tally` — [[addCount]] over the current groups only. */
+  def addTally(wt: Option[Column] = None, name: String = "n"): Tbl =
+    addCount(Nil, wt, name)
+
   // ---- sort / limit / distinct -------------------------------------------
 
   /** Multi-key sort; records the ordering for later over-clauses, exactly as

@@ -203,6 +203,21 @@ object TextFns {
         .otherwise(array(xxhash64(th))))
   }
 
+  /** Boilerplate stripping for scraped corpora, each a single codegen'd
+    * regexp pass (patterns valid under Java regex AND RE2, like
+    * [[piiPatterns]]): drop HTML/XML tags, drop URLs, collapse runs of
+    * whitespace. [[cleanText]] chains all three — the standard pre-tokenize
+    * normalization for web-scraped training data.
+    */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", " ")
+  def stripUrls(text: Column): Column =
+    regexp_replace(text, "(https?|ftp)://[^\\s]+", " ")
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+  def cleanText(text: Column): Column =
+    collapseWhitespace(stripUrls(stripHtml(text)))
+
   /** Adjacent token pairs as "w1 w2" strings, NON-distinct (unlike
     * [[wordShingles]]) — the unit for language-model counting, where
     * repetition carries signal. Docs under two tokens yield an empty array.

@@ -412,6 +412,22 @@ class PipelineSpec extends AnyFunSuite {
       s"junk ${scored(900001L)} should be below natural mean $naturalAvg")
   }
 
+  test("cleanText strips tags and urls, collapses whitespace; addTally windows") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "<p>Hello <b>world</b></p> visit https://a.example/x?q=1 now"),
+      (2L, "no markup   just   spaces"),
+      (3L, "ftp://host/file and <br/>")).toDF("id", "t")
+    val out = d.select(col("id"), TextFns.cleanText(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Hello world visit now")
+    assert(out(2L) == "no markup just spaces")
+    assert(out(3L) == "and")
+    val tallied = Tbl(d.withColumn("g", col("id") % 2)).groupBy("g")
+      .addTally().df
+    assert(tallied.where(col("g") === 1).head().getLong(3) == 2L)
+  }
+
   test("redactPii scrubs emails/ssn/phones/ips and piiCounts counts them") {
     import spark.implicits._
     val rows = Seq(

@@ -153,6 +153,7 @@ object dsl {
     def mask(cond: Column, other: Column = F.lit(null)): Column =
       Fns.mask(c, cond, other)
     def isin(vs: Any*): Column = c.isin(vs: _*)
+    def near(other: Column): Column = Fns.near(c, other)
 
     // ---- window kind (GExpr: needs the verb's partition/order state) ----
     def cumsum(): GExpr = Vec.cumsum(c)

@@ -30,6 +30,14 @@ object Fns {
   /** Inclusive range test (vector.py:241-259). */
   def between(x: Column, lo: Column, hi: Column): Column = x.between(lo, hi)
 
+  /** dplyr `near`: float equality within `tol` (default sqrt of double
+    * epsilon, dplyr's default). Declared-but-NotImplemented in the reference
+    * (vector.py `near`); trivially supported here.
+    */
+  def near(x: Column, y: Column,
+           tol: Double = math.sqrt(2.220446049250313e-16)): Column =
+    abs(x - y) < lit(tol)
+
   /** Values equal to any of `ys` become NULL (vector.py:424-440 / NULLIF). */
   def naIf(x: Column, ys: Any*): Column =
     when(x.isin(ys: _*), lit(null)).otherwise(x)

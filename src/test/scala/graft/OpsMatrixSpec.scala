@@ -50,7 +50,8 @@ class OpsMatrixSpec extends AnyFunSuite {
     "astype" -> (_.astype("str")), "clip" -> (_.clip(1.5, 3.5)),
     "floordiv" -> (_.floordiv(lit(2))),
     "where" -> (_.where(col("x") > 2, lit(-1.0))),
-    "mask" -> (_.mask(col("x") > 2)), "isin" -> (_.isin(1.0, 3.0))
+    "mask" -> (_.mask(col("x") > 2)), "isin" -> (_.isin(1.0, 3.0)),
+    "near" -> (_.near(col("x") + lit(1e-9)))
   )
 
   private val windowOps: Seq[(String, Column => GExpr)] = Seq(

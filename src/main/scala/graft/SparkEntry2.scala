@@ -1149,6 +1149,17 @@ object SparkEntry2 {
         .select(Seq("p_partkey", "rf", "lj", "rj", "dec", "num"): _*)
         .df),
 
+    // trailing 60-second event-time rolling aggregates (RANGE frame on the
+    // epoch-ns order column — ties are frame peers, deterministic)
+    "q_rolling_range" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .mutate(
+          "r_sum" -> Vec.rollingSumRange(col("value"), col("ts"), 60000000000L)
+            .transform(round(_, 2)),
+          "r_n" -> Vec.rollingCountRange(col("ts"), 60000000000L))
+        .select(Seq("event_id", "event_type", "r_sum", "r_n"): _*).df),
+
     // event-time tumbling window over the ns-timestamp events table (batch
     // form of the streaming verb; ts read as nanos-long, bucketed to minutes)
     "q_events_window" -> ((s, dir) =>
@@ -1307,7 +1318,14 @@ object SparkEntry2 {
     "q_events_window" ->
       """SELECT CAST(floor(epoch_ns(ts) / 60000000000) AS BIGINT) AS minute,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rolling_range" ->
+      """SELECT event_id, event_type,
+        |  round(sum(value) OVER w, 2) AS r_sum,
+        |  count(*) OVER w AS r_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts)
+        |             RANGE BETWEEN 60000000000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 
   def queries: Map[String, Q] =

@@ -185,6 +185,22 @@ object Vec {
   private def rollingFrame(c: WinCtx, order: Seq[Column], nRows: Int) =
     c.orderedBy(order).rowsBetween(-(nRows - 1), Window.currentRow)
 
+  // -- value-range rolling frames (trailing `span` in the ORDER column's own
+  //    units — e.g. trailing 60s on an epoch-ns timestamp): RANGE BETWEEN
+  //    -span AND CURRENT ROW. Equal order values are frame peers under RANGE
+  //    semantics on every engine, so results stay deterministic with ties —
+  //    the event-time rolling aggregate ROWS frames can't express.
+  private def rangeFrame(c: WinCtx, order: Column, span: Long) =
+    Window.partitionBy(c.partition: _*).orderBy(order)
+      .rangeBetween(-span, Window.currentRow)
+
+  def rollingSumRange(x: Column, order: Column, span: Long): GExpr =
+    gx(c => sum(x).over(rangeFrame(c, order, span)))
+  def rollingMeanRange(x: Column, order: Column, span: Long): GExpr =
+    gx(c => avg(x).over(rangeFrame(c, order, span)))
+  def rollingCountRange(order: Column, span: Long): GExpr =
+    gx(c => count(lit(1)).over(rangeFrame(c, order, span)))
+
   def rollingSum(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
     gx(c => sum(x).over(rollingFrame(c, order, nRows)))
   def rollingMean(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =

@@ -277,6 +277,19 @@ class OpsMatrixSpec extends AnyFunSuite {
       Seq((0, 1), (1, 0), (0, 0), (0, 1)))
   }
 
+  test("range-frame rolling: trailing span includes peers, hand-checked") {
+    import spark.implicits._
+    // ts 0,5,5,12,100 with span 10: frames {0},{0,5,5},{0,5,5},{5,5,12},{100}
+    val d = Tbl(Seq((1, 0L, 1.0), (2, 5L, 2.0), (3, 5L, 4.0),
+        (4, 12L, 8.0), (5, 100L, 16.0)).toDF("id", "ts", "v"))
+    val out = d.mutate(
+        "s" -> Vec.rollingSumRange(col("v"), col("ts"), 10L),
+        "n" -> Vec.rollingCountRange(col("ts"), 10L))
+      .df.orderBy("id").collect()
+      .map(r => (r.getDouble(3), r.getLong(4))).toSeq
+    assert(out == Seq((1.0, 1L), (7.0, 3L), (7.0, 3L), (14.0, 3L), (16.0, 1L)))
+  }
+
   test("tz_localize/tz_convert match java.time zone math (incl. DST edge)") {
     import spark.implicits._
     import java.time._

@@ -180,8 +180,12 @@ object StreamVerbs {
                              n: Int = 13, maxFrac: Double = 0.0)
                             (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // benchmark gram set: one batch job, reused by every micro-batch
-    val bg = graft.ml.Dedup.benchmarkGrams(bench, benchText, n).cache()
+    // benchmark gram set: one batch job, reused by every micro-batch.
+    // Registered with the dedup intermediate-cache registry (releasable via
+    // Dedup.unpersistIntermediates after the stream stops; an unpersist
+    // mid-stream merely recomputes, never corrupts).
+    val bg = graft.ml.Dedup.trackCache(
+      graft.ml.Dedup.benchmarkGrams(bench, benchText, n))
     t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       sink(graft.ml.Dedup.decontaminateAgainst(
         batch, idCol, textCol, bg, n, maxFrac))

@@ -413,6 +413,30 @@ object SparkEntry2 {
       TextFns.lmScore(docs, "doc_id", "text", docs, "text")
     }),
 
+    // flagship curation chain, every stage deterministic and oracled as one
+    // query: boilerplate strip -> token-count quality gate -> exact dedup
+    // (first doc per fingerprint wins) -> benchmark decontamination ->
+    // token-budget shard packing
+    "q_curation_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val cleaned = docs
+        .withColumn("ctext", TextFns.cleanText(col("text")))
+        .withColumn("n_tok", TextFns.tokenCount(col("ctext")).cast("long"))
+        .filter(col("n_tok") >= 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val deduped = cleaned
+        .withColumn("fp", TextFns.fingerprint(col("ctext")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "fp")
+      val bench = deduped.filter(col("doc_id") % 17 === 0)
+      val scrubbed = Dedup.decontaminate(deduped, "doc_id", "ctext",
+        bench, "ctext", n = 5, maxContaminatedFrac = 0.5)
+      graft.ops.Scale.packByBudget(scrubbed, Seq(col("doc_id")),
+          col("n_tok"), budget = 2000)
+        .select(col("doc_id"), col("n_tok"), col("shard"))
+    }),
+
     // boilerplate strip: synthetic tags/URLs injected deterministically
     "q_clean_text" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -648,6 +672,42 @@ object SparkEntry2 {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "q_curation_e2e" ->
+      """WITH cl AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |      text, '<[^>]*>', ' ', 'g'), '(https?|ftp)://[^\s]+', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS ctext
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, ctext,
+        |    CAST(len(regexp_split_to_array(trim(lower(ctext)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM cl
+        |  WHERE len(regexp_split_to_array(trim(lower(ctext)), '\s+')) >= 5),
+        |dd AS (
+        |  SELECT doc_id, ctext, n_tok FROM (
+        |    SELECT *, row_number() OVER (
+        |        PARTITION BY md5(regexp_replace(trim(lower(ctext)), '\s+', ' ', 'g'))
+        |        ORDER BY doc_id) AS rn
+        |    FROM sz) t WHERE rn = 1),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(ctext)), '\s+') AS w
+        |  FROM dd),
+        |gr AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) >= 5 THEN
+        |      list_transform(range(1, len(w) - 3),
+        |                     i -> array_to_string(list_slice(w, i, i + 4), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS gs FROM tok),
+        |tg AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM gr),
+        |bg AS (SELECT DISTINCT g FROM
+        |  (SELECT unnest(gs) AS g FROM gr WHERE doc_id % 17 = 0)),
+        |bad AS (SELECT tg.doc_id FROM tg JOIN bg USING (g)
+        |  GROUP BY tg.doc_id, tg.n_grams
+        |  HAVING round(count(*) * 1.0 / tg.n_grams, 4) > 0.5),
+        |keep AS (SELECT doc_id, n_tok FROM dd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+        |SELECT doc_id, n_tok,
+        |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
+        |FROM keep""".stripMargin,
     "q_clean_text" ->
       """WITH aug AS (SELECT doc_id,
         |    '<div class=''x''>' || text || '</div> see https://ex.org/p?id='

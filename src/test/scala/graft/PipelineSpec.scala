@@ -428,6 +428,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(tallied.where(col("g") === 1).head().getLong(3) == 2L)
   }
 
+  test("curation op properties: idempotence, counts==replacements, guards") {
+    import spark.implicits._
+    // seeded adversarial-ish corpus: pii fragments glued in random contexts
+    val rnd = new scala.util.Random(7)
+    val frags = Seq("x@y.zz", "123-45-6789", "+1 (555) 123-4567", "9.8.7.6",
+      "<b>t</b>", "https://u.v/w?a=1", "plain", "  sp  aces ", "2021-01-02")
+    val rows = (1 to 60).map { i =>
+      (i.toLong, Seq.fill(5)(frags(rnd.nextInt(frags.size))).mkString(" "))
+    }.toDF("id", "t")
+    val once = rows.select(col("id"), TextFns.redactPii(col("t")).as("r"),
+      TextFns.cleanText(col("t")).as("c"),
+      TextFns.piiCounts(col("t")).as("pc"))
+    val twice = once.select(col("id"), TextFns.redactPii(col("r")).as("r2"),
+      TextFns.cleanText(col("c")).as("c2"), col("r"), col("c"), col("pc"))
+    // idempotence: a second pass changes nothing
+    assert(twice.filter(col("r") =!= col("r2")).count() == 0)
+    assert(twice.filter(col("c") =!= col("c2")).count() == 0)
+    // sum(piiCounts) == number of [TOKEN]s inserted by redactPii
+    val mism = once.withColumn("n_tok",
+        size(split(col("r"), "\\[(EMAIL|SSN|PHONE|IPV4)\\]")) - 1)
+      .filter(col("n_tok") =!=
+        col("pc.email") + col("pc.ssn") + col("pc.phone") + col("pc.ipv4"))
+    assert(mism.count() == 0)
+    // argument guards
+    intercept[IllegalArgumentException] {
+      Tbl(rows).sampleQuota(Seq("id"), Seq(col("id")), 0) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Scale.packByBudget(rows, Seq(col("id")), col("id"), 0) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Scale.interleaveWeighted(Seq(("a", rows, -1.0)), d => Seq(d("id"))) }
+  }
+
   test("redactPii scrubs emails/ssn/phones/ips and piiCounts counts them") {
     import spark.implicits._
     val rows = Seq(

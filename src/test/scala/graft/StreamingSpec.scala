@@ -200,6 +200,34 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming kept ${kept.toSet} vs batch $batchRef")
   }
 
+  test("map-only curation ops (cleanText/redactPii/tokenCount) run unchanged on a stream") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<p>hi</p> mail a@b.io see https://x.y/z"),
+      (2L, "two  spaced   words"))
+    val dir = Files.createTempDirectory("graft-mapops").toFile
+    rows.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = rows.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    // the exact batch verb chain, applied to the streaming frame
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      Tbl(df).mutate(
+          "clean" -> graft.text.TextFns.cleanText(col("text")),
+          "red"   -> graft.text.TextFns.redactPii(col("text")),
+          "n_tok" -> graft.text.TextFns.tokenCount(col("text")).cast("long"))
+        .select(Seq("doc_id", "clean", "red", "n_tok"): _*).df
+    val q = chain(stream)
+      .writeStream.format("memory").queryName("mapops_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT * FROM mapops_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val want = chain(rows.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("transformWithState running totals (Spark 4 stateful API)") {
     // transformWithState needs a multi-column-family store: RocksDB
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -93,6 +93,36 @@ object GraftFunctions {
     all.foreach { case (ident, inf, builder) =>
       org.apache.spark.sql.graftshim.Shim.registerFunction(spark, ident, inf, builder)
     }
+
+  /** Curation scalars for pure-SQL users, as Spark 4 SQL UDFs
+    * (`CREATE TEMPORARY FUNCTION ... RETURN <expr>` — declarative bodies,
+    * fully Catalyst-optimized, NO closure/JVM UDF involved). Each body is
+    * the same expression tree as its Column-API twin in
+    * [[graft.text.TextFns]]; SqlFunctionsSpec asserts the equivalence.
+    */
+  def registerSqlMacros(spark: SparkSession): Unit = {
+    val piiStages = graft.text.TextFns.piiPatterns.foldLeft("s") {
+      case (acc, (name, pat)) =>
+        val p = pat.replace("\\", "\\\\").replace("'", "''")
+        s"regexp_replace($acc, '$p', '[${name.toUpperCase}]')"
+    }
+    val defs = Seq(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION redact_pii(s STRING)
+         |RETURNS STRING RETURN $piiStages""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION strip_html(s STRING)
+        |RETURNS STRING RETURN regexp_replace(s, '<[^>]*>', ' ')""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION strip_urls(s STRING)
+        |RETURNS STRING RETURN
+        |  regexp_replace(s, '(https?|ftp)://[^\\s]+', ' ')""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION clean_text(s STRING)
+        |RETURNS STRING RETURN
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    s, '<[^>]*>', ' '), '(https?|ftp)://[^\\s]+', ' '), '\\s+', ' '))""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION ws_token_count(s STRING)
+        |RETURNS BIGINT RETURN
+        |  CAST(size(split(trim(lower(s)), '\\s+')) AS BIGINT)""".stripMargin)
+    defs.foreach(spark.sql(_))
+  }
 }
 
 /** `spark.sql.extensions=graft.sql.GraftExtensions` — injects the functions

@@ -65,6 +65,27 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(rows.exists(_.contains("shingle_hash(text[, n])")), rows.mkString("\n"))
   }
 
+  test("SQL macros (clean_text/redact_pii/...) equal their Column-API twins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.sql.GraftFunctions.registerSqlMacros(spark)
+    val d = Seq(
+      "<p>Hi</p> mail a.b@c.io call +1 (555) 123-4567 at https://x.y/z 1.2.3.4",
+      "ssn 123-45-6789 and   spaced   text",
+      "plain").toDF("s")
+    d.createOrReplaceTempView("macro_probe")
+    val viaSql = spark.sql(
+      """SELECT clean_text(s) AS c, redact_pii(s) AS r, strip_html(s) AS h,
+        |strip_urls(s) AS u, ws_token_count(s) AS n FROM macro_probe""".stripMargin)
+    val viaCols = d.select(
+      graft.text.TextFns.cleanText(col("s")).as("c"),
+      graft.text.TextFns.redactPii(col("s")).as("r"),
+      graft.text.TextFns.stripHtml(col("s")).as("h"),
+      graft.text.TextFns.stripUrls(col("s")).as("u"),
+      graft.text.TextFns.tokenCount(col("s")).cast("long").as("n"))
+    assert(viaSql.exceptAll(viaCols).isEmpty && viaCols.exceptAll(viaSql).isEmpty)
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // verify the injection shape is valid by applying it to a fresh builder-
     // style extensions object (a full new SparkSession would conflict with

@@ -249,10 +249,18 @@ final case class Tbl(
     * forcats level discovery; NULL yields no indicator (all zeros), matching
     * pandas' default dummy_na=False.
     */
-  def getDummies(c: String, prefix: String = ""): Tbl = {
+  def getDummies(c: String, prefix: String = "", maxLevels: Int = 1000): Tbl = {
     val p = if (prefix.nonEmpty) prefix else c
-    val levels = df.select(col(c).cast("string")).distinct()
-      .collect().map(_.getString(0)).filter(_ != null).sorted
+    // level discovery is a driver collect AND each level becomes a column:
+    // bound it, loudly — a high-cardinality input here is always a mistake
+    val probe = df.select(col(c).cast("string")).distinct()
+      .limit(maxLevels + 1).collect()
+    if (probe.length > maxLevels)
+      throw GraftError(
+        s"getDummies('$c'): more than $maxLevels distinct levels; one-hot " +
+        "encoding a high-cardinality column produces an unusable schema — " +
+        "raise maxLevels only if you really want that many columns")
+    val levels = probe.map(_.getString(0)).filter(_ != null).sorted
     val added = levels.foldLeft(df) { (acc, lv) =>
       acc.withColumn(s"${p}_$lv",
         when(col(c).cast("string") === lv, 1).otherwise(0))
@@ -279,10 +287,16 @@ final case class Tbl(
     */
   def sampleQuota(groupCols: Seq[String], orderBy: Seq[Column], k: Int): Tbl = {
     require(k > 0, "k must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
-    copy(df = df.withColumn("__qrn", row_number().over(w))
-      .filter(col("__qrn") <= k).drop("__qrn"))
+    // no strata -> global top-k: orderBy+limit plans TakeOrderedAndProject
+    // (per-partition top-k, tiny merge), NOT the single-partition window a
+    // partitionless row_number would silently funnel everything through
+    if (groupCols.isEmpty) copy(df = df.orderBy(orderBy: _*).limit(k))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+      copy(df = df.withColumn("__qrn", row_number().over(w))
+        .filter(col("__qrn") <= k).drop("__qrn"))
+    }
   }
 
   /** Native Bernoulli sample (fast, but partitioning-dependent) and

@@ -275,6 +275,19 @@ class OpsMatrixSpec extends AnyFunSuite {
     assert(cols == Seq("i", "v", "v_a", "v_b"))
     assert(out.map(r => (r.getInt(2), r.getInt(3))).toSeq ==
       Seq((0, 1), (1, 0), (0, 0), (0, 1)))
+    // high-cardinality guard refuses loudly
+    val wide = Tbl((1 to 50).map(i => (i, s"lv$i")).toDF("i", "v"))
+    intercept[GraftError] { wide.getDummies("v", maxLevels = 10) }
+  }
+
+  test("sampleQuota without strata plans a global top-k, not a global window") {
+    import spark.implicits._
+    val d = Tbl((1 to 500).map(i => (i.toLong, i % 7)).toDF("id", "g"))
+    val top = d.sampleQuota(Nil, Seq(col("id").desc), 5)
+    assert(top.df.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(496L, 497L, 498L, 499L, 500L))
+    val plan = top.df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
   test("range-frame rolling: trailing span includes peers, hand-checked") {

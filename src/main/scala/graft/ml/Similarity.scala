@@ -104,6 +104,28 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Recall@k of an approximate ranker against the exact one: per query,
+    * |truth ∩ approx| / |truth| over the two (query_id, item_id) top-k sets,
+    * plus a corpus-level macro average row with query_id NULL. The standard
+    * ANN evaluation harness, as an operator — one inner join + two small
+    * aggregates, usable at any corpus size (both inputs are already top-k).
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("item_id"))
+    val a = approx.select(col("query_id"), col("item_id"))
+    val hits = t.join(a, Seq("query_id", "item_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val per = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("recall",
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_truth"), 4))
+      .select(col("query_id"), col("recall"))
+    val macroAvg = per.agg(round(avg("recall"), 4).as("recall"))
+      .withColumn("query_id", lit(null).cast("long"))
+      .select(col("query_id"), col("recall"))
+    per.unionByName(macroAvg)
+  }
+
   /** IVF (inverted-file) index: a deterministic sample of corpus vectors acts
     * as the coarse quantizer; every vector is assigned to its nearest
     * centroid partition. Queries probe the `nProbe` nearest centroids and

@@ -357,6 +357,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(other != s20)
   }
 
+  test("recallAtK: per-query and macro rows, hand-checked") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "item_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "item_id")
+    val r = Similarity.recallAtK(truth, approx).collect()
+      .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0)) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.5 && r(2L) == 1.0 && r(-1L) == 0.75)
+    // and on real data: LSH against brute force is within [0, 1], macro > 0
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 3)
+    val lsh = Similarity.lshTopK(emb, q, k = 3, dim = 64)
+    val macroR = Similarity.recallAtK(exact, lsh)
+      .filter(col("query_id").isNull).head().getDouble(1)
+    assert(macroR >= 0.0 && macroR <= 1.0)
+  }
+
   test("contamination: bench docs report frac 1.0, decontaminate drops them, hashed==string") {
     val bench = docs.filter(col("doc_id") % 17 === 0)
     val nBench = bench.count()

@@ -157,6 +157,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-sum ops are invariant to input partitioning") {
+    import spark.implicits._
+    val d = (1L to 2000L).map(i => (i * 13 % 9973, i % 11 + 1)).toMap.toSeq
+      .map { case (id, v) => (id, v) }.toDF("id", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Scale.packByBudget(df, Seq(col("id")), col("v"), budget = 97)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val base = run(d)
+    assert(run(d.repartition(7)) == base, "repartition(7) changed shards")
+    assert(run(d.repartition(1)) == base, "single-partition input changed shards")
+    assert(run(d.orderBy(org.apache.spark.sql.functions.rand(5))) == base,
+      "row order changed shards")
+  }
+
   test("interleaveWeighted: stride mix, weight-2 source appears ~2x as often") {
     import spark.implicits._
     val a = (1L to 100L).map(i => (i, "x")).toDF("id", "p")

@@ -84,10 +84,35 @@ object Forcats {
     * (fct_lump, forcats.py:351). Frequency ranking is a window over a tiny
     * per-level aggregate; the recode joins it back — broadcast-sized.
     */
-  def fctLump(df: DataFrame, c: String, n: Int, other: String = "Other"): DataFrame = {
-    val freq = df.groupBy(col(c)).count()
-      .withColumn("__rk", row_number().over(Window.orderBy(desc("count"), col(c))))
-      .select(col(c).as("__lv"), (col("__rk") <= n).as("__keep"))
+  def fctLump(df: DataFrame, c: String, n: Int, other: String = "Other"): DataFrame =
+    lumpBy(df, c, other, None, keepRank = Some(n), keepProp = None)
+
+  /** fct_lump(prop=) (forcats.py:351): keep levels holding at least `prop`
+    * of the (optionally `w`-weighted) rows; lump the rest. */
+  def fctLumpProp(df: DataFrame, c: String, prop: Double,
+                  w: Option[org.apache.spark.sql.Column] = None,
+                  other: String = "Other"): DataFrame =
+    lumpBy(df, c, other, w, keepRank = None, keepProp = Some(prop))
+
+  /** fct_lump(n=, w=): weighted frequency ranking. */
+  def fctLumpWeighted(df: DataFrame, c: String, n: Int,
+                      w: org.apache.spark.sql.Column,
+                      other: String = "Other"): DataFrame =
+    lumpBy(df, c, other, Some(w), keepRank = Some(n), keepProp = None)
+
+  private def lumpBy(df: DataFrame, c: String, other: String,
+                     w: Option[org.apache.spark.sql.Column],
+                     keepRank: Option[Int], keepProp: Option[Double]): DataFrame = {
+    require(keepRank.nonEmpty || keepProp.nonEmpty, "need n or prop")
+    val agg = w.map(x => sum(x)).getOrElse(count(lit(1))).as("__n")
+    val perLevel = df.groupBy(col(c)).agg(agg)
+    val wTot = Window.partitionBy()     // over the tiny per-level table only
+    val scored = perLevel
+      .withColumn("__rk", row_number().over(Window.orderBy(desc("__n"), col(c))))
+      .withColumn("__frac", col("__n") / sum("__n").over(wTot))
+    val keep = (keepRank.map(n => col("__rk") <= n).toSeq ++
+                keepProp.map(p => col("__frac") >= p).toSeq).reduce(_ && _)
+    val freq = scored.select(col(c).as("__lv"), keep.as("__keep"))
     df.join(broadcast(freq), df(c) === col("__lv"), "left")
       // NA stays NA (fct_lump never lumps missing into the other level)
       .withColumn(c, when(col(c).isNull, lit(null))

@@ -392,4 +392,18 @@ class ReshapeSpec extends AnyFunSuite {
     val withV = Seq((Some("a"), 2.0), (Some("b"), 1.0), (None, 9.0)).toDF("f", "v")
     assert(Forcats.fctReorder(withV, col("f"), col("v")).levels == Seq("b", "a"))
   }
+
+  test("fctLump prop= and w= variants (forcats parity)") {
+    import spark.implicits._
+    // a x5, b x3, c x2 -> props .5/.3/.2
+    val d = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")).toDF("f")
+    val byProp = Forcats.fctLumpProp(d, "f", prop = 0.3)
+      .groupBy("f").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byProp == Map("a" -> 5L, "b" -> 3L, "Other" -> 2L))
+    // weighted: c carries the weight despite fewest rows
+    val wd = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("c", 50.0)).toDF("f", "w")
+    val byW = Forcats.fctLumpWeighted(wd, "f", n = 1, col("w"))
+      .groupBy("f").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byW == Map("c" -> 1L, "Other" -> 3L))
+  }
 }

@@ -67,6 +67,22 @@ object Scale {
     bigSalted.join(smallExploded, Seq(key, "__salt"), how).drop("__salt")
   }
 
+  /** Coalesce to ~`targetPartitionBytes` per output partition before a
+    * write — the small-files guard: a 32-partition shuffle writing 10 MB
+    * total produces 32 tiny files that poison every later scan's task
+    * scheduling. Partition count comes from Catalyst size stats (no
+    * `df.rdd`, which would force physical planning eagerly under AQE);
+    * `coalesce` only ever narrows, so an underestimate is a no-op, never an
+    * extra shuffle.
+    */
+  def coalesceForWrite(df: DataFrame,
+                       targetPartitionBytes: Long = 128L << 20): DataFrame = {
+    require(targetPartitionBytes > 0, "targetPartitionBytes must be positive")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes / targetPartitionBytes) + 1
+    df.coalesce(n.min(BigInt(1 << 20)).toInt)
+  }
+
   /** Write a table bucketed+sorted by join key. Two tables bucketed the same
     * way join with NO exchange and NO sort (bucket-local SMJ) — the
     * co-located-join answer for repeated large joins. Requires saveAsTable

@@ -191,6 +191,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(mix == mix2)
   }
 
+  test("coalesceForWrite: small data -> one file, result unchanged") {
+    import spark.implicits._
+    val d = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(16)
+    val path = java.nio.file.Files.createTempDirectory("graft-cfw").toString
+    graft.ops.Scale.coalesceForWrite(d).write.mode("overwrite").parquet(path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"expected 1 file, got ${files.length}")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).head().getLong(0) == (1L to 1000L).sum)
+  }
+
   test("partitioned write prunes partitions on read") {
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

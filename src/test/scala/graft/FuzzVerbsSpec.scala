@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded randomized differential for the verb-translation layer: each
+  * seed draws a pipeline (grouping x agg-broadcast mutate x plain-or-window
+  * filter x summarize-or-window tail) and checks the Tbl verbs against a
+  * hand-assembled Spark SQL string with explicit OVER clauses — broad-front
+  * coverage of the ColumnNode rewriter (windowize, filter hoist, arrange
+  * state) beyond the hand-picked CoreVerbsSpec cases. Deterministic: the
+  * seed list is fixed, failures print the seed's recipe.
+  */
+class FuzzVerbsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.assertSameRows
+
+  private lazy val li = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+              "l_quantity", "l_extendedprice", "l_discount")
+    d.createOrReplaceTempView("fuzz_li")
+    d
+  }
+
+  private val groupChoices = Seq(
+    Nil, Seq("l_returnflag"), Seq("l_returnflag", "l_linestatus"))
+  private val valueChoices = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private val aggChoices: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
+    Seq("avg" -> (c => avg(c)), "sum" -> (c => sum(c)),
+        "min" -> (c => min(c)), "max" -> (c => max(c)),
+        "count" -> (c => count(c)))
+
+  for (seed <- 1 to 40) test(s"seeded pipeline #$seed matches its SQL translation") {
+    val rnd = new scala.util.Random(seed)
+    val groups = groupChoices(rnd.nextInt(groupChoices.size))
+    val v = valueChoices(rnd.nextInt(valueChoices.size))
+    val (aggName, aggFn) = aggChoices(rnd.nextInt(aggChoices.size))
+    val part = if (groups.isEmpty) "" else s" PARTITION BY ${groups.mkString(", ")}"
+    val over = s"OVER ($part)"
+    val recipe = s"groups=$groups v=$v agg=$aggName"
+
+    // stage 1: agg-broadcast mutate  m = v - agg(v) over groups
+    val t1 = {
+      val t0 = if (groups.isEmpty) Tbl(li) else Tbl(li).groupBy(groups: _*)
+      t0.mutate("m" -> (col(v) - aggFn(col(v))))
+    }
+    val sql1 = s"SELECT *, $v - $aggName($v) $over AS m FROM fuzz_li"
+    assertSameRows(t1.df, spark.sql(sql1))
+
+    // stage 2: half the seeds filter on a windowed aggregate (hoist path),
+    // the rest on the computed column
+    val windowedFilter = rnd.nextBoolean()
+    val (t2, sql2) =
+      if (windowedFilter) (
+        t1.filter(col(v) >= aggFn(col(v))),
+        s"SELECT * FROM (SELECT *, $v >= $aggName($v) $over AS __c FROM ($sql1)) WHERE __c"
+      ) else (
+        t1.filter(col("m") > 0),
+        s"SELECT * FROM ($sql1) WHERE m > 0")
+    val sqlDf2 = spark.sql(sql2).drop("__c")
+    assertSameRows(t2.df, sqlDf2, clue = recipe)
+
+    // stage 3: summarize tail or arrange+cumsum tail
+    if (rnd.nextBoolean()) {
+      val t3 = t2.summarize("s" -> round(sum(col("m")), 4),
+                            "n" -> count(lit(1)))
+      val keys = if (groups.isEmpty) "" else groups.mkString(", ") + ","
+      val grp = if (groups.isEmpty) "" else s"GROUP BY ${groups.mkString(", ")}"
+      val sql3 = s"SELECT $keys round(sum(m), 4) AS s, count(1) AS n FROM ($sql2) $grp"
+      assertSameRows(t3.df, spark.sql(sql3).drop("__c"), clue = recipe)
+    } else {
+      val t3 = t2.arrange(col("l_orderkey"), col("l_linenumber"))
+        .mutate("cs" -> graft.functions.Vec.cumsum(round(col("m"), 4)))
+      val sql3 = s"""SELECT *, sum(round(m, 4)) OVER ($part ORDER BY
+        |l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |CURRENT ROW) AS cs FROM ($sql2)""".stripMargin
+      assertSameRows(t3.df, spark.sql(sql3).drop("__c"), clue = recipe)
+    }
+  }
+}

@@ -23,11 +23,11 @@ object TestSpark {
   def sortedRows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq).sortBy(_.mkString(""))
 
-  def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+  def assertSameRows(a: DataFrame, b: DataFrame, clue: String = ""): Unit = {
     assert(a.columns.toSeq.sorted == b.columns.toSeq.sorted,
-      s"schema mismatch: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+      s"schema mismatch: ${a.columns.toSeq} vs ${b.columns.toSeq} $clue")
     val (ra, rb) = (sortedRows(a.select(a.columns.sorted.map(org.apache.spark.sql.functions.col): _*)),
                     sortedRows(b.select(b.columns.sorted.map(org.apache.spark.sql.functions.col): _*)))
-    assert(ra == rb, s"rows mismatch:\n  left=${ra.take(5)}\n right=${rb.take(5)}")
+    assert(ra == rb, s"rows mismatch ($clue):\n  left=${ra.take(5)}\n right=${rb.take(5)}")
   }
 }

@@ -192,6 +192,40 @@ object StreamVerbs {
     }
   }
 
+  /** Streaming per-stratum quota curation — the streaming half of
+    * [[graft.Tbl.sampleQuota]]: hold the best `k` (score desc, id asc) rows
+    * seen so far PER GROUP in state and re-emit a group's current top-k
+    * whenever a micro-batch touches it (OutputMode.Update). State is
+    * exactly k entries per group — bounded by construction, no watermark
+    * needed — so "keep the 1000 best docs per domain as the crawl streams
+    * in" runs forever in constant memory.
+    */
+  def streamingQuotaSample(t: Tbl, groupCol: String, idCol: String,
+                           scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = t.df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    t.df.select(col(groupCol).cast("string").as("g"),
+                col(idCol).cast("long").as("id"),
+                col(scoreCol).cast("double").as("score"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[Seq[(Long, Double)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+              rows.map(r => (r._2, r._3)))
+            .sortBy { case (id, s) => (-s, id) }.take(k)
+          state.update(merged)
+          (g, merged)
+      }
+      .flatMap { case (g, items) =>
+        items.zipWithIndex.map { case ((id, s), i) => (g, id, s, i + 1L) }
+      }
+      .toDF(groupCol, idCol, scoreCol, "rank")
+  }
+
   /** Custom-state example: per-key running (count, sum) via
     * `mapGroupsWithState` — the KeyValueGroupedDataset escape hatch for
     * stateful logic the built-in operators can't express. Emits one updated

@@ -200,6 +200,43 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming kept ${kept.toSet} vs batch $batchRef")
   }
 
+  test("streaming quota sample converges to the batch per-stratum top-k") {
+    import spark.implicits._
+    // two micro-batches; the batch-2 high scorer must evict a batch-1 row
+    val batch1 = Seq(("a", 1L, 5.0), ("a", 2L, 3.0), ("a", 3L, 1.0),
+                     ("b", 4L, 9.0))
+    val batch2 = Seq(("a", 5L, 4.0), ("b", 6L, 2.0))
+    val dir = Files.createTempDirectory("graft-qs").toFile
+    val ckpt = Files.createTempDirectory("graft-qs-ckpt").toFile
+    batch1.toDF("g", "id", "score").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    batch2.toDF("g", "id", "score").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = batch1.toDF("g", "id", "score").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    // track the LATEST emission per group (Update-mode semantics)
+    val latest = scala.collection.mutable.Map[String, Seq[(Long, Double, Long)]]()
+    val q = StreamVerbs.streamingQuotaSample(Tbl(stream), "g", "id", "score", k = 2)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().groupBy(_.getString(0)).foreach { case (g, rows) =>
+          latest(g) = rows.map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batchRef = Tbl((batch1 ++ batch2).toDF("g", "id", "score"))
+      .sampleQuota(Seq("g"), Seq(col("score").desc, col("id")), k = 2)
+      .df.collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val got = latest.toSeq
+      .flatMap { case (g, rows) => rows.map(r => g -> r._1) }.toSet
+    assert(got == batchRef, s"streaming $got vs batch $batchRef")
+    // a's quota: 5.0 (id 1) and 4.0 (id 5) — the 3.0 row was evicted
+    assert(latest("a").map(_._1).toSet == Set(1L, 5L))
+  }
+
   test("map-only curation ops (cleanText/redactPii/tokenCount) run unchanged on a stream") {
     import spark.implicits._
     val rows = Seq(

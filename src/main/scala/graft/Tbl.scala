@@ -564,6 +564,15 @@ final case class Tbl(
   def collect(): Array[Row] = df.collect()
   def showQuery(): Unit = df.explain(true)
 
+  /** dbplyr/siuba `compute()` (sql/verbs/compute.py): materialize the
+    * pipeline so far and keep working lazily on the result. On Spark that is
+    * an eager `localCheckpoint` — lineage is cut (iterative pipelines stop
+    * re-planning a growing tree) and downstream verbs read the materialized
+    * blocks. `eager = false` marks without materializing (next action pays).
+    */
+  def compute(eager: Boolean = true): Tbl =
+    copy(df = df.localCheckpoint(eager))
+
   /** Pin the current plan's result in executor memory/disk for reuse by
     * multiple downstream consumers (grouping/order state is unaffected).
     * Spark-side extension — the reference's eager backend is always

@@ -80,6 +80,17 @@ class CoreVerbsSpec extends AnyFunSuite {
     assertSameRows(ac, spark.sql("SELECT *, count(*) OVER (PARTITION BY g) AS n FROM t4"))
   }
 
+  test("compute materializes and cuts lineage; results unchanged") {
+    val t = Tbl(df).groupBy("g").mutate("d" -> (col("x") - avg(col("x"))))
+    val c = t.compute()
+    assertSameRows(c.df, t.df)
+    // lineage is cut: the computed frame's plan no longer contains the scan
+    val plan = c.df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"), plan.take(300))
+    // group state survives compute (it's verb state, not plan state)
+    assert(c.groups == Seq("g"))
+  }
+
   test("tally: current groups only, weighted and sorted") {
     val plain = Tbl(df).groupBy("g").tally().df
     df.createOrReplaceTempView("t4t")

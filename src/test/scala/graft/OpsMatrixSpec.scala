@@ -228,6 +228,33 @@ class OpsMatrixSpec extends AnyFunSuite {
     assert(math.abs(got - exp) < 1e-12, s"got $got expected $exp")
   }
 
+  test("nested-window hoist: window-typed ARGUMENT (depth 3) equals staged computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{sum => fsum, lag => flag, bool_and, coalesce => fcoalesce}
+    val d = Seq((1, 2.0), (2, -1.0), (3, 5.0), (4, 0.5)).toDF("i", "v")
+    val wOrd = Window.orderBy("i")
+    // cs is itself a window; the monotonicity expression nests lag(cs) inside
+    // bool_and(...) — three window levels in one Column tree
+    val cs = fsum(col("v")).over(wOrd)
+    val nested = bool_and(cs.isNotNull &&
+      fcoalesce(cs >= flag(cs, 1).over(wOrd), lit(true))).over(Window.partitionBy())
+    val (binds, rewritten) = org.apache.spark.sql.graftshim.Shim
+      .hoistNestedWindows(nested, "__t")
+    assert(binds.nonEmpty, "triple nesting must produce hoisted bindings")
+    val withBinds = binds.foldLeft(d) { case (acc, (n, c)) => acc.withColumn(n, c) }
+    val got = withBinds.withColumn("mono", rewritten)
+      .select("mono").head().getBoolean(0)
+    // staged reference: materialize cs, then lag, then bool_and
+    val staged = d.withColumn("cs", cs)
+      .withColumn("pl", flag(col("cs"), 1).over(wOrd))
+      .select(bool_and(col("cs").isNotNull &&
+        fcoalesce(col("cs") >= col("pl"), lit(true))).as("mono"))
+      .head().getBoolean(0)
+    assert(got == staged)
+    assert(!got, "cumsum of mixed-sign values is not monotone here")
+  }
+
   test("is_monotonic / duplicated semantics, incl. NULL handling") {
     import spark.implicits._
     val d = Tbl(Seq((1, Some(1.0), "a"), (2, Some(2.0), "b"), (3, Some(2.0), "a"),

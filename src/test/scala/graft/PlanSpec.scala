@@ -97,6 +97,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), p.take(800))
   }
 
+  test("curation e2e plan: no cartesian, packing stays range-partitioned") {
+    val p = plan("q_curation_e2e")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    assert(p.contains("windowspecdefinition(__pid"), "packing window must be per-__pid")
+    assert(p.contains("rangepartitioning"), "packing must range-partition")
+  }
+
   test("custom expressions (shingle_hash, dot_product) stay in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -157,6 +157,21 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-sum edges: empty input, single row, more partitions than rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(graft.ops.Scale.globalCumSum(empty, Seq(col("id")), col("v"), "cum")
+      .count() == 0)
+    val one = Seq((7L, 3L)).toDF("id", "v")
+    val r1 = graft.ops.Scale.globalRowNumber(one, Seq(col("id"))).head()
+    assert(r1.getLong(r1.fieldIndex("rn")) == 1L)
+    val few = Seq((1L, 2L), (2L, 5L)).toDF("id", "v")
+    val out = graft.ops.Scale.globalCumSum(few, Seq(col("id")), col("v"), "cum",
+        numPartitions = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 7L))
+  }
+
   test("prefix-sum ops are invariant to input partitioning") {
     import spark.implicits._
     val d = (1L to 2000L).map(i => (i * 13 % 9973, i % 11 + 1)).toMap.toSeq

@@ -61,6 +61,12 @@ object Fns {
   object Agg {
     def n(): Column                 = count(lit(1))
     def nDistinct(c: Column): Column = count_distinct(c)
+    /** Weighted mean sum(x*w)/sum(w) — the mixture-stat aggregate (rows with
+      * NULL x or w contribute to neither sum, pandas' pairwise drop). */
+    def weightedMean(x: Column, w: Column): Column = {
+      val both = x.isNotNull && w.isNotNull
+      sum(when(both, x * w)) / sum(when(both, w))
+    }
     /** HyperLogLog++ distinct estimate (SURVEY §2.5 opt-in extension): at
       * 100 TB an exact count-distinct shuffles every distinct value; the
       * sketch is a fixed-size buffer per group, map-side combinable.

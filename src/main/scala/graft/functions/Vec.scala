@@ -209,4 +209,8 @@ object Vec {
     gx(c => max(x).over(rollingFrame(c, order, nRows)))
   def rollingMin(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
     gx(c => min(x).over(rollingFrame(c, order, nRows)))
+  def rollingStd(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
+    gx(c => stddev_samp(x).over(rollingFrame(c, order, nRows)))
+  def rollingVar(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
+    gx(c => var_samp(x).over(rollingFrame(c, order, nRows)))
 }

@@ -317,6 +317,23 @@ class OpsMatrixSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
+  test("rollingStd/Var and weightedMean, hand-checked incl. NULL pairs") {
+    import spark.implicits._
+    val d = Tbl(Seq((1, 2.0), (2, 4.0), (3, 6.0)).toDF("i", "x"))
+    val rs = d.arrange(col("i"))
+      .mutate("s" -> Vec.rollingStd(col("x"), 2), "v" -> Vec.rollingVar(col("x"), 2))
+      .df.orderBy("i").collect()
+    assert(rs(0).isNullAt(2), "1-row frame has no sample std")
+    assert(math.abs(rs(1).getDouble(2) - math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(rs(2).getDouble(3) - 2.0) < 1e-12)
+    val wm = Tbl(Seq((Some(10.0), Some(1.0)), (Some(20.0), Some(3.0)),
+        (Some(99.0), None), (None, Some(5.0))).toDF("x", "w"))
+      .summarize("m" -> Fns.Agg.weightedMean(col("x"), col("w")))
+      .df.head().getDouble(0)
+    assert(math.abs(wm - (10.0 * 1 + 20.0 * 3) / 4.0) < 1e-12,
+      s"NULL x or w rows must drop from both sums, got $wm")
+  }
+
   test("range-frame rolling: trailing span includes peers, hand-checked") {
     import spark.implicits._
     // ts 0,5,5,12,100 with span 10: frames {0},{0,5,5},{0,5,5},{5,5,12},{100}

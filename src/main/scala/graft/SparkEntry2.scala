@@ -740,6 +740,25 @@ object SparkEntry2 {
         |    CROSS JOIN vocab)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM j GROUP BY 1""".stripMargin,
+    "q_weighted_mean" ->
+      """SELECT o_orderpriority,
+        |  round(sum(o_totalprice * (o_orderkey % 7 + 1)) /
+        |        sum(o_orderkey % 7 + 1), 4) AS wm
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_rolling_std" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(stddev_samp(o_totalprice) OVER w, 4) AS rs,
+        |  round(var_samp(o_totalprice) OVER w, 4) AS rv
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_lump_prop" ->
+      """WITH fr AS (SELECT lang AS seg,
+        |    count(*) * 1.0 / (SELECT count(*) FROM documents) AS f
+        |  FROM documents GROUP BY 1)
+        |SELECT CASE WHEN lang IN (SELECT seg FROM fr WHERE f >= 0.3)
+        |  THEN lang ELSE 'Other' END AS lang, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_window_extras" ->
       """WITH l AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority,
         |    lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pl
@@ -1158,6 +1177,27 @@ object SparkEntry2 {
 
     "q_value_counts" -> ((s, dir) =>
       t(s, dir, "customer").valueCounts("c_mktsegment", normalize = true).df),
+
+    "q_weighted_mean" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .summarize("wm" -> round(Fns.Agg.weightedMean(
+          col("o_totalprice"), col("o_orderkey") % 7 + 1), 4))
+        .df),
+
+    "q_rolling_std" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate("rs" -> Vec.rollingStd(col("o_totalprice"), 3)
+                          .transform(round(_, 4)),
+                "rv" -> Vec.rollingVar(col("o_totalprice"), 3)
+                          .transform(round(_, 4)))
+        .select(Seq("o_custkey", "o_orderkey", "rs", "rv"): _*).df),
+
+    "q_lump_prop" -> ((s, dir) =>
+      Tbl(Forcats.fctLumpProp(t(s, dir, "documents").df, "lang", prop = 0.3))
+        .count(extra = Seq("lang"))
+        .df),
 
     // autocorr / is_monotonic / duplicated: the nested-window trio (inner
     // lag hoisted into a temp projection by mutate automatically)

@@ -564,6 +564,10 @@ final case class Tbl(
   def collect(): Array[Row] = df.collect()
   def showQuery(): Unit = df.explain(true)
 
+  /** dplyr `glimpse`: schema plus the first rows, transposed-ish via show —
+    * a debugging convenience, driver-side by definition. */
+  def glimpse(n: Int = 5): Unit = { df.printSchema(); df.show(n, 24, false) }
+
   /** dbplyr/siuba `compute()` (sql/verbs/compute.py): materialize the
     * pipeline so far and keep working lazily on the result. On Spark that is
     * an eager `localCheckpoint` — lineage is cut (iterative pipelines stop

@@ -119,6 +119,7 @@ object dsl {
     def median(): Column = F.median(c)
     def mode(): Column = F.mode(c) // most frequent value (pandas kind=None in ref)
     def quantile(q: Double): Column = F.percentile(c, F.lit(q))
+    def quantileApprox(q: Double): Column = Fns.Agg.percentileApprox(c, q)
     def std(): Column = F.stddev_samp(c)
     def variance(): Column = F.var_samp(c)
     def sem(): Column = Fns.Agg.sem(c)

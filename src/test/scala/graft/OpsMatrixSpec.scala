@@ -35,6 +35,7 @@ class OpsMatrixSpec extends AnyFunSuite {
     "max" -> (_.max()), "count" -> (_.count()), "nunique" -> (_.nunique()),
     "nunique_approx" -> (_.nuniqueApprox()),
     "median" -> (_.median()), "quantile" -> (_.quantile(0.25)),
+    "quantile_approx" -> (_.quantileApprox(0.25)),
     "std" -> (_.std()), "var" -> (_.variance()), "sem" -> (_.sem()),
     "skew" -> (_.skew()), "kurt" -> (_.kurt()), "prod" -> (_.prod()),
     "size" -> (_.size()), "corr" -> (_.corr(col("i"))),

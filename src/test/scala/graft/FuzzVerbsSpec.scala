@@ -31,6 +31,52 @@ class FuzzVerbsSpec extends AnyFunSuite {
         "min" -> (c => min(c)), "max" -> (c => max(c)),
         "count" -> (c => count(c)))
 
+  private lazy val ord = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    d.createOrReplaceTempView("fuzz_ord")
+    d
+  }
+  private lazy val cust = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    d.createOrReplaceTempView("fuzz_cust")
+    d
+  }
+
+  // join family: each seed draws a join type plus a pre-join filter on each
+  // side, checked against the SQL join with the same predicates
+  for (seed <- 101 to 115) test(s"seeded join #$seed matches its SQL translation") {
+    val rnd = new scala.util.Random(seed)
+    val how = Seq("inner", "left", "semi", "anti")(rnd.nextInt(4))
+    val custCut = 500 + rnd.nextInt(1000)
+    val prio = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")(rnd.nextInt(3))
+    val l = Tbl(ord).filter(col("o_orderpriority") === prio)
+    val r = Tbl(cust).filter(col("c_acctbal") > custCut)
+    val got = (how match {
+      case "inner" => l.join(r, Seq("o_custkey" -> "c_custkey"), "inner")
+      case "left"  => l.join(r, Seq("o_custkey" -> "c_custkey"), "left")
+      case "semi"  => l.copy(df = l.df.join(r.df,
+        l.df("o_custkey") === r.df("c_custkey"), "left_semi"))
+      case "anti"  => l.copy(df = l.df.join(r.df,
+        l.df("o_custkey") === r.df("c_custkey"), "left_anti"))
+    }).df
+    val base = s"""(SELECT * FROM fuzz_ord WHERE o_orderpriority = '$prio') l"""
+    val rite = s"""(SELECT * FROM fuzz_cust WHERE c_acctbal > $custCut) r"""
+    val sql = how match {
+      case "inner" | "left" =>
+        s"""SELECT l.*, r.c_mktsegment, r.c_acctbal FROM $base
+           |${if (how == "inner") "JOIN" else "LEFT JOIN"} $rite
+           |ON l.o_custkey = r.c_custkey""".stripMargin
+      case "semi" =>
+        s"SELECT l.* FROM $base WHERE o_custkey IN (SELECT c_custkey FROM $rite)"
+      case "anti" =>
+        s"SELECT l.* FROM $base WHERE o_custkey NOT IN (SELECT c_custkey FROM $rite)"
+    }
+    val expect = spark.sql(sql).drop("c_custkey")
+    assertSameRows(got.drop("c_custkey"), expect, clue = s"how=$how prio=$prio cut=$custCut")
+  }
+
   for (seed <- 1 to 40) test(s"seeded pipeline #$seed matches its SQL translation") {
     val rnd = new scala.util.Random(seed)
     val groups = groupChoices(rnd.nextInt(groupChoices.size))

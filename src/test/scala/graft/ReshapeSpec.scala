@@ -370,6 +370,20 @@ class ReshapeSpec extends AnyFunSuite {
     assert(comp.where(col("g") === "a" && col("h") === 2).count() == 0)
   }
 
+  test("pivot_longer then pivot_wider round-trips on real data") {
+    import TestSpark.assertSameRows
+    val wide = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .groupBy("o_orderpriority").pivot("o_orderstatus")
+      .sum("o_totalprice")
+      .na.fill(0.0)
+    val long = Reshape.pivotLonger(Tbl(wide),
+      sel = wide.columns.filterNot(_ == "o_orderpriority").toSeq
+        .map(n => Sel.Name(n): Sel),
+      namesTo = Seq("status"), valuesTo = "total")
+    val back = Reshape.pivotWider(long, Seq("status"), Seq("total"))
+    assertSameRows(back.df, wide, clue = "pivot round-trip")
+  }
+
   test("separateRows: one row per piece, NULL keeps its row, convert infers types") {
     import spark.implicits._
     val d = Tbl(Seq((1, "1,2,3"), (2, "40"), (3, null)).toDF("id", "v"))

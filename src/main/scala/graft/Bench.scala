@@ -58,10 +58,18 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3dp per-query values: full-precision doubles pushed the single JSON
+    // line past the driver's bounded stdout-tail capture in round 6 and the
+    // first ~35 queries (incl. q1_agg and the whole dedup tail) were lost
+    // from the permanent record. 3dp halves the line; printing the map alone
+    // on its own line FIRST means even a truncated tail still ends with the
+    // full contract line.
+    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_only","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,7 +14,12 @@ import graft.ml.{Dedup, Similarity}
   * `oracleSql`. Conventions keeping the hash-compare stable:
   *   - every aggregate/computed column aliased identically on both sides;
   *   - double aggregates rounded (sums→2dp, means/ratios→4dp) to pin down
-  *     float summation-order noise;
+  *     float summation-order noise — but round ONLY statistics whose
+  *     magnitude keeps the rounded digit ≥ ~1e3 ulps above double
+  *     resolution (a ~1e10 variance rounded to 4dp is ~13 ulps from the
+  *     noise floor and WILL flip on engine accumulation order — round-6
+  *     q_rolling_std failure); for high-magnitude statistics, derive the
+  *     value from order-free exact-integer sums on both sides instead;
   *   - integer-valued scalar functions cast to BIGINT on the Spark side
   *     (DuckDB returns BIGINT for year()/length()/rank() etc.);
   *   - no raw nanosecond timestamps in outputs (events.ts is ns; Spark

@@ -541,6 +541,18 @@ object SparkEntry2 {
         .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
     }),
 
+    "q_knn_join" -> ((s, dir) => {
+      // corpus-to-corpus linking: odd-id vectors retrieve their top-2
+      // neighbors among even-id vectors — two disjoint corpora, neither
+      // broadcast in the operator itself
+      val emb = t(s, dir, "embeddings").df
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val odd = emb.filter(col("vec_id") % 2 === 1)
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      Similarity.knnJoin(odd, even, k = 2, dim = 64, nPlanes = 8, nTables = 8)
+        .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
+    }),
+
     "q_embed_neardup" -> ((s, dir) => {
       // derive a near-dup-rich set from the testdata: each vector + a
       // slightly perturbed copy (id + 1e6); finds the planted pairs
@@ -746,12 +758,22 @@ object SparkEntry2 {
         |        sum(o_orderkey % 7 + 1), 4) AS wm
         |FROM orders GROUP BY 1""".stripMargin,
     "q_rolling_std" ->
-      """SELECT o_custkey, o_orderkey,
-        |  round(stddev_samp(o_totalprice) OVER w, 4) AS rs,
-        |  round(var_samp(o_totalprice) OVER w, 4) AS rv
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
-        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+      """WITH c AS (SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |    AS cents FROM orders),
+        |b AS (SELECT o_custkey, o_orderkey,
+        |    round(stddev_samp(o_totalprice) OVER w, 4) AS rs,
+        |    count(*) OVER w AS nw,
+        |    sum(cents) OVER w AS sw,
+        |    sum(cents * cents) OVER w AS s2w
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT o_custkey, o_orderkey, rs,
+        |  CASE WHEN nw >= 2 THEN
+        |    CAST((2*(nw*s2w - sw*sw) + nw*(nw-1)) // (2*nw*(nw-1))
+        |         AS DOUBLE) / 10000.0
+        |  END AS rv
+        |FROM b""".stripMargin,
     "q_lump_prop" ->
       """WITH fr AS (SELECT lang AS seg,
         |    count(*) * 1.0 / (SELECT count(*) FROM documents) AS f
@@ -1188,10 +1210,25 @@ object SparkEntry2 {
       t(s, dir, "orders")
         .groupBy("o_custkey")
         .arrange(col("o_orderkey"))
-        .mutate("rs" -> Vec.rollingStd(col("o_totalprice"), 3)
-                          .transform(round(_, 4)),
-                "rv" -> Vec.rollingVar(col("o_totalprice"), 3)
-                          .transform(round(_, 4)))
+        .mutate(
+          "rs"    -> Vec.rollingStd(col("o_totalprice"), 3)
+                       .transform(round(_, 4)),
+          // rolling variance oracled in exact integer-cents arithmetic:
+          // bigint sums are order-free, so the value is bit-identical across
+          // engines no matter how each accumulates the frame. var_samp at
+          // ~1e10 rounded to 4dp sits ~13 ulps above double resolution and
+          // is NOT oracle-stable (round-6 hash failure).
+          "cents" -> round(col("o_totalprice") * 100, 0).cast("bigint"),
+          "nw"    -> Vec.rollingSum(lit(1L), 3),
+          "sw"    -> Vec.rollingSum(col("cents"), 3),
+          "s2w"   -> Vec.rollingSum(col("cents") * col("cents"), 3),
+          // ...and round half-up in integer space too: exact rationals land
+          // on .00005 boundaries often, where Spark's exact-decimal HALF_UP
+          // and DuckDB's float-space round() disagree (measured: 50/15000).
+          // (2a+b) div 2b == round-half-up(a/b) for a,b > 0.
+          "rv"    -> when(col("nw") >= 2,
+            expr("CAST((2*(nw*s2w - sw*sw) + nw*(nw-1)) div (2*nw*(nw-1)) " +
+                 "AS DOUBLE) / 10000.0")))
         .select(Seq("o_custkey", "o_orderkey", "rs", "rv"): _*).df),
 
     "q_lump_prop" -> ((s, dir) =>

@@ -97,6 +97,62 @@ object Similarity {
       .select("query_id", "item_id", "cosine", "rk")
   }
 
+  /** KNN all-pairs join: for every row of `left`, the approximate top-k most
+    * cosine-similar rows of `right` — corpus-to-corpus linking (retrieval
+    * dedup, eval-set attribution), where NEITHER side is broadcast-small.
+    * LSH-routed: both sides hash into `nTables` independent signature
+    * tables, candidates come from an equi-join on (table, sig) — never a
+    * cartesian. The bucket tables are slim (id, table, sig); vectors join
+    * back once per unique candidate pair, so the nTables-wide candidate
+    * shuffle never carries embeddings (same layout as the banded near-dup
+    * cache). Asymmetric sizes are fine: each side shuffles once on its own
+    * bucket keys, and if one side ends up broadcast-small AQE picks a BHJ on
+    * its own. Left rows sharing no bucket with any right row are absent
+    * (standard ANN semantics) — raise nTables or lower nPlanes for recall.
+    * `excludeSelf` drops id-equal pairs for self-join dedup use.
+    *
+    * Multi-probe (`probeBits=1`, the default): the query side also emits
+    * every signature within Hamming distance 1 — nPlanes extra slim rows per
+    * (query, table), raising per-table collision probability several-fold
+    * (Lv et al., VLDB'07). The corpus side stays single-sig, so the big
+    * side's shuffle volume is unchanged.
+    */
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int, dim: Int,
+              leftIdCol: String = "vec_id", rightIdCol: String = "vec_id",
+              vecCol: String = "embedding",
+              nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L,
+              excludeSelf: Boolean = false, probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1,
+      "probeBits > 1 is a combinatorial blowup; compose more tables instead")
+    def sigTable(df: DataFrame, id: String, outId: String, probe: Boolean) = {
+      val sigs = (0 until nTables).flatMap { t =>
+        val base = hyperplaneSigCol(col(vecCol), dim, nPlanes, seed + t)
+        val exact = struct(lit(t).as("table"), base.as("sig"))
+        val probes =
+          if (probe) (0 until nPlanes).map(i =>
+            struct(lit(t).as("table"), base.bitwiseXOR(lit(1L << i)).as("sig")))
+          else Nil
+        exact +: probes
+      }
+      graft.ops.Scale.spread(df)
+        .select(col(id).as(outId), explode(array(sigs: _*)).as("ts"))
+        .select(col(outId), col("ts.table").as("table"), col("ts.sig").as("sig"))
+    }
+    val lb = sigTable(left, leftIdCol, "query_id", probe = probeBits == 1)
+    val rb = sigTable(right, rightIdCol, "item_id", probe = false)
+    val pairs0 = lb.join(rb, Seq("table", "sig"))
+      .select("query_id", "item_id").dropDuplicates("query_id", "item_id")
+    val pairs = if (excludeSelf) pairs0.where(col("query_id") =!= col("item_id"))
+                else pairs0
+    val lv = left.select(col(leftIdCol).as("query_id"), col(vecCol).as("query_vec"))
+    val rv = right.select(col(rightIdCol).as("item_id"), col(vecCol).as("item_vec"))
+    val scored = pairs.join(lv, Seq("query_id")).join(rv, Seq("item_id"))
+      .withColumn("cosine", cosine(col("query_vec"), col("item_vec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("item_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "item_id", "cosine", "rk")
+  }
+
   private def hyperplaneSigCol(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
     val ps = planes(dim, nPlanes, seed)
     ps.zipWithIndex.map { case (p, i) =>
@@ -120,8 +176,12 @@ object Similarity {
       .withColumn("recall",
         round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_truth"), 4))
       .select(col("query_id"), col("recall"))
+    // macro row's NULL query_id typed from the input schema: a hardcoded
+    // long cast would silently coerce a string-keyed truth table's whole
+    // column through union type coercion
+    val qidType = truth.schema(truth.schema.fieldIndex("query_id")).dataType
     val macroAvg = per.agg(round(avg("recall"), 4).as("recall"))
-      .withColumn("query_id", lit(null).cast("long"))
+      .withColumn("query_id", lit(null).cast(qidType))
       .select(col("query_id"), col("recall"))
     per.unionByName(macroAvg)
   }

@@ -357,6 +357,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(other != s20)
   }
 
+  test("knnJoin: corpus-to-corpus recall >= 0.9 vs brute force") {
+    // disjoint halves: odd ids query the even-id corpus. Brute force with
+    // the same (query, corpus) split is the exact ground truth.
+    val odd = emb.filter(col("vec_id") % 2 === 1).limit(60)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val truth = Similarity.bruteForceTopK(even, odd, k = 3)
+    val approx = Similarity.knnJoin(odd, even, k = 3, dim = 64,
+      nPlanes = 6, nTables = 12)
+    val macroR = Similarity.recallAtK(truth, approx)
+      .filter(col("query_id").isNull).head().getDouble(1)
+    assert(macroR >= 0.9, s"knnJoin recall@3 $macroR < 0.9")
+  }
+
+  test("knnJoin: excludeSelf drops id-equal pairs, k bound holds per query") {
+    val sub = emb.limit(40)
+    val r = Similarity.knnJoin(sub, sub, k = 2, dim = 64,
+      nPlanes = 6, nTables = 8, excludeSelf = true)
+    assert(r.filter(col("query_id") === col("item_id")).count() == 0)
+    val maxPer = r.groupBy("query_id").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 2)
+  }
+
   test("recallAtK: per-query and macro rows, hand-checked") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))

@@ -406,6 +406,16 @@ object SparkEntry2 {
           n = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))).df),
 
+    // heavy hitters (Misra-Gries mergeable sketch): in the ≤k-distinct
+    // regime the summary is the exact count table independent of
+    // partitioning, so the sketch path itself is oracle-checkable; the
+    // eviction regime is differential-tested in ScaleSpec on tokens
+    "q_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents").df
+        .agg(Fns.Agg.heavyHitters(col("lang"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est_count").as("est_count"))),
+
     // bigram LM quality score: per-doc mean add-one-smoothed bigram log
     // probability against counts from the corpus itself (perplexity filter)
     "q_lm_score" -> ((s, dir) => {
@@ -730,6 +740,11 @@ object SparkEntry2 {
         |    '(https?|ftp)://[^\s]+', ' ', 'g'),
         |    '\s+', ' ', 'g')) AS clean
         |FROM aug""".stripMargin,
+    // heavy_hitters with k=64 > 5 distinct langs never evicts -> exact
+    // counts, independent of partitioning
+    "q_heavy_hitters" ->
+      """SELECT lang AS item, count(*) AS est_count
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_lm_score" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
         |    FROM documents),

@@ -89,6 +89,19 @@ object Fns {
     def any(c: Column): Column = bool_or(c)
     def dot(a: Column, b: Column): Column = sum(a * b)
 
+    /** Approximate top-k frequencies (Misra-Gries mergeable summary,
+      * graft.plans.HeavyHittersAgg): array<struct<item, est_count>> sorted
+      * by est_count desc. Map-side combinable — each partition shuffles at
+      * most k counters instead of every distinct key. Exact when the column
+      * has ≤ k distinct values; otherwise any item with true frequency
+      * > n/(k+1) is guaranteed present, est within n/(k+1) of truth.
+      */
+    def heavyHitters(c: Column, k: Int): Column =
+      org.apache.spark.sql.graftshim.Shim.columnOf(
+        graft.plans.HeavyHittersAgg(
+          org.apache.spark.sql.graftshim.Shim.exprOf(c), k)
+          .toAggregateExpression())
+
     /** Bias-corrected sample skewness G1 (pandas `skew`). Spark's `skewness`
       * is the population g1 = m3/m2^1.5; G1 = g1 * sqrt(n(n-1)) / (n-2).
       */

@@ -9,13 +9,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * pipelines (and any BI tool speaking SQL to a graft-enabled session) reach
   * the same codegen'd kernels as the Scala DSL. The reference exposes every
   * op through its SQL backends (siuba/sql/translate.py builds per-dialect
-  * SQL for the whole registry); graft's analog is registering its four
+  * SQL for the whole registry); graft's analog is registering its five
   * engine-level primitives in Spark's own FunctionRegistry:
   *
   *   - shingle_hash(text[, n])      → array<bigint>   (ShingleHash)
   *   - dot_product(a, b)            → double          (DotProduct)
   *   - array_eq_count(a, b)         → int             (ArrayEqCount)
   *   - minhash_agg(h[, k[, seed]])  → array<bigint>   (MinHashAgg, aggregate)
+  *   - heavy_hitters(x, k)          → array<struct>   (HeavyHittersAgg, aggregate)
   *
   * Two registration paths, same builders:
   *   - config: `spark.sql.extensions=graft.sql.GraftExtensions` (cluster-wide,
@@ -85,6 +86,13 @@ object GraftFunctions {
         case Seq(h, k, seed) => graft.plans.MinHashAgg(h, intLit(k, "minhash_agg", "k"),
                                                        longLit(seed, "minhash_agg", "seed"))
         case args            => arity("minhash_agg", args.size, "1 to 3")
+      }),
+    (FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters",
+        "heavy_hitters(x, k) - Misra-Gries approximate top-k of a string/bigint column: array<struct<item, est_count>> (exact when distinct <= k)"),
+      {
+        case Seq(x, k) => graft.plans.HeavyHittersAgg(x, intLit(k, "heavy_hitters", "k"))
+        case args      => arity("heavy_hitters", args.size, "2")
       })
   )
 

@@ -39,6 +39,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(600))
   }
 
+  test("heavy_hitters aggregates map-side partial then final (sketch, not key shuffle)") {
+    val p = plan("q_heavy_hitters")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; two levels =
+    // per-partition summaries combine before any data moves, so the
+    // exchange carries <= k counters per partition, never per-key rows
+    assert(p.split("ObjectHashAggregate").length >= 3,
+      "expected partial+final ObjectHashAggregate: " + p.take(800))
+    assert(p.contains("partial_heavy_hitters"), p.take(800))
+  }
+
   test("semi and anti joins stay semi/anti (no row expansion)") {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))

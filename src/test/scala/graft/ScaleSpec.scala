@@ -87,6 +87,69 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitters: exact regime (distinct <= k) equals groupBy counts, any partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = docs.groupBy("lang").agg(count(lit(1)).as("est_count"))
+      .withColumnRenamed("lang", "item")
+    for (parts <- Seq(1, 7, 32)) {
+      val hh = docs.repartition(parts)
+        .agg(graft.functions.Fns.Agg.heavyHitters(col("lang"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est_count").as("est_count"))
+      assertSameRows(hh, exact)
+    }
+  }
+
+  test("heavyHitters: eviction regime keeps true heavy hitters within the MG bound") {
+    // deterministic zipf-ish stream: item floor(N/id) for id in 1..N has
+    // ~2*sqrt(N) distinct values with harmonic-decay counts — key j appears
+    // ~N/(j(j+1)) times. (The sf0.001 documents vocab is only ~31 tokens,
+    // too small to ever evict.)
+    val N = 20000L
+    val toks = spark.range(1, N + 1)
+      .select(concat(lit("t"), floor(lit(N) / col("id"))).as("tok"))
+    val n = toks.count()
+    val nDistinct = toks.distinct().count()
+    val k = 200
+    assert(nDistinct > k, s"fixture too small: $nDistinct distinct tokens")
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hh = toks.agg(graft.functions.Fns.Agg.heavyHitters(col("tok"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est_count").as("est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n / (k + 1) + 1
+    // guarantee 1: every item with true count > n/(k+1) is present
+    val must = exact.filter(_._2 > bound)
+    assert(must.nonEmpty, "fixture has no heavy hitter above the bound")
+    must.foreach { case (item, c) =>
+      assert(hh.contains(item), s"missing heavy hitter '$item' (true $c > $bound)") }
+    // guarantee 2: estimates never exceed truth and sit within n/(k+1) of it
+    hh.foreach { case (item, est) =>
+      val truth = exact(item)
+      assert(est <= truth, s"'$item' overcounted: $est > $truth")
+      assert(truth - est <= bound, s"'$item' est $est more than $bound below $truth")
+    }
+  }
+
+  test("heavyHitters: bigint input and SQL registration agree with the Column API") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select((col("o_custkey") % 50).as("key"))
+    val viaCol = orders.agg(graft.functions.Fns.Agg.heavyHitters(col("key"), 100).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est_count").as("est_count"))
+    graft.sql.GraftFunctions.register(spark)
+    orders.createOrReplaceTempView("hh_in")
+    val viaSql = spark.sql(
+      "SELECT e.item AS item, e.est_count AS est_count FROM " +
+      "(SELECT explode(heavy_hitters(key, 100)) AS e FROM hh_in)")
+    assertSameRows(viaCol, viaSql)
+    // 50 distinct <= k=100: exact
+    val exact = orders.groupBy("key").agg(count(lit(1)).as("est_count"))
+      .withColumnRenamed("key", "item")
+    assertSameRows(viaCol, exact)
+  }
+
   test("spread widens small inputs and is a strict no-op on wide ones") {
     // small: the sf0.001 documents scan is one tiny row group → repartition
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

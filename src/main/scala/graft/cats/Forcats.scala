@@ -48,9 +48,13 @@ object Forcats {
     Factor(lv)
   }
 
-  /** Reorder levels by `fn(x)` per level (fct_reorder, forcats.py:159). */
+  /** Reorder levels by `fn(x)` per level (fct_reorder, forcats.py:159).
+    * Default fn is the MEDIAN, matching the reference's `func=np.median`
+    * (and R forcats) — pass `avg(_)` explicitly for mean ordering.
+    */
   def fctReorder(df: DataFrame, c: Column, x: Column,
-                 fn: Column => Column = avg(_), desc0: Boolean = false): Factor = {
+                 fn: Column => Column = org.apache.spark.sql.functions.median(_),
+                 desc0: Boolean = false): Factor = {
     val agged = df.filter(c.isNotNull).groupBy(c.as("lv")).agg(fn(x).as("stat"))
     val ordered = agged.orderBy(if (desc0) desc("stat") else col("stat"))
     Factor(ordered.select("lv").collect().map(_.getString(0)).toSeq)
@@ -83,9 +87,18 @@ object Forcats {
   /** Keep the n most frequent levels, lump the rest into `other`
     * (fct_lump, forcats.py:351). Frequency ranking is a window over a tiny
     * per-level aggregate; the recode joins it back — broadcast-sized.
+    *
+    * `ties` (the reference declares the param at forcats.py:351 but raises
+    * NotImplementedError; semantics follow R forcats / rank ties.method):
+    *   - "first" (default): exactly n levels kept, equal-frequency ties
+    *     broken by level name — deterministic on every run;
+    *   - "min":   boundary ties ALL kept (rank);
+    *   - "max":   boundary ties kept only if the whole tie group fits;
+    *   - "dense": n distinct frequencies kept (dense_rank).
     */
-  def fctLump(df: DataFrame, c: String, n: Int, other: String = "Other"): DataFrame =
-    lumpBy(df, c, other, None, keepRank = Some(n), keepProp = None)
+  def fctLump(df: DataFrame, c: String, n: Int, other: String = "Other",
+              ties: String = "first"): DataFrame =
+    lumpBy(df, c, other, None, keepRank = Some(n), keepProp = None, ties = ties)
 
   /** fct_lump(prop=) (forcats.py:351): keep levels holding at least `prop`
     * of the (optionally `w`-weighted) rows; lump the rest. */
@@ -102,13 +115,24 @@ object Forcats {
 
   private def lumpBy(df: DataFrame, c: String, other: String,
                      w: Option[org.apache.spark.sql.Column],
-                     keepRank: Option[Int], keepProp: Option[Double]): DataFrame = {
+                     keepRank: Option[Int], keepProp: Option[Double],
+                     ties: String = "first"): DataFrame = {
     require(keepRank.nonEmpty || keepProp.nonEmpty, "need n or prop")
     val agg = w.map(x => sum(x)).getOrElse(count(lit(1))).as("__n")
     val perLevel = df.groupBy(col(c)).agg(agg)
     val wTot = Window.partitionBy()     // over the tiny per-level table only
+    val rkExpr = ties match {
+      case "first" => row_number().over(Window.orderBy(desc("__n"), col(c)))
+      case "min"   => rank().over(Window.orderBy(desc("__n")))
+      case "dense" => dense_rank().over(Window.orderBy(desc("__n")))
+      // max rank of a tie group = min rank + group size - 1
+      case "max"   => rank().over(Window.orderBy(desc("__n"))) +
+                      count(lit(1)).over(Window.partitionBy("__n")) - 1
+      case bad => throw new IllegalArgumentException(
+        s"fct_lump ties must be first/min/max/dense, got '$bad'")
+    }
     val scored = perLevel
-      .withColumn("__rk", row_number().over(Window.orderBy(desc("__n"), col(c))))
+      .withColumn("__rk", rkExpr)
       .withColumn("__frac", col("__n") / sum("__n").over(wTot))
     val keep = (keepRank.map(n => col("__rk") <= n).toSeq ++
                 keepProp.map(p => col("__frac") >= p).toSeq).reduce(_ && _)

@@ -230,7 +230,11 @@ object Reshape {
                  idColsOpt: Seq[String] = Nil,
                  idExpand: Boolean = false,
                  unusedFn: Map[String, Column => Column] = Map.empty,
-                 namesExpand: Boolean = false): Tbl = {
+                 namesExpand: Boolean = false,
+                 namesVary: String = "fastest",
+                 namesSort: Boolean = false): Tbl = {
+    require(namesVary == "fastest" || namesVary == "slowest",
+      s"names_vary must be fastest or slowest, got '$namesVary'")
     // explicit id_cols (tidyr): columns outside id/names/values are "unused" —
     // dropped, or summarized per id row when an unused_fn is given
     val idCols =
@@ -263,23 +267,41 @@ object Reshape {
       if (valuesFrom.size == 1) piv.agg(fnFor(valuesFrom.head)(col(valuesFrom.head)))
       else piv.agg(fnFor(valuesFrom.head)(col(valuesFrom.head)).as(valuesFrom.head),
                    valuesFrom.tail.map(v => fnFor(v)(col(v)).as(v)): _*)
-    // names_glue template: "{name}" = pivot key, "{.value}" = value column
-    // (driver-side renames over the pivoted schema, like the reference's
-    // glue naming in pivot_wide.py)
-    namesGlue.foreach { glue =>
-      val renames = out.columns.filterNot(idCols.contains).flatMap { c =>
-        val (nameVal, valueVal) =
-          if (valuesFrom.size == 1) (c, valuesFrom.head)
-          else {
-            val idx = c.lastIndexOf("_")
-            if (idx < 0) (c, valuesFrom.head)
-            else (c.substring(0, idx), c.substring(idx + 1))
-          }
-        val nw = glue.replace("{name}", nameVal).replace("{.value}", valueVal)
-        if (nw != c) Some(c -> nw) else None
-      }.toMap
-      out = out.withColumnsRenamed(renames)
+    // --- output column naming & ordering (pivot_wide.py:106-107,144-146) --
+    // Spark's multi-agg pivot emits "{pivotval}_{valueAlias}" in pivot-major
+    // order; tidyr's contract is "{value}{names_sep}{pivotval}" varying
+    // names_from FASTEST by default ("slowest" interleaves the other way).
+    // One driver-side select over the pivoted schema fixes names and order.
+    val rawValueCols = out.columns.toSeq.filterNot(idCols.contains)
+    def splitRaw(c: String): (String, String) =     // -> (pivotVal, valueCol)
+      if (valuesFrom.size == 1) (c, valuesFrom.head)
+      else valuesFrom.filter(v => c.endsWith("_" + v)).sortBy(-_.length)
+        .headOption.map(v => (c.dropRight(v.length + 1), v))
+        .getOrElse((c, valuesFrom.head))
+    val parsed = rawValueCols.map(c => (c, splitRaw(c)))
+    // names_sort=false keeps the pinned list's given order (the analog of
+    // tidyr's first-appearance default on an unordered frame); discovered
+    // names arrive sorted from Spark's pivot either way
+    val pvOrder0 = if (pinned.nonEmpty) pinned else parsed.map(_._2._1).distinct
+    val pvOrder = if (namesSort) pvOrder0.sorted else pvOrder0
+    val pvIdx = pvOrder.zipWithIndex.toMap
+    val vIdx = valuesFrom.zipWithIndex.toMap
+    val orderedParsed =
+      if (namesVary == "slowest")
+        parsed.sortBy { case (_, (pv, v)) =>
+          (pvIdx.getOrElse(pv, Int.MaxValue), vIdx(v)) }
+      else
+        parsed.sortBy { case (_, (pv, v)) =>
+          (vIdx(v), pvIdx.getOrElse(pv, Int.MaxValue)) }
+    def finalName(pv: String, v: String): String = namesGlue match {
+      // "{name}" = pivot key, "{.value}" = value column, as in the
+      // reference's glue naming
+      case Some(glue) => glue.replace("{name}", pv).replace("{.value}", v)
+      case None => if (valuesFrom.size == 1) pv else s"$v$namesSep$pv"
     }
+    def rawCol(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    out = out.select(idCols.map(col) ++ orderedParsed.map {
+      case (raw, (pv, v)) => rawCol(raw).as(finalName(pv, v)) }: _*)
     // pivot-created value columns, captured before unused/expand join-backs so
     // values_fill never touches unused summaries or pre-existing id NAs
     val pivotCols = out.columns.toSeq.filterNot(idCols.contains)

@@ -225,6 +225,40 @@ class ReshapeSpec extends AnyFunSuite {
     assert(fr.levels == Seq("a", "b", "c"))
   }
 
+  test("pivot_wider multi-values_from: tidyr names and names_vary orders") {
+    import spark.implicits._
+    // the reference's documented example (pivot_wide.py:185-200)
+    val many = Seq((1, "one", 1, 6), (1, "two", 2, 7),
+                   (2, "one", 3, 8), (2, "two", 4, 9))
+      .toDF("id", "var", "x", "y")
+    val fast = Reshape.pivotWider(Tbl(many), Seq("var"), Seq("x", "y")).df
+    assert(fast.columns.toSeq == Seq("id", "x_one", "x_two", "y_one", "y_two"))
+    val r = fast.orderBy("id").collect()
+    assert(r.map(x => (x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4))).toSeq
+      == Seq((1, 2, 6, 7), (3, 4, 8, 9)))
+    val slow = Reshape.pivotWider(Tbl(many), Seq("var"), Seq("x", "y"),
+      namesVary = "slowest").df
+    assert(slow.columns.toSeq == Seq("id", "x_one", "y_one", "x_two", "y_two"))
+    // custom names_sep joins value and name
+    val dotted = Reshape.pivotWider(Tbl(many), Seq("var"), Seq("x", "y"),
+      namesSep = ".").df
+    assert(dotted.columns.toSeq == Seq("id", "x.one", "x.two", "y.one", "y.two"))
+    intercept[IllegalArgumentException] {
+      Reshape.pivotWider(Tbl(many), Seq("var"), Seq("x", "y"), namesVary = "middling")
+    }
+  }
+
+  test("pivot_wider names_sort: pinned order kept by default, sorted on request") {
+    import spark.implicits._
+    val long = Seq((1, "b", 1.0), (1, "a", 2.0)).toDF("id", "k", "v")
+    val unsorted = Reshape.pivotWider(Tbl(long), Seq("k"), Seq("v"),
+      namesVals = Seq("b", "a")).df
+    assert(unsorted.columns.toSeq == Seq("id", "b", "a"))
+    val sorted = Reshape.pivotWider(Tbl(long), Seq("k"), Seq("v"),
+      namesVals = Seq("b", "a"), namesSort = true).df
+    assert(sorted.columns.toSeq == Seq("id", "a", "b"))
+  }
+
   test("pivot_wider names_glue templates output columns") {
     import spark.implicits._
     val long = Seq(("r1", "a", 1.0, 10.0), ("r2", "b", 2.0, 20.0))
@@ -405,6 +439,31 @@ class ReshapeSpec extends AnyFunSuite {
     assert(lumped.where(col("f") === "Other").count() == 1)
     val withV = Seq((Some("a"), 2.0), (Some("b"), 1.0), (None, 9.0)).toDF("f", "v")
     assert(Forcats.fctReorder(withV, col("f"), col("v")).levels == Seq("b", "a"))
+  }
+
+  test("fctReorder defaults to median (reference func=np.median), mean opt-in") {
+    import spark.implicits._
+    // a: values (1, 1, 10) median 1 / mean 4; b: (2, 2, 2) median 2 / mean 2
+    // -> the two defaults produce OPPOSITE level orders
+    val d = Seq(("a", 1.0), ("a", 1.0), ("a", 10.0),
+                ("b", 2.0), ("b", 2.0), ("b", 2.0)).toDF("f", "v")
+    assert(Forcats.fctReorder(d, col("f"), col("v")).levels == Seq("a", "b"))
+    assert(Forcats.fctReorder(d, col("f"), col("v"), fn = avg(_)).levels == Seq("b", "a"))
+  }
+
+  test("fctLump ties= methods at the keep boundary") {
+    import spark.implicits._
+    // a x3, b x2, c x2, d x1 with n=2: b and c tie exactly at the boundary
+    val d = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .toDF("f")
+    def kept(ties: String) = Forcats.fctLump(d, "f", 2, ties = ties)
+      .where(col("f") =!= "Other").select("f").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kept("first") == Set("a", "b"))      // deterministic name tie-break
+    assert(kept("min") == Set("a", "b", "c"))   // boundary ties all kept
+    assert(kept("max") == Set("a"))             // tie group doesn't fit whole
+    assert(kept("dense") == Set("a", "b", "c")) // 2 distinct frequencies
+    intercept[IllegalArgumentException] { kept("average") }
   }
 
   test("fctLump prop= and w= variants (forcats parity)") {

@@ -522,11 +522,15 @@ object SparkEntry2 {
         .select(Seq("doc_id", "lang", "source"): _*).df
     }),
 
-    // LSH/banding queries: probabilistic candidate generation — verified by
-    // unit tests against the exact brute force; rows-only check here.
+    // minhash at fixed seed is fully deterministic; with the SQL-portable
+    // md5 shingle leaf the whole pipeline (signatures -> banding -> scored
+    // pairs) is reproducible in DuckDB, graduating this query from
+    // rows-only to hash-checked. Engine path (MinHashAgg, xxhash banding,
+    // score-then-dedup) is identical to the default-leaf production route.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents").df, "doc_id", "text",
-        n = 3, bands = 16, rows = 2, threshold = 0.3)
+        n = 3, bands = 16, rows = 2, threshold = 0.3,
+        hashLeaf = Some(TextFns.shingleHashesPortable(col("text"), 3)))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
 
     "q_dedup_simhash" -> ((s, dir) =>
@@ -840,12 +844,12 @@ object SparkEntry2 {
         |    regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t2
         |  FROM s1),
         |s3 AS (SELECT doc_id, n_email, n_ssn,
-        |    CAST(len(regexp_extract_all(t2, '(\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phone,
-        |    regexp_replace(t2, '(\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '[PHONE]', 'g') AS t3
+        |    CAST(len(regexp_extract_all(t2, '(\+|\b)(\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phone,
+        |    regexp_replace(t2, '(\+|\b)(\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '[PHONE]', 'g') AS t3
         |  FROM s2),
         |s4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
-        |    CAST(len(regexp_extract_all(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-        |    regexp_replace(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS red
+        |    CAST(len(regexp_extract_all(t3, '\b(25[0-5]|2[0-4]\d|1?\d?\d)(\.(25[0-5]|2[0-4]\d|1?\d?\d)){3}\b')) AS BIGINT) AS n_ipv4,
+        |    regexp_replace(t3, '\b(25[0-5]|2[0-4]\d|1?\d?\d)(\.(25[0-5]|2[0-4]\d|1?\d?\d)){3}\b', '[IPV4]', 'g') AS red
         |  FROM s3)
         |SELECT doc_id, red, n_email, n_ssn, n_phone, n_ipv4 FROM s4""".stripMargin,
     "q_pack_shards" ->
@@ -1018,11 +1022,57 @@ object SparkEntry2 {
         |                            ORDER BY cosine DESC, item_id) AS rk
         |         FROM scored)
         |SELECT query_id, item_id, rk, round(cosine, 6) AS cosine
-        |FROM rk WHERE rk <= 3""".stripMargin
-    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_embed_neardup /
-    // q_multimodal: probabilistic or non-SQL-expressible → rows-only check;
-    // exactness is covered by PipelineSpec unit tests against brute force.
+        |FROM rk WHERE rk <= 3""".stripMargin,
+    // minhash at fixed seed is deterministic end to end with the portable
+    // md5 shingle leaf: the oracle recomputes signatures from the SAME
+    // permutation coefficients (interpolated below), mimics banding by
+    // direct band-slice equality (bucket-hash equality minus vanishing
+    // xxhash collisions, which the est>=threshold filter kills anyway),
+    // and scores agreement/k exactly like ArrayEqCount.
+    "q_dedup_minhash" -> minhashOracleSql(bands = 16, rows = 2,
+      threshold = 0.3, seed = 42L)
+    // q_dedup_simhash / q_ann_lsh / q_embed_neardup / q_multimodal:
+    // probabilistic or non-SQL-expressible → rows-only check; exactness is
+    // covered by PipelineSpec unit tests against brute force.
   )
+
+  /** DuckDB replica of the portable-leaf minhash pipeline (see
+    * `q_dedup_minhash`): same md5 shingle hashes, same (a,b) permutation
+    * coefficients from [[Dedup.minhashCoeffs]], slice-equality banding,
+    * agreement/k scoring.
+    */
+  private def minhashOracleSql(bands: Int, rows: Int, threshold: Double,
+                               seed: Long): String = {
+    val k = bands * rows
+    val p = 2147483647L
+    val sigExprs = Dedup.minhashCoeffs(k, seed).map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (${a} * (x % ${p}) + ${b}) % ${p}))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    val bandCond = (0 until bands).map { t =>
+      (1 to rows).map { r =>
+        val i = t * rows + r
+        s"a.sig[$i] = b.sig[$i]"
+      }.mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    s"""WITH w AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wr
+       |  FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(wr) - 1),
+       |    i -> CAST(concat('0x',
+       |           substr(md5(wr[i] || ' ' || wr[i+1] || ' ' || wr[i+2]), 1, 15))
+       |         AS BIGINT))) AS hs
+       |  FROM w WHERE len(wr) >= 3),
+       |sig AS (SELECT doc_id, $sigExprs AS sig FROM sh),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    list_sum(list_transform(range(1, ${k + 1}),
+       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / ${k}.0
+       |      AS est
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE $bandCond)
+       |SELECT id_a, id_b, round(est, 4) AS est_jaccard
+       |FROM cand WHERE est >= $threshold""".stripMargin
+  }
 
   // ======================================================================
   // Extensions: extra aggregates, theta join, set ops, cube, where()

@@ -261,8 +261,13 @@ final case class Tbl(
         "encoding a high-cardinality column produces an unusable schema — " +
         "raise maxLevels only if you really want that many columns")
     val levels = probe.map(_.getString(0)).filter(_ != null).sorted
+    // indicator names must stay addressable by col()/select: level strings
+    // with dots/backticks/spaces would otherwise produce columns only
+    // reachable through backtick quoting (pandas callers expect plain names)
+    def sanitize(lv: String): String = lv.map(ch =>
+      if (ch.isLetterOrDigit || ch == '_') ch else '_')
     val added = levels.foldLeft(df) { (acc, lv) =>
-      acc.withColumn(s"${p}_$lv",
+      acc.withColumn(s"${p}_${sanitize(lv)}",
         when(col(c).cast("string") === lv, 1).otherwise(0))
     }
     copy(df = added)

@@ -201,9 +201,13 @@ object Dedup {
     * map-side combinable, shuffling one k-long signature per doc partition.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
+                        n: Int = 3, k: Int = 32, seed: Long = 42L,
+                        hashLeaf: Option[Column] = None): DataFrame = {
+    // hashLeaf overrides the shingle-hash array (e.g.
+    // TextFns.shingleHashesPortable for engine-portable signatures); the
+    // rest of the pipeline — aggregate, banding, scoring — is identical
     val sh = spread(df).select(col(idCol).as("id"),
-      explode(TextFns.shingleHashes(col(textCol), n)).as("hx"))
+      explode(hashLeaf.getOrElse(TextFns.shingleHashes(col(textCol), n))).as("hx"))
     val agg = org.apache.spark.sql.graftshim.Shim.columnOf(
       graft.plans.MinHashAgg(
         org.apache.spark.sql.graftshim.Shim.exprOf(col("hx")), k, seed)
@@ -266,8 +270,10 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 8, rows: Int = 4,
-                      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val sigs = scopedCache(minhashSignatures(df, idCol, textCol, n, bands * rows, seed))
+                      threshold: Double = 0.8, seed: Long = 42L,
+                      hashLeaf: Option[Column] = None): DataFrame = {
+    val sigs = scopedCache(
+      minhashSignatures(df, idCol, textCol, n, bands * rows, seed, hashLeaf))
     lshPairsFromSignatures(sigs, bands, rows, threshold)
   }
 

@@ -112,13 +112,23 @@ object Scale {
     * Deterministic when `orderCols` is a total order (range partitioning
     * never splits equal keys, and the sampler's seed is derived from the
     * partition index, so re-computations see the same boundaries).
+    *
+    * INPUT MUST BE DETERMINISTIC: the `parted` subtree below is evaluated
+    * twice (once for the offsets aggregate, once for the data join). A
+    * nondeterministic source — rand()-derived columns, a non-checkpointed
+    * sample — can present different partition contents to the two
+    * evaluations and silently corrupt offsets. Pass `checkpointInput=true`
+    * (an eager localCheckpoint) for such sources; deterministic inputs skip
+    * the materialization cost.
     */
   def globalCumSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
-                   outCol: String, numPartitions: Int = 0): DataFrame = {
+                   outCol: String, numPartitions: Int = 0,
+                   checkpointInput: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val src = if (checkpointInput) df.localCheckpoint(true) else df
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sparkContext.defaultParallelism
-    val parted = df.repartitionByRange(n, orderCols: _*)
+    val parted = src.repartitionByRange(n, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     val offs = parted.groupBy("__pid").agg(sum(valueCol).as("__psum"))
       .withColumn("__off",

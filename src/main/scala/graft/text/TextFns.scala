@@ -203,6 +203,25 @@ object TextFns {
         .otherwise(array(xxhash64(th))))
   }
 
+  /** SQL-portable distinct shingle hashes: 60-bit ints from the md5 hex
+    * prefix of each lowercase whitespace-split word n-gram. Every step
+    * (split / concat / md5 / hex->int) exists in ANSI-ish SQL engines, so a
+    * minhash pipeline seeded from THIS leaf is reproducible outside Spark —
+    * the oracle path for `q_dedup_minhash`. Slower than [[shingleHashes]]
+    * (md5 + gram strings vs one codegen'd xxhash pass); production callers
+    * should keep the default leaf.
+    */
+  def shingleHashesPortable(text: Column, n: Int): Column = {
+    val w = split(lower(trim(text)), "\\s+")
+    val cnt = size(w) - lit(n - 1)
+    val grams = when(cnt >= 1,
+        transform(sequence(lit(1), cnt),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(transform(grams,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+  }
+
   /** Boilerplate stripping for scraped corpora, each a single codegen'd
     * regexp pass (patterns valid under Java regex AND RE2, like
     * [[piiPatterns]]): drop HTML/XML tags, drop URLs, collapse runs of
@@ -277,8 +296,13 @@ object TextFns {
   val piiPatterns: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
-    "phone" -> "(\\+?\\d{1,2}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}\\b",
-    "ipv4"  -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+    // left-anchored on '+' or a word boundary: without it any 10-12 digit
+    // window INSIDE a longer run (order keys, ns timestamps) matched; with
+    // it a match can only start at the run's head, where the trailing \b
+    // then rejects runs longer than 12 digits
+    "phone" -> "(\\+|\\b)(\\d{1,2}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}\\b",
+    // real octets only (0-255): 999.999.999.999-style junk stays
+    "ipv4"  -> "\\b(25[0-5]|2[0-4]\\d|1?\\d?\\d)(\\.(25[0-5]|2[0-4]\\d|1?\\d?\\d)){3}\\b")
 
   /** Redact PII with per-type tokens ([EMAIL], [SSN], [PHONE], [IPV4]).
     * Four codegen'd regexp_replace passes — no UDF, no extra scan.

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.reshape.Reshape
 
 /** Seeded randomized differential for the verb-translation layer: each
   * seed draws a pipeline (grouping x agg-broadcast mutate x plain-or-window
@@ -122,6 +123,75 @@ class FuzzVerbsSpec extends AnyFunSuite {
         |l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND
         |CURRENT ROW) AS cs FROM ($sql2)""".stripMargin
       assertSameRows(t3.df, spark.sql(sql3).drop("__c"), clue = recipe)
+    }
+  }
+
+  // reshape family: each seed builds a randomized wide schema, melts it with
+  // one of three reshape paths and widens it back — the round-trip must be
+  // the identity. Covers gather/spread, pivot_longer/pivot_wider, and the
+  // `.value` multi-part spec (names_sep splitting, multi-values_from
+  // naming/ordering) across random shapes rather than one fixed fixture.
+  for (seed <- 201 to 212) test(s"seeded reshape round-trip #$seed is the identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val nRows = 8 + rnd.nextInt(40)
+    val mode = seed % 3 // 0: gather/spread, 1: longer/wider, 2: .value multi-part
+
+    if (mode == 2) {
+      // wide cols "{stem}_{grp}": stems stay wide through .value, grps melt
+      val stems = Seq("x", "y", "z").take(2 + rnd.nextInt(2))
+      val grps = Seq("g1", "g2", "g3", "g4").take(2 + rnd.nextInt(3))
+      val colNames = for (s <- stems; g <- grps) yield s"${s}_$g"
+      val rows = (1 to nRows).map { id =>
+        id.toLong +: colNames.zipWithIndex.map { case (_, j) =>
+          ((id * 31 + j * 7) % 97) / 4.0 }
+      }
+      val wide = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r))),
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType) +:
+          colNames.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.DoubleType))))
+      val long = Reshape.pivotLonger(Tbl(wide),
+        sel = colNames.map(n => Sel.Name(n): Sel),
+        namesTo = Seq(".value", "grp"), namesSep = Some("_"))
+      assert(long.cols == Seq("id", "grp") ++ stems,
+        s"long schema ${long.cols} (stems=$stems grps=$grps)")
+      val back = Reshape.pivotWider(long, namesFrom = Seq("grp"),
+        valuesFrom = stems)
+      assertSameRows(back.df, wide, clue = s"seed=$seed stems=$stems grps=$grps")
+      // and names_vary=slowest is a pure column reorder of the same data
+      val slow = Reshape.pivotWider(long, namesFrom = Seq("grp"),
+        valuesFrom = stems, namesVary = "slowest")
+      assert(slow.df.columns.sorted.toSeq == back.df.columns.sorted.toSeq)
+      assertSameRows(slow.df, wide, clue = s"seed=$seed slowest")
+    } else {
+      val pool = Seq("va", "vb", "vc", "vd", "ve")
+      val vals = rnd.shuffle(pool).take(2 + rnd.nextInt(3)).sorted
+      val rows = (1 to nRows).map { id =>
+        (id.toLong, vals.zipWithIndex.map { case (_, j) =>
+          ((id * 13 + j * 11) % 89) / 8.0 })
+      }
+      val wide = rows.map { case (id, vs) => (id, vs(0), vs.lift(1).getOrElse(0.0),
+          vs.lift(2).getOrElse(0.0), vs.lift(3).getOrElse(0.0)) }
+        .toDF("id", "c0", "c1", "c2", "c3")
+        .select(col("id") +: vals.zipWithIndex.map { case (v, j) =>
+          col(s"c$j").as(v) }: _*)
+      if (mode == 0) {
+        val long = Reshape.gather(Tbl(wide), "key", "val",
+          vals.map(n => Sel.Name(n): Sel))
+        val back = Reshape.spread(Tbl(long.df), "key", "val")
+        assertSameRows(back.df, wide, clue = s"seed=$seed vals=$vals")
+      } else {
+        val long = Reshape.pivotLonger(Tbl(wide),
+          sel = vals.map(n => Sel.Name(n): Sel), namesTo = Seq("k"),
+          valuesTo = "v")
+        val back = Reshape.pivotWider(long, namesFrom = Seq("k"),
+          valuesFrom = Seq("v"))
+        assertSameRows(back.df, wide, clue = s"seed=$seed vals=$vals")
+      }
     }
   }
 }

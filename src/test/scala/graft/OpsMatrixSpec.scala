@@ -306,6 +306,12 @@ class OpsMatrixSpec extends AnyFunSuite {
     // high-cardinality guard refuses loudly
     val wide = Tbl((1 to 50).map(i => (i, s"lv$i")).toDF("i", "v"))
     intercept[GraftError] { wide.getDummies("v", maxLevels = 10) }
+    // levels with dots/spaces/backticks yield addressable indicator names
+    val odd = Tbl(Seq((1, "a.b"), (2, "c d"), (3, "e`f")).toDF("i", "v"))
+    val oddCols = odd.getDummies("v").df.columns.toSeq
+    assert(oddCols == Seq("i", "v", "v_a_b", "v_c_d", "v_e_f"))
+    assert(odd.getDummies("v").df.select("v_a_b").where(col("v_a_b") === 1)
+      .count() == 1)
   }
 
   test("sampleQuota without strata plans a global top-k, not a global window") {

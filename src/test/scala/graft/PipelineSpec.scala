@@ -506,7 +506,11 @@ class PipelineSpec extends AnyFunSuite {
       (1L, "mail a.b+c@ex-ample.org then ssn 123-45-6789 done"),
       (2L, "call +1 (555) 123-4567 or 555.123.4567 from 10.0.0.1"),
       (3L, "clean text with numbers 12345 and a date 2021-01-02"),
-      (4L, "x@y.io x@y.io 1.2.3.4")).toDF("id", "t")
+      (4L, "x@y.io x@y.io 1.2.3.4"),
+      // anchored phone + real-octet ipv4: digit windows inside longer runs
+      // and >255 octets must survive unredacted
+      (5L, "order 123456789012345 ts 1699999999999999 ip 999.999.999.999 ok"))
+      .toDF("id", "t")
     val out = rows.select(col("id"), TextFns.redactPii(col("t")).as("r"),
         TextFns.piiCounts(col("t")).as("c"))
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getStruct(2))).toMap
@@ -518,6 +522,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L)._2.getLong(2) == 2 && out(2L)._2.getLong(3) == 1)
     assert((0 to 3).map(out(3L)._2.getLong(_)).sum == 0)
     assert(out(4L)._2.getLong(0) == 2 && out(4L)._2.getLong(3) == 1)
+    assert(out(5L)._1 == "order 123456789012345 ts 1699999999999999 ip 999.999.999.999 ok")
+    assert((0 to 3).map(out(5L)._2.getLong(_)).sum == 0)
   }
 
   test("unpersistIntermediates releases every block the dedup pipeline pinned") {

@@ -744,6 +744,19 @@ object SparkEntry2 {
         |    '(https?|ftp)://[^\s]+', ' ', 'g'),
         |    '\s+', ' ', 'g')) AS clean
         |FROM aug""".stripMargin,
+    "q_describe" -> {
+      def side(c: String) =
+        s"""SELECT '$c' AS "column", count($c) AS count,
+           |  round(avg($c), 2) AS mean,
+           |  round(stddev_samp($c), 4) AS stddev,
+           |  round(min($c), 4) AS min,
+           |  round(quantile_cont($c, 0.25), 4) AS q25,
+           |  round(quantile_cont($c, 0.50), 4) AS q50,
+           |  round(quantile_cont($c, 0.75), 4) AS q75,
+           |  round(max($c), 4) AS max
+           |FROM (SELECT CAST($c AS DOUBLE) AS $c FROM orders)""".stripMargin
+      side("o_totalprice") + "\nUNION ALL\n" + side("o_custkey")
+    },
     // heavy_hitters with k=64 > 5 distinct langs never evicts -> exact
     // counts, independent of partitioning
     "q_heavy_hitters" ->
@@ -1264,6 +1277,21 @@ object SparkEntry2 {
 
     "q_value_counts" -> ((s, dir) =>
       t(s, dir, "customer").valueCounts("c_mktsegment", normalize = true).df),
+
+    // describeExact: sort-based percentiles -> deterministic and
+    // quantile_cont-oracleable (summary()'s approx sketch is neither).
+    // mean at 2dp: engine summation-order noise (~1e-7 abs here) needs the
+    // wider margin; the quartiles are interpolations of cents-valued
+    // doubles and round exactly at 4dp.
+    "q_describe" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .describeExact(Sel.Name("o_totalprice"), Sel.Name("o_custkey")).df
+        .select(col("column"), col("count"),
+          round(col("mean"), 2).as("mean"),
+          round(col("stddev"), 4).as("stddev"),
+          round(col("min"), 4).as("min"), round(col("q25"), 4).as("q25"),
+          round(col("q50"), 4).as("q50"), round(col("q75"), 4).as("q75"),
+          round(col("max"), 4).as("max"))),
 
     "q_weighted_mean" -> ((s, dir) =>
       t(s, dir, "orders").groupBy("o_orderpriority")

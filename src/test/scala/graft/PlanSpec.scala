@@ -39,6 +39,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(600))
   }
 
+  test("knnJoin generates candidates by equi-join — no cartesian, no nested loop") {
+    val p = plan("q_knn_join")
+    assert(!p.contains("CartesianProduct"), "knnJoin must never plan a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "knnJoin must never nested-loop")
+  }
+
   test("heavy_hitters aggregates map-side partial then final (sketch, not key shuffle)") {
     val p = plan("q_heavy_hitters")
     // TypedImperativeAggregate plans as ObjectHashAggregate; two levels =

@@ -237,6 +237,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest("a").map(_._1).toSet == Set(1L, 5L))
   }
 
+  test("heavy_hitters sketch aggregates over a stream and equals batch") {
+    // the Misra-Gries buffer is serialized into the state store between
+    // micro-batches and merged on the next one — the mergeable-summary
+    // property is exactly what incremental streaming aggregation needs
+    val dir = Files.createTempDirectory("graft-hh-stream").toFile
+    val out = Files.createTempDirectory("graft-hh-ckpt").toFile
+    try {
+      val events = mkEvents()
+      events.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stream = spark.readStream.schema(events.schema).parquet(dir.getAbsolutePath)
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(window(col("ts"), "2 minutes"))
+          .agg(Fns.Agg.heavyHitters(col("etype"), 8).as("hh"))
+      val q = agg(stream).writeStream
+        .format("memory").queryName("hh_stream")
+        .option("checkpointLocation", out.getAbsolutePath)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      def tidy(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("window.start").as("ws"), explode(col("hh")).as("e"))
+        .select(col("ws"), col("e.item").as("item"), col("e.est_count").as("n"))
+      val streamed = tidy(spark.table("hh_stream"))
+      val batch = tidy(agg(events))
+      TestSpark.assertSameRows(streamed, batch)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("map-only curation ops (cleanText/redactPii/tokenCount) run unchanged on a stream") {
     import spark.implicits._
     val rows = Seq(

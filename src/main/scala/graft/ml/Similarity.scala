@@ -34,19 +34,26 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** All `nTables` hyperplane signatures of a vector in ONE codegen'd pass
+    * (graft.plans.HyperplaneSigs) — `array<long>`, table t at index t+1.
+    * The planes for table t are drawn from `seed + t`, bit-equal with the
+    * composed per-plane formulation (differential-tested).
+    */
+  def hyperplaneSigsCol(vec: Column, dim: Int, nPlanes: Int, nTables: Int,
+                        seed: Long = 42L): Column =
+    org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.HyperplaneSigs(
+        org.apache.spark.sql.graftshim.Shim.exprOf(vec),
+        dim, nPlanes, nTables, seed))
+
   /** Sign-of-projection signature: nPlanes bits packed into a long. Rows with
     * equal signatures are cosine-similar candidates.
     */
   def hyperplaneSignature(df: DataFrame, idCol: String, vecCol: String,
                           dim: Int, nPlanes: Int = 16, seed: Long = 42L): DataFrame = {
     require(nPlanes <= 63, "signature packs into one long")
-    val ps = planes(dim, nPlanes, seed)
-    val sigBits = ps.zipWithIndex.map { case (p, i) =>
-      val proj = dot(col(vecCol), array(p.map(lit): _*))
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
     graft.ops.Scale.spread(df).select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+      element_at(hyperplaneSigsCol(col(vecCol), dim, nPlanes, 1, seed), 1).as("sig"))
   }
 
   /** Exact top-k by cosine for each query against the whole corpus.
@@ -75,12 +82,17 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L): DataFrame = {
     def sigTable(df: DataFrame, name: String) = {
-      val sigs = (0 until nTables).map { t =>
-        struct(lit(t).as("table"),
-          hyperplaneSigCol(col(vecCol), dim, nPlanes, seed + t).as("sig"))
-      }
-      graft.ops.Scale.spread(df)
+      // one HyperplaneSigs evaluation per row; the explode projection only
+      // element_at's the materialized array (CollapseProject keeps the
+      // expensive producer in its own projection)
+      val withSigs = graft.ops.Scale.spread(df)
         .select(col(idCol).as(name + "_id"), col(vecCol).as(name + "_vec"),
+          hyperplaneSigsCol(col(vecCol), dim, nPlanes, nTables, seed).as("__sigs"))
+      val sigs = (0 until nTables).map { t =>
+        struct(lit(t).as("table"), element_at(col("__sigs"), t + 1).as("sig"))
+      }
+      withSigs
+        .select(col(name + "_id"), col(name + "_vec"),
           explode(array(sigs: _*)).as("ts"))
         .select(col(name + "_id"), col(name + "_vec"),
           col("ts.table").as("table"), col("ts.sig").as("sig"))
@@ -132,11 +144,10 @@ object Similarity {
       // struct array — measured 1.6x slower end-to-end). CollapseProject
       // keeps the two projections apart because the signature column is
       // referenced nPlanes+1 times by non-cheap expressions.
-      val withSigs = graft.ops.Scale.spread(df).select(
-        col(id).as(outId) +: (0 until nTables).map(t =>
-          hyperplaneSigCol(col(vecCol), dim, nPlanes, seed + t).as(s"__sig$t")): _*)
+      val withSigs = graft.ops.Scale.spread(df).select(col(id).as(outId),
+        hyperplaneSigsCol(col(vecCol), dim, nPlanes, nTables, seed).as("__sigs"))
       val sigs = (0 until nTables).flatMap { t =>
-        val base = col(s"__sig$t")
+        val base = element_at(col("__sigs"), t + 1)
         val exact = struct(lit(t).as("table"), base.as("sig"))
         val probes =
           if (probe) (0 until nPlanes).map(i =>
@@ -163,7 +174,12 @@ object Similarity {
       .select("query_id", "item_id", "cosine", "rk")
   }
 
-  private def hyperplaneSigCol(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+  /** Composed per-plane formulation — the differential oracle for
+    * HyperplaneSigs (bit-equality pinned in PipelineSpec). Not used on the
+    * hot path: each plane is a separate DotProduct against a literal array.
+    */
+  private[graft] def hyperplaneSigColComposed(vec: Column, dim: Int,
+                                              nPlanes: Int, seed: Long): Column = {
     val ps = planes(dim, nPlanes, seed)
     ps.zipWithIndex.map { case (p, i) =>
       when(dot(vec, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))

@@ -93,6 +93,18 @@ object GraftFunctions {
       {
         case Seq(x, k) => graft.plans.HeavyHittersAgg(x, intLit(k, "heavy_hitters", "k"))
         case args      => arity("heavy_hitters", args.size, "2")
+      }),
+    (FunctionIdentifier("hyperplane_sigs"),
+      info("hyperplane_sigs",
+        "hyperplane_sigs(vec, dim, n_planes, n_tables[, seed]) - LSH hyperplane signatures, one bigint per table (default seed=42)"),
+      {
+        case Seq(v, d, p, t) => graft.plans.HyperplaneSigs(v,
+          intLit(d, "hyperplane_sigs", "dim"), intLit(p, "hyperplane_sigs", "n_planes"),
+          intLit(t, "hyperplane_sigs", "n_tables"), 42L)
+        case Seq(v, d, p, t, s) => graft.plans.HyperplaneSigs(v,
+          intLit(d, "hyperplane_sigs", "dim"), intLit(p, "hyperplane_sigs", "n_planes"),
+          intLit(t, "hyperplane_sigs", "n_tables"), longLit(s, "hyperplane_sigs", "seed"))
+        case args => arity("hyperplane_sigs", args.size, "4 or 5")
       })
   )
 

@@ -357,6 +357,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(other != s20)
   }
 
+  test("HyperplaneSigs expression equals the composed per-plane formulation bit-for-bit") {
+    import TestSpark.assertSameRows
+    val sub = emb.limit(50)
+    val viaExpr = sub.select(col("vec_id"),
+      Similarity.hyperplaneSigsCol(col("embedding"), 64, 12, 4, seed = 7).as("sigs"))
+    val viaComposed = sub.select(col("vec_id"),
+      array((0 until 4).map(t =>
+        Similarity.hyperplaneSigColComposed(col("embedding"), 64, 12, 7 + t)): _*)
+        .as("sigs"))
+    assertSameRows(viaExpr, viaComposed, clue = "expr vs composed planes")
+    // malformed input: wrong dim -> NULL signature (drops out of bucket join)
+    val bad = sub.select(Similarity.hyperplaneSigsCol(
+      slice(col("embedding"), 1, 10), 64, 12, 4).as("s"))
+    assert(bad.where(col("s").isNotNull).count() == 0)
+  }
+
   test("knnJoin: corpus-to-corpus recall >= 0.9 vs brute force") {
     // disjoint halves: odd ids query the even-id corpus. Brute force with
     // the same (query, corpus) split is the exact ground truth.

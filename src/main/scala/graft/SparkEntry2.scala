@@ -555,6 +555,17 @@ object SparkEntry2 {
         .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
     }),
 
+    // IVF coarse-quantizer probing: deterministic (hash-sampled centroids,
+    // cosine-desc/item-id ranks) but the centroid hash isn't SQL-portable —
+    // rows-only; recall vs brute force pinned in MiscSpec
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(emb, queries, k = 3, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
+    }),
+
     "q_knn_join" -> ((s, dir) => {
       // corpus-to-corpus linking: odd-id vectors retrieve their top-2
       // neighbors among even-id vectors — two disjoint corpora, neither

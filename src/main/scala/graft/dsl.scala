@@ -120,6 +120,7 @@ object dsl {
     def mode(): Column = F.mode(c) // most frequent value (pandas kind=None in ref)
     def quantile(q: Double): Column = F.percentile(c, F.lit(q))
     def quantileApprox(q: Double): Column = Fns.Agg.percentileApprox(c, q)
+    def heavyHitters(k: Int): Column = Fns.Agg.heavyHitters(c, k)
     def std(): Column = F.stddev_samp(c)
     def variance(): Column = F.var_samp(c)
     def sem(): Column = Fns.Agg.sem(c)

@@ -52,6 +52,18 @@ object StreamVerbs {
     Tbl(t.df.groupBy(keys: _*).agg(named.head, named.tail: _*))
   }
 
+  /** Approximate top-k items per event-time window (and per group key):
+    * the Misra-Gries `heavy_hitters` aggregate — its buffer serializes into
+    * the state store between micro-batches and merges on the next, so the
+    * per-window state is ≤ k counters no matter how many distinct items the
+    * stream carries. StreamingSpec pins stream == batch.
+    */
+  def windowedHeavyHitters(t: Tbl, tsCol: String, duration: String,
+                           item: Column, k: Int,
+                           slide: Option[String] = None): Tbl =
+    windowedSummarize(t, tsCol, duration, slide)(
+      "hh" -> graft.functions.Fns.Agg.heavyHitters(item, k))
+
   /** Session windows (gap-based grouping) per key. */
   def sessionSummarize(t: Tbl, tsCol: String, gap: String)
                       (aggs: (String, Column)*): Tbl = {

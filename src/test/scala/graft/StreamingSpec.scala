@@ -248,8 +248,8 @@ class StreamingSpec extends AnyFunSuite {
       events.write.mode("overwrite").parquet(dir.getAbsolutePath)
       val stream = spark.readStream.schema(events.schema).parquet(dir.getAbsolutePath)
       def agg(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy(window(col("ts"), "2 minutes"))
-          .agg(Fns.Agg.heavyHitters(col("etype"), 8).as("hh"))
+        StreamVerbs.windowedHeavyHitters(Tbl(df), "ts", "2 minutes",
+          col("etype"), 8).df
       val q = agg(stream).writeStream
         .format("memory").queryName("hh_stream")
         .option("checkpointLocation", out.getAbsolutePath)

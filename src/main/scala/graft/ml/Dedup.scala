@@ -271,10 +271,11 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 8, rows: Int = 4,
                       threshold: Double = 0.8, seed: Long = 42L,
-                      hashLeaf: Option[Column] = None): DataFrame = {
+                      hashLeaf: Option[Column] = None,
+                      maxBucket: Int = 100000): DataFrame = {
     val sigs = scopedCache(
       minhashSignatures(df, idCol, textCol, n, bands * rows, seed, hashLeaf))
-    lshPairsFromSignatures(sigs, bands, rows, threshold)
+    lshPairsFromSignatures(sigs, bands, rows, threshold, maxBucket)
   }
 
   /** LSH banding over an existing `(id, sig)` signature table. At 100 TB the
@@ -284,12 +285,28 @@ object Dedup {
     * exchange-free bucket-local joins.
     */
   def lshPairsFromSignatures(sigs: DataFrame, bands: Int = 8, rows: Int = 4,
-                             threshold: Double = 0.8): DataFrame = {
+                             threshold: Double = 0.8,
+                             maxBucket: Int = 100000): DataFrame = {
     val k = bands * rows
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    // hot-bucket guard (same shape as simhashPairs'): one degenerate band
+    // bucket — empty/templated docs collapsing to one signature slice —
+    // emits bucket² candidate rows, the quadratic failure mode at corpus
+    // scale. Hot buckets are few by construction: a tiny broadcast
+    // anti-join. True near-dups in a dropped bucket usually still collide
+    // in another band; the default only fires on pathological skew.
+    // Set <= 0 to disable.
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        val hot = banded0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select("band", "bucket")
+        banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
     // est_jaccard is identical for every duplicate of a pair (one per
     // colliding band), so score and filter BEFORE dropDuplicates: the
     // k-long signature arrays never enter the dedup shuffle, and only

@@ -133,7 +133,8 @@ object Similarity {
               leftIdCol: String = "vec_id", rightIdCol: String = "vec_id",
               vecCol: String = "embedding",
               nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L,
-              excludeSelf: Boolean = false, probeBits: Int = 1): DataFrame = {
+              excludeSelf: Boolean = false, probeBits: Int = 1,
+              maxBucket: Int = 100000): DataFrame = {
     require(probeBits >= 0 && probeBits <= 1,
       "probeBits > 1 is a combinatorial blowup; compose more tables instead")
     def sigTable(df: DataFrame, id: String, outId: String, probe: Boolean) = {
@@ -160,7 +161,19 @@ object Similarity {
         .select(col(outId), col("ts.table").as("table"), col("ts.sig").as("sig"))
     }
     val lb = sigTable(left, leftIdCol, "query_id", probe = probeBits == 1)
-    val rb = sigTable(right, rightIdCol, "item_id", probe = false)
+    val rb0 = sigTable(right, rightIdCol, "item_id", probe = false)
+    // hot-bucket guard: a degenerate corpus bucket (duplicated/zero vectors
+    // sharing one signature) would emit |bucket| rows per probing query —
+    // the quadratic failure mode at corpus scale. Hot buckets are few by
+    // construction: broadcast anti-join, same shape as the dedup guards.
+    val rb =
+      if (maxBucket <= 0) rb0
+      else {
+        val hot = rb0.groupBy("table", "sig")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select("table", "sig")
+        rb0.join(broadcast(hot), Seq("table", "sig"), "left_anti")
+      }
     val pairs0 = lb.join(rb, Seq("table", "sig"))
       .select("query_id", "item_id").dropDuplicates("query_id", "item_id")
     val pairs = if (excludeSelf) pairs0.where(col("query_id") =!= col("item_id"))

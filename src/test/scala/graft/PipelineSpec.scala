@@ -395,6 +395,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(maxPer <= 2)
   }
 
+  test("minhash LSH hot-bucket guard drops degenerate band buckets") {
+    import spark.implicits._
+    // 40 byte-identical docs: every band bucket holds all 40 — the
+    // quadratic failure mode the guard exists for
+    val texts = (1 to 40).map(i =>
+      (i.toLong, "the same exact boilerplate text repeated again and again"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(texts, "doc_id", "text",
+      threshold = 0.9, maxBucket = 0)
+    assert(uncapped.count() == 40L * 39 / 2)
+    val capped = Dedup.minhashLshPairs(texts, "doc_id", "text",
+      threshold = 0.9, maxBucket = 10)
+    assert(capped.count() == 0)
+  }
+
+  test("knnJoin hot-bucket guard bounds degenerate corpus buckets") {
+    val queries = emb.limit(5)
+    // corpus of 60 copies of ONE vector: every table's bucket holds all 60
+    val dupCorpus = spark.range(1, 61)
+      .crossJoin(emb.limit(1).select(col("embedding")))
+      .select(col("id").as("vec_id"), col("embedding"))
+    val uncapped = Similarity.knnJoin(queries, dupCorpus, k = 2, dim = 64,
+      nPlanes = 6, nTables = 4, maxBucket = 0)
+    assert(uncapped.count() > 0)
+    val capped = Similarity.knnJoin(queries, dupCorpus, k = 2, dim = 64,
+      nPlanes = 6, nTables = 4, maxBucket = 20)
+    assert(capped.count() == 0)
+  }
+
   test("recallAtK: per-query and macro rows, hand-checked") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))

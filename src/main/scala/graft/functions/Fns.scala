@@ -102,6 +102,17 @@ object Fns {
           org.apache.spark.sql.graftshim.Shim.exprOf(c), k)
           .toAggregateExpression())
 
+    /** Weighted heavy hitters: top items by sum of a positive integral
+      * weight (tokens, bytes) instead of row count — same MG summary, same
+      * W/(k+1) bound with W the total weight.
+      */
+    def heavyHittersWeighted(c: Column, w: Column, k: Int): Column =
+      org.apache.spark.sql.graftshim.Shim.columnOf(
+        graft.plans.HeavyHittersAgg(
+          org.apache.spark.sql.graftshim.Shim.exprOf(c),
+          org.apache.spark.sql.graftshim.Shim.exprOf(w.cast("long")), k)
+          .toAggregateExpression())
+
     /** Bias-corrected sample skewness G1 (pandas `skew`). Spark's `skewness`
       * is the population g1 = m3/m2^1.5; G1 = g1 * sqrt(n(n-1)) / (n-2).
       */

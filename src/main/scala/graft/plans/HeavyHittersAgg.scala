@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import java.nio.ByteBuffer
@@ -13,73 +13,103 @@ import java.nio.ByteBuffer
 /** Approximate top-k frequency sketch: the Misra-Gries "frequent" summary
   * as a Catalyst aggregate — heavy hitters (top tokens, domains, keys) over
   * an arbitrarily large column WITHOUT shuffling every distinct key the way
-  * an exact `groupBy(key).count().orderBy(...).limit(j)` must.
+  * an exact `groupBy(key).count().orderBy(...).limit(j)` must. Optionally
+  * WEIGHTED (`weight` child): top items by token count, bytes, or any
+  * positive long weight instead of row count.
   *
   * Why Misra-Gries and not Space-Saving/count-min: MG summaries are
   * MERGEABLE with a proved error bound (Agarwal, Cormode, Huang, Phillips,
-  * Wei, Yi — "Mergeable Summaries", PODS'12): merging two k-counter
-  * summaries by summing per-key counts, subtracting the (k+1)-th largest
-  * combined count and dropping non-positive entries yields a valid k-counter
-  * MG summary of the concatenated streams. That is exactly the contract
-  * map-side partial aggregation + shuffle-merge needs — each partition
-  * shuffles ≤ k counters, merges are associative-enough for Spark's
-  * arbitrary combine order, and the final estimate of any key is within
-  * n/(k+1) below its true count (MG counts never over-count after merge
-  * truncation is accounted: est ∈ [true - n/(k+1), true]).
+  * Wei, Yi — "Mergeable Summaries", PODS'12): merging two summaries by
+  * summing per-key counts, subtracting the (k+1)-th largest combined count
+  * and dropping non-positive entries yields a valid k-counter MG summary of
+  * the concatenated streams. That is exactly the contract map-side partial
+  * aggregation + shuffle-merge needs — each partition shuffles a bounded
+  * summary, merges are order-insensitive within the bound, and the final
+  * estimate of any key sits within W/(k+1) below its true weight (W = total
+  * weight; estimates never exceed truth).
   *
-  * When the column has ≤ k distinct values no counter is ever evicted and
-  * the summary IS the exact count table regardless of partitioning — the
-  * deterministic regime the oracle query pins down.
+  * The update path applies the same truncation rule with a 2k working
+  * buffer (truncate to k once 2k entries accumulate): this handles
+  * arbitrary positive weights — which the classic decrement-all cannot —
+  * and amortizes the O(k log k) truncation over k insertions. At most 2k
+  * counters per partition cross the shuffle.
   *
-  * Input: StringType or LongType (ints should be cast by the caller).
-  * Output: array<struct<item, est_count:long>> sorted est desc, item asc —
+  * When the column has ≤ k distinct values no counter is ever truncated and
+  * the summary IS the exact (weighted) count table regardless of
+  * partitioning — the deterministic regime the oracle query pins down.
+  *
+  * Input: StringType or LongType item (ints should be cast by the caller);
+  * integral weight, NULL/non-positive weights skipped. Output:
+  * array<struct<item, est_count:long>> sorted est desc, item asc —
   * deterministic output order for equal summaries.
   */
 case class HeavyHittersAgg(
-    child: Expression,
+    item: Expression,
+    weight: Expression,
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[Any, Long]]
-  with UnaryLike[Expression] {
+  with BinaryLike[Expression] {
 
   require(k > 0, "heavy_hitters k must be positive")
 
-  private def isString = child.dataType == StringType
+  override def left: Expression = item
+  override def right: Expression = weight
+
+  private def isString = item.dataType == StringType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case StringType | LongType => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
+    (item.dataType, weight.dataType) match {
+      case (StringType | LongType, LongType | IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType | LongType, other) => TypeCheckResult.TypeCheckFailure(
+        s"heavy_hitters weight must be integral, got ${other.sql}")
+      case (other, _) => TypeCheckResult.TypeCheckFailure(
         s"heavy_hitters needs string or bigint input, got ${other.sql}")
     }
 
   override def createAggregationBuffer(): java.util.HashMap[Any, Long] =
     new java.util.HashMap[Any, Long](k * 2)
 
+  /** Subtract the (k+1)-th largest count from every entry, drop ≤ 0 — the
+    * PODS'12 merge/truncation rule; at most k entries survive.
+    */
+  private def truncateToK(buf: java.util.HashMap[Any, Long]): Unit = {
+    val counts = new Array[Long](buf.size)
+    var i = 0
+    val vs = buf.values().iterator()
+    while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
+    java.util.Arrays.sort(counts)
+    val cut = counts(counts.length - (k + 1)) // (k+1)-th largest
+    val jt = buf.entrySet().iterator()
+    while (jt.hasNext) {
+      val e = jt.next()
+      if (e.getValue <= cut) jt.remove() else e.setValue(e.getValue - cut)
+    }
+  }
+
   override def update(buf: java.util.HashMap[Any, Long],
                       input: InternalRow): java.util.HashMap[Any, Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      // UTF8String from eval may point into a reused row buffer — copy
-      // before it becomes a map key
-      val key: Any = v match {
-        case s: UTF8String => if (buf.containsKey(s)) s else s.clone()
-        case other => other
-      }
-      val cur = buf.get(key)
-      if (cur != 0L || buf.containsKey(key)) buf.put(key, cur + 1L)
-      else if (buf.size < k) buf.put(key, 1L)
-      else {
-        // classic MG decrement-all: amortized O(1) per row (each decrement
-        // cancels one prior increment), O(k) worst-case on this branch
-        val it = buf.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
-        }
-      }
+    val v = item.eval(input)
+    if (v == null) return buf
+    val wRaw = weight.eval(input)
+    if (wRaw == null) return buf
+    val w = wRaw match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case other => other.asInstanceOf[Number].longValue
     }
+    if (w <= 0) return buf
+    // UTF8String from eval may point into a reused row buffer — copy
+    // before it becomes a map key
+    val key: Any = v match {
+      case s: UTF8String => if (buf.containsKey(s)) s else s.clone()
+      case other => other
+    }
+    val cur = buf.get(key)
+    buf.put(key, cur + w)
+    if (buf.size > 2 * k) truncateToK(buf)
     buf
   }
 
@@ -91,22 +121,7 @@ case class HeavyHittersAgg(
       val cur = b1.get(e.getKey)
       b1.put(e.getKey, cur + e.getValue)
     }
-    if (b1.size > k) {
-      // subtract the (k+1)-th largest combined count, drop non-positive —
-      // at most k entries are strictly greater, so the summary shrinks to
-      // ≤ k while keeping the mergeable error bound
-      val counts = new Array[Long](b1.size)
-      var i = 0
-      val vs = b1.values().iterator()
-      while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
-      java.util.Arrays.sort(counts)
-      val cut = counts(counts.length - (k + 1)) // (k+1)-th largest
-      val jt = b1.entrySet().iterator()
-      while (jt.hasNext) {
-        val e = jt.next()
-        if (e.getValue <= cut) jt.remove() else e.setValue(e.getValue - cut)
-      }
-    }
+    if (b1.size > k) truncateToK(b1)
     b1
   }
 
@@ -123,8 +138,14 @@ case class HeavyHittersAgg(
         case _ => false
       }
     }
-    new GenericArrayData(sorted.map { case (item, c) =>
-      InternalRow(item, c)
+    // a 2k-entry working buffer can reach eval (single-partition plans skip
+    // the merge); present the k-truncated summary either way
+    val top = if (sorted.length > k) {
+      val cut = sorted(k)._2
+      sorted.collect { case (it0, c) if c > cut => (it0, c - cut) }
+    } else sorted
+    new GenericArrayData(top.map { case (item0, c) =>
+      InternalRow(item0, c)
     }.toArray[Any])
   }
 
@@ -168,7 +189,7 @@ case class HeavyHittersAgg(
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("item", child.dataType, nullable = false),
+      StructField("item", item.dataType, nullable = false),
       StructField("est_count", LongType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = false
@@ -178,6 +199,13 @@ case class HeavyHittersAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): HeavyHittersAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): HeavyHittersAgg =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HeavyHittersAgg =
+    copy(item = newLeft, weight = newRight)
+}
+
+object HeavyHittersAgg {
+  /** Unweighted form: every row counts 1. */
+  def apply(item: Expression, k: Int): HeavyHittersAgg =
+    HeavyHittersAgg(item, Literal(1L), k)
 }

@@ -89,10 +89,11 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("heavy_hitters"),
       info("heavy_hitters",
-        "heavy_hitters(x, k) - Misra-Gries approximate top-k of a string/bigint column: array<struct<item, est_count>> (exact when distinct <= k)"),
+        "heavy_hitters(x[, w], k) - Misra-Gries approximate top-k of a string/bigint column, optionally weighted: array<struct<item, est_count>> (exact when distinct <= k)"),
       {
-        case Seq(x, k) => graft.plans.HeavyHittersAgg(x, intLit(k, "heavy_hitters", "k"))
-        case args      => arity("heavy_hitters", args.size, "2")
+        case Seq(x, k)    => graft.plans.HeavyHittersAgg(x, intLit(k, "heavy_hitters", "k"))
+        case Seq(x, w, k) => graft.plans.HeavyHittersAgg(x, w, intLit(k, "heavy_hitters", "k"))
+        case args         => arity("heavy_hitters", args.size, "2 or 3")
       }),
     (FunctionIdentifier("hyperplane_sigs"),
       info("hyperplane_sigs",

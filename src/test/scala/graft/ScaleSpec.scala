@@ -132,6 +132,41 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitters weighted: exact regime equals weighted groupBy, null/non-positive weights skip") {
+    import TestSpark.spark.implicits._
+    val d = Seq(("a", 10L), ("a", 5L), ("b", 100L), ("c", 1L),
+                ("c", -7L), ("b", 0L), (null, 50L))
+      .toDF("item", "w")
+    val hh = d.agg(graft.functions.Fns.Agg
+        .heavyHittersWeighted(col("item"), col("w"), 16).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est_count").as("est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // negative/zero weights and NULL items contribute nothing
+    assert(hh == Map("b" -> 100L, "a" -> 15L, "c" -> 1L))
+    // eviction regime: weighted bound est <= truth, truth - est <= W/(k+1)
+    val N = 5000L
+    val toks = spark.range(1, N + 1)
+      .select(concat(lit("t"), floor(lit(N) / col("id"))).as("tok"),
+              (col("id") % 7 + 1).as("w"))
+    val W = toks.agg(sum("w")).head().getLong(0)
+    val k = 64
+    val exact = toks.groupBy("tok").agg(sum("w").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = toks.repartition(8)
+      .agg(graft.functions.Fns.Agg
+        .heavyHittersWeighted(col("tok"), col("w"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .collect().map(r => r.getStruct(0).getString(0) -> r.getStruct(0).getLong(1)).toMap
+    val bound = W / (k + 1) + 1
+    exact.filter(_._2 > bound).foreach { case (t, c) =>
+      assert(est.contains(t), s"missing weighted heavy hitter '$t' ($c > $bound)") }
+    est.foreach { case (t, e) =>
+      assert(e <= exact(t), s"'$t' overcounted: $e > ${exact(t)}")
+      assert(exact(t) - e <= bound, s"'$t' est $e more than $bound below ${exact(t)}")
+    }
+  }
+
   test("heavyHitters: bigint input and SQL registration agree with the Column API") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select((col("o_custkey") % 50).as("key"))

@@ -516,7 +516,11 @@ object SparkEntry2 {
 
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents").df
-      Tbl(Dedup.decontaminate(docs, "doc_id", "text",
+      // Bloom-prefiltered path: identical output to the plain hashed join
+      // (no false negatives; exact join rejects bloom false positives), so
+      // the string-gram oracle still pins it — and the driver gate now
+      // exercises the 100 TB shape (map-side sketch probe before the join)
+      Tbl(Dedup.decontaminateBloom(docs, "doc_id", "text",
           docs.filter(col("doc_id") % 17 === 0), "text",
           n = 5, maxContaminatedFrac = 0.5))
         .select(Seq("doc_id", "lang", "source"): _*).df

@@ -196,6 +196,65 @@ object Dedup {
     train.join(bad, Seq(trainId), "left_anti")
   }
 
+  /** Bloom-prefiltered decontamination, for the regime where even the
+    * DISTINCT benchmark gram table is too big to broadcast-join every
+    * training gram against comfortably: build Spark's own
+    * `BloomFilterAggregate` sketch over the benchmark gram hashes (a few MB
+    * for millions of grams), embed it as a literal in the plan, and probe
+    * it MAP-SIDE so only the tiny fraction of training grams that MIGHT
+    * match ever reaches the exact join. Bloom filters have no false
+    * negatives and the exact join rejects the false positives, so results
+    * are IDENTICAL to [[decontaminateAgainst]] — tested equal.
+    *
+    * Requires the hashed gram form (the sketch ingests 64-bit hashes).
+    * Sizing: `bitsPerItem`=16 → fpp ≈ 5e-4; Spark clamps at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 8 MB) —
+    * raise that conf for benchmark sets beyond ~4M distinct grams.
+    */
+  def contaminationReportBloomAgainst(train: DataFrame, trainId: String,
+                                      trainText: String, benchGrams0: DataFrame,
+                                      n: Int = 13,
+                                      bitsPerItem: Int = 16): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val shim = org.apache.spark.sql.graftshim.Shim
+    val benchGrams = scopedCache(benchGrams0)
+    val items = math.max(benchGrams.count(), 1L)
+    val bloomBytes = benchGrams.agg(shim.columnOf(
+        new BloomFilterAggregate(shim.exprOf(col("g")),
+          Literal(items), Literal(items * bitsPerItem))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = shim.columnOf(BloomFilterMightContain(
+      Literal(bloomBytes), shim.exprOf(col("g"))))
+    val tg = spread(train)
+      .select(col(trainId).as("id"),
+        TextFns.shingleHashes(col(trainText), n).as("gs"))
+      .select(col("id"), size(col("gs")).cast("long").as("n_grams"),
+              explode(col("gs")).as("g"))
+      .filter(mightContain)
+    tg.join(benchGrams, "g")
+      .groupBy("id", "n_grams")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 4))
+      .select(col("id").as(trainId), col("n_grams"), col("n_contaminated"),
+              col("contaminated_frac"))
+  }
+
+  /** [[decontaminateAgainst]] with the Bloom prefilter — identical output,
+    * map-side prefilter shape (see [[contaminationReportBloomAgainst]]). */
+  def decontaminateBloom(train: DataFrame, trainId: String, trainText: String,
+                         bench: DataFrame, benchText: String, n: Int = 13,
+                         maxContaminatedFrac: Double = 0.0,
+                         bitsPerItem: Int = 16): DataFrame = {
+    val bad = contaminationReportBloomAgainst(train, trainId, trainText,
+        benchmarkGrams(bench, benchText, n, hashed = true), n, bitsPerItem)
+      .filter(col("contaminated_frac") > maxContaminatedFrac)
+      .select(col(trainId))
+    train.join(bad, Seq(trainId), "left_anti")
+  }
+
   /** MinHash signatures via the custom single-buffer Catalyst aggregate
     * (graft.plans.MinHashAgg): one tight-loop pass over the shingle table,
     * map-side combinable, shuffling one k-long signature per doc partition.

@@ -467,6 +467,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.size + reported.size == docs.count())
     // column pass-through
     assert(clean.columns.toSeq == docs.columns.toSeq)
+    // Bloom-prefiltered path: identical report and identical survivors
+    // (no false negatives; the exact join rejects bloom false positives)
+    val repB = Dedup.contaminationReportBloomAgainst(docs, "doc_id", "text",
+      Dedup.benchmarkGrams(bench, "text", n = 5), n = 5)
+    assert(repH.exceptAll(repB).isEmpty && repB.exceptAll(repH).isEmpty,
+      "bloom-prefiltered report must equal the exact hashed report")
+    val cleanB = Dedup.decontaminateBloom(docs, "doc_id", "text", bench,
+      "text", n = 5, maxContaminatedFrac = 0.0)
+    assert(cleanB.select("doc_id").collect().map(_.getLong(0)).toSet == kept)
   }
 
   test("lmScore: hand-checked counts; junk text scores below in-distribution text") {

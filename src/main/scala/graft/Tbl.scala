@@ -347,6 +347,27 @@ final case class Tbl(
       .summary("count", "mean", "stddev", "min", "25%", "50%", "75%", "max"))
   }
 
+  /** Approximate top-k values of a column, per current group, in tidy rows
+    * (group keys, item, est_count) — the Misra-Gries `heavy_hitters`
+    * aggregate (graft.plans.HeavyHittersAgg): ≤ 2k counters per partition
+    * cross the shuffle instead of every distinct value. Optional positive
+    * integral weight `w` ranks by summed weight (tokens, bytes) instead of
+    * row count. Exact when each group has ≤ k distinct values; otherwise
+    * estimates sit within groupTotal/(k+1) below truth, never above.
+    */
+  def topKApprox(c: String, k: Int, w: Option[Column] = None): Tbl = {
+    val agg = w.map(x => graft.functions.Fns.Agg.heavyHittersWeighted(col(c), x, k))
+      .getOrElse(graft.functions.Fns.Agg.heavyHitters(col(c), k))
+    val aggd =
+      if (groups.isEmpty) df.agg(agg.as("__hh"))
+      else df.groupBy(groups.map(col): _*).agg(agg.as("__hh"))
+    Tbl(aggd
+      .select(groups.map(col) :+ explode_outer(col("__hh")).as("__e"): _*)
+      .select(groups.map(col) :+ col("__e.item").as(c) :+
+              col("__e.est_count").as("est_count"): _*),
+      groups)
+  }
+
   /** describe() with EXACT quantiles, in tidy long form (one row per
     * numeric column). `summary()`'s percentiles are approx (relative-error
     * sketch) and can drift across Spark versions; this variant uses the

@@ -295,6 +295,19 @@ class OpsMatrixSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, Some("a")), (1, Some("b")), (2, None), (3, Some("c"))))
   }
 
+  test("topKApprox: grouped tidy top-k equals exact counts in the small-cardinality regime") {
+    val docs = Tbl(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val approx = docs.groupBy("source").topKApprox("lang", 32).df
+    val exact = docs.df.groupBy("source", "lang")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("est_count"))
+    TestSpark.assertSameRows(approx, exact, clue = "grouped topKApprox exact regime")
+    // ungrouped, weighted by n_chars: equals weighted groupBy
+    val approxW = docs.topKApprox("lang", 32, w = Some(col("n_chars"))).df
+    val exactW = docs.df.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("est_count"))
+    TestSpark.assertSameRows(approxW, exactW, clue = "weighted topKApprox exact regime")
+  }
+
   test("describeExact: hand-checked exact quartiles in tidy long form") {
     import spark.implicits._
     // v = 1..9: quartiles land exactly on values (type-7/quantile_cont:

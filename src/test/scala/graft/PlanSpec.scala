@@ -45,6 +45,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "knnJoin must never nested-loop")
   }
 
+  test("bloom decontamination probes the sketch in a filter before any join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("might_contain"),
+      "expected the bloom probe in the physical plan: " + p.take(600))
+  }
+
   test("heavy_hitters aggregates map-side partial then final (sketch, not key shuffle)") {
     val p = plan("q_heavy_hitters")
     // TypedImperativeAggregate plans as ObjectHashAggregate; two levels =

@@ -824,6 +824,28 @@ object SparkEntry2 {
         |         AS DOUBLE) / 10000.0
         |  END AS rv
         |FROM b""".stripMargin,
+    "q_corpus_overlap" ->
+      """WITH a AS (SELECT count(DISTINCT doc_id) AS n_a FROM documents),
+        |b AS (SELECT count(DISTINCT doc_id) AS n_b FROM documents
+        |      WHERE doc_id % 2 = 0),
+        |i AS (SELECT count(DISTINCT doc_id) AS n_intersection FROM documents
+        |      WHERE doc_id % 2 = 0)
+        |SELECT a.n_a, b.n_b, i.n_intersection, a.n_a AS n_union,
+        |  round(i.n_intersection * 1.0 / a.n_a, 4) AS jaccard
+        |FROM a, b, i""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |b AS (SELECT event_id, user_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+        |    AS BIGINT) AS session
+        |FROM b""".stripMargin,
     "q_lump_prop" ->
       """WITH fr AS (SELECT lang AS seg,
         |    count(*) * 1.0 / (SELECT count(*) FROM documents) AS f
@@ -1346,6 +1368,30 @@ object SparkEntry2 {
       Tbl(Forcats.fctLumpProp(t(s, dir, "documents").df, "lang", prop = 0.3))
         .count(extra = Seq("lang"))
         .df),
+
+    // theta-sketch corpus overlap triage: at these cardinalities the sketch
+    // is in exact mode (2^16 retained entries >> 10k docs), so estimates
+    // EQUAL true distinct counts and the query oracles against plain
+    // count(DISTINCT) SQL
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      graft.ops.Scale.distinctOverlap(
+        docs, docs.filter(col("doc_id") % 2 === 0), "doc_id")
+    }),
+
+    // batch sessionization over the events table: 30-minute inactivity gap.
+    // ts is nanos-as-long on the Spark side and micros in DuckDB's
+    // TIMESTAMP — truncate to micros on BOTH sides (integer div / epoch_us)
+    // so session boundaries are bit-exact integer comparisons.
+    "q_sessionize" -> ((s, dir) =>
+      t(s, dir, "events")
+        .mutate("ts_us" -> expr("ts div 1000"))
+        .groupBy("user_id")
+        .arrange(col("ts_us"), col("event_id"))
+        .mutate("session" -> Vec.sessionId(col("ts_us"), 1800000000L,
+                  order = Seq(col("ts_us"), col("event_id")))
+                  .transform(_.cast("long")))
+        .select(Seq("event_id", "user_id", "session"): _*).df),
 
     // autocorr / is_monotonic / duplicated: the nested-window trio (inner
     // lag hoisted into a temp projection by mutate automatically)

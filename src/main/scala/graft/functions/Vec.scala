@@ -162,6 +162,22 @@ object Vec {
     bool_and(x.isNotNull && coalesce(x <= prev, lit(true))).over(c.plain)
   }
 
+  /** Gap-based session ids per group (batch sessionization — the batch twin
+    * of streaming `session_window`): a new session starts when the time
+    * column advances by MORE than `gap` (same units as `t`) since the
+    * previous row in `order` order; ids are 1-based per group. One lag plus
+    * one running sum over the group's ordering — the inner lag window is
+    * hoisted by mutate's nested-window rewrite, exactly like autocorr's.
+    * The first row of each group (lag NULL) opens session 1.
+    */
+  def sessionId(t: Column, gap: Long, order: Seq[Column] = Nil): GExpr = gx { c =>
+    val ord = if (order.nonEmpty) order else Seq(t)
+    val prev = org.apache.spark.sql.functions.lag(t, 1).over(c.orderedBy(ord))
+    val newSession = when(t - prev > gap, 1L).otherwise(0L)
+    sum(newSession).over(c.orderedBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1
+  }
+
   /** `is_monotonic` is pandas' deprecated alias for increasing. */
   def isMonotonic(x: Column, order: Seq[Column] = Nil): GExpr =
     isMonotonicIncreasing(x, order)

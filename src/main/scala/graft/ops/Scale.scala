@@ -143,6 +143,33 @@ object Scale {
       .drop("__pid", "__off")
   }
 
+  /** Approximate distinct-set overlap of two corpora on a key column (doc
+    * fingerprints, ids, domains) via Theta sketches — the set-intersection
+    * sketch HLL cannot provide. One row: n_a, n_b, n_intersection, n_union,
+    * jaccard.
+    *
+    * Scale shape: ONE map-side-combinable aggregate pass per side; the two
+    * few-KB..MB sketches meet in a 1×1 cross join. This is the "how much of
+    * corpus B is already in corpus A" triage that runs BEFORE committing to
+    * an exact anti-join dedup of 100 TB. Theta sketches are EXACT below
+    * 2^lgK retained entries (estimates equal true distinct counts — the
+    * oracle regime of q_corpus_overlap); beyond that, relative error
+    * ~1/sqrt(2^lgK).
+    */
+  def distinctOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+                      lgK: Int = 16): DataFrame = {
+    val sa = a.agg(theta_sketch_agg(col(keyCol), lgK).as("sa"))
+    val sb = b.agg(theta_sketch_agg(col(keyCol), lgK).as("sb"))
+    sa.crossJoin(sb).select(
+      theta_sketch_estimate(col("sa")).as("n_a"),
+      theta_sketch_estimate(col("sb")).as("n_b"),
+      theta_sketch_estimate(theta_intersection(col("sa"), col("sb")))
+        .as("n_intersection"),
+      theta_sketch_estimate(theta_union(col("sa"), col("sb"))).as("n_union"))
+      .withColumn("jaccard",
+        round(col("n_intersection").cast("double") / col("n_union"), 4))
+  }
+
   /** Exact global 1-based row number in `orderCols` order — [[globalCumSum]]
     * of 1 — for stable ordinals over arbitrarily large data. */
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column],

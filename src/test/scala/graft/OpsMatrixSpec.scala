@@ -295,6 +295,24 @@ class OpsMatrixSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, Some("a")), (1, Some("b")), (2, None), (3, Some("c"))))
   }
 
+  test("sessionId: hand-checked gap sessions per group") {
+    import spark.implicits._
+    val d = Tbl(Seq((1L, 0L), (1L, 10L), (1L, 2000L), (1L, 2005L), (2L, 5L))
+      .toDF("u", "t"))
+    val out = d.groupBy("u").arrange(col("t"))
+      .mutate("s" -> Vec.sessionId(col("t"), gap = 100L))
+      .df.orderBy("u", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 1L), (1L, 10L, 1L), (1L, 2000L, 2L),
+                            (1L, 2005L, 2L), (2L, 5L, 1L)))
+    // boundary: a gap of EXACTLY `gap` does not open a session (> not >=)
+    val b = Tbl(Seq((1L, 0L), (1L, 100L), (1L, 201L)).toDF("u", "t"))
+      .groupBy("u").arrange(col("t"))
+      .mutate("s" -> Vec.sessionId(col("t"), gap = 100L))
+      .df.orderBy("t").collect().map(_.getLong(2))
+    assert(b.toSeq == Seq(1L, 1L, 2L))
+  }
+
   test("topKApprox: grouped tidy top-k equals exact counts in the small-cardinality regime") {
     val docs = Tbl(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     val approx = docs.groupBy("source").topKApprox("lang", 32).df

@@ -185,6 +185,25 @@ class ScaleSpec extends AnyFunSuite {
     assertSameRows(viaCol, exact)
   }
 
+  test("distinctOverlap: exact below 2^lgK; within tolerance in estimation mode") {
+    // exact mode: 1500 keys << 2^16 retained entries
+    val a = spark.range(0, 1000).toDF("id")
+    val b = spark.range(500, 1500).toDF("id")
+    val ex = Scale.distinctOverlap(a, b, "id").head()
+    def d(r: org.apache.spark.sql.Row, c: String) = r.getAs[Any](c).toString.toDouble
+    assert(d(ex, "n_a") == 1000.0 && d(ex, "n_b") == 1000.0)
+    assert(d(ex, "n_intersection") == 500.0 && d(ex, "n_union") == 1500.0)
+    assert(d(ex, "jaccard") == 0.3333)
+    // estimation mode: 300k keys >> 2^12
+    val bigA = spark.range(0, 200000).toDF("id")
+    val bigB = spark.range(100000, 300000).toDF("id")
+    val est = Scale.distinctOverlap(bigA, bigB, "id", lgK = 12).head()
+    assert(math.abs(d(est, "n_a") - 200000) < 200000 * 0.05)
+    assert(math.abs(d(est, "n_union") - 300000) < 300000 * 0.05)
+    assert(math.abs(d(est, "n_intersection") - 100000) < 100000 * 0.10)
+    assert(math.abs(d(est, "jaccard") - 1.0 / 3) < 0.05)
+  }
+
   test("spread widens small inputs and is a strict no-op on wide ones") {
     // small: the sf0.001 documents scan is one tiny row group → repartition
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -383,6 +383,61 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Cross-corpus LSH banding: candidate pairs between a NEW signature
+    * table and an EXISTING one only — the incremental-ingest dedup shape.
+    * At scale the standing corpus's signatures are computed once and
+    * persisted (see [[lshPairsFromSignatures]]' bucketed-write note); each
+    * arriving batch computes only its own signatures and joins here, so
+    * ingest cost is O(batch), never O(corpus). New-vs-new pairs are NOT
+    * reported — run the self-join variant on the batch if you also want
+    * those. Output: (new_id, existing_id, est_jaccard).
+    */
+  def lshPairsBetween(newSigs: DataFrame, existingSigs: DataFrame,
+                      bands: Int = 8, rows: Int = 4,
+                      threshold: Double = 0.8,
+                      maxBucket: Int = 100000): DataFrame = {
+    val k = bands * rows
+    def band(df: DataFrame, side: String) = df.select(
+        col("id").as(s"${side}_id"), col("sig").as(s"${side}_sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val nb = band(newSigs, "new")
+    val eb0 = band(existingSigs, "existing")
+    val eb =
+      if (maxBucket <= 0) eb0
+      else {
+        val hot = eb0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select("band", "bucket")
+        eb0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
+    val agree = org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.ArrayEqCount(
+        org.apache.spark.sql.graftshim.Shim.exprOf(col("new_sig")),
+        org.apache.spark.sql.graftshim.Shim.exprOf(col("existing_sig"))))
+    nb.join(eb, Seq("band", "bucket"))
+      .select(col("new_id"), col("existing_id"),
+        (agree.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("new_id", "existing_id")
+  }
+
+  /** Drop new docs that near-duplicate the standing corpus (estimated
+    * Jaccard ≥ threshold against any existing signature) — incremental
+    * ingest dedup in one call. `existingSigs` is a persisted `(id, sig)`
+    * table from [[minhashSignatures]] with the SAME n/k/seed.
+    */
+  def dedupeAgainstCorpus(newDocs: DataFrame, idCol: String, textCol: String,
+                          existingSigs: DataFrame,
+                          n: Int = 3, bands: Int = 8, rows: Int = 4,
+                          threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, n, bands * rows, seed)
+    val dup = lshPairsBetween(newSigs, existingSigs, bands, rows, threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(dup, Seq(idCol), "left_anti")
+  }
+
   /** SimHash: 64-bit locality-sensitive content hash. Per doc, each token
     * votes ±1 on each bit of its 64-bit hash; the sign of the per-bit sum is
     * the fingerprint bit. Computed as 64 conditional sums in ONE aggregate

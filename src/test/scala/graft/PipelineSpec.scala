@@ -395,6 +395,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(maxPer <= 2)
   }
 
+  test("incremental ingest dedup: new batch deduped against persisted corpus signatures") {
+    // standing corpus: the documents fixture, signatures computed once
+    val existingSigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    // new batch: 5 copies of existing docs (shifted ids) + 3 novel docs
+    import spark.implicits._
+    val copies = docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .select("doc_id", "text")
+    val novel = Seq(
+      (2000001L, "completely novel content about quasar spectroscopy drift"),
+      (2000002L, "unrelated recipe for fermented barley porridge at altitude"),
+      (2000003L, "maintenance log turbine seven bearing temperature anomaly"))
+      .toDF("doc_id", "text")
+    val batch = copies.unionByName(novel)
+    val pairs = Dedup.lshPairsBetween(
+      Dedup.minhashSignatures(batch, "doc_id", "text"), existingSigs,
+      threshold = 0.9)
+    val flagged = pairs.select("new_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // every copy is flagged against its source; novel docs are not
+    assert((0L until 5L).map(_ + 1000000).toSet.subsetOf(flagged))
+    assert(flagged.intersect(Set(2000001L, 2000002L, 2000003L)).isEmpty)
+    // exact-copy pairs estimate jaccard 1.0 against their own source id
+    val self = pairs.filter(col("existing_id") === col("new_id") - 1000000)
+    assert(self.count() == 5 &&
+      self.filter(col("est_jaccard") < 1.0).count() == 0)
+    val kept = Dedup.dedupeAgainstCorpus(batch, "doc_id", "text",
+      existingSigs, threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2000001L, 2000002L, 2000003L))
+  }
+
   test("minhash LSH hot-bucket guard drops degenerate band buckets") {
     import spark.implicits._
     // 40 byte-identical docs: every band bucket holds all 40 — the

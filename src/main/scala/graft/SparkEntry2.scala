@@ -824,6 +824,21 @@ object SparkEntry2 {
         |         AS DOUBLE) / 10000.0
         |  END AS rv
         |FROM b""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |    FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t FROM e
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts_us > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
+        |SELECT 1 AS step, 'click' AS stage,
+        |       (SELECT count(*) FROM s1) AS n
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
     "q_corpus_overlap" ->
       """WITH a AS (SELECT count(DISTINCT doc_id) AS n_a FROM documents),
         |b AS (SELECT count(DISTINCT doc_id) AS n_b FROM documents
@@ -1378,6 +1393,17 @@ object SparkEntry2 {
       graft.ops.Scale.distinctOverlap(
         docs, docs.filter(col("doc_id") % 2 === 0), "doc_id")
     }),
+
+    // ordered conversion funnel click -> view -> purchase per user; ts
+    // truncated to micros on both sides so strict > comparisons agree
+    // (Spark sees nanos, DuckDB micros)
+    "q_funnel" -> ((s, dir) =>
+      t(s, dir, "events")
+        .mutate("ts_us" -> expr("ts div 1000"))
+        .groupBy("user_id")
+        .funnel(col("ts_us"), col("event_type"),
+                Seq("click", "view", "purchase"))
+        .select(col("step").cast("long").as("step"), col("stage"), col("n"))),
 
     // batch sessionization over the events table: 30-minute inactivity gap.
     // ts is nanos-as-long on the Spark side and micros in DuckDB's

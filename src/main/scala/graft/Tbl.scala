@@ -347,6 +347,38 @@ final case class Tbl(
       .summary("count", "mean", "stddev", "min", "25%", "50%", "75%", "max"))
   }
 
+  /** Ordered funnel analysis over an event table: for the current grouping
+    * (the user/entity key), step i counts groups that reached stage i AFTER
+    * their step i-1 time — the product-analytics conversion funnel. Output:
+    * (step, stage, n) with step 1-based.
+    *
+    * Each step time is a per-group conditional `min` that references the
+    * previous step's time — expressed as agg-in-mutate, which graft's
+    * grouped-agg broadcasting turns into one window per step over the SAME
+    * partitioning, so Exchange reuse keeps it a single shuffle of the
+    * events; the final tally is one tiny aggregate.
+    */
+  def funnel(ts: Column, stage: Column, steps: Seq[String]): DataFrame = {
+    require(groups.nonEmpty, "funnel needs a grouping: group_by the user/entity key first")
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = this
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val cond = if (i == 0) stage === s
+                 else stage === s && ts > col(s"__fstep${i - 1}")
+      cur = cur.mutate(s"__fstep$i" -> min(when(cond, ts)))
+    }
+    val perGroup = cur.df.groupBy(groups.map(col): _*).agg(
+      max(col("__fstep0")).as("__fstep0"),
+      steps.indices.tail.map(i => max(col(s"__fstep$i")).as(s"__fstep$i")): _*)
+    val tallies = steps.indices.map(i =>
+      sum(when(col(s"__fstep$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i"))
+    val one = perGroup.agg(tallies.head, tallies.tail: _*)
+    val rows = org.apache.spark.sql.functions.explode(array(steps.indices.map(i =>
+      struct(lit(i + 1).as("step"), lit(steps(i)).as("stage"),
+             col(s"__n$i").as("n"))): _*))
+    one.select(rows.as("r")).select(col("r.*"))
+  }
+
   /** Approximate top-k values of a column, per current group, in tidy rows
     * (group keys, item, est_count) — the Misra-Gries `heavy_hitters`
     * aggregate (graft.plans.HeavyHittersAgg): ≤ 2k counters per partition

@@ -165,7 +165,10 @@ object Scale {
       theta_sketch_estimate(col("sb")).as("n_b"),
       theta_sketch_estimate(theta_intersection(col("sa"), col("sb")))
         .as("n_intersection"),
-      theta_sketch_estimate(theta_union(col("sa"), col("sb"))).as("n_union"))
+      // pass lgK through: the two-arg theta_union builds its result at the
+      // DEFAULT lgK (12), silently downgrading exact inputs to estimation
+      // once the union tops 4096 entries (caught by the sf0.1 oracle)
+      theta_sketch_estimate(theta_union(col("sa"), col("sb"), lgK)).as("n_union"))
       .withColumn("jaccard",
         round(col("n_intersection").cast("double") / col("n_union"), 4))
   }

@@ -295,6 +295,23 @@ class OpsMatrixSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, Some("a")), (1, Some("b")), (2, None), (3, Some("c"))))
   }
 
+  test("funnel: ordered steps, out-of-order stages don't convert") {
+    import spark.implicits._
+    val ev = Tbl(Seq(
+      (1L, "click", 1L), (1L, "view", 2L), (1L, "purchase", 3L), // full path
+      (2L, "view", 3L), (2L, "click", 5L),                       // view BEFORE click
+      (3L, "view", 1L), (3L, "purchase", 2L)                     // never clicked
+    ).toDF("u", "stage", "t"))
+    val f = ev.groupBy("u")
+      .funnel(col("t"), col("stage"), Seq("click", "view", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(f.toSeq == Seq((1, "click", 2L), (2, "view", 1L), (3, "purchase", 1L)))
+    intercept[IllegalArgumentException] {
+      ev.funnel(col("t"), col("stage"), Seq("click"))
+    }
+  }
+
   test("sessionId: hand-checked gap sessions per group") {
     import spark.implicits._
     val d = Tbl(Seq((1L, 0L), (1L, 10L), (1L, 2000L), (1L, 2005L), (2L, 5L))

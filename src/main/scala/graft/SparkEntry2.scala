@@ -824,6 +824,14 @@ object SparkEntry2 {
         |         AS DOUBLE) / 10000.0
         |  END AS rv
         |FROM b""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |    FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+        |SELECT c.cohort, e.day - c.cohort AS period_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
         |    FROM events),
@@ -1393,6 +1401,21 @@ object SparkEntry2 {
       graft.ops.Scale.distinctOverlap(
         docs, docs.filter(col("doc_id") % 2 === 0), "doc_id")
     }),
+
+    // retention cohorts composed ENTIRELY from existing verbs: day-grained
+    // cohort = each user's first active day (agg-in-mutate), then distinct
+    // users per (cohort, day offset) — the classic retention matrix in one
+    // verb chain, no bespoke operator
+    "q_retention" -> ((s, dir) =>
+      t(s, dir, "events")
+        .mutate("day" -> expr("(ts div 1000) div 86400000000"))
+        .groupBy("user_id")
+        .mutate("cohort" -> min(col("day")))
+        .groupBy("cohort")
+        .mutate("period_offset" -> (col("day") - col("cohort")))
+        .groupBy("cohort", "period_offset")
+        .summarize("n_users" -> Fns.Agg.nDistinct(col("user_id")))
+        .df),
 
     // ordered conversion funnel click -> view -> purchase per user; ts
     // truncated to micros on both sides so strict > comparisons agree

@@ -204,6 +204,26 @@ object StreamVerbs {
     }
   }
 
+  /** Streaming KNN retrieval against a STATIC corpus: each micro-batch of
+    * query vectors runs the batch [[graft.ml.Similarity.knnJoin]] against
+    * the corpus — stream and backfill produce identical results by
+    * construction (same code object). The corpus signature work is
+    * recomputed per batch unless the caller caches/persists the corpus
+    * DataFrame; at scale, persist it bucketed and pass the cached frame.
+    */
+  def streamingKnnJoin(queries: Tbl, corpus: DataFrame, k: Int, dim: Int,
+                       queryIdCol: String = "vec_id",
+                       corpusIdCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       nPlanes: Int = 12, nTables: Int = 4,
+                       seed: Long = 42L)
+                      (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Similarity.knnJoin(batch, corpus, k, dim,
+        queryIdCol, corpusIdCol, vecCol, nPlanes, nTables, seed))
+    }
+
   /** Streaming per-stratum quota curation — the streaming half of
     * [[graft.Tbl.sampleQuota]]: hold the best `k` (score desc, id asc) rows
     * seen so far PER GROUP in state and re-emit a group's current top-k

@@ -442,6 +442,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("knnJoin is invariant to input partitioning") {
+    import TestSpark.assertSameRows
+    val odd = emb.filter(col("vec_id") % 2 === 1).limit(40)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val r1 = Similarity.knnJoin(odd.repartition(1), even.repartition(3),
+      k = 2, dim = 64, nPlanes = 6, nTables = 6)
+    val r2 = Similarity.knnJoin(odd.repartition(7), even.repartition(13),
+      k = 2, dim = 64, nPlanes = 6, nTables = 6)
+    assertSameRows(r1, r2, clue = "partitioning must not change results")
+  }
+
   test("knnJoin hot-bucket guard bounds degenerate corpus buckets") {
     val queries = emb.limit(5)
     // corpus of 60 copies of ONE vector: every table's bucket holds all 60

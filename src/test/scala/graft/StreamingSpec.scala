@@ -267,6 +267,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming KNN retrieval equals the batch knnJoin against the same corpus") {
+    val dir = Files.createTempDirectory("graft-knn-stream").toFile
+    val ckpt = Files.createTempDirectory("graft-knn-ckpt").toFile
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val queries = emb.filter(col("vec_id") % 2 === 1).limit(20)
+      queries.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stream = spark.readStream.schema(queries.schema)
+        .parquet(dir.getAbsolutePath)
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val q = StreamVerbs.streamingKnnJoin(Tbl(stream), corpus,
+          k = 2, dim = 64, nPlanes = 6, nTables = 8) { out =>
+          got ++= out.select("query_id", "item_id", "rk").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+        }
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val batch = graft.ml.Similarity.knnJoin(queries, corpus,
+          k = 2, dim = 64, nPlanes = 6, nTables = 8)
+        .select("query_id", "item_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      assert(got.toSet == batch, s"stream ${got.size} vs batch ${batch.size}")
+      assert(batch.nonEmpty)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("map-only curation ops (cleanText/redactPii/tokenCount) run unchanged on a stream") {
     import spark.implicits._
     val rows = Seq(

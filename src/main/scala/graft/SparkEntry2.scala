@@ -539,8 +539,11 @@ object SparkEntry2 {
 
     "q_dedup_simhash" -> ((s, dir) =>
       // maxDist=7 -> 8x8-bit chunk banding (derived): pigeonhole-guaranteed
-      // recall at this distance, unlike the old 4x16 layout at maxDist=16
-      Dedup.simhashPairs(t(s, dir, "documents").df, "doc_id", "text", maxDist = 7)),
+      // recall at this distance. Portable md5 token hash makes the whole
+      // fingerprint -> banding -> popcount pipeline reproducible in DuckDB
+      // (generated oracle below) — hash-checked, no longer rows-only.
+      Dedup.simhashPairs(t(s, dir, "documents").df, "doc_id", "text",
+        maxDist = 7, hashLeaf = Some(TextFns.portableHash64))),
 
     "q_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").df
@@ -1106,11 +1109,60 @@ object SparkEntry2 {
     // xxhash collisions, which the est>=threshold filter kills anyway),
     // and scores agreement/k exactly like ArrayEqCount.
     "q_dedup_minhash" -> minhashOracleSql(bands = 16, rows = 2,
-      threshold = 0.3, seed = 42L)
-    // q_dedup_simhash / q_ann_lsh / q_embed_neardup / q_multimodal:
-    // probabilistic or non-SQL-expressible → rows-only check; exactness is
-    // covered by PipelineSpec unit tests against brute force.
+      threshold = 0.3, seed = 42L),
+    "q_dedup_simhash" -> simhashOracleSql(maxDist = 7)
+    // q_ann_lsh / q_ann_ivf / q_knn_join / q_embed_neardup / q_multimodal:
+    // hyperplane/centroid hashes aren't SQL-portable → rows-only check;
+    // exactness is covered by PipelineSpec unit tests against brute force.
   )
+
+  /** DuckDB replica of the portable-leaf simhash pipeline (see
+    * `q_dedup_simhash`): md5-based 64-bit token hashes, per-bit ±1 votes,
+    * disjoint-bit packing via addition (== bitwise OR), derived chunk
+    * banding by shift-and-mask equality, popcount distance filter.
+    */
+  private def simhashOracleSql(maxDist: Int): String = {
+    val nChunks = maxDist + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val widths = Seq.tabulate(nChunks)(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val votes = (0 until 64).map { j =>
+      s"sum(CASE WHEN (th & ${1L << j}) != 0 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    // disjoint bits: addition == OR; the sign bit's term (Long.Min) LAST so
+    // every partial sum stays in int64 range
+    val pack = ((0 until 63).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END") :+
+      s"CASE WHEN b63 > 0 THEN ${1L << 63} ELSE 0 END").mkString("\n    + ")
+    val chunkEq = (0 until nChunks).map { c =>
+      val mask = (1L << widths(c)) - 1
+      s"((a.sh >> ${offsets(c)}) & $mask) = ((b.sh >> ${offsets(c)}) & $mask)"
+    }.mkString("\n     OR ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+       |  FROM documents),
+       |thu AS (SELECT doc_id,
+       |    CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+       |         AS HUGEINT) * 4294967296
+       |      + CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS u
+       |  FROM tok),
+       |th AS (SELECT doc_id,
+       |    CAST(CASE WHEN u >= 9223372036854775808
+       |         THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS th
+       |  FROM thu),
+       |bits AS (SELECT doc_id,
+       |    $votes
+       |  FROM th GROUP BY 1),
+       |sh AS (SELECT doc_id,
+       |    $pack AS sh
+       |  FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE ($chunkEq)
+       |  AND bit_count(xor(a.sh, b.sh)) <= $maxDist""".stripMargin
+  }
 
   /** DuckDB replica of the portable-leaf minhash pipeline (see
     * `q_dedup_minhash`): same md5 shingle hashes, same (a,b) permutation

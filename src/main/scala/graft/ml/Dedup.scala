@@ -443,10 +443,14 @@ object Dedup {
     * the fingerprint bit. Computed as 64 conditional sums in ONE aggregate
     * over the exploded token table (map-side combinable).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              hashLeaf: Option[Column => Column] = None): DataFrame = {
+    // hashLeaf overrides the token hash (e.g. TextFns.portableHash64 for
+    // engine-reproducible fingerprints); votes/packing/banding identical
+    val leaf = hashLeaf.getOrElse((c: Column) => xxhash64(c))
     val toks = spread(df).select(col(idCol).as("id"),
       explode(array_distinct(TextFns.tokens(col(textCol)))).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
+      .withColumn("th", leaf(col("tok")))
     val bitSums = (0 until 64).map { j =>
       sum(when(col("th").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
     }
@@ -473,7 +477,8 @@ object Dedup {
     * default is generous; set <= 0 to disable.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 10000,
+                   hashLeaf: Option[Column => Column] = None): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
       s"maxDist=$maxDist: chunk banding supports 0..15 (16 chunks of 4 bits); " +
       "beyond that the bucket keys stop discriminating")
@@ -489,7 +494,7 @@ object Dedup {
     // self-join sides; an additional signature-level cache would only pay
     // a second materialization for a single consumer
     val chunked0 = scopedCache(
-      simhash(df, idCol, textCol).select(col("id"), col("simhash"),
+      simhash(df, idCol, textCol, hashLeaf).select(col("id"), col("simhash"),
         posexplode(array((0 until nChunks).map(c =>
           shiftrightunsigned(col("simhash"), offsets(c))
             .bitwiseAND(lit((1L << widths(c)) - 1))): _*)))

@@ -222,6 +222,16 @@ object TextFns {
       g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
   }
 
+  /** SQL-portable full 64-bit string hash: the first 16 md5 hex chars as a
+    * signed int64, built from 32-bit halves — `(hi << 32) | lo` here;
+    * engines with checked shifts (DuckDB) reach the same value via
+    * unsigned HUGEINT arithmetic minus 2^64. The token-level sibling of
+    * [[shingleHashesPortable]]: feeds oracle-reproducible simhash.
+    */
+  def portableHash64(s: Column): Column =
+    shiftleft(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
+
   /** Boilerplate stripping for scraped corpora, each a single codegen'd
     * regexp pass (patterns valid under Java regex AND RE2, like
     * [[piiPatterns]]): drop HTML/XML tags, drop URLs, collapse runs of

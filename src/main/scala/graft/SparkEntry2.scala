@@ -569,7 +569,10 @@ object SparkEntry2 {
       val emb = t(s, dir, "embeddings").df
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val queries = emb.filter(col("vec_id") < 10)
-      Similarity.ivfTopK(emb, queries, k = 3, nCentroids = 16, nProbe = 4)
+      // portable centroid hash -> the whole probe/rank pipeline is
+      // reproducible in DuckDB (generated oracle): hash-checked
+      Similarity.ivfTopK(emb, queries, k = 3, nCentroids = 16, nProbe = 4,
+          centroidHash = Some(TextFns.portableHash64(col("vec_id").cast("string"))))
         .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
     }),
 
@@ -1110,11 +1113,178 @@ object SparkEntry2 {
     // and scores agreement/k exactly like ArrayEqCount.
     "q_dedup_minhash" -> minhashOracleSql(bands = 16, rows = 2,
       threshold = 0.3, seed = 42L),
-    "q_dedup_simhash" -> simhashOracleSql(maxDist = 7)
-    // q_ann_lsh / q_ann_ivf / q_knn_join / q_embed_neardup / q_multimodal:
-    // hyperplane/centroid hashes aren't SQL-portable → rows-only check;
-    // exactness is covered by PipelineSpec unit tests against brute force.
+    "q_dedup_simhash" -> simhashOracleSql(maxDist = 7),
+    // hyperplane signatures ARE SQL-portable when the planes are
+    // interpolated as literals: list_dot_product sums left-to-right exactly
+    // like the DotProduct codegen (the q_ann_bruteforce oracle already
+    // leans on that), so sign bits, buckets, and the cosine filter agree
+    // bit-for-bit — and the output is ids only.
+    "q_embed_neardup" -> embedNearDupOracleSql(dim = 64, nPlanes = 8,
+      seed = 42L, threshold = 0.999),
+    "q_ann_lsh" -> annLshOracleSql(dim = 64, nPlanes = 8, nTables = 8,
+      k = 3, seed = 42L),
+    // radius-1 multi-probe has a clean relational form: a query's probe
+    // set hits a corpus bucket iff the two signatures differ in <= 1 bit —
+    // bit_count(xor(sigs)) <= 1 replaces the whole probe-set expansion
+    "q_knn_join" -> knnJoinOracleSql(dim = 64, nPlanes = 10, nTables = 8,
+      k = 2, seed = 42L),
+    "q_ann_ivf" -> annIvfOracleSql(nCentroids = 16, nProbe = 4, k = 3)
+    // q_multimodal: binary payloads are non-SQL → rows-only check.
   )
+
+  /** DuckDB replica of `q_ann_ivf`: portable-hash centroid sample (16
+    * smallest md5-based id hashes), nearest-centroid assignment and
+    * nProbe-nearest query probes with the same (cdist desc, centroid_id)
+    * tie-break, exact-cosine ranking of probed candidates.
+    */
+  private def annIvfOracleSql(nCentroids: Int, nProbe: Int, k: Int): String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+        s"* sqrt(list_dot_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |hu AS (SELECT vec_id, v,
+       |    CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |         AS BIGINT) AS HUGEINT) * 4294967296
+       |      + CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 9, 8))
+       |        AS BIGINT) AS u
+       |  FROM e),
+       |h AS (SELECT vec_id, v,
+       |    CAST(CASE WHEN u >= 9223372036854775808
+       |         THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS hid
+       |  FROM hu),
+       |cent AS (SELECT hid AS centroid_id, v AS cvec FROM h
+       |  ORDER BY hid LIMIT $nCentroids),
+       |assign AS (SELECT e.vec_id, cent.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.v", "cent.cvec")} DESC, cent.centroid_id)
+       |      AS crk
+       |  FROM e CROSS JOIN cent),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS item_id
+       |  FROM (SELECT * FROM assign WHERE crk <= $nProbe AND vec_id < 10) q
+       |  JOIN (SELECT * FROM assign WHERE crk = 1) i
+       |    ON i.centroid_id = q.centroid_id
+       |  WHERE i.vec_id <> q.vec_id),
+       |scored AS (SELECT cand.query_id, cand.item_id,
+       |    ${cos("cv.v", "qv.v")} AS cosine
+       |  FROM cand
+       |  JOIN e cv ON cv.vec_id = cand.item_id
+       |  JOIN e qv ON qv.vec_id = cand.query_id),
+       |rk AS (SELECT query_id, item_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, item_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, item_id, CAST(rk AS BIGINT) AS rk
+       |FROM rk WHERE rk <= $k""".stripMargin
+  }
+
+  /** DuckDB replica of `q_knn_join`: odd-id queries against the even-id
+    * corpus, per-table hyperplane signatures (interpolated planes),
+    * radius-1 multi-probe as Hamming-distance-1 signature match, exact
+    * cosine ranking.
+    */
+  private def knnJoinOracleSql(dim: Int, nPlanes: Int, nTables: Int,
+                               k: Int, seed: Long): String = {
+    def sigExpr(tbl: Int): String = {
+      val ps = Similarity.planes(dim, nPlanes, seed + tbl)
+      ps.zipWithIndex.map { case (p, j) =>
+        val lits = p.map(_.toString).mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(v, ${lits}::DOUBLE[]) >= 0 " +
+          s"THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", "\n      + ", ")")
+    }
+    val sigCols = (0 until nTables).map(t => s"${sigExpr(t)} AS sig$t")
+      .mkString(",\n    ")
+    val probeHit = (0 until nTables)
+      .map(t => s"bit_count(xor(c.sig$t, q.sig$t)) <= 1")
+      .mkString("\n     OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |    $sigCols
+       |  FROM e),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS item_id
+       |  FROM s c JOIN s q ON ($probeHit)
+       |  WHERE q.vec_id % 2 = 1 AND c.vec_id % 2 = 0),
+       |scored AS (SELECT cand.query_id, cand.item_id,
+       |    list_dot_product(cv.v, qv.v)
+       |      / (sqrt(list_dot_product(cv.v, cv.v))
+       |         * sqrt(list_dot_product(qv.v, qv.v))) AS cosine
+       |  FROM cand
+       |  JOIN e cv ON cv.vec_id = cand.item_id
+       |  JOIN e qv ON qv.vec_id = cand.query_id),
+       |rk AS (SELECT query_id, item_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, item_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, item_id, CAST(rk AS BIGINT) AS rk
+       |FROM rk WHERE rk <= $k""".stripMargin
+  }
+
+  /** DuckDB replica of `q_ann_lsh` (lshTopK): per-table hyperplane sign
+    * signatures with interpolated plane literals, any-table bucket match,
+    * distinct candidate pairs, exact-cosine ranking with the same
+    * (cosine desc, item_id) tie-break.
+    */
+  private def annLshOracleSql(dim: Int, nPlanes: Int, nTables: Int,
+                              k: Int, seed: Long): String = {
+    def sigExpr(tbl: Int): String = {
+      val ps = Similarity.planes(dim, nPlanes, seed + tbl)
+      ps.zipWithIndex.map { case (p, j) =>
+        val lits = p.map(_.toString).mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(v, ${lits}::DOUBLE[]) >= 0 " +
+          s"THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", "\n      + ", ")")
+    }
+    val sigCols = (0 until nTables).map(t => s"${sigExpr(t)} AS sig$t")
+      .mkString(",\n    ")
+    val anyTable = (0 until nTables).map(t => s"c.sig$t = q.sig$t")
+      .mkString("\n     OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |    $sigCols
+       |  FROM e),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS item_id
+       |  FROM s c JOIN s q ON ($anyTable)
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |scored AS (SELECT cand.query_id, cand.item_id,
+       |    list_dot_product(cv.v, qv.v)
+       |      / (sqrt(list_dot_product(cv.v, cv.v))
+       |         * sqrt(list_dot_product(qv.v, qv.v))) AS cosine
+       |  FROM cand
+       |  JOIN e cv ON cv.vec_id = cand.item_id
+       |  JOIN e qv ON qv.vec_id = cand.query_id),
+       |rk AS (SELECT query_id, item_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, item_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, item_id, CAST(rk AS BIGINT) AS rk
+       |FROM rk WHERE rk <= $k""".stripMargin
+  }
+
+  /** DuckDB replica of `q_embed_neardup`: same perturbed-copy corpus, same
+    * hyperplane sign bits (plane literals from [[Similarity.planes]]),
+    * bucket equality pairs, exact-cosine threshold.
+    */
+  private def embedNearDupOracleSql(dim: Int, nPlanes: Int, seed: Long,
+                                    threshold: Double): String = {
+    val ps = Similarity.planes(dim, nPlanes, seed)
+    val sigSum = ps.zipWithIndex.map { case (p, j) =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, ${lits}::DOUBLE[]) >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(v, x -> x * 1.001 + 0.0001) AS v FROM e),
+       |both_t AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+       |sig AS (SELECT vec_id, v,
+       |    $sigSum AS sig
+       |  FROM both_t)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v))
+       |         * sqrt(list_dot_product(b.v, b.v))) >= $threshold""".stripMargin
+  }
 
   /** DuckDB replica of the portable-leaf simhash pipeline (see
     * `q_dedup_simhash`): md5-based 64-bit token hashes, per-bit ±1 votes,

@@ -28,8 +28,11 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random unit-ish hyperplanes from a seed. */
-  private[ml] def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
+  /** Deterministic pseudo-random unit-ish hyperplanes from a seed.
+    * private[graft]: the oracle generator interpolates these as SQL
+    * literals to reproduce signatures outside Spark.
+    */
+  private[graft] def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -234,16 +237,20 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroidHash: Option[Column] = None): DataFrame = {
     // deterministic pseudo-random centroid sample: the nCentroids smallest
-    // id-hashes. orderBy+limit plans as TakeOrderedAndProject — each
-    // partition keeps its local top-N, one tiny merge — no global sort, no
-    // driver-side count() pass over the corpus.
+    // id-hashes (centroidHash overrides the hash, e.g. portableHash64 for
+    // engine-reproducible centroid choice). orderBy+limit plans as
+    // TakeOrderedAndProject — each partition keeps its local top-N, one
+    // tiny merge — no global sort, no driver-side count() pass over the
+    // corpus.
     // registered with Dedup's intermediate registry: nCentroids vectors is
     // tiny, but long-lived sessions sweeping k/nProbe would otherwise
     // accumulate one pinned centroid table per call
+    val ch = centroidHash.getOrElse(xxhash64(col(idCol)))
     val centroids = Dedup.trackCache(corpus
-      .select(xxhash64(col(idCol)).as("centroid_id"), col(vecCol).as("cvec"))
+      .select(ch.as("centroid_id"), col(vecCol).as("cvec"))
       .orderBy("centroid_id").limit(nCentroids))
 
     def assign(df: DataFrame, name: String, nNearest: Int) = {

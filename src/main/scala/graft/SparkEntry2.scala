@@ -360,6 +360,27 @@ object SparkEntry2 {
     "q_dedup_exact" -> ((s, dir) =>
       Tbl(Dedup.exact(t(s, dir, "documents").df, "doc_id", "text")).df),
 
+    "q_repetition" -> ((s, dir) => {
+      // Gopher repetition counts over a multi-line view of the corpus (the
+      // synthetic docs are single-line word soup, so line/paragraph structure
+      // is derived by swapping two frequent words for newline runs — the
+      // chr(10)||chr(10) spelling parses identically in Spark SQL and
+      // DuckDB, so both engines stat the same text). Output is exact
+      // integers only: no float discipline needed (see RepetitionStats).
+      val tx = expr(
+        "replace(replace(text, ' table ', chr(10) || chr(10)), ' the ', chr(10))")
+      t(s, dir, "documents").df
+        .withColumn("st", TextFns.repetitionStats(tx))
+        .select(col("doc_id") +:
+          Seq("lines", "dup_lines", "line_chars", "dup_line_chars",
+              "paras", "dup_paras", "para_chars", "dup_para_chars",
+              "words", "chars",
+              "top2gram_count", "top2gram_len", "top3gram_count",
+              "top3gram_len", "top4gram_count", "top4gram_len",
+              "dup5gram_chars", "dup8gram_chars")
+            .map(f => col(s"st.$f").as(f)): _*)
+    }),
+
     "q_text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .mutate(
@@ -664,6 +685,70 @@ object SparkEntry2 {
   )
 
   private val pipelineOracle: Map[String, String] = Map(
+    // mirrors RepetitionStats's documented semantics exactly: string_split /
+    // regexp_split_to_array keep all empty segments like Java split(-1);
+    // duplicate accounting is occurrences-beyond-first; n-grams are counted
+    // with overlap via 1-based inclusive list slices; ties break on binary
+    // string order (= Java compareTo on ASCII). All outputs exact BIGINTs.
+    "q_repetition" -> {
+      def gramCte(n: Int): String =
+        s"""g$n AS (SELECT doc_id, array_to_string(ws[i:i+${n - 1}], ' ') AS gram
+           |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - ${n - 2})) AS i) r),
+           |gc$n AS (SELECT doc_id, gram, count(*) AS c FROM g$n GROUP BY 1, 2)""".stripMargin
+      def topCte(n: Int): String =
+        s"""top$n AS (SELECT doc_id, CAST(c AS BIGINT) AS top${n}gram_count,
+           |    CAST(length(gram) AS BIGINT) AS top${n}gram_len
+           |  FROM (SELECT doc_id, c, gram,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+           |    FROM gc$n) WHERE rn = 1)""".stripMargin
+      def dupCte(n: Int): String =
+        s"""dup$n AS (SELECT doc_id,
+           |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * length(gram) END), 0)
+           |      AS BIGINT) AS dup${n}gram_chars
+           |  FROM gc$n GROUP BY 1)""".stripMargin
+      s"""WITH t AS (SELECT doc_id,
+         |    replace(replace(text, ' table ', chr(10) || chr(10)), ' the ', chr(10)) AS tx
+         |  FROM documents),
+         |l AS (SELECT doc_id, ln, count(*) AS c, length(ln) AS cl
+         |  FROM (SELECT doc_id, unnest(string_split(tx, chr(10))) AS ln FROM t)
+         |  GROUP BY 1, 2),
+         |lst AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS lines,
+         |    CAST(sum(c) - count(*) AS BIGINT) AS dup_lines,
+         |    CAST(sum(c * cl) AS BIGINT) AS line_chars,
+         |    CAST(sum((c - 1) * cl) AS BIGINT) AS dup_line_chars
+         |  FROM l GROUP BY 1),
+         |p AS (SELECT doc_id, pa, count(*) AS c, length(pa) AS cl
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(tx, '\\n{2,}')) AS pa FROM t)
+         |  GROUP BY 1, 2),
+         |pst AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS paras,
+         |    CAST(sum(c) - count(*) AS BIGINT) AS dup_paras,
+         |    CAST(sum(c * cl) AS BIGINT) AS para_chars,
+         |    CAST(sum((c - 1) * cl) AS BIGINT) AS dup_para_chars
+         |  FROM p GROUP BY 1),
+         |w AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(tx, '\\s+'), x -> x <> '') AS ws,
+         |    CAST(length(tx) AS BIGINT) AS chars FROM t),
+         |wst AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS words, chars FROM w),
+         |${gramCte(2)}, ${topCte(2)},
+         |${gramCte(3)}, ${topCte(3)},
+         |${gramCte(4)}, ${topCte(4)},
+         |${gramCte(5)}, ${dupCte(5)},
+         |${gramCte(8)}, ${dupCte(8)}
+         |SELECT lst.doc_id, lines, dup_lines, line_chars, dup_line_chars,
+         |  paras, dup_paras, para_chars, dup_para_chars, words, chars,
+         |  coalesce(top2gram_count, 0) AS top2gram_count,
+         |  coalesce(top2gram_len, 0) AS top2gram_len,
+         |  coalesce(top3gram_count, 0) AS top3gram_count,
+         |  coalesce(top3gram_len, 0) AS top3gram_len,
+         |  coalesce(top4gram_count, 0) AS top4gram_count,
+         |  coalesce(top4gram_len, 0) AS top4gram_len,
+         |  coalesce(dup5gram_chars, 0) AS dup5gram_chars,
+         |  coalesce(dup8gram_chars, 0) AS dup8gram_chars
+         |FROM lst JOIN pst USING (doc_id) JOIN wst USING (doc_id)
+         |  LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+         |  LEFT JOIN top4 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
+         |  LEFT JOIN dup8 USING (doc_id)""".stripMargin
+    },
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
         |  min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -366,4 +366,50 @@ object TextFns {
     graft.ops.Scale.spread(df).select(col(idCol).as("doc_id"),
       posexplode(chunkTokens(col(textCol), chunkSize, overlap)))
       .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
+
+  /** One-pass Gopher-style repetition counts (struct of exact integers —
+    * duplicate lines/paragraphs, top and duplicated word n-grams; see
+    * `plans.RepetitionStats` for the precise mirrorable semantics). Map-only:
+    * the decision for each document never leaves its partition.
+    */
+  def repetitionStats(text: Column,
+                      topNs: Seq[Int] = Seq(2, 3, 4),
+                      dupNs: Seq[Int] = Seq(5, 8)): Column =
+    org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.RepetitionStats(
+        org.apache.spark.sql.graftshim.Shim.exprOf(text), topNs, dupNs))
+
+  /** Gopher repetition-filter verdict (Rae et al. 2021 table A1 thresholds):
+    * keep a document only if every repetition fraction is under its cap.
+    * Fractions are plain double ratios of the exact counts — fine for
+    * thresholding (oracle queries should compare the integer counts
+    * themselves).
+    */
+  def repetitionKeep(text: Column,
+                     maxDupLineFrac: Double = 0.30,
+                     maxDupParaFrac: Double = 0.30,
+                     maxDupLineCharFrac: Double = 0.20,
+                     maxDupParaCharFrac: Double = 0.20,
+                     maxTopGramFrac: Map[Int, Double] =
+                       Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+                     maxDupGramFrac: Map[Int, Double] =
+                       Map(5 -> 0.15, 8 -> 0.10)): Column = {
+    val st = repetitionStats(text,
+      maxTopGramFrac.keys.toSeq.sorted, maxDupGramFrac.keys.toSeq.sorted)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    val lineOk =
+      frac(st("dup_lines"), st("lines")) <= maxDupLineFrac &&
+      frac(st("dup_line_chars"), st("line_chars")) <= maxDupLineCharFrac
+    val paraOk =
+      frac(st("dup_paras"), st("paras")) <= maxDupParaFrac &&
+      frac(st("dup_para_chars"), st("para_chars")) <= maxDupParaCharFrac
+    val topOk = maxTopGramFrac.toSeq.sortBy(_._1).map { case (n, cap) =>
+      frac(st(s"top${n}gram_count") * st(s"top${n}gram_len"), st("chars")) <= cap
+    }.reduce(_ && _)
+    val dupOk = maxDupGramFrac.toSeq.sortBy(_._1).map { case (n, cap) =>
+      frac(st(s"dup${n}gram_chars"), st("chars")) <= cap
+    }.reduce(_ && _)
+    lineOk && paraOk && topOk && dupOk
+  }
 }

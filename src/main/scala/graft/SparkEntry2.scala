@@ -670,17 +670,27 @@ object SparkEntry2 {
     }),
 
     "q_multimodal" -> ((s, dir) => {
-      // binary plumbing over real bytes: documents.text as the payload
+      // binary plumbing over real bytes: documents.text as the payload.
+      // Every output column is engine-portable — the payload is utf-8 text,
+      // so binary header/frame slices equal string slices in any SQL engine,
+      // and the metadata stub runs on the portable md5 leaf (60-bit:
+      // nonnegative, so % == pmod on both sides) instead of xxhash64.
+      val ph = (h: org.apache.spark.sql.Column, k: Int) =>
+        conv(substring(md5(concat(h.cast("string"), lit("|" + k))), 1, 15),
+          16, 10).cast("long")
       val media = Multimodal.attachMeta(
         t(s, dir, "documents").df.withColumn("payload", to_binary(col("text"), lit("utf-8"))),
-        "doc_id", "payload")
+        "doc_id", "payload", headerHash = ph)
       val feats = Multimodal.extractFeaturesBatched(media, dim = 8)
-      Tbl(Multimodal.sampleFrames(feats, nFrames = 2))
-        .summarize(
-          "n_frames"   -> Fns.Agg.n(),
-          "n_media"    -> Fns.Agg.nDistinct(col("media_id")),
-          "n_formats"  -> Fns.Agg.nDistinct(col("meta.format")))
-        .df
+      Multimodal.sampleFrames(feats, nFrames = 2)
+        .select(
+          col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("ts_ms").cast("double").as("ts_ms"),
+          length(col("frame_bytes")).cast("long").as("frame_chars"),
+          md5(col("frame_bytes")).as("frame_md5"))
     })
   )
 
@@ -1213,8 +1223,32 @@ object SparkEntry2 {
     // bit_count(xor(sigs)) <= 1 replaces the whole probe-set expansion
     "q_knn_join" -> knnJoinOracleSql(dim = 64, nPlanes = 10, nTables = 8,
       k = 2, seed = 42L),
-    "q_ann_ivf" -> annIvfOracleSql(nCentroids = 16, nProbe = 4, k = 3)
-    // q_multimodal: binary payloads are non-SQL → rows-only check.
+    "q_ann_ivf" -> annIvfOracleSql(nCentroids = 16, nProbe = 4, k = 3),
+    // the multimodal payload is utf-8 text, so DuckDB reproduces every
+    // binary operation on the VARCHAR side: substr == binary slice, the
+    // md5-leaf metadata stub interpolates the same salts, and Spark's
+    // double->int cast truncation is matched with trunc() (DuckDB CAST
+    // rounds). ts_ms stays exact: duration * i / 2 is a half-integer.
+    "q_multimodal" ->
+      """WITH h AS (SELECT doc_id AS media_id, text,
+        |    substr(text, 1, 16) AS hdr FROM documents),
+        |m AS (SELECT media_id, text,
+        |    CAST(('0x' || substr(md5(hdr || '|0'), 1, 15)) AS BIGINT) % 4 + 1 AS fmt_idx,
+        |    CAST((CAST(('0x' || substr(md5(hdr || '|1'), 1, 15)) AS BIGINT) % 1920 + 32) AS INT) AS width,
+        |    CAST((CAST(('0x' || substr(md5(hdr || '|2'), 1, 15)) AS BIGINT) % 1080 + 32) AS INT) AS height,
+        |    CAST(('0x' || substr(md5(hdr || '|3'), 1, 15)) AS BIGINT) % 600000 AS duration_ms
+        |  FROM h),
+        |f AS (SELECT m.*, unnest([0, 1]) AS frame_idx FROM m),
+        |s AS (SELECT *, substr(text,
+        |    CAST(trunc(frame_idx * greatest(length(text) / 2.0, 1.0) + 1) AS INT),
+        |    64) AS fb FROM f)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  (['jpeg', 'png', 'wav', 'mp4'])[fmt_idx] AS format,
+        |  width, height, duration_ms,
+        |  duration_ms * frame_idx / 2 AS ts_ms,
+        |  CAST(length(fb) AS BIGINT) AS frame_chars,
+        |  md5(fb) AS frame_md5
+        |FROM s""".stripMargin
   )
 
   /** DuckDB replica of `q_ann_ivf`: portable-hash centroid sample (16

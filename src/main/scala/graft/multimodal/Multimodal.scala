@@ -35,19 +35,26 @@ object Multimodal {
 
   /** Wrap a raw binary column into the canonical layout, deriving fake-but-
     * deterministic metadata from the payload header. STUB: a real
-    * implementation sniffs magic bytes; this hashes them.
+    * implementation sniffs magic bytes; this hashes them. The header hash is
+    * pluggable: the default is codegen'd xxhash64 (the fast path); oracle
+    * queries pass a SQL-portable md5 leaf so an external engine can
+    * reproduce the derived metadata bit-for-bit (the same portable-leaf
+    * discipline as shingleHashesPortable).
     */
-  def attachMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  def attachMeta(df: DataFrame, idCol: String, binCol: String,
+                 headerHash: (Column, Int) => Column =
+                   (h, k) => xxhash64(h, lit(k))): DataFrame = {
     val header = substring(col(binCol), 1, 16)
+    def hh(k: Int) = headerHash(header, k)
     df.select(
       col(idCol).cast("long").as("media_id"),
       col(binCol).as("media"),
       struct(
         element_at(array(lit("jpeg"), lit("png"), lit("wav"), lit("mp4")),
-          (pmod(xxhash64(header), lit(4)) + 1).cast("int")).as("format"),
-        (pmod(xxhash64(header, lit(1)), lit(1920)) + 32).cast("int").as("width"),
-        (pmod(xxhash64(header, lit(2)), lit(1080)) + 32).cast("int").as("height"),
-        pmod(xxhash64(header, lit(3)), lit(600000)).as("duration_ms")
+          (pmod(hh(0), lit(4)) + 1).cast("int")).as("format"),
+        (pmod(hh(1), lit(1920)) + 32).cast("int").as("width"),
+        (pmod(hh(2), lit(1080)) + 32).cast("int").as("height"),
+        pmod(hh(3), lit(600000)).as("duration_ms")
       ).as("meta"))
   }
 

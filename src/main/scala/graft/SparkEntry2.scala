@@ -505,6 +505,17 @@ object SparkEntry2 {
         .select(col("doc_id"), col("n_tok"), col("shard"))
     }),
 
+    // fixed-length sequence packing: documents laid end to end in doc_id
+    // order, cut every 2048 tokens (n_chars stands in for the token count —
+    // an existing exact-integer column keeps the oracle arithmetic-free)
+    "q_pack_sequences" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").df.select(col("doc_id"), col("n_chars"))
+      graft.ops.Scale.packSequences(sized, Seq(col("doc_id")), col("n_chars"),
+          seqLen = 2048)
+        .select(col("doc_id"), col("seq_id"),
+          col("tok_start"), col("tok_end"), col("seq_off"))
+    }),
+
     // weighted mixture interleave: urgent orders at 2x the rate of high
     "q_interleave" -> ((s, dir) => {
       val o = t(s, dir, "orders").df.select("o_orderkey", "o_orderpriority")
@@ -1037,6 +1048,21 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, cum, cum - n_chars AS strt FROM c
+        |  WHERE n_chars > 0),
+        |e AS (SELECT doc_id, strt, cum,
+        |    unnest(range(strt // 2048, (cum - 1) // 2048 + 1)) AS seq_id
+        |  FROM s)
+        |SELECT doc_id, seq_id,
+        |  greatest(seq_id * 2048, strt) - strt AS tok_start,
+        |  least((seq_id + 1) * 2048, cum) - strt AS tok_end,
+        |  greatest(seq_id * 2048, strt) - seq_id * 2048 AS seq_off
+        |FROM e""".stripMargin,
     "q_interleave" ->
       """WITH a AS (SELECT o_orderkey, 'urgent' AS tag,
         |    (row_number() OVER (ORDER BY o_orderkey) - 0.5) / 2.0 AS pos

@@ -195,6 +195,36 @@ object Scale {
       .drop("__cum")
   }
 
+  /** Pack tokenized documents into fixed-length training sequences
+    * (concat-and-split: tokens are laid end to end in `orderCols` order and
+    * cut every `seqLen`). One output row per (document, sequence) segment:
+    *   - `seq_id`: which training sequence the segment lands in,
+    *   - `tok_start`/`tok_end`: the [start, end) token span WITHIN the doc,
+    *   - `seq_off`: where the segment begins inside the sequence.
+    * A document crossing a cut contributes one row per sequence it touches
+    * (ceil(len/seqLen)+1 worst case), so every sequence is exactly full and
+    * segment spans reconstruct each document — the standard pretraining
+    * data layout. All arithmetic is exact integer (div, not float floor).
+    * Scales via the two-phase prefix sum; no global window.
+    */
+  def packSequences(df: DataFrame, orderCols: Seq[Column], nTokCol: Column,
+                    seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    globalCumSum(df, orderCols, nTokCol, "__cum")
+      .withColumn("__start", col("__cum") - nTokCol)
+      .where(nTokCol > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start div $seqLen"),
+        expr(s"(__cum - 1) div $seqLen"))))
+      .withColumn("tok_start",
+        greatest(col("seq_id") * seqLen, col("__start")) - col("__start"))
+      .withColumn("tok_end",
+        least((col("seq_id") + 1) * seqLen, col("__cum")) - col("__start"))
+      .withColumn("seq_off",
+        greatest(col("seq_id") * seqLen, col("__start")) - col("seq_id") * seqLen)
+      .drop("__cum", "__start")
+  }
+
   /** Deterministic weighted interleave of several sources (training-mixture
     * scheduling): source i's k-th row lands at position (k - 0.5) / weight_i,
     * so a weight-2 source appears twice as often, uniformly spread — the

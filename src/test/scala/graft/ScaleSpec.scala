@@ -323,6 +323,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(mix == mix2)
   }
 
+  test("packSequences: sequences exactly full, docs fully covered, partition-invariant") {
+    import spark.implicits._
+    val seqLen = 100
+    // lengths chosen to produce docs smaller and larger than seqLen, plus
+    // zero-length docs (dropped) and exact-boundary hits
+    val docs = (1L to 200L).map(i => (i, (i * 37 % 260))).toDF("id", "n")
+    val packed = graft.ops.Scale.packSequences(
+      docs, Seq(col("id")), col("n"), seqLen).cache()
+
+    // every doc with n>0 is covered exactly: segments tile [0, n)
+    val cover = packed.groupBy("id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("tot"),
+           min("tok_start").as("lo"), max("tok_end").as("hi"))
+      .join(docs.where(col("n") > 0), "id", "full")
+    assert(cover.where(col("tot").isNull || col("tot") =!= col("n")
+      || col("lo") =!= 0 || col("hi") =!= col("n")).count() == 0)
+
+    // every sequence except the last is exactly full
+    val total = docs.agg(sum(when(col("n") > 0, col("n")))).head().getLong(0)
+    val perSeq = packed.groupBy("seq_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("filled"))
+    val lastSeq = (total - 1) / seqLen
+    assert(perSeq.where(col("seq_id") =!= lastSeq
+      && col("filled") =!= seqLen).count() == 0)
+    assert(perSeq.count() == lastSeq + 1)
+
+    // segment offsets respect sequence bounds
+    assert(packed.where(col("seq_off") < 0
+      || col("seq_off") + (col("tok_end") - col("tok_start")) > seqLen)
+      .count() == 0)
+
+    // invariant to input partitioning
+    val packed13 = graft.ops.Scale.packSequences(
+      docs.repartition(13), Seq(col("id")), col("n"), seqLen)
+    TestSpark.assertSameRows(packed, packed13, "packSequences repartition")
+    packed.unpersist()
+  }
+
   test("coalesceForWrite: small data -> one file, result unchanged") {
     import spark.implicits._
     val d = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(16)

@@ -505,6 +505,23 @@ object SparkEntry2 {
         .select(col("doc_id"), col("n_tok"), col("shard"))
     }),
 
+    // daily resample with explicit gap rows: rare events (value > 195) leave
+    // 6-10 missing days per type, which the spine materializes as zeros.
+    // Sums stay in exact integer cents (see the float-discipline convention).
+    "q_resample" -> ((s, dir) => {
+      val ev = t(s, dir, "events").df
+        .where(col("value") > 195)
+        // ts arrives as nanos-since-epoch (parquet NANOS read as long);
+        // micro truncation is irrelevant at day granularity
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .withColumn("cents", round(col("value") * 100, 0).cast("bigint"))
+      graft.ops.Resample.resample(ev, col("tstamp"), "day", Seq("event_type"),
+          Seq("n" -> count(lit(1)), "vsum_cents" -> sum(col("cents"))),
+          fill = Map("n" -> lit(0L), "vsum_cents" -> lit(0L)))
+        .select(col("event_type"), col("bucket").cast("date").as("day"),
+          col("n"), col("vsum_cents"))
+    }),
+
     // fixed-length sequence packing: documents laid end to end in doc_id
     // order, cut every 2048 tokens (n_chars stands in for the token count —
     // an existing exact-integer column keeps the oracle arithmetic-free)
@@ -1048,6 +1065,20 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_resample" ->
+      """WITH f AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value > 195),
+        |b AS (SELECT event_type, day, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS vsum_cents
+        |  FROM f GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+        |  FROM b GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM r)
+        |SELECT spine.event_type, CAST(spine.day AS DATE) AS day,
+        |  coalesce(n, 0) AS n, coalesce(vsum_cents, 0) AS vsum_cents
+        |FROM spine LEFT JOIN b USING (event_type, day)""".stripMargin,
     "q_pack_sequences" ->
       """WITH c AS (SELECT doc_id, n_chars,
         |    CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)

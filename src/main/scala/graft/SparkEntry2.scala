@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Vec}
 import graft.reshape.Reshape
 import graft.cats.Forcats
-import graft.text.TextFns
+import graft.text.{TextFns, UrlFns}
 import graft.ml.{Dedup, Similarity}
 import graft.multimodal.Multimodal
 
@@ -503,6 +503,27 @@ object SparkEntry2 {
       graft.ops.Scale.packByBudget(sized, Seq(col("doc_id")), col("n_tok"),
           budget = 2000)
         .select(col("doc_id"), col("n_tok"), col("shard"))
+    }),
+
+    // URL family over deterministically constructed web-ish URLs (the
+    // corpus has no URL column): alternating shapes exercise ports, query
+    // order, fragments, and multi-part public suffixes
+    "q_url_ops" -> ((s, dir) => {
+      val url = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("HTTPS://www."), col("source"), lit(".Example.COM:443/"),
+            col("lang"), lit("/p"), col("doc_id"),
+            lit("?b="), pmod(col("doc_id"), lit(3)), lit("&a=1#sec")))
+        .otherwise(
+          concat(lit("http://"), col("source"), lit(".news.CO.UK:8080/a/b/c?z=9")))
+      t(s, dir, "documents").df
+        .withColumn("url", url)
+        .select(col("doc_id"),
+          UrlFns.urlHost(col("url")).as("host"),
+          UrlFns.registeredDomain(UrlFns.urlHost(col("url"))).as("domain"),
+          UrlFns.urlPathDepth(col("url")).cast("long").as("depth"),
+          UrlFns.urlParam(col("url"), "a").as("pa"),
+          UrlFns.urlParam(col("url"), "b").as("pb"),
+          UrlFns.normalizeUrl(col("url")).as("norm"))
     }),
 
     // daily resample with explicit gap rows: rare events (value > 195) leave
@@ -1065,6 +1086,46 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    // generic regex mirrors of parse_url + the registered-domain heuristic;
+    // DuckDB regexp_extract returns '' on miss where parse_url gives NULL,
+    // hence the nullif on params
+    "q_url_ops" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      'HTTPS://www.' || source || '.Example.COM:443/' || lang || '/p'
+        |        || doc_id || '?b=' || (doc_id % 3) || '&a=1#sec'
+        |    ELSE 'http://' || source || '.news.CO.UK:8080/a/b/c?z=9' END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^:/?#]+)', 1) AS host,
+        |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+        |    regexp_extract(url, '://[^/?#]*:([0-9]+)', 1) AS port,
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |d AS (SELECT *, string_split(lower(host), '.') AS labels FROM p)
+        |SELECT doc_id, host,
+        |  CASE WHEN len(labels) <= 1 THEN lower(host)
+        |       WHEN len(labels) >= 3
+        |            AND labels[len(labels)-1] IN
+        |              ('co','com','net','org','gov','edu','ac','or','ne')
+        |            AND length(labels[len(labels)]) = 2
+        |       THEN array_to_string(labels[len(labels)-2:len(labels)], '.')
+        |       ELSE array_to_string(labels[len(labels)-1:len(labels)], '.')
+        |  END AS domain,
+        |  CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+        |    AS BIGINT) AS depth,
+        |  nullif(regexp_extract(url, '[?&]a=([^&#]*)', 1), '') AS pa,
+        |  nullif(regexp_extract(url, '[?&]b=([^&#]*)', 1), '') AS pb,
+        |  scheme || '://' || lower(host) ||
+        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |              AND NOT (scheme = 'https' AND port = '443')
+        |         THEN ':' || port ELSE '' END ||
+        |    path ||
+        |    CASE WHEN q = '' THEN ''
+        |         ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+        |    END AS norm
+        |FROM d""".stripMargin,
     "q_resample" ->
       """WITH f AS (SELECT event_type, date_trunc('day', ts) AS day,
         |    CAST(round(value * 100) AS BIGINT) AS cents

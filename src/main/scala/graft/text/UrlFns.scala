@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL analysis for web-scraped corpora: per-domain quotas, source
+  * attribution, and dedup-by-page all start from reliable host / domain /
+  * path extraction. Everything here is Spark built-ins (parse_url is
+  * codegen'd) — no UDFs, so the whole family stays inside whole-stage
+  * codegen and prunes through parquet scans.
+  *
+  * Reference scope: siuba has no URL family; this extends the engine for
+  * corpus curation (the same role as TextFns/Dedup).
+  */
+object UrlFns {
+
+  def urlScheme(url: Column): Column = lower(parse_url(url, lit("PROTOCOL")))
+  def urlHost(url: Column): Column = parse_url(url, lit("HOST"))
+  def urlPath(url: Column): Column = parse_url(url, lit("PATH"))
+  def urlQuery(url: Column): Column = parse_url(url, lit("QUERY"))
+  def urlFragment(url: Column): Column = parse_url(url, lit("REF"))
+
+  /** Value of one query parameter (NULL when absent). */
+  def urlParam(url: Column, key: String): Column =
+    parse_url(url, lit("QUERY"), lit(key))
+
+  /** Path depth: number of non-empty segments in the path. */
+  def urlPathDepth(url: Column): Column = {
+    val segs = filter(split(coalesce(urlPath(url), lit("")), "/"),
+      s => s =!= "")
+    size(segs)
+  }
+
+  /** Common multi-part public suffixes (co.uk, com.au, ...). A real pipeline
+    * ships the full public-suffix list as a broadcast lookup table; this
+    * built-in heuristic set covers the frequent second-level registries and
+    * is the documented fallback when no list is supplied.
+    */
+  private val secondLevelSuffixes =
+    Seq("co", "com", "net", "org", "gov", "edu", "ac", "or", "ne")
+
+  /** Registered domain of a host: the last two labels, or the last three
+    * when the second-to-last label is a known second-level registry under a
+    * 2-letter country code (bbc.co.uk -> bbc.co.uk, www.example.com ->
+    * example.com). Pure array expressions over the lowercased host.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(lower(host), "\\.")
+    val n = size(labels)
+    val takeThree = n >= 3 &&
+      element_at(labels, -2).isin(secondLevelSuffixes: _*) &&
+      length(element_at(labels, -1)) === 2
+    when(n <= 1, lower(host)).otherwise(
+      when(takeThree, array_join(slice(labels, n - 2, lit(3)), "."))
+        .otherwise(array_join(slice(labels, n - 1, lit(2)), ".")))
+  }
+
+  /** Canonical URL form for dedup-by-page: lowercase scheme and host, strip
+    * the default port (80/http, 443/https), keep the path, sort query
+    * parameters in binary order, drop the fragment. Deterministic pure
+    * string/array expressions.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val host = lower(urlHost(url))
+    // parse_url HOST excludes the port; recover it from the authority
+    val port = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\\d+)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = coalesce(urlPath(url), lit(""))
+    val q = urlQuery(url)
+    val sortedQ = when(q.isNull || q === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path, sortedQ)
+  }
+}

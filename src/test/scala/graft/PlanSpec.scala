@@ -127,6 +127,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), "packing must range-partition")
   }
 
+  test("packSequences plan: per-__pid window only, no global window") {
+    val p = plan("q_pack_sequences")
+    assert(p.contains("windowspecdefinition(__pid"), p.take(800))
+    assert(p.contains("rangepartitioning"), p.take(800))
+    // a SinglePartition window over the corpus would be the 100 TB killer
+    assert(!p.contains("Window [sum") ||
+           p.contains("windowspecdefinition(__pid"), p.take(800))
+  }
+
+  test("resample plan: no cartesian; spine joins hash- or broadcast-side") {
+    val p = plan("q_resample")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+  }
+
+  test("url ops and repetition stats stay map-only over the scan") {
+    // no Exchange at all: the whole query is scan -> project
+    Seq("q_url_ops", "q_repetition").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should be map-only\n" + p.take(800))
+    }
+  }
+
   test("custom expressions (shingle_hash, dot_product) stay in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -312,17 +312,24 @@ class StreamingSpec extends AnyFunSuite {
       Tbl(df).mutate(
           "clean" -> graft.text.TextFns.cleanText(col("text")),
           "red"   -> graft.text.TextFns.redactPii(col("text")),
-          "n_tok" -> graft.text.TextFns.tokenCount(col("text")).cast("long"))
-        .select(Seq("doc_id", "clean", "red", "n_tok"): _*).df
+          "n_tok" -> graft.text.TextFns.tokenCount(col("text")).cast("long"),
+          // repetition filter + URL normalize are map-only too: the whole
+          // ingest-quality gate runs per-micro-batch with zero state
+          "keep"  -> graft.text.TextFns.repetitionKeep(col("text")),
+          "norm"  -> graft.text.UrlFns.normalizeUrl(
+                       concat(lit("HTTP://H.io:80/d/"), col("doc_id"), lit("?b=2&a=1#f"))))
+        .select(Seq("doc_id", "clean", "red", "n_tok", "keep", "norm"): _*).df
     val q = chain(stream)
       .writeStream.format("memory").queryName("mapops_out")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val got = spark.sql("SELECT * FROM mapops_out").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      .map(_.toSeq).toSet
     val want = chain(rows.toDF("doc_id", "text")).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      .map(_.toSeq).toSet
     assert(got == want)
+    assert(want.forall(r => r(5) ==
+      s"http://h.io/d/${r(0)}?a=1&b=2"))
   }
 
   test("transformWithState running totals (Spark 4 stateful API)") {

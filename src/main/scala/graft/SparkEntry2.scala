@@ -505,6 +505,19 @@ object SparkEntry2 {
         .select(col("doc_id"), col("n_tok"), col("shard"))
     }),
 
+    // temperature-scaled mixture: en dominates the corpus, alpha=0.5
+    // compresses its advantage (weights = sqrt(per-lang counts) — IEEE sqrt
+    // is correctly rounded, so DuckDB computes bit-identical weights from
+    // the same integer counts)
+    "q_interleave_temp" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val sources = Seq("de", "en", "es", "fr", "zh").map(l =>
+        l -> docs.where(col("lang") === l).select("doc_id", "lang"))
+      graft.ops.Scale.interleaveByTemperature(sources, alpha = 0.5,
+          d => Seq(d("doc_id")))
+        .select(col("doc_id"), col("tag"), col("mix_ord"))
+    }),
+
     // URL family over deterministically constructed web-ish URLs (the
     // corpus has no URL column): alternating shapes exercise ports, query
     // order, fragments, and multi-part public suffixes
@@ -1086,6 +1099,17 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_interleave_temp" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents
+        |  WHERE lang IN ('de','en','es','fr','zh')),
+        |c AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+        |p AS (SELECT d.doc_id, d.lang AS tag,
+        |    (row_number() OVER (PARTITION BY d.lang ORDER BY d.doc_id) - 0.5)
+        |      / sqrt(c.n) AS pos
+        |  FROM d JOIN c ON d.lang = c.lang)
+        |SELECT doc_id, tag,
+        |  row_number() OVER (ORDER BY pos, tag, doc_id) AS mix_ord
+        |FROM p""".stripMargin,
     // generic regex mirrors of parse_url + the registered-domain heuristic;
     // DuckDB regexp_extract returns '' on miss where parse_url gives NULL,
     // hence the nullif on params

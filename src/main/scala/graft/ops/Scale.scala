@@ -250,6 +250,24 @@ object Scale {
       .drop("__pos")
   }
 
+  /** Temperature-scaled mixture interleave: source weights are
+    * size_i^alpha (alpha in (0, 1] — the standard multilingual/multi-source
+    * schedule: alpha = 1 is proportional sampling, alpha -> 0 approaches
+    * uniform, 0.3 is the common multilingual choice). Sizes come from one
+    * count() per source (a cheap metadata aggregate — at 100 TB these are
+    * parquet row-group counts, not scans); weights are then exact doubles
+    * (pow is correctly rounded for these magnitudes), so the interleave
+    * stays deterministic and engine-reproducible.
+    */
+  def interleaveByTemperature(sources: Seq[(String, DataFrame)], alpha: Double,
+                              orderCols: DataFrame => Seq[Column]): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val weighted = sources.map { case (tag, df) =>
+      (tag, df, math.pow(df.count().toDouble, alpha))
+    }
+    interleaveWeighted(weighted, orderCols)
+  }
+
   /** Deterministic global shuffle for training-data ordering: a total sort
     * by `xxhash64(key, seed)` (key as tie-break). Plans as a
     * range-partitioned sort — every partition sorts its slice, no single

@@ -323,6 +323,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(mix == mix2)
   }
 
+  test("interleaveByTemperature: alpha=1 is proportional; lower alpha flattens the mix") {
+    import spark.implicits._
+    val big = (1L to 900L).map(i => (i, "big")).toDF("id", "src")
+    val small = (1L to 100L).map(i => (i, "small")).toDF("id", "src")
+    def headShare(alpha: Double): Double = {
+      val mixed = graft.ops.Scale.interleaveByTemperature(
+        Seq("big" -> big, "small" -> small), alpha, d => Seq(d("id")))
+      val head = mixed.orderBy("mix_ord").limit(200)
+      head.where(col("tag") === "small").count().toDouble / 200
+    }
+    val prop = headShare(1.0)   // ~100/1000 = 0.10 of the stream
+    val flat = headShare(0.5)   // sqrt weights: 10/(30+10) = 0.25
+    assert(math.abs(prop - 0.10) < 0.03, s"alpha=1 share $prop")
+    assert(math.abs(flat - 0.25) < 0.04, s"alpha=0.5 share $flat")
+    assert(flat > prop)
+  }
+
   test("packSequences: sequences exactly full, docs fully covered, partition-invariant") {
     import spark.implicits._
     val seqLen = 100

@@ -505,6 +505,35 @@ object SparkEntry2 {
         .select(col("doc_id"), col("n_tok"), col("shard"))
     }),
 
+    // C4/RefinedWeb-style corpus-level boilerplate pass: drop lines
+    // appearing in > 3 distinct docs. Lines derive from the same
+    // chr(10)-swap trick as q_repetition (two fillers -> denser repeats);
+    // the line hash is the portable md5 leaf so DuckDB reproduces the
+    // offender set (and its collision behavior) exactly.
+    "q_line_dedup" -> ((s, dir) => {
+      val ph = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val docs = t(s, dir, "documents").df
+        .withColumn("tx",
+          expr("replace(replace(text, ' the ', chr(10)), ' a ', chr(10))"))
+        .select("doc_id", "tx")
+      Dedup.dropFrequentLines(docs, "doc_id", "tx",
+          maxDocFreq = 3, minLen = 4, hash = ph)
+        .select(col("doc_id"), col("tx").as("clean"))
+    }),
+
+    // per-domain quota curation (Common-Crawl-style caps): registered
+    // domain from a constructed URL -> keep the 10 lowest-doc_id pages per
+    // domain. Composes UrlFns with the quota sampler.
+    "q_domain_quota" -> ((s, dir) => {
+      val url = concat(lit("https://www."), col("source"), lit(".com/p/"),
+        col("doc_id"))
+      t(s, dir, "documents")
+        .mutate("domain" -> UrlFns.registeredDomain(UrlFns.urlHost(url)))
+        .sampleQuota(Seq("domain"), Seq(col("doc_id")), k = 10)
+        .select(Seq("doc_id", "domain"): _*).df
+    }),
+
     // temperature-scaled mixture: en dominates the corpus, alpha=0.5
     // compresses its advantage (weights = sqrt(per-lang counts) — IEEE sqrt
     // is correctly rounded, so DuckDB computes bit-identical weights from
@@ -1099,6 +1128,32 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    replace(replace(text, ' the ', chr(10)), ' a ', chr(10)) AS tx
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(tx, chr(10)) AS ls FROM t),
+        |l AS (SELECT doc_id, pos, ls[pos] AS ln
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS pos) r),
+        |h AS (SELECT doc_id, pos, ln,
+        |    CAST(('0x' || substr(md5(ln), 1, 15)) AS BIGINT) AS lh FROM l),
+        |f AS (SELECT lh FROM (
+        |    SELECT lh, count(DISTINCT doc_id) AS df FROM h
+        |    WHERE length(ln) >= 4 GROUP BY 1) WHERE df > 3),
+        |k AS (SELECT doc_id, pos, ln FROM h
+        |  WHERE lh NOT IN (SELECT lh FROM f)),
+        |g AS (SELECT doc_id,
+        |    array_to_string(list(ln ORDER BY pos), chr(10)) AS clean
+        |  FROM k GROUP BY 1)
+        |SELECT d.doc_id, coalesce(g.clean, '') AS clean
+        |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q_domain_quota" ->
+      """WITH d AS (SELECT doc_id, lower(source) || '.com' AS domain
+        |  FROM documents),
+        |r AS (SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+        |  FROM d)
+        |SELECT doc_id, domain FROM r WHERE rk <= 10""".stripMargin,
     "q_interleave_temp" ->
       """WITH d AS (SELECT doc_id, lang FROM documents
         |  WHERE lang IN ('de','en','es','fr','zh')),

@@ -701,4 +701,51 @@ object Dedup {
         Similarity.cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Doc-frequency of each line across the corpus (how many DISTINCT
+    * documents contain it) — the statistic behind C4/RefinedWeb-style
+    * boilerplate removal. Lines shorter than `minLen` code points are
+    * ignored. Only 64-bit line hashes shuffle, never line strings; `hash`
+    * is pluggable so oracle queries can substitute a SQL-portable md5 leaf.
+    */
+  def lineDocFrequencies(df: DataFrame, idCol: String, textCol: String,
+                         minLen: Int = 1,
+                         hash: Column => Column = xxhash64(_)): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .where(length(col("__line")) >= minLen)
+      .select(hash(col("__line")).as("line_hash"), col(idCol))
+      .distinct()
+      .groupBy("line_hash").agg(count(lit(1)).as("doc_freq"))
+
+  /** Corpus-level frequent-line removal (the C4 / RefinedWeb boilerplate
+    * pass): drop every line that appears in more than `maxDocFreq` distinct
+    * documents, preserving the remaining lines' order; documents whose lines
+    * are all dropped keep an empty string. Lines shorter than `minLen` are
+    * never counted (and so never dropped).
+    *
+    * Scale shape: the frequency pass shuffles (line_hash, doc_id) pairs —
+    * hashes, not strings; the offender set (lines in > maxDocFreq docs) is
+    * boilerplate, small by construction, and broadcast into a map-side
+    * anti-join; reassembly shuffles each surviving line once, partitioned
+    * by document. All other columns of `df` are preserved via the final
+    * id-join.
+    */
+  def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
+                        maxDocFreq: Long, minLen: Int = 1,
+                        hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val exploded = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val offenders = lineDocFrequencies(df, idCol, textCol, minLen, hash)
+      .where(col("doc_freq") > maxDocFreq)
+      .select("line_hash")
+    val kept = exploded.join(broadcast(offenders),
+      hash(col("__line")) === col("line_hash"), "left_anti")
+    val reassembled = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), "\n").as(textCol))
+    df.drop(textCol).join(reassembled, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
 }

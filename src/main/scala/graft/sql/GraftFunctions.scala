@@ -95,6 +95,20 @@ object GraftFunctions {
         case Seq(x, w, k) => graft.plans.HeavyHittersAgg(x, w, intLit(k, "heavy_hitters", "k"))
         case args         => arity("heavy_hitters", args.size, "2 or 3")
       }),
+    (FunctionIdentifier("char_stats"),
+      info("char_stats",
+        "char_stats(text) - one-pass struct(chars, tokens, nonws, punct, digits, upper)"),
+      {
+        case Seq(text) => graft.plans.CharStats(text)
+        case args      => arity("char_stats", args.size, "1")
+      }),
+    (FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(text) - one-pass Gopher repetition counts: dup lines/paragraphs, top 2-4-gram and dup 5/8-gram char coverage (exact integers)"),
+      {
+        case Seq(text) => graft.plans.RepetitionStats(text)
+        case args      => arity("repetition_stats", args.size, "1")
+      }),
     (FunctionIdentifier("hyperplane_sigs"),
       info("hyperplane_sigs",
         "hyperplane_sigs(vec, dim, n_planes, n_tables[, seed]) - LSH hyperplane signatures, one bigint per table (default seed=42)"),

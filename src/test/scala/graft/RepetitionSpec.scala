@@ -99,6 +99,33 @@ class RepetitionSpec extends AnyFunSuite {
     assert(keep == Set("clean"))
   }
 
+  test("dropFrequentLines removes corpus-wide boilerplate, keeps order, preserves columns") {
+    val docs = Seq(
+      (1L, "unique alpha\nSUBSCRIBE NOW\nunique beta", "en"),
+      (2L, "SUBSCRIBE NOW\nkeep this two", "en"),
+      (3L, "keep this three\nSUBSCRIBE NOW\nab", "de"), // 'ab' < minLen: kept
+      (4L, "SUBSCRIBE NOW", "fr"),                      // becomes empty
+      (5L, "only once line\nSUBSCRIBE NOW", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ml.Dedup.dropFrequentLines(
+        docs, "doc_id", "text", maxDocFreq = 3, minLen = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (1L, "unique alpha\nunique beta", "en"),
+      (2L, "keep this two", "en"),
+      (3L, "keep this three\nab", "de"),
+      (4L, "", "fr"),
+      (5L, "only once line", "zh")))
+    // below the threshold nothing is dropped
+    val noop = graft.ml.Dedup.dropFrequentLines(
+        docs, "doc_id", "text", maxDocFreq = 5, minLen = 3)
+    val joined = noop.select(col("doc_id"), col("text").as("got"))
+      .join(docs.select(col("doc_id"), col("text").as("want")), "doc_id")
+    assert(joined.where(col("got") =!= col("want")).count() == 0)
+  }
+
   test("null text yields null struct; stats stay inside codegen") {
     val df = Seq(Some("a b a b"), None).toDF("text")
       .withColumn("st", TextFns.repetitionStats(col("text")))

@@ -35,6 +35,17 @@ class SqlFunctionsSpec extends AnyFunSuite {
       "SELECT array_eq_count(array(1L,2L,3L), array(1L,9L,3L)) AS c").head().getInt(0) == 2)
   }
 
+  test("char_stats and repetition_stats from SQL equal the DSL expressions") {
+    val df = Seq("a b a b a", "x\nx\ny").toDF("text")
+    df.createOrReplaceTempView("t_cs")
+    val sqlCs = spark.sql("SELECT char_stats(text) AS s FROM t_cs").collect()
+    val dslCs = df.select(TextFns.charStats(col("text")).as("s")).collect()
+    assert(sqlCs.map(_.toString).toSeq == dslCs.map(_.toString).toSeq)
+    val sqlRs = spark.sql("SELECT repetition_stats(text) AS s FROM t_cs").collect()
+    val dslRs = df.select(TextFns.repetitionStats(col("text")).as("s")).collect()
+    assert(sqlRs.map(_.toString).toSeq == dslRs.map(_.toString).toSeq)
+  }
+
   test("minhash_agg from SQL equals the DSL aggregate") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "zz yy xx ww vv"))
       .toDF("doc_id", "text")

@@ -505,6 +505,36 @@ object SparkEntry2 {
         .select(col("doc_id"), col("n_tok"), col("shard"))
     }),
 
+    // round-7 flagship: the corpus-quality layers composed as ONE lazy plan
+    // — frequent-line removal -> repetition gate (exact integer
+    // cross-multiplication, no float thresholds) -> per-domain quota ->
+    // fixed-length sequence packing. PlanSpec asserts the plan shape.
+    "q_quality_e2e" -> ((s, dir) => {
+      val ph = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val docs = t(s, dir, "documents").df
+        .withColumn("tx",
+          expr("replace(replace(text, ' the ', chr(10)), ' a ', chr(10))"))
+        .select("doc_id", "source", "tx")
+      val deduped = Dedup.dropFrequentLines(docs, "doc_id", "tx",
+        maxDocFreq = 3, minLen = 4, hash = ph)
+      val st = TextFns.repetitionStats(col("tx"), topNs = Seq(2), dupNs = Seq(5))
+      // keep iff top-2-gram coverage <= 1/5 of chars AND dup-5-gram
+      // coverage <= 1/4 — exact integer comparisons
+      val gated = deduped.withColumn("st", st)
+        .where(col("st.top2gram_count") * col("st.top2gram_len") * 5 <= col("st.chars")
+          && col("st.dup5gram_chars") * 4 <= col("st.chars"))
+        .withColumn("n_clean", col("st.chars"))
+        .drop("st")
+      val dom = gated.withColumn("domain",
+        UrlFns.registeredDomain(concat(lit("www."), col("source"), lit(".com"))))
+      val quota = Tbl(dom).sampleQuota(Seq("domain"), Seq(col("doc_id")), k = 10).df
+      graft.ops.Scale.packSequences(quota, Seq(col("doc_id")),
+          col("n_clean"), seqLen = 512)
+        .select(col("doc_id"), col("domain"), col("seq_id"),
+          col("tok_start"), col("tok_end"))
+    }),
+
     // C4/RefinedWeb-style corpus-level boilerplate pass: drop lines
     // appearing in > 3 distinct docs. Lines derive from the same
     // chr(10)-swap trick as q_repetition (two fillers -> denser repeats);
@@ -1128,6 +1158,67 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    // the four stage oracles of the round-7 layers chained: line-dedup CTEs
+    // (same as q_line_dedup), top2/dup5 repetition counts on the CLEANED
+    // text, integer-exact gate, domain quota, sequence packing
+    "q_quality_e2e" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    replace(replace(text, ' the ', chr(10)), ' a ', chr(10)) AS tx
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, string_split(tx, chr(10)) AS ls FROM t),
+        |l AS (SELECT doc_id, source, pos, ls[pos] AS ln
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS pos) r),
+        |h AS (SELECT doc_id, source, pos, ln,
+        |    CAST(('0x' || substr(md5(ln), 1, 15)) AS BIGINT) AS lh FROM l),
+        |f AS (SELECT lh FROM (
+        |    SELECT lh, count(DISTINCT doc_id) AS df FROM h
+        |    WHERE length(ln) >= 4 GROUP BY 1) WHERE df > 3),
+        |k AS (SELECT doc_id, source, pos, ln FROM h
+        |  WHERE lh NOT IN (SELECT lh FROM f)),
+        |dd AS (SELECT d.doc_id, d.source, coalesce(g.clean, '') AS clean
+        |  FROM t d LEFT JOIN (SELECT doc_id,
+        |      array_to_string(list(ln ORDER BY pos), chr(10)) AS clean
+        |    FROM k GROUP BY 1) g USING (doc_id)),
+        |ww AS (SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(clean, '\s+'), x -> x <> '') AS ws,
+        |    CAST(length(clean) AS BIGINT) AS chars FROM dd),
+        |g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+        |  FROM ww, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r),
+        |gc2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id, CAST(c AS BIGINT) AS t2c,
+        |    CAST(length(gram) AS BIGINT) AS t2l
+        |  FROM (SELECT doc_id, c, gram, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        |    FROM gc2) WHERE rn = 1),
+        |g5 AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+        |  FROM ww, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) r),
+        |gc5 AS (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2),
+        |dup5 AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * length(gram) END), 0)
+        |      AS BIGINT) AS d5 FROM gc5 GROUP BY 1),
+        |gate AS (SELECT ww.doc_id, ww.source, ww.chars
+        |  FROM ww LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
+        |  WHERE coalesce(t2c, 0) * coalesce(t2l, 0) * 5 <= chars
+        |    AND coalesce(d5, 0) * 4 <= chars),
+        |dom AS (SELECT doc_id, chars, lower(source) || '.com' AS domain
+        |  FROM gate),
+        |quota AS (SELECT doc_id, chars, domain FROM (
+        |    SELECT *, row_number() OVER
+        |        (PARTITION BY domain ORDER BY doc_id) AS rk FROM dom)
+        |  WHERE rk <= 10),
+        |cum AS (SELECT doc_id, domain, chars,
+        |    CAST(sum(chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cm
+        |  FROM quota),
+        |seg AS (SELECT doc_id, domain, cm, cm - chars AS strt FROM cum
+        |  WHERE chars > 0),
+        |ex AS (SELECT doc_id, domain, strt, cm,
+        |    unnest(range(strt // 512, (cm - 1) // 512 + 1)) AS seq_id
+        |  FROM seg)
+        |SELECT doc_id, domain, seq_id,
+        |  greatest(seq_id * 512, strt) - strt AS tok_start,
+        |  least((seq_id + 1) * 512, cm) - strt AS tok_end
+        |FROM ex""".stripMargin,
     "q_line_dedup" ->
       """WITH t AS (SELECT doc_id,
         |    replace(replace(text, ' the ', chr(10)), ' a ', chr(10)) AS tx

@@ -150,6 +150,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("quality e2e plan: no cartesian, offender set broadcast, packing range-partitioned") {
+    val p = plan("q_quality_e2e")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    // the frequent-line anti-join must be broadcast (map-side), never shuffled
+    assert(p.contains("BroadcastHashJoin") &&
+      p.linesIterator.exists(l => l.contains("LeftAnti") && l.contains("Broadcast")),
+      p.take(1200))
+    assert(p.contains("windowspecdefinition(__pid"), "packing window must be per-__pid")
+  }
+
   test("custom expressions (shingle_hash, dot_product) stay in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")

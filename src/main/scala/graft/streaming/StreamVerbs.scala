@@ -263,6 +263,35 @@ object StreamVerbs {
     * stateful logic the built-in operators can't express. Emits one updated
     * row per key per micro-batch (use OutputMode.Update).
     */
+  /** Ingest-time boilerplate filter: scrub every arriving document's lines
+    * against a PERSISTED offender table (built batch-side by
+    * `Dedup.lineDocFrequencies(...).where(doc_freq > maxDf)` over the
+    * existing corpus) — the streaming sibling of
+    * [[graft.ml.Dedup.dropFrequentLines]]. Runs as foreachBatch: within a
+    * micro-batch it is exactly the batch anti-join + reassembly (docs
+    * arrive whole in one row, so reassembly never crosses batches and no
+    * streaming state accrues); the offender table broadcasts map-side.
+    */
+  def streamingDropFrequentLines(t: Tbl, idCol: String, textCol: String,
+                                 offenders: DataFrame,
+                                 hash: Column => Column = xxhash64(_))
+                                (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val off = offenders.select("line_hash")
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val exploded = batch.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      val kept = exploded.join(broadcast(off),
+        hash(col("__line")) === col("line_hash"), "left_anti")
+      val reassembled = kept.groupBy(idCol)
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line")), "\n").as(textCol))
+      sink(batch.drop(textCol).join(reassembled, Seq(idCol), "left")
+        .withColumn(textCol, coalesce(col(textCol), lit(""))))
+    }
+  }
+
   def runningTotals(t: Tbl, keyCol: String, valueCol: String): DataFrame = {
     val spark = t.df.sparkSession
     import spark.implicits._

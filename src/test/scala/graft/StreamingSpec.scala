@@ -200,6 +200,39 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming kept ${kept.toSet} vs batch $batchRef")
   }
 
+  test("streaming frequent-line scrub equals the batch dropFrequentLines") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "alpha one\nSUBSCRIBE NOW\nbeta two"),
+      (101L, "SUBSCRIBE NOW\ngamma three"),
+      (102L, "delta four\nSUBSCRIBE NOW"),
+      (103L, "epsilon five")).toDF("doc_id", "text")
+    val offenders = graft.ml.Dedup.lineDocFrequencies(corpus, "doc_id", "text", minLen = 3)
+      .where(col("doc_freq") > 2)
+    val arrivals = Seq(
+      (1L, "fresh line here\nSUBSCRIBE NOW\nmore fresh"),
+      (2L, "SUBSCRIBE NOW"),
+      (3L, "untouched doc"))
+    val dir = Files.createTempDirectory("graft-sdfl").toFile
+    val ckpt = Files.createTempDirectory("graft-sdfl-ckpt").toFile
+    arrivals.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = arrivals.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map[Long, String]()
+    val q = StreamVerbs.streamingDropFrequentLines(
+        Tbl(stream), "doc_id", "text", offenders) { clean =>
+        clean.collect().foreach(r => got(r.getLong(0)) = r.getString(1))
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.toMap == Map(
+      1L -> "fresh line here\nmore fresh",
+      2L -> "",
+      3L -> "untouched doc"))
+  }
+
   test("streaming quota sample converges to the batch per-stratum top-k") {
     import spark.implicits._
     // two micro-batches; the batch-2 high scorer must evict a batch-1 row

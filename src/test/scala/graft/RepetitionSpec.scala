@@ -99,6 +99,50 @@ class RepetitionSpec extends AnyFunSuite {
     assert(keep == Set("clean"))
   }
 
+  test("randomized differential: 20 seeds of generated text equal the naive formulation") {
+    val vocab = Seq("a", "b", "cc", "ddd", "xy", "Z", "émi", "😀")
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val texts = (1 to 8).map { _ =>
+        val n = rnd.nextInt(60)
+        (0 until n).map { _ =>
+          val w = vocab(rnd.nextInt(vocab.size))
+          val sep = rnd.nextInt(10) match {
+            case 0 => "\n"
+            case 1 => "\n\n"
+            case 2 => "\t"
+            case _ => " "
+          }
+          w + sep
+        }.mkString
+      }
+      val rows = texts.toDF("text")
+        .withColumn("st", TextFns.repetitionStats(col("text")))
+        .select(col("text"), col("st.*")).collect()
+      rows.foreach { r =>
+        val expected = naive(r.getString(0))
+        r.schema.fields.drop(1).zipWithIndex.foreach { case (f, i) =>
+          assert(r.getLong(i + 1) == expected(f.name),
+            s"seed $seed field ${f.name} on '${r.getString(0).take(50)}'")
+        }
+      }
+    }
+  }
+
+  test("dropFrequentLines is invariant to input partitioning") {
+    val docs = (1L to 60L).map { i =>
+      val lines = (0 until (i % 5).toInt + 1).map {
+        j => if ((i + j) % 3 == 0) "common boilerplate line" else s"unique $i $j"
+      }
+      (i, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val a = graft.ml.Dedup.dropFrequentLines(docs, "doc_id", "text", 4, 3)
+    val b = graft.ml.Dedup.dropFrequentLines(docs.repartition(7), "doc_id", "text", 4, 3)
+    TestSpark.assertSameRows(a, b, "dropFrequentLines repartition")
+    // the boilerplate actually got dropped somewhere
+    assert(a.where(col("text").contains("common boilerplate")).count() == 0)
+  }
+
   test("dropFrequentLines removes corpus-wide boilerplate, keeps order, preserves columns") {
     val docs = Seq(
       (1L, "unique alpha\nSUBSCRIBE NOW\nunique beta", "en"),

@@ -505,6 +505,19 @@ object SparkEntry2 {
         .select(col("doc_id"), col("n_tok"), col("shard"))
     }),
 
+    // pd.cut-style binning (pandas parity extension): integer-cent
+    // boundaries so both engines compare exactly; out-of-range -> NULL group
+    "q_cut" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate(
+          "cents" -> round(col("o_totalprice") * 100, 0).cast("bigint"),
+          "bucket" -> Fns.cut(col("cents"),
+            Seq(0d, 5000000d, 15000000d, 30000000d),
+            labels = Seq("low", "mid", "high"), includeLowest = true))
+        .groupBy("bucket")
+        .summarize("n" -> Fns.Agg.n())
+        .df),
+
     // round-7 flagship: the corpus-quality layers composed as ONE lazy plan
     // — frequent-line removal -> repetition gate (exact integer
     // cross-multiplication, no float thresholds) -> per-domain quota ->
@@ -1158,6 +1171,15 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_cut" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT CASE
+        |    WHEN cents >= 0 AND cents <= 5000000 THEN 'low'
+        |    WHEN cents > 5000000 AND cents <= 15000000 THEN 'mid'
+        |    WHEN cents > 15000000 AND cents <= 30000000 THEN 'high'
+        |  END AS bucket FROM c)
+        |SELECT bucket, count(*) AS n FROM b GROUP BY 1""".stripMargin,
     // the four stage oracles of the round-7 layers chained: line-dedup CTEs
     // (same as q_line_dedup), top2/dup5 repetition counts on the CLEANED
     // text, integer-exact gate, domain quota, sequence packing

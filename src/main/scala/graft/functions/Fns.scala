@@ -314,6 +314,42 @@ object Fns {
 
   // ---- missing data / conversion ------------------------------------------
 
+  /** `pd.cut`-style binning (extension: the reference defers to pandas).
+    * Right-closed bins (lo, hi] by default (`right=false` gives [lo, hi));
+    * values outside the break range map to NULL; `includeLowest` closes the
+    * first bin's lower edge. `labels` must have `breaks.size - 1` entries;
+    * defaults to pandas-style "(lo, hi]" strings built from the literal
+    * break spellings (so the label text is deterministic — no float
+    * formatting involved). A chain of when() comparisons: codegen'd,
+    * map-only, no shuffle.
+    */
+  def cut(x: Column, breaks: Seq[Double], labels: Seq[String] = null,
+          right: Boolean = true, includeLowest: Boolean = false): Column = {
+    require(breaks.size >= 2, "need at least 2 breaks")
+    require(breaks == breaks.sorted, "breaks must be increasing")
+    val labs: Seq[String] =
+      if (labels != null) {
+        require(labels.size == breaks.size - 1, "labels must match bin count")
+        labels
+      } else breaks.sliding(2).map { case Seq(lo, hi) =>
+        if (right) s"($lo, $hi]" else s"[$lo, $hi)"
+      }.toSeq
+    val nBins = breaks.size - 1
+    val bins = (0 until nBins).map { i =>
+      val (lo, hi) = (breaks(i), breaks(i + 1))
+      val lower =
+        if (right) { if (i == 0 && includeLowest) x >= lo else x > lo }
+        else x >= lo
+      val upper =
+        if (right) x <= hi
+        else { if (i == nBins - 1 && includeLowest) x <= hi else x < hi }
+      (lower && upper, labs(i))
+    }
+    bins.foldLeft(lit(null).cast("string")) { case (acc, (cond, lab)) =>
+      when(cond, lab).otherwise(acc)
+    }
+  }
+
   def fillNa(c: Column, v: Column): Column = coalesce(c, v)
   def isNa(c: Column): Column  = c.isNull
   def notNa(c: Column): Column = c.isNotNull

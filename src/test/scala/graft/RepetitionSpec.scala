@@ -170,6 +170,27 @@ class RepetitionSpec extends AnyFunSuite {
     assert(joined.where(col("got") =!= col("want")).count() == 0)
   }
 
+  test("Fns.cut: closure sides, includeLowest, default labels, out-of-range null") {
+    import graft.functions.Fns
+    val df = Seq(0.0, 1.0, 2.0, 2.5, 3.0, 5.0, -1.0).toDF("x")
+    def got(c: org.apache.spark.sql.Column): Seq[String] =
+      df.select(c).collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    // right-closed (default): (0,2], (2,3]; 0 excluded unless includeLowest
+    assert(got(Fns.cut(col("x"), Seq(0d, 2d, 3d), Seq("a", "b"))) ==
+      Seq(null, "a", "a", "b", "b", null, null))
+    assert(got(Fns.cut(col("x"), Seq(0d, 2d, 3d), Seq("a", "b"), includeLowest = true)) ==
+      Seq("a", "a", "a", "b", "b", null, null))
+    // left-closed: [0,2), [2,3); includeLowest closes the LAST bin's top
+    assert(got(Fns.cut(col("x"), Seq(0d, 2d, 3d), Seq("a", "b"), right = false)) ==
+      Seq("a", "a", "b", "b", null, null, null))
+    assert(got(Fns.cut(col("x"), Seq(0d, 2d, 3d), Seq("a", "b"), right = false,
+        includeLowest = true)) ==
+      Seq("a", "a", "b", "b", "b", null, null))
+    // default pandas-style labels from literal break spellings
+    assert(got(Fns.cut(col("x"), Seq(0d, 2d, 3d))) ==
+      Seq(null, "(0.0, 2.0]", "(0.0, 2.0]", "(2.0, 3.0]", "(2.0, 3.0]", null, null))
+  }
+
   test("null text yields null struct; stats stay inside codegen") {
     val df = Seq(Some("a b a b"), None).toDF("text")
       .withColumn("st", TextFns.repetitionStats(col("text")))

@@ -518,6 +518,19 @@ object SparkEntry2 {
         .summarize("n" -> Fns.Agg.n())
         .df),
 
+    // pd.qcut-style quartiles: integer-cent values keep every non-edge
+    // comparison exact; edge values only arise at frac=0 indices where both
+    // engines interpolate exactly
+    "q_qcut" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+        .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("bigint"))
+      Tbl(o.withColumn("bucket", Fns.qcut(o, col("cents"), 4,
+          labels = Seq("q1", "q2", "q3", "q4"))))
+        .groupBy("bucket")
+        .summarize("n" -> Fns.Agg.n())
+        .df
+    }),
+
     // round-7 flagship: the corpus-quality layers composed as ONE lazy plan
     // — frequent-line removal -> repetition gate (exact integer
     // cross-multiplication, no float thresholds) -> per-domain quota ->
@@ -1171,6 +1184,18 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_qcut" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |qs AS (SELECT quantile_cont(cents, [0.0, 0.25, 0.5, 0.75, 1.0]) AS b
+        |  FROM c),
+        |lab AS (SELECT cents, CASE
+        |    WHEN cents >= b[1] AND cents <= b[2] THEN 'q1'
+        |    WHEN cents > b[2] AND cents <= b[3] THEN 'q2'
+        |    WHEN cents > b[3] AND cents <= b[4] THEN 'q3'
+        |    WHEN cents > b[4] AND cents <= b[5] THEN 'q4'
+        |  END AS bucket FROM c, qs)
+        |SELECT bucket, count(*) AS n FROM lab GROUP BY 1""".stripMargin,
     "q_cut" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),

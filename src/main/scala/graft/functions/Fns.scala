@@ -350,6 +350,24 @@ object Fns {
     }
   }
 
+  /** `pd.qcut`-style quantile binning (extension): breaks are the EXACT
+    * linear-interpolation percentiles of `x` in `df` (one bounded aggregate
+    * — q+1 doubles to the driver, the same discovery pattern as forcats
+    * level scans), then binning follows [[cut]] with right-closed bins and
+    * the lowest edge included — so equal values always share a bin (unlike
+    * ntile, which splits ties across bins to force equal counts).
+    */
+  def qcut(df: org.apache.spark.sql.DataFrame, x: Column, q: Int,
+           labels: Seq[String] = null): Column = {
+    require(q >= 2, "q must be >= 2")
+    val ps = (0 to q).map(_.toDouble / q)
+    val row = df.agg(percentile(x, lit(ps.toArray)).as("p")).head()
+    val breaks = row.getSeq[Double](0)
+    require(breaks.distinct.size == breaks.size,
+      s"duplicate quantile edges $breaks — reduce q or pre-dedupe x")
+    cut(x, breaks, labels, right = true, includeLowest = true)
+  }
+
   def fillNa(c: Column, v: Column): Column = coalesce(c, v)
   def isNa(c: Column): Column  = c.isNull
   def notNa(c: Column): Column = c.isNotNull

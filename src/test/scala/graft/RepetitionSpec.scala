@@ -191,6 +191,25 @@ class RepetitionSpec extends AnyFunSuite {
       Seq(null, "(0.0, 2.0]", "(0.0, 2.0]", "(2.0, 3.0]", "(2.0, 3.0]", null, null))
   }
 
+  test("Fns.qcut: quartile edges, ties share a bin, duplicate edges rejected") {
+    import graft.functions.Fns
+    val df = (1 to 100).map(_.toLong).toDF("x")
+    val binned = df.withColumn("b",
+      Fns.qcut(df, col("x"), 4, Seq("q1", "q2", "q3", "q4")))
+    val counts = binned.groupBy("b").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("q1" -> 25L, "q2" -> 25L, "q3" -> 25L, "q4" -> 25L))
+    // heavy ties: all equal values land in ONE bin (interval semantics);
+    // with a constant column every quantile edge collapses -> clear error
+    val tied = (Seq.fill(50)(1L) ++ Seq.fill(50)(2L)).toDF("x")
+    val tb = tied.withColumn("b", Fns.qcut(tied, col("x"), 2, Seq("lo", "hi")))
+    assert(tb.where(col("x") === 1L).select("b").distinct().count() == 1)
+    val const = Seq.fill(10)(7L).toDF("x")
+    intercept[IllegalArgumentException] {
+      Fns.qcut(const, col("x"), 2)
+    }
+  }
+
   test("null text yields null struct; stats stay inside codegen") {
     val df = Seq(Some("a b a b"), None).toDF("text")
       .withColumn("st", TextFns.repetitionStats(col("text")))

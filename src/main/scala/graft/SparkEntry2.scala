@@ -505,6 +505,20 @@ object SparkEntry2 {
         .select(col("doc_id"), col("n_tok"), col("shard"))
     }),
 
+    // data-quality gate: violation counts over lineitem/orders (duplicate
+    // composite keys, nulls, price range, FK orphans) — all exact integers
+    "q_data_checks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val o = t(s, dir, "orders").df
+      graft.ops.Checks.duplicateKeyCount(li, Seq("l_orderkey", "l_linenumber"))
+        .crossJoin(graft.ops.Checks.nullCounts(li,
+          Seq("l_shipdate", "l_returnflag")))
+        .crossJoin(graft.ops.Checks.outOfRangeCount(li,
+          col("l_quantity"), lit(1), lit(50)))
+        .crossJoin(graft.ops.Checks.orphanCount(li, "l_orderkey",
+          o, "o_orderkey"))
+    }),
+
     // pd.cut-style binning (pandas parity extension): integer-cent
     // boundaries so both engines compare exactly; out-of-range -> NULL group
     "q_cut" -> ((s, dir) =>
@@ -1184,6 +1198,21 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_data_checks" ->
+      """SELECT
+        |  (SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |     AS BIGINT) FROM lineitem) AS duplicate_rows,
+        |  (SELECT CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM lineitem) AS l_shipdate_nulls,
+        |  (SELECT CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM lineitem) AS l_returnflag_nulls,
+        |  (SELECT CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |       AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM lineitem) AS out_of_range,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     WHERE l.l_orderkey IS NOT NULL
+        |       AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS orphans""".stripMargin,
     "q_qcut" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),

@@ -505,6 +505,21 @@ object SparkEntry2 {
         .select(col("doc_id"), col("n_tok"), col("shard"))
     }),
 
+    // rows_upsert: patch priorities for keys % 97 == 0 and insert the same
+    // set re-keyed (+1e7); the patch omits o_totalprice, so updates keep the
+    // target's value and inserts get NULL — the dplyr rows_* contract
+    "q_rows_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(Seq("o_orderkey", "o_orderpriority", "o_totalprice"): _*)
+      val hit = o.df.where(col("o_orderkey") % 97 === 0)
+      val patch = hit
+        .select(col("o_orderkey"), lit("0-PATCHED").as("o_orderpriority"))
+        .unionByName(hit.select(
+          (col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("9-NEW").as("o_orderpriority")))
+      o.rowsUpsert(Tbl(patch), Seq("o_orderkey")).df
+    }),
+
     // data-quality gate: violation counts over lineitem/orders (duplicate
     // composite keys, nulls, price range, FK orphans) — all exact integers
     "q_data_checks" -> ((s, dir) => {
@@ -1198,6 +1213,23 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_rows_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders),
+        |p AS (SELECT o_orderkey, '0-PATCHED' AS o_orderpriority FROM o
+        |    WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, '9-NEW' FROM o
+        |    WHERE o_orderkey % 97 = 0),
+        |upd AS (SELECT o.o_orderkey,
+        |    CASE WHEN p.o_orderkey IS NOT NULL THEN p.o_orderpriority
+        |         ELSE o.o_orderpriority END AS o_orderpriority,
+        |    o.o_totalprice
+        |  FROM o LEFT JOIN p ON o.o_orderkey = p.o_orderkey),
+        |ins AS (SELECT p.o_orderkey, p.o_orderpriority,
+        |    CAST(NULL AS DOUBLE) AS o_totalprice
+        |  FROM p WHERE p.o_orderkey NOT IN (SELECT o_orderkey FROM o))
+        |SELECT * FROM upd UNION ALL SELECT * FROM ins""".stripMargin,
     "q_data_checks" ->
       """SELECT
         |  (SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))

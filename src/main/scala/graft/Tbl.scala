@@ -641,6 +641,62 @@ final case class Tbl(
     Tbl(others.foldLeft(df)((acc, o) =>
       acc.unionByName(o.df, allowMissingColumns = true)), groups, Nil)
 
+  // ---- rows_* maintenance verbs (dplyr rows_insert/update/upsert/delete;
+  // extension — incremental corpus/table maintenance expressed as joins so
+  // Catalyst broadcasts the typically-small patch side) -------------------
+
+  private def rowsCheck(source: Tbl, by: Seq[String], verb: String): Unit = {
+    require(by.nonEmpty, s"$verb: need at least one key column")
+    val missing = source.df.columns.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw GraftError(s"$verb: source columns ${missing.mkString(",")} not in target")
+    if (!by.forall(source.df.columns.contains))
+      throw GraftError(s"$verb: key columns must exist in source")
+  }
+
+  /** Insert source rows whose key is NOT already in the target; rows with
+    * an existing key are silently skipped (dplyr `conflict = "ignore"`).
+    * Source may omit non-key columns (filled NULL).
+    */
+  def rowsInsert(source: Tbl, by: Seq[String]): Tbl = {
+    rowsCheck(source, by, "rows_insert")
+    val fresh = source.antiJoin(Tbl(df.select(by.map(col): _*)), by)
+    Tbl(df.unionByName(fresh.df, allowMissingColumns = true), groups, Nil)
+  }
+
+  /** Overwrite matched rows' columns with the source's values (the source's
+    * NULLs overwrite too, per dplyr rows_update); target columns absent
+    * from the source keep their values; unmatched source rows are ignored.
+    */
+  def rowsUpdate(source: Tbl, by: Seq[String]): Tbl = {
+    rowsCheck(source, by, "rows_update")
+    // dplyr contract: source keys must be unique (a dup would multiply
+    // target rows); not re-checked here — run Checks.duplicateKeyCount on
+    // the patch when the source is untrusted
+    val srcCols = source.df.columns.toSet
+    val s = source.df.select(by.map(col) ++
+        source.df.columns.filterNot(by.contains)
+          .map(c => col(c).as(s"__src_$c")): _*)
+      .withColumn("__matched", lit(true))
+    val withFlag = df.join(s, by, "left")
+      .withColumn("__matched", coalesce(col("__matched"), lit(false)))
+    val out = df.columns.toSeq.map { c =>
+      if (by.contains(c) || !srcCols(c)) col(c)
+      else when(col("__matched"), col(s"__src_$c")).otherwise(col(c)).as(c)
+    }
+    Tbl(withFlag.select(out: _*), groups, Nil)
+  }
+
+  /** rows_update for matches plus rows_insert for new keys. */
+  def rowsUpsert(source: Tbl, by: Seq[String]): Tbl =
+    rowsUpdate(source, by).rowsInsert(source, by)
+
+  /** Drop target rows whose key appears in the source (dplyr rows_delete). */
+  def rowsDelete(source: Tbl, by: Seq[String]): Tbl = {
+    rowsCheck(source, by, "rows_delete")
+    antiJoin(Tbl(source.df.select(by.map(col): _*)), by)
+  }
+
   /** Set operations (SURVEY §2.7 extensions; SQL INTERSECT / EXCEPT). */
   def intersect(other: Tbl): Tbl = Tbl(df.intersect(other.df), groups, Nil, factors)
   def except(other: Tbl): Tbl   = Tbl(df.except(other.df), groups, Nil, factors)

@@ -29,4 +29,34 @@ class ChecksSpec extends AnyFunSuite {
     val gate = Checks.gate(child, Seq("id", "pid"), Seq("v")).head()
     assert(gate.getLong(0) == 1L && gate.getLong(1) == 1L)
   }
+
+  test("rows_insert/update/upsert/delete follow the dplyr contract") {
+    val target = Tbl(Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v"))
+    // patch omits v; includes existing key 2 and new key 9
+    val patch = Tbl(Seq((2L, "B!"), (9L, "NEW")).toDF("k", "s"))
+
+    def rows(t: Tbl): Set[(Long, String, Option[Double])] =
+      t.df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+
+    assert(rows(target.rowsInsert(patch, Seq("k"))) == Set(
+      (1L, "a", Some(10.0)), (2L, "b", Some(20.0)), (3L, "c", Some(30.0)),
+      (9L, "NEW", None)))
+    assert(rows(target.rowsUpdate(patch, Seq("k"))) == Set(
+      (1L, "a", Some(10.0)), (2L, "B!", Some(20.0)), (3L, "c", Some(30.0))))
+    assert(rows(target.rowsUpsert(patch, Seq("k"))) == Set(
+      (1L, "a", Some(10.0)), (2L, "B!", Some(20.0)), (3L, "c", Some(30.0)),
+      (9L, "NEW", None)))
+    assert(rows(target.rowsDelete(patch, Seq("k"))) == Set(
+      (1L, "a", Some(10.0)), (3L, "c", Some(30.0))))
+    // NULLs in the source DO overwrite (rows_update semantics)
+    val nullPatch = Tbl(Seq((1L, null.asInstanceOf[String])).toDF("k", "s"))
+    assert(rows(target.rowsUpdate(nullPatch, Seq("k")))
+      .contains((1L, null, Some(10.0))))
+    // source column not in target -> loud error
+    intercept[Exception] {
+      target.rowsInsert(Tbl(Seq((1L, 2L)).toDF("k", "zz")), Seq("k"))
+    }
+  }
 }

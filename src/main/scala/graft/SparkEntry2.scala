@@ -508,6 +508,16 @@ object SparkEntry2 {
     // rows_upsert: patch priorities for keys % 97 == 0 and insert the same
     // set re-keyed (+1e7); the patch omits o_totalprice, so updates keep the
     // target's value and inserts get NULL — the dplyr rows_* contract
+    // exact rolling median on integer cents: odd frames hit an element,
+    // even frames average two int64s (exact half-integers) — no float noise
+    "q_rolling_median" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate("cents" -> round(col("o_totalprice") * 100, 0).cast("bigint"))
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate("rm" -> Vec.rollingMedian(col("cents"), 5))
+        .select(Seq("o_custkey", "o_orderkey", "rm"): _*).df),
+
     "q_rows_upsert" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(Seq("o_orderkey", "o_orderpriority", "o_totalprice"): _*)
@@ -1213,6 +1223,13 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_rolling_median" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  median(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rm
+        |FROM c""".stripMargin,
     "q_rows_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice
         |  FROM orders),

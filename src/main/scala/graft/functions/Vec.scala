@@ -229,4 +229,21 @@ object Vec {
     gx(c => stddev_samp(x).over(rollingFrame(c, order, nRows)))
   def rollingVar(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
     gx(c => var_samp(x).over(rollingFrame(c, order, nRows)))
+
+  /** Exact rolling median over the trailing n-row frame: sort the frame's
+    * collected values, take the middle (odd count) or the mean of the two
+    * middles (even count — exact when x is integer-scaled, since the mean
+    * of two int64s is a half-integer). collect_list over an n-row frame is
+    * O(n) state per row — fine for the small frames rolling medians use;
+    * a t-digest sketch is the path for frames in the thousands.
+    */
+  def rollingMedian(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
+    gx { c =>
+      val arr = array_sort(collect_list(x).over(rollingFrame(c, order, nRows)))
+      val n = size(arr)
+      val mid = ((n + 1) / 2).cast("int") // int division: n is positive
+      val half = (n / 2).cast("int")
+      when(n % 2 === 1, element_at(arr, mid).cast("double"))
+        .otherwise((element_at(arr, half) + element_at(arr, half + 1)) / 2.0)
+    }
 }

@@ -508,6 +508,18 @@ object SparkEntry2 {
     // rows_upsert: patch priorities for keys % 97 == 0 and insert the same
     // set re-keyed (+1e7); the patch omits o_totalprice, so updates keep the
     // target's value and inserts get NULL — the dplyr rows_* contract
+    // pandas ewm(alpha=0.5).mean(), adjust=false: the oracle replays the
+    // SAME sequential recursion via a recursive CTE — identical IEEE ops in
+    // identical order are bit-exact, so the raw doubles hash-match with no
+    // rounding at all
+    "q_ewm" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate("cents" -> round(col("o_totalprice") * 100, 0).cast("bigint"))
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate("m" -> Vec.ewmMean(col("cents"), alpha = 0.5))
+        .select(Seq("o_custkey", "o_orderkey", "m"): _*).df),
+
     // exact rolling median on integer cents: odd frames hit an element,
     // even frames average two int64s (exact half-integers) — no float noise
     "q_rolling_median" -> ((s, dir) =>
@@ -1223,6 +1235,19 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_ewm" ->
+      """WITH RECURSIVE c AS (SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        |e AS (
+        |  SELECT o_custkey, o_orderkey, rn, CAST(cents AS DOUBLE) AS m
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.o_custkey, c.o_orderkey, c.rn,
+        |    0.5 * e.m + 0.5 * CAST(c.cents AS DOUBLE)
+        |  FROM e JOIN c ON c.o_custkey = e.o_custkey AND c.rn = e.rn + 1)
+        |SELECT o_custkey, o_orderkey, m FROM e""".stripMargin,
     "q_rolling_median" ->
       """WITH c AS (SELECT o_custkey, o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

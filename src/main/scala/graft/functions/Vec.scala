@@ -230,6 +230,23 @@ object Vec {
   def rollingVar(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
     gx(c => var_samp(x).over(rollingFrame(c, order, nRows)))
 
+  /** pandas `ewm(alpha).mean()` — see [[graft.plans.EwmMean]] for the
+    * custom window function and its exact pandas semantics. `x` is cast to
+    * double; the running recursion needs an ordering like every window verb.
+    */
+  def ewmMean(x: Column, alpha: Double, adjust: Boolean = false,
+              order: Seq[Column] = Nil): GExpr = gx { c =>
+    val o = if (order.nonEmpty) order else c.order
+    if (o.isEmpty)
+      throw graft.GraftError(
+        "ewmMean needs an ordering: call arrange(...) first or pass order columns")
+    org.apache.spark.sql.graftshim.Shim.windowOf(
+      graft.plans.EwmMean(
+        org.apache.spark.sql.graftshim.Shim.exprOf(x.cast("double")),
+        alpha, adjust),
+      c.partition, o)
+  }
+
   /** Exact rolling median over the trailing n-row frame: sort the frame's
     * collected values, take the middle (odd count) or the mean of the two
     * middles (even count — exact when x is integer-scaled, since the mean

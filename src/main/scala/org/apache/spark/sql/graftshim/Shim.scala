@@ -27,6 +27,24 @@ object Shim {
   def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Column for a custom Catalyst window function over (partition, order).
+    * `expressionColumn(...).over(spec)` does NOT work: the analyzer fails
+    * with WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE even for builtin window
+    * functions routed through an ExpressionColumnNode (verified on 4.1.2) —
+    * so the WindowExpression is built directly in Catalyst. The frame is
+    * left Unspecified: ResolveWindowFrame adopts the function's own frame.
+    */
+  def windowOf(func: org.apache.spark.sql.catalyst.expressions.Expression,
+               partition: Seq[Column], order: Seq[Column]): Column = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val sorts = order.map(c => exprOf(c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    })
+    columnOf(WindowExpression(func,
+      WindowSpecDefinition(partition.map(exprOf), sorts, UnspecifiedFrame)))
+  }
+
   /** Register a function builder on a live session's FunctionRegistry
     * (session-scoped). `sessionState` is `private[sql]`, hence here.
     */

@@ -161,6 +161,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(__pid"), "packing window must be per-__pid")
   }
 
+  test("ewm plans a per-group window with the function's running row frame") {
+    val p = plan("q_ewm")
+    // partitioned by the group key, running ROWS frame adopted from the
+    // function itself (ResolveWindowFrame), never a SinglePartition window
+    assert(p.contains("ewm_mean"), p.take(600))
+    assert(p.contains("windowspecdefinition(o_custkey"), p.take(800))
+    assert(p.contains("specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())"),
+      p.take(800))
+    assert(!p.contains("SinglePartition"), "running state must stay per-group")
+  }
+
   test("custom expressions (shingle_hash, dot_product) stay in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -179,6 +179,60 @@ object Scale {
                       outCol: String = "rn", numPartitions: Int = 0): DataFrame =
     globalCumSum(df, orderCols, lit(1L), outCol, numPartitions)
 
+  /** PER-GROUP exact inclusive cumulative sum in ONE range-partition pass —
+    * the grouped sibling of [[globalCumSum]]. The naive
+    * `Window.partitionBy(grp).orderBy(...)` funnels each group through a
+    * single reducer (fatal when a group holds a large share of 100 TB);
+    * N separate [[globalCumSum]] calls (one per group) re-shuffle the data
+    * N times. This does neither: range-partition ONCE by (grp, order) — each
+    * partition holds a contiguous slice of one-or-more groups — then compute
+    * per-(partition, group) totals (a micro-table of ≤ partitions × groups
+    * rows), window them into exclusive offsets per (partition, group), and
+    * broadcast back. Hot groups span many partitions; tiny groups share one.
+    *
+    * Same determinism contract as [[globalCumSum]]: the input subtree is
+    * evaluated twice, so nondeterministic sources need
+    * `checkpointInput = true`; (grp, order) should be a total order.
+    */
+  def groupedCumSum(df: DataFrame, grpCols: Seq[String], orderCols: Seq[Column],
+                    valueCol: Column, outCol: String, numPartitions: Int = 0,
+                    checkpointInput: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (grpCols.isEmpty)
+      return globalCumSum(df, orderCols, valueCol, outCol, numPartitions,
+        checkpointInput)
+    val src = if (checkpointInput) df.localCheckpoint(true) else df
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val parted = src
+      .repartitionByRange(n, (grpCols.map(col) ++ orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+    // micro-table: one row per (partition, group) — the only windows below
+    // run over it, never over the data
+    val offs = parted.groupBy(("__pid" +: grpCols).map(col): _*)
+      .agg(sum(valueCol).as("__psum"))
+      .withColumn("__off",
+        coalesce(sum("__psum").over(
+          Window.partitionBy(grpCols.map(col): _*).orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__psum")
+    parted.join(broadcast(offs), "__pid" +: grpCols)
+      .withColumn(outCol,
+        col("__off") + sum(valueCol).over(
+          Window.partitionBy(("__pid" +: grpCols).map(col): _*)
+            .orderBy(orderCols: _*)))
+      // the using-join hoisted the key columns to the front; restore the
+      // caller's column order (same contract as globalCumSum)
+      .select((df.columns.map(col) :+ col(outCol)): _*)
+  }
+
+  /** Exact per-group 1-based row number — [[groupedCumSum]] of 1. */
+  def globalRowNumberBy(df: DataFrame, grpCols: Seq[String],
+                        orderCols: Seq[Column], outCol: String = "rn",
+                        numPartitions: Int = 0): DataFrame =
+    groupedCumSum(df, grpCols, orderCols, lit(1L), outCol, numPartitions)
+
   /** Pack rows into shards of ~`budget` total `sizeCol` (token-budget shard
     * packing for pretraining corpora): shard = floor(exclusive_cumsum /
     * budget) in `orderCols` order. A row straddling a budget boundary stays
@@ -229,24 +283,33 @@ object Scale {
     * scheduling): source i's k-th row lands at position (k - 0.5) / weight_i,
     * so a weight-2 source appears twice as often, uniformly spread — the
     * standard stride-scheduling mix. Inputs must share a schema. Output adds
-    * `tag` (source name) and `mix_ord` (1-based global order). Per-source
-    * ordinals and the final ordinal both use the two-phase prefix sum — no
-    * global window anywhere.
+    * `tag` (source name) and `mix_ord` (1-based global order). Exactly TWO
+    * two-phase prefix-sum passes over the union regardless of source count —
+    * union first, then ONE [[globalRowNumberBy]] keyed by tag for every
+    * source's ordinals at once, then one [[globalRowNumber]] for the final
+    * order. No global window anywhere; no per-source shuffle fan-out.
     */
   def interleaveWeighted(sources: Seq[(String, DataFrame, Double)],
                          orderCols: DataFrame => Seq[Column]): DataFrame = {
     require(sources.nonEmpty && sources.forall(_._3 > 0),
       "need at least one source; weights must be positive")
-    val positioned = sources.map { case (tag, df, w) =>
-      globalRowNumber(df, orderCols(df), "__rn")
-        .withColumn("__pos", (col("__rn") - 0.5) / w)
-        .withColumn("tag", lit(tag))
-        .drop("__rn")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source tags must be unique")
+    val unioned = sources
+      .map { case (tag, df, _) => df.withColumn("tag", lit(tag)) }
+      .reduce(_.unionByName(_))
+    // per-tag weight as a small CASE expression (sources are few by nature)
+    val weightOf = sources.tail.foldLeft(
+        when(col("tag") === sources.head._1, lit(sources.head._3))) {
+      case (acc, (tag, _, w)) => acc.when(col("tag") === tag, lit(w))
     }
-    val unioned = positioned.reduce(_.unionByName(_))
+    val positioned =
+      globalRowNumberBy(unioned, Seq("tag"), orderCols(unioned), "__rn")
+        .withColumn("__pos", (col("__rn") - 0.5) / weightOf)
+        .drop("__rn")
     // ties (equal weights) break on tag then the source's own order key
-    globalRowNumber(unioned,
-        Seq(col("__pos"), col("tag")) ++ orderCols(unioned), "mix_ord")
+    globalRowNumber(positioned,
+        Seq(col("__pos"), col("tag")) ++ orderCols(positioned), "mix_ord")
       .drop("__pos")
   }
 

@@ -254,6 +254,41 @@ class ScaleSpec extends AnyFunSuite {
       "two-phase prefix sum must window within range partitions, not globally")
   }
 
+  test("groupedCumSum/globalRowNumberBy equal the per-group window ground truth") {
+    import spark.implicits._
+    // 4 groups of very different sizes (one hot), non-contiguous ids
+    val d = (1L to 3000L).map { i =>
+      val g = if (i % 10 < 7) "hot" else s"g${i % 10}"
+      (g, i * 7 % 9999, i % 13 + 1)
+    }.distinct.toDF("g", "id", "v")
+    val fast = graft.ops.Scale.groupedCumSum(d, Seq("g"), Seq(col("id")),
+        col("v"), "cum")
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("id")
+    val slow = d.withColumn("cum", sum("v").over(w))
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fast == slow)
+    // column order contract: original columns then the new one
+    val rnDf = graft.ops.Scale.globalRowNumberBy(d, Seq("g"), Seq(col("id")))
+    assert(rnDf.columns.toSeq == Seq("g", "id", "v", "rn"))
+    // rn restarts at 1 per group and is dense
+    val rn = rnDf.select("g", "rn").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._2).sorted.toSeq }
+    rn.foreach { case (g, xs) => assert(xs == (1L to xs.size), s"group $g: $xs") }
+    // the data-side window must stay partitioned by __pid — no
+    // per-group single-reducer window over the data
+    val plan = rnDf.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      "grouped prefix sum must window within range partitions")
+    // empty group-col list degrades to the global form
+    val glob = graft.ops.Scale.groupedCumSum(d, Nil, Seq(col("g"), col("id")),
+      col("v"), "cum")
+    assert(glob.count() == d.count())
+  }
+
   test("packByBudget: contiguous shards, budget respected up to one straddler") {
     import spark.implicits._
     val d = (1L to 400L).map(i => (i, i % 7 + 1)).toDF("id", "sz")

@@ -520,6 +520,17 @@ object SparkEntry2 {
         .mutate("m" -> Vec.ewmMean(col("cents"), alpha = 0.5))
         .select(Seq("o_custkey", "o_orderkey", "m"): _*).df),
 
+    // pandas ewm(alpha=0.5).var(): the oracle replays the SAME decayed-sums
+    // recursion (sw, swx, sw2, swx2) via a recursive CTE — identical IEEE
+    // ops in identical order are bit-exact, raw doubles hash with no rounding
+    "q_ewm_var" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate("cents" -> round(col("o_totalprice") * 100, 0).cast("bigint"))
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate("v" -> Vec.ewmVar(col("cents"), alpha = 0.5))
+        .select(Seq("o_custkey", "o_orderkey", "v"): _*).df),
+
     // exact rolling median on integer cents: odd frames hit an element,
     // even frames average two int64s (exact half-integers) — no float noise
     "q_rolling_median" -> ((s, dir) =>
@@ -1142,7 +1153,7 @@ object SparkEntry2 {
         |s3 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e
         |       JOIN s2 ON e.user_id = s2.user_id
         |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
-        |SELECT 1 AS step, 'click' AS stage,
+        |SELECT CAST(1 AS BIGINT) AS step, 'click' AS stage,
         |       (SELECT count(*) FROM s1) AS n
         |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
@@ -1248,6 +1259,30 @@ object SparkEntry2 {
         |    0.5 * e.m + 0.5 * CAST(c.cents AS DOUBLE)
         |  FROM e JOIN c ON c.o_custkey = e.o_custkey AND c.rn = e.rn + 1)
         |SELECT o_custkey, o_orderkey, m FROM e""".stripMargin,
+    "q_ewm_var" ->
+      """WITH RECURSIVE c AS (SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        |e AS (
+        |  SELECT o_custkey, o_orderkey, rn,
+        |    CAST(1.0 AS DOUBLE) AS sw,
+        |    CAST(cents AS DOUBLE) AS swx,
+        |    CAST(1.0 AS DOUBLE) AS sw2,
+        |    CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE) AS swx2
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.o_custkey, c.o_orderkey, c.rn,
+        |    1.0 + 0.5 * e.sw,
+        |    CAST(c.cents AS DOUBLE) + 0.5 * e.swx,
+        |    1.0 + 0.25 * e.sw2,
+        |    CAST(c.cents AS DOUBLE) * CAST(c.cents AS DOUBLE) + 0.5 * e.swx2
+        |  FROM e JOIN c ON c.o_custkey = e.o_custkey AND c.rn = e.rn + 1)
+        |SELECT o_custkey, o_orderkey,
+        |  CASE WHEN sw * sw = sw2 THEN NULL
+        |       ELSE (swx2 / sw - (swx / sw) * (swx / sw))
+        |            * ((sw * sw) / (sw * sw - sw2)) END AS v
+        |FROM e""".stripMargin,
     "q_rolling_median" ->
       """WITH c AS (SELECT o_custkey, o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -247,6 +247,26 @@ object Vec {
       c.partition, o)
   }
 
+  /** pandas `ewm(alpha, adjust=True).var(bias)` — see [[graft.plans.EwmVar]]
+    * for the decayed-sums recursion and exact semantics. */
+  def ewmVar(x: Column, alpha: Double, bias: Boolean = false,
+             order: Seq[Column] = Nil): GExpr = gx { c =>
+    val o = if (order.nonEmpty) order else c.order
+    if (o.isEmpty)
+      throw graft.GraftError(
+        "ewmVar needs an ordering: call arrange(...) first or pass order columns")
+    org.apache.spark.sql.graftshim.Shim.windowOf(
+      graft.plans.EwmVar(
+        org.apache.spark.sql.graftshim.Shim.exprOf(x.cast("double")),
+        alpha, bias),
+      c.partition, o)
+  }
+
+  /** pandas `ewm(alpha).std(bias)` — sqrt of [[ewmVar]]. */
+  def ewmStd(x: Column, alpha: Double, bias: Boolean = false,
+             order: Seq[Column] = Nil): GExpr =
+    ewmVar(x, alpha, bias, order).transform(sqrt)
+
   /** Exact rolling median over the trailing n-row frame: sort the frame's
     * collected values, take the middle (odd count) or the mean of the two
     * middles (even count — exact when x is integer-scaled, since the mean

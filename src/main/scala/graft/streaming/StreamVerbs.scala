@@ -27,6 +27,15 @@ class RunningTotalsProcessor
   }
 }
 
+/** State for [[StreamVerbs.streamingResample]]: the last bucket already
+  * emitted (its start, epoch ms; Long.MinValue before the first emission)
+  * and the still-open buckets as (bucketStart, n, sum, min, max). Bounded:
+  * open buckets span at most the watermark delay plus the source's
+  * event-time skew, divided by the bucket width.
+  */
+case class ResampleState(lastClosed: Long,
+                         open: Seq[(Long, Long, Double, Double, Double)])
+
 /** Structured-Streaming verbs. The reference has no streaming at all
   * (SURVEY §2.10) — this is the pure-extension layer, nearly free by
   * construction because graft verbs are `DataFrame => DataFrame`: a
@@ -256,6 +265,97 @@ object StreamVerbs {
         items.zipWithIndex.map { case ((id, s), i) => (g, id, s, i + 1L) }
       }
       .toDF(groupCol, idCol, scoreCol, "rank")
+  }
+
+  private val fixedUnitMs = Map(
+    "second" -> 1000L, "minute" -> 60000L, "hour" -> 3600000L,
+    "day" -> 86400000L)
+
+  /** Streaming resample with TICKER gap-fill — the streaming half of
+    * [[graft.ops.Resample.resample]]. Per key, rows are bucketed to
+    * fixed-width event-time buckets (epoch-aligned `second`/`minute`/
+    * `hour`/`day` — calendar units like month are not fixed-width and stay
+    * batch-only); a bucket is emitted exactly once, when the watermark
+    * passes its end. Buckets the data skipped are emitted too, as
+    * (n = 0, NULL sum/min/max) gap rows — and unlike the batch verb, the
+    * ticker keeps emitting empty buckets for a key that goes quiet until
+    * the stream stops (that is what makes it a ticker: downstream consumers
+    * see explicit silence, via each key's event-time timer re-arming at the
+    * next bucket boundary).
+    *
+    * State per key: the open (not-yet-closable) buckets plus one Long —
+    * bounded by (watermark delay + event-time skew) / bucket width, no
+    * matter how long the stream runs. Late rows for already-emitted buckets
+    * are dropped (the watermark contract). Append-mode output.
+    */
+  def streamingResample(t: Tbl, keyCol: String, tsCol: String,
+                        valueCol: String, unit: String,
+                        delay: String): DataFrame = {
+    val unitMs = fixedUnitMs.getOrElse(unit.toLowerCase,
+      throw graft.GraftError(
+        s"streamingResample needs a fixed-width unit ${fixedUnitMs.keys}, got '$unit'"))
+    val spark = t.df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val src = t.df
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, delay)
+      // keep the watermarked timestamp ATTRIBUTE itself — projecting it
+      // through unix_millis would strip the event-time tag and fail the
+      // streaming checker ("event-time timeout not supported without
+      // watermark"); millis conversion happens inside the function
+      .select(col(keyCol).cast("string").as("k"),
+              col(tsCol).as("ts"),
+              col(valueCol).cast("double").as("v"))
+      .as[(String, java.sql.Timestamp, Double)]
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+         state: GroupState[ResampleState]) =>
+          val st = state.getOption.getOrElse(ResampleState(Long.MinValue, Nil))
+          var lastClosed = st.lastClosed
+          val open = scala.collection.mutable.Map(
+            st.open.map(b => b._1 -> (b._2, b._3, b._4, b._5)): _*)
+          rows.foreach { case (_, tsv, v) =>
+            val b = Math.floorDiv(tsv.getTime, unitMs) * unitMs
+            if (lastClosed == Long.MinValue || b > lastClosed) {
+              val (n, s, mn, mx) =
+                open.getOrElse(b, (0L, 0.0, Double.MaxValue, Double.MinValue))
+              open(b) = (n + 1, s + v, math.min(mn, v), math.max(mx, v))
+            } // else: late beyond an emitted bucket — dropped
+          }
+          if (lastClosed == Long.MinValue && open.isEmpty) {
+            // nothing ever observed for this key (all rows late-dropped)
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            if (lastClosed == Long.MinValue) lastClosed = open.keys.min - unitMs
+            val out = Seq.newBuilder[
+              (String, Long, Long, Option[Double], Option[Double], Option[Double])]
+            var b = lastClosed + unitMs
+            while (b + unitMs <= wm) {
+              out += (open.remove(b) match {
+                case Some((n, s, mn, mx)) =>
+                  (key, b, n, Some(s), Some(mn), Some(mx))
+                case None => (key, b, 0L, None, None, None)
+              })
+              lastClosed = b
+              b += unitMs
+            }
+            state.update(ResampleState(lastClosed,
+              open.iterator.map { case (bk, (n, s, mn, mx)) =>
+                (bk, n, s, mn, mx) }.toSeq))
+            // re-arm at the next bucket's close; the loop above guarantees
+            // lastClosed + 2*unit > wm, which setTimeoutTimestamp requires
+            state.setTimeoutTimestamp(lastClosed + 2 * unitMs)
+            out.result().iterator
+          }
+      }
+      .toDF("k", "bucket_ms", "n", "sum", "min", "max")
+      .select(col("k").as(keyCol),
+        timestamp_millis(col("bucket_ms")).as("bucket"),
+        col("n"), col("sum"), col("min"), col("max"))
   }
 
   /** Custom-state example: per-key running (count, sum) via

@@ -365,6 +365,65 @@ class StreamingSpec extends AnyFunSuite {
       s"http://h.io/d/${r(0)}?a=1&b=2"))
   }
 
+  test("streaming resample: closed buckets equal batch resample; ticker emits gap rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rs").toFile
+    val ckpt = Files.createTempDirectory("graft-rs-ckpt").toFile
+    try {
+      val data = Seq(
+        ("a", "2024-01-01 00:00:10", 1.0),
+        ("a", "2024-01-01 00:00:40", 2.0),
+        ("b", "2024-01-01 00:01:05", 3.0),
+        ("a", "2024-01-01 00:03:20", 5.0)
+      ).toDF("k", "ts_s", "v").withColumn("ts", col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+      // file 1: the data; file 2: a flush sentinel far in the future, so the
+      // watermark passes every real bucket. maxFilesPerTrigger=1 forces them
+      // into separate micro-batches (watermarks only advance between batches)
+      data.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      Thread.sleep(1000) // distinct mtimes: the source must see data first
+      Seq(("zz", "2024-01-01 00:10:00", 0.0)).toDF("k", "ts_s", "v")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+
+      val stream = spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+      val q = StreamVerbs.streamingResample(Tbl(stream), "k", "ts", "v",
+          "minute", "0 seconds")
+        .writeStream.format("memory").queryName("rs_out")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+
+      val streamed = spark.sql("SELECT * FROM rs_out").where(col("k") =!= "zz")
+      // each key emits exactly once per bucket from its first bucket to the
+      // last one the watermark closed (00:09), INCLUDING trailing ticker rows
+      val counts = streamed.groupBy("k").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("a" -> 10L, "b" -> 9L), s"ticker rows: $counts")
+      // the buckets inside each key's own data span must equal the batch verb
+      val batch = graft.ops.Resample.resample(data, col("ts"), "minute",
+          Seq("k"), Seq("n" -> count(lit(1)), "sum" -> sum(col("v")),
+                        "min" -> min(col("v")), "max" -> max(col("v"))),
+          fill = Map("n" -> lit(0L)))
+      val spans = data.groupBy("k").agg(
+        date_trunc("minute", min(col("ts"))).as("lo"),
+        date_trunc("minute", max(col("ts"))).as("hi"))
+      TestSpark.assertSameRows(
+        streamed.join(spans, "k")
+          .where(col("bucket").between(col("lo"), col("hi")))
+          .drop("lo", "hi"),
+        batch, "stream-vs-batch resample")
+      // gap rows carry n=0 and NULL aggregates
+      val gap = streamed.where(col("k") === "a" &&
+        col("bucket") === lit("2024-01-01 00:01:00").cast("timestamp")).head()
+      assert(gap.getLong(2) == 0L && gap.isNullAt(3) && gap.isNullAt(4))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("transformWithState running totals (Spark 4 stateful API)") {
     // transformWithState needs a multi-column-family store: RocksDB
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

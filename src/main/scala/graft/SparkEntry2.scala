@@ -541,6 +541,17 @@ object SparkEntry2 {
         .mutate("rm" -> Vec.rollingMedian(col("cents"), 5))
         .select(Seq("o_custkey", "o_orderkey", "rm"): _*).df),
 
+    // exact rolling lower-quartile on integer cents: h = (n-1)/4 is dyadic,
+    // cents < 2^27, so lower + (upper-lower)*frac is exact on both engines
+    // (DuckDB quantile_cont uses the same linear interpolation)
+    "q_rolling_quantile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate("cents" -> round(col("o_totalprice") * 100, 0).cast("bigint"))
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate("rq" -> Vec.rollingQuantile(col("cents"), 0.25, 5))
+        .select(Seq("o_custkey", "o_orderkey", "rq"): _*).df),
+
     "q_rows_upsert" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(Seq("o_orderkey", "o_orderpriority", "o_totalprice"): _*)
@@ -1289,6 +1300,13 @@ object SparkEntry2 {
         |SELECT o_custkey, o_orderkey,
         |  median(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rm
+        |FROM c""".stripMargin,
+    "q_rolling_quantile" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  quantile_cont(cents, 0.25) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rq
         |FROM c""".stripMargin,
     "q_rows_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice

@@ -267,6 +267,30 @@ object Vec {
              order: Seq[Column] = Nil): GExpr =
     ewmVar(x, alpha, bias, order).transform(sqrt)
 
+  /** Exact rolling quantile with linear interpolation over the trailing
+    * n-row frame — pandas `rolling(n).quantile(q, interpolation="linear")`.
+    * Index h = (count-1)·q splits into floor element + fractional carry;
+    * both engines (and the DuckDB `quantile_cont` window oracle) compute
+    * lower + (upper-lower)·frac in the same order, so results are
+    * deterministic — and exact whenever x is integer-scaled and q is a
+    * dyadic rational. Same O(frame) per-row state as [[rollingMedian]];
+    * fine for the small frames rolling verbs use.
+    */
+  def rollingQuantile(x: Column, q: Double, nRows: Int,
+                      order: Seq[Column] = Nil): GExpr = {
+    require(q >= 0 && q <= 1, "q must be in [0, 1]")
+    gx { c =>
+      val arr = array_sort(collect_list(x).over(rollingFrame(c, order, nRows)))
+      val n = size(arr)
+      val h = (n - 1).cast("double") * lit(q)
+      val lo = floor(h).cast("int")
+      val frac = h - floor(h)
+      val lower = element_at(arr, lo + 1).cast("double")
+      val upper = element_at(arr, least(lo + 2, n)).cast("double")
+      when(n === 0, lit(null)).otherwise(lower + (upper - lower) * frac)
+    }
+  }
+
   /** Exact rolling median over the trailing n-row frame: sort the frame's
     * collected values, take the middle (odd count) or the mean of the two
     * middles (even count — exact when x is integer-scaled, since the mean

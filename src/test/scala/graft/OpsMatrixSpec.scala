@@ -410,6 +410,26 @@ class OpsMatrixSpec extends AnyFunSuite {
       s"NULL x or w rows must drop from both sums, got $wm")
   }
 
+  test("rollingQuantile: linear interpolation, q=0.5 equals rollingMedian") {
+    import spark.implicits._
+    // pandas pin: Series([4,1,3,2]).rolling(3, min_periods=1).quantile(0.25)
+    //   -> [4.0, 1.75, 2.0, 1.5]
+    val d = Tbl(Seq((1, 4.0), (2, 1.0), (3, 3.0), (4, 2.0)).toDF("i", "x"))
+    val got = d.arrange(col("i"))
+      .mutate("q" -> Vec.rollingQuantile(col("x"), 0.25, 3))
+      .df.orderBy("i").collect().map(_.getDouble(2)).toSeq
+    assert(got == Seq(4.0, 1.75, 2.0, 1.5), got)
+    // q=0.5 must agree with the rolling median on a bigger randomized frame
+    val big = Tbl((1L to 300L).map(i => (i, (i * 37 % 101).toDouble))
+      .toDF("i", "x"))
+    val both = big.arrange(col("i"))
+      .mutate("med" -> Vec.rollingMedian(col("x"), 7),
+              "q50" -> Vec.rollingQuantile(col("x"), 0.5, 7))
+      .df.collect()
+    both.foreach(r => assert(r.getDouble(2) == r.getDouble(3),
+      s"row ${r.getLong(0)}: med=${r.getDouble(2)} q50=${r.getDouble(3)}"))
+  }
+
   test("range-frame rolling: trailing span includes peers, hand-checked") {
     import spark.implicits._
     // ts 0,5,5,12,100 with span 10: frames {0},{0,5,5},{0,5,5},{5,5,12},{100}

@@ -228,6 +228,67 @@ object Similarity {
     per.unionByName(macroAvg)
   }
 
+  /** Persist an IVF index: `<path>/centroids` (nCentroids rows — tiny) and
+    * `<path>/assignments`, the corpus re-written ONCE partitioned by
+    * `centroid_id`. [[ivfTopKFromIndex]] then probes the persisted layout
+    * repeatedly without re-deriving anything — the build-once/probe-many
+    * shape real ANN serving needs. At 100 TB the partitioned layout is the
+    * point: a probe batch touching `nProbe` centroids per query reads ONLY
+    * those directories (dynamic partition pruning against the broadcast
+    * probe table); unprobed partitions are never scanned.
+    * Centroid choice matches [[ivfTopK]] (same deterministic id-hash
+    * sample), so index and inline answers agree exactly.
+    */
+  def buildIvfIndex(corpus: DataFrame, path: String, nCentroids: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroidHash: Option[Column] = None): Unit = {
+    val ch = centroidHash.getOrElse(xxhash64(col(idCol)))
+    corpus.select(ch.as("centroid_id"), col(vecCol).as("cvec"))
+      .orderBy("centroid_id").limit(nCentroids)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = corpus.sparkSession
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val scored = graft.ops.Scale.spread(corpus)
+      .select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+      .crossJoin(centroids)
+      .withColumn("cdist", cosine(col("item_vec"), col("cvec")))
+    val w = Window.partitionBy("item_id").orderBy(desc("cdist"), col("centroid_id"))
+    scored.withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+      .select(col("item_id"), col("item_vec"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Probe a persisted IVF index (see [[buildIvfIndex]]): rank the nProbe
+    * nearest centroids per query against the tiny centroid table, then join
+    * the broadcast probe set against the partitioned assignment table —
+    * the probe keys reach the scan as a dynamic-partition-pruning filter,
+    * so only probed `centroid_id=` directories are read. Same candidate
+    * ranking as [[ivfTopK]].
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nProbe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val scored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .crossJoin(centroids)
+      .withColumn("cdist", cosine(col("query_vec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cdist"), col("centroid_id"))
+    val probes = scored.withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("query_vec"), col("centroid_id"))
+    val assignments = spark.read.parquet(s"$path/assignments")
+    val cand = assignments.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("item_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "item_id")
+      .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w2 = Window.partitionBy("query_id").orderBy(desc("cosine"), col("item_id"))
+    cand.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .select("query_id", "item_id", "cosine", "rk")
+  }
+
   /** IVF (inverted-file) index: a deterministic sample of corpus vectors acts
     * as the coarse quantizer; every vector is assigned to its nearest
     * centroid partition. Queries probe the `nProbe` nearest centroids and

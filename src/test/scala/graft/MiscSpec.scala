@@ -23,6 +23,28 @@ class MiscSpec extends AnyFunSuite {
       s"${ivf.intersect(bf).size} of ${bf.size}")
   }
 
+  test("persisted IVF index answers equal inline ivfTopK; probes prune partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.buildIvfIndex(emb, dir, nCentroids = 8)
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, dir, queries,
+      k = 3, nProbe = 4)
+    val inline = Similarity.ivfTopK(emb, queries, k = 3, nCentroids = 8,
+      nProbe = 4)
+    TestSpark.assertSameRows(fromIdx, inline, "index vs inline IVF")
+    // the assignment scan must carry a dynamic-partition-pruning filter on
+    // centroid_id — only probed directories are read at serving time
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP filter on the assignment scan:\n${plan.take(1500)}")
+    // layout sanity: one directory per non-empty centroid partition
+    val dirs = new java.io.File(s"$dir/assignments").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.size <= 8, dirs.toString)
+  }
+
   test("count auto-renames on clash (n -> nn)") {
     import spark.implicits._
     val d = Tbl(Seq(("a", 1), ("a", 2)).toDF("g", "n"))

@@ -654,6 +654,17 @@ object SparkEntry2 {
     // per-domain quota curation (Common-Crawl-style caps): registered
     // domain from a constructed URL -> keep the 10 lowest-doc_id pages per
     // domain. Composes UrlFns with the quota sampler.
+    // leakage-safe train/val/test split keyed on the GROUP (source), not the
+    // row: every doc from one source lands in one split. Portable md5 hash
+    // leaf so DuckDB reproduces the assignment bit-for-bit
+    "q_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .splitByHash("source",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hash = Some(conv(substring(md5(col("source")), 1, 15), 16, 10)
+            .cast("long")))
+        .select(Seq("doc_id", "source", "split"): _*).df),
+
     "q_domain_quota" -> ((s, dir) => {
       val url = concat(lit("https://www."), col("source"), lit(".com/p/"),
         col("doc_id"))
@@ -815,6 +826,21 @@ object SparkEntry2 {
       Similarity.ivfTopK(emb, queries, k = 3, nCentroids = 16, nProbe = 4,
           centroidHash = Some(TextFns.portableHash64(col("vec_id").cast("string"))))
         .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
+    }),
+
+    // k-means topic bucketing on 1e6-quantized embeddings: every sum/dot is
+    // an exact integer in double, so two full Lloyd iterations are
+    // bit-reproducible — the generated oracle replays init, both assigns
+    // and the centroid update in DuckDB and the labels hash-match
+    "q_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000.0).cast("double")).as("qv"))
+      graft.ml.Clustering.kmeans(emb, k = 8, iters = 2,
+        idCol = "vec_id", vecCol = "qv",
+        initHash = Some(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+          16, 10).cast("long")))
     }),
 
     "q_knn_join" -> ((s, dir) => {
@@ -1441,6 +1467,21 @@ object SparkEntry2 {
         |  FROM k GROUP BY 1)
         |SELECT d.doc_id, coalesce(g.clean, '') AS clean
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q_split" -> {
+      // cut points computed EXACTLY as Tbl.splitByHash computes them
+      // (cumulative scanLeft in double, truncated), then interpolated
+      val m = 1L << 30
+      val cuts = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+        .map(f => (m * f).toLong)
+      s"""WITH h AS (SELECT doc_id, source,
+         |    CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % $m AS hv
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CASE WHEN hv < ${cuts(0)} THEN 'train'
+         |       WHEN hv < ${cuts(1)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h""".stripMargin
+    },
     "q_domain_quota" ->
       """WITH d AS (SELECT doc_id, lower(source) || '.com' AS domain
         |  FROM documents),
@@ -1715,6 +1756,7 @@ object SparkEntry2 {
     "q_knn_join" -> knnJoinOracleSql(dim = 64, nPlanes = 10, nTables = 8,
       k = 2, seed = 42L),
     "q_ann_ivf" -> annIvfOracleSql(nCentroids = 16, nProbe = 4, k = 3),
+    "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
     // the multimodal payload is utf-8 text, so DuckDB reproduces every
     // binary operation on the VARCHAR side: substr == binary slice, the
     // md5-leaf metadata stub interpolates the same salts, and Spark's
@@ -1741,6 +1783,48 @@ object SparkEntry2 {
         |  md5(fb) AS frame_md5
         |FROM s""".stripMargin
   )
+
+  /** DuckDB replica of `q_kmeans`: 1e6-quantized vectors, 60-bit md5 init
+    * sample, each Lloyd iteration replayed CTE by CTE. Every sum and dot
+    * here is an exact integer in double (|dim value| < 6e5, 64 dims, ≤2e4
+    * rows → all magnitudes < 2^53), so both engines compute identical
+    * doubles, identical argmins, identical labels — no rounding anywhere.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (SELECT vec_id,
+              |    list_transform(embedding,
+              |      x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS v
+              |  FROM embeddings),
+              |c0 AS (SELECT
+              |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+              |      AS BIGINT) AS cid,
+              |    v AS cvec
+              |  FROM q ORDER BY cid LIMIT $k),
+              |""".stripMargin
+    val d = "list_dot_product(c.cvec, c.cvec)" +
+      " - 2.0 * list_dot_product(q.v, c.cvec)"
+    for (i <- 0 to iters) {
+      val sep = if (i < iters) "," else ""
+      sb ++= s"""a$i AS (SELECT vec_id, v, cid FROM (
+                |  SELECT q.vec_id, q.v, c.cid,
+                |    row_number() OVER (PARTITION BY q.vec_id
+                |      ORDER BY $d, c.cid) AS rk
+                |  FROM q CROSS JOIN c$i c) WHERE rk = 1)$sep
+                |""".stripMargin
+      if (i < iters) {
+        sb ++= s"""u$i AS (SELECT cid, ii.i AS i, sum(v[ii.i]) AS s,
+                  |    count(*) AS n
+                  |  FROM a$i, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) ii
+                  |  GROUP BY cid, ii.i),
+                  |c${i + 1} AS (SELECT cid, list(s / n ORDER BY i) AS cvec
+                  |  FROM u$i GROUP BY cid),
+                  |""".stripMargin
+      }
+    }
+    sb ++= s"SELECT vec_id, cid AS cluster FROM a$iters"
+    sb.toString
+  }
 
   /** DuckDB replica of `q_ann_ivf`: portable-hash centroid sample (16
     * smallest md5-based id hashes), nearest-centroid assignment and

@@ -242,6 +242,35 @@ final case class Tbl(
       pmod(xxhash64(col(idCol), lit(seed)), lit(m)) < lit((m * frac).toLong)))
   }
 
+  /** Deterministic train/val/test split assignment: `outCol` gets the name
+    * of the split whose cumulative hash range `xxhash64(key, seed) mod 2^30`
+    * falls into. A pure function of (key, seed) — reproducible across runs,
+    * partitionings and growing data (a row never migrates as rows are
+    * added). LEAKAGE CONTROL: key on the GROUP (domain / source /
+    * dedup-cluster id), not the row id, and every member of a group lands
+    * in the same split — near-duplicates cannot straddle train/test.
+    * `hash` overrides the hash leaf (e.g. an md5-derived portable hash for
+    * engine-reproducible splits). Fractions must sum to 1.
+    */
+  def splitByHash(keyCol: String, splits: Seq[(String, Double)],
+                  outCol: String = "split", seed: Long = 42L,
+                  hash: Option[Column] = None): Tbl = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      "need at least one split; fractions must be nonnegative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val m = 1L << 30
+    val h = pmod(hash.getOrElse(xxhash64(col(keyCol), lit(seed))), lit(m))
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(f => (m * f).toLong)
+    // outermost-first when-chain: earlier splits win their range; the last
+    // split absorbs any truncation remainder up to 2^30
+    val labeled = splits.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, cut)) =>
+        when(h < lit(cut), lit(name)).otherwise(acc)
+      }
+    copy(df = df.withColumn(outCol, labeled))
+  }
+
   /** pandas `get_dummies` for one column (the reference declares it
     * unsupported, siuba/ops/generics.py:172): one 0/1 indicator per observed
     * level, named `{prefix}_{level}`, levels sorted. Level discovery is a

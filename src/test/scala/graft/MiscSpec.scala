@@ -45,6 +45,56 @@ class MiscSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.size <= 8, dirs.toString)
   }
 
+  test("kmeans recovers planted clusters exactly; partition-invariant") {
+    import spark.implicits._
+    // 3 planted centers 1000 apart in 4-d, integer jitter ±10 — sums stay
+    // exact in double, so the run is bit-deterministic
+    val pts = (0 until 120).map { i =>
+      val c = i % 3
+      val base = Seq(Seq(1000.0, 0.0, 0.0, 0.0), Seq(0.0, 1000.0, 0.0, 0.0),
+                     Seq(0.0, 0.0, 1000.0, 0.0))(c)
+      val jit = Seq.tabulate(4)(j => ((i * 7 + j * 13) % 21 - 10).toDouble)
+      (i.toLong, c, base.zip(jit).map { case (b, e) => b + e })
+    }
+    val df = pts.toDF("vec_id", "truth", "embedding")
+    // id-order init: ids 0,1,2 seed one centroid inside each planted cluster
+    val got = graft.ml.Clustering.kmeans(df, k = 3, iters = 3,
+      initHash = Some(col("vec_id")))
+    val m = df.join(got, "vec_id").select("truth", "cluster").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).toSet }
+    assert(m.values.forall(_.size == 1), s"impure clusters: $m")
+    assert(m.values.flatten.toSet.size == 3, s"merged clusters: $m")
+    val got2 = graft.ml.Clustering.kmeans(df.repartition(13), k = 3, iters = 3,
+      initHash = Some(col("vec_id")))
+    TestSpark.assertSameRows(got, got2, "kmeans repartition")
+  }
+
+  test("splitByHash: deterministic, group-coherent, fractions roughly honored") {
+    import spark.implicits._
+    val d = Tbl((1L to 3000L).map(i => (i, s"grp${i % 97}")).toDF("id", "g"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def run() = d.splitByHash("g", splits).df
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = run()
+    assert(a == run(), "same seed must reproduce the same assignment")
+    // group coherence: all rows of one group share a split
+    val perGroup = d.splitByHash("g", splits).df
+      .groupBy("g").agg(countDistinct("split").as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    // fractions: 97 groups hashed — train should dominate
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.6 && frac < 0.95, s"train frac $frac")
+    assert(a.values.toSet == Set("train", "val", "test"))
+    // a different seed produces a different assignment
+    val b = d.splitByHash("g", splits, seed = 7L).df
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != b)
+    intercept[IllegalArgumentException] {
+      d.splitByHash("g", Seq("x" -> 0.5, "y" -> 0.4))
+    }
+  }
+
   test("count auto-renames on clash (n -> nn)") {
     import spark.implicits._
     val d = Tbl(Seq(("a", 1), ("a", 2)).toDF("g", "n"))

@@ -654,6 +654,21 @@ object SparkEntry2 {
     // per-domain quota curation (Common-Crawl-style caps): registered
     // domain from a constructed URL -> keep the 10 lowest-doc_id pages per
     // domain. Composes UrlFns with the quota sampler.
+    // deterministic sampled quantiles: bottom-500 portable-hash sample per
+    // returnflag, exact percentiles of the sample. Dyadic probs (.25/.5/.75)
+    // on integer cents make the interpolation exact — bit-identical on both
+    // engines, no rounding
+    "q_sample_quantile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .mutate("cents" -> round(col("l_extendedprice") * 100, 0).cast("bigint"))
+        .groupBy("l_returnflag")
+        .quantilesBySample(col("cents"), Seq(0.25, 0.5, 0.75), k = 500,
+          sampleKey = Seq(col("l_orderkey"), col("l_linenumber")),
+          hash = Some(conv(substring(md5(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
+            .cast("long")))
+        .df),
+
     // leakage-safe train/val/test split keyed on the GROUP (source), not the
     // row: every doc from one source lands in one split. Portable md5 hash
     // leaf so DuckDB reproduces the assignment bit-for-bit
@@ -1467,6 +1482,20 @@ object SparkEntry2 {
         |  FROM k GROUP BY 1)
         |SELECT d.doc_id, coalesce(g.clean, '') AS clean
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q_sample_quantile" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 15)
+        |      AS BIGINT) AS h,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY h, l_orderkey, l_linenumber) AS rk FROM c)
+        |SELECT l_returnflag,
+        |  quantile_cont(cents, 0.25) AS q250,
+        |  quantile_cont(cents, 0.5)  AS q500,
+        |  quantile_cont(cents, 0.75) AS q750
+        |FROM r WHERE rk <= 500 GROUP BY 1""".stripMargin,
     "q_split" -> {
       // cut points computed EXACTLY as Tbl.splitByHash computes them
       // (cumulative scanLeft in double, truncated), then interpolated

@@ -333,6 +333,34 @@ final case class Tbl(
     }
   }
 
+  /** Deterministic approximate quantiles from a bottom-k hash sample: per
+    * group, keep the k rows with the smallest `xxhash64(sampleKey, seed)`
+    * (a uniform seed-stable sample — and, unlike streaming sketch
+    * compaction, MERGE-ORDER-INDEPENDENT: the k smallest hashes of a union
+    * don't depend on partitioning), then take EXACT percentiles of the
+    * sample. Rank error is O(1/√k): k=1000 ≈ ±1.6 percentile points at
+    * 95% confidence. One window shuffle for the sample, then percentiles
+    * over ≤k rows per group — predictable cost at any input size; the
+    * one-pass alternative is `Fns.Agg.approxQuantile` (native sketch).
+    * `hash` overrides the leaf (md5-portable → engine-reproducible);
+    * `sampleKey` must identify rows (it also tie-breaks equal hashes).
+    * Output: one row per group, one `q{1000p}` column per prob.
+    */
+  def quantilesBySample(xCol: Column, probs: Seq[Double], k: Int,
+                        sampleKey: Seq[Column], seed: Long = 42L,
+                        hash: Option[Column] = None): Tbl = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be in [0, 1]")
+    require(k > 0, "k must be positive")
+    val h = hash.getOrElse(xxhash64((sampleKey :+ lit(seed)): _*))
+    val sampled = sampleQuota(groups, h +: sampleKey, k)
+    val aggs = probs.map(p =>
+      percentile(xCol, lit(p)).as("q" + math.round(p * 1000)))
+    if (groups.isEmpty) Tbl(sampled.df.agg(aggs.head, aggs.tail: _*))
+    else Tbl(sampled.df.groupBy(groups.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*))
+  }
+
   /** Native Bernoulli sample (fast, but partitioning-dependent) and
     * stratified per-group sampling (Spark's `sampleBy`).
     */

@@ -45,6 +45,33 @@ class MiscSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.size <= 8, dirs.toString)
   }
 
+  test("quantilesBySample: exact when k covers the group, bounded error otherwise") {
+    import spark.implicits._
+    val d = Tbl((1L to 5000L).map(i => (i, i % 7, (i * 2654435761L % 100000).toDouble))
+      .toDF("id", "g", "x")).groupBy("g")
+    // k >= group size: the sample is the whole group -> exact percentiles
+    val full = d.quantilesBySample(col("x"), Seq(0.5), k = 10000,
+        sampleKey = Seq(col("id"))).df
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = d.df.groupBy("g").agg(percentile(col("x"), lit(0.5)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full == exact)
+    // k = 200: the estimate's true rank must sit near 0.5 (±4 sigma)
+    val est = d.quantilesBySample(col("x"), Seq(0.5), k = 200,
+        sampleKey = Seq(col("id"))).df
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    est.foreach { case (g, m) =>
+      val grp = (1L to 5000L).filter(_ % 7 == g).map(i => (i * 2654435761L % 100000).toDouble)
+      val below = grp.count(_ <= m).toDouble / grp.size
+      assert(below > 0.36 && below < 0.64, s"group $g: est rank $below")
+    }
+    // deterministic under repartitioning (merge-order-independent sample)
+    val re = Tbl(d.df.repartition(13)).groupBy("g")
+      .quantilesBySample(col("x"), Seq(0.5), k = 200, sampleKey = Seq(col("id"))).df
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re == est)
+  }
+
   test("kmeans recovers planted clusters exactly; partition-invariant") {
     import spark.implicits._
     // 3 planted centers 1000 apart in 4-d, integer jitter ±10 — sums stay

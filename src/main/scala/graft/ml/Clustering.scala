@@ -80,4 +80,23 @@ object Clustering {
              idCol: String = "vec_id", vecCol: String = "embedding",
              initHash: Option[Column] = None): DataFrame =
     kmeansFit(df, k, iters, idCol, vecCol, initHash)._1
+
+  /** Nearest-centroid assignment against a FIXED (cluster, cvec) table —
+    * the serve/ingest half once [[kmeansFit]]'s centroids are persisted.
+    * Same argmin + tie-break as training, so labels agree with a final
+    * training assign exactly. Map-side only (broadcast centroids).
+    */
+  def assign(df: DataFrame, centroids: DataFrame,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col("cluster").as("cid"), col("cvec"))
+    val scored = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d",
+        Similarity.dot(col("cvec"), col("cvec")) -
+          lit(2.0) * Similarity.dot(col("v"), col("cvec")))
+    val w = Window.partitionBy("id").orderBy(col("d"), col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("id").as(idCol), col("cid").as("cluster"))
+  }
 }

@@ -358,6 +358,65 @@ object StreamVerbs {
         col("n"), col("sum"), col("min"), col("max"))
   }
 
+  /** Streaming per-group quantile estimation — the streaming half of
+    * [[graft.Tbl.quantilesBySample]]: hold each group's k smallest
+    * `xxhash64(key, seed)` sample rows in state (bounded: exactly ≤k entries
+    * per group, forever) and re-emit the group's current sample quantiles
+    * whenever a micro-batch touches it (OutputMode.Update). Because the
+    * bottom-k-by-hash sample is merge-order-independent, the state after
+    * any prefix of the stream equals the batch sample over the same rows —
+    * stream and batch quantiles agree exactly once the data matches.
+    * Output: (group, qs array — one entry per prob, linear interpolation).
+    */
+  def streamingQuantileSample(t: Tbl, groupCol: String, keyCol: String,
+                              xCol: String, probs: Seq[Double], k: Int,
+                              seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be in [0, 1]")
+    val spark = t.df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    t.df.select(col(groupCol).cast("string").as("g"),
+                xxhash64(col(keyCol), lit(seed)).as("h"),
+                col(keyCol).cast("long").as("id"),
+                col(xCol).cast("double").as("x"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[(String, Long, Long, Double)],
+         state: GroupState[Seq[(Long, Long, Double)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+              rows.map(r => (r._2, r._3, r._4)))
+            .sortBy { case (h, id, _) => (h, id) }.take(k)
+          state.update(merged)
+          val xs = merged.map(_._3).sorted
+          val qs = probs.map { p =>
+            val h = (xs.size - 1) * p
+            val lo = h.toInt
+            val hi = math.min(lo + 1, xs.size - 1)
+            xs(lo) + (xs(hi) - xs(lo)) * (h - lo)
+          }
+          (g, qs)
+      }
+      .toDF(groupCol, "qs")
+  }
+
+  /** Streaming nearest-centroid assignment against FIXED k-means centroids
+    * (from [[graft.ml.Clustering.kmeansFit]], typically persisted): each
+    * micro-batch runs the batch [[graft.ml.Clustering.assign]] — labels on
+    * ingest equal a batch re-assign by construction (same code object,
+    * broadcast centroids, map-side only, nothing stateful).
+    */
+  def streamingKmeansAssign(t: Tbl, centroids: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding")
+                           (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Clustering.assign(batch, centroids, idCol, vecCol))
+    }
+
   /** Custom-state example: per-key running (count, sum) via
     * `mapGroupsWithState` — the KeyValueGroupedDataset escape hatch for
     * stateful logic the built-in operators can't express. Emits one updated

@@ -270,6 +270,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest("a").map(_._1).toSet == Set(1L, 5L))
   }
 
+  test("streaming quantile sample equals the batch sampled quantiles") {
+    import spark.implicits._
+    // integer x + dyadic probs -> interpolation is exact on both paths
+    val rows = (1L to 400L).map(i => (if (i % 3 == 0) "a" else "b", i,
+      (i * 37 % 1000).toDouble))
+    val (b1, b2) = rows.splitAt(250)
+    val dir = Files.createTempDirectory("graft-sq").toFile
+    val ckpt = Files.createTempDirectory("graft-sq-ckpt").toFile
+    b1.toDF("g", "id", "x").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    b2.toDF("g", "id", "x").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = b1.toDF("g", "id", "x").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val latest = scala.collection.mutable.Map[String, Seq[Double]]()
+    val q = StreamVerbs.streamingQuantileSample(Tbl(stream), "g", "id", "x",
+        probs = Seq(0.25, 0.5), k = 60)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => latest(r.getString(0)) = r.getSeq[Double](1))
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batchRef = Tbl(rows.toDF("g", "id", "x")).groupBy("g")
+      .quantilesBySample(col("x"), Seq(0.25, 0.5), k = 60,
+        sampleKey = Seq(col("id")))
+      .df.collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(latest.toMap == batchRef, s"stream $latest vs batch $batchRef")
+  }
+
+  test("streaming kmeans assignment equals the batch assign on fixed centroids") {
+    import spark.implicits._
+    val pts = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Seq(Seq(1000.0, 0.0), Seq(0.0, 1000.0), Seq(700.0, 700.0))(c)
+      (i.toLong, base.map(_ + (i % 7 - 3).toDouble))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val (_, cents) = graft.ml.Clustering.kmeansFit(df, k = 3, iters = 2,
+      initHash = Some(col("vec_id")))
+    val centsFixed = cents.cache()
+    val dir = Files.createTempDirectory("graft-ska").toFile
+    val ckpt = Files.createTempDirectory("graft-ska-ckpt").toFile
+    df.repartition(2).write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(df.schema).parquet(dir.getAbsolutePath)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = StreamVerbs.streamingKmeansAssign(Tbl(stream), centsFixed) { b =>
+      out ++= b.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = graft.ml.Clustering.assign(df, centsFixed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.toSet == batch)
+  }
+
   test("heavy_hitters sketch aggregates over a stream and equals batch") {
     // the Misra-Gries buffer is serialized into the state store between
     // micro-batches and merged on the next one — the mergeable-summary

@@ -531,6 +531,24 @@ object SparkEntry2 {
         .mutate("v" -> Vec.ewmVar(col("cents"), alpha = 0.5))
         .select(Seq("o_custkey", "o_orderkey", "v"): _*).df),
 
+    // pandas expanding().var(): computed from exact integer cumulative sums
+    // (n·Σx² − (Σx)²) / (n·(n−1)) in DOLLARS so every intermediate fits
+    // int64 — one final division, bit-exact on both engines, no rounding.
+    // Vec.expandingVar (the var_samp float path) is pinned to this exact
+    // formula in OpsMatrixSpec
+    "q_expanding_var" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate("d" -> round(col("o_totalprice"), 0).cast("bigint"))
+        .groupBy("o_custkey")
+        .arrange(col("o_orderkey"))
+        .mutate("n" -> Vec.rowNumber(col("o_orderkey")).transform(_.cast("bigint")),
+                "s" -> Vec.cumsum(col("d")),
+                "s2" -> Vec.cumsum(col("d") * col("d")))
+        .mutate("ev" -> when(col("n") > 1,
+          (col("n") * col("s2") - col("s") * col("s")).cast("double") /
+            (col("n") * (col("n") - 1))))
+        .select(Seq("o_custkey", "o_orderkey", "ev"): _*).df),
+
     // exact rolling median on integer cents: odd frames hit an element,
     // even frames average two int64s (exact half-integers) — no float noise
     "q_rolling_median" -> ((s, dir) =>
@@ -1335,6 +1353,19 @@ object SparkEntry2 {
         |       ELSE (swx2 / sw - (swx / sw) * (swx / sw))
         |            * ((sw * sw) / (sw * sw - sw2)) END AS v
         |FROM e""".stripMargin,
+    "q_expanding_var" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice) AS BIGINT) AS d FROM orders),
+        |w AS (SELECT o_custkey, o_orderkey,
+        |    row_number() OVER win AS n,
+        |    CAST(sum(d) OVER win AS BIGINT) AS s,
+        |    CAST(sum(d * d) OVER win AS BIGINT) AS s2
+        |  FROM c WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT o_custkey, o_orderkey,
+        |  CASE WHEN n > 1
+        |       THEN CAST(n * s2 - s * s AS DOUBLE) / (n * (n - 1)) END AS ev
+        |FROM w""".stripMargin,
     "q_rolling_median" ->
       """WITH c AS (SELECT o_custkey, o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -230,6 +230,22 @@ object Vec {
   def rollingVar(x: Column, nRows: Int, order: Seq[Column] = Nil): GExpr =
     gx(c => var_samp(x).over(rollingFrame(c, order, nRows)))
 
+  // -- expanding windows (pandas `expanding()`, also declared unsupported
+  //    in the reference) — running UNBOUNDED PRECEDING .. CURRENT ROW
+  //    frames; sum/mean are the existing cumsum/cummean ----------------------
+
+  private def expandingFrame(c: WinCtx, order: Seq[Column]) =
+    c.orderedBy(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  def expandingVar(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => var_samp(x).over(expandingFrame(c, order)))
+  def expandingStd(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => stddev_samp(x).over(expandingFrame(c, order)))
+  def expandingMin(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => min(x).over(expandingFrame(c, order)))
+  def expandingMax(x: Column, order: Seq[Column] = Nil): GExpr =
+    gx(c => max(x).over(expandingFrame(c, order)))
+
   /** pandas `ewm(alpha).mean()` — see [[graft.plans.EwmMean]] for the
     * custom window function and its exact pandas semantics. `x` is cast to
     * double; the running recursion needs an ordering like every window verb.

@@ -410,6 +410,34 @@ class OpsMatrixSpec extends AnyFunSuite {
       s"NULL x or w rows must drop from both sums, got $wm")
   }
 
+  test("expandingVar/Std/Min/Max: var matches the exact integer formula") {
+    import spark.implicits._
+    val d = Tbl((1L to 300L).map(i => (i % 5, i, (i * 37 % 1000).toDouble))
+      .toDF("g", "i", "x"))
+    val out = d.groupBy("g").arrange(col("i"))
+      .mutate("ev" -> Vec.expandingVar(col("x")),
+              "es" -> Vec.expandingStd(col("x")),
+              "mn" -> Vec.expandingMin(col("x")),
+              "mx" -> Vec.expandingMax(col("x")),
+              "n" -> Vec.rowNumber(col("i")).transform(_.cast("bigint")),
+              "s" -> Vec.cumsum(col("x").cast("bigint")),
+              "s2" -> Vec.cumsum((col("x") * col("x")).cast("bigint")))
+      .df.collect()
+    out.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      val s = r.getLong(r.fieldIndex("s"))
+      val s2 = r.getLong(r.fieldIndex("s2"))
+      if (n == 1) assert(r.isNullAt(r.fieldIndex("ev")))
+      else {
+        val exact = (n * s2 - s * s).toDouble / (n * (n - 1))
+        assert(math.abs(r.getDouble(r.fieldIndex("ev")) - exact) < 1e-6 * (1 + exact))
+        assert(math.abs(r.getDouble(r.fieldIndex("es")) - math.sqrt(exact)) <
+          1e-6 * (1 + math.sqrt(exact)))
+      }
+      assert(r.getDouble(r.fieldIndex("mn")) <= r.getDouble(r.fieldIndex("mx")))
+    }
+  }
+
   test("rollingQuantile: linear interpolation, q=0.5 equals rollingMedian") {
     import spark.implicits._
     // pandas pin: Series([4,1,3,2]).rolling(3, min_periods=1).quantile(0.25)

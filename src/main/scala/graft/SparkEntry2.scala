@@ -669,6 +669,22 @@ object SparkEntry2 {
         .select(col("doc_id"), col("tx").as("clean"))
     }),
 
+    // exact substring-span dedup (Lee et al. 2022 ExactSubstr, n-gram
+    // interval-merge formulation): per-doc duplicated-token stats + the
+    // masked text. Everything integer or exact-string; the gram key is the
+    // portable md5 leaf so DuckDB reproduces counts (and collisions) exactly.
+    "q_substr_dedup" -> ((s, dir) => {
+      val ph = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val docs = t(s, dir, "documents").df
+      val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text",
+        n = 8, hash = ph)
+      val masked = Dedup.maskDuplicateSpans(docs, "doc_id", "text",
+          n = 8, hash = ph)
+        .select(col("doc_id"), col("text").as("masked"))
+      stats.join(masked, "doc_id")
+    }),
+
     // per-domain quota curation (Common-Crawl-style caps): registered
     // domain from a constructed URL -> keep the 10 lowest-doc_id pages per
     // domain. Composes UrlFns with the quota sampler.
@@ -1513,6 +1529,33 @@ object SparkEntry2 {
         |  FROM k GROUP BY 1)
         |SELECT d.doc_id, coalesce(g.clean, '') AS clean
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q_substr_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |occ AS (SELECT doc_id, i - 1 AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)
+        |         AS BIGINT) AS gk
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) r),
+        |dup AS (SELECT gk FROM occ GROUP BY gk HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p
+        |  FROM occ JOIN dup USING (gk),
+        |       LATERAL (SELECT unnest(range(pos, pos + 8)) AS p) r),
+        |sp AS (SELECT doc_id, count(*) AS dup_tok,
+        |    sum(CASE WHEN lg = p - 1 THEN 0 ELSE 1 END) AS dup_spans
+        |  FROM (SELECT doc_id, p,
+        |      lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lg FROM cov)
+        |  GROUP BY doc_id),
+        |tp AS (SELECT doc_id, unnest(ws) AS w,
+        |    unnest(range(0, len(ws))) AS p FROM tok),
+        |mk AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS masked
+        |  FROM tp ANTI JOIN cov USING (doc_id, p) GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.ws) AS n_tok,
+        |  coalesce(sp.dup_tok, 0) AS dup_tok,
+        |  coalesce(sp.dup_spans, 0) AS dup_spans,
+        |  (10000 * coalesce(sp.dup_tok, 0)) // len(t.ws) AS dup_bp,
+        |  coalesce(mk.masked, '') AS masked
+        |FROM tok t LEFT JOIN sp USING (doc_id) LEFT JOIN mk USING (doc_id)""".stripMargin,
     "q_sample_quantile" ->
       """WITH c AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,

@@ -748,4 +748,111 @@ object Dedup {
     df.drop(textCol).join(reassembled, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
+
+  // -- exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+  //    Data Makes Language Models Better") ---------------------------------
+  // The paper's ExactSubstr pass finds every >=N-token span that occurs
+  // more than once in the corpus and removes the repeats. Their single-node
+  // tool builds a suffix array; the shuffle-bounded Spark formulation is
+  // n-gram positional inventory -> corpus-wide occurrence counts -> merged
+  // coverage intervals per doc. A span of L >= n duplicated tokens is
+  // exactly a run of L-n+1 duplicated n-grams, so interval-merging the
+  // duplicated gram starts reconstructs the paper's spans.
+
+  /** One row per n-token shingle occurrence: (__id, __pos, __gk) with
+    * 0-based token start position. Docs shorter than n tokens emit no rows
+    * (callers re-join stats onto the full doc list). Only 64-bit gram
+    * hashes shuffle; `hash` is pluggable so oracle queries can substitute a
+    * SQL-portable md5 leaf.
+    */
+  private def gramOccurrences(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, hash: Column => Column): DataFrame = {
+    val w = TextFns.tokens(col(textCol))
+    df.select(col(idCol).as("__id"), w.as("__w"))
+      .select(col("__id"),
+        posexplode(when(size(col("__w")) >= n,
+          transform(sequence(lit(1), size(col("__w")) - n + 1),
+            i => hash(concat_ws(" ", slice(col("__w"), i, lit(n))))))
+          .otherwise(array().cast("array<long>"))).as(Seq("__pos", "__gk")))
+  }
+
+  /** Start positions of corpus-duplicated n-grams, per doc, sorted:
+    * (__id, __starts). The count aggregate and the occurrence join share
+    * the same gram-hash shuffle key (AQE reuses the exchange); per-doc
+    * collect_list is bounded by doc length — nothing corpus-sized
+    * concentrates anywhere.
+    */
+  private def dupGramStarts(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, minCount: Int,
+                            hash: Column => Column): DataFrame = {
+    val occ = gramOccurrences(df, idCol, textCol, n, hash)
+    val dup = occ.groupBy("__gk").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount).select("__gk")
+    occ.join(dup, "__gk")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+  }
+
+  /** Per-doc duplicated-span statistics: token count, number of tokens
+    * covered by some corpus-duplicated n-gram, number of merged duplicated
+    * spans, and the duplicated fraction in basis points (integer floor —
+    * float-free). Every doc of `df` appears, zeros for clean docs.
+    *
+    * The interval merge is a single `aggregate` fold over the sorted start
+    * positions — exact integer arithmetic inside codegen, no UDF: a start
+    * past the running end opens a span (+n covered tokens); an overlapping
+    * start extends it by (start+n - end).
+    */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8, minCount: Int = 2,
+                         hash: Column => Column = xxhash64(_)): DataFrame = {
+    val starts = dupGramStarts(df, idCol, textCol, n, minCount, hash)
+    val folded = aggregate(
+      col("__starts"),
+      struct(lit(0L).as("tok"), lit(0L).as("spans"), lit(Long.MinValue).as("end")),
+      (acc, p) => {
+        val pe = p.cast("long") + n
+        // strict >: a start AT the running end is adjacent — same span
+        when(p.cast("long") > acc.getField("end"),
+          struct((acc.getField("tok") + n).as("tok"),
+                 (acc.getField("spans") + 1).as("spans"), pe.as("end")))
+          .otherwise(
+            struct((acc.getField("tok") + pe - acc.getField("end")).as("tok"),
+                   acc.getField("spans").as("spans"), pe.as("end")))
+      })
+    val stats = starts.select(col("__id"),
+      folded.getField("tok").as("__dup_tok"),
+      folded.getField("spans").as("__dup_spans"))
+    df.select(col(idCol),
+        size(TextFns.tokens(col(textCol))).cast("long").as("n_tok"))
+      .join(stats, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("__dup_tok"), lit(0L)).as("dup_tok"),
+        coalesce(col("__dup_spans"), lit(0L)).as("dup_spans"))
+      .withColumn("dup_bp", expr("(10000L * dup_tok) div n_tok"))
+  }
+
+  /** Scrub every corpus-duplicated >=n-token span: tokens covered by a
+    * duplicated n-gram are dropped, the rest rejoined with single spaces
+    * (masking operates in normalized token space, like the paper's
+    * token-id formulation). All non-text columns pass through; clean docs
+    * keep their (normalized) text.
+    */
+  def maskDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8, minCount: Int = 2,
+                         hash: Column => Column = xxhash64(_)): DataFrame = {
+    val starts = dupGramStarts(df, idCol, textCol, n, minCount, hash)
+    val joined = df.join(starts, col(idCol) === col("__id"), "left")
+    val covered = array_distinct(flatten(transform(
+      coalesce(col("__starts"), array().cast("array<int>")),
+      s => sequence(s, s + n - 1))))
+    val w = TextFns.tokens(col(textCol))
+    val idx = sequence(lit(0), size(w) - 1)
+    val kept = filter(
+      zip_with(w, idx, (t, i) => struct(t.as("t"), i.as("i"))),
+      s => !array_contains(covered, s.getField("i")))
+    joined
+      .withColumn(textCol, array_join(transform(kept, _.getField("t")), " "))
+      .drop("__id", "__starts")
+  }
 }

@@ -636,4 +636,62 @@ class PipelineSpec extends AnyFunSuite {
     val leaked = sc.getPersistentRDDs.keySet.toSet -- before
     assert(leaked.isEmpty, s"leaked pinned RDD ids: $leaked")
   }
+
+  test("duplicateSpanStats/maskDuplicateSpans: hand-checked spans, brute-force parity") {
+    import spark.implicits._
+    // doc 1 and 2 share tokens 0-5 ("a b c d e f"); doc 3 repeats its own
+    // 0-3 at 4-7; doc 4 is clean; doc 5 is shorter than n
+    val d = Seq(
+      (1L, "a b c d e f p q r s"),
+      (2L, "a b c d e f x y z w"),
+      (3L, "k l m n k l m n t u"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val n = 4
+    val st = Dedup.duplicateSpanStats(d, "doc_id", "text", n = n)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // docs 1/2: grams at 0,1,2 shared -> covered 0..5 = 6 tokens, 1 span
+    assert(st(1L) == (10L, 6L, 1L, 6000L), s"doc1 $st")
+    assert(st(2L) == (10L, 6L, 1L, 6000L))
+    // doc 3: gram "k l m n" at 0 and 4 -> covered 0..7 = 8 tokens, 1 span
+    assert(st(3L) == (10L, 8L, 1L, 8000L))
+    assert(st(4L) == (10L, 0L, 0L, 0L))
+    assert(st(5L) == (2L, 0L, 0L, 0L))
+
+    val masked = Dedup.maskDuplicateSpans(d, "doc_id", "text", n = n)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    assert(masked(1L) == "p q r s")
+    assert(masked(2L) == "x y z w")
+    assert(masked(3L) == "t u")
+    assert(masked(4L) == "one two three four five six seven eight nine ten")
+    assert(masked(5L) == "tiny doc")
+
+    // brute-force parity on real data: covered tokens via per-position scan
+    val real = docs.limit(120)
+    val stats = Dedup.duplicateSpanStats(real, "doc_id", "text", n = 5)
+    val toks = real.collect().map(r =>
+      r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text")).trim.toLowerCase
+          .split("\\s+").toSeq).toMap
+    val gramCount = scala.collection.mutable.Map[Seq[String], Int]()
+    toks.values.foreach(ws => ws.sliding(5).filter(_.size == 5)
+      .foreach(g => gramCount(g.toVector) = gramCount.getOrElse(g.toVector, 0) + 1))
+    stats.collect().foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val ws = toks(id)
+      val covered = scala.collection.mutable.Set[Int]()
+      ws.sliding(5).zipWithIndex.filter(_._1.size == 5).foreach { case (g, i) =>
+        if (gramCount(g.toVector) >= 2) covered ++= (i until i + 5)
+      }
+      assert(r.getLong(r.fieldIndex("dup_tok")) == covered.size.toLong,
+        s"doc $id dup_tok")
+      val spans = covered.toSeq.sorted
+        .foldLeft((0, -2)) { case ((c, prev), p) =>
+          (if (p == prev + 1) c else c + 1, p) }._1
+      assert(r.getLong(r.fieldIndex("dup_spans")) == spans.toLong, s"doc $id spans")
+    }
+  }
 }

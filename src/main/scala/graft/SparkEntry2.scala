@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Vec}
 import graft.reshape.Reshape
 import graft.cats.Forcats
-import graft.text.{TextFns, UrlFns}
+import graft.text.{Search, TextFns, UrlFns}
 import graft.ml.{Dedup, Similarity}
 import graft.multimodal.Multimodal
 
@@ -668,6 +668,28 @@ object SparkEntry2 {
           maxDocFreq = 3, minLen = 4, hash = ph)
         .select(col("doc_id"), col("tx").as("clean"))
     }),
+
+    // Okapi BM25 lexical retrieval: top-10 docs per query. k1=1.25/b=0.75
+    // are exactly binary-representable, so every float literal parses to
+    // the same double in both engines; all corpus stats are exact integers.
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark join table"), (2L, "fast hash value"),
+                   (3L, "window order data")).toDF("query_id", "qtext")
+      Search.bm25(t(s, dir, "documents").df, "doc_id", "text",
+          qs, "query_id", "qtext", k1 = 1.25, b = 0.75, topK = 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("score"),
+          col("rank"))
+    }),
+
+    // tf-idf keyword extraction: top-3 characteristic terms per doc. Each
+    // score is a single ln + multiply of identical exact-integer-derived
+    // doubles — no summation, so even the pre-round rank order is
+    // bit-deterministic across engines.
+    "q_tfidf" -> ((s, dir) =>
+      Search.tfidfTerms(t(s, dir, "documents").df, "doc_id", "text", topK = 3)
+        .select(col("id").as("doc_id"), col("term"), col("score"),
+          col("rank"))),
 
     // exact substring-span dedup (Lee et al. 2022 ExactSubstr, n-gram
     // interval-merge formulation): per-doc duplicated-token stats + the
@@ -1529,6 +1551,52 @@ object SparkEntry2 {
         |  FROM k GROUP BY 1)
         |SELECT d.doc_id, coalesce(g.clean, '') AS clean
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (1, 'spark join table'), (2, 'fast hash value'),
+        |    (3, 'window order data')),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |post AS (SELECT doc_id, len(ws) AS dl, w AS term, count(*) AS tf
+        |  FROM tok, LATERAL (SELECT unnest(ws) AS w) r GROUP BY 1, 2, 3),
+        |corp AS (SELECT count(DISTINCT doc_id) AS n_docs,
+        |    CAST(sum(tf) AS BIGINT) AS sum_dl FROM post),
+        |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |qt AS (SELECT query_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |sc AS (SELECT CAST(qt.query_id AS BIGINT) AS query_id, post.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (corp.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      ((post.tf * 2.25) /
+        |       (post.tf + 1.25 * ((1.0 - 0.75) +
+        |         ((0.75 * post.dl) / (CAST(corp.sum_dl AS DOUBLE) / corp.n_docs)))))
+        |    ), 4) AS score
+        |  FROM post JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN corp
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT * FROM rk WHERE rank <= 10""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |post AS (SELECT doc_id, w AS term, count(*) AS tf
+        |  FROM tok, LATERAL (SELECT unnest(ws) AS w) r GROUP BY 1, 2),
+        |corp AS (SELECT count(DISTINCT doc_id) AS n_docs FROM post),
+        |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |sc AS (SELECT post.doc_id, post.term,
+        |    CAST(post.tf AS DOUBLE) *
+        |      ln(CAST(corp.n_docs AS DOUBLE) / dfq.df) AS s
+        |  FROM post JOIN dfq USING (term) CROSS JOIN corp),
+        |rk AS (SELECT doc_id, term, s,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY s DESC, term) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, term, round(s, 4) AS score, rank
+        |FROM rk WHERE rank <= 3""".stripMargin,
     "q_substr_dedup" ->
       """WITH tok AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws

@@ -6,7 +6,7 @@ import graft.functions.{Fns, Vec}
 import graft.reshape.Reshape
 import graft.cats.Forcats
 import graft.text.{Search, TextFns, UrlFns}
-import graft.ml.{Dedup, Similarity}
+import graft.ml.{Dedup, Fuzzy, Similarity}
 import graft.multimodal.Multimodal
 
 /** SparkEntry part 2: reshape (§2.8), scalar families (§2.9), forcats, and
@@ -667,6 +667,22 @@ object SparkEntry2 {
       Dedup.dropFrequentLines(docs, "doc_id", "tx",
           maxDocFreq = 3, minLen = 4, hash = ph)
         .select(col("doc_id"), col("tx").as("clean"))
+    }),
+
+    // blocked edit-distance fuzzy lookup: probe names (one deterministic
+    // char deletion) matched into the part catalog; prefix block + length
+    // band, threshold-bounded levenshtein. All-integer output.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val part = t(s, dir, "part").df
+      val probes = part.filter(col("p_partkey") % 997 === 0)
+        .select(col("p_partkey").as("probe_id"),
+          concat(substring(col("p_name"), 1, 10),
+            col("p_name").substr(lit(12), length(col("p_name"))))
+            .as("ptext"))
+      Fuzzy.editDistanceJoin(probes, "probe_id", "ptext",
+          part, "p_partkey", "p_name", maxDist = 2, broadcastLeft = true)
+        .select(col("id_a").as("probe_id"), col("id_b").as("part_id"),
+          col("dist"))
     }),
 
     // Okapi BM25 lexical retrieval: top-10 docs per query. k1=1.25/b=0.75
@@ -1551,6 +1567,17 @@ object SparkEntry2 {
         |  FROM k GROUP BY 1)
         |SELECT d.doc_id, coalesce(g.clean, '') AS clean
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH pr AS (SELECT p_partkey AS probe_id,
+        |    substr(p_name, 1, 10) || substr(p_name, 12) AS ptext
+        |  FROM part WHERE p_partkey % 997 = 0),
+        |j AS (SELECT pr.probe_id, p.p_partkey AS part_id,
+        |    levenshtein(pr.ptext, p.p_name) AS d
+        |  FROM pr JOIN part p
+        |    ON substr(pr.ptext, 1, 3) = substr(p.p_name, 1, 3)
+        |    AND abs(length(pr.ptext) - length(p.p_name)) <= 2)
+        |SELECT probe_id, part_id, CAST(d AS BIGINT) AS dist
+        |FROM j WHERE d <= 2""".stripMargin,
     "q_bm25" ->
       """WITH q(query_id, qtext) AS (VALUES
         |    (1, 'spark join table'), (2, 'fast hash value'),

@@ -707,6 +707,40 @@ object SparkEntry2 {
         .select(col("id").as("doc_id"), col("term"), col("score"),
           col("rank"))),
 
+    // hybrid retrieval: RRF fusion of the BM25 lexical ranking and the
+    // embedding-cosine ranking (partial coverage at sf0.1 — only 2/5 of
+    // docs have vectors — exercises RRF's missing-list semantics). Query
+    // docs are excluded from both lists; two lists keep the fused sum a
+    // single commutative IEEE add, so ranks are engine-deterministic.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val emb = t(s, dir, "embeddings").df
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val lex = Search.bm25(docs, "doc_id", "text", qs, "query_id", "qtext",
+          k1 = 1.25, b = 0.75, topK = 20)
+        .where(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"), col("rank"))
+      val sem = Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 20)
+        .select(col("query_id"), col("item_id").as("id"),
+          col("rk").cast("long").as("rank"))
+      Search.rrfFuse(Seq(lex, sem), k0 = 60, topK = 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rrf"),
+          col("n_lists"), col("rank"))
+    }),
+
+    // PMI bigram collocations: exact integer counts, one ln per pair —
+    // bit-deterministic; global top-k plans TakeOrderedAndProject.
+    "q_pmi" -> ((s, dir) =>
+      Search.pmiCollocations(t(s, dir, "documents").df, "doc_id", "text",
+        minCount = 5, topK = 20)),
+
+    // corpus vocabulary health: all-integer single row
+    "q_vocab_stats" -> ((s, dir) =>
+      Search.vocabStats(t(s, dir, "documents").df, "text")),
+
     // exact substring-span dedup (Lee et al. 2022 ExactSubstr, n-gram
     // interval-merge formulation): per-doc duplicated-token stats + the
     // masked text. Everything integer or exact-string; the gram key is the
@@ -1567,6 +1601,82 @@ object SparkEntry2 {
         |  FROM k GROUP BY 1)
         |SELECT d.doc_id, coalesce(g.clean, '') AS clean
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q_hybrid_rrf" ->
+      """WITH q AS (SELECT doc_id AS query_id, text AS qtext
+        |    FROM documents WHERE doc_id < 3),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |post AS (SELECT doc_id, len(ws) AS dl, w AS term, count(*) AS tf
+        |  FROM tok, LATERAL (SELECT unnest(ws) AS w) r GROUP BY 1, 2, 3),
+        |corp AS (SELECT count(DISTINCT doc_id) AS n_docs,
+        |    CAST(sum(tf) AS BIGINT) AS sum_dl FROM post),
+        |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |qt AS (SELECT query_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |sc AS (SELECT qt.query_id, post.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (corp.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      ((post.tf * 2.25) /
+        |       (post.tf + 1.25 * ((1.0 - 0.75) +
+        |         ((0.75 * post.dl) / (CAST(corp.sum_dl AS DOUBLE) / corp.n_docs)))))
+        |    ), 4) AS score
+        |  FROM post JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN corp
+        |  GROUP BY 1, 2),
+        |lexrk AS (SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank FROM sc),
+        |lex AS (SELECT query_id, doc_id AS id, rank FROM lexrk
+        |  WHERE rank <= 20 AND doc_id <> query_id),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |eq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |cosd AS (SELECT eq.query_id, e.vec_id AS id,
+        |    list_dot_product(e.v, eq.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v))
+        |         * sqrt(list_dot_product(eq.qv, eq.qv))) AS cosine
+        |  FROM e CROSS JOIN eq WHERE e.vec_id <> eq.query_id),
+        |semrk AS (SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, id) AS rank FROM cosd),
+        |sem AS (SELECT query_id, id, rank FROM semrk WHERE rank <= 20),
+        |u AS (SELECT query_id, id, 1.0 / (rank + 60) AS t FROM lex
+        |  UNION ALL SELECT query_id, id, 1.0 / (rank + 60) AS t FROM sem),
+        |f AS (SELECT query_id, id, sum(t) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2),
+        |rk AS (SELECT query_id, id, s, n_lists,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s DESC, id) AS BIGINT) AS rank FROM f)
+        |SELECT query_id, id AS doc_id, round(s, 6) AS rrf, n_lists, rank
+        |FROM rk WHERE rank <= 10""".stripMargin,
+    "q_pmi" ->
+      """WITH tok AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY 1),
+        |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r),
+        |cb AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS t_tok,
+        |    CAST(sum(len(ws) - 1) AS BIGINT) AS b_tok FROM tok),
+        |sc AS (SELECT w1, w2, c_xy,
+        |    ln(CAST(c_xy * t_tok * t_tok AS DOUBLE) /
+        |       CAST(b_tok * u1.c * u2.c AS DOUBLE)) AS p
+        |  FROM cb JOIN uni u1 ON u1.w = cb.w1 JOIN uni u2 ON u2.w = cb.w2
+        |  CROSS JOIN tot)
+        |SELECT w1, w2, c_xy, round(p, 4) AS pmi FROM sc
+        |ORDER BY p DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_vocab_stats" ->
+      """WITH tok AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS t_tok,
+        |  count(*) AS vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(max(c) AS BIGINT) AS top_c,
+        |  (10000 * CAST(max(c) AS BIGINT)) // CAST(sum(c) AS BIGINT) AS top_bp
+        |FROM uni""".stripMargin,
     "q_fuzzy_join" ->
       """WITH pr AS (SELECT p_partkey AS probe_id,
         |    substr(p_name, 1, 10) || substr(p_name, 12) AS ptext

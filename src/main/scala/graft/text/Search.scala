@@ -70,6 +70,35 @@ object Search {
       .where(col("rank") <= topK)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * fused(d) = Σ_lists 1/(k0 + rank_list(d)). Each input must have
+    * (query_id, id, rank); lists may cover different item subsets (a doc
+    * missing from a list simply contributes no term — the standard RRF
+    * treatment of partial coverage, e.g. docs without embeddings).
+    * Returns (query_id, id, rrf, n_lists, rank), top `topK` per query,
+    * ties on the fused score broken by id.
+    *
+    * Determinism note: with two lists the fused sum is a single IEEE
+    * addition (commutative), so even pre-round ranking is bit-identical
+    * across engines; with 3+ lists summation order matters at the ~1e-17
+    * level — fine for the 6-dp output, but don't hash-compare unrounded
+    * ranks across engines then.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val terms = rankings.map(_.select(col("query_id"), col("id"),
+      (lit(1.0) / (col("rank") + k0)).as("__t")))
+    val fused = terms.reduce(_ unionByName _)
+      .groupBy("query_id", "id")
+      .agg(sum(col("__t")).as("__s"), count(lit(1)).cast("long").as("n_lists"))
+    val w = Window.partitionBy("query_id").orderBy(col("__s").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("id"), round(col("__s"), 6).as("rrf"),
+        col("n_lists"), col("rank"))
+  }
+
   /** Top-k characteristic terms per document by tf-idf (tf · ln(N/df)).
     * Fully deterministic across engines: tf, N, df are exact integers, so
     * each score is one ln and one multiply of identical doubles — no
@@ -91,5 +120,62 @@ object Search {
       .where(col("rank") <= topK)
       .select(col("id"), col("term"), round(col("__s"), 4).as("score"),
         col("rank"))
+  }
+
+  /** Pointwise-mutual-information bigram collocations over the corpus:
+    * PMI(x,y) = ln( c_xy · T² / (B · c_x · c_y) ) with T total tokens, B
+    * total bigrams, c the exact corpus counts. One explode + three
+    * aggregates; the 1-row corpus totals broadcast-join onto the bigram
+    * table. All counts are exact integers and the score is one ln of one
+    * exact-product ratio — bit-deterministic (products stay < 2^53 for
+    * corpora up to ~10⁷ tokens; beyond that the ratio form
+    * (c_xy/B)/((c_x/T)(c_y/T)) trades exactness for range).
+    * Returns the global top-k by (pmi desc, w1, w2) among bigrams with
+    * c_xy >= minCount.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val w = TextFns.tokens(col(textCol))
+    val toks = df.select(w.as("__w"))
+    val uni = toks.select(explode(col("__w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bigrams = toks.select(explode(zip_with(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    // 1-row corpus totals; tokens >= 1 per doc so B needs no clamp
+    val totals = toks.agg(sum(size(col("__w"))).cast("long").as("t_tok"),
+      sum(size(col("__w")) - 1).cast("long").as("b_tok"))
+    val pmi = log((col("c_xy") * col("t_tok") * col("t_tok")).cast("double") /
+      (col("b_tok") * col("c_x") * col("c_y")).cast("double"))
+    bigrams
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .join(broadcast(totals))
+      .withColumn("__pmi", pmi)
+      // global top-k: orderBy+limit plans TakeOrderedAndProject — no
+      // single-reducer window
+      .orderBy(col("__pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(col("__pmi"), 4).as("pmi"))
+  }
+
+  /** Corpus vocabulary statistics in one pass over the term-frequency
+    * table: total tokens, vocabulary size, hapax-legomena count, and the
+    * most-frequent term's share in basis points (integer floor — exact).
+    * The quick Zipf-curve health check for a training corpus.
+    */
+  def vocabStats(df: DataFrame, textCol: String): DataFrame = {
+    val uni = df.select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    uni.agg(sum(col("c")).cast("long").as("t_tok"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("hapax"),
+        max(col("c")).cast("long").as("top_c"))
+      .withColumn("top_bp", expr("(10000L * top_c) div t_tok"))
   }
 }

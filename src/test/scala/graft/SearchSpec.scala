@@ -50,6 +50,52 @@ class SearchSpec extends AnyFunSuite {
            out(1).getDouble(out(1).fieldIndex("score")))
   }
 
+  test("rrfFuse: hand-computed fusion, partial coverage, tiebreak by id") {
+    import spark.implicits._
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "id", "rank")
+    val sem = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "id", "rank")
+    val out = graft.text.Search.rrfFuse(Seq(lex, sem), k0 = 60, topK = 10)
+      .orderBy("rank").collect()
+    // doc 20: 1/62 + 1/61 = .02952...; doc 10: 1/61; doc 30: 1/62
+    assert(out.map(_.getLong(out(0).fieldIndex("id"))).toSeq == Seq(20L, 10L, 30L))
+    assert(math.abs(out(0).getDouble(out(0).fieldIndex("rrf")) -
+      math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6) < 1e-12)
+    assert(out(0).getLong(out(0).fieldIndex("n_lists")) == 2L)
+    assert(out(1).getLong(out(1).fieldIndex("n_lists")) == 1L)
+  }
+
+  test("pmiCollocations: exact counts, known collocation tops the list") {
+    import spark.implicits._
+    // "strong tea" always adjacent; "the the" frequent but independent
+    val d = Seq.tabulate(30)(i =>
+      (i.toLong, "the cat strong tea the dog strong tea"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Search
+      .pmiCollocations(d, "doc_id", "text", minCount = 5, topK = 5)
+      .collect()
+    val top = out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(3)))
+    // T=240, B=210. "strong tea": c_xy=60, c_strong=60, c_tea=60
+    // pmi = ln(60*240*240 / (210*60*60)) = ln(160/35)
+    val expect = math.rint(math.log(60.0 * 240 * 240 / (210.0 * 60 * 60)) * 1e4) / 1e4
+    assert(top.exists(t => t._1 == "strong" && t._2 == "tea" &&
+      t._3 == 60L && math.abs(t._4 - expect) < 1e-9), top.mkString(";"))
+    // every returned pmi is >= the dropped ones (top-k really is top)
+    assert(top.map(_._4).sorted.reverse.toSeq == top.map(_._4).toSeq ||
+      top.map(_._4).toSet.size < top.length)
+  }
+
+  test("vocabStats: exact single-row corpus stats") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b c"), (2L, "a d")).toDF("doc_id", "text")
+    val r = graft.text.Search.vocabStats(d, "text").collect()(0)
+    assert(r.getLong(r.fieldIndex("t_tok")) == 6L)
+    assert(r.getLong(r.fieldIndex("vocab")) == 4L)
+    assert(r.getLong(r.fieldIndex("hapax")) == 3L) // b, c, d
+    assert(r.getLong(r.fieldIndex("top_c")) == 3L) // a
+    assert(r.getLong(r.fieldIndex("top_bp")) == 5000L)
+  }
+
   test("tfidf: idf-0 terms score 0, distinctive terms rank first") {
     import spark.implicits._
     val d = Seq(

@@ -59,9 +59,15 @@ object Search {
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val tfPart = (col("tf") * (k1 + 1)).cast("double") /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    // df stats restricted to the query's terms BEFORE broadcasting — the
+    // full dfreq table is vocabulary-sized (far too big to broadcast at
+    // corpus scale); the restriction is itself a broadcast semi-join, so
+    // only |query terms| rows ever leave the dfreq aggregation.
+    val qset = qterms.select("term").distinct()
+    val qdf = dfreq.join(broadcast(qset), "term")
     val scored = postings
       .join(broadcast(qterms), "term")
-      .join(broadcast(dfreq.join(corpus)), "term")
+      .join(broadcast(qdf.join(corpus)), "term")
       .groupBy("query_id", "id")
       .agg(round(sum(idf * tfPart), 4).as("score"))
     val rw = Window.partitionBy("query_id")
@@ -113,8 +119,13 @@ object Search {
     val score = col("tf").cast("double") *
       log(col("n_docs").cast("double") / col("df"))
     val rw = Window.partitionBy("id").orderBy(col("__s").desc, col("term"))
+    // every posting needs its term's df, so this join is vocabulary-wide:
+    // a co-partitioned shuffle join on term (postings and dfreq share the
+    // term-hash exchange; AQE downgrades to broadcast when small). The
+    // 1-row corpus count broadcasts.
     postings
-      .join(broadcast(dfreq.join(corpus)), "term")
+      .join(dfreq, "term")
+      .join(broadcast(corpus))
       .withColumn("__s", score)
       .withColumn("rank", row_number().over(rw).cast("long"))
       .where(col("rank") <= topK)

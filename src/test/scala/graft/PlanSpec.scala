@@ -186,4 +186,22 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(inCodegen(dp, "dot_product"), dp.take(600))
   }
+
+  test("retrieval plans: no cartesian; pmi tops via TakeOrdered, not a global window") {
+    for (q <- Seq("q_bm25", "q_tfidf", "q_hybrid_rrf", "q_substr_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    val pp = plan("q_pmi")
+    assert(pp.contains("TakeOrderedAndProject"), pp.take(600))
+    assert(!pp.contains("CartesianProduct"))
+  }
+
+  test("fuzzy join: probes broadcast into a hash join; distance never degenerates the join") {
+    val p = plan("q_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the block-key equality must drive a hash join")
+    assert(p.contains("levenshtein"), "bounded levenshtein should be post-join filter")
+  }
 }

@@ -782,16 +782,33 @@ object Dedup {
     * collect_list is bounded by doc length — nothing corpus-sized
     * concentrates anywhere.
     */
-  private def dupGramStarts(df: DataFrame, idCol: String, textCol: String,
-                            n: Int, minCount: Int,
-                            hash: Column => Column): DataFrame = {
-    val occ = gramOccurrences(df, idCol, textCol, n, hash)
-    val dup = occ.groupBy("__gk").agg(count(lit(1)).as("__c"))
-      .where(col("__c") >= minCount).select("__gk")
-    occ.join(dup, "__gk")
+  /** The corpus's duplicated-gram set: 64-bit hashes of every n-token
+    * shingle occurring >= minCount times. Persist this table to scrub
+    * later-arriving docs against the frozen corpus (the `Against` forms
+    * below and the streaming sibling) without recounting.
+    */
+  def corpusDupGrams(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minCount: Int = 2,
+                     hash: Column => Column = xxhash64(_)): DataFrame =
+    gramOccurrences(df, idCol, textCol, n, hash)
+      .groupBy("__gk").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount)
+      .select(col("__gk").as("gram_hash"))
+
+  private def startsAgainst(df: DataFrame, idCol: String, textCol: String,
+                            dupGrams: DataFrame, n: Int,
+                            hash: Column => Column): DataFrame =
+    gramOccurrences(df, idCol, textCol, n, hash)
+      .join(dupGrams.select(col("gram_hash").as("__gk")), "__gk")
       .groupBy("__id")
       .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
-  }
+
+  private def dupGramStarts(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, minCount: Int,
+                            hash: Column => Column): DataFrame =
+    // self-referential case: count and probe share the gram-hash shuffle
+    startsAgainst(df, idCol, textCol,
+      corpusDupGrams(df, idCol, textCol, n, minCount, hash), n, hash)
 
   /** Per-doc duplicated-span statistics: token count, number of tokens
     * covered by some corpus-duplicated n-gram, number of merged duplicated
@@ -840,8 +857,25 @@ object Dedup {
     */
   def maskDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 8, minCount: Int = 2,
-                         hash: Column => Column = xxhash64(_)): DataFrame = {
-    val starts = dupGramStarts(df, idCol, textCol, n, minCount, hash)
+                         hash: Column => Column = xxhash64(_)): DataFrame =
+    maskWithStarts(df, idCol, textCol,
+      dupGramStarts(df, idCol, textCol, n, minCount, hash), n)
+
+  /** [[maskDuplicateSpans]] against a PERSISTED [[corpusDupGrams]] table:
+    * scrub arriving docs' spans that the frozen corpus already knows are
+    * duplicated (within-batch repeats are invisible by design — recount to
+    * refresh the gram table). This is the form the streaming
+    * scrub-on-ingest sibling reuses per micro-batch; join strategy is left
+    * to stats (the gram table may be far beyond broadcast size).
+    */
+  def maskDuplicateSpansAgainst(df: DataFrame, idCol: String, textCol: String,
+                                dupGrams: DataFrame, n: Int = 8,
+                                hash: Column => Column = xxhash64(_)): DataFrame =
+    maskWithStarts(df, idCol, textCol,
+      startsAgainst(df, idCol, textCol, dupGrams, n, hash), n)
+
+  private def maskWithStarts(df: DataFrame, idCol: String, textCol: String,
+                             starts: DataFrame, n: Int): DataFrame = {
     val joined = df.join(starts, col(idCol) === col("__id"), "left")
     val covered = array_distinct(flatten(transform(
       coalesce(col("__starts"), array().cast("array<int>")),

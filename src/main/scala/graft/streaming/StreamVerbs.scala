@@ -451,6 +451,25 @@ object StreamVerbs {
     }
   }
 
+  /** Ingest-time exact-substring scrub: mask every arriving doc's spans
+    * that a PERSISTED duplicated-gram table (built batch-side by
+    * [[graft.ml.Dedup.corpusDupGrams]] over the frozen corpus) already
+    * knows are duplicated — the streaming sibling of
+    * [[graft.ml.Dedup.maskDuplicateSpans]]. foreachBatch: docs arrive
+    * whole, so span-merging never crosses batches and no streaming state
+    * accrues; the gram join is stats-driven (the gram table can exceed
+    * broadcast size).
+    */
+  def streamingMaskDuplicateSpans(t: Tbl, idCol: String, textCol: String,
+                                  dupGrams: DataFrame, n: Int = 8,
+                                  hash: Column => Column = xxhash64(_))
+                                 (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Dedup.maskDuplicateSpansAgainst(
+        batch, idCol, textCol, dupGrams, n, hash))
+    }
+
   def runningTotals(t: Tbl, keyCol: String, valueCol: String): DataFrame = {
     val spark = t.df.sparkSession
     import spark.implicits._

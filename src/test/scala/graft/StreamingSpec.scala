@@ -504,4 +504,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("view") == (3L, 13.0))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming span mask scrubs known duplicated grams; parity with batch Against") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "a b c d e f p q r s"),
+      (101L, "a b c d e f x y z w"),
+      (102L, "one two three four five six")).toDF("doc_id", "text")
+    val dupGrams = graft.ml.Dedup.corpusDupGrams(corpus, "doc_id", "text", n = 4)
+    val arrivals = Seq(
+      (1L, "hello a b c d e f world"), // corpus-dup span inside
+      (2L, "nothing shared here at all"))
+    val dir = Files.createTempDirectory("graft-sms").toFile
+    val ckpt = Files.createTempDirectory("graft-sms-ckpt").toFile
+    arrivals.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = arrivals.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map[Long, String]()
+    val q = StreamVerbs.streamingMaskDuplicateSpans(
+        Tbl(stream), "doc_id", "text", dupGrams, n = 4) { clean =>
+        clean.collect().foreach(r =>
+          got(r.getLong(r.fieldIndex("doc_id"))) =
+            r.getString(r.fieldIndex("text")))
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.toMap == Map(
+      1L -> "hello world",
+      2L -> "nothing shared here at all"))
+    // exact parity with the batch Against form on the same arrivals
+    val batch = graft.ml.Dedup.maskDuplicateSpansAgainst(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", dupGrams, n = 4)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    assert(batch == got.toMap)
+  }
 }

@@ -707,6 +707,20 @@ object SparkEntry2 {
         .select(col("id").as("doc_id"), col("term"), col("score"),
           col("rank"))),
 
+    // deterministic integer PageRank over the symmetric customer<->supplier
+    // purchase graph (suppliers as negative node ids). Exact int64 fixed
+    // point: bit-identical under any partitioning — hash-oracled against a
+    // chained-CTE DuckDB recomputation of the same recurrence.
+    "q_pagerank" -> ((s, dir) => {
+      val ol = t(s, dir, "orders").df.join(t(s, dir, "lineitem").df,
+        col("l_orderkey") === col("o_orderkey"))
+      val fwd = ol.select(col("o_custkey").as("src"),
+        (-col("l_suppkey")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.Graph.pageRank(edges, iters = 5)
+    }),
+
     // hybrid retrieval: RRF fusion of the BM25 lexical ranking and the
     // embedding-cosine ranking (partial coverage at sf0.1 — only 2/5 of
     // docs have vectors — exercises RRF's missing-list semantics). Query
@@ -1601,6 +1615,8 @@ object SparkEntry2 {
         |  FROM k GROUP BY 1)
         |SELECT d.doc_id, coalesce(g.clean, '') AS clean
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q_pagerank" -> pagerankOracleSql(iters = 5, dampBp = 8500L,
+      scale = 1000000000000L),
     "q_hybrid_rrf" ->
       """WITH q AS (SELECT doc_id AS query_id, text AS qtext
         |    FROM documents WHERE doc_id < 3),
@@ -2377,6 +2393,41 @@ object SparkEntry2 {
   // ======================================================================
   // Extensions: extra aggregates, theta join, set ops, cube, where()
   // ======================================================================
+
+  /** Chained-CTE DuckDB recomputation of [[graft.graph.Graph.pageRank]]'s
+    * exact integer recurrence on the symmetric customer<->supplier purchase
+    * graph — one CTE per iteration, generated so the Spark config and the
+    * oracle can never drift. Every op is int64 floor arithmetic, so the
+    * hash compare is exact.
+    */
+  private def pagerankOracleSql(iters: Int, dampBp: Long,
+                                scale: Long): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH
+         |e AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  UNION SELECT DISTINCT -l_suppkey, o_custkey
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |n AS (SELECT count(*) AS cnt FROM nodes),
+         |pr0 AS (SELECT node, $scale // cnt AS mass FROM nodes, n)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(
+        s""",
+           |pr$k AS (SELECT nd.node,
+           |  ($scale * ${10000 - dampBp}) // (10000 * n.cnt)
+           |    + ($dampBp * coalesce(im.m, 0)) // 10000 AS mass
+           |  FROM nodes nd CROSS JOIN n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.mass // o.odeg) AS BIGINT) AS m
+           |    FROM pr${k - 1} p JOIN e ON p.node = e.src
+           |    JOIN odeg o ON o.src = e.src
+           |    GROUP BY 1) im ON im.node = nd.node)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, mass FROM pr$iters")
+    sb.toString
+  }
 
   private val extraQueries: Map[String, Q] = Map(
     "q_agg_extra" -> ((s, dir) =>

@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over plain (src, dst) edge DataFrames — the iterative
+  * sibling of [[graft.ml.Dedup.connectedComponents]]. Reference scope:
+  * siuba has no graph verbs; this extends the pipeline toolkit (link
+  * analysis for crawl frontier prioritization / dedup-cluster authority).
+  */
+object Graph {
+
+  /** Deterministic integer fixed-point PageRank.
+    *
+    *   PR_0(v)     = S div N
+    *   PR_{t+1}(v) = (S·(10000−dampBp)) div (10000·N)
+    *               + (dampBp · Σ_{u→v} (PR_t(u) div odeg(u))) div 10000
+    *
+    * Every operation is int64 with floor division and exact integer
+    * summation — order-free, so the result is bit-identical under any
+    * partitioning, merge order, or engine (a float PageRank can't be
+    * hash-compared across engines; this one can). Mass lost to floor
+    * rounding and dangling nodes drains deterministically — rankings, not
+    * probabilities, are the contract. `scale` bounds: node masses never
+    * exceed S, so the damping product stays ≤ S·10⁴ ≪ 2⁶³.
+    *
+    * Scale shape per iteration: one shuffle join of the rank vector with
+    * the out-degree-annotated edge list (both partitioned by src) and one
+    * aggregate on dst — the standard distributed PageRank step. Edges and
+    * the node list are cached via the dedup registry
+    * ([[graft.ml.Dedup.unpersistIntermediates]] releases them). The single
+    * driver scalar is the node count (bounded, like the
+    * connected-components convergence probe).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, dampBp: Long = 8500L,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0 && dampBp >= 0 && dampBp <= 10000 && scale > 0)
+    val e = graft.ml.Dedup.trackCache(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    val odeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val ew = graft.ml.Dedup.trackCache(e.join(odeg, "src"))
+    val nodes = graft.ml.Dedup.trackCache(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes.count()
+    val telep = (scale * (10000L - dampBp)) / (10000L * n)
+    var pr = nodes.withColumn("mass", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(ew, col("node") === col("src"))
+        .select(col("dst").as("node"), expr("mass div odeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(telep) +
+            expr(s"(${dampBp}L * coalesce(m, 0L)) div 10000L")).as("mass"))
+    }
+    pr
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Graph
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("pageRank: hand-checked two-node cycle and star, exact recurrence") {
+    import spark.implicits._
+    // 1 <-> 2 cycle: perfectly symmetric, masses stay equal every iteration
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val m = Graph.pageRank(cyc, iters = 3, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    // teleport floor: telep = 1000000*1500 div (10000*2) = 75000
+    // pr0 = 500000; each iter: 75000 + 8500*500000 div 10000 = 500000
+    assert(m(1L) == 500000L)
+
+    // star: 2,3,4 all point at 1 (and 1 at 2): 1 accumulates
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("src", "dst")
+    val s1 = Graph.pageRank(star, iters = 5, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1(1L) > s1(2L) && s1(2L) > s1(3L), s1)
+    assert(s1(3L) == s1(4L)) // symmetric leaves
+    // exact recurrence replay in Scala
+    var pr = Map(1L -> 250000L, 2L -> 250000L, 3L -> 250000L, 4L -> 250000L)
+    val telep = 1000000L * 1500L / (10000L * 4L)
+    for (_ <- 1 to 5) {
+      val in = Map(
+        1L -> (pr(2L) / 1 + pr(3L) / 1 + pr(4L) / 1),
+        2L -> pr(1L) / 1).withDefaultValue(0L)
+      pr = pr.keys.map(k => k -> (telep + 8500L * in(k) / 10000L)).toMap
+    }
+    assert(s1 == pr, s"spark $s1 vs replay $pr")
+  }
+
+  test("pageRank is partition-invariant (exact integer arithmetic)") {
+    import spark.implicits._
+    val edges = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .join(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val a = Graph.pageRank(sym, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(sym.repartition(13), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(_ > 0))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+}

@@ -707,6 +707,17 @@ object SparkEntry2 {
         .select(col("id").as("doc_id"), col("term"), col("score"),
           col("rank"))),
 
+    // T5 denoising prep: deterministic span corruption — the mask coin is
+    // the portable md5 leaf on (doc_id, position), so the corrupted pairs
+    // are bit-reproducible in any engine (and across reruns: replayable
+    // augmentation). Exact strings, no floats.
+    "q_span_corrupt" -> ((s, dir) =>
+      t(s, dir, "documents").df
+        .withColumn("sc",
+          TextFns.spanCorrupt(col("text"), col("doc_id"), rateBp = 1500))
+        .select(col("doc_id"), col("sc.input").as("input"),
+          col("sc.target").as("target"))),
+
     // deterministic integer PageRank over the symmetric customer<->supplier
     // purchase graph (suppliers as negative node ids). Exact int64 fixed
     // point: bit-identical under any partitioning — hash-oracled against a
@@ -1617,6 +1628,32 @@ object SparkEntry2 {
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
     "q_pagerank" -> pagerankOracleSql(iters = 5, dampBp = 8500L,
       scale = 1000000000000L),
+    "q_span_corrupt" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |fl AS (SELECT doc_id, ws,
+        |    list_transform(range(0, len(ws)), i ->
+        |      CAST('0x' || substr(md5(doc_id || '|' || i), 1, 15) AS BIGINT)
+        |        % 10000 < 1500) AS flags
+        |  FROM tok),
+        |st AS (SELECT doc_id, ws, flags,
+        |    list_transform(range(0, len(ws)), i ->
+        |      flags[i + 1] AND (i = 0 OR NOT flags[i])) AS starts
+        |  FROM fl)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(flatten(list_transform(range(0, len(ws)), i ->
+        |    CASE WHEN NOT flags[i + 1] THEN [ws[i + 1]]
+        |         WHEN starts[i + 1] THEN ['<extra_id_' ||
+        |           (len(list_filter(starts[1:i + 1], x -> x)) - 1) || '>']
+        |         ELSE [] END)), ' '), '') AS input,
+        |  coalesce(array_to_string(flatten(list_transform(range(0, len(ws)), i ->
+        |    CASE WHEN starts[i + 1] THEN ['<extra_id_' ||
+        |           (len(list_filter(starts[1:i + 1], x -> x)) - 1) || '>',
+        |           ws[i + 1]]
+        |         WHEN flags[i + 1] THEN [ws[i + 1]]
+        |         ELSE [] END)), ' '), '') AS target
+        |FROM st""".stripMargin,
     "q_hybrid_rrf" ->
       """WITH q AS (SELECT doc_id AS query_id, text AS qtext
         |    FROM documents WHERE doc_id < 3),
@@ -1763,7 +1800,8 @@ object SparkEntry2 {
         |  FROM occ JOIN dup USING (gk),
         |       LATERAL (SELECT unnest(range(pos, pos + 8)) AS p) r),
         |sp AS (SELECT doc_id, count(*) AS dup_tok,
-        |    sum(CASE WHEN lg = p - 1 THEN 0 ELSE 1 END) AS dup_spans
+        |    CAST(sum(CASE WHEN lg = p - 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS dup_spans
         |  FROM (SELECT doc_id, p,
         |      lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lg FROM cov)
         |  GROUP BY doc_id),

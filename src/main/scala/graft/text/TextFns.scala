@@ -336,6 +336,51 @@ object TextFns {
     struct(cols: _*)
   }
 
+  /** T5-style span-corruption pair (Raffel et al. 2020 §3.1.4 denoising
+    * objective): tokens are masked by a DETERMINISTIC per-(seed, position)
+    * hash coin (rateBp basis points), maximal masked runs collapse to one
+    * numbered sentinel on the input side and expand to sentinel-prefixed
+    * spans on the target side. Pure array expressions — reproducible
+    * across engines (the coin is the portable 60-bit md5 leaf), no RNG
+    * state, no UDF; re-running on the same doc always yields the same
+    * pair, so the corruption is replayable corpus-wide.
+    *
+    * Returns struct(input, target). The sentinel-numbering prefix count is
+    * O(tokens²) per doc in expression form — fine for context-window-sized
+    * docs; chunk first ([[chunkTokens]]) for very long ones.
+    */
+  def spanCorrupt(text: Column, seed: Column, rateBp: Int = 1500): Column = {
+    val w = tokens(text)
+    val idx = sequence(lit(0), size(w) - 1)
+    def coin(i: Column): Column =
+      conv(substring(md5(concat(seed.cast("string"), lit("|"),
+        i.cast("string"))), 1, 15), 16, 10).cast("long") % 10000 < rateBp
+    // single left fold so the hash coin evaluates exactly once per
+    // position (a flags-array formulation re-evaluates the producer array
+    // inside every element_at — O(n²) md5 calls)
+    val empty = array().cast("array<string>")
+    val acc0 = struct(empty.as("inp"), empty.as("tgt"),
+      lit(0L).as("k"), lit(false).as("prev"))
+    val folded = aggregate(idx, acc0, (acc, i) => {
+      val tok = element_at(w, i + 1)
+      val flag = coin(i)
+      val isStart = flag && !acc.getField("prev")
+      val sent = concat(lit("<extra_id_"), acc.getField("k").cast("string"),
+        lit(">"))
+      struct(
+        when(!flag, concat(acc.getField("inp"), array(tok)))
+          .when(isStart, concat(acc.getField("inp"), array(sent)))
+          .otherwise(acc.getField("inp")).as("inp"),
+        when(isStart, concat(acc.getField("tgt"), array(sent, tok)))
+          .when(flag, concat(acc.getField("tgt"), array(tok)))
+          .otherwise(acc.getField("tgt")).as("tgt"),
+        (acc.getField("k") + when(isStart, 1L).otherwise(0L)).as("k"),
+        flag.as("prev"))
+    })
+    struct(array_join(folded.getField("inp"), " ").as("input"),
+      array_join(folded.getField("tgt"), " ").as("target"))
+  }
+
   /** Split a document into token-window chunks of `chunkSize` tokens with
     * `overlap` tokens shared between consecutive chunks — the standard
     * context-window prep for training pipelines. Chunk starts advance by

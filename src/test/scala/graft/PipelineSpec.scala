@@ -637,6 +637,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked pinned RDD ids: $leaked")
   }
 
+  test("spanCorrupt: sentinel numbering, target pairing, exact reconstruction, determinism") {
+    val sel = docs.limit(60).withColumn("sc",
+        TextFns.spanCorrupt(col("text"), col("doc_id"), rateBp = 1500))
+      .select(col("doc_id"), col("text"), col("sc.input").as("i"),
+        col("sc.target").as("t"))
+    val out = sel.collect()
+    var masked = 0L; var total = 0L
+    out.foreach { r =>
+      val toks = r.getString(1).trim.toLowerCase.split("\\s+").toSeq
+      val inp = r.getString(2).split(" ").toSeq.filter(_.nonEmpty)
+      val tgtToks = r.getString(3).split(" ").toSeq.filter(_.nonEmpty)
+      val inpSents = inp.filter(_.startsWith("<extra_id_"))
+      inpSents.zipWithIndex.foreach { case (s, k) =>
+        assert(s == s"<extra_id_$k>", s"sentinels must number in order: $inp")
+      }
+      assert(tgtToks.filter(_.startsWith("<extra_id_")) == inpSents,
+        "target sentinels must mirror input's")
+      // split target into spans keyed by sentinel
+      val spans = scala.collection.mutable.Map[String, Vector[String]]()
+      var cur: String = null
+      tgtToks.foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Vector() }
+        else spans(cur) = spans(cur) :+ t
+      }
+      spans.values.foreach(s => assert(s.nonEmpty, "every span holds >=1 token"))
+      val rebuilt = inp.flatMap(t =>
+        if (t.startsWith("<extra_id_")) spans(t) else Seq(t))
+      assert(rebuilt == toks, s"doc ${r.getLong(0)} must reconstruct")
+      masked += toks.size - (inp.size - inpSents.size); total += toks.size
+    }
+    // coin rate ~15%
+    assert(masked.toDouble / total > 0.08 && masked.toDouble / total < 0.25,
+      s"mask rate ${masked.toDouble / total}")
+    TestSpark.assertSameRows(sel, sel, "deterministic replay")
+  }
+
   test("duplicateSpanStats/maskDuplicateSpans: hand-checked spans, brute-force parity") {
     import spark.implicits._
     // doc 1 and 2 share tokens 0-5 ("a b c d e f"); doc 3 repeats its own

@@ -707,6 +707,13 @@ object SparkEntry2 {
         .select(col("id").as("doc_id"), col("term"), col("score"),
           col("rank"))),
 
+    // Flesch–Kincaid readability gate: exact-integer word/sentence/vowel
+    // counts, deterministic float formula mirrored operation-for-operation
+    "q_readability" -> ((s, dir) =>
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          round(TextFns.fleschKincaid(col("text")), 4).as("fk"))),
+
     // T5 denoising prep: deterministic span corruption — the mask coin is
     // the portable md5 leaf on (doc_id, position), so the corrupted pairs
     // are bit-reproducible in any engine (and across reruns: replayable
@@ -1628,6 +1635,19 @@ object SparkEntry2 {
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
     "q_pagerank" -> pagerankOracleSql(iters = 5, dampBp = 8500L,
       scale = 1000000000000L),
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)
+        |         AS BIGINT) AS w,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |         AS BIGINT) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |         AS BIGINT) AS vg
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(0.39 * (CAST(w AS DOUBLE) / s)
+        |      + 11.8 * (CAST(greatest(vg, w) AS DOUBLE) / w) - 15.59, 4) AS fk
+        |FROM c""".stripMargin,
     "q_span_corrupt" ->
       """WITH tok AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws

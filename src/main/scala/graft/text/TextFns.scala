@@ -336,6 +336,24 @@ object TextFns {
     struct(cols: _*)
   }
 
+  /** Flesch–Kincaid grade level with the standard regex syllable
+    * approximation (vowel-group count, min 1 per word):
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59. Sentences
+    * are [.!?]+ runs (min 1). Three regexp_count passes, codegen'd; the
+    * inputs are exact integers so the score is engine-deterministic.
+    * The classic cheap readability gate for corpus quality filtering.
+    */
+  def fleschKincaid(text: Column): Column = {
+    val words = greatest(size(tokens(text)), lit(1)).cast("long")
+    val sentences = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("long")
+    // vowel groups, floored at one syllable per word
+    val vgroups = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    val syllables = greatest(vgroups, words)
+    lit(0.39) * (words.cast("double") / sentences) +
+      lit(11.8) * (syllables.cast("double") / words) - lit(15.59)
+  }
+
   /** T5-style span-corruption pair (Raffel et al. 2020 §3.1.4 denoising
     * objective): tokens are masked by a DETERMINISTIC per-(seed, position)
     * hash coin (rateBp basis points), maximal masked runs collapse to one

@@ -637,6 +637,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked pinned RDD ids: $leaked")
   }
 
+  test("fleschKincaid: hand-computed grade on a pinned sentence") {
+    import spark.implicits._
+    // 5 words, 2 sentences, vowel groups: he-llo(2)+world(1)+this(1)+is(1)+fun(1)=6
+    val d = Seq((1L, "Hello world. This is fun!")).toDF("id", "text")
+    val fk = d.select(TextFns.fleschKincaid(col("text"))).collect()(0).getDouble(0)
+    val expect = 0.39 * (5.0 / 2) + 11.8 * (6.0 / 5) - 15.59
+    assert(math.abs(fk - expect) < 1e-12, s"$fk vs $expect")
+  }
+
   test("spanCorrupt: sentinel numbering, target pairing, exact reconstruction, determinism") {
     val sel = docs.limit(60).withColumn("sc",
         TextFns.spanCorrupt(col("text"), col("doc_id"), rateBp = 1500))

@@ -21,13 +21,16 @@ object Search {
     * doc's token length (carried through the aggregate so scoring needs no
     * second join against a doc-length table).
     */
-  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = TextFns.tokens(col(textCol))
-    df.select(col(idCol).as("id"), size(w).cast("long").as("dl"),
-        explode(w).as("term"))
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // materialize the token array BEFORE the generate: referencing
+    // size(split(text)) next to explode(split(text)) re-runs the regex
+    // split once per exploded token row (~dl× the work); over an array
+    // column the recompute is an O(1) length read
+    df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("__w"))
+      .select(col("id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("term"))
       .groupBy("term", "id", "dl")
       .agg(count(lit(1)).cast("long").as("tf"))
-  }
 
   /** Okapi BM25 top-k retrieval. `queries` is a (qidCol, qtextCol) table —
     * small by assumption (it is broadcast). Returns
@@ -45,29 +48,40 @@ object Search {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qidCol: String, qtextCol: String,
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
-    val postings = invertedIndex(docs, idCol, textCol)
-    // corpus stats as a 1-row broadcast-joined table (no driver collect)
-    val corpus = postings.groupBy().agg(
-      countDistinct(col("id")).as("n_docs"),
-      sum(col("tf")).as("sum_dl"))
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val w = TextFns.tokens(col(textCol))
     val qterms = queries
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(TextFns.tokens(col(qtextCol)))).as("term"))
+    // the query-term restriction happens MAP-SIDE, before any shuffle: the
+    // corpus-wide tf/df tables are never built — only tokens matching a
+    // (broadcast) query term ever aggregate. At corpus scale this is the
+    // difference between shuffling the vocabulary and shuffling a few
+    // hundred postings. The semi-join uses the distinct term SET, not the
+    // per-query pairs, so a term shared by many queries (or doc-length
+    // queries) never duplicates pre-aggregation rows; query_ids attach
+    // post-aggregation via the qterms broadcast.
+    val qset = qterms.select("term").distinct()
+    val tf = docs
+      .select(col(idCol).as("id"), w.as("__w"))
+      .select(col("id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("term"))
+      .join(broadcast(qset), "term", "left_semi")
+      .groupBy("term", "id", "dl")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    // tf is unique per (term, id), so df is a plain count per term — no
+    // second corpus scan (AQE reuses tf's exchange)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    // 1-row corpus stats from a plain scan (no shuffle), broadcast-joined
+    val corpus = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(size(w)).cast("long").as("sum_dl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val tfPart = (col("tf") * (k1 + 1)).cast("double") /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
-    // df stats restricted to the query's terms BEFORE broadcasting — the
-    // full dfreq table is vocabulary-sized (far too big to broadcast at
-    // corpus scale); the restriction is itself a broadcast semi-join, so
-    // only |query terms| rows ever leave the dfreq aggregation.
-    val qset = qterms.select("term").distinct()
-    val qdf = dfreq.join(broadcast(qset), "term")
-    val scored = postings
+    val scored = tf
       .join(broadcast(qterms), "term")
-      .join(broadcast(qdf.join(corpus)), "term")
+      .join(broadcast(dfreq.join(corpus)), "term")
       .groupBy("query_id", "id")
       .agg(round(sum(idf * tfPart), 4).as("score"))
     val rw = Window.partitionBy("query_id")
@@ -114,17 +128,17 @@ object Search {
   def tfidfTerms(docs: DataFrame, idCol: String, textCol: String,
                  topK: Int = 3): DataFrame = {
     val postings = invertedIndex(docs, idCol, textCol)
-    val corpus = postings.groupBy().agg(countDistinct(col("id")).as("n_docs"))
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    // 1-row doc count from a plain scan (no shuffle), broadcast-joined
+    val corpus = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    // every posting needs its term's df; a COUNT window partitioned by
+    // term computes it from the postings table itself — one exchange of
+    // the compact postings, never a second corpus scan + self-join
+    val df = count(lit(1)).over(Window.partitionBy("term")).cast("long")
     val score = col("tf").cast("double") *
       log(col("n_docs").cast("double") / col("df"))
     val rw = Window.partitionBy("id").orderBy(col("__s").desc, col("term"))
-    // every posting needs its term's df, so this join is vocabulary-wide:
-    // a co-partitioned shuffle join on term (postings and dfreq share the
-    // term-hash exchange; AQE downgrades to broadcast when small). The
-    // 1-row corpus count broadcasts.
     postings
-      .join(dfreq, "term")
+      .withColumn("df", df)
       .join(broadcast(corpus))
       .withColumn("__s", score)
       .withColumn("rank", row_number().over(rw).cast("long"))

@@ -773,6 +773,28 @@ object SparkEntry2 {
     "q_vocab_stats" -> ((s, dir) =>
       Search.vocabStats(t(s, dir, "documents").df, "text")),
 
+    // BM25 topic tagging against frozen-corpus stats: best topic per doc
+    // (rank over the 4-dp score, topic_id tiebreak). The same stats table
+    // drives the streaming scrub-on-ingest sibling.
+    "q_bm25_tag" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").df
+      val topics = Seq((1L, "join hash merge"), (2L, "window stream batch"),
+                       (3L, "scan filter table")).toDF("topic_id", "ttext")
+      val stats = Search.bm25TopicStats(docs, "doc_id", "text",
+        topics, "topic_id", "ttext")
+      Search.bm25TagAgainst(docs, "doc_id", "text", stats,
+          k1 = 1.25, b = 0.75)
+        .select(col("id").as("doc_id"), col("topic_id"), col("score"),
+          col("rank"))
+    }),
+
+    // skip-gram PMI at window 2 (gaps d=1,2): same exact-integer contract
+    // as q_pmi with the generalized pair/total counting
+    "q_skipgram" -> ((s, dir) =>
+      Search.pmiCollocations(t(s, dir, "documents").df, "doc_id", "text",
+        minCount = 5, topK = 20, window = 2)),
+
     // exact substring-span dedup (Lee et al. 2022 ExactSubstr, n-gram
     // interval-merge formulation): per-doc duplicated-token stats + the
     // masked text. Everything integer or exact-string; the gram key is the
@@ -1732,6 +1754,60 @@ object SparkEntry2 {
         |  HAVING count(*) >= 5),
         |tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS t_tok,
         |    CAST(sum(len(ws) - 1) AS BIGINT) AS b_tok FROM tok),
+        |sc AS (SELECT w1, w2, c_xy,
+        |    ln(CAST(c_xy * t_tok * t_tok AS DOUBLE) /
+        |       CAST(b_tok * u1.c * u2.c AS DOUBLE)) AS p
+        |  FROM cb JOIN uni u1 ON u1.w = cb.w1 JOIN uni u2 ON u2.w = cb.w2
+        |  CROSS JOIN tot)
+        |SELECT w1, w2, c_xy, round(p, 4) AS pmi FROM sc
+        |ORDER BY p DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_bm25_tag" ->
+      """WITH tp(topic_id, ttext) AS (VALUES
+        |    (1, 'join hash merge'), (2, 'window stream batch'),
+        |    (3, 'scan filter table')),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |qt AS (SELECT CAST(topic_id AS BIGINT) AS topic_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(lower(ttext)), '\s+'))) AS term
+        |  FROM tp),
+        |dfq AS (SELECT w AS term, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(ws)) AS w FROM tok)
+        |  WHERE w IN (SELECT term FROM qt) GROUP BY 1),
+        |corp AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM tok),
+        |tf AS (SELECT qt.topic_id, t.doc_id, len(t.ws) AS dl, w.term,
+        |    coalesce(dfq.df, 0) AS df, count(*) AS tf
+        |  FROM tok t, LATERAL (SELECT unnest(t.ws) AS term) w
+        |  JOIN qt ON qt.term = w.term
+        |  LEFT JOIN dfq ON dfq.term = w.term
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |sc AS (SELECT topic_id, doc_id,
+        |    round(sum(
+        |      ln(1.0 + (corp.n_docs - tf.df + 0.5) / (tf.df + 0.5)) *
+        |      ((tf.tf * 2.25) /
+        |       (tf.tf + 1.25 * ((1.0 - 0.75) +
+        |         ((0.75 * tf.dl) / (CAST(corp.sum_dl AS DOUBLE) / corp.n_docs)))))
+        |    ), 4) AS score
+        |  FROM tf CROSS JOIN corp GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, topic_id, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, topic_id) AS BIGINT) AS rank FROM sc)
+        |SELECT doc_id, topic_id, score, rank FROM rk""".stripMargin,
+    "q_skipgram" ->
+      """WITH tok AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY 1),
+        |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+        |  UNION ALL
+        |  SELECT ws[i] AS w1, ws[i + 2] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r),
+        |cb AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS t_tok,
+        |    CAST(sum(greatest(len(ws) - 1, 0) + greatest(len(ws) - 2, 0))
+        |         AS BIGINT) AS b_tok FROM tok),
         |sc AS (SELECT w1, w2, c_xy,
         |    ln(CAST(c_xy * t_tok * t_tok AS DOUBLE) /
         |       CAST(b_tok * u1.c * u2.c AS DOUBLE)) AS p

@@ -470,6 +470,21 @@ object StreamVerbs {
         batch, idCol, textCol, dupGrams, n, hash))
     }
 
+  /** Ingest-time BM25 topic tagging against a PERSISTED
+    * [[graft.text.Search.bm25TopicStats]] table (frozen-corpus idf/avgdl,
+    * so backfill and ingest score identically) — the streaming sibling of
+    * [[graft.text.Search.bm25TagAgainst]]. foreachBatch, stats broadcast;
+    * no streaming state.
+    */
+  def streamingBm25Tag(t: Tbl, idCol: String, textCol: String,
+                       stats: DataFrame, k1: Double = 1.2, b: Double = 0.75)
+                      (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.text.Search.bm25TagAgainst(batch, idCol, textCol, stats,
+        k1, b))
+    }
+
   def runningTotals(t: Tbl, keyCol: String, valueCol: String): DataFrame = {
     val spark = t.df.sparkSession
     import spark.implicits._

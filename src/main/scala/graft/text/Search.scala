@@ -90,6 +90,63 @@ object Search {
       .where(col("rank") <= topK)
   }
 
+  /** Frozen-corpus BM25 statistics for a fixed topic set: one row per
+    * (topic_id, term) carrying the corpus document frequency (0 for terms
+    * the corpus never saw — they keep the maximal idf), plus N and Σdl.
+    * Broadcast-sized by construction (|topic terms| rows). Persist it and
+    * tag arriving docs with [[bm25TagAgainst]] or the streaming sibling —
+    * idf/avgdl stay pinned to the frozen corpus, so backfill and ingest
+    * agree. df comes from one per-doc-distinct explode restricted
+    * map-side to topic terms; no corpus-wide aggregate is built.
+    */
+  def bm25TopicStats(docs: DataFrame, idCol: String, textCol: String,
+                     topics: DataFrame, tidCol: String,
+                     ttextCol: String): DataFrame = {
+    val w = TextFns.tokens(col(textCol))
+    val qterms = topics.select(col(tidCol).as("topic_id"),
+      explode(array_distinct(TextFns.tokens(col(ttextCol)))).as("term"))
+    val qset = qterms.select("term").distinct()
+    val dfreq = docs.select(explode(array_distinct(w)).as("term"))
+      .join(broadcast(qset), "term", "left_semi")
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val corpus = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(size(w)).cast("long").as("sum_dl"))
+    qterms.join(dfreq, Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .join(broadcast(corpus))
+  }
+
+  /** Tag docs with BM25 scores against a [[bm25TopicStats]] table:
+    * (id, topic_id, score, rank) with rank 1 the best topic per doc (ties
+    * on the 4-dp score break by topic_id). Docs sharing no term with any
+    * topic emit nothing. Map-side: the stats table broadcasts; the only
+    * shuffle is the per-(topic, doc) score aggregation.
+    */
+  def bm25TagAgainst(df: DataFrame, idCol: String, textCol: String,
+                     stats: DataFrame, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    val w = TextFns.tokens(col(textCol))
+    val matched = df
+      .select(col(idCol).as("id"), w.as("__w"))
+      .select(col("id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("term"))
+      .join(broadcast(stats), "term")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val tfPart = (col("tf") * (k1 + 1)).cast("double") /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val scored = matched
+      .groupBy("topic_id", "id", "dl", "term", "df", "n_docs", "sum_dl")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy("topic_id", "id")
+      .agg(round(sum(idf * tfPart), 4).as("score"))
+    val rw = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("topic_id"))
+    scored.withColumn("rank", row_number().over(rw).cast("long"))
+      .select(col("id"), col("topic_id"), col("score"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * fused(d) = Σ_lists 1/(k0 + rank_list(d)). Each input must have
     * (query_id, id, rank); lists may cover different item subsets (a doc
@@ -159,21 +216,36 @@ object Search {
     * c_xy >= minCount.
     */
   def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
-                      minCount: Long = 5, topK: Int = 20): DataFrame = {
+                      minCount: Long = 5, topK: Int = 20,
+                      window: Int = 1): DataFrame = {
+    require(window >= 1, "window must be >= 1")
     val w = TextFns.tokens(col(textCol))
     val toks = df.select(w.as("__w"))
     val uni = toks.select(explode(col("__w")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val bigrams = toks.select(explode(zip_with(
-        slice(col("__w"), lit(1), size(col("__w")) - 1),
-        slice(col("__w"), lit(2), size(col("__w")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+    // ordered pairs (w_i, w_{i+d}) for every gap d in 1..window — the
+    // skip-gram generalization; window=1 is classic adjacent bigrams
+    def pairsAt(d: Int) = {
+      val pairs = zip_with(
+        slice(col("__w"), lit(1), size(col("__w")) - d),
+        slice(col("__w"), lit(1 + d), size(col("__w")) - d),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      // slice length must be >= 0: docs shorter than the gap emit nothing
+      when(size(col("__w")) > d, pairs)
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    val bigrams = toks.select(explode(flatten(array(
+        (1 to window).map(pairsAt): _*))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .where(col("c_xy") >= minCount)
-    // 1-row corpus totals; tokens >= 1 per doc so B needs no clamp
+    // 1-row corpus totals; tokens >= 1 per doc so size-d floors at 0 via
+    // greatest (a doc shorter than the gap emits no pairs)
+    val bPerDoc = (1 to window)
+      .map(d => greatest(size(col("__w")) - d, lit(0)))
+      .reduce(_ + _)
     val totals = toks.agg(sum(size(col("__w"))).cast("long").as("t_tok"),
-      sum(size(col("__w")) - 1).cast("long").as("b_tok"))
+      sum(bPerDoc).cast("long").as("b_tok"))
     val pmi = log((col("c_xy") * col("t_tok") * col("t_tok")).cast("double") /
       (col("b_tok") * col("c_x") * col("c_y")).cast("double"))
     bigrams

@@ -85,6 +85,47 @@ class SearchSpec extends AnyFunSuite {
       top.map(_._4).toSet.size < top.length)
   }
 
+  test("pmiCollocations window=2: brute-force pair/total parity") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c a b"), (2L, "b c d"), (3L, "x")).toDF("doc_id", "text")
+    val out = graft.text.Search
+      .pmiCollocations(d, "doc_id", "text", minCount = 1, topK = 100, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // brute force
+    val docs = Seq(Seq("a","b","c","a","b"), Seq("b","c","d"), Seq("x"))
+    val t = docs.map(_.size).sum
+    val bTot = docs.map(ws => math.max(ws.size-1,0) + math.max(ws.size-2,0)).sum
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val pairs = docs.flatMap(ws =>
+      (1 to 2).flatMap(dd => ws.dropRight(dd).zip(ws.drop(dd))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(out.keySet == pairs.keySet)
+    out.foreach { case ((w1, w2), (cxy, pmi)) =>
+      assert(cxy == pairs((w1, w2)).toLong)
+      val expect = math.log(cxy.toDouble * t * t / (bTot.toDouble * uni(w1) * uni(w2)))
+      assert(math.abs(pmi - math.rint(expect * 1e4) / 1e4) < 1e-9,
+        s"($w1,$w2) $pmi vs $expect")
+    }
+  }
+
+  test("bm25TopicStats/TagAgainst: frozen stats, unseen term max idf, best topic") {
+    import spark.implicits._
+    val topics = Seq((1L, "apple"), (2L, "cherry zzz")).toDF("tid", "tt")
+    val stats = graft.text.Search.bm25TopicStats(corpus, "doc_id", "text",
+      topics, "tid", "tt")
+    val st = stats.collect().map(r => r.getString(r.fieldIndex("term")) ->
+      r.getLong(r.fieldIndex("df"))).toMap
+    assert(st == Map("apple" -> 1L, "cherry" -> 2L, "zzz" -> 0L))
+    val tags = graft.text.Search.bm25TagAgainst(corpus, "doc_id", "text",
+        stats, k1 = 1.25, b = 0.75)
+      .where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tags(1L) == 1L) // "apple banana apple" -> topic apple
+    assert(tags(3L) == 2L) // "cherry cherry cherry date" -> topic cherry
+    assert(tags(2L) == 2L) // "banana cherry" -> only cherry matches
+  }
+
   test("vocabStats: exact single-row corpus stats") {
     import spark.implicits._
     val d = Seq((1L, "a a b c"), (2L, "a d")).toDF("doc_id", "text")

@@ -505,6 +505,40 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming bm25 tag: parity with batch against the same frozen stats") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "join hash merge table"),
+      (101L, "stream window batch state"),
+      (102L, "scan filter table column")).toDF("doc_id", "text")
+    val topics = Seq((1L, "join hash"), (2L, "stream window"))
+      .toDF("topic_id", "ttext")
+    val stats = graft.text.Search.bm25TopicStats(corpus, "doc_id", "text",
+      topics, "topic_id", "ttext")
+    val arrivals = Seq((1L, "big join hash pipeline"), (2L, "window stream"))
+    val dir = Files.createTempDirectory("graft-sbt25").toFile
+    val ckpt = Files.createTempDirectory("graft-sbt25-ckpt").toFile
+    arrivals.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = arrivals.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]()
+    val q = StreamVerbs.streamingBm25Tag(
+        Tbl(stream), "doc_id", "text", stats, k1 = 1.25, b = 0.75) { tagged =>
+        tagged.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = graft.text.Search.bm25TagAgainst(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", stats,
+        k1 = 1.25, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got.toSet == batch && batch.nonEmpty)
+  }
+
   test("streaming span mask scrubs known duplicated grams; parity with batch Against") {
     import spark.implicits._
     val corpus = Seq(

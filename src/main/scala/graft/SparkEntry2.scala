@@ -685,6 +685,13 @@ object SparkEntry2 {
           col("dist"))
     }),
 
+    // sorted-neighborhood fuzzy candidates: one global name order, pairs
+    // within a 5-wide window, bounded levenshtein — skew-proof blocking
+    "q_fuzzy_snm" -> ((s, dir) =>
+      Fuzzy.sortedNeighborhoodJoin(t(s, dir, "part").df,
+        "p_partkey", "p_name", sortKey = col("p_name"),
+        windowSize = 5, maxDist = 2)),
+
     // Okapi BM25 lexical retrieval: top-10 docs per query. k1=1.25/b=0.75
     // are exactly binary-representable, so every float literal parses to
     // the same double in both engines; all corpus stats are exact integers.
@@ -822,8 +829,12 @@ object SparkEntry2 {
       t(s, dir, "lineitem")
         .mutate("cents" -> round(col("l_extendedprice") * 100, 0).cast("bigint"))
         .groupBy("l_returnflag")
+        // cents joins the sample ordering: (l_orderkey, l_linenumber) is
+        // NOT unique in this data (118k dup pairs with different prices),
+        // so without the value tiebreak the bottom-k CUT is scan-order-
+        // nondeterministic in BOTH engines
         .quantilesBySample(col("cents"), Seq(0.25, 0.5, 0.75), k = 500,
-          sampleKey = Seq(col("l_orderkey"), col("l_linenumber")),
+          sampleKey = Seq(col("l_orderkey"), col("l_linenumber"), col("cents")),
           hash = Some(conv(substring(md5(concat_ws("|",
             col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
             .cast("long")))
@@ -1761,6 +1772,14 @@ object SparkEntry2 {
         |  CROSS JOIN tot)
         |SELECT w1, w2, c_xy, round(p, 4) AS pmi FROM sc
         |ORDER BY p DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_fuzzy_snm" ->
+      """WITH r AS (SELECT p_partkey AS id, p_name AS t,
+        |    CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS rn
+        |  FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4
+        |WHERE levenshtein(a.t, b.t) <= 2""".stripMargin,
     "q_bm25_tag" ->
       """WITH tp(topic_id, ttext) AS (VALUES
         |    (1, 'join hash merge'), (2, 'window stream batch'),
@@ -1919,7 +1938,7 @@ object SparkEntry2 {
         |    l_orderkey, l_linenumber
         |  FROM lineitem),
         |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
-        |    ORDER BY h, l_orderkey, l_linenumber) AS rk FROM c)
+        |    ORDER BY h, l_orderkey, l_linenumber, cents) AS rk FROM c)
         |SELECT l_returnflag,
         |  quantile_cont(cents, 0.25) AS q250,
         |  quantile_cont(cents, 0.5)  AS q500,

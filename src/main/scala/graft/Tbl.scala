@@ -346,6 +346,12 @@ final case class Tbl(
     * `sampleKey` must identify rows (it also tie-breaks equal hashes).
     * Output: one row per group, one `q{1000p}` column per prob.
     */
+  /** `sampleKey` (with the hash prepended) must order rows TOTALLY — or at
+    * least down to rows indistinguishable in `xCol`: if distinct values
+    * share a key, the bottom-k cut between them is scan-order-dependent
+    * and the quantiles become nondeterministic. When the key columns can
+    * repeat, append `xCol` itself as the final tiebreak.
+    */
   def quantilesBySample(xCol: Column, probs: Seq[Double], k: Int,
                         sampleKey: Seq[Column], seed: Long = 42L,
                         hash: Option[Column] = None): Tbl = {

@@ -110,16 +110,21 @@ object Scale {
     *      partition offsets via a window over ≤ numPartitions rows,
     *   3. broadcast the offsets back and window-cumsum WITHIN each partition.
     * Deterministic when `orderCols` is a total order (range partitioning
-    * never splits equal keys, and the sampler's seed is derived from the
-    * partition index, so re-computations see the same boundaries).
+    * never splits equal keys).
     *
-    * INPUT MUST BE DETERMINISTIC: the `parted` subtree below is evaluated
-    * twice (once for the offsets aggregate, once for the data join). A
-    * nondeterministic source — rand()-derived columns, a non-checkpointed
-    * sample — can present different partition contents to the two
-    * evaluations and silently corrupt offsets. Pass `checkpointInput=true`
-    * (an eager localCheckpoint) for such sources; deterministic inputs skip
-    * the materialization cost.
+    * The ranged table is CACHED (dedup registry — releasable via
+    * [[graft.ml.Dedup.unpersistIntermediates]]) before the offsets
+    * aggregate and the data join consume it: RangePartitioner's boundary
+    * SAMPLING is per-exchange-instance, and the two consumers prune
+    * different columns, so without the shared materialization ReuseExchange
+    * does not fire and each branch can draw DIFFERENT boundaries — with
+    * duplicate-heavy keys they then disagree on `spark_partition_id()` and
+    * ranks corrupt silently (caught by the sorted-neighborhood join, whose
+    * two rank consumers amplified the divergence). A single InMemoryRelation
+    * carries one fixed partitioner even across block recomputes. Pass
+    * `checkpointInput=true` (an eager localCheckpoint) additionally for
+    * nondeterministic SOURCES (rand()-derived columns, non-checkpointed
+    * samples).
     */
   def globalCumSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
                    outCol: String, numPartitions: Int = 0,
@@ -128,8 +133,9 @@ object Scale {
     val src = if (checkpointInput) df.localCheckpoint(true) else df
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sparkContext.defaultParallelism
-    val parted = src.repartitionByRange(n, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val parted = graft.ml.Dedup.trackCache(
+      src.repartitionByRange(n, orderCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     val offs = parted.groupBy("__pid").agg(sum(valueCol).as("__psum"))
       .withColumn("__off",
         coalesce(sum("__psum").over(
@@ -204,9 +210,11 @@ object Scale {
     val src = if (checkpointInput) df.localCheckpoint(true) else df
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sparkContext.defaultParallelism
-    val parted = src
+    // same shared pin as globalCumSum: the offsets aggregate and the data
+    // join must read ONE materialized partitioning
+    val parted = graft.ml.Dedup.trackCache(src
       .repartitionByRange(n, (grpCols.map(col) ++ orderCols): _*)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pid", spark_partition_id()))
     // micro-table: one row per (partition, group) — the only windows below
     // run over it, never over the data
     val offs = parted.groupBy(("__pid" +: grpCols).map(col): _*)

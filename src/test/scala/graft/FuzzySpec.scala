@@ -64,6 +64,36 @@ class FuzzySpec extends AnyFunSuite {
       s"got ${got.size} pairs, expected ${expected.size}")
   }
 
+  test("sortedNeighborhoodJoin equals the brute-force sliding window") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("nm"))
+    val got = Fuzzy.sortedNeighborhoodJoin(docs, "id", "nm",
+        sortKey = col("nm"), windowSize = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val sorted = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, nm) => (nm, id) }
+    val expected = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + 4, sorted.length)
+      d = lev(sorted(i)._2, sorted(j)._2) if d <= 3
+    } yield (sorted(i)._1, sorted(j)._1) -> d.toLong).toMap
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture should produce at least one pair")
+  }
+
   test("bestMatch: min distance wins, id tiebreak, misses drop") {
     import spark.implicits._
     val probes = Seq((10L, "goldenrod lace")).toDF("pid", "ptext")

@@ -116,7 +116,10 @@ class PlanSpec extends AnyFunSuite {
     // the big window runs within __pid partitions; a global (SinglePartition)
     // window over the data would be the 100 TB killer
     assert(p.contains("windowspecdefinition(__pid"), p.take(800))
-    assert(p.contains("rangepartitioning"), p.take(800))
+    // the range exchange now lives inside the pinned (localCheckpoint'd)
+    // ranged-table lineage — the plan shows its materialized scan instead
+    assert(p.contains("rangepartitioning") || p.contains("ExistingRDD"),
+      p.take(800))
   }
 
   test("curation e2e plan: no cartesian, packing stays range-partitioned") {
@@ -124,13 +127,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(800))
     assert(p.contains("windowspecdefinition(__pid"), "packing window must be per-__pid")
-    assert(p.contains("rangepartitioning"), "packing must range-partition")
+    assert(p.contains("rangepartitioning") || p.contains("ExistingRDD"),
+      "packing must read the range-pinned table")
   }
 
   test("packSequences plan: per-__pid window only, no global window") {
     val p = plan("q_pack_sequences")
     assert(p.contains("windowspecdefinition(__pid"), p.take(800))
-    assert(p.contains("rangepartitioning"), p.take(800))
+    assert(p.contains("rangepartitioning") || p.contains("ExistingRDD"),
+      p.take(800))
     // a SinglePartition window over the corpus would be the 100 TB killer
     assert(!p.contains("Window [sum") ||
            p.contains("windowspecdefinition(__pid"), p.take(800))

@@ -739,12 +739,43 @@ object SparkEntry2 {
     "q_pagerank" -> ((s, dir) => {
       val ol = t(s, dir, "orders").df.join(t(s, dir, "lineitem").df,
         col("l_orderkey") === col("o_orderkey"))
+      // suppliers shift to -(key+1): both key spaces start at 0, and a
+      // plain negation would conflate customer 0 with supplier 0
       val fwd = ol.select(col("o_custkey").as("src"),
-        (-col("l_suppkey")).as("dst"))
+        (-(col("l_suppkey") + 1)).as("dst"))
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       graft.graph.Graph.pageRank(edges, iters = 5)
     }),
+
+    // personalized PageRank (random walk with restart) from a deterministic
+    // customer seed set — same exact integer recurrence, teleport and
+    // initial mass restricted to seeds
+    "q_pagerank_pers" -> ((s, dir) => {
+      val ol = t(s, dir, "orders").df.join(t(s, dir, "lineitem").df,
+        col("l_orderkey") === col("o_orderkey"))
+      // suppliers shift to -(key+1): both key spaces start at 0, and a
+      // plain negation would conflate customer 0 with supplier 0
+      val fwd = ol.select(col("o_custkey").as("src"),
+        (-(col("l_suppkey") + 1)).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "customer").df
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("node"))
+      graft.graph.Graph.pageRank(edges, iters = 5, seeds = Some(seeds))
+    }),
+
+    // per-group Misra-Gries heavy hitters (the sketch under groupBy): one
+    // mergeable summary per language; exact regime (k > distinct sources)
+    // so the sketch output is hash-oracleable
+    "q_heavy_hitters_grouped" -> ((s, dir) =>
+      t(s, dir, "documents").df
+        .groupBy("lang")
+        .agg(Fns.Agg.heavyHitters(col("source"), 64).as("hh"))
+        .select(col("lang"), explode(col("hh")).as("e"))
+        .select(col("lang"), col("e.item").as("item"),
+          col("e.est_count").as("est_count"))),
 
     // hybrid retrieval: RRF fusion of the BM25 lexical ranking and the
     // embedding-cosine ranking (partial coverage at sf0.1 — only 2/5 of
@@ -1668,6 +1699,15 @@ object SparkEntry2 {
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
     "q_pagerank" -> pagerankOracleSql(iters = 5, dampBp = 8500L,
       scale = 1000000000000L),
+    // seeds must mirror the Spark side: customers (positive nodes) with
+    // key % 97 == 0 that APPEAR IN THE GRAPH (the seed df is intersected
+    // with nodes by construction; customers without orders drop out)
+    "q_pagerank_pers" -> pagerankOracleSql(iters = 5, dampBp = 8500L,
+      scale = 1000000000000L,
+      seedPred = Some("({n} >= 0 AND {n} % 97 = 0)")),
+    "q_heavy_hitters_grouped" ->
+      """SELECT lang, source AS item, count(*) AS est_count
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q_readability" ->
       """WITH c AS (SELECT doc_id,
         |    CAST(greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)
@@ -2553,24 +2593,31 @@ object SparkEntry2 {
     * oracle can never drift. Every op is int64 floor arithmetic, so the
     * hash compare is exact.
     */
-  private def pagerankOracleSql(iters: Int, dampBp: Long,
-                                scale: Long): String = {
+  private def pagerankOracleSql(iters: Int, dampBp: Long, scale: Long,
+                                seedPred: Option[String] = None): String = {
+    // seedPred: SQL predicate template over the node column — reference it
+    // as `{n}` (None = uniform teleport over all nodes)
+    def p(c: String) = seedPred.getOrElse("true").replace("{n}", c)
     val sb = new StringBuilder
     sb.append(
       s"""WITH
-         |e AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+         |e AS (SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-         |  UNION SELECT DISTINCT -l_suppkey, o_custkey
+         |  UNION SELECT DISTINCT -(l_suppkey + 1), o_custkey
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          |odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |n AS (SELECT count(*) AS cnt FROM nodes),
-         |pr0 AS (SELECT node, $scale // cnt AS mass FROM nodes, n)""".stripMargin)
+         |n AS (SELECT count(*) AS cnt FROM nodes WHERE ${p("node")}),
+         |pr0 AS (SELECT node,
+         |  CASE WHEN ${p("node")} THEN $scale // cnt ELSE 0 END AS mass
+         |  FROM nodes, n)""".stripMargin)
     for (k <- 1 to iters) {
       sb.append(
         s""",
            |pr$k AS (SELECT nd.node,
-           |  ($scale * ${10000 - dampBp}) // (10000 * n.cnt)
+           |  (CASE WHEN ${p("nd.node")}
+           |        THEN ($scale * ${10000 - dampBp}) // (10000 * n.cnt)
+           |        ELSE 0 END)
            |    + ($dampBp * coalesce(im.m, 0)) // 10000 AS mass
            |  FROM nodes nd CROSS JOIN n LEFT JOIN (
            |    SELECT e.dst AS node, CAST(sum(p.mass // o.odeg) AS BIGINT) AS m

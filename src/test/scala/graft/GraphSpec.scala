@@ -36,6 +36,24 @@ class GraphSpec extends AnyFunSuite {
     assert(s1 == pr, s"spark $s1 vs replay $pr")
   }
 
+  test("personalized pageRank: teleport and init restricted to seeds, exact replay") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst") // cycle
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val m = Graph.pageRank(edges, iters = 3, scale = 1000000L,
+        seeds = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay: telep = 1e6*1500 div (10000*1) = 150000 only at node 1
+    var pr = Map(1L -> 1000000L, 2L -> 0L, 3L -> 0L)
+    for (_ <- 1 to 3) {
+      val in = Map(2L -> pr(1L), 3L -> pr(2L), 1L -> pr(3L))
+      pr = pr.keys.map(k => k ->
+        ((if (k == 1L) 150000L else 0L) + 8500L * in(k) / 10000L)).toMap
+    }
+    assert(m == pr, s"spark $m vs replay $pr")
+    assert(m(1L) > m(2L) && m(2L) > m(3L), "mass decays with walk distance")
+  }
+
   test("pageRank is partition-invariant (exact integer arithmetic)") {
     import spark.implicits._
     val edges = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

@@ -833,6 +833,24 @@ object SparkEntry2 {
       Search.pmiCollocations(t(s, dir, "documents").df, "doc_id", "text",
         minCount = 5, topK = 20, window = 2)),
 
+    // winnowing fingerprints (MOSS): rightmost-minimal gram hash per
+    // 4-window over 5-gram md5 leaves — deterministic position-aware
+    // sampling, every >=8-token shared substring guaranteed a shared fp
+    "q_winnow" -> ((s, dir) => {
+      val ph = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      Dedup.winnowFingerprints(t(s, dir, "documents").df, "doc_id", "text",
+        n = 5, w = 4, hash = ph)
+    }),
+
+    // winnowed candidate pairs: docs sharing >= 3 selected fingerprints
+    "q_winnow_pairs" -> ((s, dir) => {
+      val ph = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      Dedup.winnowPairs(t(s, dir, "documents").df, "doc_id", "text",
+        n = 5, w = 4, minShared = 3, maxDf = 1000, hash = ph)
+    }),
+
     // exact substring-span dedup (Lee et al. 2022 ExactSubstr, n-gram
     // interval-merge formulation): per-doc duplicated-token stats + the
     // masked text. Everything integer or exact-string; the gram key is the
@@ -1942,6 +1960,8 @@ object SparkEntry2 {
         |  FROM sc)
         |SELECT doc_id, term, round(s, 4) AS score, rank
         |FROM rk WHERE rank <= 3""".stripMargin,
+    "q_winnow" -> winnowOracleSql(minShared = None),
+    "q_winnow_pairs" -> winnowOracleSql(minShared = Some(3L)),
     "q_substr_dedup" ->
       """WITH tok AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
@@ -2593,6 +2613,45 @@ object SparkEntry2 {
     * oracle can never drift. Every op is int64 floor arithmetic, so the
     * hash compare is exact.
     */
+  /** Winnowing (n=5, w=4, portable md5 leaf): fingerprints per doc, or —
+    * with `minShared` — candidate pairs sharing that many fingerprints.
+    * Mirrors the rightmost-minimal-per-window rule exactly.
+    */
+  private def winnowOracleSql(minShared: Option[Long]): String = {
+    val base =
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |occ AS (SELECT doc_id, i - 1 AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)
+        |         AS BIGINT) AS gk
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) r),
+        |hs AS (SELECT doc_id, list(gk ORDER BY pos) AS h,
+        |    list(pos ORDER BY pos) AS ps FROM occ GROUP BY 1),
+        |sl AS (SELECT doc_id, h, ps,
+        |  CASE WHEN len(h) >= 4 THEN
+        |    list_distinct(list_transform(range(1, len(h) - 2), i ->
+        |      i - 1 + 4 - list_position(list_reverse(h[i:i+3]),
+        |                                list_aggregate(h[i:i+3], 'min'))))
+        |  WHEN len(h) >= 1 THEN
+        |    [len(h) - list_position(list_reverse(h), list_aggregate(h, 'min'))]
+        |  ELSE [] END AS sels FROM hs),
+        |fp AS (SELECT doc_id, ps[s + 1] AS pos, h[s + 1] AS fp
+        |  FROM sl, LATERAL (SELECT unnest(sels) AS s) r)""".stripMargin
+    minShared match {
+      case None => base + "\nSELECT doc_id, pos, fp FROM fp"
+      case Some(t) => base +
+        s""",
+           |d AS (SELECT DISTINCT doc_id, fp FROM fp),
+           |k AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 1000),
+           |s2 AS (SELECT d.doc_id, d.fp FROM d JOIN k USING (fp))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  count(*) AS n_shared
+           |FROM s2 a JOIN s2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= $t""".stripMargin
+    }
+  }
+
   private def pagerankOracleSql(iters: Int, dampBp: Long, scale: Long,
                                 seedPred: Option[String] = None): String = {
     // seedPred: SQL predicate template over the node column — reference it

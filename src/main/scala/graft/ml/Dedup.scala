@@ -749,6 +749,77 @@ object Dedup {
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
 
+  // -- winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+  //    the MOSS algorithm) ---------------------------------------------------
+
+  /** Winnowed fingerprint selection: from each document's n-gram hash
+    * sequence, keep the RIGHTMOST minimal hash of every w-length sliding
+    * window, deduplicated by position. Guarantees: any shared substring of
+    * at least w+n-1 tokens yields at least one shared fingerprint, and
+    * ~2/(w+1) of grams are kept — a deterministic, position-aware sampler
+    * (vs MinHash's per-doc signature), the standard plagiarism/overlap
+    * detector. Returns (idCol, pos, fp): pos is the selected gram's
+    * 0-based token start.
+    *
+    * Map-only per doc (array expressions, no UDF); only selected 64-bit
+    * fingerprints leave the scan. `hash` is pluggable for oracle
+    * reproducibility.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 5, w: Int = 4,
+                         hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(n >= 1 && w >= 1, "n and w must be >= 1")
+    val grams = gramOccurrences(df, idCol, textCol, n, hash)
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__gk"))))
+        .as("__g"))
+    // collect_list is per-doc bounded; sort_array restores token order
+    val hs = transform(col("__g"), _.getField("__gk"))
+    val nW = size(col("__g")) - w + 1
+    val sel = when(nW >= 1,
+      array_distinct(transform(sequence(lit(1), nW), i => {
+        val win = slice(hs, i, lit(w))
+        val mn = array_min(win)
+        // rightmost minimal: first position in the reversed window
+        val p = i - 1 + (lit(w) - array_position(reverse(win), mn))
+        p.cast("int")
+      })))
+      // short docs: one degenerate window — same rightmost-minimal rule
+      .otherwise(when(size(col("__g")) >= 1,
+        array((size(col("__g")) -
+          array_position(reverse(hs), array_min(hs))).cast("int")))
+        .otherwise(array().cast("array<int>")))
+    grams.select(col("__id").as(idCol), explode(sel).as("__i"),
+        col("__g"))
+      .select(col(idCol),
+        element_at(col("__g"), col("__i") + 1).getField("__pos").as("pos"),
+        element_at(col("__g"), col("__i") + 1).getField("__gk").as("fp"))
+  }
+
+  /** Candidate near-dup pairs by shared winnowed fingerprints: doc pairs
+    * sharing >= minShared selected fingerprints, with the shared count.
+    * The usual shuffle-bounded shape: explode selected fps (already a
+    * ~2/(w+1) sample of grams), self-join on fp, count per pair. maxDf
+    * drops stop-fingerprints (boilerplate) before the join, like
+    * [[ngramJaccardPairs]]'s stop-shingle guard.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5, w: Int = 4, minShared: Long = 2,
+                  maxDf: Long = 1000,
+                  hash: Column => Column = xxhash64(_)): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, n, w, hash)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fp")
+    val slim = fps.join(keep, "fp")
+    slim.select(col("__id").as("id_a"), col("fp"))
+      .join(slim.select(col("__id").as("id_b"), col("fp")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // -- exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
   //    Data Makes Language Models Better") ---------------------------------
   // The paper's ExactSubstr pass finds every >=N-token span that occurs

@@ -637,6 +637,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked pinned RDD ids: $leaked")
   }
 
+  test("winnowing: brute-force replay, shared-substring guarantee, pairs") {
+    import spark.implicits._
+    val real = docs.limit(80)
+    val got = Dedup.winnowFingerprints(real, "doc_id", "text", n = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("pos")),
+        r.getLong(r.fieldIndex("fp")))).toSet
+    // brute force with the same xxhash leaf computed via Spark (leaf parity)
+    val hashed = real.select(col("doc_id"),
+        expr("transform(sequence(1, greatest(size(split(trim(lower(text)), '\\\\s+')) - 4, 0)), " +
+          "i -> xxhash64(concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'), i, 5))))").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expect = hashed.flatMap { case (id, h) =>
+      val sels = scala.collection.mutable.Set[Int]()
+      if (h.size >= 4) {
+        for (i <- 0 to h.size - 4) {
+          val win = h.slice(i, i + 4)
+          val mn = win.min
+          sels += i + win.lastIndexOf(mn)
+        }
+      } else if (h.nonEmpty) sels += h.lastIndexOf(h.min)
+      sels.map(p => (id, p, h(p)))
+    }.toSet
+    assert(got == expect, s"got ${got.size} vs expect ${expect.size}")
+
+    // guarantee: two docs sharing a (w+n-1)=8-token run share a fingerprint
+    val planted = Seq(
+      (900L, "aa bb cc dd ee ff gg hh xx yy zz qq ww rr tt uu"),
+      (901L, "one two three aa bb cc dd ee ff gg hh four five six seven eight")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(planted, "doc_id", "text", n = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("fp")))
+    val shared = fps.filter(_._1 == 900L).map(_._2).toSet
+      .intersect(fps.filter(_._1 == 901L).map(_._2).toSet)
+    assert(shared.nonEmpty, "8-token shared run must yield a shared fp")
+
+    val pairs = Dedup.winnowPairs(planted, "doc_id", "text", n = 5, w = 4,
+      minShared = 1).collect()
+    assert(pairs.exists(r => r.getLong(0) == 900L && r.getLong(1) == 901L))
+  }
+
   test("fleschKincaid: hand-computed grade on a pinned sentence") {
     import spark.implicits._
     // 5 words, 2 sentences, vowel groups: he-llo(2)+world(1)+this(1)+is(1)+fun(1)=6

@@ -833,6 +833,22 @@ object SparkEntry2 {
       Search.pmiCollocations(t(s, dir, "documents").df, "doc_id", "text",
         minCount = 5, topK = 20, window = 2)),
 
+    // content-defined chunking: boundaries where the 5-gram md5 leaf ≡ 0
+    // (mod 8) — shift-resistant dedup units with md5 chunk fingerprints
+    "q_cdc_chunks" -> ((s, dir) => {
+      val ph = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      t(s, dir, "documents").df
+        .withColumn("__w", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          posexplode(TextFns.cdcChunks(col("__w"), n = 5, divisor = 8,
+            hash = ph)).as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("c.tok_start").cast("long").as("tok_start"),
+          col("c.n_tok").cast("long").as("n_tok"),
+          col("c.chunk_md5").as("chunk_md5"))
+    }),
+
     // winnowing fingerprints (MOSS): rightmost-minimal gram hash per
     // 4-window over 5-gram md5 leaves — deterministic position-aware
     // sampling, every >=8-token shared substring guaranteed a shared fp
@@ -1960,6 +1976,31 @@ object SparkEntry2 {
         |  FROM sc)
         |SELECT doc_id, term, round(s, 4) AS score, rank
         |FROM rk WHERE rank <= 3""".stripMargin,
+    "q_cdc_chunks" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |cu AS (SELECT doc_id, ws,
+        |  list_filter(CASE WHEN len(ws) >= 5 THEN
+        |    list_transform(range(1, len(ws) - 3), g ->
+        |      CASE WHEN CAST('0x' ||
+        |          substr(md5(array_to_string(ws[g:g+4], ' ')), 1, 15)
+        |          AS BIGINT) % 8 = 0
+        |        THEN g + 3 ELSE -1 END)
+        |    ELSE [] END, x -> x >= 0) AS cuts FROM tok),
+        |st AS (SELECT doc_id, ws,
+        |  list_filter(list_sort(list_distinct(
+        |    [0] || list_transform(cuts, c -> c + 1))),
+        |    x -> x < len(ws)) AS starts
+        |  FROM cu)
+        |SELECT doc_id, CAST(ci - 1 AS BIGINT) AS chunk_idx,
+        |  CAST(starts[ci] AS BIGINT) AS tok_start,
+        |  CAST(coalesce(starts[ci + 1], len(ws)) - starts[ci] AS BIGINT)
+        |    AS n_tok,
+        |  md5(array_to_string(
+        |    ws[starts[ci] + 1 : coalesce(starts[ci + 1], len(ws))], ' '))
+        |    AS chunk_md5
+        |FROM st, LATERAL (SELECT unnest(range(1, len(starts) + 1)) AS ci) r""".stripMargin,
     "q_winnow" -> winnowOracleSql(minShared = None),
     "q_winnow_pairs" -> winnowOracleSql(minShared = Some(3L)),
     "q_substr_dedup" ->

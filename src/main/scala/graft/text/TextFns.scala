@@ -354,6 +354,39 @@ object TextFns {
       lit(11.8) * (syllables.cast("double") / words) - lit(15.59)
   }
 
+  /** Content-defined chunking (the LBFS/Venti rolling-hash boundary
+    * technique, token-level): a chunk boundary falls after token p whenever
+    * the hash of the n-gram ENDING at p is ≡ 0 (mod divisor) — so chunk
+    * boundaries move WITH the content, and an insertion early in a doc
+    * re-chunks only its neighborhood (shift-resistant dedup units, unlike
+    * fixed-size chunking). Expected chunk length ≈ divisor tokens.
+    *
+    * `toks` must be a MATERIALIZED token-array column (`tokens(text)`
+    * assigned via withColumn first — inlining the split here would re-run
+    * it per gram). Returns array<struct<tok_start, n_tok, chunk_md5>>;
+    * md5 of the space-joined tokens is the chunk's dedup fingerprint.
+    */
+  def cdcChunks(toks: Column, n: Int = 5, divisor: Int = 8,
+                hash: Column => Column = xxhash64(_)): Column = {
+    val nW = size(toks) - (n - 1)
+    // 0-based END index of each boundary gram (boundary cuts AFTER it)
+    val cuts = filter(
+      when(nW >= 1, transform(sequence(lit(1), nW), g =>
+        when(pmod(hash(concat_ws(" ", slice(toks, g, lit(n)))),
+          lit(divisor.toLong)) === 0, (g + n - 2).cast("int"))
+          .otherwise(lit(-1))))
+        .otherwise(array().cast("array<int>")),
+      x => x >= 0)
+    val starts0 = array_distinct(array_sort(
+      concat(array(lit(0)), transform(cuts, _ + 1))))
+    val starts = filter(starts0, x => x < size(toks))
+    val ends = concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(size(toks)))
+    zip_with(starts, ends, (s, e) => struct(
+      s.as("tok_start"), (e - s).as("n_tok"),
+      md5(concat_ws(" ", slice(toks, s + 1, e - s))).as("chunk_md5")))
+  }
+
   /** T5-style span-corruption pair (Raffel et al. 2020 §3.1.4 denoising
     * objective): tokens are masked by a DETERMINISTIC per-(seed, position)
     * hash coin (rateBp basis points), maximal masked runs collapse to one

@@ -637,6 +637,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked pinned RDD ids: $leaked")
   }
 
+  test("cdcChunks: exact cover, boundary rule, shift resistance") {
+    import spark.implicits._
+    def chunksOf(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("__w", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          posexplode(TextFns.cdcChunks(col("__w"), n = 5, divisor = 4))
+            .as(Seq("ci", "c")))
+        .select(col("doc_id"), col("ci"), col("c.tok_start"), col("c.n_tok"),
+          col("c.chunk_md5"))
+    val real = docs.limit(60)
+    val rows = chunksOf(real).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    val toks = real.collect().map(r => r.getLong(0) ->
+      r.getString(1).trim.toLowerCase.split("\\s+").length).toMap
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunks tile the doc exactly: starts chain and lengths sum to n_tok
+      assert(sorted.head._3 == 0)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"doc $id gap")
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum == toks(id), s"doc $id cover")
+      assert(sorted.forall(_._4 > 0))
+    }
+    // shift resistance: prepending one token re-chunks only the prefix —
+    // the chunk fingerprint MULTISET tail is shared
+    val base = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt uu vv ww xx yy zz"
+    val two = Seq((1L, base), (2L, "zz9 " + base)).toDF("doc_id", "text")
+    val cs = chunksOf(two).collect()
+      .map(r => r.getLong(0) -> r.getString(4))
+    val a = cs.filter(_._1 == 1L).map(_._2).toSet
+    val b = cs.filter(_._1 == 2L).map(_._2).toSet
+    assert(a.intersect(b).nonEmpty,
+      s"a one-token shift must preserve later chunk fingerprints: $a vs $b")
+  }
+
   test("winnowing: brute-force replay, shared-substring guarantee, pairs") {
     import spark.implicits._
     val real = docs.limit(80)

@@ -849,6 +849,28 @@ object SparkEntry2 {
           col("c.chunk_md5").as("chunk_md5"))
     }),
 
+    // CDC dedup-ratio report: how much of the corpus is duplicate chunks —
+    // the triage number a storage/dedup pass starts from. All integers.
+    "q_cdc_dedup" -> ((s, dir) => {
+      val ph = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val chunks = t(s, dir, "documents").df
+        .withColumn("__w", TextFns.tokens(col("text")))
+        .select(explode(TextFns.cdcChunks(col("__w"), n = 5, divisor = 8,
+          hash = ph)).as("c"))
+        .select(col("c.n_tok").cast("long").as("n_tok"),
+          col("c.chunk_md5").as("h"))
+      val per = chunks.groupBy("h")
+        .agg(count(lit(1)).as("cnt"), first(col("n_tok")).as("__nt"))
+      per.agg(
+          sum(col("cnt")).cast("long").as("total_chunks"),
+          count(lit(1)).cast("long").as("distinct_chunks"),
+          sum(col("cnt") * col("__nt")).cast("long").as("total_tok"),
+          sum(when(col("cnt") > 1, (col("cnt") - 1) * col("__nt"))
+            .otherwise(0L)).cast("long").as("dup_tok"))
+        .withColumn("dup_bp", expr("(10000L * dup_tok) div total_tok"))
+    }),
+
     // winnowing fingerprints (MOSS): rightmost-minimal gram hash per
     // 4-window over 5-gram md5 leaves — deterministic position-aware
     // sampling, every >=8-token shared substring guaranteed a shared fp
@@ -2001,6 +2023,37 @@ object SparkEntry2 {
         |    ws[starts[ci] + 1 : coalesce(starts[ci + 1], len(ws))], ' '))
         |    AS chunk_md5
         |FROM st, LATERAL (SELECT unnest(range(1, len(starts) + 1)) AS ci) r""".stripMargin,
+    "q_cdc_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |cu AS (SELECT doc_id, ws,
+        |  list_filter(CASE WHEN len(ws) >= 5 THEN
+        |    list_transform(range(1, len(ws) - 3), g ->
+        |      CASE WHEN CAST('0x' ||
+        |          substr(md5(array_to_string(ws[g:g+4], ' ')), 1, 15)
+        |          AS BIGINT) % 8 = 0
+        |        THEN g + 3 ELSE -1 END)
+        |    ELSE [] END, x -> x >= 0) AS cuts FROM tok),
+        |st AS (SELECT doc_id, ws,
+        |  list_filter(list_sort(list_distinct(
+        |    [0] || list_transform(cuts, c -> c + 1))),
+        |    x -> x < len(ws)) AS starts
+        |  FROM cu),
+        |ch AS (SELECT
+        |  coalesce(starts[ci + 1], len(ws)) - starts[ci] AS nt,
+        |  md5(array_to_string(
+        |    ws[starts[ci] + 1 : coalesce(starts[ci + 1], len(ws))], ' ')) AS h
+        |  FROM st, LATERAL (SELECT unnest(range(1, len(starts) + 1)) AS ci) r),
+        |per AS (SELECT h, count(*) AS cnt, min(nt) AS nt FROM ch GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS total_chunks,
+        |  count(*) AS distinct_chunks,
+        |  CAST(sum(cnt * nt) AS BIGINT) AS total_tok,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * nt ELSE 0 END)
+        |       AS BIGINT) AS dup_tok,
+        |  (10000 * CAST(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * nt ELSE 0 END)
+        |       AS BIGINT)) // CAST(sum(cnt * nt) AS BIGINT) AS dup_bp
+        |FROM per""".stripMargin,
     "q_winnow" -> winnowOracleSql(minShared = None),
     "q_winnow_pairs" -> winnowOracleSql(minShared = Some(3L)),
     "q_substr_dedup" ->

@@ -485,6 +485,31 @@ object StreamVerbs {
         k1, b))
     }
 
+  /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed
+    * fingerprints ([[graft.ml.Dedup.winnowFingerprints]], same n/w/hash as
+    * the persisted corpus index) joined against the PERSISTED (id, fp)
+    * table; emits (id_new, id_corpus, n_shared >= minShared). foreachBatch,
+    * stateless; the fp join is stats-driven.
+    */
+  def streamingWinnowCandidates(t: Tbl, idCol: String, textCol: String,
+                                corpusFps: DataFrame, n: Int = 5, w: Int = 4,
+                                minShared: Long = 2,
+                                hash: Column => Column = xxhash64(_))
+                               (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val newFps = graft.ml.Dedup
+        .winnowFingerprints(batch, idCol, textCol, n, w, hash)
+        .select(col(idCol).as("id_new"), col("fp")).distinct()
+      val corpus = corpusFps
+        .select(col(corpusFps.columns.head).as("id_corpus"), col("fp"))
+        .distinct()
+      sink(newFps.join(corpus, "fp")
+        .groupBy("id_new", "id_corpus")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared))
+    }
+
   def runningTotals(t: Tbl, keyCol: String, valueCol: String): DataFrame = {
     val spark = t.df.sparkSession
     import spark.implicits._

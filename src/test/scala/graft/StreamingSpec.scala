@@ -505,6 +505,36 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming winnow candidates: arriving near-dup found against persisted fps") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "aa bb cc dd ee ff gg hh xx yy zz qq ww rr tt uu"),
+      (101L, "totally different words here nothing shared at all everywhere")
+    ).toDF("doc_id", "text")
+    val fps = graft.ml.Dedup.winnowFingerprints(corpus, "doc_id", "text",
+      n = 5, w = 4).select(col("doc_id"), col("fp"))
+    val arrivals = Seq(
+      (1L, "intro aa bb cc dd ee ff gg hh outro closing words"),
+      (2L, "unrelated text with zero overlap against anything stored"))
+    val dir = Files.createTempDirectory("graft-swc").toFile
+    val ckpt = Files.createTempDirectory("graft-swc-ckpt").toFile
+    arrivals.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = arrivals.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = StreamVerbs.streamingWinnowCandidates(
+        Tbl(stream), "doc_id", "text", fps, n = 5, w = 4, minShared = 1) { c =>
+        c.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.exists(t => t._1 == 1L && t._2 == 100L && t._3 >= 1L), got)
+    assert(!got.exists(t => t._1 == 2L), got)
+  }
+
   test("streaming bm25 tag: parity with batch against the same frozen stats") {
     import spark.implicits._
     val corpus = Seq(

@@ -792,7 +792,8 @@ object Dedup {
     grams.select(col("__id").as(idCol), explode(sel).as("__i"),
         col("__g"))
       .select(col(idCol),
-        element_at(col("__g"), col("__i") + 1).getField("__pos").as("pos"),
+        element_at(col("__g"), col("__i") + 1).getField("__pos")
+          .cast("long").as("pos"),
         element_at(col("__g"), col("__i") + 1).getField("__gk").as("fp"))
   }
 

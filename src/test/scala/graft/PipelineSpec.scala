@@ -679,7 +679,8 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val real = docs.limit(80)
     val got = Dedup.winnowFingerprints(real, "doc_id", "text", n = 5, w = 4)
-      .collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("pos")),
+      .collect().map(r => (r.getLong(0),
+        r.getLong(r.fieldIndex("pos")).toInt,
         r.getLong(r.fieldIndex("fp")))).toSet
     // brute force with the same xxhash leaf computed via Spark (leaf parity)
     val hashed = real.select(col("doc_id"),

@@ -202,6 +202,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!pp.contains("CartesianProduct"))
   }
 
+  test("cdc chunking is map-only; winnow needs exactly the per-doc aggregate") {
+    val pc = plan("q_cdc_chunks")
+    assert(!pc.contains("Exchange"), "CDC must be scan -> project -> generate\n" + pc.take(800))
+    val pw = plan("q_winnow")
+    assert(!pw.contains("CartesianProduct") && !pw.contains("SortMergeJoin"),
+      pw.take(800))
+  }
+
   test("fuzzy join: probes broadcast into a hash join; distance never degenerates the join") {
     val p = plan("q_fuzzy_join")
     assert(p.contains("BroadcastHashJoin"), p.take(600))

@@ -808,8 +808,10 @@ object Dedup {
                   n: Int = 5, w: Int = 4, minShared: Long = 2,
                   maxDf: Long = 1000,
                   hash: Column => Column = xxhash64(_)): DataFrame = {
-    val fps = winnowFingerprints(df, idCol, textCol, n, w, hash)
-      .select(col(idCol).as("__id"), col("fp")).distinct()
+    // the fp table feeds the df-guard aggregate AND both join sides — pin
+    // it (registry cache) so the selection pass runs once, not three times
+    val fps = trackCache(winnowFingerprints(df, idCol, textCol, n, w, hash)
+      .select(col(idCol).as("__id"), col("fp")).distinct())
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDf).select("fp")
     val slim = fps.join(keep, "fp")

@@ -440,4 +440,28 @@ class ScaleSpec extends AnyFunSuite {
     val scanned = back.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scanned.contains("l_returnflag=A") || plan.contains("PartitionFilters"))
   }
+
+  test("globalRowNumber: two consumers of one ranked table see ONE partitioning (dup-heavy keys)") {
+    import spark.implicits._
+    // regression for the sorted-neighborhood bug: without the shared pin,
+    // the offsets and data branches of the prefix sum could sample
+    // DIFFERENT range boundaries (ReuseExchange misses when consumers
+    // prune different columns) and ranks corrupt on duplicate-heavy keys
+    val d = (1L to 4000L).map(i => (i, s"k${i % 7}")).toDF("id", "k")
+    val ranked = graft.ops.Scale.globalRowNumber(
+      d, Seq(col("k"), col("id")), "rn", numPartitions = 13)
+    // consumer A prunes to (id, rn); consumer B to (k, rn): different
+    // column sets, joined back on rn — every rn must match exactly one id
+    val a = ranked.select(col("id").as("ida"), col("rn"))
+    val b = ranked.select(col("k"), col("rn"))
+    val joined = a.join(b, "rn")
+    assert(joined.count() == 4000L, "rank sets must agree between consumers")
+    // and the ranks must equal the driver-computed total order
+    val got = ranked.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expect = (1L to 4000L).map(i => (i, s"k${i % 7}"))
+      .sortBy { case (i, k) => (k, i) }.zipWithIndex
+      .map { case ((i, _), ix) => i -> (ix + 1L) }.toMap
+    assert(got == expect)
+    graft.ml.Dedup.unpersistIntermediates()
+  }
 }

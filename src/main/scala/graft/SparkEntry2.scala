@@ -889,6 +889,19 @@ object SparkEntry2 {
         n = 5, w = 4, minShared = 3, maxDf = 1000, hash = ph)
     }),
 
+    // winnow-driven dedup resolve: MOSS fingerprint pairs -> connected
+    // components -> canonical survivors — the full sampled-fingerprint
+    // dedup chain as one flow (cheaper candidate gen than all-shingle
+    // Jaccard: only ~2/(w+1) of grams ever join)
+    "q_winnow_resolve" -> ((s, dir) => {
+      val ph = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val docs = t(s, dir, "documents").df
+      val pairs = Dedup.winnowPairs(docs, "doc_id", "text", n = 5, w = 4,
+        minShared = 3, maxDf = 1000, hash = ph)
+      Dedup.keepCanonical(docs, "doc_id", pairs).select("doc_id", "lang")
+    }),
+
     // exact substring-span dedup (Lee et al. 2022 ExactSubstr, n-gram
     // interval-merge formulation): per-doc duplicated-token stats + the
     // masked text. Everything integer or exact-string; the gram key is the
@@ -2056,6 +2069,7 @@ object SparkEntry2 {
         |FROM per""".stripMargin,
     "q_winnow" -> winnowOracleSql(minShared = None),
     "q_winnow_pairs" -> winnowOracleSql(minShared = Some(3L)),
+    "q_winnow_resolve" -> winnowResolveOracleSql(minShared = 3L),
     "q_substr_dedup" ->
       """WITH tok AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
@@ -2745,6 +2759,26 @@ object SparkEntry2 {
            |GROUP BY 1, 2 HAVING count(*) >= $t""".stripMargin
     }
   }
+
+  /** winnow pairs -> transitive closure -> canonical (min-id) survivors —
+    * the recursive-CTE resolve over [[winnowOracleSql]]'s pair CTE.
+    */
+  private def winnowResolveOracleSql(minShared: Long): String =
+    "WITH RECURSIVE " +
+      winnowOracleSql(Some(minShared))
+        .replaceFirst("^WITH ", "")
+        .replace("SELECT a.doc_id AS id_a",
+          ", prs AS (SELECT a.doc_id AS id_a")
+        .replace(s"HAVING count(*) >= $minShared",
+          s"HAVING count(*) >= $minShared)") +
+      s""",
+         |edges AS (SELECT id_a AS s, id_b AS d FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (SELECT s, s FROM edges
+         |  UNION SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+         |lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE lbl < id)""".stripMargin
 
   private def pagerankOracleSql(iters: Int, dampBp: Long, scale: Long,
                                 seedPred: Option[String] = None): String = {

@@ -70,6 +70,20 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"queries_only","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Durable record: the driver's stdout-tail capture truncates long lines
+    // (r6 and r7 both lost the head of the per-query map), so the full map
+    // is ALSO written to a repo file and committed each round — cross-round
+    // perf comparison must not depend on what survives the tail buffer.
+    // Full runs only: a filtered local iteration must not overwrite the
+    // round's complete record.
+    if (args.isEmpty) {
+      val file = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+      val body = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}\n"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get(file),
+        body.getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"graft warning: could not write $file: $e") }
+    }
     spark.stop()
   }
 }

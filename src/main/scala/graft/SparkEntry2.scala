@@ -1203,15 +1203,19 @@ object SparkEntry2 {
 
     "q_multimodal" -> ((s, dir) => {
       // binary plumbing over real bytes: documents.text as the payload.
-      // Every output column is engine-portable — the payload is utf-8 text,
-      // so binary header/frame slices equal string slices in any SQL engine,
-      // and the metadata stub runs on the portable md5 leaf (60-bit:
-      // nonnegative, so % == pmod on both sides) instead of xxhash64.
+      // Every output column is engine-portable — the payload is ASCII
+      // (non-ASCII code points are stripped HERE and in the oracle: Spark
+      // slices the binary by BYTE while the oracle slices the varchar by
+      // CHARACTER, which only agree when every char is one byte), so binary
+      // header/frame slices equal string slices in any SQL engine, and the
+      // metadata stub runs on the portable md5 leaf (60-bit: nonnegative,
+      // so % == pmod on both sides) instead of xxhash64.
       val ph = (h: org.apache.spark.sql.Column, k: Int) =>
         conv(substring(md5(concat(h.cast("string"), lit("|" + k))), 1, 15),
           16, 10).cast("long")
       val media = Multimodal.attachMeta(
-        t(s, dir, "documents").df.withColumn("payload", to_binary(col("text"), lit("utf-8"))),
+        t(s, dir, "documents").df.withColumn("payload",
+          to_binary(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""), lit("utf-8"))),
         "doc_id", "payload", headerHash = ph)
       val feats = Multimodal.extractFeaturesBatched(media, dim = 8)
       Multimodal.sampleFrames(feats, nFrames = 2)
@@ -2158,7 +2162,8 @@ object SparkEntry2 {
         |p AS (SELECT doc_id, url,
         |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^:/?#]+)', 1) AS host,
         |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
-        |    regexp_extract(url, '://[^/?#]*:([0-9]+)', 1) AS port,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)', 1) AS port,
         |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path,
         |    regexp_extract(url, '\?([^#]*)', 1) AS q
         |  FROM u),
@@ -2402,14 +2407,20 @@ object SparkEntry2 {
       k = 2, seed = 42L),
     "q_ann_ivf" -> annIvfOracleSql(nCentroids = 16, nProbe = 4, k = 3),
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
-    // the multimodal payload is utf-8 text, so DuckDB reproduces every
-    // binary operation on the VARCHAR side: substr == binary slice, the
-    // md5-leaf metadata stub interpolates the same salts, and Spark's
-    // double->int cast truncation is matched with trunc() (DuckDB CAST
-    // rounds). ts_ms stays exact: duration * i / 2 is a half-integer.
+    // the multimodal payload is ASCII text (both sides strip non-ASCII
+    // code points first — Spark's binary slices are BYTE-indexed, this
+    // varchar side is CHARACTER-indexed, and they only agree at one byte
+    // per char), so DuckDB reproduces every binary operation on the
+    // VARCHAR side: substr == binary slice, the md5-leaf metadata stub
+    // interpolates the same salts, and Spark's double->int cast truncation
+    // is matched with trunc() (DuckDB CAST rounds). ts_ms stays exact:
+    // duration * i / 2 is a half-integer.
     "q_multimodal" ->
-      """WITH h AS (SELECT doc_id AS media_id, text,
-        |    substr(text, 1, 16) AS hdr FROM documents),
+      """WITH h0 AS (SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
+        |  FROM documents),
+        |h AS (SELECT media_id, text,
+        |    substr(text, 1, 16) AS hdr FROM h0),
         |m AS (SELECT media_id, text,
         |    CAST(('0x' || substr(md5(hdr || '|0'), 1, 15)) AS BIGINT) % 4 + 1 AS fmt_idx,
         |    CAST((CAST(('0x' || substr(md5(hdr || '|1'), 1, 15)) AS BIGINT) % 1920 + 32) AS INT) AS width,

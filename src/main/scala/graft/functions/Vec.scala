@@ -320,7 +320,11 @@ object Vec {
       val n = size(arr)
       val mid = ((n + 1) / 2).cast("int") // int division: n is positive
       val half = (n / 2).cast("int")
+      // cast each middle element to double BEFORE adding (as rollingQuantile
+      // does): native-type addition of two near-max ints would overflow
+      // before the /2.0 promotes
       when(n % 2 === 1, element_at(arr, mid).cast("double"))
-        .otherwise((element_at(arr, half) + element_at(arr, half + 1)) / 2.0)
+        .otherwise((element_at(arr, half).cast("double") +
+          element_at(arr, half + 1).cast("double")) / 2.0)
     }
 }

@@ -59,6 +59,29 @@ object Dedup {
     */
   private[ml] def spread(df: DataFrame): DataFrame = graft.ops.Scale.spread(df)
 
+  /** Drop rows whose bucket (the `keys` tuple) holds more than `maxBucket`
+    * rows — the guard against one degenerate bucket emitting bucket²
+    * candidate rows in the banded self-joins below. Shape: a tiny
+    * count-aggregate probe (map-side combinable — only per-bucket partial
+    * counts shuffle, never data rows) feeding a broadcast anti-join. Hot
+    * buckets are few by construction, so the broadcast is bytes-sized.
+    * The probe and the downstream join consumers prune different columns,
+    * so they can never share one exchange (ReuseExchange only fires on
+    * identical canonical subtrees — verified that the pruned probe defeats
+    * it): callers whose `df` is expensive to recompute must pin it
+    * (scopedCache) first or the subtree recomputes once per consumer.
+    * Set maxBucket <= 0 to disable.
+    */
+  private[graft] def dropHotBuckets(df: DataFrame, keys: Seq[String],
+                                    maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) df
+    else {
+      val hot = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+        .select(keys.head, keys.tail: _*)
+      df.join(broadcast(hot), keys, "left_anti")
+    }
+
   /** Exact dedup on a canonicalized text hash: one hash-aggregate.
     * Output: one row per distinct content (hash, kept id = min id, dupe count).
     */
@@ -332,8 +355,10 @@ object Dedup {
                       threshold: Double = 0.8, seed: Long = 42L,
                       hashLeaf: Option[Column] = None,
                       maxBucket: Int = 100000): DataFrame = {
-    val sigs = scopedCache(
-      minhashSignatures(df, idCol, textCol, n, bands * rows, seed, hashLeaf))
+    // no signature-level cache: lshPairsFromSignatures pins the BANDED
+    // table, which subsumes the signatures (caching both would pay a second
+    // materialization for a single consumer)
+    val sigs = minhashSignatures(df, idCol, textCol, n, bands * rows, seed, hashLeaf)
     lshPairsFromSignatures(sigs, bands, rows, threshold, maxBucket)
   }
 
@@ -347,25 +372,21 @@ object Dedup {
                              threshold: Double = 0.8,
                              maxBucket: Int = 100000): DataFrame = {
     val k = bands * rows
-    val banded0 = sigs.select(col("id"), col("sig"),
+    // one cache, at the BANDED level: it feeds the hot-bucket probe and
+    // both self-join sides, and subsumes the signature table (its only
+    // consumer is the banding projection). Differently-pruned consumers
+    // can never share an exchange, so without this pin the signature
+    // aggregate would recompute once per consumer.
+    val banded0 = scopedCache(sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    // hot-bucket guard (same shape as simhashPairs'): one degenerate band
-    // bucket — empty/templated docs collapsing to one signature slice —
-    // emits bucket² candidate rows, the quadratic failure mode at corpus
-    // scale. Hot buckets are few by construction: a tiny broadcast
-    // anti-join. True near-dups in a dropped bucket usually still collide
-    // in another band; the default only fires on pathological skew.
-    // Set <= 0 to disable.
-    val banded =
-      if (maxBucket <= 0) banded0
-      else {
-        val hot = banded0.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-          .select("band", "bucket")
-        banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-      }
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")))
+    // hot-bucket guard: one degenerate band bucket — empty/templated docs
+    // collapsing to one signature slice — emits bucket² candidate rows, the
+    // quadratic failure mode at corpus scale. True near-dups in a dropped
+    // bucket usually still collide in another band; the default only fires
+    // on pathological skew.
+    val banded = dropHotBuckets(banded0, Seq("band", "bucket"), maxBucket)
     // est_jaccard is identical for every duplicate of a pair (one per
     // colliding band), so score and filter BEFORE dropDuplicates: the
     // k-long signature arrays never enter the dedup shuffle, and only
@@ -403,15 +424,10 @@ object Dedup {
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
     val nb = band(newSigs, "new")
-    val eb0 = band(existingSigs, "existing")
-    val eb =
-      if (maxBucket <= 0) eb0
-      else {
-        val hot = eb0.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-          .select("band", "bucket")
-        eb0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-      }
+    // guard the standing-corpus side only (that's where degenerate buckets
+    // accumulate); the probe and the join share one exchange of eb
+    val eb = dropHotBuckets(band(existingSigs, "existing"),
+      Seq("band", "bucket"), maxBucket)
     val agree = org.apache.spark.sql.graftshim.Shim.columnOf(
       graft.plans.ArrayEqCount(
         org.apache.spark.sql.graftshim.Shim.exprOf(col("new_sig")),
@@ -499,17 +515,7 @@ object Dedup {
           shiftrightunsigned(col("simhash"), offsets(c))
             .bitwiseAND(lit((1L << widths(c)) - 1))): _*)))
         .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "ckey")))
-    val chunked =
-      if (maxBucket <= 0) chunked0
-      else {
-        // hot buckets (count > maxBucket) are few by construction — a tiny
-        // aggregate + broadcast anti-join, NOT a window, which would
-        // shuffle and sort the full chunk table once per self-join side
-        val hot = chunked0.groupBy("chunk", "ckey")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-          .select("chunk", "ckey")
-        chunked0.join(broadcast(hot), Seq("chunk", "ckey"), "left_anti")
-      }
+    val chunked = dropHotBuckets(chunked0, Seq("chunk", "ckey"), maxBucket)
     // hamming is identical for every duplicate of a pair (one per shared
     // chunk), so filter FIRST: the popcount is a codegen'd scalar while
     // dropDuplicates is a shuffle — dedup only the survivors, not the full
@@ -677,14 +683,7 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey")))
-    val banded =
-      if (maxBucket <= 0) banded0
-      else {
-        val hot = banded0.groupBy("band", "bkey")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-          .select("band", "bkey")
-        banded0.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-      }
+    val banded = dropHotBuckets(banded0, Seq("band", "bkey"), maxBucket)
     // a pair surfaces once per colliding band: dedup the slim (id_a, id_b)
     // candidates FIRST, then join the vectors back and verify — the cosine
     // runs once per unique pair and the wide embedding arrays stay out of

@@ -167,16 +167,10 @@ object Similarity {
     val rb0 = sigTable(right, rightIdCol, "item_id", probe = false)
     // hot-bucket guard: a degenerate corpus bucket (duplicated/zero vectors
     // sharing one signature) would emit |bucket| rows per probing query —
-    // the quadratic failure mode at corpus scale. Hot buckets are few by
-    // construction: broadcast anti-join, same shape as the dedup guards.
-    val rb =
-      if (maxBucket <= 0) rb0
-      else {
-        val hot = rb0.groupBy("table", "sig")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-          .select("table", "sig")
-        rb0.join(broadcast(hot), Seq("table", "sig"), "left_anti")
-      }
+    // the quadratic failure mode at corpus scale. Dedup.dropHotBuckets
+    // rides the candidate join's own (table, sig) exchange of the corpus
+    // side, so the guard adds no extra scan or shuffle.
+    val rb = graft.ml.Dedup.dropHotBuckets(rb0, Seq("table", "sig"), maxBucket)
     val pairs0 = lb.join(rb, Seq("table", "sig"))
       .select("query_id", "item_id").dropDuplicates("query_id", "item_id")
     val pairs = if (excludeSelf) pairs0.where(col("query_id") =!= col("item_id"))

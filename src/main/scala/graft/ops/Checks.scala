@@ -19,7 +19,11 @@ object Checks {
     */
   def duplicateKeyCount(df: DataFrame, cols: Seq[String]): DataFrame =
     df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
-      .agg((sum("__n") - count(lit(1))).cast("long").as("duplicate_rows"))
+      // coalesce: sum over ZERO groups (empty input) is NULL, which would
+      // make a `duplicate_rows === 0` gate fail and a `> 0` alarm silently
+      // pass on empty data
+      .agg(coalesce(sum("__n") - count(lit(1)), lit(0L))
+        .cast("long").as("duplicate_rows"))
 
   /** NULL count per named column, one pass, one output row. */
   def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame =

@@ -766,6 +766,20 @@ object SparkEntry2 {
       graft.graph.Graph.pageRank(edges, iters = 5, seeds = Some(seeds))
     }),
 
+    // synchronous label propagation (community detection) over the same
+    // symmetric purchase graph: integer counts + min tie-breaks only, so
+    // labels are bit-identical across engines — hash-oracled against a
+    // chained-CTE replay of the argmax recurrence
+    "q_label_prop" -> ((s, dir) => {
+      val ol = t(s, dir, "orders").df.join(t(s, dir, "lineitem").df,
+        col("l_orderkey") === col("o_orderkey"))
+      val fwd = ol.select(col("o_custkey").as("src"),
+        (-(col("l_suppkey") + 1)).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.Graph.labelPropagation(edges, iters = 4)
+    }),
+
     // per-group Misra-Gries heavy hitters (the sketch under groupBy): one
     // mergeable summary per language; exact regime (k > distinct sources)
     // so the sketch output is hash-oracleable
@@ -1778,6 +1792,7 @@ object SparkEntry2 {
     "q_pagerank_pers" -> pagerankOracleSql(iters = 5, dampBp = 8500L,
       scale = 1000000000000L,
       seedPred = Some("({n} >= 0 AND {n} % 97 = 0)")),
+    "q_label_prop" -> labelPropOracleSql(iters = 4),
     "q_heavy_hitters_grouped" ->
       """SELECT lang, source AS item, count(*) AS est_count
         |FROM documents GROUP BY 1, 2""".stripMargin,
@@ -2824,6 +2839,38 @@ object SparkEntry2 {
            |    GROUP BY 1) im ON im.node = nd.node)""".stripMargin)
     }
     sb.append(s"\nSELECT node, mass FROM pr$iters")
+    sb.toString
+  }
+
+  /** DuckDB replica of `q_label_prop`: the synchronous argmax recurrence
+    * replayed CTE by CTE. Votes are exact integer counts; the argmax tie
+    * breaks on the smallest label — both engines compute row_number over
+    * (count DESC, label ASC), so labels agree bit-for-bit.
+    */
+  private def labelPropOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH
+        |e AS (SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  UNION SELECT DISTINCT -(l_suppkey + 1), o_custkey
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |lp0 AS (SELECT node, node AS label FROM nodes)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(
+        s""",
+           |lp$k AS (SELECT l.node, coalesce(b.lbl, l.label) AS label
+           |  FROM lp${k - 1} l LEFT JOIN (
+           |    SELECT dst, label AS lbl FROM (
+           |      SELECT e.dst, v.label,
+           |        row_number() OVER (PARTITION BY e.dst
+           |          ORDER BY count(*) DESC, v.label ASC) AS rk
+           |      FROM lp${k - 1} v JOIN e ON v.node = e.src
+           |      GROUP BY e.dst, v.label) WHERE rk = 1
+           |  ) b ON b.dst = l.node)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, label FROM lp$iters")
     sb.toString
   }
 

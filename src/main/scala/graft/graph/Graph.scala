@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** localCheckpoint + release of blocks pinned by PREVIOUS checkpoints of
+    * the same iterative chain — the per-iteration lineage-truncation
+    * pattern of [[graft.ml.Dedup.connectedComponents]], factored for the
+    * fixed-iteration loops here. Returns (checkpointed df, this
+    * checkpoint's block ids) so the caller can thread stale ids through.
+    */
+  private def checkpointReplacing(df: DataFrame,
+                                  stale: Set[Int]): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val pre = sc.getPersistentRDDs.keySet.toSet
+    val cp = df.localCheckpoint()
+    // the new checkpoint is materialized (localCheckpoint is eager): blocks
+    // of the previous one are unreachable from live lineage — release them
+    stale.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    (cp, sc.getPersistentRDDs.keySet.toSet -- pre)
+  }
+
   /** Deterministic integer fixed-point PageRank.
     *
     *   PR_0(v)     = S div N
@@ -34,8 +51,10 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 5, dampBp: Long = 8500L,
                scale: Long = 1000000000000L,
-               seeds: Option[DataFrame] = None): DataFrame = {
+               seeds: Option[DataFrame] = None,
+               checkpointInterval: Int = 10): DataFrame = {
     require(iters >= 0 && dampBp >= 0 && dampBp <= 10000 && scale > 0)
+    require(checkpointInterval > 0)
     val e = graft.ml.Dedup.trackCache(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct())
@@ -65,7 +84,8 @@ object Graph {
     val telep = (scale * (10000L - dampBp)) / (10000L * nTel)
     var pr = nodes.withColumn("mass",
       when(col("__seed"), lit(scale / nTel)).otherwise(lit(0L)))
-    for (_ <- 1 to iters) {
+    var stale = Set.empty[Int]
+    for (i <- 1 to iters) {
       val contrib = pr.join(ew, col("node") === col("src"))
         .select(col("dst").as("node"), expr("mass div odeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
@@ -73,7 +93,83 @@ object Graph {
         .select(col("node"), col("__seed"),
           (when(col("__seed"), lit(telep)).otherwise(lit(0L)) +
             expr(s"(${dampBp}L * coalesce(m, 0L)) div 10000L")).as("mass"))
+      // periodic lineage truncation: each iteration's plan nests the
+      // previous one, and past ~25 nested join+agg rounds analysis and task
+      // serialization blow up. Values are bit-identical with or without the
+      // checkpoint (integer arithmetic; truncation is plan-only) —
+      // GraphSpec pins iters=40 == chunk-free recurrence.
+      if (i % checkpointInterval == 0 && i < iters) {
+        val (cp, ids) = checkpointReplacing(pr, stale)
+        pr = cp; stale = ids
+      }
     }
+    registerFinalRelease(pr, stale)
     pr.select("node", "mass")
+  }
+
+  /** The LAST checkpoint of an iterative chain stays pinned (it is not
+    * recomputable); hand its blocks to the dedup registry so
+    * [[graft.ml.Dedup.unpersistIntermediates]] releases them with the rest
+    * of a pipeline's state — after results are consumed, per its contract.
+    */
+  private def registerFinalRelease(df: DataFrame, ids: Set[Int]): Unit =
+    if (ids.nonEmpty) {
+      val sc = df.sparkSession.sparkContext
+      graft.ml.Dedup.trackRelease(() =>
+        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+    }
+
+  /** Deterministic synchronous label propagation (community detection).
+    *
+    * Every node starts labeled with its own id; each iteration, every node
+    * adopts the most frequent label among its IN-neighbors (ties broken by
+    * the smallest label; nodes with no in-edges keep their label). Labels
+    * flow src→dst — pass both edge orientations for an undirected graph,
+    * the same convention as [[pageRank]]. All arithmetic is integer counts
+    * and min-tie-breaks, so like the other fixed-point verbs here the
+    * result is bit-identical under any partitioning or engine — a fixed
+    * `iters` replays as a chained-CTE SQL oracle. (Synchronous LPA on a
+    * bipartite-ish region can oscillate between two labelings rather than
+    * converge; a fixed iteration count keeps that deterministic too.
+    * Communities of near-dup clusters / crawl graphs are shallow, so small
+    * `iters` suffices in practice.)
+    *
+    * Scale shape per iteration: one shuffle join of the label vector with
+    * the cached edge list, one (dst, label) count aggregate, and a
+    * rank-filter argmax — Spark 4 plans the row_number filter as a partial
+    * WindowGroupLimit before the shuffle, so the per-dst vote table is
+    * map-side limited (same pin as top_n; PlanSpec asserts the shape).
+    * Lineage is truncated every `checkpointInterval` iterations.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+                       checkpointInterval: Int = 10): DataFrame = {
+    require(iters >= 0 && checkpointInterval > 0)
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.ml.Dedup.trackCache(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    var labels = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("label", col("node"))
+    var stale = Set.empty[Int]
+    for (i <- 1 to iters) {
+      val votes = labels.join(e, col("node") === col("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("__c").desc, col("label").asc)
+      val best = votes.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("dst").as("node"), col("label").as("__nbr"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__nbr"), col("label")).as("label"))
+      if (i % checkpointInterval == 0 && i < iters) {
+        val (cp, ids) = checkpointReplacing(labels, stale)
+        labels = cp; stale = ids
+      }
+    }
+    registerFinalRelease(labels, stale)
+    labels
   }
 }

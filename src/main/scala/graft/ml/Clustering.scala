@@ -12,8 +12,10 @@ import org.apache.spark.sql.expressions.Window
   * Shape per iteration — the classic scalable k-means:
   *   - ASSIGN: cross join against the BROADCAST k×dim centroid table,
   *     argmin of (‖c‖² − 2·v·c) (the ‖v‖² term is constant per row and
-  *     dropped); ties break on centroid id. Map-side only — no shuffle of
-  *     the data.
+  *     dropped); ties break on centroid id. The scoring itself is map-side
+  *     (broadcast, no data shuffle); the rank-filter argmin then exchanges
+  *     once on `id`, reduced map-side by Spark 4's partial WindowGroupLimit
+  *     (≤ k rows per id survive to the shuffle — PlanSpec pins the shape).
   *   - UPDATE: posexplode vectors → one (cluster, dim) partial-sum shuffle
   *     of k×dim×partitions rows → rebuild centroid arrays. The only shuffle,
   *     and it carries aggregated scalars, never vectors.

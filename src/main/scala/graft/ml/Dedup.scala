@@ -44,6 +44,14 @@ object Dedup {
     */
   def trackCache(df: DataFrame): DataFrame = scopedCache(df)
 
+  /** Register an arbitrary release thunk with [[unpersistIntermediates]] —
+    * for pinned state that is not a simple Dataset cache (e.g. the final
+    * localCheckpoint blocks of an iterative verb). Same caveat as
+    * checkpointed labels: release only after results are consumed.
+    */
+  private[graft] def trackRelease(f: () => Unit): Unit =
+    liveIntermediates.add(f)
+
   /** Release every intermediate block pinned by dedup calls so far (shingle /
     * signature / chunk caches and connected-component label checkpoints).
     * Call after the pipeline's results are materialized; results not yet

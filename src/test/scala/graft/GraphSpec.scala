@@ -70,4 +70,75 @@ class GraphSpec extends AnyFunSuite {
     assert(a.values.forall(_ > 0))
     graft.ml.Dedup.unpersistIntermediates()
   }
+
+  test("pageRank deep iteration: checkpointing bounds the plan, values unchanged") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    // checkpoint every 5 vs effectively never: bit-identical masses — the
+    // truncation is plan-only
+    val chunked = Graph.pageRank(edges, iters = 12, scale = 1000000L,
+        checkpointInterval = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val straight = Graph.pageRank(edges, iters = 12, scale = 1000000L,
+        checkpointInterval = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunked == straight)
+    // iters=40 with the default interval completes with a BOUNDED analyzed
+    // plan: the final plan's string must not grow with total iterations
+    // (pre-checkpoint it nests one join+agg round per iteration)
+    val deep = Graph.pageRank(edges, iters = 40, scale = 1000000L)
+    val planLines = deep.queryExecution.analyzed.toString.linesIterator.size
+    assert(planLines < 400, s"analyzed plan has $planLines lines — lineage not truncated")
+    assert(deep.count() == 4)
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("labelPropagation: two triangles joined by a bridge form two communities") {
+    import spark.implicits._
+    // triangles {1,2,3} and {10,11,12} plus bridge 3-10; undirected
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every triangle collapses to its min label
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L, labels)
+    assert(Set(10L, 11L, 12L).map(labels).size == 1, labels)
+    // the second triangle's community is NOT the first's: the single bridge
+    // vote can't outvote two triangle votes
+    assert(labels(10L) != 1L, labels)
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("labelPropagation: argmax tie breaks on smallest label; no-inbound keeps label") {
+    import spark.implicits._
+    // node 3 hears one vote each from 1 and 2 (tie -> label 1);
+    // node 5 has no in-edges and keeps its own label
+    val edges = Seq((1L, 3L), (2L, 3L), (5L, 1L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(3L) == 1L, labels)
+    assert(labels(5L) == 5L, labels)
+    assert(labels(1L) == 5L, labels) // 1's only in-neighbor is 5
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("labelPropagation is partition-invariant and checkpoint-invariant") {
+    import spark.implicits._
+    val edges = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .join(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), (-(col("l_suppkey") + 1)).as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val a = Graph.labelPropagation(sym, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(sym.repartition(13), iters = 3,
+        checkpointInterval = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    graft.ml.Dedup.unpersistIntermediates()
+  }
 }

@@ -39,6 +39,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(600))
   }
 
+  test("k-means assign: broadcast centroids, rank-filter argmin map-side limited") {
+    // a Spark upgrade that stops planning the partial WindowGroupLimit
+    // would silently shuffle k scored rows per vector instead of 1 — the
+    // Clustering scaladoc's cost claims rest on this shape
+    val p = plan("q_kmeans")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast: " + p.take(800))
+    assert(!p.contains("SortMergeJoin"), "assign must not shuffle-join the data")
+  }
+
+  test("label propagation: per-iteration argmax is map-side limited too") {
+    val p = plan("q_label_prop")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("knnJoin generates candidates by equi-join — no cartesian, no nested loop") {
     val p = plan("q_knn_join")
     assert(!p.contains("CartesianProduct"), "knnJoin must never plan a cartesian")

@@ -22,16 +22,32 @@ import graft.ml.{Dedup, Similarity}
   *     value from order-free exact-integer sums on both sides instead;
   *   - integer-valued scalar functions cast to BIGINT on the Spark side
   *     (DuckDB returns BIGINT for year()/length()/rank() etc.);
-  *   - no raw nanosecond timestamps in outputs (events.ts is ns; Spark
-  *     truncates to micros — outputs use derived fields instead).
+  *   - no raw nanosecond timestamps in outputs (events.ts is canonicalized
+  *     to nanos-long by readTable — outputs use derived fields instead).
   */
 object SparkEntry {
 
   private[graft] def readTable(s: SparkSession, dir: String, name: String): Tbl = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default;
-    // read it as a long (nanos since epoch) and derive fields from that.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    // generations (rejected by Spark unless read as a long) and as
+    // timestamp[us] in others. Normalize BOTH to the canonical
+    // nanos-since-epoch long here, so every downstream time operator and
+    // oracle sees one schema regardless of which generation is on disk.
+    // inferTimestampNTZ=false makes micros parquet land verbatim in
+    // TimestampType's internal micros-since-epoch — unix_micros is then the
+    // stored value exactly, independent of session timezone (same integer
+    // DuckDB's epoch_us(ts) sees).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tbl(s.read.parquet(s"$dir/$name.parquet"))
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    val norm = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+      case _ => df
+    }
+    Tbl(norm)
   }
   private def t(s: SparkSession, dir: String, name: String): Tbl =
     readTable(s, dir, name)

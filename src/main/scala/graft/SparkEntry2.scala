@@ -260,8 +260,8 @@ object SparkEntry2 {
 
     // dt.to_period string labels at every supported freq + dt.total_seconds
     // on a timestamp difference (seconds since midnight). events.ts is
-    // nanos-as-long (TESTDATA parquet); `div` keeps the ns→µs conversion
-    // integral — a double division would lose precision above 2^53.
+    // nanos-as-long (readTable canonicalizes); `div` keeps the ns→µs
+    // conversion integral — double division loses precision above 2^53.
     "q_dt_period" -> ((s, dir) =>
       t(s, dir, "events")
         .mutate("ts2" -> expr("timestamp_micros(ts div 1000)"))
@@ -1014,8 +1014,8 @@ object SparkEntry2 {
     "q_resample" -> ((s, dir) => {
       val ev = t(s, dir, "events").df
         .where(col("value") > 195)
-        // ts arrives as nanos-since-epoch (parquet NANOS read as long);
-        // micro truncation is irrelevant at day granularity
+        // ts arrives as nanos-since-epoch (readTable canonicalizes any
+        // on-disk timestamp type); micro truncation is irrelevant at days
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
         .withColumn("cents", round(col("value") * 100, 0).cast("bigint"))
       graft.ops.Resample.resample(ev, col("tstamp"), "day", Seq("event_type"),

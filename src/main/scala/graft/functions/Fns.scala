@@ -238,6 +238,16 @@ object Fns {
   // ---- datetime (generics.py:187-236; SQL base.py:312-360) ----------------
 
   object Dt {
+    /** Canonical integral time axis: TIMESTAMP/NTZ/DATE → nanos-since-epoch
+      * long; integral columns pass through in the caller's own units (see
+      * [[graft.plans.TimeToNanos]]). The event-time operators (sessionId,
+      * range-frame rollings, range/interval joins) route their time columns
+      * through this, so they accept either representation.
+      */
+    def toNanos(c: Column): Column =
+      org.apache.spark.sql.graftshim.Shim.columnOf(
+        graft.plans.TimeToNanos(org.apache.spark.sql.graftshim.Shim.exprOf(c)))
+
     /** Monday=0 like pandas `dt.dayofweek` — Spark's dayofweek is
       * 1=Sunday..7=Saturday, so shift: (dow + 5) % 7.
       */

@@ -171,9 +171,12 @@ object Vec {
     * The first row of each group (lag NULL) opens session 1.
     */
   def sessionId(t: Column, gap: Long, order: Seq[Column] = Nil): GExpr = gx { c =>
-    val ord = if (order.nonEmpty) order else Seq(t)
-    val prev = org.apache.spark.sql.functions.lag(t, 1).over(c.orderedBy(ord))
-    val newSession = when(t - prev > gap, 1L).otherwise(0L)
+    // type-adaptive: TIMESTAMP/NTZ/DATE order columns canonicalize to
+    // nanos-long (gap is then in nanos); integral columns keep their units
+    val tn = Fns.Dt.toNanos(t)
+    val ord = if (order.nonEmpty) order else Seq(tn)
+    val prev = org.apache.spark.sql.functions.lag(tn, 1).over(c.orderedBy(ord))
+    val newSession = when(tn - prev > gap, 1L).otherwise(0L)
     sum(newSession).over(c.orderedBy(ord)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1
   }
@@ -206,8 +209,10 @@ object Vec {
   //    -span AND CURRENT ROW. Equal order values are frame peers under RANGE
   //    semantics on every engine, so results stay deterministic with ties —
   //    the event-time rolling aggregate ROWS frames can't express.
+  //    TIMESTAMP/NTZ/DATE order columns canonicalize to nanos-long (span is
+  //    then in nanos); integral columns keep their own units.
   private def rangeFrame(c: WinCtx, order: Column, span: Long) =
-    Window.partitionBy(c.partition: _*).orderBy(order)
+    Window.partitionBy(c.partition: _*).orderBy(Fns.Dt.toNanos(order))
       .rangeBetween(-span, Window.currentRow)
 
   def rollingSumRange(x: Column, order: Column, span: Long): GExpr =

@@ -24,11 +24,18 @@ object RangeJoin {
     * post-filter removes false positives but cannot recover false
     * negatives). `div` is 64-bit integer division; truncation (vs floor) is
     * monotone, so the interval's bucket range always covers every contained
-    * point's bucket, for negative domains too. Range columns must be
-    * integral (cast timestamps to epoch numbers first).
+    * point's bucket, for negative domains too. Range columns are
+    * canonicalized through [[graft.functions.Fns.Dt.toNanos]]: TIMESTAMP /
+    * NTZ / DATE become nanos-since-epoch (bucketWidth is then in nanos),
+    * integral columns keep the caller's units.
     */
-  private def bucketOf(name: String, width: Long) =
-    expr(s"`$name` div ${width}L")
+  private def ns(name: String) = graft.functions.Fns.Dt.toNanos(col(name))
+
+  private def bucketOf(name: String, width: Long) = {
+    import org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    Shim.columnOf(IntegralDivide(Shim.exprOf(ns(name)), Literal(width)))
+  }
 
   /** Covering-bucket array for an interval, guarded:
     * - NULL bounds or an inverted interval (start > end) yield no buckets —
@@ -75,7 +82,7 @@ object RangeJoin {
     val ivs = intervals.withColumn("__b",
       explode(bucketsFor(startCol, endCol, bucketWidth, maxBuckets)))
     pts.join(ivs, Seq("__b"))
-      .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .where(ns(ptCol) >= ns(startCol) && ns(ptCol) <= ns(endCol))
       .drop("__b")
   }
 
@@ -93,10 +100,14 @@ object RangeJoin {
     checkInputs(left, right, "intervalOverlap")
     def banded(df: DataFrame, s: String, e: String) = df.withColumn("__b",
       explode(bucketsFor(s, e, bucketWidth, maxBuckets)))
-    val overlapStartBucket =
-      expr(s"greatest(`$lStart`, `$rStart`) div ${bucketWidth}L")
+    val overlapStartBucket = {
+      import org.apache.spark.sql.graftshim.Shim
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+      Shim.columnOf(IntegralDivide(
+        Shim.exprOf(greatest(ns(lStart), ns(rStart))), Literal(bucketWidth)))
+    }
     banded(left, lStart, lEnd).join(banded(right, rStart, rEnd), Seq("__b"))
-      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+      .where(ns(lStart) <= ns(rEnd) && ns(rStart) <= ns(lEnd) &&
         col("__b") === overlapStartBucket)
       .drop("__b")
   }

@@ -43,10 +43,21 @@ object Bench {
     // shuffle-bearing queries ~10x in a past artifact. The minimum is the
     // least-contended observation and the best estimate of the engine's cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // A throwing query must NOT produce a timing: in round 8 nine broken
+    // queries were recorded as 0.06-0.18s "results" (time-to-throw), three
+    // of which read as improvements. Failures go to a parallel errors map.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.take(1).mkString)
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // pair generators cache intermediates that feed multiple consumers
         // within one query; across 80+ queries those pins accumulate into
@@ -54,9 +65,9 @@ object Bench {
         // must not reuse the previous run's cache. Measure each run from a
         // clean block manager.
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      if (times.isEmpty) None else Some(name -> times.min)
     }
     // 3dp per-query values: full-precision doubles pushed the single JSON
     // line past the driver's bounded stdout-tail capture in round 6 and the
@@ -65,11 +76,14 @@ object Bench {
     // on its own line FIRST means even a truncated tail still ends with the
     // full contract line.
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"queries_only","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_only","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // Durable record: the driver's stdout-tail capture truncates long lines
     // (r6 and r7 both lost the head of the per-query map), so the full map
     // is ALSO written to a repo file and committed each round — cross-round
@@ -78,7 +92,7 @@ object Bench {
     // round's complete record.
     if (args.isEmpty) {
       val file = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
-      val body = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}\n"""
+      val body = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}\n"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(file),
         body.getBytes("UTF-8"))
       catch { case e: Exception =>

@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -19,15 +19,34 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
+    run(spark, sfDir, outDir, selected, SparkEntry.oracleSql)
+    spark.stop()
+  }
+
+  /** The dump loop, factored from main so the failure-reporting contract is
+    * unit-testable with a deliberately-broken query map.
+    */
+  private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
+                         selected: Map[String, (SparkSession, String) => DataFrame],
+                         oracle: Map[String, String]): Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    // A throwing query must NOT silently vanish from the record (round 8:
+    // nine schema-broken queries produced no parquet, and an absent row
+    // reads as "never declared" in the driver's correctness JSON). Every
+    // failure lands in _errors.json next to oracle_sql.json (exit stays 0:
+    // the driver must still collect the queries that DID dump).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString
+        errors += name -> msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,9 +61,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // dump-count parity guard: dirs written + errors recorded must account
+    // for every declared query — any other discrepancy is a harness bug
+    val dumped = selected.keys.count(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
+    println(s"[verify] ${selected.size} queries: $dumped dumped, ${errors.size} failed")
+    if (dumped + errors.size != selected.size)
+      System.err.println(s"[verify] HARNESS BUG: ${selected.size} selected != " +
+        s"$dumped dumped + ${errors.size} failed")
+    errors.toMap
   }
 }

@@ -25,4 +25,23 @@ class SmokeSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
+
+  test("Verify reports a broken query in _errors.json instead of dropping it") {
+    // round-8 regression shape: a query that throws at analysis must leave a
+    // visible error record, and the parity line must account for every
+    // declared query (dumped + failed == selected)
+    val out = java.nio.file.Files.createTempDirectory("graft-verify-err").toString
+    val good: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, d) => SparkEntry.queries("q1_agg")(s, d)
+    val bad: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, d) => SparkEntry.readTable(s, d, "events").df.selectExpr("no_such_col + 1")
+    val errs = Verify.run(spark, dir, out,
+      Map("q_ok" -> good, "q_broken" -> bad), Map("q_ok" -> "SELECT 1"))
+    assert(errs.keySet == Set("q_broken"), errs)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$out/q_ok")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/q_broken")))
+    val errJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/_errors.json"))
+    assert(errJson.contains("q_broken"), errJson)
+  }
 }

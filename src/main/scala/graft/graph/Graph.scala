@@ -139,10 +139,20 @@ object Graph {
     * rank-filter argmax — Spark 4 plans the row_number filter as a partial
     * WindowGroupLimit before the shuffle, so the per-dst vote table is
     * map-side limited (same pin as top_n; PlanSpec asserts the shape).
-    * Lineage is truncated every `checkpointInterval` iterations.
+    *
+    * Unlike [[pageRank]] (previous vector referenced ONCE per step — a
+    * linear chain), each step here references the previous `labels` twice:
+    * through votes→best and directly in the keep-label left join. An
+    * unmaterialized chain therefore DOUBLES the unevaluated plan per
+    * iteration (~2^iters recompute of the join+aggregate spine). The
+    * default `checkpointInterval = 1` materializes the vector every
+    * iteration — the [[graft.ml.Dedup.connectedComponents]] pattern —
+    * keeping per-iteration work constant; values are bit-identical for any
+    * interval (truncation is plan-only; GraphSpec pins both invariance and
+    * the bounded executed-plan shape).
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
-                       checkpointInterval: Int = 10): DataFrame = {
+                       checkpointInterval: Int = 1): DataFrame = {
     require(iters >= 0 && checkpointInterval > 0)
     import org.apache.spark.sql.expressions.Window
     val e = graft.ml.Dedup.trackCache(

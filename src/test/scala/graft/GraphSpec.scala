@@ -135,10 +135,35 @@ class GraphSpec extends AnyFunSuite {
       edges.select(col("dst").as("src"), col("src").as("dst")))
     val a = Graph.labelPropagation(sym, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // interval=100 never fires inside 3 iterations: the fully chunk-free
+    // chain must be bit-identical to the default per-iteration truncation
     val b = Graph.labelPropagation(sym.repartition(13), iters = 3,
-        checkpointInterval = 1)
+        checkpointInterval = 100)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("labelPropagation deep iteration: per-iteration work stays bounded") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    // labels is referenced TWICE per iteration (votes→best + keep-label
+    // join): without per-iteration materialization the unevaluated plan
+    // doubles per iteration (~2^iters recompute). With the default
+    // interval=1 the final plan must be ONE iteration deep — its size (and
+    // executed exchange count) must not grow with total iterations.
+    val shallow = Graph.labelPropagation(edges, iters = 2)
+    val deep = Graph.labelPropagation(edges, iters = 9)
+    def planLines(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.toString.linesIterator.size
+    assert(planLines(deep) == planLines(shallow),
+      s"deep=${planLines(deep)} shallow=${planLines(shallow)} — lineage not truncated")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(exchanges(deep) == exchanges(shallow),
+      "executed exchange count grew with iterations")
+    assert(deep.count() == 4)
     graft.ml.Dedup.unpersistIntermediates()
   }
 }

@@ -135,10 +135,13 @@ object Graph {
     * `iters` suffices in practice.)
     *
     * Scale shape per iteration: one shuffle join of the label vector with
-    * the cached edge list, one (dst, label) count aggregate, and a
-    * rank-filter argmax — Spark 4 plans the row_number filter as a partial
-    * WindowGroupLimit before the shuffle, so the per-dst vote table is
-    * map-side limited (same pin as top_n; PlanSpec asserts the shape).
+    * the cached edge list, one (dst, label) count aggregate, then the
+    * argmax as `min(struct(-count, label))` per dst — a plain two-phase
+    * aggregate (map-side partial combine, no sort): lexicographic struct
+    * ordering picks the highest count first and the smallest label on
+    * count ties, exactly the window rank-filter's semantics at a fraction
+    * of its cost (a per-dst sort + row_number was the dominant term at
+    * scale; PlanSpec pins the no-window shape).
     *
     * Unlike [[pageRank]] (previous vector referenced ONCE per step — a
     * linear chain), each step here references the previous `labels` twice:
@@ -154,7 +157,6 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = 5,
                        checkpointInterval: Int = 1): DataFrame = {
     require(iters >= 0 && checkpointInterval > 0)
-    import org.apache.spark.sql.expressions.Window
     val e = graft.ml.Dedup.trackCache(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct())
@@ -167,11 +169,12 @@ object Graph {
       val votes = labels.join(e, col("node") === col("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      val w = Window.partitionBy(col("dst"))
-        .orderBy(col("__c").desc, col("label").asc)
-      val best = votes.withColumn("__rk", row_number().over(w))
-        .where(col("__rk") === 1)
-        .select(col("dst").as("node"), col("label").as("__nbr"))
+      // argmax(count, tie -> min label) as a lexicographic struct minimum:
+      // -count is overflow-safe (counts are positive) and a plain agg keeps
+      // both phases partial — no per-dst sort, no window
+      val best = votes.groupBy(col("dst"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("lb"))).as("__m"))
+        .select(col("dst").as("node"), col("__m.lb").as("__nbr"))
       labels = labels.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("__nbr"), col("label")).as("label"))
       if (i % checkpointInterval == 0 && i < iters) {

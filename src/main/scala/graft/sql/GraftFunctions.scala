@@ -155,7 +155,26 @@ object GraftFunctions {
         |    s, '<[^>]*>', ' '), '(https?|ftp)://[^\\s]+', ' '), '\\s+', ' '))""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION ws_token_count(s STRING)
         |RETURNS BIGINT RETURN
-        |  CAST(size(split(trim(lower(s)), '\\s+')) AS BIGINT)""".stripMargin)
+        |  CAST(size(split(trim(lower(s)), '\\s+')) AS BIGINT)""".stripMargin,
+      // retrieval scoring kernels — the per-term math of Search.bm25 /
+      // tfidfTerms / rrfFuse as composable scalars, so a pure-SQL pipeline
+      // (postings GROUP BY + these) reproduces the Scala verbs' scores
+      // bit-for-bit. Same Lucene plus-one idf / Okapi tf normalization /
+      // 1/(k0+rank) terms as the DataFrame implementations.
+      """CREATE OR REPLACE TEMPORARY FUNCTION bm25_score(
+        |    tf BIGINT, df BIGINT, dl BIGINT, n_docs BIGINT, sum_dl BIGINT,
+        |    k1 DOUBLE, b DOUBLE)
+        |RETURNS DOUBLE RETURN
+        |  ln(1.0d + (n_docs - df + 0.5d) / (df + 0.5d)) *
+        |  (CAST(tf * (k1 + 1) AS DOUBLE) /
+        |   (tf + k1 * (1.0d - b + b * dl /
+        |     (CAST(sum_dl AS DOUBLE) / n_docs))))""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION tfidf_score(
+        |    tf BIGINT, df BIGINT, n_docs BIGINT)
+        |RETURNS DOUBLE RETURN
+        |  CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df)""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION rrf_term(rank BIGINT, k0 INT)
+        |RETURNS DOUBLE RETURN 1.0d / (k0 + rank)""".stripMargin)
     defs.foreach(spark.sql(_))
   }
 }

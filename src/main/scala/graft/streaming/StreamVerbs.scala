@@ -485,6 +485,36 @@ object StreamVerbs {
         k1, b))
     }
 
+  /** Incremental BM25 corpus statistics over an ingest stream: each batch's
+    * [[graft.text.Search.bm25TopicStats]] folds into the running stats via
+    * [[graft.text.Search.bm25StatsMerge]] — additive exact integers, so the
+    * running table after any prefix of batches is bit-identical to a
+    * from-scratch recompute over their union. `sink` receives the UPDATED
+    * cumulative stats after every batch (persist it and tag with
+    * [[streamingBm25Tag]]); `initial` seeds from a frozen corpus.
+    */
+  def streamingBm25Stats(t: Tbl, idCol: String, textCol: String,
+                         topics: DataFrame, tidCol: String, ttextCol: String,
+                         initial: Option[DataFrame] = None)
+                        (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the running stats table is broadcast-sized (|topic terms| rows); each
+    // batch merge materializes it so the next batch folds into VALUES, not
+    // an ever-growing lazy plan
+    var acc: Option[DataFrame] = initial
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val bs = graft.text.Search.bm25TopicStats(batch, idCol, textCol,
+        topics, tidCol, ttextCol)
+      val merged = acc match {
+        case None       => bs
+        case Some(prev) => graft.text.Search.bm25StatsMerge(prev, bs)
+      }
+      val pinned = merged.localCheckpoint()
+      acc = Some(pinned)
+      sink(pinned)
+    }
+  }
+
   /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed
     * fingerprints ([[graft.ml.Dedup.winnowFingerprints]], same n/w/hash as
     * the persisted corpus index) joined against the PERSISTED (id, fp)

@@ -116,6 +116,39 @@ object Search {
       .join(broadcast(corpus))
   }
 
+  /** Merge two [[bm25TopicStats]] tables computed over DISJOINT corpus
+    * slices for the SAME topic set: every statistic is an additive exact
+    * integer (df counts, N, Σdl), so `merge(stats(A), stats(B))` is
+    * bit-identical to `stats(A ∪ B)` — the incremental path for a corpus
+    * that grows by ingest batches, with no corpus rescan. Both inputs are
+    * broadcast-sized by the stats contract (|topic terms| rows), so the
+    * join is trivially small; the per-table (n_docs, sum_dl) pair is
+    * constant across rows by construction and adds pairwise.
+    */
+  def bm25StatsMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val bSide = b.select(col("topic_id").as("__tid_b"),
+      col("term").as("__term_b"), col("df").as("__df_b"),
+      col("n_docs").as("__n_b"), col("sum_dl").as("__s_b"))
+    val joined = a.join(bSide,
+      col("topic_id") === col("__tid_b") && col("term") === col("__term_b"),
+      "full")
+    // a topic term absent from one side contributes df=0 there, but the
+    // side's corpus totals still apply — they are global, not per-term, so
+    // missing per-row values fall back to the side's table-wide constants
+    val consts = joined.agg(
+      coalesce(max(col("n_docs")), lit(0L)).as("__na"),
+      coalesce(max(col("sum_dl")), lit(0L)).as("__sa"),
+      coalesce(max(col("__n_b")), lit(0L)).as("__nb"),
+      coalesce(max(col("__s_b")), lit(0L)).as("__sb"))
+    joined.join(broadcast(consts))
+      .select(
+        coalesce(col("topic_id"), col("__tid_b")).as("topic_id"),
+        coalesce(col("term"), col("__term_b")).as("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__df_b"), lit(0L))).as("df"),
+        (col("__na") + col("__nb")).as("n_docs"),
+        (col("__sa") + col("__sb")).as("sum_dl"))
+  }
+
   /** Tag docs with BM25 scores against a [[bm25TopicStats]] table:
     * (id, topic_id, score, rank) with rank 1 the best topic per doc (ties
     * on the 4-dp score break by topic_id). Docs sharing no term with any

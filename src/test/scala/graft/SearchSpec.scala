@@ -126,6 +126,26 @@ class SearchSpec extends AnyFunSuite {
     assert(tags(2L) == 2L) // "banana cherry" -> only cherry matches
   }
 
+  test("bm25StatsMerge: merged slice stats == from-scratch, bit-exact") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val topics = Seq((1L, "apple banana"), (2L, "the quick brown"))
+      .toDF("tid", "tt")
+    def stats(d: org.apache.spark.sql.DataFrame) =
+      graft.text.Search.bm25TopicStats(d, "doc_id", "text", topics, "tid", "tt")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    val merged = graft.text.Search.bm25StatsMerge(stats(a), stats(b))
+    // every field is an additive exact integer: bit-exact equality, not
+    // approximate — the whole point of the incremental path
+    TestSpark.assertSameRows(merged, stats(docs), "merged vs from-scratch")
+    // empty-slice identity: merging an empty batch changes nothing
+    val none = docs.where(lit(false))
+    TestSpark.assertSameRows(
+      graft.text.Search.bm25StatsMerge(stats(docs), stats(none)),
+      stats(docs), "empty-slice identity")
+  }
+
   test("vocabStats: exact single-row corpus stats") {
     import spark.implicits._
     val d = Seq((1L, "a a b c"), (2L, "a d")).toDF("doc_id", "text")

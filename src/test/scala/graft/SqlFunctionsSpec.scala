@@ -97,6 +97,98 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaCols).isEmpty && viaCols.exceptAll(viaSql).isEmpty)
   }
 
+  test("retrieval macros: SQL-composed bm25/tfidf/rrf equal the Scala verbs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.sql.GraftFunctions.registerSqlMacros(spark)
+    val docs = Seq(
+      (1L, "apple banana apple kiwi"),
+      (2L, "banana cherry banana date"),
+      (3L, "cherry cherry cherry date fig"),
+      (4L, "kiwi fig date plum apple")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple cherry"), (11L, "date kiwi")).toDF("qid", "qt")
+    docs.createOrReplaceTempView("ret_docs")
+    queries.createOrReplaceTempView("ret_queries")
+    // full bm25 ranking in pure SQL: postings + corpus stats + bm25_score,
+    // mirroring Search.bm25's tokenization (ws split of trimmed lowercase)
+    val viaSql = spark.sql(
+      """WITH tok AS (SELECT doc_id, split(trim(lower(text)), '\\s+') AS w
+        |  FROM ret_docs),
+        |post AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl,
+        |    term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok LATERAL VIEW explode(w) AS term
+        |  GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM post GROUP BY term),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(size(split(trim(lower(text)), '\\s+'))) AS BIGINT) AS sum_dl
+        |  FROM ret_docs),
+        |qterm AS (SELECT qid AS query_id, term
+        |  FROM ret_queries
+        |  LATERAL VIEW explode(array_distinct(split(trim(lower(qt)), '\\s+')))
+        |    AS term),
+        |scored AS (SELECT query_id, doc_id AS id,
+        |    round(sum(bm25_score(tf, df, dl, n_docs, sum_dl, 1.2d, 0.75d)), 4)
+        |      AS score
+        |  FROM qterm JOIN post USING (term) JOIN dfreq USING (term)
+        |  CROSS JOIN corpus
+        |  GROUP BY query_id, doc_id)
+        |, ranked AS (SELECT query_id, id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, id) AS BIGINT) AS rank
+        |FROM scored)
+        |SELECT * FROM ranked WHERE rank <= 10""".stripMargin)
+    val viaScala = graft.text.Search.bm25(docs, "doc_id", "text",
+      queries, "qid", "qt", k1 = 1.2, b = 0.75, topK = 10)
+    TestSpark.assertSameRows(viaSql, viaScala, "bm25 sql vs scala")
+    // tfidf_score against tfidfTerms' per-term scores
+    val viaSqlTfidf = spark.sql(
+      """WITH tok AS (SELECT doc_id, split(trim(lower(text)), '\\s+') AS w
+        |  FROM ret_docs),
+        |post AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok LATERAL VIEW explode(w) AS term GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM post GROUP BY term),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ret_docs),
+        |s AS (SELECT id, term, round(tfidf_score(tf, df, n_docs), 4) AS score
+        |  FROM post JOIN dfreq USING (term) CROSS JOIN corpus)
+        |, ranked AS (SELECT id, term, score,
+        |  CAST(row_number() OVER (PARTITION BY id
+        |    ORDER BY score DESC, term) AS BIGINT) AS rank
+        |FROM s)
+        |SELECT * FROM ranked WHERE rank <= 3""".stripMargin)
+    val viaScalaTfidf = graft.text.Search.tfidfTerms(docs, "doc_id", "text",
+      topK = 3)
+    TestSpark.assertSameRows(viaSqlTfidf, viaScalaTfidf, "tfidf sql vs scala")
+    // rrf_term against rrfFuse on two lists
+    val l1 = viaScala.where(col("query_id") === 10L)
+      .select(col("query_id"), col("id"), col("rank"))
+    val l2 = viaScala.where(col("query_id") === 11L)
+      .select(lit(10L).as("query_id"), col("id"), col("rank"))
+    l1.createOrReplaceTempView("rrf_l1"); l2.createOrReplaceTempView("rrf_l2")
+    val viaSqlRrf = spark.sql(
+      """WITH t AS (SELECT query_id, id, rrf_term(rank, 60) AS tm FROM rrf_l1
+        |  UNION ALL SELECT query_id, id, rrf_term(rank, 60) FROM rrf_l2),
+        |f AS (SELECT query_id, id, sum(tm) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM t GROUP BY query_id, id)
+        |, ranked AS (SELECT query_id, id, round(s, 6) AS rrf, n_lists,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY s DESC, id) AS BIGINT) AS rank
+        |FROM f)
+        |SELECT * FROM ranked WHERE rank <= 10""".stripMargin)
+    val viaScalaRrf = graft.text.Search.rrfFuse(Seq(l1, l2), k0 = 60, topK = 10)
+    TestSpark.assertSameRows(viaSqlRrf, viaScalaRrf, "rrf sql vs scala")
+  }
+
+  test("DESCRIBE FUNCTION shows the retrieval macros") {
+    graft.sql.GraftFunctions.registerSqlMacros(spark)
+    for (fn <- Seq("bm25_score", "tfidf_score", "rrf_term")) {
+      val d = spark.sql(s"DESCRIBE FUNCTION $fn").collect().map(_.getString(0))
+      assert(d.exists(_.contains(fn)), s"$fn: ${d.mkString("|")}")
+    }
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // verify the injection shape is valid by applying it to a fresh builder-
     // style extensions object (a full new SparkSession would conflict with

@@ -569,6 +569,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batch && batch.nonEmpty)
   }
 
+  test("streaming bm25 stats: cumulative merge across batches == from-scratch") {
+    import spark.implicits._
+    val topics = Seq((1L, "join hash"), (2L, "stream window"))
+      .toDF("topic_id", "ttext")
+    val batch1 = Seq((100L, "join hash merge table"),
+      (101L, "stream window batch state"))
+    val batch2 = Seq((102L, "scan filter table column join"),
+      (103L, "hash hash window"))
+    val dir = Files.createTempDirectory("graft-sbst").toFile
+    val ckpt = Files.createTempDirectory("graft-sbst-ckpt").toFile
+    // two parquet files + maxFilesPerTrigger=1 → two microbatches
+    batch1.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    batch2.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = batch1.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    var last: Seq[(Long, String, Long, Long, Long)] = Nil
+    var nBatches = 0
+    val q = StreamVerbs.streamingBm25Stats(
+        Tbl(stream), "doc_id", "text", topics, "topic_id", "ttext") { st =>
+        nBatches += 1
+        last = st.collect().map(r => (r.getLong(r.fieldIndex("topic_id")),
+          r.getString(r.fieldIndex("term")), r.getLong(r.fieldIndex("df")),
+          r.getLong(r.fieldIndex("n_docs")),
+          r.getLong(r.fieldIndex("sum_dl")))).toSeq
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(nBatches == 2, s"expected two microbatches, got $nBatches")
+    val scratch = graft.text.Search.bm25TopicStats(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text",
+        topics, "topic_id", "ttext")
+      .collect().map(r => (r.getLong(r.fieldIndex("topic_id")),
+        r.getString(r.fieldIndex("term")), r.getLong(r.fieldIndex("df")),
+        r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("sum_dl")))).toSet
+    assert(last.toSet == scratch && scratch.nonEmpty,
+      s"cumulative ${last.toSet} vs scratch $scratch")
+  }
+
   test("streaming span mask scrubs known duplicated grams; parity with batch Against") {
     import spark.implicits._
     val corpus = Seq(

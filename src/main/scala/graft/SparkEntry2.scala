@@ -916,6 +916,18 @@ object SparkEntry2 {
       Dedup.keepCanonical(docs, "doc_id", pairs).select("doc_id", "lang")
     }),
 
+    // winnow pair verification: candidates graded by the longest shared
+    // token run (MOSS's contiguity check) — scattered idiom overlap scores
+    // low, lifted passages score high. Same portable md5 gram hash.
+    "q_winnow_verify" -> ((s, dir) => {
+      val ph = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val docs = t(s, dir, "documents").df
+      val pairs = Dedup.winnowPairs(docs, "doc_id", "text", n = 5, w = 4,
+        minShared = 3, maxDf = 1000, hash = ph)
+      Dedup.winnowVerifyPairs(docs, "doc_id", "text", pairs, n = 5, hash = ph)
+    }),
+
     // exact substring-span dedup (Lee et al. 2022 ExactSubstr, n-gram
     // interval-merge formulation): per-doc duplicated-token stats + the
     // masked text. Everything integer or exact-string; the gram key is the
@@ -2089,6 +2101,7 @@ object SparkEntry2 {
     "q_winnow" -> winnowOracleSql(minShared = None),
     "q_winnow_pairs" -> winnowOracleSql(minShared = Some(3L)),
     "q_winnow_resolve" -> winnowResolveOracleSql(minShared = 3L),
+    "q_winnow_verify" -> winnowVerifyOracleSql(minShared = 3L),
     "q_substr_dedup" ->
       """WITH tok AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
@@ -2805,6 +2818,33 @@ object SparkEntry2 {
          |lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM lab WHERE lbl < id)""".stripMargin
+
+  /** winnow pairs graded by longest shared token run (gaps-and-islands over
+    * the matched gram diagonals — `pos − row_number()` groups consecutive
+    * positions, the SQL twin of the Scala `aggregate` fold).
+    */
+  private def winnowVerifyOracleSql(minShared: Long): String =
+    winnowOracleSql(Some(minShared))
+      .replace("SELECT a.doc_id AS id_a",
+        ", prs AS (SELECT a.doc_id AS id_a")
+      .replace(s"HAVING count(*) >= $minShared",
+        s"HAVING count(*) >= $minShared)") +
+      s""",
+         |m AS (SELECT DISTINCT p.id_a, p.id_b, oa.pos - ob.pos AS dg,
+         |    oa.pos AS pa
+         |  FROM prs p
+         |  JOIN occ oa ON oa.doc_id = p.id_a
+         |  JOIN occ ob ON ob.doc_id = p.id_b AND ob.gk = oa.gk),
+         |isl AS (SELECT id_a, id_b, dg, pa,
+         |    pa - row_number() OVER (PARTITION BY id_a, id_b, dg
+         |                            ORDER BY pa) AS grp
+         |  FROM m),
+         |rl AS (SELECT id_a, id_b, count(*) AS run
+         |  FROM isl GROUP BY id_a, id_b, dg, grp),
+         |mr AS (SELECT id_a, id_b, max(run) AS mx FROM rl GROUP BY 1, 2)
+         |SELECT prs.id_a, prs.id_b, prs.n_shared,
+         |  CAST(coalesce(mx + 4, 0) AS BIGINT) AS run_tokens
+         |FROM prs LEFT JOIN mr USING (id_a, id_b)""".stripMargin
 
   private def pagerankOracleSql(iters: Int, dampBp: Long, scale: Long,
                                 seedPred: Option[String] = None): String = {

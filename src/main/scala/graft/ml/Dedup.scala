@@ -830,6 +830,61 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Grade winnow candidate pairs by their LONGEST SHARED TOKEN RUN — the
+    * verification pass MOSS applies after fingerprint matching (Schleimer,
+    * Wilkerson & Aiken, SIGMOD 2003 §5: matched fingerprints only witness
+    * shared grams; contiguity is what distinguishes a lifted passage from
+    * scattered idiom overlap). For each candidate pair the full gram
+    * occurrence lists of BOTH docs join on gram hash; a run of L
+    * consecutive matching grams on one alignment diagonal
+    * (pos_a − pos_b constant) is a shared span of L + n − 1 tokens.
+    * Returns pairs + `run_tokens` (longest such span; the caller filters
+    * by whatever threshold grades "verified").
+    *
+    * Scale shape: everything is pair-scoped — occurrences are semi-joined
+    * to the candidate docs FIRST, so the corpus-wide gram table never
+    * self-joins; per-(pair, diagonal) position lists are bounded by doc
+    * length (collect_set, like the winnow selection's per-doc lists). The
+    * run scan is an `aggregate` HOF over each sorted list — per-pair work,
+    * no window, no shuffle beyond the candidate join.
+    */
+  def winnowVerifyPairs(df: DataFrame, idCol: String, textCol: String,
+                        pairs: DataFrame, n: Int = 5,
+                        hash: Column => Column = xxhash64(_)): DataFrame = {
+    val occ = gramOccurrences(df, idCol, textCol, n, hash)
+    val ids = pairs.select(col("id_a").as("__id"))
+      .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
+    val o = occ.join(ids, Seq("__id"), "left_semi")
+    // pair ⋈ A-occurrences ⋈ B-occurrences, gram-hash equality on the B
+    // join: candidate volume is Σ_pairs |grams(a)| — never corpus²
+    val matches = pairs
+      .join(o.select(col("__id").as("id_a"), col("__pos").as("__pa"),
+        col("__gk")), "id_a")
+      .join(o.select(col("__id").as("id_b"), col("__pos").as("__pb"),
+        col("__gk")), Seq("id_b", "__gk"))
+    val runs = matches
+      .groupBy(col("id_a"), col("id_b"),
+        (col("__pa") - col("__pb")).as("__d"))
+      .agg(sort_array(collect_set(col("__pa").cast("long"))).as("__ps"))
+      .select(col("id_a"), col("id_b"), aggregate(col("__ps"),
+        struct(lit(0L).as("best"), lit(0L).as("cur"),
+          lit(Long.MinValue).as("prev")),
+        (acc, x) => {
+          val cur = when(x === acc.getField("prev") + 1,
+            acc.getField("cur") + 1).otherwise(lit(1L))
+          struct(greatest(acc.getField("best"), cur).as("best"),
+            cur.as("cur"), x.as("prev"))
+        },
+        acc => acc.getField("best")).as("__run"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("__run")).as("__maxrun"))
+    pairs.join(runs, Seq("id_a", "id_b"), "left")
+      .withColumn("run_tokens",
+        when(col("__maxrun").isNull, lit(0L))
+          .otherwise(col("__maxrun") + (n - 1)))
+      .drop("__maxrun")
+  }
+
   // -- exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
   //    Data Makes Language Models Better") ---------------------------------
   // The paper's ExactSubstr pass finds every >=N-token span that occurs

@@ -716,6 +716,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 900L && r.getLong(1) == 901L))
   }
 
+  test("winnowVerifyPairs: longest shared token run, exact on planted spans") {
+    import spark.implicits._
+    // 910/911 share exactly tokens "aa..hh" (8 tokens); 912 shares the same
+    // 8 tokens with 910 but SPLIT 4+4 at different offsets (runs of 4 < n=5
+    // never even form a shared gram); 913 shares a long 12-token passage
+    val planted = Seq(
+      (910L, "aa bb cc dd ee ff gg hh xx yy zz qq ww rr tt uu"),
+      (911L, "one two three aa bb cc dd ee ff gg hh four five six seven eight"),
+      (912L, "aa bb cc dd p1 p2 p3 ee ff gg hh p4 p5 p6 p7 p8"),
+      (913L, "pre1 aa bb cc dd ee ff gg hh xx yy zz qq post1 post2 post3")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(planted, "doc_id", "text", n = 5, w = 4,
+      minShared = 1)
+    val graded = Dedup.winnowVerifyPairs(planted, "doc_id", "text", pairs,
+        n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getLong(r.fieldIndex("run_tokens"))).toMap
+    // 910~911: the 8-token copy = 4 consecutive 5-gram matches -> 4+5-1 = 8
+    assert(graded((910L, 911L)) == 8L, graded.toString)
+    // 910~913: 12 consecutive shared tokens -> run_tokens = 12
+    assert(graded((910L, 913L)) == 12L, graded.toString)
+    // 912's fragmented overlap has no 5-token run with 910: if fingerprint
+    // hash-collisions ever paired them, the grade must stay 0 — and with
+    // no shared gram the pair must simply be absent
+    assert(!graded.contains((910L, 912L)) || graded((910L, 912L)) == 0L)
+    // every winnowPairs candidate row survives with its n_shared intact
+    assert(graded.keySet ==
+      pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("fleschKincaid: hand-computed grade on a pinned sentence") {
     import spark.implicits._
     // 5 words, 2 sentences, vowel groups: he-llo(2)+world(1)+this(1)+is(1)+fun(1)=6

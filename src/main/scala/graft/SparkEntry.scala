@@ -620,10 +620,13 @@ object SparkEntry {
         |FROM lineitem""".stripMargin
   )
 
-  // assembled below in part 2 (reshape, strings/datetime, text/ml)
+  // assembled below in part 2 (reshape, strings/datetime, text/ml) and
+  // part 3 (sketches, weighted sampling, layout, semantic dedup)
   def queries: Map[String, Q] =
-    coreQueries ++ joinQueries ++ windowQueries ++ SparkEntry2.queries
+    coreQueries ++ joinQueries ++ windowQueries ++ SparkEntry2.queries ++
+      SparkEntry3.queries
 
   def oracleSql: Map[String, String] =
-    coreOracle ++ joinOracle ++ windowOracle ++ SparkEntry2.oracleSql
+    coreOracle ++ joinOracle ++ windowOracle ++ SparkEntry2.oracleSql ++
+      SparkEntry3.oracleSql
 }

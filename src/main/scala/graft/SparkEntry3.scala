@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Scale, Sketch}
+import graft.ml.Dedup
+
+/** SparkEntry part 3 (round 9 additions): sketch-based frequency triage,
+  * deterministic weighted corpus sampling, Z-order data layout, and
+  * semantic (embedding-cluster-scoped) dedup. Same aliasing + portable-hash
+  * conventions as parts 1–2.
+  */
+object SparkEntry3 {
+
+  private def t(s: SparkSession, dir: String, name: String): Tbl =
+    SparkEntry.readTable(s, dir, name)
+
+  import SparkEntry.Q
+
+  private val CM_WIDTH = 64
+  private val CM_DEPTH = 3
+
+  private val Z_BITS = 8
+  // quantization envelopes for q_zorder (clamped — sf-independent)
+  private val Z_CUST_HI = 20000.0
+  private val Z_PRICE_HI = 600000.0
+
+  private val SEM_K = 64
+  private val SEM_ITERS = 1
+  private val SEM_THRESHOLD = 0.999
+
+  def queries: Map[String, Q] = Map(
+    // Count-Min frequency sketch over the event stream's user ids: build
+    // the depth×width counter table in one counter-row shuffle, then probe
+    // the estimates for a key subset. width=64 is deliberately undersized
+    // for the user cardinality so the oracle exercises the collision
+    // (overestimate) regime, not just exact counts.
+    "q_count_min" -> ((s, dir) => {
+      val ev = t(s, dir, "events").df
+      val sk = Sketch.countMin(ev, col("user_id"), CM_WIDTH, CM_DEPTH)
+      Sketch.countMinEstimate(sk, ev.filter(col("user_id") < 100),
+        col("user_id"), CM_WIDTH, CM_DEPTH)
+    }),
+
+    // Efraimidis–Spirakis weighted sample without replacement: 20 customers
+    // per market segment, weighted by account balance (shifted positive).
+    // The sample is a pure function of (c_custkey, seed) — the oracle
+    // replays the identical draw.
+    "q_weighted_sample" -> ((s, dir) =>
+      Scale.weightedSampleBy(t(s, dir, "customer").df,
+          Seq("c_mktsegment"), "c_custkey",
+          col("c_acctbal") + lit(1000.0), k = 20)
+        .select("c_custkey", "c_mktsegment")),
+
+    // Morton (Z-order) key over (customer, price): the layout key behind
+    // multi-dimension file skipping. The query materializes the key itself
+    // (the layout is plan-shape, pinned in ScaleSpec).
+    "q_zorder" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+      o.select(col("o_orderkey"),
+        Scale.zorderValue(Seq(
+          Scale.zorderQuantize(col("o_custkey"), 0.0, Z_CUST_HI, Z_BITS),
+          Scale.zorderQuantize(col("o_totalprice"), 0.0, Z_PRICE_HI, Z_BITS)),
+          Z_BITS).as("zval"))
+    }),
+
+    // Leakage-safe corpus split: near-dup clusters (exact-Jaccard pairs ->
+    // connected components) land WHOLE on one side of the train/heldout
+    // boundary; 8/10 of cluster-label hash space goes to train.
+    "q_leak_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Dedup.leakSafeSplit(docs, "doc_id", pairs, trainParts = 8, denom = 10)
+        .select("doc_id", "split")
+    }),
+
+    // SemDeDup on the perturbed-copy corpus (each vector + a near-identical
+    // copy at id+1e6): cluster with deterministic k-means on 1e6-quantized
+    // vectors, pair within clusters, cosine-verify at 0.999, resolve to
+    // canonical survivors. Every arithmetic step is exact-integer or
+    // correctly-rounded, so the survivor set replays bit-for-bit.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val pert = emb
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * 1.001 + 0.0001))
+      val both = emb.unionByName(pert)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x * 1000000.0).cast("double")).as("qv"))
+      Dedup.semanticDedup(both, "vec_id", "qv",
+          k = SEM_K, iters = SEM_ITERS, threshold = SEM_THRESHOLD,
+          initHash = Some(Sketch.portableHash(col("vec_id").cast("string"))))
+        .select("vec_id")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // oracles
+  // ---------------------------------------------------------------------
+
+  /** DuckDB-side portable hash: same 60-bit md5 leaf as [[Sketch.portableHash]]. */
+  private def ph(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  private def countMinOracleSql(width: Int, depth: Int): String =
+    s"""WITH ks AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+       |    WHERE user_id IS NOT NULL),
+       |d AS (SELECT unnest(range(0, $depth)) AS d),
+       |s AS (SELECT d.d AS d,
+       |    ${ph("CAST(d.d AS VARCHAR) || '|' || ks.k")} % $width AS b,
+       |    count(*) AS cnt
+       |  FROM ks CROSS JOIN d GROUP BY 1, 2),
+       |q AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+       |    WHERE user_id < 100),
+       |e AS (SELECT q.k, d.d AS d,
+       |    ${ph("CAST(d.d AS VARCHAR) || '|' || q.k")} % $width AS b
+       |  FROM q CROSS JOIN d)
+       |SELECT e.k, min(coalesce(s.cnt, 0)) AS est
+       |FROM e LEFT JOIN s ON s.d = e.d AND s.b = e.b
+       |GROUP BY 1""".stripMargin
+
+  private def weightedSampleOracleSql(k: Int): String =
+    s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+       |    c_acctbal + 1000.0 AS w,
+       |    (${ph("CAST(c_custkey AS VARCHAR) || '|42'")} + 1)
+       |      / 1152921504606846976.0 AS u
+       |  FROM customer)
+       |SELECT c_custkey, c_mktsegment FROM c
+       |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+       |  ORDER BY ln(u) / w DESC, c_custkey) <= $k""".stripMargin
+
+  /** The same shift/mask OR-chain [[Scale.zorderValue]] builds, rendered as
+    * DuckDB SQL (bit j of column i → output bit j·n + i). */
+  private def zorderExprSql(cols: Seq[String], bits: Int): String =
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      (0 until bits).map { j =>
+        s"((($c >> $j) & 1) << ${j * cols.size + i})"
+      }
+    }.mkString(" | ")
+
+  private def quantizeSql(c: String, lo: Double, hi: Double, bits: Int): String =
+    s"least(greatest(CAST(floor(($c - $lo) / ${hi - lo} * ${1L << bits}) " +
+      s"AS BIGINT), 0), ${(1L << bits) - 1})"
+
+  private def zorderOracleSql(bits: Int): String =
+    s"""WITH q AS (SELECT o_orderkey,
+       |    ${quantizeSql("o_totalprice", 0.0, Z_PRICE_HI, bits)} AS zy,
+       |    ${quantizeSql("CAST(o_custkey AS DOUBLE)", 0.0, Z_CUST_HI, bits)} AS zx
+       |  FROM orders)
+       |SELECT o_orderkey, ${zorderExprSql(Seq("zx", "zy"), bits)} AS zval
+       |FROM q""".stripMargin
+
+  /** DuckDB replica of `q_semantic_dedup`: quantized original + perturbed
+    * corpus, the [[graft.ml.Clustering]] Lloyd replay (md5 init sample,
+    * argmin with (distance, cid) tie-break), within-cluster cosine pairs at
+    * the threshold, recursive-CTE connected components, min-id survivors.
+    */
+  private def semanticDedupOracleSql(k: Int, iters: Int,
+                                     threshold: Double): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS raw
+              |  FROM embeddings),
+              |q AS (SELECT vec_id,
+              |    list_transform(raw, x -> floor(x * 1000000.0)) AS v
+              |  FROM e
+              |  UNION ALL
+              |  SELECT vec_id + 1000000,
+              |    list_transform(raw,
+              |      x -> floor((x * 1.001 + 0.0001) * 1000000.0)) AS v
+              |  FROM e),
+              |c0 AS (SELECT
+              |    ${ph("CAST(vec_id AS VARCHAR)")} AS cid,
+              |    v AS cvec
+              |  FROM q ORDER BY cid LIMIT $k),
+              |""".stripMargin
+    val d = "list_dot_product(c.cvec, c.cvec)" +
+      " - 2.0 * list_dot_product(q.v, c.cvec)"
+    for (i <- 0 to iters) {
+      sb ++= s"""a$i AS (SELECT vec_id, v, cid FROM (
+                |  SELECT q.vec_id, q.v, c.cid,
+                |    row_number() OVER (PARTITION BY q.vec_id
+                |      ORDER BY $d, c.cid) AS rk
+                |  FROM q CROSS JOIN c$i c) WHERE rk = 1),
+                |""".stripMargin
+      if (i < iters) {
+        sb ++= s"""u$i AS (SELECT cid, ii.i AS i, sum(v[ii.i]) AS s,
+                  |    count(*) AS n
+                  |  FROM a$i, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) ii
+                  |  GROUP BY cid, ii.i),
+                  |c${i + 1} AS (SELECT cid, list(s / n ORDER BY i) AS cvec
+                  |  FROM u$i GROUP BY cid),
+                  |""".stripMargin
+      }
+    }
+    sb ++= s"""prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM a$iters a JOIN a$iters b
+              |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+              |  WHERE list_dot_product(a.v, b.v)
+              |      / (sqrt(list_dot_product(a.v, a.v))
+              |         * sqrt(list_dot_product(b.v, b.v))) >= $threshold),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM prs
+              |          UNION SELECT id_b, id_a FROM prs),
+              |reach(id, r) AS (SELECT s, s FROM edges
+              |  UNION SELECT ed.s, r.r FROM edges ed JOIN reach r ON ed.d = r.id),
+              |lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)
+              |SELECT vec_id FROM q
+              |WHERE vec_id NOT IN (SELECT id FROM lab WHERE lbl < id)""".stripMargin
+    sb.toString
+  }
+
+  /** Recursive-CTE replay of `q_leak_split`: the q_dedup_resolve pair +
+    * component construction (same 3-gram Jaccard, hot-gram guard, min-label
+    * reach), then the portable-hash split on coalesce(label, own id). */
+  private def leakSplitOracleSql(trainParts: Int, denom: Int): String =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |    FROM documents),
+       |  sh0 AS (SELECT doc_id, unnest(list_distinct(
+       |      CASE WHEN len(w) >= 3 THEN
+       |        list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE [array_to_string(w, ' ')] END)) AS g
+       |    FROM toks),
+       |  sh AS (SELECT sh0.* FROM sh0
+       |    JOIN (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 1000) ok USING (g)),
+       |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |  prs AS (SELECT id_a, id_b FROM (
+       |      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+       |    JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+       |  edges AS (SELECT id_a AS s, id_b AS d FROM prs
+       |            UNION SELECT id_b, id_a FROM prs),
+       |  reach(id, r) AS (SELECT s, s FROM edges
+       |    UNION SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+       |  lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN ${ph("CAST(coalesce(lab.lbl, d.doc_id) AS VARCHAR)")}
+       |         % $denom < $trainParts
+       |       THEN 'train' ELSE 'heldout' END AS split
+       |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_count_min"       -> countMinOracleSql(CM_WIDTH, CM_DEPTH),
+    "q_leak_split"      -> leakSplitOracleSql(8, 10),
+    "q_weighted_sample" -> weightedSampleOracleSql(20),
+    "q_zorder"          -> zorderOracleSql(Z_BITS),
+    "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,
+                             SEM_THRESHOLD)
+  )
+}

@@ -643,6 +643,75 @@ object Dedup {
     df.join(dupes, df(idCol) === col("__dup_id"), "left_anti")
   }
 
+  /** Leakage-safe train/heldout split: rows are assigned by their near-dup
+    * CLUSTER, not individually, so a duplicate pair can never straddle the
+    * boundary — the split-time answer to train/eval contamination through
+    * near-duplicates (complementing [[decontaminate]], which scrubs against
+    * a FIXED benchmark). Cluster label = [[connectedComponents]] over
+    * `pairs` (rows absent from `pairs` are their own singleton cluster);
+    * split = portable hash of the label, `trainParts` of `denom` parts to
+    * "train", the rest "heldout" — deterministic, engine-reproducible, and
+    * stable under re-runs and data re-partitioning.
+    *
+    * Scale shape: CC is the iterated small-label join (see
+    * [[connectedComponents]]); the label join back to the data is one
+    * equi-join; the hash split is map-side.
+    */
+  def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    trainParts: Int, denom: Int,
+                    splitCol: String = "split"): DataFrame = {
+    require(denom > 0 && trainParts >= 0 && trainParts <= denom,
+      "need 0 <= trainParts <= denom")
+    val labels = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_lbl"))
+    df.join(labels, df(idCol) === col("__cc_id"), "left")
+      .withColumn("__lbl", coalesce(col("__cc_lbl"), df(idCol)))
+      .withColumn(splitCol,
+        when(pmod(graft.ops.Sketch.portableHash(col("__lbl").cast("string")),
+            lit(denom)) < trainParts, lit("train")).otherwise(lit("heldout")))
+      .drop("__cc_id", "__cc_lbl", "__lbl")
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate discovery scoped to k-means clusters — cluster
+    * the embedding space (deterministic Lloyd, [[Clustering.kmeans]]), form
+    * candidate pairs ONLY within a cluster, verify by exact cosine, and
+    * resolve duplicate groups to canonical survivors via
+    * [[connectedComponents]]/[[keepCanonical]].
+    *
+    * The scale contract is the paper's: with k ∝ n the within-cluster
+    * pairwise pass is O(n²/k) candidate rows generated by one equi-join on
+    * `cluster` — never the all-pairs O(n²). A degenerate cluster (embedding
+    * collapse) would still emit size² rows, so clusters above `maxCluster`
+    * are excluded by the shared [[dropHotBuckets]] guard (disable with
+    * maxCluster <= 0). Pair verification is exact cosine, so recall within
+    * a cluster is exact; cross-cluster duplicates are the accepted miss —
+    * for tight thresholds [[embeddingNearDupPairs]] (LSH, cluster-free) is
+    * the recall-oriented alternative.
+    *
+    * Determinism: with integer-quantized vectors the kmeans labels are
+    * bit-reproducible (see [[Clustering]]), dots/norms are exact/correctly
+    * rounded on both engines, so the surviving id set replays exactly
+    * (q_semantic_dedup's oracle regime).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, threshold: Double,
+                    initHash: Option[Column] = None,
+                    maxCluster: Int = 100000): DataFrame = {
+    val assigned = Clustering.kmeans(df, k, iters, idCol, vecCol, initHash)
+    val v = scopedCache(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .join(assigned.select(col(idCol).as("id"), col("cluster")), "id"))
+    val guarded = dropHotBuckets(v, Seq("cluster"), maxCluster)
+    val pairs = guarded.as("a").join(guarded.as("b"), Seq("cluster"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    keepCanonical(df, idCol, pairs)
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold via random-hyperplane LSH
     * bucketing + exact cosine verify. `planes` deterministic from seed.
     *

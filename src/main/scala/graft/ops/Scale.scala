@@ -348,4 +348,78 @@ object Scale {
     */
   def shuffleRows(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
     df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+
+  /** Deterministic weighted sampling WITHOUT replacement, k per group
+    * (Efraimidis & Spirakis, "Weighted random sampling with a reservoir",
+    * IPL 2006): each row draws u ∈ (0,1] from the portable 60-bit md5 hash
+    * of (id, seed) and keeps priority u^(1/w); the k largest priorities per
+    * group are the sample — provably the same distribution as sequential
+    * weighted draws without replacement. Ranking uses the monotone
+    * equivalent ln(u)/w (w > 0 required; ties break on id).
+    *
+    * Scale shape: priorities are map-side scalars; the per-group top-k is a
+    * rank-filtered window that Spark 4 turns into a partial
+    * WindowGroupLimit — ≤ k rows per group survive each map task before the
+    * one group-key shuffle. Hash-derived u makes the sample a pure function
+    * of (id, seed): re-runs, retried stages, and other engines (the DuckDB
+    * oracle) draw the identical sample — `sample(fraction)` gives none of
+    * those guarantees. The training-data use: quality-weighted corpus
+    * subsampling with an auditable, replayable selection.
+    */
+  def weightedSampleBy(df: DataFrame, grpCols: Seq[String], idCol: String,
+                       weight: Column, k: Int, seed: String = "42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val u = (Sketch.portableHash(concat(col(idCol).cast("string"),
+        lit("|" + seed))) + lit(1L)).cast("double") / lit(math.pow(2, 60))
+    val priority = log(u) / weight
+    val w = Window.partitionBy(grpCols.map(col): _*)
+      .orderBy(priority.desc, col(idCol))
+    df.withColumn("__es_rk", row_number().over(w))
+      .filter(col("__es_rk") <= k).drop("__es_rk")
+  }
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of each column —
+    * bit j of column i lands at output bit j·n + i. Inputs must already be
+    * nonnegative longs < 2^bits (see [[zorderQuantize]]); n·bits ≤ 63. The
+    * expression is a flat OR-chain of shift/mask terms: pure codegen, no
+    * UDF.
+    */
+  def zorderValue(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, "z-order needs at least 2 columns")
+    require(bits > 0 && n * bits <= 63, "need 0 < n*bits <= 63")
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      (0 until bits).map { j =>
+        shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * n + i)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Quantize a numeric column to [0, 2^bits) for [[zorderValue]] by linear
+    * scaling over [lo, hi] (values clamped). */
+  def zorderQuantize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(hi > lo, "need hi > lo")
+    val m = (1L << bits) - 1
+    least(greatest(
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(1L << bits))
+        .cast("long"), lit(0L)), lit(m))
+  }
+
+  /** Cluster data on the Z-order curve of several columns — the
+    * data-layout answer to "my scans filter on BOTH x and y": a range
+    * partition + partition-local sort on the interleaved key gives every
+    * output file a tight min/max envelope in EVERY dimension, so parquet
+    * row-group statistics prune multi-column predicates that a single-column
+    * sort could only prune on its leading column. (The same layout trick
+    * behind Delta/Iceberg `OPTIMIZE ZORDER BY`.) No global sort: the range
+    * exchange samples boundaries and each partition sorts its slice.
+    */
+  def zorderBy(df: DataFrame, cols: Seq[Column], bits: Int = 16,
+               numPartitions: Int = 0): DataFrame = {
+    val z = zorderValue(cols, bits)
+    val parted = if (numPartitions > 0) df.repartitionByRange(numPartitions, z)
+                 else df.repartitionByRange(z)
+    parted.sortWithinPartitions(z)
+  }
 }

@@ -515,6 +515,32 @@ object StreamVerbs {
     }
   }
 
+  /** Incremental Count–Min maintenance over a stream: each micro-batch's
+    * sketch ([[graft.ops.Sketch.countMin]]) folds into the running cell
+    * table via [[graft.ops.Sketch.countMinMerge]] — counters are additive
+    * integers, so the running sketch after any prefix of batches is
+    * bit-identical to a from-scratch build over their union (the same
+    * contract as [[streamingBm25Stats]]). The accumulator is bounded by
+    * depth×width cells regardless of stream length; each merge
+    * localCheckpoints so batch N folds into VALUES, not a growing plan.
+    */
+  def streamingCountMin(t: Tbl, key: Column, width: Int, depth: Int,
+                        initial: Option[DataFrame] = None)
+                       (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var acc: Option[DataFrame] = initial
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val bs = graft.ops.Sketch.countMin(batch, key, width, depth)
+      val merged = acc match {
+        case None       => bs
+        case Some(prev) => graft.ops.Sketch.countMinMerge(prev, bs)
+      }
+      val pinned = merged.localCheckpoint()
+      acc = Some(pinned)
+      sink(pinned)
+    }
+  }
+
   /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed
     * fingerprints ([[graft.ml.Dedup.winnowFingerprints]], same n/w/hash as
     * the persisted corpus index) joined against the PERSISTED (id, fp)

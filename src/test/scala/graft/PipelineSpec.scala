@@ -848,4 +848,61 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(r.fieldIndex("dup_spans")) == spans.toLong, s"doc $id spans")
     }
   }
+
+  test("leakSafeSplit: no near-dup pair straddles the train/heldout boundary") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    assert(pairs.count() > 0, "testdata should contain near-dup documents")
+    val split = Dedup.leakSafeSplit(docs, "doc_id", pairs,
+      trainParts = 8, denom = 10).select("doc_id", "split").cache()
+    // both sides of every pair share a split
+    val s1 = split.withColumnRenamed("doc_id", "id_a")
+      .withColumnRenamed("split", "sa")
+    val s2 = split.withColumnRenamed("doc_id", "id_b")
+      .withColumnRenamed("split", "sb")
+    val straddling = pairs.join(s1, "id_a").join(s2, "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0L)
+    // every row is assigned, and both splits are nonempty at 8/10
+    val byS = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.values.sum == docs.count())
+    assert(byS.getOrElse("train", 0L) > 0L && byS.getOrElse("heldout", 0L) > 0L)
+    // deterministic: a re-run assigns identically
+    val again = Dedup.leakSafeSplit(docs.repartition(7), "doc_id", pairs,
+      trainParts = 8, denom = 10).select("doc_id", "split")
+    TestSpark.assertSameRows(split, again)
+    split.unpersist()
+    Dedup.unpersistIntermediates()
+  }
+
+  test("semanticDedup: planted near-identical copies resolve to min-id survivors") {
+    val pert = emb
+      .withColumn("vec_id", col("vec_id") + 1000000)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * 1.001 + 0.0001))
+    val both = emb.unionByName(pert)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x * 1000000.0).cast("double")).as("qv"))
+    val n = emb.count()
+    val survivors = Dedup.semanticDedup(both, "vec_id", "qv",
+        k = 16, iters = 1, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every (v, v+1e6) pair is same-cluster (near-identical vectors share an
+    // argmin) and far above the cosine bar -> exactly the originals survive
+    assert(survivors.size.toLong == n, s"${survivors.size} of ${2 * n}")
+    assert(survivors.forall(_ < 1000000), "canonical = min id of each pair")
+    // partition invariance: the sample is a pure function of the data
+    val repart = Dedup.semanticDedup(both.repartition(13), "vec_id", "qv",
+        k = 16, iters = 1, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(repart == survivors)
+    // hot-cluster guard: a cap below every cluster size excludes all
+    // clusters from pair generation -> nothing is identified as duplicate
+    val guarded = Dedup.semanticDedup(both, "vec_id", "qv",
+      k = 16, iters = 1, threshold = 0.999, maxCluster = 1)
+    assert(guarded.count() == 2 * n)
+    Dedup.unpersistIntermediates()
+  }
 }

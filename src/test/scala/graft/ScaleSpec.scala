@@ -464,4 +464,83 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == expect)
     graft.ml.Dedup.unpersistIntermediates()
   }
+
+  test("weightedSampleBy: k per group, deterministic, weight-responsive") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val s1 = Scale.weightedSampleBy(cust, Seq("c_mktsegment"), "c_custkey",
+      col("c_acctbal") + lit(1000.0), k = 10)
+    // exactly k per group (every segment has >= 10 customers at sf0.001)
+    val sizes = s1.groupBy("c_mktsegment").count().collect()
+    assert(sizes.nonEmpty && sizes.forall(_.getLong(1) == 10L))
+    // pure function of (id, seed): a re-run draws the identical sample
+    val s2 = Scale.weightedSampleBy(cust, Seq("c_mktsegment"), "c_custkey",
+      col("c_acctbal") + lit(1000.0), k = 10)
+    TestSpark.assertSameRows(s1.select("c_custkey"), s2.select("c_custkey"))
+    // and a different seed draws a different one
+    val s3 = Scale.weightedSampleBy(cust, Seq("c_mktsegment"), "c_custkey",
+      col("c_acctbal") + lit(1000.0), k = 10, seed = "7")
+    assert(TestSpark.sortedRows(s1.select("c_custkey")) !=
+           TestSpark.sortedRows(s3.select("c_custkey")))
+    // weight dominance: one row with overwhelming weight is always drawn
+    // (u^(1/w) -> 1 as w -> inf)
+    import spark.implicits._
+    val skew = (1L to 500L).map(i => (i, if (i == 137L) 1e12 else 1.0))
+      .toDF("id", "w")
+    val drawn = Scale.weightedSampleBy(skew, Nil, "id", col("w"), k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(drawn.contains(137L), s"weight-1e12 row must be sampled: $drawn")
+  }
+
+  test("weightedSampleBy plans as a partial WindowGroupLimit (no full sort-per-group survives the map side)") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val plan = Scale.weightedSampleBy(cust, Seq("c_mktsegment"), "c_custkey",
+      col("c_acctbal") + lit(1000.0), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("zorderValue interleaves bits (Morton order)") {
+    import spark.implicits._
+    // x=0b101, y=0b011, 3 bits: x bits land at 0,2,4 -> 1+0+16 = 17;
+    // y bits at 1,3,5 -> 2+8+0 = 10; z = 27
+    val row = Seq((5L, 3L)).toDF("x", "y")
+      .select(Scale.zorderValue(Seq(col("x"), col("y")), 3).as("z"))
+      .collect()(0).getLong(0)
+    assert(row === 27L)
+    // quantize clamps to [0, 2^bits)
+    val q = Seq((-5.0, 999.0)).toDF("lo", "hi")
+      .select(Scale.zorderQuantize(col("lo"), 0.0, 100.0, 4).as("a"),
+              Scale.zorderQuantize(col("hi"), 0.0, 100.0, 4).as("b"))
+      .collect()(0)
+    assert(q.getLong(0) === 0L && q.getLong(1) === 15L)
+  }
+
+  test("zorderBy bounds the per-partition envelope in BOTH dimensions") {
+    import spark.implicits._
+    // 64x64 grid, 16 range partitions. A z-curve slice is a union of small
+    // tiles, so MOST partitions have tight x AND y ranges (the few slices
+    // straddling a quadrant boundary are the known exception); an x-sorted
+    // layout leaves y at the full range 63 in EVERY partition.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y").repartition(8)
+    def meanEnvelope(laid: org.apache.spark.sql.DataFrame): Double = {
+      val spans = laid.withColumn("p", spark_partition_id())
+        .groupBy("p").agg(
+          (max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .collect()
+      spans.map(r => math.max(r.getLong(1), r.getLong(2)).toDouble)
+        .sum / spans.length
+    }
+    val zEnv = meanEnvelope(
+      Scale.zorderBy(grid, Seq(col("x"), col("y")), 6, numPartitions = 16))
+    val xEnv = meanEnvelope(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    assert(xEnv > 60, s"x-sorted layout should leave y unbounded: $xEnv")
+    assert(zEnv <= xEnv / 2, s"z-order mean envelope $zEnv vs x-sorted $xEnv")
+    // the layout is a range exchange + local sort, never a global sort
+    val plan = Scale.zorderBy(grid, Seq(col("x"), col("y")), 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Sort [") || !plan.contains("global=true"), plan)
+  }
 }

@@ -612,6 +612,36 @@ class StreamingSpec extends AnyFunSuite {
       s"cumulative ${last.toSet} vs scratch $scratch")
   }
 
+  test("streaming count-min: cumulative merge across batches == from-scratch build") {
+    import spark.implicits._
+    val batch1 = Seq(1L, 2L, 2L, 3L, 3L, 3L)
+    val batch2 = Seq(2L, 3L, 4L, 4L, 4L, 4L)
+    val dir = Files.createTempDirectory("graft-scm").toFile
+    val ckpt = Files.createTempDirectory("graft-scm-ckpt").toFile
+    batch1.toDF("k").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    batch2.toDF("k").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batch1.toDF("k").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    var last: Set[(Int, Long, Long)] = Set.empty
+    var nBatches = 0
+    val q = StreamVerbs.streamingCountMin(
+        Tbl(stream), col("k"), width = 32, depth = 3) { sk =>
+        nBatches += 1
+        last = sk.collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(nBatches == 2, s"expected two microbatches, got $nBatches")
+    val scratch = graft.ops.Sketch.countMin(
+        (batch1 ++ batch2).toDF("k"), col("k"), 32, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(last == scratch && scratch.nonEmpty, s"$last vs $scratch")
+  }
+
   test("streaming span mask scrubs known duplicated grams; parity with batch Against") {
     import spark.implicits._
     val corpus = Seq(

@@ -134,49 +134,53 @@ object Graph {
     * Communities of near-dup clusters / crawl graphs are shallow, so small
     * `iters` suffices in practice.)
     *
-    * Scale shape per iteration: one shuffle join of the label vector with
-    * the cached edge list, one (dst, label) count aggregate, then the
-    * argmax as `min(struct(-count, label))` per dst — a plain two-phase
-    * aggregate (map-side partial combine, no sort): lexicographic struct
-    * ordering picks the highest count first and the smallest label on
-    * count ties, exactly the window rank-filter's semantics at a fraction
-    * of its cost (a per-dst sort + row_number was the dominant term at
-    * scale; PlanSpec pins the no-window shape).
+    * Scale shape per iteration: ONE shuffle join of the label vector with
+    * the cached weighted edge list, one (dst, label) weight-sum aggregate,
+    * then the argmax as `min(struct(-weight, label))` per dst — a plain
+    * two-phase aggregate (map-side partial combine, no sort): lexicographic
+    * struct ordering picks the highest weight first and the smallest label
+    * on ties, exactly the window rank-filter's semantics at a fraction of
+    * its cost (a per-dst sort + row_number was the dominant term at scale;
+    * PlanSpec pins the no-window shape).
     *
-    * Unlike [[pageRank]] (previous vector referenced ONCE per step — a
-    * linear chain), each step here references the previous `labels` twice:
-    * through votes→best and directly in the keep-label left join. An
-    * unmaterialized chain therefore DOUBLES the unevaluated plan per
-    * iteration (~2^iters recompute of the join+aggregate spine). The
-    * default `checkpointInterval = 1` materializes the vector every
-    * iteration — the [[graft.ml.Dedup.connectedComponents]] pattern —
-    * keeping per-iteration work constant; values are bit-identical for any
-    * interval (truncation is plan-only; GraphSpec pins both invariance and
-    * the bounded executed-plan shape).
+    * The keep-own-label fallback is folded INTO the vote aggregate as
+    * weight-0 self-loops on every node (added once, cached with the
+    * edges): a node always hears its own label at weight 0, so any real
+    * in-vote (weight ≥ 1) outranks it while an isolated node keeps its
+    * label — semantics identical to an explicit keep-label left join, but
+    * each step now references the previous `labels` exactly ONCE. The
+    * iteration is a linear chain like [[pageRank]]'s (an earlier
+    * two-reference formulation doubled the unevaluated plan per iteration —
+    * ~2^iters recompute — and needed a checkpoint EVERY iteration to stay
+    * bounded), so the same periodic `checkpointInterval` lineage truncation
+    * suffices; values are bit-identical for any interval (truncation is
+    * plan-only; GraphSpec pins invariance and the bounded plan).
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
-                       checkpointInterval: Int = 1): DataFrame = {
+                       checkpointInterval: Int = 10): DataFrame = {
     require(iters >= 0 && checkpointInterval > 0)
     val e = graft.ml.Dedup.trackCache(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct())
-    var labels = e.select(col("src").as("node"))
+    val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .withColumn("label", col("node"))
+    val ew = graft.ml.Dedup.trackCache(
+      e.withColumn("__w", lit(1L)).unionByName(
+        nodes.select(col("node").as("src"), col("node").as("dst"),
+          lit(0L).as("__w"))))
+    var labels = nodes.withColumn("label", col("node"))
     var stale = Set.empty[Int]
     for (i <- 1 to iters) {
-      val votes = labels.join(e, col("node") === col("src"))
+      val votes = labels.join(ew, col("node") === col("src"))
         .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("__c"))
-      // argmax(count, tie -> min label) as a lexicographic struct minimum:
-      // -count is overflow-safe (counts are positive) and a plain agg keeps
-      // both phases partial — no per-dst sort, no window
-      val best = votes.groupBy(col("dst"))
+        .agg(sum(col("__w")).as("__c"))
+      // argmax(weight, tie -> min label) as a lexicographic struct minimum:
+      // -weight is overflow-safe (weights are nonnegative) and a plain agg
+      // keeps both phases partial — no per-dst sort, no window
+      labels = votes.groupBy(col("dst"))
         .agg(min(struct((-col("__c")).as("nc"), col("label").as("lb"))).as("__m"))
-        .select(col("dst").as("node"), col("__m.lb").as("__nbr"))
-      labels = labels.join(best, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__nbr"), col("label")).as("label"))
+        .select(col("dst").as("node"), col("__m.lb").as("label"))
       if (i % checkpointInterval == 0 && i < iters) {
         val (cp, ids) = checkpointReplacing(labels, stale)
         labels = cp; stale = ids

@@ -144,25 +144,36 @@ class GraphSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
-  test("labelPropagation deep iteration: per-iteration work stays bounded") {
+  test("labelPropagation deep iteration: linear chain, checkpointing bounds the plan") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))
       .toDF("src", "dst")
-    // labels is referenced TWICE per iteration (votes→best + keep-label
-    // join): without per-iteration materialization the unevaluated plan
-    // doubles per iteration (~2^iters recompute). With the default
-    // interval=1 the final plan must be ONE iteration deep — its size (and
-    // executed exchange count) must not grow with total iterations.
-    val shallow = Graph.labelPropagation(edges, iters = 2)
-    val deep = Graph.labelPropagation(edges, iters = 9)
+    // the weight-0 self-loop formulation references the previous vector
+    // ONCE per iteration (a linear chain): the analyzed plan must grow
+    // LINEARLY with uncheckpointed iterations, never double (the old
+    // two-reference formulation was ~2^iters)
     def planLines(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.analyzed.toString.linesIterator.size
-    assert(planLines(deep) == planLines(shallow),
-      s"deep=${planLines(deep)} shallow=${planLines(shallow)} — lineage not truncated")
-    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
-      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
-    assert(exchanges(deep) == exchanges(shallow),
-      "executed exchange count grew with iterations")
+    val p3 = planLines(Graph.labelPropagation(edges, iters = 3,
+      checkpointInterval = 100))
+    val p6 = planLines(Graph.labelPropagation(edges, iters = 6,
+      checkpointInterval = 100))
+    val p9 = planLines(Graph.labelPropagation(edges, iters = 9,
+      checkpointInterval = 100))
+    assert(p9 - p6 == p6 - p3,
+      s"plan growth must be linear in iters: $p3 -> $p6 -> $p9")
+    // chunked vs effectively-never checkpointing: bit-identical labels
+    val chunked = Graph.labelPropagation(edges, iters = 9,
+        checkpointInterval = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val straight = Graph.labelPropagation(edges, iters = 9,
+        checkpointInterval = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunked == straight)
+    // iters=40 with the default interval completes with a BOUNDED plan
+    val deep = Graph.labelPropagation(edges, iters = 40)
+    assert(planLines(deep) < 400,
+      s"analyzed plan has ${planLines(deep)} lines — lineage not truncated")
     assert(deep.count() == 4)
     graft.ml.Dedup.unpersistIntermediates()
   }

@@ -75,6 +75,16 @@ object SparkEntry3 {
         .select("doc_id", "split")
     }),
 
+    // Exact triangle count by degree orientation on a derived unipartite
+    // graph (part/supplier keys folded into one 300-node id space, dense
+    // enough to close many triangles). One exact-integer row.
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      graft.graph.Graph.triangleCount(li.select(
+        (col("l_partkey") % 300).as("src"),
+        (col("l_suppkey") % 300).as("dst")))
+    }),
+
     // SemDeDup on the perturbed-copy corpus (each vector + a near-identical
     // copy at id+1e6): cluster with deterministic k-means on 1e6-quantized
     // vectors, pair within clusters, cosine-verify at 0.999, resolve to
@@ -242,9 +252,31 @@ object SparkEntry3 {
        |       THEN 'train' ELSE 'heldout' END AS split
        |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id""".stripMargin
 
+  private val trianglesOracleSql: String =
+    """WITH e0 AS (SELECT least(l_partkey % 300, l_suppkey % 300) AS a,
+      |    greatest(l_partkey % 300, l_suppkey % 300) AS b
+      |  FROM lineitem),
+      |e AS (SELECT DISTINCT a, b FROM e0 WHERE a <> b),
+      |d AS (SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      |  GROUP BY 1),
+      |o AS (SELECT
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND a < b)
+      |         THEN a ELSE b END AS u,
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND a < b)
+      |         THEN b ELSE a END AS v,
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND a < b)
+      |         THEN y.deg ELSE x.deg END AS dv
+      |  FROM e JOIN d x ON x.node = e.a JOIN d y ON y.node = e.b),
+      |w AS (SELECT x.v AS u, y.v AS v FROM o x JOIN o y
+      |  ON x.u = y.u AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v)))
+      |SELECT count(*) AS n_triangles FROM w
+      |WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.u AND o.v = w.v)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_count_min"       -> countMinOracleSql(CM_WIDTH, CM_DEPTH),
     "q_leak_split"      -> leakSplitOracleSql(8, 10),
+    "q_triangles"       -> trianglesOracleSql,
     "q_weighted_sample" -> weightedSampleOracleSql(20),
     "q_zorder"          -> zorderOracleSql(Z_BITS),
     "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,

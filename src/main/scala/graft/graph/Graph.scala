@@ -156,6 +156,54 @@ object Graph {
     * suffices; values are bit-identical for any interval (truncation is
     * plan-only; GraphSpec pins invariance and the bounded plan).
     */
+  /** Exact triangle counting by degree orientation (the MapReduce-classic
+    * formulation of Suri & Vassilvitskii, "Counting triangles and the curse
+    * of the last reducer", WWW 2011): undirected edges are oriented from
+    * the lower-(degree, id) endpoint to the higher, so every triangle is
+    * counted exactly once as a wedge at its smallest-degree vertex closed
+    * by an oriented edge. Input edges may be directed/duplicated — they are
+    * canonicalized (a<b, distinct) first; self-loops are ignored.
+    *
+    * Scale shape: one degree aggregate, one self-join of the ORIENTED edge
+    * list on the wedge pivot, one semi-join against the oriented edges to
+    * close wedges. Orientation is what makes this scale: a hub of degree d
+    * contributes wedges only for its ≤√(2m)-ish LOWER-ordered neighbors,
+    * so the join never explodes on the hot vertex (the "last reducer") the
+    * naive neighbor self-join dies on.
+    *
+    * Returns one row: (n_triangles). Exact integers — hash-oracleable.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val canon = graft.ml.Dedup.trackCache(und)
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): u -> v iff (deg(u), u) < (deg(v), v); keep v's
+    // order key — wedge endpoints must be compared in the SAME total order
+    // (comparing raw ids would miss triangles whose closing edge points
+    // against id order)
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = graft.ml.Dedup.trackCache(canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv")))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          (col("x.dv") < col("y.dv") ||
+           (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.v").as("u"), col("y.v").as("v"))
+    wedges.join(oriented.select("u", "v"), Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int = 5,
                        checkpointInterval: Int = 10): DataFrame = {
     require(iters >= 0 && checkpointInterval > 0)

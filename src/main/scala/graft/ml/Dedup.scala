@@ -712,6 +712,29 @@ object Dedup {
     keepCanonical(df, idCol, pairs)
   }
 
+  /** The ingest-time half of [[semanticDedup]]: drop new vectors that
+    * semantically duplicate a CLUSTERED standing corpus. Each new vector is
+    * assigned to the persisted centroids ([[Clustering.assign]] — broadcast,
+    * map-side), compared against THAT cluster's members only (one equi-join
+    * on `cluster`), and dropped on cosine ≥ threshold. `corpus` is the
+    * persisted (idCol, vecCol, cluster) table a batch [[semanticDedup]] /
+    * [[Clustering.kmeansFit]] run leaves behind; at 100 TB it would be
+    * written bucketed by `cluster` so the member join is exchange-free on
+    * the corpus side. Same candidate shape as the batch op — O(batch ×
+    * cluster-size) cosine checks, never batch × corpus.
+    */
+  def semanticDedupAgainstCorpus(newDocs: DataFrame, idCol: String,
+                                 vecCol: String, centroids: DataFrame,
+                                 corpus: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val assigned = Clustering.assign(newDocs, centroids, idCol, vecCol)
+    val members = corpus.select(col(vecCol).as("__cv"), col("cluster"))
+    val dup = newDocs.join(assigned, idCol).join(members, "cluster")
+      .where(Similarity.cosine(col(vecCol), col("__cv")) >= threshold)
+      .select(col(idCol).as("__dup_id")).distinct()
+    newDocs.join(dup, newDocs(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold via random-hyperplane LSH
     * bucketing + exact cosine verify. `planes` deterministic from seed.
     *

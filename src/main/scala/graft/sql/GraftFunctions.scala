@@ -174,7 +174,28 @@ object GraftFunctions {
         |RETURNS DOUBLE RETURN
         |  CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df)""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION rrf_term(rank BIGINT, k0 INT)
-        |RETURNS DOUBLE RETURN 1.0d / (k0 + rank)""".stripMargin)
+        |RETURNS DOUBLE RETURN 1.0d / (k0 + rank)""".stripMargin,
+      // round-9 kernels: the portable count-min bucket, the
+      // Efraimidis-Spirakis sampling priority, and a fixed-width Morton
+      // key — each the same expression tree as its Scala twin
+      // (Sketch.countMin / Scale.weightedSampleBy / Scale.zorderValue)
+      """CREATE OR REPLACE TEMPORARY FUNCTION cm_bucket(
+        |    d INT, k STRING, width INT)
+        |RETURNS BIGINT RETURN
+        |  pmod(CAST(conv(substring(md5(concat(CAST(d AS STRING), '|', k)),
+        |    1, 15), 16, 10) AS BIGINT), width)""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION es_priority(
+        |    id STRING, w DOUBLE, seed STRING)
+        |RETURNS DOUBLE RETURN
+        |  ln((CAST(conv(substring(md5(concat(id, '|', seed)), 1, 15),
+        |        16, 10) AS BIGINT) + 1L)
+        |     / 1152921504606846976.0d) / w""".stripMargin,
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION zorder16(x BIGINT, y BIGINT)
+         |RETURNS BIGINT RETURN ${
+           (0 until 16).flatMap(j => Seq(
+             s"shiftleft(shiftright(x, $j) & 1, ${2 * j})",
+             s"shiftleft(shiftright(y, $j) & 1, ${2 * j + 1})"))
+             .mkString(" | ")}""".stripMargin)
     defs.foreach(spark.sql(_))
   }
 }

@@ -515,6 +515,22 @@ object StreamVerbs {
     }
   }
 
+  /** Ingest-time semantic dedup: arriving vectors are dropped when they
+    * duplicate the persisted clustered corpus
+    * ([[graft.ml.Dedup.semanticDedupAgainstCorpus]] — broadcast centroid
+    * assign, cluster-scoped cosine verify). foreachBatch, stateless; the
+    * micro-batch runs the exact batch operator, so backfill and ingest
+    * agree (StreamingSpec pins batch == stream).
+    */
+  def streamingSemanticDedup(t: Tbl, idCol: String, vecCol: String,
+                             centroids: DataFrame, corpus: DataFrame,
+                             threshold: Double)(sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Dedup.semanticDedupAgainstCorpus(batch, idCol, vecCol,
+        centroids, corpus, threshold))
+    }
+
   /** Incremental Count–Min maintenance over a stream: each micro-batch's
     * sketch ([[graft.ops.Sketch.countMin]]) folds into the running cell
     * table via [[graft.ops.Sketch.countMinMerge]] — counters are additive

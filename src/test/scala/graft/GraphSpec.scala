@@ -144,6 +144,33 @@ class GraphSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("triangleCount: hand-checked graphs and brute-force differential") {
+    import spark.implicits._
+    // two triangles joined by a bridge: exactly 2; direction/duplicate
+    // edges and self-loops must not change the count
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L), (3L, 3L), (2L, 1L))
+    val edges = und.toDF("src", "dst")
+    assert(Graph.triangleCount(edges).collect()(0).getLong(0) == 2L)
+    // K4: C(4,3) = 4 triangles
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    assert(Graph.triangleCount(k4).collect()(0).getLong(0) == 4L)
+    // differential vs a brute-force canonical triple join on a hash graph
+    val rnd = (1L to 600L)
+      .map(i => (i * 2654435761L % 97, i * 40503L % 97)).toDF("src", "dst")
+    val canon = rnd.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .where(col("a") =!= col("b")).distinct().cache()
+    val brute = canon.as("e1").join(canon.as("e2"), col("e1.b") === col("e2.a"))
+      .join(canon.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .count()
+    assert(Graph.triangleCount(rnd).collect()(0).getLong(0) == brute,
+      s"oriented count vs brute $brute")
+    canon.unpersist()
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("labelPropagation deep iteration: linear chain, checkpointing bounds the plan") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))

@@ -189,6 +189,45 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 macros (cm_bucket/es_priority/zorder16) equal their Column-API twins") {
+    graft.sql.GraftFunctions.registerSqlMacros(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("sq9_docs")
+    // cm_bucket == the bucket Sketch.countMin uses
+    val viaSql = spark.sql(
+      """SELECT doc_id, cm_bucket(1, CAST(lang AS STRING), 64) AS b
+        |FROM sq9_docs""".stripMargin)
+    val viaCol = docs.select(col("doc_id"),
+      pmod(graft.ops.Sketch.portableHash(
+        concat(lit("1"), lit("|"), col("lang").cast("string"))), lit(64)).as("b"))
+    TestSpark.assertSameRows(viaSql, viaCol, "cm_bucket")
+    // es_priority reproduces the weightedSampleBy ordering key
+    val viaSqlP = spark.sql(
+      """SELECT doc_id,
+        |  es_priority(CAST(doc_id AS STRING), CAST(doc_id + 1 AS DOUBLE), '42') AS p
+        |FROM sq9_docs""".stripMargin)
+    val u = (graft.ops.Sketch.portableHash(
+        concat(col("doc_id").cast("string"), lit("|42"))) + lit(1L))
+      .cast("double") / lit(math.pow(2, 60))
+    val viaColP = docs.select(col("doc_id"),
+      (log(u) / (col("doc_id") + 1).cast("double")).as("p"))
+    TestSpark.assertSameRows(viaSqlP, viaColP, "es_priority")
+    // zorder16 == Scale.zorderValue at 16 bits
+    val viaSqlZ = spark.sql(
+      """SELECT doc_id,
+        |  zorder16(doc_id % 65536, (doc_id * 7) % 65536) AS z
+        |FROM sq9_docs""".stripMargin)
+    val viaColZ = docs.select(col("doc_id"),
+      graft.ops.Scale.zorderValue(Seq(
+        pmod(col("doc_id"), lit(65536)), pmod(col("doc_id") * 7, lit(65536))),
+        16).as("z"))
+    TestSpark.assertSameRows(viaSqlZ, viaColZ, "zorder16")
+    for (fn <- Seq("cm_bucket", "es_priority", "zorder16")) {
+      val d = spark.sql(s"DESCRIBE FUNCTION $fn").collect().map(_.getString(0))
+      assert(d.exists(_.contains(fn)), s"$fn: ${d.mkString("|")}")
+    }
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // verify the injection shape is valid by applying it to a fresh builder-
     // style extensions object (a full new SparkSession would conflict with

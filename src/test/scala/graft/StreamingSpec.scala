@@ -612,6 +612,43 @@ class StreamingSpec extends AnyFunSuite {
       s"cumulative ${last.toSet} vs scratch $scratch")
   }
 
+  test("streaming semantic dedup: perturbed copies dropped, novel vectors pass; batch == stream") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("qv", transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000000.0).cast("double")))
+      .select("vec_id", "qv")
+    val (assigned, centroids) = graft.ml.Clustering.kmeansFit(
+      emb, k = 4, iters = 1, idCol = "vec_id", vecCol = "qv")
+    val corpus = emb.join(assigned, "vec_id").localCheckpoint()
+    // arrivals: near-copies of two corpus vectors (must drop) + the same
+    // two with alternating sign flips (near-orthogonal -> must survive)
+    val base = emb.filter(col("vec_id") < 2)
+    val dups = base.withColumn("vec_id", col("vec_id") + 5000000)
+    val novel = base.withColumn("vec_id", col("vec_id") + 6000000)
+      .withColumn("qv", expr(
+        "transform(qv, (x, i) -> CAST(IF(i % 2 = 0, x, -x) AS DOUBLE))"))
+    val arrivals = dups.unionByName(novel).localCheckpoint()
+    val dir = Files.createTempDirectory("graft-ssd").toFile
+    val ckpt = Files.createTempDirectory("graft-ssd-ckpt").toFile
+    arrivals.repartition(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(arrivals.schema)
+      .parquet(dir.getAbsolutePath)
+    var got: Set[Long] = Set.empty
+    val q = StreamVerbs.streamingSemanticDedup(
+        Tbl(stream), "vec_id", "qv", centroids, corpus, threshold = 0.999) {
+        out => got = out.collect().map(_.getLong(0)).toSet
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got == Set(6000000L, 6000001L), s"survivors: $got")
+    val batch = graft.ml.Dedup.semanticDedupAgainstCorpus(arrivals,
+        "vec_id", "qv", centroids, corpus, threshold = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == got, s"batch $batch vs stream $got")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("streaming count-min: cumulative merge across batches == from-scratch build") {
     import spark.implicits._
     val batch1 = Seq(1L, 2L, 2L, 3L, 3L, 3L)

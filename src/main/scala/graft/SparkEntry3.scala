@@ -6,8 +6,9 @@ import graft.ops.{Scale, Sketch}
 import graft.ml.Dedup
 
 /** SparkEntry part 3 (round 9 additions): sketch-based frequency triage,
-  * deterministic weighted corpus sampling, Z-order data layout, and
-  * semantic (embedding-cluster-scoped) dedup. Same aliasing + portable-hash
+  * deterministic weighted corpus sampling, Z-order data layout, semantic
+  * (embedding-cluster-scoped) dedup, leakage-safe cluster splits, BPE
+  * tokenizer training, and triangle counting. Same aliasing + portable-hash
   * conventions as parts 1–2.
   */
 object SparkEntry3 {
@@ -74,6 +75,14 @@ object SparkEntry3 {
       Dedup.leakSafeSplit(docs, "doc_id", pairs, trainParts = 8, denom = 10)
         .select("doc_id", "split")
     }),
+
+    // Distributed BPE tokenizer training: 8 merge rounds over the document
+    // corpus's word-frequency table. The learned merge table (rank, left,
+    // right, freq) is exact integers + deterministic tie-breaks, so the
+    // generated oracle replays every round — pair stats, argmax, greedy
+    // application — and hash-matches.
+    "q_bpe" -> ((s, dir) =>
+      graft.text.Bpe.train(t(s, dir, "documents").df, "text", nMerges = 8)),
 
     // Exact triangle count by degree orientation on a derived unipartite
     // graph (part/supplier keys folded into one 300-node id space, dense
@@ -273,7 +282,69 @@ object SparkEntry3 {
       |SELECT count(*) AS n_triangles FROM w
       |WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.u AND o.v = w.v)""".stripMargin
 
+  /** DuckDB replica of `q_bpe`: the word-frequency table, then per merge
+    * round — weighted adjacent-pair counts, the (freq desc, left, right)
+    * argmax, and the greedy leftmost non-overlapping application. The
+    * greedy fold is replayed as gaps-and-islands: matches can only overlap
+    * when left == right (a run), where greedy takes every ODD position
+    * within each run of consecutive match starts.
+    */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH t0 AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+              |  FROM documents),
+              |wds AS (SELECT word, count(*) AS cnt FROM t0
+              |  WHERE word <> '' AND regexp_matches(word, '^[a-z]+$$')
+              |  GROUP BY 1),
+              |w1 AS MATERIALIZED (SELECT row_number() OVER () AS wid, cnt,
+              |    list_append(list_transform(range(1, length(word) + 1),
+              |      i -> word[i:i]), '</w>') AS ts
+              |  FROM wds),
+              |""".stripMargin
+    for (r <- 1 to nMerges) {
+      val sep = if (r < nMerges) "," else ""
+      sb ++= s"""p$r AS MATERIALIZED (SELECT lhs, rhs, c FROM (
+                |    SELECT ts[ii.i] AS lhs, ts[ii.i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+                |    FROM w$r, LATERAL (SELECT unnest(range(1, len(ts))) AS i) ii
+                |    GROUP BY 1, 2)
+                |  ORDER BY c DESC, lhs, rhs LIMIT 1)$sep
+                |""".stripMargin
+      if (r < nMerges) {
+        sb ++= s"""e$r AS MATERIALIZED (SELECT wid, cnt, ii.i AS i, ts[ii.i] AS t
+                  |  FROM w$r, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) ii),
+                  |m$r AS MATERIALIZED (SELECT wid, ii.i AS i
+                  |  FROM w$r, LATERAL (SELECT unnest(range(1, len(ts))) AS i) ii
+                  |  WHERE ts[ii.i] = (SELECT lhs FROM p$r)
+                  |    AND ts[ii.i + 1] = (SELECT rhs FROM p$r)),
+                  |i$r AS (SELECT wid, i,
+                  |    i - row_number() OVER (PARTITION BY wid ORDER BY i) AS isl
+                  |  FROM m$r),
+                  |sel$r AS MATERIALIZED (SELECT wid, i FROM (
+                  |    SELECT wid, i,
+                  |      row_number() OVER (PARTITION BY wid, isl ORDER BY i) AS k
+                  |    FROM i$r)
+                  |  WHERE k % 2 = 1),
+                  |w${r + 1} AS MATERIALIZED (SELECT e.wid, min(e.cnt) AS cnt,
+                  |    list(CASE WHEN s1.i IS NOT NULL
+                  |              THEN (SELECT lhs FROM p$r) || (SELECT rhs FROM p$r)
+                  |              ELSE e.t END ORDER BY e.i) AS ts
+                  |  FROM e$r e
+                  |  LEFT JOIN sel$r s1 ON s1.wid = e.wid AND s1.i = e.i
+                  |  LEFT JOIN sel$r s2 ON s2.wid = e.wid AND s2.i = e.i - 1
+                  |  WHERE s2.i IS NULL
+                  |  GROUP BY e.wid),
+                  |""".stripMargin
+      }
+    }
+    sb ++= (1 to nMerges).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS rank, lhs AS "left", rhs AS "right",
+           |  c AS freq FROM p$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_bpe"             -> bpeOracleSql(8),
     "q_count_min"       -> countMinOracleSql(CM_WIDTH, CM_DEPTH),
     "q_leak_split"      -> leakSplitOracleSql(8, 10),
     "q_triangles"       -> trianglesOracleSql,

@@ -86,6 +86,17 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("aaaaa") == List("aa", "aa", "a", "</w>"), enc)
   }
 
+  test("edge cases: no valid words -> empty merge table; non-ascii filtered") {
+    import spark.implicits._
+    val junk = Seq("123 456 !!!", "ÜBER ÇA").toDF("text")
+    val m = Bpe.train(junk, "text", nMerges = 3)
+    assert(m.count() == 0L)
+    assert(m.columns.toSeq == Seq("rank", "left", "right", "freq"))
+    // asciiOnly=false admits them
+    assert(Bpe.wordCounts(junk, "text", asciiOnly = false).count() > 0)
+    assertThrows[IllegalArgumentException](Bpe.train(junk, "text", 0))
+  }
+
   test("encodeWords replays the learned merges (reference parity)") {
     import spark.implicits._
     val corpus = Seq("low low low lower newest newest widest").toDF("text")

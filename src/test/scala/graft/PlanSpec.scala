@@ -59,6 +59,23 @@ class PlanSpec extends AnyFunSuite {
       "(?i)partial".r.findFirstIn(p).isDefined, p.take(800))
   }
 
+  test("round-9 queries: no cartesians; candidate joins stay equi-joins") {
+    // semantic dedup: the only nested-loop is the BROADCAST centroid
+    // cross-join of the kmeans assign; within-cluster pairs are an
+    // equi-join on cluster
+    val sd = plan("q_semantic_dedup")
+    assert(!sd.contains("CartesianProduct"), sd.take(600))
+    // triangle counting: wedge + closure joins are hash equi-joins, never
+    // a nested loop over edges
+    val tri = plan("q_triangles")
+    assert(!tri.contains("CartesianProduct") &&
+      !tri.contains("BroadcastNestedLoopJoin"), tri.take(600))
+    // leak-safe split: CC labels join back by equi-key
+    val ls = plan("q_leak_split")
+    assert(!ls.contains("CartesianProduct"), ls.take(600))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("knnJoin generates candidates by equi-join — no cartesian, no nested loop") {
     val p = plan("q_knn_join")
     assert(!p.contains("CartesianProduct"), "knnJoin must never plan a cartesian")

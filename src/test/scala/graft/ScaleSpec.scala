@@ -491,6 +491,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(drawn.contains(137L), s"weight-1e12 row must be sampled: $drawn")
   }
 
+  test("weightedSampleBy edge cases: k >= group size keeps the group; zorder bounds enforced") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 1.0))
+      .toDF("id", "g", "w")
+    val all = Scale.weightedSampleBy(tiny, Seq("g"), "id", col("w"), k = 10)
+    assert(all.count() == 3L)
+    assertThrows[IllegalArgumentException](
+      Scale.weightedSampleBy(tiny, Seq("g"), "id", col("w"), k = 0))
+    assertThrows[IllegalArgumentException](
+      Scale.zorderValue(Seq(col("id")), 8))            // < 2 columns
+    assertThrows[IllegalArgumentException](
+      Scale.zorderValue(Seq(col("id"), col("w"), col("id")), 22)) // 66 bits
+    assertThrows[IllegalArgumentException](
+      Scale.zorderQuantize(col("w"), 5.0, 5.0, 4))     // hi == lo
+  }
+
   test("weightedSampleBy plans as a partial WindowGroupLimit (no full sort-per-group survives the map side)") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val plan = Scale.weightedSampleBy(cust, Seq("c_mktsegment"), "c_custkey",

@@ -54,6 +54,21 @@ class SketchSpec extends AnyFunSuite {
     assert(total === docs.filter(col("doc_id") % 2 === 0).count())
   }
 
+  test("edge cases: empty input, empty probe, invalid params") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("k")
+    assert(Sketch.countMin(empty, col("k"), 8, 2).count() === 0L)
+    val sk = Sketch.countMin(docs, col("lang"), 8, 2)
+    assert(Sketch.countMinEstimate(sk, empty, col("k"), 8, 2).count() === 0L)
+    assertThrows[IllegalArgumentException](
+      Sketch.countMin(docs, col("lang"), 0, 2))
+    assertThrows[IllegalArgumentException](
+      Sketch.countMin(docs, col("lang"), 8, 0))
+    // merging with an empty sketch is the identity
+    TestSpark.assertSameRows(
+      Sketch.countMinMerge(sk, Sketch.countMin(empty, col("k"), 8, 2)), sk)
+  }
+
   test("build is one counter shuffle; probe broadcasts the sketch") {
     val sk = Sketch.countMin(docs, col("lang"), 64, 3)
     val est = Sketch.countMinEstimate(sk, docs, col("lang"), 64, 3)

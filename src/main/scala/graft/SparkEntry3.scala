@@ -43,6 +43,17 @@ object SparkEntry3 {
         col("user_id"), CM_WIDTH, CM_DEPTH)
     }),
 
+    // Per-group HLL cardinality sketches in the exact coupon regime
+    // (distinct per group << 2^lgK): estimates equal exact distinct
+    // counts, so the sketch path itself is oracle-checkable (the same
+    // trick as q_heavy_hitters' exact regime).
+    "q_hll_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      Sketch.hllEstimate(
+        Sketch.hllByGroup(docs, Seq("lang"), col("doc_id") % 50),
+        Seq("lang"))
+    }),
+
     // Efraimidis–Spirakis weighted sample without replacement: 20 customers
     // per market segment, weighted by account balance (shifted positive).
     // The sample is a pure function of (c_custkey, seed) — the oracle
@@ -346,6 +357,9 @@ object SparkEntry3 {
   def oracleSql: Map[String, String] = Map(
     "q_bpe"             -> bpeOracleSql(8),
     "q_count_min"       -> countMinOracleSql(CM_WIDTH, CM_DEPTH),
+    // exact coupon regime: <= 50 distinct per group with lgK=12
+    "q_hll_groups"      ->
+      "SELECT lang, count(DISTINCT doc_id % 50) AS nd FROM documents GROUP BY 1",
     "q_leak_split"      -> leakSplitOracleSql(8, 10),
     "q_triangles"       -> trianglesOracleSql,
     "q_weighted_sample" -> weightedSampleOracleSql(20),

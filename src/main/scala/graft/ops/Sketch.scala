@@ -79,4 +79,34 @@ object Sketch {
     */
   def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("d", "b").agg(sum("cnt").as("cnt"))
+
+  // -------------------------------------------------------------------
+  // per-group HLL cardinality summaries (Apache DataSketches via Spark's
+  // hll_sketch_agg family) — the distinct-count sibling of [[countMin]]:
+  // one small binary sketch per group, persistable between pipeline runs
+  // and mergeable across shards/batches without re-reading data. Below
+  // ~2^lgK retained entries the DataSketches HLL is in its exact coupon
+  // regime (estimates equal true distinct counts — the q_hll_groups
+  // oracle regime); beyond that, relative error ~1.04/sqrt(2^lgK).
+  // -------------------------------------------------------------------
+
+  /** Build one HLL sketch per group over `key`: a single map-side-combined
+    * aggregate pass; output (grpCols..., hll binary). */
+  def hllByGroup(df: DataFrame, grpCols: Seq[String], key: Column,
+                 lgK: Int = 12): DataFrame =
+    df.groupBy(grpCols.map(col): _*)
+      .agg(hll_sketch_agg(key, lit(lgK)).as("hll"))
+
+  /** Merge two per-group sketch tables (same lgK): group-wise HLL union —
+    * batch N's sketches fold into the standing table. */
+  def hllMergeByGroup(a: DataFrame, b: DataFrame,
+                      grpCols: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(grpCols.map(col): _*)
+      .agg(hll_union_agg(col("hll")).as("hll"))
+
+  /** Read the estimates out of a per-group sketch table. */
+  def hllEstimate(sketches: DataFrame, grpCols: Seq[String],
+                  outCol: String = "nd"): DataFrame =
+    sketches.select(
+      (grpCols.map(col) :+ hll_sketch_estimate(col("hll")).as(outCol)): _*)
 }

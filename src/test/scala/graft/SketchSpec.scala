@@ -69,6 +69,22 @@ class SketchSpec extends AnyFunSuite {
       Sketch.countMinMerge(sk, Sketch.countMin(empty, col("k"), 8, 2)), sk)
   }
 
+  test("per-group HLL: exact in the coupon regime; shard merge == single build") {
+    val full = Sketch.hllEstimate(
+      Sketch.hllByGroup(docs, Seq("lang"), col("doc_id") % 37), Seq("lang"))
+    val exact = docs.groupBy("lang")
+      .agg(countDistinct(col("doc_id") % 37).as("nd"))
+    assertSameRows(full, exact)
+    // merge across shards: estimates identical to the one-pass build
+    val a = Sketch.hllByGroup(docs.filter(col("doc_id") % 2 === 0),
+      Seq("lang"), col("doc_id") % 37)
+    val b = Sketch.hllByGroup(docs.filter(col("doc_id") % 2 =!= 0),
+      Seq("lang"), col("doc_id") % 37)
+    val merged = Sketch.hllEstimate(
+      Sketch.hllMergeByGroup(a, b, Seq("lang")), Seq("lang"))
+    assertSameRows(merged, exact)
+  }
+
   test("build is one counter shuffle; probe broadcasts the sketch") {
     val sk = Sketch.countMin(docs, col("lang"), 64, 3)
     val est = Sketch.countMinEstimate(sk, docs, col("lang"), 64, 3)

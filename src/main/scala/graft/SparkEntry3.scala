@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Scale, Sketch}
 import graft.ml.Dedup
@@ -30,6 +30,31 @@ object SparkEntry3 {
   private val SEM_ITERS = 1
   private val SEM_THRESHOLD = 0.999
 
+  // sf0.01 degrees run 73..280 (median 89): k=90 peels ~half the nodes and
+  // keeps a 138-node core; at sf0.1 the derived graph is complete (deg 299
+  // everywhere) and the whole graph IS the core — both regimes nontrivially
+  // oracle-checked, convergence well under the unrolled-round budget
+  private val KCORE_K = 90
+  private val KCORE_ORACLE_ROUNDS = 12
+
+  private val ZM_ZONES = 32
+  private val ZM_LO = 100
+  private val ZM_HI = 400
+
+  // q_qsketch: per-level capacity chosen ABOVE the largest per-segment
+  // customer count at sf0.1 (~3k) so the sketch stays in its exact regime
+  // and estimates are order statistics (the oracle regime; compaction
+  // accuracy is pinned by SketchSpec instead)
+  private val QS_K = 8192
+  private val QS_BP = Seq(1000, 5000, 9000, 9900)
+
+  /** The q_zorder interleave key, shared by the zone-map queries. */
+  private def orderZval(o: DataFrame): Column =
+    Scale.zorderValue(Seq(
+      Scale.zorderQuantize(col("o_custkey"), 0.0, Z_CUST_HI, Z_BITS),
+      Scale.zorderQuantize(col("o_totalprice"), 0.0, Z_PRICE_HI, Z_BITS)),
+      Z_BITS)
+
   def queries: Map[String, Q] = Map(
     // Count-Min frequency sketch over the event stream's user ids: build
     // the depth×width counter table in one counter-row shuffle, then probe
@@ -52,6 +77,35 @@ object SparkEntry3 {
       Sketch.hllEstimate(
         Sketch.hllByGroup(docs, Seq("lang"), col("doc_id") % 50),
         Seq("lang"))
+    }),
+
+    // Per-group mergeable quantile sketch in the exact regime (k above the
+    // per-segment count): estimates equal exact order statistics, so the
+    // sketch path itself is oracle-checkable. Rank targets are pure
+    // integer arithmetic — no float seam.
+    "q_qsketch" -> ((s, dir) => {
+      val c = t(s, dir, "customer").df
+      Sketch.quantileEstimate(
+        Sketch.quantileSketchByGroup(c, Seq("c_mktsegment"),
+          col("c_acctbal"), QS_K),
+        Seq("c_mktsegment"), QS_BP)
+    }),
+
+    // The merge path: sketches built independently on the even/odd custkey
+    // halves (two "batches"), folded with quantileSketchMerge. In the
+    // exact regime the merge is lossless, so the same order-statistic
+    // oracle applies — the merge itself is what's under test.
+    "q_qsketch_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer").df
+      val a = Sketch.quantileSketchByGroup(
+        c.where(col("c_custkey") % 2 === 0), Seq("c_mktsegment"),
+        col("c_acctbal"), QS_K)
+      val b = Sketch.quantileSketchByGroup(
+        c.where(col("c_custkey") % 2 === 1), Seq("c_mktsegment"),
+        col("c_acctbal"), QS_K)
+      Sketch.quantileEstimate(
+        Sketch.quantileSketchMerge(a, b, Seq("c_mktsegment"), QS_K),
+        Seq("c_mktsegment"), QS_BP)
     }),
 
     // Efraimidis–Spirakis weighted sample without replacement: 20 customers
@@ -103,6 +157,55 @@ object SparkEntry3 {
       graft.graph.Graph.triangleCount(li.select(
         (col("l_partkey") % 300).as("src"),
         (col("l_suppkey") % 300).as("dst")))
+    }),
+
+    // k-core of the derived part/supplier graph (the q_triangles graph):
+    // iterative peel to the unique maximal subgraph of min degree >= k.
+    // The Spark side iterates to fixpoint; the oracle unrolls enough peel
+    // rounds that the tail rounds are no-ops — the k-core is unique, so
+    // both land on the same survivor set exactly.
+    "q_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      graft.graph.Graph.kCore(li.select(
+        (col("l_partkey") % 300).as("src"),
+        (col("l_suppkey") % 300).as("dst")), KCORE_K)
+    }),
+
+    // Prefix-filtered exact Jaccard pairs: same answer as q_ngram_jaccard
+    // (the oracle is literally shared), candidate generation via the
+    // PPJoin prefix filter instead of the full inverted index.
+    "q_jaccard_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents").df, "doc_id",
+          "text", n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))),
+
+    // Zone maps over the Z-ordered orders layout: 32 equal-depth zones cut
+    // on (zval, orderkey), each with its (count, min, max) envelope per
+    // dimension — the row-group statistics a lakehouse scan prunes with,
+    // materialized and oracle-checked.
+    "q_zone_maps" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+      Scale.zoneMaps(o.withColumn("zval", orderZval(o)),
+        Seq(col("zval"), col("o_orderkey")), ZM_ZONES,
+        Seq("o_custkey", "o_totalprice"))
+    }),
+
+    // The layout payoff, quantified: the same narrow customer-range
+    // predicate against zone maps of (a) the Z-ordered layout and (b) a
+    // hash-scattered layout. Z-order zones have tight per-dimension
+    // envelopes (many skip); hash zones all straddle the range (none do).
+    "q_zone_skip" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+      val zmZ = Scale.zoneMaps(o.withColumn("zval", orderZval(o)),
+        Seq(col("zval"), col("o_orderkey")), ZM_ZONES, Seq("o_custkey"))
+      val zmH = Scale.zoneMaps(
+        o.withColumn("h", Sketch.portableHash(col("o_orderkey").cast("string"))),
+        Seq(col("h"), col("o_orderkey")), ZM_ZONES, Seq("o_custkey"))
+      Scale.skipEstimate(zmZ, "o_custkey", lit(ZM_LO), lit(ZM_HI))
+        .withColumn("layout", lit("zorder"))
+        .unionByName(
+          Scale.skipEstimate(zmH, "o_custkey", lit(ZM_LO), lit(ZM_HI))
+            .withColumn("layout", lit("hash")))
     }),
 
     // SemDeDup on the perturbed-copy corpus (each vector + a near-identical
@@ -354,8 +457,93 @@ object SparkEntry3 {
     sb.toString
   }
 
+  /** Exact-regime oracle for the quantile sketch family: the smallest v
+    * whose rank reaches the integer target ⌈bp·n/10000⌉ per group. */
+  private def qsketchOracleSql(bps: Seq[Int]): String =
+    s"""WITH r AS (SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS v,
+       |    row_number() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY c_acctbal) AS rn,
+       |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+       |  FROM customer WHERE c_acctbal IS NOT NULL),
+       |qs AS (SELECT unnest([${bps.mkString(", ")}]) AS bp)
+       |SELECT c_mktsegment, bp / 10000.0 AS q, min(v) AS est
+       |FROM r CROSS JOIN qs
+       |WHERE rn >= (bp * n + 9999) // 10000
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Unrolled peel rounds — the tail rounds are no-ops once the peel has
+    * converged, so fixpoint == rounds-R replay (the k-core is unique). */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
+              |    least(l_partkey % 300, l_suppkey % 300) AS a,
+              |    greatest(l_partkey % 300, l_suppkey % 300) AS b
+              |  FROM lineitem WHERE (l_partkey % 300) <> (l_suppkey % 300)),
+              |""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s"""bad$r AS MATERIALIZED (SELECT node FROM (
+                |    SELECT node, count(*) AS deg FROM (
+                |      SELECT a AS node FROM e${r - 1}
+                |      UNION ALL SELECT b FROM e${r - 1}) u
+                |    GROUP BY 1) d WHERE deg < $k),
+                |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+                |  WHERE a NOT IN (SELECT node FROM bad$r)
+                |    AND b NOT IN (SELECT node FROM bad$r))${if (r < rounds) "," else ""}
+                |""".stripMargin
+    }
+    sb ++= s"""SELECT node, count(*) AS deg FROM (
+              |  SELECT a AS node FROM e$rounds
+              |  UNION ALL SELECT b FROM e$rounds) u
+              |GROUP BY 1""".stripMargin
+    sb.toString
+  }
+
+  private def zvalSql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice,
+       |    ${zorderExprSql(Seq("zx", "zy"), Z_BITS)} AS zval
+       |  FROM (SELECT *,
+       |    ${quantizeSql("CAST(o_custkey AS DOUBLE)", 0.0, Z_CUST_HI, Z_BITS)} AS zx,
+       |    ${quantizeSql("o_totalprice", 0.0, Z_PRICE_HI, Z_BITS)} AS zy
+       |  FROM orders)""".stripMargin
+
+  private def zoneMapsOracleSql: String =
+    s"""WITH q AS ($zvalSql),
+       |r AS (SELECT *, row_number() OVER (ORDER BY zval, o_orderkey) AS rn,
+       |    count(*) OVER () AS n FROM q)
+       |SELECT ((rn - 1) * $ZM_ZONES) // n AS zone, count(*) AS cnt,
+       |  min(o_custkey) AS o_custkey_min, max(o_custkey) AS o_custkey_max,
+       |  min(o_totalprice) AS o_totalprice_min,
+       |  max(o_totalprice) AS o_totalprice_max
+       |FROM r GROUP BY 1""".stripMargin
+
+  private def zoneSkipOracleSql: String =
+    s"""WITH q AS ($zvalSql),
+       |r AS (SELECT *, row_number() OVER (ORDER BY zval, o_orderkey) AS rn,
+       |    count(*) OVER () AS n FROM q),
+       |zm AS (SELECT ((rn - 1) * $ZM_ZONES) // n AS zone,
+       |    min(o_custkey) AS mn, max(o_custkey) AS mx FROM r GROUP BY 1),
+       |h AS (SELECT o_orderkey, o_custkey,
+       |    ${ph("CAST(o_orderkey AS VARCHAR)")} AS hv FROM orders),
+       |r2 AS (SELECT *, row_number() OVER (ORDER BY hv, o_orderkey) AS rn,
+       |    count(*) OVER () AS n FROM h),
+       |zm2 AS (SELECT ((rn - 1) * $ZM_ZONES) // n AS zone,
+       |    min(o_custkey) AS mn, max(o_custkey) AS mx FROM r2 GROUP BY 1)
+       |SELECT count(*) AS n_zones,
+       |  CAST(sum(CASE WHEN mx < $ZM_LO OR mn > $ZM_HI THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_skipped, 'zorder' AS layout FROM zm
+       |UNION ALL
+       |SELECT count(*),
+       |  CAST(sum(CASE WHEN mx < $ZM_LO OR mn > $ZM_HI THEN 1 ELSE 0 END)
+       |    AS BIGINT), 'hash' FROM zm2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),
+    "q_jaccard_prefix"  -> SparkEntry2.oracleSql("q_ngram_jaccard"),
+    "q_zone_maps"       -> zoneMapsOracleSql,
+    "q_zone_skip"       -> zoneSkipOracleSql,
     "q_bpe"             -> bpeOracleSql(8),
+    "q_qsketch"         -> qsketchOracleSql(QS_BP),
+    "q_qsketch_merge"   -> qsketchOracleSql(QS_BP),
     "q_count_min"       -> countMinOracleSql(CM_WIDTH, CM_DEPTH),
     // exact coupon regime: <= 50 distinct per group with lgK=12
     "q_hll_groups"      ->

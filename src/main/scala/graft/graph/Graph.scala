@@ -204,6 +204,63 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * node of degree < k (over the canonical undirected simple graph) until
+    * none remains; the survivors are the k-core — the standard density
+    * filter for crawl/link graphs (spam rings and boilerplate clusters
+    * live in high cores; tendrils and one-off pages peel away).
+    * Returns (node, deg) with each survivor's degree INSIDE the core
+    * (≥ k by construction). Input may be directed/duplicated; self-loops
+    * are ignored.
+    *
+    * Scale shape per round: one degree aggregate and two anti-joins of the
+    * edge list against the (usually tiny after round 1) deleted-node set —
+    * AQE broadcasts the anti side once it shrinks. The edge list is
+    * re-checkpointed every round (the [[pageRank]] lineage pattern), and
+    * the only driver scalar is the deleted-count convergence probe, same
+    * as connectedComponents'. Rounds are data-bounded: each round removes
+    * ≥ 1 node or stops, and real graphs converge in a handful (the peel
+    * ORDER never matters — the k-core is unique, so the result is
+    * partition- and engine-invariant and a fixed-round SQL unroll replays
+    * it exactly once rounds ≥ convergence).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1)
+    val sc = edges.sparkSession.sparkContext
+    val pre0 = sc.getPersistentRDDs.keySet.toSet
+    var e = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var stale = sc.getPersistentRDDs.keySet.toSet -- pre0
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val bad = deg.where(col("deg") < k).select("node")
+      if (bad.isEmpty) done = true
+      else {
+        require(rounds < maxRounds, s"k-core did not converge in $maxRounds rounds")
+        val pre = sc.getPersistentRDDs.keySet.toSet
+        e = e.join(bad.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(bad.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .localCheckpoint()
+        stale.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        stale = sc.getPersistentRDDs.keySet.toSet -- pre
+        rounds += 1
+      }
+    }
+    registerFinalRelease(e, stale)
+    e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int = 5,
                        checkpointInterval: Int = 10): DataFrame = {
     require(iters >= 0 && checkpointInterval > 0)

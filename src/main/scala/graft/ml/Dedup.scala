@@ -150,6 +150,62 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered exact Jaccard pairs — same output contract as
+    * [[ngramJaccardPairs]] (id_a < id_b, jaccard >= threshold over the
+    * maxDf-guarded shingle sets; FuzzySpec pins row-for-row equality), but
+    * the candidate generation is the positional prefix filter of
+    * Chaudhuri, Ganti & Kaushik ("A primitive operator for similarity
+    * joins", ICDE 2006) as used by PPJoin (Xiao, Wang, Lin & Yu, WWW
+    * 2008): order every set's shingles by global (df asc, shingle) and
+    * index only the first |s| − ⌈t·|s|⌉ + 1 — if two sets meet threshold
+    * t they MUST share an indexed prefix shingle, so the self-join runs
+    * over the (1−t)-fraction prefix table instead of the full inverted
+    * index, and a size filter (t·|a| ≤ |b| ≤ |a|/t) prunes candidates
+    * before verification touches full sets.
+    *
+    * Scale shape: at t=0.8 the prefix index is ~20% of the shingle table,
+    * so the quadratic term (same-shingle candidate pairs) shrinks ~25×;
+    * verification is an equi-join of the (small) candidate pair set
+    * against the full shingle table — linear in candidates, never
+    * all-pairs. The ceil guards subtract 1e-6 before ⌈·⌉: float error can
+    * then only ENLARGE a prefix or ADMIT a boundary candidate — soundness
+    * (no missed pair) is never at the mercy of double rounding.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, threshold: Double = 0.8,
+                              maxDf: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val sh = scopedCache(shingleTable(df, idCol, textCol, n, maxDf))
+    val sizes = scopedCache(sh.groupBy("id").agg(count(lit(1)).as("sz")))
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("__df"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df"), col("g"))
+    val pref = sh.join(dfreq, "g")
+      .withColumn("__rn", row_number().over(win))
+      .join(sizes, "id")
+      .where(col("__rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - 1e-6) + 1)
+      .select(col("id"), col("g"), col("sz"))
+    val cand = pref.as("a").join(pref.as("b"), Seq("g"))
+      .where(col("a.id") < col("b.id") &&
+        col("b.sz") >= lit(threshold) * col("a.sz") - 1e-6 &&
+        col("a.sz") >= lit(threshold) * col("b.sz") - 1e-6)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("g")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Benchmark-contamination report: for each training doc, how many of its
     * distinct word n-grams also occur anywhere in the benchmark corpus — the
     * standard n-gram decontamination check for pretraining data (e.g. the

@@ -422,4 +422,44 @@ object Scale {
                  else df.repartitionByRange(z)
     parted.sortWithinPartitions(z)
   }
+
+  /** Per-zone (count, min, max) statistics over a layout order — the
+    * zone-map / parquet-row-group-statistics model, materialized as a table
+    * so layout quality is MEASURABLE before committing a 100 TB rewrite:
+    * lay `df` out in `orderCols` order, cut the order into `nZones`
+    * equal-depth contiguous zones, and record each zone's envelope per stat
+    * column. `orderCols` must be a total order (add a key tiebreak) or zone
+    * boundaries are nondeterministic. Pair with [[zorderBy]]'s interleaved
+    * key: tight envelopes in EVERY dimension instead of only the leading
+    * sort column.
+    *
+    * Scale shape: the global row number is the two-phase range prefix sum
+    * ([[globalRowNumber]] — no single-reducer window); the zone cut
+    * `((rn−1)·nZones) div N` is exact integer arithmetic (engine-portable),
+    * and the stats pass is one hash aggregate on zone id.
+    */
+  def zoneMaps(df: DataFrame, orderCols: Seq[Column], nZones: Int,
+               statCols: Seq[String]): DataFrame = {
+    require(nZones > 0, "nZones must be positive")
+    require(statCols.nonEmpty, "need at least one stat column")
+    val rn = globalRowNumber(df, orderCols, "__rn")
+    val aggs = count(lit(1)).as("cnt") +: statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    rn.crossJoin(broadcast(rn.agg(max(col("__rn")).as("__n"))))
+      .withColumn("__zone", expr(s"((__rn - 1) * $nZones) div __n"))
+      .groupBy(col("__zone").as("zone"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Planning-time skip estimate from a [[zoneMaps]] table: a zone is
+    * skippable for `lo <= c <= hi` when its [min, max] envelope misses the
+    * range entirely — the arithmetic engines run against row-group stats,
+    * as a one-row (n_zones, n_skipped) report. NULL envelopes (all-NULL
+    * zones) are conservatively unskippable. */
+  def skipEstimate(zm: DataFrame, statCol: String, lo: Column,
+                   hi: Column): DataFrame =
+    zm.agg(count(lit(1)).as("n_zones"),
+      coalesce(sum(when(col(s"${statCol}_max") < lo ||
+          col(s"${statCol}_min") > hi, 1L).otherwise(0L)), lit(0L))
+        .as("n_skipped"))
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count–Min sketch (Cormode & Muthukrishnan, "An improved data stream
@@ -109,4 +110,143 @@ object Sketch {
                   outCol: String = "nd"): DataFrame =
     sketches.select(
       (grpCols.map(col) :+ hll_sketch_estimate(col("hll")).as(outCol)): _*)
+
+  // -------------------------------------------------------------------
+  // per-group mergeable quantile sketch — the rank/quantile sibling of
+  // [[countMin]] (frequencies) and [[hllByGroup]] (cardinalities). A
+  // KLL-shaped compactor sketch (Karnin, Lang & Liberty, "Optimal quantile
+  // approximation in streams", FOCS 2016) with two deliberate divergences:
+  // uniform per-level capacity k (the Manku/Rajagopalan/Lindsay MRL
+  // variant — rank error O(log(n/k)/k) instead of KLL's O(1/k)) and
+  // DETERMINISTIC halving (keep even local positions) instead of a random
+  // coin, so the sketch is a pure function of its input multiset and
+  // replays bit-identically under any partitioning, merge order, or
+  // engine — the repo-wide determinism contract the float/randomized
+  // formulations can't meet.
+  //
+  // Representation: plain rows (grpCols..., lvl, v, w) with w = 2^lvl —
+  // the weighted-point table IS the summary: it survives as parquet
+  // between pipeline runs and merge = union + recompaction, no opaque
+  // blob. Scale shape: the first compaction of level 0 is one per-group
+  // sort pass (what a single exact quantile costs anyway); every later
+  // round touches only overfull levels (≤ k·levels rows per group), and
+  // batch updates fold into the standing sketch WITHOUT re-reading prior
+  // batches — that mergeability is the point at 100 TB. Below k points
+  // per group no compaction fires and estimates are exact order
+  // statistics (the q_qsketch oracle regime, like hll's coupon regime).
+  // -------------------------------------------------------------------
+
+  /** Build one quantile sketch per group over `value`: rows
+    * (grpCols..., lvl, v, w). NULL values are not counted. `k` ≥ 2 is the
+    * per-level capacity; groups with ≤ k values are represented exactly.
+    */
+  def quantileSketchByGroup(df: DataFrame, grpCols: Seq[String],
+                            value: Column, k: Int): DataFrame = {
+    require(k >= 2, "per-level capacity k must be >= 2")
+    compactLevels(
+      df.select((grpCols.map(col) :+ value.cast("double").as("v")): _*)
+        .where(col("v").isNotNull)
+        .withColumn("lvl", lit(0))
+        .withColumn("w", lit(1L)),
+      grpCols, k)
+  }
+
+  /** Merge two sketch tables built with the SAME k over the same group
+    * columns: union + recompaction. Weights are preserved exactly, so a
+    * merged sketch summarizes the union multiset; in the exact regime
+    * (combined level-0 count still ≤ k) merge is lossless.
+    */
+  def quantileSketchMerge(a: DataFrame, b: DataFrame, grpCols: Seq[String],
+                          k: Int): DataFrame =
+    compactLevels(a.unionByName(b), grpCols, k)
+
+  /** Halve every (group, lvl) holding more than k points until none does.
+    * One deterministic compaction: sort the level by v (ties by arrival
+    * weight — any order of equal v is the same multiset), leave the first
+    * cnt%2 points in place, promote every second remaining point with
+    * doubled weight. Total weight is conserved exactly. Each round is a
+    * bounded driver probe + one window pass over the overfull levels only;
+    * rounds ≤ ~2·log2(maxGroupN/k) (each round halves an overfull level,
+    * cascades promote upward), hard-capped at 64.
+    */
+  private def compactLevels(sk0: DataFrame, grpCols: Seq[String],
+                            k: Int): DataFrame = {
+    val gl = grpCols :+ "lvl"
+    var sk = sk0
+    var rounds = 0
+    var stale = Set.empty[Int]
+    while ({
+      val over = sk.groupBy(gl.map(col): _*)
+        .agg(count(lit(1)).as("__cnt")).where(col("__cnt") > k)
+      val any = !over.isEmpty
+      if (any) {
+        require(rounds < 64, "quantile sketch compaction did not converge")
+        val marked = sk.join(
+          over.withColumn("__over", lit(true)).drop("__cnt"),
+          gl, "left")
+        val keepAsIs = marked.where(col("__over").isNull).drop("__over")
+        val win = Window.partitionBy(gl.map(col): _*).orderBy(col("v"))
+        val halved = marked.where(col("__over").isNotNull)
+          .withColumn("__rn", row_number().over(win))
+          .withColumn("__cnt", count(lit(1)).over(
+            Window.partitionBy(gl.map(col): _*)))
+          // first cnt%2 points stay at this level (weight conservation);
+          // of the rest, even local positions promote at double weight
+          .withColumn("__off", col("__cnt") % 2)
+          .where(col("__rn") <= col("__off") ||
+            (col("__rn") - col("__off")) % 2 === 0)
+          .withColumn("lvl",
+            when(col("__rn") <= col("__off"), col("lvl"))
+              .otherwise(col("lvl") + 1))
+          .withColumn("w",
+            when(col("__rn") <= col("__off"), col("w"))
+              .otherwise(col("w") * 2))
+          .drop("__over", "__rn", "__cnt", "__off")
+        // truncate lineage each round: the loop otherwise nests a
+        // join+window per round (the labelPropagation lesson)
+        val sc = sk.sparkSession.sparkContext
+        val pre = sc.getPersistentRDDs.keySet.toSet
+        sk = keepAsIs.unionByName(halved).localCheckpoint()
+        stale.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        stale = sc.getPersistentRDDs.keySet.toSet -- pre
+        rounds += 1
+      }
+      any
+    }) ()
+    if (stale.nonEmpty) {
+      val sc = sk.sparkSession.sparkContext
+      graft.ml.Dedup.trackRelease(() =>
+        stale.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+    }
+    sk
+  }
+
+  /** Weighted type-1 quantile estimates from a sketch table: for each
+    * basis-point target q = bp/10000, the smallest v whose cumulative
+    * weight reaches ⌈bp·W/10000⌉ (W = the group's total weight). The rank
+    * target is computed in INTEGER arithmetic — `(bp·W + 9999) div 10000`
+    * — so there is no float-rounding seam between engines, and in the
+    * exact regime (all w = 1) the estimate IS the order statistic a SQL
+    * oracle computes from row_number. Output: (grpCols..., q, est).
+    */
+  def quantileEstimate(sketch: DataFrame, grpCols: Seq[String],
+                       qsBp: Seq[Int]): DataFrame = {
+    require(qsBp.nonEmpty && qsBp.forall(bp => bp > 0 && bp <= 10000),
+      "quantile basis points must be in (0, 10000]")
+    val byV = sketch.groupBy((grpCols.map(col) :+ col("v")): _*)
+      .agg(sum(col("w")).as("__wv"))
+    val grpWin = Window.partitionBy(grpCols.map(col): _*)
+    val cum = byV
+      .withColumn("__cw", sum(col("__wv")).over(grpWin.orderBy(col("v"))))
+      .withColumn("__tw", sum(col("__wv")).over(grpWin))
+    cum.select((grpCols.map(col) :+ col("v") :+ col("__cw") :+
+        explode(array(qsBp.map(bp => lit(bp)): _*)).as("__bp") :+
+        col("__tw")): _*)
+      .where(col("__cw") >= expr("(__bp * __tw + 9999L) div 10000L"))
+      .groupBy((grpCols.map(col) :+
+        (col("__bp") / 10000.0).as("q")): _*)
+      .agg(min(col("v")).as("est"))
+  }
 }

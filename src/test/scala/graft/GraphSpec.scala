@@ -171,6 +171,49 @@ class GraphSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("kCore: hand-checked cores, peel cascade, degeneracies") {
+    import spark.implicits._
+    // K4 clique with a pendant chain 4-5-6: the 3-core is exactly the
+    // clique (the chain peels in cascade: 6 first, then 5); 1-core is
+    // every non-isolated node; k above max degree is empty
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core3 = Graph.kCore(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.kCore(edges, 1).count() === 6L)
+    assert(Graph.kCore(edges, 5).count() === 0L)
+    // direction / duplicates / self-loops are canonicalized away
+    val messy = edges.unionAll(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).unionAll(Seq((2L, 2L)).toDF("src", "dst"))
+    assert(Graph.kCore(messy, 3).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L, 4L))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("kCore: partition-invariant; survivors all have deg >= k in the core") {
+    import spark.implicits._
+    val rnd = (1L to 800L)
+      .map(i => (i * 2654435761L % 131, i * 40503L % 131)).toDF("src", "dst")
+    val a = Graph.kCore(rnd, 6)
+    val b = Graph.kCore(rnd.repartition(17), 6)
+    TestSpark.assertSameRows(a, b)
+    assert(a.filter(col("deg") < 6).count() === 0L)
+    // the k-core is the MAXIMAL subgraph with min degree >= k: adding back
+    // any peeled node leaves it below k against the survivors
+    val survivors = a.select(col("node")).as[Long].collect().toSet
+    val canon = rnd.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .where(col("a") =!= col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val all = canon.flatMap(e => Seq(e._1, e._2)).toSet
+    for (n <- all -- survivors) {
+      val degIntoCore = canon.count(e =>
+        (e._1 == n && survivors(e._2)) || (e._2 == n && survivors(e._1)))
+      assert(degIntoCore < 6, s"peeled node $n has $degIntoCore core edges")
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("labelPropagation deep iteration: linear chain, checkpointing bounds the plan") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))

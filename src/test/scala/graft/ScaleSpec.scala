@@ -531,6 +531,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(q.getLong(0) === 0L && q.getLong(1) === 15L)
   }
 
+  test("zoneMaps: equal-depth zones, exact envelopes, skip arithmetic") {
+    import spark.implicits._
+    // 0..999 keyed rows, layout = key order, 10 zones of exactly 100 rows:
+    // zone z envelopes [100z, 100z+99]
+    val df = spark.range(1000).select(col("id"),
+      (col("id") * 7 % 13).as("noise"))
+    val zm = Scale.zoneMaps(df, Seq(col("id")), 10, Seq("id"))
+      .orderBy("zone").collect()
+    assert(zm.length === 10)
+    for ((r, z) <- zm.zipWithIndex) {
+      assert(r.getLong(zm(0).fieldIndex("zone")) === z.toLong)
+      assert(r.getLong(r.fieldIndex("cnt")) === 100L)
+      assert(r.getLong(r.fieldIndex("id_min")) === z * 100L)
+      assert(r.getLong(r.fieldIndex("id_max")) === z * 100L + 99L)
+    }
+    // skip estimate: range [250, 340] overlaps zones 2 and 3 only -> 8 skip
+    val sk = Scale.skipEstimate(
+      Scale.zoneMaps(df, Seq(col("id")), 10, Seq("id")),
+      "id", lit(250), lit(340)).collect()(0)
+    assert(sk.getLong(0) === 10L && sk.getLong(1) === 8L)
+    // partition invariance (two-phase row number, not a lucky layout)
+    TestSpark.assertSameRows(
+      Scale.zoneMaps(df, Seq(col("id")), 10, Seq("id", "noise")),
+      Scale.zoneMaps(df.repartition(7), Seq(col("id")), 10,
+        Seq("id", "noise")))
+    // more zones than rows: zones are single rows, no empties fabricated
+    val tiny = spark.range(3).toDF("id")
+    assert(Scale.zoneMaps(tiny, Seq(col("id")), 8, Seq("id")).count() === 3L)
+    assertThrows[IllegalArgumentException](
+      Scale.zoneMaps(df, Seq(col("id")), 0, Seq("id")))
+  }
+
   test("zorderBy bounds the per-partition envelope in BOTH dimensions") {
     import spark.implicits._
     // 64x64 grid, 16 range partitions. A z-curve slice is a union of small

@@ -85,6 +85,104 @@ class SketchSpec extends AnyFunSuite {
     assertSameRows(merged, exact)
   }
 
+  // ---------------------------------------------------------------
+  // quantile sketch
+  // ---------------------------------------------------------------
+
+  private def qVals(n: Int) = {
+    import spark.implicits._
+    // deterministic, duplicate-heavy, unsorted value stream
+    spark.range(n).select(lit("g").as("g"),
+      (pmod(col("id") * 2654435761L, lit(n)) % (n / 3)).cast("double").as("x"))
+  }
+
+  test("quantile sketch: exact regime returns order statistics") {
+    val df = qVals(500)
+    val est = Sketch.quantileEstimate(
+      Sketch.quantileSketchByGroup(df, Seq("g"), col("x"), k = 1024),
+      Seq("g"), Seq(1000, 5000, 9000, 10000))
+    // type-1 (lower) weighted quantile == the ceil(q*n)-th order statistic
+    val sorted = df.orderBy("x").collect().map(_.getDouble(1))
+    val got = est.collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    for (bp <- Seq(1000, 5000, 9000, 10000)) {
+      val target = (bp.toLong * 500 + 9999) / 10000
+      assert(got(bp / 10000.0) === sorted((target - 1).toInt),
+        s"bp=$bp")
+    }
+  }
+
+  test("quantile sketch: compaction conserves weight and bounds rank error") {
+    val n = 20000
+    val df = qVals(n)
+    val sk = Sketch.quantileSketchByGroup(df, Seq("g"), col("x"), k = 64)
+    // capacity respected and weight conserved exactly
+    val perLvl = sk.groupBy("lvl").agg(count(lit(1)).as("c")).collect()
+    assert(perLvl.forall(_.getLong(1) <= 64))
+    val totW = sk.agg(sum("w")).collect()(0).getLong(0)
+    assert(totW === n.toLong)
+    // rank error of every estimate within the MRL bound envelope
+    val sorted = df.orderBy("x").collect().map(_.getDouble(1))
+    val est = Sketch.quantileEstimate(sk, Seq("g"),
+      Seq(500, 2500, 5000, 7500, 9500)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val eps = 0.08 // ~ log2(n/k) * (n/k) / n with deterministic halving
+    for ((q, v) <- est) {
+      val target = math.ceil(q * n).toLong
+      // true rank range of v in the sorted stream (v always comes from it)
+      val lo = sorted.indexWhere(_ == v) + 1L
+      val hi = sorted.lastIndexWhere(_ == v) + 1L
+      assert(lo > 0, s"estimate $v not drawn from the input multiset")
+      val err = if (target < lo) lo - target else if (target > hi) target - hi else 0L
+      assert(err <= (eps * n).toLong, s"q=$q est=$v rank err $err")
+    }
+  }
+
+  test("quantile sketch: pure function of the multiset (partition invariant)") {
+    val df = qVals(5000)
+    val a = Sketch.quantileSketchByGroup(df, Seq("g"), col("x"), k = 32)
+    val b = Sketch.quantileSketchByGroup(df.repartition(13), Seq("g"),
+      col("x"), k = 32)
+    assertSameRows(a, b)
+  }
+
+  test("quantile sketch: exact-regime merge is lossless; compacted merge bounded") {
+    val df = qVals(800)
+    val a = df.filter(col("id") % 2 === 0)
+    val b = df.filter(col("id") % 2 =!= 0)
+    // exact regime: merged == single build, row for row
+    assertSameRows(
+      Sketch.quantileSketchMerge(
+        Sketch.quantileSketchByGroup(a, Seq("g"), col("x"), 1024),
+        Sketch.quantileSketchByGroup(b, Seq("g"), col("x"), 1024),
+        Seq("g"), 1024),
+      Sketch.quantileSketchByGroup(df, Seq("g"), col("x"), 1024))
+    // compaction regime: merged sketch still conserves weight and capacity
+    val m = Sketch.quantileSketchMerge(
+      Sketch.quantileSketchByGroup(a, Seq("g"), col("x"), 32),
+      Sketch.quantileSketchByGroup(b, Seq("g"), col("x"), 32),
+      Seq("g"), 32)
+    assert(m.agg(sum("w")).collect()(0).getLong(0) === 800L)
+    assert(m.groupBy("g", "lvl").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 32).count() === 0L)
+  }
+
+  test("quantile sketch: nulls skipped, empty input, invalid params") {
+    import spark.implicits._
+    val withNulls = Seq(Some(1.0), None, Some(2.0), Some(3.0), None)
+      .toDF("x").withColumn("g", lit("g"))
+    val sk = Sketch.quantileSketchByGroup(withNulls, Seq("g"), col("x"), 8)
+    assert(sk.count() === 3L)
+    val empty = Seq.empty[Double].toDF("x").withColumn("g", lit("g"))
+    assert(Sketch.quantileSketchByGroup(empty, Seq("g"), col("x"), 8)
+      .count() === 0L)
+    assertThrows[IllegalArgumentException](
+      Sketch.quantileSketchByGroup(withNulls, Seq("g"), col("x"), 1))
+    assertThrows[IllegalArgumentException](
+      Sketch.quantileEstimate(sk, Seq("g"), Seq(0)))
+    assertThrows[IllegalArgumentException](
+      Sketch.quantileEstimate(sk, Seq("g"), Seq.empty))
+  }
+
   test("build is one counter shuffle; probe broadcasts the sketch") {
     val sk = Sketch.countMin(docs, col("lang"), 64, 3)
     val est = Sketch.countMinEstimate(sk, docs, col("lang"), 64, 3)

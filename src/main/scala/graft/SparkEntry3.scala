@@ -159,6 +159,25 @@ object SparkEntry3 {
         (col("l_suppkey") % 300).as("dst")))
     }),
 
+    // Shuffle-key skew report over the event stream's user ids: one row
+    // of distribution shape (max/topk share, Gini) — the pre-flight check
+    // before committing a partition key. Exact integer sums, one double
+    // division each: engine-portable.
+    "q_skew_report" -> ((s, dir) =>
+      graft.ops.Checks.keySkew(t(s, dir, "events").df, Seq("user_id"),
+        topK = 10)),
+
+    // DSIR-style importance resampling: English-looking docs up-weighted
+    // by the bigram-LM likelihood ratio against an English target corpus,
+    // then a deterministic Efraimidis–Spirakis draw of 10 per lang. The
+    // oracle replays both LMs, the ratio, and the draw.
+    "q_importance_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      graft.text.TextFns.importanceResample(docs, "doc_id", "text",
+          docs.where(col("lang") === "en"), "text", Seq("lang"), k = 10)
+        .select("doc_id", "lang")
+    }),
+
     // k-core of the derived part/supplier graph (the q_triangles graph):
     // iterative peel to the unique maximal subgraph of min degree >= k.
     // The Spark side iterates to fixpoint; the oracle unrolls enough peel
@@ -536,8 +555,65 @@ object SparkEntry3 {
        |  CAST(sum(CASE WHEN mx < $ZM_LO OR mn > $ZM_HI THEN 1 ELSE 0 END)
        |    AS BIGINT), 'hash' FROM zm2""".stripMargin
 
+  private def skewOracleSql(topK: Int): String =
+    s"""WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+       |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS i FROM c),
+       |t AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS tot,
+       |    CAST(max(cnt) AS BIGINT) AS mx FROM c),
+       |tk AS (SELECT CAST(sum(cnt) AS BIGINT) AS tks FROM (
+       |    SELECT cnt FROM c ORDER BY cnt DESC, k DESC LIMIT $topK)),
+       |g AS (SELECT CAST(sum(i * cnt) AS BIGINT) AS sic FROM r)
+       |SELECT t.n AS n_keys, t.tot AS n_rows,
+       |  t.mx * 1.0 / t.tot AS max_share,
+       |  tk.tks * 1.0 / t.tot AS topk_share,
+       |  (2 * g.sic - (t.n + 1) * t.tot) * 1.0 / (t.n * t.tot) AS gini
+       |FROM t, tk, g""".stripMargin
+
+  /** Replays [[graft.text.TextFns.importanceResample]]: the add-one bigram
+    * LM scored twice (target = lang-filtered corpus, source = the full
+    * pool), the exp(Δ avg_logp) weight on the ROUNDED per-doc scores, and
+    * the seeded Efraimidis–Spirakis draw. */
+  private def importanceOracleSql(targetLang: String, k: Int): String = {
+    def lmBlock(p: String, filter: String): String =
+      s"""${p}tok AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         |    FROM documents$filter),
+         |${p}uni AS (SELECT w1, count(*) AS u FROM (
+         |    SELECT unnest(w) AS w1 FROM ${p}tok) GROUP BY 1),
+         |${p}vocab AS (SELECT count(*) AS v FROM ${p}uni),
+         |${p}cb AS (SELECT b, count(*) AS bc FROM (
+         |    SELECT unnest(CASE WHEN len(w) >= 2 THEN
+         |        list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS b
+         |    FROM ${p}tok) GROUP BY 1),
+         |${p}sc AS (SELECT db.doc_id,
+         |    round(avg(ln((coalesce(cb.bc, 0) + 1) * 1.0 /
+         |      (coalesce(u.u, 0) + v.v))), 4) AS lp
+         |  FROM db LEFT JOIN ${p}cb cb USING (b)
+         |  LEFT JOIN ${p}uni u ON u.w1 = string_split(db.b, ' ')[1]
+         |  CROSS JOIN ${p}vocab v GROUP BY 1),""".stripMargin
+    s"""WITH alltok AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |  FROM documents),
+       |db AS (SELECT doc_id, unnest(
+       |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+       |  FROM alltok WHERE len(w) >= 2),
+       |${lmBlock("t", s" WHERE lang = '$targetLang'")}
+       |${lmBlock("s", "")}
+       |scored AS (SELECT d.doc_id, d.lang, exp(tsc.lp - ssc.lp) AS wt,
+       |    (${ph("CAST(d.doc_id AS VARCHAR) || '|42'")} + 1)
+       |      / 1152921504606846976.0 AS u
+       |  FROM documents d
+       |  JOIN tsc ON tsc.doc_id = d.doc_id
+       |  JOIN ssc ON ssc.doc_id = d.doc_id)
+       |SELECT doc_id, lang FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY lang
+       |  ORDER BY ln(u) / wt DESC, doc_id) <= $k""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),
+    "q_skew_report"     -> skewOracleSql(10),
+    "q_importance_sample" -> importanceOracleSql("en", 10),
     "q_jaccard_prefix"  -> SparkEntry2.oracleSql("q_ngram_jaccard"),
     "q_zone_maps"       -> zoneMapsOracleSql,
     "q_zone_skip"       -> zoneSkipOracleSql,

@@ -50,6 +50,43 @@ object Checks {
         Seq(childKey), "left_anti")
       .agg(count(lit(1)).cast("long").as("orphans"))
 
+  /** Shuffle-key skew report — run BEFORE committing a partition/join key
+    * at scale: one row describing the key's count distribution.
+    *   n_keys, n_rows        — distinct tuples / total rows
+    *   max_share             — hottest key's fraction (the straggler bound:
+    *                           no salting/AQE plan beats 1/max_share tasks)
+    *   topk_share            — fraction held by the `topK` hottest keys
+    *   gini                  — 0 uniform → 1 one hot key
+    * All ratios are one double division over exact int64 sums, so the
+    * report replays bit-identically on any engine. NULL keys count as a
+    * key (they hash to one partition like any other value — exactly the
+    * skew this measures).
+    *
+    * Scale shape: one count aggregate over the data; everything after runs
+    * on the per-key count table, ranked by the two-phase
+    * [[Scale.globalRowNumber]] (no single-reducer window even at billions
+    * of keys). Gini uses the rank identity
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) with x ascending.
+    */
+  def keySkew(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val ranked = Scale.globalRowNumber(counts,
+      col("__cnt") +: keys.map(col), "__i")
+    val totals = ranked.agg(count(lit(1)).as("__n"), sum("__cnt").as("__tot"))
+    ranked.crossJoin(broadcast(totals))
+      .agg(
+        max("__n").as("n_keys"),
+        max("__tot").as("n_rows"),
+        (max("__cnt").cast("double") / max("__tot")).as("max_share"),
+        (sum(when(col("__i") > col("__n") - topK, col("__cnt"))
+          .otherwise(lit(0L))).cast("double") / max("__tot")).as("topk_share"),
+        ((lit(2L) * sum(col("__i") * col("__cnt"))
+          - (max("__n") + 1L) * max("__tot")).cast("double")
+          / (max("__n") * max("__tot")).cast("double")).as("gini"))
+  }
+
   /** All-in-one pipeline gate: one row with every violation count. The
     * independent aggregates stay separate jobs by design — each is a
     * map-side-combinable pass and Spark schedules them concurrently when

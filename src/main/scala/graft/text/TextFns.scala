@@ -298,6 +298,38 @@ object TextFns {
       .select(col("id").as(idCol), col("n_bigrams"), col("avg_logp"))
   }
 
+  /** DSIR-style importance resampling (the shape of Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023, on the repo's add-one bigram LM instead of hashed n-gram
+    * features): score every candidate doc under a TARGET-corpus LM and
+    * under the SOURCE (candidate-pool) LM; the importance weight
+    * exp(avg_logp_target − avg_logp_source) up-weights documents that look
+    * like the target distribution, and the deterministic
+    * Efraimidis–Spirakis draw ([[graft.ops.Scale.weightedSampleBy]])
+    * selects k per group without replacement — an auditable, replayable
+    * data-selection pass. Docs with no bigrams have no likelihood under
+    * either model and are excluded (inner-join semantics).
+    *
+    * Scale shape: two [[lmScore]] passes (each shuffle-bounded on token
+    * keys — the models are count tables, never driver-side) + the
+    * WindowGroupLimit sample; the candidate corpus is scanned, never
+    * replicated or collected.
+    */
+  def importanceResample(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String,
+                         target: org.apache.spark.sql.DataFrame,
+                         targetText: String, grpCols: Seq[String], k: Int,
+                         seed: String = "42"): org.apache.spark.sql.DataFrame = {
+    val st = lmScore(docs, idCol, textCol, target, targetText)
+      .select(col(idCol), col("avg_logp").as("__lt"))
+    val ss = lmScore(docs, idCol, textCol, docs, textCol)
+      .select(col(idCol), col("avg_logp").as("__ls"))
+    val scored = docs.join(st, idCol).join(ss, idCol)
+    graft.ops.Scale.weightedSampleBy(scored, grpCols, idCol,
+        exp(col("__lt") - col("__ls")), k, seed)
+      .drop("__lt", "__ls")
+  }
+
   /** PII patterns for training-data scrubbing, in application order (most
     * specific first so e.g. the phone pattern never eats an SSN). Each is
     * valid under BOTH Java regex (Spark) and RE2 (DuckDB/Go tooling) — no

@@ -30,6 +30,65 @@ class ChecksSpec extends AnyFunSuite {
     assert(gate.getLong(0) == 1L && gate.getLong(1) == 1L)
   }
 
+  test("keySkew: hand-checked gini, shares, and degenerate distributions") {
+    import spark.implicits._
+    import graft.ops.Checks
+    def report(rows: Seq[String], topK: Int = 10) =
+      Checks.keySkew(rows.toDF("k"), Seq("k"), topK).collect()(0)
+    // uniform 4 keys x 3 rows: gini 0, max_share 1/4
+    val uni = report(Seq("a","a","a","b","b","b","c","c","c","d","d","d"))
+    assert(uni.getLong(0) === 4L && uni.getLong(1) === 12L)
+    assert(uni.getDouble(2) === 0.25 && uni.getDouble(4) === 0.0)
+    // one hot key of 9 + three singletons: counts (1,1,1,9) ascending,
+    // gini = (2*(1+2+3+36) - 5*12) / (4*12) = 24/48 = 0.5
+    val hot = report(Seq.fill(9)("hot") ++ Seq("x","y","z"))
+    assert(hot.getDouble(2) === 0.75 && hot.getDouble(4) === 0.5)
+    // topK smaller than n_keys: top-1 share of the hot distribution
+    assert(report(Seq.fill(9)("hot") ++ Seq("x","y","z"), topK = 1)
+      .getDouble(3) === 0.75)
+    // NULL keys are a key like any other
+    val withNull = Checks.keySkew(
+      Seq(Some("a"), None, None, Some("b")).toDF("k"), Seq("k"), 10)
+      .collect()(0)
+    assert(withNull.getLong(0) === 3L && withNull.getDouble(2) === 0.5)
+    // partition invariance (two-phase rank, exact arithmetic)
+    val big = (1L to 5000L).map(i => (i % 977).toString).toDF("k")
+    TestSpark.assertSameRows(
+      Checks.keySkew(big, Seq("k"), 10),
+      Checks.keySkew(big.repartition(13), Seq("k"), 10))
+    assertThrows[IllegalArgumentException](
+      Checks.keySkew(big, Seq.empty, 10))
+    assertThrows[IllegalArgumentException](
+      Checks.keySkew(big, Seq("k"), 0))
+  }
+
+  test("importanceResample: target-like docs win the draw; no-bigram docs excluded") {
+    import spark.implicits._
+    import graft.text.TextFns
+    // pool: 20 docs speaking language A, 20 speaking language B (disjoint
+    // vocab), plus one single-token doc (no bigrams). Target corpus speaks
+    // A (importance ratio ~7.6x, hand-replayed): the ES draw is weighted,
+    // not a hard filter, so A-speakers dominate but need not sweep — the
+    // replay puts 10 of 12 A-side, pinned here with one doc of margin.
+    val aDocs = (0 until 20).map(i =>
+      (i.toLong, "alpha beta gamma delta alpha beta gamma delta", "g"))
+    val bDocs = (0 until 20).map(i =>
+      (100L + i, "omega psi chi phi omega psi chi phi", "g"))
+    val pool = (aDocs ++ bDocs :+ ((999L, "solo", "g"))).toDF("id", "text", "grp")
+    val target = ((0 until 5).map(_ =>
+        "alpha beta gamma delta alpha beta gamma delta") :+
+      (0 until 26).map(j => s"fill$j").mkString(" ")).toDF("text")
+    val picked = TextFns.importanceResample(pool, "id", "text", target,
+      "text", Seq("grp"), k = 12).select("id").as[Long].collect().toSet
+    assert(picked.size === 12)
+    assert(picked.count(_ < 100L) >= 9, s"A-speakers underrepresented: $picked")
+    assert(!picked.contains(999L))
+    // deterministic: same seed -> same sample
+    val again = TextFns.importanceResample(pool, "id", "text", target,
+      "text", Seq("grp"), k = 12).select("id").as[Long].collect().toSet
+    assert(again === picked)
+  }
+
   test("rows_insert/update/upsert/delete follow the dplyr contract") {
     val target = Tbl(Seq(
       (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v"))

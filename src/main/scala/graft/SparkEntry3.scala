@@ -35,6 +35,10 @@ object SparkEntry3 {
   // everywhere) and the whole graph IS the core — both regimes nontrivially
   // oracle-checked, convergence well under the unrolled-round budget
   private val KCORE_K = 90
+
+  private val PQ_M = 4      // subspaces over the 64-dim embeddings
+  private val PQ_K = 8      // centroids per subspace codebook
+  private val PQ_TOPK = 5
   private val KCORE_ORACLE_ROUNDS = 12
 
   private val ZM_ZONES = 32
@@ -225,6 +229,25 @@ object SparkEntry3 {
         .unionByName(
           Scale.skipEstimate(zmH, "o_custkey", lit(ZM_LO), lit(ZM_HI))
             .withColumn("layout", lit("hash")))
+    }),
+
+    // Product quantization ADC retrieval: per-subspace codebooks trained
+    // with one Lloyd iteration on 1e6-quantized vectors, corpus encoded to
+    // m=4 codes, queries answered from the broadcast distance LUT. Every
+    // distance replays bit-for-bit (left-to-right dots, fixed-order
+    // per-subspace combine), so the full train->encode->probe pipeline is
+    // hash-checked against the generated oracle.
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000.0).cast("double")).as("qv"))
+      val cb = Dedup.trackCache(graft.ml.Pq.train(emb, "vec_id", "qv",
+        m = PQ_M, k = PQ_K, iters = 1,
+        initHash = Some(Sketch.portableHash(col("vec_id").cast("string")))))
+      val codes = graft.ml.Pq.encode(emb, cb, "vec_id", "qv", PQ_M)
+      graft.ml.Pq.adcTopK(codes, cb, emb.filter(col("vec_id") < 5),
+        "vec_id", "qv", PQ_M, PQ_TOPK)
     }),
 
     // SemDeDup on the perturbed-copy corpus (each vector + a near-identical
@@ -610,8 +633,67 @@ object SparkEntry3 {
        |  ORDER BY ln(u) / wt DESC, doc_id) <= $k""".stripMargin
   }
 
+  /** Replays `q_pq_topk` end to end: per-subspace init sample, one Lloyd
+    * iteration, dense code renumbering, encode argmin, the query LUT, and
+    * the fixed-order ADC combine — all on the portable hash + quantized
+    * integers, so ranks hash-match. */
+  private def pqOracleSql(m: Int, k: Int, topK: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (SELECT vec_id,
+              |    list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS v
+              |  FROM embeddings),
+              |""".stripMargin
+    val d = "list_dot_product(c.cvec, c.cvec)" +
+      " - 2.0 * list_dot_product(s.subv, c.cvec)"
+    for (s <- 0 until m) {
+      sb ++= s"""sv$s AS (SELECT vec_id,
+                |    v[($s * (len(v) // $m)) + 1 : ${s + 1} * (len(v) // $m)] AS subv
+                |  FROM q),
+                |c0_$s AS (SELECT ${ph("CAST(vec_id AS VARCHAR)")} AS cid,
+                |    subv AS cvec
+                |  FROM sv$s ORDER BY cid LIMIT $k),
+                |a$s AS (SELECT vec_id, subv, cid FROM (
+                |    SELECT s.vec_id, s.subv, c.cid,
+                |      row_number() OVER (PARTITION BY s.vec_id
+                |        ORDER BY $d, c.cid) AS rk
+                |    FROM sv$s s CROSS JOIN c0_$s c) WHERE rk = 1),
+                |u$s AS (SELECT cid, ii.i AS i, sum(subv[ii.i]) AS sm,
+                |    count(*) AS n
+                |  FROM a$s, LATERAL (SELECT unnest(range(1, len(subv) + 1)) AS i) ii
+                |  GROUP BY cid, ii.i),
+                |cb$s AS (SELECT row_number() OVER (ORDER BY cid) - 1 AS code, cvec
+                |  FROM (SELECT cid, list(sm / n ORDER BY i) AS cvec
+                |        FROM u$s GROUP BY cid)),
+                |e$s AS (SELECT vec_id, code FROM (
+                |    SELECT s.vec_id, c.code,
+                |      row_number() OVER (PARTITION BY s.vec_id
+                |        ORDER BY $d, c.code) AS rk
+                |    FROM sv$s s CROSS JOIN cb$s c) WHERE rk = 1),
+                |l$s AS (SELECT s.vec_id AS query_id, c.code, $d AS pd
+                |  FROM sv$s s CROSS JOIN cb$s c WHERE s.vec_id < 5),
+                |""".stripMargin
+    }
+    val joins = (0 until m).map(s =>
+      s"JOIN e$s ON e$s.vec_id = it.vec_id" +
+        s" JOIN l$s ON l$s.query_id = qs.vec_id AND l$s.code = e$s.code")
+      .mkString("\n  ")
+    val adist = (0 until m).map(s => s"l$s.pd").mkString(" + ")
+    sb ++= s"""ad AS (SELECT qs.vec_id AS query_id, it.vec_id AS item_id,
+              |    $adist AS adist
+              |  FROM (SELECT vec_id FROM q WHERE vec_id < 5) qs
+              |  CROSS JOIN (SELECT vec_id FROM q) it
+              |  $joins)
+              |SELECT query_id, item_id, rk FROM (
+              |  SELECT query_id, item_id,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY adist, item_id) AS rk
+              |  FROM ad) WHERE rk <= $topK""".stripMargin
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),
+    "q_pq_topk"         -> pqOracleSql(PQ_M, PQ_K, PQ_TOPK),
     "q_skew_report"     -> skewOracleSql(10),
     "q_importance_sample" -> importanceOracleSql("en", 10),
     "q_jaccard_prefix"  -> SparkEntry2.oracleSql("q_ngram_jaccard"),

@@ -39,6 +39,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined < 0.2, s"mean |jaccard - est| = $joined")
   }
 
+  test("PQ: subvectors reassemble; codes bounded; encode partition-invariant") {
+    import graft.ml.Pq
+    val m = 4
+    val sv = Pq.subVectors(emb, "vec_id", "embedding", m)
+    // ordered subvector concat == the original vector
+    val back = sv.groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("subv").as("p")))),
+        e => e.getField("p"))).as("rebuilt"))
+      .join(emb, "vec_id")
+      .filter(col("rebuilt") =!= col("embedding"))
+    assert(back.count() === 0L)
+    val cb = graft.ml.Dedup.trackCache(
+      Pq.train(emb, "vec_id", "embedding", m, k = 8, iters = 2))
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", m)
+    val bad = codes.filter(size(col("codes")) =!= m ||
+      exists(col("codes"), c => c < 0 || c >= 8))
+    assert(bad.count() === 0L)
+    TestSpark.assertSameRows(codes,
+      Pq.encode(emb.repartition(11), cb, "vec_id", "embedding", m))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("PQ ADC: k>=n codebooks are exact VQ; trained codebooks find planted near-dups") {
+    import spark.implicits._
+    import graft.ml.Pq
+    // exactness regime: one centroid per distinct subvector (k >= n,
+    // iters>=1 makes each centroid the vector itself) -> ADC distance IS
+    // the true squared distance, so ranking == brute force on the corpus
+    val tiny = emb.filter(col("vec_id") < 40)
+    val cbx = graft.ml.Dedup.trackCache(
+      Pq.train(tiny, "vec_id", "embedding", 4, k = 64, iters = 1))
+    val cx = Pq.encode(tiny, cbx, "vec_id", "embedding", 4)
+    val queries = tiny.filter(col("vec_id") < 5)
+    val adc = Pq.adcTopK(cx, cbx, queries, "vec_id", "embedding", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    // ADC ranks exact squared distance here, so the self-query's top hit
+    // must be the query itself
+    for (q <- 0L until 5L) assert(adc((q, 1L)) === q, s"query $q top-1")
+    // lossy regime: planted perturbed copies (id+10000) must retrieve
+    // their source in the ADC top-3 for most queries
+    val pert = emb.withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * 1.01))
+    val cb = graft.ml.Dedup.trackCache(
+      Pq.train(emb, "vec_id", "embedding", 4, k = 8, iters = 2))
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", 4)
+    val hits = Pq.adcTopK(codes, cb, pert.filter(col("vec_id") < 10020),
+        "vec_id", "embedding", 4, 3)
+      .filter(col("item_id") === col("query_id") - 10000).count()
+    assert(hits >= 16L, s"ADC recall of planted copies: $hits/20")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("prefix-filtered jaccard pairs == inverted-index jaccard pairs (3 thresholds)") {
     // same semantics, different candidate generation: PPJoin prefix filter
     // must lose NO pair and admit no extra, at loose and tight thresholds

@@ -76,6 +76,42 @@ class PlanSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("round-9b queries: PQ broadcasts, zone maps range-partition, prefix join equi-joins") {
+    // PQ ADC probe: codebooks/LUT broadcast; code->LUT join is hash, the
+    // only nested loop is the broadcast centroid scoring
+    val pq = plan("q_pq_topk")
+    assert(pq.contains("BroadcastExchange"), pq.take(600))
+    assert(!pq.contains("CartesianProduct"), pq.take(600))
+    // zone maps: the layout rank is the two-phase range prefix sum (range
+    // exchange present; no whole-data sort into one task — the only
+    // SinglePartition exchanges feed scalar aggregates / tiny offset
+    // tables, never a Window or data-wide Sort)
+    val zm = plan("q_zone_maps")
+    assert(zm.contains("rangepartitioning"), zm.take(800))
+    assert(!hasGlobalWindow(zm), zm.take(1200))
+    // prefix-filtered jaccard: candidates and verification are equi-joins
+    val jp = plan("q_jaccard_prefix")
+    assert(!jp.contains("CartesianProduct") &&
+      !jp.contains("BroadcastNestedLoopJoin"), jp.take(600))
+    // skew report: its per-key rank is the two-phase prefix sum too
+    val sk = plan("q_skew_report")
+    assert(sk.contains("rangepartitioning"), sk.take(800))
+    assert(!hasGlobalWindow(sk), sk.take(1200))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  /** A Window with an empty partition spec — the whole-data-in-one-task
+    * shape the two-phase prefix sums exist to avoid. */
+  private def hasGlobalWindow(p: String): Boolean =
+    "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined
+
+  test("quantile sketch: no cartesian; estimate windows stay per-group") {
+    val p = plan("q_qsketch")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!hasGlobalWindow(p), p.take(1200))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("knnJoin generates candidates by equi-join — no cartesian, no nested loop") {
     val p = plan("q_knn_join")
     assert(!p.contains("CartesianProduct"), "knnJoin must never plan a cartesian")

@@ -164,6 +164,38 @@ object SparkEntry3 {
         (col("l_suppkey") % 300).as("dst")))
     }),
 
+    // The explicit skew remedies, oracle-checked against their plain
+    // formulations: salting must be invisible in the RESULT (the plan is
+    // where it differs — ScaleSpec pins the differential, the oracle pins
+    // engine-level equality with an unsalted plain-SQL join/aggregate).
+    "q_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+      val c = t(s, dir, "customer").df
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Scale.saltedJoin(o.select("o_orderkey", "o_custkey"), c,
+          "o_custkey", saltFactor = 4)
+        .select("o_orderkey", "o_custkey", "c_mktsegment")
+    }),
+
+    "q_salted_agg" -> ((s, dir) =>
+      Scale.saltedAgg(t(s, dir, "lineitem").df, Seq("l_returnflag"),
+        saltFactor = 8, saltOn = Seq(col("l_orderkey")))(Seq(
+        ("sum_qty", sum(col("l_quantity")), sum(col("sum_qty"))),
+        ("n_rows", count(lit(1)), sum(col("n_rows"))))) ),
+
+    // Join-size estimation from two standing count-min sketches (CM inner
+    // product): sizes |orders JOIN customer| without touching either
+    // table — the broadcast-vs-shuffle planning probe. width=64 keeps the
+    // oracle in the collision (overestimate) regime like q_count_min.
+    "q_join_size" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+      val c = t(s, dir, "customer").df
+      Sketch.countMinJoinSize(
+        Sketch.countMin(o, col("o_custkey"), CM_WIDTH, CM_DEPTH),
+        Sketch.countMin(c, col("c_custkey"), CM_WIDTH, CM_DEPTH),
+        CM_DEPTH)
+    }),
+
     // Shuffle-key skew report over the event stream's user ids: one row
     // of distribution shape (max/topk share, Gini) — the pre-flight check
     // before committing a partition key. Exact integer sums, one double
@@ -693,8 +725,35 @@ object SparkEntry3 {
     sb.toString
   }
 
+  private def joinSizeOracleSql(width: Int, depth: Int): String =
+    s"""WITH d AS (SELECT unnest(range(0, $depth)) AS d),
+       |ka AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+       |    WHERE o_custkey IS NOT NULL),
+       |sa AS (SELECT d.d AS d,
+       |    ${ph("CAST(d.d AS VARCHAR) || '|' || ka.k")} % $width AS b,
+       |    count(*) AS cnt
+       |  FROM ka CROSS JOIN d GROUP BY 1, 2),
+       |kb AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer
+       |    WHERE c_custkey IS NOT NULL),
+       |sb AS (SELECT d.d AS d,
+       |    ${ph("CAST(d.d AS VARCHAR) || '|' || kb.k")} % $width AS b,
+       |    count(*) AS cnt
+       |  FROM kb CROSS JOIN d GROUP BY 1, 2),
+       |ip AS (SELECT sa.d, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
+       |  FROM sa JOIN sb ON sa.d = sb.d AND sa.b = sb.b GROUP BY 1)
+       |SELECT CAST(CASE WHEN count(*) = $depth THEN min(ip) ELSE 0 END
+       |  AS BIGINT) AS est FROM ip""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),
+    "q_join_size"       -> joinSizeOracleSql(CM_WIDTH, CM_DEPTH),
+    "q_salted_join"     ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_salted_agg"      ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_pq_topk"         -> pqOracleSql(PQ_M, PQ_K, PQ_TOPK),
     "q_skew_report"     -> skewOracleSql(10),
     "q_importance_sample" -> importanceOracleSql("en", 10),

@@ -81,6 +81,28 @@ object Sketch {
   def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("d", "b").agg(sum("cnt").as("cnt"))
 
+  /** Equi-join cardinality estimate from two count-min sketches built with
+    * the SAME (width, depth) over the two join keys — the classic CM
+    * inner-product estimator (Cormode & Muthukrishnan §4.2): for each
+    * depth row, Σ_b cntA[b]·cntB[b] ≥ |A ⋈ B|, and the minimum over rows
+    * is the estimate. One-sided like the point query: never an
+    * underestimate, within εN_aN_b w.h.p. The planner-style use at scale:
+    * size a prospective join (choose broadcast vs shuffle vs prefilter)
+    * from two tiny standing sketches WITHOUT touching either table.
+    * Output: one row (est). Exact integers — oracle-replayable including
+    * the collision regime. `depth` must match the builds: a depth row
+    * whose bucket sets don't intersect has inner product 0 — it vanishes
+    * from the bucket equi-join, so it must force the estimate to 0 rather
+    * than silently dropping out of the min.
+    */
+  def countMinJoinSize(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    a.join(b.withColumnsRenamed(Map("cnt" -> "__cb")), Seq("d", "b"))
+      .groupBy("d").agg(sum(col("cnt") * col("__cb")).as("__ip"))
+      .agg(when(count(lit(1)) === depth, min("__ip")).otherwise(lit(0L))
+        .as("est"))
+  }
+
   // -------------------------------------------------------------------
   // per-group HLL cardinality summaries (Apache DataSketches via Spark's
   // hll_sketch_agg family) — the distinct-count sibling of [[countMin]]:

@@ -557,6 +557,32 @@ object StreamVerbs {
     }
   }
 
+  /** Streaming per-group quantile sketch: each micro-batch builds its own
+    * [[graft.ops.Sketch.quantileSketchByGroup]] summary and folds it into
+    * the standing sketch with `quantileSketchMerge` — the incremental-
+    * quantiles sibling of [[streamingCountMin]]; batch N never re-reads
+    * batches 1..N−1 (that mergeability is the sketch's reason to exist).
+    * The sink receives the standing sketch after every batch; query it
+    * with `quantileEstimate`.
+    */
+  def streamingQuantileSketch(t: Tbl, grpCols: Seq[String], value: Column,
+                              k: Int, initial: Option[DataFrame] = None)
+                             (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var acc: Option[DataFrame] = initial
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val bs = graft.ops.Sketch.quantileSketchByGroup(batch, grpCols, value, k)
+      val merged = acc match {
+        case None       => bs
+        case Some(prev) => graft.ops.Sketch.quantileSketchMerge(prev, bs,
+          grpCols, k)
+      }
+      val pinned = merged.localCheckpoint()
+      acc = Some(pinned)
+      sink(pinned)
+    }
+  }
+
   /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed
     * fingerprints ([[graft.ml.Dedup.winnowFingerprints]], same n/w/hash as
     * the persisted corpus index) joined against the PERSISTED (id, fp)

@@ -85,6 +85,32 @@ class SketchSpec extends AnyFunSuite {
     assertSameRows(merged, exact)
   }
 
+  test("countMinJoinSize: one-sided, exact with ample width, 0 on disjoint keys") {
+    import spark.implicits._
+    val a = spark.range(300).select((col("id") % 40).as("k"))
+    val b = spark.range(200).select((col("id") % 25).as("k"))
+    val trueSize = a.join(b, "k").count()
+    // ample width: every key its own bucket -> estimate is exact
+    val exactEst = Sketch.countMinJoinSize(
+      Sketch.countMin(a, col("k"), 4096, 3),
+      Sketch.countMin(b, col("k"), 4096, 3), 3).collect()(0).getLong(0)
+    assert(exactEst === trueSize)
+    // collision regime: never an underestimate
+    val tight = Sketch.countMinJoinSize(
+      Sketch.countMin(a, col("k"), 8, 3),
+      Sketch.countMin(b, col("k"), 8, 3), 3).collect()(0).getLong(0)
+    assert(tight >= trueSize)
+    // disjoint single keys with ample width: their buckets differ at some
+    // depth, and that empty-intersection row must force the estimate to 0
+    // (not silently drop out of the min)
+    val x = Seq("only_x").toDF("k")
+    val y = Seq("only_y").toDF("k")
+    val disj = Sketch.countMinJoinSize(
+      Sketch.countMin(x, col("k"), 4096, 3),
+      Sketch.countMin(y, col("k"), 4096, 3), 3).collect()(0).getLong(0)
+    assert(disj === 0L)
+  }
+
   // ---------------------------------------------------------------
   // quantile sketch
   // ---------------------------------------------------------------

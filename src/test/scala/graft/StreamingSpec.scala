@@ -679,6 +679,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == scratch && scratch.nonEmpty, s"$last vs $scratch")
   }
 
+  test("streaming quantile sketch: cumulative merge across batches == from-scratch (exact regime)") {
+    import spark.implicits._
+    val batch1 = Seq(("g", 5.0), ("g", 1.0), ("g", 9.0), ("h", 2.0))
+    val batch2 = Seq(("g", 3.0), ("g", 7.0), ("h", 4.0), ("h", 6.0))
+    val dir = Files.createTempDirectory("graft-sqs").toFile
+    val ckpt = Files.createTempDirectory("graft-sqs-ckpt").toFile
+    batch1.toDF("grp", "x").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    batch2.toDF("grp", "x").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batch1.toDF("grp", "x").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    var last: Set[(String, Int, Double, Long)] = Set.empty
+    var nBatches = 0
+    val q = StreamVerbs.streamingQuantileSketch(
+        Tbl(stream), Seq("grp"), col("x"), k = 64) { sk =>
+        nBatches += 1
+        last = sk.collect().map(r =>
+          (r.getString(0), r.getInt(r.fieldIndex("lvl")),
+           r.getDouble(r.fieldIndex("v")), r.getLong(r.fieldIndex("w")))).toSet
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(nBatches == 2, s"expected two microbatches, got $nBatches")
+    // exact regime (k above the stream size): merged sketch == one-pass
+    // build, and its estimates are exact order statistics
+    val scratch = graft.ops.Sketch.quantileSketchByGroup(
+        (batch1 ++ batch2).toDF("grp", "x"), Seq("grp"), col("x"), 64)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(r.fieldIndex("lvl")),
+         r.getDouble(r.fieldIndex("v")), r.getLong(r.fieldIndex("w")))).toSet
+    assert(last == scratch && scratch.nonEmpty, s"$last vs $scratch")
+  }
+
   test("streaming span mask scrubs known duplicated grams; parity with batch Against") {
     import spark.implicits._
     val corpus = Seq(

@@ -42,6 +42,8 @@ object SparkEntry3 {
   private val PQ_TOPK = 5
   private val KCORE_ORACLE_ROUNDS = 12
 
+  private val JP_T = 0.8    // q_jaccard_prefix threshold (PPJoin's regime)
+
   private val ZM_ZONES = 32
   private val ZM_LO = 100
   private val ZM_HI = 400
@@ -227,12 +229,19 @@ object SparkEntry3 {
         (col("l_suppkey") % KCORE_MOD).as("dst")), KCORE_K)
     }),
 
-    // Prefix-filtered exact Jaccard pairs: same answer as q_ngram_jaccard
-    // (the oracle is literally shared), candidate generation via the
-    // PPJoin prefix filter instead of the full inverted index.
+    // Prefix-filtered exact Jaccard pairs: same semantics as
+    // q_ngram_jaccard, candidate generation via the PPJoin prefix filter
+    // instead of the full inverted index. Run at t=0.8 — the technique's
+    // regime: the indexed prefix is ~20% of the shingle table, so the
+    // QUADRATIC same-shingle candidate term shrinks ~25x. At test SFs the
+    // linear overheads (the per-set rarest-prefix rank, the candidate
+    // verification joins) still dominate and the plain join is faster —
+    // the crossover is where d² candidate blow-up outgrows a sort pass,
+    // i.e. real corpus scale. Equality at 0.3/0.5/0.8 is pinned in
+    // PipelineSpec; the oracle pins it at 0.8 against DuckDB.
     "q_jaccard_prefix" -> ((s, dir) =>
       Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents").df, "doc_id",
-          "text", n = 3, threshold = 0.5)
+          "text", n = 3, threshold = JP_T)
         .withColumn("jaccard", round(col("jaccard"), 4))),
 
     // Zone maps over the Z-ordered orders layout: 32 equal-depth zones cut
@@ -757,7 +766,10 @@ object SparkEntry3 {
     "q_pq_topk"         -> pqOracleSql(PQ_M, PQ_K, PQ_TOPK),
     "q_skew_report"     -> skewOracleSql(10),
     "q_importance_sample" -> importanceOracleSql("en", 10),
-    "q_jaccard_prefix"  -> SparkEntry2.oracleSql("q_ngram_jaccard"),
+    // q_ngram_jaccard's oracle with the threshold swapped to PPJoin's
+    // regime (same shingle/guard/jaccard semantics)
+    "q_jaccard_prefix"  -> SparkEntry2.oracleSql("q_ngram_jaccard")
+      .replace(">= 0.5", s">= $JP_T"),
     "q_zone_maps"       -> zoneMapsOracleSql,
     "q_zone_skip"       -> zoneSkipOracleSql,
     "q_bpe"             -> bpeOracleSql(8),

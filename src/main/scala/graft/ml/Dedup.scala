@@ -176,12 +176,21 @@ object Dedup {
                               maxDf: Int = 1000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
-    val sh = scopedCache(shingleTable(df, idCol, textCol, n, maxDf))
+    // build the shingle table locally KEEPING the per-shingle df that the
+    // maxDf guard already computes in its window pass — the prefix order
+    // needs exactly that count, so reusing it saves a second full
+    // aggregate + join over the shingle table
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val shDf = scopedCache(spread(df)
+      .select(col(idCol).as("id"),
+        explode(graft.text.TextFns.shingleHashes(col(textCol), n)).as("g"))
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(if (maxDf > 0) col("__df") <= maxDf else lit(true)))
+    val sh = shDf.select("id", "g")
     val sizes = scopedCache(sh.groupBy("id").agg(count(lit(1)).as("sz")))
-    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("__df"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("__df"), col("g"))
-    val pref = sh.join(dfreq, "g")
+    val pref = shDf
       .withColumn("__rn", row_number().over(win))
       .join(sizes, "id")
       .where(col("__rn") <=

@@ -166,6 +166,13 @@ object SparkEntry3 {
         (col("l_suppkey") % 300).as("dst")))
     }),
 
+    // The one-row dataset card: totals, mean quality, dominant language,
+    // exact-dup count — the pre-ship corpus summary, every cell
+    // oracle-checked.
+    "q_corpus_report" -> ((s, dir) =>
+      graft.ops.Checks.corpusReport(t(s, dir, "documents").df,
+        "doc_id", "text")),
+
     // The explicit skew remedies, oracle-checked against their plain
     // formulations: salting must be invisible in the RESULT (the plan is
     // where it differs — ScaleSpec pins the differential, the oracle pins
@@ -621,6 +628,48 @@ object SparkEntry3 {
        |  CAST(sum(CASE WHEN mx < $ZM_LO OR mn > $ZM_HI THEN 1 ELSE 0 END)
        |    AS BIGINT), 'hash' FROM zm2""".stripMargin
 
+  /** Replays [[graft.ops.Checks.corpusReport]]: the Gopher-check quality
+    * mean, the stopword-argmax language id (tie → larger code), and the
+    * normalized-md5 duplicate count, same expressions as the q_quality /
+    * q_lang_id / q_dedup_exact oracles. */
+  private val corpusReportOracleSql: String =
+    """WITH b AS (SELECT doc_id,
+      |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ntok,
+      |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nosp,
+      |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text) AS punct,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digits,
+      |    length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text) AS uppers,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> t IN ('the','and','of','to','is'))) AS s_en,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> t IN ('der','und','die','das','ist'))) AS s_de,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> t IN ('le','la','et','les','est'))) AS s_fr,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> t IN ('el','de','la','que','es'))) AS s_es,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |q AS (SELECT *,
+      |    ((CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END) +
+      |     (CASE WHEN n_nosp * 1.0 / ntok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+      |     (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END) +
+      |     (CASE WHEN digits <= 0.2 THEN 1.0 ELSE 0.0 END) +
+      |     (CASE WHEN uppers <= 0.3 THEN 1.0 ELSE 0.0 END)) / 5 AS qs,
+      |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+      |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+      |         WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+      |         WHEN s_en = greatest(s_en, s_de) THEN 'en'
+      |         ELSE 'de' END AS lng
+      |  FROM b),
+      |m AS (SELECT count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |    round(avg(qs), 4) AS mean_quality FROM q),
+      |l AS (SELECT lng AS top_lang, CAST(cnt AS BIGINT) AS top_lang_docs FROM (
+      |    SELECT lng, count(*) AS cnt FROM q GROUP BY 1
+      |    ORDER BY cnt DESC, lng DESC LIMIT 1)),
+      |d AS (SELECT CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs
+      |  FROM q)
+      |SELECT * FROM m, l, d""".stripMargin
+
   private def skewOracleSql(topK: Int): String =
     s"""WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS i FROM c),
@@ -756,6 +805,7 @@ object SparkEntry3 {
   def oracleSql: Map[String, String] = Map(
     "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),
     "q_join_size"       -> joinSizeOracleSql(CM_WIDTH, CM_DEPTH),
+    "q_corpus_report"   -> corpusReportOracleSql,
     "q_salted_join"     ->
       """SELECT o_orderkey, o_custkey, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,

@@ -87,6 +87,40 @@ object Checks {
           / (max("__n") * max("__tot")).cast("double")).as("gini"))
   }
 
+  /** One-row "dataset card" for a document corpus — the summary a training
+    * pipeline prints before shipping a crawl snapshot: document and token
+    * totals, mean Gopher-style quality, the dominant language (argmax with
+    * a deterministic tie to the larger code), and the exact duplicate
+    * count (normalized-md5 fingerprints). Columns: n_docs, n_tokens,
+    * mean_quality, top_lang, top_lang_docs, dup_docs.
+    *
+    * Scale shape: one projection pass derives every per-doc signal
+    * (map-only, codegen'd), then three independent aggregates — a global
+    * scalar fold, a language mode over ≤ |langs| rows, and a fingerprint
+    * distinct count — crossJoined as broadcast single rows. Nothing
+    * collects, nothing is quadratic.
+    */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.text.TextFns
+    val t = col(textCol)
+    val base = df.select(col(idCol),
+      TextFns.tokenCount(t).cast("long").as("__ntok"),
+      TextFns.qualityScore(t).as("__q"),
+      TextFns.langId(t).as("__lang"),
+      TextFns.fingerprint(t).as("__fp"))
+    val main = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum("__ntok").as("n_tokens"),
+      round(avg("__q"), 4).as("mean_quality"))
+    val topLang = base.groupBy("__lang").agg(count(lit(1)).as("__c"))
+      .agg(max(struct(col("__c"), col("__lang"))).as("__m"))
+      .select(col("__m.__lang").as("top_lang"),
+        col("__m.__c").as("top_lang_docs"))
+    val dups = base.agg(
+      (count(lit(1)) - countDistinct(col("__fp"))).cast("long").as("dup_docs"))
+    main.crossJoin(broadcast(topLang)).crossJoin(broadcast(dups))
+  }
+
   /** All-in-one pipeline gate: one row with every violation count. The
     * independent aggregates stay separate jobs by design — each is a
     * map-side-combinable pass and Spark schedules them concurrently when

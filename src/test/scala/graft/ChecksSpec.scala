@@ -89,6 +89,28 @@ class ChecksSpec extends AnyFunSuite {
     assert(again === picked)
   }
 
+  test("corpusReport: hand-checked card on a tiny planted corpus") {
+    import spark.implicits._
+    import graft.ops.Checks
+    val good = "the quick brown fox jumps over the lazy dog and runs to the den is deep"
+    val docs = Seq(
+      (1L, good),                         // quality 1.0, en
+      (2L, good),                         // exact duplicate of 1
+      (3L, "der hund und die katze und das haus ist hier und der baum und die tur ist alt"), // de
+      (4L, "1234 5678 9999 0000 1111 2222 3333 4444 5555 6666")  // digit junk
+    ).toDF("doc_id", "text")
+    val r = Checks.corpusReport(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_docs")) === 4L)
+    assert(r.getLong(r.fieldIndex("dup_docs")) === 1L)
+    assert(r.getString(r.fieldIndex("top_lang")) === "en")
+    assert(r.getLong(r.fieldIndex("top_lang_docs")) === 2L)
+    val ntok = r.getLong(r.fieldIndex("n_tokens"))
+    assert(ntok === (16 + 16 + 18 + 10L))
+    // doc 4 fails the digit and length checks; mean = (1+1+1+q4)/4
+    val mq = r.getDouble(r.fieldIndex("mean_quality"))
+    assert(mq < 1.0 && mq > 0.5, s"mean_quality $mq")
+  }
+
   test("rows_insert/update/upsert/delete follow the dplyr contract") {
     val target = Tbl(Seq(
       (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v"))

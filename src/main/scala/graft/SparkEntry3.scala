@@ -166,6 +166,14 @@ object SparkEntry3 {
         (col("l_suppkey") % 300).as("dst")))
     }),
 
+    // Sketch-backed describe: per-column stats in one melted pass, type-1
+    // quantiles from the mergeable sketch. Exact regime at these SFs
+    // (customer rows per column < k), so every cell oracle-checks.
+    "q_describe_approx" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .describeApprox(16384, Seq(Sel.Name("c_custkey"),
+          Sel.Name("c_nationkey"), Sel.Name("c_acctbal"))).df),
+
     // The one-row dataset card: totals, mean quality, dominant language,
     // exact-dup count — the pre-ship corpus summary, every cell
     // oracle-checked.
@@ -670,6 +678,29 @@ object SparkEntry3 {
       |  FROM q)
       |SELECT * FROM m, l, d""".stripMargin
 
+  /** Type-1 (⌈q·n⌉-th order statistic) per-column describe — the exact
+    * regime of `describeApprox`'s sketch quantiles. */
+  private def describeApproxOracleSql(cols: Seq[String]): String = {
+    val union = cols.map(c =>
+      s"SELECT '$c' AS \"column\", CAST($c AS DOUBLE) AS v FROM customer")
+      .mkString("\n  UNION ALL ")
+    s"""WITH src AS ($union),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY "column" ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY "column") AS n
+       |  FROM src WHERE v IS NOT NULL),
+       |qs AS (SELECT "column",
+       |    min(CASE WHEN rn >= (2500 * n + 9999) // 10000 THEN v END) AS q25,
+       |    min(CASE WHEN rn >= (5000 * n + 9999) // 10000 THEN v END) AS q50,
+       |    min(CASE WHEN rn >= (7500 * n + 9999) // 10000 THEN v END) AS q75
+       |  FROM r GROUP BY 1),
+       |st AS (SELECT "column", count(v) AS count, round(avg(v), 4) AS mean,
+       |    round(stddev_samp(v), 4) AS stddev, min(v) AS min, max(v) AS max
+       |  FROM src GROUP BY 1)
+       |SELECT st."column", st.count, st.mean, st.stddev, st.min,
+       |  qs.q25, qs.q50, qs.q75, st.max
+       |FROM st JOIN qs USING ("column")""".stripMargin
+  }
+
   private def skewOracleSql(topK: Int): String =
     s"""WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS i FROM c),
@@ -806,6 +837,8 @@ object SparkEntry3 {
     "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),
     "q_join_size"       -> joinSizeOracleSql(CM_WIDTH, CM_DEPTH),
     "q_corpus_report"   -> corpusReportOracleSql,
+    "q_describe_approx" -> describeApproxOracleSql(
+      Seq("c_custkey", "c_nationkey", "c_acctbal")),
     "q_salted_join"     ->
       """SELECT o_orderkey, o_custkey, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,

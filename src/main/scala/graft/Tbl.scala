@@ -500,6 +500,47 @@ final case class Tbl(
     Tbl(one.select(rows.as("r")).select(col("r.*")))
   }
 
+  /** [[describeExact]]'s scale sibling: quantiles come from ONE mergeable
+    * per-column quantile sketch ([[graft.ops.Sketch.quantileSketchByGroup]]
+    * over the melted (column, value) relation — one pass for every column)
+    * instead of an exact per-column `percentile` sort. Quantile semantics
+    * are type-1 (the ⌈q·n⌉-th order statistic, no interpolation) — exact
+    * while a column holds ≤ k values, rank error O(log(n/k)/k) beyond.
+    * count/mean/stddev/min/max stay exact (one aggregate pass). Same
+    * output shape as describeExact: (column, count, mean, stddev, min,
+    * q25, q50, q75, max), mean/stddev rounded to 4dp.
+    */
+  def describeApprox(sel: Sel*): Tbl = describeApprox(8192, sel)
+
+  /** [[describeApprox]] with an explicit per-level sketch capacity. */
+  def describeApprox(k: Int, sel: Seq[Sel]): Tbl = {
+    import graft.ops.Sketch
+    val cs =
+      if (sel.isEmpty) typedFields.collect {
+        case (n, dt) if dt.isInstanceOf[org.apache.spark.sql.types.NumericType] => n
+      }
+      else Sel.resolveT(typedFields, sel).map(_._2)
+    require(cs.nonEmpty, "describeApprox: no numeric columns selected")
+    def d(n: String) = col(n).cast("double")
+    val long = df.select(org.apache.spark.sql.functions.explode(array(
+        cs.map(n => struct(lit(n).as("column"), d(n).as("v"))): _*)).as("r"))
+      .select(col("r.*"))
+    val sk = Sketch.quantileSketchByGroup(long, Seq("column"), col("v"), k)
+    val qp = Sketch.quantileEstimate(sk, Seq("column"), Seq(2500, 5000, 7500))
+      .groupBy("column").agg(
+        max(when(col("q") === 0.25, col("est"))).as("q25"),
+        max(when(col("q") === 0.5, col("est"))).as("q50"),
+        max(when(col("q") === 0.75, col("est"))).as("q75"))
+    val stats = long.groupBy("column").agg(
+      org.apache.spark.sql.functions.count(col("v")).as("count"),
+      round(avg(col("v")), 4).as("mean"),
+      round(stddev_samp(col("v")), 4).as("stddev"),
+      min(col("v")).as("min"), max(col("v")).as("max"))
+    Tbl(stats.join(qp, Seq("column"))
+      .select("column", "count", "mean", "stddev", "min", "q25", "q50",
+        "q75", "max"))
+  }
+
   /** count() appended to the original rows — a windowed count
     * (`COUNT(*) OVER (PARTITION BY keys)`, siuba/sql/verbs/count.py:58-84).
     * No shuffle beyond the window exchange; no join back.

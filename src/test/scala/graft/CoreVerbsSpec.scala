@@ -116,6 +116,30 @@ class CoreVerbsSpec extends AnyFunSuite {
     assert(m == "a")
   }
 
+  test("describeApprox: exact regime == order statistics; sketch regime stays bounded") {
+    import spark.implicits._
+    val data = (1L to 1000L).map(i => (i * 2654435761L % 997).toDouble)
+      .toDF("x")
+    // exact regime (k > n): quantiles are the ceil(q*n)-th order statistics
+    val r = Tbl(data).describeApprox(2048, Seq(Sel.Name("x"))).df.collect()(0)
+    val sorted = data.orderBy("x").collect().map(_.getDouble(0))
+    assert(r.getLong(r.fieldIndex("count")) === 1000L)
+    assert(r.getDouble(r.fieldIndex("min")) === sorted.head)
+    assert(r.getDouble(r.fieldIndex("max")) === sorted.last)
+    assert(r.getDouble(r.fieldIndex("q50")) === sorted(499)) // ceil(.5*1000)=500
+    assert(r.getDouble(r.fieldIndex("q25")) === sorted(249))
+    // compaction regime (k << n): estimates drawn from the data, ordered,
+    // inside [min, max]
+    val a = Tbl(data).describeApprox(32, Seq(Sel.Name("x"))).df.collect()(0)
+    val (q25, q50, q75) = (a.getDouble(a.fieldIndex("q25")),
+      a.getDouble(a.fieldIndex("q50")), a.getDouble(a.fieldIndex("q75")))
+    assert(q25 <= q50 && q50 <= q75)
+    assert(q25 >= sorted.head && q75 <= sorted.last)
+    // no numeric columns -> loud error
+    assertThrows[IllegalArgumentException](
+      Tbl(Seq("a").toDF("s")).describeApprox(64, Seq(Sel.Name("s"))))
+  }
+
   test("window functions: row_number, rank, lead/lag, cumsum") {
     val out = Tbl(df).groupBy("g").arrange(col("x"))
       .mutate(

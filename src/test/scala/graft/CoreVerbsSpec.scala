@@ -135,9 +135,9 @@ class CoreVerbsSpec extends AnyFunSuite {
       a.getDouble(a.fieldIndex("q50")), a.getDouble(a.fieldIndex("q75")))
     assert(q25 <= q50 && q50 <= q75)
     assert(q25 >= sorted.head && q75 <= sorted.last)
-    // no numeric columns -> loud error
+    // no numeric columns to auto-select -> the require fires eagerly
     assertThrows[IllegalArgumentException](
-      Tbl(Seq("a").toDF("s")).describeApprox(64, Seq(Sel.Name("s"))))
+      Tbl(Seq("a").toDF("s")).describeApprox())
   }
 
   test("window functions: row_number, rank, lead/lag, cumsum") {

@@ -708,11 +708,12 @@ object SparkEntry3 {
        |    CAST(max(cnt) AS BIGINT) AS mx FROM c),
        |tk AS (SELECT CAST(sum(cnt) AS BIGINT) AS tks FROM (
        |    SELECT cnt FROM c ORDER BY cnt DESC, k DESC LIMIT $topK)),
-       |g AS (SELECT CAST(sum(i * cnt) AS BIGINT) AS sic FROM r)
+       |g AS (SELECT sum(CAST(i AS HUGEINT) * cnt) AS sic FROM r)
        |SELECT t.n AS n_keys, t.tot AS n_rows,
        |  t.mx * 1.0 / t.tot AS max_share,
        |  tk.tks * 1.0 / t.tot AS topk_share,
-       |  (2 * g.sic - (t.n + 1) * t.tot) * 1.0 / (t.n * t.tot) AS gini
+       |  (2 * g.sic - (CAST(t.n AS HUGEINT) + 1) * t.tot) * 1.0
+       |    / (CAST(t.n AS HUGEINT) * t.tot) AS gini
        |FROM t, tk, g""".stripMargin
 
   /** Replays [[graft.text.TextFns.importanceResample]]: the add-one bigram
@@ -828,10 +829,11 @@ object SparkEntry3 {
        |    ${ph("CAST(d.d AS VARCHAR) || '|' || kb.k")} % $width AS b,
        |    count(*) AS cnt
        |  FROM kb CROSS JOIN d GROUP BY 1, 2),
-       |ip AS (SELECT sa.d, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
+       |ip AS (SELECT sa.d, sum(CAST(sa.cnt AS HUGEINT) * sb.cnt) AS ip
        |  FROM sa JOIN sb ON sa.d = sb.d AND sa.b = sb.b GROUP BY 1)
-       |SELECT CAST(CASE WHEN count(*) = $depth THEN min(ip) ELSE 0 END
-       |  AS BIGINT) AS est FROM ip""".stripMargin
+       |SELECT CAST(CASE WHEN count(*) = $depth
+       |    THEN least(min(ip), CAST(9223372036854775807 AS HUGEINT))
+       |    ELSE 0 END AS BIGINT) AS est FROM ip""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),

@@ -82,9 +82,14 @@ object Checks {
         (max("__cnt").cast("double") / max("__tot")).as("max_share"),
         (sum(when(col("__i") > col("__n") - topK, col("__cnt"))
           .otherwise(lit(0L))).cast("double") / max("__tot")).as("topk_share"),
-        ((lit(2L) * sum(col("__i") * col("__cnt"))
-          - (max("__n") + 1L) * max("__tot")).cast("double")
-          / (max("__n") * max("__tot")).cast("double")).as("gini"))
+        // Σ i·cnt reaches ~n_keys·n_rows — far past int64 on big data — so
+        // the rank sum and the n·tot denominator accumulate in exact
+        // decimal(38,0) and only the final ratio rounds to double
+        ((lit(2L) * sum(col("__i").cast("decimal(38,0)") * col("__cnt"))
+          - (max("__n") + 1L).cast("decimal(38,0)") * max("__tot"))
+          .cast("double")
+          / (max("__n").cast("decimal(38,0)") * max("__tot")).cast("double"))
+          .as("gini"))
   }
 
   /** One-row "dataset card" for a document corpus — the summary a training

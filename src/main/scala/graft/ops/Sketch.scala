@@ -97,10 +97,16 @@ object Sketch {
     */
   def countMinJoinSize(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
     require(depth > 0, "depth must be positive")
+    // cell products reach (rows_a/width)·(rows_b/width) per bucket and the
+    // row sum approaches rows_a·rows_b — far past int64 on big tables:
+    // accumulate in exact decimal(38,0), return the estimate as decimal
+    // cast back to long only when it fits (cap at Long.MaxValue otherwise)
     a.join(b.withColumnsRenamed(Map("cnt" -> "__cb")), Seq("d", "b"))
-      .groupBy("d").agg(sum(col("cnt") * col("__cb")).as("__ip"))
-      .agg(when(count(lit(1)) === depth, min("__ip")).otherwise(lit(0L))
-        .as("est"))
+      .groupBy("d")
+      .agg(sum(col("cnt").cast("decimal(38,0)") * col("__cb")).as("__ip"))
+      .agg(when(count(lit(1)) === depth,
+          least(min("__ip"), lit(Long.MaxValue).cast("decimal(38,0)")))
+        .otherwise(lit(0L)).cast("long").as("est"))
   }
 
   // -------------------------------------------------------------------

@@ -109,6 +109,12 @@ class SketchSpec extends AnyFunSuite {
       Sketch.countMin(x, col("k"), 4096, 3),
       Sketch.countMin(y, col("k"), 4096, 3), 3).collect()(0).getLong(0)
     assert(disj === 0L)
+    // big-data cells: 4e9 x 4e9 per bucket overflows int64 — the decimal
+    // accumulator must keep the estimate positive and cap at Long.MaxValue
+    val huge = Seq((0, 0L, 4000000000L), (1, 0L, 4000000000L),
+      (2, 0L, 4000000000L)).toDF("d", "b", "cnt")
+    val big = Sketch.countMinJoinSize(huge, huge, 3).collect()(0).getLong(0)
+    assert(big === Long.MaxValue)
   }
 
   // ---------------------------------------------------------------

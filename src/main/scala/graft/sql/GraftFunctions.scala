@@ -190,6 +190,42 @@ object GraftFunctions {
         |  ln((CAST(conv(substring(md5(concat(id, '|', seed)), 1, 15),
         |        16, 10) AS BIGINT) + 1L)
         |     / 1152921504606846976.0d) / w""".stripMargin,
+      // the Gopher-style quality score and the stopword-argmax language id
+      // as pure-SQL macros — the same checks/cascade as TextFns
+      // .qualityScore / .langId (and their DuckDB oracles), so a SQL-only
+      // pipeline can quality-gate and route by language
+      """CREATE OR REPLACE TEMPORARY FUNCTION quality_score(s STRING)
+        |RETURNS DOUBLE RETURN (
+        |  (CASE WHEN size(split(trim(lower(s)), '\\s+')) BETWEEN 10 AND 100000
+        |        THEN 1.0d ELSE 0.0d END) +
+        |  (CASE WHEN length(regexp_replace(trim(s), '\\s+', ''))
+        |          / CAST(size(split(trim(lower(s)), '\\s+')) AS DOUBLE)
+        |          BETWEEN 2.0d AND 12.0d THEN 1.0d ELSE 0.0d END) +
+        |  (CASE WHEN length(regexp_replace(s, '[^.,!?;:]', '')) * 1.0d
+        |          / length(s) <= 0.2d THEN 1.0d ELSE 0.0d END) +
+        |  (CASE WHEN length(regexp_replace(s, '[^0-9]', '')) * 1.0d
+        |          / length(s) <= 0.2d THEN 1.0d ELSE 0.0d END) +
+        |  (CASE WHEN length(regexp_replace(s, '[^A-Z]', '')) * 1.0d
+        |          / length(s) <= 0.3d THEN 1.0d ELSE 0.0d END)) / 5""".stripMargin,
+      {
+        // macro bodies must be single expressions (no CTEs): generate the
+        // per-language stopword-hit terms inline, same cascade as
+        // TextFns.langId (tie -> larger code, zero hits -> 'und')
+        def hits(ws: Seq[String]) =
+          s"size(filter(split(trim(lower(s)), '\\\\s+'), " +
+            s"x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+        val en = hits(Seq("the", "and", "of", "to", "is"))
+        val de = hits(Seq("der", "und", "die", "das", "ist"))
+        val fr = hits(Seq("le", "la", "et", "les", "est"))
+        val es = hits(Seq("el", "de", "la", "que", "es"))
+        s"""CREATE OR REPLACE TEMPORARY FUNCTION lang_id(s STRING)
+           |RETURNS STRING RETURN
+           |  CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
+           |       WHEN $es = greatest($en, $de, $fr, $es) THEN 'es'
+           |       WHEN $fr = greatest($en, $de, $fr) THEN 'fr'
+           |       WHEN $en = greatest($en, $de) THEN 'en'
+           |       ELSE 'de' END""".stripMargin
+      },
       s"""CREATE OR REPLACE TEMPORARY FUNCTION zorder16(x BIGINT, y BIGINT)
          |RETURNS BIGINT RETURN ${
            (0 until 16).flatMap(j => Seq(

@@ -189,6 +189,26 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("text macros (quality_score/lang_id) equal their Column-API twins") {
+    graft.sql.GraftFunctions.registerSqlMacros(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("sq9t_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, quality_score(text) AS q, lang_id(text) AS l
+        |FROM sq9t_docs""".stripMargin)
+    val viaCol = docs.select(col("doc_id"),
+      graft.text.TextFns.qualityScore(col("text")).as("q"),
+      graft.text.TextFns.langId(col("text")).as("l"))
+    TestSpark.assertSameRows(viaSql, viaCol, "quality_score/lang_id")
+    // cascade edges: zero stopword hits -> 'und'; de text routes de
+    val edge = spark.sql(
+      """SELECT lang_id('zzz qqq xxx') AS a,
+        |  lang_id('der hund und die katze ist das') AS b,
+        |  quality_score('1234 5678') AS c""".stripMargin).collect()(0)
+    assert(edge.getString(0) === "und" && edge.getString(1) === "de")
+    assert(edge.getDouble(2) < 0.9)
+  }
+
   test("round-9 macros (cm_bucket/es_priority/zorder16) equal their Column-API twins") {
     graft.sql.GraftFunctions.registerSqlMacros(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -100,19 +100,22 @@ object Checks {
     * mean_quality, top_lang, top_lang_docs, dup_docs.
     *
     * Scale shape: one projection pass derives every per-doc signal
-    * (map-only, codegen'd), then three independent aggregates — a global
-    * scalar fold, a language mode over ≤ |langs| rows, and a fingerprint
-    * distinct count — crossJoined as broadcast single rows. Nothing
-    * collects, nothing is quadratic.
+    * (map-only, codegen'd) and is PINNED (registry cache) so the three
+    * independent aggregates — a global scalar fold, a language mode over
+    * ≤ |langs| rows, and a fingerprint distinct count — read the narrow
+    * (~40 B/row) signal relation instead of re-running the text kernels
+    * three times over the corpus; results crossJoin as broadcast single
+    * rows. Nothing collects, nothing is quadratic. Release the pin with
+    * [[graft.ml.Dedup.unpersistIntermediates]] after consuming the card.
     */
   def corpusReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.text.TextFns
     val t = col(textCol)
-    val base = df.select(col(idCol),
+    val base = graft.ml.Dedup.trackCache(df.select(col(idCol),
       TextFns.tokenCount(t).cast("long").as("__ntok"),
       TextFns.qualityScore(t).as("__q"),
       TextFns.langId(t).as("__lang"),
-      TextFns.fingerprint(t).as("__fp"))
+      TextFns.fingerprint(t).as("__fp")))
     val main = base.agg(
       count(lit(1)).as("n_docs"),
       sum("__ntok").as("n_tokens"),

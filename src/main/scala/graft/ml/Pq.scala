@@ -51,21 +51,58 @@ object Pq {
       .drop("__v")
   }
 
-  /** Train the per-subspace codebooks: `m` independent Lloyd runs over the
-    * subvector relation (each inherits [[Clustering.kmeansFit]]'s
-    * broadcast-assign / partial-sum-update shape). Output
-    * (sub, code, cvec) with codes densely renumbered 0..k−1 per subspace
-    * in init-hash order — the compact ids the encoded corpus stores.
+  /** Train the per-subspace codebooks: `m` Lloyd runs FUSED into one
+    * grouped program — `sub` rides every key, so each iteration is ONE
+    * broadcast-assign pass and ONE (sub, centroid, dim) partial-sum
+    * shuffle over the whole subvector relation instead of m sequential
+    * scans (the per-subspace math is identical to m independent
+    * [[Clustering.kmeansFit]] runs: same init sample — the hash depends
+    * only on the id, so the same k vectors seed every subspace — same
+    * argmin tie-breaks, same mean updates). Output (sub, code, cvec) with
+    * codes densely renumbered 0..k−1 per subspace in init-hash order —
+    * the compact ids the encoded corpus stores.
     */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
             iters: Int, initHash: Option[Column] = None): DataFrame = {
-    val sv = Dedup.trackCache(subVectors(df, idCol, vecCol, m))
-    (0 until m).map { s =>
-      val (_, cents) = Clustering.kmeansFit(
-        sv.filter(col("sub") === s), k, iters,
-        idCol = idCol, vecCol = "subv", initHash = initHash)
-      cents.select(lit(s).as("sub"), col("cluster").as("cid"), col("cvec"))
-    }.reduce(_ unionByName _)
+    require(k > 0, "k must be positive")
+    require(iters >= 0, "iters must be nonnegative")
+    val sv = Dedup.trackCache(subVectors(df, idCol, vecCol, m)
+      .select(col(idCol).as("__pqid"), col("sub"), col("subv")))
+    val ch = initHash.getOrElse(xxhash64(col(idCol)))
+    // init: the k smallest-hash VECTORS seed every subspace — one
+    // TakeOrdered over ids, then their m subvectors via an equi-join
+    val seedIds = df.select(ch.as("cid"), col(idCol).as("__pqid"))
+      .orderBy("cid").limit(k)
+    var cents = sv.join(broadcast(seedIds), "__pqid")
+      .select(col("sub"), col("cid"), col("subv").as("cvec"))
+
+    def assignTo(cs: DataFrame): DataFrame = {
+      val scored = sv.join(broadcast(cs), Seq("sub"))
+        .withColumn("__d",
+          Similarity.dot(col("cvec"), col("cvec")) -
+            lit(2.0) * Similarity.dot(col("subv"), col("cvec")))
+      val w = Window.partitionBy("__pqid", "sub")
+        .orderBy(col("__d"), col("cid"))
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select("__pqid", "sub", "subv", "cid")
+    }
+
+    var assigned = assignTo(cents)
+    for (_ <- 1 to iters) {
+      cents = assigned
+        .select(col("sub"), col("cid"),
+          posexplode(col("subv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .groupBy("sub", "cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("s") / col("n")).as("m")))),
+          e => e.getField("m")).as("cvec"))
+      assigned = assignTo(cents)
+    }
+    cents
       .withColumn("code",
         row_number().over(Window.partitionBy("sub").orderBy("cid")) - 1)
       .select("sub", "code", "cvec")

@@ -583,6 +583,73 @@ object StreamVerbs {
     }
   }
 
+  /** Streaming corpus dataset card: the per-batch signal relation folds
+    * into two standing mergeable tables — the per-language (docs, tokens,
+    * quality-sum) aggregate (all additive) and the distinct-fingerprint
+    * table (union + distinct) — and the sink receives the SAME one-row
+    * card [[graft.ops.Checks.corpusReport]] computes in batch, updated per
+    * micro-batch with exact parity (StreamingSpec pins stream == batch).
+    * The fingerprint table is the only growing state — it IS the exact
+    * dedup state a persisted corpus keeps anyway; swap in an HLL sketch
+    * if an approximate dup count suffices at extreme scale.
+    */
+  def streamingCorpusReport(t: Tbl, idCol: String, textCol: String)
+                           (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.text.TextFns
+    var langAcc: Option[DataFrame] = None
+    var fpAcc: Option[DataFrame] = None
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val tc = col(textCol)
+      val sig = batch.select(
+        TextFns.tokenCount(tc).cast("long").as("__ntok"),
+        TextFns.qualityScore(tc).as("__q"),
+        TextFns.langId(tc).as("__lang"),
+        TextFns.fingerprint(tc).as("__fp"))
+      val batchLang = sig.groupBy("__lang").agg(
+        count(lit(1)).as("__docs"), sum("__ntok").as("__toks"),
+        sum("__q").as("__qsum"))
+      val lang = (langAcc match {
+        case None       => batchLang
+        case Some(prev) => prev.unionByName(batchLang).groupBy("__lang")
+          .agg(sum("__docs").as("__docs"), sum("__toks").as("__toks"),
+            sum("__qsum").as("__qsum"))
+      }).localCheckpoint()
+      val fps = (fpAcc match {
+        case None       => sig.select("__fp").distinct()
+        case Some(prev) => prev.unionByName(sig.select("__fp")).distinct()
+      }).localCheckpoint()
+      langAcc = Some(lang); fpAcc = Some(fps)
+      val main = lang.agg(
+        sum("__docs").cast("long").as("n_docs"),
+        sum("__toks").cast("long").as("n_tokens"),
+        round(sum("__qsum") / sum("__docs"), 4).as("mean_quality"))
+      val topLang = lang
+        .agg(max(struct(col("__docs").as("__c"), col("__lang"))).as("__m"))
+        .select(col("__m.__lang").as("top_lang"),
+          col("__m.__c").cast("long").as("top_lang_docs"))
+      val dups = main.select(col("n_docs")).crossJoin(
+          broadcast(fps.agg(count(lit(1)).as("__nfp"))))
+        .select((col("n_docs") - col("__nfp")).cast("long").as("dup_docs"))
+      sink(main.crossJoin(broadcast(topLang)).crossJoin(broadcast(dups)))
+    }
+  }
+
+  /** Ingest-time PQ encoding: arriving vectors encoded map-side against a
+    * FROZEN codebook table ([[graft.ml.Pq.train]] output) — the serve/
+    * ingest half of product quantization, same codes as a batch encode of
+    * the same rows. foreachBatch because the per-(vector, subspace)
+    * argmin is a window rank-filter (not supported inside a streaming
+    * query plan); the codebooks broadcast into every batch.
+    */
+  def streamingPqEncode(t: Tbl, codebooks: DataFrame, idCol: String,
+                        vecCol: String, m: Int)
+                       (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Pq.encode(batch, codebooks, idCol, vecCol, m))
+    }
+
   /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed
     * fingerprints ([[graft.ml.Dedup.winnowFingerprints]], same n/w/hash as
     * the persisted corpus index) joined against the PERSISTED (id, fp)

@@ -714,6 +714,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == scratch && scratch.nonEmpty, s"$last vs $scratch")
   }
 
+  test("streaming corpus card: per-batch fold equals the batch corpusReport") {
+    import spark.implicits._
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the den"),
+      (2L, "der hund und die katze und das haus ist hier und der baum alt"))
+    val batch2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog and runs to the den"), // dup of 1
+      (4L, "the cat and the dog and the bird sing to the moon all night is"))
+    val dir = Files.createTempDirectory("graft-scard").toFile
+    val ckpt = Files.createTempDirectory("graft-scard-ckpt").toFile
+    batch1.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    batch2.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batch1.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    var last: Seq[org.apache.spark.sql.Row] = Nil
+    var nBatches = 0
+    val q = StreamVerbs.streamingCorpusReport(
+        Tbl(stream), "doc_id", "text") { card =>
+        nBatches += 1
+        last = card.collect().toSeq
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(nBatches == 2)
+    val batchCard = graft.ops.Checks.corpusReport(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text").collect().toSeq
+    assert(last.map(_.toSeq) === batchCard.map(_.toSeq),
+      s"stream $last vs batch $batchCard")
+    val r = last.head
+    assert(r.getLong(r.fieldIndex("dup_docs")) === 1L)
+    assert(r.getString(r.fieldIndex("top_lang")) === "en")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("streaming PQ encode equals the batch encode against frozen codebooks") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val cb = graft.ml.Dedup.trackCache(
+      graft.ml.Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 1))
+    val dir = Files.createTempDirectory("graft-spq").toFile
+    val ckpt = Files.createTempDirectory("graft-spq-ckpt").toFile
+    emb.filter(col("vec_id") < 20).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    emb.filter(col("vec_id") >= 20 && col("vec_id") < 40).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Int]]
+    val q = StreamVerbs.streamingPqEncode(
+        Tbl(stream), cb, "vec_id", "embedding", 4) { codes =>
+        codes.collect().foreach(r =>
+          got(r.getLong(0)) = r.getSeq[Int](1))
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batchCodes = graft.ml.Pq.encode(emb.filter(col("vec_id") < 40), cb,
+        "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.toMap === batchCodes && batchCodes.size === 40)
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("streaming span mask scrubs known duplicated grams; parity with batch Against") {
     import spark.implicits._
     val corpus = Seq(

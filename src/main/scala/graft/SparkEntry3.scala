@@ -174,6 +174,21 @@ object SparkEntry3 {
         .describeApprox(16384, Seq(Sel.Name("c_custkey"),
           Sel.Name("c_nationkey"), Sel.Name("c_acctbal"))).df),
 
+    // Join pre-flight: size the prospective events-to-orders join from
+    // sketches and profile key skew (user ids with a derived hot key —
+    // 10% of ids collapse to one — so the salted recommendation fires),
+    // all without touching the join itself. Every number and the final
+    // strategy replay in the oracle.
+    "q_join_advisor" -> ((s, dir) => {
+      val ev = t(s, dir, "events").df
+      val o = t(s, dir, "orders").df
+      val hotKey = when(col("user_id") % 10 === 0, lit(0L))
+        .otherwise(col("user_id"))
+      graft.ops.Checks.joinAdvisor(ev, hotKey, o, col("o_custkey"),
+        width = CM_WIDTH, depth = CM_DEPTH,
+        broadcastRows = 1000L, hotShare = 0.05)
+    }),
+
     // The one-row dataset card: totals, mean quality, dominant language,
     // exact-dup count — the pre-ship corpus summary, every cell
     // oracle-checked.
@@ -835,8 +850,44 @@ object SparkEntry3 {
        |    THEN least(min(ip), CAST(9223372036854775807 AS HUGEINT))
        |    ELSE 0 END AS BIGINT) AS est FROM ip""".stripMargin
 
+  private def joinAdvisorOracleSql(width: Int, depth: Int,
+                                   broadcastRows: Long,
+                                   hotShare: Double): String = {
+    val keyA = "CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END"
+    s"""WITH d AS (SELECT unnest(range(0, $depth)) AS d),
+       |ka AS (SELECT CAST($keyA AS VARCHAR) AS k FROM events
+       |    WHERE user_id IS NOT NULL),
+       |kb AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+       |    WHERE o_custkey IS NOT NULL),
+       |sa AS (SELECT d.d AS d,
+       |    ${ph("CAST(d.d AS VARCHAR) || '|' || ka.k")} % $width AS b,
+       |    count(*) AS cnt FROM ka CROSS JOIN d GROUP BY 1, 2),
+       |sb AS (SELECT d.d AS d,
+       |    ${ph("CAST(d.d AS VARCHAR) || '|' || kb.k")} % $width AS b,
+       |    count(*) AS cnt FROM kb CROSS JOIN d GROUP BY 1, 2),
+       |ip AS (SELECT sa.d, sum(CAST(sa.cnt AS HUGEINT) * sb.cnt) AS ip
+       |  FROM sa JOIN sb ON sa.d = sb.d AND sa.b = sb.b GROUP BY 1),
+       |est AS (SELECT CAST(CASE WHEN count(*) = $depth
+       |    THEN least(min(ip), CAST(9223372036854775807 AS HUGEINT))
+       |    ELSE 0 END AS BIGINT) AS est_join_rows FROM ip),
+       |pa AS (SELECT CAST(sum(c) AS BIGINT) AS n_a,
+       |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS max_share_a
+       |  FROM (SELECT count(*) AS c FROM events GROUP BY $keyA)),
+       |pb AS (SELECT CAST(sum(c) AS BIGINT) AS n_b,
+       |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS max_share_b
+       |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey))
+       |SELECT n_a, n_b, est_join_rows, max_share_a, max_share_b,
+       |  CASE WHEN least(n_a, n_b) <= $broadcastRows THEN 'broadcast'
+       |       WHEN greatest(max_share_a, max_share_b) > $hotShare
+       |         THEN 'salted_shuffle'
+       |       ELSE 'shuffle' END AS strategy
+       |FROM pa, pb, est""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),
+    "q_join_advisor"    -> joinAdvisorOracleSql(CM_WIDTH, CM_DEPTH,
+                             1000L, 0.05),
     "q_join_size"       -> joinSizeOracleSql(CM_WIDTH, CM_DEPTH),
     "q_corpus_report"   -> corpusReportOracleSql,
     "q_describe_approx" -> describeApproxOracleSql(

@@ -129,6 +129,44 @@ object Checks {
     main.crossJoin(broadcast(topLang)).crossJoin(broadcast(dups))
   }
 
+  /** One-row join pre-flight: BEFORE running a big equi-join, estimate its
+    * output size from two count-min sketches (the CM inner product,
+    * [[Sketch.countMinJoinSize]]) and profile each side's key skew — then
+    * recommend a strategy:
+    *   'broadcast'       — the smaller side fits the broadcast budget
+    *   'salted_shuffle'  — a hot key holds more than `hotShare` of a side
+    *                       (one reducer would own that share of the work)
+    *   'shuffle'         — plain hash-partitioned join
+    * Columns: n_a, n_b, est_join_rows, max_share_a, max_share_b, strategy.
+    * Everything is sketch- or aggregate-sized: the advisor never joins,
+    * sorts, or collects the data — two count aggregates + two bounded
+    * sketches, so it costs a scan per side at any scale. Deterministic
+    * thresholds over exact counts / identically-computed doubles: the
+    * whole recommendation replays in the q_join_advisor oracle.
+    */
+  def joinAdvisor(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                  width: Int = 1024, depth: Int = 3,
+                  broadcastRows: Long = 1000000L,
+                  hotShare: Double = 0.2): DataFrame = {
+    def profile(df: DataFrame, key: Column, n: String, ms: String) =
+      df.groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
+        .agg(sum("__c").cast("long").as(n),
+          (max("__c").cast("double") / sum("__c").cast("long")).as(ms))
+    val est = Sketch.countMinJoinSize(
+      Sketch.countMin(a, aKey, width, depth),
+      Sketch.countMin(b, bKey, width, depth), depth)
+      .withColumnRenamed("est", "est_join_rows")
+    profile(a, aKey, "n_a", "max_share_a")
+      .crossJoin(broadcast(profile(b, bKey, "n_b", "max_share_b")))
+      .crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("est_join_rows"),
+        col("max_share_a"), col("max_share_b"),
+        when(least(col("n_a"), col("n_b")) <= broadcastRows, "broadcast")
+          .when(greatest(col("max_share_a"), col("max_share_b")) > hotShare,
+            "salted_shuffle")
+          .otherwise("shuffle").as("strategy"))
+  }
+
   /** All-in-one pipeline gate: one row with every violation count. The
     * independent aggregates stay separate jobs by design — each is a
     * map-side-combinable pass and Spark schedules them concurrently when

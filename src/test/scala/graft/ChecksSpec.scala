@@ -89,6 +89,29 @@ class ChecksSpec extends AnyFunSuite {
     assert(again === picked)
   }
 
+  test("joinAdvisor: all three strategies; estimate is one-sided") {
+    import spark.implicits._
+    import graft.ops.Checks
+    val uniform = (1L to 600L).map(i => i % 100).toDF("k")
+    val skewed = ((1L to 300L).map(_ => 0L) ++ (1L to 300L)).toDF("k")
+    val small = (1L to 50L).map(i => i % 100).toDF("k")
+    def advise(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame,
+               bc: Long = 100L) =
+      Checks.joinAdvisor(a, col("k"), b, col("k"), width = 1024, depth = 3,
+        broadcastRows = bc, hotShare = 0.2).collect()(0)
+    // small side under the budget -> broadcast wins even if skewed
+    assert(advise(skewed, small).getString(5) === "broadcast")
+    // both big, one hot key owns half a side -> salted
+    val s = advise(uniform, skewed, bc = 10L)
+    assert(s.getString(5) === "salted_shuffle")
+    assert(s.getDouble(4) === 0.5, s"max_share_b ${s.getDouble(4)}")
+    // both big, no skew -> plain shuffle; estimate >= the true join size
+    val p = advise(uniform, uniform, bc = 10L)
+    assert(p.getString(5) === "shuffle")
+    assert(p.getLong(2) >= uniform.as("a").join(uniform.as("b"), "k").count())
+  }
+
   test("corpusReport: hand-checked card on a tiny planted corpus") {
     import spark.implicits._
     import graft.ops.Checks

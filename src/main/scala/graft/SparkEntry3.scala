@@ -174,6 +174,19 @@ object SparkEntry3 {
         .describeApprox(16384, Seq(Sel.Name("c_custkey"),
           Sel.Name("c_nationkey"), Sel.Name("c_acctbal"))).df),
 
+    // Candidate-generator evaluation: SimHash banding pairs (dist <= 7)
+    // graded against exact-Jaccard (>= 0.5) ground truth — precision,
+    // recall, F1 as one exact-integer-derived row. Both pair sets are
+    // already individually oracled; the metric row composes their SQL.
+    "q_pair_metrics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val pred = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 7,
+        hashLeaf = Some(graft.text.TextFns.portableHash64))
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      graft.ops.Checks.pairMetrics(pred, truth)
+    }),
+
     // Join pre-flight: size the prospective events-to-orders join from
     // sketches and profile key skew (user ids with a derived hot key —
     // 10% of ids collapse to one — so the salted recommendation fires),
@@ -888,6 +901,21 @@ object SparkEntry3 {
     "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),
     "q_join_advisor"    -> joinAdvisorOracleSql(CM_WIDTH, CM_DEPTH,
                              1000L, 0.05),
+    // compose the two standing oracles as derived tables (a parenthesized
+    // WITH-query is a valid subquery), then pure integer-count metrics
+    "q_pair_metrics"    ->
+      s"""WITH pred AS (SELECT DISTINCT id_a, id_b FROM (
+         |${SparkEntry2.oracleSql("q_dedup_simhash")})),
+         |truth AS (SELECT DISTINCT id_a, id_b FROM (
+         |${SparkEntry2.oracleSql("q_ngram_jaccard")})),
+         |tp AS (SELECT count(*) AS c FROM pred JOIN truth USING (id_a, id_b)),
+         |np AS (SELECT count(*) AS c FROM pred),
+         |nt AS (SELECT count(*) AS c FROM truth)
+         |SELECT np.c AS n_pred, nt.c AS n_truth, tp.c AS n_tp,
+         |  tp.c * 1.0 / np.c AS precision,
+         |  tp.c * 1.0 / nt.c AS recall,
+         |  2.0 * tp.c / (np.c + nt.c) AS f1
+         |FROM np, nt, tp""".stripMargin,
     "q_join_size"       -> joinSizeOracleSql(CM_WIDTH, CM_DEPTH),
     "q_corpus_report"   -> corpusReportOracleSql,
     "q_describe_approx" -> describeApproxOracleSql(

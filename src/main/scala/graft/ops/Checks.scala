@@ -129,6 +129,34 @@ object Checks {
     main.crossJoin(broadcast(topLang)).crossJoin(broadcast(dups))
   }
 
+  /** Pair-set retrieval metrics: grade a CANDIDATE pair set (an LSH /
+    * banding / blocking heuristic's output) against a ground-truth pair
+    * set — one row (n_pred, n_truth, n_tp, precision, recall, f1), the
+    * standard evaluation for dedup/linkage candidate generators. Pairs
+    * are matched on (id_a, id_b) — pass both sets in the same canonical
+    * orientation (id_a < id_b, as every pair generator here emits).
+    * Empty sides yield NULL ratios (0/0 has no answer), counts stay 0.
+    * Scale shape: two distinct-count aggregates + one equi-join count;
+    * f1 = 2·tp/(|pred|+|truth|) is computed from the exact integers in
+    * one division (no P/R intermediate rounding).
+    */
+  def pairMetrics(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val p = pred.select("id_a", "id_b").distinct()
+    val t = truth.select("id_a", "id_b").distinct()
+    val tp = p.join(t, Seq("id_a", "id_b"))
+    p.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(broadcast(t.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+      .select(col("n_pred"), col("n_truth"), col("n_tp"),
+        when(col("n_pred") > 0, col("n_tp") * lit(1.0) / col("n_pred"))
+          .as("precision"),
+        when(col("n_truth") > 0, col("n_tp") * lit(1.0) / col("n_truth"))
+          .as("recall"),
+        when(col("n_pred") + col("n_truth") > 0,
+          lit(2.0) * col("n_tp") / (col("n_pred") + col("n_truth")))
+          .as("f1"))
+  }
+
   /** One-row join pre-flight: BEFORE running a big equi-join, estimate its
     * output size from two count-min sketches (the CM inner product,
     * [[Sketch.countMinJoinSize]]) and profile each side's key skew — then

@@ -112,6 +112,22 @@ class ChecksSpec extends AnyFunSuite {
     assert(p.getLong(2) >= uniform.as("a").join(uniform.as("b"), "k").count())
   }
 
+  test("pairMetrics: hand-checked P/R/F1; duplicates collapse; empty sides") {
+    import spark.implicits._
+    import graft.ops.Checks
+    val pred = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L)).toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val r = Checks.pairMetrics(pred, truth).collect()(0)
+    // pred dedupes to 3 pairs; tp = {(1,2)}; P=1/3, R=1/2, F1=2/5
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L && r.getLong(2) === 1L)
+    assert(r.getDouble(3) === 1.0 / 3 && r.getDouble(4) === 0.5)
+    assert(r.getDouble(5) === 0.4)
+    // empty prediction: counts 0, ratios NULL (0/0 has no answer)
+    val e = Checks.pairMetrics(pred.limit(0), truth).collect()(0)
+    assert(e.getLong(0) === 0L && e.getLong(1) === 2L && e.getLong(2) === 0L)
+    assert(e.isNullAt(3) && e.getDouble(4) === 0.0)
+  }
+
   test("corpusReport: hand-checked card on a tiny planted corpus") {
     import spark.implicits._
     import graft.ops.Checks

@@ -169,6 +169,46 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch: rank-error sweep over (n, k) configs incl. merges") {
+    import spark.implicits._
+    // seeded sweep: adversarial-ish streams (multiplicative hash order,
+    // heavy duplicates) across sizes and capacities; every estimate's rank
+    // error must stay inside the MRL-style envelope, and a merge of halves
+    // inside twice that
+    for (seed <- 1 to 4; k <- Seq(16, 64)) {
+      val n = 700 * seed + 300
+      val df = spark.range(n).select(lit("g").as("g"),
+        (pmod(col("id") * (2654435761L + seed), lit(n)) % (n / (seed + 2)))
+          .cast("double").as("x"))
+      val sorted = df.orderBy("x").collect().map(_.getDouble(1))
+      val eps = math.max(0.02,
+        math.log(n.toDouble / k) / math.log(2.0) * (1.0 / k))
+      def checkErr(est: Map[Double, Double], label: String, mult: Double): Unit =
+        for ((q, v) <- est) {
+          val target = math.ceil(q * n).toLong
+          val lo = sorted.indexWhere(_ == v) + 1L
+          val hi = sorted.lastIndexWhere(_ == v) + 1L
+          assert(lo > 0, s"$label: estimate $v not from input")
+          val err =
+            if (target < lo) lo - target else if (target > hi) target - hi else 0L
+          assert(err <= (mult * eps * n).toLong + 1,
+            s"$label n=$n k=$k q=$q err=$err bound=${(mult * eps * n).toLong}")
+        }
+      val bps = Seq(1000, 2500, 5000, 7500, 9900)
+      val sk = Sketch.quantileSketchByGroup(df, Seq("g"), col("x"), k)
+      checkErr(Sketch.quantileEstimate(sk, Seq("g"), bps).collect()
+        .map(r => r.getDouble(1) -> r.getDouble(2)).toMap, "single", 1.0)
+      val merged = Sketch.quantileSketchMerge(
+        Sketch.quantileSketchByGroup(df.filter(col("id") % 2 === 0),
+          Seq("g"), col("x"), k),
+        Sketch.quantileSketchByGroup(df.filter(col("id") % 2 =!= 0),
+          Seq("g"), col("x"), k), Seq("g"), k)
+      assert(merged.agg(sum("w")).collect()(0).getLong(0) === n.toLong)
+      checkErr(Sketch.quantileEstimate(merged, Seq("g"), bps).collect()
+        .map(r => r.getDouble(1) -> r.getDouble(2)).toMap, "merged", 2.0)
+    }
+  }
+
   test("quantile sketch: pure function of the multiset (partition invariant)") {
     val df = qVals(5000)
     val a = Sketch.quantileSketchByGroup(df, Seq("g"), col("x"), k = 32)

@@ -141,8 +141,11 @@ object Checks {
     * one division (no P/R intermediate rounding).
     */
   def pairMetrics(pred: DataFrame, truth: DataFrame): DataFrame = {
-    val p = pred.select("id_a", "id_b").distinct()
-    val t = truth.select("id_a", "id_b").distinct()
+    // each set feeds its own count AND the intersection join: pin the
+    // (small, two-column) distinct pair sets so the generators upstream —
+    // often whole LSH pipelines — run once, not twice
+    val p = graft.ml.Dedup.trackCache(pred.select("id_a", "id_b").distinct())
+    val t = graft.ml.Dedup.trackCache(truth.select("id_a", "id_b").distinct())
     val tp = p.join(t, Seq("id_a", "id_b"))
     p.agg(count(lit(1)).as("n_pred"))
       .crossJoin(broadcast(t.agg(count(lit(1)).as("n_truth"))))

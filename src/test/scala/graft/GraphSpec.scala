@@ -214,6 +214,32 @@ class GraphSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("kCore: seeded sweep — min-degree and maximality characterize the core") {
+    import spark.implicits._
+    // the k-core is the unique maximal subgraph of min degree >= k: for
+    // every (graph, k) the survivors must satisfy both halves of that
+    // characterization — a full functional spec, swept over seeds
+    for (seed <- 1 to 3; k <- Seq(3, 6)) {
+      val rnd = (1L to 500L)
+        .map(i => (i * (2654435761L + seed) % 89, i * (40503L + seed) % 89))
+        .toDF("src", "dst")
+      val core = Graph.kCore(rnd, k)
+      assert(core.filter(col("deg") < k).count() === 0L, s"seed=$seed k=$k")
+      val survivors = core.select("node").as[Long].collect().toSet
+      val canon = rnd.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .where(col("a") =!= col("b")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val all = canon.flatMap(e => Seq(e._1, e._2)).toSet
+      for (n <- all -- survivors) {
+        val degIntoCore = canon.count(e =>
+          (e._1 == n && survivors(e._2)) || (e._2 == n && survivors(e._1)))
+        assert(degIntoCore < k,
+          s"seed=$seed k=$k: peeled node $n has $degIntoCore core edges")
+      }
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("labelPropagation deep iteration: linear chain, checkpointing bounds the plan") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))

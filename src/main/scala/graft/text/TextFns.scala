@@ -310,21 +310,46 @@ object TextFns {
     * data-selection pass. Docs with no bigrams have no likelihood under
     * either model and are excluded (inner-join semantics).
     *
-    * Scale shape: two [[lmScore]] passes (each shuffle-bounded on token
-    * keys — the models are count tables, never driver-side) + the
-    * WindowGroupLimit sample; the candidate corpus is scanned, never
-    * replicated or collected.
+    * Scale shape: the candidate corpus's exploded-bigram relation is built
+    * ONCE (pinned) and scored against both count-table models — the same
+    * per-bigram arithmetic as [[lmScore]] (same add-one smoothing, same
+    * 4dp rounding), so results are identical to two independent lmScore
+    * passes at half the explode/join work; models are aggregates, never
+    * driver-side; the draw is the WindowGroupLimit sample.
     */
   def importanceResample(docs: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String,
                          target: org.apache.spark.sql.DataFrame,
                          targetText: String, grpCols: Seq[String], k: Int,
                          seed: String = "42"): org.apache.spark.sql.DataFrame = {
-    val st = lmScore(docs, idCol, textCol, target, targetText)
-      .select(col(idCol), col("avg_logp").as("__lt"))
-    val ss = lmScore(docs, idCol, textCol, docs, textCol)
-      .select(col(idCol), col("avg_logp").as("__ls"))
-    val scored = docs.join(st, idCol).join(ss, idCol)
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    val db = graft.ml.Dedup.trackCache(graft.ops.Scale.spread(docs)
+      .select(col(idCol).as("__iid"), explode(bigrams(col(textCol))).as("b"))
+      .withColumn("w1", split(col("b"), " ").getItem(0)))
+    // one model = (unigram counts, bigram counts, vocab scalar); scoring
+    // mirrors lmScore's expression tree exactly
+    def scoreAgainst(corpus: org.apache.spark.sql.DataFrame,
+                     corpusText: String, out: String) = {
+      val spreadC = graft.ops.Scale.spread(corpus)
+      val uni = spreadC.select(explode(tokens(col(corpusText))).as("w1"))
+        .groupBy("w1").agg(fcount(lit(1)).as("u"))
+      val bi = spreadC.select(explode(bigrams(col(corpusText))).as("b"))
+        .groupBy("b").agg(fcount(lit(1)).as("bc"))
+      val vocab = uni.agg(fcount(lit(1)).as("v"))
+      db.join(bi, Seq("b"), "left")
+        .join(uni, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("logp",
+          log((coalesce(col("bc"), lit(0L)) + 1).cast("double") /
+              (coalesce(col("u"), lit(0L)) + col("v")).cast("double")))
+        .groupBy("__iid")
+        .agg(round(avg(col("logp")), 4).as(out))
+    }
+    val scored = docs
+      .join(scoreAgainst(target, targetText, "__lt")
+        .withColumnRenamed("__iid", idCol), idCol)
+      .join(scoreAgainst(docs, textCol, "__ls")
+        .withColumnRenamed("__iid", idCol), idCol)
     graft.ops.Scale.weightedSampleBy(scored, grpCols, idCol,
         exp(col("__lt") - col("__ls")), k, seed)
       .drop("__lt", "__ls")

@@ -156,6 +156,18 @@ object SparkEntry3 {
     "q_bpe" -> ((s, dir) =>
       graft.text.Bpe.train(t(s, dir, "documents").df, "text", nMerges = 8)),
 
+    // The encode half of BPE: tokenize the corpus vocabulary with the
+    // 8-merge table learned by q_bpe's training — the oracle replays the
+    // same per-round argmax + greedy application chain, word-keyed, and
+    // compares the final token sequences.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 8)
+      graft.text.Bpe.encodeWords(
+          graft.text.Bpe.wordCounts(docs, "text"), "word", merges)
+        .select(col("word"), concat_ws(" ", col("tokens")).as("toks"))
+    }),
+
     // Exact triangle count by degree orientation on a derived unipartite
     // graph (part/supplier keys folded into one 300-node id space, dense
     // enough to close many triangles). One exact-integer row.
@@ -897,8 +909,63 @@ object SparkEntry3 {
        |FROM pa, pb, est""".stripMargin
   }
 
+  /** Word-keyed replay of `q_bpe_encode`: the q_bpe training chain (pair
+    * stats, argmax, greedy gaps-and-islands application) run for ALL
+    * nMerges rounds, ending in each word's final token sequence. */
+  private def bpeEncodeOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH t0 AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+              |  FROM documents),
+              |wds AS (SELECT word, count(*) AS cnt FROM t0
+              |  WHERE word <> '' AND regexp_matches(word, '^[a-z]+$$')
+              |  GROUP BY 1),
+              |w1 AS MATERIALIZED (SELECT word, cnt,
+              |    list_append(list_transform(range(1, length(word) + 1),
+              |      i -> word[i:i]), '</w>') AS ts
+              |  FROM wds),
+              |""".stripMargin
+    for (r <- 1 to nMerges) {
+      sb ++= s"""p$r AS MATERIALIZED (SELECT lhs, rhs FROM (
+                |    SELECT ts[ii.i] AS lhs, ts[ii.i + 1] AS rhs,
+                |      CAST(sum(cnt) AS BIGINT) AS c
+                |    FROM w$r, LATERAL (SELECT unnest(range(1, len(ts))) AS i) ii
+                |    GROUP BY 1, 2)
+                |  ORDER BY c DESC, lhs, rhs LIMIT 1),
+                |e$r AS MATERIALIZED (SELECT word, cnt, ii.i AS i, ts[ii.i] AS t
+                |  FROM w$r, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) ii),
+                |m$r AS MATERIALIZED (SELECT word, ii.i AS i
+                |  FROM w$r, LATERAL (SELECT unnest(range(1, len(ts))) AS i) ii
+                |  WHERE ts[ii.i] = (SELECT lhs FROM p$r)
+                |    AND ts[ii.i + 1] = (SELECT rhs FROM p$r)),
+                |i$r AS (SELECT word, i,
+                |    i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+                |  FROM m$r),
+                |sel$r AS MATERIALIZED (SELECT word, i FROM (
+                |    SELECT word, i,
+                |      row_number() OVER (PARTITION BY word, isl ORDER BY i) AS k
+                |    FROM i$r)
+                |  WHERE k % 2 = 1),
+                |w${r + 1} AS MATERIALIZED (SELECT e.word, min(e.cnt) AS cnt,
+                |    list(CASE WHEN s1.i IS NOT NULL
+                |              THEN (SELECT lhs FROM p$r) || (SELECT rhs FROM p$r)
+                |              ELSE e.t END ORDER BY e.i) AS ts
+                |  FROM e$r e
+                |  LEFT JOIN sel$r s1 ON s1.word = e.word AND s1.i = e.i
+                |  LEFT JOIN sel$r s2 ON s2.word = e.word AND s2.i = e.i - 1
+                |  WHERE s2.i IS NULL
+                |  GROUP BY e.word),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb ++= s"""
+              |SELECT word, array_to_string(ts, ' ') AS toks
+              |FROM w${nMerges + 1}""".stripMargin
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),
+    "q_bpe_encode"      -> bpeEncodeOracleSql(8),
     "q_join_advisor"    -> joinAdvisorOracleSql(CM_WIDTH, CM_DEPTH,
                              1000L, 0.05),
     // compose the two standing oracles as derived tables (a parenthesized

@@ -55,6 +55,11 @@ object SparkEntry3 {
   private val QS_K = 8192
   private val QS_BP = Seq(1000, 5000, 9000, 9900)
 
+  // q_qsketch_compact: capacity small enough that compaction fires (3–6
+  // rounds at the test SFs, simulated); oracle unrolls 12
+  private val QSC_K = 64
+  private val QSC_ORACLE_ROUNDS = 12
+
   /** The q_zorder interleave key, shared by the zone-map queries. */
   private def orderZval(o: DataFrame): Column =
     Scale.zorderValue(Seq(
@@ -112,6 +117,21 @@ object SparkEntry3 {
         col("c_acctbal"), QS_K)
       Sketch.quantileEstimate(
         Sketch.quantileSketchMerge(a, b, Seq("c_mktsegment"), QS_K),
+        Seq("c_mktsegment"), QS_BP)
+    }),
+
+    // The COMPACTION regime oracled end-to-end: k=64 forces 3–6 halving
+    // rounds on this data, and the oracle unrolls the deterministic
+    // compaction (overfull levels sorted, cnt%2 stay, every second
+    // remaining point promoted at double weight) to the same fixpoint —
+    // the approximate path itself hash-checks, not just the exact regime.
+    // Extra unrolled rounds are no-ops (nothing overfull), the k-core
+    // fixpoint-vs-unroll trick.
+    "q_qsketch_compact" -> ((s, dir) => {
+      val c = t(s, dir, "customer").df
+      Sketch.quantileEstimate(
+        Sketch.quantileSketchByGroup(c, Seq("c_mktsegment"),
+          col("c_acctbal"), QSC_K),
         Seq("c_mktsegment"), QS_BP)
     }),
 
@@ -963,8 +983,55 @@ object SparkEntry3 {
     sb.toString
   }
 
+  /** Unrolled replay of the deterministic KLL-style compaction: each round
+    * halves every overfull (group, level) — sorted by value, the first
+    * cnt%2 points stay, every second remaining point promotes at double
+    * weight — then the weighted type-1 estimate reads the fixpoint sketch.
+    * Tie order among equal values is irrelevant: tied rows are identical
+    * (same group/level/value/weight), so any permutation is the same
+    * multiset — exactly why the Spark side is partition-invariant too. */
+  private def qsketchCompactOracleSql(k: Int, rounds: Int,
+                                      bps: Seq[Int]): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH s1 AS (SELECT c_mktsegment AS grp, 0 AS lvl,
+              |    CAST(c_acctbal AS DOUBLE) AS v, CAST(1 AS BIGINT) AS w
+              |  FROM customer WHERE c_acctbal IS NOT NULL),
+              |""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s"""c$r AS (SELECT grp, lvl, count(*) AS cnt FROM s$r GROUP BY 1, 2),
+                |s${r + 1} AS MATERIALIZED (
+                |  SELECT s.grp, s.lvl, s.v, s.w
+                |  FROM s$r s JOIN c$r c USING (grp, lvl) WHERE c.cnt <= $k
+                |  UNION ALL
+                |  SELECT grp, CASE WHEN rn <= off THEN lvl ELSE lvl + 1 END,
+                |    v, CASE WHEN rn <= off THEN w ELSE w * 2 END
+                |  FROM (SELECT s.grp, s.lvl, s.v, s.w,
+                |      row_number() OVER (PARTITION BY s.grp, s.lvl
+                |        ORDER BY s.v) AS rn,
+                |      c.cnt % 2 AS off
+                |    FROM s$r s JOIN c$r c USING (grp, lvl)
+                |    WHERE c.cnt > $k)
+                |  WHERE rn <= off OR (rn - off) % 2 = 0),
+                |""".stripMargin
+    }
+    sb ++= s"""byv AS (SELECT grp, v, CAST(sum(w) AS BIGINT) AS wv
+              |  FROM s${rounds + 1} GROUP BY 1, 2),
+              |cum AS (SELECT grp, v,
+              |    CAST(sum(wv) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cw,
+              |    CAST(sum(wv) OVER (PARTITION BY grp) AS BIGINT) AS tw
+              |  FROM byv),
+              |qs AS (SELECT unnest([${bps.mkString(", ")}]) AS bp)
+              |SELECT grp AS c_mktsegment, bp / 10000.0 AS q, min(v) AS est
+              |FROM cum CROSS JOIN qs
+              |WHERE cw >= (bp * tw + 9999) // 10000
+              |GROUP BY 1, 2""".stripMargin
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_kcore"           -> kcoreOracleSql(KCORE_K, KCORE_ORACLE_ROUNDS),
+    "q_qsketch_compact" -> qsketchCompactOracleSql(QSC_K,
+                             QSC_ORACLE_ROUNDS, QS_BP),
     "q_bpe_encode"      -> bpeEncodeOracleSql(8),
     "q_join_advisor"    -> joinAdvisorOracleSql(CM_WIDTH, CM_DEPTH,
                              1000L, 0.05),

@@ -1369,8 +1369,8 @@ object SparkEntry2 {
         |FROM documents)
         |SELECT lang,
         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-        |       WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_de, s_es) THEN 'es'
         |       WHEN s_en = greatest(s_en, s_de) THEN 'en'
         |       ELSE 'de' END AS pred,
         |  count(*) AS n
@@ -2296,25 +2296,7 @@ object SparkEntry2 {
         |    HAVING round(count(*) * 1.0 / tg.n_grams, 4) > 0.5)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
-    "q_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        |    FROM documents),
-        |  sh0 AS (SELECT doc_id, unnest(list_distinct(
-        |      CASE WHEN len(w) >= 3 THEN
-        |        list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-        |      ELSE [array_to_string(w, ' ')] END)) AS g
-        |    FROM toks),
-        |  -- stop-shingle guard mirrors graft's maxDf=1000 default: shingles
-        |  -- in >1000 docs are excluded from sizes AND overlaps consistently
-        |  sh AS (SELECT sh0.* FROM sh0
-        |    JOIN (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 1000) ok USING (g)),
-        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
-        |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-        |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5""".stripMargin,
+    "q_ngram_jaccard" -> ngramJaccardOracleSql(0.5),
     "q_pipeline_e2e" ->
       """WITH RECURSIVE qual AS (
         |  SELECT doc_id, text, lang FROM (
@@ -2360,8 +2342,8 @@ object SparkEntry2 {
         |  FROM canon)
         |SELECT
         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-        |       WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_de, s_es) THEN 'es'
         |       WHEN s_en = greatest(s_en, s_de) THEN 'en'
         |       ELSE 'de' END AS pred,
         |  count(*) AS n_docs,
@@ -3433,6 +3415,31 @@ object SparkEntry2 {
 
   def queries: Map[String, Q] =
     reshapeQueries ++ scalarQueries ++ pipelineQueries ++ extraQueries
+
+  /** Replays [[graft.ml.Dedup.ngramJaccardPairs]] (3-gram shingles, the
+    * maxDf=1000 stop-shingle guard, exact Jaccard) at the given threshold —
+    * shared by q_ngram_jaccard (0.5) and q_jaccard_prefix (PPJoin's 0.8
+    * regime), parameterized so the two entries can never drift apart.
+    */
+  private[graft] def ngramJaccardOracleSql(threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |    FROM documents),
+       |  sh0 AS (SELECT doc_id, unnest(list_distinct(
+       |      CASE WHEN len(w) >= 3 THEN
+       |        list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE [array_to_string(w, ' ')] END)) AS g
+       |    FROM toks),
+       |  -- stop-shingle guard mirrors graft's maxDf=1000 default: shingles
+       |  -- in >1000 docs are excluded from sizes AND overlaps consistently
+       |  sh AS (SELECT sh0.* FROM sh0
+       |    JOIN (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 1000) ok USING (g)),
+       |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+       |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= $threshold""".stripMargin
 
   def oracleSql: Map[String, String] =
     reshapeOracle ++ scalarOracle ++ pipelineOracle ++ extraOracle

@@ -40,6 +40,14 @@ object SparkEntry3 {
   private val PQ_M = 4      // subspaces over the 64-dim embeddings
   private val PQ_K = 8      // centroids per subspace codebook
   private val PQ_TOPK = 5
+  // q_pq_ivf coarse routing: probe half the coarse space — real pruning
+  // (each query ADC-scores ~nProbe/nCentroids of the corpus). The oracle
+  // pins the composition exactly; the recall-vs-flat contract is pinned in
+  // PipelineSpec on a planted CLUSTERED corpus (the geometry IVF assumes —
+  // the synthetic embeddings are isotropic noise where no routing can
+  // preserve neighbors)
+  private val PQIVF_NC = 8
+  private val PQIVF_NP = 4
   private val KCORE_ORACLE_ROUNDS = 12
 
   private val JP_T = 0.8    // q_jaccard_prefix threshold (PPJoin's regime)
@@ -234,6 +242,25 @@ object SparkEntry3 {
         broadcastRows = 1000L, hotShare = 0.05)
     }),
 
+    // The advisor made actionable: the SAME hot-key events-to-orders join
+    // q_join_advisor profiles, EXECUTED through Scale.adaptiveJoin — the
+    // advisor recommends salted_shuffle at these thresholds, the join runs
+    // salted, and the aggregated result equals the plain-join oracle
+    // (strategy never changes results; all sums exact integers).
+    "q_adaptive_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").df
+        .select(when(col("user_id") % 10 === 0, lit(0L))
+          .otherwise(col("user_id")).as("k"), col("event_type"))
+      val o = t(s, dir, "orders").df
+        .select(col("o_custkey").as("k"), col("o_orderkey"),
+          col("o_orderstatus"))
+      Scale.adaptiveJoin(ev, o, "k",
+        broadcastRows = 1000L, hotShare = 0.05)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"))
+    }),
+
     // The one-row dataset card: totals, mean quality, dominant language,
     // exact-dup count — the pre-ship corpus summary, every cell
     // oracle-checked.
@@ -334,6 +361,9 @@ object SparkEntry3 {
     // predicate against zone maps of (a) the Z-ordered layout and (b) a
     // hash-scattered layout. Z-order zones have tight per-dimension
     // envelopes (many skip); hash zones all straddle the range (none do).
+    // The on-disk counterpart is pinned in ScaleSpec ("z-order layout ON
+    // DISK"): the same layouts written to parquet show the skip in the
+    // scan's own row-group pruning metrics, not just this arithmetic.
     "q_zone_skip" -> ((s, dir) => {
       val o = t(s, dir, "orders").df
       val zmZ = Scale.zoneMaps(o.withColumn("zval", orderZval(o)),
@@ -365,6 +395,28 @@ object SparkEntry3 {
       val codes = graft.ml.Pq.encode(emb, cb, "vec_id", "qv", PQ_M)
       graft.ml.Pq.adcTopK(codes, cb, emb.filter(col("vec_id") < 5),
         "vec_id", "qv", PQ_M, PQ_TOPK)
+    }),
+
+    // The full IVF-PQ serving shape: q_pq_topk's train/encode pipeline with
+    // q_ann_ivf's coarse routing in front — each query probes its
+    // PQIVF_NP nearest of PQIVF_NC hash-sampled coarse centroids and
+    // ADC-scores only those clusters' codes. Routing (exact cosine on the
+    // quantized vectors, portable-hash centroid sample) and ADC (fixed-order
+    // per-subspace combine) both replay bit-for-bit, so the spliced oracle
+    // hash-checks the composition end to end.
+    "q_pq_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000.0).cast("double")).as("qv"))
+      val cb = Dedup.trackCache(graft.ml.Pq.train(emb, "vec_id", "qv",
+        m = PQ_M, k = PQ_K, iters = 1,
+        initHash = Some(Sketch.portableHash(col("vec_id").cast("string")))))
+      val codes = graft.ml.Pq.encode(emb, cb, "vec_id", "qv", PQ_M)
+      graft.ml.Pq.adcTopKRouted(emb, codes, cb,
+        emb.filter(col("vec_id") < 5), "vec_id", "qv",
+        PQ_M, PQ_TOPK, PQIVF_NC, PQIVF_NP,
+        centroidHash = Some(Sketch.portableHash(col("vec_id").cast("string"))))
     }),
 
     // SemDeDup on the perturbed-copy corpus (each vector + a near-identical
@@ -701,12 +753,19 @@ object SparkEntry3 {
     * normalized-md5 duplicate count, same expressions as the q_quality /
     * q_lang_id / q_dedup_exact oracles. */
   private val corpusReportOracleSql: String =
+    // blank-text seams mirror the Spark side exactly: CharStats counts a
+    // blank text's tokens as 0 (regexp_split of '' yields [''] — guard it),
+    // and ratioFrom scores zero-char ratios as 0.0, not NULL
     """WITH b AS (SELECT doc_id,
-      |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ntok,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS ntok,
       |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nosp,
-      |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text) AS punct,
-      |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digits,
-      |    length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text) AS uppers,
+      |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text) END AS punct,
+      |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) END AS digits,
+      |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text) END AS uppers,
       |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
       |        t -> t IN ('the','and','of','to','is'))) AS s_en,
       |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -719,13 +778,13 @@ object SparkEntry3 {
       |  FROM documents),
       |q AS (SELECT *,
       |    ((CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END) +
-      |     (CASE WHEN n_nosp * 1.0 / ntok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+      |     (CASE WHEN ntok > 0 AND n_nosp * 1.0 / ntok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
       |     (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END) +
       |     (CASE WHEN digits <= 0.2 THEN 1.0 ELSE 0.0 END) +
       |     (CASE WHEN uppers <= 0.3 THEN 1.0 ELSE 0.0 END)) / 5 AS qs,
       |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-      |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-      |         WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+      |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+      |         WHEN s_es = greatest(s_en, s_de, s_es) THEN 'es'
       |         WHEN s_en = greatest(s_en, s_de) THEN 'en'
       |         ELSE 'de' END AS lng
       |  FROM b),
@@ -758,7 +817,7 @@ object SparkEntry3 {
        |  FROM src GROUP BY 1)
        |SELECT st."column", st.count, st.mean, st.stddev, st.min,
        |  qs.q25, qs.q50, qs.q75, st.max
-       |FROM st JOIN qs USING ("column")""".stripMargin
+       |FROM st LEFT JOIN qs USING ("column")""".stripMargin
   }
 
   private def skewOracleSql(topK: Int): String =
@@ -820,8 +879,13 @@ object SparkEntry3 {
   /** Replays `q_pq_topk` end to end: per-subspace init sample, one Lloyd
     * iteration, dense code renumbering, encode argmin, the query LUT, and
     * the fixed-order ADC combine — all on the portable hash + quantized
-    * integers, so ranks hash-match. */
-  private def pqOracleSql(m: Int, k: Int, topK: Int): String = {
+    * integers, so ranks hash-match. With `route = Some((nCentroids,
+    * nProbe))` it instead replays `q_pq_ivf`: the same per-subspace chain
+    * plus q_ann_ivf's coarse routing (portable-hash centroid sample,
+    * cosine-desc/centroid-id probe ranks), ADC restricted to the routed
+    * candidate pairs. */
+  private def pqOracleSql(m: Int, k: Int, topK: Int,
+                          route: Option[(Int, Int)] = None): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH q AS (SELECT vec_id,
               |    list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS v
@@ -857,17 +921,41 @@ object SparkEntry3 {
                 |  FROM sv$s s CROSS JOIN cb$s c WHERE s.vec_id < 5),
                 |""".stripMargin
     }
-    val joins = (0 until m).map(s =>
-      s"JOIN e$s ON e$s.vec_id = it.vec_id" +
-        s" JOIN l$s ON l$s.query_id = qs.vec_id AND l$s.code = e$s.code")
+    def joins(qRef: String, iRef: String) = (0 until m).map(s =>
+      s"JOIN e$s ON e$s.vec_id = $iRef" +
+        s" JOIN l$s ON l$s.query_id = $qRef AND l$s.code = e$s.code")
       .mkString("\n  ")
     val adist = (0 until m).map(s => s"l$s.pd").mkString(" + ")
-    sb ++= s"""ad AS (SELECT qs.vec_id AS query_id, it.vec_id AS item_id,
-              |    $adist AS adist
-              |  FROM (SELECT vec_id FROM q WHERE vec_id < 5) qs
-              |  CROSS JOIN (SELECT vec_id FROM q) it
-              |  $joins)
-              |SELECT query_id, item_id, rk FROM (
+    route match {
+      case None =>
+        sb ++= s"""ad AS (SELECT qs.vec_id AS query_id, it.vec_id AS item_id,
+                  |    $adist AS adist
+                  |  FROM (SELECT vec_id FROM q WHERE vec_id < 5) qs
+                  |  CROSS JOIN (SELECT vec_id FROM q) it
+                  |  ${joins("qs.vec_id", "it.vec_id")})
+                  |""".stripMargin
+      case Some((nc, np)) =>
+        val cos = "list_dot_product(q.v, cent.cvec)" +
+          " / (sqrt(list_dot_product(q.v, q.v))" +
+          " * sqrt(list_dot_product(cent.cvec, cent.cvec)))"
+        sb ++= s"""cent AS (SELECT ${ph("CAST(vec_id AS VARCHAR)")} AS centroid_id,
+                  |    v AS cvec
+                  |  FROM q ORDER BY centroid_id LIMIT $nc),
+                  |assign AS (SELECT q.vec_id, cent.centroid_id,
+                  |    row_number() OVER (PARTITION BY q.vec_id
+                  |      ORDER BY $cos DESC, cent.centroid_id) AS crk
+                  |  FROM q CROSS JOIN cent),
+                  |cand AS (SELECT DISTINCT qa.vec_id AS query_id,
+                  |    ia.vec_id AS item_id
+                  |  FROM (SELECT * FROM assign WHERE crk <= $np AND vec_id < 5) qa
+                  |  JOIN (SELECT * FROM assign WHERE crk = 1) ia
+                  |    ON ia.centroid_id = qa.centroid_id),
+                  |ad AS (SELECT cand.query_id, cand.item_id, $adist AS adist
+                  |  FROM cand
+                  |  ${joins("cand.query_id", "cand.item_id")})
+                  |""".stripMargin
+    }
+    sb ++= s"""SELECT query_id, item_id, rk FROM (
               |  SELECT query_id, item_id,
               |    row_number() OVER (PARTITION BY query_id
               |      ORDER BY adist, item_id) AS rk
@@ -1035,6 +1123,15 @@ object SparkEntry3 {
     "q_bpe_encode"      -> bpeEncodeOracleSql(8),
     "q_join_advisor"    -> joinAdvisorOracleSql(CM_WIDTH, CM_DEPTH,
                              1000L, 0.05),
+    // the plain join IS the oracle: adaptiveJoin may only change the
+    // physical strategy, never the result
+    "q_adaptive_join"   ->
+      """WITH a AS (SELECT CASE WHEN user_id % 10 = 0 THEN 0
+        |    ELSE user_id END AS k, event_type FROM events)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM a JOIN orders ON a.k = o_custkey
+        |GROUP BY 1""".stripMargin,
     // compose the two standing oracles as derived tables (a parenthesized
     // WITH-query is a valid subquery), then pure integer-count metrics
     "q_pair_metrics"    ->
@@ -1062,12 +1159,13 @@ object SparkEntry3 {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_pq_topk"         -> pqOracleSql(PQ_M, PQ_K, PQ_TOPK),
+    "q_pq_ivf"          -> pqOracleSql(PQ_M, PQ_K, PQ_TOPK,
+                             route = Some((PQIVF_NC, PQIVF_NP))),
     "q_skew_report"     -> skewOracleSql(10),
     "q_importance_sample" -> importanceOracleSql("en", 10),
-    // q_ngram_jaccard's oracle with the threshold swapped to PPJoin's
-    // regime (same shingle/guard/jaccard semantics)
-    "q_jaccard_prefix"  -> SparkEntry2.oracleSql("q_ngram_jaccard")
-      .replace(">= 0.5", s">= $JP_T"),
+    // q_ngram_jaccard's oracle builder at PPJoin's threshold (same
+    // shingle/guard/jaccard semantics, shared parameterized source)
+    "q_jaccard_prefix"  -> SparkEntry2.ngramJaccardOracleSql(JP_T),
     "q_zone_maps"       -> zoneMapsOracleSql,
     "q_zone_skip"       -> zoneSkipOracleSql,
     "q_bpe"             -> bpeOracleSql(8),

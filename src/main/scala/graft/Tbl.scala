@@ -536,7 +536,9 @@ final case class Tbl(
       round(avg(col("v")), 4).as("mean"),
       round(stddev_samp(col("v")), 4).as("stddev"),
       min(col("v")).as("min"), max(col("v")).as("max"))
-    Tbl(stats.join(qp, Seq("column"))
+    // left join: a selected column whose values are ALL NULL has no sketch
+    // rows — it must still report (count=0, NULL quantiles), not vanish
+    Tbl(stats.join(qp, Seq("column"), "left")
       .select("column", "count", "mean", "stddev", "min", "q25", "q50",
         "q75", "max"))
   }

@@ -750,7 +750,13 @@ object Dedup {
     * `cluster` — never the all-pairs O(n²). A degenerate cluster (embedding
     * collapse) would still emit size² rows, so clusters above `maxCluster`
     * are excluded by the shared [[dropHotBuckets]] guard (disable with
-    * maxCluster <= 0). Pair verification is exact cosine, so recall within
+    * maxCluster <= 0). The default 10k caps any one cluster at ~5·10⁷
+    * candidate pairs — the guard protects even when called with defaults on
+    * a collapsed embedding space; scale `k` with corpus size (k ∝ n) so
+    * healthy clusters stay well under it. Dropped clusters are a SILENT
+    * recall loss for their members: audit with [[semanticDedupDropped]]
+    * (same clustering, one row per excluded cluster) before trusting a run
+    * on a new corpus. Pair verification is exact cosine, so recall within
     * a cluster is exact; cross-cluster duplicates are the accepted miss —
     * for tight thresholds [[embeddingNearDupPairs]] (LSH, cluster-free) is
     * the recall-oriented alternative.
@@ -763,7 +769,7 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, threshold: Double,
                     initHash: Option[Column] = None,
-                    maxCluster: Int = 100000): DataFrame = {
+                    maxCluster: Int = 10000): DataFrame = {
     val assigned = Clustering.kmeans(df, k, iters, idCol, vecCol, initHash)
     val v = scopedCache(
       df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -775,6 +781,23 @@ object Dedup {
         Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
     keepCanonical(df, idCol, pairs)
+  }
+
+  /** The no-silent-caps companion to [[semanticDedup]]: one row per cluster
+    * the `maxCluster` guard would EXCLUDE from the pairwise pass —
+    * (cluster, n_rows) — so a run's recall loss is inspectable instead of
+    * silent. Same deterministic clustering as the dedup itself (identical
+    * k/iters/initHash reproduce identical labels); empty output means the
+    * guard never fired. Cost: the kmeans assignment plus one count
+    * aggregate — no pair generation.
+    */
+  def semanticDedupDropped(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int,
+                           initHash: Option[Column] = None,
+                           maxCluster: Int = 10000): DataFrame = {
+    val assigned = Clustering.kmeans(df, k, iters, idCol, vecCol, initHash)
+    assigned.groupBy("cluster").agg(count(lit(1)).as("n_rows"))
+      .filter(lit(maxCluster) > 0 && col("n_rows") > maxCluster)
   }
 
   /** The ingest-time half of [[semanticDedup]]: drop new vectors that

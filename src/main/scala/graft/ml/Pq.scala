@@ -137,7 +137,10 @@ object Pq {
     * query × subspace × code, exact distances to the REAL query subvector)
     * is broadcast into the exploded code table; per-item distances combine
     * through an explicit fixed-order per-subspace pivot so float addition
-    * order can never perturb a rank. Output: (query_id, item_id, rk).
+    * order can never perturb a rank. Scores every (query, item) code pair —
+    * the right tool for RERANKING a pre-routed candidate set; for a
+    * full-corpus probe use [[adcTopKRouted]], which puts IVF coarse
+    * routing in front. Output: (query_id, item_id, rk).
     */
   def adcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
@@ -158,6 +161,154 @@ object Pq {
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist"), col("item_id"))
     byPair.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
+  }
+
+  /** IVF-routed ADC — the full IVF-PQ serving shape (Jégou et al. §V):
+    * [[Similarity.ivfTopK]]'s coarse routing in front of [[adcTopK]]'s
+    * compressed scoring. Each query ranks the tiny broadcast coarse-centroid
+    * table (deterministic id-hash sample, same as ivfTopK), probes its
+    * `nProbe` nearest centroids, and ADC-scores ONLY items assigned to those
+    * centroids — the flat ADC's query × corpus code enumeration shrinks to
+    * query × (nProbe/nCentroids · corpus), which is what makes a
+    * full-corpus probe tractable at 100 TB (flat [[adcTopK]] remains the
+    * right tool for RERANKING a pre-routed candidate set).
+    *
+    * Scale shape: centroids and the per-query LUT are broadcast; item
+    * routing is map-side argmin; the only data-sized exchanges are the
+    * candidate equi-join on `centroid_id` and the per-(query, item) combine.
+    * Same fixed-order per-subspace ADC sum and (distance, id) tie-breaks as
+    * [[adcTopK]], and routing reuses ivfTopK's exact-cosine argmin — with
+    * quantized vectors and a portable hash the whole route→encode→probe
+    * chain replays bit-for-bit (q_pq_ivf's spliced DuckDB oracle);
+    * PipelineSpec pins full-probe == flat ADC (the routing is pure
+    * candidate pruning) and recall@k ≥ 0.9 at quarter-probe on a planted
+    * clustered corpus — the geometry IVF assumes; on isotropic noise any
+    * routing loses neighbors. Output: (query_id, item_id, rk).
+    */
+  def adcTopKRouted(corpus: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    m: Int, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                    centroidHash: Option[Column] = None): DataFrame = {
+    require(nProbe >= 1 && nCentroids >= nProbe, "need 1 <= nProbe <= nCentroids")
+    val ch = centroidHash.getOrElse(xxhash64(col(idCol)))
+    val centroids = Dedup.trackCache(corpus
+      .select(ch.as("centroid_id"), col(vecCol).as("cvec"))
+      .orderBy("centroid_id").limit(nCentroids))
+    def route(df: DataFrame, name: String, nNearest: Int) = {
+      val scored = graft.ops.Scale.spread(df)
+        .select(col(idCol).as(name + "_id"), col(vecCol).as(name + "_vec"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("cdist", Similarity.cosine(col(name + "_vec"), col("cvec")))
+      val w = Window.partitionBy(name + "_id")
+        .orderBy(desc("cdist"), col("centroid_id"))
+      scored.withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= nNearest)
+        .select(col(name + "_id"), col("centroid_id"))
+    }
+    val cand = route(corpus, "item", 1)
+      .join(route(queries, "query", nProbe), Seq("centroid_id"))
+      .select("query_id", "item_id").dropDuplicates("query_id", "item_id")
+    val lut = subVectors(queries, idCol, vecCol, m)
+      .join(codebooks, Seq("sub"))
+      .select(col(idCol).as("query_id"), col("sub"), col("code"),
+        sqdistToCentroid.as("__pd"))
+    val ex = codes.select(col(idCol).as("item_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val adist = (0 until m).map(s =>
+        sum(when(col("sub") === s, col("__pd")))).reduce(_ + _)
+    val byPair = cand.join(ex, Seq("item_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "item_id")
+      .agg(adist.as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("item_id"))
+    byPair.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Persist an IVF-PQ index — the build-once/probe-many form of
+    * [[adcTopKRouted]], and the layout a 100 TB retrieval corpus actually
+    * ships: `<path>/centroids` (coarse quantizer, nCentroids rows),
+    * `<path>/codebooks` (m·k rows), and `<path>/codes` — the corpus stored
+    * as m PQ CODES per vector instead of d floats, written PARTITIONED BY
+    * the coarse `centroid_id`. [[adcTopKFromIndex]] then composes the two
+    * savings: a probe batch reads ONLY its routed `centroid_id=`
+    * directories (dynamic partition pruning against the broadcast probe
+    * table), and what it reads is codes, not vectors (m·⌈log2 k⌉ bits per
+    * item). Same deterministic centroid sample as
+    * [[Similarity.buildIvfIndex]] and the same codebook training as
+    * [[train]], so index answers equal the inline [[adcTopKRouted]]
+    * exactly (MiscSpec pins equality and the DPP filter).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, idCol: String,
+                      vecCol: String, m: Int, k: Int, iters: Int,
+                      nCentroids: Int = 16,
+                      initHash: Option[Column] = None,
+                      centroidHash: Option[Column] = None): Unit = {
+    val ch = centroidHash.getOrElse(xxhash64(col(idCol)))
+    corpus.select(ch.as("centroid_id"), col(vecCol).as("cvec"))
+      .orderBy("centroid_id").limit(nCentroids)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    train(corpus, idCol, vecCol, m, k, iters, initHash)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val spark = corpus.sparkSession
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val scored = graft.ops.Scale.spread(corpus)
+      .select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+      .crossJoin(centroids)
+      .withColumn("cdist", Similarity.cosine(col("item_vec"), col("cvec")))
+    val w = Window.partitionBy("item_id")
+      .orderBy(desc("cdist"), col("centroid_id"))
+    val assigned = scored.withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1).select("item_id", "centroid_id")
+    encode(corpus, spark.read.parquet(s"$path/codebooks"), idCol, vecCol, m)
+      .select(col(idCol).as("item_id"), col("codes"))
+      .join(assigned, "item_id")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** Probe a persisted IVF-PQ index (see [[buildIvfPqIndex]]): rank the
+    * nProbe nearest coarse centroids per query against the tiny persisted
+    * centroid table, then ADC-score only the probed partitions' codes —
+    * the probe keys reach the codes scan as a dynamic-partition-pruning
+    * filter, so unprobed `centroid_id=` directories are never read. `m`
+    * is read off the persisted codebooks (the index is self-describing).
+    * Output: (query_id, item_id, rk) — identical to [[adcTopKRouted]]
+    * with the same parameters.
+    */
+  def adcTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nProbe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val m = codebooks.agg(max("sub")).head().getInt(0) + 1
+    val scored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .crossJoin(centroids)
+      .withColumn("cdist", Similarity.cosine(col("query_vec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cdist"), col("centroid_id"))
+    val probes = scored.withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nProbe).select("query_id", "centroid_id")
+    val lut = subVectors(queries, idCol, vecCol, m)
+      .join(codebooks, Seq("sub"))
+      .select(col(idCol).as("query_id"), col("sub"), col("code"),
+        sqdistToCentroid.as("__pd"))
+    val cand = spark.read.parquet(s"$path/codes")
+      .join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("item_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val adist = (0 until m).map(s =>
+        sum(when(col("sub") === s, col("__pd")))).reduce(_ + _)
+    val byPair = cand.join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "item_id")
+      .agg(adist.as("adist"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("item_id"))
+    byPair.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
       .select(col("query_id"), col("item_id"), col("rk").cast("long").as("rk"))
   }
 }

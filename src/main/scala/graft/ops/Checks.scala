@@ -174,6 +174,8 @@ object Checks {
     * sketches, so it costs a scan per side at any scale. Deterministic
     * thresholds over exact counts / identically-computed doubles: the
     * whole recommendation replays in the q_join_advisor oracle.
+    * [[graft.ops.Scale.adaptiveJoin]] consumes the recommendation and
+    * executes the chosen strategy.
     */
   def joinAdvisor(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
                   width: Int = 1024, depth: Int = 3,

@@ -67,6 +67,45 @@ object Scale {
     bigSalted.join(smallExploded, Seq(key, "__salt"), how).drop("__salt")
   }
 
+  /** Execute an equi-join with the strategy [[Checks.joinAdvisor]]
+    * recommends — the advisor made actionable. One deliberate pre-flight
+    * pass profiles both sides (two count aggregates + two bounded
+    * count-min sketches; the advisor never joins, sorts, or collects data
+    * rows), then the join runs as:
+    *   - `broadcast`      — hash join with the smaller side broadcast
+    *   - `salted_shuffle` — [[saltedJoin]] with the hotter side salted
+    *     `saltFactor` ways (its hot key's reducer split into even ones)
+    *   - `shuffle`        — the plain hash-partitioned join
+    * Results are strategy-invariant (ChecksSpec pins equality against the
+    * plain join on both hot-key and uniform inputs); output columns are
+    * (key, a-rest, b-rest) regardless of the chosen physical shape, so
+    * callers never see the strategy. Inner join only: salting swaps which
+    * side replicates, which would flip outer-join semantics. Column names
+    * other than `key` must be distinct across the two sides.
+    */
+  def adaptiveJoin(a: DataFrame, b: DataFrame, key: String,
+                   saltFactor: Int = 8,
+                   width: Int = 1024, depth: Int = 3,
+                   broadcastRows: Long = 1000000L,
+                   hotShare: Double = 0.2): DataFrame = {
+    val rec = Checks.joinAdvisor(a, col(key), b, col(key),
+      width, depth, broadcastRows, hotShare).head()
+    val outCols = (key +: (a.columns.filterNot(_ == key) ++
+      b.columns.filterNot(_ == key)).toSeq).map(col)
+    val joined = rec.getAs[String]("strategy") match {
+      case "broadcast" =>
+        if (rec.getAs[Long]("n_b") <= rec.getAs[Long]("n_a"))
+          a.join(broadcast(b), Seq(key))
+        else broadcast(a).join(b, Seq(key))
+      case "salted_shuffle" =>
+        if (rec.getAs[Double]("max_share_a") >= rec.getAs[Double]("max_share_b"))
+          saltedJoin(a, b, key, saltFactor)
+        else saltedJoin(b, a, key, saltFactor)
+      case _ => a.join(b, Seq(key))
+    }
+    joined.select(outCols: _*)
+  }
+
   /** Coalesce to ~`targetPartitionBytes` per output partition before a
     * write — the small-files guard: a 32-partition shuffle writing 10 MB
     * total produces 32 tiny files that poison every later scan's task
@@ -445,7 +484,10 @@ object Scale {
     val rn = globalRowNumber(df, orderCols, "__rn")
     val aggs = count(lit(1)).as("cnt") +: statCols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
-    rn.crossJoin(broadcast(rn.agg(max(col("__rn")).as("__n"))))
+    // N = plain count(*) over the INPUT — max(__rn) gives the same number
+    // but would re-evaluate the whole globalRowNumber subtree (itself a
+    // two-consumer plan) just to read the row count
+    rn.crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
       .withColumn("__zone", expr(s"((__rn - 1) * $nZones) div __n"))
       .groupBy(col("__zone").as("zone"))
       .agg(aggs.head, aggs.tail: _*)
@@ -455,7 +497,12 @@ object Scale {
     * skippable for `lo <= c <= hi` when its [min, max] envelope misses the
     * range entirely — the arithmetic engines run against row-group stats,
     * as a one-row (n_zones, n_skipped) report. NULL envelopes (all-NULL
-    * zones) are conservatively unskippable. */
+    * zones) are conservatively unskippable. The estimate is not just a
+    * model: ScaleSpec's "z-order layout ON DISK" test writes a
+    * [[zorderBy]] layout to parquet and shows the scan's own
+    * numOutputRows shrink under the pushed range filter (row groups
+    * skipped by their min/max stats) while the hash layout prunes nothing
+    * — the same arithmetic, executed by the parquet reader. */
   def skipEstimate(zm: DataFrame, statCol: String, lo: Column,
                    hi: Column): DataFrame =
     zm.agg(count(lit(1)).as("n_zones"),

@@ -109,6 +109,14 @@ object GraftFunctions {
         case Seq(text) => graft.plans.RepetitionStats(text)
         case args      => arity("repetition_stats", args.size, "1")
       }),
+    (FunctionIdentifier("count_min_agg"),
+      info("count_min_agg",
+        "count_min_agg(k, width, depth) - aggregate a string key column into Count-Min counters: array<bigint> of length depth*width, cell (d, b) at index d*width + b (portable md5 buckets, same as cm_bucket; read back with cm_estimate)"),
+      {
+        case Seq(k, w, d) => graft.plans.CountMinAgg(k,
+          intLit(w, "count_min_agg", "width"), intLit(d, "count_min_agg", "depth"))
+        case args => arity("count_min_agg", args.size, "3")
+      }),
     (FunctionIdentifier("hyperplane_sigs"),
       info("hyperplane_sigs",
         "hyperplane_sigs(vec, dim, n_planes, n_tables[, seed]) - LSH hyperplane signatures, one bigint per table (default seed=42)"),
@@ -194,6 +202,10 @@ object GraftFunctions {
       // as pure-SQL macros — the same checks/cascade as TextFns
       // .qualityScore / .langId (and their DuckDB oracles), so a SQL-only
       // pipeline can quality-gate and route by language
+      // the `length(s) = 0 OR` guards mirror TextFns.ratioFrom, which
+      // scores a zero-char text's ratios as 0.0 (so the <= checks PASS):
+      // without them Spark's non-ANSI x/0 yields NULL and the checks
+      // would silently score 0 — empty text must be 0.6 on both paths
       """CREATE OR REPLACE TEMPORARY FUNCTION quality_score(s STRING)
         |RETURNS DOUBLE RETURN (
         |  (CASE WHEN size(split(trim(lower(s)), '\\s+')) BETWEEN 10 AND 100000
@@ -201,16 +213,22 @@ object GraftFunctions {
         |  (CASE WHEN length(regexp_replace(trim(s), '\\s+', ''))
         |          / CAST(size(split(trim(lower(s)), '\\s+')) AS DOUBLE)
         |          BETWEEN 2.0d AND 12.0d THEN 1.0d ELSE 0.0d END) +
-        |  (CASE WHEN length(regexp_replace(s, '[^.,!?;:]', '')) * 1.0d
+        |  (CASE WHEN length(s) = 0 OR
+        |          length(regexp_replace(s, '[^.,!?;:]', '')) * 1.0d
         |          / length(s) <= 0.2d THEN 1.0d ELSE 0.0d END) +
-        |  (CASE WHEN length(regexp_replace(s, '[^0-9]', '')) * 1.0d
+        |  (CASE WHEN length(s) = 0 OR
+        |          length(regexp_replace(s, '[^0-9]', '')) * 1.0d
         |          / length(s) <= 0.2d THEN 1.0d ELSE 0.0d END) +
-        |  (CASE WHEN length(regexp_replace(s, '[^A-Z]', '')) * 1.0d
+        |  (CASE WHEN length(s) = 0 OR
+        |          length(regexp_replace(s, '[^A-Z]', '')) * 1.0d
         |          / length(s) <= 0.3d THEN 1.0d ELSE 0.0d END)) / 5""".stripMargin,
       {
         // macro bodies must be single expressions (no CTEs): generate the
         // per-language stopword-hit terms inline, same cascade as
-        // TextFns.langId (tie -> larger code, zero hits -> 'und')
+        // TextFns.langId (tie -> larger code, zero hits -> 'und').
+        // TextFns.langId's greatest(struct(score, lang)) breaks max-score
+        // ties to the LEXICOGRAPHICALLY LARGER code, so the cascade must
+        // check in descending code order: fr > es > en > de
         def hits(ws: Seq[String]) =
           s"size(filter(split(trim(lower(s)), '\\\\s+'), " +
             s"x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
@@ -221,8 +239,8 @@ object GraftFunctions {
         s"""CREATE OR REPLACE TEMPORARY FUNCTION lang_id(s STRING)
            |RETURNS STRING RETURN
            |  CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
-           |       WHEN $es = greatest($en, $de, $fr, $es) THEN 'es'
-           |       WHEN $fr = greatest($en, $de, $fr) THEN 'fr'
+           |       WHEN $fr = greatest($en, $de, $fr, $es) THEN 'fr'
+           |       WHEN $es = greatest($en, $de, $es) THEN 'es'
            |       WHEN $en = greatest($en, $de) THEN 'en'
            |       ELSE 'de' END""".stripMargin
       },
@@ -231,7 +249,39 @@ object GraftFunctions {
            (0 until 16).flatMap(j => Seq(
              s"shiftleft(shiftright(x, $j) & 1, ${2 * j})",
              s"shiftleft(shiftright(y, $j) & 1, ${2 * j + 1})"))
-             .mkString(" | ")}""".stripMargin)
+             .mkString(" | ")}""".stripMargin,
+      // round-10: read the sketch summaries back in pure SQL.
+      // cm_estimate probes a count_min_agg counter array: min over the
+      // depth rows of the key's bucket counter — the same portable-md5
+      // bucket as cm_bucket/Sketch.countMin, inlined (macro bodies are
+      // single expressions and must not depend on other temp functions)
+      """CREATE OR REPLACE TEMPORARY FUNCTION cm_estimate(
+        |    counters ARRAY<BIGINT>, k STRING, width INT, depth INT)
+        |RETURNS BIGINT RETURN
+        |  array_min(transform(sequence(0, depth - 1),
+        |    d -> counters[d * width +
+        |      CAST(pmod(CAST(conv(substring(md5(concat(CAST(d AS STRING),
+        |        '|', k)), 1, 15), 16, 10) AS BIGINT), width) AS INT)]))""".stripMargin,
+      // qsketch_estimate reads a weighted-point quantile sketch (rows of
+      // Sketch.quantileSketchByGroup collected as array<struct<v, w>>):
+      // the type-1 weighted quantile at bp basis points — smallest v whose
+      // cumulative weight reaches the INTEGER rank target
+      // (bp*W + 9999) div 10000, exactly Sketch.quantileEstimate's
+      // arithmetic. The total weight W is re-folded per element (no let
+      // bindings in a single-expression macro) — fine for sketch-sized
+      // arrays, which are bounded by k*levels points by construction.
+      """CREATE OR REPLACE TEMPORARY FUNCTION qsketch_estimate(
+        |    pts ARRAY<STRUCT<v: DOUBLE, w: BIGINT>>, bp INT)
+        |RETURNS DOUBLE RETURN
+        |  aggregate(array_sort(pts),
+        |    named_struct('cw', CAST(0 AS BIGINT), 'est', CAST(NULL AS DOUBLE)),
+        |    (acc, p) -> IF(acc.est IS NOT NULL, acc,
+        |      IF(acc.cw + p.w >=
+        |           (bp * aggregate(pts, CAST(0 AS BIGINT), (a, x) -> a + x.w)
+        |             + 9999L) div 10000L,
+        |        named_struct('cw', acc.cw + p.w, 'est', p.v),
+        |        named_struct('cw', acc.cw + p.w, 'est', CAST(NULL AS DOUBLE)))),
+        |    acc -> acc.est)""".stripMargin)
     defs.foreach(spark.sql(_))
   }
 }

@@ -116,13 +116,60 @@ object Bpe {
     else merges.reduce(_ unionByName _)
   }
 
-  /** Tokenize words with a learned merge table: replay the merges in rank
-    * order over each word — the encode half (exact, not the fast-path trie
-    * a serving tokenizer would build; at pipeline scale tokenization is
-    * batch anyway). Returns (word, tokens).
+  /** The one-pass encode kernel: fold the whole rank-ordered merge array
+    * over a word's char tokens — outer `aggregate` walks the merges in rank
+    * order, inner `aggregate` is the same greedy leftmost non-overlapping
+    * replacement as [[applyMergeExpr]] with the pair read from the outer
+    * lambda's merge struct. Pure Catalyst, so ALL nMerges applications are
+    * one projection — the per-word cost is the same token-array walk the
+    * replay did, without nMerges chained Spark jobs.
+    */
+  private val encodeAllExpr: String =
+    """aggregate(__ms,
+      |  concat(transform(sequence(1, length(word)),
+      |           i -> substr(word, i, 1)),
+      |         array('</w>')),
+      |  (ts, mg) -> IF(size(ts) < 2, ts,
+      |    aggregate(sequence(0, size(ts) - 1),
+      |      named_struct('acc', CAST(array() AS array<string>), 'skip', false),
+      |      (s, i) -> IF(s.skip,
+      |        named_struct('acc', s.acc, 'skip', false),
+      |        IF(i < size(ts) - 1 AND ts[i] = mg.l AND ts[i + 1] = mg.r,
+      |          named_struct('acc', array_append(s.acc, concat(mg.l, mg.r)),
+      |                       'skip', true),
+      |          named_struct('acc', array_append(s.acc, ts[i]),
+      |                       'skip', false))),
+      |      s -> s.acc)))""".stripMargin
+
+  /** Tokenize words with a learned merge table — the encode half (exact,
+    * not the fast-path trie a serving tokenizer would build; at pipeline
+    * scale tokenization is batch anyway). Returns (word, tokens).
+    *
+    * ONE job over the word table at any merge-table size: the rank-ordered
+    * merges ride a 1-row scalar-aggregate broadcast (`array_sort` of the
+    * collected (rank, l, r) structs — struct ordering leads on `rank`) into
+    * every word, and [[encodeAllExpr]] applies all of them in a single
+    * fold. The earlier formulation replayed merges as nMerges sequential
+    * projections (checkpoint every 8) — correct, but at a real tokenizer's
+    * 32k merges that is thousands of chained driver-scheduled jobs over a
+    * small table. Semantics are identical (BpeSpec pins one-pass == replay
+    * and the single-job shape); the replay survives as
+    * [[encodeWordsReplay]], the differential oracle.
     */
   def encodeWords(words: DataFrame, wordCol: String,
                   merges: DataFrame): DataFrame = {
+    val ms = merges.agg(array_sort(collect_list(struct(
+      col("rank"), col("left").as("l"), col("right").as("r")))).as("__ms"))
+    words.select(col(wordCol).as("word")).distinct()
+      .crossJoin(broadcast(ms))
+      .select(col("word"), expr(encodeAllExpr).as("tokens"))
+  }
+
+  /** Per-merge replay encode — the differential oracle for [[encodeWords]]
+    * (one projection per merge; do not use at serving merge-table sizes).
+    */
+  private[graft] def encodeWordsReplay(words: DataFrame, wordCol: String,
+                                       merges: DataFrame): DataFrame = {
     val ms = merges.orderBy("rank").collect()
       .map(r => (r.getString(r.fieldIndex("left")),
         r.getString(r.fieldIndex("right"))))

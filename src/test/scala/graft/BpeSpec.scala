@@ -112,4 +112,51 @@ class BpeSpec extends AnyFunSuite {
       assert(got(w) == ts.toList, s"$w: ${got(w)} vs $ts")
     }
   }
+
+  test("one-pass encode == per-merge replay; 512 merges stay ONE query") {
+    import spark.implicits._
+    val corpus = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump",
+      "the five boxing wizards jump quickly").toDF("text")
+    val merges = Bpe.train(corpus, "text", nMerges = 24)
+    val words = Bpe.wordCounts(corpus, "text").select("word")
+    val one = Bpe.encodeWords(words, "word", merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val rep = Bpe.encodeWordsReplay(words, "word", merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(one == rep, "one-pass fold must equal the per-merge replay")
+    assert(one.nonEmpty)
+
+    // pad the table to 512 merges with pairs that never occur: the encode
+    // must remain a single query — no per-merge checkpoints in the plan,
+    // and a handful of jobs total (the replay would schedule 64+). The
+    // merge table itself is pinned to ONE checkpoint first so any further
+    // LogicalRDD in the encode plan would be the encode's own doing.
+    val pad = (25 to 512).map(i => (i.toLong, s"<pad$i>", s"<pad$i>", 0L))
+      .toDF("rank", "left", "right", "freq")
+    val bigMerges = merges.unionByName(pad).localCheckpoint()
+    val enc = Bpe.encodeWords(words, "word", bigMerges)
+    assert(enc.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l }.length <= 1,
+      "one-pass encode must not add checkpoints of its own")
+    val sc = spark.sparkContext
+    sc.setJobGroup("bpe-one-pass-512", "BpeSpec job-count pin",
+      interruptOnCancel = false)
+    val got = try {
+      enc.collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    } finally sc.clearJobGroup()
+    assert(got == one, "no-op pad merges must not change the encoding")
+    // the status store is fed asynchronously — poll until the group's job
+    // count is stable, then pin it
+    var last = -1; var stable = 0; var tries = 0
+    while (stable < 4 && tries < 100) {
+      val c = sc.statusTracker.getJobIdsForGroup("bpe-one-pass-512").length
+      if (c == last) stable += 1 else { stable = 0; last = c }
+      Thread.sleep(50); tries += 1
+    }
+    assert(last >= 1 && last <= 10,
+      s"expected a single-query encode (few jobs), saw $last")
+  }
 }

@@ -112,6 +112,37 @@ class ChecksSpec extends AnyFunSuite {
     assert(p.getLong(2) >= uniform.as("a").join(uniform.as("b"), "k").count())
   }
 
+  test("adaptiveJoin executes the advisor's choice; results strategy-invariant") {
+    import spark.implicits._
+    import graft.ops.Scale
+    val uniform = (1L to 600L).map(i => (i, i % 100)).toDF("a_id", "k")
+    val skewed = ((1L to 300L).map(i => (i, 0L)) ++
+      (301L to 600L).map(i => (i, i % 100))).toDF("a_id", "k")
+    val right = (0L to 99L).map(i => (i, s"v$i")).toDF("k", "v")
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      df.count(); df.queryExecution.executedPlan.toString
+    }
+    // hot key owns half the left side + tiny broadcast budget -> the salted
+    // plan (join keys extended with the deterministic salt)
+    val salted = Scale.adaptiveJoin(skewed, right, "k",
+      broadcastRows = 10, hotShare = 0.2)
+    assert(plan(salted).contains("__salt"), "expected the salted join shape")
+    TestSpark.assertSameRows(salted,
+      skewed.join(right, Seq("k")).select("k", "a_id", "v"))
+    // uniform keys + tiny budget -> plain shuffle join, no salt anywhere
+    val plain = Scale.adaptiveJoin(uniform, right, "k",
+      broadcastRows = 10, hotShare = 0.2)
+    assert(!plan(plain).contains("__salt"), "uniform input must not salt")
+    TestSpark.assertSameRows(plain,
+      uniform.join(right, Seq("k")).select("k", "a_id", "v"))
+    // small side within the default budget -> broadcast hash join
+    val bc = Scale.adaptiveJoin(uniform, right, "k")
+    val bcPlan = plan(bc)
+    assert(bcPlan.contains("BroadcastHashJoin") ||
+      bcPlan.contains("BroadcastExchange"), bcPlan)
+    TestSpark.assertSameRows(bc, plain)
+  }
+
   test("pairMetrics: hand-checked P/R/F1; duplicates collapse; empty sides") {
     import spark.implicits._
     import graft.ops.Checks

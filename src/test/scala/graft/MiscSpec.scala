@@ -45,6 +45,34 @@ class MiscSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.size <= 8, dirs.toString)
   }
 
+  test("persisted IVF-PQ index equals inline adcTopKRouted; probes prune partitions") {
+    import graft.ml.Pq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    Pq.buildIvfPqIndex(emb, dir, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, nCentroids = 8)
+    val fromIdx = Pq.adcTopKFromIndex(spark, dir, queries, k = 3, nProbe = 4)
+    val cb = graft.ml.Dedup.trackCache(
+      Pq.train(emb, "vec_id", "embedding", 4, k = 8, iters = 1))
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", 4)
+    val inline = Pq.adcTopKRouted(emb, codes, cb, queries, "vec_id",
+      "embedding", 4, 3, nCentroids = 8, nProbe = 4)
+    TestSpark.assertSameRows(fromIdx, inline, "index vs inline IVF-PQ")
+    // the codes scan must carry a dynamic-partition-pruning filter on
+    // centroid_id — a probe batch reads only its routed directories, and
+    // what it reads is m codes per vector, not d floats
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP filter on the codes scan:\n${plan.take(1500)}")
+    val dirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.size <= 8, dirs.toString)
+    graft.ml.Dedup.unpersistIntermediates()
+    emb.unpersist()
+  }
+
   test("quantilesBySample: exact when k covers the group, bounded error otherwise") {
     import spark.implicits._
     val d = Tbl((1L to 5000L).map(i => (i, i % 7, (i * 2654435761L % 100000).toDouble))

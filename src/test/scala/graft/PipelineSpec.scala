@@ -93,6 +93,52 @@ class PipelineSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("IVF-routed ADC: full-probe == flat ADC; routed recall >= 0.9 on clustered data") {
+    import graft.ml.Pq
+    val cb = graft.ml.Dedup.trackCache(
+      Pq.train(emb, "vec_id", "embedding", 4, k = 8, iters = 2))
+    val codes = graft.ml.Dedup.trackCache(
+      Pq.encode(emb, cb, "vec_id", "embedding", 4))
+    val queries = emb.filter(col("vec_id") < 10)
+    val flat = Pq.adcTopK(codes, cb, queries, "vec_id", "embedding", 4, 5)
+    // probing EVERY coarse centroid routes every (query, item) pair, so the
+    // composition must reproduce the flat ADC exactly — the splice is pure
+    // candidate pruning, never a scoring change
+    TestSpark.assertSameRows(flat,
+      Pq.adcTopKRouted(emb, codes, cb, queries, "vec_id", "embedding",
+        4, 5, nCentroids = 8, nProbe = 8))
+    // the serving config (nProbe=4 of 16 — each query ADC-scores ~1/4 of
+    // the corpus): recall@5 vs the flat ADC on a PLANTED CLUSTERED corpus,
+    // the geometry IVF assumes. (The synthetic embeddings table is
+    // isotropic noise — neighbors of a random direction spread over ALL
+    // coarse cells, so no routing could keep recall there; real embedding
+    // spaces cluster, which is the whole premise of the IVF layout.)
+    // 50 base directions x 20 small affine jitters = 1000 vectors in 50
+    // tight clusters; cluster siblings share a coarse centroid, so the
+    // flat top-5 (siblings) must survive the routing.
+    val clustered = graft.ml.Dedup.trackCache(
+      (0 until 20).map { j =>
+        emb.select((col("vec_id") + lit(j * 1000)).as("vec_id"),
+          transform(col("embedding"),
+            x => x * (lit(1.0) + lit(0.002) * j) + lit(0.0003) * j)
+            .as("embedding"))
+      }.reduce(_ unionByName _))
+    val cb1 = graft.ml.Dedup.trackCache(
+      Pq.train(clustered, "vec_id", "embedding", 4, k = 8, iters = 2))
+    val codes1 = graft.ml.Dedup.trackCache(
+      Pq.encode(clustered, cb1, "vec_id", "embedding", 4))
+    val queries1 = clustered.filter(col("vec_id") < 10)
+    val flat1 = Pq.adcTopK(codes1, cb1, queries1, "vec_id", "embedding", 4, 5)
+    val routed = Pq.adcTopKRouted(clustered, codes1, cb1, queries1, "vec_id",
+      "embedding", 4, 5, nCentroids = 16, nProbe = 4)
+    val recall = Similarity.recallAtK(
+        flat1.select("query_id", "item_id"),
+        routed.select("query_id", "item_id"))
+      .filter(col("query_id").isNull).select("recall").head().getDouble(0)
+    assert(recall >= 0.9, s"routed-ADC recall@5 vs flat = $recall")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("prefix-filtered jaccard pairs == inverted-index jaccard pairs (3 thresholds)") {
     // same semantics, different candidate generation: PPJoin prefix filter
     // must lose NO pair and admit no extra, at loose and tight thresholds
@@ -985,6 +1031,36 @@ class PipelineSpec extends AnyFunSuite {
     val guarded = Dedup.semanticDedup(both, "vec_id", "qv",
       k = 16, iters = 1, threshold = 0.999, maxCluster = 1)
     assert(guarded.count() == 2 * n)
+    Dedup.unpersistIntermediates()
+  }
+
+  test("semanticDedup pathological corpus: DEFAULT guard bounds candidates; drops reported") {
+    import spark.implicits._
+    // embedding collapse: every vector identical -> k-means puts ALL rows in
+    // one cluster. The default maxCluster must protect a default-args call:
+    // the degenerate cluster is excluded (no size^2 pair blowup — nothing
+    // is deduped, nothing hangs), and semanticDedupDropped reports it
+    // instead of the loss staying silent.
+    val n = 20001L  // one over the 10k default cap, kept cheap
+    val collapsed = spark.range(n).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(2.0), lit(3.0), lit(4.0)).as("qv"))
+    val survivors = Dedup.semanticDedup(collapsed, "vec_id", "qv",
+      k = 4, iters = 1, threshold = 0.999)
+    assert(survivors.count() === n,
+      "the guarded cluster must be excluded wholesale, not paired")
+    val dropped = Dedup.semanticDedupDropped(collapsed, "vec_id", "qv",
+      k = 4, iters = 1).collect()
+    assert(dropped.length === 1 &&
+      dropped(0).getAs[Long]("n_rows") === n,
+      s"expected one dropped cluster of $n rows: ${dropped.toSeq}")
+    // below the cap the same corpus pairs normally: all dupes resolve to
+    // the min id (maxCluster raised above n)
+    val small = collapsed.filter(col("vec_id") < 50)
+    val resolved = Dedup.semanticDedup(small, "vec_id", "qv",
+      k = 1, iters = 1, threshold = 0.999)
+    assert(resolved.count() === 1L)
+    assert(Dedup.semanticDedupDropped(small, "vec_id", "qv",
+      k = 1, iters = 1).isEmpty)
     Dedup.unpersistIntermediates()
   }
 }

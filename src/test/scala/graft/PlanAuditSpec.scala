@@ -39,6 +39,72 @@ class PlanAuditSpec extends AnyFunSuite {
     PlanAudit.assertClean(a.agg(sum("x")))
   }
 
+  // ---------------------------------------------------------------------
+  // The scale CI gate: EVERY declared query's physical plan is audited.
+  // A new query that grows a cartesian product, an unbounded nested-loop
+  // join, a global window, or a single-task sort fails HERE before any
+  // driver run sees it. Exemptions are explicit and justified — a rule may
+  // fire for a query ONLY if listed below.
+  // ---------------------------------------------------------------------
+  private val allowlist: Map[String, Set[String]] = {
+    // k-row centroid broadcasts: kmeans/IVF/PQ assign every row against a
+    // broadcast centroid table via crossJoin. The build side is bounded by
+    // construction (k rows, k <= 64 in every query) but is a GROUPED
+    // relation, so the auditor cannot see the bound and asks for review —
+    // reviewed: bounded, by the k/limit argument of the builder.
+    val centroidBroadcast = Set("nested_loop_join")
+    // brute-force exact rankers: corpus x broadcast-queries with a non-equi
+    // (id inequality) condition IS the operator — the ground-truth baseline
+    // approximate indexes are graded against. Queries are broadcast-bounded
+    // by contract (bruteForceTopK's scaladoc); the corpus streams once.
+    val bruteForce = Set("nested_loop_join")
+    // expand()/complete()/pivot_wider(id_expand): the REFERENCE semantics
+    // are the cross product of the selected columns' DISTINCT value sets
+    // (tidyr::expand) — the cross join is the operator, and its inputs are
+    // distinct-value dimension tables, not data rows.
+    val expandCross = Set("nested_loop_join")
+    // (q_pq_topk and q_semantic_dedup need NO entry: their centroid joins
+    // carry an equi key — `sub` / `cluster` — so they plan as hash joins)
+    Map(
+      "q_kmeans"              -> centroidBroadcast,
+      "q_ann_ivf"             -> centroidBroadcast,
+      "q_pq_ivf"              -> centroidBroadcast, // the coarse route() leg
+      "q_ann_bruteforce"      -> bruteForce,
+      "q_hybrid_rrf"          -> bruteForce, // its semantic leg is bruteForceTopK
+      "q_expand_complete"     -> expandCross,
+      "q_pivot_wider_idexpand" -> expandCross
+    )
+  }
+
+  test("ALL queries audit clean (scale CI gate over the whole surface)") {
+    val dir = "/root/testdata/sf0.001"
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val used = scala.collection.mutable.Set.empty[(String, String)]
+    for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val findings =
+        try PlanAudit.audit(q(spark, dir))
+        catch { case e: Exception =>
+          Seq(PlanAudit.Finding("audit_error", e.toString.take(200)))
+        }
+      val (exempt, extra) = findings.partition(f =>
+        allowlist.getOrElse(name, Set.empty).contains(f.rule))
+      exempt.foreach(f => used += ((name, f.rule)))
+      if (extra.nonEmpty)
+        failures += s"$name: ${extra.map(f => s"[${f.rule}] ${f.node}").mkString("; ")}"
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries with unexempted scale red flags:\n" +
+        failures.mkString("\n"))
+    // every exemption must actually FIRE — a stale allowlist entry is a
+    // hole a future regression could hide in
+    val unused = for {
+      (name, rules) <- allowlist.toSeq; rule <- rules
+      if !used.contains((name, rule))
+    } yield s"$name/$rule"
+    assert(unused.isEmpty, s"stale allowlist entries: ${unused.mkString(", ")}")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("headline queries audit clean (the PlanSpec claims, via the public API)") {
     val dir = "/root/testdata/sf0.001"
     // zone_maps/skew_report/corpus_report thread one-row totals through

@@ -89,6 +89,12 @@ class PlanSpec extends AnyFunSuite {
     val zm = plan("q_zone_maps")
     assert(zm.contains("rangepartitioning"), zm.take(800))
     assert(!hasGlobalWindow(zm), zm.take(1200))
+    // IVF-routed ADC: same PQ broadcast shape, plus the routed candidate
+    // join stays an equi-join on centroid_id (the nested loop is only the
+    // broadcast centroid scoring) — never a cartesian
+    val pqi = plan("q_pq_ivf")
+    assert(pqi.contains("BroadcastExchange"), pqi.take(600))
+    assert(!pqi.contains("CartesianProduct"), pqi.take(600))
     // prefix-filtered jaccard: candidates and verification are equi-joins
     val jp = plan("q_jaccard_prefix")
     assert(!jp.contains("CartesianProduct") &&

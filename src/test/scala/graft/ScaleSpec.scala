@@ -591,4 +591,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("rangepartitioning"), plan)
     assert(!plan.contains("Sort [") || !plan.contains("global=true"), plan)
   }
+
+  test("z-order layout ON DISK: parquet row-group stats prune the range scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the end-to-end proof behind skipEstimate's arithmetic: write the SAME
+    // rows in a Z-ordered vs a hash-scattered layout (16 files each, one
+    // row group per file at this size), re-read with a narrow range
+    // predicate, and read the SCAN's numOutputRows — rows surviving
+    // parquet's row-group min/max pruning of the pushed filter. Z-ordered
+    // files carry tight per-dimension envelopes, so most row groups are
+    // skipped; every hash file straddles the band, so none are.
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val ckHi = o.agg(max("o_custkey")).head().getLong(0).toDouble + 1.0
+    val tpHi = o.agg(max("o_totalprice")).head().getDouble(0) + 1.0
+    // quantize over the ACTUAL data envelope so the curve discriminates
+    val zcols = Seq(Scale.zorderQuantize(col("o_custkey"), 0.0, ckHi, 8),
+                    Scale.zorderQuantize(col("o_totalprice"), 0.0, tpHi, 8))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Scale.zorderBy(o, zcols, 8, numPartitions = 16)
+      .write.mode("overwrite").parquet(s"$tmp/zorder")
+    o.repartition(16).write.mode("overwrite").parquet(s"$tmp/hash")
+    val (lo, hi) = (math.ceil(ckHi * 0.1).toLong, math.floor(ckHi * 0.2).toLong)
+    def scanned(path: String): (Long, Set[Long]) = {
+      val q = spark.read.parquet(path)
+        .filter(col("o_custkey").between(lo, hi))
+        .select("o_orderkey", "o_custkey")
+      val keys = q.collect().map(_.getLong(0)).toSet
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other => (other.children ++ other.subqueries).flatMap(scans)
+      }
+      val n = scans(q.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+      (n, keys)
+    }
+    val (zRows, zKeys) = scanned(s"$tmp/zorder")
+    val (hRows, hKeys) = scanned(s"$tmp/hash")
+    assert(zKeys === hKeys, "layouts must return identical results")
+    assert(zKeys.nonEmpty)
+    assert(hRows === o.count(), s"hash layout should prune nothing: $hRows")
+    assert(zRows <= hRows / 2,
+      s"z-order scan read $zRows rows vs hash $hRows — expected real pruning")
+  }
 }

@@ -248,6 +248,45 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch family in pure SQL: count_min_agg/cm_estimate and qsketch_estimate equal the Sketch verbs") {
+    graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.registerSqlMacros(spark)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.createOrReplaceTempView("sq10_events")
+    // a complete pure-SQL count-min workflow: ONE aggregate call builds the
+    // flattened counter array, the macro probes estimates out of it — must
+    // equal the relational Sketch.countMin/countMinEstimate pair cell-for-cell
+    val viaSql = spark.sql(
+      """WITH sk AS (SELECT count_min_agg(CAST(user_id AS STRING), 64, 3) AS c
+        |  FROM sq10_events WHERE user_id IS NOT NULL),
+        |ks AS (SELECT DISTINCT CAST(user_id AS STRING) AS k FROM sq10_events
+        |  WHERE user_id < 100)
+        |SELECT k, cm_estimate(sk.c, k, 64, 3) AS est FROM ks, sk""".stripMargin)
+    val sk = graft.ops.Sketch.countMin(ev, col("user_id"), 64, 3)
+    val viaOps = graft.ops.Sketch.countMinEstimate(sk,
+      ev.filter(col("user_id") < 100), col("user_id"), 64, 3)
+    TestSpark.assertSameRows(viaSql, viaOps, "count_min_agg + cm_estimate")
+    // qsketch_estimate over the relational sketch's weighted points (k=8 so
+    // compaction fires and weights > 1 are exercised) == quantileEstimate
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val qs = graft.ops.Sketch.quantileSketchByGroup(cust,
+      Seq("c_mktsegment"), col("c_acctbal"), 8)
+    qs.createOrReplaceTempView("sq10_qs")
+    val viaSqlQ = spark.sql(
+      """WITH g AS (SELECT c_mktsegment, collect_list(struct(v, w)) AS pts
+        |  FROM sq10_qs GROUP BY 1)
+        |SELECT c_mktsegment, bp / 10000.0D AS q,
+        |  qsketch_estimate(pts, bp) AS est
+        |FROM g LATERAL VIEW explode(array(2500, 5000, 7500)) t AS bp""".stripMargin)
+    val viaOpsQ = graft.ops.Sketch.quantileEstimate(qs,
+      Seq("c_mktsegment"), Seq(2500, 5000, 7500))
+    TestSpark.assertSameRows(viaSqlQ, viaOpsQ, "qsketch_estimate")
+    for (fn <- Seq("count_min_agg", "cm_estimate", "qsketch_estimate")) {
+      val d = spark.sql(s"DESCRIBE FUNCTION $fn").collect().map(_.getString(0))
+      assert(d.exists(_.contains(fn)), s"$fn: ${d.mkString("|")}")
+    }
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // verify the injection shape is valid by applying it to a fresh builder-
     // style extensions object (a full new SparkSession would conflict with

@@ -754,11 +754,12 @@ object SparkEntry3 {
     * q_lang_id / q_dedup_exact oracles. */
   private val corpusReportOracleSql: String =
     // blank-text seams mirror the Spark side exactly: CharStats counts a
-    // blank text's tokens as 0 (regexp_split of '' yields [''] — guard it),
-    // and ratioFrom scores zero-char ratios as 0.0, not NULL
+    // blank text's tokens as 1 (split('') = [''] on BOTH engines —
+    // DuckDB's regexp_split_to_array('', '\s+') is also ['']), so ntok is
+    // plain len() with no blank guard (ChecksSpec pins the blank-doc row);
+    // ratioFrom scores zero-char ratios as 0.0, not NULL
     """WITH b AS (SELECT doc_id,
-      |    CASE WHEN trim(text) = '' THEN 0
-      |         ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS ntok,
+      |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ntok,
       |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nosp,
       |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
       |      length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text) END AS punct,

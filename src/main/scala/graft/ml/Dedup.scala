@@ -174,6 +174,35 @@ object Dedup {
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.8,
                               maxDf: Int = 1000): DataFrame = {
+    val (sh, sizes, pref) =
+      jaccardPrefixParts(df, idCol, textCol, n, threshold, maxDf)
+    val cand = pref.as("a").join(pref.as("b"), Seq("g"))
+      .where(col("a.id") < col("b.id") &&
+        col("b.sz") >= lit(threshold) * col("a.sz") - 1e-6 &&
+        col("a.sz") >= lit(threshold) * col("b.sz") - 1e-6)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("g")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** [[ngramJaccardPairsPrefix]]'s building blocks, extracted so the
+    * candidate-volume gate reads the SAME prefix relation the join keys
+    * on: (sh — the df-guarded (id, g) shingle table; sizes — per-id
+    * shingle counts; pref — the PPJoin prefix index (id, g, sz)).
+    */
+  private[graft] def jaccardPrefixParts(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      maxDf: Int): (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
     // build the shingle table locally KEEPING the per-shingle df that the
@@ -196,23 +225,38 @@ object Dedup {
       .where(col("__rn") <=
         col("sz") - ceil(lit(threshold) * col("sz") - 1e-6) + 1)
       .select(col("id"), col("g"), col("sz"))
-    val cand = pref.as("a").join(pref.as("b"), Seq("g"))
-      .where(col("a.id") < col("b.id") &&
-        col("b.sz") >= lit(threshold) * col("a.sz") - 1e-6 &&
-        col("a.sz") >= lit(threshold) * col("b.sz") - 1e-6)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val common = cand
-      .join(sh.select(col("id").as("id_a"), col("g")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    (sh, sizes, pref)
+  }
+
+  /** The FULL inverted-index join's candidate volume — Σ per (df-guarded)
+    * shingle of C(df, 2), the same-shingle comparisons
+    * [[ngramJaccardPairs]]' self-join performs. The baseline
+    * [[jaccardPrefixCandidateVolume]] is graded against: PPJoin's claim is
+    * a large shrink of exactly this term. One row: (n_candidates).
+    */
+  private[graft] def jaccardInvertedCandidateVolume(df: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      maxDf: Int = 1000): DataFrame =
+    shingleTable(df, idCol, textCol, n, maxDf)
+      .groupBy("g").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+        .cast("long").as("n_candidates"))
+
+  /** The PPJoin prefix join's candidate volume — Σ per prefix shingle of
+    * C(occurrences, 2), the same-shingle comparisons the candidate join
+    * performs before the size filter (an upper bound on surviving
+    * candidates; graded RELATIVE to [[jaccardInvertedCandidateVolume]] in
+    * the ScalingSpec gate — see [[lshCandidateVolume]]). One row:
+    * (n_candidates).
+    */
+  private[graft] def jaccardPrefixCandidateVolume(df: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = 1000): DataFrame = {
+    val (_, _, pref) =
+      jaccardPrefixParts(df, idCol, textCol, n, threshold, maxDf)
+    pref.groupBy("g").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+        .cast("long").as("n_candidates"))
   }
 
   /** Benchmark-contamination report: for each training doc, how many of its
@@ -441,6 +485,35 @@ object Dedup {
     * or band/row sweep; downstream id-keyed joins (labels, docs) are then
     * exchange-free bucket-local joins.
     */
+  /** The per-band bucket keys of a signature: xxhash64 of each `rows`-slice.
+    * One expression shared by the pair join and [[lshCandidateVolume]] so
+    * the gated volume can never drift from what the join actually keys on.
+    */
+  private def bandBuckets(bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))
+
+  /** The LSH band join's CANDIDATE VOLUME — Σ over (band, bucket) of
+    * C(size, 2), the exact number of (same-band) pair comparisons the
+    * self-join in [[lshPairsFromSignatures]] performs after the hot-bucket
+    * guard — computed from bucket SIZES (one aggregate), never by
+    * enumerating pairs. This is the quantity the ScalingSpec growth gate
+    * asserts stays ~linear in corpus size across SFs: a quadratic-under-
+    * skew regression shows up here as superlinear growth long before it
+    * shows up as a wall-clock blowup. One row: (n_candidates).
+    */
+  private[graft] def lshCandidateVolume(sigs: DataFrame, bands: Int = 8,
+                                        rows: Int = 4,
+                                        maxBucket: Int = 100000): DataFrame = {
+    val banded = dropHotBuckets(
+      sigs.select(col("id"), posexplode(bandBuckets(bands, rows)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
+      Seq("band", "bucket"), maxBucket)
+    banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+        .cast("long").as("n_candidates"))
+  }
+
   def lshPairsFromSignatures(sigs: DataFrame, bands: Int = 8, rows: Int = 4,
                              threshold: Double = 0.8,
                              maxBucket: Int = 100000): DataFrame = {
@@ -451,8 +524,7 @@ object Dedup {
     // can never share an exchange, so without this pin the signature
     // aggregate would recompute once per consumer.
     val banded0 = scopedCache(sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      posexplode(bandBuckets(bands, rows)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")))
     // hot-bucket guard: one degenerate band bucket — empty/templated docs
     // collapsing to one signature slice — emits bucket² candidate rows, the
@@ -565,28 +637,53 @@ object Dedup {
     * candidates (a pair's only shared chunk may be the dropped one), so the
     * default is generous; set <= 0 to disable.
     */
+  /** The simhash banding's chunk-key array over a `simhash` column:
+    * maxDist+1 chunks over 64 bits (first `rem` chunks one bit wider when
+    * 64 doesn't divide evenly — any partition into d+1 groups works for
+    * the pigeonhole argument). Shared by the pair join and
+    * [[simhashCandidateVolume]].
+    */
+  private def simhashChunkKeys(maxDist: Int): Column = {
+    val nChunks = maxDist + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val widths = Seq.tabulate(nChunks)(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    array((0 until nChunks).map(c =>
+      shiftrightunsigned(col("simhash"), offsets(c))
+        .bitwiseAND(lit((1L << widths(c)) - 1))): _*)
+  }
+
+  /** [[simhashPairs]]' candidate volume after the hot-bucket guard — Σ per
+    * (chunk, ckey) of C(size, 2), from bucket sizes only (see
+    * [[lshCandidateVolume]] for the gate's rationale). One row:
+    * (n_candidates).
+    */
+  private[graft] def simhashCandidateVolume(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3, maxBucket: Int = 10000,
+      hashLeaf: Option[Column => Column] = None): DataFrame = {
+    val chunked = dropHotBuckets(
+      simhash(df, idCol, textCol, hashLeaf).select(col("id"),
+          posexplode(simhashChunkKeys(maxDist)))
+        .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "ckey")),
+      Seq("chunk", "ckey"), maxBucket)
+    chunked.groupBy("chunk", "ckey").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+        .cast("long").as("n_candidates"))
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, maxBucket: Int = 10000,
                    hashLeaf: Option[Column => Column] = None): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
       s"maxDist=$maxDist: chunk banding supports 0..15 (16 chunks of 4 bits); " +
       "beyond that the bucket keys stop discriminating")
-    // maxDist+1 chunks over 64 bits; when 64 doesn't divide evenly the first
-    // `rem` chunks are one bit wider (any partition into d+1 groups works
-    // for the pigeonhole argument)
-    val nChunks = maxDist + 1
-    val base = 64 / nChunks
-    val rem = 64 % nChunks
-    val widths = Seq.tabulate(nChunks)(c => if (c < rem) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _).init
     // one cache, at the chunk level: it feeds the hot-bucket probe and both
     // self-join sides; an additional signature-level cache would only pay
     // a second materialization for a single consumer
     val chunked0 = scopedCache(
       simhash(df, idCol, textCol, hashLeaf).select(col("id"), col("simhash"),
-        posexplode(array((0 until nChunks).map(c =>
-          shiftrightunsigned(col("simhash"), offsets(c))
-            .bitwiseAND(lit((1L << widths(c)) - 1))): _*)))
+        posexplode(simhashChunkKeys(maxDist)))
         .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "ckey")))
     val chunked = dropHotBuckets(chunked0, Seq("chunk", "ckey"), maxBucket)
     // hamming is identical for every duplicate of a pair (one per shared
@@ -765,6 +862,14 @@ object Dedup {
     * bit-reproducible (see [[Clustering]]), dots/norms are exact/correctly
     * rounded on both engines, so the surviving id set replays exactly
     * (q_semantic_dedup's oracle regime).
+    *
+    * @note BEHAVIOR CHANGE (round 10): `maxCluster`'s default tightened
+    *       from 100000 to 10000. Default-args callers whose clustering
+    *       yields 10k–100k-row clusters now have those clusters EXCLUDED
+    *       from the pairwise pass — a silent recall loss relative to
+    *       earlier rounds. Audit with [[semanticDedupDropped]] (same
+    *       defaults — empty output means nothing changed for you), or
+    *       pass `maxCluster = 100000` explicitly to restore the old cap.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, threshold: Double,
@@ -798,6 +903,38 @@ object Dedup {
     val assigned = Clustering.kmeans(df, k, iters, idCol, vecCol, initHash)
     assigned.groupBy("cluster").agg(count(lit(1)).as("n_rows"))
       .filter(lit(maxCluster) > 0 && col("n_rows") > maxCluster)
+  }
+
+  /** [[semanticDedup]]'s candidate volume — Σ over guard-surviving clusters
+    * of C(size, 2), the exact number of within-cluster cosine comparisons
+    * the pairwise join performs (see [[lshCandidateVolume]] for the gate's
+    * rationale; the SemDeDup linearity contract requires k ∝ n). One row:
+    * (n_candidates).
+    */
+  private[graft] def semanticDedupCandidateVolume(df: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int,
+      initHash: Option[Column] = None,
+      maxCluster: Int = 10000): DataFrame = {
+    val assigned = Clustering.kmeans(df, k, iters, idCol, vecCol, initHash)
+    assigned.groupBy("cluster").agg(count(lit(1)).as("__n"))
+      .where(if (maxCluster > 0) col("__n") <= maxCluster else lit(true))
+      .agg(coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+        .cast("long").as("n_candidates"))
+  }
+
+  /** [[winnowPairs]]' candidate volume — Σ per surviving fingerprint of
+    * C(df, 2), the same-fp comparisons the pair join performs after the
+    * maxDf guard (see [[lshCandidateVolume]]). One row: (n_candidates).
+    */
+  private[graft] def winnowCandidateVolume(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, w: Int = 4, maxDf: Long = 1000,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, n, w, hash)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    fps.groupBy("fp").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxDf)
+      .agg(coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+        .cast("long").as("n_candidates"))
   }
 
   /** The ingest-time half of [[semanticDedup]]: drop new vectors that

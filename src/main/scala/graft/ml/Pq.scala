@@ -186,10 +186,16 @@ object Pq {
     * clustered corpus — the geometry IVF assumes; on isotropic noise any
     * routing loses neighbors. Output: (query_id, item_id, rk).
     */
-  def adcTopKRouted(corpus: DataFrame, codes: DataFrame, codebooks: DataFrame,
-                    queries: DataFrame, idCol: String, vecCol: String,
-                    m: Int, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-                    centroidHash: Option[Column] = None): DataFrame = {
+  /** The IVF coarse-routing candidate relation [[adcTopKRouted]] scores:
+    * items routed to their 1 nearest hash-sampled centroid, joined to each
+    * query's `nProbe` probed centroids — (query_id, item_id), distinct.
+    * Exposed as a seam so the ScalingSpec growth gate can count THIS
+    * relation's rows (must scale ~linearly in corpus size for a fixed
+    * query set — the pruning contract) without duplicating the routing.
+    */
+  private[graft] def routedCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, nCentroids: Int, nProbe: Int,
+      centroidHash: Option[Column] = None): DataFrame = {
     require(nProbe >= 1 && nCentroids >= nProbe, "need 1 <= nProbe <= nCentroids")
     val ch = centroidHash.getOrElse(xxhash64(col(idCol)))
     val centroids = Dedup.trackCache(corpus
@@ -206,9 +212,17 @@ object Pq {
         .filter(col("crk") <= nNearest)
         .select(col(name + "_id"), col("centroid_id"))
     }
-    val cand = route(corpus, "item", 1)
+    route(corpus, "item", 1)
       .join(route(queries, "query", nProbe), Seq("centroid_id"))
       .select("query_id", "item_id").dropDuplicates("query_id", "item_id")
+  }
+
+  def adcTopKRouted(corpus: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    m: Int, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                    centroidHash: Option[Column] = None): DataFrame = {
+    val cand = routedCandidates(corpus, queries, idCol, vecCol,
+      nCentroids, nProbe, centroidHash)
     val lut = subVectors(queries, idCol, vecCol, m)
       .join(codebooks, Seq("sub"))
       .select(col(idCol).as("query_id"), col("sub"), col("code"),

@@ -194,10 +194,72 @@ object Checks {
       .crossJoin(broadcast(est))
       .select(col("n_a"), col("n_b"), col("est_join_rows"),
         col("max_share_a"), col("max_share_b"),
-        when(least(col("n_a"), col("n_b")) <= broadcastRows, "broadcast")
-          .when(greatest(col("max_share_a"), col("max_share_b")) > hotShare,
-            "salted_shuffle")
-          .otherwise("shuffle").as("strategy"))
+        strategyCol(broadcastRows, hotShare))
+  }
+
+  /** The one threshold rule every advisor entry point shares: broadcast if
+    * a side fits, salt if a key is hot, else plain shuffle. Kept as a
+    * single expression so [[joinAdvisor]] and [[joinAdvisorFromProfiles]]
+    * can never drift.
+    */
+  private def strategyCol(broadcastRows: Long, hotShare: Double): Column =
+    when(least(col("n_a"), col("n_b")) <= broadcastRows, "broadcast")
+      .when(greatest(col("max_share_a"), col("max_share_b")) > hotShare,
+        "salted_shuffle")
+      .otherwise("shuffle").as("strategy")
+
+  /** A STANDING per-side join profile — the persist-once artifact that
+    * lets repeated production joins skip [[joinAdvisor]]'s per-call scans.
+    * One row: (n, max_share, cells) where `cells` is the count-min counter
+    * table over the key ((d, b, cnt) structs — bounded by depth·width
+    * entries, a few KB at any data size), built as a WEIGHTED sketch over
+    * the per-key counts so the counters equal [[Sketch.countMin]] over the
+    * raw rows exactly. Cost: ONE scan + one keyed aggregate — the same
+    * single pass the inline advisor pays per side, but paid once; write
+    * the row to parquet next to the table it profiles and feed it to
+    * [[joinAdvisorFromProfiles]] / [[graft.ops.Scale.adaptiveJoinFromStats]]
+    * at zero marginal scans per join. Refresh when the table changes
+    * enough to move the thresholds (counts are exact at build time).
+    */
+  def joinProfile(df: DataFrame, key: Column,
+                  width: Int = 1024, depth: Int = 3): DataFrame = {
+    val keyed = df.groupBy(key.cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = keyed.agg(sum("__c").cast("long").as("n"),
+      (max("__c").cast("double") / sum("__c").cast("long")).as("max_share"))
+    val cells = keyed.where(col("__k").isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("d"),
+        col("__k"), col("__c"))
+      .groupBy(col("d"),
+        pmod(Sketch.portableHash(
+          concat(col("d").cast("string"), lit("|"), col("__k"))),
+          lit(width)).as("b"))
+      .agg(sum("__c").as("cnt"))
+      .agg(collect_list(struct(col("d"), col("b"), col("cnt"))).as("cells"))
+    stats.crossJoin(broadcast(cells))
+  }
+
+  /** [[joinAdvisor]] recomputed from two persisted [[joinProfile]] rows —
+    * identical columns, identical thresholds, identical strategy, but the
+    * only inputs are the two one-row profile tables: the data tables are
+    * never touched. `depth` must match the profiles' build (a depth row
+    * missing from BOTH sketches would otherwise silently drop from the
+    * join-size min — same contract as [[Sketch.countMinJoinSize]]).
+    */
+  def joinAdvisorFromProfiles(pa: DataFrame, pb: DataFrame, depth: Int = 3,
+                              broadcastRows: Long = 1000000L,
+                              hotShare: Double = 0.2): DataFrame = {
+    def cellsOf(p: DataFrame) = p.select(explode(col("cells")).as("c"))
+      .select(col("c.d").as("d"), col("c.b").as("b"), col("c.cnt").as("cnt"))
+    val est = Sketch.countMinJoinSize(cellsOf(pa), cellsOf(pb), depth)
+      .withColumnRenamed("est", "est_join_rows")
+    pa.select(col("n").as("n_a"), col("max_share").as("max_share_a"))
+      .crossJoin(broadcast(
+        pb.select(col("n").as("n_b"), col("max_share").as("max_share_b"))))
+      .crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("est_join_rows"),
+        col("max_share_a"), col("max_share_b"),
+        strategyCol(broadcastRows, hotShare))
   }
 
   /** All-in-one pipeline gate: one row with every violation count. The

@@ -90,6 +90,48 @@ object Scale {
                    hotShare: Double = 0.2): DataFrame = {
     val rec = Checks.joinAdvisor(a, col(key), b, col(key),
       width, depth, broadcastRows, hotShare).head()
+    adaptiveJoinWith(a, b, key, rec, saltFactor)
+  }
+
+  /** [[adaptiveJoin]] from a PRECOMPUTED advisor row — the zero-marginal-
+    * scan form for repeated production joins: persist each side's
+    * [[Checks.joinProfile]] once, derive the recommendation with
+    * [[Checks.joinAdvisorFromProfiles]] (touches only the two one-row
+    * profile tables), and every subsequent join pays no advisor scans at
+    * all. Strategy choice and results are identical to the inline form by
+    * construction (same thresholds, same executor — ChecksSpec pins it).
+    */
+  def adaptiveJoinFromStats(a: DataFrame, b: DataFrame, key: String,
+                            profileA: DataFrame, profileB: DataFrame,
+                            saltFactor: Int = 8, depth: Int = 3,
+                            broadcastRows: Long = 1000000L,
+                            hotShare: Double = 0.2): DataFrame =
+    adaptiveJoinWith(a, b, key,
+      Checks.joinAdvisorFromProfiles(profileA, profileB, depth,
+        broadcastRows, hotShare).head(),
+      saltFactor)
+
+  /** Execute the join per an advisor row (a [[Checks.joinAdvisor]] /
+    * [[Checks.joinAdvisorFromProfiles]] result — or that row persisted and
+    * read back). Fails fast on NULL stats (an EMPTY input side aggregates
+    * to NULL n/max_share, and silent unboxing would make the side
+    * selection arbitrary) and on duplicate non-key column names (the
+    * output projection would hit an ambiguous reference later, far from
+    * the cause).
+    */
+  def adaptiveJoinWith(a: DataFrame, b: DataFrame, key: String,
+                       rec: org.apache.spark.sql.Row,
+                       saltFactor: Int = 8): DataFrame = {
+    val dup = a.columns.filterNot(_ == key)
+      .intersect(b.columns.filterNot(_ == key))
+    require(dup.isEmpty,
+      s"adaptiveJoin: non-key columns must be distinct across sides; " +
+        s"both have: ${dup.mkString(", ")}")
+    val needed = Seq("n_a", "n_b", "max_share_a", "max_share_b", "strategy")
+    val nulls = needed.filter(f => rec.isNullAt(rec.fieldIndex(f)))
+    require(nulls.isEmpty,
+      s"adaptiveJoin: advisor stats are NULL (${nulls.mkString(", ")}) — " +
+        "an input side is empty; there is nothing to adapt (join it plainly)")
     val outCols = (key +: (a.columns.filterNot(_ == key) ++
       b.columns.filterNot(_ == key)).toSeq).map(col)
     val joined = rec.getAs[String]("strategy") match {

@@ -55,12 +55,19 @@ case class CountMinAgg(
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
 
+  // one digest instance per deserialized aggregate (per task thread —
+  // Catalyst copies the expression per partition, so no cross-thread
+  // sharing); digest() resets it after each call, so the update hot path
+  // does no provider lookups or MessageDigest allocations per row
+  @transient private lazy val md5: MessageDigest =
+    MessageDigest.getInstance("MD5")
+
   /** First 15 hex chars of md5("d|key") as a nonnegative 60-bit long —
     * the JVM twin of [[graft.ops.Sketch.portableHash]]'s expression tree
     * (7 full digest bytes + the high nibble of the 8th).
     */
   private def bucket(d: Int, k: UTF8String): Int = {
-    val dig = MessageDigest.getInstance("MD5")
+    val dig = md5
       .digest((d.toString + "|" + k.toString).getBytes(StandardCharsets.UTF_8))
     var h = 0L
     var i = 0

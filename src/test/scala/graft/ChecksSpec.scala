@@ -143,6 +143,62 @@ class ChecksSpec extends AnyFunSuite {
     TestSpark.assertSameRows(bc, plain)
   }
 
+  test("joinAdvisorFromProfiles == joinAdvisor from persisted one-row " +
+      "profiles; adaptiveJoinFromStats picks the identical strategy with " +
+      "ZERO data-table scans in the advisor") {
+    import spark.implicits._
+    import graft.ops.{Checks, Scale}
+    val skewed = ((1L to 300L).map(i => (i, 0L)) ++
+      (301L to 600L).map(i => (i, i % 100))).toDF("a_id", "k")
+    val right = (0L to 99L).map(i => (i, s"v$i")).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-profiles")
+    // persist-once: the standing artifacts a production pipeline keeps
+    Checks.joinProfile(skewed.select("k"), col("k"))
+      .write.parquet(s"$dir/pa")
+    Checks.joinProfile(right.select("k"), col("k"))
+      .write.parquet(s"$dir/pb")
+    val pa = spark.read.parquet(s"$dir/pa")
+    val pb = spark.read.parquet(s"$dir/pb")
+    // the recomputed advisor row equals the inline advisor EXACTLY —
+    // counts, shares, CM join-size estimate, and strategy
+    val inline = Checks.joinAdvisor(skewed, col("k"), right, col("k"),
+      broadcastRows = 10L, hotShare = 0.2)
+    val fromProfiles = Checks.joinAdvisorFromProfiles(pa, pb,
+      broadcastRows = 10L, hotShare = 0.2)
+    TestSpark.assertSameRows(inline, fromProfiles)
+    // the from-profiles advisor's plan reads ONLY the profile parquet —
+    // no scan of the data tables (their columns/paths never appear)
+    val advisorPlan = fromProfiles.queryExecution.executedPlan.toString
+    assert(advisorPlan.contains(s"$dir/pa") && advisorPlan.contains(s"$dir/pb"))
+    assert(!advisorPlan.contains("a_id") && !advisorPlan.contains("v#"),
+      "advisor-from-profiles must not touch the data tables")
+    // the executed join: identical strategy (salted here) and rows
+    val viaStats = Scale.adaptiveJoinFromStats(skewed, right, "k",
+      pa, pb, broadcastRows = 10L, hotShare = 0.2)
+    viaStats.count()
+    assert(viaStats.queryExecution.executedPlan.toString.contains("__salt"),
+      "expected the salted shape from persisted stats")
+    TestSpark.assertSameRows(viaStats,
+      skewed.join(right, Seq("k")).select("k", "a_id", "v"))
+  }
+
+  test("adaptiveJoin guards: NULL advisor stats (empty side) and duplicate " +
+      "non-key columns fail fast with a clear message") {
+    import spark.implicits._
+    import graft.ops.Scale
+    val left = (1L to 10L).map(i => (i, i % 3)).toDF("a_id", "k")
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Scale.adaptiveJoin(left, empty, "k")
+    }
+    assert(e1.getMessage.contains("empty"), e1.getMessage)
+    val dup = (1L to 10L).map(i => (i, i % 3)).toDF("a_id", "k")
+    val e2 = intercept[IllegalArgumentException] {
+      Scale.adaptiveJoin(left, dup, "k")
+    }
+    assert(e2.getMessage.contains("a_id"), e2.getMessage)
+  }
+
   test("pairMetrics: hand-checked P/R/F1; duplicates collapse; empty sides") {
     import spark.implicits._
     import graft.ops.Checks
@@ -179,6 +235,34 @@ class ChecksSpec extends AnyFunSuite {
     // doc 4 fails the digit and length checks; mean = (1+1+1+q4)/4
     val mq = r.getDouble(r.fieldIndex("mean_quality"))
     assert(mq < 1.0 && mq > 0.5, s"mean_quality $mq")
+  }
+
+  test("corpusReport blank-doc seam: blank text counts ONE token (split('')" +
+      " = ['']) on both engines — the oracle carries no blank guard") {
+    import spark.implicits._
+    import graft.ops.Checks
+    import graft.text.TextFns
+    // pin the kernel first: CharStats/tokenCount on blank and
+    // whitespace-only text is 1 (Spark's split('') = ['']; DuckDB's
+    // regexp_split_to_array('', '\s+') is also [''] — the
+    // corpusReportOracleSql comment documents the parity)
+    // ("\t\n" is 2: SQL trim strips 0x20 only, and Pattern.split keeps
+    // the leading and trailing empties — ["", ""])
+    val toks = Seq("", "   ", "\t\n", "one two").toDF("t")
+      .select(TextFns.tokenCount(col("t")).cast("long").as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(toks === Seq(1L, 1L, 2L, 2L))
+    // and the card over a corpus CONTAINING blanks: no NULLs, no NaNs,
+    // n_tokens includes the blanks' 1s
+    val docs = Seq((1L, ""), (2L, "   "),
+      (3L, "the and of to is here now then when why")).toDF("doc_id", "text")
+    val r = Checks.corpusReport(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_docs")) === 3L)
+    assert(r.getLong(r.fieldIndex("n_tokens")) === (1 + 1 + 10L))
+    val mq = r.getDouble(r.fieldIndex("mean_quality"))
+    assert(!mq.isNaN && mq > 0.0, s"mean_quality $mq")
+    // the two blanks normalize to the same fingerprint -> one dup
+    assert(r.getLong(r.fieldIndex("dup_docs")) === 1L)
   }
 
   test("rows_insert/update/upsert/delete follow the dplyr contract") {

@@ -116,16 +116,141 @@ object Bpe {
     else merges.reduce(_ unionByName _)
   }
 
-  /** The one-pass encode kernel: fold the whole rank-ordered merge array
-    * over a word's char tokens — outer `aggregate` walks the merges in rank
-    * order, inner `aggregate` is the same greedy leftmost non-overlapping
-    * replacement as [[applyMergeExpr]] with the pair read from the outer
-    * lambda's merge struct. Pure Catalyst, so ALL nMerges applications are
-    * one projection — the per-word cost is the same token-array walk the
-    * replay did, without nMerges chained Spark jobs.
+  /** Adjacent-pair statistics of a (cnt, ts) word table — the relation
+    * [[train]] recounts per round and [[trainIncremental]] keeps standing.
+    */
+  private def pairStats(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), explode(when(size(col("ts")) >= 2,
+          expr("transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS l, ts[i + 1] AS r))"))
+        .otherwise(expr(
+          "CAST(array() AS array<struct<l: string, r: string>>)"))).as("p"))
+      .groupBy(col("p.l").as("__l"), col("p.r").as("__r"))
+      .agg(sum(col("cnt")).as("freq"))
+
+  /** [[train]] with INCREMENTAL pair-stat maintenance — the production-
+    * merge-count form. The full-recount train re-aggregates the entire
+    * word table's adjacent pairs every round: exact, and fine at an
+    * oracle's 8 merges, but at a real tokenizer's 32k merges that is 32k
+    * corpus-wide explode+shuffle rounds. This variant exploits the BPE
+    * delta structure: applying merge (l, r) changes pair counts ONLY in
+    * words that contain the adjacent pair, so each round
+    *   1. takes the argmax of the STANDING stats table (bounded by
+    *      distinct pairs — no corpus scan, no explode);
+    *   2. splits the word table map-side into affected (contains the
+    *      winning adjacent pair) and untouched;
+    *   3. re-derives pair stats for the AFFECTED words only, folding
+    *      (new − old) into the standing stats.
+    * The shuffled delta relation is proportional to the affected words'
+    * pair count — on a realistic corpus a fast-shrinking fraction of |V|
+    * (BpeSpec pins the proportionality at 512 merges via `onRound` row
+    * counts) — while results are bit-identical to [[train]]: the deltas
+    * are exact integers, the standing table after round k equals a full
+    * recount (only freq > 0 pairs exist in both), and the argmax
+    * tie-breaks are shared. Round checkpoints are released once
+    * superseded, so memory stays ~2·(|V| + |pairs|) at any merge count.
+    *
+    * `onRound(rank, nAffected, nWords)` is optional instrumentation
+    * (specs/audits); it costs two extra counts per round when set.
+    */
+  def trainIncremental(df: DataFrame, textCol: String, nMerges: Int,
+                       asciiOnly: Boolean = true,
+                       onRound: (Int, Long, Long) => Unit = null): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val sc = df.sparkSession.sparkContext
+    // `live` tracks the CURRENT round's words/stats checkpoint ids —
+    // released as soon as the next round supersedes them (and at the end);
+    // the 1-row winner checkpoints stay out of it: the returned merge
+    // table references them
+    def capturing(body: => Unit): Set[Int] = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      body
+      sc.getPersistentRDDs.keySet.toSet -- pre
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var words: DataFrame = null
+    var stats: DataFrame = null
+    var live = capturing {
+      words = wordCounts(df, textCol, asciiOnly)
+        .select(col("cnt"), charTokens(col("word")).as("ts"))
+        .localCheckpoint()
+      stats = pairStats(words).localCheckpoint()
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var done = false
+    for (rank <- 1 to nMerges if !done) {
+      val pair = stats
+        .orderBy(col("freq").desc, col("__l"), col("__r"))
+        .limit(1)
+        .localCheckpoint()
+      if (pair.isEmpty) done = true
+      else {
+        merges += pair.select(lit(rank.toLong).as("rank"),
+          col("__l").as("left"), col("__r").as("right"), col("freq"))
+        // the winner rides a broadcast into a map-side contains test; only
+        // hit words pay the re-pair + merge work
+        val flagged = words.crossJoin(broadcast(pair.select("__l", "__r")))
+          .withColumn("__hit", size(col("ts")) >= 2 &&
+            expr("exists(sequence(0, size(ts) - 2), " +
+              "i -> ts[i] = __l AND ts[i + 1] = __r)"))
+        val affected = flagged.where(col("__hit")).select("cnt", "ts", "__l", "__r")
+        val untouched = flagged.where(!col("__hit")).select("cnt", "ts")
+        val merged = affected.select(col("cnt"), expr(applyMergeExpr).as("ts"))
+        if (onRound != null)
+          onRound(rank, affected.count(), words.count())
+        val delta = pairStats(affected.select("cnt", "ts"))
+          .withColumn("freq", -col("freq"))
+          .unionByName(pairStats(merged))
+        val prevStats = stats
+        val next = capturing {
+          words = untouched.unionByName(merged).localCheckpoint()
+          stats = prevStats.unionByName(delta)
+            .groupBy("__l", "__r").agg(sum("freq").as("freq"))
+            .where(col("freq") > 0)
+            .localCheckpoint()
+        }
+        release(live)
+        live = next
+      }
+    }
+    release(live)
+    if (merges.isEmpty)
+      df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("rank"), lit("").as("left"), lit("").as("right"),
+          lit(0L).as("freq")).limit(0)
+    else merges.reduce(_ unionByName _)
+  }
+
+  /** Pair-presence prefilter for the one-pass encode: a merge (l, r) can
+    * fire on a word ONLY if l||r occurs as a contiguous substring of
+    * word||"</w>" — every token the fold ever holds is a contiguous
+    * substring of word||"</w>" (single chars + the marker initially;
+    * merging adjacent tokens concatenates adjacent substrings — induction),
+    * so adjacent tokens equal to (l, r) imply the concatenation occurs.
+    * Filtering the broadcast merge array per word on this test is
+    * therefore a pure no-op on semantics (filtered merges could never
+    * fire) and makes the fold's cost track WORD CONTENT instead of vocab
+    * size: at a serving tokenizer's 32k merges a word folds only the few
+    * dozen merges whose pieces it actually contains, not all 32k.
+    */
+  private val applicableMergesExpr: String =
+    """filter(__ms,
+      |  mg -> instr(concat(word, '</w>'), concat(mg.l, mg.r)) > 0)""".stripMargin
+
+  /** The one-pass encode kernel: fold the rank-ordered merge array —
+    * prefiltered per word by [[applicableMergesExpr]] — over a word's char
+    * tokens. The outer `aggregate` walks the surviving merges in rank
+    * order (filter preserves order), the inner `aggregate` is the same
+    * greedy leftmost non-overlapping replacement as [[applyMergeExpr]]
+    * with the pair read from the outer lambda's merge struct. Pure
+    * Catalyst, so ALL applications are one projection — the per-word cost
+    * is the substring prefilter (cheap scalar scans) plus a token-array
+    * walk per APPLICABLE merge, without nMerges chained Spark jobs.
     */
   private val encodeAllExpr: String =
-    """aggregate(__ms,
+    s"""aggregate($applicableMergesExpr,
       |  concat(transform(sequence(1, length(word)),
       |           i -> substr(word, i, 1)),
       |         array('</w>')),
@@ -163,6 +288,21 @@ object Bpe {
     words.select(col(wordCol).as("word")).distinct()
       .crossJoin(broadcast(ms))
       .select(col("word"), expr(encodeAllExpr).as("tokens"))
+  }
+
+  /** How many merges survive [[applicableMergesExpr]]'s per-word
+    * prefilter — the instrumentation behind BpeSpec's pin that the encode
+    * fold's work tracks word content, not merge-table size. Output:
+    * (word, n_applicable).
+    */
+  private[graft] def applicableMergeCounts(words: DataFrame, wordCol: String,
+                                           merges: DataFrame): DataFrame = {
+    val ms = merges.agg(array_sort(collect_list(struct(
+      col("rank"), col("left").as("l"), col("right").as("r")))).as("__ms"))
+    words.select(col(wordCol).as("word")).distinct()
+      .crossJoin(broadcast(ms))
+      .select(col("word"),
+        size(expr(applicableMergesExpr)).cast("long").as("n_applicable"))
   }
 
   /** Per-merge replay encode — the differential oracle for [[encodeWords]]

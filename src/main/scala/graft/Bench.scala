@@ -82,8 +82,37 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Contention canary: the round-11 committed record doubled trivial
+    // map-only queries (q_select/q_mutate/q_rename never change plan — they
+    // should never move) alongside 2-6x swings on shuffle-heavy ones: a
+    // contended-host window recorded as permanent perf history. Compare the
+    // trivial band against the PRIOR committed record (read before this run
+    // overwrites it) and flag the run loudly so a noisy record is never
+    // silently committed again.
+    val canaryQs = Seq("q_select", "q_mutate", "q_rename")
+    val contended: Boolean = {
+      val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+      val prior: Map[String, Double] =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(priorFile)), "UTF-8")
+          canaryQs.flatMap { q =>
+            (""""""" + q + """":([0-9.]+)""").r.findFirstMatchIn(txt)
+              .map(m => q -> m.group(1).toDouble)
+          }.toMap
+        } catch { case _: Exception => Map.empty }
+      val now = results.toMap
+      val ratios = canaryQs.flatMap(q =>
+        for (p <- prior.get(q); c <- now.get(q) if p > 0) yield (q, c / p))
+      val hot = ratios.filter(_._2 > 1.5)
+      if (hot.nonEmpty)
+        System.err.println("graft bench WARNING: contention canary tripped - " +
+          hot.map { case (q, r) => f"$q ${r}%.2fx prior" }.mkString(", ") +
+          "; this record reflects a contended host, re-run in a quiet window")
+      hot.nonEmpty
+    }
     println(s"""{"metric":"queries_only","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","contended":$contended,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // Durable record: the driver's stdout-tail capture truncates long lines
     // (r6 and r7 both lost the head of the per-query map), so the full map
     // is ALSO written to a repo file and committed each round — cross-round
@@ -92,7 +121,7 @@ object Bench {
     // round's complete record.
     if (args.isEmpty) {
       val file = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
-      val body = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}\n"""
+      val body = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"contended":$contended,"queries":$qs,"errors":$errs,"sf":"$sfDir"}\n"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(file),
         body.getBytes("UTF-8"))
       catch { case e: Exception =>

@@ -29,6 +29,7 @@ object SparkEntry3 {
   private val SEM_K = 64
   private val SEM_ITERS = 1
   private val SEM_THRESHOLD = 0.999
+  private val MD_DIM = 8    // q_media_dedup stub feature dimension
 
   // %600 graph degrees: sf0.001 8..194 (median 10), sf0.01 45+, sf0.1
   // 534+. k=10 peels the sf0.001 tail to a 126-node core (the nontrivial
@@ -143,6 +144,25 @@ object SparkEntry3 {
         Seq("c_mktsegment"), QS_BP)
     }),
 
+    // The BUILD half of the quantile sketch in PURE SQL — `qsketch_agg`
+    // aggregates, `qsketch_estimate` reads, no Scala verbs anywhere (the
+    // qsketch sibling of q_count_min's count_min_agg/cm_estimate loop).
+    // Exact regime (k above the largest segment count), so the estimates
+    // equal order statistics and q_qsketch's oracle applies unchanged.
+    "q_qsketch_sql" -> ((s, dir) => {
+      graft.sql.GraftFunctions.register(s)
+      graft.sql.GraftFunctions.registerSqlMacros(s)
+      t(s, dir, "customer").df.createOrReplaceTempView("graft_qsql_customer")
+      s.sql(
+        s"""WITH sk AS (SELECT c_mktsegment,
+           |    qsketch_agg(CAST(c_acctbal AS DOUBLE), $QS_K) AS pts
+           |  FROM graft_qsql_customer GROUP BY 1)
+           |SELECT c_mktsegment, bp / 10000.0D AS q,
+           |  qsketch_estimate(transform(pts, p -> struct(p.v, p.w)), bp) AS est
+           |FROM sk LATERAL VIEW explode(array(${QS_BP.mkString(", ")})) t AS bp"""
+          .stripMargin)
+    }),
+
     // Efraimidis–Spirakis weighted sample without replacement: 20 customers
     // per market segment, weighted by account balance (shifted positive).
     // The sample is a pure function of (c_custkey, seed) — the oracle
@@ -183,6 +203,14 @@ object SparkEntry3 {
     // application — and hash-matches.
     "q_bpe" -> ((s, dir) =>
       graft.text.Bpe.train(t(s, dir, "documents").df, "text", nMerges = 8)),
+
+    // The incremental-maintenance train (standing pair table, delta folds
+    // over affected words only — the production-merge-count form) is
+    // bit-identical to the full recount, so q_bpe's oracle applies
+    // unchanged; BpeSpec pins the identity at 512 merges.
+    "q_bpe_inc" -> ((s, dir) =>
+      graft.text.Bpe.trainIncremental(t(s, dir, "documents").df, "text",
+        nMerges = 8)),
 
     // The encode half of BPE: tokenize the corpus vocabulary with the
     // 8-merge table learned by q_bpe's training — the oracle replays the
@@ -439,6 +467,48 @@ object SparkEntry3 {
           k = SEM_K, iters = SEM_ITERS, threshold = SEM_THRESHOLD,
           initHash = Some(Sketch.portableHash(col("vec_id").cast("string"))))
         .select("vec_id")
+    }),
+
+    // Multimodal near-dup end to end: media bytes → stub decode features →
+    // semanticDedup — the multimodal layer graduating from schema plumbing
+    // to a correctness-checked pipeline stage. Payloads are ASCII doc text
+    // (binary ops == varchar ops, q_multimodal's trick), the feature hash
+    // is the portable md5 leaf, and features re-quantize to integers (the
+    // q_semantic_dedup discipline: order-invariant exact sums), so the
+    // whole bytes→features→cluster→cosine→survivor chain replays
+    // bit-for-bit in DuckDB. Planted byte-identical copies at id + 1e6
+    // give the dedup real work: same bytes → same features → cosine 1.
+    "q_media_dedup" -> ((s, dir) => {
+      // the planted copy comes from an EXPLODE of [id, id + 1e6], not a
+      // self-union: a self-union here trips Spark 4.1's Union constraint
+      // rewrite ("key not found" on a source attr) once the payload's
+      // (quaternary) regexp_replace enters the inferred constraints — and
+      // the explode is one scan instead of two anyway
+      val media = t(s, dir, "documents").df
+        .select(explode(array(col("doc_id"), col("doc_id") + 1000000))
+          .as("doc_id"),
+          to_binary(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""),
+            lit("utf-8")).as("payload"))
+      val phF = (m: Column, i: Column) =>
+        conv(substring(md5(concat(m.cast("string"), lit("|"),
+          i.cast("string"))), 1, 15), 16, 10).cast("long")
+      // checkpointed: the semanticDedup/CC machinery unions relations whose
+      // inferred not-null constraints alias-substitute down into the
+      // (quaternary) regexp_replace payload lineage, which trips Spark
+      // 4.1's Union constraint rewrite ("key not found" on the source
+      // attr). The feature table is tiny (2 · nDocs rows of dim doubles),
+      // so cutting lineage here is also the right plan shape: everything
+      // downstream re-reads features, not re-derives them per consumer.
+      val feats = media.select(col("doc_id").as("media_id"),
+        transform(
+          graft.multimodal.Multimodal.stubDecodeFeatures(
+            col("payload"), MD_DIM, hash = phF),
+          x => round(x * 1000.0).cast("double")).as("fv"))
+        .localCheckpoint()
+      Dedup.semanticDedup(feats, "media_id", "fv",
+          k = SEM_K, iters = SEM_ITERS, threshold = SEM_THRESHOLD,
+          initHash = Some(Sketch.portableHash(col("media_id").cast("string"))))
+        .select("media_id")
     })
   )
 
@@ -504,19 +574,55 @@ object SparkEntry3 {
     * the threshold, recursive-CTE connected components, min-id survivors.
     */
   private def semanticDedupOracleSql(k: Int, iters: Int,
-                                     threshold: Double): String = {
+                                     threshold: Double): String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS raw
+       |  FROM embeddings),
+       |q AS (SELECT vec_id,
+       |    list_transform(raw, x -> floor(x * 1000000.0)) AS v
+       |  FROM e
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(raw,
+       |      x -> floor((x * 1.001 + 0.0001) * 1000000.0)) AS v
+       |  FROM e),
+       |""".stripMargin +
+      semDedupReplayTail(k, iters, threshold) +
+      "SELECT vec_id FROM q\n" +
+      "WHERE vec_id NOT IN (SELECT id FROM lab WHERE lbl < id)"
+
+  /** DuckDB replica of `q_media_dedup`: the multimodal stub-decode features
+    * (portable md5 leaf over the ASCII payload — integers in [-1000, 1000),
+    * so every downstream sum is exact) of original + planted-copy media,
+    * then the SAME Lloyd/pairs/connected-components replay as
+    * `q_semantic_dedup`.
+    */
+  private def mediaDedupOracleSql(dim: Int, k: Int, iters: Int,
+                                  threshold: Double): String =
+    s"""WITH RECURSIVE d0 AS (SELECT doc_id,
+       |    regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS txt
+       |  FROM documents),
+       |base AS (SELECT doc_id AS vec_id, txt FROM d0
+       |  UNION ALL SELECT doc_id + 1000000, txt FROM d0),
+       |q AS (SELECT vec_id,
+       |    list_transform(range(1, ${dim + 1}), i -> CAST(
+       |      ${ph("txt || '|' || CAST(i AS VARCHAR)")} % 2000 - 1000
+       |      AS DOUBLE)) AS v
+       |  FROM base),
+       |""".stripMargin +
+      semDedupReplayTail(k, iters, threshold) +
+      "SELECT vec_id AS media_id FROM q\n" +
+      "WHERE vec_id NOT IN (SELECT id FROM lab WHERE lbl < id)"
+
+  /** The shared SemDeDup replay: Lloyd over a `q(vec_id, v)` CTE (md5 init
+    * sample, (distance, cid) argmin tie-break), within-cluster cosine
+    * pairs at the threshold, recursive-CTE connected components into
+    * `lab(id, lbl)` — the caller supplies `q` before and the survivor
+    * SELECT after.
+    */
+  private def semDedupReplayTail(k: Int, iters: Int,
+                                 threshold: Double): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS raw
-              |  FROM embeddings),
-              |q AS (SELECT vec_id,
-              |    list_transform(raw, x -> floor(x * 1000000.0)) AS v
-              |  FROM e
-              |  UNION ALL
-              |  SELECT vec_id + 1000000,
-              |    list_transform(raw,
-              |      x -> floor((x * 1.001 + 0.0001) * 1000000.0)) AS v
-              |  FROM e),
-              |c0 AS (SELECT
+    sb ++= s"""c0 AS (SELECT
               |    ${ph("CAST(vec_id AS VARCHAR)")} AS cid,
               |    v AS cvec
               |  FROM q ORDER BY cid LIMIT $k),
@@ -551,8 +657,7 @@ object SparkEntry3 {
               |reach(id, r) AS (SELECT s, s FROM edges
               |  UNION SELECT ed.s, r.r FROM edges ed JOIN reach r ON ed.d = r.id),
               |lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)
-              |SELECT vec_id FROM q
-              |WHERE vec_id NOT IN (SELECT id FROM lab WHERE lbl < id)""".stripMargin
+              |""".stripMargin
     sb.toString
   }
 
@@ -1170,8 +1275,10 @@ object SparkEntry3 {
     "q_zone_maps"       -> zoneMapsOracleSql,
     "q_zone_skip"       -> zoneSkipOracleSql,
     "q_bpe"             -> bpeOracleSql(8),
+    "q_bpe_inc"         -> bpeOracleSql(8),
     "q_qsketch"         -> qsketchOracleSql(QS_BP),
     "q_qsketch_merge"   -> qsketchOracleSql(QS_BP),
+    "q_qsketch_sql"     -> qsketchOracleSql(QS_BP),
     "q_count_min"       -> countMinOracleSql(CM_WIDTH, CM_DEPTH),
     // exact coupon regime: <= 50 distinct per group with lgK=12
     "q_hll_groups"      ->
@@ -1180,6 +1287,8 @@ object SparkEntry3 {
     "q_triangles"       -> trianglesOracleSql,
     "q_weighted_sample" -> weightedSampleOracleSql(20),
     "q_zorder"          -> zorderOracleSql(Z_BITS),
+    "q_media_dedup"     -> mediaDedupOracleSql(MD_DIM, SEM_K, SEM_ITERS,
+      SEM_THRESHOLD),
     "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,
                              SEM_THRESHOLD)
   )

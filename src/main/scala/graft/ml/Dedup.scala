@@ -644,6 +644,12 @@ object Dedup {
     * [[simhashCandidateVolume]].
     */
   private def simhashChunkKeys(maxDist: Int): Column = {
+    // hoisted here so the pair join AND the candidate-volume probe reject
+    // the same inputs — a gate run with out-of-range maxDist must fail
+    // fast, not silently measure non-discriminating chunk keys
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist=$maxDist: chunk banding supports 0..15 (16 chunks of 4 bits); " +
+      "beyond that the bucket keys stop discriminating")
     val nChunks = maxDist + 1
     val base = 64 / nChunks
     val rem = 64 % nChunks
@@ -1024,6 +1030,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** [[embeddingNearDupPairsBanded]]'s candidate volume after the
+    * hot-bucket guard — Σ per (band, bkey) bucket of C(size, 2), from
+    * bucket sizes only (see [[lshCandidateVolume]]). Note the honest
+    * complexity class: band keys are only `rowsPerBand` bits wide (128
+    * values at the default 7), so on an ISOTROPIC corpus unrelated vectors
+    * collide at rate n²/2^rowsPerBand by design — the banding is a
+    * constant-factor thinning plus a recall knob, and the maxBucket guard
+    * is the operational bound (ScalingSpec grades this family quadratic-
+    * exempt with a live-guard proof, like simhash chunks; on a real
+    * near-dup-clustered corpus the collision mass tracks dup clusters
+    * instead). One row: (n_candidates).
+    */
+  private[graft] def embeddingBandedCandidateVolume(df: DataFrame,
+      idCol: String, vecCol: String, dim: Int, bands: Int = 8,
+      rowsPerBand: Int = 7, seed: Long = 42L,
+      maxBucket: Int = 100000): DataFrame = {
+    require(bands * rowsPerBand <= 63, "signature packs into one long")
+    val nPlanes = bands * rowsPerBand
+    val sigs = Similarity.hyperplaneSignature(df, idCol, vecCol, dim,
+      nPlanes, seed)
+    val mask = (1L << rowsPerBand) - 1
+    val banded = dropHotBuckets(sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * rowsPerBand)
+          .bitwiseAND(lit(mask))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey")),
+      Seq("band", "bkey"), maxBucket)
+    banded.groupBy("band", "bkey").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+        .cast("long").as("n_candidates"))
   }
 
   /** Doc-frequency of each line across the corpus (how many DISTINCT

@@ -283,6 +283,51 @@ object Pq {
       .parquet(s"$path/codes")
   }
 
+  /** Append a vector batch into a persisted IVF-PQ index UNDER FROZEN
+    * QUANTIZERS — the retrieval twin of [[Dedup.dedupeAgainstCorpus]]'s
+    * O(batch) ingest shape: the standing corpus' codes are never re-read,
+    * re-encoded, or rewritten. The batch is routed to its nearest
+    * persisted coarse centroid (broadcast, map-side argmin — the same
+    * (cdist desc, centroid_id) tie-break as [[buildIvfPqIndex]]), encoded
+    * against the persisted codebooks (same argmin as [[encode]]), and
+    * appended to `<path>/codes` in append-mode partitioned-by-centroid_id
+    * writes — new files land inside the existing `centroid_id=` directory
+    * layout, so [[adcTopKFromIndex]]'s dynamic partition pruning keeps
+    * skipping unprobed directories, old and new files alike.
+    *
+    * Because centroids and codebooks are read from the index (frozen), the
+    * appended index is BIT-IDENTICAL to rebuilding the codes leg over
+    * corpus ∪ batch with the same quantizers — MiscSpec pins
+    * probe(append) == probe(rebuild) exactly. That is the deliberate
+    * trade at 100 TB: appends are O(batch) forever, while quantizer drift
+    * (a batch distribution the frozen codebooks fit poorly) accumulates as
+    * ADC error, not as wrong plumbing — the standard IVF re-train policy
+    * (rebuild when drift passes a threshold) applies on top.
+    *
+    * Caller contract: batch ids must be disjoint from the corpus' (the
+    * index stores ids as given; a duplicate id would surface twice).
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame, idCol: String,
+                         vecCol: String): Unit = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val m = codebooks.agg(max("sub")).head().getInt(0) + 1
+    val scored = graft.ops.Scale.spread(batch)
+      .select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+      .crossJoin(centroids)
+      .withColumn("cdist", Similarity.cosine(col("item_vec"), col("cvec")))
+    val w = Window.partitionBy("item_id")
+      .orderBy(desc("cdist"), col("centroid_id"))
+    val assigned = scored.withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1).select("item_id", "centroid_id")
+    encode(batch, codebooks, idCol, vecCol, m)
+      .select(col(idCol).as("item_id"), col("codes"))
+      .join(assigned, "item_id")
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+  }
+
   /** Probe a persisted IVF-PQ index (see [[buildIvfPqIndex]]): rank the
     * nProbe nearest coarse centroids per query against the tiny persisted
     * centroid table, then ADC-score only the probed partitions' codes —

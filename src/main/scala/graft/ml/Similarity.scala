@@ -140,29 +140,8 @@ object Similarity {
               maxBucket: Int = 100000): DataFrame = {
     require(probeBits >= 0 && probeBits <= 1,
       "probeBits > 1 is a combinatorial blowup; compose more tables instead")
-    def sigTable(df: DataFrame, id: String, outId: String, probe: Boolean) = {
-      // materialize each table's signature ONCE in its own projection, then
-      // derive the probe variants as bit-flips of the materialized column:
-      // inlining `base` into every probe struct would re-evaluate nPlanes
-      // 64-dim dot products per probe (codegen does not CSE across the
-      // struct array — measured 1.6x slower end-to-end). CollapseProject
-      // keeps the two projections apart because the signature column is
-      // referenced nPlanes+1 times by non-cheap expressions.
-      val withSigs = graft.ops.Scale.spread(df).select(col(id).as(outId),
-        hyperplaneSigsCol(col(vecCol), dim, nPlanes, nTables, seed).as("__sigs"))
-      val sigs = (0 until nTables).flatMap { t =>
-        val base = element_at(col("__sigs"), t + 1)
-        val exact = struct(lit(t).as("table"), base.as("sig"))
-        val probes =
-          if (probe) (0 until nPlanes).map(i =>
-            struct(lit(t).as("table"), base.bitwiseXOR(lit(1L << i)).as("sig")))
-          else Nil
-        exact +: probes
-      }
-      withSigs
-        .select(col(outId), explode(array(sigs: _*)).as("ts"))
-        .select(col(outId), col("ts.table").as("table"), col("ts.sig").as("sig"))
-    }
+    def sigTable(df: DataFrame, id: String, outId: String, probe: Boolean) =
+      knnSigTable(df, id, outId, probe, vecCol, dim, nPlanes, nTables, seed)
     val lb = sigTable(left, leftIdCol, "query_id", probe = probeBits == 1)
     val rb0 = sigTable(right, rightIdCol, "item_id", probe = false)
     // hot-bucket guard: a degenerate corpus bucket (duplicated/zero vectors
@@ -182,6 +161,65 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("item_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "item_id", "cosine", "rk")
+  }
+
+  /** The (id, table, sig) bucket relation [[knnJoin]]'s candidate join keys
+    * on — one row per exact signature, plus (when `probe`) one per
+    * Hamming-1 probe variant. Extracted so [[knnJoinCandidateVolume]]
+    * counts the SAME relation the join consumes. The signature is
+    * materialized once per table in its own projection; probe variants are
+    * bit-flips of the materialized column (inlining the signature into
+    * every probe struct would re-evaluate nPlanes dim-wide dot products
+    * per probe — codegen does not CSE across the struct array; measured
+    * 1.6x slower end-to-end. CollapseProject keeps the two projections
+    * apart because the signature column is referenced nPlanes+1 times by
+    * non-cheap expressions).
+    */
+  private def knnSigTable(df: DataFrame, id: String, outId: String,
+                          probe: Boolean, vecCol: String, dim: Int,
+                          nPlanes: Int, nTables: Int, seed: Long): DataFrame = {
+    val withSigs = graft.ops.Scale.spread(df).select(col(id).as(outId),
+      hyperplaneSigsCol(col(vecCol), dim, nPlanes, nTables, seed).as("__sigs"))
+    val sigs = (0 until nTables).flatMap { t =>
+      val base = element_at(col("__sigs"), t + 1)
+      val exact = struct(lit(t).as("table"), base.as("sig"))
+      val probes =
+        if (probe) (0 until nPlanes).map(i =>
+          struct(lit(t).as("table"), base.bitwiseXOR(lit(1L << i)).as("sig")))
+        else Nil
+      exact +: probes
+    }
+    withSigs
+      .select(col(outId), explode(array(sigs: _*)).as("ts"))
+      .select(col(outId), col("ts.table").as("table"), col("ts.sig").as("sig"))
+  }
+
+  /** [[knnJoin]]'s candidate volume after the hot-bucket guard — Σ per
+    * (table, sig) bucket of |query probes| × |guarded corpus rows|, the
+    * exact number of (query, item) rows the bucket equi-join emits before
+    * dedup/verification, computed from the two sides' bucket sizes only
+    * (see [[graft.ml.Dedup.lshCandidateVolume]] for the gate's rationale).
+    * For a FIXED query set this must grow ∝ corpus rows — ScalingSpec
+    * gates it. One row: (n_candidates).
+    */
+  private[graft] def knnJoinCandidateVolume(left: DataFrame, right: DataFrame,
+      dim: Int, leftIdCol: String = "vec_id", rightIdCol: String = "vec_id",
+      vecCol: String = "embedding", nPlanes: Int = 12, nTables: Int = 4,
+      seed: Long = 42L, probeBits: Int = 1,
+      maxBucket: Int = 100000): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1,
+      "probeBits > 1 is a combinatorial blowup; compose more tables instead")
+    val lb = knnSigTable(left, leftIdCol, "query_id", probeBits == 1,
+      vecCol, dim, nPlanes, nTables, seed)
+    val rb = graft.ml.Dedup.dropHotBuckets(
+      knnSigTable(right, rightIdCol, "item_id", probe = false,
+        vecCol, dim, nPlanes, nTables, seed),
+      Seq("table", "sig"), maxBucket)
+    lb.groupBy("table", "sig").agg(count(lit(1)).as("__nl"))
+      .join(rb.groupBy("table", "sig").agg(count(lit(1)).as("__nr")),
+        Seq("table", "sig"))
+      .agg(coalesce(sum(col("__nl") * col("__nr")), lit(0L))
+        .cast("long").as("n_candidates"))
   }
 
   /** Composed per-plane formulation — the differential oracle for

@@ -61,11 +61,18 @@ object Multimodal {
   /** STUB decode → feature vector: a real pipeline decodes pixels and runs a
     * vision tower; this derives a deterministic `dim`-float vector from the
     * bytes so downstream stages (similarity, dedup, clustering) are fully
-    * exercisable. Pure codegen'd expressions — per-row, no driver involvement.
+    * exercisable. Pure codegen'd expressions — per-row, no driver
+    * involvement. The per-component hash is pluggable like
+    * [[attachMeta]]'s: default xxhash64 (fast path); oracle queries pass a
+    * SQL-portable md5 leaf so an external engine reproduces the features —
+    * and therefore every downstream cosine — bit-for-bit (q_media_dedup's
+    * regime).
     */
-  def stubDecodeFeatures(media: Column, dim: Int): Column =
+  def stubDecodeFeatures(media: Column, dim: Int,
+                         hash: (Column, Column) => Column =
+                           (m, i) => xxhash64(m, i)): Column =
     transform(sequence(lit(1), lit(dim)),
-      i => (pmod(xxhash64(media, i), lit(2000)).cast("double") - 1000.0) / 1000.0)
+      i => (pmod(hash(media, i), lit(2000)).cast("double") - 1000.0) / 1000.0)
 
   /** STUB resize: real impl re-encodes pixels; this truncates/pads bytes to
     * the target size, keeping the (bytes → smaller bytes) contract and the
@@ -102,6 +109,8 @@ object Multimodal {
     * (the Scala analogue of arrow-batched pandas UDFs) — the stub keeps the
     * iterator shape so swapping in a real codec is a one-function change.
     */
-  def extractFeaturesBatched(df: DataFrame, dim: Int): DataFrame =
-    df.withColumn("features", stubDecodeFeatures(col("media"), dim))
+  def extractFeaturesBatched(df: DataFrame, dim: Int,
+                             hash: (Column, Column) => Column =
+                               (m, i) => xxhash64(m, i)): DataFrame =
+    df.withColumn("features", stubDecodeFeatures(col("media"), dim, hash))
 }

@@ -210,45 +210,71 @@ object Checks {
 
   /** A STANDING per-side join profile — the persist-once artifact that
     * lets repeated production joins skip [[joinAdvisor]]'s per-call scans.
-    * One row: (n, max_share, cells) where `cells` is the count-min counter
-    * table over the key ((d, b, cnt) structs — bounded by depth·width
-    * entries, a few KB at any data size), built as a WEIGHTED sketch over
-    * the per-key counts so the counters equal [[Sketch.countMin]] over the
-    * raw rows exactly. Cost: ONE scan + one keyed aggregate — the same
-    * single pass the inline advisor pays per side, but paid once; write
-    * the row to parquet next to the table it profiles and feed it to
-    * [[joinAdvisorFromProfiles]] / [[graft.ops.Scale.adaptiveJoinFromStats]]
-    * at zero marginal scans per join. Refresh when the table changes
-    * enough to move the thresholds (counts are exact at build time).
+    * One row: (n, max_share, cells, width, depth) where `cells` is the
+    * count-min counter table over the key ((d, b, cnt) structs — bounded
+    * by depth·width entries, a few KB at any data size), built as a
+    * WEIGHTED sketch over the per-key counts so the counters equal
+    * [[Sketch.countMin]] over the raw rows exactly, and (width, depth)
+    * record the sketch geometry so [[joinAdvisorFromProfiles]] can reject
+    * mismatched builds instead of silently minning over incomparable
+    * bucket spaces. n/max_share group by the RAW key — exact parity with
+    * [[joinAdvisor]]'s inline profile even when distinct key values share
+    * a string rendering (the cast happens only inside the cell hash, where
+    * [[Sketch.countMin]] casts too). Cost: ONE scan + one keyed
+    * aggregate — the same single pass the inline advisor pays per side,
+    * but paid once; write the row to parquet next to the table it profiles
+    * and feed it to [[joinAdvisorFromProfiles]] /
+    * [[graft.ops.Scale.adaptiveJoinFromStats]] at zero marginal scans per
+    * join. Refresh when the table changes enough to move the thresholds
+    * (counts are exact at build time).
     */
   def joinProfile(df: DataFrame, key: Column,
                   width: Int = 1024, depth: Int = 3): DataFrame = {
-    val keyed = df.groupBy(key.cast("string").as("__k"))
+    val keyed = df.groupBy(key.as("__k"))
       .agg(count(lit(1)).as("__c"))
     val stats = keyed.agg(sum("__c").cast("long").as("n"),
       (max("__c").cast("double") / sum("__c").cast("long")).as("max_share"))
     val cells = keyed.where(col("__k").isNotNull)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("d"),
-        col("__k"), col("__c"))
+        col("__k").cast("string").as("__ks"), col("__c"))
       .groupBy(col("d"),
         pmod(Sketch.portableHash(
-          concat(col("d").cast("string"), lit("|"), col("__k"))),
+          concat(col("d").cast("string"), lit("|"), col("__ks"))),
           lit(width)).as("b"))
       .agg(sum("__c").as("cnt"))
       .agg(collect_list(struct(col("d"), col("b"), col("cnt"))).as("cells"))
     stats.crossJoin(broadcast(cells))
+      .withColumn("width", lit(width))
+      .withColumn("depth", lit(depth))
   }
 
   /** [[joinAdvisor]] recomputed from two persisted [[joinProfile]] rows —
     * identical columns, identical thresholds, identical strategy, but the
     * only inputs are the two one-row profile tables: the data tables are
-    * never touched. `depth` must match the profiles' build (a depth row
-    * missing from BOTH sketches would otherwise silently drop from the
-    * join-size min — same contract as [[Sketch.countMinJoinSize]]).
+    * never touched. The profiles' recorded (width, depth) must match each
+    * other and the `depth` argument — enforced fast against the one-row
+    * tables, because counters from different geometries land in different
+    * bucket spaces and a mismatched min would be a silently wrong
+    * est_join_rows (same contract as [[Sketch.countMinJoinSize]], which
+    * also needs `depth` to know when a vanished depth row means 0).
     */
   def joinAdvisorFromProfiles(pa: DataFrame, pb: DataFrame, depth: Int = 3,
                               broadcastRows: Long = 1000000L,
                               hotShare: Double = 0.2): DataFrame = {
+    for ((p, side) <- Seq((pa, "A"), (pb, "B")))
+      require(p.columns.contains("width") && p.columns.contains("depth"),
+        s"join profile $side lacks width/depth columns — rebuild it with " +
+          "joinProfile (profiles persisted before round 12 predate the " +
+          "geometry record)")
+    val Seq(ga, gb) = Seq(pa, pb).map(_.select(
+      col("width").cast("int"), col("depth").cast("int")).head())
+    require(ga == gb,
+      s"join profiles were built with different sketch geometries: " +
+        s"A=(width ${ga.getInt(0)}, depth ${ga.getInt(1)}) vs " +
+        s"B=(width ${gb.getInt(0)}, depth ${gb.getInt(1)})")
+    require(ga.getInt(1) == depth,
+      s"depth argument ($depth) must match the profiles' build depth " +
+        s"(${ga.getInt(1)})")
     def cellsOf(p: DataFrame) = p.select(explode(col("cells")).as("c"))
       .select(col("c.d").as("d"), col("c.b").as("b"), col("c.cnt").as("cnt"))
     val est = Sketch.countMinJoinSize(cellsOf(pa), cellsOf(pb), depth)

@@ -117,6 +117,14 @@ object GraftFunctions {
           intLit(w, "count_min_agg", "width"), intLit(d, "count_min_agg", "depth"))
         case args => arity("count_min_agg", args.size, "3")
       }),
+    (FunctionIdentifier("qsketch_agg"),
+      info("qsketch_agg",
+        "qsketch_agg(v, k) - aggregate a double column into a mergeable quantile sketch: array<struct<lvl,v,w>> weighted points, per-level capacity k (exact when group count <= k; read back with qsketch_estimate over transform(pts, p -> struct(p.v, p.w)))"),
+      {
+        case Seq(v, k) => graft.plans.QuantileSketchAgg(v,
+          intLit(k, "qsketch_agg", "k"))
+        case args => arity("qsketch_agg", args.size, "2")
+      }),
     (FunctionIdentifier("hyperplane_sigs"),
       info("hyperplane_sigs",
         "hyperplane_sigs(vec, dim, n_planes, n_tables[, seed]) - LSH hyperplane signatures, one bigint per table (default seed=42)"),

@@ -650,6 +650,30 @@ object StreamVerbs {
       sink(graft.ml.Pq.encode(batch, codebooks, idCol, vecCol, m))
     }
 
+  /** Streaming retrieval against a PERSISTED IVF-PQ index
+    * ([[graft.ml.Pq.buildIvfPqIndex]] / [[graft.ml.Pq.appendToIvfPqIndex]]):
+    * each micro-batch of query vectors runs the batch
+    * [[graft.ml.Pq.adcTopKFromIndex]] probe — coarse routing against the
+    * broadcast persisted centroids, then ADC over ONLY the probed
+    * `centroid_id=` directories. The dynamic-partition-pruning scan shape
+    * applies per micro-batch exactly as in the batch probe (the probe
+    * table is re-derived from each batch's queries), so a steady query
+    * stream reads a small, query-dependent slice of the codes each tick —
+    * and stream == backfill by construction (same code object;
+    * StreamingSpec pins the parity). foreachBatch because the per-query
+    * top-k is a window rank-filter (not supported inside a streaming
+    * plan).
+    */
+  def streamingIvfPqProbe(queries: Tbl, path: String, k: Int,
+                          nProbe: Int = 4, idCol: String = "vec_id",
+                          vecCol: String = "embedding")
+                         (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Pq.adcTopKFromIndex(batch.sparkSession, path, batch,
+        k, nProbe, idCol, vecCol))
+    }
+
   /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed
     * fingerprints ([[graft.ml.Dedup.winnowFingerprints]], same n/w/hash as
     * the persisted corpus index) joined against the PERSISTED (id, fp)

@@ -113,6 +113,156 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("trainIncremental == train bit-identical (Sennrich corpus, runs, early-stop)") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest widest",
+      "widest widest").toDF("text")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    assert(table(Bpe.trainIncremental(corpus, "text", 8)) ==
+      table(Bpe.train(corpus, "text", 8)))
+    // repeated-run greedy semantics flow through the delta path too
+    val runs = Seq("aaaa aaaa aaa").toDF("text")
+    assert(table(Bpe.trainIncremental(runs, "text", 3)) ==
+      table(Bpe.train(runs, "text", 3)))
+    // early stop: 'ab' exhausts its pairs before nMerges — both variants
+    // stop at the same rank with the same table
+    val tiny = Seq("ab ab").toDF("text")
+    assert(table(Bpe.trainIncremental(tiny, "text", 10)) ==
+      table(Bpe.train(tiny, "text", 10)))
+    // no valid words -> empty table, same schema as train's
+    val junk = Seq("123 !!!").toDF("text")
+    val m = Bpe.trainIncremental(junk, "text", 3)
+    assert(m.count() == 0L &&
+      m.columns.toSeq == Seq("rank", "left", "right", "freq"))
+    assert(m.schema.map(_.dataType) ==
+      Bpe.train(junk, "text", 3).schema.map(_.dataType))
+  }
+
+  test("trainIncremental == train at 512 merges on sf0.01 documents;" +
+       " affected-word fraction collapses (delta contract)") {
+    import spark.implicits._
+    // the synthetic documents' ascii vocabulary is tiny (~31 words) and
+    // exhausts its pairs after a couple hundred merges — augment with 400
+    // deterministic pseudo-random words (md5-of-index hex digits mapped to
+    // letters a..p, 32 chars each) so 512 rounds have real work at a
+    // realistic vocabulary size
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val extra = (1 to 400).map { i =>
+      md.reset()
+      md.digest(i.toString.getBytes("UTF-8"))
+        .flatMap(b => Seq((b >> 4) & 0xf, b & 0xf))
+        .map(n => ('a' + n).toChar).mkString
+    }.grouped(8).map(_.mkString(" ")).toSeq.toDF("text")
+    val corpus = docs.unionByName(extra)
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val full = table(Bpe.train(corpus, "text", nMerges = 512))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val inc = table(Bpe.trainIncremental(corpus, "text", nMerges = 512,
+      onRound = (rk, na, nw) => rounds += ((rk, na, nw))))
+    assert(inc.size == 512, s"corpus exhausted at ${inc.size} merges")
+    // the batched variant: same bit-identity pin, and the round count must
+    // come in measurably under one-round-per-merge (the tie-heavy tail
+    // bounds how far EXACT batching can compress — see the scaladoc)
+    var batRounds = 0
+    val bat = table(Bpe.trainIncrementalBatched(corpus, "text", nMerges = 512,
+      onRound = (r, _) => batRounds = r))
+    assert(bat == full, {
+      val d = bat.zip(full).indexWhere { case (a, b) => a != b }
+      s"batched: first divergence at index $d: ${bat.lift(d)} vs ${full.lift(d)}"
+    })
+    info(s"batched: $batRounds rounds for 512 merges")
+    assert(batRounds > 0 && batRounds <= (512 * 3) / 4,
+      s"batching must compress rounds: $batRounds rounds for 512 merges")
+    assert(inc == full, {
+      val d = inc.zip(full).indexWhere { case (a, b) => a != b }
+      s"first divergence at index $d: ${inc.lift(d)} vs ${full.lift(d)}"
+    })
+    // the delta contract: per-round work tracks the words CONTAINING the
+    // winning pair, which collapses once the head of the frequency
+    // distribution is merged away. Pin (1) the tail's per-round affected
+    // fraction and (2) total affected work across all 512 rounds vs the
+    // full-recount's 512 corpus scans.
+    val n = rounds.size
+    assert(n == 512)
+    val nWords = rounds.head._3
+    val frac = rounds.sortBy(_._1).map(r => r._2.toDouble / nWords)
+    val firstQ = frac.take(n / 4)
+    val lastQ = frac.drop(3 * n / 4)
+    info(f"affected fraction: first-quarter mean ${firstQ.sum / firstQ.size}%.4f, " +
+      f"last-quarter mean ${lastQ.sum / lastQ.size}%.4f, total ${frac.sum}%.1f " +
+      s"word-scans vs 512 full scans (nWords=$nWords)")
+    assert(lastQ.sum / lastQ.size < (firstQ.sum / firstQ.size) / 2,
+      "late rounds must touch a far smaller word fraction than early rounds")
+    assert(frac.sum < 512 * 0.25,
+      "total affected-word work must be well under the full-recount's 512 scans")
+  }
+
+  test("trainIncrementalBatched == reference on randomized tiny-alphabet " +
+       "corpora (tie/created-pair stress)") {
+    import spark.implicits._
+    // a 3-letter alphabet maximizes pair collisions, frequency ties, and
+    // created-pair interactions — exactly the cases the batch-selection
+    // proof (prefix + disjointness + created-pair ceiling) must survive.
+    // refTrain is the in-memory reference: a divergence pinpoints the
+    // first wrong (rank, left, right, freq) row.
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val words = (1 to 30).map { _ =>
+        (1 to (2 + rng.nextInt(6))).map(_ => "abc" (rng.nextInt(3))).mkString
+      }
+      val weights = words.map(_ => 1 + rng.nextInt(5))
+      val corpus = words.zip(weights)
+        .flatMap { case (w, n) => Seq.fill(n)(w) }
+        .grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+      val wc = words.zip(weights).groupBy(_._1)
+        .view.mapValues(_.map(_._2.toLong).sum).toMap
+      val expect = refTrain(wc, 16)
+      val got = Bpe.trainIncrementalBatched(corpus, "text", nMerges = 16)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got == expect,
+        s"trial $trial:\n got   $got\n expect $expect\n corpus $wc")
+    }
+  }
+
+  test("applicableMergeCounts: per-word applicable merges << a 4096-merge table") {
+    import spark.implicits._
+    val corpus = Seq("low low low lower newest newest widest").toDF("text")
+    val real = Bpe.train(corpus, "text", nMerges = 16)
+    val nReal = real.count()
+    // pad to 4096 with merges whose pieces occur in NO word: the prefilter
+    // must discard them all, so per-word fold work tracks word content
+    val pad = ((nReal + 1) to 4096).map(i => (i, s"<p$i>", s"<q$i>", 0L))
+      .toDF("rank", "left", "right", "freq")
+    val big = real.unionByName(pad).localCheckpoint()
+    assert(big.count() == 4096)
+    val words = Seq("lowest", "newest", "widest", "zzz").toDF("w")
+    val counts = Bpe.applicableMergeCounts(words, "w", big).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.max <= nReal,
+      s"planted pads must never be applicable: $counts")
+    assert(counts("zzz") == 0L, counts.toString)
+    // soundness: encoding against the padded table equals the replay of
+    // the REAL merges alone — filtered merges could never have fired
+    val one = Bpe.encodeWords(words, "w", big).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val rep = Bpe.encodeWordsReplay(words, "w", real).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(one == rep)
+  }
+
   test("one-pass encode == per-merge replay; 512 merges stay ONE query") {
     import spark.implicits._
     val corpus = Seq(

@@ -152,6 +152,7 @@ class ChecksSpec extends AnyFunSuite {
       (301L to 600L).map(i => (i, i % 100))).toDF("a_id", "k")
     val right = (0L to 99L).map(i => (i, s"v$i")).toDF("k", "v")
     val dir = java.nio.file.Files.createTempDirectory("graft-profiles")
+    try {
     // persist-once: the standing artifacts a production pipeline keeps
     Checks.joinProfile(skewed.select("k"), col("k"))
       .write.parquet(s"$dir/pa")
@@ -180,6 +181,36 @@ class ChecksSpec extends AnyFunSuite {
       "expected the salted shape from persisted stats")
     TestSpark.assertSameRows(viaStats,
       skewed.join(right, Seq("k")).select("k", "a_id", "v"))
+    // geometry guards: profiles built with a different (width, depth) — or
+    // fed a mismatched depth argument — must fail fast, not silently min
+    // over incomparable bucket spaces
+    val pbNarrow = Checks.joinProfile(right.select("k"), col("k"), width = 64)
+    val eGeom = intercept[IllegalArgumentException] {
+      Checks.joinAdvisorFromProfiles(pa, pbNarrow)
+    }
+    assert(eGeom.getMessage.contains("geometr"), eGeom.getMessage)
+    val eDepth = intercept[IllegalArgumentException] {
+      Checks.joinAdvisorFromProfiles(pa, pb, depth = 5)
+    }
+    assert(eDepth.getMessage.contains("depth"), eDepth.getMessage)
+    val eOld = intercept[IllegalArgumentException] {
+      Checks.joinAdvisorFromProfiles(pa.drop("width"), pb)
+    }
+    assert(eOld.getMessage.contains("rebuild"), eOld.getMessage)
+    // raw-key n/max_share: NULL keys count toward n (the inline advisor's
+    // convention) while the sketch cells exclude them, and the recorded
+    // geometry rides the row
+    val prof = Checks.joinProfile(
+      Seq(Some(1L), Some(1L), None).toDF("k"), col("k"))
+    val row = prof.select("n", "max_share", "width", "depth").head()
+    assert(row.getLong(0) == 3L && row.getDouble(1) == 2.0 / 3.0 &&
+      row.getInt(2) == 1024 && row.getInt(3) == 3,
+      s"raw-key grouping + geometry record: $row")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("adaptiveJoin guards: NULL advisor stats (empty side) and duplicate " +

@@ -73,6 +73,55 @@ class MiscSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("appendToIvfPqIndex: probe(appended index) == probe(one-shot rebuild) " +
+       "under frozen quantizers; appends are O(batch) and land in the layout") {
+    import graft.ml.Pq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+    // identity id hashes pin the quantizer SAMPLE into the base corpus (the
+    // nCentroids/k smallest ids are all < 80) and iters = 0 makes the
+    // codebooks a pure function of the seed vectors — so the one-shot
+    // rebuild over base ∪ batch trains bit-identical quantizers to the
+    // base build, and append-vs-rebuild equality is exact, not approximate
+    val idh = Some(col("vec_id"))
+    val base = emb.filter(col("vec_id") < 80)
+    val batch = emb.filter(col("vec_id") >= 80 && col("vec_id") < 120)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivfpq-reb").toString
+    Pq.buildIvfPqIndex(base, dirA, "vec_id", "embedding",
+      m = 4, k = 8, iters = 0, nCentroids = 8,
+      initHash = idh, centroidHash = idh)
+    Pq.appendToIvfPqIndex(spark, dirA, batch, "vec_id", "embedding")
+    Pq.buildIvfPqIndex(base.unionByName(batch), dirB, "vec_id", "embedding",
+      m = 4, k = 8, iters = 0, nCentroids = 8,
+      initHash = idh, centroidHash = idh)
+    // frozen quantizers: centroid and codebook legs identical
+    TestSpark.assertSameRows(
+      spark.read.parquet(s"$dirA/centroids"),
+      spark.read.parquet(s"$dirB/centroids"), "centroids")
+    TestSpark.assertSameRows(
+      spark.read.parquet(s"$dirA/codebooks"),
+      spark.read.parquet(s"$dirB/codebooks"), "codebooks")
+    // the codes leg holds the same rows and the probe answers are identical
+    TestSpark.assertSameRows(
+      spark.read.parquet(s"$dirA/codes"),
+      spark.read.parquet(s"$dirB/codes"), "codes")
+    val pa = Pq.adcTopKFromIndex(spark, dirA, queries, k = 3, nProbe = 4)
+    val pb = Pq.adcTopKFromIndex(spark, dirB, queries, k = 3, nProbe = 4)
+    TestSpark.assertSameRows(pa, pb, "probe(append) vs probe(rebuild)")
+    // batch rows landed INSIDE the existing centroid_id= directory layout
+    // (no new top-level dirs beyond the partition scheme), and the append
+    // probe still prunes partitions dynamically
+    val dirs = new java.io.File(s"$dirA/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("centroid_id=")), dirs)
+    val plan = pa.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP filter on the appended codes scan:\n${plan.take(1500)}")
+    emb.unpersist()
+  }
+
   test("quantilesBySample: exact when k covers the group, bounded error otherwise") {
     import spark.implicits._
     val d = Tbl((1L to 5000L).map(i => (i, i % 7, (i * 2654435761L % 100000).toDouble))

@@ -88,6 +88,24 @@ class ScalingSpec extends AnyFunSuite {
         vol(ml.Dedup.semanticDedupCandidateVolume(e, "vec_id", "qv",
           k = k, iters = 1, initHash = Some(ph)))
       }),
+    Family("knn-join-buckets", 1.0,
+      "a FIXED query set's probe rows meet guarded corpus bucket rows on " +
+        "(table, sig): candidates = Σ_b queries(b)·items(b); with hashed " +
+        "12-bit signatures the corpus spreads over 4096 buckets per " +
+        "table, so for fixed queries the sum is ∝ corpus rows",
+      nEmb,
+      sf => vol(ml.Similarity.knnJoinCandidateVolume(
+        emb(sf).filter(col("vec_id") < 5), emb(sf), dim = 64,
+        vecCol = "qv"))),
+    Family("embed-banded-lsh", 2.0,
+      "EXEMPT from the linear contract: band keys are rowsPerBand(=7)-bit, " +
+        "so an ISOTROPIC corpus collides at rate n²/128 by DESIGN — the " +
+        "banding is constant-factor thinning plus a recall knob, and the " +
+        "maxBucket guard is the operational bound (proven live below). " +
+        "The quadratic ceiling still fails a guard-disabled regression",
+      nEmb,
+      sf => vol(ml.Dedup.embeddingBandedCandidateVolume(emb(sf),
+        "vec_id", "qv", dim = 64))),
     Family("simhash-chunks", 2.0,
       "EXEMPT from the linear contract: chunk keys are (64/(d+1))-bit, so " +
         "unrelated docs collide at rate n²/2^width by DESIGN — the " +
@@ -182,6 +200,20 @@ class ScalingSpec extends AnyFunSuite {
       "text", n = 3, threshold = 0.8, maxDf = 4))
     assert(prefTight < prefLoose,
       s"ppjoin maxDf guard had no effect at sf0.1 ($prefTight vs $prefLoose)")
+    // banded embedding LSH: 7-bit band keys hold ~n/128 isotropic vectors
+    // each — a maxBucket below that mean must drop buckets, and the
+    // surviving volume obeys the per-bucket cap arithmetic exactly
+    val e = emb("0.1")
+    val bandLoose = vol(ml.Dedup.embeddingBandedCandidateVolume(e,
+      "vec_id", "qv", dim = 64))
+    val bandTight = vol(ml.Dedup.embeddingBandedCandidateVolume(e,
+      "vec_id", "qv", dim = 64, maxBucket = 32))
+    assert(bandTight < bandLoose,
+      s"banded-LSH maxBucket guard had no effect at sf0.1 " +
+        s"($bandTight vs $bandLoose)")
+    val bandBuckets = 8L * (1L << 7) // 8 bands x 7-bit keys
+    assert(bandTight <= bandBuckets * (32L * 31 / 2),
+      "banded-LSH tight-guard volume exceeds the per-bucket cap arithmetic")
     ml.Dedup.unpersistIntermediates()
   }
 }

@@ -287,6 +287,81 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("qsketch_agg builds the quantile sketch in pure SQL: exact-regime " +
+       "parity with quantileSketchByGroup, compaction-regime invariants") {
+    graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.registerSqlMacros(spark)
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    cust.createOrReplaceTempView("sq11_cust")
+    // exact regime (k above every segment count): the aggregate's points ARE
+    // the relational builder's rows — explode and compare bit-for-bit
+    val viaSql = spark.sql(
+      """SELECT c_mktsegment, p.lvl AS lvl, p.v AS v, p.w AS w
+        |FROM (SELECT c_mktsegment,
+        |        qsketch_agg(CAST(c_acctbal AS DOUBLE), 8192) AS pts
+        |      FROM sq11_cust GROUP BY 1)
+        |LATERAL VIEW explode(pts) t AS p""".stripMargin)
+    val viaOps = graft.ops.Sketch.quantileSketchByGroup(cust,
+      Seq("c_mktsegment"), col("c_acctbal"), 8192)
+    TestSpark.assertSameRows(viaSql, viaOps, "qsketch_agg exact regime")
+    // the full pure-SQL build -> estimate loop equals the Scala pair
+    val estSql = spark.sql(
+      """WITH sk AS (SELECT c_mktsegment,
+        |    qsketch_agg(CAST(c_acctbal AS DOUBLE), 8192) AS pts
+        |  FROM sq11_cust GROUP BY 1)
+        |SELECT c_mktsegment, bp / 10000.0D AS q,
+        |  qsketch_estimate(transform(pts, p -> struct(p.v, p.w)), bp) AS est
+        |FROM sk LATERAL VIEW explode(array(2500, 5000, 7500)) t AS bp"""
+        .stripMargin)
+    val estOps = graft.ops.Sketch.quantileEstimate(viaOps,
+      Seq("c_mktsegment"), Seq(2500, 5000, 7500))
+    TestSpark.assertSameRows(estSql, estOps, "qsketch_agg + qsketch_estimate")
+    // compaction regime (k=16): weight conservation, per-level capacity,
+    // and the median estimate lands inside the exact interquartile range
+    // (the relational path's accuracy pin lives in SketchSpec; here the
+    // aggregate's own invariants are under test)
+    val nonNull = cust.where(col("c_acctbal").isNotNull)
+    val counts = nonNull.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quart = nonNull.groupBy("c_mktsegment")
+      .agg(expr("percentile(c_acctbal, array(0.2, 0.8))").as("iqr")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val sk16 = spark.sql(
+      """SELECT c_mktsegment, qsketch_agg(CAST(c_acctbal AS DOUBLE), 16) AS pts
+        |FROM sq11_cust GROUP BY 1""".stripMargin).collect()
+    assert(sk16.nonEmpty)
+    for (r <- sk16) {
+      val seg = r.getString(0)
+      val pts = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getInt(0), p.getDouble(1), p.getLong(2)))
+      assert(pts.map(_._3).sum == counts(seg),
+        s"$seg: total weight must equal the non-null row count")
+      assert(pts.forall { case (lvl, _, w) => w == (1L << lvl) },
+        s"$seg: weights must be 2^lvl")
+      for ((lvl, n) <- pts.groupBy(_._1).view.mapValues(_.size))
+        assert(n <= 16, s"$seg level $lvl holds $n > k points")
+      // weighted median from the sketch vs exact 20th/80th percentiles
+      val w = counts(seg)
+      val target = (5000L * w + 9999L) / 10000L
+      var cw = 0L
+      val med = pts.sortBy(_._2).collectFirst {
+        case (_, v, pw) if { cw += pw; cw >= target } => v }.get
+      assert(med >= quart(seg)(0) && med <= quart(seg)(1),
+        s"$seg: sketch median $med outside exact (p20, p80) ${quart(seg)}")
+    }
+    // NULL and NaN values are not counted
+    val edge = spark.sql(
+      """SELECT qsketch_agg(v, 4) AS pts FROM VALUES
+        |  (CAST(1.0 AS DOUBLE)), (CAST(NULL AS DOUBLE)),
+        |  (CAST('NaN' AS DOUBLE)), (CAST(2.0 AS DOUBLE)) AS t(v)"""
+        .stripMargin).collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(edge.map(_.getLong(2)).sum == 2L &&
+      edge.map(_.getDouble(1)).sorted == Seq(1.0, 2.0))
+    val d = spark.sql("DESCRIBE FUNCTION qsketch_agg").collect()
+      .map(_.getString(0))
+    assert(d.exists(_.contains("qsketch_agg")), d.mkString("|"))
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // verify the injection shape is valid by applying it to a fresh builder-
     // style extensions object (a full new SparkSession would conflict with

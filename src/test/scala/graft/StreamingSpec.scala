@@ -781,6 +781,44 @@ class StreamingSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("streaming IVF-PQ probe == batch index probe (persisted index, " +
+       "per-micro-batch routing)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+    val idx = Files.createTempDirectory("graft-sivfpq-idx").toString
+    graft.ml.Pq.buildIvfPqIndex(emb, idx, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, nCentroids = 8)
+    // queries arrive in two micro-batches; per-query top-k depends only on
+    // that query and the static index, so the streamed union must equal
+    // the one-shot batch probe over all arrivals
+    val dir = Files.createTempDirectory("graft-sivfpq").toFile
+    val ckpt = Files.createTempDirectory("graft-sivfpq-ckpt").toFile
+    emb.filter(col("vec_id") < 5).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    emb.filter(col("vec_id") >= 5 && col("vec_id") < 10).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var batches = 0
+    val q = StreamVerbs.streamingIvfPqProbe(Tbl(stream), idx, k = 3,
+        nProbe = 4) { out =>
+        batches += 1
+        got.synchronized { got ++= out.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(batches == 2)
+    val batchProbe = graft.ml.Pq.adcTopKFromIndex(spark, idx,
+        emb.filter(col("vec_id") < 10), k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == batchProbe.sorted.toSeq,
+      s"stream ${got.size} rows vs batch ${batchProbe.length}")
+    emb.unpersist()
+  }
+
   test("streaming span mask scrubs known duplicated grams; parity with batch Against") {
     import spark.implicits._
     val corpus = Seq(

@@ -212,6 +212,13 @@ object SparkEntry3 {
       graft.text.Bpe.trainIncremental(t(s, dir, "documents").df, "text",
         nMerges = 8)),
 
+    // The batched incremental train (multiple non-interacting merges per
+    // round under the exactness-preserving prefix rule) — also
+    // bit-identical to the full recount by construction, same oracle.
+    "q_bpe_batched" -> ((s, dir) =>
+      graft.text.Bpe.trainIncrementalBatched(t(s, dir, "documents").df,
+        "text", nMerges = 8)),
+
     // The encode half of BPE: tokenize the corpus vocabulary with the
     // 8-merge table learned by q_bpe's training — the oracle replays the
     // same per-round argmax + greedy application chain, word-keyed, and
@@ -469,6 +476,23 @@ object SparkEntry3 {
         .select("vec_id")
     }),
 
+    // CCNet-style LM quality scoring: an add-1 smoothed bigram LM trained
+    // on the corpus scores every document's grams; the per-doc sum folds
+    // in position order on both engines. Scores round to 6dp in query AND
+    // oracle — ln is the one leaf here that is NOT bit-portable (the JVM
+    // and libm occasionally differ in the last ulp), so this is the
+    // repo's round-both-sides discipline for transcendental aggregates.
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val grams = graft.text.Lm.ngramCounts(docs, "text", n = 2)
+      val v = graft.text.Lm.vocabSize(docs, "text")
+      graft.text.Lm.scoreDocs(docs, "doc_id", "text", grams, n = 2,
+          vocab = v)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sum_lp"), 6).as("sum_lp"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+    }),
+
     // Multimodal near-dup end to end: media bytes → stub decode features →
     // semanticDedup — the multimodal layer graduating from schema plumbing
     // to a correctness-checked pipeline stage. Payloads are ASCII doc text
@@ -596,6 +620,36 @@ object SparkEntry3 {
     * then the SAME Lloyd/pairs/connected-components replay as
     * `q_semantic_dedup`.
     */
+  /** DuckDB replica of `q_lm_score`: the same tokenization, bigram counts,
+    * add-1 conditionals, and POSITION-ORDERED per-doc log-prob fold
+    * (list_reduce over list(lp ORDER BY pos) == Spark's sorted aggregate
+    * fold — both left-to-right, so float addition order matches).
+    */
+  private def lmScoreOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      w -> regexp_matches(w, '^[a-z]+$')) AS ts
+      |  FROM documents),
+      |v AS (SELECT count(DISTINCT w) AS vocab
+      |  FROM (SELECT unnest(ts) AS w FROM toks)),
+      |g AS (SELECT doc_id, j - 1 AS pos, ts[j] AS ctx, ts[j + 1] AS w
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS j) r),
+      |gc AS (SELECT ctx, w, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |cc AS (SELECT ctx, sum(cnt) AS ctx_cnt FROM gc GROUP BY 1),
+      |lp AS (SELECT g.doc_id, g.pos,
+      |    ln((coalesce(gc.cnt, 0) + 1.0)
+      |       / (coalesce(cc.ctx_cnt, 0) + 1.0 * (SELECT vocab FROM v))) AS lp
+      |  FROM g LEFT JOIN gc ON g.ctx = gc.ctx AND g.w = gc.w
+      |         LEFT JOIN cc ON g.ctx = cc.ctx),
+      |pd AS (SELECT doc_id, count(*) AS n_grams,
+      |    list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS sum_lp
+      |  FROM lp GROUP BY 1)
+      |SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+      |  round(coalesce(pd.sum_lp, 0.0), 6) AS sum_lp,
+      |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN pd USING (doc_id)""".stripMargin
+
   private def mediaDedupOracleSql(dim: Int, k: Int, iters: Int,
                                   threshold: Double): String =
     s"""WITH RECURSIVE d0 AS (SELECT doc_id,
@@ -1276,6 +1330,7 @@ object SparkEntry3 {
     "q_zone_skip"       -> zoneSkipOracleSql,
     "q_bpe"             -> bpeOracleSql(8),
     "q_bpe_inc"         -> bpeOracleSql(8),
+    "q_bpe_batched"     -> bpeOracleSql(8),
     "q_qsketch"         -> qsketchOracleSql(QS_BP),
     "q_qsketch_merge"   -> qsketchOracleSql(QS_BP),
     "q_qsketch_sql"     -> qsketchOracleSql(QS_BP),
@@ -1287,6 +1342,7 @@ object SparkEntry3 {
     "q_triangles"       -> trianglesOracleSql,
     "q_weighted_sample" -> weightedSampleOracleSql(20),
     "q_zorder"          -> zorderOracleSql(Z_BITS),
+    "q_lm_score"        -> lmScoreOracleSql,
     "q_media_dedup"     -> mediaDedupOracleSql(MD_DIM, SEM_K, SEM_ITERS,
       SEM_THRESHOLD),
     "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,

@@ -125,6 +125,14 @@ object GraftFunctions {
           intLit(k, "qsketch_agg", "k"))
         case args => arity("qsketch_agg", args.size, "2")
       }),
+    (FunctionIdentifier("qsketch_merge_agg"),
+      info("qsketch_merge_agg",
+        "qsketch_merge_agg(lvl, v, k) - re-aggregate persisted quantile-sketch points (lvl, v) into one combined sketch: array<struct<lvl,v,w>>, same capacity-k compaction as qsketch_agg (lossless in the exact regime)"),
+      {
+        case Seq(l, v, k) => graft.plans.QuantileSketchMergeAgg(l, v,
+          intLit(k, "qsketch_merge_agg", "k"))
+        case args => arity("qsketch_merge_agg", args.size, "3")
+      }),
     (FunctionIdentifier("hyperplane_sigs"),
       info("hyperplane_sigs",
         "hyperplane_sigs(vec, dim, n_planes, n_tables[, seed]) - LSH hyperplane signatures, one bigint per table (default seed=42)"),

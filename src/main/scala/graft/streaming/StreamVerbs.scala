@@ -674,6 +674,25 @@ object StreamVerbs {
         k, nProbe, idCol, vecCol))
     }
 
+  /** Streaming LM quality scoring: arriving documents scored against a
+    * FROZEN persisted gram table ([[graft.text.Lm.ngramCounts]] output) —
+    * the ingest half of the CCNet-style filter ([[graft.text.Lm]]): train
+    * the model once on the reference corpus, score the crawl as it
+    * streams in, gate on avg_lp. foreachBatch (the per-doc position-
+    * ordered fold is a collect_list aggregate, not a streaming-plan
+    * construct); stream == batch by construction (same code object,
+    * StreamingSpec pins it).
+    */
+  def streamingLmScore(t: Tbl, idCol: String, textCol: String,
+                       grams: DataFrame, n: Int, vocab: Long,
+                       alpha: Double = 1.0)
+                      (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.text.Lm.scoreDocs(batch, idCol, textCol, grams, n,
+        vocab, alpha))
+    }
+
   /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed
     * fingerprints ([[graft.ml.Dedup.winnowFingerprints]], same n/w/hash as
     * the persisted corpus index) joined against the PERSISTED (id, fp)

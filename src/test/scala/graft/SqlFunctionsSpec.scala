@@ -362,6 +362,53 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(d.exists(_.contains("qsketch_agg")), d.mkString("|"))
   }
 
+  test("qsketch_merge_agg folds persisted sketch points in pure SQL: " +
+       "exact-regime parity with quantileSketchMerge") {
+    graft.sql.GraftFunctions.register(spark)
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    // two independently-built relational sketches (the even/odd custkey
+    // "batches" of q_qsketch_merge), persisted as plain rows
+    val a = graft.ops.Sketch.quantileSketchByGroup(
+      cust.where(col("c_custkey") % 2 === 0), Seq("c_mktsegment"),
+      col("c_acctbal"), 8192)
+    val b = graft.ops.Sketch.quantileSketchByGroup(
+      cust.where(col("c_custkey") % 2 === 1), Seq("c_mktsegment"),
+      col("c_acctbal"), 8192)
+    a.unionByName(b).createOrReplaceTempView("sq12_parts")
+    // the SQL merge over the unioned point rows == the relational merge
+    val viaSql = spark.sql(
+      """SELECT c_mktsegment, p.lvl AS lvl, p.v AS v, p.w AS w
+        |FROM (SELECT c_mktsegment,
+        |        qsketch_merge_agg(CAST(lvl AS INT), v, 8192) AS pts
+        |      FROM sq12_parts GROUP BY 1)
+        |LATERAL VIEW explode(pts) t AS p""".stripMargin)
+    val viaOps = graft.ops.Sketch.quantileSketchMerge(a, b,
+      Seq("c_mktsegment"), 8192)
+    TestSpark.assertSameRows(viaSql, viaOps, "qsketch_merge_agg exact regime")
+    // compaction-regime invariants survive the SQL merge: weight
+    // conservation and per-level capacity under a small k
+    val a16 = graft.ops.Sketch.quantileSketchByGroup(
+      cust.where(col("c_custkey") % 2 === 0), Seq("c_mktsegment"),
+      col("c_acctbal"), 16)
+    val b16 = graft.ops.Sketch.quantileSketchByGroup(
+      cust.where(col("c_custkey") % 2 === 1), Seq("c_mktsegment"),
+      col("c_acctbal"), 16)
+    a16.unionByName(b16).createOrReplaceTempView("sq12_parts16")
+    val w0 = cust.where(col("c_acctbal").isNotNull)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- spark.sql(
+        """SELECT c_mktsegment, qsketch_merge_agg(CAST(lvl AS INT), v, 16) AS pts
+          |FROM sq12_parts16 GROUP BY 1""".stripMargin).collect()) {
+      val pts = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getInt(0), p.getLong(2)))
+      assert(pts.map(_._2).sum == w0(r.getString(0)),
+        s"${r.getString(0)}: merged total weight must equal the row count")
+      for ((lvl, n) <- pts.groupBy(_._1).view.mapValues(_.size))
+        assert(n <= 16, s"${r.getString(0)} level $lvl holds $n > k points")
+    }
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // verify the injection shape is valid by applying it to a fresh builder-
     // style extensions object (a full new SparkSession would conflict with

@@ -623,10 +623,28 @@ object SparkEntry {
   // assembled below in part 2 (reshape, strings/datetime, text/ml) and
   // part 3 (sketches, weighted sampling, layout, semantic dedup)
   def queries: Map[String, Q] =
-    coreQueries ++ joinQueries ++ windowQueries ++ SparkEntry2.queries ++
-      SparkEntry3.queries
+    noShadow("queries", Seq(coreQueries, joinQueries, windowQueries,
+      SparkEntry2.queries, SparkEntry3.queries))
 
   def oracleSql: Map[String, String] =
-    coreOracle ++ joinOracle ++ windowOracle ++ SparkEntry2.oracleSql ++
-      SparkEntry3.oracleSql
+    noShadow("oracleSql", Seq(coreOracle, joinOracle, windowOracle,
+      SparkEntry2.oracleSql, SparkEntry3.oracleSql))
+
+  /** `++` over the source maps, FAILING on duplicate names instead of
+    * silently letting a later map shadow an earlier one: in round 12 a new
+    * SparkEntry3 entry reused round 8's `q_lm_score` name and the older
+    * query dropped out of the declared set with no error anywhere — the
+    * correctness record just quietly lost a row. Every suite constructs
+    * these maps, so a collision now fails the first test that touches
+    * SparkEntry.
+    */
+  private def noShadow[V](what: String,
+                          parts: Seq[Map[String, V]]): Map[String, V] = {
+    val dup = parts.flatMap(_.keys).groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty,
+      s"duplicate $what names across SparkEntry sources would silently " +
+        s"shadow: ${dup.toSeq.sorted.mkString(", ")}")
+    parts.reduce(_ ++ _)
+  }
 }

@@ -476,13 +476,22 @@ object SparkEntry3 {
         .select("vec_id")
     }),
 
+    // Temperature-scaled domain mixing (Pile/LLaMA recipe): per-lang
+    // quotas ∝ n^(1/T) at T=2 (= sqrt, the portable transcendental), then
+    // the deterministic smallest-hash draw per domain. Output is the
+    // sampled id rows only — integers, no float column to diverge.
+    "q_temp_mix" -> ((s, dir) =>
+      Scale.temperatureMix(t(s, dir, "documents").df, "lang", "doc_id",
+          totalN = 300, temperature = 2.0)
+        .select("doc_id", "lang")),
+
     // CCNet-style LM quality scoring: an add-1 smoothed bigram LM trained
     // on the corpus scores every document's grams; the per-doc sum folds
     // in position order on both engines. Scores round to 6dp in query AND
     // oracle — ln is the one leaf here that is NOT bit-portable (the JVM
     // and libm occasionally differ in the last ulp), so this is the
     // repo's round-both-sides discipline for transcendental aggregates.
-    "q_lm_score" -> ((s, dir) => {
+    "q_lm_score_ngram" -> ((s, dir) => {
       val docs = t(s, dir, "documents").df
       val grams = graft.text.Lm.ngramCounts(docs, "text", n = 2)
       val v = graft.text.Lm.vocabSize(docs, "text")
@@ -620,7 +629,7 @@ object SparkEntry3 {
     * then the SAME Lloyd/pairs/connected-components replay as
     * `q_semantic_dedup`.
     */
-  /** DuckDB replica of `q_lm_score`: the same tokenization, bigram counts,
+  /** DuckDB replica of `q_lm_score_ngram`: the same tokenization, bigram counts,
     * add-1 conditionals, and POSITION-ORDERED per-doc log-prob fold
     * (list_reduce over list(lp ORDER BY pos) == Spark's sorted aggregate
     * fold — both left-to-right, so float addition order matches).
@@ -1342,7 +1351,18 @@ object SparkEntry3 {
     "q_triangles"       -> trianglesOracleSql,
     "q_weighted_sample" -> weightedSampleOracleSql(20),
     "q_zorder"          -> zorderOracleSql(Z_BITS),
-    "q_lm_score"        -> lmScoreOracleSql,
+    "q_lm_score_ngram"  -> lmScoreOracleSql,
+    "q_temp_mix"        ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT lang, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),
+         |q AS (SELECT lang, CAST(floor(wt / (SELECT sum(wt) FROM w) * 300)
+         |    AS BIGINT) AS quota FROM w),
+         |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${ph("CAST(doc_id AS VARCHAR) || '|42'")}, doc_id)
+         |    AS rk
+         |  FROM documents)
+         |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+         |WHERE rk <= quota""".stripMargin,
     "q_media_dedup"     -> mediaDedupOracleSql(MD_DIM, SEM_K, SEM_ITERS,
       SEM_THRESHOLD),
     "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,

@@ -460,6 +460,63 @@ object Scale {
       .filter(col("__es_rk") <= k).drop("__es_rk")
   }
 
+  /** Temperature-scaled per-domain sampling quotas — the data-mixing
+    * recipe behind multi-corpus training sets (Pile/LLaMA-style: sample
+    * domain d with probability ∝ n_d^(1/T); T = 1 reproduces natural
+    * proportions, T → ∞ approaches uniform over domains, 1 < T < ∞
+    * upweights small high-quality domains without discarding the big
+    * ones). Output: one row per domain — (domainCol, n_rows, share,
+    * quota) with quota = ⌊share · totalN⌋ (⌊·⌋, so Σ quota ≤ totalN — the
+    * honest floor; callers wanting exact totals top up the largest
+    * remainders themselves). The domain table is tiny by construction
+    * (domains, not rows), so everything here is one count aggregate plus
+    * arithmetic over it.
+    */
+  def temperatureQuotas(df: DataFrame, domainCol: String, totalN: Long,
+                        temperature: Double): DataFrame = {
+    require(totalN > 0, "totalN must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_rows"))
+    val w = counts.withColumn("__w",
+      pow(col("n_rows").cast("double"), 1.0 / temperature))
+    // total via a broadcast 1-row aggregate, not a global window — the
+    // domain table is tiny, but plan shape should not need the auditor to
+    // know that
+    w.crossJoin(broadcast(w.agg(sum(col("__w")).as("__tw"))))
+      .withColumn("share", col("__w") / col("__tw"))
+      .withColumn("quota",
+        floor(col("share") * totalN).cast("long"))
+      .drop("__w", "__tw")
+  }
+
+  /** Draw the [[temperatureQuotas]] sample: per domain, the quota-many
+    * rows with the smallest portable id-hash (a deterministic uniform
+    * draw — the weight-1 case of [[weightedSampleBy]]'s ES priorities,
+    * where -ln(u)/1 ranks identically to the hash itself). The per-domain
+    * rank is [[groupedCumSum]]'s range-partitioned two-phase prefix sum,
+    * NOT a `Window.partitionBy(domain)` — with a handful of domains over
+    * 100 TB the naive window funnels each domain through one reducer,
+    * while quotas here are routinely millions of rows (unlike
+    * [[weightedSampleBy]]'s small-k regime, where the per-group window's
+    * partial WindowGroupLimit keeps the shuffle slim). The quota table is
+    * broadcast-joined (bounded by the domain count). Deterministic and
+    * engine-replayable: the q_temp_mix oracle re-derives quotas and the
+    * draw from the same md5 leaf.
+    */
+  def temperatureMix(df: DataFrame, domainCol: String, idCol: String,
+                     totalN: Long, temperature: Double,
+                     seed: String = "42"): DataFrame = {
+    val quotas = temperatureQuotas(df, domainCol, totalN, temperature)
+      .select(col(domainCol), col("quota"))
+    val h = Sketch.portableHash(concat(col(idCol).cast("string"),
+      lit("|" + seed)))
+    groupedCumSum(df.withColumn("__h", h), Seq(domainCol),
+        Seq(col("__h"), col(idCol)), lit(1L), "__rk")
+      .join(broadcast(quotas), Seq(domainCol))
+      .filter(col("__rk") <= col("quota"))
+      .drop("__rk", "__h", "quota")
+  }
+
   /** Morton (Z-order) key: interleave the low `bits` bits of each column —
     * bit j of column i lands at output bit j·n + i. Inputs must already be
     * nonnegative longs < 2^bits (see [[zorderQuantize]]); n·bits ≤ 63. The

@@ -12,10 +12,20 @@ import org.apache.spark.sql.functions._
   * heuristic quality score — the heuristics are free, the LM score is the
   * statistically-grounded second pass.
   *
+  * Relation to [[TextFns.lmScore]] (the round-8 inline bigram scorer):
+  * that verb recomputes corpus counts inside every call and emits a
+  * rounded mean — right for one-shot triage. This module is the
+  * PRODUCTION form of the same idea: the model is a standing, persistable
+  * (ctx, w, cnt) relation trained ONCE (on a reference corpus that need
+  * not be the scored corpus), n is a parameter, α and |V| are explicit,
+  * scoring replays against the frozen relation (batch and streaming), and
+  * the per-doc sum is position-ordered so scores are bitwise
+  * partition-invariant.
+  *
   * The model here is a plain add-α smoothed word n-gram LM, NOT KenLM's
   * Kneser–Ney: exact integer counts + one closed-form conditional per
   * gram keep every number an exact function of the corpus, so the whole
-  * train→score pipeline replays in an external engine (q_lm_score's
+  * train→score pipeline replays in an external engine (q_lm_score_ngram's
   * DuckDB oracle) — the repo-wide determinism contract. At 100 TB the
   * shapes are what matter and they carry over to any smoothing: the model
   * is a (ctx, w, cnt) RELATION (one explode + one count aggregate —

@@ -465,6 +465,46 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("temperatureMix: hand-checked quotas at T=1/T=2, uniform limit, " +
+       "deterministic draw") {
+    import spark.implicits._
+    // domains a: 400 rows, b: 100, c: 25 — perfect squares so sqrt shares
+    // are exact rationals and the hand floor arithmetic is unambiguous
+    val df = ((1L to 400L).map(i => (i, "a")) ++
+      (401L to 500L).map(i => (i, "b")) ++
+      (501L to 525L).map(i => (i, "c"))).toDF("id", "dom")
+    def quotas(t: Double, n: Long) =
+      Scale.temperatureQuotas(df, "dom", n, t).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // T=1: natural proportions — floor(400/525*105)=80, 100/525*105=20, 5
+    assert(quotas(1.0, 105L) ==
+      Map("a" -> ((400L, 80L)), "b" -> ((100L, 20L)), "c" -> ((25L, 5L))))
+    // T=2: sqrt weights 20/10/5 -> shares 4/7, 2/7, 1/7 of 70 = 40/20/10
+    assert(quotas(2.0, 70L) ==
+      Map("a" -> ((400L, 40L)), "b" -> ((100L, 20L)), "c" -> ((25L, 10L))))
+    // T -> inf approaches uniform over domains (floor may shave one off a
+    // share that is epsilon under 1/3 — pow(n, ~0) is only approximately 1)
+    val qInf = quotas(1e9, 90L)
+    assert(qInf.values.forall(q => q._2 == 29L || q._2 == 30L) &&
+      qInf.values.map(_._2).sum <= 90L, qInf.toString)
+    // the draw: exactly quota rows per domain, the hash-smallest ids,
+    // deterministic across runs and repartitionings
+    val s1 = Scale.temperatureMix(df, "dom", "id", 70L, 2.0)
+    val sizes = s1.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("a" -> 40L, "b" -> 20L, "c" -> 10L))
+    TestSpark.assertSameRows(s1,
+      Scale.temperatureMix(df.repartition(13), "dom", "id", 70L, 2.0))
+    // a different seed draws a different sample
+    assert(TestSpark.sortedRows(s1.select("id")) != TestSpark.sortedRows(
+      Scale.temperatureMix(df, "dom", "id", 70L, 2.0, seed = "7")
+        .select("id")))
+    assertThrows[IllegalArgumentException](
+      Scale.temperatureQuotas(df, "dom", 0L, 2.0))
+    assertThrows[IllegalArgumentException](
+      Scale.temperatureQuotas(df, "dom", 10L, 0.0))
+  }
+
   test("weightedSampleBy: k per group, deterministic, weight-responsive") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val s1 = Scale.weightedSampleBy(cust, Seq("c_mktsegment"), "c_custkey",

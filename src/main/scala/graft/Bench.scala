@@ -96,7 +96,14 @@ object Bench {
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(priorFile)), "UTF-8")
-          canaryQs.flatMap { q =>
+          // only a same-scale record is a valid baseline: after an sf (or
+          // machine) switch the trivial band legitimately moves, and a
+          // false "contended" flag would poison the durable history the
+          // canary exists to protect
+          val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+            .map(_.group(1))
+          if (!priorSf.contains(sfDir)) Map.empty
+          else canaryQs.flatMap { q =>
             (""""""" + q + """":([0-9.]+)""").r.findFirstMatchIn(txt)
               .map(m => q -> m.group(1).toDouble)
           }.toMap

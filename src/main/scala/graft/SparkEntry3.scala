@@ -1355,7 +1355,9 @@ object SparkEntry3 {
     "q_temp_mix"        ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          |w AS (SELECT lang, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),
-         |q AS (SELECT lang, CAST(floor(wt / (SELECT sum(wt) FROM w) * 300)
+         |t AS (SELECT list_reduce(list(wt ORDER BY lang), (a, b) -> a + b)
+         |    AS tw FROM w),
+         |q AS (SELECT lang, CAST(floor(wt / (SELECT tw FROM t) * 300)
          |    AS BIGINT) AS quota FROM w),
          |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
          |    ORDER BY ${ph("CAST(doc_id AS VARCHAR) || '|42'")}, doc_id)

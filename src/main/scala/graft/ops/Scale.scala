@@ -481,8 +481,16 @@ object Scale {
       pow(col("n_rows").cast("double"), 1.0 / temperature))
     // total via a broadcast 1-row aggregate, not a global window — the
     // domain table is tiny, but plan shape should not need the auditor to
-    // know that
-    w.crossJoin(broadcast(w.agg(sum(col("__w")).as("__tw"))))
+    // know that. The weights fold in DOMAIN order (sorted collect + left
+    // fold), not sum()'s partition-combine order: quota = floor(share·N)
+    // sits a float ulp from an integer flip, so the total must be a pure
+    // function of the domain table, invariant under partitioning and
+    // replayable by the oracle's ORDER BY fold.
+    val tot = w.agg(aggregate(
+      transform(array_sort(collect_list(struct(col(domainCol), col("__w")))),
+        s => s.getField("__w")),
+      lit(0.0), (a, x) => a + x).as("__tw"))
+    w.crossJoin(broadcast(tot))
       .withColumn("share", col("__w") / col("__tw"))
       .withColumn("quota",
         floor(col("share") * totalN).cast("long"))

@@ -33,6 +33,33 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Checkpoint lifecycle of the iterative trainers: tracks the live
+    * localCheckpoint block ids of the round's working tables and releases
+    * a round's blocks as soon as the next round's checkpoints are
+    * materialized — without this, O(nMerges) superseded word/stat tables
+    * stay pinned in the block manager for the life of the session. One
+    * instance per training run; `release()` at the end drops the final
+    * round's blocks (the merge table is driver-collected, so nothing in
+    * the result references them).
+    */
+  private final class CheckpointRotator(sc: org.apache.spark.SparkContext) {
+    private var live = Set.empty[Int]
+    def rotate(body: => Unit): Unit = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      body
+      val next = sc.getPersistentRDDs.keySet.toSet -- pre
+      val stale = live
+      live = next
+      stale.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    def release(): Unit = {
+      live.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      live = Set.empty
+    }
+  }
+
   /** Normalized word-frequency table for [[train]]: lowercase, whitespace
     * tokenization, optionally restricted to `^[a-z]+$` words (`asciiOnly` —
     * recommended when an engine-replay oracle is in play: per-character
@@ -87,10 +114,14 @@ object Bpe {
             asciiOnly: Boolean = true): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
     val spark = df.sparkSession
-    var words = wordCounts(df, textCol, asciiOnly)
-      .select(col("cnt"),
-        charTokens(col("word")).as("ts"))
-      .localCheckpoint()
+    val rot = new CheckpointRotator(spark.sparkContext)
+    var words: DataFrame = null
+    rot.rotate {
+      words = wordCounts(df, textCol, asciiOnly)
+        .select(col("cnt"),
+          charTokens(col("word")).as("ts"))
+        .localCheckpoint()
+    }
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
@@ -110,12 +141,16 @@ object Bpe {
         val (l, r, f) =
           (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
         merges += ((rank.toLong, l, r, f))
-        words = words
-          .withColumn("__l", lit(l)).withColumn("__r", lit(r))
-          .select(col("cnt"), expr(applyMergeExpr).as("ts"))
-          .localCheckpoint()
+        val prev = words
+        rot.rotate {
+          words = prev
+            .withColumn("__l", lit(l)).withColumn("__r", lit(r))
+            .select(col("cnt"), expr(applyMergeExpr).as("ts"))
+            .localCheckpoint()
+        }
       }
     }
+    rot.release()
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
@@ -175,19 +210,10 @@ object Bpe {
                        onRound: (Int, Long, Long) => Unit = null): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
     val spark = df.sparkSession
-    val sc = spark.sparkContext
-    // `live` tracks the CURRENT round's words/stats checkpoint ids —
-    // released as soon as the next round supersedes them (and at the end)
-    def capturing(body: => Unit): Set[Int] = {
-      val pre = sc.getPersistentRDDs.keySet.toSet
-      body
-      sc.getPersistentRDDs.keySet.toSet -- pre
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val rot = new CheckpointRotator(spark.sparkContext)
     var words: DataFrame = null
     var stats: DataFrame = null
-    var live = capturing {
+    rot.rotate {
       words = wordCounts(df, textCol, asciiOnly)
         .select(col("cnt"), charTokens(col("word")).as("ts"))
         .localCheckpoint()
@@ -231,7 +257,7 @@ object Bpe {
           .withColumn("freq", -col("freq"))
           .unionByName(pairStats(merged))
         val prevStats = stats
-        val next = capturing {
+        rot.rotate {
           words = untouched.unionByName(merged).coalesce(nPart)
             .localCheckpoint()
           stats = prevStats.unionByName(delta)
@@ -239,11 +265,9 @@ object Bpe {
             .where(col("freq") > 0)
             .localCheckpoint()
         }
-        release(live)
-        live = next
       }
     }
-    release(live)
+    rot.release()
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
@@ -278,13 +302,20 @@ object Bpe {
     *      OUTPUT token l‖r as well as l and r — so applying m_j can change
     *      neither m_i's count (destruction touches only pairs adjacent to
     *      l_j/r_j) nor its identity; and
-    *   2. freq(m_i) strictly exceeds every earlier member's CREATED-PAIR
-    *      ceiling B_j = max(max_x freq(x, l_j), max_y freq(r_j, y)) — a
-    *      pair created by applying (l_j, r_j) is (x, l_j‖r_j) or
-    *      (l_j‖r_j, y), and each of its instances was an instance of
-    *      (x, l_j) / (r_j, y) in the standing table, so its count is
-    *      bounded by B_j; the strict inequality means no created pair can
-    *      overtake (or tie) m_i in the sequential argmax.
+    *   2. freq(m_i) strictly exceeds every earlier member's GROWN-PAIR
+    *      ceiling S_j + B_j, where
+    *      B_j = max(max_x freq(x, l_j), max_y freq(r_j, y)) bounds pairs
+    *      CREATED by applying (l_j, r_j) — a created pair is
+    *      (x, l_j‖r_j) or (l_j‖r_j, y), and each of its instances was an
+    *      instance of (x, l_j) / (r_j, y) in the standing table — and
+    *      S_j = max freq of STANDING pairs already involving the token
+    *      l_j‖r_j covers the augmentation case: if the output string
+    *      already exists as a token (reachable through a different merge
+    *      decomposition — "abc" via (a, bc) standing while (ab, c) wins),
+    *      the created instances ADD to that standing pair's count, so the
+    *      post-apply count is bounded by S_j + B_j, not B_j. The strict
+    *      inequality means no created-or-augmented pair can overtake (or
+    *      tie) m_i in the sequential argmax.
     * The PREFIX discipline (stop at the first rejected pair, never skip
     * over it) is what makes this EXACT: a rejected pair is still standing,
     * still outranks every later candidate, and sequential [[train]] would
@@ -292,7 +323,8 @@ object Bpe {
     * Under 1+2 the sequential argmax provably selects exactly
     * m_1, …, m_k in order with their standing frequencies, hence the merge
     * table is BIT-IDENTICAL to [[train]]/[[trainIncremental]] (BpeSpec
-    * pins it at 512 merges and on randomized micro-corpora).
+    * pins it at 512 merges, on randomized micro-corpora, and on a planted
+    * decomposition-collision corpus aimed at the augmentation case).
     *
     * Cost: ~3 driver jobs per ROUND (argmax, adjacency maxima, delta fold)
     * instead of per MERGE. Honest measured compression: 354 rounds for 512
@@ -312,17 +344,10 @@ object Bpe {
     require(nMerges > 0, "nMerges must be positive")
     require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = df.sparkSession
-    val sc = spark.sparkContext
-    def capturing(body: => Unit): Set[Int] = {
-      val pre = sc.getPersistentRDDs.keySet.toSet
-      body
-      sc.getPersistentRDDs.keySet.toSet -- pre
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val rot = new CheckpointRotator(spark.sparkContext)
     var words: DataFrame = null
     var stats: DataFrame = null
-    var live = capturing {
+    rot.rotate {
       words = wordCounts(df, textCol, asciiOnly)
         .select(col("cnt"), charTokens(col("word")).as("ts"))
         .localCheckpoint()
@@ -340,20 +365,31 @@ object Bpe {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) done = true
       else {
-        // adjacency maxima over the candidates' tokens, ONE bounded job:
-        // for each candidate left token a, max freq of standing (x, a);
-        // for each right token b, max freq of standing (b, y)
+        // adjacency + output-token maxima over the candidates' tokens, ONE
+        // bounded job: for each candidate left token a, max freq of
+        // standing (x, a); for each right token b, max freq of standing
+        // (b, y); for each candidate OUTPUT string a‖b, max freq of
+        // standing pairs already involving that token (the augmentation
+        // leg of the ceiling)
         val ls = top.map(_._1).distinct.toSeq
         val rs = top.map(_._2).distinct.toSeq
+        val outs = top.map(p => p._1 + p._2).distinct.toSeq
         val adj = stats.where(col("__r").isin(ls: _*))
           .groupBy(col("__r").as("tok")).agg(max("freq").as("m"))
           .withColumn("side", lit("asRight"))
           .unionByName(stats.where(col("__l").isin(rs: _*))
             .groupBy(col("__l").as("tok")).agg(max("freq").as("m"))
             .withColumn("side", lit("asLeft")))
+          .unionByName(stats
+            .where(col("__l").isin(outs: _*) || col("__r").isin(outs: _*))
+            .select(explode(array(col("__l"), col("__r"))).as("tok"),
+              col("freq"))
+            .where(col("tok").isin(outs: _*))
+            .groupBy("tok").agg(max("freq").as("m"))
+            .withColumn("side", lit("asOut")))
           .collect()
           .map(r => (r.getString(2), r.getString(0)) -> r.getLong(1)).toMap
-        // prefix selection under the disjointness + created-pair bound
+        // prefix selection under the disjointness + grown-pair bound
         val batch =
           scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var used = Set.empty[String]
@@ -367,9 +403,11 @@ object Bpe {
           else {
             batch += ((l, r, f))
             used ++= toks
-            ceiling = math.max(ceiling, math.max(
-              adj.getOrElse(("asRight", l), Long.MinValue),
-              adj.getOrElse(("asLeft", r), Long.MinValue)))
+            val bj = math.max(
+              adj.getOrElse(("asRight", l), 0L),
+              adj.getOrElse(("asLeft", r), 0L))
+            val sj = adj.getOrElse(("asOut", l + r), 0L)
+            ceiling = math.max(ceiling, bj + sj)
           }
         }
         round += 1
@@ -392,7 +430,7 @@ object Bpe {
           .withColumn("freq", -col("freq"))
           .unionByName(pairStats(merged))
         val prevStats = stats
-        val next = capturing {
+        rot.rotate {
           words = untouched.unionByName(merged).coalesce(nPart)
             .localCheckpoint()
           stats = prevStats.unionByName(delta)
@@ -400,11 +438,9 @@ object Bpe {
             .where(col("freq") > 0)
             .localCheckpoint()
         }
-        release(live)
-        live = next
       }
     }
-    release(live)
+    rot.release()
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }

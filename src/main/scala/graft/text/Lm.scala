@@ -105,7 +105,10 @@ object Lm {
     * on their keys (both hash joins — the model is NOT assumed
     * broadcastable), then one per-doc aggregate collects (pos, lp) pairs
     * — bounded by document length — and folds them in position order, so
-    * the sum is a pure function of the document.
+    * the sum is a pure function of the document. ONE pass over `docs`:
+    * zero-gram documents survive through `posexplode_outer`'s null row
+    * (no second scan + distinct just to recover them). `idCol` identifies
+    * the document — rows sharing an id aggregate together.
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
                 grams: DataFrame, n: Int, vocab: Long, alpha: Double = 1.0,
@@ -116,26 +119,26 @@ object Lm {
     val ctx = ctxCounts(grams)
     val ex = docs
       .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
-      .select(col(idCol), posexplode(expr(gramExpr(n))).as(Seq("pos", "g")))
+      .select(col(idCol),
+        posexplode_outer(expr(gramExpr(n))).as(Seq("pos", "g")))
       .select(col(idCol), col("pos"), col("g.ctx").as("ctx"),
         col("g.w").as("w"))
     val lp = ex
       .join(grams, Seq("ctx", "w"), "left")
       .join(ctx, Seq("ctx"), "left")
-      .withColumn("lp", log(
+      .withColumn("lp", when(col("w").isNotNull, log(
         (coalesce(col("cnt"), lit(0L)) + lit(alpha)) /
-          (coalesce(col("ctx_cnt"), lit(0L)) + lit(alpha) * vocab)))
-    val perDoc = lp.groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"),
-        collect_list(struct(col("pos"), col("lp"))).as("__ps"))
+          (coalesce(col("ctx_cnt"), lit(0L)) + lit(alpha) * vocab))))
+    lp.groupBy(idCol)
+      .agg(count(col("w")).as("n_grams"),
+        // nulls (the outer row of a gram-less doc) drop out of the list
+        collect_list(when(col("w").isNotNull,
+          struct(col("pos"), col("lp")))).as("__ps"))
       .select(col(idCol), col("n_grams"),
         expr("aggregate(transform(array_sort(__ps), s -> s.lp), 0.0D," +
           " (a, x) -> a + x)").as("sum_lp"))
-    docs.select(col(idCol)).distinct()
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("sum_lp"), lit(0.0)).as("sum_lp"),
-        (col("sum_lp") / col("n_grams")).as("avg_lp"))
+      // 0-gram docs score NULL avg (guarded: ANSI division by zero throws)
+      .withColumn("avg_lp",
+        when(col("n_grams") > 0, col("sum_lp") / col("n_grams")))
   }
 }

@@ -211,15 +211,19 @@ class BpeSpec extends AnyFunSuite {
   test("trainIncrementalBatched == reference on randomized tiny-alphabet " +
        "corpora (tie/created-pair stress)") {
     import spark.implicits._
-    // a 3-letter alphabet maximizes pair collisions, frequency ties, and
-    // created-pair interactions — exactly the cases the batch-selection
-    // proof (prefix + disjointness + created-pair ceiling) must survive.
+    // tiny alphabets maximize pair collisions, frequency ties, and
+    // created-pair interactions — 2-letter trials additionally force
+    // DECOMPOSITION COLLISIONS (the same token string reachable via
+    // different merge paths, e.g. "aab" via (a, ab) while (aa, b) stands),
+    // the structure behind the grown-pair ceiling's augmentation leg.
     // refTrain is the in-memory reference: a divergence pinpoints the
     // first wrong (rank, left, right, freq) row.
     val rng = new scala.util.Random(42)
-    for (trial <- 1 to 4) {
+    for (trial <- 1 to 6) {
+      val alphabet = if (trial % 2 == 0) "ab" else "abc"
       val words = (1 to 30).map { _ =>
-        (1 to (2 + rng.nextInt(6))).map(_ => "abc" (rng.nextInt(3))).mkString
+        (1 to (2 + rng.nextInt(7)))
+          .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
       }
       val weights = words.map(_ => 1 + rng.nextInt(5))
       val corpus = words.zip(weights)
@@ -227,13 +231,13 @@ class BpeSpec extends AnyFunSuite {
         .grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
       val wc = words.zip(weights).groupBy(_._1)
         .view.mapValues(_.map(_._2.toLong).sum).toMap
-      val expect = refTrain(wc, 16)
-      val got = Bpe.trainIncrementalBatched(corpus, "text", nMerges = 16)
+      val expect = refTrain(wc, 20)
+      val got = Bpe.trainIncrementalBatched(corpus, "text", nMerges = 20)
         .orderBy("rank").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq
       assert(got == expect,
-        s"trial $trial:\n got   $got\n expect $expect\n corpus $wc")
+        s"trial $trial ($alphabet):\n got   $got\n expect $expect\n corpus $wc")
     }
   }
 

@@ -454,6 +454,29 @@ object SparkEntry3 {
         centroidHash = Some(Sketch.portableHash(col("vec_id").cast("string"))))
     }),
 
+    // Two-stage retrieval (FAISS-style refine): the IVF-PQ compressed
+    // probe supplies 2k candidates per query, then ONLY those pay an
+    // exact cosine against the original vectors — the accuracy/IO trade a
+    // serving stack actually runs. Both stages replay bit-for-bit
+    // (q_pq_ivf's spliced oracle + an exact-cosine re-rank CTE).
+    "q_pq_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000.0).cast("double")).as("qv"))
+      val cb = Dedup.trackCache(graft.ml.Pq.train(emb, "vec_id", "qv",
+        m = PQ_M, k = PQ_K, iters = 1,
+        initHash = Some(Sketch.portableHash(col("vec_id").cast("string")))))
+      val codes = graft.ml.Pq.encode(emb, cb, "vec_id", "qv", PQ_M)
+      val cand = graft.ml.Pq.adcTopKRouted(emb, codes, cb,
+        emb.filter(col("vec_id") < 5), "vec_id", "qv",
+        PQ_M, PQ_TOPK * 2, PQIVF_NC, PQIVF_NP,
+        centroidHash = Some(Sketch.portableHash(col("vec_id").cast("string"))))
+      graft.ml.Similarity.refineTopK(cand,
+        emb.filter(col("vec_id") < 5), emb, PQ_TOPK,
+        "vec_id", "vec_id", "qv")
+    }),
+
     // SemDeDup on the perturbed-copy corpus (each vector + a near-identical
     // copy at id+1e6): cluster with deterministic k-means on 1e6-quantized
     // vectors, pair within clusters, cosine-verify at 0.999, resolve to
@@ -1054,7 +1077,8 @@ object SparkEntry3 {
     * cosine-desc/centroid-id probe ranks), ADC restricted to the routed
     * candidate pairs. */
   private def pqOracleSql(m: Int, k: Int, topK: Int,
-                          route: Option[(Int, Int)] = None): String = {
+                          route: Option[(Int, Int)] = None,
+                          refine: Option[Int] = None): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH q AS (SELECT vec_id,
               |    list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS v
@@ -1124,11 +1148,35 @@ object SparkEntry3 {
                   |  ${joins("cand.query_id", "cand.item_id")})
                   |""".stripMargin
     }
-    sb ++= s"""SELECT query_id, item_id, rk FROM (
-              |  SELECT query_id, item_id,
-              |    row_number() OVER (PARTITION BY query_id
-              |      ORDER BY adist, item_id) AS rk
-              |  FROM ad) WHERE rk <= $topK""".stripMargin
+    refine match {
+      case None =>
+        sb ++= s"""SELECT query_id, item_id, rk FROM (
+                  |  SELECT query_id, item_id,
+                  |    row_number() OVER (PARTITION BY query_id
+                  |      ORDER BY adist, item_id) AS rk
+                  |  FROM ad) WHERE rk <= $topK""".stripMargin
+      case Some(kFinal) =>
+        // the refine stage: ADC's topK candidates re-ranked by EXACT
+        // cosine on the quantized original vectors (same left-to-right
+        // dots as the Spark side, so the floats agree bitwise)
+        val rcos = "list_dot_product(qv.v, iv.v)" +
+          " / (sqrt(list_dot_product(qv.v, qv.v))" +
+          " * sqrt(list_dot_product(iv.v, iv.v)))"
+        sb ++= s""", topc AS (SELECT query_id, item_id FROM (
+                  |    SELECT query_id, item_id,
+                  |      row_number() OVER (PARTITION BY query_id
+                  |        ORDER BY adist, item_id) AS rk
+                  |    FROM ad) WHERE rk <= $topK),
+                  |rr AS (SELECT t.query_id, t.item_id, $rcos AS cosine
+                  |  FROM topc t
+                  |  JOIN q qv ON qv.vec_id = t.query_id
+                  |  JOIN q iv ON iv.vec_id = t.item_id)
+                  |SELECT query_id, item_id, cosine, rk FROM (
+                  |  SELECT query_id, item_id, cosine,
+                  |    row_number() OVER (PARTITION BY query_id
+                  |      ORDER BY cosine DESC, item_id) AS rk
+                  |  FROM rr) WHERE rk <= $kFinal""".stripMargin
+    }
     sb.toString
   }
 
@@ -1328,6 +1376,8 @@ object SparkEntry3 {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_pq_topk"         -> pqOracleSql(PQ_M, PQ_K, PQ_TOPK),
+    "q_pq_refine"       -> pqOracleSql(PQ_M, PQ_K, PQ_TOPK * 2,
+      route = Some((PQIVF_NC, PQIVF_NP)), refine = Some(PQ_TOPK)),
     "q_pq_ivf"          -> pqOracleSql(PQ_M, PQ_K, PQ_TOPK,
                              route = Some((PQIVF_NC, PQIVF_NP))),
     "q_skew_report"     -> skewOracleSql(10),

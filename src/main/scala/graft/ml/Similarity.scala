@@ -234,6 +234,42 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Exact-cosine re-rank of a (query_id, item_id) candidate relation —
+    * the FAISS-style `refine` stage of two-stage retrieval: an index
+    * answers from compressed codes ([[graft.ml.Pq.adcTopK]] /
+    * `adcTopKRouted` / `adcTopKFromIndex`) or buckets ([[knnJoin]]),
+    * then only the k'-per-query surviving candidates pay an exact
+    * distance against the ORIGINAL vectors. Composes with any candidate
+    * generator that emits (query_id, item_id). Scale shape: the vector
+    * fetch is two hash equi-joins keyed by id — k' point lookups per
+    * query against the vector store, never a scan — and the final top-k
+    * is a per-query rank over ≤ k' rows. Ties break on (cosine desc,
+    * item_id), the [[bruteForceTopK]] convention, and the cosine is the
+    * exact left-to-right [[dot]], so with quantized vectors the refined
+    * ranking replays bit-for-bit (q_pq_refine's oracle).
+    * Output: (query_id, item_id, cosine, rk).
+    */
+  def refineTopK(candidates: DataFrame, queries: DataFrame,
+                 corpus: DataFrame, k: Int,
+                 queryIdCol: String = "vec_id",
+                 corpusIdCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qv = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val iv = corpus.select(col(corpusIdCol).as("item_id"),
+      col(vecCol).as("__iv"))
+    val scored = candidates.select("query_id", "item_id")
+      .join(qv, Seq("query_id"))
+      .join(iv, Seq("item_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__iv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("item_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), col("cosine"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Recall@k of an approximate ranker against the exact one: per query,
     * |truth ∩ approx| / |truth| over the two (query_id, item_id) top-k sets,
     * plus a corpus-level macro average row with query_id NULL. The standard

@@ -136,6 +136,34 @@ class PipelineSpec extends AnyFunSuite {
         routed.select("query_id", "item_id"))
       .filter(col("query_id").isNull).select("recall").head().getDouble(0)
     assert(recall >= 0.9, s"routed-ADC recall@5 vs flat = $recall")
+    // the refine stage: exact-cosine re-rank of the routed top-10 must
+    // recover AT LEAST the raw compressed top-5's agreement with the exact
+    // ranking — compression error (m=4, k=8 codebooks on 64 dims) misranks
+    // neighbors the exact re-rank restores. Ground truth:
+    // bruteForceTopK, which EXCLUDES self-matches — so self is dropped
+    // from both approximate sets before comparing.
+    import org.apache.spark.sql.expressions.Window
+    val truth = Similarity.bruteForceTopK(clustered, queries1, k = 5)
+      .select("query_id", "item_id")
+    def top5NonSelf(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("query_id") =!= col("item_id"))
+        .withColumn("__rk2", row_number().over(
+          Window.partitionBy("query_id").orderBy("rk")))
+        .filter(col("__rk2") <= 5)
+    val cand10 = Pq.adcTopKRouted(clustered, codes1, cb1, queries1,
+        "vec_id", "embedding", 4, 10, nCentroids = 16, nProbe = 4)
+      .where(col("query_id") =!= col("item_id"))
+    val refined = Similarity.refineTopK(cand10, queries1, clustered, 5)
+    val raw5 = top5NonSelf(Pq.adcTopKRouted(clustered, codes1, cb1,
+      queries1, "vec_id", "embedding", 4, 6, nCentroids = 16, nProbe = 4))
+    def macroRecall(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(truth, approx.select("query_id", "item_id"))
+        .filter(col("query_id").isNull).select("recall").head().getDouble(0)
+    val rawR = macroRecall(raw5)
+    val refR = macroRecall(refined)
+    assert(refR >= rawR,
+      s"refine must not lose recall: refined $refR vs raw ADC $rawR")
+    assert(refR >= 0.9, s"refined recall@5 vs exact = $refR")
     graft.ml.Dedup.unpersistIntermediates()
   }
 

@@ -69,6 +69,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_kmeans"              -> centroidBroadcast,
       "q_ann_ivf"             -> centroidBroadcast,
       "q_pq_ivf"              -> centroidBroadcast, // the coarse route() leg
+      "q_pq_refine"           -> centroidBroadcast, // same route() leg under the refine
       "q_ann_bruteforce"      -> bruteForce,
       "q_hybrid_rrf"          -> bruteForce, // its semantic leg is bruteForceTopK
       "q_expand_complete"     -> expandCross,

@@ -525,6 +525,20 @@ object SparkEntry3 {
           round(col("avg_lp"), 6).as("avg_lp"))
     }),
 
+    // The same LM pipeline at n=3 — proves the general-n context
+    // derivation (two-word contexts) end to end, not just the bigram
+    // special case.
+    "q_lm_score_tri" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val grams = graft.text.Lm.ngramCounts(docs, "text", n = 3)
+      val v = graft.text.Lm.vocabSize(docs, "text")
+      graft.text.Lm.scoreDocs(docs, "doc_id", "text", grams, n = 3,
+          vocab = v)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sum_lp"), 6).as("sum_lp"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+    }),
+
     // Multimodal near-dup end to end: media bytes → stub decode features →
     // semanticDedup — the multimodal layer graduating from schema plumbing
     // to a correctness-checked pipeline stage. Payloads are ASCII doc text
@@ -652,20 +666,24 @@ object SparkEntry3 {
     * then the SAME Lloyd/pairs/connected-components replay as
     * `q_semantic_dedup`.
     */
-  /** DuckDB replica of `q_lm_score_ngram`: the same tokenization, bigram counts,
-    * add-1 conditionals, and POSITION-ORDERED per-doc log-prob fold
-    * (list_reduce over list(lp ORDER BY pos) == Spark's sorted aggregate
-    * fold — both left-to-right, so float addition order matches).
+  /** DuckDB replica of `q_lm_score_ngram` (any n): the same tokenization,
+    * (n−1)-word contexts, add-1 conditionals, and POSITION-ORDERED per-doc
+    * log-prob fold (list_reduce over list(lp ORDER BY pos) == Spark's
+    * sorted aggregate fold — both left-to-right, so float addition order
+    * matches).
     */
-  private def lmScoreOracleSql: String =
-    """WITH toks AS (SELECT doc_id,
-      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-      |      w -> regexp_matches(w, '^[a-z]+$')) AS ts
+  private def lmScoreOracleSql(n: Int): String =
+    s"""WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |      w -> regexp_matches(w, '^[a-z]+$$')) AS ts
       |  FROM documents),
       |v AS (SELECT count(DISTINCT w) AS vocab
       |  FROM (SELECT unnest(ts) AS w FROM toks)),
-      |g AS (SELECT doc_id, j - 1 AS pos, ts[j] AS ctx, ts[j + 1] AS w
-      |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS j) r),
+      |g AS (SELECT doc_id, j - 1 AS pos,
+      |    array_to_string(ts[j : j + ${n - 2}], ' ') AS ctx,
+      |    ts[j + ${n - 1}] AS w
+      |  FROM toks, LATERAL
+      |    (SELECT unnest(range(1, len(ts) - ${n - 2})) AS j) r),
       |gc AS (SELECT ctx, w, count(*) AS cnt FROM g GROUP BY 1, 2),
       |cc AS (SELECT ctx, sum(cnt) AS ctx_cnt FROM gc GROUP BY 1),
       |lp AS (SELECT g.doc_id, g.pos,
@@ -1401,7 +1419,8 @@ object SparkEntry3 {
     "q_triangles"       -> trianglesOracleSql,
     "q_weighted_sample" -> weightedSampleOracleSql(20),
     "q_zorder"          -> zorderOracleSql(Z_BITS),
-    "q_lm_score_ngram"  -> lmScoreOracleSql,
+    "q_lm_score_ngram"  -> lmScoreOracleSql(2),
+    "q_lm_score_tri"    -> lmScoreOracleSql(3),
     "q_temp_mix"        ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          |w AS (SELECT lang, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),

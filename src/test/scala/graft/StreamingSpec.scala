@@ -856,6 +856,63 @@ class StreamingSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("IVF-PQ append lands mid-stream: later micro-batches probe the " +
+       "appended vectors without restart") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+    val base = emb.filter(col("vec_id") < 80)
+    val extra = emb.filter(col("vec_id") >= 80 && col("vec_id") < 120)
+    val idh = Some(col("vec_id"))
+    // live index (appended mid-stream) + a pristine base-only replica used
+    // to compute what the FIRST batch should have seen
+    val idx = Files.createTempDirectory("graft-sivfpq-app").toString
+    val rep = Files.createTempDirectory("graft-sivfpq-rep").toString
+    for (p <- Seq(idx, rep))
+      graft.ml.Pq.buildIvfPqIndex(base, p, "vec_id", "embedding",
+        m = 4, k = 8, iters = 0, nCentroids = 8,
+        initHash = idh, centroidHash = idh)
+    val dir = Files.createTempDirectory("graft-sivfpq-app-q").toFile
+    val ckpt = Files.createTempDirectory("graft-sivfpq-app-ck").toFile
+    emb.filter(col("vec_id") < 5).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    emb.filter(col("vec_id") >= 5 && col("vec_id") < 10).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val perBatch =
+      scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Long)]]
+    val q = StreamVerbs.streamingIvfPqProbe(Tbl(stream), idx, k = 3,
+        nProbe = 4) { out =>
+        perBatch.synchronized {
+          perBatch += out.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          // after the first batch answers, the ingest pipeline appends a
+          // vector batch into the SAME index the stream is probing
+          if (perBatch.size == 1)
+            graft.ml.Pq.appendToIvfPqIndex(spark, idx, extra,
+              "vec_id", "embedding")
+        }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(perBatch.size == 2)
+    def probe(path: String, lo: Long, hi: Long) =
+      graft.ml.Pq.adcTopKFromIndex(spark, path,
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          k = 3, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch 0 answered from the base-only index; batch 1 from base+extra
+    assert(perBatch(0) == probe(rep, 0L, 5L),
+      "first micro-batch must see the pre-append index")
+    assert(perBatch(1) == probe(idx, 5L, 10L),
+      "second micro-batch must see the appended vectors")
+    // and the append genuinely changed some answer for the second batch
+    assert(perBatch(1) != probe(rep, 5L, 10L),
+      "appended vectors never surfaced in any top-k — the pin is vacuous")
+    emb.unpersist()
+  }
+
   test("streaming span mask scrubs known duplicated grams; parity with batch Against") {
     import spark.implicits._
     val corpus = Seq(

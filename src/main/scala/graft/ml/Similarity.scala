@@ -259,7 +259,13 @@ object Similarity {
       col(vecCol).as("__qv"))
     val iv = corpus.select(col(corpusIdCol).as("item_id"),
       col(vecCol).as("__iv"))
+    // defensively dedup: a multi-band/multi-table generator may surface a
+    // pair once per collision, and a duplicated pair must not occupy two
+    // of the k result slots (no-op shuffle-wise for already-distinct
+    // inputs like the ADC rankers — the slim pair relation is the cheap
+    // thing to exchange here)
     val scored = candidates.select("query_id", "item_id")
+      .dropDuplicates("query_id", "item_id")
       .join(qv, Seq("query_id"))
       .join(iv, Seq("item_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__iv")))

@@ -103,10 +103,22 @@ object Bench {
           val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
             .map(_.group(1))
           if (!priorSf.contains(sfDir)) Map.empty
-          else canaryQs.flatMap { q =>
-            (""""""" + q + """":([0-9.]+)""").r.findFirstMatchIn(txt)
-              .map(m => q -> m.group(1).toDouble)
-          }.toMap
+          else {
+            val found = canaryQs.flatMap { q =>
+              (""""""" + q + """":([0-9.]+)""").r.findFirstMatchIn(txt)
+                .map(m => q -> m.group(1).toDouble)
+            }.toMap
+            // a same-sf record that yields NO canary baselines means the
+            // record format (or the canary query names) drifted past these
+            // ad-hoc regexes — say so instead of silently degrading to
+            // "no baseline", which would disable the canary without a trace
+            if (found.isEmpty)
+              System.err.println("graft bench WARNING: prior record " +
+                s"$priorFile matches sf but yielded no canary baselines " +
+                s"(${canaryQs.mkString("/")}) - record format drift? " +
+                "contention canary is running blind this round")
+            found
+          }
         } catch { case _: Exception => Map.empty }
       val now = results.toMap
       val ratios = canaryQs.flatMap(q =>

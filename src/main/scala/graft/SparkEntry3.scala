@@ -69,6 +69,16 @@ object SparkEntry3 {
   private val QSC_K = 64
   private val QSC_ORACLE_ROUNDS = 12
 
+  /** Scratch location for queries that persist a derived artifact mid-plan
+    * (feature tables, trained models): a deterministic per-sf-dir path under
+    * the JVM temp dir, overwritten on each run. In a deployment this is the
+    * pipeline's warehouse/scratch volume; keying by the input dir keeps
+    * concurrent different-SF runs from clobbering each other.
+    */
+  private def scratchPath(dir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-scratch/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$name"
+
   /** The q_zorder interleave key, shared by the zone-map queries. */
   private def orderZval(o: DataFrame): Column =
     Scale.zorderValue(Seq(
@@ -562,19 +572,24 @@ object SparkEntry3 {
       val phF = (m: Column, i: Column) =>
         conv(substring(md5(concat(m.cast("string"), lit("|"),
           i.cast("string"))), 1, 15), 16, 10).cast("long")
-      // checkpointed: the semanticDedup/CC machinery unions relations whose
-      // inferred not-null constraints alias-substitute down into the
-      // (quaternary) regexp_replace payload lineage, which trips Spark
-      // 4.1's Union constraint rewrite ("key not found" on the source
-      // attr). The feature table is tiny (2 · nDocs rows of dim doubles),
-      // so cutting lineage here is also the right plan shape: everything
+      // persisted as a parquet artifact (NOT localCheckpoint): the
+      // semanticDedup/CC machinery unions relations whose inferred
+      // not-null constraints alias-substitute down into the (quaternary)
+      // regexp_replace payload lineage, which trips Spark 4.1's Union
+      // constraint rewrite ("key not found" on the source attr) — so the
+      // lineage must be cut. A reliable on-disk artifact is the scale-safe
+      // cut: a real media pipeline decodes the corpus exactly once anyway,
+      // and a lost executor re-reads parquet instead of failing the job
+      // the way executor-local checkpoint blocks would. Everything
       // downstream re-reads features, not re-derives them per consumer.
-      val feats = media.select(col("doc_id").as("media_id"),
+      val featPath = scratchPath(dir, "media_feats")
+      media.select(col("doc_id").as("media_id"),
         transform(
           graft.multimodal.Multimodal.stubDecodeFeatures(
             col("payload"), MD_DIM, hash = phF),
           x => round(x * 1000.0).cast("double")).as("fv"))
-        .localCheckpoint()
+        .write.mode("overwrite").parquet(featPath)
+      val feats = s.read.parquet(featPath)
       Dedup.semanticDedup(feats, "media_id", "fv",
           k = SEM_K, iters = SEM_ITERS, threshold = SEM_THRESHOLD,
           initHash = Some(Sketch.portableHash(col("media_id").cast("string"))))
@@ -660,12 +675,6 @@ object SparkEntry3 {
       "SELECT vec_id FROM q\n" +
       "WHERE vec_id NOT IN (SELECT id FROM lab WHERE lbl < id)"
 
-  /** DuckDB replica of `q_media_dedup`: the multimodal stub-decode features
-    * (portable md5 leaf over the ASCII payload — integers in [-1000, 1000),
-    * so every downstream sum is exact) of original + planted-copy media,
-    * then the SAME Lloyd/pairs/connected-components replay as
-    * `q_semantic_dedup`.
-    */
   /** DuckDB replica of `q_lm_score_ngram` (any n): the same tokenization,
     * (n−1)-word contexts, add-1 conditionals, and POSITION-ORDERED per-doc
     * log-prob fold (list_reduce over list(lp ORDER BY pos) == Spark's
@@ -700,6 +709,12 @@ object SparkEntry3 {
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN pd USING (doc_id)""".stripMargin
 
+  /** DuckDB replica of `q_media_dedup`: the multimodal stub-decode features
+    * (portable md5 leaf over the ASCII payload — integers in [-1000, 1000),
+    * so every downstream sum is exact) of original + planted-copy media,
+    * then the SAME Lloyd/pairs/connected-components replay as
+    * `q_semantic_dedup`.
+    */
   private def mediaDedupOracleSql(dim: Int, k: Int, iters: Int,
                                   threshold: Double): String =
     s"""WITH RECURSIVE d0 AS (SELECT doc_id,

@@ -416,6 +416,15 @@ object Bpe {
           merges += ((merges.size + 1L, l, r, f))
         val bm = array(batch.map { case (l, r, _) =>
           struct(lit(l).as("l"), lit(r).as("r")) }.toSeq: _*)
+        // U+0001 is a pair-key SENTINEL, not a parser: with asciiOnly=false
+        // a token containing a literal U+0001 could make two different
+        // pairs render the same delimited key and falsely flag a word as
+        // affected. That is SAFE — the prefilter only routes words into the
+        // affected leg, applyBatchExpr re-checks real token equality before
+        // merging, and an unmerged affected word contributes +pairStats and
+        // -pairStats delta rows that cancel exactly — so the sentinel is a
+        // false-positive-only filter by construction, never a correctness
+        // input.
         val bk = array(batch.map { case (l, r, _) =>
           lit(l + "\u0001" + r) }.toSeq: _*)
         val flagged = words.withColumn("__bm", bm).withColumn("__bk", bk)

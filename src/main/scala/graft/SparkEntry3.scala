@@ -549,6 +549,42 @@ object SparkEntry3 {
           round(col("avg_lp"), 6).as("avg_lp"))
     }),
 
+    // Stupid Backoff LM scoring (Brants 2007): gram counts at orders 1..3
+    // trained on the EVEN-id half of the corpus, every document scored
+    // with count-ratio backoff (0.4 multiplier, unigram MLE base) — odd
+    // docs exercise the real backoff branches (unseen trigrams falling to
+    // seen bigrams/unigrams). Pure count arithmetic + ln, so the cascade
+    // replays in DuckDB; ln rounds to 6dp both sides (the q_lm
+    // discipline for the one non-bit-portable leaf).
+    "q_lm_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val grams = graft.text.Lm.backoffCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3)
+      val total = graft.text.Lm.tokenTotal(grams)
+      graft.text.Lm.scoreDocsBackoff(docs, "doc_id", "text", grams, n = 3,
+          totalTokens = total)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sum_lp"), 6).as("sum_lp"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+    }),
+
+    // The SAME scoring through the persisted-artifact lifecycle:
+    // buildBackoffModel writes <path>/{grams,meta} once, scoreDocsFromModel
+    // reads n and the token total back from the frozen artifact and scores
+    // against the parquet relation. Same oracle as q_lm_backoff — persist
+    // + score must be bit-identical to the inline pipeline (that identity
+    // IS the claim; the streaming sibling is pinned in StreamingSpec).
+    "q_lm_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val path = scratchPath(dir, "lm_backoff_model")
+      graft.text.Lm.buildBackoffModel(
+        docs.filter(col("doc_id") % 2 === 0), "text", path, n = 3)
+      graft.text.Lm.scoreDocsFromModel(s, path, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sum_lp"), 6).as("sum_lp"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+    }),
+
     // Multimodal near-dup end to end: media bytes → stub decode features →
     // semanticDedup — the multimodal layer graduating from schema plumbing
     // to a correctness-checked pipeline stage. Payloads are ASCII doc text
@@ -708,6 +744,70 @@ object SparkEntry3 {
       |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** DuckDB replica of `q_lm_backoff` / `q_lm_persisted` (any n): suffix-
+    * gram counts at orders 1..n over the even-id training half, then the
+    * Stupid Backoff cascade — per scored position the numerator gram at
+    * each level and the denominator context one level down, CASE on the
+    * largest seen order, ln(count ratio) + (n−o)·ln(backoff), position-
+    * ordered per-doc fold (list_reduce over list(lp ORDER BY pos) ==
+    * Spark's sorted aggregate fold). Association order of every float op
+    * mirrors [[graft.text.Lm.scoreDocsBackoff]] exactly.
+    */
+  private def lmBackoffOracleSql(n: Int, backoff: Double = 0.4): String = {
+    require(n >= 2, "the oracle's den leg is rendered for n >= 2")
+    val bo = backoff.toString
+    def bTerm(o: Int): String =
+      if (o == n) "" else s" + ${(n - o).toDouble} * ln($bo)"
+    def numBranch(o: Int): String = {
+      val den = if (o == 1) "(SELECT n FROM nn)" else s"d$o"
+      s"WHEN coalesce(n$o, 0) > 0 THEN ln(n$o / $den)${bTerm(o)}"
+    }
+    val branches = ((n to 1 by -1).map(numBranch) :+
+      s"ELSE ln(1.0 / (SELECT n FROM nn))${bTerm(1)}").mkString("\n    ")
+    val pvCols = ((1 to n).map(o =>
+      s"max(CASE WHEN role = 'n' AND lvl = $o THEN cnt END) AS n$o") ++
+      (2 to n).map(o =>
+        s"max(CASE WHEN role = 'd' AND lvl = $o THEN cnt END) AS d$o"))
+      .mkString(",\n    ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ts
+       |  FROM documents),
+       |gc AS (SELECT ord, gram, count(*) AS cnt FROM (
+       |    SELECT o AS ord, array_to_string(ts[i - o + 2 : i + 1], ' ') AS gram
+       |    FROM toks,
+       |      (SELECT unnest(range(1, ${n + 1})) AS o) oo,
+       |      LATERAL (SELECT unnest(range(0, len(ts))) AS i) ii
+       |    WHERE doc_id % 2 = 0 AND i >= o - 1) g
+       |  GROUP BY 1, 2),
+       |nn AS (SELECT sum(cnt) AS n FROM gc WHERE ord = 1),
+       |lk AS (SELECT doc_id, i - ${n - 1} AS pos, o AS lvl, 'n' AS role,
+       |      o AS ord, array_to_string(ts[i - o + 2 : i + 1], ' ') AS gram
+       |    FROM toks,
+       |      (SELECT unnest(range(1, ${n + 1})) AS o) oo,
+       |      LATERAL (SELECT unnest(range(${n - 1}, len(ts))) AS i) ii
+       |  UNION ALL
+       |  SELECT doc_id, i - ${n - 1} AS pos, o AS lvl, 'd' AS role,
+       |      o - 1 AS ord, array_to_string(ts[i - o + 2 : i], ' ') AS gram
+       |    FROM toks,
+       |      (SELECT unnest(range(2, ${n + 1})) AS o) oo,
+       |      LATERAL (SELECT unnest(range(${n - 1}, len(ts))) AS i) ii),
+       |pv AS (SELECT doc_id, pos,
+       |    $pvCols
+       |  FROM lk LEFT JOIN gc USING (ord, gram) GROUP BY 1, 2),
+       |lp AS (SELECT doc_id, pos, CASE
+       |    $branches END AS lp
+       |  FROM pv),
+       |pd AS (SELECT doc_id, count(*) AS n_grams,
+       |    list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS sum_lp
+       |  FROM lp GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+       |  round(coalesce(pd.sum_lp, 0.0), 6) AS sum_lp,
+       |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
 
   /** DuckDB replica of `q_media_dedup`: the multimodal stub-decode features
     * (portable md5 leaf over the ASCII payload — integers in [-1000, 1000),
@@ -1436,6 +1536,10 @@ object SparkEntry3 {
     "q_zorder"          -> zorderOracleSql(Z_BITS),
     "q_lm_score_ngram"  -> lmScoreOracleSql(2),
     "q_lm_score_tri"    -> lmScoreOracleSql(3),
+    "q_lm_backoff"      -> lmBackoffOracleSql(3),
+    // identical oracle BY DESIGN: the persisted-artifact lifecycle must
+    // score bit-identically to the inline pipeline
+    "q_lm_persisted"    -> lmBackoffOracleSql(3),
     "q_temp_mix"        ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          |w AS (SELECT lang, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),

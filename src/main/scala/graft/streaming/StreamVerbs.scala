@@ -693,6 +693,24 @@ object StreamVerbs {
         vocab, alpha))
     }
 
+  /** Streaming Stupid Backoff LM scoring against a PERSISTED model
+    * ([[graft.text.Lm.buildBackoffModel]]): each micro-batch of arriving
+    * documents runs the batch [[graft.text.Lm.scoreDocsFromModel]] — the
+    * frozen parquet gram relation joins per batch, n and the token total
+    * come from the artifact's meta row. The full train-once /
+    * score-forever lifecycle: the reference corpus was scanned once at
+    * build time, the crawl scores as it arrives, batch == stream by
+    * construction (same code object; StreamingSpec pins the parity).
+    */
+  def streamingLmScoreBackoff(t: Tbl, idCol: String, textCol: String,
+                              path: String, backoff: Double = 0.4)
+                             (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.text.Lm.scoreDocsFromModel(batch.sparkSession, path, batch,
+        idCol, textCol, backoff))
+    }
+
   /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed
     * fingerprints ([[graft.ml.Dedup.winnowFingerprints]], same n/w/hash as
     * the persisted corpus index) joined against the PERSISTED (id, fp)

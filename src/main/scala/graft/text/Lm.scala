@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   * the per-doc sum is position-ordered so scores are bitwise
   * partition-invariant.
   *
-  * The model here is a plain add-α smoothed word n-gram LM, NOT KenLM's
-  * Kneser–Ney: exact integer counts + one closed-form conditional per
-  * gram keep every number an exact function of the corpus, so the whole
+  * Two smoothings are provided, both exact count arithmetic (NOT KenLM's
+  * Kneser–Ney): add-α ([[Lm.ngramCounts]]/[[Lm.scoreDocs]] — one
+  * closed-form conditional per gram) and Stupid Backoff
+  * ([[Lm.backoffCounts]]/[[Lm.scoreDocsBackoff]] — Brants et al. 2007,
+  * the web-scale choice; see that section). Exact integer counts keep
+  * every number an exact function of the corpus, so the whole
   * train→score pipeline replays in an external engine (q_lm_score_ngram's
-  * DuckDB oracle) — the repo-wide determinism contract. At 100 TB the
+  * and q_lm_backoff's DuckDB oracles) — the repo-wide determinism
+  * contract. At 100 TB the
   * shapes are what matter and they carry over to any smoothing: the model
   * is a (ctx, w, cnt) RELATION (one explode + one count aggregate —
   * map-side combined, shuffles counter rows, persists as parquet), and
@@ -140,5 +144,196 @@ object Lm {
       // 0-gram docs score NULL avg (guarded: ANSI division by zero throws)
       .withColumn("avg_lp",
         when(col("n_grams") > 0, col("sum_lp") / col("n_grams")))
+  }
+
+  // ---------------------------------------------------------------------
+  // Stupid Backoff (Brants et al., "Large language models in machine
+  // translation", EMNLP 2007) — the web-scale smoothing: score with raw
+  // count RATIOS, backing off to a shorter context with a fixed 0.4
+  // multiplier when the full n-gram is unseen, terminating at the unigram
+  // MLE. No discounting, no normalization pass — every number is a pure
+  // function of corpus counts, so the whole train→score pipeline replays
+  // in DuckDB (q_lm_backoff). Unlike add-α (which gives every unseen gram
+  // the same −ln(ctx_cnt + α|V|)-ish mass and over-penalizes
+  // rare-but-fluent text as n grows), backoff preserves the ordering
+  // "seen n-gram ≻ unseen n-gram with plausible shorter context ≻
+  // gibberish" — LmSpec pins a corpus where add-α INVERTS the first
+  // relation and backoff does not.
+  // ---------------------------------------------------------------------
+
+  /** The SQL fragment producing every suffix-gram of orders 1..n of the
+    * token array `__ts` as (ord, gram): for each order o and 0-based end
+    * position i in [o−1, size−1], the o words ending at i joined with ' '.
+    * Prefix containment makes this the one relation backoff needs: the
+    * order-(o−1) context of any counted o-gram is itself counted (a prefix
+    * occurrence rides along with every o-gram occurrence), so denominators
+    * are always ≥ numerators and never zero when the numerator is seen.
+    */
+  private def allGramExpr(n: Int): String =
+    s"""flatten(transform(sequence(1, $n), o ->
+       |  IF(size(__ts) >= o,
+       |    transform(sequence(o - 1, size(__ts) - 1), i -> named_struct(
+       |      'ord', o, 'gram', array_join(slice(__ts, i - o + 2, o), ' '))),
+       |    CAST(array() AS array<struct<ord: int, gram: string>>))))""".stripMargin
+
+  /** Train the Stupid Backoff model: one relation holding EXACT counts of
+    * every gram at every order 1..n — (ord, gram, cnt). One pass over the
+    * corpus (a single explode emits all orders' grams) + one map-side-
+    * combined count aggregate; persist next to the corpus (or via
+    * [[buildBackoffModel]]) and score against it forever. The relation is
+    * the model: n = max(ord), total token count = Σ cnt at ord 1
+    * ([[tokenTotal]]).
+    */
+  def backoffCounts(df: DataFrame, textCol: String, n: Int,
+                    asciiOnly: Boolean = true): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    df.select(tokens(col(textCol), asciiOnly).as("__ts"))
+      .select(explode(expr(allGramExpr(n))).as("g"))
+      .groupBy(col("g.ord").as("ord"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Corpus token total of a [[backoffCounts]] relation — the unigram MLE
+    * denominator N (Σ cnt at ord 1; every token is exactly one unigram).
+    */
+  def tokenTotal(grams: DataFrame): Long =
+    grams.filter(col("ord") === 1)
+      .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+
+  /** Per-scored-position lookup keys against the gram relation: for each
+    * full-window position (0-based gram index `pos`), the NUMERATOR gram
+    * at every level o in 1..n (the o words ending at the position) and the
+    * DENOMINATOR context at every level o in 2..n (the o−1 words ending
+    * one earlier, counted at ord o−1). 2n−1 slim (pos, lvl, role, ord,
+    * gram) rows per position — the model joins back in ONE hash equi-join.
+    */
+  private def lookupExpr(n: Int): String = {
+    val num =
+      s"""transform(sequence(1, $n), o -> named_struct(
+         |  'pos', i - ${n - 1}, 'lvl', o, 'role', 'n',
+         |  'ord', o, 'gram', array_join(slice(__ts, i - o + 2, o), ' ')))""".stripMargin
+    val den =
+      s"""transform(sequence(2, $n), o -> named_struct(
+         |  'pos', i - ${n - 1}, 'lvl', o, 'role', 'd',
+         |  'ord', o - 1, 'gram', array_join(slice(__ts, i - o + 2, o - 1), ' ')))""".stripMargin
+    // n = 1 has no denominators (sequence(2, 1) would run DESCENDING —
+    // Spark's default step is -1 when start > stop — so it must not appear)
+    val perPos = if (n == 1) num else s"concat($num,\n$den)"
+    s"""IF(size(__ts) >= $n,
+       |  flatten(transform(sequence(${n - 1}, size(__ts) - 1), i ->
+       |    $perPos)),
+       |  CAST(array() AS array<struct<
+       |    pos: int, lvl: int, role: string, ord: int, gram: string>>))""".stripMargin
+  }
+
+  /** Score documents with Stupid Backoff against a trained
+    * [[backoffCounts]] relation:
+    *   S(w | ctx_o) = cnt(o-gram) / cnt(context as (o−1)-gram)  if seen,
+    *                  0.4 · S(w | ctx_{o−1})                    otherwise,
+    * terminating at the unigram MLE cnt(w)/N; a word unseen even as a
+    * unigram scores the deterministic floor 0.4^(n−1)/N (one virtual
+    * count — keeps ln finite and the whole pipeline count-arithmetic).
+    * Scoring positions are the full-window gram positions (documents with
+    * fewer than n tokens get n_grams 0 — [[scoreDocs]]' convention), and
+    * lp(pos) = ln(ratio) + (n−o)·ln(0.4) for the LARGEST seen order o.
+    * Output: (idCol, n_grams, sum_lp, avg_lp), avg_lp NULL for 0-gram
+    * docs. `idCol` must uniquely identify rows (positions pivot per id).
+    *
+    * Shapes at 100 TB: the doc stream explodes to 2n−1 slim lookup rows
+    * per position, ONE hash equi-join against the (ord, gram) model (not
+    * assumed broadcastable — a web-scale 5-gram table is itself
+    * distributed), one (id, pos) pivot aggregate, then the position-
+    * ordered per-doc fold of [[scoreDocs]] — partition-invariant to the
+    * bit. The backoff cascade itself is a per-row CASE, evaluated lazily
+    * branch-by-branch (ANSI-safe: a division only runs on its matched
+    * branch, where the denominator is provably positive).
+    */
+  def scoreDocsBackoff(docs: DataFrame, idCol: String, textCol: String,
+                       grams: DataFrame, n: Int, totalTokens: Long,
+                       backoff: Double = 0.4,
+                       asciiOnly: Boolean = true): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(totalTokens > 0, "totalTokens must be positive")
+    require(backoff > 0 && backoff <= 1, "backoff must be in (0, 1]")
+    val ex = docs
+      .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
+      .select(col(idCol), posexplode_outer(expr(lookupExpr(n))).as(Seq("__i", "g")))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.lvl").as("lvl"),
+        col("g.role").as("role"), col("g.ord").as("ord"),
+        col("g.gram").as("gram"))
+    val joined = ex.join(grams.select("ord", "gram", "cnt"),
+      Seq("ord", "gram"), "left")
+    val aggs: Seq[Column] =
+      (1 to n).map(o => max(when(col("role") === "n" && col("lvl") === o,
+        col("cnt"))).as(s"__n$o")) ++
+      (2 to n).map(o => max(when(col("role") === "d" && col("lvl") === o,
+        col("cnt"))).as(s"__d$o"))
+    val per = joined.groupBy(col(idCol), col("pos"))
+      .agg(aggs.head, aggs.tail: _*)
+    val lnB = log(lit(backoff))
+    def term(o: Int): Column = {
+      val ratio =
+        if (o == 1) col("__n1") / lit(totalTokens)
+        else col(s"__n$o") / col(s"__d$o")
+      if (o == n) log(ratio)
+      else log(ratio) + lit((n - o).toDouble) * lnB
+    }
+    val oov = {
+      val base = log(lit(1.0) / lit(totalTokens))
+      if (n == 1) base else base + lit((n - 1).toDouble) * lnB
+    }
+    var cascade: Column =
+      when(coalesce(col(s"__n$n"), lit(0L)) > 0, term(n))
+    for (o <- (n - 1) to 1 by -1)
+      cascade = cascade.when(coalesce(col(s"__n$o"), lit(0L)) > 0, term(o))
+    val lp = per.withColumn("lp", cascade.otherwise(oov))
+    lp.groupBy(idCol)
+      .agg(count(col("pos")).as("n_grams"),
+        // the pos-null row of a <n-token doc drops out of the list
+        collect_list(when(col("pos").isNotNull,
+          struct(col("pos"), col("lp")))).as("__ps"))
+      .select(col(idCol), col("n_grams"),
+        expr("aggregate(transform(array_sort(__ps), s -> s.lp), 0.0D," +
+          " (a, x) -> a + x)").as("sum_lp"))
+      .withColumn("avg_lp",
+        when(col("n_grams") > 0, col("sum_lp") / col("n_grams")))
+  }
+
+  /** Persist a Stupid Backoff model as a standing artifact —
+    * `<path>/grams` (the [[backoffCounts]] relation) and `<path>/meta`
+    * (one row: n, total_tokens) — the train-once / score-forever split of
+    * [[graft.ml.Pq.buildIvfPqIndex]] applied to the LM: the reference
+    * corpus is scanned exactly once, and every future batch or stream
+    * scores against the frozen parquet ([[scoreDocsFromModel]],
+    * [[graft.streaming.StreamVerbs.streamingLmScoreBackoff]]). The meta
+    * row makes the artifact self-describing; the token total is summed
+    * from the WRITTEN grams so model and meta can never disagree.
+    */
+  def buildBackoffModel(df: DataFrame, textCol: String, path: String, n: Int,
+                        asciiOnly: Boolean = true): Unit = {
+    backoffCounts(df, textCol, n, asciiOnly)
+      .write.mode("overwrite").parquet(s"$path/grams")
+    val spark = df.sparkSession
+    val total = tokenTotal(spark.read.parquet(s"$path/grams"))
+    spark.range(1)
+      .select(lit(n).as("n"), lit(total).as("total_tokens"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score documents against a persisted [[buildBackoffModel]] artifact:
+    * reads n and the token total from `<path>/meta` (1-row driver read,
+    * the [[graft.ml.Pq.adcTopKFromIndex]] self-describing-index pattern)
+    * and runs [[scoreDocsBackoff]] against the frozen gram relation —
+    * bit-identical to scoring with the in-memory model (LmSpec pins it).
+    */
+  def scoreDocsFromModel(spark: org.apache.spark.sql.SparkSession,
+                         path: String, docs: DataFrame, idCol: String,
+                         textCol: String, backoff: Double = 0.4,
+                         asciiOnly: Boolean = true): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    scoreDocsBackoff(docs, idCol, textCol,
+      spark.read.parquet(s"$path/grams"),
+      meta.getAs[Int]("n"), meta.getAs[Long]("total_tokens"),
+      backoff, asciiOnly)
   }
 }

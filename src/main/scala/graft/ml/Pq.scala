@@ -281,6 +281,90 @@ object Pq {
       .join(assigned, "item_id")
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/codes")
+    // baseline drift row (batch_seq 0): the training corpus' own
+    // quantization residual — what appended batches are measured against
+    writeStatsRow(spark, path, corpus,
+      spark.read.parquet(s"$path/codebooks"), idCol, vecCol, m, 0L)
+  }
+
+  /** Per-vector TRUE squared quantization error under frozen codebooks:
+    * Σ over subspaces of ‖subv − nearest codeword‖². [[sqdistToCentroid]]
+    * drops the ‖subv‖² term (constant per argmin); adding it back here
+    * makes the residual an absolute, batch-comparable number — the drift
+    * statistic of [[appendToIvfPqIndex]]. Map-side scoring against the
+    * broadcast codebooks + two bounded aggregates: O(rows · m · k), no
+    * joins against the corpus. Output: (idCol, resid).
+    */
+  def quantizationResiduals(df: DataFrame, codebooks: DataFrame,
+                            idCol: String, vecCol: String,
+                            m: Int): DataFrame =
+    subVectors(df, idCol, vecCol, m)
+      .withColumn("__sn", Similarity.dot(col("subv"), col("subv")))
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__d", sqdistToCentroid)
+      .groupBy(col(idCol), col("sub"))
+      .agg((min(col("__d")) + max(col("__sn"))).as("__r"))
+      .groupBy(idCol)
+      .agg(sum("__r").as("resid"))
+
+  /** One `<path>/stats` drift row for a batch: (batch_seq, n_rows,
+    * mean_resid, max_resid) of the [[quantizationResiduals]] under the
+    * index's frozen codebooks. batch_seq 0 is the BASELINE (the corpus the
+    * codebooks were trained on, written by [[buildIvfPqIndex]]); appends
+    * record 1, 2, … — making the re-train policy the index documents
+    * operational: [[rebuildAdvised]] compares appended batches against the
+    * baseline instead of asking the operator to guess.
+    */
+  private def writeStatsRow(spark: org.apache.spark.sql.SparkSession,
+                            path: String, batch: DataFrame,
+                            codebooks: DataFrame, idCol: String,
+                            vecCol: String, m: Int, seq: Long): Unit = {
+    quantizationResiduals(batch, codebooks, idCol, vecCol, m)
+      .agg(count(lit(1)).as("n_rows"),
+        avg("resid").as("mean_resid"),
+        max("resid").as("max_resid"))
+      .select(lit(seq).as("batch_seq"), col("n_rows"),
+        col("mean_resid"), col("max_resid"))
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** The per-append drift ledger of an index, with each batch's
+    * mean residual as a ratio of the build-time baseline:
+    * (batch_seq, n_rows, mean_resid, max_resid, drift_ratio) —
+    * drift_ratio NULL for the baseline row itself (and everywhere when
+    * the baseline mean is 0: a degenerate corpus that IS its codebook has
+    * nothing to drift from). Tiny relation (one row per append).
+    */
+  def driftStats(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats")
+    val base = stats.filter(col("batch_seq") === 0)
+      .select(col("mean_resid").as("__base"))
+    stats.crossJoin(broadcast(base))
+      .withColumn("drift_ratio",
+        when(col("batch_seq") > 0 && col("__base") > 0,
+          col("mean_resid") / col("__base")))
+      .drop("__base")
+  }
+
+  /** The operational re-train signal: true when the LATEST appended
+    * batch's mean quantization residual exceeds `threshold ×` the
+    * build-time baseline — the frozen codebooks are fitting arriving data
+    * that much worse than the corpus they were trained on, and the
+    * documented IVF re-train policy ("rebuild when drift passes a
+    * threshold", [[appendToIvfPqIndex]]) should fire. False when nothing
+    * has been appended yet. Reads the tiny stats relation only — O(1),
+    * never touches codes or vectors.
+    */
+  def rebuildAdvised(spark: org.apache.spark.sql.SparkSession, path: String,
+                     threshold: Double = 2.0): Boolean = {
+    require(threshold > 0, "threshold must be positive")
+    val latest = driftStats(spark, path)
+      .filter(col("batch_seq") > 0)
+      .orderBy(desc("batch_seq")).limit(1)
+      .select("drift_ratio").collect()
+    latest.nonEmpty && !latest(0).isNullAt(0) &&
+      latest(0).getDouble(0) > threshold
   }
 
   /** Append a vector batch into a persisted IVF-PQ index UNDER FROZEN
@@ -302,7 +386,12 @@ object Pq {
     * trade at 100 TB: appends are O(batch) forever, while quantizer drift
     * (a batch distribution the frozen codebooks fit poorly) accumulates as
     * ADC error, not as wrong plumbing — the standard IVF re-train policy
-    * (rebuild when drift passes a threshold) applies on top.
+    * (rebuild when drift passes a threshold) applies on top, and is
+    * OPERATIONAL here: every append writes its quantization-residual
+    * stats to the `<path>/stats` ledger and [[rebuildAdvised]] reads the
+    * ledger against the build-time baseline (MiscSpec pins that an
+    * out-of-distribution batch trips the flag and an in-distribution one
+    * does not).
     *
     * Caller contract: batch ids must be disjoint from the corpus' (the
     * index stores ids as given; a duplicate id would surface twice).
@@ -326,6 +415,16 @@ object Pq {
       .join(assigned, "item_id")
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/codes")
+    // drift row for this batch: next sequence number after whatever the
+    // stats ledger holds (1-row driver read — the self-describing-index
+    // pattern). Indexes built before the monitor existed have no ledger;
+    // their first append starts one at seq 1 (no baseline row — driftStats
+    // then reports NULL ratios until the index is rebuilt).
+    val seq =
+      try spark.read.parquet(s"$path/stats")
+        .agg(coalesce(max("batch_seq"), lit(0L))).head().getLong(0) + 1
+      catch { case _: org.apache.spark.sql.AnalysisException => 1L }
+    writeStatsRow(spark, path, batch, codebooks, idCol, vecCol, m, seq)
   }
 
   /** Probe a persisted IVF-PQ index (see [[buildIvfPqIndex]]): rank the

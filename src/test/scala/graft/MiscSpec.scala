@@ -122,6 +122,50 @@ class MiscSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("IVF-PQ drift monitor: OOD append trips rebuildAdvised, " +
+       "in-distribution append does not") {
+    import graft.ml.Pq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+    val idh = Some(col("vec_id"))
+    val base = emb.filter(col("vec_id") < 80)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-drift").toString
+    Pq.buildIvfPqIndex(base, dir, "vec_id", "embedding",
+      m = 4, k = 8, iters = 0, nCentroids = 8,
+      initHash = idh, centroidHash = idh)
+    // build writes the batch_seq-0 baseline from the training corpus itself
+    val s0 = spark.read.parquet(s"$dir/stats").collect()
+    assert(s0.length == 1 && s0(0).getAs[Long]("batch_seq") == 0L &&
+      s0(0).getAs[Long]("n_rows") == 80L, s0.mkString(","))
+    // in-distribution append: same generator, new ids -> residuals in the
+    // baseline's band, no rebuild advice
+    val inDist = emb.filter(col("vec_id") >= 80 && col("vec_id") < 120)
+    Pq.appendToIvfPqIndex(spark, dir, inDist, "vec_id", "embedding")
+    assert(!Pq.rebuildAdvised(spark, dir, threshold = 2.0),
+      "in-distribution batch must not advise a rebuild: " +
+        Pq.driftStats(spark, dir).collect().mkString(", "))
+    // out-of-distribution append: scaled + shifted vectors the frozen
+    // codebooks fit badly -> residual blows past threshold x baseline
+    val ood = emb.filter(col("vec_id") >= 120 && col("vec_id") < 160)
+      .withColumn("vec_id", col("vec_id") + 1000000)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * 10.0 + 50.0))
+    Pq.appendToIvfPqIndex(spark, dir, ood, "vec_id", "embedding")
+    assert(Pq.rebuildAdvised(spark, dir, threshold = 2.0),
+      "OOD batch must advise a rebuild: " +
+        Pq.driftStats(spark, dir).collect().mkString(", "))
+    // the ledger is the full history: baseline + one row per append, with
+    // NULL ratio on the baseline row only
+    val ds = Pq.driftStats(spark, dir).orderBy("batch_seq").collect()
+    assert(ds.length == 3 &&
+      ds.map(_.getAs[Long]("batch_seq")).toSeq == Seq(0L, 1L, 2L), ds.mkString(","))
+    assert(ds(0).isNullAt(ds(0).fieldIndex("drift_ratio")))
+    assert(!ds(1).isNullAt(ds(1).fieldIndex("drift_ratio")) &&
+      ds(2).getAs[Double]("drift_ratio") > ds(1).getAs[Double]("drift_ratio"))
+    graft.ml.Dedup.unpersistIntermediates()
+    emb.unpersist()
+  }
+
   test("quantilesBySample: exact when k covers the group, bounded error otherwise") {
     import spark.implicits._
     val d = Tbl((1L to 5000L).map(i => (i, i % 7, (i * 2654435761L % 100000).toDouble))

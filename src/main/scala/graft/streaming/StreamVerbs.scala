@@ -693,6 +693,34 @@ object StreamVerbs {
         vocab, alpha))
     }
 
+  /** Streaming TWO-STAGE retrieval — the serving shape production ANN
+    * stacks actually run, per micro-batch: stage 1 probes the persisted
+    * IVF-PQ index compressed-domain ([[graft.ml.Pq.adcTopKFromIndex]],
+    * DPP-pruned codes scan) for `kCand` candidates per query; stage 2
+    * re-ranks ONLY those candidates by exact cosine against the original
+    * vector store ([[graft.ml.Similarity.refineTopK]] — two id-keyed hash
+    * equi-joins, point lookups, never a scan). `vectors` is the standing
+    * corpus vector relation (typically a parquet read over the same
+    * corpus the index was built from). Batch == stream by construction
+    * (same code objects; StreamingSpec pins parity against the one-shot
+    * probe + refine). foreachBatch: both stages end in per-query window
+    * rank-filters, which streaming plans don't support.
+    */
+  def streamingIvfPqRefine(queries: Tbl, path: String, vectors: DataFrame,
+                           k: Int, kCand: Int, nProbe: Int = 4,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding")
+                          (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(kCand >= k, "kCand must be >= k (stage 1 feeds stage 2)")
+    queries.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val cand = graft.ml.Pq.adcTopKFromIndex(batch.sparkSession, path,
+        batch, kCand, nProbe, idCol, vecCol)
+      sink(graft.ml.Similarity.refineTopK(cand, batch, vectors, k,
+        idCol, idCol, vecCol))
+    }
+  }
+
   /** Streaming Stupid Backoff LM scoring against a PERSISTED model
     * ([[graft.text.Lm.buildBackoffModel]]): each micro-batch of arriving
     * documents runs the batch [[graft.text.Lm.scoreDocsFromModel]] — the

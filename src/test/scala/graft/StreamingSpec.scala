@@ -893,6 +893,49 @@ class StreamingSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("streaming two-stage retrieval (probe + exact refine) == batch " +
+       "probe + refine on the same index and vector store") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+    val idx = Files.createTempDirectory("graft-s2s-idx").toString
+    graft.ml.Pq.buildIvfPqIndex(emb, idx, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, nCentroids = 8)
+    val dir = Files.createTempDirectory("graft-s2s").toFile
+    val ckpt = Files.createTempDirectory("graft-s2s-ckpt").toFile
+    emb.filter(col("vec_id") < 5).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    emb.filter(col("vec_id") >= 5 && col("vec_id") < 10).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    val q = StreamVerbs.streamingIvfPqRefine(Tbl(stream), idx, emb,
+        k = 3, kCand = 6, nProbe = 4) { out =>
+        got.synchronized { got ++= out.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // per-query answers depend only on that query and the static
+    // index/vector store, so the streamed union over micro-batches must
+    // equal the one-shot two-stage batch pipeline — cosines included
+    val queries = emb.filter(col("vec_id") < 10)
+    val cand = graft.ml.Pq.adcTopKFromIndex(spark, idx, queries,
+      k = 6, nProbe = 4)
+    val batch = graft.ml.Similarity.refineTopK(cand, queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.sorted.toSeq == batch.sorted.toSeq && batch.length == 30,
+      s"stream ${got.size} rows vs batch ${batch.length}")
+    // the refined top-3 is ranked by EXACT cosine: within each query the
+    // scores are nonincreasing in rk
+    val byQ = batch.groupBy(_._1).values
+    assert(byQ.forall(rs => rs.sortBy(_._4).map(_._3).toSeq ==
+      rs.map(_._3).sorted(Ordering[Double].reverse).toSeq))
+    emb.unpersist()
+  }
+
   test("IVF-PQ append lands mid-stream: later micro-batches probe the " +
        "appended vectors without restart") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

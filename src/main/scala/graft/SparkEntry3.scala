@@ -518,6 +518,18 @@ object SparkEntry3 {
           totalN = 300, temperature = 2.0)
         .select("doc_id", "lang")),
 
+    // Epoch-aware temperature mixing (the LLaMA recipe proper): totalN is
+    // set ABOVE the corpus size so every language's quota exceeds its row
+    // count — domains repeat for floor(quota/n) full epochs plus a
+    // deterministic smallest-hash partial epoch, instead of silently
+    // capping at the domain size. Output carries the epoch index; all
+    // arithmetic is integer (quotas derive from the same sqrt weights as
+    // q_temp_mix), so the repeated sample replays exactly.
+    "q_temp_epochs" -> ((s, dir) =>
+      Scale.temperatureMixEpochs(t(s, dir, "documents").df, "lang",
+          "doc_id", totalN = 20000, temperature = 2.0)
+        .select("doc_id", "lang", "epoch")),
+
     // CCNet-style LM quality scoring: an add-1 smoothed bigram LM trained
     // on the corpus scores every document's grams; the per-doc sum folds
     // in position order on both engines. Scores round to 6dp in query AND
@@ -1553,6 +1565,26 @@ object SparkEntry3 {
          |  FROM documents)
          |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
          |WHERE rk <= quota""".stripMargin,
+    // the q_temp_mix quota replay + integer epoch split: full epochs for
+    // every row, the partial epoch for the remainder-many smallest-hash
+    // rows, one output row per (row, epoch)
+    "q_temp_epochs"     ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT lang, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),
+         |t AS (SELECT list_reduce(list(wt ORDER BY lang), (a, b) -> a + b)
+         |    AS tw FROM w),
+         |q AS (SELECT lang, n, CAST(floor(wt / (SELECT tw FROM t) * 20000)
+         |    AS BIGINT) AS quota FROM w JOIN c USING (lang)),
+         |qe AS (SELECT lang, quota // n AS ef, quota % n AS rem FROM q),
+         |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${ph("CAST(doc_id AS VARCHAR) || '|42'")}, doc_id)
+         |    AS rk
+         |  FROM documents),
+         |x AS (SELECT r.doc_id, r.lang,
+         |    ef + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS nc
+         |  FROM r JOIN qe USING (lang))
+         |SELECT doc_id, lang, unnest(range(0, nc)) AS epoch
+         |FROM x WHERE nc > 0""".stripMargin,
     "q_media_dedup"     -> mediaDedupOracleSql(MD_DIM, SEM_K, SEM_ITERS,
       SEM_THRESHOLD),
     "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,

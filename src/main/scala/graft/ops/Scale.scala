@@ -525,6 +525,60 @@ object Scale {
       .drop("__rk", "__h", "quota")
   }
 
+  /** [[temperatureQuotas]] with EPOCH semantics (the LLaMA-recipe table:
+    * small upweighted domains are repeated past one epoch rather than
+    * silently capped at their row count): adds
+    *   epochs_full = quota div n_rows   (whole passes over the domain),
+    *   remainder   = quota mod n_rows   (rows drawn in the partial pass),
+    *   epochs      = quota / n_rows     (the fractional epoch count the
+    *                                     mixing tables report).
+    * quota = epochs_full · n_rows + remainder exactly — integer identities
+    * the oracle replays verbatim.
+    */
+  def temperatureQuotasEpochs(df: DataFrame, domainCol: String, totalN: Long,
+                              temperature: Double): DataFrame =
+    temperatureQuotas(df, domainCol, totalN, temperature)
+      .withColumn("epochs_full", expr("quota div n_rows"))
+      .withColumn("remainder", col("quota") % col("n_rows"))
+      .withColumn("epochs", col("quota") / col("n_rows"))
+
+  /** Draw the [[temperatureQuotasEpochs]] sample WITH repetition: each
+    * domain's rows appear once per full epoch (epoch = 0 .. epochs_full−1
+    * — every row), plus a partial epoch `epochs_full` holding the
+    * `remainder`-many smallest-hash rows (the SAME deterministic draw as
+    * [[temperatureMix]] — when no quota exceeds its domain, this verb
+    * degenerates to exactly temperatureMix with epoch 0 everywhere).
+    * Output: the input columns + `epoch`; Σ rows = Σ quota.
+    *
+    * Scale shape: the per-domain rank is computed ONCE via
+    * [[groupedCumSum]]'s range-partitioned two-phase prefix sum (the
+    * [[temperatureMix]] argument: a handful of domains over 100 TB must
+    * not funnel through per-domain window reducers), the tiny epoch-quota
+    * table broadcast-joins, and the repetition is a per-row
+    * `explode(sequence)` — map-side fan-out exactly where the output
+    * legitimately is epochs× the input, with no shuffle carrying the
+    * duplication.
+    */
+  def temperatureMixEpochs(df: DataFrame, domainCol: String, idCol: String,
+                           totalN: Long, temperature: Double,
+                           seed: String = "42"): DataFrame = {
+    val quotas = temperatureQuotasEpochs(df, domainCol, totalN, temperature)
+      .select(col(domainCol), col("epochs_full"), col("remainder"))
+    val h = Sketch.portableHash(concat(col(idCol).cast("string"),
+      lit("|" + seed)))
+    groupedCumSum(df.withColumn("__h", h), Seq(domainCol),
+        Seq(col("__h"), col(idCol)), lit(1L), "__rk")
+      .join(broadcast(quotas), Seq(domainCol))
+      .withColumn("__nc", col("epochs_full") +
+        when(col("__rk") <= col("remainder"), lit(1L)).otherwise(lit(0L)))
+      // guarded explode: sequence(0, -1) would run DESCENDING (Spark
+      // defaults step to -1 when start > stop), so 0-copy rows are
+      // filtered before the sequence is ever built
+      .where(col("__nc") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0L), col("__nc") - 1)).as("epoch"): _*)
+  }
+
   /** Morton (Z-order) key: interleave the low `bits` bits of each column —
     * bit j of column i lands at output bit j·n + i. Inputs must already be
     * nonnegative longs < 2^bits (see [[zorderQuantize]]); n·bits ≤ 63. The

@@ -505,6 +505,56 @@ class ScaleSpec extends AnyFunSuite {
       Scale.temperatureQuotas(df, "dom", 10L, 0.0))
   }
 
+  test("temperatureMixEpochs: full-epoch repetition + partial-epoch draw, " +
+       "quota identity, degenerate equivalence to temperatureMix") {
+    import spark.implicits._
+    val df = ((1L to 400L).map(i => (i, "a")) ++
+      (401L to 500L).map(i => (i, "b")) ++
+      (501L to 525L).map(i => (i, "c"))).toDF("id", "dom")
+    // T=2 sqrt weights 20/10/5 -> shares 4/7, 2/7, 1/7; totalN=700 gives
+    // quotas 400/200/100 = exactly 1/2/4 epochs with zero remainder
+    val qe = Scale.temperatureQuotasEpochs(df, "dom", 700L, 2.0).collect()
+      .map(r => r.getAs[String]("dom") ->
+        (r.getAs[Long]("quota"), r.getAs[Long]("epochs_full"),
+         r.getAs[Long]("remainder"), r.getAs[Double]("epochs"))).toMap
+    assert(qe == Map("a" -> ((400L, 1L, 0L, 1.0)),
+      "b" -> ((200L, 2L, 0L, 2.0)), "c" -> ((100L, 4L, 0L, 4.0))), qe.toString)
+    val m700 = Scale.temperatureMixEpochs(df, "dom", "id", 700L, 2.0)
+    val cnt700 = m700.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cnt700 == Map("a" -> 400L, "b" -> 200L, "c" -> 100L))
+    // full epochs contain EVERY domain row: c at epochs 0..3 x all 25 ids
+    val cRows = m700.filter(col("dom") === "c")
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cRows.toSet ==
+      (for (i <- 501L to 525L; e <- 0L to 3L) yield (i, e)).toSet)
+    // partial epochs: totalN=730 -> quotas 417/208/104 (fractional shares
+    // .14/.57/.28 — safely off the floor boundary), remainders 17/8/4
+    val qp = Scale.temperatureQuotasEpochs(df, "dom", 730L, 2.0).collect()
+      .map(r => r.getAs[String]("dom") ->
+        (r.getAs[Long]("quota"), r.getAs[Long]("n_rows"),
+         r.getAs[Long]("epochs_full"), r.getAs[Long]("remainder"))).toMap
+    assert(qp.values.forall { case (q, n, ef, rem) => ef * n + rem == q },
+      s"quota identity must hold: $qp")
+    assert(qp("a") == ((417L, 400L, 1L, 17L)) &&
+      qp("b") == ((208L, 100L, 2L, 8L)) &&
+      qp("c") == ((104L, 25L, 4L, 4L)), qp.toString)
+    val m730 = Scale.temperatureMixEpochs(df, "dom", "id", 730L, 2.0)
+    val part = m730.filter(col("dom") === "a" && col("epoch") === 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(part.size == 17 &&
+      m730.filter(col("dom") === "a").count() == 417L)
+    // deterministic under repartitioning
+    TestSpark.assertSameRows(m730,
+      Scale.temperatureMixEpochs(df.repartition(13), "dom", "id", 730L, 2.0))
+    // quotas under domain sizes degenerate to temperatureMix + epoch 0
+    val eps = Scale.temperatureMixEpochs(df, "dom", "id", 70L, 2.0)
+    assert(eps.filter(col("epoch") =!= 0L).count() == 0L)
+    TestSpark.assertSameRows(eps.drop("epoch"),
+      Scale.temperatureMix(df, "dom", "id", 70L, 2.0))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("weightedSampleBy: k per group, deterministic, weight-responsive") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val s1 = Scale.weightedSampleBy(cust, Seq("c_mktsegment"), "c_custkey",

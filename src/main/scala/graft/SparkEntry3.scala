@@ -30,6 +30,12 @@ object SparkEntry3 {
   private val SEM_ITERS = 1
   private val SEM_THRESHOLD = 0.999
   private val MD_DIM = 8    // q_media_dedup stub feature dimension
+  // q_media_banded: 4 bands x 12 hyperplane bits — 4096 keys per band
+  // keeps unrelated-feature collisions ~n²/4096 per band while planted
+  // byte-identical copies (equal features -> equal signature) always
+  // collide in every band
+  private val MB_BANDS = 4
+  private val MB_ROWS = 12
 
   // %600 graph degrees: sf0.001 8..194 (median 10), sf0.01 45+, sf0.1
   // 534+. k=10 peels the sf0.001 tail to a 126-node core (the nontrivial
@@ -78,6 +84,37 @@ object SparkEntry3 {
   private def scratchPath(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-scratch/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$name"
+
+  /** The shared media feature table of q_media_dedup / q_media_banded:
+    * ASCII-payload media (each doc + a planted byte-identical copy at
+    * id + 1e6, via an EXPLODE — a self-union here trips Spark 4.1's Union
+    * constraint rewrite on the regexp_replace payload lineage), stub-
+    * decoded to integer features over the portable md5 leaf. Persisted as
+    * a parquet artifact (NOT localCheckpoint): the lineage cut the
+    * semanticDedup/CC union machinery needs, in its scale-safe form — a
+    * real media pipeline decodes the corpus exactly once anyway, and a
+    * lost executor re-reads parquet instead of failing the job the way
+    * executor-local checkpoint blocks would. Every consumer re-reads
+    * features, never re-derives them.
+    */
+  private def mediaFeats(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents").df
+      .select(explode(array(col("doc_id"), col("doc_id") + 1000000))
+        .as("doc_id"),
+        to_binary(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""),
+          lit("utf-8")).as("payload"))
+    val phF = (m: Column, i: Column) =>
+      conv(substring(md5(concat(m.cast("string"), lit("|"),
+        i.cast("string"))), 1, 15), 16, 10).cast("long")
+    val featPath = scratchPath(dir, "media_feats")
+    media.select(col("doc_id").as("media_id"),
+      transform(
+        graft.multimodal.Multimodal.stubDecodeFeatures(
+          col("payload"), MD_DIM, hash = phF),
+        x => round(x * 1000.0).cast("double")).as("fv"))
+      .write.mode("overwrite").parquet(featPath)
+    s.read.parquet(featPath)
+  }
 
   /** The q_zorder interleave key, shared by the zone-map queries. */
   private def orderZval(o: DataFrame): Column =
@@ -606,43 +643,23 @@ object SparkEntry3 {
     // whole bytes→features→cluster→cosine→survivor chain replays
     // bit-for-bit in DuckDB. Planted byte-identical copies at id + 1e6
     // give the dedup real work: same bytes → same features → cosine 1.
-    "q_media_dedup" -> ((s, dir) => {
-      // the planted copy comes from an EXPLODE of [id, id + 1e6], not a
-      // self-union: a self-union here trips Spark 4.1's Union constraint
-      // rewrite ("key not found" on a source attr) once the payload's
-      // (quaternary) regexp_replace enters the inferred constraints — and
-      // the explode is one scan instead of two anyway
-      val media = t(s, dir, "documents").df
-        .select(explode(array(col("doc_id"), col("doc_id") + 1000000))
-          .as("doc_id"),
-          to_binary(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""),
-            lit("utf-8")).as("payload"))
-      val phF = (m: Column, i: Column) =>
-        conv(substring(md5(concat(m.cast("string"), lit("|"),
-          i.cast("string"))), 1, 15), 16, 10).cast("long")
-      // persisted as a parquet artifact (NOT localCheckpoint): the
-      // semanticDedup/CC machinery unions relations whose inferred
-      // not-null constraints alias-substitute down into the (quaternary)
-      // regexp_replace payload lineage, which trips Spark 4.1's Union
-      // constraint rewrite ("key not found" on the source attr) — so the
-      // lineage must be cut. A reliable on-disk artifact is the scale-safe
-      // cut: a real media pipeline decodes the corpus exactly once anyway,
-      // and a lost executor re-reads parquet instead of failing the job
-      // the way executor-local checkpoint blocks would. Everything
-      // downstream re-reads features, not re-derives them per consumer.
-      val featPath = scratchPath(dir, "media_feats")
-      media.select(col("doc_id").as("media_id"),
-        transform(
-          graft.multimodal.Multimodal.stubDecodeFeatures(
-            col("payload"), MD_DIM, hash = phF),
-          x => round(x * 1000.0).cast("double")).as("fv"))
-        .write.mode("overwrite").parquet(featPath)
-      val feats = s.read.parquet(featPath)
-      Dedup.semanticDedup(feats, "media_id", "fv",
+    "q_media_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(mediaFeats(s, dir), "media_id", "fv",
           k = SEM_K, iters = SEM_ITERS, threshold = SEM_THRESHOLD,
           initHash = Some(Sketch.portableHash(col("media_id").cast("string"))))
-        .select("media_id")
-    })
+        .select("media_id")),
+
+    // The CHEAP media candidate generator: banded hyperplane LSH over the
+    // same stub-decode features, then exact-cosine verify — the
+    // generator-shaped alternative to q_media_dedup's k-means SemDeDup
+    // (pairs out, no clustering pass; candidates are an equi-join on
+    // (band, key), growth-gated as the embed-banded-lsh family). The
+    // planted byte-identical copies share all bands by construction.
+    "q_media_banded" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsBanded(mediaFeats(s, dir), "media_id",
+          "fv", dim = MD_DIM, threshold = SEM_THRESHOLD,
+          bands = MB_BANDS, rowsPerBand = MB_ROWS)
+        .select("id_a", "id_b"))
   )
 
   // ---------------------------------------------------------------------
@@ -819,6 +836,44 @@ object SparkEntry3 {
        |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+
+  /** DuckDB replica of `q_media_banded`: the same stub-decode feature
+    * corpus as `q_media_dedup`, hyperplane sign bits (plane literals from
+    * [[graft.ml.Similarity.planes]] — the `q_embed_neardup` device), pairs
+    * on ANY band's bits agreeing (the OR-join replays Spark's banded
+    * equi-join exactly because a pair is emitted once regardless of how
+    * many bands collide), exact-cosine threshold.
+    */
+  private def mediaBandedOracleSql(dim: Int, bands: Int, rowsPerBand: Int,
+                                   seed: Long, threshold: Double): String = {
+    val ps = graft.ml.Similarity.planes(dim, bands * rowsPerBand, seed)
+    val sigSum = ps.zipWithIndex.map { case (p, j) =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, ${lits}::DOUBLE[]) >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n      + ")
+    val mask = (1L << rowsPerBand) - 1
+    val bandEq = (0 until bands).map { b =>
+      val off = b * rowsPerBand
+      s"((a.sig >> $off) & $mask) = ((b.sig >> $off) & $mask)"
+    }.mkString("\n     OR ")
+    s"""WITH d0 AS (SELECT doc_id,
+       |    regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS txt
+       |  FROM documents),
+       |base AS (SELECT doc_id AS media_id, txt FROM d0
+       |  UNION ALL SELECT doc_id + 1000000, txt FROM d0),
+       |q AS (SELECT media_id,
+       |    list_transform(range(1, ${dim + 1}), i -> CAST(
+       |      ${ph("txt || '|' || CAST(i AS VARCHAR)")} % 2000 - 1000
+       |      AS DOUBLE)) AS v
+       |  FROM base),
+       |sig AS (SELECT media_id, v, $sigSum AS sig FROM q)
+       |SELECT a.media_id AS id_a, b.media_id AS id_b
+       |FROM sig a JOIN sig b ON a.media_id < b.media_id AND ($bandEq)
+       |WHERE list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v))
+       |         * sqrt(list_dot_product(b.v, b.v))) >= $threshold""".stripMargin
   }
 
   /** DuckDB replica of `q_media_dedup`: the multimodal stub-decode features
@@ -1587,6 +1642,8 @@ object SparkEntry3 {
          |FROM x WHERE nc > 0""".stripMargin,
     "q_media_dedup"     -> mediaDedupOracleSql(MD_DIM, SEM_K, SEM_ITERS,
       SEM_THRESHOLD),
+    "q_media_banded"    -> mediaBandedOracleSql(MD_DIM, MB_BANDS, MB_ROWS,
+      seed = 42L, threshold = SEM_THRESHOLD),
     "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,
                              SEM_THRESHOLD)
   )

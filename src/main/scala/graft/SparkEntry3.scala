@@ -634,6 +634,27 @@ object SparkEntry3 {
           round(col("avg_lp"), 6).as("avg_lp"))
     }),
 
+    // CCNet's actual output shape: per-language perplexity terciles
+    // (head/middle/tail) over Stupid Backoff scores — rank on the ROUNDED
+    // score (6dp, the cross-engine precision) with a doc_id tie-break, and
+    // bucket with quantileBuckets' floor arithmetic. Bucket 2 = highest
+    // avg_lp = lowest perplexity = CCNet's "head". The per-language rank
+    // is the two-phase prefix sum, never a per-language window.
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val grams = graft.text.Lm.backoffCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
+      val total = graft.text.Lm.tokenTotal(grams)
+      val scored = graft.text.Lm.scoreDocsBackoff(docs, "doc_id", "text",
+          grams, n = 2, totalTokens = total)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), round(col("avg_lp"), 6).as("avg_lp"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      Scale.quantileBuckets(scored, Seq("lang"),
+          Seq(col("avg_lp"), col("doc_id")), nBuckets = 3)
+        .select("doc_id", "lang", "bucket")
+    }),
+
     // Multimodal near-dup end to end: media bytes → stub decode features →
     // semanticDedup — the multimodal layer graduating from schema plumbing
     // to a correctness-checked pipeline stage. Payloads are ASCII doc text
@@ -783,7 +804,20 @@ object SparkEntry3 {
     * Spark's sorted aggregate fold). Association order of every float op
     * mirrors [[graft.text.Lm.scoreDocsBackoff]] exactly.
     */
-  private def lmBackoffOracleSql(n: Int, backoff: Double = 0.4): String = {
+  private def lmBackoffOracleSql(n: Int, backoff: Double = 0.4): String =
+    lmBackoffCoreSql(n, backoff) +
+      s"""
+       |SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+       |  round(coalesce(pd.sum_lp, 0.0), 6) AS sum_lp,
+       |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** The shared CTE chain of the Stupid Backoff replays (`q_lm_backoff`,
+    * `q_ccnet_buckets`): everything up through the per-doc `pd(doc_id,
+    * n_grams, sum_lp)` relation — callers append their own final SELECT.
+    */
+  private def lmBackoffCoreSql(n: Int, backoff: Double = 0.4): String = {
     require(n >= 2, "the oracle's den leg is rendered for n >= 2")
     val bo = backoff.toString
     def bTerm(o: Int): String =
@@ -830,13 +864,29 @@ object SparkEntry3 {
        |  FROM pv),
        |pd AS (SELECT doc_id, count(*) AS n_grams,
        |    list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS sum_lp
-       |  FROM lp GROUP BY 1)
-       |SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
-       |  round(coalesce(pd.sum_lp, 0.0), 6) AS sum_lp,
-       |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
-       |FROM (SELECT DISTINCT doc_id FROM documents) d
-       |LEFT JOIN pd USING (doc_id)""".stripMargin
+       |  FROM lp GROUP BY 1)""".stripMargin
   }
+
+  /** DuckDB replica of `q_ccnet_buckets`: the Stupid Backoff per-doc
+    * scores at n=2, rounded to the ranking precision, then per-language
+    * equal-depth terciles by the same (rank−1)·k div n floor arithmetic as
+    * [[graft.ops.Scale.quantileBuckets]] — tie-broken on doc_id so the
+    * order (and hence every bucket boundary) is a total function of the
+    * rounded scores.
+    */
+  private def ccnetBucketsOracleSql(n: Int, nBuckets: Int): String =
+    lmBackoffCoreSql(n) +
+      s""",
+       |sc AS (SELECT d.doc_id, d.lang, round(pd.sum_lp / pd.n_grams, 6)
+       |    AS avg_lp
+       |  FROM documents d JOIN pd ON d.doc_id = pd.doc_id
+       |  WHERE pd.n_grams > 0),
+       |rkt AS (SELECT doc_id, lang, avg_lp,
+       |    row_number() OVER (PARTITION BY lang ORDER BY avg_lp, doc_id)
+       |      AS rk,
+       |    count(*) OVER (PARTITION BY lang) AS n FROM sc)
+       |SELECT doc_id, lang, ((rk - 1) * $nBuckets) // n AS bucket
+       |FROM rkt""".stripMargin
 
   /** DuckDB replica of `q_media_banded`: the same stub-decode feature
     * corpus as `q_media_dedup`, hyperplane sign bits (plane literals from
@@ -1607,6 +1657,7 @@ object SparkEntry3 {
     // identical oracle BY DESIGN: the persisted-artifact lifecycle must
     // score bit-identically to the inline pipeline
     "q_lm_persisted"    -> lmBackoffOracleSql(3),
+    "q_ccnet_buckets"   -> ccnetBucketsOracleSql(2, nBuckets = 3),
     "q_temp_mix"        ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          |w AS (SELECT lang, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),

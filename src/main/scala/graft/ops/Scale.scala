@@ -322,6 +322,37 @@ object Scale {
                         numPartitions: Int = 0): DataFrame =
     groupedCumSum(df, grpCols, orderCols, lit(1L), outCol, numPartitions)
 
+  /** Per-group equal-depth quantile buckets at scale: bucket
+    * b = ⌊(rank−1) · nBuckets / n_group⌋ over the group's `orderCols`
+    * order — the deterministic, engine-replayable sibling of a per-group
+    * `ntile` (same equal-depth intent; remainder rows land by the floor
+    * arithmetic rather than ntile's front-loading, so the bucket of every
+    * row is a pure integer function of (rank, group size)). The rank is
+    * [[groupedCumSum]]'s range-partitioned two-phase prefix sum, NOT a
+    * per-group window — with a handful of groups over 100 TB the naive
+    * `Window.partitionBy(grp)` funnels each group through one reducer.
+    * Group sizes come from one count aggregate joined back on the group
+    * key. `orderCols` + group should form a total order (tie-break on a
+    * key column) or bucket boundaries are nondeterministic.
+    *
+    * The training-data use is CCNet's head/middle/tail split: rank
+    * documents by LM score within each language and keep/weight by
+    * perplexity bucket (q_ccnet_buckets).
+    */
+  def quantileBuckets(df: DataFrame, grpCols: Seq[String],
+                      orderCols: Seq[Column], nBuckets: Int,
+                      outCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val ranked = groupedCumSum(df, grpCols, orderCols, lit(1L), "__qb_rk")
+    val sizes = df.groupBy(grpCols.map(col): _*)
+      .agg(count(lit(1)).as("__qb_n"))
+    ranked.join(sizes, grpCols)
+      .withColumn(outCol, expr(s"((__qb_rk - 1) * $nBuckets) div __qb_n"))
+      // the using-join hoisted the group keys to the front; restore the
+      // caller's column order (groupedCumSum's contract)
+      .select((df.columns.map(col) :+ col(outCol)): _*)
+  }
+
   /** Pack rows into shards of ~`budget` total `sizeCol` (token-budget shard
     * packing for pretraining corpora): shard = floor(exclusive_cumsum /
     * budget) in `orderCols` order. A row straddling a budget boundary stays

@@ -109,7 +109,15 @@ object Lm {
     * on their keys (both hash joins — the model is NOT assumed
     * broadcastable), then one per-doc aggregate collects (pos, lp) pairs
     * — bounded by document length — and folds them in position order, so
-    * the sum is a pure function of the document. ONE pass over `docs`:
+    * the sum is a pure function of the document. That per-doc collect is
+    * the one state concentration here: a book-length outlier (10⁶+
+    * tokens) lands its whole (pos, lp) buffer on one executor. The
+    * mitigation already exists UPSTREAM — run [[TextFns.chunkDocs]] first
+    * and score chunks as documents (chunk scores sum to a per-doc score
+    * by one more exact aggregate if needed); a two-level in-aggregate
+    * fold is deliberately NOT offered because re-associating float
+    * addition would break the bitwise replay contract this module is
+    * built around. ONE pass over `docs`:
     * zero-gram documents survive through `posexplode_outer`'s null row
     * (no second scan + distinct just to recover them). `idCol` identifies
     * the document — rows sharing an id aggregate together.
@@ -244,7 +252,9 @@ object Lm {
     * assumed broadcastable — a web-scale 5-gram table is itself
     * distributed), one (id, pos) pivot aggregate, then the position-
     * ordered per-doc fold of [[scoreDocs]] — partition-invariant to the
-    * bit. The backoff cascade itself is a per-row CASE, evaluated lazily
+    * bit (and with the same long-document caveat: chunk book-length
+    * outliers with [[TextFns.chunkDocs]] upstream rather than asking one
+    * executor to buffer a 10⁶-entry (pos, lp) list). The backoff cascade itself is a per-row CASE, evaluated lazily
     * branch-by-branch (ANSI-safe: a division only runs on its matched
     * branch, where the denominator is provably positive).
     */

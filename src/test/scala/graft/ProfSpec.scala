@@ -7,6 +7,58 @@ import graft.text.TextFns
 
 /** Profiling harness — skipped unless GRAFT_PROF is set (it reads sf0.1). */
 class ProfSpec extends AnyFunSuite {
+  test("batched BPE at 2048 merges on sf0.1: rounds compress and round " +
+       "latency stays FLAT as the merge table grows (the 32k-merge evidence)") {
+    assume(sys.env.contains("GRAFT_PROF"), "set GRAFT_PROF=1 to run profiling")
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // sf0.1 documents for corpus mass + 2000 deterministic pseudo-random
+    // 32-char words (BpeSpec's md5 device, scaled 5x) so 2048 merge rounds
+    // have a realistic vocabulary to chew through — the working set is
+    // DISTINCT words, so this profiles round latency, not corpus size.
+    // NOTE this corpus is exact batching's WORST case (random words -> a
+    // tie-dense pair-frequency tail, where the prefix rule provably cannot
+    // batch past the tie — see trainIncrementalBatched's scaladoc), so the
+    // compression pin is deliberately the honest worst-case bound; the
+    // claim that MAKES 32k merges feasible is the flat round latency.
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val extra = (1 to 2000).map { i =>
+      md.reset()
+      md.digest(i.toString.getBytes("UTF-8"))
+        .flatMap(b => Seq((b >> 4) & 0xf, b & 0xf))
+        .map(n => ('a' + n).toChar).mkString
+    }.grouped(8).map(_.mkString(" ")).toSeq.toDF("text")
+    val corpus = docs.unionByName(extra)
+    val t0 = System.nanoTime()
+    var rounds = 0
+    val roundTs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val merges = graft.text.Bpe.trainIncrementalBatched(corpus, "text",
+      nMerges = 2048, onRound = (r, _) => {
+        rounds = r; roundTs += (System.nanoTime() - t0) / 1e9
+      }).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[prof] batched BPE: $merges merges in $rounds rounds, $dt%.1f s " +
+      f"(${merges.toDouble / rounds}%.2f merges/round)")
+    assert(merges == 2048L, s"corpus exhausted at $merges merges")
+    // real compression even on the tie-dense worst case
+    assert(rounds <= (2048 * 7) / 8,
+      s"batching must compress rounds on the worst case: $rounds rounds")
+    // flat latency: late rounds must not slow down as merges accumulate —
+    // the delta design's whole point (a growing merge table must not grow
+    // per-round cost). Compare mean per-round time of the last quarter
+    // against the first quarter (after a 32-round JIT/warmup skip).
+    val deltas = roundTs.zip(roundTs.drop(1)).map { case (a, b) => b - a }
+      .drop(32)
+    val q = deltas.size / 4
+    val early = deltas.take(q).sum / q
+    val late = deltas.takeRight(q).sum / q
+    println(f"[prof] per-round s: first-quarter $early%.3f, last-quarter $late%.3f")
+    assert(late < early * 2,
+      f"late rounds must stay flat: $late%.3f s vs early $early%.3f s")
+  }
+
   test("profile LSH internals at sf0.1") {
     assume(sys.env.contains("GRAFT_PROF"), "set GRAFT_PROF=1 to run profiling")
     val spark = TestSpark.spark

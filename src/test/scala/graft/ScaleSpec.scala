@@ -505,6 +505,35 @@ class ScaleSpec extends AnyFunSuite {
       Scale.temperatureQuotas(df, "dom", 10L, 0.0))
   }
 
+  test("quantileBuckets: equal-depth floor partitioning per group, " +
+       "deterministic under repartitioning") {
+    import spark.implicits._
+    // group a: 9 rows -> terciles of exactly 3; group b: 7 rows -> floor
+    // arithmetic gives sizes 3/2/2 (buckets start at ranks 1, 4, 6:
+    // floor((rk-1)*3/7) flips at rk 4 and 6)
+    val df = ((1L to 9L).map(i => (i, "a", i * 10.0)) ++
+      (101L to 107L).map(i => (i, "b", i * 1.0))).toDF("id", "g", "x")
+    val got = Scale.quantileBuckets(df, Seq("g"),
+        Seq(col("x"), col("id")), nBuckets = 3)
+      .collect().map(r => (r.getLong(0) -> r.getLong(3))).toMap
+    assert((1L to 9L).forall(i => got(i) == (i - 1) / 3), got.toString)
+    assert(Seq(101L, 102L, 103L).forall(got(_) == 0L) &&
+      Seq(104L, 105L).forall(got(_) == 1L) &&
+      Seq(106L, 107L).forall(got(_) == 2L), got.toString)
+    // invariance + schema: input columns preserved, bucket appended
+    val again = Scale.quantileBuckets(df.repartition(7), Seq("g"),
+      Seq(col("x"), col("id")), nBuckets = 3)
+    assert(again.columns.toSeq == Seq("id", "g", "x", "bucket"))
+    TestSpark.assertSameRows(
+      Scale.quantileBuckets(df, Seq("g"), Seq(col("x"), col("id")), 3), again)
+    // nBuckets = 1 puts everything in bucket 0; guard rejects 0
+    assert(Scale.quantileBuckets(df, Seq("g"), Seq(col("id")), 1)
+      .filter(col("bucket") =!= 0L).count() == 0L)
+    assertThrows[IllegalArgumentException](
+      Scale.quantileBuckets(df, Seq("g"), Seq(col("id")), 0))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("temperatureMixEpochs: full-epoch repetition + partial-epoch draw, " +
        "quota identity, degenerate equivalence to temperatureMix") {
     import spark.implicits._

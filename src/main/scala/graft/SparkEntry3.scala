@@ -634,6 +634,99 @@ object SparkEntry3 {
           round(col("avg_lp"), 6).as("avg_lp"))
     }),
 
+    // Interpolated Kneser–Ney scoring (fixed discount 0.75) — the KenLM
+    // smoothing family, trained on the same even-id half as q_lm_backoff.
+    // Lower orders score by CONTINUATION counts (distinct predecessors),
+    // not raw counts: the model is one (kind, k, gram, cnt) relation
+    // derived from a single corpus pass, and the cascade is exact count
+    // arithmetic + one ln — same 6dp-round-both-sides discipline.
+    "q_lm_kneser" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val model = graft.text.Lm.kneserNeyCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
+      val (v, bt, u1) = graft.text.Lm.knStats(model)
+      graft.text.Lm.scoreDocsKN(docs, "doc_id", "text", model, n = 2,
+          vocab = v, bigramTypes = bt, u1 = u1)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sum_lp"), 6).as("sum_lp"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+    }),
+
+    // KN at n=3 — exercises the mid-level continuation machinery ('c'
+    // numerators, 'm' denominators, 'g' interpolation weights) that the
+    // bigram case never touches: trigram → continuation-bigram →
+    // continuation-unigram, each level interpolated with discount mass.
+    "q_lm_kneser3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val model = graft.text.Lm.kneserNeyCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3)
+      val (v, bt, u1) = graft.text.Lm.knStats(model)
+      graft.text.Lm.scoreDocsKN(docs, "doc_id", "text", model, n = 3,
+          vocab = v, bigramTypes = bt, u1 = u1)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sum_lp"), 6).as("sum_lp"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+    }),
+
+    // Gopher quality rules (Rae et al. 2021 §A1.1) — the published
+    // MassiveWeb rule set as one codegen'd pass. A third of the docs get a
+    // deterministic multi-line tail (bullets + ellipsis) and a third a
+    // stop-word-rich tail, so the line-level and stop-word rules have real
+    // work (the q_repetition multi-line-view device); every field is
+    // integer counting + one division, booleans cast to int for the
+    // cross-engine hash.
+    "q_gopher_rules" -> ((s, dir) => {
+      val aug = when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit("\n- bullet item one\n- bullet item two\nplain tail...")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"),
+            lit("\nthe cat sat on the mat with a hat # tag")))
+        .otherwise(col("text"))
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          graft.text.TextFns.gopherStats(aug).as("st"))
+        .select(col("doc_id"),
+          col("st.word_count").as("word_count"),
+          round(col("st.mean_word_len"), 6).as("mean_word_len"),
+          round(col("st.symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("st.bullet_frac"), 6).as("bullet_frac"),
+          round(col("st.ellipsis_frac"), 6).as("ellipsis_frac"),
+          round(col("st.alpha_frac"), 6).as("alpha_frac"),
+          col("st.stop_hits").as("stop_hits"),
+          col("st.pass").cast("int").as("pass"))
+    }),
+
+    // C4 filtering rules (Raffel et al. 2020 §2.2): line-level keep
+    // (terminal punctuation, >= 5 words, no "javascript") and page-level
+    // flags (>= 3 sentences in the surviving text, no "lorem ipsum", no
+    // brace) over deterministically augmented multi-line docs; clean_len
+    // pins c4Clean (the transform) against the same line set as the stats.
+    "q_c4_filter" -> ((s, dir) => {
+      val aug = when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit("\nthe quick brown fox jumps over it.\nshort line.\n" +
+              "this page uses JavaScript heavily today.")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" { lorem ipsum dolor sit amet.")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("a good first sentence is right here. "), col("text"),
+            lit("\nanother full sentence with many words here!")))
+        .otherwise(col("text"))
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          graft.text.TextFns.c4Stats(aug).as("st"),
+          length(graft.text.TextFns.c4Clean(aug)).as("clean_len"))
+        .select(col("doc_id"),
+          col("st.n_lines").as("n_lines"),
+          col("st.kept_lines").as("kept_lines"),
+          col("st.n_sentences").as("n_sentences"),
+          col("st.has_lorem").cast("int").as("has_lorem"),
+          col("st.has_brace").cast("int").as("has_brace"),
+          col("st.pass").cast("int").as("pass"),
+          col("clean_len"))
+    }),
+
     // CCNet's actual output shape: per-language perplexity terciles
     // (head/middle/tail) over Stupid Backoff scores — rank on the ROUNDED
     // score (6dp, the cross-engine precision) with a doc_id tie-break, and
@@ -812,6 +905,117 @@ object SparkEntry3 {
        |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** DuckDB replica of `q_lm_kneser` / `q_lm_kneser3` (any n ≥ 2): the
+    * [[graft.text.Lm.kneserNeyCounts]] model rebuilt as SQL — raw gram
+    * types at orders 1..n over the even-id half, then the derived
+    * continuation ('c'), mid-denominator ('m'), mid-weight ('g') and
+    * follower ('f') TYPE counts via string-split surgery on the gram
+    * relation — and the interpolated-KN cascade per scored position,
+    * bottom-up from the continuation unigram. Every float op's
+    * association mirrors [[graft.text.Lm.scoreDocsKN]] exactly (the
+    * discount is CAST to DOUBLE so DuckDB's DECIMAL literals can't change
+    * the arithmetic), and the per-doc fold is position-ordered; ln rounds
+    * to 6dp both sides.
+    */
+  private def lmKneserOracleSql(n: Int, discount: Double = 0.75): String = {
+    require(n >= 2, "interpolated KN needs n >= 2")
+    val d = s"CAST($discount AS DOUBLE)"
+    val midModel = if (n >= 3)
+      s"""
+       |  UNION ALL
+       |  SELECT 'm' AS kind, ord - 2 AS k,
+       |    array_to_string(string_split(gram, ' ')[2:ord - 1], ' ') AS gram,
+       |    count(*) AS cnt
+       |  FROM gc WHERE ord >= 3 GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'g' AS kind, ord - 2 AS k,
+       |    array_to_string(string_split(gram, ' ')[2:ord - 1], ' ') AS gram,
+       |    count(DISTINCT string_split(gram, ' ')[ord]) AS cnt
+       |  FROM gc WHERE ord >= 3 GROUP BY 2, 3""".stripMargin
+    else ""
+    def leg(role: String, kind: String, k: Int, gramExpr: String): String =
+      s"""SELECT doc_id, i - ${n - 1} AS pos, '$role' AS role,
+         |      '$kind' AS kind, $k AS k, $gramExpr AS gram
+         |    FROM toks,
+         |      LATERAL (SELECT unnest(range(${n - 1}, len(ts))) AS i) ii""".stripMargin
+    def words(o: Int) = s"array_to_string(ts[i - $o + 2 : i + 1], ' ')"
+    def ctx(o: Int) = s"array_to_string(ts[i - $o + 2 : i], ' ')"
+    val legs = (Seq(
+      leg("a", "r", n, words(n)),
+      leg("b", "r", n - 1, ctx(n)),
+      leg("c", "f", n - 1, ctx(n))) ++
+      (2 until n).flatMap(o => Seq(
+        leg(s"n$o", "c", o, words(o)),
+        leg(s"m$o", "m", o - 1, ctx(o)),
+        leg(s"g$o", "g", o - 1, ctx(o)))) ++
+      Seq(leg("u", "c", 1, "ts[i + 1]"))).mkString("\n  UNION ALL\n  ")
+    val pvCols = (Seq(
+      "max(CASE WHEN role = 'a' THEN cnt END) AS a",
+      "max(CASE WHEN role = 'b' THEN cnt END) AS b",
+      "max(CASE WHEN role = 'c' THEN cnt END) AS fw") ++
+      (2 until n).flatMap(o => Seq(
+        s"max(CASE WHEN role = 'n$o' THEN cnt END) AS n$o",
+        s"max(CASE WHEN role = 'm$o' THEN cnt END) AS m$o",
+        s"max(CASE WHEN role = 'g$o' THEN cnt END) AS g$o")) ++
+      Seq("max(CASE WHEN role = 'u' THEN cnt END) AS u"))
+      .mkString(",\n    ")
+    val p1 = s"greatest(coalesce(u, 0) - $d, 0.0) / (SELECT bt FROM st)" +
+      s" + $d * (SELECT u1 FROM st) / (SELECT bt FROM st)" +
+      s" / (SELECT v FROM st)"
+    val cascade = (2 to n).foldLeft(p1) { (lower, o) =>
+      val (nc, dc, wc) =
+        if (o == n) ("a", "b", "fw") else (s"n$o", s"m$o", s"g$o")
+      val guard =
+        if (o == n) s"coalesce($dc, 0) > 0 AND coalesce($wc, 0) > 0"
+        else s"coalesce($dc, 0) > 0"
+      s"""CASE WHEN $guard
+         |    THEN greatest(coalesce($nc, 0) - $d, 0.0) / $dc
+         |      + $d * $wc / $dc * ($lower)
+         |    ELSE ($lower) END""".stripMargin
+    }
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ts
+       |  FROM documents),
+       |gc AS (SELECT ord, gram, count(*) AS cnt FROM (
+       |    SELECT o AS ord, array_to_string(ts[i - o + 2 : i + 1], ' ') AS gram
+       |    FROM toks,
+       |      (SELECT unnest(range(1, ${n + 1})) AS o) oo,
+       |      LATERAL (SELECT unnest(range(0, len(ts))) AS i) ii
+       |    WHERE doc_id % 2 = 0 AND i >= o - 1) g
+       |  GROUP BY 1, 2),
+       |md AS (
+       |  SELECT 'r' AS kind, ord AS k, gram, cnt FROM gc
+       |  UNION ALL
+       |  SELECT 'c' AS kind, ord - 1 AS k,
+       |    array_to_string(string_split(gram, ' ')[2:], ' ') AS gram,
+       |    count(*) AS cnt
+       |  FROM gc WHERE ord >= 2 GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'f' AS kind, ord - 1 AS k,
+       |    array_to_string(string_split(gram, ' ')[1:ord - 1], ' ') AS gram,
+       |    count(*) AS cnt
+       |  FROM gc WHERE ord = $n GROUP BY 2, 3$midModel),
+       |st AS (SELECT
+       |    (SELECT count(*) FROM gc WHERE ord = 1) AS v,
+       |    (SELECT count(*) FROM gc WHERE ord = 2) AS bt,
+       |    (SELECT count(*) FROM md WHERE kind = 'c' AND k = 1) AS u1),
+       |lk AS (
+       |  $legs),
+       |pv AS (SELECT doc_id, pos,
+       |    $pvCols
+       |  FROM lk LEFT JOIN md USING (kind, k, gram) GROUP BY 1, 2),
+       |lp AS (SELECT doc_id, pos, ln($cascade) AS lp FROM pv),
+       |pd AS (SELECT doc_id, count(*) AS n_grams,
+       |    list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS sum_lp
+       |  FROM lp GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+       |  round(coalesce(pd.sum_lp, 0.0), 6) AS sum_lp,
+       |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
 
   /** The shared CTE chain of the Stupid Backoff replays (`q_lm_backoff`,
     * `q_ccnet_buckets`): everything up through the per-doc `pd(doc_id,
@@ -1657,6 +1861,109 @@ object SparkEntry3 {
     // identical oracle BY DESIGN: the persisted-artifact lifecycle must
     // score bit-identically to the inline pipeline
     "q_lm_persisted"    -> lmBackoffOracleSql(3),
+    // Gopher rules: integer counting + one division per ratio; the CASE
+    // augmentation mirrors the query's lit() tails (chr(10) == '\n')
+    "q_gopher_rules"    ->
+      """WITH a AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 3 = 0 THEN text || chr(10) || '- bullet item one'
+        |      || chr(10) || '- bullet item two' || chr(10) || 'plain tail...'
+        |    WHEN doc_id % 3 = 1 THEN text || chr(10)
+        |      || 'the cat sat on the mat with a hat # tag'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |      x -> x <> '') AS ws,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS ls
+        |  FROM a),
+        |m AS (SELECT doc_id,
+        |    len(ws) AS wc,
+        |    coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+        |      AS totlen,
+        |    length(t) - length(replace(t, '#', '')) AS hashes,
+        |    len(regexp_extract_all(t, '\.\.\.|…')) AS ellip,
+        |    len(ls) AS nl,
+        |    len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))
+        |      AS bullets,
+        |    len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$')))
+        |      AS elines,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+        |      AS alphaw,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+        |      AS stop_hits
+        |  FROM w),
+        |r AS (SELECT doc_id, wc,
+        |    CASE WHEN wc > 0 THEN CAST(totlen AS DOUBLE) / wc END AS meanlen,
+        |    CASE WHEN wc > 0 THEN CAST(hashes + ellip AS DOUBLE) / wc END
+        |      AS symr,
+        |    CASE WHEN nl > 0 THEN CAST(bullets AS DOUBLE) / nl END AS bf,
+        |    CASE WHEN nl > 0 THEN CAST(elines AS DOUBLE) / nl END AS ef,
+        |    CASE WHEN wc > 0 THEN CAST(alphaw AS DOUBLE) / wc END AS af,
+        |    stop_hits
+        |  FROM m)
+        |SELECT doc_id, CAST(wc AS BIGINT) AS word_count,
+        |  round(meanlen, 6) AS mean_word_len,
+        |  round(symr, 6) AS symbol_ratio,
+        |  round(bf, 6) AS bullet_frac,
+        |  round(ef, 6) AS ellipsis_frac,
+        |  round(af, 6) AS alpha_frac,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  CAST(CASE WHEN wc >= 50 AND wc <= 100000
+        |    AND coalesce(meanlen BETWEEN 3.0 AND 10.0, false)
+        |    AND coalesce(symr <= 0.1, false)
+        |    AND coalesce(bf <= 0.9, true)
+        |    AND coalesce(ef <= 0.3, true)
+        |    AND coalesce(af >= 0.8, false)
+        |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS pass
+        |FROM r""".stripMargin,
+    // C4 line keep + page flags; kept lines re-join with chr(10) for the
+    // sentence count and clean_len, mirroring c4Clean
+    "q_c4_filter"       ->
+      """WITH a AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 0 THEN text || chr(10)
+        |      || 'the quick brown fox jumps over it.' || chr(10)
+        |      || 'short line.' || chr(10)
+        |      || 'this page uses JavaScript heavily today.'
+        |    WHEN doc_id % 4 = 1 THEN text || ' { lorem ipsum dolor sit amet.'
+        |    WHEN doc_id % 4 = 2 THEN 'a good first sentence is right here. '
+        |      || text || chr(10)
+        |      || 'another full sentence with many words here!'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, t,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS ls
+        |  FROM a),
+        |k AS (SELECT doc_id, t, ls,
+        |    list_filter(ls, l -> regexp_matches(l, '[.!?"'']$')
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'),
+        |        x -> x <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM w),
+        |c AS (SELECT doc_id, t, ls, kept,
+        |    -- DuckDB array_to_string([]) is NULL where Spark array_join
+        |    -- yields '' — coalesce so empty pages count 0, not NULL
+        |    coalesce(array_to_string(kept, chr(10)), '') AS clean
+        |  FROM k),
+        |m AS (SELECT doc_id, len(ls) AS n_lines, len(kept) AS kept_lines,
+        |    len(regexp_extract_all(clean, '[.!?]')) AS n_sentences,
+        |    contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |    contains(t, '{') AS has_brace,
+        |    length(clean) AS clean_len
+        |  FROM c)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(kept_lines AS BIGINT) AS kept_lines,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(has_lorem AS INT) AS has_lorem,
+        |  CAST(has_brace AS INT) AS has_brace,
+        |  CAST(CASE WHEN n_sentences >= 3 AND NOT has_lorem
+        |    AND NOT has_brace THEN 1 ELSE 0 END AS INT) AS pass,
+        |  CAST(clean_len AS INT) AS clean_len
+        |FROM m""".stripMargin,
+    "q_lm_kneser"       -> lmKneserOracleSql(2),
+    "q_lm_kneser3"      -> lmKneserOracleSql(3),
     "q_ccnet_buckets"   -> ccnetBucketsOracleSql(2, nBuckets = 3),
     "q_temp_mix"        ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

@@ -309,6 +309,242 @@ object Lm {
         when(col("n_grams") > 0, col("sum_lp") / col("n_grams")))
   }
 
+  // ---------------------------------------------------------------------
+  // Interpolated Kneser–Ney (Kneser & Ney 1995; Chen & Goodman, "An
+  // empirical study of smoothing techniques for language modeling", 1999)
+  // with a FIXED absolute discount — the smoothing family KenLM (and hence
+  // CCNet's actual filter) implements, in its deterministic form: no
+  // count-of-count discount estimation, one explicit D in (0, 1), so every
+  // probability is exact count arithmetic over the corpus and the whole
+  // train→score pipeline replays in DuckDB (q_lm_kneser / q_lm_kneser3).
+  // What KN adds over Stupid Backoff: lower-order distributions use
+  // CONTINUATION counts (how many distinct contexts a word follows), not
+  // raw counts — the classic "francisco" fix: a word that is frequent but
+  // only ever follows one context gets a LOW unigram weight, so unseen
+  // bigrams ending in it stop outranking genuinely promiscuous words.
+  // LmSpec pins a corpus where backoff and KN order two docs OPPOSITELY.
+  // ---------------------------------------------------------------------
+
+  /** Train the interpolated-KN model: ONE relation (kind, k, gram, cnt)
+    * holding every count the scorer needs, all derived from a single
+    * corpus pass ([[backoffCounts]]' multi-order explode) plus aggregates
+    * over the resulting TYPE relation (small — distinct grams, not corpus
+    * rows):
+    *   - `('r', o, g, c(g))`      raw counts, orders 1..n;
+    *   - `('c', o, g, N1+(·g))`   continuation counts of each o-gram g,
+    *     o in 1..n−1: the number of distinct (o+1)-gram TYPES whose o-word
+    *     suffix is g (how many distinct words precede g);
+    *   - `('m', j, x, N1+(·x·))`  mid denominators, j in 1..n−2: distinct
+    *     (j+2)-gram types whose middle j words are x;
+    *   - `('g', j, x, |{w: N1+(·xw)>0}|)` mid interpolation weights:
+    *     distinct final words among those same types;
+    *   - `('f', n−1, x, N1+(x·))` top interpolation weights: distinct
+    *     n-gram types with prefix x.
+    * Tokens cannot contain whitespace (the tokenizer splits on it), so the
+    * space-joined gram strings split back unambiguously. Persist the
+    * relation as parquet and score against it forever.
+    */
+  def kneserNeyCounts(df: DataFrame, textCol: String, n: Int,
+                      asciiOnly: Boolean = true): DataFrame = {
+    require(n >= 2, "interpolated KN needs n >= 2")
+    val raw = backoffCounts(df, textCol, n, asciiOnly)
+    val r = raw.select(lit("r").as("kind"), col("ord").as("k"),
+      col("gram"), col("cnt"))
+    // suffix = drop the first word; counting rows counts TYPES
+    val c = raw.filter(col("ord") >= 2)
+      .select((col("ord") - 1).as("k"),
+        expr("substring(gram, instr(gram, ' ') + 1)").as("gram"))
+      .groupBy("k", "gram").agg(count(lit(1)).as("cnt"))
+      .select(lit("c").as("kind"), col("k"), col("gram"), col("cnt"))
+    val f = raw.filter(col("ord") === n)
+      .select(expr(s"substring_index(gram, ' ', ${n - 1})").as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .select(lit("f").as("kind"), lit(n - 1).as("k"), col("gram"),
+        col("cnt"))
+    val mids = if (n >= 3) {
+      val mg = raw.filter(col("ord") >= 3)
+        .select((col("ord") - 2).as("k"),
+          // middle = drop first word, keep the next ord−2
+          expr("substring_index(substring(gram, instr(gram, ' ') + 1)," +
+            " ' ', ord - 2)").as("gram"),
+          expr("substring_index(gram, ' ', -1)").as("__last"))
+      val m = mg.groupBy("k", "gram").agg(count(lit(1)).as("cnt"))
+        .select(lit("m").as("kind"), col("k"), col("gram"), col("cnt"))
+      val g = mg.groupBy("k", "gram")
+        .agg(count_distinct(col("__last")).as("cnt"))
+        .select(lit("g").as("kind"), col("k"), col("gram"), col("cnt"))
+      Seq(m, g)
+    } else Seq.empty
+    (Seq(r, c, f) ++ mids).reduce(_.unionByName(_))
+  }
+
+  /** The three scalars of a [[kneserNeyCounts]] model, read once on the
+    * driver (the [[tokenTotal]] pattern): vocabulary size V (distinct
+    * unigram types), bigram type count N1+(··) (the continuation-unigram
+    * denominator), and U1 = |{w: N1+(·w) > 0}| (distinct words with at
+    * least one predecessor — the unigram interpolation weight's count).
+    */
+  def knStats(model: DataFrame): (Long, Long, Long) = {
+    val r = model.agg(
+      coalesce(sum(when(col("kind") === "r" && col("k") === 1, 1L)),
+        lit(0L)).as("v"),
+      coalesce(sum(when(col("kind") === "r" && col("k") === 2, 1L)),
+        lit(0L)).as("bt"),
+      coalesce(sum(when(col("kind") === "c" && col("k") === 1, 1L)),
+        lit(0L)).as("u1")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Per-position lookup rows against the KN model: for the full-window
+    * position ending at 0-based token index i, the top level's raw n-gram
+    * ('a'), raw context ('b') and follower-type count ('c'); each mid
+    * level o in 2..n−1's continuation numerator ('n&lt;o&gt;'), mid
+    * denominator ('m&lt;o&gt;') and weight count ('g&lt;o&gt;'); and the
+    * continuation unigram ('u'). 3(n−1)+1 slim rows per position, one
+    * hash equi-join on (kind, k, gram).
+    */
+  private def knLookupExpr(n: Int): String = {
+    def st(role: String, kind: String, k: Int, gram: String): String =
+      s"""named_struct('pos', i - ${n - 1}, 'role', '$role',
+         |  'kind', '$kind', 'k', $k, 'gram', $gram)""".stripMargin
+    def words(o: Int): String =
+      s"array_join(slice(__ts, i - ${n - 1} + ${n - o} + 1, $o), ' ')"
+    def ctxWords(o: Int): String =
+      s"array_join(slice(__ts, i - ${n - 1} + ${n - o} + 1, ${o - 1}), ' ')"
+    val top = Seq(
+      st("a", "r", n, words(n)),
+      st("b", "r", n - 1, ctxWords(n)),
+      st("c", "f", n - 1, ctxWords(n)))
+    val mids = (2 until n).flatMap { o => Seq(
+      st(s"n$o", "c", o, words(o)),
+      st(s"m$o", "m", o - 1, ctxWords(o)),
+      st(s"g$o", "g", o - 1, ctxWords(o)))
+    }
+    val uni = Seq(st("u", "c", 1, "__ts[i]"))
+    val all = (top ++ mids ++ uni).mkString(",\n")
+    s"""IF(size(__ts) >= $n,
+       |  flatten(transform(sequence(${n - 1}, size(__ts) - 1), i -> array(
+       |    $all))),
+       |  CAST(array() AS array<struct<
+       |    pos: int, role: string, kind: string, k: int, gram: string>>))""".stripMargin
+  }
+
+  /** Score documents with interpolated Kneser–Ney against a trained
+    * [[kneserNeyCounts]] relation. Per full-window position, bottom-up:
+    *   P₁(w)      = max(N1+(·w) − D, 0)/BT + D·U1/BT · 1/V
+    *   Pₒ(w|x)    = max(N1+(·xw) − D, 0)/N1+(·x·)
+    *                  + D·|{w: N1+(·xw)>0}|/N1+(·x·) · Pₒ₋₁   (1 < o < n,
+    *                  when N1+(·x·) > 0; else Pₒ₋₁)
+    *   Pₙ(w|x)    = max(c(xw) − D, 0)/c(x) + D·N1+(x·)/c(x) · Pₙ₋₁
+    *                  (when c(x) > 0 AND N1+(x·) > 0; else Pₙ₋₁ — a
+    *                  context seen only document-finally has no follower
+    *                  types, so its discount mass is undefined and the
+    *                  scorer backs off entirely, keeping every score
+    *                  finite)
+    * and lp = ln Pₙ. P₁ > 0 even for OOV words (the D·U1/BT/V floor), so
+    * ln never sees 0. Output/convention identical to [[scoreDocsBackoff]]:
+    * (idCol, n_grams, sum_lp, avg_lp), position-ordered fold, < n-token
+    * docs get n_grams 0. V/BT/U1 come from [[knStats]] (driver-read
+    * scalars, like [[tokenTotal]]).
+    *
+    * Shapes at 100 TB: identical to [[scoreDocsBackoff]] — 3(n−1)+1 slim
+    * lookup rows per position, ONE hash equi-join against the model (never
+    * assumed broadcastable), one (id, pos) pivot aggregate, the
+    * position-ordered fold (chunk book-length outliers upstream with
+    * [[TextFns.chunkDocs]]). Every float op's association order is fixed
+    * and mirrored by the DuckDB oracle, so scores replay bitwise up to the
+    * 6dp-rounded ln.
+    */
+  def scoreDocsKN(docs: DataFrame, idCol: String, textCol: String,
+                  model: DataFrame, n: Int, vocab: Long, bigramTypes: Long,
+                  u1: Long, discount: Double = 0.75,
+                  asciiOnly: Boolean = true): DataFrame = {
+    require(n >= 2, "interpolated KN needs n >= 2")
+    require(vocab > 0, "vocab must be positive")
+    require(bigramTypes > 0, "the training corpus must contain a bigram")
+    require(u1 > 0, "the training corpus must contain a bigram")
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val ex = docs
+      .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
+      .select(col(idCol),
+        posexplode_outer(expr(knLookupExpr(n))).as(Seq("__i", "g")))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.role").as("role"),
+        col("g.kind").as("kind"), col("g.k").as("k"), col("g.gram").as("gram"))
+    val joined = ex.join(model.select("kind", "k", "gram", "cnt"),
+      Seq("kind", "k", "gram"), "left")
+    val roles = Seq("a", "b", "c") ++
+      (2 until n).flatMap(o => Seq(s"n$o", s"m$o", s"g$o")) ++ Seq("u")
+    val aggs = roles.map(r0 =>
+      max(when(col("role") === r0, col("cnt"))).as(s"__$r0"))
+    val per = joined.groupBy(col(idCol), col("pos"))
+      .agg(aggs.head, aggs.tail: _*)
+    val d = lit(discount)
+    def num(c: Column): Column =
+      greatest(coalesce(c, lit(0L)) - d, lit(0.0))
+    // association mirrors the oracle SQL exactly:
+    //   num/den + D*wt/den*lower  ==  ((num/den) + (((D*wt)/den)*lower))
+    val p1: Column = num(col("__u")) / lit(bigramTypes.toDouble) +
+      d * lit(u1.toDouble) / lit(bigramTypes.toDouble) / lit(vocab.toDouble)
+    def level(o: Int, lower: Column): Column = {
+      val (nc, dc, wc) =
+        if (o == n) (col("__a"), col("__b"), col("__c"))
+        else (col(s"__n$o"), col(s"__m$o"), col(s"__g$o"))
+      val interp = num(nc) / dc + d * wc / dc * lower
+      if (o == n)
+        when(coalesce(dc, lit(0L)) > 0 && coalesce(wc, lit(0L)) > 0, interp)
+          .otherwise(lower)
+      else
+        when(coalesce(dc, lit(0L)) > 0, interp).otherwise(lower)
+    }
+    var p: Column = p1
+    for (o <- 2 to n) p = level(o, p)
+    val lp = per.withColumn("lp", log(p))
+    lp.groupBy(idCol)
+      .agg(count(col("pos")).as("n_grams"),
+        collect_list(when(col("pos").isNotNull,
+          struct(col("pos"), col("lp")))).as("__ps"))
+      .select(col(idCol), col("n_grams"),
+        expr("aggregate(transform(array_sort(__ps), s -> s.lp), 0.0D," +
+          " (a, x) -> a + x)").as("sum_lp"))
+      .withColumn("avg_lp",
+        when(col("n_grams") > 0, col("sum_lp") / col("n_grams")))
+  }
+
+  /** Persist an interpolated-KN model as a standing artifact —
+    * `<path>/model` (the [[kneserNeyCounts]] relation) and `<path>/meta`
+    * (one row: n, vocab, bigram_types, u1) — [[buildBackoffModel]]'s
+    * train-once / score-forever split for the KN scorer. The scalars are
+    * computed from the WRITTEN relation so model and meta can never
+    * disagree.
+    */
+  def buildKnModel(df: DataFrame, textCol: String, path: String, n: Int,
+                   asciiOnly: Boolean = true): Unit = {
+    kneserNeyCounts(df, textCol, n, asciiOnly)
+      .write.mode("overwrite").parquet(s"$path/model")
+    val spark = df.sparkSession
+    val (v, bt, u1) = knStats(spark.read.parquet(s"$path/model"))
+    spark.range(1)
+      .select(lit(n).as("n"), lit(v).as("vocab"),
+        lit(bt).as("bigram_types"), lit(u1).as("u1"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score documents against a persisted [[buildKnModel]] artifact —
+    * reads the scalars from `<path>/meta` (1-row driver read) and runs
+    * [[scoreDocsKN]] against the frozen relation, bit-identical to the
+    * in-memory pipeline (LmSpec pins it).
+    */
+  def scoreDocsKNFromModel(spark: org.apache.spark.sql.SparkSession,
+                           path: String, docs: DataFrame, idCol: String,
+                           textCol: String, discount: Double = 0.75,
+                           asciiOnly: Boolean = true): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    scoreDocsKN(docs, idCol, textCol, spark.read.parquet(s"$path/model"),
+      meta.getAs[Int]("n"), meta.getAs[Long]("vocab"),
+      meta.getAs[Long]("bigram_types"), meta.getAs[Long]("u1"),
+      discount, asciiOnly)
+  }
+
   /** Persist a Stupid Backoff model as a standing artifact —
     * `<path>/grams` (the [[backoffCounts]] relation) and `<path>/meta`
     * (one row: n, total_tokens) — the train-once / score-forever split of

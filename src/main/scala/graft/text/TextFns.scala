@@ -141,6 +141,117 @@ object TextFns {
     checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / checks.size
   }
 
+  /** Gopher document-quality rules (Rae et al., "Scaling language models:
+    * Methods, analysis & insights from training Gopher", 2021, §A1.1) —
+    * the published rule set behind MassiveWeb, as one codegen'd struct per
+    * row (a single map-only pass; no UDF, no shuffle):
+    *   - `word_count`      whitespace tokens, must lie in
+    *                       [minWords, maxWords];
+    *   - `mean_word_len`   Σ length / count, must lie in
+    *                       [minMeanLen, maxMeanLen];
+    *   - `symbol_ratio`    ('#' occurrences + ellipsis occurrences) /
+    *                       words, ≤ maxSymbolRatio;
+    *   - `bullet_frac`     fraction of lines starting with a bullet
+    *                       ('-', '*', '•' after left-trim), ≤
+    *                       maxBulletFrac;
+    *   - `ellipsis_frac`   fraction of lines ending with "..." or "…"
+    *                       (after right-trim), ≤ maxEllipsisFrac;
+    *   - `alpha_frac`      fraction of words containing ≥1 ASCII letter,
+    *                       ≥ minAlphaFrac;
+    *   - `stop_hits`       distinct members of the Gopher stop-word list
+    *                       {the, be, to, of, and, that, have, with}
+    *                       present, ≥ minStopHits;
+    *   - `pass`            AND of all seven.
+    * Every number is integer counting + one division, so the whole rule
+    * set replays exactly in DuckDB (q_gopher_rules). Empty documents get
+    * 0-count fields, NULL ratios where the denominator is 0, and fail.
+    */
+  def gopherStats(text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): Column = {
+    val words = filter(split(trim(text), "\\s+"), w => w =!= "")
+    val wc = size(words)
+    val totLen = aggregate(transform(words, w => length(w)), lit(0),
+      (a, x) => a + x)
+    val meanLen = when(wc > 0, totLen.cast("double") / wc)
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellip = regexp_count(text, lit("\\.\\.\\.|…")).cast("int")
+    val symbolRatio = when(wc > 0, (hashes + ellip).cast("double") / wc)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => l =!= "")
+    val nl = size(lines)
+    val bullets = size(filter(lines, l => l.rlike("^[-*•]")))
+    val bulletFrac = when(nl > 0, bullets.cast("double") / nl)
+    val ellipLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+    val ellipsisFrac = when(nl > 0, ellipLines.cast("double") / nl)
+    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]")))
+    val alphaFrac = when(wc > 0, alphaWords.cast("double") / wc)
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val lowerWords = array_distinct(transform(words, w => lower(w)))
+    val stopHits = size(array_intersect(lowerWords,
+      array(stops.map(lit): _*)))
+    val pass = (wc >= minWords) && (wc <= maxWords) &&
+      coalesce(meanLen.between(minMeanLen, maxMeanLen), lit(false)) &&
+      coalesce(symbolRatio <= maxSymbolRatio, lit(false)) &&
+      coalesce(bulletFrac <= maxBulletFrac, lit(true)) &&
+      coalesce(ellipsisFrac <= maxEllipsisFrac, lit(true)) &&
+      coalesce(alphaFrac >= minAlphaFrac, lit(false)) &&
+      (stopHits >= minStopHits)
+    struct(wc.cast("long").as("word_count"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      stopHits.cast("long").as("stop_hits"), pass.as("pass"))
+  }
+
+  /** C4 filtering rules (Raffel et al., "Exploring the limits of transfer
+    * learning with a unified text-to-text transformer", 2020, §2.2) as a
+    * codegen'd per-row struct. Line rule: a line survives iff (after
+    * trimming) it ends in terminal punctuation (. ! ? " '), has ≥
+    * minLineWords words, and does not contain "javascript"
+    * (case-insensitive). Page rules over the SURVIVING text: ≥
+    * minSentences sentences (terminal-punctuation count), no
+    * "lorem ipsum", no '{'. Fields: n_lines, kept_lines, n_sentences,
+    * has_lorem, has_brace, pass. [[c4Clean]] returns the surviving text
+    * itself (kept lines re-joined with newlines) — the filter and the
+    * transform share one definition so they can never disagree.
+    */
+  def c4Stats(text: Column, minLineWords: Int = 5,
+              minSentences: Int = 3): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => l =!= "")
+    val kept = c4KeptLines(text, minLineWords)
+    val cleanTxt = array_join(kept, "\n")
+    val sentences = regexp_count(cleanTxt, lit("[.!?]")).cast("long")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    val pass = (sentences >= minSentences) && !hasLorem && !hasBrace
+    struct(size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("kept_lines"),
+      sentences.as("n_sentences"), hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"), pass.as("pass"))
+  }
+
+  private def c4KeptLines(text: Column, minLineWords: Int): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => l =!= "")
+    filter(lines, l =>
+      l.rlike("[.!?\"']$") &&
+        (size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords) &&
+        !lower(l).contains("javascript"))
+  }
+
+  /** The C4 line filter as a transform: the surviving lines of `text`,
+    * re-joined with newlines (empty string when nothing survives). See
+    * [[c4Stats]].
+    */
+  def c4Clean(text: Column, minLineWords: Int = 5): Column =
+    array_join(c4KeptLines(text, minLineWords), "\n")
+
   // ---- language identification -------------------------------------------
 
   /** Per-language stopword seeds for the n-gram/stopword heuristic. */

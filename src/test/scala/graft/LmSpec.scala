@@ -159,6 +159,167 @@ class LmSpec extends AnyFunSuite {
     assert(a == b, "backoff scores must be bitwise partition-invariant")
   }
 
+  test("interpolated KN: model counts and bigram cascade match hand computation") {
+    import spark.implicits._
+    // corpus: "a b", "c b", "a d" — V=4, bigram types BT=3,
+    // continuation counts N1+(.b)=2, N1+(.d)=1 (U1=2),
+    // follower types N1+(a.)=2, N1+(c.)=1
+    val corpus = Seq((1L, "a b"), (2L, "c b"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    val model = Lm.kneserNeyCounts(corpus, "text", n = 2)
+    val got = model.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(got == Map(
+      ("r", 1, "a") -> 2L, ("r", 1, "b") -> 2L, ("r", 1, "c") -> 1L,
+      ("r", 1, "d") -> 1L, ("r", 2, "a b") -> 1L, ("r", 2, "c b") -> 1L,
+      ("r", 2, "a d") -> 1L,
+      ("c", 1, "b") -> 2L, ("c", 1, "d") -> 1L,
+      ("f", 1, "a") -> 2L, ("f", 1, "c") -> 1L), got.toString)
+    val (v, bt, u1) = Lm.knStats(model)
+    assert((v, bt, u1) == ((4L, 3L, 2L)))
+    // doc "a b": P1(b) = max(2-D,0)/3 + D*2/3/4; P2 = max(1-D,0)/2 +
+    // D*2/2*P1 — association mirrors the implementation exactly
+    val p1b = math.max(2 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 / 4.0
+    val p2 = math.max(1 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * p1b
+    val s = Lm.scoreDocsKN(
+        Seq((1L, "a b"), (9L, "z b"), (3L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", model, n = 2, vocab = v, bigramTypes = bt, u1 = u1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(s(1L) == ((1L, math.log(p2), Some(math.log(p2)))), s(1L).toString)
+    // unseen context "z": pure backoff to the continuation unigram
+    assert(s(9L) == ((1L, math.log(p1b), Some(math.log(p1b)))), s(9L).toString)
+    assert(s(3L) == ((0L, 0.0, None)), s(3L).toString)
+    // guards
+    assertThrows[IllegalArgumentException](
+      Lm.kneserNeyCounts(corpus, "text", 1))
+    assertThrows[IllegalArgumentException](
+      Lm.scoreDocsKN(corpus, "doc_id", "text", model, 2, v, bt, u1,
+        discount = 1.0))
+  }
+
+  test("interpolated KN at n=3 exercises the mid-level continuation counts") {
+    import spark.implicits._
+    // "a b c", "d b c", "a b e": mid-level for ctx b: N1+(.b.)=3 types,
+    // g(b)=2 distinct finals {c,e}; continuation bigrams N1+(.b c)=2,
+    // N1+(.b e)=1; followers N1+(a b .)=2, N1+(d b .)=1
+    val corpus = Seq((1L, "a b c"), (2L, "d b c"), (3L, "a b e"))
+      .toDF("doc_id", "text")
+    val model = Lm.kneserNeyCounts(corpus, "text", n = 3)
+    val got = model.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(got(("c", 2, "b c")) == 2L && got(("c", 2, "b e")) == 1L &&
+      got(("m", 1, "b")) == 3L && got(("g", 1, "b")) == 2L &&
+      got(("f", 2, "a b")) == 2L && got(("f", 2, "d b")) == 1L, got.toString)
+    val (v, bt, u1) = Lm.knStats(model)
+    assert((v, bt, u1) == ((5L, 4L, 3L)))
+    // doc "a b c": P1(c) = max(1-D,0)/4 + D*3/4/5;
+    // P2 = max(2-D,0)/3 + D*2/3*P1 (mid level: continuation counts);
+    // P3 = max(1-D,0)/2 + D*2/2*P2 (top level: raw counts)
+    val p1 = math.max(1 - 0.75, 0.0) / 4.0 + 0.75 * 3.0 / 4.0 / 5.0
+    val p2 = math.max(2 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * p1
+    val p3 = math.max(1 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * p2
+    val s = Lm.scoreDocsKN(Seq((1L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", model, n = 3, vocab = v, bigramTypes = bt, u1 = u1)
+      .collect()(0)
+    assert(s.getLong(1) == 1L && s.getDouble(2) == math.log(p3), s.toString)
+  }
+
+  test("KN ranks by continuation count where Stupid Backoff ranks by raw " +
+       "frequency — the 'francisco' inversion") {
+    import spark.implicits._
+    // "francisco" is frequent (4) but only ever follows "san";
+    // "pie" is rarer (3) but follows three distinct words. Behind an
+    // unseen context, backoff falls to the RAW unigram MLE (francisco
+    // wins); KN falls to the CONTINUATION unigram (pie wins).
+    val corpus = (Seq.fill(4)("san francisco") ++
+      Seq("apple pie", "cherry pie", "peach pie")).zipWithIndex
+      .map { case (t0, i) => (i.toLong, t0) }.toDF("doc_id", "text")
+    val docs = Seq((900L, "zz francisco"), (901L, "zz pie"))
+      .toDF("doc_id", "text")
+    val grams = Lm.backoffCounts(corpus, "text", n = 2)
+    val bo = Lm.scoreDocsBackoff(docs, "doc_id", "text", grams, n = 2,
+        totalTokens = Lm.tokenTotal(grams))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(bo(900L) > bo(901L),
+      s"backoff must rank the frequent word higher: $bo")
+    val model = Lm.kneserNeyCounts(corpus, "text", n = 2)
+    val (v, bt, u1) = Lm.knStats(model)
+    val kn = Lm.scoreDocsKN(docs, "doc_id", "text", model, n = 2,
+        vocab = v, bigramTypes = bt, u1 = u1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(kn(901L) > kn(900L),
+      s"KN must rank the promiscuous word higher: $kn")
+  }
+
+  test("KN backs off cleanly from a context seen only document-finally") {
+    import spark.implicits._
+    // "y" has a raw count but NO follower types: the top level's discount
+    // mass is undefined, so the scorer must fall through to the
+    // continuation unigram instead of emitting ln(0)
+    val corpus = Seq((1L, "x y")).toDF("doc_id", "text")
+    val model = Lm.kneserNeyCounts(corpus, "text", n = 2)
+    val (v, bt, u1) = Lm.knStats(model)
+    assert((v, bt, u1) == ((2L, 1L, 1L)))
+    val s = Lm.scoreDocsKN(Seq((1L, "y q")).toDF("doc_id", "text"),
+        "doc_id", "text", model, n = 2, vocab = v, bigramTypes = bt,
+        u1 = u1)
+      .collect()(0)
+    val p1q = math.max(0 - 0.75, 0.0) / 1.0 + 0.75 * 1.0 / 1.0 / 2.0
+    assert(s.getDouble(2) == math.log(p1q) && !s.getDouble(2).isNaN,
+      s.toString)
+  }
+
+  test("persisted KN model scores bit-identically and is self-describing") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dirP = java.nio.file.Files.createTempDirectory("graft-kn")
+    val dir = dirP.toString
+    try {
+      Lm.buildKnModel(docs, "text", dir, n = 3)
+      val meta = spark.read.parquet(s"$dir/meta").collect()
+      assert(meta.length == 1 && meta(0).getAs[Int]("n") == 3)
+      val model = Lm.kneserNeyCounts(docs, "text", n = 3)
+      val (v, bt, u1) = Lm.knStats(model)
+      assert(meta(0).getAs[Long]("vocab") == v &&
+        meta(0).getAs[Long]("bigram_types") == bt &&
+        meta(0).getAs[Long]("u1") == u1)
+      val inline = Lm.scoreDocsKN(docs, "doc_id", "text", model, n = 3,
+          vocab = v, bigramTypes = bt, u1 = u1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val frozen = Lm.scoreDocsKNFromModel(spark, dir, docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(inline == frozen && frozen.nonEmpty,
+        "frozen-artifact KN scoring must be bit-identical to inline")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("KN sum_lp is position-order deterministic under repartitioning") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 20).map(j => "w" + ('a' + ((i * 7 + j * 3) % 9)).toChar)
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val model = Lm.kneserNeyCounts(docs.filter(col("doc_id") <= 20), "text",
+      n = 3)
+    val (v, bt, u1) = Lm.knStats(model)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Lm.scoreDocsKN(d, "doc_id", "text", model, n = 3, vocab = v,
+          bigramTypes = bt, u1 = u1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a == b, "KN scores must be bitwise partition-invariant")
+  }
+
   test("sum_lp is position-order deterministic under repartitioning") {
     import spark.implicits._
     // 40 docs of shuffled shared words: the per-doc fold must not depend

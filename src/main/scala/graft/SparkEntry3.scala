@@ -668,6 +668,23 @@ object SparkEntry3 {
           round(col("avg_lp"), 6).as("avg_lp"))
     }),
 
+    // Dedup-on-ingest through the persisted minhash index lifecycle:
+    // build the index on the even-id half (portable md5 leaf, the
+    // q_dedup_minhash parameters), then admit the odd-id half through
+    // ingestDedup — drop vs the standing signatures, drop vs smaller-id
+    // batch siblings, append survivors. Output = the admitted odd docs;
+    // docs too short to shingle pass through by contract.
+    "q_minhash_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val path = scratchPath(dir, "minhash_index")
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", path, n = 3, bands = 16, rows = 2, seed = 42L,
+        portable = true)
+      Dedup.ingestDedup(s, path, docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", threshold = 0.3)
+        .select("doc_id")
+    }),
+
     // Gopher quality rules (Rae et al. 2021 §A1.1) — the published
     // MassiveWeb rule set as one codegen'd pass. A third of the docs get a
     // deterministic multi-line tail (bullets + ellipsis) and a third a
@@ -905,6 +922,62 @@ object SparkEntry3 {
        |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** DuckDB replica of `q_minhash_ingest`: the portable-leaf minhash
+    * signatures of every doc (SparkEntry2's q_dedup_minhash machinery —
+    * same md5 shingle leaf, same [[Dedup.minhashCoeffs]] permutations,
+    * slice-equality banding), then the two admission drops of
+    * [[Dedup.ingestDedup]] replayed as set subtractions: odd docs
+    * colliding with any even (standing-index) signature at est ≥
+    * threshold, and index-surviving odd docs colliding with a smaller-id
+    * index-surviving sibling. Shingle-less docs never enter `sh`, so they
+    * pass through — the documented contract.
+    */
+  private def minhashIngestOracleSql(n: Int, bands: Int, rows: Int,
+                                     threshold: Double,
+                                     seed: Long): String = {
+    val k = bands * rows
+    val p = 2147483647L
+    val sigExprs = Dedup.minhashCoeffs(k, seed).map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (${a} * (x % ${p}) + ${b}) % ${p}))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    val bandCond = (0 until bands).map { t =>
+      (1 to rows).map { r =>
+        val i = t * rows + r
+        s"a.sig[$i] = b.sig[$i]"
+      }.mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    val est = s"""list_sum(list_transform(range(1, ${k + 1}),
+       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / ${k}.0"""
+      .stripMargin
+    val gram = (1 until n).foldLeft("wr[i]")((acc, j) => s"$acc || ' ' || wr[i+$j]")
+    s"""WITH w AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wr
+       |  FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(wr) - ${n - 2}),
+       |    i -> CAST(concat('0x', substr(md5($gram), 1, 15)) AS BIGINT)))
+       |      AS hs
+       |  FROM w WHERE len(wr) >= $n),
+       |sig AS (SELECT doc_id, $sigExprs AS sig FROM sh),
+       |dup1 AS (SELECT DISTINCT b.doc_id AS id
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+       |  WHERE ($bandCond)
+       |    AND $est >= $threshold),
+       |kept AS (SELECT doc_id FROM sig WHERE doc_id % 2 = 1
+       |    AND doc_id NOT IN (SELECT id FROM dup1)),
+       |dup2 AS (SELECT DISTINCT b.doc_id AS id
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM kept)
+       |    AND b.doc_id IN (SELECT doc_id FROM kept)
+       |    AND ($bandCond)
+       |    AND $est >= $threshold)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 2 = 1
+       |  AND doc_id NOT IN (SELECT id FROM dup1)
+       |  AND doc_id NOT IN (SELECT id FROM dup2)""".stripMargin
+  }
 
   /** DuckDB replica of `q_lm_kneser` / `q_lm_kneser3` (any n ≥ 2): the
     * [[graft.text.Lm.kneserNeyCounts]] model rebuilt as SQL — raw gram
@@ -1964,6 +2037,8 @@ object SparkEntry3 {
         |FROM m""".stripMargin,
     "q_lm_kneser"       -> lmKneserOracleSql(2),
     "q_lm_kneser3"      -> lmKneserOracleSql(3),
+    "q_minhash_ingest"  -> minhashIngestOracleSql(n = 3, bands = 16,
+      rows = 2, threshold = 0.3, seed = 42L),
     "q_ccnet_buckets"   -> ccnetBucketsOracleSql(2, nBuckets = 3),
     "q_temp_mix"        ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

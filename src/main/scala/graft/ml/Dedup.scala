@@ -599,6 +599,127 @@ object Dedup {
     newDocs.join(dup, Seq(idCol), "left_anti")
   }
 
+  /** The signature hash leaf an index was built with: the default
+    * engine leaf (None → xxhash64 shingles) or the SQL-portable md5 leaf —
+    * recorded in the index meta so build and every later probe/append can
+    * never hash differently.
+    */
+  private def indexLeaf(textCol: String, n: Int,
+                        portable: Boolean): Option[Column] =
+    if (portable) Some(TextFns.shingleHashesPortable(col(textCol), n))
+    else None
+
+  /** Persist a MinHash signature index as a standing artifact — the dedup
+    * twin of [[graft.ml.Pq.buildIvfPqIndex]]: `<path>/sigs` holds the
+    * corpus `(id, sig)` table partitioned by append batch (`batch_seq=0`
+    * is the build), `<path>/meta` one self-describing row (n, bands, rows,
+    * seed, portable). The corpus is shingled exactly once; every future
+    * batch or stream dedups against the frozen signatures in O(batch)
+    * ([[ingestDedup]], [[dedupeAgainstIndex]],
+    * [[graft.streaming.StreamVerbs.streamingIngestDedup]]). Short-doc
+    * semantics follow the leaf: the default engine leaf signs docs with
+    * fewer than n tokens via [[TextFns.shingleHashes]]' whole-text
+    * fallback (exact-duplicate short docs still dedup); the portable md5
+    * leaf emits no shingles for them, so they carry no signature at all.
+    */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        path: String, n: Int = 3, bands: Int = 8,
+                        rows: Int = 4, seed: Long = 42L,
+                        portable: Boolean = false): Unit = {
+    minhashSignatures(df, idCol, textCol, n, bands * rows, seed,
+        indexLeaf(textCol, n, portable))
+      .withColumn("batch_seq", lit(0L))
+      .write.partitionBy("batch_seq").mode("overwrite")
+      .parquet(s"$path/sigs")
+    df.sparkSession.range(1)
+      .select(lit(n).as("n"), lit(bands).as("bands"), lit(rows).as("rows"),
+        lit(seed).as("seed"), lit(portable).as("portable"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Drop new docs that near-duplicate a persisted [[buildMinhashIndex]]
+    * artifact (probe only — the index is not modified). Reads the
+    * signature parameters from `<path>/meta` (1-row driver read), computes
+    * the batch's signatures with them, and anti-joins
+    * [[lshPairsBetween]]'s collisions — O(batch) signature work, one
+    * (band, bucket) equi-join against the standing signatures.
+    */
+  def dedupeAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newDocs: DataFrame, idCol: String,
+                         textCol: String, threshold: Double = 0.8,
+                         maxBucket: Int = 100000): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (n, bands, rows) = (m.getAs[Int]("n"), m.getAs[Int]("bands"),
+      m.getAs[Int]("rows"))
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, n,
+      bands * rows, m.getAs[Long]("seed"),
+      indexLeaf(textCol, n, m.getAs[Boolean]("portable")))
+    val dup = lshPairsBetween(newSigs,
+        spark.read.parquet(s"$path/sigs").select("id", "sig"),
+        bands, rows, threshold, maxBucket)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(dup, Seq(idCol), "left_anti")
+  }
+
+  /** Dedup-on-ingest against a persisted [[buildMinhashIndex]] artifact,
+    * WITH index growth — the full admission pipeline a training-data
+    * ingest runs per batch:
+    *   1. drop batch docs whose estimated Jaccard against ANY standing
+    *      signature reaches `threshold` ([[lshPairsBetween]]);
+    *   2. among the remaining docs, drop any that collides with a
+    *      SMALLER-id index-surviving batch sibling (pairwise, not
+    *      transitive — a deterministic, replayable rule;
+    *      [[lshPairsFromSignatures]] generates the candidates);
+    *   3. append the survivors' signatures to `<path>/sigs` as a fresh
+    *      `batch_seq` partition — later batches (and later micro-batches
+    *      of a stream) dedup against everything this batch admitted;
+    *   4. return the admitted batch rows.
+    * Docs WITHOUT a signature pass through unexamined and are not added
+    * to the index — with the default engine leaf that set is empty (short
+    * docs get a whole-text fallback shingle); with the portable md5 leaf
+    * it is the docs with fewer than n tokens. Surface them with a length
+    * filter upstream if pass-through is not the policy you want.
+    *
+    * Scale shapes: batch signatures are computed ONCE (cached across the
+    * three consumers), the index is only ever READ on its existing
+    * `batch_seq=` partitions and APPENDED as a new partition (no
+    * read-modify-write races, the [[graft.ml.Pq.appendToIvfPqIndex]]
+    * layout discipline), and the returned relation derives from the
+    * WRITTEN partition, so what the caller sees is exactly what the index
+    * recorded.
+    */
+  def ingestDedup(spark: org.apache.spark.sql.SparkSession, path: String,
+                  batch: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8,
+                  maxBucket: Int = 100000): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (n, bands, rows) = (m.getAs[Int]("n"), m.getAs[Int]("bands"),
+      m.getAs[Int]("rows"))
+    val existing = spark.read.parquet(s"$path/sigs")
+    val newSigs = trackCache(minhashSignatures(batch, idCol, textCol, n,
+      bands * rows, m.getAs[Long]("seed"),
+      indexLeaf(textCol, n, m.getAs[Boolean]("portable"))))
+    val dupVsIndex = lshPairsBetween(newSigs, existing.select("id", "sig"),
+        bands, rows, threshold, maxBucket)
+      .select(col("new_id").as("id")).distinct()
+    val keptSigs = newSigs.join(dupVsIndex, Seq("id"), "left_anti")
+    val dupInBatch = lshPairsFromSignatures(keptSigs, bands, rows,
+        threshold, maxBucket)
+      .select(col("id_b").as("id")).distinct()
+    val seq = existing.agg(coalesce(max(col("batch_seq")), lit(0L)))
+      .head().getLong(0) + 1
+    keptSigs.join(dupInBatch, Seq("id"), "left_anti")
+      .withColumn("batch_seq", lit(seq))
+      .write.partitionBy("batch_seq").mode("append").parquet(s"$path/sigs")
+    // authoritative survivor list = the partition just written; dropped =
+    // sig'd batch docs not in it (shingle-less docs pass through)
+    val survIds = spark.read.parquet(s"$path/sigs")
+      .filter(col("batch_seq") === seq).select("id")
+    val dropped = newSigs.select("id").join(survIds, Seq("id"), "left_anti")
+      .withColumnRenamed("id", idCol)
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** SimHash: 64-bit locality-sensitive content hash. Per doc, each token
     * votes ±1 on each bit of its 64-bit hash; the sign of the per-bit sum is
     * the fingerprint bit. Computed as 64 conditional sums in ONE aggregate

@@ -739,6 +739,28 @@ object StreamVerbs {
         idCol, textCol, backoff))
     }
 
+  /** Dedup-on-ingest against a PERSISTED minhash index
+    * ([[graft.ml.Dedup.buildMinhashIndex]]) WITH index growth: each
+    * micro-batch drops docs near-duplicating the standing signatures (or a
+    * smaller-id batch sibling), appends the survivors' signatures as a
+    * fresh `batch_seq` partition, and emits the admitted rows — so later
+    * micro-batches dedup against everything earlier ones admitted, the
+    * streaming twin of running [[graft.ml.Dedup.ingestDedup]] batch after
+    * batch (StreamingSpec pins stream == sequential batch ingest).
+    * foreachBatch; micro-batches run serially, so index growth is
+    * race-free. No streaming state — the index IS the state, durable and
+    * shared with any batch backfill.
+    */
+  def streamingIngestDedup(t: Tbl, idCol: String, textCol: String,
+                           path: String, threshold: Double = 0.8,
+                           maxBucket: Int = 100000)
+                          (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Dedup.ingestDedup(batch.sparkSession, path, batch,
+        idCol, textCol, threshold, maxBucket))
+    }
+
   /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed
     * fingerprints ([[graft.ml.Dedup.winnowFingerprints]], same n/w/hash as
     * the persisted corpus index) joined against the PERSISTED (id, fp)

@@ -583,6 +583,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(2000001L, 2000002L, 2000003L))
   }
 
+  test("persisted minhash index: build, probe, ingest with growth") {
+    import spark.implicits._
+    val dirP = java.nio.file.Files.createTempDirectory("graft-mhidx")
+    val idx = dirP.toString
+    try {
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", idx)
+      val meta = spark.read.parquet(s"$idx/meta").collect()
+      assert(meta.length == 1 && meta(0).getAs[Int]("bands") == 8 &&
+        !meta(0).getAs[Boolean]("portable"))
+      // batch 1: a byte copy of an indexed doc, an identical novel twin
+      // pair, a unique novel doc, and a 2-token doc (signed via the
+      // default leaf's whole-text fallback shingle)
+      val batch1 = docs.filter(col("doc_id") === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .select("doc_id", "text")
+        .unionByName(Seq(
+          (2000001L, "completely novel content about quasar spectroscopy drift"),
+          (2000002L, "completely novel content about quasar spectroscopy drift"),
+          (2000003L, "maintenance log turbine seven bearing temperature anomaly"),
+          (2000004L, "tiny doc")).toDF("doc_id", "text"))
+      val kept1 = Dedup.ingestDedup(spark, idx, batch1, "doc_id", "text",
+          threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // copy dropped vs index; smaller twin admitted, larger dropped
+      // in-batch; unique admitted; the short doc is novel so admitted
+      assert(kept1 == Set(2000001L, 2000003L, 2000004L), kept1.toString)
+      // the index grew by exactly the admitted signatures — including the
+      // short doc's whole-text fallback shingle under the default leaf
+      val b1 = spark.read.parquet(s"$idx/sigs")
+        .filter(col("batch_seq") === 1).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(b1 == Set(2000001L, 2000003L, 2000004L), b1.toString)
+      // batch 2: a copy of a batch-1 SURVIVOR is now dropped — the growth
+      // point; probe-only dedupeAgainstIndex agrees and does not grow it
+      val batch2 = Seq(
+        (3000001L, "completely novel content about quasar spectroscopy drift"),
+        (3000002L, "fresh second batch subject matter entirely its own"))
+        .toDF("doc_id", "text")
+      val probe = Dedup.dedupeAgainstIndex(spark, idx, batch2, "doc_id",
+          "text", threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(probe == Set(3000002L), probe.toString)
+      val kept2 = Dedup.ingestDedup(spark, idx, batch2, "doc_id", "text",
+          threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(3000002L), kept2.toString)
+      val b2 = spark.read.parquet(s"$idx/sigs")
+        .filter(col("batch_seq") === 2).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(b2 == Set(3000002L), b2.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("minhash LSH hot-bucket guard drops degenerate band buckets") {
     import spark.implicits._
     // 40 byte-identical docs: every band bucket holds all 40 — the

@@ -1029,4 +1029,61 @@ class StreamingSpec extends AnyFunSuite {
         r.getString(r.fieldIndex("text"))).toMap
     assert(batch == got.toMap)
   }
+
+  test("streaming ingest dedup == sequential batch ingest; the index " +
+       "grows mid-stream") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "a completely different reference document")).toDF("doc_id", "text")
+    // micro-batch 2 carries a copy of a micro-batch-1 SURVIVOR: only an
+    // index that grew between batches can drop it
+    val a1 = Seq(
+      (10L, "the cat sat on the mat today"),
+      (11L, "novel first batch content about turbines"))
+    val a2 = Seq(
+      (20L, "novel first batch content about turbines"),
+      (21L, "second batch fresh material entirely its own"))
+    val streamIdx = Files.createTempDirectory("graft-smhidx-s").toString
+    val batchIdx = Files.createTempDirectory("graft-smhidx-b").toString
+    graft.ml.Dedup.buildMinhashIndex(ref, "doc_id", "text", streamIdx)
+    graft.ml.Dedup.buildMinhashIndex(ref, "doc_id", "text", batchIdx)
+    val dir = Files.createTempDirectory("graft-smhidx").toFile
+    val ckpt = Files.createTempDirectory("graft-smhidx-ckpt").toFile
+    a1.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    // distinct mtimes pin the file-source batch ORDER (ingest is
+    // order-sensitive by design: earlier admissions shadow later copies)
+    Thread.sleep(1100)
+    a2.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = a1.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = StreamVerbs.streamingIngestDedup(Tbl(stream), "doc_id", "text",
+        streamIdx, threshold = 0.9) { out =>
+        got.synchronized {
+          out.select("doc_id").collect().foreach(r => got += r.getLong(0))
+        }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val k1 = graft.ml.Dedup.ingestDedup(spark, batchIdx,
+        a1.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = graft.ml.Dedup.ingestDedup(spark, batchIdx,
+        a2.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.toSet == (k1 ++ k2) && got.toSet == Set(11L, 21L),
+      s"stream $got vs batch ${k1 ++ k2}")
+    // the two indexes ended in the same state: same admitted signatures
+    // in the same batch_seq partitions
+    // batch_seq is a partition directory column: discovery infers int
+    def sigState(p: String) = spark.read.parquet(s"$p/sigs")
+      .select(col("id"), col("batch_seq").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sigState(streamIdx) == sigState(batchIdx))
+  }
 }

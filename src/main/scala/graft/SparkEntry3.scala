@@ -81,6 +81,25 @@ object SparkEntry3 {
     * pipeline's warehouse/scratch volume; keying by the input dir keeps
     * concurrent different-SF runs from clobbering each other.
     */
+  /** Deterministic multi-line augmentation shared by `q_c4_filter` and
+    * `q_quality_chain` (and mirrored verbatim in their oracles): a quarter
+    * of the docs get a keep/drop line mix, a quarter a lorem+brace tail, a
+    * quarter two proper sentences — so the line rules have real work on
+    * the single-line synthetic corpus (the q_repetition device).
+    */
+  private def c4Aug: Column =
+    when(col("doc_id") % 4 === 0,
+        concat(col("text"),
+          lit("\nthe quick brown fox jumps over it.\nshort line.\n" +
+            "this page uses JavaScript heavily today.")))
+      .when(col("doc_id") % 4 === 1,
+        concat(col("text"), lit(" { lorem ipsum dolor sit amet.")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("a good first sentence is right here. "), col("text"),
+          lit(" ends cleanly here.\nanother full sentence with many of " +
+            "the needed words here!")))
+      .otherwise(col("text"))
+
   private def scratchPath(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-scratch/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$name"
@@ -719,21 +738,11 @@ object SparkEntry3 {
     // flags (>= 3 sentences in the surviving text, no "lorem ipsum", no
     // brace) over deterministically augmented multi-line docs; clean_len
     // pins c4Clean (the transform) against the same line set as the stats.
-    "q_c4_filter" -> ((s, dir) => {
-      val aug = when(col("doc_id") % 4 === 0,
-          concat(col("text"),
-            lit("\nthe quick brown fox jumps over it.\nshort line.\n" +
-              "this page uses JavaScript heavily today.")))
-        .when(col("doc_id") % 4 === 1,
-          concat(col("text"), lit(" { lorem ipsum dolor sit amet.")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("a good first sentence is right here. "), col("text"),
-            lit("\nanother full sentence with many words here!")))
-        .otherwise(col("text"))
+    "q_c4_filter" -> ((s, dir) =>
       t(s, dir, "documents").df
         .select(col("doc_id"),
-          graft.text.TextFns.c4Stats(aug).as("st"),
-          length(graft.text.TextFns.c4Clean(aug)).as("clean_len"))
+          graft.text.TextFns.c4Stats(c4Aug).as("st"),
+          length(graft.text.TextFns.c4Clean(c4Aug)).as("clean_len"))
         .select(col("doc_id"),
           col("st.n_lines").as("n_lines"),
           col("st.kept_lines").as("kept_lines"),
@@ -741,7 +750,26 @@ object SparkEntry3 {
           col("st.has_lorem").cast("int").as("has_lorem"),
           col("st.has_brace").cast("int").as("has_brace"),
           col("st.pass").cast("int").as("pass"),
-          col("clean_len"))
+          col("clean_len"))),
+
+    // The real curation ORDER as one lazy plan: C4's line scrub feeds
+    // Gopher's document judgment — clean first, judge what survives.
+    // Same deterministic line augmentation as q_c4_filter; the Gopher
+    // fields are computed over the C4-cleaned text, so a page whose noise
+    // lines were scrubbed can pass word-count/stop-word rules its raw form
+    // would fail (and vice versa — scrubbing can empty a page).
+    "q_quality_chain" -> ((s, dir) => {
+      val clean = graft.text.TextFns.c4Clean(c4Aug)
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          graft.text.TextFns.gopherStats(clean).as("st"))
+        .select(col("doc_id"),
+          col("st.word_count").as("word_count"),
+          round(col("st.mean_word_len"), 6).as("mean_word_len"),
+          round(col("st.symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("st.alpha_frac"), 6).as("alpha_frac"),
+          col("st.stop_hits").as("stop_hits"),
+          col("st.pass").cast("int").as("pass"))
     }),
 
     // CCNet's actual output shape: per-language perplexity terciles
@@ -2001,8 +2029,8 @@ object SparkEntry3 {
         |      || 'this page uses JavaScript heavily today.'
         |    WHEN doc_id % 4 = 1 THEN text || ' { lorem ipsum dolor sit amet.'
         |    WHEN doc_id % 4 = 2 THEN 'a good first sentence is right here. '
-        |      || text || chr(10)
-        |      || 'another full sentence with many words here!'
+        |      || text || ' ends cleanly here.' || chr(10)
+        |      || 'another full sentence with many of the needed words here!'
         |    ELSE text END AS t
         |  FROM documents),
         |w AS (SELECT doc_id, t,
@@ -2039,6 +2067,79 @@ object SparkEntry3 {
     "q_lm_kneser3"      -> lmKneserOracleSql(3),
     "q_minhash_ingest"  -> minhashIngestOracleSql(n = 3, bands = 16,
       rows = 2, threshold = 0.3, seed = 42L),
+    // C4 clean -> Gopher judge, one chain: kept lines re-join (coalesced:
+    // DuckDB array_to_string([]) is NULL), then the full Gopher rule
+    // arithmetic over the cleaned text
+    "q_quality_chain"   ->
+      """WITH a AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 0 THEN text || chr(10)
+        |      || 'the quick brown fox jumps over it.' || chr(10)
+        |      || 'short line.' || chr(10)
+        |      || 'this page uses JavaScript heavily today.'
+        |    WHEN doc_id % 4 = 1 THEN text || ' { lorem ipsum dolor sit amet.'
+        |    WHEN doc_id % 4 = 2 THEN 'a good first sentence is right here. '
+        |      || text || ' ends cleanly here.' || chr(10)
+        |      || 'another full sentence with many of the needed words here!'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |w0 AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS ls
+        |  FROM a),
+        |k AS (SELECT doc_id,
+        |    list_filter(ls, l -> regexp_matches(l, '[.!?"'']$')
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'),
+        |        x -> x <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM w0),
+        |c AS (SELECT doc_id,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS t
+        |  FROM k),
+        |w AS (SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |      x -> x <> '') AS ws,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS ls
+        |  FROM c),
+        |m AS (SELECT doc_id,
+        |    len(ws) AS wc,
+        |    coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+        |      AS totlen,
+        |    length(t) - length(replace(t, '#', '')) AS hashes,
+        |    len(regexp_extract_all(t, '\.\.\.|…')) AS ellip,
+        |    len(ls) AS nl,
+        |    len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))
+        |      AS bullets,
+        |    len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$')))
+        |      AS elines,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+        |      AS alphaw,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+        |      AS stop_hits
+        |  FROM w),
+        |r AS (SELECT doc_id, wc,
+        |    CASE WHEN wc > 0 THEN CAST(totlen AS DOUBLE) / wc END AS meanlen,
+        |    CASE WHEN wc > 0 THEN CAST(hashes + ellip AS DOUBLE) / wc END
+        |      AS symr,
+        |    CASE WHEN nl > 0 THEN CAST(bullets AS DOUBLE) / nl END AS bf,
+        |    CASE WHEN nl > 0 THEN CAST(elines AS DOUBLE) / nl END AS ef,
+        |    CASE WHEN wc > 0 THEN CAST(alphaw AS DOUBLE) / wc END AS af,
+        |    stop_hits
+        |  FROM m)
+        |SELECT doc_id, CAST(wc AS BIGINT) AS word_count,
+        |  round(meanlen, 6) AS mean_word_len,
+        |  round(symr, 6) AS symbol_ratio,
+        |  round(af, 6) AS alpha_frac,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  CAST(CASE WHEN wc >= 50 AND wc <= 100000
+        |    AND coalesce(meanlen BETWEEN 3.0 AND 10.0, false)
+        |    AND coalesce(symr <= 0.1, false)
+        |    AND coalesce(bf <= 0.9, true)
+        |    AND coalesce(ef <= 0.3, true)
+        |    AND coalesce(af >= 0.8, false)
+        |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS pass
+        |FROM r""".stripMargin,
     "q_ccnet_buckets"   -> ccnetBucketsOracleSql(2, nBuckets = 3),
     "q_temp_mix"        ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

@@ -739,6 +739,23 @@ object StreamVerbs {
         idCol, textCol, backoff))
     }
 
+  /** Ingest-time interpolated-KN quality scoring against a persisted
+    * [[graft.text.Lm.buildKnModel]] artifact — the Kneser–Ney sibling of
+    * [[streamingLmScoreBackoff]]: each micro-batch scores via
+    * [[graft.text.Lm.scoreDocsKNFromModel]], bit-identical to batch
+    * scoring with the same frozen model (StreamingSpec pins it).
+    * foreachBatch, stateless; the model joins as a relation (never
+    * assumed broadcastable).
+    */
+  def streamingLmScoreKN(t: Tbl, idCol: String, textCol: String,
+                         path: String, discount: Double = 0.75)
+                        (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.text.Lm.scoreDocsKNFromModel(batch.sparkSession, path,
+        batch, idCol, textCol, discount))
+    }
+
   /** Dedup-on-ingest against a PERSISTED minhash index
     * ([[graft.ml.Dedup.buildMinhashIndex]]) WITH index growth: each
     * micro-batch drops docs near-duplicating the standing signatures (or a

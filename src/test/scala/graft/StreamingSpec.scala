@@ -1030,6 +1030,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got.toMap)
   }
 
+  test("streaming KN score against the persisted model == batch") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "cats and dogs and cats")).toDF("doc_id", "text")
+    val model = Files.createTempDirectory("graft-skn-model").toString
+    graft.text.Lm.buildKnModel(ref, "text", model, n = 2)
+    val arrivals = Seq(
+      (10L, "the cat sat on a rug"), (11L, "dogs and cats"),
+      (12L, "entirely unseen words here"), (13L, "x"))
+    val dir = Files.createTempDirectory("graft-skn").toFile
+    val ckpt = Files.createTempDirectory("graft-skn-ckpt").toFile
+    arrivals.take(2).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    arrivals.drop(2).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = arrivals.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    val q = StreamVerbs.streamingLmScoreKN(Tbl(stream), "doc_id", "text",
+        model) { out =>
+        got.synchronized { out.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getLong(1), r.getDouble(2))) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = graft.text.Lm.scoreDocsKNFromModel(spark, model,
+        arrivals.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.toMap == batch && batch.size == 4,
+      s"stream $got vs batch $batch")
+  }
+
   test("streaming ingest dedup == sequential batch ingest; the index " +
        "grows mid-stream") {
     import spark.implicits._

@@ -687,6 +687,24 @@ object SparkEntry3 {
           round(col("avg_lp"), 6).as("avg_lp"))
     }),
 
+    // KN with the ESTIMATED discount — Ney's count-of-counts formula
+    // D = n1/(n1 + 2*n2) over the top-order gram types (the KenLM
+    // per-order estimate, applied at every level): the discount itself is
+    // now a function of the training corpus and replays in the oracle as
+    // a scalar subquery over the same counts.
+    "q_lm_kneser_mod" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val model = graft.text.Lm.kneserNeyCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3)
+      val (v, bt, u1) = graft.text.Lm.knStats(model)
+      val d = graft.text.Lm.neyDiscount(model, n = 3)
+      graft.text.Lm.scoreDocsKN(docs, "doc_id", "text", model, n = 3,
+          vocab = v, bigramTypes = bt, u1 = u1, discount = d)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sum_lp"), 6).as("sum_lp"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+    }),
+
     // Dedup-on-ingest through the persisted minhash index lifecycle:
     // build the index on the even-id half (portable md5 leaf, the
     // q_dedup_minhash parameters), then admit the odd-id half through
@@ -1019,9 +1037,21 @@ object SparkEntry3 {
     * the arithmetic), and the per-doc fold is position-ordered; ln rounds
     * to 6dp both sides.
     */
-  private def lmKneserOracleSql(n: Int, discount: Double = 0.75): String = {
+  private def lmKneserOracleSql(n: Int, discount: Double = 0.75,
+                                neyDiscount: Boolean = false): String = {
     require(n >= 2, "interpolated KN needs n >= 2")
-    val d = s"CAST($discount AS DOUBLE)"
+    // with neyDiscount the literal is replaced by the count-of-counts
+    // estimate D = n1/(n1 + 2*n2) over the top-order gram types — the
+    // same integer counts + one division as Lm.neyDiscount
+    val d = if (neyDiscount) "(SELECT d FROM dd)"
+      else s"CAST($discount AS DOUBLE)"
+    val ddCte = if (neyDiscount)
+      s"""
+       |dd AS (SELECT CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE)
+       |    / (count(*) FILTER (WHERE cnt = 1)
+       |       + 2 * count(*) FILTER (WHERE cnt = 2)) AS d
+       |  FROM gc WHERE ord = $n),""".stripMargin
+    else ""
     val midModel = if (n >= 3)
       s"""
        |  UNION ALL
@@ -1101,7 +1131,7 @@ object SparkEntry3 {
        |st AS (SELECT
        |    (SELECT count(*) FROM gc WHERE ord = 1) AS v,
        |    (SELECT count(*) FROM gc WHERE ord = 2) AS bt,
-       |    (SELECT count(*) FROM md WHERE kind = 'c' AND k = 1) AS u1),
+       |    (SELECT count(*) FROM md WHERE kind = 'c' AND k = 1) AS u1),$ddCte
        |lk AS (
        |  $legs),
        |pv AS (SELECT doc_id, pos,
@@ -2065,6 +2095,7 @@ object SparkEntry3 {
         |FROM m""".stripMargin,
     "q_lm_kneser"       -> lmKneserOracleSql(2),
     "q_lm_kneser3"      -> lmKneserOracleSql(3),
+    "q_lm_kneser_mod"   -> lmKneserOracleSql(3, neyDiscount = true),
     "q_minhash_ingest"  -> minhashIngestOracleSql(n = 3, bands = 16,
       rows = 2, threshold = 0.3, seed = 42L),
     // C4 clean -> Gopher judge, one chain: kept lines re-join (coalesced:

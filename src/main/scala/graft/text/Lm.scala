@@ -395,6 +395,29 @@ object Lm {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** The Ney absolute-discount estimate D = n₁ / (n₁ + 2·n₂) from the
+    * TOP-order count-of-counts of a [[kneserNeyCounts]] model (Ney, Essen
+    * & Kneser 1994; Chen & Goodman 1999 §3) — the leave-one-out discount
+    * KenLM estimates per order, here computed once at the order where the
+    * raw counts live and applied at every level ([[scoreDocsKN]] takes
+    * one D). n₁/n₂ are the numbers of n-gram TYPES seen exactly once /
+    * twice; both are driver-read from the tiny model relation. Exact
+    * integer counts + one division, so the estimate replays bitwise in
+    * the oracle. Throws when no singleton n-grams exist (nothing to
+    * estimate from); returns 1.0 when no doubleton exists — a boundary
+    * [[scoreDocsKN]] rejects, so callers on degenerate corpora should
+    * fall back to a fixed D.
+    */
+  def neyDiscount(model: DataFrame, n: Int): Double = {
+    val r = model.filter(col("kind") === "r" && col("k") === n)
+      .agg(coalesce(sum(when(col("cnt") === 1, 1L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("cnt") === 2, 1L)), lit(0L)).as("n2"))
+      .head()
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    require(n1 > 0, "no singleton n-grams: cannot estimate a discount")
+    n1.toDouble / (n1 + 2 * n2)
+  }
+
   /** Per-position lookup rows against the KN model: for the full-window
     * position ending at 0-based token index i, the top level's raw n-gram
     * ('a'), raw context ('b') and follower-type count ('c'); each mid

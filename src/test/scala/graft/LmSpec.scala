@@ -227,6 +227,33 @@ class LmSpec extends AnyFunSuite {
     assert(s.getLong(1) == 1L && s.getDouble(2) == math.log(p3), s.toString)
   }
 
+  test("neyDiscount estimates D = n1/(n1 + 2*n2) from top-order " +
+       "count-of-counts") {
+    import spark.implicits._
+    // bigram types: "a b" seen twice, "c b" and "a d" once -> n1=2, n2=1,
+    // D = 2/4 = 0.5
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "c b"), (4L, "a d"))
+      .toDF("doc_id", "text")
+    val model = Lm.kneserNeyCounts(corpus, "text", n = 2)
+    assert(Lm.neyDiscount(model, n = 2) == 0.5)
+    // scoring with the estimated D is the same cascade at D = 0.5
+    val (v, bt, u1) = Lm.knStats(model)
+    val s = Lm.scoreDocsKN(Seq((9L, "z b")).toDF("doc_id", "text"),
+        "doc_id", "text", model, n = 2, vocab = v, bigramTypes = bt,
+        u1 = u1, discount = Lm.neyDiscount(model, n = 2))
+      .collect()(0)
+    // unseen ctx -> continuation unigram: N1+(.b)=2 of BT=3, U1=2, V=4
+    val p1 = math.max(2 - 0.5, 0.0) / 3.0 + 0.5 * 2.0 / 3.0 / 4.0
+    assert(s.getDouble(2) == math.log(p1), s.toString)
+    // all-singleton corpus: D would be 1.0, which the scorer rejects
+    val flat = Lm.kneserNeyCounts(
+      Seq((1L, "p q"), (2L, "r s")).toDF("doc_id", "text"), "text", n = 2)
+    assert(Lm.neyDiscount(flat, n = 2) == 1.0)
+    assertThrows[IllegalArgumentException](
+      Lm.scoreDocsKN(corpus, "doc_id", "text", flat, 2, 4, 2, 2,
+        discount = Lm.neyDiscount(flat, n = 2)))
+  }
+
   test("KN ranks by continuation count where Stupid Backoff ranks by raw " +
        "frequency — the 'francisco' inversion") {
     import spark.implicits._

@@ -687,6 +687,17 @@ object SparkEntry3 {
           round(col("avg_lp"), 6).as("avg_lp"))
     }),
 
+    // Mixture drift diagnostic: per-language cross-entropy and
+    // support-restricted KL of the language's token distribution vs the
+    // whole corpus — two aggregates + one token join + the order-pinned
+    // per-group fold; ln rounds 6dp both sides.
+    "q_token_divergence" -> ((s, dir) =>
+      graft.text.TextFns.tokenDivergence(t(s, dir, "documents").df,
+          "lang", "text")
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          round(col("cross_entropy"), 6).as("cross_entropy"),
+          round(col("kl"), 6).as("kl"))),
+
     // KN with the ESTIMATED discount — Ney's count-of-counts formula
     // D = n1/(n1 + 2*n2) over the top-order gram types (the KenLM
     // per-order estimate, applied at every level): the discount itself is
@@ -2096,6 +2107,36 @@ object SparkEntry3 {
     "q_lm_kneser"       -> lmKneserOracleSql(2),
     "q_lm_kneser3"      -> lmKneserOracleSql(3),
     "q_lm_kneser_mod"   -> lmKneserOracleSql(3, neyDiscount = true),
+    // per-group divergence: same tokenizer as the LM oracles, q smoothed
+    // with CAST-to-DOUBLE alpha (DuckDB decimal literals must not enter
+    // the float chain), token-ordered list_reduce folds
+    "q_token_divergence" ->
+      """WITH tk AS (SELECT lang AS g,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |      '\s+'), w -> regexp_matches(w, '^[a-z]+$'))) AS w
+        |  FROM documents),
+        |gc AS (SELECT g, w, count(*) AS c FROM tk GROUP BY 1, 2),
+        |gt AS (SELECT g, sum(c) AS gt, count(*) AS n_types
+        |  FROM gc GROUP BY 1),
+        |cc AS (SELECT w, sum(c) AS cw FROM gc GROUP BY 1),
+        |st AS (SELECT count(*) AS v, sum(cw) AS t FROM cc),
+        |tm AS (SELECT gc.g, gc.w,
+        |    (gc.c / gt.gt) AS p,
+        |    ((cc.cw + CAST(1.0 AS DOUBLE))
+        |      / ((SELECT t FROM st)
+        |         + CAST(1.0 AS DOUBLE) * (SELECT v FROM st))) AS q
+        |  FROM gc JOIN gt USING (g) JOIN cc USING (w)),
+        |tr AS (SELECT g, w, -(p * ln(q)) AS ce, p * ln(p / q) AS kl
+        |  FROM tm),
+        |pd AS (SELECT g,
+        |    list_reduce(list(ce ORDER BY w), (a, b) -> a + b) AS ce,
+        |    list_reduce(list(kl ORDER BY w), (a, b) -> a + b) AS kl
+        |  FROM tr GROUP BY 1)
+        |SELECT gt.g AS lang, CAST(gt.gt AS BIGINT) AS n_tokens,
+        |  CAST(gt.n_types AS BIGINT) AS n_types,
+        |  round(pd.ce, 6) AS cross_entropy,
+        |  round(pd.kl, 6) AS kl
+        |FROM gt JOIN pd ON gt.g = pd.g""".stripMargin,
     "q_minhash_ingest"  -> minhashIngestOracleSql(n = 3, bands = 16,
       rows = 2, threshold = 0.3, seed = 42L),
     // C4 clean -> Gopher judge, one chain: kept lines re-join (coalesced:

@@ -466,6 +466,55 @@ object TextFns {
       .drop("__lt", "__ls")
   }
 
+  /** Per-group token-distribution divergence against the whole corpus —
+    * the mixture drift diagnostic: for each group g (domain, language,
+    * snapshot), the cross-entropy H(p_g, q) = −Σ p·ln q and the
+    * support-restricted KL Σ p·ln(p/q) of the group's token distribution
+    * p_g against the corpus distribution q, where p = c_g(w)/total_g over
+    * the group's OWN support and q is the add-α corpus distribution
+    * (q = (c(w)+α)/(T+α|V|) — α keeps ln finite; restricting the sums to
+    * the group's support is what makes the whole thing two aggregates and
+    * ONE join, no group×vocab cross relation). Rising H or KL for a
+    * domain between snapshots = its text is drifting away from the
+    * corpus mixture. Output: (group, n_tokens, n_types, cross_entropy,
+    * kl).
+    *
+    * Shapes at 100 TB: one tokenize+count pass (map-side combined), the
+    * corpus counts derive from the group counts by one more aggregate,
+    * one hash join on the token, and a per-group token-ordered fold — the
+    * [[graft.text.Lm]] discipline, so the sums are bitwise
+    * partition-invariant (DuckDB-replayable with the 6dp ln rounding);
+    * per-group fold state is bounded by the group's distinct-type count.
+    */
+  def tokenDivergence(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                      textCol: String,
+                      alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val toks = graft.ops.Scale.spread(df).select(col(groupCol).as("__g"),
+      explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => w.rlike("^[a-z]+$"))).as("w"))
+    val gc = toks.groupBy("__g", "w").agg(count(lit(1)).as("c"))
+    val gt = gc.groupBy("__g")
+      .agg(sum("c").as("gt"), count(lit(1)).as("n_types"))
+    val cc = gc.groupBy("w").agg(sum("c").as("cw"))
+    val st = cc.agg(count(lit(1)).as("v"), sum("cw").as("t")).head()
+    val (v, t) = (st.getLong(0), st.getLong(1))
+    val tm = gc.join(gt, Seq("__g")).join(cc, Seq("w"))
+      .withColumn("p", col("c") / col("gt"))
+      .withColumn("q", (col("cw") + lit(alpha)) /
+        (lit(t) + lit(alpha) * lit(v)))
+      .withColumn("ce", -(col("p") * log(col("q"))))
+      .withColumn("kl", col("p") * log(col("p") / col("q")))
+    tm.groupBy("__g")
+      .agg(max("gt").as("n_tokens"), max("n_types").as("n_types"),
+        collect_list(struct(col("w"), col("ce"), col("kl"))).as("__ts"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        expr("aggregate(transform(array_sort(__ts), s -> s.ce), 0.0D," +
+          " (a, x) -> a + x)").as("cross_entropy"),
+        expr("aggregate(transform(array_sort(__ts), s -> s.kl), 0.0D," +
+          " (a, x) -> a + x)").as("kl"))
+  }
+
   /** PII patterns for training-data scrubbing, in application order (most
     * specific first so e.g. the phone pattern never eats an SSN). Each is
     * valid under BOTH Java regex (Spark) and RE2 (DuckDB/Go tooling) — no

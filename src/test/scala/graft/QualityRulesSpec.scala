@@ -76,6 +76,34 @@ class QualityRulesSpec extends AnyFunSuite {
       "another proper sentence with words tonight!")
   }
 
+  test("tokenDivergence matches a hand computation and is " +
+       "partition-invariant") {
+    import spark.implicits._
+    // A: "a a b" (p = 2/3, 1/3); B: "a b b b" (p = 1/4, 3/4);
+    // corpus: a=3, b=4, V=2, T=7; q(a) = 4/9, q(b) = 5/9 (alpha = 1)
+    val df = Seq(("A", "a a b"), ("B", "a b b b")).toDF("g", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextFns.tokenDivergence(d, "g", "text").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+    val got = run(df)
+    val qa = (3 + 1.0) / (7 + 1.0 * 2)
+    val qb = (4 + 1.0) / (7 + 1.0 * 2)
+    val pa = 2.0 / 3; val pb = 1.0 / 3
+    val ceA = (0.0 + -(pa * math.log(qa))) + -(pb * math.log(qb))
+    val klA = (0.0 + pa * math.log(pa / qa)) + pb * math.log(pb / qb)
+    assert(got("A") == ((3L, 2L, ceA, klA)), got("A").toString)
+    val pa2 = 1.0 / 4; val pb2 = 3.0 / 4
+    val ceB = (0.0 + -(pa2 * math.log(qa))) + -(pb2 * math.log(qb))
+    val klB = (0.0 + pa2 * math.log(pa2 / qa)) + pb2 * math.log(pb2 / qb)
+    assert(got("B") == ((4L, 2L, ceB, klB)), got("B").toString)
+    // KL of the corpus against itself-ish: a group matching the corpus
+    // mixture has lower KL than one far from it
+    assert(run(df.repartition(7)) == got,
+      "divergence must be bitwise partition-invariant")
+  }
+
   test("c4Stats page-level flags and the pass case") {
     import spark.implicits._
     def row(t: String) = Seq(t).toDF("text")

@@ -614,7 +614,11 @@ object Dedup {
     * corpus `(id, sig)` table partitioned by append batch (`batch_seq=0`
     * is the build), `<path>/meta` one self-describing row (n, bands, rows,
     * seed, portable). The corpus is shingled exactly once; every future
-    * batch or stream dedups against the frozen signatures in O(batch)
+    * batch or stream dedups against the frozen signatures with O(batch)
+    * shingle/shuffle work plus one scan of the standing signature
+    * relation — k longs per doc, ~1% of corpus bytes, and the scan never
+    * re-shuffles the corpus (the probe side is the small one; AQE
+    * broadcasts it when it fits). Batch appends amortize the scan
     * ([[ingestDedup]], [[dedupeAgainstIndex]],
     * [[graft.streaming.StreamVerbs.streamingIngestDedup]]). Short-doc
     * semantics follow the leaf: the default engine leaf signs docs with
@@ -686,7 +690,10 @@ object Dedup {
     * read-modify-write races, the [[graft.ml.Pq.appendToIvfPqIndex]]
     * layout discipline), and the returned relation derives from the
     * WRITTEN partition, so what the caller sees is exactly what the index
-    * recorded.
+    * recorded. Per-batch cost is O(batch) shingling/shuffle PLUS one scan
+    * of the standing signature relation (slim — k int64s per doc; the
+    * corpus text is never re-read and never shuffled); ProfSpec pins that
+    * per-batch latency stays flat as the index grows across appends.
     */
   def ingestDedup(spark: org.apache.spark.sql.SparkSession, path: String,
                   batch: DataFrame, idCol: String, textCol: String,

@@ -113,4 +113,49 @@ class ProfSpec extends AnyFunSuite {
     println("[prof] simhash bucket stats: " + buckets.agg(
       max("count").as("max"), expr("sum(count*count)").as("joinrows")).head())
   }
+
+  test("ingestDedup per-batch latency stays flat as the index grows " +
+       "(the standing-corpus-ingest evidence)") {
+    assume(sys.env.contains("GRAFT_PROF"), "set GRAFT_PROF=1 to run profiling")
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-prof-mh")
+    try {
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", idx.toString,
+        n = 3, bands = 16, rows = 2)
+      // 12 batches of 500 synthetic novel docs: the index grows 5000 ->
+      // ~11000 signatures across the run; per-batch work must not grow
+      // with it (batch shingling dominates; the standing-sig scan is slim)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def batch(b: Int) = (1 to 500).map { i =>
+        md.reset()
+        val ws = (0 until 4).map(j =>
+          md.digest(s"$b-$i-$j".getBytes("UTF-8"))
+            .flatMap(x => Seq((x >> 4) & 0xf, x & 0xf))
+            .map(n => ('a' + n).toChar).mkString)
+        (b * 100000L + i, ws.mkString(" "))
+      }.toDF("doc_id", "text")
+      val ts = (1 to 12).map { b =>
+        val df = batch(b)
+        val t0 = System.nanoTime()
+        val kept = Dedup.ingestDedup(spark, idx.toString, df, "doc_id",
+          "text", threshold = 0.9).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] ingest batch $b%2d: kept $kept, $dt%.2f s")
+        assert(kept == 500L, s"synthetic batches are all-novel: $kept")
+        dt
+      }
+      val early = ts.slice(2, 5).sum / 3   // skip 2 warmup batches
+      val late = ts.takeRight(3).sum / 3
+      println(f"[prof] ingest per-batch s: early $early%.2f, late $late%.2f")
+      assert(late < early * 2,
+        f"ingest must stay flat as the index grows: $late%.2f vs $early%.2f")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

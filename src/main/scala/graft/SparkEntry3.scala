@@ -822,6 +822,29 @@ object SparkEntry3 {
         .select("doc_id", "lang", "bucket")
     }),
 
+    // CCNet's SERVING shape: perplexity-bucket boundaries trained once on
+    // the even-id half (quantileBoundaries over the rank split), then
+    // EVERY doc assigned by comparison against the frozen cutoffs —
+    // q_ccnet_buckets' rank pipeline replaced by the train/serve split a
+    // production filter actually runs (the streaming sibling is pinned in
+    // StreamingSpec). Bucket = number of boundaries <= the rounded score.
+    "q_ccnet_assign" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val grams = graft.text.Lm.backoffCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
+      val total = graft.text.Lm.tokenTotal(grams)
+      val scored = graft.text.Lm.scoreDocsBackoff(docs, "doc_id", "text",
+          grams, n = 2, totalTokens = total)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), round(col("avg_lp"), 6).as("avg_lp"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val bnd = Scale.quantileBoundaries(
+        scored.filter(col("doc_id") % 2 === 0), Seq("lang"),
+        Seq(col("avg_lp"), col("doc_id")), col("avg_lp"), nBuckets = 3)
+      Scale.assignByBoundaries(scored, Seq("lang"), col("avg_lp"), bnd)
+        .select("doc_id", "lang", "bucket")
+    }),
+
     // Multimodal near-dup end to end: media bytes → stub decode features →
     // semanticDedup — the multimodal layer graduating from schema plumbing
     // to a correctness-checked pipeline stage. Payloads are ASCII doc text
@@ -2213,6 +2236,27 @@ object SparkEntry3 {
         |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS pass
         |FROM r""".stripMargin,
     "q_ccnet_buckets"   -> ccnetBucketsOracleSql(2, nBuckets = 3),
+    // boundary training on the even half (same rank arithmetic as
+    // q_ccnet_buckets), assignment = count of boundaries <= score
+    "q_ccnet_assign"    -> (lmBackoffCoreSql(2) +
+      s""",
+       |sc AS (SELECT d.doc_id, d.lang, round(pd.sum_lp / pd.n_grams, 6)
+       |    AS avg_lp
+       |  FROM documents d JOIN pd ON d.doc_id = pd.doc_id
+       |  WHERE pd.n_grams > 0),
+       |rkt AS (SELECT doc_id, lang, avg_lp,
+       |    row_number() OVER (PARTITION BY lang ORDER BY avg_lp, doc_id)
+       |      AS rk,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM sc WHERE doc_id % 2 = 0),
+       |bd AS (SELECT lang, b, t FROM (
+       |    SELECT lang, ((rk - 1) * 3) // n AS b, min(avg_lp) AS t
+       |    FROM rkt GROUP BY 1, 2) WHERE b >= 1)
+       |SELECT sc.doc_id, sc.lang,
+       |  CAST(coalesce(sum(CASE WHEN bd.t <= sc.avg_lp THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS bucket
+       |FROM sc LEFT JOIN bd ON sc.lang = bd.lang
+       |GROUP BY 1, 2""".stripMargin),
     "q_temp_mix"        ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          |w AS (SELECT lang, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),

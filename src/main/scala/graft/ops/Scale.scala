@@ -353,6 +353,49 @@ object Scale {
       .select((df.columns.map(col) :+ col(outCol)): _*)
   }
 
+  /** The per-group bucket BOUNDARIES of a [[quantileBuckets]] split — the
+    * train-once artifact of quantile bucketing (CCNet's serving shape:
+    * perplexity cutoffs are computed once on a reference corpus, then
+    * every future document is assigned by comparison, never by re-ranking
+    * the corpus). One row per (group, bucket 1..nBuckets−1): the MINIMUM
+    * `valueCol` among the rows the rank split put in that bucket. Assign
+    * new rows with [[assignByBoundaries]]; persist the tiny relation as
+    * parquet for streams and later batches. Note the one semantic seam of
+    * boundary serving: the rank split breaks value ties by `orderCols`'
+    * trailing tie-breakers, so tied-at-the-boundary TRAINING rows can sit
+    * on both sides; assignment by comparison puts every tied future row
+    * in the upper bucket. Groups smaller than nBuckets simply emit fewer
+    * boundaries.
+    */
+  def quantileBoundaries(df: DataFrame, grpCols: Seq[String],
+                         orderCols: Seq[Column], valueCol: Column,
+                         nBuckets: Int): DataFrame = {
+    val b = quantileBuckets(df, grpCols, orderCols, nBuckets, "__qb_b")
+    b.filter(col("__qb_b") >= 1)
+      .groupBy((grpCols.map(col) :+ col("__qb_b").as("bucket")): _*)
+      .agg(min(valueCol).as("boundary"))
+  }
+
+  /** Assign rows to buckets against a frozen [[quantileBoundaries]]
+    * relation: bucket = number of the group's boundaries ≤ the row's
+    * value (0 = below every boundary). One equi-join on the group keys
+    * (the boundary side is (nBuckets−1) rows per group — broadcast-sized
+    * by construction) + one count aggregate; rows of groups with no
+    * boundaries get bucket 0. Exact comparisons on the caller's value —
+    * round it to the cross-engine precision first if it came from a
+    * transcendental ([[graft.text.Lm]] scores round to 6dp).
+    */
+  def assignByBoundaries(df: DataFrame, grpCols: Seq[String],
+                         valueCol: Column, boundaries: DataFrame,
+                         outCol: String = "bucket"): DataFrame = {
+    val bc = org.apache.spark.sql.functions.broadcast(
+      boundaries.select((grpCols.map(col) :+ col("boundary")): _*))
+    df.join(bc, grpCols, "left")
+      .groupBy(df.columns.map(col): _*)
+      .agg(coalesce(sum(when(col("boundary") <= valueCol, 1L)), lit(0L))
+        .as(outCol))
+  }
+
   /** Pack rows into shards of ~`budget` total `sizeCol` (token-budget shard
     * packing for pretraining corpora): shard = floor(exclusive_cumsum /
     * budget) in `orderCols` order. A row straddling a budget boundary stays

@@ -739,6 +739,23 @@ object StreamVerbs {
         idCol, textCol, backoff))
     }
 
+  /** Ingest-time quantile-bucket assignment against a persisted
+    * [[graft.ops.Scale.quantileBoundaries]] artifact — the CCNet serving
+    * shape: the cutoffs were computed ONCE on a reference corpus, and
+    * every arriving row is assigned by comparison against the frozen
+    * boundary relation ([[graft.ops.Scale.assignByBoundaries]] per
+    * micro-batch — broadcast-sized boundary side, no re-ranking, no
+    * state). StreamingSpec pins stream == batch assignment.
+    */
+  def streamingBucketAssign(t: Tbl, grpCols: Seq[String], valueCol: Column,
+                            boundariesPath: String)
+                           (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ops.Scale.assignByBoundaries(batch, grpCols, valueCol,
+        batch.sparkSession.read.parquet(boundariesPath)))
+    }
+
   /** Ingest-time interpolated-KN quality scoring against a persisted
     * [[graft.text.Lm.buildKnModel]] artifact — the Kneser–Ney sibling of
     * [[streamingLmScoreBackoff]]: each micro-batch scores via

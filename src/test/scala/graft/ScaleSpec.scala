@@ -534,6 +534,38 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("quantileBoundaries + assignByBoundaries: frozen cutoffs reproduce " +
+       "the rank split and serve new rows") {
+    import spark.implicits._
+    // group a: values 10..60 over 6 rows, k=3 -> buckets {0,0,1,1,2,2};
+    // boundaries = first value of buckets 1 and 2: 30 and 50.
+    // group b: one row -> no boundaries (fewer rows than buckets)
+    val df = ((1L to 6L).map(i => (i, "a", i * 10.0)) :+ (101L, "b", 7.0))
+      .toDF("id", "g", "x")
+    val bnd = Scale.quantileBoundaries(df, Seq("g"),
+      Seq(col("x"), col("id")), col("x"), nBuckets = 3)
+    val b = bnd.collect().map(r =>
+      (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(b == Map(("a", 1L) -> 30.0, ("a", 2L) -> 50.0), b.toString)
+    // assigning the TRAINING rows by comparison reproduces the rank split
+    // exactly when values are unique
+    val back = Scale.assignByBoundaries(df, Seq("g"), col("x"), bnd)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rank = Scale.quantileBuckets(df, Seq("g"),
+        Seq(col("x"), col("id")), nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(back == rank, s"$back vs $rank")
+    // new rows: strictly-below -> 0, tie-at-boundary -> upper bucket,
+    // between -> 1, above-all -> 2; group with no boundaries -> 0
+    val fresh = Seq((900L, "a", 5.0), (901L, "a", 30.0), (902L, "a", 42.0),
+      (903L, "a", 99.0), (904L, "b", 1000.0)).toDF("id", "g", "x")
+    val asg = Scale.assignByBoundaries(fresh, Seq("g"), col("x"), bnd)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(asg == Map(900L -> 0L, 901L -> 1L, 902L -> 1L, 903L -> 2L,
+      904L -> 0L), asg.toString)
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("temperatureMixEpochs: full-epoch repetition + partial-epoch draw, " +
        "quota identity, degenerate equivalence to temperatureMix") {
     import spark.implicits._

@@ -1030,6 +1030,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got.toMap)
   }
 
+  test("streaming bucket assignment against frozen boundaries == batch") {
+    import spark.implicits._
+    val train = (1L to 6L).map(i => (i, "a", i * 10.0)).toDF("id", "g", "x")
+    val bndPath = Files.createTempDirectory("graft-sba-bnd").toString
+    graft.ops.Scale.quantileBoundaries(train, Seq("g"),
+        Seq(col("x"), col("id")), col("x"), nBuckets = 3)
+      .write.mode("overwrite").parquet(bndPath)
+    val arrivals = Seq((10L, "a", 5.0), (11L, "a", 30.0),
+      (12L, "a", 55.0), (13L, "zzz", 1.0))
+    val dir = Files.createTempDirectory("graft-sba").toFile
+    val ckpt = Files.createTempDirectory("graft-sba-ckpt").toFile
+    arrivals.take(2).toDF("id", "g", "x").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    arrivals.drop(2).toDF("id", "g", "x").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = arrivals.toDF("id", "g", "x").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    val q = StreamVerbs.streamingBucketAssign(Tbl(stream), Seq("g"),
+        col("x"), bndPath) { out =>
+        got.synchronized { out.collect().foreach(r =>
+          got(r.getLong(0)) = r.getLong(3)) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = graft.ops.Scale.assignByBoundaries(
+        arrivals.toDF("id", "g", "x"), Seq("g"), col("x"),
+        spark.read.parquet(bndPath))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.toMap == batch &&
+      batch == Map(10L -> 0L, 11L -> 1L, 12L -> 2L, 13L -> 0L),
+      s"stream $got vs batch $batch")
+  }
+
   test("streaming KN score against the persisted model == batch") {
     import spark.implicits._
     val ref = Seq(

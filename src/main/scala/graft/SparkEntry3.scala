@@ -870,7 +870,69 @@ object SparkEntry3 {
       Dedup.embeddingNearDupPairsBanded(mediaFeats(s, dir), "media_id",
           "fv", dim = MD_DIM, threshold = SEM_THRESHOLD,
           bands = MB_BANDS, rowsPerBand = MB_ROWS)
-        .select("id_a", "id_b"))
+        .select("id_a", "id_b")),
+
+    // Multinomial Naive Bayes classification (the deterministic stand-in
+    // for the fastText lang-id/quality classifiers curation pipelines
+    // train): word counts per class + class stats trained on the even-id
+    // half, every doc scored under every class with add-one smoothing,
+    // prediction = argmax with a class-name tie-break. Counts are exact
+    // integers, ln rounds 6dp both sides, and the per-(doc, class) fold
+    // is position-ordered — the whole train→classify pipeline replays in
+    // DuckDB.
+    "q_nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val wc = graft.text.Classify.nbWordCounts(train, "lang", "text")
+      val stats = graft.text.Classify.nbClassStats(train, "lang", "text")
+        .collect().map(r => (r.getAs[String]("cls"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"))).toSeq
+      val v = graft.text.Classify.nbVocab(wc)
+      graft.text.Classify.nbClassify(docs, "doc_id", "text", wc, stats,
+          vocab = v, totalDocs = stats.map(_._2).sum)
+        .select(col("doc_id"), col("n_toks"), col("pred"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // The SAME classification through the persisted-artifact lifecycle:
+    // buildNbModel writes <path>/{words,classes,meta} once,
+    // classifyFromModel reads the bounded stats back and classifies
+    // against the frozen word relation. Same oracle as q_nb_classify —
+    // persist + classify must be bit-identical to the inline pipeline
+    // (the streaming sibling is pinned in StreamingSpec).
+    "q_nb_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val path = scratchPath(dir, "nb_model")
+      graft.text.Classify.buildNbModel(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "text", path)
+      graft.text.Classify.classifyFromModel(s, path, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_toks"), col("pred"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // Moore–Lewis cross-entropy difference selection (ACL 2010): an
+    // IN-DOMAIN backoff model (English training docs) and a GENERAL model
+    // (all training docs) score every document; ml_score = avg_in −
+    // avg_gen ranks docs by in-domain affinity relative to general
+    // fluency, selected = ml_score > 0 — the classic LM-based
+    // data-selection criterion, composed from two scoreDocsBackoff passes
+    // and one hash join. Zero-gram docs carry NULL scores.
+    "q_moore_lewis" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val inG = graft.text.Lm.backoffCounts(
+        even.filter(col("lang") === "en"), "text", n = 2)
+      val genG = graft.text.Lm.backoffCounts(even, "text", n = 2)
+      val ti = graft.text.Lm.tokenTotal(inG)
+      val tg = graft.text.Lm.tokenTotal(genG)
+      graft.text.Lm.scoreDocsContrast(docs, "doc_id", "text", inG, genG,
+          n = 2, totalIn = ti, totalGen = tg)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("avg_in"), 6).as("avg_in"),
+          round(col("avg_gen"), 6).as("avg_gen"),
+          round(col("avg_in") - col("avg_gen"), 6).as("ml_score"))
+        .withColumn("selected", (col("ml_score") > 0).cast("int"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -995,13 +1057,80 @@ object SparkEntry3 {
     * mirrors [[graft.text.Lm.scoreDocsBackoff]] exactly.
     */
   private def lmBackoffOracleSql(n: Int, backoff: Double = 0.4): String =
-    lmBackoffCoreSql(n, backoff) +
+    "WITH " + lmBackoffCoreSql(n, backoff) +
       s"""
        |SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
        |  round(coalesce(pd.sum_lp, 0.0), 6) AS sum_lp,
        |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** DuckDB replica of `q_nb_classify` / `q_nb_persisted`: the add-one
+    * multinomial NB rebuilt as SQL — (cls, w) counts and class stats over
+    * the even-id training half, per-(doc, class) position-ordered log-
+    * likelihood fold + ln prior, argmax by (score DESC, cls) row_number.
+    * Association order of every float op mirrors
+    * [[graft.text.Classify.nbScoresAll]] exactly (ln of one division per
+    * token, prior + fold as one add); zero-in-vocab-token docs score the
+    * bare prior via the left-join coalesce.
+    */
+  private def nbClassifyOracleSql(trainPred: String): String =
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ts
+       |  FROM documents),
+       |tr AS (SELECT * FROM toks WHERE $trainPred),
+       |tw AS (SELECT lang AS cls, unnest(ts) AS w FROM tr),
+       |wc AS (SELECT cls, w, count(*) AS cnt FROM tw GROUP BY 1, 2),
+       |cs AS (SELECT lang AS cls, count(*) AS n_docs,
+       |    coalesce(sum(len(ts)), 0) AS n_tokens
+       |  FROM tr GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w) AS v FROM tw),
+       |td AS (SELECT count(*) AS n FROM tr),
+       |ex AS (SELECT doc_id, i AS pos, ts[i + 1] AS w
+       |  FROM toks, LATERAL (SELECT unnest(range(0, len(ts))) AS i) ii),
+       |lp AS (SELECT e.doc_id, c.cls, c.n_docs, e.pos,
+       |    ln((coalesce(wc.cnt, 0) + 1.0)
+       |       / (c.n_tokens + (SELECT v FROM vv))) AS lp
+       |  FROM ex e CROSS JOIN cs c
+       |  LEFT JOIN wc ON wc.cls = c.cls AND wc.w = e.w),
+       |pc AS (SELECT doc_id, cls, n_docs, count(*) AS n_toks,
+       |    ln(n_docs / (SELECT n FROM td))
+       |      + list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS score
+       |  FROM lp GROUP BY 1, 2, 3),
+       |allp AS (SELECT d.doc_id, c.cls,
+       |    coalesce(pc.n_toks, 0) AS n_toks,
+       |    coalesce(pc.score, ln(c.n_docs / (SELECT n FROM td))) AS score
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN cs c
+       |  LEFT JOIN pc ON pc.doc_id = d.doc_id AND pc.cls = c.cls),
+       |rk AS (SELECT doc_id, n_toks, cls, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cls) AS rn
+       |  FROM allp)
+       |SELECT doc_id, n_toks, cls AS pred, round(score, 6) AS score
+       |FROM rk WHERE rn = 1""".stripMargin
+
+  /** DuckDB replica of `q_moore_lewis`: two full Stupid Backoff chains
+    * (prefixed CTEs — in-domain trained on even English docs, general on
+    * all even docs) joined per doc; ml_score = the rounded difference of
+    * the unrounded per-doc averages, selection on the rounded score.
+    */
+  private def mooreLewisOracleSql(n: Int): String =
+    "WITH " +
+      lmBackoffCoreSql(n, trainPred = "lang = 'en' AND doc_id % 2 = 0",
+        pfx = "i_") + ",\n" +
+      lmBackoffCoreSql(n, trainPred = "doc_id % 2 = 0", pfx = "g_") +
+      s"""
+       |SELECT d.doc_id, coalesce(i.n_grams, 0) AS n_grams,
+       |  round(i.sum_lp / i.n_grams, 6) AS avg_in,
+       |  round(g.sum_lp / g.n_grams, 6) AS avg_gen,
+       |  round(i.sum_lp / i.n_grams - g.sum_lp / g.n_grams, 6) AS ml_score,
+       |  CAST(round(i.sum_lp / i.n_grams - g.sum_lp / g.n_grams, 6) > 0
+       |    AS INT) AS selected
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN i_pd i USING (doc_id)
+       |LEFT JOIN g_pd g USING (doc_id)""".stripMargin
 
   /** DuckDB replica of `q_minhash_ingest`: the portable-leaf minhash
     * signatures of every doc (SparkEntry2's q_dedup_minhash machinery —
@@ -1183,57 +1312,63 @@ object SparkEntry3 {
   }
 
   /** The shared CTE chain of the Stupid Backoff replays (`q_lm_backoff`,
-    * `q_ccnet_buckets`): everything up through the per-doc `pd(doc_id,
-    * n_grams, sum_lp)` relation — callers append their own final SELECT.
+    * `q_ccnet_buckets`, `q_moore_lewis`): everything up through the
+    * per-doc `${pfx}pd(doc_id, n_grams, sum_lp)` relation — callers
+    * prepend `WITH ` and append their own final SELECT. `trainPred`
+    * filters the training half; `pfx` prefixes every CTE name so TWO
+    * chains (two differently-trained models) can compose in one query
+    * (the Moore–Lewis contrast).
     */
-  private def lmBackoffCoreSql(n: Int, backoff: Double = 0.4): String = {
+  private def lmBackoffCoreSql(n: Int, backoff: Double = 0.4,
+                               trainPred: String = "doc_id % 2 = 0",
+                               pfx: String = ""): String = {
     require(n >= 2, "the oracle's den leg is rendered for n >= 2")
     val bo = backoff.toString
     def bTerm(o: Int): String =
       if (o == n) "" else s" + ${(n - o).toDouble} * ln($bo)"
     def numBranch(o: Int): String = {
-      val den = if (o == 1) "(SELECT n FROM nn)" else s"d$o"
+      val den = if (o == 1) s"(SELECT n FROM ${pfx}nn)" else s"d$o"
       s"WHEN coalesce(n$o, 0) > 0 THEN ln(n$o / $den)${bTerm(o)}"
     }
     val branches = ((n to 1 by -1).map(numBranch) :+
-      s"ELSE ln(1.0 / (SELECT n FROM nn))${bTerm(1)}").mkString("\n    ")
+      s"ELSE ln(1.0 / (SELECT n FROM ${pfx}nn))${bTerm(1)}").mkString("\n    ")
     val pvCols = ((1 to n).map(o =>
       s"max(CASE WHEN role = 'n' AND lvl = $o THEN cnt END) AS n$o") ++
       (2 to n).map(o =>
         s"max(CASE WHEN role = 'd' AND lvl = $o THEN cnt END) AS d$o"))
       .mkString(",\n    ")
-    s"""WITH toks AS (SELECT doc_id,
+    s"""${pfx}toks AS (SELECT doc_id,
        |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
        |      w -> regexp_matches(w, '^[a-z]+$$')) AS ts
        |  FROM documents),
-       |gc AS (SELECT ord, gram, count(*) AS cnt FROM (
+       |${pfx}gc AS (SELECT ord, gram, count(*) AS cnt FROM (
        |    SELECT o AS ord, array_to_string(ts[i - o + 2 : i + 1], ' ') AS gram
-       |    FROM toks,
+       |    FROM ${pfx}toks JOIN documents USING (doc_id),
        |      (SELECT unnest(range(1, ${n + 1})) AS o) oo,
        |      LATERAL (SELECT unnest(range(0, len(ts))) AS i) ii
-       |    WHERE doc_id % 2 = 0 AND i >= o - 1) g
+       |    WHERE ($trainPred) AND i >= o - 1) g
        |  GROUP BY 1, 2),
-       |nn AS (SELECT sum(cnt) AS n FROM gc WHERE ord = 1),
-       |lk AS (SELECT doc_id, i - ${n - 1} AS pos, o AS lvl, 'n' AS role,
+       |${pfx}nn AS (SELECT sum(cnt) AS n FROM ${pfx}gc WHERE ord = 1),
+       |${pfx}lk AS (SELECT doc_id, i - ${n - 1} AS pos, o AS lvl, 'n' AS role,
        |      o AS ord, array_to_string(ts[i - o + 2 : i + 1], ' ') AS gram
-       |    FROM toks,
+       |    FROM ${pfx}toks,
        |      (SELECT unnest(range(1, ${n + 1})) AS o) oo,
        |      LATERAL (SELECT unnest(range(${n - 1}, len(ts))) AS i) ii
        |  UNION ALL
        |  SELECT doc_id, i - ${n - 1} AS pos, o AS lvl, 'd' AS role,
        |      o - 1 AS ord, array_to_string(ts[i - o + 2 : i], ' ') AS gram
-       |    FROM toks,
+       |    FROM ${pfx}toks,
        |      (SELECT unnest(range(2, ${n + 1})) AS o) oo,
        |      LATERAL (SELECT unnest(range(${n - 1}, len(ts))) AS i) ii),
-       |pv AS (SELECT doc_id, pos,
+       |${pfx}pv AS (SELECT doc_id, pos,
        |    $pvCols
-       |  FROM lk LEFT JOIN gc USING (ord, gram) GROUP BY 1, 2),
-       |lp AS (SELECT doc_id, pos, CASE
+       |  FROM ${pfx}lk LEFT JOIN ${pfx}gc USING (ord, gram) GROUP BY 1, 2),
+       |${pfx}lp AS (SELECT doc_id, pos, CASE
        |    $branches END AS lp
-       |  FROM pv),
-       |pd AS (SELECT doc_id, count(*) AS n_grams,
+       |  FROM ${pfx}pv),
+       |${pfx}pd AS (SELECT doc_id, count(*) AS n_grams,
        |    list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS sum_lp
-       |  FROM lp GROUP BY 1)""".stripMargin
+       |  FROM ${pfx}lp GROUP BY 1)""".stripMargin
   }
 
   /** DuckDB replica of `q_ccnet_buckets`: the Stupid Backoff per-doc
@@ -1244,7 +1379,7 @@ object SparkEntry3 {
     * rounded scores.
     */
   private def ccnetBucketsOracleSql(n: Int, nBuckets: Int): String =
-    lmBackoffCoreSql(n) +
+    "WITH " + lmBackoffCoreSql(n) +
       s""",
        |sc AS (SELECT d.doc_id, d.lang, round(pd.sum_lp / pd.n_grams, 6)
        |    AS avg_lp
@@ -2238,7 +2373,7 @@ object SparkEntry3 {
     "q_ccnet_buckets"   -> ccnetBucketsOracleSql(2, nBuckets = 3),
     // boundary training on the even half (same rank arithmetic as
     // q_ccnet_buckets), assignment = count of boundaries <= score
-    "q_ccnet_assign"    -> (lmBackoffCoreSql(2) +
+    "q_ccnet_assign"    -> ("WITH " + lmBackoffCoreSql(2) +
       s""",
        |sc AS (SELECT d.doc_id, d.lang, round(pd.sum_lp / pd.n_grams, 6)
        |    AS avg_lp
@@ -2295,6 +2430,11 @@ object SparkEntry3 {
     "q_media_banded"    -> mediaBandedOracleSql(MD_DIM, MB_BANDS, MB_ROWS,
       seed = 42L, threshold = SEM_THRESHOLD),
     "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,
-                             SEM_THRESHOLD)
+                             SEM_THRESHOLD),
+    "q_nb_classify"     -> nbClassifyOracleSql("doc_id % 2 = 0"),
+    // persist + classify must be bit-identical to the inline pipeline —
+    // same oracle VERBATIM is the claim (the q_lm_persisted discipline)
+    "q_nb_persisted"    -> nbClassifyOracleSql("doc_id % 2 = 0"),
+    "q_moore_lewis"     -> mooreLewisOracleSql(2)
   )
 }

@@ -739,6 +739,25 @@ object StreamVerbs {
         idCol, textCol, backoff))
     }
 
+  /** Ingest-time Naive Bayes classification against a persisted
+    * [[graft.text.Classify.buildNbModel]] artifact — the classifier
+    * sibling of [[streamingLmScoreBackoff]]: the model was trained ONCE
+    * (the fastText-style lang-id/quality-gate shape), and each arriving
+    * micro-batch classifies via [[graft.text.Classify.classifyFromModel]],
+    * bit-identical to batch classification with the same frozen model
+    * (StreamingSpec pins it). foreachBatch, stateless; the word model
+    * joins as a relation (never assumed broadcastable), class stats are a
+    * bounded driver read.
+    */
+  def streamingNbClassify(t: Tbl, idCol: String, textCol: String,
+                          path: String)
+                         (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.text.Classify.classifyFromModel(batch.sparkSession, path,
+        batch, idCol, textCol))
+    }
+
   /** Ingest-time quantile-bucket assignment against a persisted
     * [[graft.ops.Scale.quantileBoundaries]] artifact — the CCNet serving
     * shape: the cutoffs were computed ONCE on a reference corpus, and

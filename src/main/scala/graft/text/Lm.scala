@@ -51,7 +51,7 @@ object Lm {
     * [[Bpe.wordCounts]]'s tokenization (same lower/whitespace/`^[a-z]+$`
     * normalization), kept in document order because scoring is positional.
     */
-  private def tokens(textCol: Column, asciiOnly: Boolean): Column = {
+  private[text] def tokens(textCol: Column, asciiOnly: Boolean): Column = {
     val ws = filter(split(trim(lower(textCol)), "\\s+"), w => w =!= "")
     if (asciiOnly) filter(ws, w => w.rlike("^[a-z]+$")) else ws
   }
@@ -587,6 +587,37 @@ object Lm {
     spark.range(1)
       .select(lit(n).as("n"), lit(total).as("total_tokens"))
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Moore–Lewis cross-entropy difference scoring (Moore & Lewis,
+    * "Intelligent selection of language model training data", ACL 2010) —
+    * the classic data-selection criterion: score every document under an
+    * IN-DOMAIN model and a GENERAL model (both Stupid Backoff at the same
+    * n, so tokenization and gram positions agree exactly) and rank by
+    *
+    *   ml_score = avg_lp_in − avg_lp_gen
+    *
+    * (higher = more in-domain-like relative to its general-corpus
+    * fluency; Moore–Lewis select ml_score above a threshold). Two
+    * [[scoreDocsBackoff]] passes + one hash equi-join on the id — the doc
+    * corpus streams twice, each model joins as a relation, and both
+    * per-doc folds are position-ordered so the difference is bitwise
+    * partition-invariant. Output: (idCol, n_grams, avg_in, avg_gen),
+    * unrounded — callers round to the cross-engine 6dp (q_moore_lewis)
+    * and derive ml_score/selection. Zero-gram docs carry NULL avgs.
+    */
+  def scoreDocsContrast(docs: DataFrame, idCol: String, textCol: String,
+                        inGrams: DataFrame, genGrams: DataFrame, n: Int,
+                        totalIn: Long, totalGen: Long,
+                        backoff: Double = 0.4,
+                        asciiOnly: Boolean = true): DataFrame = {
+    val si = scoreDocsBackoff(docs, idCol, textCol, inGrams, n, totalIn,
+        backoff, asciiOnly)
+      .select(col(idCol), col("n_grams"), col("avg_lp").as("avg_in"))
+    val sg = scoreDocsBackoff(docs, idCol, textCol, genGrams, n, totalGen,
+        backoff, asciiOnly)
+      .select(col(idCol), col("avg_lp").as("avg_gen"))
+    si.join(sg, Seq(idCol))
   }
 
   /** Score documents against a persisted [[buildBackoffModel]] artifact:

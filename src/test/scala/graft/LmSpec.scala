@@ -364,4 +364,36 @@ class LmSpec extends AnyFunSuite {
     val b = run(docs.repartition(13))
     assert(a == b, "scores must be bitwise partition-invariant")
   }
+
+  test("Moore-Lewis contrast separates in-domain from out-of-domain docs") {
+    import spark.implicits._
+    // in-domain model: color text only; general model: colors + animals.
+    // The domains SHARE the function word "the" — essential: Stupid
+    // Backoff scores seen n-grams by pure count RATIOS, which disjoint
+    // extra text cannot change (cnt(red the)/cnt(red) is identical in
+    // both models), so a contrast only appears at contexts whose counts
+    // the general corpus inflates: P(green|the) dilutes in the general
+    // model because animals also follow "the" -> color docs get
+    // ml_score > 0. Animal words are OOV in the in-domain model (the
+    // 0.4^(n-1)/N floor) -> animal docs get ml_score < 0.
+    val colors = Seq(
+      (1L, "red the green the blue"),
+      (2L, "blue the red the green"),
+      (3L, "green the blue the red")).toDF("doc_id", "text")
+    val animals = Seq(
+      (4L, "dog the cat the cow"),
+      (5L, "cat the cow the dog")).toDF("doc_id", "text")
+    val inG = Lm.backoffCounts(colors, "text", n = 2)
+    val genG = Lm.backoffCounts(colors.union(animals), "text", n = 2)
+    val got = Lm.scoreDocsContrast(
+        colors.union(animals), "doc_id", "text", inG, genG, n = 2,
+        totalIn = Lm.tokenTotal(inG), totalGen = Lm.tokenTotal(genG))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2) - r.getDouble(3))).toMap
+    assert(got.size == 5)
+    Seq(1L, 2L, 3L).foreach(id =>
+      assert(got(id) > 0, s"in-domain doc $id ml=${got(id)}"))
+    Seq(4L, 5L).foreach(id =>
+      assert(got(id) < 0, s"out-of-domain doc $id ml=${got(id)}"))
+  }
 }

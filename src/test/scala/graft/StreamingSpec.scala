@@ -855,6 +855,45 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $got vs batch $batch")
   }
 
+  test("streaming NB classification against the persisted model == batch") {
+    import spark.implicits._
+    val ref = Seq(
+      ("news", "the election results are in today"),
+      ("news", "the markets closed higher today"),
+      ("sport", "the team won the cup final"),
+      ("sport", "a late goal won the match")).toDF("cls", "text")
+    val model = Files.createTempDirectory("graft-snb-model").toString
+    graft.text.Classify.buildNbModel(ref, "cls", "text", model)
+    val arrivals = Seq(
+      (10L, "the election results today"), (11L, "the team won the match"),
+      (12L, "entirely unseen words here"), (13L, "42"))
+    val dir = Files.createTempDirectory("graft-snb").toFile
+    val ckpt = Files.createTempDirectory("graft-snb-ckpt").toFile
+    arrivals.take(2).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    arrivals.drop(2).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = arrivals.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map.empty[Long, (Long, String, Double)]
+    val q = StreamVerbs.streamingNbClassify(Tbl(stream), "doc_id",
+        "text", model) { out =>
+        got.synchronized { out.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getLong(1), r.getString(2),
+            r.getDouble(3))) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = graft.text.Classify.classifyFromModel(spark, model,
+        arrivals.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getDouble(3)))).toMap
+    assert(got.toMap == batch && batch.size == 4,
+      s"stream $got vs batch $batch")
+  }
+
   test("streaming IVF-PQ probe == batch index probe (persisted index, " +
        "per-micro-batch routing)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -910,6 +910,30 @@ object SparkEntry3 {
           round(col("score"), 6).as("score"))
     }),
 
+    // Linear-probe regression (the FineWeb-Edu shape): OLS via exact-
+    // integer normal equations — ONE Gram aggregate over the even-id
+    // training half (all sums exact BIGINT), Cramer's-rule solve as a
+    // fixed double-arithmetic DAG on that single row, then a map-only
+    // scoring pass over every doc with the 1-row weights broadcast.
+    // Features: ascii token count + n_chars predicting the distinct-token
+    // count. Train-half sums, determinants, and the prediction fold all
+    // replay bit-for-bit in DuckDB (integers are portable; the double DAG
+    // is association-identical).
+    "q_linear_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+        w => w.rlike("^[a-z]+$"))
+      val f = docs.select(col("doc_id"),
+        size(toks).as("x1"), col("n_chars").as("x2"),
+        size(array_distinct(toks)).cast("long").as("y"))
+      val w = graft.ml.Regress.fitOls(
+        f.filter(col("doc_id") % 2 === 0), "y", Seq("x1", "x2"))
+      graft.ml.Regress.predict(f, w, Seq("x1", "x2"), Some("y"))
+        .select(col("doc_id"), col("y"),
+          round(col("pred"), 6).as("pred"),
+          round(col("resid"), 6).as("resid"))
+    }),
+
     // Moore–Lewis cross-entropy difference selection (ACL 2010): an
     // IN-DOMAIN backoff model (English training docs) and a GENERAL model
     // (all training docs) score every document; ml_score = avg_in −
@@ -1110,6 +1134,63 @@ object SparkEntry3 {
        |  FROM allp)
        |SELECT doc_id, n_toks, cls AS pred, round(score, 6) AS score
        |FROM rk WHERE rn = 1""".stripMargin
+
+  /** SQL mirror of [[graft.ml.Regress]]'s Laplace expansion: same
+    * first-row expansion, same left-to-right alternating-sign fold, same
+    * `cell * (minor)` multiplication shape — the double DAG must be
+    * association-identical for the replica to hash-match.
+    */
+  private def detSql(m: Seq[Seq[String]]): String =
+    if (m.size == 1) m(0)(0)
+    else {
+      val terms = m(0).indices.map { j =>
+        val minor = m.tail.map(row =>
+          row.zipWithIndex.collect { case (c, i) if i != j => c })
+        // a size->=2 minor's fold is already outer-parenthesized; a size-1
+        // minor is a bare cell — either way `cell * inner` parses right
+        s"${m(0)(j)} * ${detSql(minor)}"
+      }
+      terms.zipWithIndex.tail.foldLeft(terms.head) { case (acc, (t, j)) =>
+        if (j % 2 == 1) s"($acc - $t)" else s"($acc + $t)"
+      }
+    }
+
+  /** DuckDB replica of `q_linear_probe`: the same feature projection,
+    * exact-integer Gram sums over the training half (DuckDB's HUGEINT
+    * sums cast to DOUBLE exactly — all values are far below 2^53), the
+    * [[detSql]] Cramer solve, and the left-fold prediction. */
+  private def linearProbeOracleSql: String = {
+    val toks = "list_filter(regexp_split_to_array(trim(lower(text)), " +
+      "'\\s+'), w -> regexp_matches(w, '^[a-z]+$'))"
+    val a = (0 to 2).map(i => (0 to 2).map { j =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      s"CAST(s_${lo}_$hi AS DOUBLE)"
+    })
+    val b = (0 to 2).map(i => s"CAST(b_$i AS DOUBLE)")
+    val dt = detSql(a)
+    val ws = (0 to 2).map { k =>
+      val ak = (0 to 2).map(i =>
+        (0 to 2).map(j => if (j == k) b(i) else a(i)(j)))
+      s"CASE WHEN ($dt) <> 0.0 THEN (${detSql(ak)}) / ($dt) END AS w_$k"
+    }.mkString(",\n    ")
+    s"""WITH f AS (SELECT doc_id,
+       |    len($toks) AS x1,
+       |    n_chars AS x2,
+       |    len(list_distinct($toks)) AS y
+       |  FROM documents),
+       |g AS (SELECT count(*) AS s_0_0, sum(x1) AS s_0_1, sum(x2) AS s_0_2,
+       |    sum(x1 * x1) AS s_1_1, sum(x1 * x2) AS s_1_2,
+       |    sum(x2 * x2) AS s_2_2,
+       |    sum(y) AS b_0, sum(x1 * y) AS b_1, sum(x2 * y) AS b_2
+       |  FROM f WHERE doc_id % 2 = 0),
+       |w AS (SELECT
+       |    $ws
+       |  FROM g)
+       |SELECT doc_id, y,
+       |  round(w_0 + x1 * w_1 + x2 * w_2, 6) AS pred,
+       |  round(y - (w_0 + x1 * w_1 + x2 * w_2), 6) AS resid
+       |FROM f CROSS JOIN w""".stripMargin
+  }
 
   /** DuckDB replica of `q_moore_lewis`: two full Stupid Backoff chains
     * (prefixed CTEs — in-domain trained on even English docs, general on
@@ -2431,6 +2512,7 @@ object SparkEntry3 {
       seed = 42L, threshold = SEM_THRESHOLD),
     "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,
                              SEM_THRESHOLD),
+    "q_linear_probe"    -> linearProbeOracleSql,
     "q_nb_classify"     -> nbClassifyOracleSql("doc_id % 2 = 0"),
     // persist + classify must be bit-identical to the inline pipeline —
     // same oracle VERBATIM is the claim (the q_lm_persisted discipline)

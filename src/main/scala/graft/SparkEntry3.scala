@@ -934,6 +934,34 @@ object SparkEntry3 {
           round(col("resid"), 6).as("resid"))
     }),
 
+    // Quality-aware canonical resolve: same exact-Jaccard pair generation
+    // as q_dedup_resolve, but each duplicate cluster keeps its LONGEST
+    // member (n_chars desc, doc_id tie-break) instead of the smallest id —
+    // the survivor policy real pipelines want (keep the best copy of a
+    // mirrored page, not the earliest-crawled). Winner election is a
+    // per-cluster window; clusters are small by construction.
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Dedup.keepCanonicalBy(docs, "doc_id", pairs, col("n_chars"))
+        .select("doc_id", "lang", "n_chars")
+    }),
+
+    // Corpus snapshot diff — the versioning primitive for incremental
+    // re-curation: v1 drops the %13 ids, v2 drops the %17 ids and revises
+    // the %11 texts, so all four statuses (added / removed / changed /
+    // unchanged) have real members. Two map-only fingerprint projections
+    // + one full-outer hash join on the id; only (id, md5) shuffles.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val v1 = docs.filter(col("doc_id") % 13 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      Scale.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+    }),
+
     // Moore–Lewis cross-entropy difference selection (ACL 2010): an
     // IN-DOMAIN backoff model (English training docs) and a GENERAL model
     // (all training docs) score every document; ml_score = avg_in −
@@ -2513,6 +2541,52 @@ object SparkEntry3 {
     "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,
                              SEM_THRESHOLD),
     "q_linear_probe"    -> linearProbeOracleSql,
+    // q_dedup_resolve's pair/CC chain with the winner election swapped:
+    // per-cluster argmax by (n_chars DESC, id) instead of min id
+    "q_dedup_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |    FROM documents),
+        |  sh0 AS (SELECT doc_id, unnest(list_distinct(
+        |      CASE WHEN len(w) >= 3 THEN
+        |        list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END)) AS g
+        |    FROM toks),
+        |  sh AS (SELECT sh0.* FROM sh0
+        |    JOIN (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 1000) ok USING (g)),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |  prs AS (SELECT id_a, id_b FROM (
+        |      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+        |    JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+        |  edges AS (SELECT id_a AS s, id_b AS d FROM prs
+        |            UNION SELECT id_b, id_a FROM prs),
+        |  reach(id, r) AS (SELECT s, s FROM edges
+        |    UNION SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+        |  lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1),
+        |  mem AS (SELECT l.id, l.lbl, d.n_chars
+        |    FROM lab l JOIN documents d ON d.doc_id = l.id),
+        |  win AS (SELECT id FROM (
+        |      SELECT id, row_number() OVER (PARTITION BY lbl
+        |        ORDER BY n_chars DESC, id) AS rn FROM mem)
+        |    WHERE rn = 1)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM mem)
+        |   OR doc_id IN (SELECT id FROM win)""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id,
+        |    md5(text || chr(1) || lang || chr(1) || source) AS fp
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END
+        |        || chr(1) || lang || chr(1) || source) AS fp
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.fp = v2.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
     "q_nb_classify"     -> nbClassifyOracleSql("doc_id % 2 = 0"),
     // persist + classify must be bit-identical to the inline pipeline —
     // same oracle VERBATIM is the claim (the q_lm_persisted discipline)

@@ -939,6 +939,33 @@ object Dedup {
     df.join(dupes, df(idCol) === col("__dup_id"), "left_anti")
   }
 
+  /** Resolve near-dup clusters keeping the PREFERRED member per cluster —
+    * the quality-aware survivor policy real pipelines want (keep the
+    * longest / highest-quality-score copy of a mirrored page, not the one
+    * with the smallest crawl id): winner = max `pref`, ties to min id so
+    * the survivor set is a total function of the pair table. `pref` is
+    * any expression over `df`'s columns (length, quality score, recency).
+    *
+    * Scale shape: [[connectedComponents]] labels only ids that appear in
+    * `pairs`; the winner election is a row_number window PARTITIONED BY
+    * cluster label (duplicate clusters are small by construction — hash
+    * partitioned, no global sort), and the final keep is one anti-join of
+    * the losers against the corpus. Rows in no cluster survive untouched.
+    */
+  def keepCanonicalBy(df: DataFrame, idCol: String, pairs: DataFrame,
+                      pref: Column): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val members = df.select(col(idCol).as("__kid"), pref.as("__pref"))
+      .join(labels, col("__kid") === col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("__pref").desc, col("__kid").asc)
+    val losers = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col("__kid").as("__dup_id"))
+    df.join(losers, df(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** Leakage-safe train/heldout split: rows are assigned by their near-dup
     * CLUSTER, not individually, so a duplicate pair can never straddle the
     * boundary — the split-time answer to train/eval contamination through

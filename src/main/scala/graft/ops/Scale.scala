@@ -181,6 +181,32 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Corpus snapshot diff — the versioning primitive behind incremental
+    * re-curation (what changed between crawl N and crawl N+1 decides what
+    * re-enters the pipeline): every id is classified `added` (new only),
+    * `removed` (old only), `changed` (both, content fingerprint differs),
+    * or `unchanged`. The fingerprint is the portable md5 of the content
+    * columns joined with a U+0001 separator (multi-column safe; the same
+    * leaf the dedup oracles replay), so the diff itself is deterministic
+    * and engine-reproducible.
+    *
+    * Scale shape: two map-only fingerprint projections + ONE hash
+    * full-outer equi-join on the id — each snapshot is scanned once and
+    * only (id, fingerprint) shuffles, never the content.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "need at least one content column")
+    def fp(df: DataFrame, side: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001", contentCols.map(col): _*)).as(s"__fp_$side"))
+    fp(oldDf, "o").join(fp(newDf, "n"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_o").isNull, lit("added"))
+          .when(col("__fp_n").isNull, lit("removed"))
+          .when(col("__fp_o") === col("__fp_n"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Exact INCLUSIVE global cumulative sum of `valueCol` in `orderCols`
     * order, without the single-reducer `Window.orderBy(...)` trap: the naive
     * unpartitioned window funnels 100 TB through one task. Standard two-phase

@@ -404,4 +404,38 @@ class MiscSpec extends AnyFunSuite {
     assert(out.select(max("mx")).head().getInt(0) == 5)
     assert(out.where(col("g") === "b").head().getInt(2) == 5) // global, not per-group
   }
+
+  test("keepCanonicalBy keeps the preferred cluster member; ties to min id") {
+    import spark.implicits._
+    // cluster {1,2,3} (chained pairs), cluster {10,11} tied on pref,
+    // singleton 20 untouched
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (20L, 1L)).toDF("id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = graft.ml.Dedup.keepCanonicalBy(docs, "id", pairs,
+        col("quality"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 10L, 20L), kept.toString)
+    // contrast: min-id policy keeps 1, not the best-quality 2
+    val minId = graft.ml.Dedup.keepCanonical(docs, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 10L, 20L), minId.toString)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; " +
+       "multi-column fingerprint is separator-safe") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
+      (5L, "ab", "c")).toDF("id", "t", "s")
+    val v2 = Seq((1L, "a", "x"), (2L, "B", "y"), (4L, "d", "w"),
+      (5L, "a", "bc")).toDF("id", "t", "s")
+    val got = graft.ops.Scale.snapshotDiff(v1, v2, "id", Seq("t", "s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 5: ("ab","c") vs ("a","bc") — naive concat would collide; the
+    // U+0001 separator must keep them distinct
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed"), got.toString)
+    assertThrows[IllegalArgumentException](
+      graft.ops.Scale.snapshotDiff(v1, v2, "id", Seq.empty))
+  }
 }

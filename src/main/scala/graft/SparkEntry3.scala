@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Scale, Sketch}
-import graft.ml.Dedup
+import graft.ml.{Dedup, Similarity}
 
 /** SparkEntry part 3 (round 9 additions): sketch-based frequency triage,
   * deterministic weighted corpus sampling, Z-order data layout, semantic
@@ -934,6 +934,48 @@ object SparkEntry3 {
           round(col("resid"), 6).as("resid"))
     }),
 
+    // Johnson-Lindenstrauss random projection in front of exact ranking:
+    // embeddings reduce 64 -> 16 dims with deterministic Gaussian planes
+    // (one map-only codegen'd pass), then brute-force cosine top-3 runs in
+    // the REDUCED space — the dot-product cost of every downstream pass
+    // drops 4x while JL bounds the cosine distortion (recall vs the
+    // full-dim ranking is pinned in MiscSpec). Projection, cosines, and
+    // ranks all replay bitwise in DuckDB via plane literals.
+    "q_rand_proj" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val red = Similarity.randomProjection(emb, "vec_id", "embedding",
+        dim = 64, outDim = 16, seed = 7L)
+      val queries = red.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(red, queries, k = 3,
+          idCol = "vec_id", vecCol = "rvec")
+        .select(col("query_id"), col("item_id"),
+          col("rk").cast("long").as("rk"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // The SAME probe through the persisted-artifact lifecycle: fit once,
+    // saveModel writes the 1-row weights, predictFromModel scores against
+    // the frozen parquet. Same oracle as q_linear_probe — persist + score
+    // must be bit-identical to the inline fit (the streaming sibling is
+    // pinned in StreamingSpec).
+    "q_probe_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+        w => w.rlike("^[a-z]+$"))
+      val f = docs.select(col("doc_id"),
+        size(toks).as("x1"), col("n_chars").as("x2"),
+        size(array_distinct(toks)).cast("long").as("y"))
+      val path = scratchPath(dir, "probe_model")
+      graft.ml.Regress.saveModel(graft.ml.Regress.fitOls(
+        f.filter(col("doc_id") % 2 === 0), "y", Seq("x1", "x2")), path)
+      graft.ml.Regress.predictFromModel(s, path, f, Seq("x1", "x2"),
+          Some("y"))
+        .select(col("doc_id"), col("y"),
+          round(col("pred"), 6).as("pred"),
+          round(col("resid"), 6).as("resid"))
+    }),
+
     // Quality-aware canonical resolve: same exact-Jaccard pair generation
     // as q_dedup_resolve, but each duplicate cluster keeps its LONGEST
     // member (n_chars desc, doc_id tie-break) instead of the smallest id —
@@ -1218,6 +1260,34 @@ object SparkEntry3 {
        |  round(w_0 + x1 * w_1 + x2 * w_2, 6) AS pred,
        |  round(y - (w_0 + x1 * w_1 + x2 * w_2), 6) AS resid
        |FROM f CROSS JOIN w""".stripMargin
+  }
+
+  /** DuckDB replica of `q_rand_proj`: the reduced vectors rebuilt from the
+    * SAME plane literals (list_dot_product folds left-to-right exactly
+    * like the DotProduct codegen — the q_ann_bruteforce device), then the
+    * brute-force cosine ranking in the reduced space.
+    */
+  private def randProjOracleSql(dim: Int, outDim: Int, seed: Long,
+                                k: Int): String = {
+    val ps = Similarity.planes(dim, outDim, seed)
+    val rvec = ps.map { p =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"list_dot_product(v, ${lits}::DOUBLE[])"
+    }.mkString("[\n      ", ",\n      ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |r AS (SELECT vec_id, $rvec AS rv FROM e),
+       |q AS (SELECT vec_id AS query_id, rv AS qv FROM r WHERE vec_id < 10),
+       |scored AS (SELECT q.query_id, r.vec_id AS item_id,
+       |    list_dot_product(r.rv, q.qv)
+       |      / (sqrt(list_dot_product(r.rv, r.rv))
+       |         * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+       |  FROM r CROSS JOIN q WHERE r.vec_id <> q.query_id),
+       |rk AS (SELECT query_id, item_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, item_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, item_id, rk, round(cosine, 6) AS cosine
+       |FROM rk WHERE rk <= $k""".stripMargin
   }
 
   /** DuckDB replica of `q_moore_lewis`: two full Stupid Backoff chains
@@ -2541,6 +2611,9 @@ object SparkEntry3 {
     "q_semantic_dedup"  -> semanticDedupOracleSql(SEM_K, SEM_ITERS,
                              SEM_THRESHOLD),
     "q_linear_probe"    -> linearProbeOracleSql,
+    // persist + score must be bit-identical to the inline fit — same
+    // oracle VERBATIM is the claim (the q_lm_persisted discipline)
+    "q_probe_persisted" -> linearProbeOracleSql,
     // q_dedup_resolve's pair/CC chain with the winner election swapped:
     // per-cluster argmax by (n_chars DESC, id) instead of min id
     "q_dedup_best" ->
@@ -2591,6 +2664,8 @@ object SparkEntry3 {
     // persist + classify must be bit-identical to the inline pipeline —
     // same oracle VERBATIM is the claim (the q_lm_persisted discipline)
     "q_nb_persisted"    -> nbClassifyOracleSql("doc_id % 2 = 0"),
-    "q_moore_lewis"     -> mooreLewisOracleSql(2)
+    "q_moore_lewis"     -> mooreLewisOracleSql(2),
+    "q_rand_proj"       -> randProjOracleSql(dim = 64, outDim = 16,
+      seed = 7L, k = 3)
   )
 }

@@ -98,6 +98,24 @@ object Regress {
     g.select(ws :+ dt.as("det"): _*)
   }
 
+  /** Persist a fitted model (the [[fitOls]] 1-row relation, weights +
+    * det) as a parquet artifact: fit ONCE — the only corpus pass — and
+    * every future batch or stream scores against the frozen row
+    * ([[predictFromModel]],
+    * [[graft.streaming.StreamVerbs.streamingProbeScore]]).
+    */
+  def saveModel(weights: DataFrame, path: String): Unit =
+    weights.write.mode("overwrite").parquet(path)
+
+  /** Score against a persisted [[saveModel]] artifact — bit-identical to
+    * scoring with the in-memory fit (RegressSpec pins it); the 1-row
+    * weights relation broadcasts, the scan stays map-only.
+    */
+  def predictFromModel(spark: org.apache.spark.sql.SparkSession,
+                       path: String, df: DataFrame, xCols: Seq[String],
+                       yCol: Option[String] = None): DataFrame =
+    predict(df, spark.read.parquet(path), xCols, yCol)
+
   /** Score rows against a fitted model: pred = w₀ + x₁·w₁ + … + x_d·w_d
     * (left-fold order — the fixed association the replica mirrors), plus
     * `resid` when `yCol` is given. The 1-row weights broadcast; the scan

@@ -59,6 +59,24 @@ object Similarity {
       element_at(hyperplaneSigsCol(col(vecCol), dim, nPlanes, 1, seed), 1).as("sig"))
   }
 
+  /** Johnson–Lindenstrauss-style random projection: reduce `vecCol` from
+    * `dim` to `outDim` dimensions with the deterministic Gaussian planes
+    * ([[planes]] — the same generator the LSH signatures interpolate), so
+    * downstream ANN/dedup passes pay `outDim/dim` of the dot-product cost
+    * while cosines distort by the JL bound. rvec[j] = ⟨vec, plane_j⟩, one
+    * codegen'd map-only pass, no shuffle; every dot folds left-to-right
+    * (the DotProduct discipline), so the reduced vectors — and everything
+    * ranked on them — replay bitwise in DuckDB (q_rand_proj).
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim >= 1 && outDim <= dim,
+      "need 1 <= outDim <= dim (projection reduces)")
+    val ps = planes(dim, outDim, seed)
+    val rv = array(ps.map(p => dot(col(vecCol), lit(p.toArray))): _*)
+    df.select(col(idCol), rv.as("rvec"))
+  }
+
   /** Exact top-k by cosine for each query against the whole corpus.
     * Queries are broadcast (small side); the corpus streams — one pass, no
     * shuffle of the corpus. O(|corpus| * |queries|) compute: the ground

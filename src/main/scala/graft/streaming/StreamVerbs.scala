@@ -758,6 +758,23 @@ object StreamVerbs {
         batch, idCol, textCol))
     }
 
+  /** Ingest-time linear-probe scoring against a persisted
+    * [[graft.ml.Regress.saveModel]] artifact — the FineWeb-Edu serving
+    * shape: the probe was fit ONCE on a reference corpus, and each
+    * arriving micro-batch is scored map-only with the frozen 1-row
+    * weights broadcast ([[graft.ml.Regress.predictFromModel]] per batch),
+    * bit-identical to batch scoring (StreamingSpec pins it). foreachBatch,
+    * stateless.
+    */
+  def streamingProbeScore(t: Tbl, path: String, xCols: Seq[String],
+                          yCol: Option[String] = None)
+                         (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Regress.predictFromModel(batch.sparkSession, path,
+        batch, xCols, yCol))
+    }
+
   /** Ingest-time quantile-bucket assignment against a persisted
     * [[graft.ops.Scale.quantileBoundaries]] artifact — the CCNet serving
     * shape: the cutoffs were computed ONCE on a reference corpus, and

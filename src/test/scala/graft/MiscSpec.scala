@@ -405,6 +405,35 @@ class MiscSpec extends AnyFunSuite {
     assert(out.where(col("g") === "b").head().getInt(2) == 5) // global, not per-group
   }
 
+  test("random projection preserves planted near-duplicate ranking (JL)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val pert = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(1.001) + lit(0.0001)))
+    val both = emb.unionByName(pert)
+    // isotropic-noise top-k is NOT preserved under projection (neighbor
+    // gaps are below the JL distortion — measured recall@3 is ~0.1 at
+    // outDim=16 on this corpus); near-identical vectors ARE: the planted
+    // copy's cosine ~1 dominates by far more than the distortion, so it
+    // must stay the top-1 neighbor even at an 8x reduction
+    for (outDim <- Seq(8, 16)) {
+      val red = Similarity.randomProjection(both, "vec_id", "embedding",
+        dim = 64, outDim = outDim, seed = 7L)
+      val queries = red.filter(
+        col("vec_id") >= 1000000L && col("vec_id") < 1000050L)
+      val top = Similarity.bruteForceTopK(red, queries, k = 1,
+        idCol = "vec_id", vecCol = "rvec")
+      val hits = top
+        .filter(col("item_id") === col("query_id") - 1000000L).count()
+      assert(hits >= 48L, s"outDim=$outDim planted top-1 hits $hits/50")
+    }
+    assertThrows[IllegalArgumentException](
+      Similarity.randomProjection(emb, "vec_id", "embedding", 64, 0))
+    assertThrows[IllegalArgumentException](
+      Similarity.randomProjection(emb, "vec_id", "embedding", 64, 65))
+  }
+
   test("keepCanonicalBy keeps the preferred cluster member; ties to min id") {
     import spark.implicits._
     // cluster {1,2,3} (chained pairs), cluster {10,11} tied on pref,

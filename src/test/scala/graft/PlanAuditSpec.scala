@@ -63,6 +63,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // (tidyr::expand) — the cross join is the operator, and its inputs are
     // distinct-value dimension tables, not data rows.
     val expandCross = Set("nested_loop_join")
+    // the persisted 1-row model artifact: q_linear_probe's weight ride is
+    // auto-exempt (its build side IS the scalar Gram aggregate), but the
+    // persisted twin reads the same single row back from parquet, where
+    // the auditor can no longer see the bound — reviewed: the artifact is
+    // one row by construction (Regress.fitOls aggregates ungrouped)
+    val modelBroadcast = Set("nested_loop_join")
     // (q_pq_topk and q_semantic_dedup need NO entry: their centroid joins
     // carry an equi key — `sub` / `cluster` — so they plan as hash joins)
     Map(
@@ -71,6 +77,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_pq_ivf"              -> centroidBroadcast, // the coarse route() leg
       "q_pq_refine"           -> centroidBroadcast, // same route() leg under the refine
       "q_ann_bruteforce"      -> bruteForce,
+      "q_rand_proj"           -> bruteForce, // exact ranking in the reduced space
+      "q_probe_persisted"     -> modelBroadcast,
       "q_hybrid_rrf"          -> bruteForce, // its semantic leg is bruteForceTopK
       "q_expand_complete"     -> expandCross,
       "q_pivot_wider_idexpand" -> expandCross

@@ -66,6 +66,26 @@ class RegressSpec extends AnyFunSuite {
       "integer sums must make the fit partition-invariant")
   }
 
+  test("persisted model scoring == inline, bit-identical") {
+    import spark.implicits._
+    val rows = for (i <- 1L to 120L) yield
+      (i, (i * 11) % 29, (i * 17) % 13, (i * 5) % 41)
+    val df = rows.toDF("id", "x1", "x2", "y")
+    val fit = Regress.fitOls(df.filter(col("id") % 2 === 0), "y",
+      Seq("x1", "x2"))
+    val inline = Regress.predict(df, fit, Seq("x1", "x2"), Some("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-probe-model").toString
+    Regress.saveModel(fit, path)
+    val persisted = Regress.predictFromModel(spark, path, df,
+        Seq("x1", "x2"), Some("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    assert(persisted == inline && inline.size == 120)
+  }
+
   test("singular design yields NULL weights, not a throw") {
     import spark.implicits._
     // x2 = 2*x1: collinear -> det 0

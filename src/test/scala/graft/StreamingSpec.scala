@@ -855,6 +855,41 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $got vs batch $batch")
   }
 
+  test("streaming linear-probe scoring against the persisted model == batch") {
+    import spark.implicits._
+    val ref = (1L to 60L).map(i => (i, (i * 7) % 19, (i * 3) % 11,
+      (i * 13) % 23)).toDF("id", "x1", "x2", "y")
+    val model = Files.createTempDirectory("graft-sprobe-model").toString
+    graft.ml.Regress.saveModel(
+      graft.ml.Regress.fitOls(ref, "y", Seq("x1", "x2")), model)
+    val arrivals = Seq((100L, 3L, 4L, 9L), (101L, 8L, 1L, 2L),
+      (102L, 0L, 0L, 0L), (103L, 18L, 10L, 22L))
+    val dir = Files.createTempDirectory("graft-sprobe").toFile
+    val ckpt = Files.createTempDirectory("graft-sprobe-ckpt").toFile
+    arrivals.take(2).toDF("id", "x1", "x2", "y").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    arrivals.drop(2).toDF("id", "x1", "x2", "y").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = arrivals.toDF("id", "x1", "x2", "y").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map.empty[Long, (Double, Double)]
+    val q = StreamVerbs.streamingProbeScore(Tbl(stream), model,
+        Seq("x1", "x2"), Some("y")) { out =>
+        got.synchronized { out.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getDouble(4), r.getDouble(5))) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = graft.ml.Regress.predictFromModel(spark, model,
+        arrivals.toDF("id", "x1", "x2", "y"), Seq("x1", "x2"), Some("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.toMap == batch && batch.size == 4,
+      s"stream $got vs batch $batch")
+  }
+
   test("streaming NB classification against the persisted model == batch") {
     import spark.implicits._
     val ref = Seq(

@@ -934,6 +934,36 @@ object SparkEntry3 {
           round(col("resid"), 6).as("resid"))
     }),
 
+    // The INCREMENTAL ADMISSION chain — what a standing corpus actually
+    // runs on every arriving crawl batch, end to end: (1) Gopher quality
+    // gate (docs get a stop-word tail so the rule set discriminates on
+    // word count — the q_gopher_rules augmentation device), (2) fuzzy
+    // decontamination against the frozen benchmark slice (Bloom-
+    // prefiltered 3-gram overlap, the 100 TB map-side-probe shape),
+    // (3) dedup-on-ingest against the PERSISTED minhash index built from
+    // the standing even-id corpus (drop vs standing signatures, drop vs
+    // smaller-id batch siblings, append survivors). Stages (1)-(2) are
+    // one lazy plan; every stage drops real docs at both SFs, and the
+    // whole chain — rules, gram overlap, signatures, both admission
+    // drops — replays in DuckDB.
+    "q_ingest_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val standing = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("text", concat(col("text"),
+          lit(" the cat sat on a mat that we have with all of them")))
+      val path = scratchPath(dir, "ingest_e2e_index")
+      Dedup.buildMinhashIndex(standing, "doc_id", "text", path,
+        n = 3, bands = 16, rows = 2, seed = 42L, portable = true)
+      val qual = batch.filter(
+        graft.text.TextFns.gopherStats(col("text")).getField("pass"))
+      val dec = Dedup.decontaminateBloom(qual, "doc_id", "text",
+        standing.filter(col("doc_id") % 5 === 0), "text",
+        n = 3, maxContaminatedFrac = 0.5)
+      Dedup.ingestDedup(s, path, dec, "doc_id", "text", threshold = 0.3)
+        .select("doc_id")
+    }),
+
     // Johnson-Lindenstrauss random projection in front of exact ranking:
     // embeddings reduce 64 -> 16 dims with deterministic Gaussian planes
     // (one map-only codegen'd pass), then brute-force cosine top-3 runs in
@@ -1260,6 +1290,123 @@ object SparkEntry3 {
        |  round(w_0 + x1 * w_1 + x2 * w_2, 6) AS pred,
        |  round(y - (w_0 + x1 * w_1 + x2 * w_2), 6) AS resid
        |FROM f CROSS JOIN w""".stripMargin
+  }
+
+  /** DuckDB replica of `q_ingest_e2e`: the full admission chain rebuilt —
+    * the Gopher rule arithmetic over the tail-augmented odd batch
+    * (q_gopher_rules' m/r CTEs), the distinct-3-gram overlap against the
+    * benchmark slice (q_decontaminate's shape; the Bloom prefilter is
+    * result-invariant by construction), then the minhash signatures and
+    * both ingest admission drops (q_minhash_ingest's machinery) over the
+    * standing even corpus + the surviving batch docs.
+    */
+  private def ingestE2eOracleSql(gramN: Int, contamFrac: Double,
+                                 bands: Int, rows: Int, threshold: Double,
+                                 seed: Long): String = {
+    val k = bands * rows
+    val p = 2147483647L
+    val sigExprs = Dedup.minhashCoeffs(k, seed).map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (${a} * (x % ${p}) + ${b}) % ${p}))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    val bandCond = (0 until bands).map { t =>
+      (1 to rows).map { r =>
+        val i = t * rows + r
+        s"a.sig[$i] = b.sig[$i]"
+      }.mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    val est = s"""list_sum(list_transform(range(1, ${k + 1}),
+       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / ${k}.0"""
+      .stripMargin
+    val g3 = "wr[i] || ' ' || wr[i+1] || ' ' || wr[i+2]"
+    def grams(col: String): String =
+      s"""list_distinct(CASE WHEN len($col) >= $gramN THEN
+         |      list_transform(range(1, len($col) - ${gramN - 2}),
+         |        i -> array_to_string(list_slice($col, i, i + ${gramN - 1}), ' '))
+         |      ELSE [array_to_string($col, ' ')] END)""".stripMargin
+    s"""WITH a AS (SELECT doc_id,
+       |    text || ' the cat sat on a mat that we have with all of them' AS t
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |gw AS (SELECT doc_id, t,
+       |    list_filter(regexp_split_to_array(trim(t), '\\s+'),
+       |      x -> x <> '') AS ws,
+       |    list_filter(list_transform(string_split(t, chr(10)),
+       |      l -> trim(l)), l -> l <> '') AS ls
+       |  FROM a),
+       |gm AS (SELECT doc_id,
+       |    len(ws) AS wc,
+       |    coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+       |      AS totlen,
+       |    length(t) - length(replace(t, '#', '')) AS hashes,
+       |    len(regexp_extract_all(t, '\\.\\.\\.|…')) AS ellip,
+       |    len(ls) AS nl,
+       |    len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))
+       |      AS bullets,
+       |    len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)$$')))
+       |      AS elines,
+       |    len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+       |      AS alphaw,
+       |    len(list_filter(['the','be','to','of','and','that','have','with'],
+       |      s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+       |      AS stop_hits
+       |  FROM gw),
+       |gr AS (SELECT doc_id, wc,
+       |    CASE WHEN wc > 0 THEN CAST(totlen AS DOUBLE) / wc END AS meanlen,
+       |    CASE WHEN wc > 0 THEN CAST(hashes + ellip AS DOUBLE) / wc END
+       |      AS symr,
+       |    CASE WHEN nl > 0 THEN CAST(bullets AS DOUBLE) / nl END AS bf,
+       |    CASE WHEN nl > 0 THEN CAST(elines AS DOUBLE) / nl END AS ef,
+       |    CASE WHEN wc > 0 THEN CAST(alphaw AS DOUBLE) / wc END AS af,
+       |    stop_hits
+       |  FROM gm),
+       |qual AS (SELECT a.doc_id, a.t FROM a JOIN gr USING (doc_id)
+       |  WHERE wc >= 50 AND wc <= 100000
+       |    AND coalesce(meanlen BETWEEN 3.0 AND 10.0, false)
+       |    AND coalesce(symr <= 0.1, false)
+       |    AND coalesce(bf <= 0.9, true)
+       |    AND coalesce(ef <= 0.3, true)
+       |    AND coalesce(af >= 0.8, false)
+       |    AND stop_hits >= 2),
+       |dt AS (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\\s+')
+       |    AS w FROM qual),
+       |dg AS (SELECT doc_id, ${grams("w")} AS gs FROM dt),
+       |dtg AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM dg),
+       |bg AS (SELECT DISTINCT unnest(gs) AS g FROM (
+       |    SELECT ${grams("w")} AS gs FROM (
+       |      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |      FROM documents WHERE doc_id % 10 = 0))),
+       |bad AS (SELECT dtg.doc_id FROM dtg JOIN bg USING (g)
+       |  GROUP BY dtg.doc_id, dtg.n_grams
+       |  HAVING round(count(*) * 1.0 / dtg.n_grams, 4) > $contamFrac),
+       |dec AS (SELECT doc_id, t FROM qual
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |mw AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wr
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\\s+') AS wr
+       |  FROM dec),
+       |msh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(wr) - 1),
+       |    i -> CAST(concat('0x', substr(md5($g3), 1, 15)) AS BIGINT)))
+       |      AS hs
+       |  FROM mw WHERE len(wr) >= 3),
+       |sig AS (SELECT doc_id, $sigExprs AS sig FROM msh),
+       |dup1 AS (SELECT DISTINCT b.doc_id AS id
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+       |  WHERE ($bandCond)
+       |    AND $est >= $threshold),
+       |kept AS (SELECT doc_id FROM sig WHERE doc_id % 2 = 1
+       |    AND doc_id NOT IN (SELECT id FROM dup1)),
+       |dup2 AS (SELECT DISTINCT b.doc_id AS id
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM kept)
+       |    AND b.doc_id IN (SELECT doc_id FROM kept)
+       |    AND ($bandCond)
+       |    AND $est >= $threshold)
+       |SELECT doc_id FROM dec
+       |WHERE doc_id NOT IN (SELECT id FROM dup1)
+       |  AND doc_id NOT IN (SELECT id FROM dup2)""".stripMargin
   }
 
   /** DuckDB replica of `q_rand_proj`: the reduced vectors rebuilt from the
@@ -2666,6 +2813,8 @@ object SparkEntry3 {
     "q_nb_persisted"    -> nbClassifyOracleSql("doc_id % 2 = 0"),
     "q_moore_lewis"     -> mooreLewisOracleSql(2),
     "q_rand_proj"       -> randProjOracleSql(dim = 64, outDim = 16,
-      seed = 7L, k = 3)
+      seed = 7L, k = 3),
+    "q_ingest_e2e"      -> ingestE2eOracleSql(gramN = 3, contamFrac = 0.5,
+      bands = 16, rows = 2, threshold = 0.3, seed = 42L)
   )
 }

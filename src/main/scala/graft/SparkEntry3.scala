@@ -1034,6 +1034,59 @@ object SparkEntry3 {
       Scale.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
     }),
 
+    // The classifier's CONFUSION MATRIX over the whole corpus — the
+    // evaluation artifact a real lang-id/quality gate ships with: argmax
+    // class joined back to the true label, counted per (truth, pred)
+    // cell. Same trained model as q_nb_classify.
+    "q_nb_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val wc = graft.text.Classify.nbWordCounts(train, "lang", "text")
+      val stats = graft.text.Classify.nbClassStats(train, "lang", "text")
+        .collect().map(r => (r.getAs[String]("cls"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"))).toSeq
+      graft.text.Classify.nbClassify(docs, "doc_id", "text", wc, stats,
+          vocab = graft.text.Classify.nbVocab(wc),
+          totalDocs = stats.map(_._2).sum)
+        .join(docs.select(col("doc_id"), col("lang").as("truth")), "doc_id")
+        .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+    }),
+
+    // Classifier introspection: each class's top-5 indicative words by
+    // add-one-smoothed log-odds against the rest of the training corpus —
+    // the fastText feature-dump equivalent, one total aggregate + one
+    // hash join + a per-class top-k window.
+    "q_nb_features" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val wc = graft.text.Classify.nbWordCounts(train, "lang", "text")
+      val stats = graft.text.Classify.nbClassStats(train, "lang", "text")
+        .collect().map(r => (r.getAs[String]("cls"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"))).toSeq
+      graft.text.Classify.nbTopFeatures(wc, stats,
+          vocab = graft.text.Classify.nbVocab(wc), k = 5)
+        .select(col("cls"), col("w"), col("rank"),
+          round(col("log_odds"), 6).as("log_odds"))
+    }),
+
+    // Broder CONTAINMENT pairs: planted 8-word quotes (doc_id + 1e6 for
+    // every %7 source) must surface as (quote contained-in source) —
+    // asymmetric resemblance catches what symmetric Jaccard structurally
+    // misses when the container is much larger (PipelineSpec pins the
+    // contrast). Same shingle self-join volume as q_ngram_jaccard.
+    "q_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val quotes = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ")
+            .as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(quotes)
+      Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .select(col("id"), col("container_id"),
+          round(col("containment"), 6).as("containment"))
+    }),
+
     // Moore–Lewis cross-entropy difference selection (ACL 2010): an
     // IN-DOMAIN backoff model (English training docs) and a GENERAL model
     // (all training docs) score every document; ml_score = avg_in −
@@ -1199,7 +1252,23 @@ object SparkEntry3 {
     * bare prior via the left-join coalesce.
     */
   private def nbClassifyOracleSql(trainPred: String): String =
-    s"""WITH toks AS (SELECT doc_id, lang,
+    "WITH " + nbCoreSql(trainPred) + s"""
+       |SELECT doc_id, n_toks, cls AS pred, round(score, 6) AS score
+       |FROM rk WHERE rn = 1""".stripMargin
+
+  /** The NB confusion matrix over the same chain: argmax class joined
+    * back to the true label, counted per (truth, pred) cell. */
+  private def nbConfusionOracleSql(trainPred: String): String =
+    "WITH " + nbCoreSql(trainPred) + s"""
+       |SELECT d.lang AS truth, rk.cls AS pred, count(*) AS n
+       |FROM rk JOIN documents d USING (doc_id)
+       |WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
+  /** The shared NB CTE chain up through the ranked per-(doc, class)
+    * posterior relation `rk` — callers prepend `WITH ` and append their
+    * own final SELECT (classification, confusion). */
+  private def nbCoreSql(trainPred: String): String =
+    s"""toks AS (SELECT doc_id, lang,
        |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
        |      w -> regexp_matches(w, '^[a-z]+$$')) AS ts
        |  FROM documents),
@@ -1231,9 +1300,7 @@ object SparkEntry3 {
        |rk AS (SELECT doc_id, n_toks, cls, score,
        |    row_number() OVER (PARTITION BY doc_id
        |      ORDER BY score DESC, cls) AS rn
-       |  FROM allp)
-       |SELECT doc_id, n_toks, cls AS pred, round(score, 6) AS score
-       |FROM rk WHERE rn = 1""".stripMargin
+       |  FROM allp)""".stripMargin
 
   /** SQL mirror of [[graft.ml.Regress]]'s Laplace expansion: same
     * first-row expansion, same left-to-right alternating-sign fold, same
@@ -1436,6 +1503,64 @@ object SparkEntry3 {
        |SELECT query_id, item_id, rk, round(cosine, 6) AS cosine
        |FROM rk WHERE rk <= $k""".stripMargin
   }
+
+  /** DuckDB replica of `q_nb_features`: the per-class log-odds rebuilt
+    * from the same training counts — association order mirrors
+    * [[graft.text.Classify.nbTopFeatures]] (each side of the odds ratio
+    * is one division; integer adds stay exact; one ln). */
+  private def nbFeaturesOracleSql(trainPred: String, k: Int): String =
+    s"""WITH tr AS (SELECT lang,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ts
+       |  FROM documents WHERE $trainPred),
+       |tw AS (SELECT lang AS cls, unnest(ts) AS w FROM tr),
+       |wc AS (SELECT cls, w, count(*) AS cnt FROM tw GROUP BY 1, 2),
+       |cs AS (SELECT lang AS cls, coalesce(sum(len(ts)), 0) AS n_tokens
+       |  FROM tr GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w) AS v FROM tw),
+       |tt AS (SELECT sum(n_tokens) AS t FROM cs),
+       |tot AS (SELECT w, sum(cnt) AS cnt_all FROM wc GROUP BY 1),
+       |sc AS (SELECT wc.cls, wc.w,
+       |    ln(((wc.cnt + 1.0) / (cs.n_tokens + (SELECT v FROM vv)))
+       |       / ((tot.cnt_all - wc.cnt + 1.0)
+       |          / (((SELECT t FROM tt) - cs.n_tokens)
+       |             + (SELECT v FROM vv)))) AS lo
+       |  FROM wc JOIN tot USING (w) JOIN cs ON cs.cls = wc.cls),
+       |rk AS (SELECT cls, w, lo, row_number() OVER (PARTITION BY cls
+       |    ORDER BY lo DESC, w) AS rank FROM sc)
+       |SELECT cls, w, rank, round(lo, 6) AS log_odds
+       |FROM rk WHERE rank <= $k""".stripMargin
+
+  /** DuckDB replica of `q_containment`: the planted-quote corpus, the
+    * q_dedup_resolve shingle machinery (string grams == the hashed join's
+    * equality classes), and the DIRECTIONAL common/|A| filter. */
+  private def containmentOracleSql(threshold: Double): String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, array_to_string(list_slice(
+       |      regexp_split_to_array(trim(text), '\\s+'), 1, 8), ' ')
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |toks AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |  FROM base),
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(w) >= 3 THEN
+       |      list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END)) AS g
+       |  FROM toks),
+       |sh AS (SELECT sh0.* FROM sh0
+       |  JOIN (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 1000) ok
+       |  USING (g)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |pr AS (SELECT a.doc_id AS id, b.doc_id AS container_id,
+       |    count(*) AS common
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id, container_id,
+       |  round(common * 1.0 / sz.sz, 6) AS containment
+       |FROM pr JOIN sz ON pr.id = sz.doc_id
+       |WHERE common * 1.0 / sz.sz >= $threshold""".stripMargin
 
   /** DuckDB replica of `q_moore_lewis`: two full Stupid Backoff chains
     * (prefixed CTEs — in-domain trained on even English docs, general on
@@ -2811,6 +2936,9 @@ object SparkEntry3 {
     // persist + classify must be bit-identical to the inline pipeline —
     // same oracle VERBATIM is the claim (the q_lm_persisted discipline)
     "q_nb_persisted"    -> nbClassifyOracleSql("doc_id % 2 = 0"),
+    "q_nb_confusion"    -> nbConfusionOracleSql("doc_id % 2 = 0"),
+    "q_nb_features"     -> nbFeaturesOracleSql("doc_id % 2 = 0", k = 5),
+    "q_containment"     -> containmentOracleSql(0.9),
     "q_moore_lewis"     -> mooreLewisOracleSql(2),
     "q_rand_proj"       -> randProjOracleSql(dim = 64, outDim = 16,
       seed = 7L, k = 3),

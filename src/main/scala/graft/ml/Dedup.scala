@@ -150,6 +150,39 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** N-gram CONTAINMENT pairs — Broder's asymmetric resemblance ("On the
+    * resemblance and containment of documents", SEQUENCES 1997):
+    * containment(a ⊆ b) = |A ∩ B| / |A| over the maxDf-guarded shingle
+    * sets. Finds documents largely CONTAINED in another — quotes,
+    * boilerplate-wrapped copies, page-inside-mirror — which symmetric
+    * Jaccard structurally misses when |B| ≫ |A| (jaccard → 0 while
+    * containment → 1; PipelineSpec pins planted quotes found here and
+    * invisible to [[ngramJaccardPairs]] at the same threshold). Output is
+    * DIRECTIONAL: (id, container_id, containment ≥ threshold), id ≠
+    * container_id; a near-exact duplicate pair legitimately emits both
+    * directions.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — one shingle-hash
+    * self-join (the same maxDf stop-shingle guard bounds the quadratic
+    * term) + one size join back; only the post-aggregation filter
+    * differs, so the candidate-volume growth gates cover it unchanged.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, threshold: Double = 0.8,
+                            maxDf: Int = 1000): DataFrame = {
+    val sh = scopedCache(shingleTable(df, idCol, textCol, n, maxDf))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"), Seq("g"))
+      .where(col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id"), col("b.id").as("container_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("sz", "sz_a"), "id")
+      .withColumn("containment", col("common").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select("id", "container_id", "containment")
+  }
+
   /** Prefix-filtered exact Jaccard pairs — same output contract as
     * [[ngramJaccardPairs]] (id_a < id_b, jaccard >= threshold over the
     * maxDf-guarded shingle sets; FuzzySpec pins row-for-row equality), but

@@ -130,6 +130,41 @@ object Classify {
       .select(col(idCol), col("n_toks"), col("cls").as("pred"), col("score"))
   }
 
+  /** Per-class top-k indicative words — classifier introspection (what a
+    * fastText `dump`/feature-inspection pass gives you): rank each class's
+    * words by the add-one-smoothed log-odds against the REST of the
+    * training corpus,
+    *
+    *   ln[ ((cnt_c + 1)/(N_c + |V|)) / ((cnt_rest + 1)/(N_rest + |V|)) ],
+    *
+    * ties on the word ascending. One total-count aggregate + one hash
+    * join against the model + a per-class top-k window (≤ |V| rows per
+    * class, hash-partitioned). Pure count arithmetic + one ln — replays
+    * in DuckDB (q_nb_features).
+    */
+  def nbTopFeatures(wordCounts: DataFrame,
+                    classStats: Seq[(String, Long, Long)], vocab: Long,
+                    k: Int): DataFrame = {
+    require(classStats.nonEmpty, "classStats must be non-empty")
+    require(vocab > 0 && k > 0, "vocab and k must be positive")
+    val totalTokens = classStats.map(_._3).sum
+    val ntokMap = map(classStats.sortBy(_._1).flatMap { case (c, _, nt) =>
+      Seq(lit(c), lit(nt)) }: _*)
+    val tot = wordCounts.groupBy("w").agg(sum("cnt").as("cnt_all"))
+    val scored = wordCounts.join(tot, Seq("w"))
+      .withColumn("__nt", element_at(ntokMap, col("cls")))
+      .withColumn("log_odds", log(
+        ((col("cnt") + lit(1.0d)) / (col("__nt") + lit(vocab))) /
+          ((col("cnt_all") - col("cnt") + lit(1.0d)) /
+            ((lit(totalTokens) - col("__nt")) + lit(vocab)))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cls")).orderBy(col("log_odds").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cls"), col("w"), col("rank").cast("long").as("rank"),
+        col("log_odds"))
+  }
+
   /** Persist the trained classifier as a self-describing artifact:
     * `<path>/words` = the (cls, w, cnt) relation, `<path>/classes` = the
     * (cls, n_docs, n_tokens) stats, `<path>/meta` = (vocab, total_docs).

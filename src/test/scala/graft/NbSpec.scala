@@ -57,6 +57,32 @@ class NbSpec extends AnyFunSuite {
       Classify.nbClassify(docs, "doc_id", "text", wc, stats, v, 0L))
   }
 
+  test("nbTopFeatures ranks class-indicative words by smoothed log-odds") {
+    import spark.implicits._
+    val train = Seq(
+      ("spam", "buy pills now"),
+      ("spam", "buy now"),
+      ("ham",  "meeting notes attached")
+    ).toDF("cls", "text")
+    val wc = Classify.nbWordCounts(train, "cls", "text")
+    val stats = Classify.nbClassStats(train, "cls", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val feats = Classify.nbTopFeatures(wc, stats, vocab = 6L, k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getString(1), r.getDouble(3)))).toMap
+    // spam 'buy': cnt 2 of 5 spam tokens, 0 of 3 rest ->
+    // ln((3/11) / (1/9)); 'now' ties exactly -> word-asc puts buy first
+    val spamBuy = math.log(((2 + 1.0) / (5 + 6)) / ((2 - 2 + 1.0) / ((8 - 5) + 6)))
+    assert(feats(("spam", 1L)) == (("buy", spamBuy)), feats.toString)
+    assert(feats(("spam", 2L))._1 == "now" && feats(("spam", 3L))._1 == "pills")
+    // all ham words tie (cnt 1, rest 0) -> alphabetical
+    assert(feats(("ham", 1L))._1 == "attached" &&
+      feats(("ham", 2L))._1 == "meeting" && feats(("ham", 3L))._1 == "notes")
+    assertThrows[IllegalArgumentException](
+      Classify.nbTopFeatures(wc, stats, vocab = 6L, k = 0))
+  }
+
   test("exact score ties break on the class name ascending") {
     import spark.implicits._
     // perfectly symmetric classes: every per-class quantity is equal, so

@@ -234,6 +234,32 @@ class PipelineSpec extends AnyFunSuite {
       s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
   }
 
+  test("containment finds planted quotes that symmetric Jaccard misses") {
+    // 8-word quotes of every %7 doc: containment(quote in source) = 1.0
+    // (every quote shingle is a source shingle), while jaccard(quote,
+    // source) ~ 6/|source| is far below threshold — the asymmetric
+    // resemblance exists precisely for this |B| >> |A| regime
+    val quotes = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ")
+          .as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(quotes)
+    val nQuotes = quotes.count()
+    val cont = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.9).cache()
+    val found = cont
+      .filter(col("container_id") === col("id") - 1000000L).count()
+    assert(found == nQuotes, s"containment found $found of $nQuotes quotes")
+    // planted (source, quote) pairs are invisible to symmetric Jaccard at
+    // the same threshold
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .filter(col("id_b") === col("id_a") + 1000000L).count()
+    assert(jac == 0L, s"jaccard unexpectedly matched $jac planted pairs")
+    cont.unpersist()
+    Dedup.unpersistIntermediates()
+  }
+
   test("embedding near-dup LSH finds planted perturbed copies") {
     val perturbed = emb
       .withColumn("vec_id", col("vec_id") + 1000000)

@@ -1069,6 +1069,42 @@ object SparkEntry3 {
           round(col("log_odds"), 6).as("log_odds"))
     }),
 
+    // Curriculum data ordering: every doc scored by the frozen-half
+    // backoff LM (the CCNet quality signal), then packed easiest-first
+    // (highest avg_lp = lowest perplexity first) into ~2000-token shards —
+    // the curriculum-learning data layout, as one composition: scoring is
+    // the q_lm_backoff machinery, the rank is the range-partitioned
+    // two-phase prefix sum (never a global window), the shard is exclusive
+    // cumsum div budget. Ordering ties break on doc_id; the score is
+    // 6dp-rounded BEFORE ordering so the shard assignment is a total
+    // function of the cross-engine values.
+    "q_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val grams = graft.text.Lm.backoffCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
+      val total = graft.text.Lm.tokenTotal(grams)
+      val scored = graft.text.Lm.scoreDocsBackoff(docs, "doc_id", "text",
+          grams, n = 2, totalTokens = total)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), round(col("avg_lp"), 6).as("avg_lp"))
+      val sized = scored.join(docs.select(col("doc_id"),
+        graft.text.TextFns.tokenCount(col("text")).cast("long")
+          .as("n_tok")), "doc_id")
+      Scale.packByBudget(sized, Seq(col("avg_lp").desc, col("doc_id")),
+          col("n_tok"), budget = 2000)
+        .select("doc_id", "avg_lp", "n_tok", "shard")
+    }),
+
+    // Per-group duplication report — which languages are mirror-heavy:
+    // the q_dedup_resolve pair/CC machinery aggregated to (lang, n_docs,
+    // n_dups, dup_rate).
+    "q_dedup_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Dedup.dedupReport(docs, "doc_id", pairs, Seq("lang"))
+    }),
+
     // Broder CONTAINMENT pairs: planted 8-word quotes (doc_id + 1e6 for
     // every %7 source) must surface as (quote contained-in source) —
     // asymmetric resemblance catches what symmetric Jaccard structurally
@@ -2939,6 +2975,50 @@ object SparkEntry3 {
     "q_nb_confusion"    -> nbConfusionOracleSql("doc_id % 2 = 0"),
     "q_nb_features"     -> nbFeaturesOracleSql("doc_id % 2 = 0", k = 5),
     "q_containment"     -> containmentOracleSql(0.9),
+    // LM-score-ordered token-budget packing: the backoff chain feeds an
+    // exclusive-cumsum window in (avg_lp DESC, doc_id) order — DuckDB's
+    // single window equals the engine's two-phase prefix sum exactly
+    // because the 6dp-rounded order keys are a total order
+    "q_curriculum"      -> ("WITH " + lmBackoffCoreSql(2) +
+      s""",
+       |sc AS (SELECT d.doc_id, round(pd.sum_lp / pd.n_grams, 6) AS avg_lp,
+       |    CAST(len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+       |      AS BIGINT) AS n_tok
+       |  FROM documents d JOIN pd ON d.doc_id = pd.doc_id
+       |  WHERE pd.n_grams > 0)
+       |SELECT doc_id, avg_lp, n_tok,
+       |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY avg_lp DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+       |    AS BIGINT) AS shard
+       |FROM sc""".stripMargin),
+    // q_dedup_resolve's CC chain aggregated per language
+    "q_dedup_report" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |    FROM documents),
+        |  sh0 AS (SELECT doc_id, unnest(list_distinct(
+        |      CASE WHEN len(w) >= 3 THEN
+        |        list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END)) AS g
+        |    FROM toks),
+        |  sh AS (SELECT sh0.* FROM sh0
+        |    JOIN (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 1000) ok USING (g)),
+        |  sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |  prs AS (SELECT id_a, id_b FROM (
+        |      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+        |    JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+        |  edges AS (SELECT id_a AS s, id_b AS d FROM prs
+        |            UNION SELECT id_b, id_a FROM prs),
+        |  reach(id, r) AS (SELECT s, s FROM edges
+        |    UNION SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+        |  lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1),
+        |  dup AS (SELECT id FROM lab WHERE lbl < id)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE doc_id IN (SELECT id FROM dup)) AS n_dups,
+        |  round(CAST(count(*) FILTER (WHERE doc_id IN (SELECT id FROM dup))
+        |    AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_moore_lewis"     -> mooreLewisOracleSql(2),
     "q_rand_proj"       -> randProjOracleSql(dim = 64, outDim = 16,
       seed = 7L, k = 3),

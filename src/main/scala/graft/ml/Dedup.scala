@@ -999,6 +999,27 @@ object Dedup {
     df.join(losers, df(idCol) === col("__dup_id"), "left_anti")
   }
 
+  /** Per-group duplication report — the ops artifact a dedup run ships
+    * with (which sources/languages are mirror-heavy decides where the
+    * pipeline spends its pair budget): for each group, total docs, docs
+    * that would be DROPPED by canonical resolve (non-minimum members of
+    * their near-dup cluster — exactly [[keepCanonical]]'s complement), and
+    * the dup rate. One CC pass + one left join + one aggregate.
+    */
+  def dedupReport(df: DataFrame, idCol: String, pairs: DataFrame,
+                  grpCols: Seq[String]): DataFrame = {
+    require(grpCols.nonEmpty, "need at least one grouping column")
+    val dupes = connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__dup_id"))
+    df.join(dupes, df(idCol) === col("__dup_id"), "left")
+      .groupBy(grpCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("__dup_id")).as("n_dups"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast("double") / col("n_docs"), 6))
+  }
+
   /** Leakage-safe train/heldout split: rows are assigned by their near-dup
     * CLUSTER, not individually, so a duplicate pair can never straddle the
     * boundary — the split-time answer to train/eval contamination through

@@ -758,6 +758,27 @@ object StreamVerbs {
         batch, idCol, textCol))
     }
 
+  /** Ingest-time snapshot classification against a FROZEN corpus version
+    * ([[graft.ops.Scale.snapshotDiff]] per micro-batch): every arriving
+    * row is labeled `added` (id unseen in the old snapshot), `changed`
+    * (content fingerprint differs), or `unchanged` — the change-data feed
+    * that decides what re-enters a curation pipeline. `removed` is
+    * undefined per batch (absence from one micro-batch is not absence
+    * from the stream), so the per-batch output is restricted to the
+    * ARRIVING ids; StreamingSpec pins stream == the batch diff restricted
+    * the same way. foreachBatch, stateless — the old snapshot is the only
+    * state, re-read per batch (DPP/caching applies at real scale).
+    */
+  def streamingSnapshotDiff(t: Tbl, idCol: String, contentCols: Seq[String],
+                            oldPath: String)
+                           (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val old = batch.sparkSession.read.parquet(oldPath)
+      sink(graft.ops.Scale.snapshotDiff(old, batch, idCol, contentCols)
+        .join(batch.select(idCol), Seq(idCol), "left_semi"))
+    }
+
   /** Ingest-time linear-probe scoring against a persisted
     * [[graft.ml.Regress.saveModel]] artifact — the FineWeb-Edu serving
     * shape: the probe was fit ONCE on a reference corpus, and each

@@ -451,6 +451,22 @@ class MiscSpec extends AnyFunSuite {
     assert(minId == Set(1L, 10L, 20L), minId.toString)
   }
 
+  test("dedupReport counts canonical-resolve drops per group") {
+    import spark.implicits._
+    // cluster {1,2,3} (two dups), cluster {10,11} (one dup), singleton 20
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (10L, "y"), (11L, "y"),
+      (20L, "y")).toDF("id", "g")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = graft.ml.Dedup.dedupReport(docs, "id", pairs, Seq("g"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == Map("x" -> ((3L, 2L, 0.666667)),
+      "y" -> ((3L, 1L, 0.333333))), got.toString)
+    assertThrows[IllegalArgumentException](
+      graft.ml.Dedup.dedupReport(docs, "id", pairs, Seq.empty))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged; " +
        "multi-column fingerprint is separator-safe") {
     import spark.implicits._

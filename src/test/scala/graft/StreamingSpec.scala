@@ -855,6 +855,42 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $got vs batch $batch")
   }
 
+  test("streaming snapshot diff against the frozen old version == batch") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "t")
+    val oldPath = Files.createTempDirectory("graft-sdiff-old").toString
+    old.write.mode("overwrite").parquet(oldPath)
+    // arrivals: 1 unchanged, 2 changed, 5/6 added (3/4 never arrive —
+    // 'removed' is undefined per batch and must not be emitted)
+    val arrivals = Seq((1L, "a"), (2L, "B"), (5L, "e"), (6L, "f"))
+    val dir = Files.createTempDirectory("graft-sdiff").toFile
+    val ckpt = Files.createTempDirectory("graft-sdiff-ckpt").toFile
+    arrivals.take(2).toDF("id", "t").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    arrivals.drop(2).toDF("id", "t").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(arrivals.toDF("id", "t").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    val q = StreamVerbs.streamingSnapshotDiff(Tbl(stream), "id", Seq("t"),
+        oldPath) { out =>
+        got.synchronized { out.collect().foreach(r =>
+          got(r.getLong(0)) = r.getString(1)) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batchDf = arrivals.toDF("id", "t")
+    val batch = graft.ops.Scale.snapshotDiff(old, batchDf, "id", Seq("t"))
+      .join(batchDf.select("id"), Seq("id"), "left_semi")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.toMap == batch &&
+      batch == Map(1L -> "unchanged", 2L -> "changed", 5L -> "added",
+        6L -> "added"),
+      s"stream $got vs batch $batch")
+  }
+
   test("streaming linear-probe scoring against the persisted model == batch") {
     import spark.implicits._
     val ref = (1L to 60L).map(i => (i, (i * 7) % 19, (i * 3) % 11,

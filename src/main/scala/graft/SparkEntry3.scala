@@ -1034,6 +1034,24 @@ object SparkEntry3 {
       Scale.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
     }),
 
+    // INCREMENTAL training through the persisted lifecycle: build the
+    // model on a quarter of the corpus, fold the rest of the training
+    // half in with appendToNbModel (counts are mergeable sufficient
+    // statistics — O(model + batch), the original corpus is never
+    // re-read), classify everything. Same oracle as q_nb_classify
+    // VERBATIM — incremental == retrain-from-scratch is the claim.
+    "q_nb_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val path = scratchPath(dir, "nb_model_inc")
+      graft.text.Classify.buildNbModel(
+        docs.filter(col("doc_id") % 4 === 0), "lang", "text", path)
+      graft.text.Classify.appendToNbModel(s, path,
+        docs.filter(col("doc_id") % 4 === 2), "lang", "text")
+      graft.text.Classify.classifyFromModel(s, path, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_toks"), col("pred"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // The classifier's CONFUSION MATRIX over the whole corpus — the
     // evaluation artifact a real lang-id/quality gate ships with: argmax
     // class joined back to the true label, counted per (truth, pred)
@@ -2973,6 +2991,9 @@ object SparkEntry3 {
     // same oracle VERBATIM is the claim (the q_lm_persisted discipline)
     "q_nb_persisted"    -> nbClassifyOracleSql("doc_id % 2 = 0"),
     "q_nb_confusion"    -> nbConfusionOracleSql("doc_id % 2 = 0"),
+    // incremental == retrain-from-scratch: %4∈{0,2} IS the even half, so
+    // the from-scratch oracle pins the merged counts verbatim
+    "q_nb_incremental"  -> nbClassifyOracleSql("doc_id % 2 = 0"),
     "q_nb_features"     -> nbFeaturesOracleSql("doc_id % 2 = 0", k = 5),
     "q_containment"     -> containmentOracleSql(0.9),
     // LM-score-ordered token-budget packing: the backoff chain feeds an

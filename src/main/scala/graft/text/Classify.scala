@@ -189,6 +189,47 @@ object Classify {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Incrementally fold a new labeled batch into a persisted
+    * [[buildNbModel]] artifact — the O(model + batch) training update:
+    * NB's sufficient statistics are COUNTS, so the updated model is the
+    * old (cls, w, cnt) relation unioned with the batch's counts and
+    * re-aggregated; class stats add; vocab and totals recount from the
+    * merged relations. The original corpus is never re-read. The merged
+    * relations are staged next to the live ones and swapped in with a
+    * filesystem rename (reading and overwriting the same parquet path in
+    * one job is undefined), so a crash mid-append leaves the old model
+    * intact. NbSpec pins append == retrain-from-scratch bit-identity.
+    */
+  def appendToNbModel(spark: org.apache.spark.sql.SparkSession,
+                      path: String, df: DataFrame, classCol: String,
+                      textCol: String, asciiOnly: Boolean = true): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val staged = new org.apache.hadoop.fs.Path(s"$path/$name.staging")
+      fs.delete(live, true)
+      require(fs.rename(staged, live), s"staging swap failed for $name")
+    }
+    spark.read.parquet(s"$path/words")
+      .unionByName(nbWordCounts(df, classCol, textCol, asciiOnly))
+      .groupBy("cls", "w").agg(sum("cnt").as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/words.staging")
+    spark.read.parquet(s"$path/classes")
+      .unionByName(nbClassStats(df, classCol, textCol, asciiOnly))
+      .groupBy("cls")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .write.mode("overwrite").parquet(s"$path/classes.staging")
+    swap("words")
+    swap("classes")
+    val vocab = nbVocab(spark.read.parquet(s"$path/words"))
+    val totalDocs = spark.read.parquet(s"$path/classes")
+      .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+    spark.range(1)
+      .select(lit(vocab).as("vocab"), lit(totalDocs).as("total_docs"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Classify against a persisted [[buildNbModel]] artifact: the class
     * stats and meta are 1-row-scale driver reads (the self-describing-
     * index pattern of [[graft.ml.Pq.adcTopKFromIndex]]); the word model

@@ -130,6 +130,41 @@ class NbSpec extends AnyFunSuite {
     assert(acc == 1.0, s"held-out accuracy $acc")
   }
 
+  test("appendToNbModel == retrain from scratch, incl. a batch-only class") {
+    import spark.implicits._
+    val first = Seq(
+      ("spam", "buy pills now"),
+      ("ham",  "meeting notes attached")).toDF("cls", "text")
+    // the appended batch grows an existing class AND introduces a new one
+    val batch = Seq(
+      ("spam", "buy now now"),
+      ("news", "markets closed higher today")).toDF("cls", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-nb-inc").toString
+    Classify.buildNbModel(first, "cls", "text", path)
+    Classify.appendToNbModel(spark, path, batch, "cls", "text")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-nb-scratch").toString
+    Classify.buildNbModel(first.unionByName(batch), "cls", "text", scratch)
+    def words(p: String) = spark.read.parquet(s"$p/words").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def classes(p: String) = spark.read.parquet(s"$p/classes").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def meta(p: String) = spark.read.parquet(s"$p/meta").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(words(path) == words(scratch), "merged word counts differ")
+    assert(classes(path) == classes(scratch), "merged class stats differ")
+    assert(meta(path) == meta(scratch), "merged meta differs")
+    val docs = Seq((1L, "buy now"), (2L, "markets today"), (3L, "notes"))
+      .toDF("doc_id", "text")
+    def classify(p: String) =
+      Classify.classifyFromModel(spark, p, docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(classify(path) == classify(scratch),
+      "incremental model must classify bit-identically")
+  }
+
   test("persisted model classification == inline, bit-identical") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

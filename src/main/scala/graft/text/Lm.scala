@@ -273,30 +273,11 @@ object Lm {
         col("g.gram").as("gram"))
     val joined = ex.join(grams.select("ord", "gram", "cnt"),
       Seq("ord", "gram"), "left")
-    val aggs: Seq[Column] =
-      (1 to n).map(o => max(when(col("role") === "n" && col("lvl") === o,
-        col("cnt"))).as(s"__n$o")) ++
-      (2 to n).map(o => max(when(col("role") === "d" && col("lvl") === o,
-        col("cnt"))).as(s"__d$o"))
+    val aggs = pivotAggs(n, "cnt", "")
     val per = joined.groupBy(col(idCol), col("pos"))
       .agg(aggs.head, aggs.tail: _*)
-    val lnB = log(lit(backoff))
-    def term(o: Int): Column = {
-      val ratio =
-        if (o == 1) col("__n1") / lit(totalTokens)
-        else col(s"__n$o") / col(s"__d$o")
-      if (o == n) log(ratio)
-      else log(ratio) + lit((n - o).toDouble) * lnB
-    }
-    val oov = {
-      val base = log(lit(1.0) / lit(totalTokens))
-      if (n == 1) base else base + lit((n - 1).toDouble) * lnB
-    }
-    var cascade: Column =
-      when(coalesce(col(s"__n$n"), lit(0L)) > 0, term(n))
-    for (o <- (n - 1) to 1 by -1)
-      cascade = cascade.when(coalesce(col(s"__n$o"), lit(0L)) > 0, term(o))
-    val lp = per.withColumn("lp", cascade.otherwise(oov))
+    val lp = per.withColumn("lp",
+      backoffCascade(n, totalTokens, backoff, ""))
     lp.groupBy(idCol)
       .agg(count(col("pos")).as("n_grams"),
         // the pos-null row of a <n-token doc drops out of the list
@@ -589,6 +570,44 @@ object Lm {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** The per-position pivot aggregates of the backoff scorer: numerator
+    * count at each level 1..n, denominator context count at 2..n, reading
+    * `cntCol` and writing `__${pfx}n$o` / `__${pfx}d$o` — prefixed so TWO
+    * models' pivots can share one aggregate ([[scoreDocsContrast]]).
+    */
+  private def pivotAggs(n: Int, cntCol: String, pfx: String): Seq[Column] =
+    (1 to n).map(o => max(when(col("role") === "n" && col("lvl") === o,
+      col(cntCol))).as(s"__${pfx}n$o")) ++
+      (2 to n).map(o => max(when(col("role") === "d" && col("lvl") === o,
+        col(cntCol))).as(s"__${pfx}d$o"))
+
+  /** The Stupid Backoff CASE cascade over a [[pivotAggs]] row: largest
+    * seen order wins, ln(ratio) + (n−o)·ln(backoff), OOV floor 1/N at the
+    * bottom. Pure expression construction — shared by the single-model
+    * scorer and the two-model contrast so the cascades can never drift.
+    */
+  private def backoffCascade(n: Int, totalTokens: Long, backoff: Double,
+                             pfx: String): Column = {
+    val lnB = log(lit(backoff))
+    def term(o: Int): Column = {
+      val ratio =
+        if (o == 1) col(s"__${pfx}n1") / lit(totalTokens)
+        else col(s"__${pfx}n$o") / col(s"__${pfx}d$o")
+      if (o == n) log(ratio)
+      else log(ratio) + lit((n - o).toDouble) * lnB
+    }
+    val oov = {
+      val base = log(lit(1.0) / lit(totalTokens))
+      if (n == 1) base else base + lit((n - 1).toDouble) * lnB
+    }
+    var cascade: Column =
+      when(coalesce(col(s"__${pfx}n$n"), lit(0L)) > 0, term(n))
+    for (o <- (n - 1) to 1 by -1)
+      cascade = cascade.when(
+        coalesce(col(s"__${pfx}n$o"), lit(0L)) > 0, term(o))
+    cascade.otherwise(oov)
+  }
+
   /** Moore–Lewis cross-entropy difference scoring (Moore & Lewis,
     * "Intelligent selection of language model training data", ACL 2010) —
     * the classic data-selection criterion: score every document under an
@@ -598,26 +617,55 @@ object Lm {
     *   ml_score = avg_lp_in − avg_lp_gen
     *
     * (higher = more in-domain-like relative to its general-corpus
-    * fluency; Moore–Lewis select ml_score above a threshold). Two
-    * [[scoreDocsBackoff]] passes + one hash equi-join on the id — the doc
-    * corpus streams twice, each model joins as a relation, and both
-    * per-doc folds are position-ordered so the difference is bitwise
-    * partition-invariant. Output: (idCol, n_grams, avg_in, avg_gen),
-    * unrounded — callers round to the cross-engine 6dp (q_moore_lewis)
-    * and derive ml_score/selection. Zero-gram docs carry NULL avgs.
+    * fluency; Moore–Lewis select ml_score above a threshold). ONE pass
+    * over the corpus: the lookup rows explode once, BOTH models join
+    * against them (two hash equi-joins), one pivot carries both models'
+    * counts, and both position-ordered folds run in one aggregate —
+    * bit-identical to composing [[scoreDocsBackoff]] twice (LmSpec pins
+    * it) at half the doc-side scan/explode/shuffle cost, which is the
+    * dominant cost at corpus scale. Output: (idCol, n_grams, avg_in,
+    * avg_gen), unrounded — callers round to the cross-engine 6dp
+    * (q_moore_lewis) and derive ml_score/selection. Zero-gram docs carry
+    * NULL avgs.
     */
   def scoreDocsContrast(docs: DataFrame, idCol: String, textCol: String,
                         inGrams: DataFrame, genGrams: DataFrame, n: Int,
                         totalIn: Long, totalGen: Long,
                         backoff: Double = 0.4,
                         asciiOnly: Boolean = true): DataFrame = {
-    val si = scoreDocsBackoff(docs, idCol, textCol, inGrams, n, totalIn,
-        backoff, asciiOnly)
-      .select(col(idCol), col("n_grams"), col("avg_lp").as("avg_in"))
-    val sg = scoreDocsBackoff(docs, idCol, textCol, genGrams, n, totalGen,
-        backoff, asciiOnly)
-      .select(col(idCol), col("avg_lp").as("avg_gen"))
-    si.join(sg, Seq(idCol))
+    require(n >= 1, "n must be >= 1")
+    require(totalIn > 0 && totalGen > 0, "token totals must be positive")
+    require(backoff > 0 && backoff <= 1, "backoff must be in (0, 1]")
+    val ex = docs
+      .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
+      .select(col(idCol),
+        posexplode_outer(expr(lookupExpr(n))).as(Seq("__i", "g")))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.lvl").as("lvl"),
+        col("g.role").as("role"), col("g.ord").as("ord"),
+        col("g.gram").as("gram"))
+    val joined = ex
+      .join(inGrams.select(col("ord"), col("gram"), col("cnt").as("__ci")),
+        Seq("ord", "gram"), "left")
+      .join(genGrams.select(col("ord"), col("gram"), col("cnt").as("__cg")),
+        Seq("ord", "gram"), "left")
+    val aggs = pivotAggs(n, "__ci", "i_") ++ pivotAggs(n, "__cg", "g_")
+    val per = joined.groupBy(col(idCol), col("pos"))
+      .agg(aggs.head, aggs.tail: _*)
+    val lp = per
+      .withColumn("lp_i", backoffCascade(n, totalIn, backoff, "i_"))
+      .withColumn("lp_g", backoffCascade(n, totalGen, backoff, "g_"))
+    lp.groupBy(idCol)
+      .agg(count(col("pos")).as("n_grams"),
+        collect_list(when(col("pos").isNotNull,
+          struct(col("pos"), col("lp_i"), col("lp_g")))).as("__ps"))
+      .select(col(idCol), col("n_grams"),
+        expr("aggregate(transform(array_sort(__ps), s -> s.lp_i), 0.0D," +
+          " (a, x) -> a + x)").as("__si"),
+        expr("aggregate(transform(array_sort(__ps), s -> s.lp_g), 0.0D," +
+          " (a, x) -> a + x)").as("__sg"))
+      .select(col(idCol), col("n_grams"),
+        when(col("n_grams") > 0, col("__si") / col("n_grams")).as("avg_in"),
+        when(col("n_grams") > 0, col("__sg") / col("n_grams")).as("avg_gen"))
   }
 
   /** Score documents against a persisted [[buildBackoffModel]] artifact:

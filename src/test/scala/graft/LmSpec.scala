@@ -365,6 +365,30 @@ class LmSpec extends AnyFunSuite {
     assert(a == b, "scores must be bitwise partition-invariant")
   }
 
+  test("one-pass contrast == composing scoreDocsBackoff twice, bitwise") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val inG = Lm.backoffCounts(even.filter(col("lang") === "en"), "text", 3)
+    val genG = Lm.backoffCounts(even, "text", 3)
+    val (ti, tg) = (Lm.tokenTotal(inG), Lm.tokenTotal(genG))
+    val onePass = Lm.scoreDocsContrast(docs, "doc_id", "text", inG, genG,
+        n = 3, totalIn = ti, totalGen = tg)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val si = Lm.scoreDocsBackoff(docs, "doc_id", "text", inG, 3, ti)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val sg = Lm.scoreDocsBackoff(docs, "doc_id", "text", genG, 3, tg)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val twoPass = si.map { case (id, (ng, ai)) => id -> ((ng, ai, sg(id))) }
+    assert(onePass == twoPass && onePass.size == docs.count(),
+      "fused contrast must be bit-identical to the two-pass composition")
+  }
+
   test("Moore-Lewis contrast separates in-domain from out-of-domain docs") {
     import spark.implicits._
     // in-domain model: color text only; general model: colors + animals.

@@ -1087,6 +1087,38 @@ object SparkEntry3 {
           round(col("log_odds"), 6).as("log_odds"))
     }),
 
+    // The FULL PRETRAINING DATA RECIPE as one composition — what the
+    // LLaMA/CCNet pipelines actually run: (1) score every doc with the
+    // frozen-half backoff LM, (2) per-language perplexity terciles, DROP
+    // the worst third (CCNet's tail), (3) temperature-mix T=2 across
+    // languages over the survivors (quotas ∝ sqrt(n), deterministic
+    // smallest-hash draw), (4) pack the drawn sample easiest-first into
+    // ~2000-token shards. Scoring is two equi-joins, the tercile rank and
+    // the shard cumsum are range-partitioned two-phase prefix sums, the
+    // mix draw is the grouped prefix sum — no global window anywhere in
+    // the chain, and the whole recipe replays in DuckDB.
+    "q_recipe_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val grams = graft.text.Lm.backoffCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
+      val total = graft.text.Lm.tokenTotal(grams)
+      val scored = graft.text.Lm.scoreDocsBackoff(docs, "doc_id", "text",
+          grams, n = 2, totalTokens = total)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), round(col("avg_lp"), 6).as("avg_lp"))
+        .join(docs.select(col("doc_id"), col("lang"),
+          graft.text.TextFns.tokenCount(col("text")).cast("long")
+            .as("n_tok")), "doc_id")
+      val keep = Scale.quantileBuckets(scored, Seq("lang"),
+          Seq(col("avg_lp"), col("doc_id")), nBuckets = 3)
+        .filter(col("bucket") >= 1)
+      val drawn = Scale.temperatureMix(keep, "lang", "doc_id",
+        totalN = 200, temperature = 2.0)
+      Scale.packByBudget(drawn, Seq(col("avg_lp").desc, col("doc_id")),
+          col("n_tok"), budget = 2000)
+        .select("doc_id", "lang", "bucket", "shard")
+    }),
+
     // Curriculum data ordering: every doc scored by the frozen-half
     // backoff LM (the CCNet quality signal), then packed easiest-first
     // (highest avg_lp = lowest perplexity first) into ~2000-token shards —
@@ -3012,6 +3044,40 @@ object SparkEntry3 {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
        |    AS BIGINT) AS shard
        |FROM sc""".stripMargin),
+    // the full recipe: backoff chain -> tercile keep -> sqrt-temperature
+    // draw over survivors -> curriculum-order shard packing
+    "q_recipe_e2e"      -> ("WITH " + lmBackoffCoreSql(2) +
+      s""",
+       |sc AS (SELECT d.doc_id, d.lang, round(pd.sum_lp / pd.n_grams, 6)
+       |    AS avg_lp,
+       |    CAST(len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+       |      AS BIGINT) AS n_tok
+       |  FROM documents d JOIN pd ON d.doc_id = pd.doc_id
+       |  WHERE pd.n_grams > 0),
+       |rkt AS (SELECT doc_id, lang, avg_lp, n_tok,
+       |    row_number() OVER (PARTITION BY lang ORDER BY avg_lp, doc_id)
+       |      AS rk,
+       |    count(*) OVER (PARTITION BY lang) AS n FROM sc),
+       |keep AS (SELECT doc_id, lang, avg_lp, n_tok,
+       |    ((rk - 1) * 3) // n AS bucket
+       |  FROM rkt WHERE ((rk - 1) * 3) // n >= 1),
+       |c AS (SELECT lang, count(*) AS n FROM keep GROUP BY 1),
+       |w AS (SELECT lang, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),
+       |t AS (SELECT list_reduce(list(wt ORDER BY lang), (a, b) -> a + b)
+       |    AS tw FROM w),
+       |q AS (SELECT lang, CAST(floor(wt / (SELECT tw FROM t) * 200)
+       |    AS BIGINT) AS quota FROM w),
+       |r AS (SELECT keep.*, row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${ph("CAST(doc_id AS VARCHAR) || '|42'")}, doc_id)
+       |      AS drk
+       |  FROM keep),
+       |drawn AS (SELECT doc_id, lang, avg_lp, n_tok, bucket
+       |  FROM r JOIN q USING (lang) WHERE drk <= quota)
+       |SELECT doc_id, lang, bucket,
+       |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY avg_lp DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+       |    AS BIGINT) AS shard
+       |FROM drawn""".stripMargin),
     // q_dedup_resolve's CC chain aggregated per language
     "q_dedup_report" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w

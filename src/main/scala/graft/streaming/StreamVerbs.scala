@@ -758,6 +758,34 @@ object StreamVerbs {
         batch, idCol, textCol))
     }
 
+  /** The FULL admission chain per micro-batch — the streaming twin of
+    * q_ingest_e2e: each arriving batch is quality-gated (`qualityPred`),
+    * decontaminated against the frozen benchmark
+    * ([[graft.ml.Dedup.decontaminateBloom]] — map-side sketch probe), and
+    * deduped against the PERSISTED minhash index
+    * ([[graft.ml.Dedup.ingestDedup]] — drop vs standing signatures, drop
+    * vs smaller-id batch siblings, append survivors), so later
+    * micro-batches dedup against everything earlier ones admitted.
+    * foreachBatch; micro-batches run serially, so index growth is
+    * race-free; the index is the only state. StreamingSpec pins stream ==
+    * running the same chain batch-by-batch.
+    */
+  def streamingAdmission(t: Tbl, idCol: String, textCol: String,
+                         qualityPred: Column, bench: DataFrame,
+                         benchText: String, indexPath: String,
+                         contamN: Int = 5,
+                         maxContaminatedFrac: Double = 0.5,
+                         threshold: Double = 0.8, maxBucket: Int = 100000)
+                        (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val qual = batch.filter(qualityPred)
+      val dec = graft.ml.Dedup.decontaminateBloom(qual, idCol, textCol,
+        bench, benchText, contamN, maxContaminatedFrac)
+      sink(graft.ml.Dedup.ingestDedup(batch.sparkSession, indexPath, dec,
+        idCol, textCol, threshold, maxBucket))
+    }
+
   /** Ingest-time snapshot classification against a FROZEN corpus version
     * ([[graft.ops.Scale.snapshotDiff]] per micro-batch): every arriving
     * row is labeled `added` (id unseen in the old snapshot), `changed`

@@ -855,6 +855,53 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $got vs batch $batch")
   }
 
+  test("streaming admission chain == batch-by-batch " +
+       "(quality -> decontaminate -> ingest dedup)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val bench = standing.filter(col("doc_id") % 5 === 0)
+    val pred = col("n_chars") >= 150
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val b1 = odd.filter(col("doc_id") % 4 === 1)
+    val b2 = odd.filter(col("doc_id") % 4 === 3)
+    // streaming run: two micro-batches through the chain, shared index
+    val idxS = Files.createTempDirectory("graft-sadm-idx").toString
+    graft.ml.Dedup.buildMinhashIndex(standing, "doc_id", "text", idxS,
+      n = 3, bands = 16, rows = 2, seed = 42L, portable = true)
+    val dir = Files.createTempDirectory("graft-sadm").toFile
+    val ckpt = Files.createTempDirectory("graft-sadm-ckpt").toFile
+    b1.repartition(1).write.mode("append").parquet(dir.getAbsolutePath)
+    b2.repartition(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = StreamVerbs.streamingAdmission(Tbl(stream), "doc_id", "text",
+        pred, bench, "text", idxS, contamN = 3,
+        maxContaminatedFrac = 0.5, threshold = 0.3) { out =>
+        got.synchronized {
+          out.select("doc_id").collect().foreach(r => got += r.getLong(0))
+        }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // batch replay: the same chain run batch-by-batch on a fresh index
+    val idxB = Files.createTempDirectory("graft-badm-idx").toString
+    graft.ml.Dedup.buildMinhashIndex(standing, "doc_id", "text", idxB,
+      n = 3, bands = 16, rows = 2, seed = 42L, portable = true)
+    def admit(b: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.ml.Dedup.ingestDedup(spark, idxB,
+          graft.ml.Dedup.decontaminateBloom(b.filter(pred), "doc_id",
+            "text", bench, "text", n = 3, maxContaminatedFrac = 0.5),
+          "doc_id", "text", threshold = 0.3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = admit(b1) ++ admit(b2)
+    assert(got.toSet == expect && expect.nonEmpty,
+      s"stream ${got.size} admitted vs batch ${expect.size}")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("streaming snapshot diff against the frozen old version == batch") {
     import spark.implicits._
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))

@@ -188,7 +188,11 @@ object Scale {
     * or `unchanged`. The fingerprint is the portable md5 of the content
     * columns joined with a U+0001 separator (multi-column safe; the same
     * leaf the dedup oracles replay), so the diff itself is deterministic
-    * and engine-reproducible.
+    * and engine-reproducible. NULL content columns are skipped by
+    * concat_ws on BOTH engines — identically, so the oracle agrees, but
+    * it means (NULL, "x") and ("x", NULL) fingerprint equal: coalesce
+    * nullable content columns to a sentinel upstream if that distinction
+    * matters.
     *
     * Scale shape: two map-only fingerprint projections + ONE hash
     * full-outer equi-join on the id — each snapshot is scanned once and

@@ -198,12 +198,16 @@ object Classify {
     * relations are staged next to the live ones and swapped in with a
     * filesystem rename (reading and overwriting the same parquet path in
     * one job is undefined), so a crash mid-append leaves the old model
-    * intact. NbSpec pins append == retrain-from-scratch bit-identity.
+    * intact on any filesystem with atomic rename (HDFS, local; on object
+    * stores the rename is a copy — still correct, just not atomic).
+    * NbSpec pins append == retrain-from-scratch bit-identity.
     */
   def appendToNbModel(spark: org.apache.spark.sql.SparkSession,
                       path: String, df: DataFrame, classCol: String,
                       textCol: String, asciiOnly: Boolean = true): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    // the PATH's filesystem, not the default one — the model may live on
+    // an object store while defaultFS is HDFS/local
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     def swap(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$path/$name")

@@ -817,7 +817,12 @@ object SparkEntry3 {
         .filter(col("n_grams") > 0)
         .select(col("doc_id"), round(col("avg_lp"), 6).as("avg_lp"))
         .join(docs.select("doc_id", "lang"), "doc_id")
-      Scale.quantileBuckets(scored, Seq("lang"),
+      // the LM scoring subtree (two joins + two aggregates) feeds both
+      // the rank pass and the group-size count — cache the slim scored
+      // relation so it computes once (trackCache: released with the
+      // pipeline's other pinned blocks)
+      val sc = Dedup.trackCache(scored)
+      Scale.quantileBuckets(sc, Seq("lang"),
           Seq(col("avg_lp"), col("doc_id")), nBuckets = 3)
         .select("doc_id", "lang", "bucket")
     }),
@@ -838,10 +843,12 @@ object SparkEntry3 {
         .filter(col("n_grams") > 0)
         .select(col("doc_id"), round(col("avg_lp"), 6).as("avg_lp"))
         .join(docs.select("doc_id", "lang"), "doc_id")
+      // scoring feeds boundary training AND assignment — cache it once
+      val sc = Dedup.trackCache(scored)
       val bnd = Scale.quantileBoundaries(
-        scored.filter(col("doc_id") % 2 === 0), Seq("lang"),
+        sc.filter(col("doc_id") % 2 === 0), Seq("lang"),
         Seq(col("avg_lp"), col("doc_id")), col("avg_lp"), nBuckets = 3)
-      Scale.assignByBoundaries(scored, Seq("lang"), col("avg_lp"), bnd)
+      Scale.assignByBoundaries(sc, Seq("lang"), col("avg_lp"), bnd)
         .select("doc_id", "lang", "bucket")
     }),
 
@@ -1109,7 +1116,11 @@ object SparkEntry3 {
         .join(docs.select(col("doc_id"), col("lang"),
           graft.text.TextFns.tokenCount(col("text")).cast("long")
             .as("n_tok")), "doc_id")
-      val keep = Scale.quantileBuckets(scored, Seq("lang"),
+      // the scoring subtree feeds the tercile rank, the group sizes, the
+      // mix quotas, AND the draw rank — cache the slim scored relation so
+      // the expensive LM passes run once for the whole recipe
+      val sc = Dedup.trackCache(scored)
+      val keep = Scale.quantileBuckets(sc, Seq("lang"),
           Seq(col("avg_lp"), col("doc_id")), nBuckets = 3)
         .filter(col("bucket") >= 1)
       val drawn = Scale.temperatureMix(keep, "lang", "doc_id",

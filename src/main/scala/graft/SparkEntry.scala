@@ -624,11 +624,11 @@ object SparkEntry {
   // part 3 (sketches, weighted sampling, layout, semantic dedup)
   def queries: Map[String, Q] =
     noShadow("queries", Seq(coreQueries, joinQueries, windowQueries,
-      SparkEntry2.queries, SparkEntry3.queries))
+      SparkEntry2.queries, SparkEntry3.queries, SparkEntry4.queries))
 
   def oracleSql: Map[String, String] =
     noShadow("oracleSql", Seq(coreOracle, joinOracle, windowOracle,
-      SparkEntry2.oracleSql, SparkEntry3.oracleSql))
+      SparkEntry2.oracleSql, SparkEntry3.oracleSql, SparkEntry4.oracleSql))
 
   /** `++` over the source maps, FAILING on duplicate names instead of
     * silently letting a later map shadow an earlier one: in round 12 a new

@@ -1364,7 +1364,7 @@ object SparkEntry3 {
   /** The shared NB CTE chain up through the ranked per-(doc, class)
     * posterior relation `rk` — callers prepend `WITH ` and append their
     * own final SELECT (classification, confusion). */
-  private def nbCoreSql(trainPred: String): String =
+  private[graft] def nbCoreSql(trainPred: String): String =
     s"""toks AS (SELECT doc_id, lang,
        |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
        |      w -> regexp_matches(w, '^[a-z]+$$')) AS ts

@@ -1,0 +1,446 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml.{Eval, Similarity, Sq}
+import graft.ops.Scale
+
+/** SparkEntry part 4 (round 13 continuation): the SQ8 scalar-quantized
+  * retrieval tier (train/encode/probe + persisted index), classifier
+  * evaluation (tie-corrected ROC-AUC, per-class precision/recall/F1),
+  * the exact recall@k report, and token-budget temperature mixing. Same
+  * aliasing + portable-hash conventions as parts 1–3.
+  */
+object SparkEntry4 {
+
+  import SparkEntry.Q
+
+  private def t(s: SparkSession, dir: String, name: String): Tbl =
+    SparkEntry.readTable(s, dir, name)
+
+  private def scratchPath(dir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-scratch/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$name"
+
+  /** DuckDB-side portable hash: same 60-bit md5 leaf as
+    * [[graft.ops.Sketch.portableHash]]. */
+  private def ph(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  private val SQ_K = 3
+  private val SQ_RECALL_K = 10
+  // token budget for q_temp_tokens: below the corpus token total at every
+  // test SF (sf0.001 carries ~100k+ word tokens), so the greedy prefix
+  // draw is genuinely selective everywhere the oracle runs
+  private val TT_BUDGET = 20000L
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").df
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  /** The documents corpus with the binary quality-gate label of q_nb_auc:
+    * 'pos' = English (the dominant class), 'neg' = everything else. */
+  private def binLabeled(docs: DataFrame): DataFrame =
+    docs.withColumn("cls",
+      when(col("lang") === "en", lit("pos")).otherwise(lit("neg")))
+
+  /** The shared scored relation of q_nb_auc / q_nb_pr: binary NB trained
+    * on the even-id half, every odd-id doc's posterior log-odds rounded
+    * to the cross-engine 6dp, joined to the boolean truth — (doc_id, s,
+    * truth). */
+  private def nbBinaryScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").df
+    val lab = binLabeled(docs)
+    val train = lab.filter(col("doc_id") % 2 === 0)
+    val wc = graft.text.Classify.nbWordCounts(train, "cls", "text")
+    val stats = graft.text.Classify.nbClassStats(train, "cls", "text")
+      .collect().map(r => (r.getAs[String]("cls"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSeq
+    val scores = graft.text.Classify.nbScoresAll(
+      lab.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", wc, stats,
+      vocab = graft.text.Classify.nbVocab(wc),
+      totalDocs = stats.map(_._2).sum)
+    scores.groupBy("doc_id")
+      .agg(max(when(col("cls") === "pos", col("score"))).as("sp"),
+        max(when(col("cls") === "neg", col("score"))).as("sn"))
+      .select(col("doc_id"), round(col("sp") - col("sn"), 6).as("s"))
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").as("truth")), "doc_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+
+    // SQ8 scalar quantization end to end: per-dimension min/max bounds
+    // (the entire training pass), 8-bit encode, probe by on-the-fly
+    // mid-level reconstruction + exact cosine. The codes scan is 1/4 the
+    // bytes of the float corpus — the tier between brute force and PQ.
+    "q_sq8_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (mns, mxs) = Sq.boundsArrays(Sq.sqBounds(e, "embedding"))
+      val codes = Sq.sqEncode(e, "vec_id", "embedding", mns, mxs)
+      Sq.sqTopK(codes, e.filter(col("vec_id") < 10), SQ_K, mns, mxs)
+        .select(col("query_id"), col("item_id"),
+          col("rk").cast("long").as("rk"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // The SAME probe through the persisted-index lifecycle: buildSqIndex
+    // writes <path>/{bounds,codes} once, sqTopKFromIndex probes the
+    // frozen artifact. Same oracle as q_sq8_topk VERBATIM — persisted ==
+    // inline is the claim (the q_lm_persisted discipline).
+    "q_sq8_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = scratchPath(dir, "sq8_index")
+      Sq.buildSqIndex(e, path)
+      Sq.sqTopKFromIndex(s, path, e.filter(col("vec_id") < 10), SQ_K)
+        .select(col("query_id"), col("item_id"),
+          col("rk").cast("long").as("rk"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // The evaluation harness of the SQ8 tier: exact recall@10 of the
+    // quantized ranker against the brute-force ground truth, per query
+    // plus the corpus micro average — every number integer arithmetic
+    // until one division, so the report (not just the ranker) is oracled.
+    "q_sq8_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(e, queries, SQ_RECALL_K)
+      val (mns, mxs) = Sq.boundsArrays(Sq.sqBounds(e, "embedding"))
+      val codes = Sq.sqEncode(e, "vec_id", "embedding", mns, mxs)
+      val approx = Sq.sqTopK(codes, queries, SQ_RECALL_K, mns, mxs)
+      Sq.recallReport(truth, approx)
+    }),
+
+    // FAISS's IVF<n>,SQ8 layout end to end: coarse route over a portable
+    // id-hash centroid sample, codes written partitioned by centroid,
+    // probes read ONLY their nProbe directories (DPP) and those hold
+    // 8-bit codes — the two savings stack. Hash-checked: routing,
+    // reconstruction, and cosine ranks all replay in the oracle.
+    "q_sq8_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = scratchPath(dir, "sq8_ivf_index")
+      Sq.buildIvfSqIndex(e, path, nCentroids = 16, centroidHash = Some(
+        graft.text.TextFns.portableHash64(col("vec_id").cast("string"))))
+      Sq.ivfSqTopKFromIndex(s, path, e.filter(col("vec_id") < 10),
+          k = SQ_K, nProbe = 4)
+        .select(col("query_id"), col("item_id"),
+          col("rk").cast("long").as("rk"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // Tie-corrected ROC-AUC of the NB quality gate: binary model (en vs
+    // rest) trained on the even-id half, every odd-id doc scored by its
+    // posterior log-odds (rounded to the cross-engine 6dp BEFORE ranking
+    // — the one transcendental leaf), AUC via exact Mann–Whitney count
+    // arithmetic over the two-phase prefix sum. One row: the number a
+    // threshold gate is actually judged by.
+    "q_nb_auc" -> ((s, dir) =>
+      Eval.aucBinary(nbBinaryScored(s, dir), "truth", "s")),
+
+    // The same gate's full precision–recall sweep: one row per distinct
+    // log-odds threshold with exact (tp, fp) tail counts — the curve the
+    // gate threshold is read off, over the same scored relation.
+    "q_nb_pr" -> ((s, dir) =>
+      Eval.prCurve(nbBinaryScored(s, dir), "truth", "s")),
+
+    // Per-class precision/recall/F1 of the multi-class lang-ID gate —
+    // the metric table next to q_nb_confusion's raw counts: same trained
+    // model, same argmax, the confusion relation folded to per-class
+    // ratios by exact count arithmetic.
+    "q_nb_prf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val wc = graft.text.Classify.nbWordCounts(train, "lang", "text")
+      val stats = graft.text.Classify.nbClassStats(train, "lang", "text")
+        .collect().map(r => (r.getAs[String]("cls"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSeq
+      val conf = graft.text.Classify.nbClassify(docs, "doc_id", "text", wc,
+          stats, vocab = graft.text.Classify.nbVocab(wc),
+          totalDocs = stats.map(_._2).sum)
+        .join(docs.select(col("doc_id"), col("lang").as("truth")), "doc_id")
+        .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+      Eval.prfReport(conf)
+    }),
+
+    // Temperature mixing in TOKEN units (the budget mixing recipes are
+    // actually written in): domain mass = exact token totals, quotas ∝
+    // mass^(1/T) over a 20k-token budget, the draw a greedy smallest-hash
+    // prefix admitted while the running token sum fits — rows weigh what
+    // they cost the budget.
+    "q_temp_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val toks = docs.select(col("doc_id"), col("lang"),
+        size(filter(split(trim(lower(col("text"))), "\\s+"),
+          w => w.rlike("^[a-z]+$"))).cast("long").as("n_tok"))
+      Scale.temperatureMixByWeight(toks, "lang", "doc_id", col("n_tok"),
+        TT_BUDGET, temperature = 2.0)
+    })
+  )
+
+  // -------------------------------------------------------------------
+  // Oracles
+  // -------------------------------------------------------------------
+
+  /** The shared SQ8 CTE chain: bounds from per-dimension min/max, the
+    * clamp+floor encode, mid-level reconstruction (`rec`), the query set
+    * (`q`), and the reconstructed-cosine ranking (`srk`) — the exact
+    * mirror of [[graft.ml.Sq]]'s expression shapes (left-to-right
+    * list_dot_product = the DotProduct codegen; `mn + (c + 0.5) ·
+    * (mx − mn) / 255` associates identically).
+    */
+  /** DuckDB cosine fragment — list_dot_product sums left-to-right like
+    * the DotProduct codegen (the q_ann_bruteforce discipline). */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+      s"* sqrt(list_dot_product($b, $b)))"
+
+  /** The encode half of the SQ8 replay: bounds from per-dimension
+    * min/max, the clamp+floor codes, and mid-level reconstruction
+    * (`rec`). */
+  private def sq8EncodeSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, i AS d, v[i + 1] AS x
+       |  FROM e, LATERAL (SELECT unnest(range(0, len(v))) AS i) ii),
+       |b AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+       |cd AS (SELECT vec_id, d,
+       |    CASE WHEN mx = mn THEN 0
+       |      ELSE CAST(least(255.0, greatest(0.0,
+       |        floor((x - mn) * 255.0 / (mx - mn)))) AS INT) END AS c,
+       |    mn, mx
+       |  FROM ex JOIN b USING (d)),
+       |rec AS (SELECT vec_id,
+       |    list(mn + (CAST(c AS DOUBLE) + 0.5) * (mx - mn) / 255.0
+       |      ORDER BY d) AS xh
+       |  FROM cd GROUP BY 1)""".stripMargin
+
+  private def sq8CoreSql(k: Int): String =
+    sq8EncodeSql + s""",
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |sc AS (SELECT q.query_id, r.vec_id AS item_id,
+       |    ${cosSql("r.xh", "q.qv")} AS cosine
+       |  FROM rec r CROSS JOIN q WHERE r.vec_id <> q.query_id),
+       |srk AS (SELECT query_id, item_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, item_id) AS rk
+       |  FROM sc),
+       |sqk AS (SELECT query_id, item_id, rk, cosine
+       |  FROM srk WHERE rk <= $k)""".stripMargin
+
+  /** DuckDB replica of `q_sq8_ivf`: the portable-hash centroid sample and
+    * nearest-centroid routing of the q_ann_ivf replay, scored on SQ8
+    * reconstructions — assignment ranks FULL-precision vectors (the index
+    * build encodes after assigning), probes rank reconstructed codes. */
+  private def sq8IvfOracleSql(nCentroids: Int, nProbe: Int,
+                              k: Int): String =
+    "WITH " + sq8EncodeSql + s""",
+       |hu AS (SELECT vec_id, v,
+       |    CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |         AS BIGINT) AS HUGEINT) * 4294967296
+       |      + CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 9, 8))
+       |        AS BIGINT) AS u
+       |  FROM e),
+       |h AS (SELECT vec_id, v,
+       |    CAST(CASE WHEN u >= 9223372036854775808
+       |         THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS hid
+       |  FROM hu),
+       |cent AS (SELECT hid AS centroid_id, v AS cvec FROM h
+       |  ORDER BY hid LIMIT $nCentroids),
+       |assign AS (SELECT e.vec_id, cent.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "cent.cvec")} DESC, cent.centroid_id)
+       |      AS crk
+       |  FROM e CROSS JOIN cent),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS item_id
+       |  FROM (SELECT * FROM assign WHERE crk <= $nProbe AND vec_id < 10) q
+       |  JOIN (SELECT * FROM assign WHERE crk = 1) i
+       |    ON i.centroid_id = q.centroid_id
+       |  WHERE i.vec_id <> q.vec_id),
+       |scored AS (SELECT cand.query_id, cand.item_id,
+       |    ${cosSql("r.xh", "qv.v")} AS cosine
+       |  FROM cand
+       |  JOIN rec r ON r.vec_id = cand.item_id
+       |  JOIN e qv ON qv.vec_id = cand.query_id),
+       |rk AS (SELECT query_id, item_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, item_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, item_id, CAST(rk AS BIGINT) AS rk,
+       |  round(cosine, 6) AS cosine
+       |FROM rk WHERE rk <= $k""".stripMargin
+
+  private def sq8TopKOracleSql(k: Int): String =
+    "WITH " + sq8CoreSql(k) + """
+      |SELECT query_id, item_id, rk, round(cosine, 6) AS cosine
+      |FROM sqk""".stripMargin
+
+  /** DuckDB replica of `q_sq8_recall`: the SQ8 chain at k=10 plus the
+    * exact brute-force truth at k=10, joined to per-query hit counts and
+    * the Σhits/Σtruth micro row — integers until the one division. */
+  private def sq8RecallOracleSql(k: Int): String =
+    "WITH " + sq8CoreSql(k) + s""",
+      |tsc AS (SELECT q.query_id, e.vec_id AS item_id,
+      |    list_dot_product(e.v, q.qv)
+      |      / (sqrt(list_dot_product(e.v, e.v))
+      |         * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |trk AS (SELECT query_id, item_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cosine DESC, item_id) AS rk
+      |  FROM tsc),
+      |tt AS (SELECT query_id, item_id FROM trk WHERE rk <= $k),
+      |hits AS (SELECT t.query_id, count(*) AS h
+      |  FROM tt t JOIN sqk a USING (query_id, item_id) GROUP BY 1),
+      |per AS (SELECT query_id, count(*) AS n_truth FROM tt GROUP BY 1),
+      |j AS (SELECT p.query_id, coalesce(h.h, 0) AS hits, p.n_truth
+      |  FROM per p LEFT JOIN hits h USING (query_id)),
+      |u AS (SELECT * FROM j
+      |  UNION ALL
+      |  SELECT CAST(NULL AS BIGINT), sum(hits), sum(n_truth) FROM j)
+      |SELECT query_id, CAST(hits AS BIGINT) AS hits,
+      |  CAST(n_truth AS BIGINT) AS n_truth,
+      |  CASE WHEN n_truth > 0 THEN round(hits / n_truth, 6) END AS recall
+      |FROM u""".stripMargin
+
+  /** DuckDB replica of `q_nb_auc`: the binary-label NB chain (the
+    * q_nb_confusion CTE shape specialized to pos/neg = en/rest, scored on
+    * the odd-id eval half), the 6dp-rounded log-odds pivot, and the
+    * tie-corrected Mann–Whitney fold over the cumulative-negatives
+    * window — exact counts until the one guarded division. */
+  /** The shared binary-NB CTE chain of q_nb_auc / q_nb_pr, up through the
+    * per-distinct-score (s → pos, neg) counts `bys`. */
+  private def nbBinCoreSql: String =
+    s"""toks AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ts
+       |  FROM documents),
+       |lab AS (SELECT doc_id, lang, ts,
+       |    CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS cls
+       |  FROM toks),
+       |tr AS (SELECT * FROM lab WHERE doc_id % 2 = 0),
+       |tw AS (SELECT cls, unnest(ts) AS w FROM tr),
+       |wc AS (SELECT cls, w, count(*) AS cnt FROM tw GROUP BY 1, 2),
+       |cs AS (SELECT cls, count(*) AS n_docs,
+       |    coalesce(sum(len(ts)), 0) AS n_tokens FROM tr GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w) AS v FROM tw),
+       |td AS (SELECT count(*) AS n FROM tr),
+       |ev AS (SELECT * FROM lab WHERE doc_id % 2 <> 0),
+       |ex AS (SELECT doc_id, i AS pos, ts[i + 1] AS w
+       |  FROM ev, LATERAL (SELECT unnest(range(0, len(ts))) AS i) ii),
+       |lp AS (SELECT e.doc_id, c.cls, c.n_docs, e.pos,
+       |    ln((coalesce(wc.cnt, 0) + 1.0)
+       |       / (c.n_tokens + (SELECT v FROM vv))) AS lp
+       |  FROM ex e CROSS JOIN cs c
+       |  LEFT JOIN wc ON wc.cls = c.cls AND wc.w = e.w),
+       |pc AS (SELECT doc_id, cls, n_docs,
+       |    ln(n_docs / (SELECT n FROM td))
+       |      + list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS score
+       |  FROM lp GROUP BY 1, 2, 3),
+       |allp AS (SELECT d.doc_id, c.cls,
+       |    coalesce(pc.score, ln(c.n_docs / (SELECT n FROM td))) AS score
+       |  FROM (SELECT DISTINCT doc_id FROM ev) d
+       |  CROSS JOIN cs c
+       |  LEFT JOIN pc ON pc.doc_id = d.doc_id AND pc.cls = c.cls),
+       |wide AS (SELECT doc_id,
+       |    round(max(CASE WHEN cls = 'pos' THEN score END)
+       |      - max(CASE WHEN cls = 'neg' THEN score END), 6) AS s
+       |  FROM allp GROUP BY 1),
+       |lj AS (SELECT w.s, (l.lang = 'en') AS truth
+       |  FROM wide w JOIN lab l USING (doc_id)),
+       |bys AS (SELECT s, sum(CASE WHEN truth THEN 1 ELSE 0 END) AS pos,
+       |    sum(CASE WHEN truth THEN 0 ELSE 1 END) AS neg
+       |  FROM lj GROUP BY 1)""".stripMargin
+
+  private def nbAucOracleSql: String =
+    "WITH " + nbBinCoreSql + s""",
+       |cc AS (SELECT s, pos, neg, sum(neg) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg
+       |  FROM bys)
+       |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(neg) AS BIGINT) AS n_neg,
+       |  CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+       |    round(sum(pos * (2 * (cum_neg - neg) + neg))
+       |      / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
+       |FROM cc""".stripMargin
+
+  /** DuckDB replica of `q_nb_pr`: ascending prefix sums over `bys`, the
+    * ≥-threshold tail as total − prefix + own row, two exact-ratio
+    * divisions per distinct score. */
+  private def nbPrOracleSql: String =
+    "WITH " + nbBinCoreSql + s""",
+       |cc AS (SELECT s, pos, neg,
+       |    sum(pos) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+       |    sum(neg) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg
+       |  FROM bys),
+       |tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM bys)
+       |SELECT s, CAST(p - cum_pos + pos AS BIGINT) AS tp,
+       |  CAST(n - cum_neg + neg AS BIGINT) AS fp,
+       |  round((p - cum_pos + pos)
+       |    / ((p - cum_pos + pos) + (n - cum_neg + neg)), 6) AS precision,
+       |  CASE WHEN p > 0
+       |    THEN round((p - cum_pos + pos) / p, 6) END AS recall
+       |FROM cc, tot""".stripMargin
+
+  /** DuckDB replica of `q_nb_prf`: the q_nb_confusion chain folded to
+    * per-class tp / row / column totals and the three exact-ratio
+    * metrics (F1 via 2·TP/(n_truth + n_pred) — one division). */
+  private def nbPrfOracleSql(trainPred: String): String =
+    "WITH " + SparkEntry3.nbCoreSql(trainPred) + s""",
+       |conf AS (SELECT d.lang AS truth, rk.cls AS pred, count(*) AS n
+       |  FROM rk JOIN documents d USING (doc_id)
+       |  WHERE rn = 1 GROUP BY 1, 2),
+       |tpp AS (SELECT truth AS cls, n AS tp FROM conf WHERE truth = pred),
+       |nt AS (SELECT truth AS cls, sum(n) AS n_truth FROM conf GROUP BY 1),
+       |np AS (SELECT pred AS cls, sum(n) AS n_pred FROM conf GROUP BY 1),
+       |u AS (SELECT coalesce(nt.cls, np.cls) AS cls,
+       |    coalesce(n_truth, 0) AS n_truth, coalesce(n_pred, 0) AS n_pred
+       |  FROM nt FULL JOIN np ON nt.cls = np.cls)
+       |SELECT u.cls, CAST(coalesce(tpp.tp, 0) AS BIGINT) AS tp,
+       |  CAST(u.n_truth AS BIGINT) AS n_truth,
+       |  CAST(u.n_pred AS BIGINT) AS n_pred,
+       |  CASE WHEN u.n_pred > 0
+       |    THEN round(coalesce(tpp.tp, 0) / u.n_pred, 6) END AS precision,
+       |  CASE WHEN u.n_truth > 0
+       |    THEN round(coalesce(tpp.tp, 0) / u.n_truth, 6) END AS recall,
+       |  CASE WHEN u.n_truth + u.n_pred > 0
+       |    THEN round(2 * coalesce(tpp.tp, 0)
+       |      / (u.n_truth + u.n_pred), 6) END AS f1
+       |FROM u LEFT JOIN tpp ON u.cls = tpp.cls""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sq8_topk"      -> sq8TopKOracleSql(SQ_K),
+    // persist + probe must be bit-identical to the inline pipeline —
+    // same oracle VERBATIM is the claim (the q_lm_persisted discipline)
+    "q_sq8_persisted" -> sq8TopKOracleSql(SQ_K),
+    "q_sq8_recall"    -> sq8RecallOracleSql(SQ_RECALL_K),
+    "q_sq8_ivf"       -> sq8IvfOracleSql(nCentroids = 16, nProbe = 4,
+                           k = SQ_K),
+    "q_nb_auc"        -> nbAucOracleSql,
+    "q_nb_pr"         -> nbPrOracleSql,
+    "q_nb_prf"        -> nbPrfOracleSql("doc_id % 2 = 0"),
+    // the q_temp_mix quota replay in token units: exact token totals,
+    // sqrt weights folded in domain order, the greedy prefix admitted
+    // while the running token sum fits the quota
+    "q_temp_tokens"   ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    CAST(len(list_filter(
+         |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      w -> regexp_matches(w, '^[a-z]+$$'))) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT lang, sum(n_tok) AS nw FROM toks GROUP BY 1),
+         |w AS (SELECT lang, pow(CAST(nw AS DOUBLE), 0.5) AS wt FROM c),
+         |t AS (SELECT list_reduce(list(wt ORDER BY lang), (a, b) -> a + b)
+         |    AS tw FROM w),
+         |q AS (SELECT lang, CAST(floor(wt / (SELECT tw FROM t) * $TT_BUDGET)
+         |    AS BIGINT) AS quota FROM w),
+         |r AS (SELECT doc_id, lang, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang
+         |      ORDER BY ${ph("CAST(doc_id AS VARCHAR) || '|42'")}, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+         |  FROM toks)
+         |SELECT r.doc_id, r.lang, r.n_tok
+         |FROM r JOIN q USING (lang) WHERE cw <= quota""".stripMargin
+  )
+}

@@ -683,6 +683,68 @@ object Scale {
         explode(sequence(lit(0L), col("__nc") - 1)).as("epoch"): _*)
   }
 
+  /** [[temperatureQuotas]] in WEIGHT units — the form mixing recipes
+    * actually budget in: a domain's mass is Σ weight (token counts, byte
+    * sizes) rather than its row count, shares go ∝ (Σw_d)^(1/T), and
+    * quota = ⌊share · totalBudget⌋ is a WEIGHT budget (e.g. tokens), not
+    * a row count. A 10-row domain of book-length documents and a
+    * 10k-row domain of tweets weigh what they actually cost the token
+    * budget. Same determinism discipline as [[temperatureQuotas]]: the
+    * per-domain weight totals are exact integer sums (pass an integral
+    * `weightCol`), and the weight-total fold runs in DOMAIN order so the
+    * floor sits on a partition-invariant float. Output: (domainCol,
+    * n_weight, share, quota).
+    */
+  def temperatureQuotasByWeight(df: DataFrame, domainCol: String,
+                                weightCol: Column, totalBudget: Long,
+                                temperature: Double): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(domainCol)
+      .agg(sum(weightCol.cast("long")).as("n_weight"))
+    val w = counts.withColumn("__w",
+      pow(col("n_weight").cast("double"), 1.0 / temperature))
+    val tot = w.agg(aggregate(
+      transform(array_sort(collect_list(struct(col(domainCol), col("__w")))),
+        s => s.getField("__w")),
+      lit(0.0), (a, x) => a + x).as("__tw"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("share", col("__w") / col("__tw"))
+      .withColumn("quota",
+        floor(col("share") * totalBudget).cast("long"))
+      .drop("__w", "__tw")
+  }
+
+  /** Draw the [[temperatureQuotasByWeight]] sample: per domain, the
+    * greedy prefix of smallest-hash rows whose CUMULATIVE weight fits the
+    * domain's quota — rows admit while Σ weight-so-far ≤ quota, so the
+    * draw under-fills by at most one document per domain (the honest
+    * floor; no row is split). Deterministic: the admission order is the
+    * same portable id-hash as [[temperatureMix]], the running weight is
+    * an exact integer prefix sum, and the rank comes from
+    * [[groupedCumSum]]'s range-partitioned two-phase machinery — a
+    * handful of domains over 100 TB never funnels through per-domain
+    * window reducers. Output: the input columns (quota columns dropped).
+    */
+  def temperatureMixByWeight(df: DataFrame, domainCol: String,
+                             idCol: String, weightCol: Column,
+                             totalBudget: Long, temperature: Double,
+                             seed: String = "42"): DataFrame = {
+    val quotas = temperatureQuotasByWeight(df, domainCol, weightCol,
+        totalBudget, temperature)
+      .select(col(domainCol), col("quota"))
+    val h = Sketch.portableHash(concat(col(idCol).cast("string"),
+      lit("|" + seed)))
+    groupedCumSum(
+        df.withColumn("__h", h).withColumn("__wt", weightCol.cast("long")),
+        Seq(domainCol), Seq(col("__h"), col(idCol)), col("__wt"), "__cw")
+      .join(broadcast(quotas), Seq(domainCol))
+      .filter(col("__cw") <= col("quota"))
+      // the using-join hoisted the domain key to the front; restore the
+      // caller's column order
+      .select(df.columns.map(col): _*)
+  }
+
   /** Morton (Z-order) key: interleave the low `bits` bits of each column —
     * bit j of column i lands at output bit j·n + i. Inputs must already be
     * nonnegative longs < 2^bits (see [[zorderQuantize]]); n·bits ≤ 63. The

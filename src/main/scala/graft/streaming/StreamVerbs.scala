@@ -721,6 +721,25 @@ object StreamVerbs {
     }
   }
 
+  /** Streaming SQ8 probe: arriving query batches rank against a FROZEN
+    * persisted scalar-quantized index ([[graft.ml.Sq.buildSqIndex]] —
+    * bounds + codes), reconstructing codes on the fly inside codegen —
+    * the serving sibling of [[streamingIvfPqProbe]] one fidelity tier up
+    * (¼-width scan, no coarse routing). Batch == stream by construction
+    * (same code object — [[graft.ml.Sq.sqTopKFromIndex]] per micro-batch;
+    * StreamingSpec pins parity). foreachBatch: the per-query rank filter
+    * is a window, which streaming plans don't support.
+    */
+  def streamingSqProbe(queries: Tbl, path: String, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding")
+                      (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Sq.sqTopKFromIndex(batch.sparkSession, path, batch,
+        k, idCol, vecCol))
+    }
+
   /** Streaming Stupid Backoff LM scoring against a PERSISTED model
     * ([[graft.text.Lm.buildBackoffModel]]): each micro-batch of arriving
     * documents runs the batch [[graft.text.Lm.scoreDocsFromModel]] — the

@@ -78,6 +78,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_pq_refine"           -> centroidBroadcast, // same route() leg under the refine
       "q_ann_bruteforce"      -> bruteForce,
       "q_rand_proj"           -> bruteForce, // exact ranking in the reduced space
+      // the SQ8 probes rank reconstructed codes against broadcast-bounded
+      // query batches — bruteForceTopK's contract at 1/4 the scan bytes
+      "q_sq8_topk"            -> bruteForce,
+      "q_sq8_persisted"       -> bruteForce,
+      "q_sq8_recall"          -> bruteForce, // truth leg AND the SQ8 probe
+      "q_sq8_ivf"             -> centroidBroadcast, // route legs (build+probe)
       "q_probe_persisted"     -> modelBroadcast,
       "q_hybrid_rrf"          -> bruteForce, // its semantic leg is bruteForceTopK
       "q_expand_complete"     -> expandCross,

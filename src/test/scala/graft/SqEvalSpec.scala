@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.{Eval, Similarity, Sq}
+import graft.ops.Scale
+
+/** SQ8 scalar quantization + the evaluation verbs + token-budget mixing. */
+class SqEvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  test("SQ8 codes are 8-bit; bounds cover every dimension") {
+    val e = emb.cache()
+    val (mns, mxs) = Sq.boundsArrays(Sq.sqBounds(e, "embedding"))
+    assert(mns.size == 64 && mxs.size == 64)
+    assert(mns.zip(mxs).forall { case (a, b) => a <= b })
+    val codes = Sq.sqEncode(e, "vec_id", "embedding", mns, mxs)
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count()
+    assert(bad == 0L, "every code must be in [0, 255]")
+    // extremes land on the extreme codes: some dimension hits 0 and 255
+    val r = codes.select(
+      min(expr("array_min(codes)")).as("lo"),
+      max(expr("array_max(codes)")).as("hi")).head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 255)
+  }
+
+  test("SQ8 top-k recall vs brute force is high (255-level reconstruction)") {
+    val e = emb.cache()
+    val queries = e.filter(col("vec_id") < 10)
+    val (mns, mxs) = Sq.boundsArrays(Sq.sqBounds(e, "embedding"))
+    val codes = Sq.sqEncode(e, "vec_id", "embedding", mns, mxs)
+    val approx = Sq.sqTopK(codes, queries, 10, mns, mxs)
+    val truth = Similarity.bruteForceTopK(e, queries, 10)
+    val rep = Sq.recallReport(truth, approx)
+    val micro = rep.filter(col("query_id").isNull).head()
+    // half-level-per-dim distortion: the quantized ranker keeps nearly
+    // all of the exact top-10 even on isotropic noise vectors
+    assert(micro.getAs[Double]("recall") >= 0.9,
+      s"micro recall ${micro.getAs[Double]("recall")}")
+    // per-query rows cover every query, hits <= n_truth
+    assert(rep.filter(col("query_id").isNotNull).count() == 10)
+    assert(rep.filter(col("hits") > col("n_truth")).count() == 0)
+  }
+
+  test("persisted SQ index == inline pipeline bit-for-bit; append is O(batch)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq").toString
+    val e = emb.cache()
+    val queries = e.filter(col("vec_id") < 10)
+    val base = e.filter(col("vec_id") % 2 === 0)
+    Sq.buildSqIndex(base, dir)
+    val (mns, mxs) = Sq.boundsArrays(Sq.sqBounds(base, "embedding"))
+    val inline = Sq.sqTopK(Sq.sqEncode(base, "vec_id", "embedding", mns, mxs),
+      queries, 5, mns, mxs)
+    TestSpark.assertSameRows(Sq.sqTopKFromIndex(spark, dir, queries, 5),
+      inline, "persisted vs inline")
+    // append the odd half against the FROZEN bounds: the probe now sees
+    // both halves, and equals a one-shot encode of everything under the
+    // same bounds (frozen-quantizer append semantics, the IVF-PQ pin)
+    Sq.appendToSqIndex(spark, dir, e.filter(col("vec_id") % 2 === 1))
+    val all = Sq.sqTopK(Sq.sqEncode(e, "vec_id", "embedding", mns, mxs),
+      queries, 5, mns, mxs)
+    TestSpark.assertSameRows(Sq.sqTopKFromIndex(spark, dir, queries, 5),
+      all, "appended index vs one-shot encode under frozen bounds")
+  }
+
+  test("saturation stats: in-distribution batch ~0, shifted batch trips") {
+    val e = emb.cache()
+    val (mns, mxs) = Sq.boundsArrays(Sq.sqBounds(e, "embedding"))
+    val in = Sq.saturationStats(e.limit(50), "embedding", mns, mxs).head()
+    assert(in.getAs[Double]("sat_frac") == 0.0) // bounds came from e itself
+    val shifted = e.limit(50).withColumn("embedding",
+      transform(col("embedding"), x => x + lit(10.0)))
+    val out = Sq.saturationStats(shifted, "embedding", mns, mxs).head()
+    assert(out.getAs[Double]("sat_frac") > 0.9,
+      s"shifted batch should saturate, got ${out.getAs[Double]("sat_frac")}")
+    // the persisted ledger makes the re-train policy operational: fresh
+    // index -> no signal; in-distribution append -> no signal;
+    // out-of-distribution append -> rebuildAdvised trips
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqsat").toString
+    val base = e.filter(col("vec_id") % 2 === 0)
+    Sq.buildSqIndex(base, dir)
+    assert(!Sq.rebuildAdvised(spark, dir), "nothing appended yet")
+    Sq.appendToSqIndex(spark, dir,
+      e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 200))
+    assert(!Sq.rebuildAdvised(spark, dir),
+      "in-distribution append must not trip the signal")
+    Sq.appendToSqIndex(spark, dir,
+      shifted.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    assert(Sq.rebuildAdvised(spark, dir),
+      "out-of-distribution append must trip the signal")
+  }
+
+  test("aucBinary: hand-checked values, ties, and degenerate guards") {
+    // scores: pos {3, 2}, neg {1, 2} -> pairs: (3>1)=1, (3=2)... enumerate
+    // U = sum over pos of (#neg below + 0.5 * #neg equal):
+    //   pos=3: 2 below -> 1.0 + 1.0 ; pos=2: 1 below + 1 tie -> 1 + 0.5
+    // AUC = 3.5 / 4 = 0.875
+    val df = Seq((true, 3.0), (true, 2.0), (false, 1.0), (false, 2.0))
+      .toDF("y", "s")
+    val r = Eval.aucBinary(df, "y", "s").head()
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Double]("auc") == 0.875)
+    // perfect separation -> 1.0; total inversion -> 0.0
+    val sep = Seq((true, 5.0), (true, 4.0), (false, 1.0)).toDF("y", "s")
+    assert(Eval.aucBinary(sep, "y", "s").head().getAs[Double]("auc") == 1.0)
+    val inv = Seq((true, 0.0), (false, 9.0)).toDF("y", "s")
+    assert(Eval.aucBinary(inv, "y", "s").head().getAs[Double]("auc") == 0.0)
+    // all ties -> 0.5; single-class -> NULL (undefined, never 0.5)
+    val tie = Seq((true, 1.0), (false, 1.0)).toDF("y", "s")
+    assert(Eval.aucBinary(tie, "y", "s").head().getAs[Double]("auc") == 0.5)
+    val one = Seq((true, 1.0), (true, 2.0)).toDF("y", "s")
+    assert(Eval.aucBinary(one, "y", "s").head().isNullAt(2))
+  }
+
+  test("IVF-SQ8: probes prune partitions; recall tracks the flat SQ scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq").toString
+    val e = emb.cache()
+    val queries = e.filter(col("vec_id") < 10)
+    Sq.buildIvfSqIndex(e, dir, nCentroids = 8)
+    val probed = Sq.ivfSqTopKFromIndex(spark, dir, queries, k = 3,
+      nProbe = 8) // probe EVERYTHING -> must equal the flat SQ8 scan
+    val (mns, mxs) = Sq.boundsArrays(Sq.sqBounds(e, "embedding"))
+    val flat = Sq.sqTopK(Sq.sqEncode(e, "vec_id", "embedding", mns, mxs),
+      queries, 3, mns, mxs)
+    TestSpark.assertSameRows(
+      probed.select("query_id", "item_id", "rk"),
+      flat.select("query_id", "item_id", "rk"),
+      "all-probe IVF-SQ vs flat SQ scan")
+    // narrow probe: the codes scan must carry dynamic partition pruning
+    val narrow = Sq.ivfSqTopKFromIndex(spark, dir, queries, k = 3,
+      nProbe = 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "probe scan should be DPP-filtered on centroid_id")
+  }
+
+  test("prCurve: hand-checked sweep; endpoints; ties collapse") {
+    val df = Seq((true, 3.0), (true, 2.0), (false, 2.0), (false, 1.0))
+      .toDF("y", "s")
+    val r = Eval.prCurve(df, "y", "s").collect()
+      .map(x => x.getAs[Double]("s") ->
+        (x.getAs[Long]("tp"), x.getAs[Long]("fp"),
+          x.getAs[Double]("precision"), x.getAs[Double]("recall"))).toMap
+    // t=3: tp=1 fp=0; t=2: tp=2 fp=1; t=1: tp=2 fp=2
+    assert(r(3.0) == ((1L, 0L, 1.0, 0.5)))
+    assert(r(2.0) == ((2L, 1L, 0.666667, 1.0)))
+    assert(r(1.0) == ((2L, 2L, 0.5, 1.0)))
+    assert(r.size == 3) // distinct scores only — the tie at 2.0 collapsed
+    // no positives anywhere -> recall NULL on every row, precision 0
+    val neg = Seq((false, 1.0), (false, 2.0)).toDF("y", "s")
+    val rows = Eval.prCurve(neg, "y", "s").collect()
+    assert(rows.forall(_.isNullAt(4)) &&
+      rows.forall(_.getAs[Double]("precision") == 0.0))
+  }
+
+  test("prfReport: hand-checked confusion, absent-class NULLs") {
+    // truth a: 3 (2 right, 1 -> b); truth b: 1 (pred a); class c never
+    // occurs as truth but once as pred?? keep it simple: add (c, c) = 0 no.
+    val conf = Seq(("a", "a", 2L), ("a", "b", 1L), ("b", "a", 1L))
+      .toDF("truth", "pred", "n")
+    val r = Eval.prfReport(conf).collect().map(x =>
+      (x.getAs[String]("cls"), x.getAs[Long]("tp"),
+        x.getAs[Long]("n_truth"), x.getAs[Long]("n_pred"),
+        Option(x.getAs[java.lang.Double]("precision")),
+        Option(x.getAs[java.lang.Double]("recall")),
+        Option(x.getAs[java.lang.Double]("f1")))).sortBy(_._1)
+    // a: tp=2, n_truth=3, n_pred=3 -> p=2/3, r=2/3, f1=4/6
+    assert(r(0) == (("a", 2L, 3L, 3L, Some(0.666667), Some(0.666667),
+      Some(0.666667))))
+    // b: tp=0, n_truth=1, n_pred=1 -> p=0, r=0, f1=0
+    assert(r(1) == (("b", 0L, 1L, 1L, Some(0.0), Some(0.0), Some(0.0))))
+    // never-predicted class: precision NULL, recall defined
+    val conf2 = Seq(("a", "b", 2L)).toDF("truth", "pred", "n")
+    val m = Eval.prfReport(conf2).collect()
+      .map(x => x.getAs[String]("cls") -> x).toMap
+    assert(m("a").isNullAt(4) && m("a").getAs[Double]("recall") == 0.0)
+    assert(m("b").isNullAt(5) && m("b").getAs[Double]("precision") == 0.0)
+  }
+
+  test("token-budget temperature mix: greedy prefix fits quota per domain") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(filter(split(trim(lower(col("text"))), "\\s+"),
+        w => w.rlike("^[a-z]+$"))).cast("long").as("n_tok"))
+    val quotas = Scale.temperatureQuotasByWeight(toks, "lang",
+        col("n_tok"), totalBudget = 20000L, temperature = 2.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_weight"), r.getAs[Long]("quota"))).toMap
+    // sqrt-weighting: the smallest domain's share of the budget must
+    // exceed its natural share of the corpus (that is the POINT of T>1)
+    val totW = quotas.values.map(_._1).sum
+    val (minLang, (minW, minQ)) = quotas.minBy(_._2._1)
+    assert(minQ.toDouble / 20000L > minW.toDouble / totW,
+      s"$minLang not upweighted: quota share ${minQ / 20000.0} vs " +
+        s"natural ${minW.toDouble / totW}")
+    val drawn = Scale.temperatureMixByWeight(toks, "lang", "doc_id",
+      col("n_tok"), totalBudget = 20000L, temperature = 2.0)
+    assert(drawn.columns.toSeq == Seq("doc_id", "lang", "n_tok"))
+    // per-domain drawn token mass never exceeds the quota, and adding the
+    // smallest-hash unadmitted row would overflow it (maximal prefix)
+    val sums = drawn.groupBy("lang").agg(sum("n_tok").as("got"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("got"))
+      .toMap
+    for ((lang, got) <- sums) assert(got <= quotas(lang)._2,
+      s"$lang drew $got > quota ${quotas(lang)._2}")
+    // non-trivial: something was drawn and something was left behind
+    assert(drawn.count() > 0 && drawn.count() < toks.count())
+  }
+}

@@ -1316,4 +1316,38 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sigState(streamIdx) == sigState(batchIdx))
   }
+
+  test("streaming SQ8 probe == batch probe against the persisted index") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val idx = Files.createTempDirectory("graft-sq-stream").toString
+    graft.ml.Sq.buildSqIndex(emb, idx)
+    val queries = emb.filter(col("vec_id") < 6)
+      .select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-sqq").toFile
+    val ckpt = Files.createTempDirectory("graft-sqq-ckpt").toFile
+    // two micro-batches of query vectors
+    queries.filter(col("vec_id") < 3).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    queries.filter(col("vec_id") >= 3).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = StreamVerbs.streamingSqProbe(Tbl(stream), idx, k = 3) { out =>
+        got.synchronized {
+          out.collect().foreach(r => got += ((r.getLong(0), r.getLong(1),
+            r.getInt(3).toLong)))
+        }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = graft.ml.Sq.sqTopKFromIndex(spark, idx, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong))
+      .toSet
+    assert(got.toSet == batch && batch.size == 18,
+      s"stream ${got.size} vs batch ${batch.size}")
+  }
 }

@@ -33,6 +33,10 @@ object SparkEntry4 {
   // test SF (sf0.001 carries ~100k+ word tokens), so the greedy prefix
   // draw is genuinely selective everywhere the oracle runs
   private val TT_BUDGET = 20000L
+  // q_gate_calibrated: keep >= 80% of positives, maximize precision —
+  // always satisfiable when any positive exists (threshold at the score
+  // floor gives recall 1), so the gate is non-degenerate at every SF
+  private val GATE_RECALL = 0.8
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").df
@@ -161,6 +165,27 @@ object SparkEntry4 {
         .join(docs.select(col("doc_id"), col("lang").as("truth")), "doc_id")
         .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
       Eval.prfReport(conf)
+    }),
+
+    // The calibrated gate END TO END — train the binary NB gate, sweep
+    // its PR curve, pick the HIGHEST threshold still reaching the recall
+    // target (0.8 — maximize precision subject to keeping 80% of the
+    // positives), admit exactly the docs scoring at or above it. The
+    // FineWeb-style "train classifier → calibrate threshold → filter"
+    // loop as one composition; the threshold is a 1-row driver read off
+    // the tiny PR relation (the tokenTotal pattern), never a data join.
+    "q_gate_calibrated" -> ((s, dir) => {
+      // the scored relation feeds BOTH the PR sweep (materialized for the
+      // threshold read) and the admission filter — cache it so the NB
+      // chain runs once (trackCache: released with the dedup registry)
+      val scored = graft.ml.Dedup.trackCache(nbBinaryScored(s, dir))
+      val pr = Eval.prCurve(scored, "truth", "s")
+      val thr = pr.filter(col("recall") >= GATE_RECALL)
+        .agg(max("s")).head()
+      if (thr.isNullAt(0)) scored.filter(lit(false))
+        .select(col("doc_id"), col("s"), col("truth"))
+      else scored.filter(col("s") >= thr.getDouble(0))
+        .select(col("doc_id"), col("s"), col("truth"))
     }),
 
     // Temperature mixing in TOKEN units (the budget mixing recipes are
@@ -409,7 +434,24 @@ object SparkEntry4 {
        |      / (u.n_truth + u.n_pred), 6) END AS f1
        |FROM u LEFT JOIN tpp ON u.cls = tpp.cls""".stripMargin
 
+  /** DuckDB replica of `q_gate_calibrated`: the PR tail of
+    * [[nbPrOracleSql]] reduced to the max threshold with 6dp-rounded
+    * recall ≥ the target, applied back to the doc-level scored relation. */
+  private def gateCalibratedOracleSql: String =
+    "WITH " + nbBinCoreSql + s""",
+       |cc AS (SELECT s, pos,
+       |    sum(pos) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+       |  FROM bys),
+       |tot AS (SELECT sum(pos) AS p FROM bys),
+       |thr AS (SELECT max(s) AS t FROM cc, tot
+       |  WHERE p > 0 AND round((p - cum_pos + pos) / p, 6) >= $GATE_RECALL)
+       |SELECT w.doc_id, w.s, (l.lang = 'en') AS truth
+       |FROM wide w JOIN lab l USING (doc_id)
+       |WHERE w.s >= (SELECT t FROM thr)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_gate_calibrated" -> gateCalibratedOracleSql,
     "q_sq8_topk"      -> sq8TopKOracleSql(SQ_K),
     // persist + probe must be bit-identical to the inline pipeline —
     // same oracle VERBATIM is the claim (the q_lm_persisted discipline)

@@ -740,6 +740,22 @@ object StreamVerbs {
         k, idCol, vecCol))
     }
 
+  /** Streaming gate monitoring: each micro-batch of LABELED scored rows
+    * (a holdout slice riding the ingest stream) emits its own
+    * [[graft.ml.Eval.aucBinary]] row — the live dashboard signal that a
+    * deployed quality gate's score is still separating classes (a
+    * collapsing AUC means the model or the traffic drifted, the
+    * classifier sibling of [[graft.ml.Pq.rebuildAdvised]]). Batch ==
+    * stream by construction (same code object per batch; StreamingSpec
+    * pins each batch's row equals the batch-side AUC of that slice).
+    */
+  def streamingAucMonitor(scored: Tbl, labelCol: String, scoreCol: String)
+                         (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    scored.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Eval.aucBinary(batch, labelCol, scoreCol))
+    }
+
   /** Streaming Stupid Backoff LM scoring against a PERSISTED model
     * ([[graft.text.Lm.buildBackoffModel]]): each micro-batch of arriving
     * documents runs the batch [[graft.text.Lm.scoreDocsFromModel]] — the

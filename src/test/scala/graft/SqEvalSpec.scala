@@ -183,6 +183,45 @@ class SqEvalSpec extends AnyFunSuite {
     assert(m("b").isNullAt(5) && m("b").getAs[Double]("precision") == 0.0)
   }
 
+  test("SQ8 codes parquet is a fraction of the float corpus on disk") {
+    val e = emb.cache()
+    val (mns, mxs) = Sq.boundsArrays(Sq.sqBounds(e, "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft-sqsz")
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    e.select("vec_id", "embedding").repartition(1)
+      .write.parquet(s"$base/floats")
+    Sq.sqEncode(e, "vec_id", "embedding", mns, mxs).repartition(1)
+      .write.parquet(s"$base/codes")
+    val (fb, cb) = (dirBytes(java.nio.file.Paths.get(s"$base/floats")),
+      dirBytes(java.nio.file.Paths.get(s"$base/codes")))
+    // doubles are ~incompressible noise; 8-bit codes bit-pack — the
+    // on-disk artifact must keep a clear fraction of the width (the
+    // honest form of SQ8's 4x claim under parquet encodings)
+    assert(cb.toDouble / fb < 0.5, s"codes $cb vs floats $fb")
+  }
+
+  test("calibrated gate: admits a downward-closed score set with recall >= target") {
+    val dir = "/root/testdata/sf0.001"
+    val admitted = SparkEntry.queries("q_gate_calibrated")(spark, dir)
+      .collect()
+    assert(admitted.nonEmpty)
+    val thr = admitted.map(_.getAs[Double]("s")).min
+    // the gate is a pure threshold: everything admitted scores >= thr
+    assert(admitted.forall(_.getAs[Double]("s") >= thr))
+    // and it keeps >= 80% of all positives in the scored (odd-id) half
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val totalPos = docs.filter(col("doc_id") % 2 =!= 0)
+      .filter(col("lang") === "en").count()
+    val admittedPos = admitted.count(_.getAs[Boolean]("truth"))
+    assert(admittedPos.toDouble / totalPos >= 0.8,
+      s"$admittedPos of $totalPos positives admitted")
+  }
+
   test("token-budget temperature mix: greedy prefix fits quota per domain") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = docs.select(col("doc_id"), col("lang"),

@@ -1350,4 +1350,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batch && batch.size == 18,
       s"stream ${got.size} vs batch ${batch.size}")
   }
+
+  test("streaming AUC monitor: each micro-batch row == batch-side AUC") {
+    import spark.implicits._
+    val b1 = Seq((1L, true, 3.0), (2L, true, 2.0), (3L, false, 1.0),
+      (4L, false, 2.0)) // the hand-checked tie case: AUC 0.875
+    val b2 = Seq((5L, true, 9.0), (6L, false, 1.0), (7L, false, 2.0))
+    val dir = Files.createTempDirectory("graft-aucmon").toFile
+    val ckpt = Files.createTempDirectory("graft-aucmon-ckpt").toFile
+    b1.toDF("id", "y", "s").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    b2.toDF("id", "y", "s").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = b1.toDF("id", "y", "s").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val q = StreamVerbs.streamingAucMonitor(Tbl(stream), "y", "s") { out =>
+        got.synchronized { out.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), r.getDouble(2)))) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def bAuc(rows: Seq[(Long, Boolean, Double)]) = {
+      val r = graft.ml.Eval.aucBinary(rows.toDF("id", "y", "s"), "y", "s")
+        .head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    assert(got.toSet == Set(bAuc(b1), bAuc(b2)) &&
+      got.exists(_._3 == 0.875) && got.exists(_._3 == 1.0),
+      s"stream $got")
+  }
 }

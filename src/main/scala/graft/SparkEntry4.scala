@@ -37,6 +37,10 @@ object SparkEntry4 {
   // always satisfiable when any positive exists (threshold at the score
   // floor gives recall 1), so the gate is non-degenerate at every SF
   private val GATE_RECALL = 0.8
+  // q_hard_negatives: over-fetch 8, top-3 are the positives, mine 5
+  private val HN_CAND = 8
+  private val HN_POS = 3
+  private val HN_K = 5
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").df
@@ -131,6 +135,39 @@ object SparkEntry4 {
         .select(col("query_id"), col("item_id"),
           col("rk").cast("long").as("rk"),
           round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // Hard-negative mining (the DPR/sentence-transformers recipe):
+    // over-fetch top-8 candidates per query, drop the top-3 as the
+    // positives, re-rank the rest to the 5 hardest negatives — the
+    // contrastive-training data prep step, all exact and oracled.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      val cand = graft.ml.Dedup.trackCache(
+        Similarity.bruteForceTopK(e, queries, k = HN_CAND))
+      val positives = cand.filter(col("rk") <= HN_POS)
+      Similarity.hardNegatives(cand, positives, k = HN_K)
+        .select(col("query_id"), col("item_id"),
+          col("rk").cast("long").as("rk"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // Exact cross-source content-overlap matrix — corpus composition
+    // diagnostics before mixing sources. The synthetic corpus has no
+    // natural cross-source duplicates, so a fifth of the docs get a
+    // deterministic shared passage (the c4Aug device, mirrored in the
+    // oracle). The passage key is (doc_id div 5) % 7 — coprime with the
+    // source assignment's doc_id % 20, so each of the 7 passages lands
+    // in MULTIPLE sources (doc_id % 40 would stay inside one source and
+    // plant nothing).
+    "q_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(lit("shared passage number "),
+            expr("(doc_id DIV 5) % 7").cast("string")))
+          .otherwise(col("text")))
+      graft.ops.Checks.contentOverlapMatrix(docs, "source", "text")
     }),
 
     // Tie-corrected ROC-AUC of the NB quality gate: binary model (en vs
@@ -450,7 +487,50 @@ object SparkEntry4 {
        |FROM wide w JOIN lab l USING (doc_id)
        |WHERE w.s >= (SELECT t FROM thr)""".stripMargin
 
+  /** DuckDB replica of `q_hard_negatives`: the exact cosine ranking at
+    * k = cand; dropping the top-`pos` prefix and re-ranking is a rank
+    * shift because the positives ARE that prefix (the anti-join is
+    * exercised on non-prefix positives in SqEvalSpec). */
+  private def hardNegativesOracleSql(cand: Int, pos: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |sc AS (SELECT q.query_id, e.vec_id AS item_id,
+       |    ${cosSql("e.v", "q.qv")} AS cosine
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |rk AS (SELECT query_id, item_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, item_id) AS rk
+       |  FROM sc)
+       |SELECT query_id, item_id, CAST(rk - $pos AS BIGINT) AS rk,
+       |  round(cosine, 6) AS cosine
+       |FROM rk WHERE rk > $pos AND rk <= ${pos + k}""".stripMargin
+
+  /** DuckDB replica of `q_source_overlap`: the planted-passage rewrite,
+    * distinct (md5, source) projection, the src_a < src_b self-join, and
+    * the one-division jaccard. */
+  private def sourceOverlapOracleSql: String =
+    s"""WITH d AS (SELECT source,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN 'shared passage number '
+       |        || CAST((doc_id // 5) % 7 AS VARCHAR)
+       |      ELSE text END AS text
+       |  FROM documents),
+       |fps AS (SELECT DISTINCT md5(text) AS fp,
+       |    CAST(source AS VARCHAR) AS src FROM d),
+       |tot AS (SELECT src, count(*) AS n FROM fps GROUP BY 1),
+       |sh AS (SELECT x.src AS src_a, y.src AS src_b, count(*) AS n_shared
+       |  FROM fps x JOIN fps y ON x.fp = y.fp AND x.src < y.src
+       |  GROUP BY 1, 2)
+       |SELECT sh.src_a, sh.src_b,
+       |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       |  CAST(sh.n_shared AS BIGINT) AS n_shared,
+       |  round(sh.n_shared / (ta.n + tb.n - sh.n_shared), 6) AS jaccard
+       |FROM sh JOIN tot ta ON ta.src = sh.src_a
+       |JOIN tot tb ON tb.src = sh.src_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_hard_negatives"  -> hardNegativesOracleSql(HN_CAND, HN_POS, HN_K),
+    "q_source_overlap"  -> sourceOverlapOracleSql,
     "q_gate_calibrated" -> gateCalibratedOracleSql,
     "q_sq8_topk"      -> sq8TopKOracleSql(SQ_K),
     // persist + probe must be bit-identical to the inline pipeline —

@@ -294,6 +294,31 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Hard-negative mining for contrastive training data (the DPR /
+    * sentence-transformers recipe: the best negatives are the most
+    * similar NON-positives, not random draws): from ANY scored candidate
+    * relation (query_id, item_id, cosine) — a [[bruteForceTopK]] /
+    * [[lshTopK]] / [[graft.ml.Sq.sqTopK]] / [[graft.ml.Pq.adcTopKRouted]]
+    * output, over-fetched to k + |positives per query| — drop each
+    * query's positive items (one left-anti hash join against the
+    * (query_id, item_id) positives relation) and re-rank what remains to
+    * the top `k` hardest negatives. Output: (query_id, item_id, cosine,
+    * rk), ties on item_id. The per-query window runs over candidate rows
+    * only (bounded by the generator's k', never the corpus) — the
+    * [[refineTopK]] shape.
+    */
+  def hardNegatives(candidates: DataFrame, positives: DataFrame,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pos = positives.select(col("query_id"), col("item_id"))
+    val neg = candidates
+      .select(col("query_id"), col("item_id"), col("cosine"))
+      .join(pos, Seq("query_id", "item_id"), "left_anti")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("item_id"))
+    neg.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Recall@k of an approximate ranker against the exact one: per query,
     * |truth ∩ approx| / |truth| over the two (query_id, item_id) top-k sets,
     * plus a corpus-level macro average row with query_id NULL. The standard

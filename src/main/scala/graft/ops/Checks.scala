@@ -160,6 +160,47 @@ object Checks {
           .as("f1"))
   }
 
+  /** Exact cross-source content-overlap matrix — the corpus-composition
+    * diagnostic run before mixing N sources (how much of source A is
+    * literally inside source B decides dedup order and mixture weights;
+    * the sketched single-pair sibling is [[Scale.distinctOverlap]]):
+    * one row per unordered source pair (src_a < src_b) with
+    *
+    *   n_a / n_b    — each side's DISTINCT content fingerprints,
+    *   n_shared     — fingerprints present in both,
+    *   jaccard      — n_shared / (n_a + n_b − n_shared), one division.
+    *
+    * Content identity is the portable md5 of `contentCol`, so the whole
+    * matrix replays in the oracle (q_source_overlap). Scale shape: one
+    * distinct (fp, source) projection — only hashes shuffle, never text —
+    * then a self equi-join ON fp whose per-key fan-out is bounded by the
+    * SOURCE COUNT (a fingerprint appears at most once per source after
+    * the distinct), so the join output is ≤ |sources|²/2 rows per
+    * fingerprint — never a hot-key blowup; totals ride in as a broadcast
+    * |sources|-row aggregate.
+    */
+  def contentOverlapMatrix(df: DataFrame, sourceCol: String,
+                           contentCol: String): DataFrame = {
+    val fps = graft.ml.Dedup.trackCache(
+      df.select(md5(col(contentCol).cast("string")).as("fp"),
+        col(sourceCol).cast("string").as("src")).distinct())
+    val totals = fps.groupBy("src").agg(count(lit(1)).as("n"))
+    val shared = fps.as("x")
+      .join(fps.as("y"), Seq("fp"))
+      .where(col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(totals.select(col("src").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("src").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** One-row join pre-flight: BEFORE running a big equi-join, estimate its
     * output size from two count-min sketches (the CM inner product,
     * [[Sketch.countMinJoinSize]]) and profile each side's key skew — then

@@ -84,6 +84,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_sq8_persisted"       -> bruteForce,
       "q_sq8_recall"          -> bruteForce, // truth leg AND the SQ8 probe
       "q_sq8_ivf"             -> centroidBroadcast, // route legs (build+probe)
+      // (q_hard_negatives needs NO entry: its bruteForce candidate leg is
+      // trackCache'd, so the audited plan reads the InMemoryRelation and
+      // the NLJ lives inside the cached subtree the walker doesn't enter)
       "q_probe_persisted"     -> modelBroadcast,
       "q_hybrid_rrf"          -> bruteForce, // its semantic leg is bruteForceTopK
       "q_expand_complete"     -> expandCross,

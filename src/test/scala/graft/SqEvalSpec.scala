@@ -222,6 +222,34 @@ class SqEvalSpec extends AnyFunSuite {
       s"$admittedPos of $totalPos positives admitted")
   }
 
+  test("hardNegatives: non-prefix positives are anti-joined out, rest re-ranked") {
+    // candidates for one query: a..e by descending cosine; positives are
+    // b and d (NOT a rank prefix) -> negatives must be a, c, e at 1, 2, 3
+    val cand = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7),
+      (1L, 13L, 0.6), (1L, 14L, 0.5))
+      .toDF("query_id", "item_id", "cosine")
+    val pos = Seq((1L, 11L), (1L, 13L)).toDF("query_id", "item_id")
+    val got = Similarity.hardNegatives(cand, pos, k = 3).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Int]("rk"))).sorted
+    assert(got.toSeq == Seq((10L, 1), (12L, 2), (14L, 3)))
+    // k smaller than the remainder truncates
+    assert(Similarity.hardNegatives(cand, pos, k = 2).count() == 2)
+  }
+
+  test("contentOverlapMatrix: hand-checked matrix; disjoint pairs absent") {
+    val df = Seq(("A", "t1"), ("A", "t2"), ("B", "t1"), ("B", "t3"),
+      ("B", "t3"), ("C", "t4")).toDF("src", "text")
+    val m = graft.ops.Checks.contentOverlapMatrix(df, "src", "text")
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard"))).toMap
+    // A{t1,t2} vs B{t1,t3}: shared 1 of 3 distinct -> jaccard 1/3
+    assert(m(("A", "B")) == ((2L, 2L, 1L, 0.333333)))
+    // duplicate rows within a source collapse (B had t3 twice: n_b = 2)
+    // disjoint pairs emit NO row — the matrix is sparse by design
+    assert(m.size == 1)
+  }
+
   test("token-budget temperature mix: greedy prefix fits quota per domain") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = docs.select(col("doc_id"), col("lang"),

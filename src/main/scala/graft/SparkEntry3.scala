@@ -2539,9 +2539,18 @@ object SparkEntry3 {
   /** Word-keyed replay of `q_bpe_encode`: the q_bpe training chain (pair
     * stats, argmax, greedy gaps-and-islands application) run for ALL
     * nMerges rounds, ending in each word's final token sequence. */
-  private def bpeEncodeOracleSql(nMerges: Int): String = {
+  private def bpeEncodeOracleSql(nMerges: Int): String =
+    "WITH " + bpeEncodeChainSql(nMerges) + s"""
+      |SELECT word, array_to_string(ts, ' ') AS toks
+      |FROM w${nMerges + 1}""".stripMargin
+
+  /** The shared CTE chain of the BPE-encode replays (`q_bpe_encode`,
+    * `q_tokenize`): everything through `w{nMerges+1}` — the final
+    * (word, cnt, ts) vocabulary after all merge rounds. Callers prepend
+    * `WITH ` and append their own final SELECT. */
+  private[graft] def bpeEncodeChainSql(nMerges: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH t0 AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+    sb ++= s"""t0 AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
               |  FROM documents),
               |wds AS (SELECT word, count(*) AS cnt FROM t0
               |  WHERE word <> '' AND regexp_matches(word, '^[a-z]+$$')
@@ -2584,9 +2593,6 @@ object SparkEntry3 {
                 |""".stripMargin
     }
     sb.setLength(sb.length - 2) // drop the trailing ",\n"
-    sb ++= s"""
-              |SELECT word, array_to_string(ts, ' ') AS toks
-              |FROM w${nMerges + 1}""".stripMargin
     sb.toString
   }
 

@@ -137,6 +137,19 @@ object SparkEntry4 {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    // Corpus tokenization with the trained tokenizer — the pass every
+    // pretraining pipeline ends with: train the 8-merge table (q_bpe's
+    // regime), encode the DISTINCT vocabulary once, reassemble every
+    // document's token stream in position order. n_tokens is the
+    // post-BPE count token-budget mixing/packing actually needs.
+    "q_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 8)
+      graft.text.Bpe.encodeDocs(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("toks"))
+    }),
+
     // Hard-negative mining (the DPR/sentence-transformers recipe):
     // over-fetch top-8 candidates per query, drop the top-3 as the
     // positives, re-rank the rest to the 5 hardest negatives — the
@@ -528,7 +541,29 @@ object SparkEntry4 {
        |FROM sh JOIN tot ta ON ta.src = sh.src_a
        |JOIN tot tb ON tb.src = sh.src_b""".stripMargin
 
+  /** DuckDB replica of `q_tokenize`: the q_bpe_encode training/encode
+    * chain (all 8 merge rounds, word-keyed) plus the doc-level
+    * reassembly — the ordered word stream joins the final vocabulary and
+    * each document's token lists concatenate in position order. */
+  private def tokenizeOracleSql(nMerges: Int): String =
+    "WITH " + SparkEntry3.bpeEncodeChainSql(nMerges) + s""",
+       |d0 AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |dp AS (SELECT doc_id, ii.i AS pos, ws[ii.i + 1] AS word
+       |  FROM d0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+       |asm AS (SELECT dp.doc_id,
+       |    flatten(list(w.ts ORDER BY dp.pos)) AS toks
+       |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(a.toks), 0) AS BIGINT) AS n_tokens,
+       |  coalesce(array_to_string(a.toks, ' '), '') AS toks
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN asm a USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_tokenize"        -> tokenizeOracleSql(8),
     "q_hard_negatives"  -> hardNegativesOracleSql(HN_CAND, HN_POS, HN_K),
     "q_source_overlap"  -> sourceOverlapOracleSql,
     "q_gate_calibrated" -> gateCalibratedOracleSql,

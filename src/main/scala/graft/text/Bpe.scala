@@ -536,6 +536,38 @@ object Bpe {
         size(expr(applicableMergesExpr)).cast("long").as("n_applicable"))
   }
 
+  /** Tokenize WHOLE DOCUMENTS with a learned merge table — the corpus
+    * tokenization pass every pretraining pipeline ends with, built on
+    * the Zipf economy: the expensive encode ([[encodeWords]]'s one-pass
+    * merge fold) runs once per DISTINCT word, and the corpus-sized work
+    * is one hash equi-join of the (id, pos, word) stream against that
+    * vocabulary plus a position-ordered per-doc reassembly (bounded by
+    * document length — chunk book-length outliers upstream with
+    * [[TextFns.chunkDocs]], the [[Lm.scoreDocs]] caveat). Same
+    * tokenization as [[wordCounts]] (lower/whitespace/`^[a-z]+$`), so
+    * train and encode can never disagree on the word universe. Output:
+    * (idCol, tokens, n_tokens) — token-less docs get an empty array, not
+    * a dropped row. The n_tokens column is what token-budget mixing and
+    * packing consume ([[graft.ops.Scale.temperatureQuotasByWeight]],
+    * `packByBudget`) — post-BPE counts, not whitespace estimates.
+    */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 merges: DataFrame, asciiOnly: Boolean = true): DataFrame = {
+    val toks = docs
+      .select(col(idCol), Lm.tokens(col(textCol), asciiOnly).as("__ws"))
+      .select(col(idCol), posexplode_outer(col("__ws")).as(Seq("pos", "word")))
+    val vocab = encodeWords(toks.filter(col("word").isNotNull),
+      "word", merges)
+    toks.join(vocab, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(collect_list(when(col("word").isNotNull,
+        struct(col("pos"), col("tokens")))).as("__ps"))
+      .select(col(idCol),
+        expr("flatten(transform(array_sort(__ps), s -> s.tokens))")
+          .as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Per-merge replay encode — the differential oracle for [[encodeWords]]
     * (one projection per merge; do not use at serving merge-table sizes).
     */

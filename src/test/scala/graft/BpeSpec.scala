@@ -313,4 +313,21 @@ class BpeSpec extends AnyFunSuite {
     assert(last >= 1 && last <= 10,
       s"expected a single-query encode (few jobs), saw $last")
   }
+
+  test("encodeDocs reassembles per-doc token streams in word order") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd"), (2L, ""), (3L, "cd ab"))
+      .toDF("doc_id", "text")
+    // pair counts: (a,b)=2, (b,</w>)=2, (c,d)=2, (d,</w>)=2 — lexicographic
+    // tie-break picks (a,b), so 'ab' -> [ab, </w>], 'cd' -> [c, d, </w>]
+    val merges = Bpe.train(docs, "text", nMerges = 1)
+    val got = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Seq[String]]("tokens"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got(1L) == ((Seq("ab", "</w>", "ab", "</w>", "c", "d", "</w>"), 7L)))
+    // the empty doc keeps its row with an EMPTY token array, not a drop
+    assert(got(2L) == ((Seq.empty[String], 0L)))
+    // order matters: doc 3 is cd THEN ab — not a bag of words
+    assert(got(3L) == ((Seq("c", "d", "</w>", "ab", "</w>"), 5L)))
+  }
 }

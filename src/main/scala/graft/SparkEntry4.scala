@@ -150,6 +150,22 @@ object SparkEntry4 {
           concat_ws(" ", col("tokens")).as("toks"))
     }),
 
+    // The final tokenizer artifact: documents as TOKEN-ID sequences —
+    // the frequency-ranked vocabulary assigns contiguous ids (count
+    // desc, token asc; a two-phase ordinal, no global window), then the
+    // tokenized corpus maps through it. The encoded corpus feeds both
+    // the vocab build and the id mapping, so it is cached once.
+    "q_token_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 8)
+      val enc = graft.ml.Dedup.trackCache(
+        graft.text.Bpe.encodeDocs(docs, "doc_id", "text", merges))
+      val vocab = graft.text.Bpe.vocabTable(enc)
+      graft.text.Bpe.idsFromTokens(enc, "doc_id", vocab)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("ids")).as("ids"))
+    }),
+
     // Hard-negative mining (the DPR/sentence-transformers recipe):
     // over-fetch top-8 candidates per query, drop the top-3 as the
     // positives, re-rank the rest to the 5 hardest negatives — the
@@ -562,7 +578,37 @@ object SparkEntry4 {
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN asm a USING (doc_id)""".stripMargin
 
+  /** DuckDB replica of `q_token_ids`: the q_tokenize chain's per-doc
+    * token lists, the (count desc, token asc) contiguous-id vocabulary,
+    * and the position-ordered id reassembly. */
+  private def tokenIdsOracleSql(nMerges: Int): String =
+    "WITH " + SparkEntry3.bpeEncodeChainSql(nMerges) + s""",
+       |d0 AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |dp AS (SELECT doc_id, ii.i AS pos, ws[ii.i + 1] AS word
+       |  FROM d0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+       |asm AS (SELECT dp.doc_id,
+       |    flatten(list(w.ts ORDER BY dp.pos)) AS toks
+       |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
+       |allt AS (SELECT unnest(toks) AS token FROM asm),
+       |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
+       |vid AS (SELECT token,
+       |    row_number() OVER (ORDER BY n DESC, token) - 1 AS tid FROM vc),
+       |di AS (SELECT doc_id, ii.i AS pos, toks[ii.i + 1] AS token
+       |  FROM asm, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
+       |ot AS (SELECT di.doc_id,
+       |    list(CAST(v.tid AS VARCHAR) ORDER BY di.pos) AS ids,
+       |    count(*) AS n
+       |  FROM di JOIN vid v USING (token) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(ot.n, 0) AS BIGINT) AS n_tokens,
+       |  coalesce(array_to_string(ot.ids, ' '), '') AS ids
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN ot USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_token_ids"       -> tokenIdsOracleSql(8),
     "q_tokenize"        -> tokenizeOracleSql(8),
     "q_hard_negatives"  -> hardNegativesOracleSql(HN_CAND, HN_POS, HN_K),
     "q_source_overlap"  -> sourceOverlapOracleSql,

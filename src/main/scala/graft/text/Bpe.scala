@@ -568,6 +568,46 @@ object Bpe {
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
+  /** Frequency-ranked vocabulary of a tokenized corpus ([[encodeDocs]]
+    * output): (token, n_occur, token_id) with contiguous ids 0..V−1
+    * assigned by (occurrences desc, token asc) — the id assignment every
+    * tokenizer ships. The rank is
+    * [[graft.ops.Scale.globalRowNumber]]'s range-partitioned two-phase
+    * ordinal, never a global window over the token table (a 32k-merge
+    * vocabulary is small, but a char-fallback or corpus-specific token
+    * universe need not be, and the plan shape should not depend on that).
+    */
+  def vocabTable(encoded: DataFrame): DataFrame = {
+    val counts = encoded.select(explode(col("tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occur"))
+    graft.ops.Scale.globalRowNumber(counts,
+        Seq(col("n_occur").desc, col("token").asc), "__rn")
+      .select(col("token"), col("n_occur"),
+        (col("__rn") - 1L).as("token_id"))
+  }
+
+  /** Map a tokenized corpus to ID sequences against a [[vocabTable]]:
+    * (idCol, ids, n_tokens) — the (doc → int array) form training data
+    * finally ships as. Same shapes as [[encodeDocs]]' reassembly: one
+    * hash equi-join of the (id, pos, token) stream against the
+    * vocabulary, one position-ordered per-doc fold; a token absent from
+    * the vocabulary fails fast as a NULL-id row dropped by the inner
+    * join — pass the vocab built from the SAME encoded corpus (or a
+    * superset) so that cannot happen.
+    */
+  def idsFromTokens(encoded: DataFrame, idCol: String,
+                    vocab: DataFrame): DataFrame = {
+    val ex = encoded.select(col(idCol),
+      posexplode_outer(col("tokens")).as(Seq("pos", "token")))
+    ex.join(vocab.select("token", "token_id"), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(collect_list(when(col("token").isNotNull,
+        struct(col("pos"), col("token_id")))).as("__ps"))
+      .select(col(idCol),
+        expr("transform(array_sort(__ps), s -> s.token_id)").as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
   /** Per-merge replay encode — the differential oracle for [[encodeWords]]
     * (one projection per merge; do not use at serving merge-table sizes).
     */

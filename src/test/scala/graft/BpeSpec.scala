@@ -323,11 +323,27 @@ class BpeSpec extends AnyFunSuite {
     val merges = Bpe.train(docs, "text", nMerges = 1)
     val got = Bpe.encodeDocs(docs, "doc_id", "text", merges)
       .collect().map(r => r.getLong(0) ->
-        (r.getAs[Seq[String]]("tokens"), r.getAs[Long]("n_tokens"))).toMap
+        (r.getSeq[String](r.fieldIndex("tokens")).toList,
+          r.getAs[Long]("n_tokens"))).toMap
     assert(got(1L) == ((Seq("ab", "</w>", "ab", "</w>", "c", "d", "</w>"), 7L)))
     // the empty doc keeps its row with an EMPTY token array, not a drop
     assert(got(2L) == ((Seq.empty[String], 0L)))
     // order matters: doc 3 is cd THEN ab — not a bag of words
     assert(got(3L) == ((Seq("c", "d", "</w>", "ab", "</w>"), 5L)))
+
+    // vocab ids are contiguous frequency ranks (count desc, token asc):
+    // </w> x5 -> 0, ab x3 -> 1, c x2 -> 2, d x2 -> 3 (tie on count)
+    val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+    val vocab = Bpe.vocabTable(enc)
+    val v = vocab.collect().map(r => r.getAs[String]("token") ->
+      (r.getAs[Long]("n_occur"), r.getAs[Long]("token_id"))).toMap
+    assert(v == Map("</w>" -> ((5L, 0L)), "ab" -> ((3L, 1L)),
+      "c" -> ((2L, 2L)), "d" -> ((2L, 3L))))
+    val ids = Bpe.idsFromTokens(enc, "doc_id", vocab).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("ids")).toList)
+      .toMap
+    assert(ids(1L) == Seq(1L, 0L, 1L, 0L, 2L, 3L, 0L))
+    assert(ids(2L) == Seq.empty[Long])
+    assert(ids(3L) == Seq(2L, 3L, 0L, 1L, 0L))
   }
 }

@@ -41,6 +41,8 @@ object SparkEntry4 {
   private val HN_CAND = 8
   private val HN_POS = 3
   private val HN_K = 5
+  // q_context_windows: fixed training-sequence length
+  private val CW_LEN = 64
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").df
@@ -163,6 +165,38 @@ object SparkEntry4 {
       val vocab = graft.text.Bpe.vocabTable(enc)
       graft.text.Bpe.idsFromTokens(enc, "doc_id", vocab)
         .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("ids")).as("ids"))
+    }),
+
+    // The SAME id encoding through the persisted-tokenizer lifecycle:
+    // buildTokenizer writes <path>/{merges,vocab} once (the vocabulary
+    // derived at WORD level — token multisets weighted by word counts,
+    // integer-identical to counting over the encoded corpus),
+    // encodeDocsFromTokenizer serves against the frozen artifact. Same
+    // oracle as q_token_ids VERBATIM — persisted == inline is the claim.
+    "q_tokenizer_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val path = scratchPath(dir, "tokenizer")
+      graft.text.Bpe.buildTokenizer(docs, "text", path, nMerges = 8)
+      graft.text.Bpe.encodeDocsFromTokenizer(s, path, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("ids")).as("ids"))
+    }),
+
+    // The LAST packing step: the id-encoded corpus concatenated in
+    // doc_id order and cut into fixed 64-token context windows (docs
+    // cross boundaries — the GPT concat-and-chunk regime; the
+    // boundary-respecting greedy form is q_pack_sequences). Offsets are
+    // one two-phase prefix sum; every id lands by integer div/mod.
+    "q_context_windows" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 8)
+      val enc = graft.ml.Dedup.trackCache(
+        graft.text.Bpe.encodeDocs(docs, "doc_id", "text", merges))
+      val ids = graft.text.Bpe.idsFromTokens(enc, "doc_id",
+        graft.text.Bpe.vocabTable(enc))
+      Scale.contextWindows(ids, "doc_id", "ids", windowLen = CW_LEN)
+        .select(col("window_id"), col("n_filled"), col("n_docs"),
           concat_ws(" ", col("ids")).as("ids"))
     }),
 
@@ -607,8 +641,46 @@ object SparkEntry4 {
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN ot USING (doc_id)""".stripMargin
 
+  /** DuckDB replica of `q_context_windows`: the q_token_ids id chain,
+    * doc offsets by a cumulative window in doc_id order, and the
+    * div/mod window cut. */
+  private def contextWindowsOracleSql(nMerges: Int, l: Int): String =
+    "WITH " + SparkEntry3.bpeEncodeChainSql(nMerges) + s""",
+       |d0 AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |dp AS (SELECT doc_id, ii.i AS pos, ws[ii.i + 1] AS word
+       |  FROM d0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+       |asm AS (SELECT dp.doc_id,
+       |    flatten(list(w.ts ORDER BY dp.pos)) AS toks
+       |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
+       |allt AS (SELECT unnest(toks) AS token FROM asm),
+       |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
+       |vid AS (SELECT token,
+       |    row_number() OVER (ORDER BY n DESC, token) - 1 AS tid FROM vc),
+       |di AS (SELECT doc_id, ii.i AS pos, toks[ii.i + 1] AS token
+       |  FROM asm, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
+       |ot AS (SELECT di.doc_id, list(v.tid ORDER BY di.pos) AS ids
+       |  FROM di JOIN vid v USING (token) GROUP BY 1),
+       |offs AS (SELECT doc_id, ids,
+       |    sum(len(ids)) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - len(ids) AS off
+       |  FROM ot),
+       |tk AS (SELECT doc_id, off + ii.i AS p, ids[ii.i + 1] AS tid
+       |  FROM offs, LATERAL (SELECT unnest(range(0, len(ids))) AS i) ii)
+       |SELECT p // $l AS window_id, CAST(count(*) AS BIGINT) AS n_filled,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  array_to_string(list(CAST(tid AS VARCHAR) ORDER BY p), ' ') AS ids
+       |FROM tk GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_context_windows" -> contextWindowsOracleSql(8, CW_LEN),
     "q_token_ids"       -> tokenIdsOracleSql(8),
+    // persist + serve must be bit-identical to the inline chain — same
+    // oracle VERBATIM is the claim (the q_lm_persisted discipline)
+    "q_tokenizer_persisted" -> tokenIdsOracleSql(8),
     "q_tokenize"        -> tokenizeOracleSql(8),
     "q_hard_negatives"  -> hardNegativesOracleSql(HN_CAND, HN_POS, HN_K),
     "q_source_overlap"  -> sourceOverlapOracleSql,

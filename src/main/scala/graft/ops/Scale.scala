@@ -745,6 +745,46 @@ object Scale {
       .select(df.columns.map(col): _*)
   }
 
+  /** GPT-style concat-and-chunk context windows: concatenate every
+    * document's token-id array in `orderCol` order into one virtual
+    * corpus stream and cut it into fixed `windowLen`-token windows —
+    * the final packing step that turns a tokenized corpus
+    * ([[graft.text.Bpe.idsFromTokens]]) into the equal-length training
+    * sequences a dataloader consumes (documents cross window boundaries;
+    * the alternative boundary-respecting greedy form is `packByBudget`).
+    * Output: (window_id, n_filled, n_docs, ids) — ids in stream order,
+    * every window exactly `windowLen` long except the final partial one,
+    * `n_docs` the number of documents contributing to the window.
+    *
+    * Shapes at 100 TB: each document's absolute offset is ONE
+    * range-partitioned two-phase prefix sum over doc rows ([[globalCumSum]]
+    * — no global window), the token-level explode is the job's actual
+    * output (training sequences ARE token-scale), window assembly is a
+    * hash aggregate with per-group state bounded by `windowLen`, and
+    * every id lands via integer arithmetic (`p div L`, `p mod L`) — the
+    * whole packing replays exactly in the oracle (q_context_windows).
+    * `orderCol` must be unique per row (a document id) so the stream
+    * order — and therefore every window — is deterministic.
+    */
+  def contextWindows(df: DataFrame, orderCol: String, idsCol: String,
+                     windowLen: Int): DataFrame = {
+    require(windowLen > 0, "windowLen must be positive")
+    val c = globalCumSum(
+      df.withColumn("__n", size(col(idsCol)).cast("long")),
+      Seq(col(orderCol)), col("__n"), "__cum")
+    c.withColumn("__off", col("__cum") - col("__n"))
+      .select(col(orderCol), col("__off"),
+        posexplode(col(idsCol)).as(Seq("__i", "tid")))
+      .withColumn("__p", col("__off") + col("__i"))
+      .groupBy(expr(s"__p div $windowLen").as("window_id"))
+      .agg(count(lit(1)).as("n_filled"),
+        count_distinct(col(orderCol)).as("n_docs"),
+        collect_list(struct((col("__p") % windowLen).as("wpos"),
+          col("tid"))).as("__ps"))
+      .select(col("window_id"), col("n_filled"), col("n_docs"),
+        expr("transform(array_sort(__ps), s -> s.tid)").as("ids"))
+  }
+
   /** Morton (Z-order) key: interleave the low `bits` bits of each column —
     * bit j of column i lands at output bit j·n + i. Inputs must already be
     * nonnegative longs < 2^bits (see [[zorderQuantize]]); n·bits ≤ 63. The

@@ -740,6 +740,24 @@ object StreamVerbs {
         k, idCol, vecCol))
     }
 
+  /** Streaming tokenization: arriving documents encode to token-id
+    * sequences against a FROZEN persisted tokenizer
+    * ([[graft.text.Bpe.buildTokenizer]] — merges + vocab) — the ingest
+    * half of the tokenize-on-arrival pipeline. foreachBatch (the per-doc
+    * position-ordered reassembly is a collect_list aggregate); batch ==
+    * stream by construction (same code object,
+    * [[graft.text.Bpe.encodeDocsFromTokenizer]] per micro-batch;
+    * StreamingSpec pins parity).
+    */
+  def streamingTokenize(docs: Tbl, path: String, idCol: String,
+                        textCol: String, asciiOnly: Boolean = true)
+                       (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.text.Bpe.encodeDocsFromTokenizer(batch.sparkSession,
+        path, batch, idCol, textCol, asciiOnly))
+    }
+
   /** Streaming gate monitoring: each micro-batch of LABELED scored rows
     * (a holdout slice riding the ingest stream) emits its own
     * [[graft.ml.Eval.aucBinary]] row — the live dashboard signal that a

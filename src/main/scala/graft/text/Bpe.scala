@@ -591,9 +591,10 @@ object Bpe {
     * finally ships as. Same shapes as [[encodeDocs]]' reassembly: one
     * hash equi-join of the (id, pos, token) stream against the
     * vocabulary, one position-ordered per-doc fold; a token absent from
-    * the vocabulary fails fast as a NULL-id row dropped by the inner
-    * join — pass the vocab built from the SAME encoded corpus (or a
-    * superset) so that cannot happen.
+    * the vocabulary surfaces as a NULL element at its position — visible
+    * in the output, never a silent drop that would shift every later id
+    * — so pass a vocab built from the SAME encoded corpus (or a
+    * superset) when NULLs are unacceptable.
     */
   def idsFromTokens(encoded: DataFrame, idCol: String,
                     vocab: DataFrame): DataFrame = {
@@ -606,6 +607,55 @@ object Bpe {
       .select(col(idCol),
         expr("transform(array_sort(__ps), s -> s.token_id)").as("ids"))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
+  /** Persist a trained tokenizer as a standing artifact — `<path>/merges`
+    * (the rank-ordered merge table) and `<path>/vocab` (the
+    * frequency-ranked id table) — the train-once / serve-forever split
+    * of [[graft.text.Lm.buildBackoffModel]] / [[graft.ml.Sq.buildSqIndex]]
+    * applied to the tokenizer: the training corpus is scanned once, and
+    * every future batch or stream encodes against the frozen parquet
+    * ([[encodeDocsFromTokenizer]],
+    * [[graft.streaming.StreamVerbs.streamingTokenize]]). The vocabulary
+    * is computed WITHOUT re-tokenizing the corpus: each distinct word's
+    * token multiset rides its word count, so token occurrences are
+    * Σ cnt(word) · multiplicity — integer-identical to counting over the
+    * fully encoded corpus ([[vocabTable]]), at vocabulary cost.
+    */
+  def buildTokenizer(df: DataFrame, textCol: String, path: String,
+                     nMerges: Int, asciiOnly: Boolean = true): Unit = {
+    val merges = train(df, textCol, nMerges, asciiOnly)
+    merges.write.mode("overwrite").parquet(s"$path/merges")
+    val spark = df.sparkSession
+    val frozen = spark.read.parquet(s"$path/merges")
+    val wc = wordCounts(df, textCol, asciiOnly)
+    val counts = encodeWords(wc, "word", frozen)
+      .join(wc, Seq("word"))
+      .select(explode(col("tokens")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum("cnt").as("n_occur"))
+    graft.ops.Scale.globalRowNumber(counts,
+        Seq(col("n_occur").desc, col("token").asc), "__rn")
+      .select(col("token"), col("n_occur"),
+        (col("__rn") - 1L).as("token_id"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Encode documents to id sequences against a persisted
+    * [[buildTokenizer]] artifact — bit-identical to the inline
+    * [[encodeDocs]] → [[idsFromTokens]] pipeline over the same corpus
+    * (q_tokenizer_persisted shares q_token_ids' oracle VERBATIM). Words
+    * unseen at train time still encode (the merge fold falls back to
+    * characters); only a character absent from the training corpus
+    * yields a NULL id ([[idsFromTokens]]' visible-sentinel contract).
+    */
+  def encodeDocsFromTokenizer(spark: org.apache.spark.sql.SparkSession,
+                              path: String, docs: DataFrame, idCol: String,
+                              textCol: String,
+                              asciiOnly: Boolean = true): DataFrame = {
+    val merges = spark.read.parquet(s"$path/merges")
+    val vocab = spark.read.parquet(s"$path/vocab")
+    idsFromTokens(encodeDocs(docs, idCol, textCol, merges, asciiOnly),
+      idCol, vocab)
   }
 
   /** Per-merge replay encode — the differential oracle for [[encodeWords]]

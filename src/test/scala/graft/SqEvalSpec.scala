@@ -250,6 +250,22 @@ class SqEvalSpec extends AnyFunSuite {
     assert(m.size == 1)
   }
 
+  test("contextWindows: exact cut, boundary-crossing docs, empty docs") {
+    val docs = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq.empty[Long]),
+      (3L, Seq(4L, 5L)), (4L, Seq(6L, 7L, 8L, 9L)))
+      .toDF("doc_id", "ids")
+    val w = Scale.contextWindows(docs, "doc_id", "ids", windowLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](r.fieldIndex("ids")).toList,
+          r.getAs[Long]("n_filled"), r.getAs[Long]("n_docs"))).toMap
+    // stream = 1..9 in doc order; doc 3 crosses the w0/w1 boundary
+    assert(w(0L) == ((List(1L, 2L, 3L, 4L), 4L, 2L)))
+    assert(w(1L) == ((List(5L, 6L, 7L, 8L), 4L, 2L)))
+    // the final partial window is kept, short
+    assert(w(2L) == ((List(9L), 1L, 1L)))
+    assert(w.size == 3) // the empty doc shifts nothing and emits nothing
+  }
+
   test("token-budget temperature mix: greedy prefix fits quota per domain") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = docs.select(col("doc_id"), col("lang"),

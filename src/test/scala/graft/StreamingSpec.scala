@@ -1351,6 +1351,42 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${got.size} vs batch ${batch.size}")
   }
 
+  test("streaming tokenize == batch encode against the persisted tokenizer") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val tok = Files.createTempDirectory("graft-stok").toString
+    // train on the even half; the stream serves odd docs (unseen words
+    // fall back to characters — the artifact still encodes them)
+    graft.text.Bpe.buildTokenizer(docs.filter(col("doc_id") % 2 === 0),
+      "text", tok, nMerges = 4)
+    val odd = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 40)
+    val dir = Files.createTempDirectory("graft-stok-in").toFile
+    val ckpt = Files.createTempDirectory("graft-stok-ckpt").toFile
+    odd.filter(col("doc_id") < 20).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    odd.filter(col("doc_id") >= 20).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(odd.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    val q = StreamVerbs.streamingTokenize(Tbl(stream), tok,
+        "doc_id", "text") { out =>
+        got.synchronized {
+          out.select(col("doc_id"), concat_ws(" ", col("ids")).as("i"))
+            .collect().foreach(r => got(r.getLong(0)) = r.getString(1))
+        }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = graft.text.Bpe
+      .encodeDocsFromTokenizer(spark, tok, odd, "doc_id", "text")
+      .select(col("doc_id"), concat_ws(" ", col("ids")).as("i"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.toMap == batch && batch.nonEmpty, s"stream ${got.size}")
+  }
+
   test("streaming AUC monitor: each micro-batch row == batch-side AUC") {
     import spark.implicits._
     val b1 = Seq((1L, true, 3.0), (2L, true, 2.0), (3L, false, 1.0),

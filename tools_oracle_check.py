@@ -22,6 +22,8 @@ import datetime
 def _norm(v):
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
         return str(pd.Timestamp(v))
+    if isinstance(v, float) and v == 0.0:
+        return 0.0  # -0.0 == 0.0 numerically; don't let repr-sort split them
     return v
 
 def canon(df):

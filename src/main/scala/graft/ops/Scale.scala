@@ -239,25 +239,43 @@ object Scale {
     */
   def globalCumSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
                    outCol: String, numPartitions: Int = 0,
-                   checkpointInput: Boolean = false): DataFrame = {
+                   checkpointInput: Boolean = false): DataFrame =
+    globalCumSums(df, orderCols, Seq(valueCol -> outCol), numPartitions,
+      checkpointInput)
+
+  /** [[globalCumSum]] for SEVERAL value columns in ONE ranged pass: the
+    * range exchange, the per-partition offset micro-table, and the
+    * broadcast join are shared, each value getting its own exact prefix
+    * sum — per-value arithmetic is identical to running [[globalCumSum]]
+    * once per pair (exact integer sums), at one exchange instead of N
+    * (the PR sweep's cum_pos/cum_neg is the canonical consumer).
+    */
+  def globalCumSums(df: DataFrame, orderCols: Seq[Column],
+                    values: Seq[(Column, String)], numPartitions: Int = 0,
+                    checkpointInput: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(values.nonEmpty, "need at least one (valueCol, outCol) pair")
     val src = if (checkpointInput) df.localCheckpoint(true) else df
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sparkContext.defaultParallelism
     val parted = graft.ml.Dedup.trackCache(
       src.repartitionByRange(n, orderCols: _*)
         .withColumn("__pid", spark_partition_id()))
-    val offs = parted.groupBy("__pid").agg(sum(valueCol).as("__psum"))
-      .withColumn("__off",
-        coalesce(sum("__psum").over(
+    val psums = values.zipWithIndex.map { case ((v, _), i) =>
+      sum(v).as(s"__psum$i") }
+    val offs0 = parted.groupBy("__pid").agg(psums.head, psums.tail: _*)
+    val offs = values.zipWithIndex.foldLeft(offs0) { case (d, (_, i)) =>
+      d.withColumn(s"__off$i",
+        coalesce(sum(s"__psum$i").over(
           Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .drop("__psum")
-    parted.join(broadcast(offs), "__pid")
-      .withColumn(outCol,
-        col("__off") + sum(valueCol).over(
+    }.drop(values.indices.map(i => s"__psum$i"): _*)
+    val joined = parted.join(broadcast(offs), "__pid")
+    values.zipWithIndex.foldLeft(joined) { case (d, ((v, out), i)) =>
+      d.withColumn(out,
+        col(s"__off$i") + sum(v).over(
           Window.partitionBy("__pid").orderBy(orderCols: _*)))
-      .drop("__pid", "__off")
+    }.drop("__pid").drop(values.indices.map(i => s"__off$i"): _*)
   }
 
   /** Approximate distinct-set overlap of two corpora on a key column (doc

@@ -200,6 +200,45 @@ object SparkEntry4 {
           concat_ws(" ", col("ids")).as("ids"))
     }),
 
+    // The windows' doc-span provenance — WHERE documents start inside
+    // each context window: (window_id, doc_id, start, len) rows, the
+    // metadata a masked-attention collator (cross-document attention
+    // masking, loss masking) consumes. Documents are contiguous in the
+    // stream, so each (window, doc) pair is one run: start = its first
+    // in-window position, len = its token count there.
+    "q_context_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 8)
+      val enc = graft.ml.Dedup.trackCache(
+        graft.text.Bpe.encodeDocs(docs, "doc_id", "text", merges))
+      val ids = graft.text.Bpe.idsFromTokens(enc, "doc_id",
+        graft.text.Bpe.vocabTable(enc))
+      Scale.contextWindows(ids, "doc_id", "ids", windowLen = CW_LEN)
+        .select(col("window_id"), explode(col("spans")).as("sp"))
+        .select(col("window_id"), col("sp.doc_id").as("doc_id"),
+          col("sp.start").as("start"), col("sp.len").as("len"))
+    }),
+
+    // Windows with document boundaries IN the id stream — the GPT-2
+    // <|endoftext|> convention: the persisted tokenizer reserves sep id
+    // 0 (vocab shifted up by one, recorded in <path>/meta), every
+    // document's ids get the sep appended, and the concat-and-chunk cut
+    // runs over the boundary-marked stream. The sep id is read from the
+    // artifact's meta row, never assumed.
+    "q_context_sep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val path = scratchPath(dir, "tokenizer_sep")
+      graft.text.Bpe.buildTokenizer(docs, "text", path, nMerges = 8,
+        sepToken = true)
+      val ids = graft.text.Bpe.encodeDocsFromTokenizer(
+        s, path, docs, "doc_id", "text")
+      val (sep, _, _) = graft.text.Bpe.tokenizerMeta(s, path)
+      Scale.contextWindows(ids, "doc_id", "ids", windowLen = CW_LEN,
+          insertSep = sep)
+        .select(col("window_id"), col("n_filled"), col("n_docs"),
+          concat_ws(" ", col("ids")).as("ids"))
+    }),
+
     // Hard-negative mining (the DPR/sentence-transformers recipe):
     // over-fetch top-8 candidates per query, drop the top-3 as the
     // positives, re-rank the rest to the 5 hardest negatives — the
@@ -670,13 +709,85 @@ object SparkEntry4 {
        |  FROM ot),
        |tk AS (SELECT doc_id, off + ii.i AS p, ids[ii.i + 1] AS tid
        |  FROM offs, LATERAL (SELECT unnest(range(0, len(ids))) AS i) ii)
-       |SELECT p // $l AS window_id, CAST(count(*) AS BIGINT) AS n_filled,
+       |SELECT CAST(p // $l AS BIGINT) AS window_id,
+       |  CAST(count(*) AS BIGINT) AS n_filled,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  array_to_string(list(CAST(tid AS VARCHAR) ORDER BY p), ' ') AS ids
+       |FROM tk GROUP BY 1""".stripMargin
+
+  /** The q_context_windows token-stream CTE chain (through `tk`:
+    * one row per token at absolute stream position p), shared by the
+    * windows, spans, and sep-marked oracles. `vidExpr` sets the id
+    * assignment (rank−1 plain, rank when a sep is reserved);
+    * `appendSep` appends sep id 0 to every document — INCLUDING
+    * token-less ones, which then contribute a lone sep (the GPT-2
+    * empty-string-still-gets-EOS regime). */
+  private def contextStreamCtes(nMerges: Int, vidExpr: String,
+                                appendSep: Boolean): String = {
+    val otSql =
+      if (!appendSep)
+        """ot AS (SELECT di.doc_id, list(v.tid ORDER BY di.pos) AS ids
+          |  FROM di JOIN vid v USING (token) GROUP BY 1)""".stripMargin
+      else
+        """ot0 AS (SELECT di.doc_id, list(v.tid ORDER BY di.pos) AS ids
+          |  FROM di JOIN vid v USING (token) GROUP BY 1),
+          |ot AS (SELECT d.doc_id,
+          |    list_append(coalesce(ot0.ids, CAST([] AS BIGINT[])), 0) AS ids
+          |  FROM (SELECT DISTINCT doc_id FROM documents) d
+          |  LEFT JOIN ot0 USING (doc_id))""".stripMargin
+    "WITH " + SparkEntry3.bpeEncodeChainSql(nMerges) + s""",
+       |d0 AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |dp AS (SELECT doc_id, ii.i AS pos, ws[ii.i + 1] AS word
+       |  FROM d0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+       |asm AS (SELECT dp.doc_id,
+       |    flatten(list(w.ts ORDER BY dp.pos)) AS toks
+       |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
+       |allt AS (SELECT unnest(toks) AS token FROM asm),
+       |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
+       |vid AS (SELECT token, $vidExpr AS tid FROM vc),
+       |di AS (SELECT doc_id, ii.i AS pos, toks[ii.i + 1] AS token
+       |  FROM asm, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
+       |$otSql,
+       |offs AS (SELECT doc_id, ids,
+       |    sum(len(ids)) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - len(ids) AS off
+       |  FROM ot),
+       |tk AS (SELECT doc_id, off + ii.i AS p, ids[ii.i + 1] AS tid
+       |  FROM offs, LATERAL (SELECT unnest(range(0, len(ids))) AS i) ii)
+       |""".stripMargin
+  }
+
+  /** DuckDB replica of `q_context_spans`: the q_context_windows token
+    * stream grouped by (window, doc) — each document is one contiguous
+    * run per window, so min/count reconstruct (start, len) exactly. */
+  private def contextSpansOracleSql(nMerges: Int, l: Int): String =
+    contextStreamCtes(nMerges,
+      "row_number() OVER (ORDER BY n DESC, token) - 1", appendSep = false) +
+      s"""SELECT CAST(p // $l AS BIGINT) AS window_id, doc_id,
+       |  CAST(min(p % $l) AS BIGINT) AS start,
+       |  CAST(count(*) AS BIGINT) AS len
+       |FROM tk GROUP BY 1, 2""".stripMargin
+
+  /** DuckDB replica of `q_context_sep`: the shifted-vocab id chain
+    * (tid = rank, 0 reserved), sep id 0 appended per document, then the
+    * same div/mod window cut. */
+  private def contextSepOracleSql(nMerges: Int, l: Int): String =
+    contextStreamCtes(nMerges,
+      "row_number() OVER (ORDER BY n DESC, token)", appendSep = true) +
+      s"""SELECT CAST(p // $l AS BIGINT) AS window_id,
+       |  CAST(count(*) AS BIGINT) AS n_filled,
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |  array_to_string(list(CAST(tid AS VARCHAR) ORDER BY p), ' ') AS ids
        |FROM tk GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_context_windows" -> contextWindowsOracleSql(8, CW_LEN),
+    "q_context_spans"   -> contextSpansOracleSql(8, CW_LEN),
+    "q_context_sep"     -> contextSepOracleSql(8, CW_LEN),
     "q_token_ids"       -> tokenIdsOracleSql(8),
     // persist + serve must be bit-identical to the inline chain — same
     // oracle VERBATIM is the claim (the q_lm_persisted discipline)

@@ -80,12 +80,10 @@ object Eval {
     val by = df.groupBy(col(scoreCol).as("s")).agg(
       sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
       sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
-    val c1 = graft.ops.Scale.globalCumSum(by, Seq(col("s")),
-      col("pos"), "cum_pos")
-    val c2 = graft.ops.Scale.globalCumSum(c1, Seq(col("s")),
-      col("neg"), "cum_neg")
+    val c = graft.ops.Scale.globalCumSums(by, Seq(col("s")),
+      Seq(col("pos") -> "cum_pos", col("neg") -> "cum_neg"))
     val tot = by.agg(sum("pos").as("__P"), sum("neg").as("__N"))
-    c2.crossJoin(broadcast(tot))
+    c.crossJoin(broadcast(tot))
       .select(col("s"),
         (col("__P") - col("cum_pos") + col("pos")).as("tp"),
         (col("__N") - col("cum_neg") + col("neg")).as("fp"),

@@ -770,37 +770,71 @@ object Scale {
     * ([[graft.text.Bpe.idsFromTokens]]) into the equal-length training
     * sequences a dataloader consumes (documents cross window boundaries;
     * the alternative boundary-respecting greedy form is `packByBudget`).
-    * Output: (window_id, n_filled, n_docs, ids) — ids in stream order,
-    * every window exactly `windowLen` long except the final partial one,
-    * `n_docs` the number of documents contributing to the window.
+    * Output: (window_id, n_filled, n_docs, ids, spans) — ids in stream
+    * order, every window exactly `windowLen` long except the final
+    * partial one, `n_docs` the number of documents contributing to the
+    * window, and `spans` the per-document provenance a masked-attention
+    * collator consumes: array of (doc_id, start, len) structs in window
+    * order, `start` the 0-based position of the document's first token
+    * inside THIS window, `len` how many of its tokens land here (a
+    * document crossing a boundary contributes one span to each side).
+    * Since documents are contiguous in the stream, each document is one
+    * span per window — (doc, window) groups are runs, so min/count
+    * reconstruct them exactly.
+    *
+    * `insertSep` (GPT-2's `<|endoftext|>` convention) appends that token
+    * id to every document's id array before packing, so document
+    * boundaries exist IN the id stream; pair it with a tokenizer artifact
+    * that reserved the id ([[graft.text.Bpe.buildTokenizer]] with
+    * `sepToken=true` reserves 0 and shifts the vocab up by one). The sep
+    * belongs to its document's span (a doc's segment is text-ids + sep).
     *
     * Shapes at 100 TB: each document's absolute offset is ONE
     * range-partitioned two-phase prefix sum over doc rows ([[globalCumSum]]
     * — no global window), the token-level explode is the job's actual
-    * output (training sequences ARE token-scale), window assembly is a
-    * hash aggregate with per-group state bounded by `windowLen`, and
-    * every id lands via integer arithmetic (`p div L`, `p mod L`) — the
-    * whole packing replays exactly in the oracle (q_context_windows).
+    * output (training sequences ARE token-scale), window assembly is two
+    * hash aggregates — (window, doc) runs, then windows — each with
+    * per-group state bounded by `windowLen`, and every id lands via
+    * integer arithmetic (`p div L`, `p mod L`) — the whole packing
+    * replays exactly in the oracle (q_context_windows, q_context_spans).
     * `orderCol` must be unique per row (a document id) so the stream
     * order — and therefore every window — is deterministic.
     */
   def contextWindows(df: DataFrame, orderCol: String, idsCol: String,
-                     windowLen: Int): DataFrame = {
+                     windowLen: Int,
+                     insertSep: Option[Long] = None): DataFrame = {
     require(windowLen > 0, "windowLen must be positive")
+    val src = insertSep match {
+      case Some(sep) => df.withColumn(idsCol,
+        concat(col(idsCol), array(lit(sep))))
+      case None => df
+    }
     val c = globalCumSum(
-      df.withColumn("__n", size(col(idsCol)).cast("long")),
+      src.withColumn("__n", size(col(idsCol)).cast("long")),
       Seq(col(orderCol)), col("__n"), "__cum")
     c.withColumn("__off", col("__cum") - col("__n"))
       .select(col(orderCol), col("__off"),
         posexplode(col(idsCol)).as(Seq("__i", "tid")))
       .withColumn("__p", col("__off") + col("__i"))
-      .groupBy(expr(s"__p div $windowLen").as("window_id"))
-      .agg(count(lit(1)).as("n_filled"),
-        count_distinct(col(orderCol)).as("n_docs"),
-        collect_list(struct((col("__p") % windowLen).as("wpos"),
-          col("tid"))).as("__ps"))
+      // level 1: each (window, document) run — its start inside the
+      // window, its length, its tokens in window order
+      .groupBy(expr(s"__p div $windowLen").as("window_id"),
+        col(orderCol))
+      .agg(min(col("__p") % windowLen).as("start"),
+        count(lit(1)).as("len"),
+        expr("transform(array_sort(collect_list(" +
+          s"struct(__p % $windowLen AS wpos, tid))), s -> s.tid)")
+          .as("toks"))
+      // level 2: assemble windows from their document runs
+      .groupBy("window_id")
+      .agg(sum("len").as("n_filled"), count(lit(1)).as("n_docs"),
+        collect_list(struct(col("start"), col(orderCol).as("doc_id"),
+          col("len"), col("toks"))).as("__ss"))
+      .withColumn("__ss", expr("array_sort(__ss)"))
       .select(col("window_id"), col("n_filled"), col("n_docs"),
-        expr("transform(array_sort(__ps), s -> s.tid)").as("ids"))
+        expr("flatten(transform(__ss, s -> s.toks))").as("ids"),
+        expr("transform(__ss, s -> struct(s.doc_id AS doc_id, " +
+          "s.start AS start, s.len AS len))").as("spans"))
   }
 
   /** Morton (Z-order) key: interleave the low `bits` bits of each column —

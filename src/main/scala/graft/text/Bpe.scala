@@ -621,9 +621,20 @@ object Bpe {
     * token multiset rides its word count, so token occurrences are
     * Σ cnt(word) · multiplicity — integer-identical to counting over the
     * fully encoded corpus ([[vocabTable]]), at vocabulary cost.
+    *
+    * `sepToken=true` reserves a document-separator id — GPT-2's
+    * `<|endoftext|>` convention, placed at id 0 with every vocabulary id
+    * shifted up by one (id = rank instead of rank−1) — and records it in
+    * `<path>/meta` (one row: sep_id, n_merges, vocab_shift). The
+    * separator never appears as a `vocab` row (it is not a corpus
+    * token); consumers read its id from meta and thread it into
+    * [[graft.ops.Scale.contextWindows]]' `insertSep`. `<path>/meta` is
+    * written for plain tokenizers too (sep_id NULL, vocab_shift 0), so
+    * readers need one code path.
     */
   def buildTokenizer(df: DataFrame, textCol: String, path: String,
-                     nMerges: Int, asciiOnly: Boolean = true): Unit = {
+                     nMerges: Int, asciiOnly: Boolean = true,
+                     sepToken: Boolean = false): Unit = {
     val merges = train(df, textCol, nMerges, asciiOnly)
     merges.write.mode("overwrite").parquet(s"$path/merges")
     val spark = df.sparkSession
@@ -633,11 +644,28 @@ object Bpe {
       .join(wc, Seq("word"))
       .select(explode(col("tokens")).as("token"), col("cnt"))
       .groupBy("token").agg(sum("cnt").as("n_occur"))
+    // plain: ids 0..V−1 (rank−1); sep: ids 1..V (rank), 0 reserved
+    val subtrahend = if (sepToken) 0L else 1L
     graft.ops.Scale.globalRowNumber(counts,
         Seq(col("n_occur").desc, col("token").asc), "__rn")
       .select(col("token"), col("n_occur"),
-        (col("__rn") - 1L).as("token_id"))
+        (col("__rn") - subtrahend).as("token_id"))
       .write.mode("overwrite").parquet(s"$path/vocab")
+    import spark.implicits._
+    Seq((if (sepToken) Some(0L) else None, nMerges.toLong,
+        if (sepToken) 1L else 0L))
+      .toDF("sep_id", "n_merges", "vocab_shift")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a persisted tokenizer's `<path>/meta` row: (sep_id — NULL for
+    * a plain tokenizer, n_merges, vocab_shift). One driver-side row, the
+    * [[graft.ml.Sq]] index-metadata pattern. */
+  def tokenizerMeta(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Option[Long], Long, Long) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+      r.getLong(1), r.getLong(2))
   }
 
   /** Encode documents to id sequences against a persisted

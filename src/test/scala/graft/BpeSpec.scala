@@ -346,4 +346,43 @@ class BpeSpec extends AnyFunSuite {
     assert(ids(2L) == Seq.empty[Long])
     assert(ids(3L) == Seq(2L, 3L, 0L, 1L, 0L))
   }
+
+  test("sep tokenizer: vocab ids shift consistently by one, meta records " +
+      "the reserved id, windows carry boundary seps and doc spans") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd"), (2L, ""), (3L, "cd ab"))
+      .toDF("doc_id", "text")
+    val plain = java.nio.file.Files.createTempDirectory("graft-tok-p").toString
+    val sep = java.nio.file.Files.createTempDirectory("graft-tok-s").toString
+    Bpe.buildTokenizer(docs, "text", plain, nMerges = 1)
+    Bpe.buildTokenizer(docs, "text", sep, nMerges = 1, sepToken = true)
+    def vmap(p: String) = spark.read.parquet(s"$p/vocab").collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("token_id")).toMap
+    val vp = vmap(plain); val vs = vmap(sep)
+    // the SAME tokens, every id exactly one higher — no reordering
+    assert(vs.keySet == vp.keySet)
+    assert(vp.forall { case (t, id) => vs(t) == id + 1 },
+      s"sep vocab not a uniform +1 shift: plain=$vp sep=$vs")
+    assert(!vs.values.exists(_ == 0L), "sep id 0 must not be assigned")
+    // meta rows
+    assert(Bpe.tokenizerMeta(spark, plain) == ((None, 1L, 0L)))
+    assert(Bpe.tokenizerMeta(spark, sep) == ((Some(0L), 1L, 1L)))
+    // the boundary-marked stream: ids(1)=[2,1,2,1,3,4,1,0] ids(2)=[0]
+    // ids(3)=[3,4,1,2,1,0] — concatenated (15 tokens) and cut at L=4
+    val enc = Bpe.encodeDocsFromTokenizer(spark, sep, docs, "doc_id", "text")
+    val w = graft.ops.Scale.contextWindows(enc, "doc_id", "ids",
+      windowLen = 4, insertSep = Some(0L)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getSeq[Long](r.fieldIndex("ids")).toList,
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("spans")).toList
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2)))))
+      .toMap
+    assert(w(0L) == ((4L, 1L, List(2L, 1L, 2L, 1L), List((1L, 0L, 4L)))))
+    // doc 1's trailing sep closes INSIDE window 1 — still one doc
+    assert(w(1L) == ((4L, 1L, List(3L, 4L, 1L, 0L), List((1L, 0L, 4L)))))
+    // window 2 spans documents 2 and 3: the empty doc is ONE lone sep
+    assert(w(2L) == ((4L, 2L, List(0L, 3L, 4L, 1L),
+      List((2L, 0L, 1L), (3L, 1L, 3L)))))
+    assert(w(3L) == ((3L, 1L, List(2L, 1L, 0L), List((3L, 0L, 3L)))))
+  }
 }

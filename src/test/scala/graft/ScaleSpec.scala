@@ -338,6 +338,65 @@ class ScaleSpec extends AnyFunSuite {
       "row order changed shards")
   }
 
+  test("globalCumSums multi-value: bit-parity with sequential globalCumSum calls") {
+    import spark.implicits._
+    val d = (1L to 3000L).map(i => (i * 7 % 9999, i % 13 + 1, i % 5))
+      .groupBy(_._1).map(_._2.head).toSeq.toDF("id", "a", "b")
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(r.fieldIndex("id")) ->
+        (r.getLong(r.fieldIndex("ca")), r.getLong(r.fieldIndex("cb")))
+    val fused = graft.ops.Scale.globalCumSums(d, Seq(col("id")),
+        Seq(col("a") -> "ca", col("b") -> "cb"))
+      .collect().map(key).toMap
+    val seq2 = graft.ops.Scale.globalCumSum(
+        graft.ops.Scale.globalCumSum(d, Seq(col("id")), col("a"), "ca"),
+        Seq(col("id")), col("b"), "cb")
+      .collect().map(key).toMap
+    assert(fused == seq2, "fused multi-value prefix sums diverge from sequential")
+    // the fusion claim: both sums ride the range exchange a SINGLE-value
+    // call pays (the cached ranged table's plan string mentions
+    // rangepartitioning once per scan, so count relative, not absolute)
+    def rangeCount(df: org.apache.spark.sql.DataFrame) =
+      "rangepartitioning".r.findAllIn(
+        df.queryExecution.executedPlan.toString.toLowerCase).size
+    val one = rangeCount(graft.ops.Scale.globalCumSum(
+      d, Seq(col("id")), col("a"), "ca"))
+    val two = rangeCount(graft.ops.Scale.globalCumSums(d, Seq(col("id")),
+      Seq(col("a") -> "ca", col("b") -> "cb")))
+    assert(two <= one,
+      s"fused 2-value form pays MORE range exchanges ($two) than a " +
+        s"single-value call ($one)")
+  }
+
+  test("tokenizer chain train->encode->ids->cut is bit-invariant to " +
+      "shuffle-partition count (the q_context_windows chain)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(): Map[Long, (Long, Long, String)] = {
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 4)
+      val enc = graft.ml.Dedup.trackCache(
+        graft.text.Bpe.encodeDocs(docs, "doc_id", "text", merges))
+      val ids = graft.text.Bpe.idsFromTokens(enc, "doc_id",
+        graft.text.Bpe.vocabTable(enc))
+      graft.ops.Scale.contextWindows(ids, "doc_id", "ids", windowLen = 64)
+        .select(col("window_id"), col("n_filled"), col("n_docs"),
+          concat_ws(" ", col("ids")).as("ids"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    }
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val base = run()
+      assert(base.nonEmpty)
+      // repeated run under the same config: determinism, not just stability
+      assert(run() == base, "repeated run diverged at 32 shuffle partitions")
+      for (p <- Seq("2", "4")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(run() == base, s"window cut diverged at $p shuffle partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   test("interleaveWeighted: stride mix, weight-2 source appears ~2x as often") {
     import spark.implicits._
     val a = (1L to 100L).map(i => (i, "x")).toDF("id", "p")

@@ -46,6 +46,23 @@ for n in names:
     sc, oc = sorted(s.columns), sorted(o.columns)
     if sc != oc:
         print(f"{n}: SCHEMA {sc} vs {oc}"); fails += 1; continue
+    # the driver's hasher is dtype-strict (5 != 5.0): flag int-vs-float
+    # column drift (e.g. DuckDB widening a windowed sum to HUGEINT ->
+    # float64 while Spark dumps int64) instead of letting Python ==
+    # silently accept it. A float side with NaNs is just nullable-int
+    # representation, so only all-integral NaN-free floats are flagged.
+    dtype_bad = []
+    for c in sc:
+        ks, ko = s[c].dtype.kind, o[c].dtype.kind
+        if {ks, ko} <= {"i", "u", "f"} and ("f" in (ks, ko)) \
+                and (ks in "iu" or ko in "iu"):
+            f = s[c] if ks == "f" else o[c]
+            if not f.isna().any() and (f % 1 == 0).all():
+                dtype_bad.append((c, ks, ko))
+    if dtype_bad:
+        print(f"{n}: DTYPE int-vs-float drift {dtype_bad} "
+              "(spark_kind, oracle_kind)")
+        fails += 1; continue
     rs, ro = canon(s), canon(o)
     if len(rs) != len(ro):
         print(f"{n}: ROWS {len(rs)} vs {len(ro)}"); fails += 1; continue

@@ -96,22 +96,26 @@ object Bench {
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(priorFile)), "UTF-8")
+          // a real JSON reader (Jackson rides Spark's classpath), not the
+          // ad-hoc regexes this block used to carry — key order, spacing
+          // or nesting changes in the record can no longer blind it
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(txt)
           // only a same-scale record is a valid baseline: after an sf (or
           // machine) switch the trivial band legitimately moves, and a
           // false "contended" flag would poison the durable history the
           // canary exists to protect
-          val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
-            .map(_.group(1))
+          val priorSf = Option(root.get("sf")).map(_.asText())
           if (!priorSf.contains(sfDir)) Map.empty
           else {
+            val qn = Option(root.get("queries"))
             val found = canaryQs.flatMap { q =>
-              (""""""" + q + """":([0-9.]+)""").r.findFirstMatchIn(txt)
-                .map(m => q -> m.group(1).toDouble)
+              qn.flatMap(n => Option(n.get(q))).map(q -> _.asDouble())
             }.toMap
-            // a same-sf record that yields NO canary baselines means the
-            // record format (or the canary query names) drifted past these
-            // ad-hoc regexes — say so instead of silently degrading to
-            // "no baseline", which would disable the canary without a trace
+            // a same-sf record with NO canary baselines means the record
+            // format (or the canary query names) drifted — say so instead
+            // of silently degrading to "no baseline", which would disable
+            // the canary without a trace
             if (found.isEmpty)
               System.err.println("graft bench WARNING: prior record " +
                 s"$priorFile matches sf but yielded no canary baselines " +

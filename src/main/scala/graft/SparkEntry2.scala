@@ -1048,6 +1048,17 @@ object SparkEntry2 {
           col("tok_start"), col("tok_end"), col("seq_off"))
     }),
 
+    // the packing run's efficiency report — one row: sequence/segment
+    // counts, packed tokens, cross-document boundary crossings (the
+    // attention masks a collator must cut), fill rate and mean segments
+    // per sequence; exact integers + two guarded divisions
+    "q_pack_stats" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").df.select(col("doc_id"), col("n_chars"))
+      graft.ops.Scale.packStats(
+        graft.ops.Scale.packSequences(sized, Seq(col("doc_id")),
+          col("n_chars"), seqLen = 2048), seqLen = 2048)
+    }),
+
     // weighted mixture interleave: urgent orders at 2x the rate of high
     "q_interleave" -> ((s, dir) => {
       val o = t(s, dir, "orders").df.select("o_orderkey", "o_orderpriority")
@@ -2247,6 +2258,31 @@ object SparkEntry2 {
         |  least((seq_id + 1) * 2048, cum) - strt AS tok_end,
         |  greatest(seq_id * 2048, strt) - seq_id * 2048 AS seq_off
         |FROM e""".stripMargin,
+    "q_pack_stats" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, cum, cum - n_chars AS strt FROM c
+        |  WHERE n_chars > 0),
+        |e AS (SELECT doc_id, strt, cum,
+        |    unnest(range(strt // 2048, (cum - 1) // 2048 + 1)) AS seq_id
+        |  FROM s),
+        |p AS (SELECT seq_id,
+        |    greatest(seq_id * 2048, strt) - strt AS tok_start,
+        |    least((seq_id + 1) * 2048, cum) - strt AS tok_end
+        |  FROM e)
+        |SELECT CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(sum(tok_end - tok_start), 0) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE tok_start > 0) AS BIGINT)
+        |    AS n_crossings,
+        |  CASE WHEN count(DISTINCT seq_id) > 0 THEN
+        |    round(sum(tok_end - tok_start)
+        |      / (count(DISTINCT seq_id) * 2048), 6) END AS fill_rate,
+        |  CASE WHEN count(DISTINCT seq_id) > 0 THEN
+        |    round(count(*) / count(DISTINCT seq_id), 6) END AS segs_per_seq
+        |FROM p""".stripMargin,
     "q_interleave" ->
       """WITH a AS (SELECT o_orderkey, 'urgent' AS tag,
         |    (row_number() OVER (ORDER BY o_orderkey) - 0.5) / 2.0 AS pos

@@ -716,6 +716,46 @@ object SparkEntry3 {
           round(col("avg_lp"), 6).as("avg_lp"))
     }),
 
+    // MODIFIED Kneser–Ney (Chen & Goodman 1999 §3; KenLM's default):
+    // per-order discount triples D1/D2/D3+ from each level's
+    // count-of-counts, the numerator discounted by ITS count class and
+    // the backoff weight the class-weighted mass (D1·N1+D2·N2+D3·N3+)/den.
+    // The model is the KN relation plus class-split follower counts
+    // (derived from the relation itself, no second corpus pass); the
+    // discounts are driver scalars replayed by the oracle as scalar
+    // subqueries over the same counts. Cached: four consumers (stats,
+    // class stats, discounts, the scoring join) read it.
+    "q_lm_kneser_cg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val model = Dedup.trackCache(graft.text.Lm.kneserNeyCountsCG(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3))
+      val (v, bt, _) = graft.text.Lm.knStats(model)
+      val uc = graft.text.Lm.knUnigramClassStats(model)
+      val ds = graft.text.Lm.cgDiscounts(model, n = 3)
+      graft.text.Lm.scoreDocsKNCG(docs, "doc_id", "text", model, n = 3,
+          vocab = v, bigramTypes = bt, uClass = uc, discounts = ds)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sum_lp"), 6).as("sum_lp"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+    }),
+
+    // The SAME modified-KN scoring through the persisted-model
+    // lifecycle: buildKnModelCG writes <path>/{model,meta,discounts}
+    // once (scalars AND discount triples computed from the WRITTEN
+    // relation), scoreDocsKNCGFromModel serves against the frozen
+    // artifact. Same oracle as q_lm_kneser_cg VERBATIM — persisted ==
+    // inline is the claim (the q_lm_persisted discipline).
+    "q_lm_kneser_cg_pers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val path = scratchPath(dir, "kn_cg_model")
+      graft.text.Lm.buildKnModelCG(
+        docs.filter(col("doc_id") % 2 === 0), "text", path, n = 3)
+      graft.text.Lm.scoreDocsKNCGFromModel(s, path, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sum_lp"), 6).as("sum_lp"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+    }),
+
     // Dedup-on-ingest through the persisted minhash index lifecycle:
     // build the index on the even-id half (portable md5 leaf, the
     // q_dedup_minhash parameters), then admit the odd-id half through
@@ -1859,6 +1899,176 @@ object SparkEntry3 {
        |LEFT JOIN pd USING (doc_id)""".stripMargin
   }
 
+  /** DuckDB replica of `q_lm_kneser_cg` — MODIFIED Kneser–Ney (Chen &
+    * Goodman 1999 §3): [[lmKneserOracleSql]]'s model CTEs extended with
+    * the class-split follower counts ('f1'..'f3' at the top, 'g1'..'g3'
+    * at mid levels), per-level discount triples D1/D2/D3+ from each
+    * level's count-of-counts as scalar subqueries (float arithmetic
+    * rendered EXACTLY as [[graft.text.Lm.cgDiscounts]] computes it), the
+    * numerator discounted by its count class and the backoff weight the
+    * class-weighted mass — association mirrors
+    * [[graft.text.Lm.scoreDocsKNCG]] op for op; ln rounds 6dp both
+    * sides.
+    */
+  private def lmKneserCGOracleSql(n: Int): String = {
+    require(n >= 2, "modified KN needs n >= 2")
+    def d(lev: Int, i: Int) = s"(SELECT d$i FROM dsc WHERE lev = $lev)"
+    // CASE the numerator's discount by its count class — the Scala
+    // when(c===1,D1).when(c===2,D2).otherwise(D3) rendered verbatim
+    def dSel(c: String, lev: Int): String =
+      s"""CASE WHEN coalesce($c, 0) = 1 THEN ${d(lev, 1)}
+         |      WHEN coalesce($c, 0) = 2 THEN ${d(lev, 2)}
+         |      ELSE ${d(lev, 3)} END""".stripMargin
+    def mass(lev: Int, k1: String, k2: String, k3: String): String =
+      s"${d(lev, 1)} * coalesce($k1, 0) + ${d(lev, 2)} * coalesce($k2, 0)" +
+        s" + ${d(lev, 3)} * coalesce($k3, 0)"
+    val midModel = if (n >= 3)
+      s"""
+       |  UNION ALL
+       |  SELECT 'm' AS kind, ord - 2 AS k,
+       |    array_to_string(string_split(gram, ' ')[2:ord - 1], ' ') AS gram,
+       |    count(*) AS cnt
+       |  FROM gc WHERE ord >= 3 GROUP BY 2, 3""".stripMargin
+    else ""
+    // mid-level follower-class counts: class of the CONTINUATION count
+    val gClassCtes = (2 until n).map { o =>
+      s"""gk$o AS (SELECT 'g' ||
+         |    (CASE WHEN cnt = 1 THEN '1' WHEN cnt = 2 THEN '2'
+         |      ELSE '3' END) AS kind,
+         |    ${o - 1} AS k,
+         |    array_to_string(string_split(gram, ' ')[1:${o - 1}], ' ') AS gram,
+         |    count(*) AS cnt
+         |  FROM md WHERE kind = 'c' AND k = $o GROUP BY 1, 3),""".stripMargin
+    }.mkString("\n")
+    val md2Union = (Seq("SELECT * FROM md", "SELECT * FROM fc") ++
+      (2 until n).map(o => s"SELECT * FROM gk$o")).mkString(" UNION ALL ")
+    def leg(role: String, kind: String, k: Int, gramExpr: String): String =
+      s"""SELECT doc_id, i - ${n - 1} AS pos, '$role' AS role,
+         |      '$kind' AS kind, $k AS k, $gramExpr AS gram
+         |    FROM toks,
+         |      LATERAL (SELECT unnest(range(${n - 1}, len(ts))) AS i) ii""".stripMargin
+    def words(o: Int) = s"array_to_string(ts[i - $o + 2 : i + 1], ' ')"
+    def ctx(o: Int) = s"array_to_string(ts[i - $o + 2 : i], ' ')"
+    val legs = (Seq(
+      leg("a", "r", n, words(n)),
+      leg("b", "r", n - 1, ctx(n))) ++
+      (1 to 3).map(c => leg(s"f$c", s"f$c", n - 1, ctx(n))) ++
+      (2 until n).flatMap(o => Seq(
+        leg(s"n$o", "c", o, words(o)),
+        leg(s"m$o", "m", o - 1, ctx(o))) ++
+        (1 to 3).map(c => leg(s"g$c$o", s"g$c", o - 1, ctx(o)))) ++
+      Seq(leg("u", "c", 1, "ts[i + 1]"))).mkString("\n  UNION ALL\n  ")
+    val pvCols = (Seq(
+      "max(CASE WHEN role = 'a' THEN cnt END) AS a",
+      "max(CASE WHEN role = 'b' THEN cnt END) AS b") ++
+      (1 to 3).map(c =>
+        s"max(CASE WHEN role = 'f$c' THEN cnt END) AS f$c") ++
+      (2 until n).flatMap(o => Seq(
+        s"max(CASE WHEN role = 'n$o' THEN cnt END) AS n$o",
+        s"max(CASE WHEN role = 'm$o' THEN cnt END) AS m$o") ++
+        (1 to 3).map(c =>
+          s"max(CASE WHEN role = 'g$c$o' THEN cnt END) AS g$c$o")) ++
+      Seq("max(CASE WHEN role = 'u' THEN cnt END) AS u"))
+      .mkString(",\n    ")
+    val p1 = s"greatest(coalesce(u, 0) - (${dSel("u", 1)}), 0.0)" +
+      s" / (SELECT bt FROM st)" +
+      s" + (SELECT gu FROM gus) / (SELECT bt FROM st) / (SELECT v FROM st)"
+    val cascade = (2 to n).foldLeft(p1) { (lower, o) =>
+      val (nc, dc, w) =
+        if (o == n) ("a", "b", (1 to 3).map(c => s"f$c"))
+        else (s"n$o", s"m$o", (1 to 3).map(c => s"g$c$o"))
+      val guard =
+        if (o == n) s"coalesce($dc, 0) > 0 AND coalesce(${w(0)}, 0)" +
+          s" + coalesce(${w(1)}, 0) + coalesce(${w(2)}, 0) > 0"
+        else s"coalesce($dc, 0) > 0"
+      s"""CASE WHEN $guard
+         |    THEN greatest(coalesce($nc, 0) - (${dSel(nc, o)}), 0.0) / $dc
+         |      + (${mass(o, w(0), w(1), w(2))}) / $dc * ($lower)
+         |    ELSE ($lower) END""".stripMargin
+    }
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ts
+       |  FROM documents),
+       |gc AS (SELECT ord, gram, count(*) AS cnt FROM (
+       |    SELECT o AS ord, array_to_string(ts[i - o + 2 : i + 1], ' ') AS gram
+       |    FROM toks,
+       |      (SELECT unnest(range(1, ${n + 1})) AS o) oo,
+       |      LATERAL (SELECT unnest(range(0, len(ts))) AS i) ii
+       |    WHERE doc_id % 2 = 0 AND i >= o - 1) g
+       |  GROUP BY 1, 2),
+       |md AS (
+       |  SELECT 'r' AS kind, ord AS k, gram, cnt FROM gc
+       |  UNION ALL
+       |  SELECT 'c' AS kind, ord - 1 AS k,
+       |    array_to_string(string_split(gram, ' ')[2:], ' ') AS gram,
+       |    count(*) AS cnt
+       |  FROM gc WHERE ord >= 2 GROUP BY 2, 3$midModel),
+       |fc AS (SELECT 'f' ||
+       |    (CASE WHEN cnt = 1 THEN '1' WHEN cnt = 2 THEN '2'
+       |      ELSE '3' END) AS kind,
+       |    ${n - 1} AS k,
+       |    array_to_string(string_split(gram, ' ')[1:${n - 1}], ' ') AS gram,
+       |    count(*) AS cnt
+       |  FROM gc WHERE ord = $n GROUP BY 1, 3),
+       |$gClassCtes
+       |md2 AS ($md2Union),
+       |st AS (SELECT
+       |    (SELECT count(*) FROM gc WHERE ord = 1) AS v,
+       |    (SELECT count(*) FROM gc WHERE ord = 2) AS bt),
+       |cc AS (
+       |  SELECT $n AS lev,
+       |    count(*) FILTER (WHERE cnt = 1) AS n1,
+       |    count(*) FILTER (WHERE cnt = 2) AS n2,
+       |    count(*) FILTER (WHERE cnt = 3) AS n3,
+       |    count(*) FILTER (WHERE cnt = 4) AS n4
+       |  FROM gc WHERE ord = $n
+       |  UNION ALL
+       |  SELECT k AS lev,
+       |    count(*) FILTER (WHERE cnt = 1) AS n1,
+       |    count(*) FILTER (WHERE cnt = 2) AS n2,
+       |    count(*) FILTER (WHERE cnt = 3) AS n3,
+       |    count(*) FILTER (WHERE cnt = 4) AS n4
+       |  FROM md WHERE kind = 'c' GROUP BY k),
+       |dsc AS (SELECT lev,
+       |    CASE WHEN bad THEN CAST(0.5 AS DOUBLE) ELSE d1e END AS d1,
+       |    CASE WHEN bad THEN CAST(1.0 AS DOUBLE) ELSE d2e END AS d2,
+       |    CASE WHEN bad THEN CAST(1.5 AS DOUBLE) ELSE d3e END AS d3
+       |  FROM (SELECT lev, d1e, d2e, d3e,
+       |      d1e IS NULL OR coalesce(d1e < 0 OR d1e > 1 OR d2e < 0
+       |        OR d2e > 2 OR d3e < 0 OR d3e > 3, FALSE) AS bad
+       |    FROM (SELECT lev,
+       |        CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN NULL
+       |          ELSE 1 - 2 * y * n2 / n1 END AS d1e,
+       |        CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN NULL
+       |          ELSE 2 - 3 * y * n3 / n2 END AS d2e,
+       |        CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN NULL
+       |          ELSE 3 - 4 * y * n4 / n3 END AS d3e
+       |      FROM (SELECT lev, n1, n2, n3, n4,
+       |          CAST(n1 AS DOUBLE) / (n1 + 2 * n2) AS y FROM cc)))),
+       |ucs AS (SELECT
+       |    count(*) FILTER (WHERE cnt = 1) AS u1c,
+       |    count(*) FILTER (WHERE cnt = 2) AS u2c,
+       |    count(*) FILTER (WHERE cnt >= 3) AS u3c
+       |  FROM md WHERE kind = 'c' AND k = 1),
+       |gus AS (SELECT dd.d1 * u.u1c + dd.d2 * u.u2c + dd.d3 * u.u3c AS gu
+       |  FROM dsc dd, ucs u WHERE dd.lev = 1),
+       |lk AS (
+       |  $legs),
+       |pv AS (SELECT doc_id, pos,
+       |    $pvCols
+       |  FROM lk LEFT JOIN md2 USING (kind, k, gram) GROUP BY 1, 2),
+       |lp AS (SELECT doc_id, pos, ln($cascade) AS lp FROM pv),
+       |pd AS (SELECT doc_id, count(*) AS n_grams,
+       |    list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS sum_lp
+       |  FROM lp GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+       |  round(coalesce(pd.sum_lp, 0.0), 6) AS sum_lp,
+       |  round(pd.sum_lp / pd.n_grams, 6) AS avg_lp
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+
   /** The shared CTE chain of the Stupid Backoff replays (`q_lm_backoff`,
     * `q_ccnet_buckets`, `q_moore_lewis`): everything up through the
     * per-doc `${pfx}pd(doc_id, n_grams, sum_lp)` relation — callers
@@ -2819,6 +3029,9 @@ object SparkEntry3 {
     "q_lm_kneser"       -> lmKneserOracleSql(2),
     "q_lm_kneser3"      -> lmKneserOracleSql(3),
     "q_lm_kneser_mod"   -> lmKneserOracleSql(3, neyDiscount = true),
+    "q_lm_kneser_cg"    -> lmKneserCGOracleSql(3),
+    // persisted == inline, same oracle VERBATIM (q_lm_persisted pattern)
+    "q_lm_kneser_cg_pers" -> lmKneserCGOracleSql(3),
     // per-group divergence: same tokenizer as the LM oracles, q smoothed
     // with CAST-to-DOUBLE alpha (DuckDB decimal literals must not enter
     // the float chain), token-ordered list_reduce folds

@@ -327,6 +327,37 @@ object SparkEntry4 {
         .select(col("doc_id"), col("s"), col("truth"))
     }),
 
+    // The calibration artifact the gate ships with: reliability bins +
+    // ECE over the NB log-odds (sigmoid → micro-probability integers →
+    // 10 fixed-width bins; every bin statistic exact count arithmetic,
+    // ECE an ordered fold over the bin micro-relation). Answers "is the
+    // gate's confidence meaningful", not just "does it rank well"
+    // (q_nb_auc) — the two diverge exactly when a threshold chosen on
+    // scores stops meaning the probability it claims.
+    "q_gate_calibration" -> ((s, dir) => {
+      val scored = graft.ml.Dedup.trackCache(nbBinaryScored(s, dir))
+      Eval.calibrationReport(scored, "truth", "s", bins = 10)
+    }),
+
+    // One-row quality rollup of the multiclass NB gate: micro accuracy,
+    // macro-F1 (NULL-as-0, the sklearn zero_division=0 convention) and
+    // truth-weighted F1 over the per-class PRF report — the single
+    // numbers two classifier versions are compared by.
+    "q_nb_summary" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val wc = graft.text.Classify.nbWordCounts(train, "lang", "text")
+      val stats = graft.text.Classify.nbClassStats(train, "lang", "text")
+        .collect().map(r => (r.getAs[String]("cls"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSeq
+      val conf = graft.text.Classify.nbClassify(docs, "doc_id", "text", wc,
+          stats, vocab = graft.text.Classify.nbVocab(wc),
+          totalDocs = stats.map(_._2).sum)
+        .join(docs.select(col("doc_id"), col("lang").as("truth")), "doc_id")
+        .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+      Eval.prfSummary(Eval.prfReport(conf))
+    }),
+
     // Temperature mixing in TOKEN units (the budget mixing recipes are
     // actually written in): domain mass = exact token totals, quotas ∝
     // mass^(1/T) over a 20k-token budget, the draw a greedy smallest-hash
@@ -589,6 +620,66 @@ object SparkEntry4 {
        |FROM wide w JOIN lab l USING (doc_id)
        |WHERE w.s >= (SELECT t FROM thr)""".stripMargin
 
+  /** DuckDB replica of `q_gate_calibration`: the scored relation's
+    * log-odds through the logistic sigmoid to micro-probability
+    * integers, `bins` fixed-width bins of exact counts, and the ECE fold
+    * in bin order — float ops mirror
+    * [[graft.ml.Eval.calibrationReport]] op for op. */
+  private def gateCalibrationOracleSql(bins: Int): String =
+    "WITH " + nbBinCoreSql + s""",
+       |pb AS (SELECT
+       |    CAST(round(1000000.0 / (1.0 + exp(-s)), 0) AS BIGINT) AS pm,
+       |    CASE WHEN truth THEN 1 ELSE 0 END AS y
+       |  FROM lj),
+       |bb AS (SELECT least(pm * $bins // 1000000, ${bins - 1}) AS bin,
+       |    count(*) AS n, sum(y) AS n_pos, sum(pm) AS spm
+       |  FROM pb GROUP BY 1),
+       |nn AS (SELECT sum(n) AS nn FROM bb),
+       |rr AS (SELECT bin, n, n_pos,
+       |    spm / n / 1000000.0 AS conf_raw,
+       |    n_pos / n AS acc_raw,
+       |    n / (SELECT nn FROM nn)
+       |      * abs(n_pos / n - spm / n / 1000000.0) AS term
+       |  FROM bb),
+       |ee AS (SELECT list_reduce(list(term ORDER BY bin),
+       |    (a, b) -> a + b) AS ece FROM rr)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       |  CAST(n_pos AS BIGINT) AS n_pos, round(conf_raw, 6) AS conf,
+       |  round(acc_raw, 6) AS acc,
+       |  round((SELECT ece FROM ee), 6) AS ece
+       |FROM rr""".stripMargin
+
+  /** DuckDB replica of `q_nb_summary`: the q_nb_prf chain as a CTE,
+    * rolled up to micro accuracy, macro-F1 (NULL-as-0) and
+    * truth-weighted F1 — the F1 sums fold in class order. */
+  private def nbSummaryOracleSql(trainPred: String): String =
+    "WITH " + SparkEntry3.nbCoreSql(trainPred) + s""",
+       |conf AS (SELECT d.lang AS truth, rk.cls AS pred, count(*) AS n
+       |  FROM rk JOIN documents d USING (doc_id)
+       |  WHERE rn = 1 GROUP BY 1, 2),
+       |tpp AS (SELECT truth AS cls, n AS tp FROM conf WHERE truth = pred),
+       |nt AS (SELECT truth AS cls, sum(n) AS n_truth FROM conf GROUP BY 1),
+       |np AS (SELECT pred AS cls, sum(n) AS n_pred FROM conf GROUP BY 1),
+       |u AS (SELECT coalesce(nt.cls, np.cls) AS cls,
+       |    coalesce(n_truth, 0) AS n_truth, coalesce(n_pred, 0) AS n_pred
+       |  FROM nt FULL JOIN np ON nt.cls = np.cls),
+       |prf AS (SELECT u.cls, coalesce(tpp.tp, 0) AS tp, u.n_truth,
+       |    CASE WHEN u.n_truth + u.n_pred > 0
+       |      THEN round(2 * coalesce(tpp.tp, 0)
+       |        / (u.n_truth + u.n_pred), 6) END AS f1
+       |  FROM u LEFT JOIN tpp ON u.cls = tpp.cls)
+       |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       |  CASE WHEN sum(n_truth) > 0
+       |    THEN round(sum(tp) / sum(n_truth), 6) END AS accuracy,
+       |  CASE WHEN count(*) > 0
+       |    THEN round(list_reduce(list(coalesce(f1, CAST(0.0 AS DOUBLE))
+       |      ORDER BY cls), (a, b) -> a + b) / count(*), 6) END AS macro_f1,
+       |  CASE WHEN sum(n_truth) > 0
+       |    THEN round(list_reduce(list(n_truth
+       |        * coalesce(f1, CAST(0.0 AS DOUBLE)) ORDER BY cls),
+       |      (a, b) -> a + b) / sum(n_truth), 6) END AS weighted_f1
+       |FROM prf""".stripMargin
+
   /** DuckDB replica of `q_hard_negatives`: the exact cosine ranking at
     * k = cand; dropping the top-`pos` prefix and re-ranking is a rank
     * shift because the positives ARE that prefix (the anti-join is
@@ -796,6 +887,8 @@ object SparkEntry4 {
     "q_hard_negatives"  -> hardNegativesOracleSql(HN_CAND, HN_POS, HN_K),
     "q_source_overlap"  -> sourceOverlapOracleSql,
     "q_gate_calibrated" -> gateCalibratedOracleSql,
+    "q_gate_calibration" -> gateCalibrationOracleSql(10),
+    "q_nb_summary"      -> nbSummaryOracleSql("doc_id % 2 = 0"),
     "q_sq8_topk"      -> sq8TopKOracleSql(SQ_K),
     // persist + probe must be bit-identical to the inline pipeline —
     // same oracle VERBATIM is the claim (the q_lm_persisted discipline)

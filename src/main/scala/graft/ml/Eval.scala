@@ -134,4 +134,77 @@ object Eval {
           round(lit(2L) * col("tp") /
             (col("n_truth") + col("n_pred")), 6)))
   }
+
+  /** One-row rollup of a [[prfReport]] relation — the single numbers a
+    * gate comparison reads: micro accuracy Σtp/Σn_truth, macro-F1 (mean
+    * of per-class F1, NULL-as-0 — scikit-learn's `zero_division=0`
+    * convention), and truth-weighted F1 Σ(n_truth·F1)/Σn_truth. The
+    * per-class F1s are the report's 6dp-rounded values; their sums fold
+    * in class order (the sum_lp discipline) so the rollup replays
+    * bitwise in the oracle. The report is |classes|-bounded, so this is
+    * micro-table work.
+    */
+  def prfSummary(report: DataFrame): DataFrame =
+    report.agg(
+      count(lit(1)).as("n_classes"),
+      sum("tp").as("__tp"), sum("n_truth").as("__nt"),
+      expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(cls, coalesce(f1, 0.0D) AS f))), s -> s.f), 0.0D," +
+        " (a, x) -> a + x)").as("__sf"),
+      expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(cls, n_truth * coalesce(f1, 0.0D) AS wf))), s -> s.wf)," +
+        " 0.0D, (a, x) -> a + x)").as("__swf"))
+    .select(col("n_classes"),
+      when(col("__nt") > 0,
+        round(col("__tp") / col("__nt"), 6)).as("accuracy"),
+      when(col("n_classes") > 0,
+        round(col("__sf") / col("n_classes"), 6)).as("macro_f1"),
+      when(col("__nt") > 0,
+        round(col("__swf") / col("__nt"), 6)).as("weighted_f1"))
+
+  /** Reliability report + expected calibration error over a binary
+    * scored relation (labelCol boolean, scoreCol a log-odds score, the
+    * [[aucBinary]] shape): each document's score maps to a probability
+    * via the logistic sigmoid, quantized to MICRO-probability integers
+    * pm = round(10⁶·σ(s)) so every per-bin statistic is exact count
+    * arithmetic (sums of longs — order-free, DuckDB-replayable), then
+    * `bins` fixed-width probability bins. Per bin: n, n_pos, mean
+    * confidence Σpm/n/10⁶, empirical accuracy n_pos/n; ECE =
+    * Σ n_b/N·|acc_b − conf_b| folded in bin order (the sum_lp
+    * discipline) and repeated on every row. This is the "is the gate's
+    * confidence meaningful" artifact a threshold-calibrated admission
+    * gate ships with (Guo et al. 2017's ECE over Naeini's fixed-width
+    * binning).
+    *
+    * Shapes at 100 TB: one map pass to (bin, pm, y), one hash aggregate
+    * to ≤ `bins` rows, ECE a fold over that micro-relation — nothing
+    * scales past the corpus scan.
+    */
+  def calibrationReport(df: DataFrame, labelCol: String, scoreCol: String,
+                        bins: Int = 10): DataFrame = {
+    require(bins > 1, "need at least 2 bins")
+    val pm = round(lit(1000000.0) / (lit(1.0) + exp(-col(scoreCol))), 0)
+      .cast("long")
+    val b = df
+      .select(pm.as("pm"), when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .select(expr(s"least(pm * $bins div 1000000, ${bins - 1})").as("bin"),
+        col("pm"), col("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("pm").as("__spm"))
+    val tot = b.agg(sum("n").as("__N"))
+    val rep = b.crossJoin(broadcast(tot))
+      .withColumn("__conf", col("__spm") / col("n") / lit(1000000.0))
+      .withColumn("__acc", col("n_pos") / col("n"))
+      .withColumn("__term",
+        col("n") / col("__N") * abs(col("__acc") - col("__conf")))
+    val ece = rep.agg(
+      expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(bin, __term))), s -> s.__term), 0.0D," +
+        " (a, x) -> a + x)").as("__ece"))
+    rep.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__conf"), 6).as("conf"),
+        round(col("__acc"), 6).as("acc"),
+        round(col("__ece"), 6).as("ece"))
+  }
 }

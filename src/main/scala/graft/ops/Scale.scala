@@ -490,6 +490,35 @@ object Scale {
       .drop("__cum", "__start")
   }
 
+  /** One-row packing-efficiency report over a [[packSequences]] relation —
+    * the dataloader-health numbers a packing run ships with: sequence and
+    * segment counts, packed token total, boundary crossings (segments
+    * continuing a document from the previous sequence, `tok_start > 0` —
+    * each is a cross-document attention boundary the collator must mask),
+    * fill rate n_tokens/(n_seqs·seqLen) (< 1 only from the final partial
+    * sequence) and mean segments per sequence. Exact integer counts +
+    * two guarded divisions — replays verbatim in the oracle
+    * (q_pack_stats). One aggregate pass; nothing scales past the packed
+    * relation scan.
+    */
+  def packStats(packed: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    packed.agg(
+        count_distinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_segments"),
+        coalesce(sum(col("tok_end") - col("tok_start")), lit(0L))
+          .as("n_tokens"),
+        coalesce(sum(when(col("tok_start") > 0, 1L).otherwise(0L)),
+          lit(0L)).as("n_crossings"))
+      .select(col("n_seqs"), col("n_segments"), col("n_tokens"),
+        col("n_crossings"),
+        when(col("n_seqs") > 0, round(
+          col("n_tokens") / (col("n_seqs") * lit(seqLen.toLong)), 6))
+          .as("fill_rate"),
+        when(col("n_seqs") > 0,
+          round(col("n_segments") / col("n_seqs"), 6)).as("segs_per_seq"))
+  }
+
   /** Deterministic weighted interleave of several sources (training-mixture
     * scheduling): source i's k-th row lands at position (k - 0.5) / weight_i,
     * so a weight-2 source appears twice as often, uniformly spread — the

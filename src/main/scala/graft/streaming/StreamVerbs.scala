@@ -811,6 +811,31 @@ object StreamVerbs {
         batch, idCol, textCol))
     }
 
+  /** Ingest-time CALIBRATED quality gate — the FineWeb classifier loop
+    * on a stream (q_gate_calibrated's serving twin): each micro-batch
+    * scores its documents' binary log-odds against the FROZEN NB model
+    * ([[graft.text.Classify.scoreBinaryFromModel]]) and admits exactly
+    * the rows meeting the threshold calibrated at BUILD time and frozen
+    * next to the model ([[graft.text.Classify.saveGateThreshold]]).
+    * Output per batch: the admitted rows (original columns + s). The
+    * threshold is ONE driver read at stream construction — per-batch
+    * work is the model equi-join + a map-side filter, stateless;
+    * StreamingSpec pins stream == the batch gate's admitted set.
+    */
+  def streamingCalibratedGate(t: Tbl, idCol: String, textCol: String,
+                              path: String, posCls: String = "pos",
+                              negCls: String = "neg")
+                             (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val (thr, _) = graft.text.Classify.gateThreshold(
+      t.df.sparkSession, path)
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val scored = graft.text.Classify.scoreBinaryFromModel(
+        batch.sparkSession, path, batch, idCol, textCol, posCls, negCls)
+      sink(batch.join(scored, Seq(idCol)).filter(col("s") >= thr))
+    }
+  }
+
   /** The FULL admission chain per micro-batch — the streaming twin of
     * q_ingest_e2e: each arriving batch is quality-gated (`qualityPred`),
     * decontaminated against the frozen benchmark

@@ -252,4 +252,65 @@ object Classify {
       stats, meta.getAs[Long]("vocab"), meta.getAs[Long]("total_docs"),
       asciiOnly)
   }
+
+  /** Binary posterior LOG-ODDS against a persisted [[buildNbModel]]
+    * artifact trained on two classes: (idCol, s) with
+    * s = round(score(posCls) − score(negCls), 6) — the scored relation
+    * the threshold gate, PR sweep and calibration report all consume
+    * (q_nb_auc's shape), served from the frozen model. Same plan as
+    * [[classifyFromModel]] minus the argmax window: one model equi-join,
+    * one per-doc pivot.
+    */
+  def scoreBinaryFromModel(spark: org.apache.spark.sql.SparkSession,
+                           path: String, docs: DataFrame, idCol: String,
+                           textCol: String, posCls: String = "pos",
+                           negCls: String = "neg",
+                           asciiOnly: Boolean = true): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val stats = spark.read.parquet(s"$path/classes")
+      .collect().map(r => (r.getAs[String]("cls"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).toSeq
+    require(stats.exists(_._1 == posCls) && stats.exists(_._1 == negCls),
+      s"model at $path lacks class $posCls or $negCls")
+    nbScoresAll(docs, idCol, textCol, spark.read.parquet(s"$path/words"),
+        stats, meta.getAs[Long]("vocab"), meta.getAs[Long]("total_docs"),
+        asciiOnly)
+      .groupBy(idCol)
+      .agg(max(when(col("cls") === posCls, col("score"))).as("__sp"),
+        max(when(col("cls") === negCls, col("score"))).as("__sn"))
+      .select(col(idCol), round(col("__sp") - col("__sn"), 6).as("s"))
+  }
+
+  /** Calibrate and FREEZE the admission threshold next to a gate model:
+    * sweep the PR curve of a scored calibration relation
+    * ([[scoreBinaryFromModel]] output joined to truth), take the HIGHEST
+    * score whose 6dp-rounded recall still reaches `recallTarget`
+    * (q_gate_calibrated's rule — maximize precision subject to keeping
+    * the positives), write it to `<path>/threshold` (one row: thr,
+    * recall_target). The PR relation is distinct-score-bounded and the
+    * pick is a 1-row driver read; serving never recomputes it
+    * ([[graft.streaming.StreamVerbs.streamingCalibratedGate]]). Throws
+    * when no threshold reaches the target (an uncalibratable gate should
+    * fail at BUILD time, not admit everything at serve time).
+    */
+  def saveGateThreshold(spark: org.apache.spark.sql.SparkSession,
+                        path: String, scored: DataFrame, labelCol: String,
+                        recallTarget: Double): Unit = {
+    val pr = graft.ml.Eval.prCurve(scored, labelCol, "s")
+    val thr = pr.filter(col("recall") >= recallTarget).agg(max("s")).head()
+    require(!thr.isNullAt(0),
+      s"no threshold reaches recall $recallTarget: gate uncalibratable")
+    spark.range(1)
+      .select(lit(thr.getDouble(0)).as("thr"),
+        lit(recallTarget).as("recall_target"))
+      .write.mode("overwrite").parquet(s"$path/threshold")
+  }
+
+  /** The frozen (thr, recall_target) of [[saveGateThreshold]] — one
+    * driver-read row. */
+  def gateThreshold(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Double, Double) = {
+    val r = spark.read.parquet(s"$path/threshold").head()
+    (r.getAs[Double]("thr"), r.getAs[Double]("recall_target"))
+  }
 }

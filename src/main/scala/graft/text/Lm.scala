@@ -549,6 +549,281 @@ object Lm {
       discount, asciiOnly)
   }
 
+  /** MODIFIED Kneser–Ney model relation (Chen & Goodman 1999 §3): the
+    * [[kneserNeyCounts]] base extended with per-context follower counts
+    * split BY COUNT CLASS (1, 2, 3+), the statistics the three-discount
+    * backoff weight γ(x) = (D₁·N₁(x·) + D₂·N₂(x·) + D₃·N₃₊(x·)) / den
+    * needs. Added kinds, all derived from the base relation itself (no
+    * second corpus pass):
+    *   'f1'/'f2'/'f3' at k=n−1 — followers of a raw (n−1)-gram context
+    *     whose raw n-gram count is 1 / 2 / ≥3 (class-split of 'f'),
+    *   'g1'/'g2'/'g3' at k=o−1 (2 ≤ o < n) — followers of a mid context
+    *     whose CONTINUATION count N1+(·xw) is 1 / 2 / ≥3 (class-split
+    *     of 'g').
+    * Same (kind, k, gram, cnt) schema, so the scorer stays one hash
+    * equi-join; the class relations are GROUP-BYs of the base model —
+    * micro work next to the corpus pass that built it.
+    */
+  def kneserNeyCountsCG(df: DataFrame, textCol: String, n: Int,
+                        asciiOnly: Boolean = true): DataFrame = {
+    require(n >= 2, "modified KN needs n >= 2")
+    val base = kneserNeyCounts(df, textCol, n, asciiOnly)
+    val cls = when(col("cnt") === 1, "1").when(col("cnt") === 2, "2")
+      .otherwise("3")
+    val fc = base.filter(col("kind") === "r" && col("k") === n)
+      .select(expr(s"substring_index(gram, ' ', ${n - 1})").as("gram"),
+        cls.as("__cls"))
+      .groupBy("gram", "__cls").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("f"), col("__cls")).as("kind"),
+        lit(n - 1).as("k"), col("gram"), col("cnt"))
+    val gcs = (2 until n).map { o =>
+      base.filter(col("kind") === "c" && col("k") === o)
+        .select(expr(s"substring_index(gram, ' ', ${o - 1})").as("gram"),
+          cls.as("__cls"))
+        .groupBy("gram", "__cls").agg(count(lit(1)).as("cnt"))
+        .select(concat(lit("g"), col("__cls")).as("kind"),
+          lit(o - 1).as("k"), col("gram"), col("cnt"))
+    }
+    (Seq(base, fc) ++ gcs).reduce(_.unionByName(_))
+  }
+
+  /** The unigram-level class counts of a KN model — U₁/U₂/U₃₊ = number
+    * of word types whose continuation count N1+(·w) is exactly 1 /
+    * exactly 2 / ≥ 3 (U₁+U₂+U₃₊ = [[knStats]]' u1) — the modified-KN
+    * unigram backoff weight's statistics, driver-read like [[knStats]].
+    */
+  def knUnigramClassStats(model: DataFrame): (Long, Long, Long) = {
+    val r = model.filter(col("kind") === "c" && col("k") === 1).agg(
+      coalesce(sum(when(col("cnt") === 1, 1L)), lit(0L)),
+      coalesce(sum(when(col("cnt") === 2, 1L)), lit(0L)),
+      coalesce(sum(when(col("cnt") >= 3, 1L)), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** The Chen–Goodman per-order discount triples (D₁, D₂, D₃₊) for
+    * levels 1..n of a KN model, from each level's count-of-counts
+    * n₁..n₄ — n-gram TYPES with (adjusted) count exactly 1..4: raw
+    * counts at the top order ('r'@n), continuation counts below
+    * ('c'@o), matching what each level's numerator actually discounts.
+    *
+    *   Y  = n₁ / (n₁ + 2·n₂)
+    *   D₁ = 1 − 2·Y·n₂/n₁,  D₂ = 2 − 3·Y·n₃/n₂,  D₃₊ = 3 − 4·Y·n₄/n₃
+    *
+    * (Chen & Goodman 1999 eq. 26; KenLM's default estimate.) All counts
+    * are driver-read from ONE aggregate over the tiny model relation;
+    * float arithmetic order is pinned (left-assoc, exactly as written)
+    * so the oracle's scalar subqueries replay it bitwise. A level whose
+    * estimate is unavailable or invalid — n₁, n₂ or n₃ zero (nothing to
+    * estimate from, e.g. a closed small vocabulary where every word has
+    * many predecessors), or an estimated Dᵢ outside [0, i] (KenLM's
+    * validity rule; an out-of-range discount makes backoff mass, and
+    * therefore probabilities, negative) — gets KenLM's
+    * `--discount_fallback` defaults (D₁, D₂, D₃₊) = (0.5, 1.0, 1.5).
+    * Both conditions replay exactly in the oracle: the counts are
+    * integers and the candidate discounts are computed with identical
+    * float ops before the range test. n₄ = 0 merely degrades D₃₊ to 3.
+    */
+  def cgDiscounts(model: DataFrame, n: Int): Map[Int, (Double, Double, Double)] = {
+    val lev = when(col("kind") === "r" && col("k") === n, lit(n))
+      .when(col("kind") === "c", col("k"))
+    val rows = model.withColumn("__lev", lev).filter(col("__lev").isNotNull)
+      .groupBy("__lev").agg(
+        coalesce(sum(when(col("cnt") === 1, 1L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("cnt") === 2, 1L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("cnt") === 3, 1L)), lit(0L)).as("n3"),
+        coalesce(sum(when(col("cnt") === 4, 1L)), lit(0L)).as("n4"))
+      .collect()
+    rows.map { r =>
+      val k = r.get(0).toString.toInt
+      val (n1, n2, n3, n4) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (n1 == 0 || n2 == 0 || n3 == 0) (k, (0.5, 1.0, 1.5))
+      else {
+        val y = n1.toDouble / (n1 + 2 * n2)
+        val (d1, d2, d3) =
+          (1 - 2 * y * n2 / n1, 2 - 3 * y * n3 / n2, 3 - 4 * y * n4 / n3)
+        if (d1 < 0 || d1 > 1 || d2 < 0 || d2 > 2 || d3 < 0 || d3 > 3)
+          (k, (0.5, 1.0, 1.5))
+        else (k, (d1, d2, d3))
+      }
+    }.toMap
+  }
+
+  /** [[knLookupExpr]] for the modified scorer: the single follower-type
+    * role 'c' becomes the class triple f1/f2/f3, each mid level's 'g'
+    * becomes g1/g2/g3 — 3n+2 slim rows per position, still one hash
+    * equi-join.
+    */
+  private def knLookupExprCG(n: Int): String = {
+    def st(role: String, kind: String, k: Int, gram: String): String =
+      s"""named_struct('pos', i - ${n - 1}, 'role', '$role',
+         |  'kind', '$kind', 'k', $k, 'gram', $gram)""".stripMargin
+    def words(o: Int): String =
+      s"array_join(slice(__ts, i - ${n - 1} + ${n - o} + 1, $o), ' ')"
+    def ctxWords(o: Int): String =
+      s"array_join(slice(__ts, i - ${n - 1} + ${n - o} + 1, ${o - 1}), ' ')"
+    val top = Seq(
+      st("a", "r", n, words(n)),
+      st("b", "r", n - 1, ctxWords(n))) ++
+      (1 to 3).map(c => st(s"f$c", s"f$c", n - 1, ctxWords(n)))
+    val mids = (2 until n).flatMap { o => Seq(
+      st(s"n$o", "c", o, words(o)),
+      st(s"m$o", "m", o - 1, ctxWords(o))) ++
+      (1 to 3).map(c => st(s"g$c$o", s"g$c", o - 1, ctxWords(o)))
+    }
+    val uni = Seq(st("u", "c", 1, "__ts[i]"))
+    val all = (top ++ mids ++ uni).mkString(",\n")
+    s"""IF(size(__ts) >= $n,
+       |  flatten(transform(sequence(${n - 1}, size(__ts) - 1), i -> array(
+       |    $all))),
+       |  CAST(array() AS array<struct<
+       |    pos: int, role: string, kind: string, k: int, gram: string>>))""".stripMargin
+  }
+
+  /** Score documents with MODIFIED Kneser–Ney (Chen & Goodman 1999 §3)
+    * against a [[kneserNeyCountsCG]] relation: [[scoreDocsKN]] with the
+    * single discount replaced by per-level class triples — the numerator
+    * subtracts D(c) chosen by ITS count class (c=1→D₁, c=2→D₂, c≥3→D₃₊)
+    * and the backoff weight becomes the class-weighted mass
+    * (D₁·N₁ + D₂·N₂ + D₃₊·N₃₊)/den:
+    *   P₁(w)   = max(N1+(·w) − D(·), 0)/BT + (D₁·U₁+D₂·U₂+D₃·U₃₊)/BT · 1/V
+    *   Pₒ(w|x) = max(N1+(·xw) − D(·), 0)/N1+(·x·)
+    *               + (ΣDᵢ·gᵢ)/N1+(·x·) · Pₒ₋₁            (1 < o < n)
+    *   Pₙ(w|x) = max(c(xw) − D(·), 0)/c(x) + (ΣDᵢ·fᵢ)/c(x) · Pₙ₋₁
+    * with the same guards as [[scoreDocsKN]] (top level backs off
+    * entirely when the context has no followers). `discounts` maps level
+    * → (D₁, D₂, D₃₊) ([[cgDiscounts]]); `uClass` is
+    * [[knUnigramClassStats]]. The unigram backoff mass is a DRIVER
+    * scalar (class counts and discounts are all scalars), so it rides as
+    * one literal. Output/convention identical to [[scoreDocsKN]]; same
+    * 100 TB shapes (3n+2 lookup rows per position, one model equi-join,
+    * position-ordered fold).
+    */
+  def scoreDocsKNCG(docs: DataFrame, idCol: String, textCol: String,
+                    model: DataFrame, n: Int, vocab: Long,
+                    bigramTypes: Long, uClass: (Long, Long, Long),
+                    discounts: Map[Int, (Double, Double, Double)],
+                    asciiOnly: Boolean = true): DataFrame = {
+    require(n >= 2, "modified KN needs n >= 2")
+    require(vocab > 0, "vocab must be positive")
+    require(bigramTypes > 0, "the training corpus must contain a bigram")
+    require((1 to n).forall(discounts.contains),
+      s"need discounts for every level 1..$n")
+    val ex = docs
+      .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
+      .select(col(idCol),
+        posexplode_outer(expr(knLookupExprCG(n))).as(Seq("__i", "g")))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.role").as("role"),
+        col("g.kind").as("kind"), col("g.k").as("k"), col("g.gram").as("gram"))
+    val joined = ex.join(model.select("kind", "k", "gram", "cnt"),
+      Seq("kind", "k", "gram"), "left")
+    val roles = Seq("a", "b", "f1", "f2", "f3") ++
+      (2 until n).flatMap(o =>
+        Seq(s"n$o", s"m$o", s"g1$o", s"g2$o", s"g3$o")) ++ Seq("u")
+    val aggs = roles.map(r0 =>
+      max(when(col("role") === r0, col("cnt"))).as(s"__$r0"))
+    val per = joined.groupBy(col(idCol), col("pos"))
+      .agg(aggs.head, aggs.tail: _*)
+    // num = max(c − D(class of c), 0); c = 0 falls through to the ELSE
+    // discount but greatest(,0) zeroes it — same CASE the oracle renders
+    def num(c: Column, lev: Int): Column = {
+      val (d1, d2, d3) = discounts(lev)
+      val dsel = when(coalesce(c, lit(0L)) === 1, lit(d1))
+        .when(coalesce(c, lit(0L)) === 2, lit(d2)).otherwise(lit(d3))
+      greatest(coalesce(c, lit(0L)) - dsel, lit(0.0))
+    }
+    // class-weighted backoff mass: D1*k1 + D2*k2 + D3*k3 (left-assoc)
+    def mass(lev: Int, k1: Column, k2: Column, k3: Column): Column = {
+      val (d1, d2, d3) = discounts(lev)
+      lit(d1) * coalesce(k1, lit(0L)) + lit(d2) * coalesce(k2, lit(0L)) +
+        lit(d3) * coalesce(k3, lit(0L))
+    }
+    val (ud1, ud2, ud3) = discounts(1)
+    val (u1c, u2c, u3c) = uClass
+    // driver scalar: the unigram level's whole backoff numerator
+    val gu = ud1 * u1c + ud2 * u2c + ud3 * u3c
+    val p1: Column = num(col("__u"), 1) / lit(bigramTypes.toDouble) +
+      lit(gu) / lit(bigramTypes.toDouble) / lit(vocab.toDouble)
+    def level(o: Int, lower: Column): Column = {
+      val (nc, dc, w1, w2, w3) =
+        if (o == n) (col("__a"), col("__b"), col("__f1"), col("__f2"),
+          col("__f3"))
+        else (col(s"__n$o"), col(s"__m$o"), col(s"__g1$o"), col(s"__g2$o"),
+          col(s"__g3$o"))
+      val interp = num(nc, o) / dc + mass(o, w1, w2, w3) / dc * lower
+      if (o == n)
+        when(coalesce(dc, lit(0L)) > 0 &&
+          coalesce(w1, lit(0L)) + coalesce(w2, lit(0L)) +
+            coalesce(w3, lit(0L)) > 0, interp)
+          .otherwise(lower)
+      else
+        when(coalesce(dc, lit(0L)) > 0, interp).otherwise(lower)
+    }
+    var p: Column = p1
+    for (o <- 2 to n) p = level(o, p)
+    val lp = per.withColumn("lp", log(p))
+    lp.groupBy(idCol)
+      .agg(count(col("pos")).as("n_grams"),
+        collect_list(when(col("pos").isNotNull,
+          struct(col("pos"), col("lp")))).as("__ps"))
+      .select(col(idCol), col("n_grams"),
+        expr("aggregate(transform(array_sort(__ps), s -> s.lp), 0.0D," +
+          " (a, x) -> a + x)").as("sum_lp"))
+      .withColumn("avg_lp",
+        when(col("n_grams") > 0, col("sum_lp") / col("n_grams")))
+  }
+
+  /** Persist a MODIFIED-KN model as a standing artifact —
+    * `<path>/model` (the [[kneserNeyCountsCG]] relation), `<path>/meta`
+    * (one row: n, vocab, bigram_types, u1c, u2c, u3c) and
+    * `<path>/discounts` (n rows: lev, d1, d2, d3 — the [[cgDiscounts]]
+    * triples) — [[buildKnModel]]'s train-once / score-forever split for
+    * the Chen–Goodman scorer. Scalars AND discounts are computed from
+    * the WRITTEN relation so model and meta can never disagree.
+    */
+  def buildKnModelCG(df: DataFrame, textCol: String, path: String, n: Int,
+                     asciiOnly: Boolean = true): Unit = {
+    kneserNeyCountsCG(df, textCol, n, asciiOnly)
+      .write.mode("overwrite").parquet(s"$path/model")
+    val spark = df.sparkSession
+    val frozen = spark.read.parquet(s"$path/model")
+    val (v, bt, _) = knStats(frozen)
+    val (u1c, u2c, u3c) = knUnigramClassStats(frozen)
+    spark.range(1)
+      .select(lit(n).as("n"), lit(v).as("vocab"),
+        lit(bt).as("bigram_types"), lit(u1c).as("u1c"),
+        lit(u2c).as("u2c"), lit(u3c).as("u3c"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    import spark.implicits._
+    cgDiscounts(frozen, n).toSeq.sortBy(_._1)
+      .map { case (lev, (d1, d2, d3)) => (lev, d1, d2, d3) }
+      .toDF("lev", "d1", "d2", "d3")
+      .write.mode("overwrite").parquet(s"$path/discounts")
+  }
+
+  /** Score documents against a persisted [[buildKnModelCG]] artifact —
+    * meta and discounts are driver reads (1 + n rows), the model joins
+    * as a relation; bit-identical to the in-memory
+    * [[kneserNeyCountsCG]] → [[scoreDocsKNCG]] pipeline over the same
+    * corpus (q_lm_kneser_cg_pers shares q_lm_kneser_cg's oracle
+    * VERBATIM).
+    */
+  def scoreDocsKNCGFromModel(spark: org.apache.spark.sql.SparkSession,
+                             path: String, docs: DataFrame, idCol: String,
+                             textCol: String,
+                             asciiOnly: Boolean = true): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val ds = spark.read.parquet(s"$path/discounts").collect()
+      .map(r => r.getAs[Int]("lev") ->
+        (r.getAs[Double]("d1"), r.getAs[Double]("d2"),
+          r.getAs[Double]("d3"))).toMap
+    scoreDocsKNCG(docs, idCol, textCol,
+      spark.read.parquet(s"$path/model"), meta.getAs[Int]("n"),
+      meta.getAs[Long]("vocab"), meta.getAs[Long]("bigram_types"),
+      (meta.getAs[Long]("u1c"), meta.getAs[Long]("u2c"),
+        meta.getAs[Long]("u3c")), ds, asciiOnly)
+  }
+
   /** Persist a Stupid Backoff model as a standing artifact —
     * `<path>/grams` (the [[backoffCounts]] relation) and `<path>/meta`
     * (one row: n, total_tokens) — the train-once / score-forever split of

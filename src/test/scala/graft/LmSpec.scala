@@ -420,4 +420,77 @@ class LmSpec extends AnyFunSuite {
     Seq(4L, 5L).foreach(id =>
       assert(got(id) < 0, s"out-of-domain doc $id ml=${got(id)}"))
   }
+
+  test("modified KN: uniform-D triples degenerate to single-D KN; " +
+      "estimated triples differ exactly where count-class >= 2 grams exist") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val n = 3
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val model = graft.ml.Dedup.trackCache(
+      Lm.kneserNeyCountsCG(train, "text", n))
+    val (v, bt, u1) = Lm.knStats(model)
+    val uc = Lm.knUnigramClassStats(model)
+    def scoresCG(ds: Map[Int, (Double, Double, Double)]) =
+      Lm.scoreDocsKNCG(docs, "doc_id", "text", model, n, v, bt, uc, ds)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(r.fieldIndex("sum_lp")))).toMap
+    // 1) degenerate check: D1=D2=D3=D collapses the class machinery to
+    // the single-discount scorer (same counts, γ = D·N1+ both ways);
+    // association order differs (ΣD·kᵢ vs D·Σkᵢ), so compare to 1e-9,
+    // not bitwise
+    val d = 0.75
+    val uni = scoresCG((1 to n).map(_ -> ((d, d, d))).toMap)
+    val single = Lm.scoreDocsKN(docs, "doc_id", "text", model, n, v, bt,
+        u1, discount = d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(r.fieldIndex("sum_lp")))).toMap
+    assert(uni.keySet == single.keySet)
+    uni.foreach { case (id, (ng, s)) =>
+      assert(ng == single(id)._1, s"doc $id n_grams")
+      assert(math.abs(s - single(id)._2) < 1e-9,
+        s"doc $id: uniform-CG $s vs single-D ${single(id)._2}")
+    }
+    // 2) the estimated triples are non-uniform here (the corpus has
+    // count-class >= 2 grams at every level or the level fell back),
+    // so scored docs must actually differ from single-D somewhere
+    val est = Lm.cgDiscounts(model, n)
+    assert(est.values.exists { case (d1, d2, d3) => d1 != d2 || d2 != d3 },
+      s"estimated discounts unexpectedly uniform: $est")
+    val cg = scoresCG(est)
+    assert(cg.exists { case (id, (ng, s)) =>
+      ng > 0 && math.abs(s - single(id)._2) > 1e-6 },
+      "modified KN never diverged from single-D on a scored doc")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("persisted modified-KN model scores bit-identically and freezes " +
+      "its discounts") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val n = 3
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val model = graft.ml.Dedup.trackCache(
+      Lm.kneserNeyCountsCG(train, "text", n))
+    val (v, bt, _) = Lm.knStats(model)
+    val inline = Lm.scoreDocsKNCG(docs, "doc_id", "text", model, n, v, bt,
+        Lm.knUnigramClassStats(model), Lm.cgDiscounts(model, n))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(r.fieldIndex("sum_lp")))).toMap
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-kncg-model").toString
+    Lm.buildKnModelCG(train, "text", path, n)
+    val persisted = Lm.scoreDocsKNCGFromModel(spark, path, docs,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(r.fieldIndex("sum_lp")))).toMap
+    assert(inline.nonEmpty && persisted == inline,
+      s"inline ${inline.size} vs persisted ${persisted.size}")
+    // the artifact is self-describing: n levels of frozen discounts
+    val ds = spark.read.parquet(s"$path/discounts").collect()
+    assert(ds.map(_.getAs[Int]("lev")).sorted.toSeq == (1 to n))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
 }

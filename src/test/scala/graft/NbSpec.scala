@@ -189,4 +189,38 @@ class NbSpec extends AnyFunSuite {
     assert(inline.size == docs.count() && persisted == inline,
       s"inline ${inline.size} rows, persisted ${persisted.size}")
   }
+
+  test("scoreBinaryFromModel == the inline binary log-odds pivot, " +
+      "bit-identical") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("cls",
+        when(col("lang") === "en", lit("pos")).otherwise(lit("neg")))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval = docs.filter(col("doc_id") % 2 === 1)
+    val wc = Classify.nbWordCounts(train, "cls", "text")
+    val stats = Classify.nbClassStats(train, "cls", "text").collect()
+      .map(r => (r.getAs[String]("cls"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).toSeq
+    val inline = Classify.nbScoresAll(eval, "doc_id", "text", wc, stats,
+        vocab = Classify.nbVocab(wc), totalDocs = stats.map(_._2).sum)
+      .groupBy("doc_id")
+      .agg(max(when(col("cls") === "pos", col("score"))).as("sp"),
+        max(when(col("cls") === "neg", col("score"))).as("sn"))
+      .select(col("doc_id"), round(col("sp") - col("sn"), 6).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-nb-gate").toString
+    Classify.buildNbModel(train, "cls", "text", path)
+    val served = Classify.scoreBinaryFromModel(spark, path, eval,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inline.nonEmpty && served == inline,
+      s"inline ${inline.size} vs served ${served.size}")
+    // a model without the requested classes must fail fast, not score 0
+    intercept[IllegalArgumentException] {
+      Classify.scoreBinaryFromModel(spark, path, eval, "doc_id", "text",
+        posCls = "nope")
+    }
+  }
 }

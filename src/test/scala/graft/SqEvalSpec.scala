@@ -266,6 +266,35 @@ class SqEvalSpec extends AnyFunSuite {
     assert(w.size == 3) // the empty doc shifts nothing and emits nothing
   }
 
+  test("calibrationReport: hand-checked bins, ECE, extreme-score clamping") {
+    // sigmoid: s=100 -> pm=10^6 (bin 9), s=-100 -> pm=0 (bin 0),
+    // s=0 -> pm=500000 (bin 5)
+    val d = Seq((1L, true, 100.0), (2L, true, 100.0), (3L, false, -100.0),
+      (4L, true, 0.0)).toDF("id", "y", "s")
+    val got = Eval.calibrationReport(d, "y", "s", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // perfectly calibrated extremes contribute 0; bin 5 holds one
+    // positive at conf 0.5 -> |1.0 - 0.5| * (1/4) = 0.125 ECE total
+    assert(got == Map(
+      9L -> ((2L, 2L, 1.0, 1.0, 0.125)),
+      0L -> ((1L, 0L, 0.0, 0.0, 0.125)),
+      5L -> ((1L, 1L, 0.5, 1.0, 0.125))), got.toString)
+  }
+
+  test("prfSummary: hand-checked accuracy, macro-F1 and weighted F1") {
+    val conf = Seq(("a", "a", 3L), ("a", "b", 1L), ("b", "b", 1L),
+      ("b", "a", 1L)).toDF("truth", "pred", "n")
+    // cls a: tp=3, n_truth=4, n_pred=4 -> f1 = 0.75
+    // cls b: tp=1, n_truth=2, n_pred=2 -> f1 = 0.5
+    val r = Eval.prfSummary(Eval.prfReport(conf)).head()
+    assert(r.getLong(r.fieldIndex("n_classes")) == 2L)
+    assert(r.getDouble(r.fieldIndex("accuracy")) == 0.666667) // 4/6
+    assert(r.getDouble(r.fieldIndex("macro_f1")) == 0.625)
+    assert(r.getDouble(r.fieldIndex("weighted_f1")) == 0.666667) // 4/6
+  }
+
   test("token-budget temperature mix: greedy prefix fits quota per domain") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = docs.select(col("doc_id"), col("lang"),

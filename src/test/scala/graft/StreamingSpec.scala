@@ -1387,6 +1387,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toMap == batch && batch.nonEmpty, s"stream ${got.size}")
   }
 
+  test("streaming calibrated gate: admitted set == the batch gate " +
+      "(q_gate_calibrated parity)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    // q_gate_calibrated's construction: binary label en/rest, train on
+    // the even half, calibrate ON the odd eval half at recall 0.8
+    val lab = docs.withColumn("cls",
+      when(col("lang") === "en", lit("pos")).otherwise(lit("neg")))
+    val path = Files.createTempDirectory("graft-gate").toString
+    graft.text.Classify.buildNbModel(
+      lab.filter(col("doc_id") % 2 === 0), "cls", "text", path)
+    val odd = lab.filter(col("doc_id") % 2 === 1)
+    val scored = graft.text.Classify.scoreBinaryFromModel(
+        spark, path, odd, "doc_id", "text")
+      .join(odd.select(col("doc_id"), (col("lang") === "en").as("truth")),
+        "doc_id")
+    graft.text.Classify.saveGateThreshold(spark, path, scored, "truth",
+      recallTarget = 0.8)
+    val (thr, target) = graft.text.Classify.gateThreshold(spark, path)
+    assert(target == 0.8)
+    val expected = scored.filter(col("s") >= thr)
+      .collect().map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("s"))).toMap
+    assert(expected.nonEmpty && expected.size < odd.count(),
+      "gate must admit a strict non-empty subset")
+    // stream the SAME odd docs in two files
+    val dir = Files.createTempDirectory("graft-gate-in").toFile
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toFile
+    odd.filter(col("doc_id") < 250).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    odd.filter(col("doc_id") >= 250).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(odd.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map.empty[Long, Double]
+    val q = StreamVerbs.streamingCalibratedGate(Tbl(stream), "doc_id",
+        "text", path) { out =>
+        got.synchronized { out.select("doc_id", "s").collect()
+          .foreach(r => got(r.getLong(0)) = r.getDouble(1)) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.toMap == expected,
+      s"stream admitted ${got.size} vs batch ${expected.size}")
+  }
+
   test("streaming AUC monitor: each micro-batch row == batch-side AUC") {
     import spark.implicits._
     val b1 = Seq((1L, true, 3.0), (2L, true, 2.0), (3L, false, 1.0),

@@ -1048,6 +1048,21 @@ object SparkEntry2 {
           col("tok_start"), col("tok_end"), col("seq_off"))
     }),
 
+    // the shard MANIFEST the dataloader reads instead of listing files:
+    // per shard, row/token counts, the contiguous id range, and an
+    // order-free BIT_XOR content fingerprint of portable md5 leaves —
+    // two manifests diff shard-by-shard without reading data
+    "q_shard_manifest" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").df
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+          col("text"))
+      val packed = graft.ops.Scale.packByBudget(sized, Seq(col("doc_id")),
+        col("n_tok"), budget = 2000)
+      graft.ops.Scale.shardManifest(packed, "shard", "doc_id",
+        col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+    }),
+
     // the packing run's efficiency report — one row: sequence/segment
     // counts, packed tokens, cross-document boundary crossings (the
     // attention masks a collator must cut), fill rate and mean segments
@@ -1610,6 +1625,20 @@ object SparkEntry2 {
         |  CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
+    "q_shard_manifest" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
+        |  FROM s)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+        |    AS fingerprint
+        |FROM p GROUP BY 1""".stripMargin,
     "q_ewm" ->
       """WITH RECURSIVE c AS (SELECT o_custkey, o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

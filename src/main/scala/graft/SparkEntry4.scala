@@ -183,6 +183,38 @@ object SparkEntry4 {
           concat_ws(" ", col("ids")).as("ids"))
     }),
 
+    // The tokenizer ROUND TRIP: ids decode back through the vocabulary
+    // and word-end markers become spaces — decode(encode(text)) must
+    // equal the tokenizer's own normalization of text, so the oracle is
+    // computed WITHOUT touching BPE at all (the strongest kind of
+    // differential: two independent derivations of the same relation).
+    "q_detokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 8)
+      val enc = graft.ml.Dedup.trackCache(
+        graft.text.Bpe.encodeDocs(docs, "doc_id", "text", merges))
+      val ids = graft.text.Bpe.idsFromTokens(enc, "doc_id",
+        graft.text.Bpe.vocabTable(enc))
+      graft.text.Bpe.decodeIds(ids, "doc_id", graft.text.Bpe.vocabTable(enc))
+    }),
+
+    // Closed-vocabulary serving: the frequency-ranked vocabulary cut to
+    // its top 16 ids, every out-of-vocabulary token mapped to UNK id 16
+    // (rank-based cut, deterministic under the same ordering) — the
+    // fixed-size-vocab form every word-level tokenizer ships.
+    "q_token_ids_unk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 8)
+      val enc = graft.ml.Dedup.trackCache(
+        graft.text.Bpe.encodeDocs(docs, "doc_id", "text", merges))
+      val vocab16 = graft.text.Bpe.vocabTruncate(
+        graft.text.Bpe.vocabTable(enc), 16)
+      graft.text.Bpe.idsFromTokensWithUnk(enc, "doc_id", vocab16,
+          unkId = 16)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("ids")).as("ids"))
+    }),
+
     // The LAST packing step: the id-encoded corpus concatenated in
     // doc_id order and cut into fixed 64-token context windows (docs
     // cross boundaries — the GPT concat-and-chunk regime; the
@@ -771,6 +803,47 @@ object SparkEntry4 {
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN ot USING (doc_id)""".stripMargin
 
+  /** DuckDB replica of `q_detokenize` — the round-trip identity itself:
+    * decode(encode(text)) equals the tokenizer's normalization of the
+    * original text (lowercased ascii words, single spaces), so the
+    * oracle never touches BPE. */
+  private def detokenizeOracleSql: String =
+    s"""SELECT doc_id,
+       |  array_to_string(
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')), ' ') AS text
+       |FROM documents""".stripMargin
+
+  /** DuckDB replica of `q_token_ids_unk`: the q_token_ids chain with the
+    * vocabulary cut at rank 16 and OOV tokens coalesced to UNK id 16. */
+  private def tokenIdsUnkOracleSql(nMerges: Int, k: Int): String =
+    "WITH " + SparkEntry3.bpeEncodeChainSql(nMerges) + s""",
+       |d0 AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |dp AS (SELECT doc_id, ii.i AS pos, ws[ii.i + 1] AS word
+       |  FROM d0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+       |asm AS (SELECT dp.doc_id,
+       |    flatten(list(w.ts ORDER BY dp.pos)) AS toks
+       |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
+       |allt AS (SELECT unnest(toks) AS token FROM asm),
+       |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
+       |vid AS (SELECT token,
+       |    row_number() OVER (ORDER BY n DESC, token) - 1 AS tid FROM vc),
+       |di AS (SELECT doc_id, ii.i AS pos, toks[ii.i + 1] AS token
+       |  FROM asm, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
+       |ot AS (SELECT di.doc_id,
+       |    list(CAST(coalesce(v.tid, $k) AS VARCHAR) ORDER BY di.pos) AS ids,
+       |    count(*) AS n
+       |  FROM di LEFT JOIN (SELECT * FROM vid WHERE tid < $k) v
+       |    USING (token)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(ot.n, 0) AS BIGINT) AS n_tokens,
+       |  coalesce(array_to_string(ot.ids, ' '), '') AS ids
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN ot USING (doc_id)""".stripMargin
+
   /** DuckDB replica of `q_context_windows`: the q_token_ids id chain,
     * doc offsets by a cumulative window in doc_id order, and the
     * div/mod window cut. */
@@ -880,6 +953,8 @@ object SparkEntry4 {
     "q_context_spans"   -> contextSpansOracleSql(8, CW_LEN),
     "q_context_sep"     -> contextSepOracleSql(8, CW_LEN),
     "q_token_ids"       -> tokenIdsOracleSql(8),
+    "q_detokenize"      -> detokenizeOracleSql,
+    "q_token_ids_unk"   -> tokenIdsUnkOracleSql(8, 16),
     // persist + serve must be bit-identical to the inline chain — same
     // oracle VERBATIM is the claim (the q_lm_persisted discipline)
     "q_tokenizer_persisted" -> tokenIdsOracleSql(8),

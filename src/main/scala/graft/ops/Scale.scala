@@ -490,6 +490,45 @@ object Scale {
       .drop("__cum", "__start")
   }
 
+  /** Per-shard MANIFEST of a packed corpus ([[packByBudget]] output) —
+    * the artifact a training run's dataloader reads instead of listing
+    * files: one row per shard with row and token counts, the id range
+    * (shards are contiguous in pack order, so [min_id, max_id] IS the
+    * shard's key interval), and an order-free content fingerprint —
+    * BIT_XOR of per-row 60-bit md5 leaves (`fpCol`, typically
+    * [[graft.ops.Sketch.portableHash]] of the content column), exact and
+    * engine-replayable, so two manifests diff shard-by-shard without
+    * reading data (the snapshot-diff idea applied at shard granularity).
+    * One hash aggregate over the packed relation; nothing else.
+    */
+  def shardManifest(packed: DataFrame, shardCol: String, idCol: String,
+                    sizeCol: Column, fpCol: Column): DataFrame =
+    packed
+      .select(col(shardCol), col(idCol), sizeCol.as("__sz"),
+        fpCol.cast("long").as("__fp"))
+      .groupBy(shardCol)
+      .agg(count(lit(1)).as("n_rows"),
+        sum("__sz").as("n_tokens"),
+        min(idCol).as("min_id"), max(idCol).as("max_id"),
+        expr("bit_xor(__fp)").as("fingerprint"))
+
+  /** Merge [[shardManifest]] parts built over disjoint row sets into the
+    * manifest of their union — every column is a mergeable sufficient
+    * statistic (sums, min/max, XOR), so manifests maintain INCREMENTALLY:
+    * manifest(old ∪ batch) = merge(manifest(old), manifest(batch)) with
+    * no re-read of old data (ScaleSpec pins bit-equality with the
+    * one-shot build). Micro-table work: inputs are one row per shard.
+    */
+  def mergeShardManifests(parts: Seq[DataFrame],
+                          shardCol: String = "shard"): DataFrame = {
+    require(parts.nonEmpty, "need at least one manifest part")
+    parts.reduce(_.unionByName(_))
+      .groupBy(shardCol)
+      .agg(sum("n_rows").as("n_rows"), sum("n_tokens").as("n_tokens"),
+        min("min_id").as("min_id"), max("max_id").as("max_id"),
+        expr("bit_xor(fingerprint)").as("fingerprint"))
+  }
+
   /** One-row packing-efficiency report over a [[packSequences]] relation —
     * the dataloader-health numbers a packing run ships with: sequence and
     * segment counts, packed token total, boundary crossings (segments

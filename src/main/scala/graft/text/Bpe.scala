@@ -609,6 +609,64 @@ object Bpe {
       .withColumn("n_tokens", size(col("ids")).cast("long"))
   }
 
+  /** Decode id sequences back to text against a [[vocabTable]] — the
+    * tokenizer round trip a dataloader debugger and a detokenizing
+    * sampler both need: ids map through the vocabulary (one hash
+    * equi-join), each document's tokens concatenate in position order,
+    * and word-end markers ("&lt;/w&gt;") become spaces. Exact inverse of
+    * [[encodeDocs]]→[[idsFromTokens]] over the normalized token stream:
+    * decode(encode(text)) == the tokenizer's own normalization of text
+    * (lowercased ascii words joined by single spaces) — the round-trip
+    * identity IS q_detokenize's oracle, computed without touching BPE at
+    * all. NULL ids (characters unseen at train time,
+    * [[idsFromTokens]]' visible sentinel) drop out of the join — decode
+    * only what the vocabulary can name. Output: (idCol, text); id-less
+    * docs keep an empty-string row.
+    */
+  def decodeIds(ids: DataFrame, idCol: String, vocab: DataFrame): DataFrame = {
+    val ex = ids.select(col(idCol),
+      posexplode_outer(col("ids")).as(Seq("pos", "token_id")))
+    ex.join(vocab.select("token_id", "token"), Seq("token_id"))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("pos"), col("token"))).as("__ps"))
+      .select(col(idCol),
+        expr("trim(replace(array_join(transform(array_sort(__ps)," +
+          " s -> s.token), ''), '</w>', ' '))").as("text"))
+      .join(ids.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /** [[vocabTable]] truncated to the `k` most frequent tokens — the
+    * fixed-size vocabulary every production tokenizer ships (ids stay the
+    * contiguous frequency ranks 0..k−1; the cut is rank-based, so it is
+    * deterministic under the same (count desc, token asc) order).
+    */
+  def vocabTruncate(vocab: DataFrame, k: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    vocab.filter(col("token_id") < k)
+  }
+
+  /** [[idsFromTokens]] with OOV tokens mapped to a designated `unkId`
+    * instead of NULL — the closed-vocabulary serving form (pair with
+    * [[vocabTruncate]]; the GPT-2 byte-BPE never needs UNK, but every
+    * word-level and truncated vocabulary does). Position arithmetic is
+    * identical to [[idsFromTokens]]; only the missing-id policy changes,
+    * so n_tokens still counts every token.
+    */
+  def idsFromTokensWithUnk(encoded: DataFrame, idCol: String,
+                           vocab: DataFrame, unkId: Long): DataFrame = {
+    val ex = encoded.select(col(idCol),
+      posexplode_outer(col("tokens")).as(Seq("pos", "token")))
+    ex.join(vocab.select("token", "token_id"), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(collect_list(when(col("token").isNotNull,
+        struct(col("pos"),
+          coalesce(col("token_id"), lit(unkId)).as("token_id")))).as("__ps"))
+      .select(col(idCol),
+        expr("transform(array_sort(__ps), s -> s.token_id)").as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
   /** Persist a trained tokenizer as a standing artifact — `<path>/merges`
     * (the rank-ordered merge table) and `<path>/vocab` (the
     * frequency-ranked id table) — the train-once / serve-forever split

@@ -347,6 +347,30 @@ class BpeSpec extends AnyFunSuite {
     assert(ids(3L) == Seq(2L, 3L, 0L, 1L, 0L))
   }
 
+  test("decodeIds round-trips encode; truncated vocab maps OOV to UNK") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd"), (2L, ""), (3L, "cd ab"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 1)
+    val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+    val vocab = Bpe.vocabTable(enc)
+    val ids = Bpe.idsFromTokens(enc, "doc_id", vocab)
+    // round trip: decode(encode(text)) == normalized text, empty stays ''
+    val dec = Bpe.decodeIds(ids, "doc_id", vocab).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec == Map(1L -> "ab ab cd", 2L -> "", 3L -> "cd ab"))
+    // vocab </w>->0, ab->1, c->2, d->3; truncate at 2 keeps {</w>, ab},
+    // c/d become UNK id 2 — n_tokens still counts every token
+    val unk = Bpe.idsFromTokensWithUnk(enc, "doc_id",
+        Bpe.vocabTruncate(vocab, 2), unkId = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Long](r.fieldIndex("ids")).toList,
+          r.getAs[Long]("n_tokens"))).toMap
+    assert(unk(1L) == ((List(1L, 0L, 1L, 0L, 2L, 2L, 0L), 7L)))
+    assert(unk(2L) == ((Nil, 0L)))
+    assert(unk(3L) == ((List(2L, 2L, 0L, 1L, 0L), 5L)))
+  }
+
   test("sep tokenizer: vocab ids shift consistently by one, meta records " +
       "the reserved id, windows carry boundary seps and doc spans") {
     import spark.implicits._

@@ -397,6 +397,30 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
+  test("shardManifest: mergeable sufficient statistics — split parts " +
+      "merge to the one-shot manifest bit-exactly") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+        col("text"))
+    val packed = graft.ml.Dedup.trackCache(Scale.packByBudget(docs,
+      Seq(col("doc_id")), col("n_tok"), budget = 2000))
+    def mf(df: org.apache.spark.sql.DataFrame) =
+      Scale.shardManifest(df, "shard", "doc_id", col("n_tok"),
+        graft.ops.Sketch.portableHash(col("text")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val whole = rows(mf(packed))
+    assert(whole.nonEmpty)
+    val merged = rows(Scale.mergeShardManifests(Seq(
+      mf(packed.filter(col("doc_id") % 2 === 0)),
+      mf(packed.filter(col("doc_id") % 2 === 1)))))
+    assert(merged == whole, "merged part-manifests diverge from one-shot")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("interleaveWeighted: stride mix, weight-2 source appears ~2x as often") {
     import spark.implicits._
     val a = (1L to 100L).map(i => (i, "x")).toDF("id", "p")

@@ -220,6 +220,15 @@ object SparkEntry4 {
     // cross boundaries — the GPT concat-and-chunk regime; the
     // boundary-respecting greedy form is q_pack_sequences). Offsets are
     // one two-phase prefix sum; every id lands by integer div/mod.
+    // Round-13 red-row post-mortem: the oracle's window_id descended
+    // from a windowed SUM, which DuckDB widens to HUGEINT (pandas
+    // float64) while Spark dumps int64 — values equal, dtypes not, so
+    // the driver's dtype-strict hasher failed where the then-lenient
+    // local checker (Python ==) passed. Fixed by CASTing window_id to
+    // BIGINT in the oracle and teaching tools_oracle_check.py to flag
+    // int-vs-float drift; ScaleSpec additionally pins the whole
+    // train->encode->ids->cut chain bit-invariant across 2/4/32 shuffle
+    // partitions.
     "q_context_windows" -> ((s, dir) => {
       val docs = t(s, dir, "documents").df
       val merges = graft.text.Bpe.train(docs, "text", nMerges = 8)
@@ -388,6 +397,36 @@ object SparkEntry4 {
         .join(docs.select(col("doc_id"), col("lang").as("truth")), "doc_id")
         .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
       Eval.prfSummary(Eval.prfReport(conf))
+    }),
+
+    // The corpus DATASHEET (Gebru et al. 2021) — the one-row composition
+    // card a dataset release ships with: document/token totals, language
+    // and source cardinalities, the dominant language and its share,
+    // exact-duplicate rate in integer basis points (the dup_bp
+    // discipline), mean tokens per document. Two aggregates + a 1-row
+    // top-language reduce (min over (−count, lang) structs — count desc,
+    // lang asc, no window); everything exact until two divisions.
+    "q_data_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.text.TextFns.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(md5(regexp_replace(trim(lower(col("text"))),
+          "\\s+", " "))).as("__n_distinct"))
+      val top = docs.groupBy("lang").agg(count(lit(1)).as("__c"))
+        .agg(min(struct((-col("__c")).as("nc"), col("lang"))).as("__t"))
+        .select(col("__t.lang").as("top_lang"),
+          (-col("__t.nc")).as("__top_n"))
+      base.crossJoin(broadcast(top))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_sources"), col("top_lang"),
+          round(col("__top_n") / col("n_docs"), 6).as("top_lang_share"),
+          expr("(10000 * (n_docs - __n_distinct)) div n_docs")
+            .as("dup_bp"),
+          round(col("n_tokens") / col("n_docs"), 6).as("mean_tokens"))
     }),
 
     // Temperature mixing in TOKEN units (the budget mixing recipes are
@@ -964,6 +1003,25 @@ object SparkEntry4 {
     "q_gate_calibrated" -> gateCalibratedOracleSql,
     "q_gate_calibration" -> gateCalibrationOracleSql(10),
     "q_nb_summary"      -> nbSummaryOracleSql("doc_id % 2 = 0"),
+    "q_data_card" ->
+      """WITH b AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT md5(regexp_replace(trim(lower(text)),
+        |      '\s+', ' ', 'g'))) AS n_distinct
+        |  FROM documents),
+        |t AS (SELECT lang AS top_lang, count(*) AS top_n
+        |  FROM documents GROUP BY 1
+        |  ORDER BY count(*) DESC, lang LIMIT 1)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |  CAST(n_langs AS BIGINT) AS n_langs,
+        |  CAST(n_sources AS BIGINT) AS n_sources,
+        |  top_lang, round(top_n / n_docs, 6) AS top_lang_share,
+        |  CAST(10000 * (n_docs - n_distinct) // n_docs AS BIGINT) AS dup_bp,
+        |  round(n_tokens / n_docs, 6) AS mean_tokens
+        |FROM b, t""".stripMargin,
     "q_sq8_topk"      -> sq8TopKOracleSql(SQ_K),
     // persist + probe must be bit-identical to the inline pipeline —
     // same oracle VERBATIM is the claim (the q_lm_persisted discipline)

@@ -905,6 +905,76 @@ object Scale {
           "s.start AS start, s.len AS len))").as("spans"))
   }
 
+  /** ONE INGEST STEP of concat-and-chunk packing against standing carry
+    * state — [[contextWindows]] running incrementally, so the LAST
+    * packing step can run on ingest instead of as a terminal batch job:
+    * the arriving docs' id arrays are appended to the carried partial
+    * window (`<statePath>/remainder`: the per-document tail segments of
+    * the stream's uncut suffix, < windowLen tokens total;
+    * `<statePath>/meta`: the next global window id), FULL windows are
+    * returned with GLOBAL window ids (same (window_id, n_filled, n_docs,
+    * ids, spans) shape as [[contextWindows]]), and the new partial
+    * becomes the new remainder. Bit-parity claim (StreamingSpec):
+    * feeding batches in order emits exactly the full-window prefix of
+    * the one-shot [[contextWindows]] over the concatenated corpus, and
+    * the remainder equals the final partial window.
+    *
+    * Contract: `idCol` values must be unique and ARRIVE IN ASCENDING
+    * ORDER across batches (file-ordered ingest) — the stream position of
+    * a document is its id rank, exactly [[contextWindows]]' `orderCol`
+    * rule. State is tiny by construction (the remainder is < windowLen
+    * tokens), so it is a driver read + fresh overwrite per batch — the
+    * read is materialized BEFORE the write, and the returned plan
+    * depends only on the batch and a driver-local literal relation,
+    * never on the overwritten files. Per-batch work = one
+    * [[contextWindows]] over (remainder ∪ batch).
+    */
+  def contextWindowsIngest(spark: org.apache.spark.sql.SparkSession,
+                           statePath: String, batch: DataFrame,
+                           idCol: String, idsCol: String,
+                           windowLen: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$statePath/meta"))
+    val base: Long = if (hasState)
+      spark.read.parquet(s"$statePath/meta").head().getLong(0) else 0L
+    val rem: Seq[org.apache.spark.sql.Row] = if (hasState)
+      spark.read.parquet(s"$statePath/remainder").collect().toSeq
+      else Seq.empty
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(idsCol,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
+    val remDf = spark.createDataFrame(rem.asJava, schema)
+    val all = remDf.unionByName(
+      batch.select(col(idCol).cast("long"), col(idsCol)))
+    val w = graft.ml.Dedup.trackCache(
+      contextWindows(all, idCol, idsCol, windowLen))
+    val nFull = w.filter(col("n_filled") === windowLen).count()
+    // the new remainder: the (single, trailing) partial window sliced
+    // back into per-document tail segments via its own spans
+    val partial = w.filter(col("n_filled") < windowLen)
+      .select(explode(col("spans")).as("sp"), col("ids"))
+      .select(col("sp.doc_id").as(idCol),
+        expr("slice(ids, sp.start + 1, sp.len)").as(idsCol))
+      .collect().toSeq
+    // full windows: computed from remDf (driver-local) + batch, so the
+    // state overwrite below cannot invalidate the returned plan
+    val full = w.filter(col("n_filled") === windowLen)
+      .select((col("window_id") + base).as("window_id"), col("n_filled"),
+        col("n_docs"), col("ids"), col("spans"))
+    spark.createDataFrame(partial.asJava, schema)
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$statePath/remainder")
+    spark.range(1).select(lit(base + nFull).as("next_window_id"))
+      .write.mode("overwrite").parquet(s"$statePath/meta")
+    full
+  }
+
   /** Morton (Z-order) key: interleave the low `bits` bits of each column —
     * bit j of column i lands at output bit j·n + i. Inputs must already be
     * nonnegative longs < 2^bits (see [[zorderQuantize]]); n·bits ≤ 63. The

@@ -811,6 +811,28 @@ object StreamVerbs {
         batch, idCol, textCol))
     }
 
+  /** Ingest-time concat-and-chunk packing — the LAST packing step
+    * running on the stream instead of as a terminal batch job: each
+    * micro-batch's id arrays run through
+    * [[graft.ops.Scale.contextWindowsIngest]] against the standing carry
+    * state (the < windowLen-token partial window rides
+    * `<statePath>/remainder`; window ids stay globally consecutive via
+    * `<statePath>/meta`), and the sink receives the batch's FULL windows
+    * with global ids. Micro-batches run serially, so the carry is
+    * race-free; documents must arrive in ascending `idCol` order across
+    * batches (file-ordered ingest — [[contextWindows]]' orderCol rule).
+    * StreamingSpec pins stream == the one-shot batch cut's full-window
+    * prefix, remainder == its final partial.
+    */
+  def streamingContextWindows(t: Tbl, idCol: String, idsCol: String,
+                              windowLen: Int, statePath: String)
+                             (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ops.Scale.contextWindowsIngest(batch.sparkSession,
+        statePath, batch, idCol, idsCol, windowLen))
+    }
+
   /** Ingest-time CALIBRATED quality gate — the FineWeb classifier loop
     * on a stream (q_gate_calibrated's serving twin): each micro-batch
     * scores its documents' binary log-odds against the FROZEN NB model

@@ -1387,6 +1387,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toMap == batch && batch.nonEmpty, s"stream ${got.size}")
   }
 
+  test("streaming context windows: full-window prefix == one-shot batch " +
+      "cut, remainder == its final partial") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        expr("transform(filter(split(trim(lower(text)), '\\\\s+')," +
+          " w -> w rlike '^[a-z]+$'), w -> CAST(length(w) AS LONG))")
+          .as("ids"))
+    val L = 64
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getLong(2),
+        r.getSeq[Long](r.fieldIndex("ids")).toList)
+    // one-shot truth over the whole corpus
+    val whole = graft.ops.Scale.contextWindows(docs, "doc_id", "ids", L)
+      .collect().map(key).toMap
+    val fullTruth = whole.filter(_._2._1 == L)
+    val partialTruth = whole.filter(_._2._1 < L)
+    assert(fullTruth.nonEmpty && partialTruth.size == 1)
+    // stream the same docs in three id-ordered files
+    val dir = Files.createTempDirectory("graft-cwing-in").toFile
+    val ckpt = Files.createTempDirectory("graft-cwing-ckpt").toFile
+    val state = Files.createTempDirectory("graft-cwing-state").toString
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 300L), (300L, 10000L)))
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, List[Long])]
+    val q = StreamVerbs.streamingContextWindows(Tbl(stream), "doc_id",
+        "ids", L, state) { out =>
+        got.synchronized { out.collect().foreach(r => got += key(r)) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.toMap == fullTruth,
+      s"stream emitted ${got.size} full windows vs batch ${fullTruth.size}")
+    // carried remainder == the batch cut's final partial window ids
+    val rem = spark.read.parquet(s"$state/remainder")
+      .orderBy("doc_id").collect()
+      .flatMap(r => r.getSeq[Long](1)).toList
+    assert(rem == partialTruth.head._2._3, "remainder diverged")
+    val nextId = spark.read.parquet(s"$state/meta").head().getLong(0)
+    assert(nextId == fullTruth.size.toLong, "window-id counter diverged")
+  }
+
   test("streaming calibrated gate: admitted set == the batch gate " +
       "(q_gate_calibrated parity)") {
     val docs = spark.read

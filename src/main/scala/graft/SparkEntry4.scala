@@ -399,6 +399,23 @@ object SparkEntry4 {
       Eval.prfSummary(Eval.prfReport(conf))
     }),
 
+    // T5 span corruption (Raffel et al. 2020 §3.1.4) — the denoising
+    // seq2seq pair generator: deterministic hash-Bernoulli token
+    // selection (portable md5 leaf mod 100 < 15), adjacent picks merge
+    // into spans, input gets one sentinel per span, target lists each
+    // sentinel + its hidden tokens + the final sentinel. Reproducible
+    // noise by construction — the corruption replays bitwise in the
+    // oracle. Ids here are word lengths (the op is about positions and
+    // runs, not id semantics; the BPE id chain is exercised elsewhere).
+    "q_span_corruption" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val ids = docs.select(col("doc_id"),
+        transform(graft.text.TextFns.tokens(col("text")),
+          w => length(w).cast("long")).as("ids"))
+      Scale.spanCorruptionPairs(ids, "doc_id", "ids", noisePct = 15,
+        sentinelBase = 1000L)
+    }),
+
     // The corpus DATASHEET (Gebru et al. 2021) — the one-row composition
     // card a dataset release ships with: document/token totals, language
     // and source cardinalities, the dominant language and its share,
@@ -1003,6 +1020,44 @@ object SparkEntry4 {
     "q_gate_calibrated" -> gateCalibratedOracleSql,
     "q_gate_calibration" -> gateCalibrationOracleSql(10),
     "q_nb_summary"      -> nbSummaryOracleSql("doc_id % 2 = 0"),
+    "q_span_corruption" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      w -> regexp_matches(w, '^[a-z]+$')) AS ws
+        |  FROM documents),
+        |dp AS (SELECT doc_id, ii.i AS pos,
+        |    CAST(length(ws[ii.i + 1]) AS BIGINT) AS tid
+        |  FROM d0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+        |m AS (SELECT doc_id, pos, tid,
+        |    (CAST(('0x' || substr(md5(doc_id || '|' || pos), 1, 15))
+        |      AS BIGINT) % 100) < 15 AS mk
+        |  FROM dp),
+        |r AS (SELECT *, mk AND NOT coalesce(
+        |    lag(mk) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS rs
+        |  FROM m),
+        |r2 AS (SELECT *, sum(CASE WHEN rs THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS rid
+        |  FROM r),
+        |per AS (SELECT doc_id,
+        |    sum(CASE WHEN mk THEN 1 ELSE 0 END) AS n_masked,
+        |    coalesce(max(rid), -1) + 1 AS n_runs,
+        |    flatten(list(CASE WHEN NOT mk THEN [tid]
+        |      WHEN rs THEN [1000 + rid]
+        |      ELSE CAST([] AS BIGINT[]) END ORDER BY pos)) AS input,
+        |    flatten(list(CASE WHEN rs THEN [1000 + rid, tid]
+        |      WHEN mk THEN [tid]
+        |      ELSE CAST([] AS BIGINT[]) END ORDER BY pos)) AS target
+        |  FROM r2 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_masked, 0) AS BIGINT) AS n_masked,
+        |  CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+        |  coalesce(array_to_string(p.input, ' '), '') AS input_ids,
+        |  array_to_string(list_append(coalesce(p.target,
+        |    CAST([] AS BIGINT[])), 1000 + coalesce(p.n_runs, 0)), ' ')
+        |    AS target_ids
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN per p USING (doc_id)""".stripMargin,
     "q_data_card" ->
       """WITH b AS (SELECT count(*) AS n_docs,
         |    CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))

@@ -975,6 +975,73 @@ object Scale {
     full
   }
 
+  /** T5-style SPAN-CORRUPTION pairs (Raffel et al. 2020 §3.1.4; the
+    * UL2/denoising pretraining objective's data-prep step): each
+    * document's id sequence is split into (input, target) — masked spans
+    * are replaced in the INPUT by one sentinel id each
+    * (sentinelBase + run index, position order), and the TARGET lists
+    * each sentinel followed by the tokens it hid, closed by the final
+    * sentinel (sentinelBase + n_runs) — the seq2seq denoising pair
+    * exactly as T5 feeds it. Token selection is a DETERMINISTIC
+    * hash-derived Bernoulli (portable md5 leaf of (doc, position) mod
+    * 100 < noisePct), so the corruption replays bitwise in the oracle
+    * and across runs/partitionings — reproducible noise is a feature,
+    * not a simplification (rerunning the pipeline yields the same
+    * pairs); adjacent selected tokens merge into one span, as in T5.
+    *
+    * Shapes at 100 TB: the token-level explode is the job's output
+    * scale; run bookkeeping is two per-document window functions over
+    * (doc, pos) rows — partitioned BY DOCUMENT (bounded by doc length,
+    * hash-distributed, no global window); reassembly is one hash
+    * aggregate per side with per-doc state. Output: (idCol, n_masked,
+    * n_runs, input_ids, target_ids) — id-less docs keep a row (empty
+    * input, the bare final sentinel as target).
+    */
+  def spanCorruptionPairs(ids: DataFrame, idCol: String, idsCol: String,
+                          noisePct: Int = 15,
+                          sentinelBase: Long = 1000L): DataFrame = {
+    require(noisePct > 0 && noisePct < 100, "noisePct must be in (0, 100)")
+    import org.apache.spark.sql.expressions.Window
+    val ex = ids.select(col(idCol),
+      posexplode(col(idsCol)).as(Seq("pos", "tid")))
+    val mask = pmod(graft.ops.Sketch.portableHash(
+      concat(col(idCol).cast("string"), lit("|"),
+        col("pos").cast("string"))), lit(100L)) < noisePct
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val run = ex.withColumn("m", mask)
+      .withColumn("rs",
+        col("m") && !coalesce(lag("m", 1).over(w), lit(false)))
+      .withColumn("rid",
+        sum(when(col("rs"), 1L).otherwise(0L)).over(w) - 1L)
+    val s = lit(sentinelBase)
+    val inTok = when(!col("m"), array(col("tid")))
+      .when(col("rs"), array(s + col("rid")))
+      .otherwise(array().cast("array<long>"))
+    val tgTok = when(col("rs"), array(s + col("rid"), col("tid")))
+      .when(col("m"), array(col("tid")))
+      .otherwise(array().cast("array<long>"))
+    val per = run.withColumn("__in", inTok).withColumn("__tg", tgTok)
+      .groupBy(idCol).agg(
+      sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+      (coalesce(max(col("rid")), lit(-1L)) + 1L).as("n_runs"),
+      expr("flatten(transform(array_sort(collect_list(" +
+        "struct(pos, __in))), x -> x.__in))").as("__input"),
+      expr("flatten(transform(array_sort(collect_list(" +
+        "struct(pos, __tg))), x -> x.__tg))").as("__target"))
+    ids.select(col(idCol))
+      .join(per.withColumnRenamed(idCol, "__jid"),
+        col(idCol) === col("__jid"), "left")
+      .select(col(idCol),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("__input"), array().cast("array<long>")).as("__input"),
+        concat(coalesce(col("__target"), array().cast("array<long>")),
+          array(s + coalesce(col("n_runs"), lit(0L)))).as("__target"))
+      .select(col(idCol), col("n_masked"), col("n_runs"),
+        concat_ws(" ", col("__input")).as("input_ids"),
+        concat_ws(" ", col("__target")).as("target_ids"))
+  }
+
   /** Morton (Z-order) key: interleave the low `bits` bits of each column —
     * bit j of column i lands at output bit j·n + i. Inputs must already be
     * nonnegative longs < 2^bits (see [[zorderQuantize]]); n·bits ≤ 63. The

@@ -416,6 +416,21 @@ object SparkEntry4 {
         sentinelBase = 1000L)
     }),
 
+    // BERT masked-LM pairs (Devlin et al. 2019 §3.1) — the 80/10/10
+    // mask/random/keep recipe with labels at selected positions and the
+    // -100 ignore convention elsewhere. Every draw is a deterministic
+    // (doc, position, salt) hash integer, and the op is MAP-ONLY (two
+    // per-doc transforms with the element index — no explode, no
+    // shuffle, no window). maskId 99, vocabSize 30 over word-length ids.
+    "q_mlm_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val ids = docs.select(col("doc_id"),
+        transform(graft.text.TextFns.tokens(col("text")),
+          w => length(w).cast("long")).as("ids"))
+      Scale.mlmPairs(ids, "doc_id", "ids", noisePct = 15, maskId = 99L,
+        vocabSize = 30L)
+    }),
+
     // The corpus DATASHEET (Gebru et al. 2021) — the one-row composition
     // card a dataset release ships with: document/token totals, language
     // and source cardinalities, the dominant language and its share,
@@ -1020,6 +1035,38 @@ object SparkEntry4 {
     "q_gate_calibrated" -> gateCalibratedOracleSql,
     "q_gate_calibration" -> gateCalibrationOracleSql(10),
     "q_nb_summary"      -> nbSummaryOracleSql("doc_id % 2 = 0"),
+    "q_mlm_pairs" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      w -> regexp_matches(w, '^[a-z]+$')) AS ws
+        |  FROM documents),
+        |dp AS (SELECT doc_id, ii.i AS pos,
+        |    CAST(length(ws[ii.i + 1]) AS BIGINT) AS tid
+        |  FROM d0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+        |x AS (SELECT doc_id, pos, tid,
+        |    (CAST(('0x' || substr(md5(doc_id || '|' || pos || '|m'), 1, 15))
+        |      AS BIGINT) % 100) < 15 AS sel,
+        |    CAST(('0x' || substr(md5(doc_id || '|' || pos || '|r'), 1, 15))
+        |      AS BIGINT) % 100 AS r,
+        |    CAST(('0x' || substr(md5(doc_id || '|' || pos || '|v'), 1, 15))
+        |      AS BIGINT) % 30 AS v
+        |  FROM dp),
+        |y AS (SELECT doc_id, pos,
+        |    CASE WHEN NOT sel THEN tid WHEN r < 80 THEN 99
+        |      WHEN r < 90 THEN v ELSE tid END AS inp,
+        |    CASE WHEN sel THEN tid ELSE -100 END AS lab,
+        |    CASE WHEN sel THEN 1 ELSE 0 END AS ms
+        |  FROM x),
+        |per AS (SELECT doc_id, sum(ms) AS n_masked,
+        |    array_to_string(list(CAST(inp AS VARCHAR) ORDER BY pos), ' ')
+        |      AS input_ids,
+        |    array_to_string(list(CAST(lab AS VARCHAR) ORDER BY pos), ' ')
+        |      AS labels
+        |  FROM y GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(n_masked, 0) AS BIGINT) AS n_masked,
+        |  coalesce(input_ids, '') AS input_ids, coalesce(labels, '') AS labels
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN per USING (doc_id)""".stripMargin,
     "q_span_corruption" ->
       """WITH d0 AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -1042,6 +1042,46 @@ object Scale {
         concat_ws(" ", col("__target")).as("target_ids"))
   }
 
+  /** BERT-style MASKED-LM pairs (Devlin et al. 2019 §3.1): each token is
+    * selected with probability `noisePct`/100; a selected token becomes
+    * `maskId` 80% of the time, a random vocabulary id 10%, and stays
+    * itself 10% — labels carry the ORIGINAL id at selected positions and
+    * `ignoreLabel` (the −100 convention) elsewhere. Every draw is a
+    * DETERMINISTIC hash-derived integer (portable md5 leaves of
+    * (doc, position, salt) — 'm' selects, 'r' picks the 80/10/10 branch,
+    * 'v' picks the random id), so the corruption replays bitwise in the
+    * oracle and across runs.
+    *
+    * Shapes at 100 TB: MAP-ONLY — both output arrays are per-document
+    * `transform`s with the element index, no explode, no shuffle, no
+    * window; the whole op rides whatever scan feeds it. Output:
+    * (idCol, n_masked, input_ids, labels).
+    */
+  def mlmPairs(ids: DataFrame, idCol: String, idsCol: String,
+               noisePct: Int = 15, maskId: Long, vocabSize: Long,
+               ignoreLabel: Long = -100L): DataFrame = {
+    require(noisePct > 0 && noisePct < 100, "noisePct must be in (0, 100)")
+    require(vocabSize > 0, "vocabSize must be positive")
+    def leaf(i: Column, salt: String): Column =
+      graft.ops.Sketch.portableHash(concat(col(idCol).cast("string"),
+        lit("|"), i.cast("string"), lit("|" + salt)))
+    def sel(i: Column): Column = pmod(leaf(i, "m"), lit(100L)) < noisePct
+    val input = transform(col(idsCol), (t, i) =>
+      when(!sel(i), t).otherwise({
+        val r = pmod(leaf(i, "r"), lit(100L))
+        when(r < 80, lit(maskId))
+          .when(r < 90, pmod(leaf(i, "v"), lit(vocabSize)))
+          .otherwise(t)
+      }))
+    val labels = transform(col(idsCol), (t, i) =>
+      when(sel(i), t).otherwise(lit(ignoreLabel)))
+    ids.select(col(idCol),
+      size(filter(transform(col(idsCol), (_, i) => sel(i)),
+        x => x)).cast("long").as("n_masked"),
+      concat_ws(" ", input).as("input_ids"),
+      concat_ws(" ", labels).as("labels"))
+  }
+
   /** Morton (Z-order) key: interleave the low `bits` bits of each column —
     * bit j of column i lands at output bit j·n + i. Inputs must already be
     * nonnegative longs < 2^bits (see [[zorderQuantize]]); n·bits ≤ 63. The

@@ -833,6 +833,22 @@ object StreamVerbs {
         statePath, batch, idCol, idsCol, windowLen))
     }
 
+  /** Span corruption on the stream — [[graft.ops.Scale.spanCorruptionPairs]]
+    * per micro-batch: the op is per-document and its noise is
+    * hash-derived from (doc, position) alone, so stream == batch with no
+    * state at all (StreamingSpec pins it). The objective-prep step rides
+    * ingest like tokenization does.
+    */
+  def streamingSpanCorruption(t: Tbl, idCol: String, idsCol: String,
+                              noisePct: Int = 15,
+                              sentinelBase: Long = 1000L)
+                             (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ops.Scale.spanCorruptionPairs(batch, idCol, idsCol,
+        noisePct, sentinelBase))
+    }
+
   /** Ingest-time CALIBRATED quality gate — the FineWeb classifier loop
     * on a stream (q_gate_calibrated's serving twin): each micro-batch
     * scores its documents' binary log-odds against the FROZEN NB model

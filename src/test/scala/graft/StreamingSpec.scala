@@ -1387,6 +1387,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toMap == batch && batch.nonEmpty, s"stream ${got.size}")
   }
 
+  test("streaming span corruption == batch (stateless hash noise)") {
+    val ids = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        expr("transform(filter(split(trim(lower(text)), '\\\\s+')," +
+          " w -> w rlike '^[a-z]+$'), w -> CAST(length(w) AS LONG))")
+          .as("ids"))
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))
+    val batch = graft.ops.Scale.spanCorruptionPairs(ids, "doc_id", "ids")
+      .collect().map(key).toMap
+    assert(batch.nonEmpty && batch.exists(_._2._1 > 0))
+    val dir = Files.createTempDirectory("graft-spc-in").toFile
+    val ckpt = Files.createTempDirectory("graft-spc-ckpt").toFile
+    ids.filter(col("doc_id") < 250).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    ids.filter(col("doc_id") >= 250).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(ids.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, String, String)]
+    val q = StreamVerbs.streamingSpanCorruption(Tbl(stream), "doc_id",
+        "ids") { out =>
+        got.synchronized { out.collect().foreach(r => got += key(r)) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.toMap == batch, s"stream ${got.size} vs batch ${batch.size}")
+  }
+
   test("streaming context windows: full-window prefix == one-shot batch " +
       "cut, remainder == its final partial") {
     val docs = spark.read

@@ -431,6 +431,23 @@ object SparkEntry4 {
         vocabSize = 30L)
     }),
 
+    // Length-grouped dynamic batching — 4 equal-depth length buckets,
+    // greedy 2048-token batches within each, and the per-batch padding
+    // report (max_len·n_docs − Σlen: what padding-to-max wastes). Exact
+    // integers end to end; the global rank and per-bucket prefix sum are
+    // the two-phase passes, never a global window over docs.
+    "q_length_batches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      Scale.lengthGroupedBatches(docs, "doc_id",
+          graft.text.TextFns.tokenCount(col("text")), nBuckets = 4,
+          batchBudget = 2048L)
+        .groupBy("bucket", "batch")
+        .agg(count(lit(1)).as("n_docs"), max("len").as("max_len"),
+          sum("len").as("sum_len"))
+        .withColumn("padding",
+          col("max_len") * col("n_docs") - col("sum_len"))
+    }),
+
     // The corpus DATASHEET (Gebru et al. 2021) — the one-row composition
     // card a dataset release ships with: document/token totals, language
     // and source cardinalities, the dominant language and its share,
@@ -1035,6 +1052,29 @@ object SparkEntry4 {
     "q_gate_calibrated" -> gateCalibratedOracleSql,
     "q_gate_calibration" -> gateCalibrationOracleSql(10),
     "q_nb_summary"      -> nbSummaryOracleSql("doc_id % 2 = 0"),
+    "q_length_batches" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS len
+        |  FROM documents),
+        |r AS (SELECT doc_id, len,
+        |    row_number() OVER (ORDER BY len, doc_id) AS rk,
+        |    (SELECT count(*) FROM s) AS n
+        |  FROM s),
+        |b AS (SELECT doc_id, len, ((rk - 1) * 4) // n AS bucket FROM r),
+        |c AS (SELECT doc_id, len, bucket,
+        |    sum(len) OVER (PARTITION BY bucket ORDER BY len, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b),
+        |a AS (SELECT doc_id, len, bucket, (cum - len) // 2048 AS batch
+        |  FROM c)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(batch AS BIGINT) AS batch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(len) AS BIGINT) AS max_len,
+        |  CAST(sum(len) AS BIGINT) AS sum_len,
+        |  CAST(max(len) * count(*) - sum(len) AS BIGINT) AS padding
+        |FROM a GROUP BY 1, 2""".stripMargin,
     "q_mlm_pairs" ->
       """WITH d0 AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

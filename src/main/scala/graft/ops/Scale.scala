@@ -975,6 +975,41 @@ object Scale {
     full
   }
 
+  /** LENGTH-GROUPED batching (the padding-minimizing dynamic batcher —
+    * HuggingFace's `group_by_length` / the bucketed-batching idea of
+    * sequence-to-sequence training): documents land in `nBuckets`
+    * equal-depth LENGTH buckets (global rank over (length, id) — the
+    * two-phase ordinal, no global window), and each bucket packs
+    * greedily into batches of ≤ `batchBudget` total tokens in length
+    * order. Batching similar lengths together is what shrinks padding:
+    * a batch pads every member to its max length, so the waste
+    * max·n − Σlen collapses when lengths are close (ScaleSpec pins
+    * bucketed waste < unbucketed waste on the skewed corpus). Output:
+    * one row per document — (idCol, len, bucket, batch) with `batch`
+    * numbered within its bucket; aggregate (bucket, batch) for the
+    * padding report (exact integers end to end, q_length_batches).
+    *
+    * Scale shapes: one global rank + one per-bucket prefix sum, both
+    * range-partitioned two-phase passes; the count rides as a broadcast
+    * 1-row total. A row longer than `batchBudget` still lands in a batch
+    * (the packByBudget straddler rule).
+    */
+  def lengthGroupedBatches(df: DataFrame, idCol: String, sizeCol: Column,
+                           nBuckets: Int, batchBudget: Long): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(batchBudget > 0, "batchBudget must be positive")
+    val sized = df.select(col(idCol), sizeCol.cast("long").as("len"))
+    val ranked = globalRowNumber(sized, Seq(col("len"), col(idCol)), "__rk")
+    val tot = sized.agg(count(lit(1)).as("__n"))
+    val bucketed = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"((__rk - 1) * $nBuckets) div __n"))
+      .drop("__rk", "__n")
+    groupedCumSum(bucketed, Seq("bucket"), Seq(col("len"), col(idCol)),
+        col("len"), "__cum")
+      .withColumn("batch", expr(s"(__cum - len) div $batchBudget"))
+      .select(col(idCol), col("len"), col("bucket"), col("batch"))
+  }
+
   /** T5-style SPAN-CORRUPTION pairs (Raffel et al. 2020 §3.1.4; the
     * UL2/denoising pretraining objective's data-prep step): each
     * document's id sequence is split into (input, target) — masked spans

@@ -397,6 +397,63 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
+  test("contextWindowsIngest: manual batches (incl. an empty one) emit " +
+      "the one-shot cut's full-window prefix; carry state survives") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        expr("transform(filter(split(trim(lower(text)), '\\\\s+')," +
+          " w -> w rlike '^[a-z]+$'), w -> CAST(length(w) AS LONG))")
+          .as("ids"))
+    val L = 64
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getLong(2),
+        r.getSeq[Long](r.fieldIndex("ids")).toList)
+    val whole = Scale.contextWindows(docs, "doc_id", "ids", L)
+      .collect().map(key).toMap
+    val fullTruth = whole.filter(_._2._1 == L)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-cwi-state").toString
+    val got = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, List[Long])]
+    val slices = Seq(
+      docs.filter(col("doc_id") < 100),
+      docs.filter(lit(false)), // an EMPTY batch must not disturb carry
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400))
+    for (b <- slices)
+      Scale.contextWindowsIngest(spark, state, b, "doc_id", "ids", L)
+        .collect().foreach(r => got += key(r))
+    assert(got.toMap == fullTruth,
+      s"ingest emitted ${got.size} vs one-shot ${fullTruth.size}")
+    val rem = spark.read.parquet(s"$state/remainder")
+      .orderBy("doc_id").collect().flatMap(r => r.getSeq[Long](1)).toList
+    assert(rem == whole.filter(_._2._1 < L).head._2._3)
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("lengthGroupedBatches: budget respected up to one straddler; " +
+      "bucketing strictly shrinks padding on the skewed corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def padding(buckets: Int): Long =
+      Scale.lengthGroupedBatches(docs, "doc_id",
+          graft.text.TextFns.tokenCount(col("text")), buckets, 2048L)
+        .groupBy("bucket", "batch")
+        .agg(count(lit(1)).as("n"), max("len").as("mx"),
+          sum("len").as("sm"))
+        .agg(sum(col("mx") * col("n") - col("sm"))).head().getLong(0)
+    val p1 = padding(1); val p4 = padding(4)
+    assert(p4 < p1, s"bucketed padding $p4 !< unbucketed $p1")
+    // budget: each (bucket, batch)'s pre-straddler total stays under it
+    val a = Scale.lengthGroupedBatches(docs, "doc_id",
+      graft.text.TextFns.tokenCount(col("text")), 4, 2048L)
+    val bad = a.groupBy("bucket", "batch")
+      .agg(sum("len").as("sm"), max("len").as("mx"))
+      .filter(col("sm") - col("mx") >= 2048L).count()
+    assert(bad == 0, s"$bad batches exceed the budget before their straddler")
+  }
+
   test("shardManifest: mergeable sufficient statistics — split parts " +
       "merge to the one-shot manifest bit-exactly") {
     val docs = spark.read

@@ -849,6 +849,20 @@ object StreamVerbs {
         noisePct, sentinelBase))
     }
 
+  /** Masked-LM pairs on the stream — [[graft.ops.Scale.mlmPairs]] per
+    * micro-batch: map-only and hash-deterministic per (doc, position),
+    * so stream == batch with no state (StreamingSpec pins it alongside
+    * the span-corruption sibling).
+    */
+  def streamingMlmPairs(t: Tbl, idCol: String, idsCol: String,
+                        noisePct: Int = 15, maskId: Long, vocabSize: Long)
+                       (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ops.Scale.mlmPairs(batch, idCol, idsCol, noisePct,
+        maskId, vocabSize))
+    }
+
   /** Ingest-time CALIBRATED quality gate — the FineWeb classifier loop
     * on a stream (q_gate_calibrated's serving twin): each micro-batch
     * scores its documents' binary log-odds against the FROZEN NB model

@@ -1419,6 +1419,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toMap == batch, s"stream ${got.size} vs batch ${batch.size}")
   }
 
+  test("streaming MLM pairs == batch (stateless hash noise)") {
+    val ids = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        expr("transform(filter(split(trim(lower(text)), '\\\\s+')," +
+          " w -> w rlike '^[a-z]+$'), w -> CAST(length(w) AS LONG))")
+          .as("ids"))
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getString(2), r.getString(3))
+    val batch = graft.ops.Scale.mlmPairs(ids, "doc_id", "ids",
+        maskId = 99L, vocabSize = 30L)
+      .collect().map(key).toMap
+    assert(batch.nonEmpty && batch.exists(_._2._1 > 0))
+    val dir = Files.createTempDirectory("graft-mlm-in").toFile
+    val ckpt = Files.createTempDirectory("graft-mlm-ckpt").toFile
+    ids.filter(col("doc_id") < 100).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    ids.filter(col("doc_id") >= 100).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(ids.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map
+      .empty[Long, (Long, String, String)]
+    val q = StreamVerbs.streamingMlmPairs(Tbl(stream), "doc_id", "ids",
+        maskId = 99L, vocabSize = 30L) { out =>
+        got.synchronized { out.collect().foreach(r => got += key(r)) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.toMap == batch, s"stream ${got.size} vs batch ${batch.size}")
+  }
+
   test("streaming context windows: full-window prefix == one-shot batch " +
       "cut, remainder == its final partial") {
     val docs = spark.read

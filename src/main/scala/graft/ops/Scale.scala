@@ -923,10 +923,15 @@ object Scale {
     * ORDER across batches (file-ordered ingest) — the stream position of
     * a document is its id rank, exactly [[contextWindows]]' `orderCol`
     * rule. State is tiny by construction (the remainder is < windowLen
-    * tokens), so it is a driver read + fresh overwrite per batch — the
-    * read is materialized BEFORE the write, and the returned plan
-    * depends only on the batch and a driver-local literal relation,
-    * never on the overwritten files. Per-batch work = one
+    * tokens), so it is a driver read + fresh write per batch — the read
+    * is materialized BEFORE the write, and the returned plan depends
+    * only on the batch and a driver-local literal relation, never on the
+    * replaced files. Both state relations (`remainder`, `meta`) live
+    * under ONE `<statePath>/carry` directory replaced by a staged
+    * filesystem RENAME (the [[graft.text.Classify.appendToNbModel]]
+    * crash-consistency pattern): a failure mid-batch leaves the old
+    * carry intact, so the retried batch can never see a remainder from
+    * one batch with the window counter of another. Per-batch work = one
     * [[contextWindows]] over (remainder ∪ batch).
     */
   def contextWindowsIngest(spark: org.apache.spark.sql.SparkSession,
@@ -936,12 +941,13 @@ object Scale {
     import scala.jdk.CollectionConverters._
     val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val hasState = fs.exists(
-      new org.apache.hadoop.fs.Path(s"$statePath/meta"))
+    val carry = new org.apache.hadoop.fs.Path(s"$statePath/carry")
+    val hasState = fs.exists(carry)
     val base: Long = if (hasState)
-      spark.read.parquet(s"$statePath/meta").head().getLong(0) else 0L
+      spark.read.parquet(s"$statePath/carry/meta").head().getLong(0)
+      else 0L
     val rem: Seq[org.apache.spark.sql.Row] = if (hasState)
-      spark.read.parquet(s"$statePath/remainder").collect().toSeq
+      spark.read.parquet(s"$statePath/carry/remainder").collect().toSeq
       else Seq.empty
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(idCol,
@@ -967,11 +973,15 @@ object Scale {
     val full = w.filter(col("n_filled") === windowLen)
       .select((col("window_id") + base).as("window_id"), col("n_filled"),
         col("n_docs"), col("ids"), col("spans"))
+    val staging = new org.apache.hadoop.fs.Path(s"$statePath/carry.staging")
+    fs.delete(staging, true)
     spark.createDataFrame(partial.asJava, schema)
       .repartition(1).write.mode("overwrite")
-      .parquet(s"$statePath/remainder")
+      .parquet(s"$statePath/carry.staging/remainder")
     spark.range(1).select(lit(base + nFull).as("next_window_id"))
-      .write.mode("overwrite").parquet(s"$statePath/meta")
+      .write.mode("overwrite").parquet(s"$statePath/carry.staging/meta")
+    fs.delete(carry, true)
+    require(fs.rename(staging, carry), "carry-state swap failed")
     full
   }
 

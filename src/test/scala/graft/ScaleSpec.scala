@@ -426,7 +426,7 @@ class ScaleSpec extends AnyFunSuite {
         .collect().foreach(r => got += key(r))
     assert(got.toMap == fullTruth,
       s"ingest emitted ${got.size} vs one-shot ${fullTruth.size}")
-    val rem = spark.read.parquet(s"$state/remainder")
+    val rem = spark.read.parquet(s"$state/carry/remainder")
       .orderBy("doc_id").collect().flatMap(r => r.getSeq[Long](1)).toList
     assert(rem == whole.filter(_._2._1 < L).head._2._3)
     graft.ml.Dedup.unpersistIntermediates()

@@ -1492,11 +1492,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toMap == fullTruth,
       s"stream emitted ${got.size} full windows vs batch ${fullTruth.size}")
     // carried remainder == the batch cut's final partial window ids
-    val rem = spark.read.parquet(s"$state/remainder")
+    val rem = spark.read.parquet(s"$state/carry/remainder")
       .orderBy("doc_id").collect()
       .flatMap(r => r.getSeq[Long](1)).toList
     assert(rem == partialTruth.head._2._3, "remainder diverged")
-    val nextId = spark.read.parquet(s"$state/meta").head().getLong(0)
+    val nextId = spark.read.parquet(s"$state/carry/meta").head().getLong(0)
     assert(nextId == fullTruth.size.toLong, "window-id counter diverged")
   }
 

@@ -919,33 +919,72 @@ object Scale {
     * the one-shot [[contextWindows]] over the concatenated corpus, and
     * the remainder equals the final partial window.
     *
-    * Contract: `idCol` values must be unique and ARRIVE IN ASCENDING
-    * ORDER across batches (file-ordered ingest) — the stream position of
-    * a document is its id rank, exactly [[contextWindows]]' `orderCol`
-    * rule. State is tiny by construction (the remainder is < windowLen
-    * tokens), so it is a driver read + fresh write per batch — the read
-    * is materialized BEFORE the write, and the returned plan depends
-    * only on the batch and a driver-local literal relation, never on the
-    * replaced files. Both state relations (`remainder`, `meta`) live
-    * under ONE `<statePath>/carry` directory replaced by a staged
-    * filesystem RENAME (the [[graft.text.Classify.appendToNbModel]]
-    * crash-consistency pattern): a failure mid-batch leaves the old
-    * carry intact, so the retried batch can never see a remainder from
-    * one batch with the window counter of another. Per-batch work = one
-    * [[contextWindows]] over (remainder ∪ batch).
+    * Contract — ENFORCED, not just documented: `idCol` values must be
+    * unique within a batch and ARRIVE IN ASCENDING ORDER across batches
+    * (file-ordered ingest) — the stream position of a document is its id
+    * rank, exactly [[contextWindows]]' `orderCol` rule. The carried
+    * `max_id` is persisted in meta and a batch whose min id does not
+    * exceed it FAILS LOUDLY instead of silently corrupting window order.
+    *
+    * Exactly-once under retries: the state records the last applied
+    * batch (its `batchId` when the caller passes one — the foreachBatch
+    * recipe — plus an order-free content fingerprint and row count for
+    * callers without ids), and keeps the PREVIOUS remainder + window
+    * base alongside the current one (both < windowLen tokens — state
+    * stays bounded). A replayed batch (same batchId, or same
+    * fingerprint+count when no id is given) is detected after a
+    * completed swap and its output is RECOMPUTED from the previous
+    * state and re-emitted bit-identically — never double-packed; a
+    * batchId reused for DIFFERENT content fails loudly.
+    *
+    * Crash consistency: state is tiny by construction (each remainder
+    * is < windowLen tokens), so it is a driver read + fresh write per
+    * batch — the read is materialized BEFORE the write, and the
+    * returned plan depends only on the batch and a driver-local literal
+    * relation, never on the replaced files. The whole
+    * `<statePath>/carry` directory is replaced by a staged swap with a
+    * COMMIT MARKER: staging is fully written, then `_COMMITTED` is
+    * created inside it, then the old carry is deleted and staging
+    * renamed into place. On entry a leftover staging WITH the marker
+    * and NO carry is a completed-but-unpromoted swap and is promoted
+    * (closing the delete→rename crash window that would otherwise reset
+    * the counter and drop the remainder); a marker-less or shadowed
+    * staging is discarded. Per-batch work = one [[contextWindows]] over
+    * (remainder ∪ batch) plus one bounded stats aggregate.
     */
   def contextWindowsIngest(spark: org.apache.spark.sql.SparkSession,
                            statePath: String, batch: DataFrame,
                            idCol: String, idsCol: String,
-                           windowLen: Int): DataFrame = {
+                           windowLen: Int, batchId: Long = -1L): DataFrame = {
     import scala.jdk.CollectionConverters._
     val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val carry = new org.apache.hadoop.fs.Path(s"$statePath/carry")
+    val staging = new org.apache.hadoop.fs.Path(s"$statePath/carry.staging")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$statePath/carry.staging/_COMMITTED")
+    // recover an interrupted swap: a marked staging with no carry is a
+    // fully-written state whose promotion crashed between the old
+    // carry's delete and the rename — promote it; anything else in
+    // staging is an incomplete write shadowed by the intact carry
+    if (fs.exists(staging)) {
+      if (fs.exists(marker) && !fs.exists(carry))
+        require(fs.rename(staging, carry), "carry-state recovery failed")
+      else fs.delete(staging, true)
+    }
     val hasState = fs.exists(carry)
-    val base: Long = if (hasState)
-      spark.read.parquet(s"$statePath/carry/meta").head().getLong(0)
-      else 0L
+    val meta: Option[org.apache.spark.sql.Row] = if (hasState) {
+      val m = spark.read.parquet(s"$statePath/carry/meta")
+      require(m.columns.contains("max_id"),
+        "legacy contextWindowsIngest state (pre-contract-check format): " +
+          "no max_id in meta — repack from scratch or backfill " +
+          "(max_id, last_batch_id, last_fp, last_n, prev_next_window_id) " +
+          "per the README migration note")
+      Some(m.head())
+    } else None
+    val base: Long = meta.map(_.getAs[Long]("next_window_id")).getOrElse(0L)
+    val maxSeen: Long = meta.map(_.getAs[Long]("max_id"))
+      .getOrElse(Long.MinValue)
     val rem: Seq[org.apache.spark.sql.Row] = if (hasState)
       spark.read.parquet(s"$statePath/carry/remainder").collect().toSeq
       else Seq.empty
@@ -955,9 +994,56 @@ object Scale {
       org.apache.spark.sql.types.StructField(idsCol,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType))))
+    val src = batch.select(col(idCol).cast("long"), col(idsCol))
+    // one bounded aggregate: row count, id range, distinct-id count and
+    // an order-free content fingerprint (bit_xor of portable id hashes —
+    // the shardManifest digest) — the replay/ordering evidence
+    val st = src.agg(count(lit(1)).as("n"),
+      min(col(idCol)).as("mn"), max(col(idCol)).as("mx"),
+      count_distinct(col(idCol)).as("nd"),
+      coalesce(expr(s"bit_xor(${bitXorFpSql(idCol)})"), lit(0L)).as("fp"))
+      .head()
+    val (n, nd, fp) = (st.getAs[Long]("n"), st.getAs[Long]("nd"),
+      st.getAs[Long]("fp"))
+    require(n == nd, s"contextWindowsIngest: $idCol must be unique within " +
+      s"a batch ($n rows, $nd distinct ids)")
+    val (lastBatchId, lastFp, lastN) = meta match {
+      case Some(m) => (m.getAs[Long]("last_batch_id"),
+        m.getAs[Long]("last_fp"), m.getAs[Long]("last_n"))
+      case None => (-1L, 0L, -1L)
+    }
+    val replayed =
+      if (batchId >= 0L && lastBatchId >= 0L) {
+        if (batchId == lastBatchId) {
+          require(fp == lastFp && n == lastN,
+            s"contextWindowsIngest: batchId $batchId was already applied " +
+              "with DIFFERENT content (fingerprint/count mismatch) — " +
+              "a batch id must name one batch")
+          true
+        } else false
+      } else batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
+    if (replayed) {
+      // completed swap, replayed batch: re-emit the SAME output from the
+      // PREVIOUS state (kept exactly for this) — never advance the carry
+      val m = meta.get
+      val prevBase = m.getAs[Long]("prev_next_window_id")
+      val prevRem = spark.read
+        .parquet(s"$statePath/carry/prev").collect().toSeq
+      val all = spark.createDataFrame(prevRem.asJava, schema)
+        .unionByName(src)
+      return contextWindows(all, idCol, idsCol, windowLen)
+        .filter(col("n_filled") === windowLen)
+        .select((col("window_id") + prevBase).as("window_id"),
+          col("n_filled"), col("n_docs"), col("ids"), col("spans"))
+    }
+    if (n > 0L)
+      require(st.getAs[Long]("mn") > maxSeen,
+        s"contextWindowsIngest: ids must ascend across batches — batch " +
+          s"min ${st.getAs[Long]("mn")} <= carried max $maxSeen (an " +
+          "out-of-order or partially-replayed batch would pack documents " +
+          "twice or out of stream order)")
     val remDf = spark.createDataFrame(rem.asJava, schema)
-    val all = remDf.unionByName(
-      batch.select(col(idCol).cast("long"), col(idsCol)))
+    val all = remDf.unionByName(src)
     val w = graft.ml.Dedup.trackCache(
       contextWindows(all, idCol, idsCol, windowLen))
     val nFull = w.filter(col("n_filled") === windowLen).count()
@@ -973,17 +1059,32 @@ object Scale {
     val full = w.filter(col("n_filled") === windowLen)
       .select((col("window_id") + base).as("window_id"), col("n_filled"),
         col("n_docs"), col("ids"), col("spans"))
-    val staging = new org.apache.hadoop.fs.Path(s"$statePath/carry.staging")
     fs.delete(staging, true)
     spark.createDataFrame(partial.asJava, schema)
       .repartition(1).write.mode("overwrite")
       .parquet(s"$statePath/carry.staging/remainder")
-    spark.range(1).select(lit(base + nFull).as("next_window_id"))
+    // the PREVIOUS remainder rides along so a replay of THIS batch can
+    // re-derive its exact output (bounded: < windowLen tokens)
+    remDf.repartition(1).write.mode("overwrite")
+      .parquet(s"$statePath/carry.staging/prev")
+    spark.range(1).select(lit(base + nFull).as("next_window_id"),
+        lit(math.max(maxSeen,
+          if (n > 0L) st.getAs[Long]("mx") else Long.MinValue)).as("max_id"),
+        lit(batchId).as("last_batch_id"), lit(fp).as("last_fp"),
+        lit(n).as("last_n"), lit(base).as("prev_next_window_id"))
       .write.mode("overwrite").parquet(s"$statePath/carry.staging/meta")
+    fs.create(marker, true).close()
     fs.delete(carry, true)
     require(fs.rename(staging, carry), "carry-state swap failed")
     full
   }
+
+  /** The portable 60-bit id-hash leaf the ingest fingerprint XORs —
+    * [[Sketch.portableHash]] of the id string, as SQL text so it can sit
+    * inside the `bit_xor` aggregate. */
+  private def bitXorFpSql(idCol: String): String =
+    s"CAST(conv(substring(md5(CAST(`$idCol` AS STRING)), 1, 15), " +
+      "16, 10) AS LONG)"
 
   /** LENGTH-GROUPED batching (the padding-minimizing dynamic batcher —
     * HuggingFace's `group_by_length` / the bucketed-batching idea of
@@ -1034,57 +1135,76 @@ object Scale {
     * not a simplification (rerunning the pipeline yields the same
     * pairs); adjacent selected tokens merge into one span, as in T5.
     *
-    * Shapes at 100 TB: the token-level explode is the job's output
-    * scale; run bookkeeping is two per-document window functions over
-    * (doc, pos) rows — partitioned BY DOCUMENT (bounded by doc length,
-    * hash-distributed, no global window); reassembly is one hash
-    * aggregate per side with per-doc state. Output: (idCol, n_masked,
-    * n_runs, input_ids, target_ids) — id-less docs keep a row (empty
-    * input, the bare final sentinel as target).
+    * Shapes at 100 TB: MAP-ONLY, like [[mlmPairs]] — run bookkeeping
+    * (start detection, run index, both output arrays) is ONE Catalyst
+    * `aggregate` fold per document over its own array: the previous
+    * element's mask bit rides the fold state, so no explode, no
+    * shuffle, no window — the whole op rides whatever scan feeds it.
+    * Token ids are VALIDATED against `sentinelBase` map-side
+    * (`assert_true`): an id ≥ sentinelBase would collide with a
+    * sentinel and make the pair ambiguous (T5 places sentinels above
+    * the vocabulary for exactly this reason), so the job fails loudly
+    * instead. Output: (idCol, n_masked, n_runs, input_ids, target_ids)
+    * — id-less docs keep a row (empty input, the bare final sentinel
+    * as target).
     */
   def spanCorruptionPairs(ids: DataFrame, idCol: String, idsCol: String,
                           noisePct: Int = 15,
                           sentinelBase: Long = 1000L): DataFrame = {
     require(noisePct > 0 && noisePct < 100, "noisePct must be in (0, 100)")
-    import org.apache.spark.sql.expressions.Window
-    val ex = ids.select(col(idCol),
-      posexplode(col(idsCol)).as(Seq("pos", "tid")))
-    val mask = pmod(graft.ops.Sketch.portableHash(
-      concat(col(idCol).cast("string"), lit("|"),
-        col("pos").cast("string"))), lit(100L)) < noisePct
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val run = ex.withColumn("m", mask)
-      .withColumn("rs",
-        col("m") && !coalesce(lag("m", 1).over(w), lit(false)))
-      .withColumn("rid",
-        sum(when(col("rs"), 1L).otherwise(0L)).over(w) - 1L)
-    val s = lit(sentinelBase)
-    val inTok = when(!col("m"), array(col("tid")))
-      .when(col("rs"), array(s + col("rid")))
-      .otherwise(array().cast("array<long>"))
-    val tgTok = when(col("rs"), array(s + col("rid"), col("tid")))
-      .when(col("m"), array(col("tid")))
-      .otherwise(array().cast("array<long>"))
-    val per = run.withColumn("__in", inTok).withColumn("__tg", tgTok)
-      .groupBy(idCol).agg(
-      sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
-      (coalesce(max(col("rid")), lit(-1L)) + 1L).as("n_runs"),
-      expr("flatten(transform(array_sort(collect_list(" +
-        "struct(pos, __in))), x -> x.__in))").as("__input"),
-      expr("flatten(transform(array_sort(collect_list(" +
-        "struct(pos, __tg))), x -> x.__tg))").as("__target"))
-    ids.select(col(idCol))
-      .join(per.withColumnRenamed(idCol, "__jid"),
-        col(idCol) === col("__jid"), "left")
+    val sb = sentinelBase
+    // the deterministic Bernoulli leaf: portable 60-bit md5 hash of
+    // (doc id, position) mod 100 — Sketch.portableHash as SQL text so it
+    // can reference the fold's lambda index
+    val m = s"pmod(CAST(conv(substring(md5(concat(" +
+      s"CAST(`$idCol` AS STRING), '|', CAST(i AS STRING))), 1, 15), " +
+      s"16, 10) AS LONG), 100) < $noisePct"
+    // one fold per document: state = (input acc, target acc, run count,
+    // masked count, previous position's mask bit); sequence(0, -1) would
+    // run DESCENDING (Spark defaults step to -1), so the empty/NULL
+    // array case is guarded out front
+    val fold =
+      s"""IF(`$idsCol` IS NULL OR size(`$idsCol`) < 1,
+         |  named_struct('inp', CAST(array() AS array<long>),
+         |               'tgt', CAST(array() AS array<long>),
+         |               'runs', 0L, 'masked', 0L, 'prev', false),
+         |  aggregate(sequence(0, size(`$idsCol`) - 1),
+         |    named_struct('inp', CAST(array() AS array<long>),
+         |                 'tgt', CAST(array() AS array<long>),
+         |                 'runs', 0L, 'masked', 0L, 'prev', false),
+         |    (st, i) -> IF(NOT ($m),
+         |      named_struct('inp', array_append(st.inp, `$idsCol`[i]),
+         |                   'tgt', st.tgt, 'runs', st.runs,
+         |                   'masked', st.masked, 'prev', false),
+         |      IF(NOT st.prev,
+         |        named_struct('inp', array_append(st.inp, ${sb}L + st.runs),
+         |                     'tgt', concat(st.tgt,
+         |                       array(${sb}L + st.runs, `$idsCol`[i])),
+         |                     'runs', st.runs + 1L,
+         |                     'masked', st.masked + 1L, 'prev', true),
+         |        named_struct('inp', st.inp,
+         |                     'tgt', array_append(st.tgt, `$idsCol`[i]),
+         |                     'runs', st.runs,
+         |                     'masked', st.masked + 1L, 'prev', true))),
+         |    st -> st))""".stripMargin
+    ids
+      // sentinel-collision guard: map-side, fails the job with the
+      // offending id instead of emitting ambiguous pairs
+      .withColumn("__ck", assert_true(
+        coalesce(expr(s"array_max(`$idsCol`)"), lit(Long.MinValue))
+          < lit(sb),
+        concat(lit("spanCorruptionPairs: token id "),
+          expr(s"array_max(`$idsCol`)"),
+          lit(s" >= sentinelBase $sb — sentinels would collide with " +
+            "real ids; pass sentinelBase >= vocab size"))))
+      .filter(col("__ck").isNull)
+      .withColumn("__st", expr(fold))
       .select(col(idCol),
-        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
-        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
-        coalesce(col("__input"), array().cast("array<long>")).as("__input"),
-        concat(coalesce(col("__target"), array().cast("array<long>")),
-          array(s + coalesce(col("n_runs"), lit(0L)))).as("__target"))
-      .select(col(idCol), col("n_masked"), col("n_runs"),
-        concat_ws(" ", col("__input")).as("input_ids"),
-        concat_ws(" ", col("__target")).as("target_ids"))
+        col("__st.masked").as("n_masked"),
+        col("__st.runs").as("n_runs"),
+        concat_ws(" ", col("__st.inp")).as("input_ids"),
+        concat_ws(" ", concat(col("__st.tgt"),
+          array(lit(sb) + col("__st.runs")))).as("target_ids"))
   }
 
   /** BERT-style MASKED-LM pairs (Devlin et al. 2019 §3.1): each token is

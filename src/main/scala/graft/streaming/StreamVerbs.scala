@@ -820,17 +820,22 @@ object StreamVerbs {
     * `<statePath>/meta`), and the sink receives the batch's FULL windows
     * with global ids. Micro-batches run serially, so the carry is
     * race-free; documents must arrive in ascending `idCol` order across
-    * batches (file-ordered ingest — [[contextWindows]]' orderCol rule).
-    * StreamingSpec pins stream == the one-shot batch cut's full-window
-    * prefix, remainder == its final partial.
+    * batches (file-ordered ingest — [[contextWindows]]' orderCol rule —
+    * ENFORCED against the persisted max_id). The foreachBatch batchId is
+    * threaded into the carry state, so the update is IDEMPOTENT under
+    * Spark's at-least-once replay: a restart that re-delivers the last
+    * micro-batch after its carry swap committed is detected by id (and
+    * content fingerprint) and the sink receives the SAME windows
+    * recomputed from the retained previous state — never a double pack
+    * (StreamingSpec pins the replay and the out-of-order rejection).
     */
   def streamingContextWindows(t: Tbl, idCol: String, idsCol: String,
                               windowLen: Int, statePath: String)
                              (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.ops.Scale.contextWindowsIngest(batch.sparkSession,
-        statePath, batch, idCol, idsCol, windowLen))
+        statePath, batch, idCol, idsCol, windowLen, batchId))
     }
 
   /** Span corruption on the stream — [[graft.ops.Scale.spanCorruptionPairs]]

@@ -432,6 +432,90 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("contextWindowsIngest hardening: out-of-order batches fail loudly; " +
+      "a replayed batch re-emits identically without advancing state; " +
+      "the delete-to-rename crash window recovers by promotion") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        expr("transform(filter(split(trim(lower(text)), '\\\\s+')," +
+          " w -> w rlike '^[a-z]+$'), w -> CAST(length(w) AS LONG))")
+          .as("ids"))
+    val L = 64
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getLong(2),
+        r.getSeq[Long](r.fieldIndex("ids")).toList)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-cwi-hard").toString
+    val b1 = docs.filter(col("doc_id") < 200)
+    val b2 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+    val out1 = Scale.contextWindowsIngest(spark, state, b1,
+      "doc_id", "ids", L, batchId = 0L).collect().map(key).toMap
+    val metaAfter1 = spark.read.parquet(s"$state/carry/meta").head()
+    // (a) replay by batchId: identical output, state untouched
+    val replay1 = Scale.contextWindowsIngest(spark, state, b1,
+      "doc_id", "ids", L, batchId = 0L).collect().map(key).toMap
+    assert(replay1 == out1, "batchId replay did not re-emit identically")
+    assert(spark.read.parquet(s"$state/carry/meta").head() == metaAfter1,
+      "replay advanced the carry state")
+    // (b) replay by content fingerprint (no batchId)
+    val replay2 = Scale.contextWindowsIngest(spark, state, b1,
+      "doc_id", "ids", L).collect().map(key).toMap
+    assert(replay2 == out1, "fingerprint replay did not re-emit identically")
+    // (c) same batchId, different content: must fail loudly
+    val exDiff = intercept[IllegalArgumentException] {
+      Scale.contextWindowsIngest(spark, state, b2,
+        "doc_id", "ids", L, batchId = 0L)
+    }
+    assert(exDiff.getMessage.contains("DIFFERENT content"))
+    // (d) out-of-order batch (ids not ascending past carried max): fails
+    val exOrd = intercept[IllegalArgumentException] {
+      Scale.contextWindowsIngest(spark, state,
+        docs.filter(col("doc_id") < 100), "doc_id", "ids", L, batchId = 1L)
+    }
+    assert(exOrd.getMessage.contains("ascend across batches"))
+    // (e) duplicate ids within a batch: fails
+    val exDup = intercept[IllegalArgumentException] {
+      Scale.contextWindowsIngest(spark, state,
+        b2.unionByName(b2), "doc_id", "ids", L, batchId = 1L)
+    }
+    assert(exDup.getMessage.contains("unique within"))
+    // (f) crash window between delete(carry) and rename: the committed
+    // staging (it carries the _COMMITTED marker through the rename) is
+    // promoted on the next call, and the batch that caused it is then
+    // seen as a replay — never a silent fresh-state reset
+    val out2 = Scale.contextWindowsIngest(spark, state, b2,
+      "doc_id", "ids", L, batchId = 1L).collect().map(key).toMap
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$state/carry"),
+      new org.apache.hadoop.fs.Path(s"$state/carry.staging")))
+    val replay3 = Scale.contextWindowsIngest(spark, state, b2,
+      "doc_id", "ids", L, batchId = 1L).collect().map(key).toMap
+    assert(replay3 == out2, "post-promotion replay did not re-emit b2")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/carry")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$state/carry.staging")))
+    // (g) an UNCOMMITTED staging (no marker) next to an intact carry is
+    // discarded and normal processing continues
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$state/carry.staging/junk"))
+    val b3 = docs.filter(col("doc_id") >= 350 && col("doc_id") < 400)
+    Scale.contextWindowsIngest(spark, state, b3,
+      "doc_id", "ids", L, batchId = 2L).collect()
+    // ingest end state == one-shot packing of everything fed so far
+    val whole = Scale.contextWindows(
+      docs.filter(col("doc_id") < 400), "doc_id", "ids", L)
+    val oneShotRem = whole.filter(col("n_filled") < lit(L))
+      .select(explode(col("spans")).as("sp"), col("ids"))
+      .select(col("sp.doc_id"),
+        expr("slice(ids, sp.start + 1, sp.len)").as("ids"))
+      .orderBy("doc_id").collect()
+      .flatMap(_.getSeq[Long](1)).toList
+    val remNow = spark.read.parquet(s"$state/carry/remainder")
+      .orderBy("doc_id").collect().flatMap(_.getSeq[Long](1)).toList
+    assert(remNow == oneShotRem, "carry remainder diverged from one-shot")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("lengthGroupedBatches: budget respected up to one straddler; " +
       "bucketing strictly shrinks padding on the skewed corpus") {
     val docs = spark.read

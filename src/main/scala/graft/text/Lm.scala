@@ -649,36 +649,60 @@ object Lm {
     }.toMap
   }
 
-  /** [[knLookupExpr]] for the modified scorer: the single follower-type
-    * role 'c' becomes the class triple f1/f2/f3, each mid level's 'g'
-    * becomes g1/g2/g3 — 3n+2 slim rows per position, still one hash
-    * equi-join.
+  /** [[knLookupExpr]] for the modified scorer, PIVOTED: instead of one
+    * probe row per (kind, k, gram) — which made the class triples
+    * f1/f2/f3 and g1/g2/g3 separate join rows (3n+2 per position) — the
+    * model's kinds are pivoted into one count struct per DISTINCT
+    * (k, gram) at join time ([[pivotCGModel]]), so each position emits
+    * one probe per distinct coordinate: the top gram ('a'), its context
+    * ('F' — carrying b + f1/f2/f3 in one row), each mid level's gram
+    * ('n_o') and context ('G_o' — m + g1/g2/g3), and the unigram ('u')
+    * — 2n−1 slim rows per position (5 at n=3, down from 11), one hash
+    * equi-join on (k, gram).
     */
   private def knLookupExprCG(n: Int): String = {
-    def st(role: String, kind: String, k: Int, gram: String): String =
+    def st(role: String, k: Int, gram: String): String =
       s"""named_struct('pos', i - ${n - 1}, 'role', '$role',
-         |  'kind', '$kind', 'k', $k, 'gram', $gram)""".stripMargin
+         |  'k', $k, 'gram', $gram)""".stripMargin
     def words(o: Int): String =
       s"array_join(slice(__ts, i - ${n - 1} + ${n - o} + 1, $o), ' ')"
     def ctxWords(o: Int): String =
       s"array_join(slice(__ts, i - ${n - 1} + ${n - o} + 1, ${o - 1}), ' ')"
     val top = Seq(
-      st("a", "r", n, words(n)),
-      st("b", "r", n - 1, ctxWords(n))) ++
-      (1 to 3).map(c => st(s"f$c", s"f$c", n - 1, ctxWords(n)))
+      st("a", n, words(n)),
+      st("F", n - 1, ctxWords(n)))
     val mids = (2 until n).flatMap { o => Seq(
-      st(s"n$o", "c", o, words(o)),
-      st(s"m$o", "m", o - 1, ctxWords(o))) ++
-      (1 to 3).map(c => st(s"g$c$o", s"g$c", o - 1, ctxWords(o)))
+      st(s"n$o", o, words(o)),
+      st(s"G$o", o - 1, ctxWords(o)))
     }
-    val uni = Seq(st("u", "c", 1, "__ts[i]"))
+    val uni = Seq(st("u", 1, "__ts[i]"))
     val all = (top ++ mids ++ uni).mkString(",\n")
     s"""IF(size(__ts) >= $n,
        |  flatten(transform(sequence(${n - 1}, size(__ts) - 1), i -> array(
        |    $all))),
        |  CAST(array() AS array<struct<
-       |    pos: int, role: string, kind: string, k: int, gram: string>>))""".stripMargin
+       |    pos: int, role: string, k: int, gram: string>>))""".stripMargin
   }
+
+  /** Pivot a [[kneserNeyCountsCG]] relation to ONE row per (k, gram)
+    * carrying every kind's count as a separate column — the join-side
+    * half of the 2n−1 probe shape: the scorer's lookup joins once per
+    * distinct (k, gram) and reads whichever counts its role needs
+    * (role 'F' reads r_cnt + the f-class triple from the same row that
+    * used to cost four probe rows). One micro group-by over the model
+    * relation — the same rows, just wider and fewer.
+    */
+  private def pivotCGModel(model: DataFrame): DataFrame =
+    model.groupBy("k", "gram").agg(
+      max(when(col("kind") === "r", col("cnt"))).as("r_cnt"),
+      max(when(col("kind") === "c", col("cnt"))).as("c_cnt"),
+      max(when(col("kind") === "m", col("cnt"))).as("m_cnt"),
+      max(when(col("kind") === "f1", col("cnt"))).as("f1c"),
+      max(when(col("kind") === "f2", col("cnt"))).as("f2c"),
+      max(when(col("kind") === "f3", col("cnt"))).as("f3c"),
+      max(when(col("kind") === "g1", col("cnt"))).as("g1c"),
+      max(when(col("kind") === "g2", col("cnt"))).as("g2c"),
+      max(when(col("kind") === "g3", col("cnt"))).as("g3c"))
 
   /** Score documents with MODIFIED Kneser–Ney (Chen & Goodman 1999 §3)
     * against a [[kneserNeyCountsCG]] relation: [[scoreDocsKN]] with the
@@ -696,7 +720,8 @@ object Lm {
     * [[knUnigramClassStats]]. The unigram backoff mass is a DRIVER
     * scalar (class counts and discounts are all scalars), so it rides as
     * one literal. Output/convention identical to [[scoreDocsKN]]; same
-    * 100 TB shapes (3n+2 lookup rows per position, one model equi-join,
+    * 100 TB shapes (2n−1 pivoted lookup rows per position — see
+    * [[knLookupExprCG]]/[[pivotCGModel]] — one model equi-join,
     * position-ordered fold).
     */
   def scoreDocsKNCG(docs: DataFrame, idCol: String, textCol: String,
@@ -714,14 +739,24 @@ object Lm {
       .select(col(idCol),
         posexplode_outer(expr(knLookupExprCG(n))).as(Seq("__i", "g")))
       .select(col(idCol), col("g.pos").as("pos"), col("g.role").as("role"),
-        col("g.kind").as("kind"), col("g.k").as("k"), col("g.gram").as("gram"))
-    val joined = ex.join(model.select("kind", "k", "gram", "cnt"),
-      Seq("kind", "k", "gram"), "left")
-    val roles = Seq("a", "b", "f1", "f2", "f3") ++
-      (2 until n).flatMap(o =>
-        Seq(s"n$o", s"m$o", s"g1$o", s"g2$o", s"g3$o")) ++ Seq("u")
-    val aggs = roles.map(r0 =>
-      max(when(col("role") === r0, col("cnt"))).as(s"__$r0"))
+        col("g.k").as("k"), col("g.gram").as("gram"))
+    val joined = ex.join(pivotCGModel(model), Seq("k", "gram"), "left")
+    // each pivoted probe row carries every kind's count at its (k, gram);
+    // the role decides which fields feed which scoring column — same
+    // values the 3n+2-row shape read, one row where it read four
+    val aggs = Seq(
+      max(when(col("role") === "a", col("r_cnt"))).as("__a"),
+      max(when(col("role") === "F", col("r_cnt"))).as("__b"),
+      max(when(col("role") === "F", col("f1c"))).as("__f1"),
+      max(when(col("role") === "F", col("f2c"))).as("__f2"),
+      max(when(col("role") === "F", col("f3c"))).as("__f3")) ++
+      (2 until n).flatMap(o => Seq(
+        max(when(col("role") === s"n$o", col("c_cnt"))).as(s"__n$o"),
+        max(when(col("role") === s"G$o", col("m_cnt"))).as(s"__m$o"),
+        max(when(col("role") === s"G$o", col("g1c"))).as(s"__g1$o"),
+        max(when(col("role") === s"G$o", col("g2c"))).as(s"__g2$o"),
+        max(when(col("role") === s"G$o", col("g3c"))).as(s"__g3$o"))) ++
+      Seq(max(when(col("role") === "u", col("c_cnt"))).as("__u"))
     val per = joined.groupBy(col(idCol), col("pos"))
       .agg(aggs.head, aggs.tail: _*)
     // num = max(c − D(class of c), 0); c = 0 falls through to the ELSE

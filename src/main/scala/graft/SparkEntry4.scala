@@ -280,6 +280,35 @@ object SparkEntry4 {
           concat_ws(" ", col("ids")).as("ids"))
     }),
 
+    // BYTE-LEVEL FALLBACK — the lossless serving tier (sentencepiece
+    // --byte_fallback / GPT-2 byte-BPE semantics): the tokenizer is
+    // trained on the plain ascii corpus with 256 reserved byte ids, then
+    // encodes the corpus SALTED with text far outside the trained
+    // vocabulary (umlauts, CJK, a 4-byte emoji, digits, punctuation) —
+    // every OOV token becomes UTF-8 byte ids instead of a lossy UNK or
+    // NULL hole, and decode reassembles the bytes into the exact
+    // normalization of the salted text. Oracle = that normalization
+    // identity computed WITHOUT touching BPE (the q_detokenize
+    // differential, now over text no ascii word-vocab could carry).
+    "q_byte_fallback" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val path = scratchPath(dir, "tokenizer_bytes")
+      graft.text.Bpe.buildTokenizer(docs, "text", path, nMerges = 8,
+        byteFallback = true)
+      val salted = docs.select(col("doc_id"),
+        concat(col("text"), lit(" Zürich"),
+          pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(" 東京 café 🙂!")).as("text"))
+      val merges = s.read.parquet(s"$path/merges")
+      val vocab = s.read.parquet(s"$path/vocab")
+      val bb = graft.text.Bpe.tokenizerByteBase(s, path).get
+      val enc = graft.ml.Dedup.trackCache(
+        graft.text.Bpe.encodeDocs(salted, "doc_id", "text", merges,
+          asciiOnly = false))
+      val ids = graft.text.Bpe.idsFromTokensBytes(enc, "doc_id", vocab, bb)
+      graft.text.Bpe.decodeIdsBytes(ids, "doc_id", vocab, bb)
+    }),
+
     // Hard-negative mining (the DPR/sentence-transformers recipe):
     // over-fetch top-8 candidates per query, drop the top-3 as the
     // positives, re-rank the rest to the 5 hardest negatives — the
@@ -1042,6 +1071,17 @@ object SparkEntry4 {
     "q_context_sep"     -> contextSepOracleSql(8, CW_LEN),
     "q_token_ids"       -> tokenIdsOracleSql(8),
     "q_detokenize"      -> detokenizeOracleSql,
+    // the byte-fallback round trip: decode(encode(salted)) equals the
+    // salted text's own normalization (lowercase, single-space-joined
+    // NON-EMPTY words, no ascii restriction) — computed without BPE
+    "q_byte_fallback" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(
+        |    regexp_split_to_array(trim(lower(
+        |      text || ' Zürich' || CAST(doc_id % 5 AS VARCHAR)
+        |        || ' 東京 café 🙂!')), '\s+'),
+        |    w -> w != ''), ' ') AS text
+        |FROM documents""".stripMargin,
     "q_token_ids_unk"   -> tokenIdsUnkOracleSql(8, 16),
     // persist + serve must be bit-identical to the inline chain — same
     // oracle VERBATIM is the claim (the q_lm_persisted discipline)

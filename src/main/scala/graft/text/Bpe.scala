@@ -667,6 +667,79 @@ object Bpe {
       .withColumn("n_tokens", size(col("ids")).cast("long"))
   }
 
+  /** [[idsFromTokens]] with BYTE-LEVEL FALLBACK — the lossless-serving
+    * tier (sentencepiece's `--byte_fallback`, the reason GPT-2-class
+    * tokenizers are byte-level): a token absent from the vocabulary is
+    * encoded as its UTF-8 BYTES, one reserved id per byte value
+    * (`byteBase + b`, 256 ids), instead of a lossy UNK or a NULL hole —
+    * so decode(encode(x)) == x's normalization for ARBITRARY text, any
+    * script, any symbol. In-vocabulary tokens map exactly as
+    * [[idsFromTokens]]; only the missing-id policy changes. Output:
+    * (idCol, ids, n_tokens) — n_tokens counts the emitted IDS (a
+    * fallen-back token contributes one id per UTF-8 byte), the number a
+    * token-budget packer actually consumes.
+    *
+    * Same 100 TB shapes as [[idsFromTokens]]: one hash equi-join of the
+    * (id, pos, token) stream against the vocabulary, one
+    * position-ordered per-doc fold; the byte expansion is a map-side
+    * `transform` over the token's own bytes.
+    */
+  def idsFromTokensBytes(encoded: DataFrame, idCol: String,
+                         vocab: DataFrame, byteBase: Long): DataFrame = {
+    require(byteBase >= 0, "byteBase must be nonnegative")
+    // UTF-8 bytes of the OOV token as reserved ids: hex() renders each
+    // byte of a binary as exactly two hex digits, so byte i is
+    // conv(hex(substring(bin, i, 1)), 16, 10)
+    val byteIds =
+      s"""transform(sequence(1, octet_length(encode(token, 'UTF-8'))),
+         |  i -> $byteBase + CAST(conv(hex(substring(
+         |    encode(token, 'UTF-8'), i, 1)), 16, 10) AS LONG))""".stripMargin
+    val ex = encoded.select(col(idCol),
+      posexplode_outer(col("tokens")).as(Seq("pos", "token")))
+    ex.join(vocab.select("token", "token_id"), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(collect_list(when(col("token").isNotNull,
+        struct(col("pos"),
+          when(col("token_id").isNotNull, array(col("token_id")))
+            .otherwise(expr(byteIds)).as("tids")))).as("__ps"))
+      .select(col(idCol),
+        expr("flatten(transform(array_sort(__ps), s -> s.tids))").as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
+  /** [[decodeIds]] for id sequences that may contain BYTE-FALLBACK ids
+    * ([[idsFromTokensBytes]]): vocabulary ids decode through the vocab
+    * join as before; ids in [byteBase, byteBase+256) decode to their
+    * raw byte. Bytes and token strings are assembled as BINARY in
+    * position order and UTF-8-decoded ONCE per document — a multi-byte
+    * character split across several byte ids reassembles exactly
+    * (decoding byte-by-byte would mangle it), then word-end markers
+    * become spaces. Ids that are neither (vocabulary holes) drop out,
+    * [[decodeIds]]' contract. Output: (idCol, text); id-less docs keep
+    * an empty-string row.
+    */
+  def decodeIdsBytes(ids: DataFrame, idCol: String, vocab: DataFrame,
+                     byteBase: Long): DataFrame = {
+    require(byteBase >= 0, "byteBase must be nonnegative")
+    val ex = ids.select(col(idCol),
+      posexplode_outer(col("ids")).as(Seq("pos", "token_id")))
+    ex.join(vocab.select("token_id", "token"), Seq("token_id"), "left")
+      .withColumn("__bin",
+        when(col("token_id").between(byteBase, byteBase + 255L),
+          expr(s"unhex(lpad(hex(token_id - $byteBase), 2, '0'))"))
+          .otherwise(expr("encode(token, 'UTF-8')")))
+      .filter(col("__bin").isNotNull)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("pos"), col("__bin"))).as("__ps"))
+      .select(col(idCol),
+        expr("trim(replace(decode(aggregate(" +
+          "transform(array_sort(__ps), s -> s.__bin), " +
+          "CAST('' AS BINARY), (a, x) -> concat(a, x)), 'UTF-8')," +
+          " '</w>', ' '))").as("text"))
+      .join(ids.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Persist a trained tokenizer as a standing artifact — `<path>/merges`
     * (the rank-ordered merge table) and `<path>/vocab` (the
     * frequency-ranked id table) — the train-once / serve-forever split
@@ -683,16 +756,27 @@ object Bpe {
     * `sepToken=true` reserves a document-separator id — GPT-2's
     * `<|endoftext|>` convention, placed at id 0 with every vocabulary id
     * shifted up by one (id = rank instead of rank−1) — and records it in
-    * `<path>/meta` (one row: sep_id, n_merges, vocab_shift). The
-    * separator never appears as a `vocab` row (it is not a corpus
+    * `<path>/meta` (one row: sep_id, n_merges, vocab_shift, byte_base).
+    * The separator never appears as a `vocab` row (it is not a corpus
     * token); consumers read its id from meta and thread it into
     * [[graft.ops.Scale.contextWindows]]' `insertSep`. `<path>/meta` is
     * written for plain tokenizers too (sep_id NULL, vocab_shift 0), so
     * readers need one code path.
+    *
+    * `byteFallback=true` additionally reserves 256 BYTE ids right after
+    * the separator (ids [byte_base, byte_base+256), byte_base = 1 with
+    * a sep, 0 without; the vocabulary shifts past them) and records
+    * `byte_base` in meta — the lossless-serving tier: encoding via
+    * [[idsFromTokensBytes]] maps out-of-vocabulary tokens to their
+    * UTF-8 byte ids instead of UNK/NULL, so
+    * [[decodeIdsBytes]](encode(x)) == normalize(x) for ARBITRARY text
+    * (sentencepiece `--byte_fallback` semantics). Like the separator,
+    * byte ids never appear as `vocab` rows.
     */
   def buildTokenizer(df: DataFrame, textCol: String, path: String,
                      nMerges: Int, asciiOnly: Boolean = true,
-                     sepToken: Boolean = false): Unit = {
+                     sepToken: Boolean = false,
+                     byteFallback: Boolean = false): Unit = {
     val merges = train(df, textCol, nMerges, asciiOnly)
     merges.write.mode("overwrite").parquet(s"$path/merges")
     val spark = df.sparkSession
@@ -702,28 +786,47 @@ object Bpe {
       .join(wc, Seq("word"))
       .select(explode(col("tokens")).as("token"), col("cnt"))
       .groupBy("token").agg(sum("cnt").as("n_occur"))
-    // plain: ids 0..V−1 (rank−1); sep: ids 1..V (rank), 0 reserved
-    val subtrahend = if (sepToken) 0L else 1L
+    // reserved-id layout: [sep?][256 bytes?][vocab…] — vocab ids start
+    // at the total shift (plain: rank−1; sep only: rank; +bytes: +256)
+    val shift = (if (sepToken) 1L else 0L) + (if (byteFallback) 256L else 0L)
     graft.ops.Scale.globalRowNumber(counts,
         Seq(col("n_occur").desc, col("token").asc), "__rn")
       .select(col("token"), col("n_occur"),
-        (col("__rn") - subtrahend).as("token_id"))
+        (col("__rn") - 1L + shift).as("token_id"))
       .write.mode("overwrite").parquet(s"$path/vocab")
     import spark.implicits._
-    Seq((if (sepToken) Some(0L) else None, nMerges.toLong,
-        if (sepToken) 1L else 0L))
-      .toDF("sep_id", "n_merges", "vocab_shift")
+    Seq((if (sepToken) Some(0L) else None, nMerges.toLong, shift,
+        if (byteFallback) Some(if (sepToken) 1L else 0L) else None))
+      .toDF("sep_id", "n_merges", "vocab_shift", "byte_base")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Read a persisted tokenizer's `<path>/meta` row: (sep_id — NULL for
     * a plain tokenizer, n_merges, vocab_shift). One driver-side row, the
-    * [[graft.ml.Sq]] index-metadata pattern. */
+    * [[graft.ml.Sq]] index-metadata pattern. Reads by NAME, so it
+    * accepts both pre- and post-byte-fallback artifacts; the byte tier
+    * is read separately by [[tokenizerByteBase]]. */
   def tokenizerMeta(spark: org.apache.spark.sql.SparkSession,
                     path: String): (Option[Long], Long, Long) = {
-    val r = spark.read.parquet(s"$path/meta").head()
+    val m = spark.read.parquet(s"$path/meta")
+      .select("sep_id", "n_merges", "vocab_shift")
+    val r = m.head()
     (if (r.isNullAt(0)) None else Some(r.getLong(0)),
       r.getLong(1), r.getLong(2))
+  }
+
+  /** The byte-fallback base id of a persisted tokenizer, when it was
+    * built with `byteFallback=true` — None for plain artifacts AND for
+    * artifacts written before the byte tier existed (their meta has no
+    * byte_base column), so old artifacts keep working unchanged. */
+  def tokenizerByteBase(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Option[Long] = {
+    val m = spark.read.parquet(s"$path/meta")
+    if (!m.columns.contains("byte_base")) None
+    else {
+      val r = m.select("byte_base").head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
   }
 
   /** Encode documents to id sequences against a persisted

@@ -409,4 +409,65 @@ class BpeSpec extends AnyFunSuite {
       List((2L, 0L, 1L), (3L, 1L, 3L)))))
     assert(w(3L) == ((3L, 1L, List(2L, 1L, 0L), List((3L, 0L, 3L)))))
   }
+
+  test("byte fallback: decode(encode(x)) == normalize(x) for arbitrary " +
+      "text — unicode, emoji, punctuation; vocab shifts past 256 byte ids") {
+    import spark.implicits._
+    val train = Seq((1L, "ab ab cd"), (2L, "cd ab")).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft-tok-b").toString
+    Bpe.buildTokenizer(train, "text", p, nMerges = 1, byteFallback = true)
+    // layout: no sep, bytes at [0, 256), vocab shifted by 256
+    assert(Bpe.tokenizerMeta(spark, p) == ((None, 1L, 256L)))
+    assert(Bpe.tokenizerByteBase(spark, p) == Some(0L))
+    val vocab = spark.read.parquet(s"$p/vocab")
+    assert(vocab.agg(min("token_id")).head().getLong(0) == 256L)
+    val merges = spark.read.parquet(s"$p/merges")
+    // arbitrary serving text: multi-byte chars, emoji (4-byte UTF-8),
+    // punctuation, digits, uppercase needing normalization
+    val serve = Seq(
+      (1L, "ab ab cd"),                  // fully in-vocab
+      (4L, "Héllo 東京 ab!"),             // latin-1, CJK, punctuation
+      (5L, "ß café 🙂 42"), // sharp-s, emoji, digits
+      (6L, "")).toDF("doc_id", "text")
+    val enc = Bpe.encodeDocs(serve, "doc_id", "text", merges,
+      asciiOnly = false)
+    val ids = Bpe.idsFromTokensBytes(enc, "doc_id", vocab, byteBase = 0L)
+    val got = ids.collect().map(r => r.getLong(0) ->
+      r.getSeq[Long](r.fieldIndex("ids")).toList).toMap
+    // in-vocab docs never fall back; OOV docs really do emit byte ids
+    assert(got(1L).forall(_ >= 256L), s"doc 1 fell back: ${got(1L)}")
+    assert(got(4L).exists(_ < 256L), "doc 4 emitted no byte ids")
+    assert(got(5L).exists(_ < 256L), "doc 5 emitted no byte ids")
+    assert(got(6L) == Nil)
+    // NO NULL holes, ever — that is the point of the byte tier
+    assert(ids.filter(expr("exists(ids, i -> i IS NULL)")).count() == 0)
+    // the round trip: decode == the tokenizer's own normalization
+    // (lowercase, single-space-joined words)
+    val dec = Bpe.decodeIdsBytes(ids, "doc_id", vocab, byteBase = 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val norm = serve.select(col("doc_id"),
+        concat_ws(" ", filter(split(trim(lower(col("text"))), "\\s+"),
+          w => w =!= "")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec == norm, s"round trip broke: $dec vs $norm")
+    // sep + bytes compose: bytes at [1, 257), vocab shifted by 257
+    val ps = java.nio.file.Files.createTempDirectory("graft-tok-bs").toString
+    Bpe.buildTokenizer(train, "text", ps, nMerges = 1, sepToken = true,
+      byteFallback = true)
+    assert(Bpe.tokenizerMeta(spark, ps) == ((Some(0L), 1L, 257L)))
+    assert(Bpe.tokenizerByteBase(spark, ps) == Some(1L))
+    val vs = spark.read.parquet(s"$ps/vocab")
+    assert(vs.agg(min("token_id")).head().getLong(0) == 257L)
+    val ids2 = Bpe.idsFromTokensBytes(enc, "doc_id", vs, byteBase = 1L)
+    val dec2 = Bpe.decodeIdsBytes(ids2, "doc_id", vs, byteBase = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec2 == norm, "sep+byte layout broke the round trip")
+    // legacy artifacts (no byte_base column) read as None
+    val pl = java.nio.file.Files.createTempDirectory("graft-tok-l").toString
+    spark.range(1).selectExpr("CAST(NULL AS LONG) AS sep_id",
+      "1L AS n_merges", "0L AS vocab_shift")
+      .write.parquet(s"$pl/meta")
+    assert(Bpe.tokenizerByteBase(spark, pl).isEmpty)
+    assert(Bpe.tokenizerMeta(spark, pl) == ((None, 1L, 0L)))
+  }
 }

@@ -309,6 +309,71 @@ object SparkEntry4 {
       graft.text.Bpe.decodeIdsBytes(ids, "doc_id", vocab, bb)
     }),
 
+    // THE LIFECYCLE, END TO END — "corpus in, training shards + data
+    // card out", every round-14 artifact composed as one lazy chain
+    // (the q_recipe_e2e pattern): (1) calibrated NB quality gate — train
+    // on the even half, sweep the PR curve, admit odd docs at the
+    // highest threshold keeping recall >= 0.8; (2) decontamination
+    // against the frozen benchmark slice (Bloom-prefiltered 3-gram
+    // overlap); (3) dedup-on-ingest against the standing corpus' minhash
+    // index; (4) encode survivors with the persisted sep tokenizer;
+    // (5) cut the boundary-marked stream into 64-token context windows
+    // with doc-span provenance; (6) length-group the survivors into
+    // padding-minimizing token-budget batches; (7) roll everything up
+    // into a PER-SOURCE data card: docs, post-BPE tokens, windows
+    // touched (via the spans), batches touched, and the shard-manifest
+    // bit_xor fingerprint. Gate/rank/cumsum shapes are all two-phase
+    // range-partitioned prefix sums; the whole chain replays in DuckDB.
+    "q_lifecycle_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val scored = graft.ml.Dedup.trackCache(nbBinaryScored(s, dir))
+      val pr = Eval.prCurve(scored, "truth", "s")
+      val thr = pr.filter(col("recall") >= GATE_RECALL).agg(max("s")).head()
+      val admIds = if (thr.isNullAt(0))
+        scored.filter(lit(false)).select("doc_id")
+        else scored.filter(col("s") >= thr.getDouble(0)).select("doc_id")
+      val gated = docs.join(admIds, Seq("doc_id"), "left_semi")
+      val dec = graft.ml.Dedup.decontaminateBloom(gated, "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 3,
+        maxContaminatedFrac = 0.5)
+      val idxPath = scratchPath(dir, "lifecycle_index")
+      graft.ml.Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idxPath, n = 3, bands = 16, rows = 2,
+        seed = 42L, portable = true)
+      val admitted = graft.ml.Dedup.trackCache(
+        graft.ml.Dedup.ingestDedup(s, idxPath, dec, "doc_id", "text",
+          threshold = 0.3))
+      val tokPath = scratchPath(dir, "lifecycle_tok")
+      graft.text.Bpe.buildTokenizer(docs, "text", tokPath, nMerges = 8,
+        sepToken = true)
+      val ids = graft.ml.Dedup.trackCache(
+        graft.text.Bpe.encodeDocsFromTokenizer(s, tokPath, admitted,
+          "doc_id", "text"))
+      val (sep, _, _) = graft.text.Bpe.tokenizerMeta(s, tokPath)
+      val w = Scale.contextWindows(ids, "doc_id", "ids",
+        windowLen = CW_LEN, insertSep = sep)
+      val batches = Scale.lengthGroupedBatches(ids, "doc_id",
+        col("n_tokens"), nBuckets = 4, batchBudget = 2048L)
+      val srcOf = admitted.select(col("doc_id"), col("source"))
+      val dCard = srcOf.join(ids.select("doc_id", "n_tokens"), Seq("doc_id"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          expr("bit_xor(CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+            "1, 15), 16, 10) AS LONG))").as("fingerprint"))
+      val wSrc = w.select(col("window_id"), explode(col("spans")).as("sp"))
+        .select(col("window_id"), col("sp.doc_id").as("doc_id"))
+        .join(srcOf, Seq("doc_id"))
+        .groupBy("source").agg(count_distinct(col("window_id"))
+          .as("n_windows"))
+      val bSrc = batches.join(srcOf, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count_distinct(col("bucket") * 1000000L + col("batch"))
+          .as("n_batches"))
+      dCard.join(wSrc, Seq("source")).join(bSrc, Seq("source"))
+        .select("source", "n_docs", "n_tokens", "n_windows", "n_batches",
+          "fingerprint")
+    }),
+
     // Hard-negative mining (the DPR/sentence-transformers recipe):
     // over-fetch top-8 candidates per query, drop the top-3 as the
     // positives, re-rank the rest to the 5 hardest negatives — the
@@ -475,6 +540,25 @@ object SparkEntry4 {
           sum("len").as("sum_len"))
         .withColumn("padding",
           col("max_len") * col("n_docs") - col("sum_len"))
+    }),
+
+    // The batcher's SERVING form: bucket cutoffs trained ONCE (the
+    // self-calibrating batcher's bucket minima — q_ccnet_assign's
+    // boundary-freeze pattern applied to batching), then every document
+    // is assigned by comparison against the frozen boundaries and packs
+    // greedily in ARRIVAL (doc_id) order — the order a stream can
+    // actually reproduce (lengthBatchesIngest re-emits these exact rows
+    // batch by batch; StreamingSpec pins it). One broadcast join on a
+    // constant key + one per-bucket two-phase prefix sum.
+    "q_length_batches_bounded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val trained = Scale.lengthGroupedBatches(docs, "doc_id",
+        graft.text.TextFns.tokenCount(col("text")), nBuckets = 4,
+        batchBudget = 2048L)
+      val boundaries = trained.filter(col("bucket") >= 1)
+        .groupBy("bucket").agg(min("len").as("boundary"))
+      Scale.lengthBatchesByBoundaries(docs, "doc_id",
+        graft.text.TextFns.tokenCount(col("text")), boundaries, 2048L)
     }),
 
     // The corpus DATASHEET (Gebru et al. 2021) — the one-row composition
@@ -685,7 +769,7 @@ object SparkEntry4 {
        |  FROM (SELECT DISTINCT doc_id FROM ev) d
        |  CROSS JOIN cs c
        |  LEFT JOIN pc ON pc.doc_id = d.doc_id AND pc.cls = c.cls),
-       |wide AS (SELECT doc_id,
+       |wide AS MATERIALIZED (SELECT doc_id,
        |    round(max(CASE WHEN cls = 'pos' THEN score END)
        |      - max(CASE WHEN cls = 'neg' THEN score END), 6) AS s
        |  FROM allp GROUP BY 1),
@@ -768,6 +852,163 @@ object SparkEntry4 {
        |SELECT w.doc_id, w.s, (l.lang = 'en') AS truth
        |FROM wide w JOIN lab l USING (doc_id)
        |WHERE w.s >= (SELECT t FROM thr)""".stripMargin
+
+  /** DuckDB replica of `q_lifecycle_e2e` — the whole lifecycle rebuilt:
+    * the calibrated-gate CTEs (q_gate_calibrated), the 3-gram
+    * decontamination and banded-minhash admission (q_ingest_e2e's
+    * machinery over the gated set), the full-corpus BPE + sep-shifted
+    * vocabulary (q_context_sep's chain), the admitted token stream cut
+    * at `l`, the length-grouped batcher (q_length_batches' arithmetic),
+    * and the per-source rollup with the shard-manifest bit_xor
+    * fingerprint. Every stage shares its standalone oracle's exact
+    * SQL shapes, so a divergence pinpoints the stage that drifted.
+    */
+  private def lifecycleOracleSql(nMerges: Int, l: Int, gramN: Int,
+                                 contamFrac: Double, bands: Int, rows: Int,
+                                 threshold: Double, seed: Long,
+                                 nBuckets: Int, batchBudget: Long): String = {
+    val k = bands * rows
+    val p = 2147483647L
+    val sigExprs = graft.ml.Dedup.minhashCoeffs(k, seed).map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (${a} * (x % ${p}) + ${b}) % ${p}))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    val bandCond = (0 until bands).map { t =>
+      (1 to rows).map { r =>
+        val i = t * rows + r
+        s"a.sig[$i] = b.sig[$i]"
+      }.mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    val est = s"""list_sum(list_transform(range(1, ${k + 1}),
+       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / ${k}.0"""
+      .stripMargin
+    val g3 = "wr[i] || ' ' || wr[i+1] || ' ' || wr[i+2]"
+    def grams(c: String): String =
+      s"""list_distinct(CASE WHEN len($c) >= $gramN THEN
+         |      list_transform(range(1, len($c) - ${gramN - 2}),
+         |        i -> array_to_string(list_slice($c, i, i + ${gramN - 1}), ' '))
+         |      ELSE [array_to_string($c, ' ')] END)""".stripMargin
+    "WITH " + nbBinCoreSql + s""",
+       |cc AS (SELECT s, pos,
+       |    sum(pos) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+       |  FROM bys),
+       |tot AS (SELECT sum(pos) AS p FROM bys),
+       |thr AS (SELECT max(s) AS t FROM cc, tot
+       |  WHERE p > 0 AND round((p - cum_pos + pos) / p, 6) >= $GATE_RECALL),
+       |adm0 AS (SELECT doc_id FROM wide WHERE s >= (SELECT t FROM thr)),
+       |ga AS MATERIALIZED (SELECT d.doc_id, d.text, d.source
+       |  FROM documents d JOIN adm0 USING (doc_id)),
+       |ldt AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM ga),
+       |ldg AS (SELECT doc_id, ${grams("w")} AS gs FROM ldt),
+       |ldtg AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM ldg),
+       |lbg AS (SELECT DISTINCT unnest(gs) AS g FROM (
+       |    SELECT ${grams("w")} AS gs FROM (
+       |      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |      FROM documents WHERE doc_id % 10 = 0))),
+       |lbad AS (SELECT ldtg.doc_id FROM ldtg JOIN lbg USING (g)
+       |  GROUP BY ldtg.doc_id, ldtg.n_grams
+       |  HAVING round(count(*) * 1.0 / ldtg.n_grams, 4) > $contamFrac),
+       |ldec AS MATERIALIZED (SELECT doc_id FROM ga
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM lbad)),
+       |lmw AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wr
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT d.doc_id,
+       |    regexp_split_to_array(trim(lower(d.text)), '\\s+') AS wr
+       |  FROM documents d JOIN ldec USING (doc_id)),
+       |lmsh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(wr) - 1),
+       |    i -> CAST(concat('0x', substr(md5($g3), 1, 15)) AS BIGINT)))
+       |      AS hs
+       |  FROM lmw WHERE len(wr) >= 3),
+       |lsig AS MATERIALIZED (SELECT doc_id, $sigExprs AS sig FROM lmsh),
+       |ldup1 AS MATERIALIZED (SELECT DISTINCT b.doc_id AS id
+       |  FROM lsig a JOIN lsig b
+       |    ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+       |  WHERE ($bandCond)
+       |    AND $est >= $threshold),
+       |lkept AS MATERIALIZED (SELECT doc_id FROM lsig WHERE doc_id % 2 = 1
+       |    AND doc_id NOT IN (SELECT id FROM ldup1)),
+       |ldup2 AS MATERIALIZED (SELECT DISTINCT b.doc_id AS id
+       |  FROM lsig a JOIN lsig b ON a.doc_id < b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM lkept)
+       |    AND b.doc_id IN (SELECT doc_id FROM lkept)
+       |    AND ($bandCond)
+       |    AND $est >= $threshold),
+       |adm AS MATERIALIZED (SELECT doc_id FROM ldec
+       |  WHERE doc_id NOT IN (SELECT id FROM ldup1)
+       |    AND doc_id NOT IN (SELECT id FROM ldup2)),
+       |admdocs AS MATERIALIZED (SELECT d.doc_id, d.text, d.source
+       |  FROM documents d JOIN adm USING (doc_id)),
+       |${SparkEntry3.bpeEncodeChainSql(nMerges)},
+       |d0 AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |dp AS (SELECT doc_id, ii.i AS pos, ws[ii.i + 1] AS word
+       |  FROM d0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+       |asm AS (SELECT dp.doc_id,
+       |    flatten(list(w.ts ORDER BY dp.pos)) AS toks
+       |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
+       |allt AS (SELECT unnest(toks) AS token FROM asm),
+       |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
+       |vid AS MATERIALIZED (SELECT token,
+       |    row_number() OVER (ORDER BY n DESC, token) AS tid FROM vc),
+       |d0a AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM admdocs),
+       |dpa AS (SELECT doc_id, ii.i AS pos, ws[ii.i + 1] AS word
+       |  FROM d0a, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+       |asma AS MATERIALIZED (SELECT dpa.doc_id,
+       |    flatten(list(w.ts ORDER BY dpa.pos)) AS toks
+       |  FROM dpa JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
+       |dia AS (SELECT doc_id, ii.i AS pos, toks[ii.i + 1] AS token
+       |  FROM asma, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
+       |ot0 AS MATERIALIZED (SELECT dia.doc_id, list(v.tid ORDER BY dia.pos) AS ids
+       |  FROM dia JOIN vid v USING (token) GROUP BY 1),
+       |ot AS MATERIALIZED (SELECT a.doc_id,
+       |    list_append(coalesce(ot0.ids, CAST([] AS BIGINT[])), 0) AS ids
+       |  FROM (SELECT doc_id FROM admdocs) a LEFT JOIN ot0 USING (doc_id)),
+       |offs AS (SELECT doc_id, ids,
+       |    sum(len(ids)) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - len(ids) AS off
+       |  FROM ot),
+       |tk AS MATERIALIZED (SELECT doc_id, off + ii.i AS p
+       |  FROM offs, LATERAL (SELECT unnest(range(0, len(ids))) AS i) ii),
+       |ntok AS MATERIALIZED (SELECT a.doc_id,
+       |    CAST(coalesce(len(ot0.ids), 0) AS BIGINT) AS n_tok
+       |  FROM admdocs a LEFT JOIN ot0 USING (doc_id)),
+       |br AS (SELECT doc_id, n_tok,
+       |    row_number() OVER (ORDER BY n_tok, doc_id) AS rk,
+       |    count(*) OVER () AS n FROM ntok),
+       |bb AS (SELECT doc_id, n_tok,
+       |    ((rk - 1) * $nBuckets) // n AS bucket FROM br),
+       |bc AS (SELECT doc_id, n_tok, bucket,
+       |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY n_tok, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM bb),
+       |bt AS MATERIALIZED (SELECT doc_id, bucket,
+       |    (cum - n_tok) // $batchBudget AS batch FROM bc),
+       |sd AS (SELECT a.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(coalesce(sum(n.n_tok), 0) AS BIGINT) AS n_tokens,
+       |    CAST(bit_xor(${ph("CAST(a.doc_id AS VARCHAR)")}) AS BIGINT)
+       |      AS fingerprint
+       |  FROM admdocs a JOIN ntok n USING (doc_id) GROUP BY 1),
+       |sw AS (SELECT a.source,
+       |    CAST(count(DISTINCT t.p // $l) AS BIGINT) AS n_windows
+       |  FROM tk t JOIN admdocs a USING (doc_id) GROUP BY 1),
+       |sb AS (SELECT a.source,
+       |    CAST(count(DISTINCT bt.bucket * 1000000 + bt.batch) AS BIGINT)
+       |      AS n_batches
+       |  FROM bt JOIN admdocs a USING (doc_id) GROUP BY 1)
+       |SELECT sd.source, sd.n_docs, sd.n_tokens, sw.n_windows,
+       |  sb.n_batches, sd.fingerprint
+       |FROM sd JOIN sw USING (source) JOIN sb USING (source)""".stripMargin
+  }
 
   /** DuckDB replica of `q_gate_calibration`: the scored relation's
     * log-odds through the logistic sigmoid to micro-probability
@@ -907,11 +1148,11 @@ object SparkEntry4 {
        |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
        |allt AS (SELECT unnest(toks) AS token FROM asm),
        |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
-       |vid AS (SELECT token,
+       |vid AS MATERIALIZED (SELECT token,
        |    row_number() OVER (ORDER BY n DESC, token) - 1 AS tid FROM vc),
        |di AS (SELECT doc_id, ii.i AS pos, toks[ii.i + 1] AS token
        |  FROM asm, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
-       |ot AS (SELECT di.doc_id,
+       |ot AS MATERIALIZED (SELECT di.doc_id,
        |    list(CAST(v.tid AS VARCHAR) ORDER BY di.pos) AS ids,
        |    count(*) AS n
        |  FROM di JOIN vid v USING (token) GROUP BY 1)
@@ -946,11 +1187,11 @@ object SparkEntry4 {
        |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
        |allt AS (SELECT unnest(toks) AS token FROM asm),
        |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
-       |vid AS (SELECT token,
+       |vid AS MATERIALIZED (SELECT token,
        |    row_number() OVER (ORDER BY n DESC, token) - 1 AS tid FROM vc),
        |di AS (SELECT doc_id, ii.i AS pos, toks[ii.i + 1] AS token
        |  FROM asm, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
-       |ot AS (SELECT di.doc_id,
+       |ot AS MATERIALIZED (SELECT di.doc_id,
        |    list(CAST(coalesce(v.tid, $k) AS VARCHAR) ORDER BY di.pos) AS ids,
        |    count(*) AS n
        |  FROM di LEFT JOIN (SELECT * FROM vid WHERE tid < $k) v
@@ -977,18 +1218,18 @@ object SparkEntry4 {
        |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
        |allt AS (SELECT unnest(toks) AS token FROM asm),
        |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
-       |vid AS (SELECT token,
+       |vid AS MATERIALIZED (SELECT token,
        |    row_number() OVER (ORDER BY n DESC, token) - 1 AS tid FROM vc),
        |di AS (SELECT doc_id, ii.i AS pos, toks[ii.i + 1] AS token
        |  FROM asm, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
-       |ot AS (SELECT di.doc_id, list(v.tid ORDER BY di.pos) AS ids
+       |ot AS MATERIALIZED (SELECT di.doc_id, list(v.tid ORDER BY di.pos) AS ids
        |  FROM di JOIN vid v USING (token) GROUP BY 1),
        |offs AS (SELECT doc_id, ids,
        |    sum(len(ids)) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |      - len(ids) AS off
        |  FROM ot),
-       |tk AS (SELECT doc_id, off + ii.i AS p, ids[ii.i + 1] AS tid
+       |tk AS MATERIALIZED (SELECT doc_id, off + ii.i AS p, ids[ii.i + 1] AS tid
        |  FROM offs, LATERAL (SELECT unnest(range(0, len(ids))) AS i) ii)
        |SELECT CAST(p // $l AS BIGINT) AS window_id,
        |  CAST(count(*) AS BIGINT) AS n_filled,
@@ -1012,7 +1253,7 @@ object SparkEntry4 {
       else
         """ot0 AS (SELECT di.doc_id, list(v.tid ORDER BY di.pos) AS ids
           |  FROM di JOIN vid v USING (token) GROUP BY 1),
-          |ot AS (SELECT d.doc_id,
+          |ot AS MATERIALIZED (SELECT d.doc_id,
           |    list_append(coalesce(ot0.ids, CAST([] AS BIGINT[])), 0) AS ids
           |  FROM (SELECT DISTINCT doc_id FROM documents) d
           |  LEFT JOIN ot0 USING (doc_id))""".stripMargin
@@ -1028,7 +1269,7 @@ object SparkEntry4 {
        |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
        |allt AS (SELECT unnest(toks) AS token FROM asm),
        |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
-       |vid AS (SELECT token, $vidExpr AS tid FROM vc),
+       |vid AS MATERIALIZED (SELECT token, $vidExpr AS tid FROM vc),
        |di AS (SELECT doc_id, ii.i AS pos, toks[ii.i + 1] AS token
        |  FROM asm, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
        |$otSql,
@@ -1037,7 +1278,7 @@ object SparkEntry4 {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |      - len(ids) AS off
        |  FROM ot),
-       |tk AS (SELECT doc_id, off + ii.i AS p, ids[ii.i + 1] AS tid
+       |tk AS MATERIALIZED (SELECT doc_id, off + ii.i AS p, ids[ii.i + 1] AS tid
        |  FROM offs, LATERAL (SELECT unnest(range(0, len(ids))) AS i) ii)
        |""".stripMargin
   }
@@ -1090,6 +1331,9 @@ object SparkEntry4 {
     "q_hard_negatives"  -> hardNegativesOracleSql(HN_CAND, HN_POS, HN_K),
     "q_source_overlap"  -> sourceOverlapOracleSql,
     "q_gate_calibrated" -> gateCalibratedOracleSql,
+    "q_lifecycle_e2e"   -> lifecycleOracleSql(nMerges = 8, l = CW_LEN,
+      gramN = 3, contamFrac = 0.5, bands = 16, rows = 2, threshold = 0.3,
+      seed = 42L, nBuckets = 4, batchBudget = 2048L),
     "q_gate_calibration" -> gateCalibrationOracleSql(10),
     "q_nb_summary"      -> nbSummaryOracleSql("doc_id % 2 = 0"),
     "q_length_batches" ->
@@ -1115,6 +1359,31 @@ object SparkEntry4 {
         |  CAST(sum(len) AS BIGINT) AS sum_len,
         |  CAST(max(len) * count(*) - sum(len) AS BIGINT) AS padding
         |FROM a GROUP BY 1, 2""".stripMargin,
+    // boundaries re-derived from the q_length_batches split (bucket
+    // minima), then count-of-boundaries assignment + doc_id-order packing
+    "q_length_batches_bounded" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS len
+        |  FROM documents),
+        |r AS (SELECT doc_id, len,
+        |    row_number() OVER (ORDER BY len, doc_id) AS rk,
+        |    (SELECT count(*) FROM s) AS n
+        |  FROM s),
+        |b AS (SELECT doc_id, len, ((rk - 1) * 4) // n AS bucket FROM r),
+        |bd AS MATERIALIZED (SELECT bucket, min(len) AS boundary FROM b
+        |  WHERE bucket >= 1 GROUP BY 1),
+        |asg AS (SELECT s.doc_id, s.len,
+        |    (SELECT CAST(coalesce(sum(CASE WHEN bd.boundary <= s.len
+        |        THEN 1 ELSE 0 END), 0) AS BIGINT) FROM bd) AS bucket
+        |  FROM s),
+        |c AS (SELECT doc_id, len, bucket,
+        |    sum(len) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM asg)
+        |SELECT doc_id, len, bucket,
+        |  CAST((cum - len) // 2048 AS BIGINT) AS batch
+        |FROM c""".stripMargin,
     "q_mlm_pairs" ->
       """WITH d0 AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -1121,6 +1121,167 @@ object Scale {
       .select(col(idCol), col("len"), col("bucket"), col("batch"))
   }
 
+  /** [[lengthGroupedBatches]] against FROZEN length-bucket boundaries —
+    * the serving form of the padding-minimizing batcher (the
+    * [[quantileBoundaries]]/[[assignByBoundaries]] split applied to
+    * batching): bucket cutoffs were trained ONCE on a reference corpus
+    * (`boundaries`: rows of (bucket, boundary) — [[quantileBoundaries]]
+    * with no group columns), every document lands in the bucket counting
+    * the boundaries ≤ its length, and each bucket packs greedily into
+    * ≤ `batchBudget`-token batches in `idCol` ORDER (arrival order — the
+    * property that lets [[lengthBatchesIngest]] reproduce this exactly
+    * on a stream; the self-calibrating [[lengthGroupedBatches]] packs in
+    * length order instead, so the two verbs differ by design, not by
+    * accident). Output: (idCol, len, bucket, batch).
+    *
+    * Scale shapes: the boundary table is broadcast on a constant key
+    * (hash join + count aggregate, never a non-equi nested loop); the
+    * per-bucket running total is [[groupedCumSum]]'s range-partitioned
+    * two-phase prefix sum. The straddler rule is [[packByBudget]]'s.
+    */
+  def lengthBatchesByBoundaries(df: DataFrame, idCol: String,
+                                sizeCol: Column, boundaries: DataFrame,
+                                batchBudget: Long): DataFrame = {
+    require(batchBudget > 0, "batchBudget must be positive")
+    val sized = df.select(col(idCol), sizeCol.cast("long").as("len"))
+      .withColumn("__g", lit(1))
+    val bc = broadcast(boundaries
+      .select(lit(1).as("__g"), col("boundary").cast("long").as("boundary")))
+    val assigned = sized.join(bc, Seq("__g"), "left")
+      .groupBy(col(idCol), col("len"))
+      .agg(coalesce(sum(when(col("boundary") <= col("len"), 1L)), lit(0L))
+        .as("bucket"))
+    groupedCumSum(assigned, Seq("bucket"), Seq(col(idCol)), col("len"),
+        "__cum")
+      .withColumn("batch", expr(s"(__cum - len) div $batchBudget"))
+      .select(col(idCol), col("len"), col("bucket"), col("batch"))
+  }
+
+  /** ONE INGEST STEP of [[lengthBatchesByBoundaries]] against standing
+    * carry state — length-grouped batching running on the stream, the
+    * batcher sibling of [[contextWindowsIngest]]: bucket boundaries are
+    * FROZEN (trained once), and the only state is each bucket's
+    * cumulative packed-token total (≤ nBuckets+1 rows — the open
+    * batch's fill is `cum mod budget`), so an arriving document's batch
+    * id is (carried + in-batch prefix − len) div budget, globally
+    * consistent across micro-batches. Bit-parity (StreamingSpec):
+    * feeding batches in ascending-id order emits exactly the one-shot
+    * [[lengthBatchesByBoundaries]] rows over the concatenated corpus.
+    *
+    * Same hardening as [[contextWindowsIngest]]: ascending-id contract
+    * enforced against the persisted max_id, in-batch id uniqueness
+    * checked, replays detected (foreachBatch `batchId` or content
+    * fingerprint) and RE-EMITTED from the retained previous totals
+    * instead of double-counted, and the whole carry directory swaps via
+    * the staged rename + `_COMMITTED` marker (a crash between delete
+    * and rename recovers by promotion).
+    */
+  def lengthBatchesIngest(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String, batch: DataFrame,
+                          idCol: String, sizeCol: Column,
+                          boundaries: DataFrame, batchBudget: Long,
+                          batchId: Long = -1L): DataFrame = {
+    require(batchBudget > 0, "batchBudget must be positive")
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val carry = new org.apache.hadoop.fs.Path(s"$statePath/carry")
+    val staging = new org.apache.hadoop.fs.Path(s"$statePath/carry.staging")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$statePath/carry.staging/_COMMITTED")
+    if (fs.exists(staging)) {
+      if (fs.exists(marker) && !fs.exists(carry))
+        require(fs.rename(staging, carry), "carry-state recovery failed")
+      else fs.delete(staging, true)
+    }
+    val hasState = fs.exists(carry)
+    val meta: Option[org.apache.spark.sql.Row] = if (hasState)
+      Some(spark.read.parquet(s"$statePath/carry/meta").head()) else None
+    val maxSeen = meta.map(_.getAs[Long]("max_id")).getOrElse(Long.MinValue)
+    def readTotals(rel: String): Map[Long, Long] =
+      if (hasState) spark.read.parquet(s"$statePath/carry/$rel").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      else Map.empty
+    val totals = readTotals("totals")
+    val src = batch.select(col(idCol).cast("long"),
+      sizeCol.cast("long").as("len"))
+    val st = src.agg(count(lit(1)).as("n"),
+      min(col(idCol)).as("mn"), max(col(idCol)).as("mx"),
+      count_distinct(col(idCol)).as("nd"),
+      coalesce(expr(s"bit_xor(${bitXorFpSql(idCol)})"), lit(0L)).as("fp"))
+      .head()
+    val (n, nd, fp) = (st.getAs[Long]("n"), st.getAs[Long]("nd"),
+      st.getAs[Long]("fp"))
+    require(n == nd, s"lengthBatchesIngest: $idCol must be unique within " +
+      s"a batch ($n rows, $nd distinct ids)")
+    val (lastBatchId, lastFp, lastN) = meta match {
+      case Some(m) => (m.getAs[Long]("last_batch_id"),
+        m.getAs[Long]("last_fp"), m.getAs[Long]("last_n"))
+      case None => (-1L, 0L, -1L)
+    }
+    val replayed =
+      if (batchId >= 0L && lastBatchId >= 0L) {
+        if (batchId == lastBatchId) {
+          require(fp == lastFp && n == lastN,
+            s"lengthBatchesIngest: batchId $batchId was already applied " +
+              "with DIFFERENT content (fingerprint/count mismatch)")
+          true
+        } else false
+      } else batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
+    // assign + per-bucket in-batch prefix against a CHOSEN offset map
+    def emit(offsets: Map[Long, Long]): DataFrame = {
+      import spark.implicits._
+      val offDf = broadcast(
+        offsets.toSeq.toDF("bucket", "__off"))
+      val sized = src.withColumn("__g", lit(1))
+      val bc = broadcast(boundaries
+        .select(lit(1).as("__g"), col("boundary").cast("long").as("boundary")))
+      val assigned = sized.join(bc, Seq("__g"), "left")
+        .groupBy(col(idCol), col("len"))
+        .agg(coalesce(sum(when(col("boundary") <= col("len"), 1L)), lit(0L))
+          .as("bucket"))
+      groupedCumSum(assigned, Seq("bucket"), Seq(col(idCol)), col("len"),
+          "__cum")
+        .join(offDf, Seq("bucket"), "left")
+        .withColumn("__o", coalesce(col("__off"), lit(0L)))
+        .withColumn("batch",
+          expr(s"(__o + __cum - len) div $batchBudget"))
+        .select(col(idCol), col("len"), col("bucket"), col("batch"))
+    }
+    if (replayed) {
+      val prev = if (hasState)
+        spark.read.parquet(s"$statePath/carry/prev").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        else Map.empty[Long, Long]
+      return emit(prev)
+    }
+    if (n > 0L)
+      require(st.getAs[Long]("mn") > maxSeen,
+        s"lengthBatchesIngest: ids must ascend across batches — batch " +
+          s"min ${st.getAs[Long]("mn")} <= carried max $maxSeen")
+    val out = emit(totals)
+    // per-bucket batch sums fold into the standing totals
+    val sums = out.groupBy("bucket").agg(sum("len").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = (totals.keySet ++ sums.keySet).map(b =>
+      b -> (totals.getOrElse(b, 0L) + sums.getOrElse(b, 0L))).toSeq
+    import spark.implicits._
+    fs.delete(staging, true)
+    merged.toDF("bucket", "cum").repartition(1)
+      .write.mode("overwrite").parquet(s"$statePath/carry.staging/totals")
+    totals.toSeq.toDF("bucket", "cum").repartition(1)
+      .write.mode("overwrite").parquet(s"$statePath/carry.staging/prev")
+    spark.range(1).select(
+        lit(math.max(maxSeen,
+          if (n > 0L) st.getAs[Long]("mx") else Long.MinValue)).as("max_id"),
+        lit(batchId).as("last_batch_id"), lit(fp).as("last_fp"),
+        lit(n).as("last_n"))
+      .write.mode("overwrite").parquet(s"$statePath/carry.staging/meta")
+    fs.create(marker, true).close()
+    fs.delete(carry, true)
+    require(fs.rename(staging, carry), "carry-state swap failed")
+    out
+  }
+
   /** T5-style SPAN-CORRUPTION pairs (Raffel et al. 2020 §3.1.4; the
     * UL2/denoising pretraining objective's data-prep step): each
     * document's id sequence is split into (input, target) — masked spans

@@ -838,6 +838,28 @@ object StreamVerbs {
         statePath, batch, idCol, idsCol, windowLen, batchId))
     }
 
+  /** Ingest-time length-grouped batching — the padding-minimizing
+    * batcher running on the stream against FROZEN bucket boundaries
+    * (trained once via [[graft.ops.Scale.quantileBoundaries]], the
+    * q_ccnet_assign serving pattern) with per-bucket carry of the open
+    * batch ([[graft.ops.Scale.lengthBatchesIngest]] — the
+    * contextWindowsIngest carry pattern: cumulative token totals, one
+    * row per bucket). The foreachBatch batchId rides into the carry, so
+    * replays re-emit instead of double-count; documents must arrive in
+    * ascending `idCol` order (enforced). StreamingSpec pins stream ==
+    * the one-shot [[graft.ops.Scale.lengthBatchesByBoundaries]] over
+    * the concatenated corpus.
+    */
+  def streamingLengthBatches(t: Tbl, idCol: String, sizeCol: Column,
+                             boundaries: DataFrame, batchBudget: Long,
+                             statePath: String)
+                            (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ops.Scale.lengthBatchesIngest(batch.sparkSession,
+        statePath, batch, idCol, sizeCol, boundaries, batchBudget, batchId))
+    }
+
   /** Span corruption on the stream — [[graft.ops.Scale.spanCorruptionPairs]]
     * per micro-batch: the op is per-document and its noise is
     * hash-derived from (doc, position) alone, so stream == batch with no

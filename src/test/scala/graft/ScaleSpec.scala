@@ -516,6 +516,72 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("lengthBatchesByBoundaries + lengthBatchesIngest: frozen-boundary " +
+      "assignment, stream == one-shot, replay re-emits, order enforced") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextFns.tokenCount(col("text")).cast("long").as("len"))
+    // train the cutoffs ONCE from the self-calibrating batcher's split
+    val trained = Scale.lengthGroupedBatches(docs, "doc_id", col("len"),
+      nBuckets = 4, batchBudget = 2048L)
+    val boundaries = trained.filter(col("bucket") >= 1)
+      .groupBy("bucket").agg(min("len").as("boundary"))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))
+    val oneShot = Scale.lengthBatchesByBoundaries(docs, "doc_id",
+      col("len"), boundaries, 2048L).collect().map(key).toMap
+    assert(oneShot.nonEmpty)
+    // every bucket's pre-straddler batch total respects the budget
+    val over = Scale.lengthBatchesByBoundaries(docs, "doc_id", col("len"),
+        boundaries, 2048L)
+      .groupBy("bucket", "batch")
+      .agg(sum("len").as("sm"), max("len").as("mx"))
+      .filter(col("sm") - col("mx") >= 2048L).count()
+    assert(over == 0, s"$over batches exceed the budget before straddler")
+    // ingest in three id-ordered slices == the one-shot rows
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-lbi-state").toString
+    val got = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long)]
+    val slices = Seq(
+      docs.filter(col("doc_id") < 100),
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400))
+    for ((b, i) <- slices.zipWithIndex)
+      Scale.lengthBatchesIngest(spark, state, b, "doc_id", col("len"),
+          boundaries, 2048L, batchId = i.toLong)
+        .collect().foreach(r => got += key(r))
+    assert(got.toMap == oneShot,
+      s"ingest emitted ${got.size} rows vs one-shot ${oneShot.size}")
+    // replay of the LAST batch re-emits its rows identically, and the
+    // carry totals do not advance
+    val totals0 = spark.read.parquet(s"$state/carry/totals")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val replay = Scale.lengthBatchesIngest(spark, state, slices(2),
+        "doc_id", col("len"), boundaries, 2048L, batchId = 2L)
+      .collect().map(key).toMap
+    assert(replay == oneShot.filter(_._1 >= 400L), "replay diverged")
+    val totals1 = spark.read.parquet(s"$state/carry/totals")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals1 == totals0, "replay advanced the totals")
+    // totals == per-bucket length sums of everything packed
+    val want = docs.join(
+        Scale.lengthBatchesByBoundaries(docs, "doc_id", col("len"),
+          boundaries, 2048L).select("doc_id", "bucket"), "doc_id")
+      .groupBy("bucket").agg(sum("len").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals1 == want, s"carry totals $totals1 != $want")
+    // out-of-order batch fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Scale.lengthBatchesIngest(spark, state,
+        docs.filter(col("doc_id") < 50), "doc_id", col("len"),
+        boundaries, 2048L, batchId = 3L)
+    }
+    assert(ex.getMessage.contains("ascend across batches"))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("lengthGroupedBatches: budget respected up to one straddler; " +
       "bucketing strictly shrinks padding on the skewed corpus") {
     val docs = spark.read

@@ -1500,6 +1500,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(nextId == fullTruth.size.toLong, "window-id counter diverged")
   }
 
+  test("streaming length-grouped batches: frozen boundaries + carry == " +
+      "the one-shot boundary batcher") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextFns.tokenCount(col("text")).cast("long").as("len"))
+    val trained = graft.ops.Scale.lengthGroupedBatches(docs, "doc_id",
+      col("len"), nBuckets = 4, batchBudget = 2048L)
+    val boundaries = trained.filter(col("bucket") >= 1)
+      .groupBy("bucket").agg(min("len").as("boundary"))
+      .localCheckpoint() // frozen: the stream must not re-derive it
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))
+    val oneShot = graft.ops.Scale.lengthBatchesByBoundaries(docs,
+      "doc_id", col("len"), boundaries, 2048L).collect().map(key).toMap
+    val dir = Files.createTempDirectory("graft-lbing-in").toFile
+    val ckpt = Files.createTempDirectory("graft-lbing-ckpt").toFile
+    val state = Files.createTempDirectory("graft-lbing-state").toString
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 300L), (300L, 10000L)))
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long)]
+    val q = StreamVerbs.streamingLengthBatches(Tbl(stream), "doc_id",
+        col("len"), boundaries, 2048L, state) { out =>
+        got.synchronized { out.collect().foreach(r => got += key(r)) }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.toMap == oneShot,
+      s"stream emitted ${got.size} rows vs one-shot ${oneShot.size}")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("streaming calibrated gate: admitted set == the batch gate " +
       "(q_gate_calibrated parity)") {
     val docs = spark.read

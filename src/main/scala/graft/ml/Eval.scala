@@ -181,16 +181,34 @@ object Eval {
     * scales past the corpus scan.
     */
   def calibrationReport(df: DataFrame, labelCol: String, scoreCol: String,
-                        bins: Int = 10): DataFrame = {
+                        bins: Int = 10): DataFrame =
+    calibrationFromBins(calibrationBins(df, labelCol, scoreCol, bins))
+
+  /** The exact per-bin sufficient statistics behind
+    * [[calibrationReport]] — (bin, n, n_pos, __spm), all longs, one row
+    * per non-empty bin. MERGEABLE: every column is a sum, so
+    * bins(A ∪ B) = per-bin column sums of bins(A) and bins(B) — the
+    * property the streaming ECE monitor's carry state rests on
+    * ([[eceMonitorIngest]]), and why a 100 TB calibration report can be
+    * assembled from per-shard partials without a second corpus pass.
+    */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      bins: Int = 10): DataFrame = {
     require(bins > 1, "need at least 2 bins")
     val pm = round(lit(1000000.0) / (lit(1.0) + exp(-col(scoreCol))), 0)
       .cast("long")
-    val b = df
-      .select(pm.as("pm"), when(col(labelCol), 1L).otherwise(0L).as("y"))
+    df.select(pm.as("pm"), when(col(labelCol), 1L).otherwise(0L).as("y"))
       .select(expr(s"least(pm * $bins div 1000000, ${bins - 1})").as("bin"),
         col("pm"), col("y"))
       .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
         sum("pm").as("__spm"))
+  }
+
+  /** [[calibrationReport]]'s derivation from a precomputed (possibly
+    * merged) [[calibrationBins]] relation — shared code object, so a
+    * report assembled from accumulated streaming bins is BIT-identical
+    * to the one-shot batch report over the same rows. */
+  def calibrationFromBins(b: DataFrame): DataFrame = {
     val tot = b.agg(sum("n").as("__N"))
     val rep = b.crossJoin(broadcast(tot))
       .withColumn("__conf", col("__spm") / col("n") / lit(1000000.0))
@@ -206,5 +224,99 @@ object Eval {
         round(col("__conf"), 6).as("conf"),
         round(col("__acc"), 6).as("acc"),
         round(col("__ece"), 6).as("ece"))
+  }
+
+  /** ONE INGEST STEP of the cumulative calibration monitor — the gate's
+    * ECE watched ON INGEST, not just at train time: the arriving scored
+    * micro-batch's [[calibrationBins]] fold into the standing per-bin
+    * totals (≤ `bins` rows of exact longs — the mergeable sufficient
+    * statistics), and the emitted report is [[calibrationFromBins]] over
+    * the MERGED totals — the calibration of everything streamed so far,
+    * bit-identical to the one-shot batch report over the same rows
+    * (StreamingSpec pins it). A drifting ece column is the live signal
+    * that the admission gate's threshold has stopped meaning the
+    * probability it was calibrated to.
+    *
+    * State hardening (the [[graft.ops.Scale.contextWindowsIngest]]
+    * conventions): the carry directory swaps via staged rename +
+    * `_COMMITTED` marker; the foreachBatch `batchId` and a bin-content
+    * fingerprint ride in meta, so a replayed batch is detected and
+    * RE-EMITS the current report instead of double-counting (for a
+    * cumulative monitor, the post-merge state of the original delivery
+    * IS the replay's correct output); a `bins` mismatch against the
+    * persisted state fails loudly (merging different bin widths is
+    * silently wrong).
+    */
+  def eceMonitorIngest(spark: org.apache.spark.sql.SparkSession,
+                       statePath: String, batch: DataFrame,
+                       labelCol: String, scoreCol: String, bins: Int = 10,
+                       batchId: Long = -1L): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val carry = new org.apache.hadoop.fs.Path(s"$statePath/carry")
+    val staging = new org.apache.hadoop.fs.Path(s"$statePath/carry.staging")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$statePath/carry.staging/_COMMITTED")
+    if (fs.exists(staging)) {
+      if (fs.exists(marker) && !fs.exists(carry))
+        require(fs.rename(staging, carry), "carry-state recovery failed")
+      else fs.delete(staging, true)
+    }
+    val hasState = fs.exists(carry)
+    val meta: Option[org.apache.spark.sql.Row] = if (hasState)
+      Some(spark.read.parquet(s"$statePath/carry/meta").head()) else None
+    meta.foreach(m => require(m.getAs[Long]("bins") == bins.toLong,
+      s"eceMonitorIngest: state was built with ${m.getAs[Long]("bins")} " +
+        s"bins, called with $bins — bin widths cannot merge"))
+    val standing: Map[Long, (Long, Long, Long)] = if (hasState)
+      spark.read.parquet(s"$statePath/carry/bins").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3))).toMap
+      else Map.empty
+    val bb = calibrationBins(batch, labelCol, scoreCol, bins).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // effect-equality fingerprint: two batches with identical bin
+    // statistics are interchangeable for a cumulative monitor
+    val fp = scala.util.hashing.MurmurHash3
+      .orderedHash(bb.map(_.toString())).toLong
+    val n = bb.map(_._2._1).sum
+    val (lastBatchId, lastFp, lastN) = meta match {
+      case Some(m) => (m.getAs[Long]("last_batch_id"),
+        m.getAs[Long]("last_fp"), m.getAs[Long]("last_n"))
+      case None => (-1L, 0L, -1L)
+    }
+    import spark.implicits._
+    def report(rows: Map[Long, (Long, Long, Long)]): DataFrame =
+      calibrationFromBins(rows.toSeq
+        .map { case (b, (nn, np, sp)) => (b, nn, np, sp) }
+        .toDF("bin", "n", "n_pos", "__spm"))
+    val replayed =
+      if (batchId >= 0L && lastBatchId >= 0L) {
+        if (batchId == lastBatchId) {
+          require(fp == lastFp && n == lastN,
+            s"eceMonitorIngest: batchId $batchId was already applied " +
+              "with DIFFERENT content (fingerprint/count mismatch)")
+          true
+        } else false
+      } else batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
+    if (replayed) return report(standing)
+    val merged = (standing.keySet ++ bb.map(_._1)).map { b =>
+      val (n0, p0, s0) = standing.getOrElse(b, (0L, 0L, 0L))
+      val (n1, p1, s1) = bb.toMap.getOrElse(b, (0L, 0L, 0L))
+      b -> (n0 + n1, p0 + p1, s0 + s1)
+    }.toMap
+    fs.delete(staging, true)
+    merged.toSeq.map { case (b, (nn, np, sp)) => (b, nn, np, sp) }
+      .toDF("bin", "n", "n_pos", "__spm").repartition(1)
+      .write.mode("overwrite").parquet(s"$statePath/carry.staging/bins")
+    spark.range(1).select(lit(bins.toLong).as("bins"),
+        lit(batchId).as("last_batch_id"), lit(fp).as("last_fp"),
+        lit(n).as("last_n"))
+      .write.mode("overwrite").parquet(s"$statePath/carry.staging/meta")
+    fs.create(marker, true).close()
+    fs.delete(carry, true)
+    require(fs.rename(staging, carry), "carry-state swap failed")
+    report(merged)
   }
 }

@@ -774,6 +774,28 @@ object StreamVerbs {
       sink(graft.ml.Eval.aucBinary(batch, labelCol, scoreCol))
     }
 
+  /** Streaming CALIBRATION monitoring — the stateful sibling of
+    * [[streamingAucMonitor]]: each micro-batch of labeled scored rows
+    * folds its exact per-bin counts into the STANDING reliability bins
+    * ([[graft.ml.Eval.eceMonitorIngest]] — ≤ bins rows of mergeable long
+    * sufficient statistics under the marker-swap carry discipline), and
+    * the sink receives the CUMULATIVE reliability report + ECE over
+    * everything streamed so far — bit-identical to the one-shot batch
+    * [[graft.ml.Eval.calibrationReport]] on the same rows (StreamingSpec
+    * pins it). The foreachBatch batchId rides into the state, so a
+    * replayed micro-batch re-emits the current report instead of
+    * double-counting. A drifting `ece` is the live signal the admission
+    * gate's calibrated threshold has stopped meaning its probability.
+    */
+  def streamingEceMonitor(scored: Tbl, labelCol: String, scoreCol: String,
+                          bins: Int, statePath: String)
+                         (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    scored.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ml.Eval.eceMonitorIngest(batch.sparkSession, statePath,
+        batch, labelCol, scoreCol, bins, batchId))
+    }
+
   /** Streaming Stupid Backoff LM scoring against a PERSISTED model
     * ([[graft.text.Lm.buildBackoffModel]]): each micro-batch of arriving
     * documents runs the batch [[graft.text.Lm.scoreDocsFromModel]] — the

@@ -1585,6 +1585,65 @@ class StreamingSpec extends AnyFunSuite {
       s"stream admitted ${got.size} vs batch ${expected.size}")
   }
 
+  test("streaming ECE monitor: accumulated bins == the one-shot batch " +
+      "calibrationReport; replay re-emits without double-counting") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), (col("lang") === "en").as("y"),
+        // a deterministic synthetic log-odds score with real spread
+        ((col("doc_id") % 17).cast("double") / 4.0 - 2.0 +
+          when(col("lang") === "en", 1.5).otherwise(-0.5)).as("s"))
+    val truth = graft.ml.Eval.calibrationReport(docs, "y", "s", bins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val dir = Files.createTempDirectory("graft-ecemon-in").toFile
+    val ckpt = Files.createTempDirectory("graft-ecemon-ckpt").toFile
+    val state = Files.createTempDirectory("graft-ecemon-state").toString
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 300L), (300L, 10000L)))
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    // keep only the LAST emission: the cumulative report after the
+    // final micro-batch must equal the batch report over everything
+    @volatile var last: Set[(Long, Long, Long, Double, Double, Double)] =
+      Set.empty
+    val q = StreamVerbs.streamingEceMonitor(Tbl(stream), "y", "s",
+        bins = 10, state) { out =>
+        val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+          .toSet
+        synchronized { last = rows }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(last == truth, s"streamed final bins diverged:\n$last\nvs\n$truth")
+    // a replayed final micro-batch (same batchId) re-emits the SAME
+    // cumulative report and leaves the standing bins untouched
+    val bins0 = spark.read.parquet(s"$state/carry/bins").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val lastMeta = spark.read.parquet(s"$state/carry/meta").head()
+    val re = graft.ml.Eval.eceMonitorIngest(spark, state,
+        docs.filter(col("doc_id") >= 300L), "y", "s", bins = 10,
+        batchId = lastMeta.getAs[Long]("last_batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(re == truth, "replay did not re-emit the cumulative report")
+    val bins1 = spark.read.parquet(s"$state/carry/bins").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(bins1 == bins0, "replay advanced the standing bins")
+    // a bins-width mismatch against the state fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      graft.ml.Eval.eceMonitorIngest(spark, state, docs, "y", "s",
+        bins = 5, batchId = 99L)
+    }
+    assert(ex.getMessage.contains("cannot merge"))
+  }
+
   test("streaming AUC monitor: each micro-batch row == batch-side AUC") {
     import spark.implicits._
     val b1 = Seq((1L, true, 3.0), (2L, true, 2.0), (3L, false, 1.0),

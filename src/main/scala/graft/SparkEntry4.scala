@@ -374,6 +374,26 @@ object SparkEntry4 {
           "fingerprint")
     }),
 
+    // Windows over a SEEDED SHUFFLE of the corpus — packing order is
+    // the portable-hash permutation of (doc_id, seed) instead of file
+    // order (crawl-adjacent documents are correlated; training wants
+    // them spread), with span provenance still naming the real doc ids.
+    // One extra two-phase rank over the id-order packer; the
+    // permutation is a pure function of (id, seed), so the cut is
+    // bit-stable across partitionings and replays in the oracle.
+    "q_context_shuffled" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 8)
+      val enc = graft.ml.Dedup.trackCache(
+        graft.text.Bpe.encodeDocs(docs, "doc_id", "text", merges))
+      val ids = graft.text.Bpe.idsFromTokens(enc, "doc_id",
+        graft.text.Bpe.vocabTable(enc))
+      Scale.contextWindowsShuffled(ids, "doc_id", "ids",
+          windowLen = CW_LEN, seed = "42")
+        .select(col("window_id"), col("n_filled"), col("n_docs"),
+          concat_ws(" ", col("ids")).as("ids"))
+    }),
+
     // Hard-negative mining (the DPR/sentence-transformers recipe):
     // over-fetch top-8 candidates per query, drop the top-3 as the
     // positives, re-rank the rest to the 5 hardest negatives — the
@@ -1237,6 +1257,45 @@ object SparkEntry4 {
        |  array_to_string(list(CAST(tid AS VARCHAR) ORDER BY p), ' ') AS ids
        |FROM tk GROUP BY 1""".stripMargin
 
+  /** DuckDB replica of `q_context_shuffled`: the q_context_windows
+    * chain with the stream order replaced by the portable-hash
+    * permutation of (doc_id, seed) — the offsets window orders by the
+    * same md5 leaf the Spark rank uses, so the cut replays bitwise. */
+  private def contextShuffledOracleSql(nMerges: Int, l: Int,
+                                       seed: String): String =
+    "WITH " + SparkEntry3.bpeEncodeChainSql(nMerges) + s""",
+       |d0 AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |dp AS (SELECT doc_id, ii.i AS pos, ws[ii.i + 1] AS word
+       |  FROM d0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+       |asm AS (SELECT dp.doc_id,
+       |    flatten(list(w.ts ORDER BY dp.pos)) AS toks
+       |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
+       |allt AS (SELECT unnest(toks) AS token FROM asm),
+       |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
+       |vid AS MATERIALIZED (SELECT token,
+       |    row_number() OVER (ORDER BY n DESC, token) - 1 AS tid FROM vc),
+       |di AS (SELECT doc_id, ii.i AS pos, toks[ii.i + 1] AS token
+       |  FROM asm, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
+       |ot AS MATERIALIZED (SELECT di.doc_id,
+       |    list(v.tid ORDER BY di.pos) AS ids
+       |  FROM di JOIN vid v USING (token) GROUP BY 1),
+       |offs AS (SELECT doc_id, ids,
+       |    sum(len(ids)) OVER (ORDER BY
+       |      ${ph(s"CAST(doc_id AS VARCHAR) || '|$seed'")}, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - len(ids) AS off
+       |  FROM ot),
+       |tk AS (SELECT doc_id, off + ii.i AS p, ids[ii.i + 1] AS tid
+       |  FROM offs, LATERAL (SELECT unnest(range(0, len(ids))) AS i) ii)
+       |SELECT CAST(p // $l AS BIGINT) AS window_id,
+       |  CAST(count(*) AS BIGINT) AS n_filled,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  array_to_string(list(CAST(tid AS VARCHAR) ORDER BY p), ' ') AS ids
+       |FROM tk GROUP BY 1""".stripMargin
+
   /** The q_context_windows token-stream CTE chain (through `tk`:
     * one row per token at absolute stream position p), shared by the
     * windows, spans, and sep-marked oracles. `vidExpr` sets the id
@@ -1310,6 +1369,7 @@ object SparkEntry4 {
     "q_context_windows" -> contextWindowsOracleSql(8, CW_LEN),
     "q_context_spans"   -> contextSpansOracleSql(8, CW_LEN),
     "q_context_sep"     -> contextSepOracleSql(8, CW_LEN),
+    "q_context_shuffled" -> contextShuffledOracleSql(8, CW_LEN, "42"),
     "q_token_ids"       -> tokenIdsOracleSql(8),
     "q_detokenize"      -> detokenizeOracleSql,
     // the byte-fallback round trip: decode(encode(salted)) equals the

@@ -870,24 +870,60 @@ object Scale {
     */
   def contextWindows(df: DataFrame, orderCol: String, idsCol: String,
                      windowLen: Int,
-                     insertSep: Option[Long] = None): DataFrame = {
+                     insertSep: Option[Long] = None): DataFrame =
+    contextWindowsImpl(df, orderCol, orderCol, idsCol, windowLen, insertSep)
+
+  /** [[contextWindows]] over a SEEDED DETERMINISTIC SHUFFLE of the
+    * corpus — the missing knob between "file order" and a real
+    * pretraining run (adjacent documents in crawl order are correlated;
+    * training wants them spread): the stream position is the PORTABLE
+    * md5-hash permutation of (idCol, seed) — [[shuffleRows]]' idea with
+    * the engine-replayable leaf (xxhash64 does not exist in the oracle)
+    * — realized as one [[globalRowNumber]] two-phase rank that feeds
+    * the packer as its stream order. Spans still carry the REAL
+    * document ids. The permutation is a pure function of (id, seed):
+    * bit-stable across partitionings, re-runs, and engines (ScaleSpec
+    * pins both; q_context_shuffled replays it in DuckDB). Cost over
+    * id-order packing: exactly one extra range exchange (the rank).
+    */
+  def contextWindowsShuffled(df: DataFrame, idCol: String, idsCol: String,
+                             windowLen: Int, seed: String = "42",
+                             insertSep: Option[Long] = None): DataFrame = {
+    val h = Sketch.portableHash(concat(col(idCol).cast("string"),
+      lit("|" + seed)))
+    val ranked = globalRowNumber(
+      df.select(col(idCol), col(idsCol)).withColumn("__h", h),
+      Seq(col("__h"), col(idCol)), "__ord").drop("__h")
+    contextWindowsImpl(ranked, "__ord", idCol, idsCol, windowLen, insertSep)
+  }
+
+  /** Shared packer behind [[contextWindows]] / [[contextWindowsShuffled]]:
+    * `orderCol` is the unique stream position, `docCol` the id spans
+    * report (the same column in the id-ordered verb; the rank vs the
+    * real id in the shuffled one). */
+  private def contextWindowsImpl(df: DataFrame, orderCol: String,
+                                 docCol: String, idsCol: String,
+                                 windowLen: Int,
+                                 insertSep: Option[Long]): DataFrame = {
     require(windowLen > 0, "windowLen must be positive")
     val src = insertSep match {
       case Some(sep) => df.withColumn(idsCol,
         concat(col(idsCol), array(lit(sep))))
       case None => df
     }
+    val keyCols = if (orderCol == docCol) Seq(col(orderCol))
+                  else Seq(col(orderCol), col(docCol))
     val c = globalCumSum(
       src.withColumn("__n", size(col(idsCol)).cast("long")),
       Seq(col(orderCol)), col("__n"), "__cum")
     c.withColumn("__off", col("__cum") - col("__n"))
-      .select(col(orderCol), col("__off"),
-        posexplode(col(idsCol)).as(Seq("__i", "tid")))
+      .select(keyCols ++ Seq(col("__off"),
+        posexplode(col(idsCol)).as(Seq("__i", "tid"))): _*)
       .withColumn("__p", col("__off") + col("__i"))
       // level 1: each (window, document) run — its start inside the
-      // window, its length, its tokens in window order
-      .groupBy(expr(s"__p div $windowLen").as("window_id"),
-        col(orderCol))
+      // window, its length, its tokens in window order (docCol rides
+      // the group: it is functionally dependent on orderCol)
+      .groupBy(expr(s"__p div $windowLen").as("window_id") +: keyCols: _*)
       .agg(min(col("__p") % windowLen).as("start"),
         count(lit(1)).as("len"),
         expr("transform(array_sort(collect_list(" +
@@ -896,7 +932,7 @@ object Scale {
       // level 2: assemble windows from their document runs
       .groupBy("window_id")
       .agg(sum("len").as("n_filled"), count(lit(1)).as("n_docs"),
-        collect_list(struct(col("start"), col(orderCol).as("doc_id"),
+        collect_list(struct(col("start"), col(docCol).as("doc_id"),
           col("len"), col("toks"))).as("__ss"))
       .withColumn("__ss", expr("array_sort(__ss)"))
       .select(col("window_id"), col("n_filled"), col("n_docs"),

@@ -397,6 +397,50 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
+  test("contextWindowsShuffled: seeded permutation packing — bit-stable " +
+      "across partition counts, spans carry real doc ids, seed matters") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        expr("transform(filter(split(trim(lower(text)), '\\\\s+')," +
+          " w -> w rlike '^[a-z]+$'), w -> CAST(length(w) AS LONG))")
+          .as("ids"))
+    val L = 64
+    def run(seed: String) = Scale
+      .contextWindowsShuffled(docs, "doc_id", "ids", L, seed)
+      .orderBy("window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](r.fieldIndex("ids")).toList,
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("spans")).toList
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))))).toList
+    val base = run("42")
+    assert(base.nonEmpty)
+    // every token lands exactly once; spans name REAL doc ids and
+    // reconstruct each document's id array under the permutation
+    val rebuilt = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, List[Long])]]
+    for ((wid, _, _, ids, spans) <- base; (doc, st, ln) <- spans)
+      rebuilt.getOrElseUpdate(doc,
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        ((wid, ids.slice(st.toInt, (st + ln).toInt)))
+    val want = docs.filter(size(col("ids")) > 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val got = rebuilt.map { case (d, parts) =>
+      d -> parts.sortBy(_._1).flatMap(_._2).toList }.toMap
+    assert(got == want, "spans failed to reconstruct documents")
+    // a different seed is a different permutation (with overwhelming
+    // probability on 500 docs), the same seed replays exactly
+    assert(run("42") == base, "same-seed rerun diverged")
+    assert(run("7") != base, "seed had no effect")
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (p <- Seq("2", "4")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(run("42") == base, s"shuffled cut diverged at $p partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   test("contextWindowsIngest: manual batches (incl. an empty one) emit " +
       "the one-shot cut's full-window prefix; carry state survives") {
     val docs = spark.read

@@ -835,7 +835,11 @@ object Bpe {
     * (q_tokenizer_persisted shares q_token_ids' oracle VERBATIM). Words
     * unseen at train time still encode (the merge fold falls back to
     * characters); only a character absent from the training corpus
-    * yields a NULL id ([[idsFromTokens]]' visible-sentinel contract).
+    * yields a NULL id ([[idsFromTokens]]' visible-sentinel contract) —
+    * UNLESS the artifact was built with `byteFallback=true`, in which
+    * case the serving path dispatches on the recorded byte_base and
+    * such tokens become UTF-8 byte ids instead
+    * ([[idsFromTokensBytes]] — no NULL holes, ever).
     */
   def encodeDocsFromTokenizer(spark: org.apache.spark.sql.SparkSession,
                               path: String, docs: DataFrame, idCol: String,
@@ -843,8 +847,28 @@ object Bpe {
                               asciiOnly: Boolean = true): DataFrame = {
     val merges = spark.read.parquet(s"$path/merges")
     val vocab = spark.read.parquet(s"$path/vocab")
-    idsFromTokens(encodeDocs(docs, idCol, textCol, merges, asciiOnly),
-      idCol, vocab)
+    val enc = encodeDocs(docs, idCol, textCol, merges, asciiOnly)
+    tokenizerByteBase(spark, path) match {
+      case Some(bb) => idsFromTokensBytes(enc, idCol, vocab, bb)
+      case None => idsFromTokens(enc, idCol, vocab)
+    }
+  }
+
+  /** Decode id sequences against a persisted [[buildTokenizer]]
+    * artifact — the serving inverse of [[encodeDocsFromTokenizer]],
+    * dispatching on the artifact's byte tier exactly like the encode
+    * side ([[decodeIdsBytes]] when byte_base is recorded,
+    * [[decodeIds]] otherwise), so a dataloader debugger needs one call
+    * regardless of how the tokenizer was built.
+    */
+  def decodeIdsFromTokenizer(spark: org.apache.spark.sql.SparkSession,
+                             path: String, ids: DataFrame,
+                             idCol: String): DataFrame = {
+    val vocab = spark.read.parquet(s"$path/vocab")
+    tokenizerByteBase(spark, path) match {
+      case Some(bb) => decodeIdsBytes(ids, idCol, vocab, bb)
+      case None => decodeIds(ids, idCol, vocab)
+    }
   }
 
   /** Per-merge replay encode — the differential oracle for [[encodeWords]]

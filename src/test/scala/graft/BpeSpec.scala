@@ -469,5 +469,16 @@ class BpeSpec extends AnyFunSuite {
       .write.parquet(s"$pl/meta")
     assert(Bpe.tokenizerByteBase(spark, pl).isEmpty)
     assert(Bpe.tokenizerMeta(spark, pl) == ((None, 1L, 0L)))
+    // the SERVING API dispatches on the artifact's byte tier: one
+    // encode call and one decode call, byte ids used, text restored —
+    // the whole persisted round trip without touching the internals
+    val served = Bpe.encodeDocsFromTokenizer(spark, p, serve,
+      "doc_id", "text", asciiOnly = false)
+    assert(served.filter(expr("exists(ids, i -> i IS NULL)")).count() == 0)
+    assert(served.filter(expr("exists(ids, i -> i < 256)")).count() > 0,
+      "served encode never fell back to bytes")
+    val dec3 = Bpe.decodeIdsFromTokenizer(spark, p, served, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec3 == norm, "from-tokenizer round trip broke")
   }
 }

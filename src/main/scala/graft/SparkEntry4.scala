@@ -494,6 +494,29 @@ object SparkEntry4 {
       Eval.calibrationReport(scored, "truth", "s", bins = 10)
     }),
 
+    // Calibration-bin MERGEABILITY as a first-class claim: the exact
+    // per-bin sufficient statistics are computed on the even and odd
+    // halves SEPARATELY, merged (column sums), and the report derived
+    // from the merged bins — which must equal the one-shot report over
+    // the whole relation (same code object as q_gate_calibration's
+    // tail). This is the property that lets a 100 TB reliability
+    // report assemble from per-shard partials and the streaming ECE
+    // monitor carry ≤ bins rows of state. Scores are a deterministic
+    // synthetic log-odds (exact double arithmetic, engine-portable).
+    "q_calibration_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val scored = docs.select(col("doc_id"),
+        (col("lang") === "en").as("truth"),
+        ((col("doc_id") % 17).cast("double") / 4.0 - 2.0 +
+          when(col("lang") === "en", 1.5).otherwise(-0.5)).as("s"))
+      val parts = Seq(
+        Eval.calibrationBins(scored.filter(col("doc_id") % 2 === 0),
+          "truth", "s", bins = 10),
+        Eval.calibrationBins(scored.filter(col("doc_id") % 2 =!= 0),
+          "truth", "s", bins = 10))
+      Eval.calibrationFromBins(Eval.mergeCalibrationBins(parts))
+    }),
+
     // One-row quality rollup of the multiclass NB gate: micro accuracy,
     // macro-F1 (NULL-as-0, the sklearn zero_division=0 convention) and
     // truth-weighted F1 over the per-class PRF report — the single
@@ -1391,6 +1414,35 @@ object SparkEntry4 {
     "q_hard_negatives"  -> hardNegativesOracleSql(HN_CAND, HN_POS, HN_K),
     "q_source_overlap"  -> sourceOverlapOracleSql,
     "q_gate_calibrated" -> gateCalibratedOracleSql,
+    // same arithmetic as q_gate_calibration's tail over the synthetic
+    // deterministic score; merged-halves == one-shot is the Spark-side
+    // claim, the oracle just computes the one-shot
+    "q_calibration_merge" ->
+      """WITH sc AS (SELECT doc_id, (lang = 'en') AS truth,
+        |    CAST(doc_id % 17 AS DOUBLE) / 4.0 - 2.0 +
+        |      CASE WHEN lang = 'en' THEN 1.5 ELSE -0.5 END AS s
+        |  FROM documents),
+        |pb AS (SELECT
+        |    CAST(round(1000000.0 / (1.0 + exp(-s)), 0) AS BIGINT) AS pm,
+        |    CASE WHEN truth THEN 1 ELSE 0 END AS y
+        |  FROM sc),
+        |bb AS (SELECT least(pm * 10 // 1000000, 9) AS bin,
+        |    count(*) AS n, sum(y) AS n_pos, sum(pm) AS spm
+        |  FROM pb GROUP BY 1),
+        |nn AS (SELECT sum(n) AS nn FROM bb),
+        |rr AS (SELECT bin, n, n_pos,
+        |    spm / n / 1000000.0 AS conf_raw,
+        |    n_pos / n AS acc_raw,
+        |    n / (SELECT nn FROM nn)
+        |      * abs(n_pos / n - spm / n / 1000000.0) AS term
+        |  FROM bb),
+        |ee AS (SELECT list_reduce(list(term ORDER BY bin),
+        |    (a, b) -> a + b) AS ece FROM rr)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pos AS BIGINT) AS n_pos, round(conf_raw, 6) AS conf,
+        |  round(acc_raw, 6) AS acc,
+        |  round((SELECT ece FROM ee), 6) AS ece
+        |FROM rr""".stripMargin,
     "q_lifecycle_e2e"   -> lifecycleOracleSql(nMerges = 8, l = CW_LEN,
       gramN = 3, contamFrac = 0.5, bands = 16, rows = 2, threshold = 0.3,
       seed = 42L, nBuckets = 4, batchBudget = 2048L),

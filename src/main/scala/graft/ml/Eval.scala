@@ -204,6 +204,20 @@ object Eval {
         sum("pm").as("__spm"))
   }
 
+  /** Merge [[calibrationBins]] parts built over disjoint row sets into
+    * the bins of their union — every column is a sum, so calibration
+    * reports maintain INCREMENTALLY (per-shard partials at 100 TB, the
+    * streaming monitor's carry) with no second pass over the rows; the
+    * [[graft.ops.Scale.mergeShardManifests]]-style mergeability claim,
+    * here for the gate's reliability artifact. One micro-table
+    * aggregate. */
+  def mergeCalibrationBins(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "need at least one bins part")
+    parts.reduce(_.unionByName(_))
+      .groupBy("bin").agg(sum("n").as("n"), sum("n_pos").as("n_pos"),
+        sum("__spm").as("__spm"))
+  }
+
   /** [[calibrationReport]]'s derivation from a precomputed (possibly
     * merged) [[calibrationBins]] relation — shared code object, so a
     * report assembled from accumulated streaming bins is BIT-identical

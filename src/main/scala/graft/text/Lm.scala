@@ -399,40 +399,6 @@ object Lm {
     n1.toDouble / (n1 + 2 * n2)
   }
 
-  /** Per-position lookup rows against the KN model: for the full-window
-    * position ending at 0-based token index i, the top level's raw n-gram
-    * ('a'), raw context ('b') and follower-type count ('c'); each mid
-    * level o in 2..n−1's continuation numerator ('n&lt;o&gt;'), mid
-    * denominator ('m&lt;o&gt;') and weight count ('g&lt;o&gt;'); and the
-    * continuation unigram ('u'). 3(n−1)+1 slim rows per position, one
-    * hash equi-join on (kind, k, gram).
-    */
-  private def knLookupExpr(n: Int): String = {
-    def st(role: String, kind: String, k: Int, gram: String): String =
-      s"""named_struct('pos', i - ${n - 1}, 'role', '$role',
-         |  'kind', '$kind', 'k', $k, 'gram', $gram)""".stripMargin
-    def words(o: Int): String =
-      s"array_join(slice(__ts, i - ${n - 1} + ${n - o} + 1, $o), ' ')"
-    def ctxWords(o: Int): String =
-      s"array_join(slice(__ts, i - ${n - 1} + ${n - o} + 1, ${o - 1}), ' ')"
-    val top = Seq(
-      st("a", "r", n, words(n)),
-      st("b", "r", n - 1, ctxWords(n)),
-      st("c", "f", n - 1, ctxWords(n)))
-    val mids = (2 until n).flatMap { o => Seq(
-      st(s"n$o", "c", o, words(o)),
-      st(s"m$o", "m", o - 1, ctxWords(o)),
-      st(s"g$o", "g", o - 1, ctxWords(o)))
-    }
-    val uni = Seq(st("u", "c", 1, "__ts[i]"))
-    val all = (top ++ mids ++ uni).mkString(",\n")
-    s"""IF(size(__ts) >= $n,
-       |  flatten(transform(sequence(${n - 1}, size(__ts) - 1), i -> array(
-       |    $all))),
-       |  CAST(array() AS array<struct<
-       |    pos: int, role: string, kind: string, k: int, gram: string>>))""".stripMargin
-  }
-
   /** Score documents with interpolated Kneser–Ney against a trained
     * [[kneserNeyCounts]] relation. Per full-window position, bottom-up:
     *   P₁(w)      = max(N1+(·w) − D, 0)/BT + D·U1/BT · 1/V
@@ -451,8 +417,10 @@ object Lm {
     * docs get n_grams 0. V/BT/U1 come from [[knStats]] (driver-read
     * scalars, like [[tokenTotal]]).
     *
-    * Shapes at 100 TB: identical to [[scoreDocsBackoff]] — 3(n−1)+1 slim
-    * lookup rows per position, ONE hash equi-join against the model (never
+    * Shapes at 100 TB: like [[scoreDocsBackoff]] — 2n−1 PIVOTED lookup
+    * rows per position ([[knLookupExprPivot]]/[[pivotKnModel]]: the
+    * context's raw and follower counts ride one row), ONE hash
+    * equi-join against the model (never
     * assumed broadcastable), one (id, pos) pivot aggregate, the
     * position-ordered fold (chunk book-length outliers upstream with
     * [[TextFns.chunkDocs]]). Every float op's association order is fixed
@@ -471,15 +439,22 @@ object Lm {
     val ex = docs
       .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
       .select(col(idCol),
-        posexplode_outer(expr(knLookupExpr(n))).as(Seq("__i", "g")))
+        posexplode_outer(expr(knLookupExprPivot(n))).as(Seq("__i", "g")))
       .select(col(idCol), col("g.pos").as("pos"), col("g.role").as("role"),
-        col("g.kind").as("kind"), col("g.k").as("k"), col("g.gram").as("gram"))
-    val joined = ex.join(model.select("kind", "k", "gram", "cnt"),
-      Seq("kind", "k", "gram"), "left")
-    val roles = Seq("a", "b", "c") ++
-      (2 until n).flatMap(o => Seq(s"n$o", s"m$o", s"g$o")) ++ Seq("u")
-    val aggs = roles.map(r0 =>
-      max(when(col("role") === r0, col("cnt"))).as(s"__$r0"))
+        col("g.k").as("k"), col("g.gram").as("gram"))
+    val joined = ex.join(pivotKnModel(model), Seq("k", "gram"), "left")
+    // pivoted probes: 'F' carries the context's raw count AND follower
+    // count, 'G_o' the mid context's total and follower-type count —
+    // same values the per-kind shape read, one row instead of 2–3
+    val aggs = Seq(
+      max(when(col("role") === "a", col("r_cnt"))).as("__a"),
+      max(when(col("role") === "F", col("r_cnt"))).as("__b"),
+      max(when(col("role") === "F", col("f_cnt"))).as("__c")) ++
+      (2 until n).flatMap(o => Seq(
+        max(when(col("role") === s"n$o", col("c_cnt"))).as(s"__n$o"),
+        max(when(col("role") === s"G$o", col("m_cnt"))).as(s"__m$o"),
+        max(when(col("role") === s"G$o", col("g_cnt"))).as(s"__g$o"))) ++
+      Seq(max(when(col("role") === "u", col("c_cnt"))).as("__u"))
     val per = joined.groupBy(col(idCol), col("pos"))
       .agg(aggs.head, aggs.tail: _*)
     val d = lit(discount)
@@ -649,18 +624,18 @@ object Lm {
     }.toMap
   }
 
-  /** [[knLookupExpr]] for the modified scorer, PIVOTED: instead of one
-    * probe row per (kind, k, gram) — which made the class triples
-    * f1/f2/f3 and g1/g2/g3 separate join rows (3n+2 per position) — the
-    * model's kinds are pivoted into one count struct per DISTINCT
-    * (k, gram) at join time ([[pivotCGModel]]), so each position emits
-    * one probe per distinct coordinate: the top gram ('a'), its context
-    * ('F' — carrying b + f1/f2/f3 in one row), each mid level's gram
-    * ('n_o') and context ('G_o' — m + g1/g2/g3), and the unigram ('u')
-    * — 2n−1 slim rows per position (5 at n=3, down from 11), one hash
-    * equi-join on (k, gram).
+  /** The PIVOTED probe lookup both Kneser–Ney scorers share: instead of
+    * one probe row per (kind, k, gram) — which made every kind its own
+    * join row (3(n−1)+1 for single-D, 3n+2 for the class-split CG
+    * scorer) — the model's kinds are pivoted into one count struct per
+    * DISTINCT (k, gram) at join time ([[pivotKnModel]]), so each
+    * position emits one probe per distinct coordinate: the top gram
+    * ('a'), its context ('F' — raw count + follower kinds in one row),
+    * each mid level's gram ('n_o') and context ('G_o' — m + g kinds),
+    * and the unigram ('u') — 2n−1 slim rows per position (5 at n=3,
+    * down from 7 / 11), one hash equi-join on (k, gram).
     */
-  private def knLookupExprCG(n: Int): String = {
+  private def knLookupExprPivot(n: Int): String = {
     def st(role: String, k: Int, gram: String): String =
       s"""named_struct('pos', i - ${n - 1}, 'role', '$role',
          |  'k', $k, 'gram', $gram)""".stripMargin
@@ -684,19 +659,23 @@ object Lm {
        |    pos: int, role: string, k: int, gram: string>>))""".stripMargin
   }
 
-  /** Pivot a [[kneserNeyCountsCG]] relation to ONE row per (k, gram)
-    * carrying every kind's count as a separate column — the join-side
-    * half of the 2n−1 probe shape: the scorer's lookup joins once per
-    * distinct (k, gram) and reads whichever counts its role needs
-    * (role 'F' reads r_cnt + the f-class triple from the same row that
-    * used to cost four probe rows). One micro group-by over the model
-    * relation — the same rows, just wider and fewer.
+  /** Pivot a [[kneserNeyCounts]]/[[kneserNeyCountsCG]] relation to ONE
+    * row per (k, gram) carrying every kind's count as a separate column
+    * — the join-side half of the 2n−1 probe shape: the scorer's lookup
+    * joins once per distinct (k, gram) and reads whichever counts its
+    * role needs (role 'F' reads r_cnt plus the plain follower count or
+    * the f-class triple from the same row that used to cost 2–4 probe
+    * rows). One micro group-by over the model relation — the same rows,
+    * just wider and fewer; kinds a given scorer does not use simply
+    * pivot to NULL columns it never reads.
     */
-  private def pivotCGModel(model: DataFrame): DataFrame =
+  private def pivotKnModel(model: DataFrame): DataFrame =
     model.groupBy("k", "gram").agg(
       max(when(col("kind") === "r", col("cnt"))).as("r_cnt"),
       max(when(col("kind") === "c", col("cnt"))).as("c_cnt"),
       max(when(col("kind") === "m", col("cnt"))).as("m_cnt"),
+      max(when(col("kind") === "f", col("cnt"))).as("f_cnt"),
+      max(when(col("kind") === "g", col("cnt"))).as("g_cnt"),
       max(when(col("kind") === "f1", col("cnt"))).as("f1c"),
       max(when(col("kind") === "f2", col("cnt"))).as("f2c"),
       max(when(col("kind") === "f3", col("cnt"))).as("f3c"),
@@ -721,7 +700,7 @@ object Lm {
     * scalar (class counts and discounts are all scalars), so it rides as
     * one literal. Output/convention identical to [[scoreDocsKN]]; same
     * 100 TB shapes (2n−1 pivoted lookup rows per position — see
-    * [[knLookupExprCG]]/[[pivotCGModel]] — one model equi-join,
+    * [[knLookupExprPivot]]/[[pivotKnModel]] — one model equi-join,
     * position-ordered fold).
     */
   def scoreDocsKNCG(docs: DataFrame, idCol: String, textCol: String,
@@ -737,10 +716,10 @@ object Lm {
     val ex = docs
       .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
       .select(col(idCol),
-        posexplode_outer(expr(knLookupExprCG(n))).as(Seq("__i", "g")))
+        posexplode_outer(expr(knLookupExprPivot(n))).as(Seq("__i", "g")))
       .select(col(idCol), col("g.pos").as("pos"), col("g.role").as("role"),
         col("g.k").as("k"), col("g.gram").as("gram"))
-    val joined = ex.join(pivotCGModel(model), Seq("k", "gram"), "left")
+    val joined = ex.join(pivotKnModel(model), Seq("k", "gram"), "left")
     // each pivoted probe row carries every kind's count at its (k, gram);
     // the role decides which fields feed which scoring column — same
     // values the 3n+2-row shape read, one row where it read four

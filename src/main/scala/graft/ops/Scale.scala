@@ -529,6 +529,89 @@ object Scale {
         expr("bit_xor(fingerprint)").as("fingerprint"))
   }
 
+  /** ONE INGEST STEP of standing-manifest maintenance — the
+    * [[mergeShardManifests]] mergeability claim running as state: the
+    * arriving batch's [[shardManifest]] merges into the persisted
+    * standing manifest (every column a sum/min/max/XOR — order-free, so
+    * batches may touch any shard, including partially-filled ones from
+    * earlier batches), and the sink receives the merged manifest —
+    * the manifest of everything ingested so far, bit-identical to the
+    * one-shot [[shardManifest]] over the union (StreamingSpec pins it).
+    * A dataloader can read `<statePath>/carry/manifest` at any commit
+    * point and see a consistent snapshot.
+    *
+    * State is one row per SHARD — micro-scale next to the data but not
+    * driver-trivial at 10⁶ shards, so the merge runs AS A PLAN (one
+    * micro hash aggregate over standing ∪ batch) and the result is
+    * eagerly localCheckpointed before the swap: the returned frame
+    * depends on the checkpoint, never on the files the swap replaces.
+    * Same hardening as the other ingest verbs: marker-swap crash
+    * consistency, batchId + content-fingerprint replay detection (a
+    * replay re-emits the CURRENT standing manifest — for cumulative
+    * state the post-merge snapshot of the original delivery IS the
+    * replay's correct output).
+    */
+  def shardManifestIngest(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String, batch: DataFrame,
+                          shardCol: String, idCol: String,
+                          sizeCol: Column, fpCol: Column,
+                          batchId: Long = -1L): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val carry = new org.apache.hadoop.fs.Path(s"$statePath/carry")
+    val staging = new org.apache.hadoop.fs.Path(s"$statePath/carry.staging")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$statePath/carry.staging/_COMMITTED")
+    if (fs.exists(staging)) {
+      if (fs.exists(marker) && !fs.exists(carry))
+        require(fs.rename(staging, carry), "carry-state recovery failed")
+      else fs.delete(staging, true)
+    }
+    val hasState = fs.exists(carry)
+    val meta: Option[org.apache.spark.sql.Row] = if (hasState)
+      Some(spark.read.parquet(s"$statePath/carry/meta").head()) else None
+    val part = shardManifest(batch, shardCol, idCol, sizeCol, fpCol)
+    // content fingerprint of the batch's manifest CONTRIBUTION: XOR of
+    // its per-shard digests + row/shard counts — effect-equality, the
+    // cumulative-monitor replay convention
+    val st = part.agg(count(lit(1)).as("ns"),
+      coalesce(sum("n_rows"), lit(0L)).as("n"),
+      coalesce(expr("bit_xor(fingerprint)"), lit(0L)).as("fp")).head()
+    val (ns, n, fp) = (st.getAs[Long]("ns"), st.getAs[Long]("n"),
+      st.getAs[Long]("fp"))
+    val (lastBatchId, lastFp, lastN) = meta match {
+      case Some(m) => (m.getAs[Long]("last_batch_id"),
+        m.getAs[Long]("last_fp"), m.getAs[Long]("last_n"))
+      case None => (-1L, 0L, -1L)
+    }
+    val replayed =
+      if (batchId >= 0L && lastBatchId >= 0L) {
+        if (batchId == lastBatchId) {
+          require(fp == lastFp && n == lastN,
+            s"shardManifestIngest: batchId $batchId was already applied " +
+              "with DIFFERENT content (fingerprint/count mismatch)")
+          true
+        } else false
+      } else batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
+    if (replayed)
+      return spark.read.parquet(s"$statePath/carry/manifest")
+        .localCheckpoint(true)
+    val merged = (if (hasState)
+        mergeShardManifests(Seq(
+          spark.read.parquet(s"$statePath/carry/manifest"), part), shardCol)
+      else part).localCheckpoint(true)
+    fs.delete(staging, true)
+    coalesceForWrite(merged).write.mode("overwrite")
+      .parquet(s"$statePath/carry.staging/manifest")
+    spark.range(1).select(lit(batchId).as("last_batch_id"),
+        lit(fp).as("last_fp"), lit(n).as("last_n"))
+      .write.mode("overwrite").parquet(s"$statePath/carry.staging/meta")
+    fs.create(marker, true).close()
+    fs.delete(carry, true)
+    require(fs.rename(staging, carry), "carry-state swap failed")
+    merged
+  }
+
   /** One-row packing-efficiency report over a [[packSequences]] relation —
     * the dataloader-health numbers a packing run ships with: sequence and
     * segment counts, packed token total, boundary crossings (segments

@@ -882,6 +882,26 @@ object StreamVerbs {
         statePath, batch, idCol, sizeCol, boundaries, batchBudget, batchId))
     }
 
+  /** Standing shard-manifest maintenance on ingest —
+    * [[graft.ops.Scale.shardManifestIngest]] per micro-batch: each
+    * arriving packed batch's manifest merges into the persisted
+    * standing manifest (sum/min/max/XOR columns — order-free, partial
+    * shards from earlier batches keep filling), the sink receives the
+    * cumulative manifest, and `<statePath>/carry/manifest` is a
+    * consistent dataloader-readable snapshot at every commit point.
+    * batchId-idempotent under replay; StreamingSpec pins final streamed
+    * == the one-shot [[graft.ops.Scale.shardManifest]] over the union.
+    */
+  def streamingShardManifest(t: Tbl, shardCol: String, idCol: String,
+                             sizeCol: Column, fpCol: Column,
+                             statePath: String)
+                            (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ops.Scale.shardManifestIngest(batch.sparkSession,
+        statePath, batch, shardCol, idCol, sizeCol, fpCol, batchId))
+    }
+
   /** Span corruption on the stream — [[graft.ops.Scale.spanCorruptionPairs]]
     * per micro-batch: the op is per-document and its noise is
     * hash-derived from (doc, position) alone, so stream == batch with no

@@ -1585,6 +1585,60 @@ class StreamingSpec extends AnyFunSuite {
       s"stream admitted ${got.size} vs batch ${expected.size}")
   }
 
+  test("streaming shard manifest: standing manifest after the last " +
+      "micro-batch == one-shot shardManifest; replay re-emits") {
+    val packed = graft.ops.Scale.packByBudget(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"),
+          graft.text.TextFns.tokenCount(col("text")).cast("long")
+            .as("n_tok"),
+          col("text")),
+      Seq(col("doc_id")), col("n_tok"), budget = 2000)
+      .localCheckpoint() // freeze: the stream re-reads slices of THIS
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    val truth = graft.ops.Scale.shardManifest(packed, "shard", "doc_id",
+        col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      .collect().map(key).toMap
+    val dir = Files.createTempDirectory("graft-smi-in").toFile
+    val ckpt = Files.createTempDirectory("graft-smi-ckpt").toFile
+    val state = Files.createTempDirectory("graft-smi-state").toString
+    // batch boundaries deliberately SPLIT shards (ranges not aligned to
+    // the 2000-token budget), so partial shards must keep filling
+    for ((lo, hi) <- Seq((0L, 111L), (111L, 287L), (287L, 10000L)))
+      packed.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(packed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    @volatile var last: Map[Long, (Long, Long, Long, Long, Long)] =
+      Map.empty
+    val q = StreamVerbs.streamingShardManifest(Tbl(stream), "shard",
+        "doc_id", col("n_tok"),
+        graft.ops.Sketch.portableHash(col("text")), state) { out =>
+        val rows = out.collect().map(key).toMap
+        synchronized { last = rows }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(last == truth, s"streamed manifest diverged (${last.size} vs " +
+      s"${truth.size} shards)")
+    // the persisted snapshot IS the manifest
+    val snap = spark.read.parquet(s"$state/carry/manifest")
+      .collect().map(key).toMap
+    assert(snap == truth, "persisted snapshot diverged")
+    // replay of the last batch re-emits the standing manifest unchanged
+    val lastId = spark.read.parquet(s"$state/carry/meta").head()
+      .getAs[Long]("last_batch_id")
+    val re = graft.ops.Scale.shardManifestIngest(spark, state,
+        packed.filter(col("doc_id") >= 287L), "shard", "doc_id",
+        col("n_tok"), graft.ops.Sketch.portableHash(col("text")),
+        batchId = lastId)
+      .collect().map(key).toMap
+    assert(re == truth, "replay did not re-emit the standing manifest")
+  }
+
   test("streaming ECE monitor: accumulated bins == the one-shot batch " +
       "calibrationReport; replay re-emits without double-counting") {
     import spark.implicits._

@@ -265,18 +265,8 @@ object Eval {
                        statePath: String, batch: DataFrame,
                        labelCol: String, scoreCol: String, bins: Int = 10,
                        batchId: Long = -1L): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val carry = new org.apache.hadoop.fs.Path(s"$statePath/carry")
-    val staging = new org.apache.hadoop.fs.Path(s"$statePath/carry.staging")
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$statePath/carry.staging/_COMMITTED")
-    if (fs.exists(staging)) {
-      if (fs.exists(marker) && !fs.exists(carry))
-        require(fs.rename(staging, carry), "carry-state recovery failed")
-      else fs.delete(staging, true)
-    }
-    val hasState = fs.exists(carry)
+    val cs = graft.ops.CarryState.open(spark, statePath)
+    val hasState = cs.exists
     val meta: Option[org.apache.spark.sql.Row] = if (hasState)
       Some(spark.read.parquet(s"$statePath/carry/meta").head()) else None
     meta.foreach(m => require(m.getAs[Long]("bins") == bins.toLong,
@@ -295,42 +285,28 @@ object Eval {
     val fp = scala.util.hashing.MurmurHash3
       .orderedHash(bb.map(_.toString())).toLong
     val n = bb.map(_._2._1).sum
-    val (lastBatchId, lastFp, lastN) = meta match {
-      case Some(m) => (m.getAs[Long]("last_batch_id"),
-        m.getAs[Long]("last_fp"), m.getAs[Long]("last_n"))
-      case None => (-1L, 0L, -1L)
-    }
     import spark.implicits._
     def report(rows: Map[Long, (Long, Long, Long)]): DataFrame =
       calibrationFromBins(rows.toSeq
         .map { case (b, (nn, np, sp)) => (b, nn, np, sp) }
         .toDF("bin", "n", "n_pos", "__spm"))
-    val replayed =
-      if (batchId >= 0L && lastBatchId >= 0L) {
-        if (batchId == lastBatchId) {
-          require(fp == lastFp && n == lastN,
-            s"eceMonitorIngest: batchId $batchId was already applied " +
-              "with DIFFERENT content (fingerprint/count mismatch)")
-          true
-        } else false
-      } else batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
-    if (replayed) return report(standing)
+    if (graft.ops.CarryState.isReplay("eceMonitorIngest", batchId, fp, n,
+        meta))
+      return report(standing)
     val merged = (standing.keySet ++ bb.map(_._1)).map { b =>
       val (n0, p0, s0) = standing.getOrElse(b, (0L, 0L, 0L))
       val (n1, p1, s1) = bb.toMap.getOrElse(b, (0L, 0L, 0L))
       b -> (n0 + n1, p0 + p1, s0 + s1)
     }.toMap
-    fs.delete(staging, true)
-    merged.toSeq.map { case (b, (nn, np, sp)) => (b, nn, np, sp) }
-      .toDF("bin", "n", "n_pos", "__spm").repartition(1)
-      .write.mode("overwrite").parquet(s"$statePath/carry.staging/bins")
-    spark.range(1).select(lit(bins.toLong).as("bins"),
-        lit(batchId).as("last_batch_id"), lit(fp).as("last_fp"),
-        lit(n).as("last_n"))
-      .write.mode("overwrite").parquet(s"$statePath/carry.staging/meta")
-    fs.create(marker, true).close()
-    fs.delete(carry, true)
-    require(fs.rename(staging, carry), "carry-state swap failed")
+    graft.ops.CarryState.commit(cs) { dir =>
+      merged.toSeq.map { case (b, (nn, np, sp)) => (b, nn, np, sp) }
+        .toDF("bin", "n", "n_pos", "__spm").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/bins")
+      spark.range(1).select(lit(bins.toLong).as("bins"),
+          lit(batchId).as("last_batch_id"), lit(fp).as("last_fp"),
+          lit(n).as("last_n"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
     report(merged)
   }
 }

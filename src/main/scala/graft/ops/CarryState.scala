@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Crash-consistent, replay-aware carry-state plumbing shared by the
+  * ingest verbs ([[Scale.contextWindowsIngest]],
+  * [[Scale.lengthBatchesIngest]], [[Scale.shardManifestIngest]],
+  * [[graft.ml.Eval.eceMonitorIngest]]) — one implementation of the two
+  * invariants every standing-state verb needs, so they cannot drift
+  * apart:
+  *
+  *   1. ATOMIC SWAP WITH RECOVERY: state lives under
+  *      `<statePath>/carry`, replaced by writing a full
+  *      `<statePath>/carry.staging`, creating a `_COMMITTED` marker
+  *      inside it, deleting the old carry, and renaming staging into
+  *      place. On open, a leftover staging WITH the marker and NO carry
+  *      is a completed-but-unpromoted swap (the crash window between
+  *      delete and rename) and is promoted; a marker-less or shadowed
+  *      staging is an incomplete write and is discarded — the intact
+  *      carry (or absence of any state) stays authoritative.
+  *
+  *   2. REPLAY DETECTION: each commit's meta records the applied
+  *      batch's id and content evidence (`last_batch_id`, `last_fp`,
+  *      `last_n`). A batch arriving with the recorded id (the
+  *      foreachBatch at-least-once recipe) — or, for callers without
+  *      ids, with the recorded fingerprint and count — is a REPLAY:
+  *      the verb re-emits its output instead of applying the batch
+  *      twice. A recorded id presented with DIFFERENT content fails
+  *      loudly (one batch id must name one batch).
+  *
+  * The verb owns everything else: its state relations, its meta schema
+  * (which must include the three replay columns), and what "re-emit"
+  * means (cumulative verbs report the current state; prefix-emitting
+  * verbs retain the previous state to recompute the replayed output).
+  */
+private[graft] object CarryState {
+
+  final class Handle(val fs: FileSystem, statePath: String) {
+    val carry = new Path(s"$statePath/carry")
+    val staging = new Path(s"$statePath/carry.staging")
+    val marker = new Path(s"$statePath/carry.staging/_COMMITTED")
+    val stagingDir: String = s"$statePath/carry.staging"
+    def exists: Boolean = fs.exists(carry)
+  }
+
+  /** Open the state at `statePath`, running swap recovery first. */
+  def open(spark: SparkSession, statePath: String): Handle = {
+    val fs = new Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val h = new Handle(fs, statePath)
+    if (fs.exists(h.staging)) {
+      if (fs.exists(h.marker) && !fs.exists(h.carry))
+        require(fs.rename(h.staging, h.carry), "carry-state recovery failed")
+      else fs.delete(h.staging, true)
+    }
+    h
+  }
+
+  /** The last applied batch's (id, fingerprint, count) from a meta row
+    * — (-1, 0, -1) when no state exists yet. */
+  def lastApplied(meta: Option[org.apache.spark.sql.Row]): (Long, Long, Long) =
+    meta match {
+      case Some(m) => (m.getAs[Long]("last_batch_id"),
+        m.getAs[Long]("last_fp"), m.getAs[Long]("last_n"))
+      case None => (-1L, 0L, -1L)
+    }
+
+  /** Replay decision for the arriving batch (`verb` names the caller in
+    * the failure message). Throws when a recorded batch id is presented
+    * with different content. */
+  def isReplay(verb: String, batchId: Long, fp: Long, n: Long,
+               meta: Option[org.apache.spark.sql.Row]): Boolean = {
+    val (lastBatchId, lastFp, lastN) = lastApplied(meta)
+    if (batchId >= 0L && lastBatchId >= 0L) {
+      if (batchId == lastBatchId) {
+        require(fp == lastFp && n == lastN,
+          s"$verb: batchId $batchId was already applied with DIFFERENT " +
+            "content (fingerprint/count mismatch) — a batch id must name " +
+            "one batch")
+        true
+      } else false
+    } else batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
+  }
+
+  /** Commit new state: clear staging, run `write` against the staging
+    * directory (the caller writes ALL its relations there), mark it
+    * committed, and swap it into place. */
+  def commit(h: Handle)(write: String => Unit): Unit = {
+    h.fs.delete(h.staging, true)
+    write(h.stagingDir)
+    h.fs.create(h.marker, true).close()
+    h.fs.delete(h.carry, true)
+    require(h.fs.rename(h.staging, h.carry), "carry-state swap failed")
+  }
+}

@@ -556,18 +556,8 @@ object Scale {
                           shardCol: String, idCol: String,
                           sizeCol: Column, fpCol: Column,
                           batchId: Long = -1L): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val carry = new org.apache.hadoop.fs.Path(s"$statePath/carry")
-    val staging = new org.apache.hadoop.fs.Path(s"$statePath/carry.staging")
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$statePath/carry.staging/_COMMITTED")
-    if (fs.exists(staging)) {
-      if (fs.exists(marker) && !fs.exists(carry))
-        require(fs.rename(staging, carry), "carry-state recovery failed")
-      else fs.delete(staging, true)
-    }
-    val hasState = fs.exists(carry)
+    val cs = CarryState.open(spark, statePath)
+    val hasState = cs.exists
     val meta: Option[org.apache.spark.sql.Row] = if (hasState)
       Some(spark.read.parquet(s"$statePath/carry/meta").head()) else None
     val part = shardManifest(batch, shardCol, idCol, sizeCol, fpCol)
@@ -579,36 +569,20 @@ object Scale {
       coalesce(expr("bit_xor(fingerprint)"), lit(0L)).as("fp")).head()
     val (ns, n, fp) = (st.getAs[Long]("ns"), st.getAs[Long]("n"),
       st.getAs[Long]("fp"))
-    val (lastBatchId, lastFp, lastN) = meta match {
-      case Some(m) => (m.getAs[Long]("last_batch_id"),
-        m.getAs[Long]("last_fp"), m.getAs[Long]("last_n"))
-      case None => (-1L, 0L, -1L)
-    }
-    val replayed =
-      if (batchId >= 0L && lastBatchId >= 0L) {
-        if (batchId == lastBatchId) {
-          require(fp == lastFp && n == lastN,
-            s"shardManifestIngest: batchId $batchId was already applied " +
-              "with DIFFERENT content (fingerprint/count mismatch)")
-          true
-        } else false
-      } else batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
-    if (replayed)
+    if (CarryState.isReplay("shardManifestIngest", batchId, fp, n, meta))
       return spark.read.parquet(s"$statePath/carry/manifest")
         .localCheckpoint(true)
     val merged = (if (hasState)
         mergeShardManifests(Seq(
           spark.read.parquet(s"$statePath/carry/manifest"), part), shardCol)
       else part).localCheckpoint(true)
-    fs.delete(staging, true)
-    coalesceForWrite(merged).write.mode("overwrite")
-      .parquet(s"$statePath/carry.staging/manifest")
-    spark.range(1).select(lit(batchId).as("last_batch_id"),
-        lit(fp).as("last_fp"), lit(n).as("last_n"))
-      .write.mode("overwrite").parquet(s"$statePath/carry.staging/meta")
-    fs.create(marker, true).close()
-    fs.delete(carry, true)
-    require(fs.rename(staging, carry), "carry-state swap failed")
+    CarryState.commit(cs) { dir =>
+      coalesceForWrite(merged).write.mode("overwrite")
+        .parquet(s"$dir/manifest")
+      spark.range(1).select(lit(batchId).as("last_batch_id"),
+          lit(fp).as("last_fp"), lit(n).as("last_n"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
     merged
   }
 
@@ -1076,22 +1050,8 @@ object Scale {
                            idCol: String, idsCol: String,
                            windowLen: Int, batchId: Long = -1L): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val carry = new org.apache.hadoop.fs.Path(s"$statePath/carry")
-    val staging = new org.apache.hadoop.fs.Path(s"$statePath/carry.staging")
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$statePath/carry.staging/_COMMITTED")
-    // recover an interrupted swap: a marked staging with no carry is a
-    // fully-written state whose promotion crashed between the old
-    // carry's delete and the rename — promote it; anything else in
-    // staging is an incomplete write shadowed by the intact carry
-    if (fs.exists(staging)) {
-      if (fs.exists(marker) && !fs.exists(carry))
-        require(fs.rename(staging, carry), "carry-state recovery failed")
-      else fs.delete(staging, true)
-    }
-    val hasState = fs.exists(carry)
+    val cs = CarryState.open(spark, statePath)
+    val hasState = cs.exists
     val meta: Option[org.apache.spark.sql.Row] = if (hasState) {
       val m = spark.read.parquet(s"$statePath/carry/meta")
       require(m.columns.contains("max_id"),
@@ -1126,22 +1086,7 @@ object Scale {
       st.getAs[Long]("fp"))
     require(n == nd, s"contextWindowsIngest: $idCol must be unique within " +
       s"a batch ($n rows, $nd distinct ids)")
-    val (lastBatchId, lastFp, lastN) = meta match {
-      case Some(m) => (m.getAs[Long]("last_batch_id"),
-        m.getAs[Long]("last_fp"), m.getAs[Long]("last_n"))
-      case None => (-1L, 0L, -1L)
-    }
-    val replayed =
-      if (batchId >= 0L && lastBatchId >= 0L) {
-        if (batchId == lastBatchId) {
-          require(fp == lastFp && n == lastN,
-            s"contextWindowsIngest: batchId $batchId was already applied " +
-              "with DIFFERENT content (fingerprint/count mismatch) — " +
-              "a batch id must name one batch")
-          true
-        } else false
-      } else batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
-    if (replayed) {
+    if (CarryState.isReplay("contextWindowsIngest", batchId, fp, n, meta)) {
       // completed swap, replayed batch: re-emit the SAME output from the
       // PREVIOUS state (kept exactly for this) — never advance the carry
       val m = meta.get
@@ -1178,23 +1123,21 @@ object Scale {
     val full = w.filter(col("n_filled") === windowLen)
       .select((col("window_id") + base).as("window_id"), col("n_filled"),
         col("n_docs"), col("ids"), col("spans"))
-    fs.delete(staging, true)
-    spark.createDataFrame(partial.asJava, schema)
-      .repartition(1).write.mode("overwrite")
-      .parquet(s"$statePath/carry.staging/remainder")
-    // the PREVIOUS remainder rides along so a replay of THIS batch can
-    // re-derive its exact output (bounded: < windowLen tokens)
-    remDf.repartition(1).write.mode("overwrite")
-      .parquet(s"$statePath/carry.staging/prev")
-    spark.range(1).select(lit(base + nFull).as("next_window_id"),
-        lit(math.max(maxSeen,
-          if (n > 0L) st.getAs[Long]("mx") else Long.MinValue)).as("max_id"),
-        lit(batchId).as("last_batch_id"), lit(fp).as("last_fp"),
-        lit(n).as("last_n"), lit(base).as("prev_next_window_id"))
-      .write.mode("overwrite").parquet(s"$statePath/carry.staging/meta")
-    fs.create(marker, true).close()
-    fs.delete(carry, true)
-    require(fs.rename(staging, carry), "carry-state swap failed")
+    CarryState.commit(cs) { dir =>
+      spark.createDataFrame(partial.asJava, schema)
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$dir/remainder")
+      // the PREVIOUS remainder rides along so a replay of THIS batch
+      // can re-derive its exact output (bounded: < windowLen tokens)
+      remDf.repartition(1).write.mode("overwrite").parquet(s"$dir/prev")
+      spark.range(1).select(lit(base + nFull).as("next_window_id"),
+          lit(math.max(maxSeen,
+            if (n > 0L) st.getAs[Long]("mx") else Long.MinValue))
+            .as("max_id"),
+          lit(batchId).as("last_batch_id"), lit(fp).as("last_fp"),
+          lit(n).as("last_n"), lit(base).as("prev_next_window_id"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
     full
   }
 
@@ -1301,18 +1244,8 @@ object Scale {
                           boundaries: DataFrame, batchBudget: Long,
                           batchId: Long = -1L): DataFrame = {
     require(batchBudget > 0, "batchBudget must be positive")
-    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val carry = new org.apache.hadoop.fs.Path(s"$statePath/carry")
-    val staging = new org.apache.hadoop.fs.Path(s"$statePath/carry.staging")
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$statePath/carry.staging/_COMMITTED")
-    if (fs.exists(staging)) {
-      if (fs.exists(marker) && !fs.exists(carry))
-        require(fs.rename(staging, carry), "carry-state recovery failed")
-      else fs.delete(staging, true)
-    }
-    val hasState = fs.exists(carry)
+    val cs = CarryState.open(spark, statePath)
+    val hasState = cs.exists
     val meta: Option[org.apache.spark.sql.Row] = if (hasState)
       Some(spark.read.parquet(s"$statePath/carry/meta").head()) else None
     val maxSeen = meta.map(_.getAs[Long]("max_id")).getOrElse(Long.MinValue)
@@ -1332,20 +1265,8 @@ object Scale {
       st.getAs[Long]("fp"))
     require(n == nd, s"lengthBatchesIngest: $idCol must be unique within " +
       s"a batch ($n rows, $nd distinct ids)")
-    val (lastBatchId, lastFp, lastN) = meta match {
-      case Some(m) => (m.getAs[Long]("last_batch_id"),
-        m.getAs[Long]("last_fp"), m.getAs[Long]("last_n"))
-      case None => (-1L, 0L, -1L)
-    }
-    val replayed =
-      if (batchId >= 0L && lastBatchId >= 0L) {
-        if (batchId == lastBatchId) {
-          require(fp == lastFp && n == lastN,
-            s"lengthBatchesIngest: batchId $batchId was already applied " +
-              "with DIFFERENT content (fingerprint/count mismatch)")
-          true
-        } else false
-      } else batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
+    val replayed = CarryState.isReplay("lengthBatchesIngest", batchId,
+      fp, n, meta)
     // assign + per-bucket in-batch prefix against a CHOSEN offset map
     def emit(offsets: Map[Long, Long]): DataFrame = {
       import spark.implicits._
@@ -1384,20 +1305,19 @@ object Scale {
     val merged = (totals.keySet ++ sums.keySet).map(b =>
       b -> (totals.getOrElse(b, 0L) + sums.getOrElse(b, 0L))).toSeq
     import spark.implicits._
-    fs.delete(staging, true)
-    merged.toDF("bucket", "cum").repartition(1)
-      .write.mode("overwrite").parquet(s"$statePath/carry.staging/totals")
-    totals.toSeq.toDF("bucket", "cum").repartition(1)
-      .write.mode("overwrite").parquet(s"$statePath/carry.staging/prev")
-    spark.range(1).select(
-        lit(math.max(maxSeen,
-          if (n > 0L) st.getAs[Long]("mx") else Long.MinValue)).as("max_id"),
-        lit(batchId).as("last_batch_id"), lit(fp).as("last_fp"),
-        lit(n).as("last_n"))
-      .write.mode("overwrite").parquet(s"$statePath/carry.staging/meta")
-    fs.create(marker, true).close()
-    fs.delete(carry, true)
-    require(fs.rename(staging, carry), "carry-state swap failed")
+    CarryState.commit(cs) { dir =>
+      merged.toDF("bucket", "cum").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/totals")
+      totals.toSeq.toDF("bucket", "cum").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/prev")
+      spark.range(1).select(
+          lit(math.max(maxSeen,
+            if (n > 0L) st.getAs[Long]("mx") else Long.MinValue))
+            .as("max_id"),
+          lit(batchId).as("last_batch_id"), lit(fp).as("last_fp"),
+          lit(n).as("last_n"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
     out
   }
 

@@ -1063,6 +1063,29 @@ object SparkEntry2 {
         col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
     }),
 
+    // Manifest MERGEABILITY as a first-class claim (the
+    // q_calibration_merge pattern for the shard artifact): manifests
+    // built over the even-id and odd-id ROW halves of the same packed
+    // corpus — every shard straddles the split — merge by column
+    // sums/min/max/XOR into the manifest of the union, which must equal
+    // the one-shot build (the oracle IS q_shard_manifest's, VERBATIM).
+    // This is what lets standing manifests maintain incrementally on
+    // ingest (shardManifestIngest) with no re-read of old data.
+    "q_manifest_merge" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").df
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+          col("text"))
+      val packed = Dedup.trackCache(graft.ops.Scale.packByBudget(sized,
+        Seq(col("doc_id")), col("n_tok"), budget = 2000))
+      def part(p: org.apache.spark.sql.DataFrame) =
+        graft.ops.Scale.shardManifest(p, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      graft.ops.Scale.mergeShardManifests(Seq(
+        part(packed.filter(col("doc_id") % 2 === 0)),
+        part(packed.filter(col("doc_id") % 2 =!= 0))))
+    }),
+
     // the packing run's efficiency report — one row: sequence/segment
     // counts, packed tokens, cross-document boundary crossings (the
     // attention masks a collator must cut), fill rate and mean segments
@@ -1626,6 +1649,22 @@ object SparkEntry2 {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
         |FROM s""".stripMargin,
     "q_shard_manifest" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
+        |  FROM s)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+        |    AS fingerprint
+        |FROM p GROUP BY 1""".stripMargin,
+    // merged-halves == one-shot is the Spark-side claim; the oracle is
+    // q_shard_manifest's one-shot build VERBATIM
+    "q_manifest_merge" ->
       """WITH s AS (SELECT doc_id, text,
         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
         |  FROM documents),

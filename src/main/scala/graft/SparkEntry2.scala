@@ -1086,6 +1086,26 @@ object SparkEntry2 {
         part(packed.filter(col("doc_id") % 2 =!= 0))))
     }),
 
+    // The manifest's CONSUMER side: the deterministic resumable epoch
+    // schedule — shards permuted by the portable hash of (shard, seed),
+    // dealt round-robin to 4 dataloader workers, each worker's shards
+    // numbered by step with the exact cumulative token offset consumed
+    // before it. Resume-at-step-k is a filter, not a replay; the whole
+    // schedule is a pure function of (manifest, seed), replayed verbatim
+    // by the oracle.
+    "q_epoch_plan" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").df
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+          col("text"))
+      val packed = graft.ops.Scale.packByBudget(sized, Seq(col("doc_id")),
+        col("n_tok"), budget = 2000)
+      val manifest = graft.ops.Scale.shardManifest(packed, "shard",
+        "doc_id", col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      graft.ops.Scale.epochPlan(manifest, "shard", seed = "42",
+        nWorkers = 4)
+    }),
+
     // the packing run's efficiency report — one row: sequence/segment
     // counts, packed tokens, cross-document boundary crossings (the
     // attention masks a collator must cut), fill rate and mean segments
@@ -1662,6 +1682,26 @@ object SparkEntry2 {
         |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
         |    AS fingerprint
         |FROM p GROUP BY 1""".stripMargin,
+    "q_epoch_plan" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
+        |  FROM s),
+        |m AS (SELECT shard, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT shard, n_tokens,
+        |    row_number() OVER (ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(shard AS VARCHAR) || '|42'), 1, 15)) AS BIGINT),
+        |      shard) - 1 AS rk
+        |  FROM m)
+        |SELECT shard, n_tokens, CAST(rk % 4 AS BIGINT) AS worker,
+        |  CAST(rk // 4 AS BIGINT) AS step,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY rk % 4 ORDER BY rk // 4)
+        |    - n_tokens AS BIGINT) AS tok_offset
+        |FROM r""".stripMargin,
     // merged-halves == one-shot is the Spark-side claim; the oracle is
     // q_shard_manifest's one-shot build VERBATIM
     "q_manifest_merge" ->

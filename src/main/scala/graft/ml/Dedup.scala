@@ -663,8 +663,14 @@ object Dedup {
                         path: String, n: Int = 3, bands: Int = 8,
                         rows: Int = 4, seed: Long = 42L,
                         portable: Boolean = false): Unit = {
+    // (batch_id, batch_fp, batch_n) are [[ingestDedup]]'s replay-evidence
+    // columns; the base build is not an ingest batch, so it records the
+    // no-evidence sentinel (-1, 0, -1) — matching nothing
     minhashSignatures(df, idCol, textCol, n, bands * rows, seed,
         indexLeaf(textCol, n, portable))
+      .withColumn("batch_id", lit(-1L))
+      .withColumn("batch_fp", lit(0L))
+      .withColumn("batch_n", lit(-1L))
       .withColumn("batch_seq", lit(0L))
       .write.partitionBy("batch_seq").mode("overwrite")
       .parquet(s"$path/sigs")
@@ -717,6 +723,24 @@ object Dedup {
     * it is the docs with fewer than n tokens. Surface them with a length
     * filter upstream if pass-through is not the policy you want.
     *
+    * REPLAY-SAFE (the [[graft.ops.CarryState]] contract): each appended
+    * partition carries the applied batch's (batch_id, batch_fp, batch_n)
+    * as constant columns — evidence that commits ATOMICALLY with the
+    * index mutation, no separate meta file to race. A batch matching the
+    * last partition's evidence (its foreachBatch `batchId`, or its
+    * content fingerprint for callers without ids) is a replay-after-
+    * append: without the check its own standing signatures would collide
+    * with it and silently drop the whole batch; instead the recorded
+    * partition's survivor set is re-emitted, bit-identical to the
+    * original delivery. A recorded batchId arriving with different
+    * content fails loudly. A crash BEFORE the append leaves no evidence
+    * and no partition — the retry simply runs fresh. (The one naturally
+    * idempotent gap: a batch whose survivor set was EMPTY writes no
+    * partition, and its retry re-drops everything against the same
+    * standing signatures — same output.) Legacy indexes without the
+    * evidence columns keep the old at-least-once behavior; rebuild with
+    * [[buildMinhashIndex]] to upgrade (README migration note).
+    *
     * Scale shapes: batch signatures are computed ONCE (cached across the
     * three consumers), the index is only ever READ on its existing
     * `batch_seq=` partitions and APPENDED as a new partition (no
@@ -730,8 +754,8 @@ object Dedup {
     */
   def ingestDedup(spark: org.apache.spark.sql.SparkSession, path: String,
                   batch: DataFrame, idCol: String, textCol: String,
-                  threshold: Double = 0.8,
-                  maxBucket: Int = 100000): DataFrame = {
+                  threshold: Double = 0.8, maxBucket: Int = 100000,
+                  batchId: Long = -1L): DataFrame = {
     val m = spark.read.parquet(s"$path/meta").head()
     val (n, bands, rows) = (m.getAs[Int]("n"), m.getAs[Int]("bands"),
       m.getAs[Int]("rows"))
@@ -739,6 +763,44 @@ object Dedup {
     val newSigs = trackCache(minhashSignatures(batch, idCol, textCol, n,
       bands * rows, m.getAs[Long]("seed"),
       indexLeaf(textCol, n, m.getAs[Boolean]("portable"))))
+    // REPLAY DETECTION (the CarryState contract, with the evidence riding
+    // IN the appended partition so it commits atomically with the index
+    // mutation): each ingest partition carries the applied batch's
+    // (batch_id, batch_fp, batch_n) as constant columns. An arriving
+    // batch matching the LAST partition's evidence is a replay — its
+    // signatures are already standing, so re-running the dedup would
+    // collide the batch with itself and silently drop EVERYTHING; the
+    // correct output (that partition's survivors) is re-derived instead.
+    // Legacy indexes (no evidence columns) keep the old at-least-once
+    // behavior — rebuild to upgrade (README migration note).
+    val hasEvidence = existing.columns.contains("batch_id")
+    val seq = existing.agg(coalesce(max(col("batch_seq")), lit(0L)))
+      .head().getLong(0) + 1
+    def emitFrom(seqNo: Long): DataFrame = {
+      // survivors = the recorded partition; dropped = sig'd batch docs
+      // not in it (shingle-less docs pass through)
+      val survIds = spark.read.parquet(s"$path/sigs")
+        .filter(col("batch_seq") === seqNo).select("id")
+      val dropped = newSigs.select("id")
+        .join(survIds, Seq("id"), "left_anti")
+        .withColumnRenamed("id", idCol)
+      batch.join(dropped, Seq(idCol), "left_anti")
+    }
+    val bst = if (hasEvidence)
+      batch.agg(count(lit(1)).as("bn"),
+        coalesce(expr(s"bit_xor(${graft.ops.Scale.bitXorFpSql(idCol)})"),
+          lit(0L)).as("bfp")).head()
+      else null
+    if (hasEvidence && seq > 1) {
+      val last = existing.filter(col("batch_seq") === (seq - 1))
+        .select(col("batch_id"), col("batch_fp"), col("batch_n"))
+        .head()
+      if (graft.ops.CarryState.isReplay("ingestDedup", batchId,
+          bst.getAs[Long]("bfp"), bst.getAs[Long]("bn"),
+          (last.getAs[Long]("batch_id"), last.getAs[Long]("batch_fp"),
+            last.getAs[Long]("batch_n"))))
+        return emitFrom(seq - 1)
+    }
     val dupVsIndex = lshPairsBetween(newSigs, existing.select("id", "sig"),
         bands, rows, threshold, maxBucket)
       .select(col("new_id").as("id")).distinct()
@@ -746,18 +808,16 @@ object Dedup {
     val dupInBatch = lshPairsFromSignatures(keptSigs, bands, rows,
         threshold, maxBucket)
       .select(col("id_b").as("id")).distinct()
-    val seq = existing.agg(coalesce(max(col("batch_seq")), lit(0L)))
-      .head().getLong(0) + 1
-    keptSigs.join(dupInBatch, Seq("id"), "left_anti")
+    val survivors = keptSigs.join(dupInBatch, Seq("id"), "left_anti")
+    (if (hasEvidence)
+        survivors.withColumn("batch_id", lit(batchId))
+          .withColumn("batch_fp", lit(bst.getAs[Long]("bfp")))
+          .withColumn("batch_n", lit(bst.getAs[Long]("bn")))
+      else survivors)
       .withColumn("batch_seq", lit(seq))
       .write.partitionBy("batch_seq").mode("append").parquet(s"$path/sigs")
-    // authoritative survivor list = the partition just written; dropped =
-    // sig'd batch docs not in it (shingle-less docs pass through)
-    val survIds = spark.read.parquet(s"$path/sigs")
-      .filter(col("batch_seq") === seq).select("id")
-    val dropped = newSigs.select("id").join(survIds, Seq("id"), "left_anti")
-      .withColumnRenamed("id", idCol)
-    batch.join(dropped, Seq(idCol), "left_anti")
+    // authoritative survivor list = the partition just written
+    emitFrom(seq)
   }
 
   /** SimHash: 64-bit locality-sensitive content hash. Per doc, each token

@@ -70,8 +70,16 @@ private[graft] object CarryState {
     * the failure message). Throws when a recorded batch id is presented
     * with different content. */
   def isReplay(verb: String, batchId: Long, fp: Long, n: Long,
-               meta: Option[org.apache.spark.sql.Row]): Boolean = {
-    val (lastBatchId, lastFp, lastN) = lastApplied(meta)
+               meta: Option[org.apache.spark.sql.Row]): Boolean =
+    isReplay(verb, batchId, fp, n, lastApplied(meta))
+
+  /** [[isReplay]] against an explicit (last_batch_id, last_fp, last_n)
+    * triple — for verbs whose replay evidence is not a carry meta row
+    * (e.g. [[graft.ml.Dedup.ingestDedup]] rides it in the appended index
+    * partition itself, so evidence and state commit atomically). */
+  def isReplay(verb: String, batchId: Long, fp: Long, n: Long,
+               last: (Long, Long, Long)): Boolean = {
+    val (lastBatchId, lastFp, lastN) = last
     if (batchId >= 0L && lastBatchId >= 0L) {
       if (batchId == lastBatchId) {
         require(fp == lastFp && n == lastN,

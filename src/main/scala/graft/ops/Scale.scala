@@ -529,6 +529,43 @@ object Scale {
         expr("bit_xor(fingerprint)").as("fingerprint"))
   }
 
+  /** Deterministic RESUMABLE epoch schedule over a [[shardManifest]] —
+    * the artifact that turns "shards on disk" into "what each worker
+    * reads, in what order, starting where": shards are permuted by the
+    * portable md5 hash of (shard, seed) (a pure function — the same
+    * seed always yields the same epoch order, on any cluster, any
+    * partitioning, any engine), dealt round-robin to `nWorkers`
+    * data-loader workers, and each worker's shards are numbered by
+    * `step` with an exact cumulative `tok_offset` (tokens that worker
+    * consumed BEFORE this shard). Resuming a crashed run at step k is a
+    * FILTER (`step >= k`), not a replay: the schedule is derived, never
+    * stored, so there is no state to lose — and `tok_offset` is the
+    * exact sample-count skip a deterministic dataloader needs.
+    * Output: (shardCol, n_tokens, worker, step, tok_offset).
+    *
+    * Scale shapes: one [[globalRowNumber]] two-phase rank over the
+    * MANIFEST (one row per shard — micro next to the data) and one
+    * per-worker [[groupedCumSum]]; nothing touches the packed corpus.
+    * Oracled end to end (q_epoch_plan); ScaleSpec pins partition-count
+    * bit-stability, seed sensitivity, and worker balance (round-robin:
+    * per-worker shard counts differ by at most one).
+    */
+  def epochPlan(manifest: DataFrame, shardCol: String, seed: String,
+                nWorkers: Int): DataFrame = {
+    require(nWorkers >= 1, "nWorkers must be >= 1")
+    val h = Sketch.portableHash(concat(col(shardCol).cast("string"),
+      lit("|" + seed)))
+    val ranked = globalRowNumber(
+        manifest.select(col(shardCol), col("n_tokens")).withColumn("__h", h),
+        Seq(col("__h"), col(shardCol)), "__rk")
+      .withColumn("worker", expr(s"(__rk - 1) % $nWorkers"))
+      .withColumn("step", expr(s"(__rk - 1) div $nWorkers"))
+    groupedCumSum(ranked, Seq("worker"), Seq(col("step")),
+        col("n_tokens"), "__cum")
+      .select(col(shardCol), col("n_tokens"), col("worker"), col("step"),
+        (col("__cum") - col("n_tokens")).as("tok_offset"))
+  }
+
   /** ONE INGEST STEP of standing-manifest maintenance — the
     * [[mergeShardManifests]] mergeability claim running as state: the
     * arriving batch's [[shardManifest]] merges into the persisted
@@ -1048,7 +1085,8 @@ object Scale {
   def contextWindowsIngest(spark: org.apache.spark.sql.SparkSession,
                            statePath: String, batch: DataFrame,
                            idCol: String, idsCol: String,
-                           windowLen: Int, batchId: Long = -1L): DataFrame = {
+                           windowLen: Int, batchId: Long = -1L,
+                           insertSep: Option[Long] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     val cs = CarryState.open(spark, statePath)
     val hasState = cs.exists
@@ -1073,7 +1111,12 @@ object Scale {
       org.apache.spark.sql.types.StructField(idsCol,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType))))
-    val src = batch.select(col(idCol).cast("long"), col(idsCol))
+    // insertSep applies to the ARRIVING docs only: the carried remainder
+    // is tail slices of already-packed (sep-included) stream, exactly
+    // [[contextWindows]]' per-document append
+    val src = insertSep.foldLeft(
+        batch.select(col(idCol).cast("long"), col(idsCol)))((d, s) =>
+      d.withColumn(idsCol, concat(col(idsCol), array(lit(s)))))
     // one bounded aggregate: row count, id range, distinct-id count and
     // an order-free content fingerprint (bit_xor of portable id hashes —
     // the shardManifest digest) — the replay/ordering evidence
@@ -1144,7 +1187,7 @@ object Scale {
   /** The portable 60-bit id-hash leaf the ingest fingerprint XORs —
     * [[Sketch.portableHash]] of the id string, as SQL text so it can sit
     * inside the `bit_xor` aggregate. */
-  private def bitXorFpSql(idCol: String): String =
+  private[graft] def bitXorFpSql(idCol: String): String =
     s"CAST(conv(substring(md5(CAST(`$idCol` AS STRING)), 1, 15), " +
       "16, 10) AS LONG)"
 

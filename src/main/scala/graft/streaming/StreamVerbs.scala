@@ -852,12 +852,13 @@ object StreamVerbs {
     * (StreamingSpec pins the replay and the out-of-order rejection).
     */
   def streamingContextWindows(t: Tbl, idCol: String, idsCol: String,
-                              windowLen: Int, statePath: String)
+                              windowLen: Int, statePath: String,
+                              insertSep: Option[Long] = None)
                              (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.ops.Scale.contextWindowsIngest(batch.sparkSession,
-        statePath, batch, idCol, idsCol, windowLen, batchId))
+        statePath, batch, idCol, idsCol, windowLen, batchId, insertSep))
     }
 
   /** Ingest-time length-grouped batching — the padding-minimizing
@@ -977,12 +978,119 @@ object StreamVerbs {
                          threshold: Double = 0.8, maxBucket: Int = 100000)
                         (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val qual = batch.filter(qualityPred)
       val dec = graft.ml.Dedup.decontaminateBloom(qual, idCol, textCol,
         bench, benchText, contamN, maxContaminatedFrac)
       sink(graft.ml.Dedup.ingestDedup(batch.sparkSession, indexPath, dec,
-        idCol, textCol, threshold, maxBucket))
+        idCol, textCol, threshold, maxBucket, batchId))
+    }
+
+  /** The outputs of one [[lifecycleIngest]] micro-batch: the admitted
+    * source rows, the batch's FULL context windows (global ids), its
+    * length-bucket batch assignments, and the cumulative standing shard
+    * manifest after the batch folded in. */
+  final case class LifecycleBatchOut(admitted: DataFrame, windows: DataFrame,
+                                     batches: DataFrame, manifest: DataFrame)
+
+  /** ONE MICRO-BATCH of the WHOLE training-data lifecycle — the
+    * streaming twin of q_lifecycle_e2e ("corpus in, training shards +
+    * data card out"), every stage the serving form of a frozen artifact
+    * or a replay-safe standing state:
+    *
+    *   1. calibrated NB quality gate — score against the persisted model,
+    *      admit at the threshold frozen at build time
+    *      ([[graft.text.Classify.scoreBinaryFromModel]] /
+    *      [[graft.text.Classify.gateThreshold]]);
+    *   2. decontamination against the frozen benchmark slice
+    *      ([[graft.ml.Dedup.decontaminateBloom]] — map-side sketch probe);
+    *   3. dedup-on-ingest vs the standing minhash index WITH growth
+    *      ([[graft.ml.Dedup.ingestDedup]] — replay-evidence columns ride
+    *      the appended partition);
+    *   4. encode survivors with the persisted separator tokenizer
+    *      ([[graft.text.Bpe.encodeDocsFromTokenizer]] — the sep id comes
+    *      from the artifact's meta, never assumed);
+    *   5. cut the boundary-marked id stream into `windowLen`-token
+    *      context windows with doc-span provenance against the standing
+    *      carry ([[graft.ops.Scale.contextWindowsIngest]]);
+    *   6. length-group survivors into ≤ `batchBudget`-token batches
+    *      against FROZEN bucket boundaries
+    *      ([[graft.ops.Scale.lengthBatchesIngest]]);
+    *   7. fold the batch's per-`srcCol` doc/token counts + id
+    *      fingerprints into the standing shard manifest — the data card
+    *      maintained incrementally
+    *      ([[graft.ops.Scale.shardManifestIngest]]).
+    *
+    * Exactly-once as a CHAIN: the foreachBatch `batchId` threads into
+    * every stateful stage, and the stages commit in a FIXED order
+    * (dedup append → window carry → batch carry → manifest), so a crash
+    * anywhere leaves a committed prefix — on redelivery each committed
+    * stage detects the replay and re-emits bit-identically while the
+    * first uncommitted stage applies fresh. Documents must arrive in
+    * ascending `idCol` order across batches (the packing contract,
+    * enforced); per-batch work is O(batch) against bounded standing
+    * state everywhere (signatures scan slim, carry < windowLen tokens,
+    * totals ≤ buckets rows, manifest one row per shard).
+    */
+  def lifecycleIngest(spark: org.apache.spark.sql.SparkSession,
+                      statePath: String, batch: DataFrame,
+                      idCol: String, textCol: String, srcCol: String,
+                      gatePath: String, bench: DataFrame, benchText: String,
+                      indexPath: String, tokPath: String, windowLen: Int,
+                      boundaries: DataFrame, batchBudget: Long,
+                      contamN: Int = 3, maxContaminatedFrac: Double = 0.5,
+                      dedupThreshold: Double = 0.3, maxBucket: Int = 100000,
+                      posCls: String = "pos", negCls: String = "neg",
+                      batchId: Long = -1L): LifecycleBatchOut = {
+    val (thr, _) = graft.text.Classify.gateThreshold(spark, gatePath)
+    val scored = graft.text.Classify.scoreBinaryFromModel(spark, gatePath,
+      batch, idCol, textCol, posCls, negCls)
+    val gated = batch.join(scored.filter(col("s") >= thr).select(idCol),
+      Seq(idCol), "left_semi")
+    val dec = graft.ml.Dedup.decontaminateBloom(gated, idCol, textCol,
+      bench, benchText, contamN, maxContaminatedFrac)
+    val admitted = graft.ml.Dedup.trackCache(
+      graft.ml.Dedup.ingestDedup(spark, indexPath, dec, idCol, textCol,
+        dedupThreshold, maxBucket, batchId))
+    val ids = graft.ml.Dedup.trackCache(
+      graft.text.Bpe.encodeDocsFromTokenizer(spark, tokPath, admitted,
+        idCol, textCol))
+    val (sep, _, _) = graft.text.Bpe.tokenizerMeta(spark, tokPath)
+    val windows = graft.ops.Scale.contextWindowsIngest(spark,
+      s"$statePath/windows", ids, idCol, "ids", windowLen, batchId, sep)
+    val batches = graft.ops.Scale.lengthBatchesIngest(spark,
+      s"$statePath/batches", ids, idCol, col("n_tokens"), boundaries,
+      batchBudget, batchId)
+    val manifest = graft.ops.Scale.shardManifestIngest(spark,
+      s"$statePath/manifest",
+      batch.select(col(idCol), col(srcCol))
+        .join(ids.select(col(idCol), col("n_tokens")), Seq(idCol)),
+      srcCol, idCol, col("n_tokens"),
+      graft.ops.Sketch.portableHash(col(idCol).cast("string")), batchId)
+    LifecycleBatchOut(admitted, windows, batches, manifest)
+  }
+
+  /** [[lifecycleIngest]] on a stream — the whole q_lifecycle_e2e chain
+    * running per micro-batch under foreachBatch, batchId-idempotent at
+    * every stateful stage (StreamingSpec pins streamed windows, batch
+    * assignments, and the final manifest against the one-shot batch
+    * composition over the same frozen artifacts). */
+  def streamingLifecycle(t: Tbl, idCol: String, textCol: String,
+                         srcCol: String, gatePath: String, bench: DataFrame,
+                         benchText: String, indexPath: String,
+                         tokPath: String, windowLen: Int,
+                         boundaries: DataFrame, batchBudget: Long,
+                         statePath: String, contamN: Int = 3,
+                         maxContaminatedFrac: Double = 0.5,
+                         dedupThreshold: Double = 0.3,
+                         maxBucket: Int = 100000)
+                        (sink: LifecycleBatchOut => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(lifecycleIngest(batch.sparkSession, statePath, batch, idCol,
+        textCol, srcCol, gatePath, bench, benchText, indexPath, tokPath,
+        windowLen, boundaries, batchBudget, contamN, maxContaminatedFrac,
+        dedupThreshold, maxBucket, batchId = batchId))
     }
 
   /** Ingest-time snapshot classification against a FROZEN corpus version
@@ -1074,9 +1182,9 @@ object StreamVerbs {
                            maxBucket: Int = 100000)
                           (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.ml.Dedup.ingestDedup(batch.sparkSession, path, batch,
-        idCol, textCol, threshold, maxBucket))
+        idCol, textCol, threshold, maxBucket, batchId))
     }
 
   /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed

@@ -666,6 +666,66 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestDedup replay: a re-delivered batch re-emits its survivors " +
+      "instead of colliding with its own signatures") {
+    import spark.implicits._
+    val dirP = java.nio.file.Files.createTempDirectory("graft-mhreplay")
+    val idx = dirP.toString
+    try {
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", idx)
+      val batch = docs.filter(col("doc_id") === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .select("doc_id", "text")
+        .unionByName(Seq(
+          (2000001L, "completely novel content about quasar spectroscopy drift"),
+          (2000002L, "maintenance log turbine seven bearing temperature anomaly"))
+          .toDF("doc_id", "text"))
+      val kept = Dedup.ingestDedup(spark, idx, batch, "doc_id", "text",
+          threshold = 0.9, batchId = 7L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2000001L, 2000002L), kept.toString)
+      val seqAfter = spark.read.parquet(s"$idx/sigs")
+        .agg(max(col("batch_seq").cast("long"))).head().getLong(0)
+      // at-least-once delivery: the SAME batch arrives again (crash after
+      // the append, before the checkpoint commit) — without evidence the
+      // batch's own standing signatures would drop everything
+      val replay = Dedup.ingestDedup(spark, idx, batch, "doc_id", "text",
+          threshold = 0.9, batchId = 7L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(replay == kept, s"replay must re-emit $kept, got $replay")
+      // and the index did NOT grow a duplicate partition
+      assert(spark.read.parquet(s"$idx/sigs")
+        .agg(max(col("batch_seq").cast("long"))).head().getLong(0) == seqAfter)
+      // content-fingerprint replay detection for callers without batch ids
+      val replayNoId = Dedup.ingestDedup(spark, idx, batch, "doc_id",
+          "text", threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(replayNoId == kept)
+      // a recorded batchId delivered with DIFFERENT content is a bug, not
+      // a replay — fail loudly (one batch id names one batch)
+      val mutated = Seq((4000001L, "entirely different replacement content"))
+        .toDF("doc_id", "text")
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.ingestDedup(spark, idx, mutated, "doc_id", "text",
+          threshold = 0.9, batchId = 7L)
+      }
+      assert(ex.getMessage.contains("DIFFERENT"))
+      // the NEXT batch applies fresh and still dedups against batch 7
+      val next = Seq(
+        (5000001L, "completely novel content about quasar spectroscopy drift"),
+        (5000002L, "fresh second batch subject matter entirely its own"))
+        .toDF("doc_id", "text")
+      val kept2 = Dedup.ingestDedup(spark, idx, next, "doc_id", "text",
+          threshold = 0.9, batchId = 8L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(5000002L), kept2.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("minhash LSH hot-bucket guard drops degenerate band buckets") {
     import spark.implicits._
     // 40 byte-identical docs: every band bucket holds all 40 — the

@@ -672,6 +672,54 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("epochPlan: pure-function schedule — partition-invariant, " +
+      "seed-sensitive, round-robin balanced, resume is a filter") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+        col("text"))
+    val manifest = graft.ml.Dedup.trackCache(Scale.shardManifest(
+      Scale.packByBudget(docs, Seq(col("doc_id")), col("n_tok"),
+        budget = 2000),
+      "shard", "doc_id", col("n_tok"),
+      graft.ops.Sketch.portableHash(col("text"))))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val plan = rows(Scale.epochPlan(manifest, "shard", "42", nWorkers = 4))
+    assert(plan.nonEmpty)
+    // bit-stable across input partitionings (the permutation is a pure
+    // function of (shard, seed), the rank two-phase)
+    assert(rows(Scale.epochPlan(manifest.repartition(7), "shard", "42",
+      nWorkers = 4)) == plan)
+    // a different seed is a different epoch order over the same shards
+    val plan2 = rows(Scale.epochPlan(manifest, "shard", "43", nWorkers = 4))
+    assert(plan2.keySet == plan.keySet &&
+      plan2.exists { case (s, v) => plan(s) != v },
+      "seed 43 must permute differently")
+    // round-robin balance: per-worker shard counts differ by at most 1
+    val byWorker = plan.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byWorker.values.max - byWorker.values.min <= 1, byWorker.toString)
+    // per-worker steps are consecutive from 0 and tok_offset is the exact
+    // running token total of the worker's earlier steps
+    for ((w, ss) <- plan.values.groupBy(_._2)) {
+      val ordered = ss.toSeq.sortBy(_._3)
+      assert(ordered.map(_._3) == (0L until ordered.size.toLong),
+        s"worker $w steps not consecutive")
+      var cum = 0L
+      for ((nTok, _, _, off) <- ordered) {
+        assert(off == cum, s"worker $w offset $off != $cum")
+        cum += nTok
+      }
+    }
+    // resume-at-step-k: the suffix IS the plan filtered — derived, no state
+    val full = Scale.epochPlan(manifest, "shard", "42", nWorkers = 4)
+    assert(rows(full.filter(col("step") >= 2)) ==
+      plan.filter(_._2._3 >= 2L))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("interleaveWeighted: stride mix, weight-2 source appears ~2x as often") {
     import spark.implicits._
     val a = (1L to 100L).map(i => (i, "x")).toDF("id", "p")

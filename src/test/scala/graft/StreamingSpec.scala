@@ -1729,4 +1729,120 @@ class StreamingSpec extends AnyFunSuite {
       got.exists(_._3 == 0.875) && got.exists(_._3 == 1.0),
       s"stream $got")
   }
+
+  test("streaming lifecycle: gate -> decontaminate -> dedup -> encode -> " +
+      "windows -> batches -> manifest == the batch composition") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val L = 64
+    val budget = 2048L
+    // frozen artifacts, built ONCE before any streaming: gate model +
+    // threshold, benchmark slice, minhash index, sep tokenizer, length
+    // boundaries (trained on the even reference half's encoded lengths)
+    val lab = docs.withColumn("cls",
+      when(col("lang") === "en", lit("pos")).otherwise(lit("neg")))
+    val gate = Files.createTempDirectory("graft-slc-gate").toString
+    graft.text.Classify.buildNbModel(
+      lab.filter(col("doc_id") % 2 === 0), "cls", "text", gate)
+    val scored = graft.text.Classify.scoreBinaryFromModel(
+        spark, gate, odd, "doc_id", "text")
+      .join(odd.select(col("doc_id"), (col("lang") === "en").as("truth")),
+        Seq("doc_id"))
+    graft.text.Classify.saveGateThreshold(spark, gate, scored, "truth", 0.8)
+    val bench = even.filter(col("doc_id") % 10 === 0)
+    val tok = Files.createTempDirectory("graft-slc-tok").toString
+    graft.text.Bpe.buildTokenizer(docs, "text", tok, nMerges = 8,
+      sepToken = true)
+    val evenIds = graft.text.Bpe.encodeDocsFromTokenizer(spark, tok, even,
+      "doc_id", "text")
+    val trained = graft.ops.Scale.lengthGroupedBatches(evenIds, "doc_id",
+      col("n_tokens"), nBuckets = 4, batchBudget = budget)
+    val boundaries = trained.filter(col("bucket") >= 1)
+      .groupBy("bucket").agg(min("len").as("boundary"))
+      .localCheckpoint()
+    def freshIdx(): String = {
+      val p = Files.createTempDirectory("graft-slc-idx").toString
+      graft.ml.Dedup.buildMinhashIndex(even, "doc_id", "text", p,
+        n = 3, bands = 16, rows = 2, seed = 42L, portable = true)
+      p
+    }
+    // three ascending-id micro-batches (the packing contract)
+    val cuts = Seq((0L, 200L), (200L, 400L), (400L, Long.MaxValue))
+    val parts = cuts.map { case (lo, hi) =>
+      odd.filter(col("doc_id") >= lo && col("doc_id") < hi) }
+    val dir = Files.createTempDirectory("graft-slc-in").toFile
+    val ckpt = Files.createTempDirectory("graft-slc-ckpt").toFile
+    val state = Files.createTempDirectory("graft-slc-state").toString
+    parts.foreach(_.repartition(1).write.mode("append")
+      .parquet(dir.getAbsolutePath))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val idxS = freshIdx()
+    val gotW = scala.collection.mutable.Map.empty[Long, List[Long]]
+    val gotB = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val gotM = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long, Long, Long)]
+    val q = StreamVerbs.streamingLifecycle(Tbl(stream), "doc_id", "text",
+        "source", gate, bench, "text", idxS, tok, L, boundaries, budget,
+        state, contamN = 3, maxContaminatedFrac = 0.5,
+        dedupThreshold = 0.3) { out =>
+        gotW.synchronized {
+          out.windows.select("window_id", "ids").collect().foreach(r =>
+            gotW(r.getLong(0)) = r.getSeq[Long](1).toList)
+          out.batches.collect().foreach(r =>
+            gotB(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getLong(3)))
+          gotM.clear() // cumulative: the last manifest wins
+          out.manifest.collect().foreach(r =>
+            gotM(r.getString(0)) = (r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5)))
+        }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    // batch reference: sequential per-batch admission on a fresh index
+    // (dedup-on-ingest is order-dependent BY DESIGN), then the one-shot
+    // window/batcher/manifest composition over the admitted corpus
+    val idxB = freshIdx()
+    val (thr, _) = graft.text.Classify.gateThreshold(spark, gate)
+    def admit(b: org.apache.spark.sql.DataFrame) = {
+      val g = b.join(graft.text.Classify.scoreBinaryFromModel(spark, gate,
+          b, "doc_id", "text").filter(col("s") >= thr).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      graft.ml.Dedup.ingestDedup(spark, idxB,
+        graft.ml.Dedup.decontaminateBloom(g, "doc_id", "text", bench,
+          "text", n = 3, maxContaminatedFrac = 0.5),
+        "doc_id", "text", threshold = 0.3).localCheckpoint()
+    }
+    val admitted = parts.map(admit).reduce(_.unionByName(_))
+    val ids = graft.text.Bpe.encodeDocsFromTokenizer(spark, tok, admitted,
+      "doc_id", "text").localCheckpoint()
+    val (sep, _, _) = graft.text.Bpe.tokenizerMeta(spark, tok)
+    val expW = graft.ops.Scale.contextWindows(ids, "doc_id", "ids", L,
+        insertSep = sep)
+      .filter(col("n_filled") === L)
+      .select("window_id", "ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val expB = graft.ops.Scale.lengthBatchesByBoundaries(ids, "doc_id",
+        col("n_tokens"), boundaries, budget)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expM = graft.ops.Scale.shardManifest(
+        admitted.select("doc_id", "source")
+          .join(ids.select("doc_id", "n_tokens"), Seq("doc_id")),
+        "source", "doc_id", col("n_tokens"),
+        graft.ops.Sketch.portableHash(col("doc_id").cast("string")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(gotW.toMap == expW && expW.nonEmpty,
+      s"windows: stream ${gotW.size} vs batch ${expW.size}")
+    assert(gotB.toMap == expB && expB.nonEmpty,
+      s"batches: stream ${gotB.size} vs batch ${expB.size}")
+    assert(gotM.toMap == expM && expM.nonEmpty,
+      s"manifest: stream $gotM vs batch $expM")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
 }

@@ -1086,6 +1086,36 @@ object SparkEntry2 {
         part(packed.filter(col("doc_id") % 2 =!= 0))))
     }),
 
+    // Diff two corpus VERSIONS from their manifests alone — which
+    // id-range shards re-enter the pipeline, decided without reading a
+    // byte of corpus: v1 drops every 13th doc, v2 restores them but
+    // mutates every 11th doc's text, shards are fixed 50-id key ranges
+    // (the standing-corpus layout, so versions share shard keys), and
+    // the diff classifies each shard added/removed/changed/unchanged
+    // from (fingerprint, n_rows) alone.
+    "q_manifest_diff" -> ((s, dir) => {
+      val base = t(s, dir, "documents").df
+        .select(col("doc_id"), col("text"))
+        .withColumn("shard", expr("doc_id div 20"))
+      // v1 lacks every 7th shard (-> 'added' in the diff), v2 lacks
+      // every 9th ('removed'), mutates text in shard%5==1 ('changed' by
+      // fingerprint) and drops docs in shard%5==2 ('changed' by count —
+      // the XOR guard); everything else 'unchanged'
+      val v1 = base.filter(col("shard") % 7 =!= 0)
+      val v2 = base.filter(col("shard") % 9 =!= 0)
+        .withColumn("text",
+          when(col("shard") % 5 === 1 && col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .filter(!(col("shard") % 5 === 2 && col("doc_id") % 13 === 0))
+      def mf(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.Scale.shardManifest(
+          df.withColumn("n_tok",
+            TextFns.tokenCount(col("text")).cast("long")),
+          "shard", "doc_id", col("n_tok"),
+          graft.ops.Sketch.portableHash(col("text")))
+      graft.ops.Scale.manifestDiff(mf(v1), mf(v2))
+    }),
+
     // The manifest's CONSUMER side: the deterministic resumable epoch
     // schedule — shards permuted by the portable hash of (shard, seed),
     // dealt round-robin to 4 dataloader workers, each worker's shards
@@ -1682,6 +1712,31 @@ object SparkEntry2 {
         |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
         |    AS fingerprint
         |FROM p GROUP BY 1""".stripMargin,
+    "q_manifest_diff" ->
+      """WITH base AS (SELECT doc_id, text, doc_id // 20 AS shard
+        |  FROM documents),
+        |v1 AS (SELECT * FROM base WHERE shard % 7 <> 0),
+        |v2 AS (SELECT doc_id, shard,
+        |    CASE WHEN shard % 5 = 1 AND doc_id % 3 = 0
+        |      THEN text || ' rev2' ELSE text END AS text
+        |  FROM base
+        |  WHERE shard % 9 <> 0 AND NOT (shard % 5 = 2 AND doc_id % 13 = 0)),
+        |m1 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |    bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS fp
+        |  FROM v1 GROUP BY 1),
+        |m2 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |    bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS fp
+        |  FROM v2 GROUP BY 1)
+        |SELECT coalesce(m1.shard, m2.shard) AS shard,
+        |  CASE WHEN m1.fp IS NULL THEN 'added'
+        |       WHEN m2.fp IS NULL THEN 'removed'
+        |       WHEN m1.fp = m2.fp AND m1.n_rows = m2.n_rows THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  m1.n_rows AS n_rows_old, m2.n_rows AS n_rows_new,
+        |  m1.n_tokens AS n_tokens_old, m2.n_tokens AS n_tokens_new
+        |FROM m1 FULL OUTER JOIN m2 ON m1.shard = m2.shard""".stripMargin,
     "q_epoch_plan" ->
       """WITH s AS (SELECT doc_id, text,
         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok

@@ -529,6 +529,38 @@ object Scale {
         expr("bit_xor(fingerprint)").as("fingerprint"))
   }
 
+  /** Diff two corpus versions from their [[shardManifest]]s ALONE — the
+    * "manifests diff shard-by-shard without reading data" claim as a
+    * verb: a full outer join of the two micro-tables classifies every
+    * shard as `added` (absent from the old manifest), `removed` (absent
+    * from the new), `changed` (content fingerprint or row count moved
+    * — the XOR digest is order-free and exact, and the row count guards
+    * the XOR's one blind spot, paired duplicate insertions), or
+    * `unchanged`. This is the [[snapshotDiff]] idea lifted to shard
+    * granularity: deciding WHICH shards re-enter a curation pipeline
+    * costs two manifest scans (one row per shard), not a pass over
+    * 100 TB of corpus. Output: (shardCol, status, n_rows_old,
+    * n_rows_new, n_tokens_old, n_tokens_new) — counts NULL on the
+    * missing side, exactly [[snapshotDiff]]'s outer-join convention.
+    * Oracled end to end (q_manifest_diff); ScaleSpec pins all four
+    * statuses plus the row-count guard.
+    */
+  def manifestDiff(old: DataFrame, cur: DataFrame,
+                   shardCol: String = "shard"): DataFrame = {
+    def side(df: DataFrame, s: String) = df.select(col(shardCol),
+      col("n_rows").as(s"n_rows_$s"), col("n_tokens").as(s"n_tokens_$s"),
+      col("fingerprint").as(s"__fp_$s"))
+    side(old, "old").join(side(cur, "new"), Seq(shardCol), "full_outer")
+      .withColumn("status",
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") === col("__fp_new") &&
+            col("n_rows_old") === col("n_rows_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(shardCol), col("status"), col("n_rows_old"),
+        col("n_rows_new"), col("n_tokens_old"), col("n_tokens_new"))
+  }
+
   /** Deterministic RESUMABLE epoch schedule over a [[shardManifest]] —
     * the artifact that turns "shards on disk" into "what each worker
     * reads, in what order, starting where": shards are permuted by the

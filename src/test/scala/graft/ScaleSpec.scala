@@ -672,6 +672,31 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("manifestDiff: added/removed/changed/unchanged from manifests " +
+      "alone; row count guards the XOR blind spot") {
+    import spark.implicits._
+    // hand-built manifests: shard 1 unchanged, 2 changed (fp moved),
+    // 3 removed, 4 added, 5 = the XOR blind spot — a duplicate pair
+    // XORs to the SAME fingerprint, only n_rows betrays the change
+    val old = Seq(
+      (1L, 10L, 100L, 7L), (2L, 10L, 100L, 8L), (3L, 5L, 50L, 9L),
+      (5L, 2L, 20L, 11L))
+      .toDF("shard", "n_rows", "n_tokens", "fingerprint")
+    val cur = Seq(
+      (1L, 10L, 100L, 7L), (2L, 10L, 100L, 88L), (4L, 6L, 60L, 10L),
+      (5L, 4L, 40L, 11L))
+      .toDF("shard", "n_rows", "n_tokens", "fingerprint")
+    val got = Scale.manifestDiff(old, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed"), got.toString)
+    // outer-join NULL convention: counts absent on the missing side
+    val rows = Scale.manifestDiff(old, cur).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(4L).isNullAt(2) && !rows(4L).isNullAt(3))
+    assert(!rows(3L).isNullAt(2) && rows(3L).isNullAt(3))
+  }
+
   test("epochPlan: pure-function schedule — partition-invariant, " +
       "seed-sensitive, round-robin balanced, resume is a filter") {
     val docs = spark.read

@@ -325,7 +325,24 @@ object SparkEntry4 {
     // bit_xor fingerprint. Gate/rank/cumsum shapes are all two-phase
     // range-partitioned prefix sums; the whole chain replays in DuckDB.
     "q_lifecycle_e2e" -> ((s, dir) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.DurationInt
+      import scala.concurrent.ExecutionContext.Implicits.global
       val docs = t(s, dir, "documents").df
+      // the index build and the tokenizer train are INDEPENDENT of the
+      // gate chain (all three read only the raw corpus) — on a cluster
+      // these are concurrent jobs in one DAG, so submit them from their
+      // own threads and let the scheduler interleave their stages with
+      // the NB train/score/PR sweep instead of serializing three full
+      // corpus passes behind one driver thread (same-minute A/B:
+      // 24.0 -> 20.7s; outputs are independent artifacts, bit-identical)
+      val idxPath = scratchPath(dir, "lifecycle_index")
+      val tokPath = scratchPath(dir, "lifecycle_tok")
+      val fIdx = Future(graft.ml.Dedup.buildMinhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath,
+        n = 3, bands = 16, rows = 2, seed = 42L, portable = true))
+      val fTok = Future(graft.text.Bpe.buildTokenizer(docs, "text",
+        tokPath, nMerges = 8, sepToken = true))
       val scored = graft.ml.Dedup.trackCache(nbBinaryScored(s, dir))
       val pr = Eval.prCurve(scored, "truth", "s")
       val thr = pr.filter(col("recall") >= GATE_RECALL).agg(max("s")).head()
@@ -336,16 +353,11 @@ object SparkEntry4 {
       val dec = graft.ml.Dedup.decontaminateBloom(gated, "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "text", n = 3,
         maxContaminatedFrac = 0.5)
-      val idxPath = scratchPath(dir, "lifecycle_index")
-      graft.ml.Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", idxPath, n = 3, bands = 16, rows = 2,
-        seed = 42L, portable = true)
+      Await.result(fIdx, 30.minutes)
       val admitted = graft.ml.Dedup.trackCache(
         graft.ml.Dedup.ingestDedup(s, idxPath, dec, "doc_id", "text",
           threshold = 0.3))
-      val tokPath = scratchPath(dir, "lifecycle_tok")
-      graft.text.Bpe.buildTokenizer(docs, "text", tokPath, nMerges = 8,
-        sepToken = true)
+      Await.result(fTok, 30.minutes)
       val ids = graft.ml.Dedup.trackCache(
         graft.text.Bpe.encodeDocsFromTokenizer(s, tokPath, admitted,
           "doc_id", "text"))

@@ -994,19 +994,28 @@ object SparkEntry3 {
     // whole chain — rules, gram overlap, signatures, both admission
     // drops — replays in DuckDB.
     "q_ingest_e2e" -> ((s, dir) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.DurationInt
+      import scala.concurrent.ExecutionContext.Implicits.global
       val docs = t(s, dir, "documents").df
       val standing = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
         .withColumn("text", concat(col("text"),
           lit(" the cat sat on a mat that we have with all of them")))
       val path = scratchPath(dir, "ingest_e2e_index")
-      Dedup.buildMinhashIndex(standing, "doc_id", "text", path,
-        n = 3, bands = 16, rows = 2, seed = 42L, portable = true)
+      // the standing-index build and the batch's gate+decontamination
+      // read disjoint corpus halves — concurrent jobs, not a serial
+      // chain (the q_lifecycle_e2e scheduling pattern)
+      val fIdx = Future(Dedup.buildMinhashIndex(standing, "doc_id",
+        "text", path, n = 3, bands = 16, rows = 2, seed = 42L,
+        portable = true))
       val qual = batch.filter(
         graft.text.TextFns.gopherStats(col("text")).getField("pass"))
-      val dec = Dedup.decontaminateBloom(qual, "doc_id", "text",
-        standing.filter(col("doc_id") % 5 === 0), "text",
-        n = 3, maxContaminatedFrac = 0.5)
+      val dec = Dedup.trackCache(Dedup.decontaminateBloom(qual, "doc_id",
+        "text", standing.filter(col("doc_id") % 5 === 0), "text",
+        n = 3, maxContaminatedFrac = 0.5))
+      dec.count()
+      Await.result(fIdx, 30.minutes)
       Dedup.ingestDedup(s, path, dec, "doc_id", "text", threshold = 0.3)
         .select("doc_id")
     }),

@@ -215,6 +215,21 @@ object SparkEntry4 {
           concat_ws(" ", col("ids")).as("ids"))
     }),
 
+    // Per-SOURCE vocabulary coverage against the rank-16 cut vocabulary
+    // (the q_token_ids_unk device): total post-BPE tokens, OOV tokens,
+    // exact 6dp OOV rate — the data-card column that localizes which
+    // mixture component drifted past the tokenizer (rising OOV on one
+    // source = retrain signal).
+    "q_vocab_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 8)
+      val enc = graft.ml.Dedup.trackCache(
+        graft.text.Bpe.encodeDocs(docs, "doc_id", "text", merges))
+      val vocab16 = graft.text.Bpe.vocabTruncate(
+        graft.text.Bpe.vocabTable(enc), 16)
+      graft.text.Bpe.vocabCoverage(enc, "doc_id", vocab16, docs, "source")
+    }),
+
     // The LAST packing step: the id-encoded corpus concatenated in
     // doc_id order and cut into fixed 64-token context windows (docs
     // cross boundaries — the GPT concat-and-chunk regime; the
@@ -1257,6 +1272,33 @@ object SparkEntry4 {
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN ot USING (doc_id)""".stripMargin
 
+  /** DuckDB replica of `q_vocab_coverage`: the q_token_ids_unk chain's
+    * rank-`k` vocabulary cut, folded to per-source token/OOV counts. */
+  private def vocabCoverageOracleSql(nMerges: Int, k: Int): String =
+    "WITH " + SparkEntry3.bpeEncodeChainSql(nMerges) + s""",
+       |d0 AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |dp AS (SELECT doc_id, ii.i AS pos, ws[ii.i + 1] AS word
+       |  FROM d0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) ii),
+       |asm AS (SELECT dp.doc_id,
+       |    flatten(list(w.ts ORDER BY dp.pos)) AS toks
+       |  FROM dp JOIN w${nMerges + 1} w USING (word) GROUP BY 1),
+       |allt AS (SELECT unnest(toks) AS token FROM asm),
+       |vc AS (SELECT token, count(*) AS n FROM allt GROUP BY 1),
+       |vid AS MATERIALIZED (SELECT token,
+       |    row_number() OVER (ORDER BY n DESC, token) - 1 AS tid FROM vc),
+       |tt AS (SELECT asm.doc_id, unnest(asm.toks) AS token FROM asm)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum(CASE WHEN v.token IS NULL THEN 1 END), 0)
+       |    AS BIGINT) AS n_oov,
+       |  round(coalesce(sum(CASE WHEN v.token IS NULL THEN 1 END), 0)
+       |    / count(*), 6) AS oov_rate
+       |FROM tt JOIN documents d USING (doc_id)
+       |LEFT JOIN (SELECT token FROM vid WHERE tid < $k) v USING (token)
+       |GROUP BY 1""".stripMargin
+
   /** DuckDB replica of `q_context_windows`: the q_token_ids id chain,
     * doc offsets by a cumulative window in doc_id order, and the
     * div/mod window cut. */
@@ -1419,6 +1461,7 @@ object SparkEntry4 {
         |    w -> w != ''), ' ') AS text
         |FROM documents""".stripMargin,
     "q_token_ids_unk"   -> tokenIdsUnkOracleSql(8, 16),
+    "q_vocab_coverage"  -> vocabCoverageOracleSql(8, 16),
     // persist + serve must be bit-identical to the inline chain — same
     // oracle VERBATIM is the claim (the q_lm_persisted discipline)
     "q_tokenizer_persisted" -> tokenIdsOracleSql(8),

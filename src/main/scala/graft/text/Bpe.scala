@@ -646,6 +646,33 @@ object Bpe {
     vocab.filter(col("token_id") < k)
   }
 
+  /** Per-group VOCABULARY COVERAGE of a tokenized corpus against a
+    * (possibly [[vocabTruncate]]d) vocabulary — the data-card column
+    * that says how much of each source a closed vocabulary actually
+    * represents: total post-BPE tokens, tokens missing from the vocab,
+    * and the OOV rate. A rising OOV rate on a new crawl slice is the
+    * retrain-the-tokenizer signal; per-source it also localizes WHICH
+    * mixture component drifted (the fastText UNK-rate monitoring idea).
+    * Exact integer counts + one guarded 6dp division; one explode, one
+    * hash join to the group column, one left join against the vocab,
+    * one aggregate — nothing scales past the token stream the encode
+    * already produced. Output: (byCol, n_tokens, n_oov, oov_rate);
+    * groups whose docs carry no tokens do not appear (there is nothing
+    * to rate). Oracled end to end (q_vocab_coverage).
+    */
+  def vocabCoverage(encoded: DataFrame, idCol: String, vocab: DataFrame,
+                    by: DataFrame, byCol: String): DataFrame = {
+    val toks = encoded.select(col(idCol), explode(col("tokens")).as("token"))
+    toks.join(by.select(col(idCol), col(byCol)), Seq(idCol))
+      .join(vocab.select(col("token"), lit(1).as("__in")),
+        Seq("token"), "left")
+      .groupBy(byCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("__in").isNull, 1L)), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens"), 6))
+  }
+
   /** [[idsFromTokens]] with OOV tokens mapped to a designated `unkId`
     * instead of NULL — the closed-vocabulary serving form (pair with
     * [[vocabTruncate]]; the GPT-2 byte-BPE never needs UNK, but every

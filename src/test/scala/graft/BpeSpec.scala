@@ -371,6 +371,29 @@ class BpeSpec extends AnyFunSuite {
     assert(unk(3L) == ((List(2L, 2L, 0L, 1L, 0L), 5L)))
   }
 
+  test("vocabCoverage: per-group exact token/OOV counts and rate") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd", "s1"), (2L, "", "s1"),
+      (3L, "cd ab", "s2"))
+      .toDF("doc_id", "text", "src")
+    val merges = Bpe.train(docs, "text", nMerges = 1)
+    val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+    // vocab </w>->0, ab->1, c->2, d->3; cut at 2 keeps {</w>, ab}:
+    // doc1 = [ab,</w>,ab,</w>,c,d,</w>] -> 7 tokens, 2 OOV (c, d);
+    // doc3 = [c,d,</w>,ab,</w>]        -> 5 tokens, 2 OOV
+    val got = Bpe.vocabCoverage(enc, "doc_id",
+        Bpe.vocabTruncate(Bpe.vocabTable(enc), 2), docs, "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map("s1" -> ((7L, 2L, 0.285714)),
+      "s2" -> ((5L, 2L, 0.4))), got.toString)
+    // against the FULL vocab nothing is OOV
+    val full = Bpe.vocabCoverage(enc, "doc_id", Bpe.vocabTable(enc),
+        docs, "src").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(full == Map("s1" -> 0L, "s2" -> 0L))
+  }
+
   test("sep tokenizer: vocab ids shift consistently by one, meta records " +
       "the reserved id, windows carry boundary seps and doc spans") {
     import spark.implicits._

@@ -796,6 +796,28 @@ object StreamVerbs {
         batch, labelCol, scoreCol, bins, batchId))
     }
 
+  /** Cumulative OOV monitor on ingest —
+    * [[graft.text.Bpe.oovMonitorIngest]] per micro-batch: each arriving
+    * batch encodes against the frozen persisted tokenizer, its
+    * per-group token/OOV counts fold into standing mergeable totals,
+    * and the sink receives the CUMULATIVE per-group coverage report —
+    * bit-identical to the one-shot [[graft.text.Bpe.vocabCoverage]]
+    * over everything streamed (StreamingSpec pins it). The live
+    * retrain-the-tokenizer signal, per mixture component. batchId
+    * threads into the carry for replay re-emission; a tokenizer or
+    * vocab-limit mismatch against the accumulated state fails loudly.
+    */
+  def streamingOovMonitor(t: Tbl, idCol: String, textCol: String,
+                          byCol: String, tokPath: String,
+                          statePath: String,
+                          vocabLimit: Long = Long.MaxValue)
+                         (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.text.Bpe.oovMonitorIngest(batch.sparkSession, statePath,
+        batch, idCol, textCol, byCol, tokPath, vocabLimit, batchId))
+    }
+
   /** Streaming Stupid Backoff LM scoring against a PERSISTED model
     * ([[graft.text.Lm.buildBackoffModel]]): each micro-batch of arriving
     * documents runs the batch [[graft.text.Lm.scoreDocsFromModel]] — the

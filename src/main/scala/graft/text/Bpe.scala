@@ -673,6 +673,88 @@ object Bpe {
         round(col("n_oov") / col("n_tokens"), 6))
   }
 
+  /** ONE INGEST STEP of the cumulative OOV monitor — [[vocabCoverage]]
+    * watched on the stream (the
+    * [[graft.ml.Eval.eceMonitorIngest]] pattern applied to tokenizer
+    * drift): each arriving micro-batch encodes against the FROZEN
+    * persisted tokenizer, its per-group (n_tokens, n_oov) counts fold
+    * into the standing totals (mergeable exact longs, one row per
+    * group — mixture components, bounded like class labels), and the
+    * emitted report is the cumulative coverage of everything streamed
+    * so far — bit-identical to the one-shot [[vocabCoverage]] over the
+    * union (StreamingSpec pins it). A rising per-source `oov_rate` is
+    * the live retrain-the-tokenizer signal.
+    *
+    * Hardening (the [[graft.ops.CarryState]] conventions): marker-swap
+    * crash consistency; the foreachBatch `batchId` + a count-content
+    * fingerprint ride in meta so a replayed batch RE-EMITS the current
+    * report instead of double-counting; and the meta records the
+    * tokenizer's identity (merge count, vocab shift, vocab limit) —
+    * counts accumulated under one tokenizer cannot silently merge with
+    * another's, so a mismatch fails loudly.
+    */
+  def oovMonitorIngest(spark: org.apache.spark.sql.SparkSession,
+                       statePath: String, batch: DataFrame, idCol: String,
+                       textCol: String, byCol: String, tokPath: String,
+                       vocabLimit: Long = Long.MaxValue,
+                       batchId: Long = -1L): DataFrame = {
+    val cs = graft.ops.CarryState.open(spark, statePath)
+    val hasState = cs.exists
+    val meta: Option[org.apache.spark.sql.Row] = if (hasState)
+      Some(spark.read.parquet(s"$statePath/carry/meta").head()) else None
+    val (_, nMerges, vocabShift) = tokenizerMeta(spark, tokPath)
+    meta.foreach { m =>
+      require(m.getAs[Long]("n_merges") == nMerges &&
+        m.getAs[Long]("vocab_shift") == vocabShift &&
+        m.getAs[Long]("vocab_limit") == vocabLimit,
+        "oovMonitorIngest: state was accumulated under a different " +
+          "tokenizer or vocab limit — coverage counts cannot merge")
+    }
+    val standing: Map[String, (Long, Long)] = if (hasState)
+      spark.read.parquet(s"$statePath/carry/totals").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      else Map.empty
+    val merges = spark.read.parquet(s"$tokPath/merges")
+    val vocab0 = spark.read.parquet(s"$tokPath/vocab")
+    val vocab = if (vocabLimit == Long.MaxValue) vocab0
+                else vocabTruncate(vocab0, vocabLimit)
+    val enc = encodeDocs(batch, idCol, textCol, merges)
+    val cov = vocabCoverage(enc, idCol, vocab,
+        batch.select(col(idCol), col(byCol).cast("string").as(byCol)),
+        byCol)
+      .select(col(byCol), col("n_tokens"), col("n_oov")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val fp = scala.util.hashing.MurmurHash3
+      .orderedHash(cov.map(_.toString())).toLong
+    val n = cov.map(_._2._1).sum
+    import spark.implicits._
+    def report(rows: Map[String, (Long, Long)]): DataFrame =
+      rows.toSeq.map { case (g, (nt, no)) => (g, nt, no) }
+        .toDF(byCol, "n_tokens", "n_oov")
+        .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+    if (graft.ops.CarryState.isReplay("oovMonitorIngest", batchId, fp, n,
+        meta))
+      return report(standing)
+    val merged = (standing.keySet ++ cov.map(_._1)).map { g =>
+      val (t0, o0) = standing.getOrElse(g, (0L, 0L))
+      val (t1, o1) = cov.toMap.getOrElse(g, (0L, 0L))
+      g -> (t0 + t1, o0 + o1)
+    }.toMap
+    graft.ops.CarryState.commit(cs) { dir =>
+      merged.toSeq.map { case (g, (nt, no)) => (g, nt, no) }
+        .toDF(byCol, "n_tokens", "n_oov").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/totals")
+      spark.range(1).select(lit(nMerges).as("n_merges"),
+          lit(vocabShift).as("vocab_shift"),
+          lit(vocabLimit).as("vocab_limit"),
+          lit(batchId).as("last_batch_id"), lit(fp).as("last_fp"),
+          lit(n).as("last_n"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+    report(merged)
+  }
+
   /** [[idsFromTokens]] with OOV tokens mapped to a designated `unkId`
     * instead of NULL — the closed-vocabulary serving form (pair with
     * [[vocabTruncate]]; the GPT-2 byte-BPE never needs UNK, but every

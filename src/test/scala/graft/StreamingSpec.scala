@@ -1730,6 +1730,58 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $got")
   }
 
+  test("streaming OOV monitor: cumulative per-source coverage == the " +
+      "one-shot vocabCoverage over everything streamed") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    val tok = Files.createTempDirectory("graft-oov-tok").toString
+    // tokenizer frozen on the even half; the odd half streams through
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    graft.text.Bpe.buildTokenizer(even, "text", tok, nMerges = 8)
+    val dir = Files.createTempDirectory("graft-oov-in").toFile
+    val ckpt = Files.createTempDirectory("graft-oov-ckpt").toFile
+    val state = Files.createTempDirectory("graft-oov-state").toString
+    odd.filter(col("doc_id") < 250).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    odd.filter(col("doc_id") >= 250).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val limit = 16L
+    val got = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Double)]
+    val q = StreamVerbs.streamingOovMonitor(Tbl(stream), "doc_id", "text",
+        "source", tok, state, vocabLimit = limit) { out =>
+        got.synchronized {
+          got.clear() // cumulative: the last report wins
+          out.collect().foreach(r => got(r.getString(0)) =
+            (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val merges = spark.read.parquet(s"$tok/merges")
+    val vocab = graft.text.Bpe.vocabTruncate(
+      spark.read.parquet(s"$tok/vocab"), limit)
+    val enc = graft.text.Bpe.encodeDocs(odd, "doc_id", "text", merges)
+    val exp = graft.text.Bpe.vocabCoverage(enc, "doc_id", vocab, odd,
+        "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.toMap == exp && exp.nonEmpty,
+      s"stream ${got.size} groups vs batch ${exp.size}")
+    assert(exp.values.exists(_._2 > 0), "fixture must exercise real OOV")
+    // a tokenizer/limit mismatch against the accumulated state is loud
+    val ex = intercept[IllegalArgumentException] {
+      graft.text.Bpe.oovMonitorIngest(spark, state, odd.limit(5),
+        "doc_id", "text", "source", tok, vocabLimit = 8L, batchId = 99L)
+    }
+    assert(ex.getMessage.contains("cannot merge"))
+  }
+
   test("streaming lifecycle: gate -> decontaminate -> dedup -> encode -> " +
       "windows -> batches -> manifest == the batch composition") {
     val docs = spark.read

@@ -1782,6 +1782,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cannot merge"))
   }
 
+  test("lifecycleIngest replay: a re-delivered batch re-emits windows, " +
+      "batch assignments, and manifest bit-identically") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val lab = docs.withColumn("cls",
+      when(col("lang") === "en", lit("pos")).otherwise(lit("neg")))
+    val gate = Files.createTempDirectory("graft-lcr-gate").toString
+    graft.text.Classify.buildNbModel(
+      lab.filter(col("doc_id") % 2 === 0), "cls", "text", gate)
+    val scored = graft.text.Classify.scoreBinaryFromModel(
+        spark, gate, odd, "doc_id", "text")
+      .join(odd.select(col("doc_id"), (col("lang") === "en").as("truth")),
+        Seq("doc_id"))
+    graft.text.Classify.saveGateThreshold(spark, gate, scored, "truth", 0.8)
+    val bench = even.filter(col("doc_id") % 10 === 0)
+    val tok = Files.createTempDirectory("graft-lcr-tok").toString
+    graft.text.Bpe.buildTokenizer(docs, "text", tok, nMerges = 8,
+      sepToken = true)
+    val evenIds = graft.text.Bpe.encodeDocsFromTokenizer(spark, tok, even,
+      "doc_id", "text")
+    val boundaries = graft.ops.Scale.lengthGroupedBatches(evenIds,
+        "doc_id", col("n_tokens"), nBuckets = 4, batchBudget = 2048L)
+      .filter(col("bucket") >= 1)
+      .groupBy("bucket").agg(min("len").as("boundary"))
+      .localCheckpoint()
+    val idx = Files.createTempDirectory("graft-lcr-idx").toString
+    graft.ml.Dedup.buildMinhashIndex(even, "doc_id", "text", idx,
+      n = 3, bands = 16, rows = 2, seed = 42L, portable = true)
+    val state = Files.createTempDirectory("graft-lcr-state").toString
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) = {
+      val r = StreamVerbs.lifecycleIngest(spark, state, b, "doc_id",
+        "text", "source", gate, bench, "text", idx, tok, 64, boundaries,
+        2048L, contamN = 3, maxContaminatedFrac = 0.5,
+        dedupThreshold = 0.3, batchId = id)
+      (r.windows.select("window_id", "ids").collect()
+         .map(x => x.getLong(0) -> x.getSeq[Long](1).toList).toMap,
+       r.batches.collect().map(x => x.getLong(0) ->
+         (x.getLong(1), x.getLong(2), x.getLong(3))).toMap,
+       r.manifest.collect().map(x => x.getString(0) -> (x.getLong(1),
+         x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap)
+    }
+    val b1 = odd.filter(col("doc_id") < 200)
+    val b2 = odd.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    run(b1, 0L)
+    val (w2, bt2, m2) = run(b2, 1L)
+    assert(w2.nonEmpty && bt2.nonEmpty && m2.nonEmpty)
+    val seqBefore = spark.read.parquet(s"$idx/sigs")
+      .agg(max(col("batch_seq").cast("long"))).head().getLong(0)
+    // redelivery of batch 1 (crash after every stage committed, before
+    // the checkpoint commit): every stage re-emits, nothing re-applies
+    val (w2r, bt2r, m2r) = run(b2, 1L)
+    assert(w2r == w2, "replayed windows diverged")
+    assert(bt2r == bt2, "replayed batch assignments diverged")
+    assert(m2r == m2, "replayed manifest diverged")
+    assert(spark.read.parquet(s"$idx/sigs")
+      .agg(max(col("batch_seq").cast("long"))).head().getLong(0)
+      == seqBefore, "index grew on replay")
+    // and the NEXT batch still applies fresh on top of the same state
+    val b3 = odd.filter(col("doc_id") >= 400 && col("doc_id") < 460)
+    val (w3, _, m3) = run(b3, 2L)
+    assert(w3.keySet.forall(k => !w2.keySet.contains(k)),
+      "window ids must advance past the replayed batch")
+    assert(m3.nonEmpty)
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("streaming lifecycle: gate -> decontaminate -> dedup -> encode -> " +
       "windows -> batches -> manifest == the batch composition") {
     val docs = spark.read

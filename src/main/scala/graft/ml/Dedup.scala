@@ -415,6 +415,82 @@ object Dedup {
               col("contaminated_frac"))
   }
 
+  /** Build and FREEZE the decontamination artifact — the serving form of
+    * [[decontaminateBloom]] (the buildMinhashIndex / buildTokenizer
+    * lifecycle applied to benchmark scrubbing): the benchmark's distinct
+    * hashed grams are written once to `<path>/grams` and the Bloom
+    * sketch over them (bytes + geometry) to `<path>/meta`, so serving
+    * never re-aggregates the benchmark — [[decontaminateFromIndex]] is a
+    * driver read of the sketch + the same map-side probe + exact join.
+    * A streaming admission that called [[decontaminateBloom]] per
+    * micro-batch paid one benchmark count + one Bloom aggregate + one
+    * gram re-derivation EVERY batch; against the artifact that cost is
+    * paid once at build time.
+    */
+  def buildDecontamIndex(spark: org.apache.spark.sql.SparkSession,
+                         bench: DataFrame, benchText: String, path: String,
+                         n: Int = 13, bitsPerItem: Int = 16): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val shim = org.apache.spark.sql.graftshim.Shim
+    val grams = scopedCache(benchmarkGrams(bench, benchText, n, hashed = true))
+    val items = math.max(grams.count(), 1L)
+    val bloomBytes = grams.agg(shim.columnOf(
+        new BloomFilterAggregate(shim.exprOf(col("g")),
+          Literal(items), Literal(items * bitsPerItem))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    grams.write.mode("overwrite").parquet(s"$path/grams")
+    spark.range(1).select(lit(n).as("n"),
+        lit(bitsPerItem).as("bits_per_item"), lit(items).as("items"),
+        lit(bloomBytes).as("bloom"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[contaminationReportBloomAgainst]] probing a persisted
+    * [[buildDecontamIndex]] artifact: the frozen sketch rides into the
+    * plan as a literal (one driver read), the exact join runs against
+    * the frozen gram table — output identical to the inline Bloom path
+    * over the same benchmark (q_decontam_pers shares q_decontaminate's
+    * oracle VERBATIM). */
+  def contaminationReportFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, train: DataFrame,
+                                   trainId: String,
+                                   trainText: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val shim = org.apache.spark.sql.graftshim.Shim
+    val m = spark.read.parquet(s"$path/meta").head()
+    val n = m.getAs[Int]("n")
+    val mightContain = shim.columnOf(BloomFilterMightContain(
+      Literal(m.getAs[Array[Byte]]("bloom")), shim.exprOf(col("g"))))
+    val tg = spread(train)
+      .select(col(trainId).as("id"),
+        TextFns.shingleHashes(col(trainText), n).as("gs"))
+      .select(col("id"), size(col("gs")).cast("long").as("n_grams"),
+              explode(col("gs")).as("g"))
+      .filter(mightContain)
+    tg.join(spark.read.parquet(s"$path/grams"), "g")
+      .groupBy("id", "n_grams")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 4))
+      .select(col("id").as(trainId), col("n_grams"), col("n_contaminated"),
+              col("contaminated_frac"))
+  }
+
+  /** [[decontaminateBloom]] against the persisted artifact — the
+    * admission step a streaming ingest should run per micro-batch. */
+  def decontaminateFromIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, train: DataFrame,
+                             trainId: String, trainText: String,
+                             maxContaminatedFrac: Double = 0.0): DataFrame = {
+    val bad = contaminationReportFromIndex(spark, path, train, trainId,
+        trainText)
+      .filter(col("contaminated_frac") > maxContaminatedFrac)
+      .select(col(trainId))
+    train.join(bad, Seq(trainId), "left_anti")
+  }
+
   /** [[decontaminateAgainst]] with the Bloom prefilter — identical output,
     * map-side prefilter shape (see [[contaminationReportBloomAgainst]]). */
   def decontaminateBloom(train: DataFrame, trainId: String, trainText: String,

@@ -1008,6 +1008,26 @@ object StreamVerbs {
         idCol, textCol, threshold, maxBucket, batchId))
     }
 
+  /** Ingest-time benchmark scrub against a persisted
+    * [[graft.ml.Dedup.buildDecontamIndex]] artifact — the decontamination
+    * serving twin: the benchmark's gram table + Bloom sketch were frozen
+    * ONCE at build time, and each arriving micro-batch probes the sketch
+    * map-side + exact-joins the frozen grams
+    * ([[graft.ml.Dedup.decontaminateFromIndex]] per batch — no benchmark
+    * re-aggregation, no per-batch Bloom build). foreachBatch, stateless;
+    * output identical to the inline Bloom path (q_decontam_pers shares
+    * q_decontaminate's oracle VERBATIM).
+    */
+  def streamingDecontaminateFromIndex(t: Tbl, idCol: String,
+                                      textCol: String, indexPath: String,
+                                      maxContaminatedFrac: Double = 0.0)
+                                     (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Dedup.decontaminateFromIndex(batch.sparkSession,
+        indexPath, batch, idCol, textCol, maxContaminatedFrac))
+    }
+
   /** The outputs of one [[lifecycleIngest]] micro-batch: the admitted
     * source rows, the batch's FULL context windows (global ids), its
     * length-bucket batch assignments, and the cumulative standing shard

@@ -1730,6 +1730,40 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $got")
   }
 
+  test("streaming decontamination against the persisted index == the " +
+      "inline Bloom scrub") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val idx = Files.createTempDirectory("graft-sdecon-idx").toString
+    graft.ml.Dedup.buildDecontamIndex(spark, bench, "text", idx, n = 5)
+    val dir = Files.createTempDirectory("graft-sdecon-in").toFile
+    val ckpt = Files.createTempDirectory("graft-sdecon-ckpt").toFile
+    docs.filter(col("doc_id") < 250).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    docs.filter(col("doc_id") >= 250).repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = StreamVerbs.streamingDecontaminateFromIndex(Tbl(stream),
+        "doc_id", "text", idx, maxContaminatedFrac = 0.5) { out =>
+        got.synchronized {
+          out.select("doc_id").collect().foreach(r => got += r.getLong(0))
+        }
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val exp = graft.ml.Dedup.decontaminateBloom(docs, "doc_id", "text",
+        bench, "text", n = 5, maxContaminatedFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.toSet == exp && exp.nonEmpty && exp.size < 500,
+      s"stream ${got.size} kept vs inline ${exp.size}")
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("streaming OOV monitor: cumulative per-source coverage == the " +
       "one-shot vocabCoverage over everything streamed") {
     val docs = spark.read

@@ -1044,8 +1044,10 @@ object StreamVerbs {
     *      admit at the threshold frozen at build time
     *      ([[graft.text.Classify.scoreBinaryFromModel]] /
     *      [[graft.text.Classify.gateThreshold]]);
-    *   2. decontamination against the frozen benchmark slice
-    *      ([[graft.ml.Dedup.decontaminateBloom]] — map-side sketch probe);
+    *   2. decontamination against the PERSISTED benchmark artifact
+    *      ([[graft.ml.Dedup.decontaminateFromIndex]] — the frozen Bloom
+    *      sketch probes map-side, the frozen gram table exact-joins; no
+    *      per-batch benchmark re-aggregation);
     *   3. dedup-on-ingest vs the standing minhash index WITH growth
     *      ([[graft.ml.Dedup.ingestDedup]] — replay-evidence columns ride
     *      the appended partition);
@@ -1077,10 +1079,10 @@ object StreamVerbs {
   def lifecycleIngest(spark: org.apache.spark.sql.SparkSession,
                       statePath: String, batch: DataFrame,
                       idCol: String, textCol: String, srcCol: String,
-                      gatePath: String, bench: DataFrame, benchText: String,
+                      gatePath: String, decontamPath: String,
                       indexPath: String, tokPath: String, windowLen: Int,
                       boundaries: DataFrame, batchBudget: Long,
-                      contamN: Int = 3, maxContaminatedFrac: Double = 0.5,
+                      maxContaminatedFrac: Double = 0.5,
                       dedupThreshold: Double = 0.3, maxBucket: Int = 100000,
                       posCls: String = "pos", negCls: String = "neg",
                       batchId: Long = -1L): LifecycleBatchOut = {
@@ -1089,8 +1091,8 @@ object StreamVerbs {
       batch, idCol, textCol, posCls, negCls)
     val gated = batch.join(scored.filter(col("s") >= thr).select(idCol),
       Seq(idCol), "left_semi")
-    val dec = graft.ml.Dedup.decontaminateBloom(gated, idCol, textCol,
-      bench, benchText, contamN, maxContaminatedFrac)
+    val dec = graft.ml.Dedup.decontaminateFromIndex(spark, decontamPath,
+      gated, idCol, textCol, maxContaminatedFrac)
     val admitted = graft.ml.Dedup.trackCache(
       graft.ml.Dedup.ingestDedup(spark, indexPath, dec, idCol, textCol,
         dedupThreshold, maxBucket, batchId))
@@ -1118,11 +1120,11 @@ object StreamVerbs {
     * assignments, and the final manifest against the one-shot batch
     * composition over the same frozen artifacts). */
   def streamingLifecycle(t: Tbl, idCol: String, textCol: String,
-                         srcCol: String, gatePath: String, bench: DataFrame,
-                         benchText: String, indexPath: String,
+                         srcCol: String, gatePath: String,
+                         decontamPath: String, indexPath: String,
                          tokPath: String, windowLen: Int,
                          boundaries: DataFrame, batchBudget: Long,
-                         statePath: String, contamN: Int = 3,
+                         statePath: String,
                          maxContaminatedFrac: Double = 0.5,
                          dedupThreshold: Double = 0.3,
                          maxBucket: Int = 100000)
@@ -1130,8 +1132,8 @@ object StreamVerbs {
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(lifecycleIngest(batch.sparkSession, statePath, batch, idCol,
-        textCol, srcCol, gatePath, bench, benchText, indexPath, tokPath,
-        windowLen, boundaries, batchBudget, contamN, maxContaminatedFrac,
+        textCol, srcCol, gatePath, decontamPath, indexPath, tokPath,
+        windowLen, boundaries, batchBudget, maxContaminatedFrac,
         dedupThreshold, maxBucket, batchId = batchId))
     }
 

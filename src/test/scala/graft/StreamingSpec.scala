@@ -1834,6 +1834,8 @@ class StreamingSpec extends AnyFunSuite {
         Seq("doc_id"))
     graft.text.Classify.saveGateThreshold(spark, gate, scored, "truth", 0.8)
     val bench = even.filter(col("doc_id") % 10 === 0)
+    val decIdx = Files.createTempDirectory("graft-lcr-dec").toString
+    graft.ml.Dedup.buildDecontamIndex(spark, bench, "text", decIdx, n = 3)
     val tok = Files.createTempDirectory("graft-lcr-tok").toString
     graft.text.Bpe.buildTokenizer(docs, "text", tok, nMerges = 8,
       sepToken = true)
@@ -1850,8 +1852,8 @@ class StreamingSpec extends AnyFunSuite {
     val state = Files.createTempDirectory("graft-lcr-state").toString
     def run(b: org.apache.spark.sql.DataFrame, id: Long) = {
       val r = StreamVerbs.lifecycleIngest(spark, state, b, "doc_id",
-        "text", "source", gate, bench, "text", idx, tok, 64, boundaries,
-        2048L, contamN = 3, maxContaminatedFrac = 0.5,
+        "text", "source", gate, decIdx, idx, tok, 64, boundaries,
+        2048L, maxContaminatedFrac = 0.5,
         dedupThreshold = 0.3, batchId = id)
       (r.windows.select("window_id", "ids").collect()
          .map(x => x.getLong(0) -> x.getSeq[Long](1).toList).toMap,
@@ -1908,6 +1910,8 @@ class StreamingSpec extends AnyFunSuite {
         Seq("doc_id"))
     graft.text.Classify.saveGateThreshold(spark, gate, scored, "truth", 0.8)
     val bench = even.filter(col("doc_id") % 10 === 0)
+    val decIdx = Files.createTempDirectory("graft-slc-dec").toString
+    graft.ml.Dedup.buildDecontamIndex(spark, bench, "text", decIdx, n = 3)
     val tok = Files.createTempDirectory("graft-slc-tok").toString
     graft.text.Bpe.buildTokenizer(docs, "text", tok, nMerges = 8,
       sepToken = true)
@@ -1941,8 +1945,8 @@ class StreamingSpec extends AnyFunSuite {
     val gotM = scala.collection.mutable.Map
       .empty[String, (Long, Long, Long, Long, Long)]
     val q = StreamVerbs.streamingLifecycle(Tbl(stream), "doc_id", "text",
-        "source", gate, bench, "text", idxS, tok, L, boundaries, budget,
-        state, contamN = 3, maxContaminatedFrac = 0.5,
+        "source", gate, decIdx, idxS, tok, L, boundaries, budget,
+        state, maxContaminatedFrac = 0.5,
         dedupThreshold = 0.3) { out =>
         gotW.synchronized {
           out.windows.select("window_id", "ids").collect().foreach(r =>

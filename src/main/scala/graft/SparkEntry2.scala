@@ -1140,6 +1140,24 @@ object SparkEntry2 {
         nWorkers = 4)
     }),
 
+    // The whole-training-run schedule: 3 epochs, each its own derived
+    // permutation ((shard, seed#epoch) hash), workers round-robin per
+    // epoch, tok_offset cumulative ACROSS epochs per worker — the
+    // (epoch, step) resume point of a crashed multi-epoch run, still a
+    // pure function of (manifest, seed).
+    "q_epoch_schedule" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").df
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+          col("text"))
+      val packed = graft.ops.Scale.packByBudget(sized, Seq(col("doc_id")),
+        col("n_tok"), budget = 2000)
+      val manifest = graft.ops.Scale.shardManifest(packed, "shard",
+        "doc_id", col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      graft.ops.Scale.epochSchedule(manifest, "shard", seed = "42",
+        nWorkers = 4, nEpochs = 3)
+    }),
+
     // the packing run's efficiency report — one row: sequence/segment
     // counts, packed tokens, cross-document boundary crossings (the
     // attention masks a collator must cut), fill rate and mean segments
@@ -1776,6 +1794,28 @@ object SparkEntry2 {
         |  CAST(rk // 4 AS BIGINT) AS step,
         |  CAST(sum(n_tokens) OVER (PARTITION BY rk % 4 ORDER BY rk // 4)
         |    - n_tokens AS BIGINT) AS tok_offset
+        |FROM r""".stripMargin,
+    "q_epoch_schedule" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
+        |  FROM s),
+        |m AS (SELECT shard, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT shard, n_tokens, e.epoch,
+        |    row_number() OVER (PARTITION BY e.epoch ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(shard AS VARCHAR) || '|42#'
+        |        || CAST(e.epoch AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      shard) - 1 AS rk
+        |  FROM m, (SELECT unnest(range(0, 3)) AS epoch) e)
+        |SELECT shard, n_tokens, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(rk % 4 AS BIGINT) AS worker,
+        |  CAST(rk // 4 AS BIGINT) AS step,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY rk % 4
+        |    ORDER BY epoch, rk // 4) - n_tokens AS BIGINT) AS tok_offset
         |FROM r""".stripMargin,
     // merged-halves == one-shot is the Spark-side claim; the oracle is
     // q_shard_manifest's one-shot build VERBATIM

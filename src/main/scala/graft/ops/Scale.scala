@@ -598,6 +598,43 @@ object Scale {
         (col("__cum") - col("n_tokens")).as("tok_offset"))
   }
 
+  /** [[epochPlan]] for a WHOLE TRAINING RUN — `nEpochs` epochs, each
+    * with its own derived permutation (the per-epoch hash key is
+    * (shard, seed#epoch), so epoch orders differ but the run is still a
+    * pure function of (manifest, seed)), workers dealt round-robin
+    * within each epoch, and `tok_offset` cumulative ACROSS epochs per
+    * worker — the exact token count a worker consumed before this
+    * (epoch, step), which is the resume point a crashed multi-epoch run
+    * actually needs. Resume at (epoch e, step k) is again a filter:
+    * `epoch > e OR (epoch = e AND step >= k)`. Output: (shardCol,
+    * n_tokens, epoch, worker, step, tok_offset).
+    *
+    * Scale shapes: the manifest × epochs explode is shards·epochs rows
+    * (micro — the corpus is never touched), the per-epoch rank is
+    * [[globalRowNumberBy]]'s range-partitioned two-phase pass (no
+    * per-epoch window funnel), and the cross-epoch offset is one
+    * per-worker [[groupedCumSum]]. Oracled end to end (q_epoch_schedule);
+    * ScaleSpec pins per-epoch permutation divergence, consecutive
+    * per-worker steps, and cross-epoch offset continuity.
+    */
+  def epochSchedule(manifest: DataFrame, shardCol: String, seed: String,
+                    nWorkers: Int, nEpochs: Int): DataFrame = {
+    require(nWorkers >= 1, "nWorkers must be >= 1")
+    require(nEpochs >= 1, "nEpochs must be >= 1")
+    val ex = manifest.select(col(shardCol), col("n_tokens"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(nEpochs - 1L))))
+    val h = Sketch.portableHash(concat(col(shardCol).cast("string"),
+      lit("|" + seed + "#"), col("epoch").cast("string")))
+    val ranked = globalRowNumberBy(ex.withColumn("__h", h), Seq("epoch"),
+        Seq(col("__h"), col(shardCol)), "__rk")
+      .withColumn("worker", expr(s"(__rk - 1) % $nWorkers"))
+      .withColumn("step", expr(s"(__rk - 1) div $nWorkers"))
+    groupedCumSum(ranked, Seq("worker"),
+        Seq(col("epoch"), col("step")), col("n_tokens"), "__cum")
+      .select(col(shardCol), col("n_tokens"), col("epoch"), col("worker"),
+        col("step"), (col("__cum") - col("n_tokens")).as("tok_offset"))
+  }
+
   /** ONE INGEST STEP of standing-manifest maintenance — the
     * [[mergeShardManifests]] mergeability claim running as state: the
     * arriving batch's [[shardManifest]] merges into the persisted

@@ -745,6 +745,50 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("epochSchedule: per-epoch permutations diverge, steps consecutive, " +
+      "offsets continuous across epochs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+        col("text"))
+    val manifest = graft.ml.Dedup.trackCache(Scale.shardManifest(
+      Scale.packByBudget(docs, Seq(col("doc_id")), col("n_tok"),
+        budget = 2000),
+      "shard", "doc_id", col("n_tok"),
+      graft.ops.Sketch.portableHash(col("text"))))
+    val sched = Scale.epochSchedule(manifest, "shard", "42", nWorkers = 4,
+        nEpochs = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val nShards = sched.keySet.map(_._1).size
+    assert(sched.size == nShards * 3, "every shard in every epoch")
+    // the epoch-0 hash key is (shard, seed#0) — a DIFFERENT derived
+    // permutation from epochPlan's (shard, seed), deliberately (each
+    // consumer is its own pure function); what must hold is that at
+    // least one LATER epoch reorders relative to epoch 0
+    val workerOf = (e: Long) => sched.collect {
+      case ((sh, ep), (_, w, st, _)) if ep == e => sh -> (w, st) }.toMap
+    assert(workerOf(0L) != workerOf(1L) || workerOf(1L) != workerOf(2L),
+      "epochs must not all share one permutation")
+    // per (epoch, worker): steps consecutive from 0
+    for (e <- 0L to 2L; (w, ss) <- sched.toSeq.collect {
+        case ((sh, ep), (nt, ww, st, off)) if ep == e => (ww, st) }
+        .groupBy(_._1))
+      assert(ss.map(_._2).toSeq.sorted == (0L until ss.size.toLong),
+        s"epoch $e worker $w steps not consecutive")
+    // per worker: tok_offset is the exact running total ACROSS epochs
+    for ((w, rows) <- sched.toSeq.groupBy(_._2._2)) {
+      val ordered = rows.sortBy { case ((_, e), (_, _, st, _)) => (e, st) }
+      var cum = 0L
+      for (((_, _), (nt, _, _, off)) <- ordered) {
+        assert(off == cum, s"worker $w offset $off != $cum")
+        cum += nt
+      }
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("interleaveWeighted: stride mix, weight-2 source appears ~2x as often") {
     import spark.implicits._
     val a = (1L to 100L).map(i => (i, "x")).toDF("id", "p")

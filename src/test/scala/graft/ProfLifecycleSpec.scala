@@ -7,7 +7,11 @@ import graft.ops.Scale
 
 /** Stage-by-stage profile of q_lifecycle_e2e — skipped unless GRAFT_PROF.
   * Mirrors SparkEntry4's chain (the helpers there are private) so the
-  * flagship's 25s can be attributed to stages before optimizing any.
+  * flagship's cost can be attributed to stages before optimizing any.
+  * Stages are timed SEQUENTIALLY here on purpose — the production query
+  * overlaps the index build + tokenizer train with the gate chain
+  * (futures; same-minute A/B 24.0 -> 20.7s), so this profile shows the
+  * per-stage costs that overlap hides.
   */
 class ProfLifecycleSpec extends AnyFunSuite {
   test("profile lifecycle e2e stages at sf0.1") {

@@ -1090,6 +1090,26 @@ object SparkEntry2 {
         part(packed.filter(col("doc_id") % 2 =!= 0))))
     }),
 
+    // The terminal export with its integrity proof: pack, write the
+    // shards + manifest, then VERIFY by recomputing the manifest from
+    // the files on disk and diffing — a clean export is all-unchanged
+    // with both sides carrying the true counts, which is exactly what
+    // the oracle computes from the raw corpus (the round trip through
+    // parquet partitions is the thing under test).
+    "q_shard_verify" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").df
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+          col("text"))
+      val packed = graft.ops.Scale.packByBudget(sized, Seq(col("doc_id")),
+        col("n_tok"), budget = 2000)
+      val path = scratchPath(dir, "shard_export")
+      graft.ops.Scale.writeShardsWithManifest(packed, path, "shard",
+        "doc_id", col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      graft.ops.Scale.verifyShards(s, path, "shard", "doc_id",
+        col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+    }),
+
     // Diff two corpus VERSIONS from their manifests alone — which
     // id-range shards re-enter the pipeline, decided without reading a
     // byte of corpus: v1 drops every 13th doc, v2 restores them but
@@ -1750,6 +1770,23 @@ object SparkEntry2 {
         |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
         |    AS fingerprint
         |FROM p GROUP BY 1""".stripMargin,
+    // a clean export verifies all-unchanged with the true per-shard
+    // stats on BOTH sides — recomputed here from the raw corpus
+    "q_shard_verify" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
+        |  FROM s),
+        |m AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM p GROUP BY 1)
+        |SELECT shard, 'unchanged' AS status,
+        |  n_rows AS n_rows_old, n_rows AS n_rows_new,
+        |  n_tokens AS n_tokens_old, n_tokens AS n_tokens_new
+        |FROM m""".stripMargin,
     "q_manifest_diff" ->
       """WITH base AS (SELECT doc_id, text, doc_id // 20 AS shard
         |  FROM documents),

@@ -598,6 +598,60 @@ object Scale {
         (col("__cum") - col("n_tokens")).as("tok_offset"))
   }
 
+  /** INTEGRITY-CHECKED shard export — the terminal write of a packing
+    * run, shipped WITH its own verification artifact: the packed
+    * relation lands partitioned by shard under `<path>/data` and its
+    * [[shardManifest]] (row/token counts, id ranges, XOR content
+    * digests) under `<path>/manifest`, so any later reader can prove
+    * the bytes on disk are the bytes the pipeline emitted without
+    * trusting anything but the data itself — [[verifyShards]]
+    * recomputes the manifest FROM the exported files and
+    * [[manifestDiff]]s it against the stored one: all-`unchanged` is
+    * the integrity proof; a truncated shard surfaces as `changed`
+    * (count) or `removed`, a corrupted row as `changed` (digest). This
+    * is the dataloader-side checksum discipline (WebDataset/tfrecord
+    * shard hashing) with the manifest doing double duty as the
+    * [[epochPlan]]/[[epochSchedule]] input.
+    *
+    * Scale shapes: the data write is the job's output (partitioned by
+    * shard — shard-pruned reads for [[epochSchedule]] consumers); the
+    * manifest is one aggregate; verification re-scans the export ONCE
+    * and shuffles only (shard, counts, digests).
+    */
+  def writeShardsWithManifest(packed: DataFrame, path: String,
+                              shardCol: String, idCol: String,
+                              sizeCol: Column, fpCol: Column): Unit = {
+    // manifest FIRST from the in-memory relation, then the data write:
+    // both derive from `packed`, so a reader that sees both sees them
+    // consistent; a crash between the two leaves a manifest with no
+    // data — verifyShards reports every shard `removed`, loudly
+    coalesceForWrite(shardManifest(packed, shardCol, idCol, sizeCol,
+        fpCol))
+      .write.mode("overwrite").parquet(s"$path/manifest")
+    packed.write.partitionBy(shardCol).mode("overwrite")
+      .parquet(s"$path/data")
+  }
+
+  /** Verify a [[writeShardsWithManifest]] export by recomputing the
+    * manifest from the files on disk and diffing against the stored
+    * one. Returns the [[manifestDiff]] relation: every row `unchanged`
+    * is the integrity proof, anything else names the damaged shard and
+    * how it diverged. `sizeCol`/`fpCol` must be the same expressions
+    * the export used (they are recomputed from the read-back columns).
+    */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession, path: String,
+                   shardCol: String, idCol: String, sizeCol: Column,
+                   fpCol: Column): DataFrame = {
+    val stored = spark.read.parquet(s"$path/manifest")
+    // partition-column type inference narrows a BIGINT shard to int on
+    // read-back — re-align to the stored manifest's type before the diff
+    val data = spark.read.parquet(s"$path/data")
+      .withColumn(shardCol,
+        col(shardCol).cast(stored.schema(shardCol).dataType))
+    manifestDiff(stored,
+      shardManifest(data, shardCol, idCol, sizeCol, fpCol), shardCol)
+  }
+
   /** [[epochPlan]] for a WHOLE TRAINING RUN — `nEpochs` epochs, each
     * with its own derived permutation (the per-epoch hash key is
     * (shard, seed#epoch), so epoch orders differ but the run is still a

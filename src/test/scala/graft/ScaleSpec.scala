@@ -745,6 +745,50 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("writeShardsWithManifest + verifyShards: clean export proves " +
+      "unchanged; truncation and corruption are named") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+        col("text"))
+    val packed = graft.ml.Dedup.trackCache(Scale.packByBudget(docs,
+      Seq(col("doc_id")), col("n_tok"), budget = 2000))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-shexp")
+    val path = dirP.toString
+    try {
+      Scale.writeShardsWithManifest(packed, path, "shard", "doc_id",
+        col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      def verify() = Scale.verifyShards(spark, path, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val clean = verify()
+      assert(clean.nonEmpty && clean.values.forall(_ == "unchanged"),
+        s"clean export must verify unchanged: $clean")
+      // corrupt shard 1: rewrite its partition with one document's text
+      // mutated (digest moves, count does not)
+      val s1 = spark.read.parquet(s"$path/data/shard=1")
+        .withColumn("text", when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" bitrot"))).otherwise(col("text")))
+        .localCheckpoint()
+      s1.write.mode("overwrite").parquet(s"$path/data/shard=1")
+      // truncate shard 2: drop a document (count and digest move)
+      val s2 = spark.read.parquet(s"$path/data/shard=2")
+        .filter(col("doc_id") % 5 =!= 2).localCheckpoint()
+      s2.write.mode("overwrite").parquet(s"$path/data/shard=2")
+      val tampered = verify()
+      assert(tampered(1L) == "changed" && tampered(2L) == "changed",
+        tampered.toString)
+      assert(tampered.count(_._2 != "unchanged") == 2,
+        "only the tampered shards may be flagged")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("epochSchedule: per-epoch permutations diverge, steps consecutive, " +
       "offsets continuous across epochs") {
     val docs = spark.read

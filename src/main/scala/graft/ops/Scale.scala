@@ -652,6 +652,17 @@ object Scale {
       shardManifest(data, shardCol, idCol, sizeCol, fpCol), shardCol)
   }
 
+  /** [[epochPlan]] straight off a [[shardManifestIngest]] standing
+    * state — the dataloader's one-call path from "what has been
+    * ingested so far" to "what do my workers read next": the
+    * `<statePath>/carry/manifest` snapshot is consistent at every
+    * commit point, so the derived schedule is too. */
+  def epochPlanFromState(spark: org.apache.spark.sql.SparkSession,
+                         statePath: String, shardCol: String, seed: String,
+                         nWorkers: Int): DataFrame =
+    epochPlan(spark.read.parquet(s"$statePath/carry/manifest"), shardCol,
+      seed, nWorkers)
+
   /** [[epochPlan]] for a WHOLE TRAINING RUN — `nEpochs` epochs, each
     * with its own derived permutation (the per-epoch hash key is
     * (shard, seed#epoch), so epoch orders differ but the run is still a

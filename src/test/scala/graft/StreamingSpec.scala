@@ -1637,6 +1637,18 @@ class StreamingSpec extends AnyFunSuite {
         batchId = lastId)
       .collect().map(key).toMap
     assert(re == truth, "replay did not re-emit the standing manifest")
+    // the dataloader's one-call path: an epoch plan derived straight
+    // off the standing state == the plan over the one-shot manifest
+    def planRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(planRows(graft.ops.Scale.epochPlanFromState(spark, state,
+        "shard", "42", nWorkers = 4)) ==
+      planRows(graft.ops.Scale.epochPlan(
+        graft.ops.Scale.shardManifest(packed, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text"))),
+        "shard", "42", nWorkers = 4)),
+      "state-derived epoch plan diverged from the one-shot plan")
   }
 
   test("streaming ECE monitor: accumulated bins == the one-shot batch " +

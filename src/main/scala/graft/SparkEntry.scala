@@ -27,6 +27,18 @@ import graft.ml.{Dedup, Similarity}
   */
 object SparkEntry {
 
+  /** Per-run scratch root for persisted query artifacts (indexes,
+    * tokenizers, exports). Keyed by the data dir AND the Spark
+    * application id: two concurrent runs on one host (a bench next to a
+    * verify) would otherwise overwrite each other's mode-overwrite
+    * artifacts mid-query and produce spurious diffs. Within one JVM run
+    * the path is stable, so queries sharing an artifact still share it.
+    */
+  private[graft] def scratchPath(dir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-scratch/" +
+      SparkSession.active.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$name"
+
   private[graft] def readTable(s: SparkSession, dir: String, name: String): Tbl = {
     // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
     // generations (rejected by Spark unless read as a long) and as

@@ -19,8 +19,7 @@ object SparkEntry2 {
     SparkEntry.readTable(s, dir, name)
 
   private def scratchPath(dir: String, name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-scratch/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$name"
+    SparkEntry.scratchPath(dir, name)
 
   import SparkEntry.Q
 
@@ -1807,7 +1806,9 @@ object SparkEntry2 {
         |SELECT coalesce(m1.shard, m2.shard) AS shard,
         |  CASE WHEN m1.fp IS NULL THEN 'added'
         |       WHEN m2.fp IS NULL THEN 'removed'
-        |       WHEN m1.fp = m2.fp AND m1.n_rows = m2.n_rows THEN 'unchanged'
+        |       WHEN m1.fp = m2.fp AND m1.n_rows = m2.n_rows
+        |            AND m1.n_tokens IS NOT DISTINCT FROM m2.n_tokens
+        |         THEN 'unchanged'
         |       ELSE 'changed' END AS status,
         |  m1.n_rows AS n_rows_old, m2.n_rows AS n_rows_new,
         |  m1.n_tokens AS n_tokens_old, m2.n_tokens AS n_tokens_new

@@ -101,8 +101,7 @@ object SparkEntry3 {
       .otherwise(col("text"))
 
   private def scratchPath(dir: String, name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-scratch/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$name"
+    SparkEntry.scratchPath(dir, name)
 
   /** The shared media feature table of q_media_dedup / q_media_banded:
     * ASCII-payload media (each doc + a planted byte-identical copy at

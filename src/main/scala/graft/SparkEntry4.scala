@@ -19,8 +19,7 @@ object SparkEntry4 {
     SparkEntry.readTable(s, dir, name)
 
   private def scratchPath(dir: String, name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-scratch/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$name"
+    SparkEntry.scratchPath(dir, name)
 
   /** DuckDB-side portable hash: same 60-bit md5 leaf as
     * [[graft.ops.Sketch.portableHash]]. */

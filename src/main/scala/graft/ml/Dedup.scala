@@ -738,7 +738,8 @@ object Dedup {
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, n: Int = 3, bands: Int = 8,
                         rows: Int = 4, seed: Long = 42L,
-                        portable: Boolean = false): Unit = {
+                        portable: Boolean = false,
+                        bandParts: Int = 0): Unit = {
     // (batch_id, batch_fp, batch_n) are [[ingestDedup]]'s replay-evidence
     // columns; the base build is not an ingest batch, so it records the
     // no-evidence sentinel (-1, 0, -1) — matching nothing
@@ -752,8 +753,227 @@ object Dedup {
       .parquet(s"$path/sigs")
     df.sparkSession.range(1)
       .select(lit(n).as("n"), lit(bands).as("bands"), lit(rows).as("rows"),
-        lit(seed).as("seed"), lit(portable).as("portable"))
+        lit(seed).as("seed"), lit(portable).as("portable"),
+        lit(bandParts).as("band_parts"))
       .write.mode("overwrite").parquet(s"$path/meta")
+    if (bandParts > 0) {
+      val spark = df.sparkSession
+      writeBandPartition(spark, path, 0L,
+        spark.read.parquet(s"$path/sigs")
+          .filter(col("batch_seq") === 0L).select("id", "sig"),
+        bands, rows, bandParts)
+    }
+  }
+
+  // ======================================================================
+  // Band-keyed standing-signature layout + index maintenance
+  // ======================================================================
+
+  /** The `band_parts` recorded in an index meta row — 0 (no band layout)
+    * for indexes built before the column existed. */
+  private def bandPartsOf(m: org.apache.spark.sql.Row): Int =
+    if (m.schema.fieldNames.contains("band_parts"))
+      m.getAs[Int]("band_parts") else 0
+
+  /** A signature relation exploded to its per-band bucket keys — the
+    * SAME banding expression [[lshPairsBetween]] joins on
+    * (xxhash64 over each `rows`-wide signature slice), so the persisted
+    * layout and the inline path can never hash differently. */
+  private def bandExplode(sigs: DataFrame, bands: Int,
+                          rows: Int): DataFrame =
+    sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+
+  /** The bucket-partition key of a (band, bucket) pair under `parts`
+    * partitions — the DPP handle: all rows of one LSH bucket land in one
+    * partition, so a probe that prunes to its own keys' partitions still
+    * sees every bucket it can collide with IN FULL (the hot-bucket guard
+    * keeps exact counts). */
+  private def bktPart(parts: Int): Column =
+    pmod(xxhash64(col("band"), col("bucket")), lit(parts.toLong))
+      .cast("int")
+
+  /** Write one `batch_seq` partition of the band-keyed layout:
+    * `<path>/bands/batch_seq=K/bkt_part=N` holds (band, bucket, id)
+    * rows — slim probe-side rows (the k-long signatures stay in `sigs`;
+    * duplicating them per band would multiply index bytes by `bands`).
+    * The write is ATOMIC per seq: everything lands in a staging dir and
+    * ONE rename promotes it — a crash leaves either no partition (the
+    * layout self-repairs from `sigs` at next open) or a complete one. */
+  private def writeBandPartition(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, seq: Long, sigsOfSeq: DataFrame,
+                                 bands: Int, rows: Int, parts: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"$path/bands_staging/seq_$seq")
+    fs.delete(staging, true)
+    bandExplode(sigsOfSeq, bands, rows)
+      .withColumn("bkt_part", bktPart(parts))
+      .select("band", "bucket", "id", "bkt_part")
+      .write.partitionBy("bkt_part").mode("overwrite")
+      .parquet(staging.toString)
+    val dest = new Path(s"$path/bands/batch_seq=$seq")
+    fs.mkdirs(dest.getParent)
+    fs.delete(dest, true)
+    require(fs.rename(staging, dest), s"band-layout promote failed: $dest")
+  }
+
+  /** Open the band layout of an index (no-op when the index was built
+    * without one): recover a crashed [[compactMinhashIndex]] swap,
+    * discard per-seq staging leftovers, and REBUILD any `batch_seq`
+    * partition present in `sigs` but missing from `bands` — the bands
+    * relation is derived data, so a crash between an ingest's sigs
+    * append and its bands write self-heals here, deterministically, from
+    * the authoritative signatures. Returns the layout's partition count
+    * (0 = no layout). */
+  private def openBandLayout(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Int = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val parts = bandPartsOf(m)
+    if (parts <= 0) return 0
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    graft.ops.CarryState.recoverDir(spark, s"$path/bands")
+    fs.delete(new Path(s"$path/bands_staging"), true)
+    val inSigs = spark.read.parquet(s"$path/sigs")
+      .select(col("batch_seq").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val bandsDir = new Path(s"$path/bands")
+    val present: Set[Long] =
+      if (!fs.exists(bandsDir)) Set.empty
+      else fs.listStatus(bandsDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_seq="))
+        .map(_.stripPrefix("batch_seq=").toLong).toSet
+    val (bands, rows) = (m.getAs[Int]("bands"), m.getAs[Int]("rows"))
+    (inSigs -- present).toSeq.sorted.foreach { seq =>
+      writeBandPartition(spark, path, seq,
+        spark.read.parquet(s"$path/sigs")
+          .filter(col("batch_seq") === seq).select("id", "sig"),
+        bands, rows, parts)
+    }
+    parts
+  }
+
+  /** [[lshPairsBetween]] served from the persisted band-keyed layout
+    * with PARTITION PRUNING: the arriving batch's (band, bucket) keys
+    * name the only `bkt_part=` partitions a collision can live in, so
+    * the probe reads those buckets instead of scanning the whole
+    * standing index — the [[graft.ml.Pq]] `centroid_id=` DPP trick
+    * applied to LSH buckets. Candidates come from the slim (band,
+    * bucket, id) rows; the k-long signatures are fetched by one id
+    * equi-join against `sigs` ONLY for deduplicated candidate pairs.
+    * Output and semantics identical to [[lshPairsBetween]] (the
+    * hot-bucket guard counts whole buckets — a bucket never splits
+    * across partitions). */
+  private def lshPairsBetweenBanded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newSigs: DataFrame, bands: Int, rows: Int, threshold: Double,
+      maxBucket: Int, parts: Int): DataFrame = {
+    val k = bands * rows
+    val nb = scopedCache(bandExplode(newSigs, bands, rows)
+      .withColumn("bkt_part", bktPart(parts)))
+    // the partitions this batch can collide in — ≤ min(batch·bands, parts)
+    // ints, collected to drive partition pruning on the standing read
+    val touched = nb.select("bkt_part").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val standing = spark.read.parquet(s"$path/bands")
+      .filter(col("bkt_part").isin(touched: _*))
+    val eb = dropHotBuckets(standing, Seq("band", "bucket"), maxBucket)
+      .select(col("band"), col("bucket"), col("id").as("existing_id"))
+    val cand = nb.select(col("band"), col("bucket"), col("id").as("new_id"))
+      .join(eb, Seq("band", "bucket"))
+      .select("new_id", "existing_id").distinct()
+    val agree = org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.ArrayEqCount(
+        org.apache.spark.sql.graftshim.Shim.exprOf(col("new_sig")),
+        org.apache.spark.sql.graftshim.Shim.exprOf(col("existing_sig"))))
+    cand
+      .join(newSigs.select(col("id").as("new_id"),
+        col("sig").as("new_sig")), Seq("new_id"))
+      .join(spark.read.parquet(s"$path/sigs")
+        .select(col("id").as("existing_id"),
+          col("sig").as("existing_sig")), Seq("existing_id"))
+      .select(col("new_id"), col("existing_id"),
+        (agree.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** COMPACT a [[buildMinhashIndex]] artifact that has accumulated many
+    * [[ingestDedup]] `batch_seq=` partitions — the maintenance verb that
+    * keeps streaming-cadence ingest from drowning the slim signature
+    * scans in parquet listing/footer overhead (thousands of micro
+    * partitions per day, none ever rewritten). All partitions EXCEPT the
+    * last collapse into the base partition `batch_seq=0` (ids and sigs
+    * byte-identical, evidence reset to the build sentinel); the LAST
+    * partition is preserved VERBATIM — same `batch_seq`, same
+    * (batch_id, batch_fp, batch_n) — so the exactly-once replay
+    * detection keeps working across the compaction boundary: an
+    * immediate retry of the latest batch still re-emits its survivor
+    * set bit-identically, and the next fresh batch still lands at
+    * `max(batch_seq)+1`. The swap rides
+    * [[graft.ops.CarryState.replaceDir]] (staging + marker + rename), so
+    * a crashed compaction never corrupts the index — every reader runs
+    * [[graft.ops.CarryState.recoverDir]] on open. Single-writer
+    * maintenance: run it OFFLINE next to a paused ingest (the
+    * foreachBatch serial-execution guarantee makes "between batches" a
+    * natural slot).
+    *
+    * What compaction consciously DISCARDS: the stale-redelivery evidence
+    * of compacted-away batches (their batch_id/fp/n reset to the
+    * sentinel). The replay window is 1 — only the LAST partition's
+    * evidence is contractual — so detection of in-window replays is
+    * untouched; a delayed duplicate of an ANCIENT batch is no longer
+    * named by the fail-safe after compaction (it surfaces as an
+    * all-dropped batch instead).
+    *
+    * `targetFiles` > 0 repartitions the collapsed base before the write
+    * (bound the file count at micro-partition accumulation scale);
+    * 0 keeps the natural partitioning. A band layout, when present, is
+    * rebuilt from the compacted signatures in the same pass.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, targetFiles: Int = 0): Unit = {
+    graft.ops.CarryState.recoverDir(spark, s"$path/sigs")
+    val m = spark.read.parquet(s"$path/meta").head()
+    val sigs0 = spark.read.parquet(s"$path/sigs")
+    val hasEvidence = sigs0.columns.contains("batch_id")
+    val maxSeq = sigs0.agg(coalesce(max(col("batch_seq").cast("long")),
+      lit(0L))).head().getLong(0)
+    if (maxSeq > 0) {
+      val dataCols = sigs0.columns.filterNot(_ == "batch_seq").toSeq
+      val base0 = sigs0.filter(col("batch_seq") < maxSeq)
+        .select(dataCols.map(col): _*)
+      val base1 = if (hasEvidence)
+          base0.withColumn("batch_id", lit(-1L))
+            .withColumn("batch_fp", lit(0L))
+            .withColumn("batch_n", lit(-1L))
+        else base0
+      val base = (if (targetFiles > 0) base1.repartition(targetFiles)
+                  else base1).withColumn("batch_seq", lit(0L))
+      val last = sigs0.filter(col("batch_seq") === maxSeq)
+        .select(dataCols.map(col): _*)
+        .withColumn("batch_seq", lit(maxSeq))
+      // the union must MATERIALIZE before the old dir is deleted — the
+      // staging write is that materialization (it reads the old files)
+      graft.ops.CarryState.replaceDir(spark, s"$path/sigs") { staging =>
+        base.unionByName(last)
+          .write.partitionBy("batch_seq").mode("overwrite").parquet(staging)
+      }
+    }
+    if (bandPartsOf(m) > 0) {
+      // rebuild the band layout from the compacted signatures: drop every
+      // per-seq partition and let the open-time repair re-derive them
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(s"$path/bands"), true)
+      fs.delete(new Path(s"$path/bands_staging"), true)
+      openBandLayout(spark, path)
+    }
   }
 
   /** Drop new docs that near-duplicate a persisted [[buildMinhashIndex]]
@@ -767,16 +987,21 @@ object Dedup {
                          path: String, newDocs: DataFrame, idCol: String,
                          textCol: String, threshold: Double = 0.8,
                          maxBucket: Int = 100000): DataFrame = {
+    graft.ops.CarryState.recoverDir(spark, s"$path/sigs")
     val m = spark.read.parquet(s"$path/meta").head()
     val (n, bands, rows) = (m.getAs[Int]("n"), m.getAs[Int]("bands"),
       m.getAs[Int]("rows"))
     val newSigs = minhashSignatures(newDocs, idCol, textCol, n,
       bands * rows, m.getAs[Long]("seed"),
       indexLeaf(textCol, n, m.getAs[Boolean]("portable")))
-    val dup = lshPairsBetween(newSigs,
-        spark.read.parquet(s"$path/sigs").select("id", "sig"),
-        bands, rows, threshold, maxBucket)
-      .select(col("new_id").as(idCol)).distinct()
+    val parts = openBandLayout(spark, path)
+    val pairs = if (parts > 0)
+      lshPairsBetweenBanded(spark, path, scopedCache(newSigs), bands,
+        rows, threshold, maxBucket, parts)
+    else lshPairsBetween(newSigs,
+      spark.read.parquet(s"$path/sigs").select("id", "sig"),
+      bands, rows, threshold, maxBucket)
+    val dup = pairs.select(col("new_id").as(idCol)).distinct()
     newDocs.join(dup, Seq(idCol), "left_anti")
   }
 
@@ -809,7 +1034,18 @@ object Dedup {
     * with it and silently drop the whole batch; instead the recorded
     * partition's survivor set is re-emitted, bit-identical to the
     * original delivery. A recorded batchId arriving with different
-    * content fails loudly. A crash BEFORE the append leaves no evidence
+    * content fails loudly — the fingerprint is the XOR of per-row
+    * md5(id|text) leaves ([[graft.ops.Scale.contentFpSql]]), so a
+    * mutated TEXT under the same ids is detected, not just an id-set or
+    * count change. (Evidence written before this convention carries
+    * id-only fingerprints; a cross-version replay of such a batch fails
+    * loudly rather than silently — rebuild the index to re-arm,
+    * README migration note.) The replay WINDOW is 1 — exactly the
+    * foreachBatch at-least-once contract, where retries are immediate: a
+    * batch redelivered after SUBSEQUENT batches were applied (a delayed
+    * duplicate) is detected by its recorded batch_id in an older
+    * partition and FAILS LOUDLY instead of silently colliding with its
+    * own standing signatures and emitting empty. A crash BEFORE the append leaves no evidence
     * and no partition — the retry simply runs fresh. (The one naturally
     * idempotent gap: a batch whose survivor set was EMPTY writes no
     * partition, and its retry re-drops everything against the same
@@ -832,9 +1068,11 @@ object Dedup {
                   batch: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8, maxBucket: Int = 100000,
                   batchId: Long = -1L): DataFrame = {
+    graft.ops.CarryState.recoverDir(spark, s"$path/sigs")
     val m = spark.read.parquet(s"$path/meta").head()
     val (n, bands, rows) = (m.getAs[Int]("n"), m.getAs[Int]("bands"),
       m.getAs[Int]("rows"))
+    val bandLayout = openBandLayout(spark, path)
     val existing = spark.read.parquet(s"$path/sigs")
     val newSigs = trackCache(minhashSignatures(batch, idCol, textCol, n,
       bands * rows, m.getAs[Long]("seed"),
@@ -862,9 +1100,13 @@ object Dedup {
         .withColumnRenamed("id", idCol)
       batch.join(dropped, Seq(idCol), "left_anti")
     }
+    // the fingerprint covers (id, text), not just the id set: a batch id
+    // redelivered with the same ids but mutated text must fail loudly,
+    // never silently re-emit the stale survivor set
     val bst = if (hasEvidence)
       batch.agg(count(lit(1)).as("bn"),
-        coalesce(expr(s"bit_xor(${graft.ops.Scale.bitXorFpSql(idCol)})"),
+        coalesce(expr(
+            s"bit_xor(${graft.ops.Scale.contentFpSql(idCol, textCol)})"),
           lit(0L)).as("bfp")).head()
       else null
     if (hasEvidence && seq > 1) {
@@ -876,9 +1118,33 @@ object Dedup {
           (last.getAs[Long]("batch_id"), last.getAs[Long]("batch_fp"),
             last.getAs[Long]("batch_n"))))
         return emitFrom(seq - 1)
+      // STALE-REDELIVERY FAIL-SAFE: a batch redelivered AFTER subsequent
+      // batches have been applied (a delayed duplicate, not the
+      // foreachBatch immediate retry) matches no "last partition"
+      // evidence — without this check it would collide with its own
+      // standing signatures and silently emit an EMPTY batch. One slim
+      // column scan over the recorded batch_id evidence finds it; the
+      // replay window is 1, so this is a contract violation, not a
+      // recoverable state — fail loudly.
+      if (batchId >= 0L && last.getAs[Long]("batch_id") != batchId) {
+        val stale = existing.filter(col("batch_id") === batchId)
+          .agg(max(col("batch_seq").cast("long"))).head()
+        if (!stale.isNullAt(0))
+          throw new IllegalArgumentException(
+            s"ingestDedup: batchId $batchId is a STALE redelivery — it " +
+              s"was applied as batch_seq ${stale.getLong(0)} and " +
+              s"${seq - 1 - stale.getLong(0)} subsequent batch(es) have " +
+              "been applied since (the replay window is 1: immediate " +
+              "retries only). Re-running it would collide the batch " +
+              "with its own standing signatures and emit empty — " +
+              "refusing instead.")
+      }
     }
-    val dupVsIndex = lshPairsBetween(newSigs, existing.select("id", "sig"),
-        bands, rows, threshold, maxBucket)
+    val dupVsIndex = (if (bandLayout > 0)
+        lshPairsBetweenBanded(spark, path, newSigs, bands, rows,
+          threshold, maxBucket, bandLayout)
+      else lshPairsBetween(newSigs, existing.select("id", "sig"),
+        bands, rows, threshold, maxBucket))
       .select(col("new_id").as("id")).distinct()
     val keptSigs = newSigs.join(dupVsIndex, Seq("id"), "left_anti")
     val dupInBatch = lshPairsFromSignatures(keptSigs, bands, rows,
@@ -892,6 +1158,16 @@ object Dedup {
       else survivors)
       .withColumn("batch_seq", lit(seq))
       .write.partitionBy("batch_seq").mode("append").parquet(s"$path/sigs")
+    // band layout (when built with one): derive the new partition's slim
+    // (band, bucket, id) rows FROM the partition just written. The sigs
+    // append is the commit point — a crash before this write completes
+    // leaves a sigs partition without band rows, which openBandLayout
+    // rebuilds deterministically at the next open.
+    if (bandLayout > 0)
+      writeBandPartition(spark, path, seq,
+        spark.read.parquet(s"$path/sigs")
+          .filter(col("batch_seq") === seq).select("id", "sig"),
+        bands, rows, bandLayout)
     // authoritative survivor list = the partition just written
     emitFrom(seq)
   }

@@ -101,4 +101,46 @@ private[graft] object CarryState {
     h.fs.delete(h.carry, true)
     require(h.fs.rename(h.staging, h.carry), "carry-state swap failed")
   }
+
+  /** Recovery for an arbitrary staged-replace target (the [[Handle]]
+    * discipline applied to a directory that is not a carry root — e.g. a
+    * persisted index's `sigs` relation under maintenance): a leftover
+    * `<dir>.staging` WITH the marker and NO `<dir>` is a
+    * completed-but-unpromoted [[replaceDir]] (the crash window between
+    * delete and rename) and is promoted; a marker-less or shadowed
+    * staging is an incomplete write and is discarded — the intact target
+    * stays authoritative. Idempotent; call before every read of a
+    * [[replaceDir]]-maintained directory. */
+  def recoverDir(spark: SparkSession, dir: String): Unit = {
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + ".staging")
+    val marker = new Path(dir + ".staging/_COMMITTED")
+    if (fs.exists(staging)) {
+      if (fs.exists(marker) && !fs.exists(target))
+        require(fs.rename(staging, target),
+          "staged-replace recovery failed")
+      else fs.delete(staging, true)
+    }
+  }
+
+  /** Atomically replace `dir` with freshly written content: `write`
+    * lands everything in `<dir>.staging`, the `_COMMITTED` marker seals
+    * it, the old directory is deleted, and staging renames into place.
+    * A crash anywhere leaves either the old directory intact or a
+    * marker-sealed staging that [[recoverDir]] promotes — never a
+    * half-written target. SINGLE-WRITER maintenance (an offline compactor
+    * next to a paused ingest); not safe under concurrent writers. */
+  def replaceDir(spark: SparkSession, dir: String)
+                (write: String => Unit): Unit = {
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + ".staging")
+    val marker = new Path(dir + ".staging/_COMMITTED")
+    fs.delete(staging, true)
+    write(dir + ".staging")
+    fs.create(marker, true).close()
+    fs.delete(target, true)
+    require(fs.rename(staging, target), "staged replace failed")
+  }
 }

@@ -533,10 +533,11 @@ object Scale {
     * "manifests diff shard-by-shard without reading data" claim as a
     * verb: a full outer join of the two micro-tables classifies every
     * shard as `added` (absent from the old manifest), `removed` (absent
-    * from the new), `changed` (content fingerprint or row count moved
-    * — the XOR digest is order-free and exact, and the row count guards
-    * the XOR's one blind spot, paired duplicate insertions), or
-    * `unchanged`. This is the [[snapshotDiff]] idea lifted to shard
+    * from the new), `changed` (content fingerprint, row count, or token
+    * total moved — the XOR digest is order-free and exact, the row count
+    * guards the XOR's one blind spot, paired duplicate insertions, and
+    * the token total closes a second: an XOR collision with equal row
+    * counts but different sizes), or `unchanged`. This is the [[snapshotDiff]] idea lifted to shard
     * granularity: deciding WHICH shards re-enter a curation pipeline
     * costs two manifest scans (one row per shard), not a pass over
     * 100 TB of corpus. Output: (shardCol, status, n_rows_old,
@@ -555,7 +556,8 @@ object Scale {
         when(col("__fp_old").isNull, lit("added"))
           .when(col("__fp_new").isNull, lit("removed"))
           .when(col("__fp_old") === col("__fp_new") &&
-            col("n_rows_old") === col("n_rows_new"), lit("unchanged"))
+            col("n_rows_old") === col("n_rows_new") &&
+            col("n_tokens_old") <=> col("n_tokens_new"), lit("unchanged"))
           .otherwise(lit("changed")))
       .select(col(shardCol), col("status"), col("n_rows_old"),
         col("n_rows_new"), col("n_tokens_old"), col("n_tokens_new"))
@@ -1324,6 +1326,17 @@ object Scale {
   private[graft] def bitXorFpSql(idCol: String): String =
     s"CAST(conv(substring(md5(CAST(`$idCol` AS STRING)), 1, 15), " +
       "16, 10) AS LONG)"
+
+  /** [[bitXorFpSql]] over (id, content) — the replay-evidence leaf for
+    * verbs whose exactly-once claim covers CONTENT, not just the id set:
+    * a batch id redelivered with the same ids and row count but MUTATED
+    * text must fail loudly, not silently pass as a replay and re-emit a
+    * stale survivor set. Rows whose content is NULL contribute nothing
+    * to the XOR (the bit_xor aggregate skips NULL leaves), so a text
+    * mutated to NULL still moves the fingerprint. */
+  private[graft] def contentFpSql(idCol: String, contentCol: String): String =
+    s"CAST(conv(substring(md5(concat(CAST(`$idCol` AS STRING), '|', " +
+      s"CAST(`$contentCol` AS STRING))), 1, 15), 16, 10) AS LONG)"
 
   /** LENGTH-GROUPED batching (the padding-minimizing dynamic batcher —
     * HuggingFace's `group_by_length` / the bucketed-batching idea of

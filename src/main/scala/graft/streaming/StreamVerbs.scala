@@ -1085,7 +1085,18 @@ object StreamVerbs {
                       maxContaminatedFrac: Double = 0.5,
                       dedupThreshold: Double = 0.3, maxBucket: Int = 100000,
                       posCls: String = "pos", negCls: String = "neg",
-                      batchId: Long = -1L): LifecycleBatchOut = {
+                      batchId: Long = -1L,
+                      failAfterStage: Option[Int] = None): LifecycleBatchOut = {
+    // TEST-ONLY failure injection: throw after stage k's commit, turning
+    // the fixed-order-commit crash argument into an executed proof —
+    // StreamingSpec kills the verb at every boundary in turn and pins
+    // the redelivered outputs bit-identical to an uncrashed run.
+    // Stage commits: 1 = dedup index append, 2 = window carry,
+    // 3 = batch carry, 4 = manifest; 0 = before any commit.
+    def crashPoint(k: Int): Unit =
+      if (failAfterStage.contains(k))
+        throw new RuntimeException(
+          s"lifecycleIngest: injected crash after stage $k (test hook)")
     val (thr, _) = graft.text.Classify.gateThreshold(spark, gatePath)
     val scored = graft.text.Classify.scoreBinaryFromModel(spark, gatePath,
       batch, idCol, textCol, posCls, negCls)
@@ -1093,24 +1104,29 @@ object StreamVerbs {
       Seq(idCol), "left_semi")
     val dec = graft.ml.Dedup.decontaminateFromIndex(spark, decontamPath,
       gated, idCol, textCol, maxContaminatedFrac)
+    crashPoint(0)
     val admitted = graft.ml.Dedup.trackCache(
       graft.ml.Dedup.ingestDedup(spark, indexPath, dec, idCol, textCol,
         dedupThreshold, maxBucket, batchId))
+    crashPoint(1)
     val ids = graft.ml.Dedup.trackCache(
       graft.text.Bpe.encodeDocsFromTokenizer(spark, tokPath, admitted,
         idCol, textCol))
     val (sep, _, _) = graft.text.Bpe.tokenizerMeta(spark, tokPath)
     val windows = graft.ops.Scale.contextWindowsIngest(spark,
       s"$statePath/windows", ids, idCol, "ids", windowLen, batchId, sep)
+    crashPoint(2)
     val batches = graft.ops.Scale.lengthBatchesIngest(spark,
       s"$statePath/batches", ids, idCol, col("n_tokens"), boundaries,
       batchBudget, batchId)
+    crashPoint(3)
     val manifest = graft.ops.Scale.shardManifestIngest(spark,
       s"$statePath/manifest",
       batch.select(col(idCol), col(srcCol))
         .join(ids.select(col(idCol), col("n_tokens")), Seq(idCol)),
       srcCol, idCol, col("n_tokens"),
       graft.ops.Sketch.portableHash(col(idCol).cast("string")), batchId)
+    crashPoint(4)
     LifecycleBatchOut(admitted, windows, batches, manifest)
   }
 

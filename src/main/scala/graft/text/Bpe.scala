@@ -686,8 +686,9 @@ object Bpe {
     * the live retrain-the-tokenizer signal.
     *
     * Hardening (the [[graft.ops.CarryState]] conventions): marker-swap
-    * crash consistency; the foreachBatch `batchId` + a count-content
-    * fingerprint ride in meta so a replayed batch RE-EMITS the current
+    * crash consistency; the foreachBatch `batchId` + the batch's id-set
+    * fingerprint (XOR of 60-bit md5 id leaves — the shared ingest
+    * convention) ride in meta so a replayed batch RE-EMITS the current
     * report instead of double-counting; and the meta records the
     * tokenizer's identity (merge count, vocab shift, vocab limit) —
     * counts accumulated under one tokenizer cannot silently merge with
@@ -725,9 +726,17 @@ object Bpe {
       .select(col(byCol), col("n_tokens"), col("n_oov")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    val fp = scala.util.hashing.MurmurHash3
-      .orderedHash(cov.map(_.toString())).toLong
-    val n = cov.map(_._2._1).sum
+    // replay evidence = the batch's ID SET (the bitXorFpSql convention
+    // shared with contextWindowsIngest/shardManifestIngest), not the
+    // derived per-group totals: aggregated counts collide far more
+    // easily than 60-bit id XORs, and for batchId-less callers a
+    // genuinely new batch that happened to reproduce the last totals
+    // would be silently swallowed as a replay
+    val bst = batch.agg(count(lit(1)).as("n"),
+      coalesce(expr(s"bit_xor(${graft.ops.Scale.bitXorFpSql(idCol)})"),
+        lit(0L)).as("fp")).head()
+    val fp = bst.getAs[Long]("fp")
+    val n = bst.getAs[Long]("n")
     import spark.implicits._
     def report(rows: Map[String, (Long, Long)]): DataFrame =
       rows.toSeq.map { case (g, (nt, no)) => (g, nt, no) }

@@ -710,6 +710,16 @@ class PipelineSpec extends AnyFunSuite {
           threshold = 0.9, batchId = 7L)
       }
       assert(ex.getMessage.contains("DIFFERENT"))
+      // same ids and count but MUTATED TEXT: the evidence fingerprint
+      // covers (id, text), so this too is a loud failure — not a silent
+      // "replay" re-emitting the stale survivor set
+      val mutatedText = batch.withColumn("text",
+        concat(col("text"), lit(" v2")))
+      val exText = intercept[IllegalArgumentException] {
+        Dedup.ingestDedup(spark, idx, mutatedText, "doc_id", "text",
+          threshold = 0.9, batchId = 7L)
+      }
+      assert(exText.getMessage.contains("DIFFERENT"))
       // the NEXT batch applies fresh and still dedups against batch 7
       val next = Seq(
         (5000001L, "completely novel content about quasar spectroscopy drift"),
@@ -719,10 +729,151 @@ class PipelineSpec extends AnyFunSuite {
           threshold = 0.9, batchId = 8L)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept2 == Set(5000002L), kept2.toString)
+      // STALE redelivery: batch 7 arrives again AFTER batch 8 applied —
+      // outside the replay window (1), so it fails loudly instead of
+      // colliding with its own standing signatures and emitting empty
+      val exStale = intercept[IllegalArgumentException] {
+        Dedup.ingestDedup(spark, idx, batch, "doc_id", "text",
+          threshold = 0.9, batchId = 7L)
+      }
+      assert(exStale.getMessage.contains("STALE"), exStale.getMessage)
+      // and the immediate replay of the LATEST batch still re-emits
+      val replay8 = Dedup.ingestDedup(spark, idx, next, "doc_id", "text",
+          threshold = 0.9, batchId = 8L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(replay8 == kept2)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  // three deterministic ingest batches over the standing corpus index:
+  // each has one near-dup of an indexed doc, one novel doc, and one
+  // in-batch twin pair — exercising all three drop paths per batch
+  private def mhBatch(k: Int) = {
+    import spark.implicits._
+    docs.filter(col("doc_id") === (k * 3))
+      .withColumn("doc_id", col("doc_id") + 1000000L * k)
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (2000000L * k + 1, s"novel content batch $k about stellar nucleosynthesis run $k"),
+        (2000000L * k + 2, s"twin text of batch $k repeated verbatim for the sibling rule"),
+        (2000000L * k + 3, s"twin text of batch $k repeated verbatim for the sibling rule"))
+        .toDF("doc_id", "text"))
+  }
+
+  private def ingestSeq(idx: String, upTo: Int): Seq[Set[Long]] =
+    (1 to upTo).map { k =>
+      Dedup.ingestDedup(spark, idx, mhBatch(k), "doc_id", "text",
+          threshold = 0.9, batchId = k.toLong)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+
+  test("compactMinhashIndex: partitions collapse, fresh AND replayed " +
+      "ingest stay bit-identical across the compaction boundary") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-mhcompA")
+    val dirB = java.nio.file.Files.createTempDirectory("graft-mhcompB")
+    val (idxA, idxB) = (dirA.toString, dirB.toString)
+    try {
+      // two identical indexes, three ingest batches each; A compacts
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", idxA)
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", idxB)
+      val keptA = ingestSeq(idxA, 3)
+      val keptB = ingestSeq(idxB, 3)
+      assert(keptA == keptB && keptA.forall(_.nonEmpty))
+      val idsBefore = spark.read.parquet(s"$idxA/sigs")
+        .select("id").collect().map(_.getLong(0)).toSet
+      Dedup.compactMinhashIndex(spark, idxA, targetFiles = 2)
+      // bounded layout: exactly the base partition + the last partition
+      val seqs = spark.read.parquet(s"$idxA/sigs")
+        .select(col("batch_seq").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(seqs == Set(0L, 3L), seqs.toString)
+      // ids byte-identical through the rewrite
+      assert(spark.read.parquet(s"$idxA/sigs")
+        .select("id").collect().map(_.getLong(0)).toSet == idsBefore)
+      // the LAST batch's replay evidence survived: an immediate retry
+      // re-emits its survivor set bit-identically on both indexes
+      val replayA = Dedup.ingestDedup(spark, idxA, mhBatch(3), "doc_id",
+          "text", threshold = 0.9, batchId = 3L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(replayA == keptA(2), s"$replayA vs ${keptA(2)}")
+      // and a FRESH batch lands identically on compacted vs uncompacted
+      val freshA = Dedup.ingestDedup(spark, idxA, mhBatch(4), "doc_id",
+          "text", threshold = 0.9, batchId = 4L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val freshB = Dedup.ingestDedup(spark, idxB, mhBatch(4), "doc_id",
+          "text", threshold = 0.9, batchId = 4L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(freshA == freshB && freshA.nonEmpty)
+      // fresh append after compaction landed at max+1
+      assert(spark.read.parquet(s"$idxA/sigs")
+        .agg(max(col("batch_seq").cast("long"))).head().getLong(0) == 4L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dirA, dirB).foreach(d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
+
+  test("band-keyed signature layout: outputs identical to the flat scan, " +
+      "probe prunes partitions, crash self-heals, compaction preserved") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-mhbandA")
+    val dirB = java.nio.file.Files.createTempDirectory("graft-mhbandB")
+    val (idxBand, idxFlat) = (dirA.toString, dirB.toString)
+    try {
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", idxBand,
+        bandParts = 8)
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", idxFlat)
+      // ingest sequence: banded admissions == flat admissions, batch by
+      // batch (identical dedup semantics, different physical plan)
+      assert(ingestSeq(idxBand, 3) == ingestSeq(idxFlat, 3))
+      // probe-only parity too
+      val probeBand = Dedup.dedupeAgainstIndex(spark, idxBand, mhBatch(4),
+        "doc_id", "text", threshold = 0.9)
+      val probeFlat = Dedup.dedupeAgainstIndex(spark, idxFlat, mhBatch(4),
+        "doc_id", "text", threshold = 0.9)
+      assert(probeBand.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        probeFlat.select("doc_id").collect().map(_.getLong(0)).toSet)
+      // the banded probe's standing-side scan carries a bkt_part
+      // partition filter — the pruning claim, asserted on the plan
+      val plan = probeBand.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bkt_part"),
+        plan.take(4000))
+      // crash self-heal: drop the latest band partition (simulating a
+      // crash between the sigs append and the bands write) — the next
+      // open rebuilds it from sigs and parity holds
+      val maxSeq = spark.read.parquet(s"$idxBand/sigs")
+        .agg(max(col("batch_seq").cast("long"))).head().getLong(0)
+      val bandDir = java.nio.file.Paths.get(idxBand, "bands",
+        s"batch_seq=$maxSeq")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(bandDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      assert(!java.nio.file.Files.exists(bandDir))
+      val healed = Dedup.dedupeAgainstIndex(spark, idxBand, mhBatch(4),
+        "doc_id", "text", threshold = 0.9)
+      assert(healed.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        probeFlat.select("doc_id").collect().map(_.getLong(0)).toSet)
+      assert(java.nio.file.Files.exists(bandDir), "layout not repaired")
+      // compaction rebuilds the band layout and parity still holds
+      Dedup.compactMinhashIndex(spark, idxBand)
+      Dedup.compactMinhashIndex(spark, idxFlat)
+      val fresh = Dedup.ingestDedup(spark, idxBand, mhBatch(5), "doc_id",
+          "text", threshold = 0.9, batchId = 5L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val freshFlat = Dedup.ingestDedup(spark, idxFlat, mhBatch(5),
+          "doc_id", "text", threshold = 0.9, batchId = 5L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fresh == freshFlat && fresh.nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dirA, dirB).foreach(d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p)))
     }
   }
 

@@ -1899,6 +1899,86 @@ class StreamingSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("lifecycleIngest crash injection: killed after every stage commit " +
+      "in turn, the redelivered batch lands bit-identical to an " +
+      "uncrashed run") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    // frozen read-only artifacts, shared by every crash variant
+    val lab = docs.withColumn("cls",
+      when(col("lang") === "en", lit("pos")).otherwise(lit("neg")))
+    val gate = Files.createTempDirectory("graft-lci-gate").toString
+    graft.text.Classify.buildNbModel(
+      lab.filter(col("doc_id") % 2 === 0), "cls", "text", gate)
+    val scored = graft.text.Classify.scoreBinaryFromModel(
+        spark, gate, odd, "doc_id", "text")
+      .join(odd.select(col("doc_id"), (col("lang") === "en").as("truth")),
+        Seq("doc_id"))
+    graft.text.Classify.saveGateThreshold(spark, gate, scored, "truth", 0.8)
+    val decIdx = Files.createTempDirectory("graft-lci-dec").toString
+    graft.ml.Dedup.buildDecontamIndex(spark,
+      even.filter(col("doc_id") % 10 === 0), "text", decIdx, n = 3)
+    val tok = Files.createTempDirectory("graft-lci-tok").toString
+    graft.text.Bpe.buildTokenizer(docs, "text", tok, nMerges = 8,
+      sepToken = true)
+    val evenIds = graft.text.Bpe.encodeDocsFromTokenizer(spark, tok, even,
+      "doc_id", "text")
+    val boundaries = graft.ops.Scale.lengthGroupedBatches(evenIds,
+        "doc_id", col("n_tokens"), nBuckets = 4, batchBudget = 2048L)
+      .filter(col("bucket") >= 1)
+      .groupBy("bucket").agg(min("len").as("boundary"))
+      .localCheckpoint()
+    val b1 = odd.filter(col("doc_id") < 120)
+    val b2 = odd.filter(col("doc_id") >= 120 && col("doc_id") < 240)
+    def freshIdx(): String = {
+      val p = Files.createTempDirectory("graft-lci-idx").toString
+      graft.ml.Dedup.buildMinhashIndex(even, "doc_id", "text", p,
+        n = 3, bands = 16, rows = 2, seed = 42L, portable = true)
+      p
+    }
+    def run(idx: String, state: String, b: org.apache.spark.sql.DataFrame,
+            id: Long, fail: Option[Int]) =
+      StreamVerbs.lifecycleIngest(spark, state, b, "doc_id", "text",
+        "source", gate, decIdx, idx, tok, 64, boundaries, 2048L,
+        maxContaminatedFrac = 0.5, dedupThreshold = 0.3, batchId = id,
+        failAfterStage = fail)
+    def outs(r: StreamVerbs.LifecycleBatchOut) =
+      (r.admitted.select("doc_id").collect().map(_.getLong(0)).toSet,
+       r.windows.select("window_id", "ids").collect()
+         .map(x => x.getLong(0) -> x.getSeq[Long](1).toList).toMap,
+       r.batches.collect().map(x => x.getLong(0) ->
+         (x.getLong(1), x.getLong(2), x.getLong(3))).toMap,
+       r.manifest.collect().map(x => x.getString(0) -> (x.getLong(1),
+         x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap)
+    // the uncrashed reference chain
+    val refIdx = freshIdx()
+    val refState = Files.createTempDirectory("graft-lci-ref").toString
+    run(refIdx, refState, b1, 0L, None)
+    val ref = outs(run(refIdx, refState, b2, 1L, None))
+    assert(ref._1.nonEmpty && ref._2.nonEmpty && ref._3.nonEmpty &&
+      ref._4.nonEmpty)
+    // kill after each stage commit in turn (0 = before any commit,
+    // 1 = after the dedup index append, 2 = after the window carry,
+    // 3 = after the batch carry, 4 = after the manifest — i.e. after
+    // everything committed but before the checkpoint), then redeliver
+    for (k <- 0 to 4) {
+      val idx = freshIdx()
+      val state = Files.createTempDirectory(s"graft-lci-k$k").toString
+      run(idx, state, b1, 0L, None)
+      val ex = intercept[RuntimeException] {
+        run(idx, state, b2, 1L, Some(k))
+      }
+      assert(ex.getMessage.contains("injected crash"), ex.getMessage)
+      val got = outs(run(idx, state, b2, 1L, None))
+      assert(got == ref,
+        s"stage-$k crash: redelivered outputs diverged from uncrashed run")
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("streaming lifecycle: gate -> decontaminate -> dedup -> encode -> " +
       "windows -> batches -> manifest == the batch composition") {
     val docs = spark.read

@@ -1159,6 +1159,35 @@ object SparkEntry2 {
         nWorkers = 4)
     }),
 
+    // Epoch plan over VERIFIED shards — the resilient-dataloader
+    // handshake: export shards with their manifest, corrupt the STORED
+    // manifest's shard-0 fingerprint (simulating a damaged shard: stored
+    // and recomputed rows disagree), then plan only over shards that
+    // verify; shard 0 is reported 'changed' with NULL schedule columns
+    // instead of silently entering the schedule.
+    "q_epoch_verified" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").df
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+          col("text"))
+      val packed = graft.ops.Scale.packByBudget(sized, Seq(col("doc_id")),
+        col("n_tok"), budget = 2000)
+      val path = scratchPath(dir, "shard_export_verified")
+      graft.ops.Scale.writeShardsWithManifest(packed, path, "shard",
+        "doc_id", col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      // doctor the stored manifest: flip shard 0's digest (checkpoint
+      // first — the write overwrites its own source)
+      val m0 = s.read.parquet(s"$path/manifest").localCheckpoint(true)
+      m0.withColumn("fingerprint",
+          when(col("shard") === 0,
+            col("fingerprint").bitwiseXOR(lit(1L)))
+          .otherwise(col("fingerprint")))
+        .write.mode("overwrite").parquet(s"$path/manifest")
+      graft.ops.Scale.epochPlanVerified(s, path, "shard", "doc_id",
+        col("n_tok"), graft.ops.Sketch.portableHash(col("text")),
+        seed = "42", nWorkers = 4)
+    }),
+
     // The whole-training-run schedule: 3 epochs, each its own derived
     // permutation ((shard, seed#epoch) hash), workers round-robin per
     // epoch, tok_offset cumulative ACROSS epochs per worker — the
@@ -1833,6 +1862,34 @@ object SparkEntry2 {
         |  CAST(sum(n_tokens) OVER (PARTITION BY rk % 4 ORDER BY rk // 4)
         |    - n_tokens AS BIGINT) AS tok_offset
         |FROM r""".stripMargin,
+    // the plan over shards that verify (shard 0's stored digest was
+    // flipped, so it is excluded and reported 'changed' with NULL
+    // schedule columns); the planned rows are q_epoch_plan's ranking
+    // restricted to shard <> 0
+    "q_epoch_verified" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
+        |  FROM s),
+        |m AS (SELECT shard, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT shard, n_tokens,
+        |    row_number() OVER (ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(shard AS VARCHAR) || '|42'), 1, 15)) AS BIGINT),
+        |      shard) - 1 AS rk
+        |  FROM m WHERE shard <> 0)
+        |SELECT shard, n_tokens, CAST(rk % 4 AS BIGINT) AS worker,
+        |  CAST(rk // 4 AS BIGINT) AS step,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY rk % 4 ORDER BY rk // 4)
+        |    - n_tokens AS BIGINT) AS tok_offset,
+        |  'verified' AS status
+        |FROM r
+        |UNION ALL
+        |SELECT shard, n_tokens, NULL, NULL, NULL, 'changed'
+        |FROM m WHERE shard = 0""".stripMargin,
     "q_epoch_schedule" ->
       """WITH s AS (SELECT doc_id, text,
         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok

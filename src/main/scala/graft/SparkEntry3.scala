@@ -772,6 +772,42 @@ object SparkEntry3 {
         .select("doc_id")
     }),
 
+    // The compaction round trip in the driver gate: ingest the odd half,
+    // COMPACT the index (base + last partitions rewritten through the
+    // staged swap), then replay the same batch ACROSS the compaction
+    // boundary — the preserved last-partition evidence must re-emit the
+    // survivor set bit-identically, so the oracle is q_minhash_ingest's
+    // VERBATIM.
+    "q_ingest_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val path = scratchPath(dir, "minhash_index_compact")
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", path, n = 3, bands = 16, rows = 2, seed = 42L,
+        portable = true)
+      Dedup.ingestDedup(s, path, docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.3, batchId = 1L)
+      Dedup.compactMinhashIndex(s, path)
+      Dedup.ingestDedup(s, path, docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", threshold = 0.3, batchId = 1L)
+        .select("doc_id")
+    }),
+
+    // The band-keyed standing layout in the driver gate: identical
+    // admission semantics served from the bkt_part-partitioned bucket
+    // rows (the probe partition-prunes to the buckets the batch can
+    // collide with instead of scanning the whole index); output — and
+    // oracle — are q_minhash_ingest's VERBATIM.
+    "q_minhash_ingest_banded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val path = scratchPath(dir, "minhash_index_banded")
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", path, n = 3, bands = 16, rows = 2, seed = 42L,
+        portable = true, bandParts = 16)
+      Dedup.ingestDedup(s, path, docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", threshold = 0.3)
+        .select("doc_id")
+    }),
+
     // Gopher quality rules (Rae et al. 2021 §A1.1) — the published
     // MassiveWeb rule set as one codegen'd pass. A third of the docs get a
     // deterministic multi-line tail (bullets + ellipsis) and a third a
@@ -3071,6 +3107,13 @@ object SparkEntry3 {
         |  round(pd.kl, 6) AS kl
         |FROM gt JOIN pd ON gt.g = pd.g""".stripMargin,
     "q_minhash_ingest"  -> minhashIngestOracleSql(n = 3, bands = 16,
+      rows = 2, threshold = 0.3, seed = 42L),
+    // the compaction round trip and the band-keyed layout change the
+    // PHYSICAL index, never the admission semantics — both reuse
+    // q_minhash_ingest's oracle VERBATIM (the q_decontam_pers discipline)
+    "q_ingest_compact"  -> minhashIngestOracleSql(n = 3, bands = 16,
+      rows = 2, threshold = 0.3, seed = 42L),
+    "q_minhash_ingest_banded" -> minhashIngestOracleSql(n = 3, bands = 16,
       rows = 2, threshold = 0.3, seed = 42L),
     // C4 clean -> Gopher judge, one chain: kept lines re-join (coalesced:
     // DuckDB array_to_string([]) is NULL), then the full Gopher rule

@@ -665,6 +665,43 @@ object Scale {
     epochPlan(spark.read.parquet(s"$statePath/carry/manifest"), shardCol,
       seed, nWorkers)
 
+  /** [[epochPlan]] over a [[writeShardsWithManifest]] export, restricted
+    * to shards that VERIFY — the resilient-dataloader handshake:
+    * [[verifyShards]] recomputes the manifest from the files on disk,
+    * and only shards whose stored and recomputed rows agree enter the
+    * schedule; every shard that does NOT verify is reported in the same
+    * relation with its diff status (`changed`/`removed`/`added`) and
+    * NULL schedule columns, so the caller decides whether to re-export
+    * or proceed degraded — but can never silently train on a truncated
+    * or corrupted shard. Output: (shardCol, n_tokens, worker, step,
+    * tok_offset, status) with `status = 'verified'` on planned rows.
+    *
+    * Scale shapes: the verification re-scan is the only data pass
+    * (shuffles just (shard, counts, digests)); the plan itself is the
+    * micro-manifest rank. Excluded shards keep their stored token count
+    * (recomputed when the stored side is missing) for the report.
+    */
+  def epochPlanVerified(spark: org.apache.spark.sql.SparkSession,
+                        path: String, shardCol: String, idCol: String,
+                        sizeCol: Column, fpCol: Column, seed: String,
+                        nWorkers: Int): DataFrame = {
+    val diff = verifyShards(spark, path, shardCol, idCol, sizeCol, fpCol)
+    val ok = diff.filter(col("status") === "unchanged").select(col(shardCol))
+    val stored = spark.read.parquet(s"$path/manifest")
+    val plan = epochPlan(stored.join(ok, Seq(shardCol), "left_semi"),
+        shardCol, seed, nWorkers)
+      .withColumn("status", lit("verified"))
+    val excluded = diff.filter(col("status") =!= "unchanged")
+      .select(col(shardCol),
+        coalesce(col("n_tokens_old"), col("n_tokens_new"))
+          .cast("long").as("n_tokens"),
+        lit(null).cast("long").as("worker"),
+        lit(null).cast("long").as("step"),
+        lit(null).cast("long").as("tok_offset"),
+        col("status"))
+    plan.unionByName(excluded)
+  }
+
   /** [[epochPlan]] for a WHOLE TRAINING RUN — `nEpochs` epochs, each
     * with its own derived permutation (the per-epoch hash key is
     * (shard, seed#epoch), so epoch orders differ but the run is still a

@@ -789,6 +789,54 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("epochPlanVerified: damaged shards are excluded from the schedule " +
+      "and named; the plan equals epochPlan over the verifying shards") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+        col("text"))
+    val packed = graft.ml.Dedup.trackCache(Scale.packByBudget(docs,
+      Seq(col("doc_id")), col("n_tok"), budget = 2000))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-epverify")
+    val path = dirP.toString
+    try {
+      Scale.writeShardsWithManifest(packed, path, "shard", "doc_id",
+        col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      // truncate shard 2 on disk: the export no longer matches its
+      // stored manifest row
+      val s2 = spark.read.parquet(s"$path/data/shard=2")
+        .filter(col("doc_id") % 5 =!= 2).localCheckpoint()
+      s2.write.mode("overwrite").parquet(s"$path/data/shard=2")
+      val got = Scale.epochPlanVerified(spark, path, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")),
+          seed = "42", nWorkers = 4).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4),
+          r.getString(5))).toMap
+      // the damaged shard is reported, not scheduled
+      assert(got(2L)._5 == "changed" && got(2L)._2 == null &&
+        got(2L)._3 == null && got(2L)._4 == null, got(2L).toString)
+      assert(got.count(_._2._5 != "verified") == 1,
+        "only the truncated shard may be excluded")
+      // and the planned rows are exactly epochPlan over the survivors
+      val manifest = spark.read.parquet(s"$path/manifest")
+        .filter(col("shard") =!= 2)
+      val exp = Scale.epochPlan(manifest, "shard", "42", nWorkers = 4)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1),
+          r.getLong(2): Any, r.getLong(3): Any, r.getLong(4): Any,
+          "verified")).toMap
+      assert(got.filter(_._2._5 == "verified") == exp)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("epochSchedule: per-epoch permutations diverge, steps consecutive, " +
       "offsets continuous across epochs") {
     val docs = spark.read

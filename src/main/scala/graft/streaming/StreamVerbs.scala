@@ -1031,9 +1031,12 @@ object StreamVerbs {
   /** The outputs of one [[lifecycleIngest]] micro-batch: the admitted
     * source rows, the batch's FULL context windows (global ids), its
     * length-bucket batch assignments, and the cumulative standing shard
-    * manifest after the batch folded in. */
+    * manifest after the batch folded in. `oov`/`ece` carry the health
+    * monitors' cumulative reports when their riders are enabled. */
   final case class LifecycleBatchOut(admitted: DataFrame, windows: DataFrame,
-                                     batches: DataFrame, manifest: DataFrame)
+                                     batches: DataFrame, manifest: DataFrame,
+                                     oov: Option[DataFrame] = None,
+                                     ece: Option[DataFrame] = None)
 
   /** ONE MICRO-BATCH of the WHOLE training-data lifecycle — the
     * streaming twin of q_lifecycle_e2e ("corpus in, training shards +
@@ -1063,7 +1066,16 @@ object StreamVerbs {
     *   7. fold the batch's per-`srcCol` doc/token counts + id
     *      fingerprints into the standing shard manifest — the data card
     *      maintained incrementally
-    *      ([[graft.ops.Scale.shardManifestIngest]]).
+    *      ([[graft.ops.Scale.shardManifestIngest]]);
+    *   8. OPTIONAL health-monitor riders: `oovVocabLimit` folds the
+    *      admitted docs' per-source vocabulary coverage into the
+    *      standing OOV monitor ([[graft.text.Bpe.oovMonitorIngest]] at
+    *      `<statePath>/oov`), `eceLabelCol` folds the gate's scored
+    *      batch into the standing calibration monitor
+    *      ([[graft.ml.Eval.eceMonitorIngest]] at `<statePath>/ece`) —
+    *      so the ONE lifecycle stream also maintains its health
+    *      artifacts, bit-identical to running the monitors standalone
+    *      over the same batches.
     *
     * Exactly-once as a CHAIN: the foreachBatch `batchId` threads into
     * every stateful stage, and the stages commit in a FIXED order
@@ -1086,7 +1098,9 @@ object StreamVerbs {
                       dedupThreshold: Double = 0.3, maxBucket: Int = 100000,
                       posCls: String = "pos", negCls: String = "neg",
                       batchId: Long = -1L,
-                      failAfterStage: Option[Int] = None): LifecycleBatchOut = {
+                      failAfterStage: Option[Int] = None,
+                      oovVocabLimit: Option[Long] = None,
+                      eceLabelCol: Option[String] = None): LifecycleBatchOut = {
     // TEST-ONLY failure injection: throw after stage k's commit, turning
     // the fixed-order-commit crash argument into an executed proof —
     // StreamingSpec kills the verb at every boundary in turn and pins
@@ -1127,7 +1141,27 @@ object StreamVerbs {
       srcCol, idCol, col("n_tokens"),
       graft.ops.Sketch.portableHash(col(idCol).cast("string")), batchId)
     crashPoint(4)
-    LifecycleBatchOut(admitted, windows, batches, manifest)
+    // HEALTH-MONITOR RIDERS — the OOV and calibration monitors folded
+    // into the same per-batch pass (one deployment wires ONE stream, not
+    // four), each a standalone verb invoked on this batch's relations so
+    // rider state is BIT-IDENTICAL to running the monitor separately
+    // over the same batches (StreamingSpec pins it). They commit LAST
+    // (stages 5/6): a crash between the manifest and a rider leaves the
+    // rider one batch behind, and the redelivery re-emits stages 1–4
+    // while the rider applies fresh — same exactly-once algebra.
+    val oov = oovVocabLimit.map { lim =>
+      graft.text.Bpe.oovMonitorIngest(spark, s"$statePath/oov", admitted,
+        idCol, textCol, srcCol, tokPath, vocabLimit = lim,
+        batchId = batchId)
+    }
+    crashPoint(5)
+    val ece = eceLabelCol.map { lab =>
+      graft.ml.Eval.eceMonitorIngest(spark, s"$statePath/ece",
+        scored.join(batch.select(col(idCol), col(lab)), Seq(idCol)),
+        lab, "s", bins = 10, batchId = batchId)
+    }
+    crashPoint(6)
+    LifecycleBatchOut(admitted, windows, batches, manifest, oov, ece)
   }
 
   /** [[lifecycleIngest]] on a stream — the whole q_lifecycle_e2e chain
@@ -1143,14 +1177,17 @@ object StreamVerbs {
                          statePath: String,
                          maxContaminatedFrac: Double = 0.5,
                          dedupThreshold: Double = 0.3,
-                         maxBucket: Int = 100000)
+                         maxBucket: Int = 100000,
+                         oovVocabLimit: Option[Long] = None,
+                         eceLabelCol: Option[String] = None)
                         (sink: LifecycleBatchOut => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(lifecycleIngest(batch.sparkSession, statePath, batch, idCol,
         textCol, srcCol, gatePath, decontamPath, indexPath, tokPath,
         windowLen, boundaries, batchBudget, maxContaminatedFrac,
-        dedupThreshold, maxBucket, batchId = batchId))
+        dedupThreshold, maxBucket, batchId = batchId,
+        oovVocabLimit = oovVocabLimit, eceLabelCol = eceLabelCol))
     }
 
   /** Ingest-time snapshot classification against a FROZEN corpus version

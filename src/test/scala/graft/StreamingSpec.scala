@@ -1979,6 +1979,88 @@ class StreamingSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("lifecycle monitor riders: OOV and ECE state maintained by the " +
+      "lifecycle pass == the standalone monitors over the same batches") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .withColumn("truth", col("lang") === "en")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val lab = docs.withColumn("cls",
+      when(col("lang") === "en", lit("pos")).otherwise(lit("neg")))
+    val gate = Files.createTempDirectory("graft-rid-gate").toString
+    graft.text.Classify.buildNbModel(
+      lab.filter(col("doc_id") % 2 === 0), "cls", "text", gate)
+    val scoredRef = graft.text.Classify.scoreBinaryFromModel(
+        spark, gate, odd, "doc_id", "text")
+      .join(odd.select(col("doc_id"), col("truth")), Seq("doc_id"))
+    graft.text.Classify.saveGateThreshold(spark, gate, scoredRef, "truth",
+      0.8)
+    val decIdx = Files.createTempDirectory("graft-rid-dec").toString
+    graft.ml.Dedup.buildDecontamIndex(spark,
+      even.filter(col("doc_id") % 10 === 0), "text", decIdx, n = 3)
+    val tok = Files.createTempDirectory("graft-rid-tok").toString
+    graft.text.Bpe.buildTokenizer(docs, "text", tok, nMerges = 8,
+      sepToken = true)
+    val evenIds = graft.text.Bpe.encodeDocsFromTokenizer(spark, tok, even,
+      "doc_id", "text")
+    val boundaries = graft.ops.Scale.lengthGroupedBatches(evenIds,
+        "doc_id", col("n_tokens"), nBuckets = 4, batchBudget = 2048L)
+      .filter(col("bucket") >= 1)
+      .groupBy("bucket").agg(min("len").as("boundary"))
+      .localCheckpoint()
+    val idx = Files.createTempDirectory("graft-rid-idx").toString
+    graft.ml.Dedup.buildMinhashIndex(even, "doc_id", "text", idx,
+      n = 3, bands = 16, rows = 2, seed = 42L, portable = true)
+    val state = Files.createTempDirectory("graft-rid-state").toString
+    val vocabLim = 16L
+    val b1 = odd.filter(col("doc_id") < 200)
+    val b2 = odd.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamVerbs.lifecycleIngest(spark, state, b, "doc_id", "text",
+        "source", gate, decIdx, idx, tok, 64, boundaries, 2048L,
+        maxContaminatedFrac = 0.5, dedupThreshold = 0.3, batchId = id,
+        oovVocabLimit = Some(vocabLim), eceLabelCol = Some("truth"))
+    def oovMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    def eceMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val r1 = run(b1, 0L)
+    val admitted1 = r1.admitted.localCheckpoint()
+    val r2 = run(b2, 1L)
+    val admitted2 = r2.admitted.localCheckpoint()
+    assert(r2.oov.nonEmpty && r2.ece.nonEmpty)
+    // standalone monitors over the SAME batches: OOV watches the
+    // admitted docs (what enters training), ECE the gate-scored batch
+    val soState = Files.createTempDirectory("graft-rid-so").toString
+    graft.text.Bpe.oovMonitorIngest(spark, soState, admitted1, "doc_id",
+      "text", "source", tok, vocabLimit = vocabLim, batchId = 0L)
+    val soOov = graft.text.Bpe.oovMonitorIngest(spark, soState, admitted2,
+      "doc_id", "text", "source", tok, vocabLimit = vocabLim, batchId = 1L)
+    val seState = Files.createTempDirectory("graft-rid-se").toString
+    def scoredOf(b: org.apache.spark.sql.DataFrame) =
+      graft.text.Classify.scoreBinaryFromModel(spark, gate, b, "doc_id",
+          "text")
+        .join(b.select(col("doc_id"), col("truth")), Seq("doc_id"))
+    graft.ml.Eval.eceMonitorIngest(spark, seState, scoredOf(b1), "truth",
+      "s", bins = 10, batchId = 0L)
+    val soEce = graft.ml.Eval.eceMonitorIngest(spark, seState,
+      scoredOf(b2), "truth", "s", bins = 10, batchId = 1L)
+    assert(oovMap(r2.oov.get) == oovMap(soOov),
+      "rider OOV state diverged from the standalone monitor")
+    assert(eceMap(r2.ece.get) == eceMap(soEce),
+      "rider ECE state diverged from the standalone monitor")
+    assert(oovMap(r2.oov.get).nonEmpty && eceMap(r2.ece.get).nonEmpty)
+    // a replayed batch re-emits the riders' cumulative reports too
+    val r2r = run(b2, 1L)
+    assert(oovMap(r2r.oov.get) == oovMap(r2.oov.get))
+    assert(eceMap(r2r.ece.get) == eceMap(r2.ece.get))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("streaming lifecycle: gate -> decontaminate -> dedup -> encode -> " +
       "windows -> batches -> manifest == the batch composition") {
     val docs = spark.read

@@ -42,6 +42,7 @@ object SparkEntry4 {
   private val HN_K = 5
   // q_context_windows: fixed training-sequence length
   private val CW_LEN = 64
+  private val CARD_VOCAB_K = 16L
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").df
@@ -395,9 +396,32 @@ object SparkEntry4 {
         .groupBy("source")
         .agg(count_distinct(col("bucket") * 1000000L + col("batch"))
           .as("n_batches"))
+      // data card v2: per-source vocabulary coverage under a rank-16
+      // truncation of the lifecycle tokenizer's own vocabulary (the
+      // datasheet column that localizes WHICH mixture component a closed
+      // serving vocab underfits — q_vocab_coverage's semantics over the
+      // admitted id stream, one broadcast vocab join), and the admission
+      // gate's ECE (Eval.calibrationReport over the same scored relation
+      // the threshold was read from — a ≤10-row bounded artifact read).
+      val vocabK = graft.text.Bpe.vocabTruncate(
+        s.read.parquet(s"$tokPath/vocab"), CARD_VOCAB_K)
+      val oovSrc = ids.select(col("doc_id"),
+          explode(col("ids")).as("token_id"))
+        .join(broadcast(vocabK.select(col("token_id"),
+          lit(1).as("__in"))), Seq("token_id"), "left")
+        .join(srcOf, Seq("doc_id"))
+        .groupBy("source")
+        .agg(coalesce(sum(when(col("__in").isNull, 1L)), lit(0L))
+          .as("n_oov"))
+      val gateEce = Eval.calibrationReport(scored, "truth", "s")
+        .select("ece").head().getDouble(0)
       dCard.join(wSrc, Seq("source")).join(bSrc, Seq("source"))
-        .select("source", "n_docs", "n_tokens", "n_windows", "n_batches",
-          "fingerprint")
+        .join(oovSrc, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_windows"), col("n_batches"), col("fingerprint"),
+          col("n_oov"),
+          round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"),
+          lit(gateEce).as("gate_ece"))
     }),
 
     // Windows over a SEEDED SHUFFLE of the corpus — packing order is
@@ -1073,10 +1097,31 @@ object SparkEntry4 {
        |sb AS (SELECT a.source,
        |    CAST(count(DISTINCT bt.bucket * 1000000 + bt.batch) AS BIGINT)
        |      AS n_batches
-       |  FROM bt JOIN admdocs a USING (doc_id) GROUP BY 1)
+       |  FROM bt JOIN admdocs a USING (doc_id) GROUP BY 1),
+       |sv AS (SELECT a.source,
+       |    CAST(coalesce(sum(CASE WHEN v.tid >= $CARD_VOCAB_K THEN 1 END),
+       |      0) AS BIGINT) AS n_oov
+       |  FROM dia JOIN vid v USING (token)
+       |  JOIN admdocs a USING (doc_id) GROUP BY 1),
+       |cpb AS (SELECT
+       |    CAST(round(1000000.0 / (1.0 + exp(-s)), 0) AS BIGINT) AS pm,
+       |    CASE WHEN truth THEN 1 ELSE 0 END AS y
+       |  FROM lj),
+       |cbb AS (SELECT least(pm * 10 // 1000000, 9) AS bin,
+       |    count(*) AS n, sum(y) AS n_pos, sum(pm) AS spm
+       |  FROM cpb GROUP BY 1),
+       |cnn AS (SELECT sum(n) AS nn FROM cbb),
+       |crr AS (SELECT bin, n / (SELECT nn FROM cnn)
+       |      * abs(n_pos / n - spm / n / 1000000.0) AS term
+       |  FROM cbb),
+       |cee AS (SELECT list_reduce(list(term ORDER BY bin),
+       |    (a, b) -> a + b) AS ece FROM crr)
        |SELECT sd.source, sd.n_docs, sd.n_tokens, sw.n_windows,
-       |  sb.n_batches, sd.fingerprint
-       |FROM sd JOIN sw USING (source) JOIN sb USING (source)""".stripMargin
+       |  sb.n_batches, sd.fingerprint, sv.n_oov,
+       |  round(sv.n_oov / sd.n_tokens, 6) AS oov_rate,
+       |  round((SELECT ece FROM cee), 6) AS gate_ece
+       |FROM sd JOIN sw USING (source) JOIN sb USING (source)
+       |JOIN sv USING (source)""".stripMargin
   }
 
   /** DuckDB replica of `q_gate_calibration`: the scored relation's

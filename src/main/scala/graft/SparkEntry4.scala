@@ -368,11 +368,20 @@ object SparkEntry4 {
       val dec = graft.ml.Dedup.decontaminateBloom(gated, "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "text", n = 3,
         maxContaminatedFrac = 0.5)
-      Await.result(fIdx, 30.minutes)
+      // bounded waits with NAMED failures: a hung artifact build should
+      // surface as "which build" after 10 minutes, not a silent stall
+      def awaitBuild[A](f: Future[A], what: String): A =
+        try Await.result(f, 10.minutes)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          throw new RuntimeException(
+            s"q_lifecycle_e2e: $what build did not finish within 10 " +
+              "minutes — the concurrent artifact job is hung or starved")
+        }
+      awaitBuild(fIdx, "minhash-index")
       val admitted = graft.ml.Dedup.trackCache(
         graft.ml.Dedup.ingestDedup(s, idxPath, dec, "doc_id", "text",
           threshold = 0.3))
-      Await.result(fTok, 30.minutes)
+      awaitBuild(fTok, "tokenizer")
       val ids = graft.ml.Dedup.trackCache(
         graft.text.Bpe.encodeDocsFromTokenizer(s, tokPath, admitted,
           "doc_id", "text"))

@@ -855,6 +855,12 @@ object Dedup {
           .filter(col("batch_seq") === seq).select("id", "sig"),
         bands, rows, parts)
     }
+    // stale partitions (a rebuild overwrote sigs at the same path): the
+    // sig fetch join already drops their candidates, but carrying them
+    // wastes probe reads forever — remove them
+    (present -- inSigs).foreach { seq =>
+      fs.delete(new Path(s"$path/bands/batch_seq=$seq"), true)
+    }
     parts
   }
 

@@ -175,8 +175,9 @@ class BpeSpec extends AnyFunSuite {
     // come in measurably under one-round-per-merge (the tie-heavy tail
     // bounds how far EXACT batching can compress — see the scaladoc)
     var batRounds = 0
+    val batSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     val bat = table(Bpe.trainIncrementalBatched(corpus, "text", nMerges = 512,
-      onRound = (r, _) => batRounds = r))
+      onRound = (r, b) => { batRounds = r; batSizes += b }))
     assert(bat == full, {
       val d = bat.zip(full).indexWhere { case (a, b) => a != b }
       s"batched: first divergence at index $d: ${bat.lift(d)} vs ${full.lift(d)}"
@@ -184,6 +185,14 @@ class BpeSpec extends AnyFunSuite {
     info(s"batched: $batRounds rounds for 512 merges")
     assert(batRounds > 0 && batRounds <= (512 * 3) / 4,
       s"batching must compress rounds: $batRounds rounds for 512 merges")
+    // per-round merge-table GROWTH accounting (the wall-clock-free CI
+    // slice of the GRAFT_PROF 2048-merge run): every round must land a
+    // nonempty prefix batch — a zero-progress round would loop forever at
+    // 32k merges — and the batch sizes must sum exactly to the table
+    assert(batSizes.size == batRounds && batSizes.forall(_ >= 1) &&
+      batSizes.sum == 512,
+      s"growth accounting broken: ${batSizes.size} rounds, " +
+        s"min ${batSizes.min}, sum ${batSizes.sum}")
     assert(inc == full, {
       val d = inc.zip(full).indexWhere { case (a, b) => a != b }
       s"first divergence at index $d: ${inc.lift(d)} vs ${full.lift(d)}"

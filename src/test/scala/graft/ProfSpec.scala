@@ -125,6 +125,72 @@ class ProfSpec extends AnyFunSuite {
     try {
       Dedup.buildMinhashIndex(docs, "doc_id", "text", idx.toString,
         n = 3, bands = 16, rows = 2)
+      runIngestFlatness(spark, idx.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("ingestDedup flat-latency pin holds on the BAND-KEYED layout; " +
+       "compaction keeps the probe flat vs partition accumulation") {
+    assume(sys.env.contains("GRAFT_PROF"), "set GRAFT_PROF=1 to run profiling")
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-prof-mhb")
+    try {
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", idx.toString,
+        n = 3, bands = 16, rows = 2, bandParts = 32)
+      // same 12-batch flatness pin, now with every append maintaining the
+      // banded layout and every probe partition-pruning against it
+      runIngestFlatness(spark, idx.toString)
+      // the probe after compaction must not be slower than the probe on
+      // the accumulated 13-partition index (listing/footer overhead is
+      // what compaction removes; at this scale it only must not REGRESS)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val probe = (1 to 500).map { i =>
+        md.reset()
+        val ws = (0 until 4).map(j =>
+          md.digest(s"probe-$i-$j".getBytes("UTF-8"))
+            .flatMap(x => Seq((x >> 4) & 0xf, x & 0xf))
+            .map(n => ('a' + n).toChar).mkString)
+        (90000000L + i, ws.mkString(" "))
+      }.toDF("doc_id", "text").localCheckpoint()
+      def probeTime(): Double = {
+        val t0 = System.nanoTime()
+        Dedup.dedupeAgainstIndex(spark, idx.toString, probe, "doc_id",
+          "text", threshold = 0.9).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      probeTime() // warm
+      val tAccum = (1 to 3).map(_ => probeTime()).min
+      Dedup.compactMinhashIndex(spark, idx.toString)
+      val nParts = spark.read.parquet(s"${idx.toString}/sigs")
+        .select("batch_seq").distinct().count()
+      assert(nParts == 2, s"compaction must leave base+last: $nParts")
+      probeTime() // warm post-compaction
+      val tComp = (1 to 3).map(_ => probeTime()).min
+      println(f"[prof] banded probe s: accumulated $tAccum%.2f, " +
+        f"compacted $tComp%.2f")
+      assert(tComp < tAccum * 1.5,
+        f"compaction must not regress the probe: $tComp%.2f vs $tAccum%.2f")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** The 12-batch ingest-flatness loop shared by the flat and banded
+    * layouts: novel synthetic batches append 500 sigs each; per-batch
+    * latency must not grow with the standing partition count. */
+  private def runIngestFlatness(spark: org.apache.spark.sql.SparkSession,
+                                idxPath: String): Unit = {
+    import spark.implicits._
+    {
       // 12 batches of 500 synthetic novel docs: the index grows 5000 ->
       // ~11000 signatures across the run; per-batch work must not grow
       // with it (batch shingling dominates; the standing-sig scan is slim)
@@ -140,7 +206,7 @@ class ProfSpec extends AnyFunSuite {
       val ts = (1 to 12).map { b =>
         val df = batch(b)
         val t0 = System.nanoTime()
-        val kept = Dedup.ingestDedup(spark, idx.toString, df, "doc_id",
+        val kept = Dedup.ingestDedup(spark, idxPath, df, "doc_id",
           "text", threshold = 0.9).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[prof] ingest batch $b%2d: kept $kept, $dt%.2f s")
@@ -152,10 +218,6 @@ class ProfSpec extends AnyFunSuite {
       println(f"[prof] ingest per-batch s: early $early%.2f, late $late%.2f")
       assert(late < early * 2,
         f"ingest must stay flat as the index grows: $late%.2f vs $early%.2f")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 }

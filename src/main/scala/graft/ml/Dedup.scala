@@ -813,6 +813,11 @@ object Dedup {
     bandExplode(sigsOfSeq, bands, rows)
       .withColumn("bkt_part", bktPart(parts))
       .select("band", "bucket", "id", "bkt_part")
+      // cluster by the partition key before the write: without this every
+      // shuffle partition emits a file into every bkt_part dir (parts ×
+      // partitions tiny files per seq — exactly the listing overhead the
+      // layout exists to avoid); with it each dir gets one file
+      .repartition(col("bkt_part"))
       .write.partitionBy("bkt_part").mode("overwrite")
       .parquet(staging.toString)
     val dest = new Path(s"$path/bands/batch_seq=$seq")
@@ -839,15 +844,15 @@ object Dedup {
       spark.sparkContext.hadoopConfiguration)
     graft.ops.CarryState.recoverDir(spark, s"$path/bands")
     fs.delete(new Path(s"$path/bands_staging"), true)
-    val inSigs = spark.read.parquet(s"$path/sigs")
-      .select(col("batch_seq").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val bandsDir = new Path(s"$path/bands")
-    val present: Set[Long] =
-      if (!fs.exists(bandsDir)) Set.empty
-      else fs.listStatus(bandsDir).toSeq.map(_.getPath.getName)
+    // partition presence from DIRECTORY LISTING on both sides — one
+    // O(#partitions) namenode call each, never a data scan per ingest
+    def seqDirs(dir: Path): Set[Long] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("batch_seq="))
         .map(_.stripPrefix("batch_seq=").toLong).toSet
+    val inSigs = seqDirs(new Path(s"$path/sigs"))
+    val present = seqDirs(new Path(s"$path/bands"))
     val (bands, rows) = (m.getAs[Int]("bands"), m.getAs[Int]("rows"))
     (inSigs -- present).toSeq.sorted.foreach { seq =>
       writeBandPartition(spark, path, seq,

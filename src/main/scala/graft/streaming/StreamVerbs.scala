@@ -1179,7 +1179,8 @@ object StreamVerbs {
                          dedupThreshold: Double = 0.3,
                          maxBucket: Int = 100000,
                          oovVocabLimit: Option[Long] = None,
-                         eceLabelCol: Option[String] = None)
+                         eceLabelCol: Option[String] = None,
+                         compactEvery: Int = 0)
                         (sink: LifecycleBatchOut => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1188,6 +1189,13 @@ object StreamVerbs {
         windowLen, boundaries, batchBudget, maxContaminatedFrac,
         dedupThreshold, maxBucket, batchId = batchId,
         oovVocabLimit = oovVocabLimit, eceLabelCol = eceLabelCol))
+      // auto-maintenance between batches (see streamingIngestDedup): the
+      // standing minhash index compacts every compactEvery batches in the
+      // serial foreachBatch slot, keeping its partition count bounded for
+      // the life of the stream
+      if (compactEvery > 0 && batchId >= 0 &&
+          batchId % compactEvery == (compactEvery - 1))
+        graft.ml.Dedup.compactMinhashIndex(batch.sparkSession, indexPath)
     }
 
   /** Ingest-time snapshot classification against a FROZEN corpus version
@@ -1276,12 +1284,25 @@ object StreamVerbs {
     */
   def streamingIngestDedup(t: Tbl, idCol: String, textCol: String,
                            path: String, threshold: Double = 0.8,
-                           maxBucket: Int = 100000)
+                           maxBucket: Int = 100000,
+                           compactEvery: Int = 0)
                           (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.ml.Dedup.ingestDedup(batch.sparkSession, path, batch,
-        idCol, textCol, threshold, maxBucket, batchId))
+      val out = graft.ml.Dedup.ingestDedup(batch.sparkSession, path, batch,
+        idCol, textCol, threshold, maxBucket, batchId)
+      sink(out)
+      // AUTO-MAINTENANCE: foreachBatch micro-batches run serially, so
+      // "after the sink, before the next batch" is the natural offline
+      // slot the compactor's single-writer contract asks for. Compaction
+      // preserves the LAST partition verbatim, so an immediate replay of
+      // THIS batch still re-emits across the boundary; partition count
+      // stays bounded at streaming cadence instead of growing forever.
+      // The sink runs first — its consumer sees the partition layout the
+      // batch was computed against.
+      if (compactEvery > 0 && batchId >= 0 &&
+          batchId % compactEvery == (compactEvery - 1))
+        graft.ml.Dedup.compactMinhashIndex(batch.sparkSession, path)
     }
 
   /** Ingest-time winnowed near-dup candidates: arriving docs' winnowed

@@ -1317,6 +1317,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigState(streamIdx) == sigState(batchIdx))
   }
 
+  test("streaming ingest dedup with auto-compaction: admissions identical " +
+      "to the uncompacted stream; the partition count stays bounded") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "a completely different reference document")).toDF("doc_id", "text")
+    // four micro-batches; batch k+1 carries a copy of a batch-k survivor,
+    // so admissions depend on index growth ACROSS every compaction
+    val arrivals = Seq(
+      Seq((10L, "the cat sat on the mat today"),
+          (11L, "novel first batch content about turbines")),
+      Seq((20L, "novel first batch content about turbines"),
+          (21L, "second batch fresh material entirely its own")),
+      Seq((30L, "second batch fresh material entirely its own"),
+          (31L, "third batch subject matter unlike the others")),
+      Seq((40L, "third batch subject matter unlike the others"),
+          (41L, "fourth batch closing content all new words")))
+    val cIdx = Files.createTempDirectory("graft-smhc-c").toString
+    val pIdx = Files.createTempDirectory("graft-smhc-p").toString
+    graft.ml.Dedup.buildMinhashIndex(ref, "doc_id", "text", cIdx)
+    graft.ml.Dedup.buildMinhashIndex(ref, "doc_id", "text", pIdx)
+    def runStream(idx: String, every: Int): Set[Long] = {
+      val dir = Files.createTempDirectory("graft-smhc-in").toFile
+      val ckpt = Files.createTempDirectory("graft-smhc-ck").toFile
+      arrivals.foreach { a =>
+        a.toDF("doc_id", "text").repartition(1)
+          .write.mode("append").parquet(dir.getAbsolutePath)
+        Thread.sleep(1100) // distinct mtimes pin batch order
+      }
+      val stream = spark.readStream
+        .schema(arrivals.head.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+      val got = scala.collection.mutable.Set.empty[Long]
+      val q = StreamVerbs.streamingIngestDedup(Tbl(stream), "doc_id",
+          "text", idx, threshold = 0.9, compactEvery = every) { out =>
+          got.synchronized {
+            out.select("doc_id").collect().foreach(r => got += r.getLong(0))
+          }
+        }
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      got.toSet
+    }
+    val compacted = runStream(cIdx, every = 2)
+    val plain = runStream(pIdx, every = 0)
+    assert(compacted == plain && compacted == Set(11L, 21L, 31L, 41L),
+      s"compacted $compacted vs plain $plain")
+    def nParts(p: String) = spark.read.parquet(s"$p/sigs")
+      .select(col("batch_seq").cast("long")).distinct().count()
+    // plain: base + 4 ingest partitions; compacted: bounded at base+last
+    // plus at most compactEvery-1 fresh partitions since the last sweep
+    assert(nParts(pIdx) == 5L, s"plain grew ${nParts(pIdx)}")
+    assert(nParts(cIdx) <= 3L, s"compaction must bound: ${nParts(cIdx)}")
+    // same standing ids either way
+    def ids(p: String) = spark.read.parquet(s"$p/sigs")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(cIdx) == ids(pIdx))
+  }
+
   test("streaming SQ8 probe == batch probe against the persisted index") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")

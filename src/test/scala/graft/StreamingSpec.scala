@@ -1965,6 +1965,7 @@ class StreamingSpec extends AnyFunSuite {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text", "lang", "source")
+      .withColumn("truth", col("lang") === "en")
     val even = docs.filter(col("doc_id") % 2 === 0)
     val odd = docs.filter(col("doc_id") % 2 === 1)
     // frozen read-only artifacts, shared by every crash variant
@@ -2004,7 +2005,8 @@ class StreamingSpec extends AnyFunSuite {
       StreamVerbs.lifecycleIngest(spark, state, b, "doc_id", "text",
         "source", gate, decIdx, idx, tok, 64, boundaries, 2048L,
         maxContaminatedFrac = 0.5, dedupThreshold = 0.3, batchId = id,
-        failAfterStage = fail)
+        failAfterStage = fail, oovVocabLimit = Some(16L),
+        eceLabelCol = Some("truth"))
     def outs(r: StreamVerbs.LifecycleBatchOut) =
       (r.admitted.select("doc_id").collect().map(_.getLong(0)).toSet,
        r.windows.select("window_id", "ids").collect()
@@ -2012,19 +2014,25 @@ class StreamingSpec extends AnyFunSuite {
        r.batches.collect().map(x => x.getLong(0) ->
          (x.getLong(1), x.getLong(2), x.getLong(3))).toMap,
        r.manifest.collect().map(x => x.getString(0) -> (x.getLong(1),
-         x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap)
+         x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap,
+       r.oov.get.collect().map(x => x.getString(0) ->
+         (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap,
+       r.ece.get.collect().map(x => x.getLong(0) -> (x.getLong(1),
+         x.getLong(2), x.getDouble(3), x.getDouble(4),
+         x.getDouble(5))).toMap)
     // the uncrashed reference chain
     val refIdx = freshIdx()
     val refState = Files.createTempDirectory("graft-lci-ref").toString
     run(refIdx, refState, b1, 0L, None)
     val ref = outs(run(refIdx, refState, b2, 1L, None))
     assert(ref._1.nonEmpty && ref._2.nonEmpty && ref._3.nonEmpty &&
-      ref._4.nonEmpty)
+      ref._4.nonEmpty && ref._5.nonEmpty && ref._6.nonEmpty)
     // kill after each stage commit in turn (0 = before any commit,
     // 1 = after the dedup index append, 2 = after the window carry,
-    // 3 = after the batch carry, 4 = after the manifest — i.e. after
-    // everything committed but before the checkpoint), then redeliver
-    for (k <- 0 to 4) {
+    // 3 = after the batch carry, 4 = after the manifest, 5 = after the
+    // OOV rider, 6 = after the ECE rider — i.e. after everything
+    // committed but before the checkpoint), then redeliver
+    for (k <- 0 to 6) {
       val idx = freshIdx()
       val state = Files.createTempDirectory(s"graft-lci-k$k").toString
       run(idx, state, b1, 0L, None)

@@ -21,6 +21,37 @@ object SparkEntry2 {
   private def scratchPath(dir: String, name: String): String =
     SparkEntry.scratchPath(dir, name)
 
+  /** DuckDB replica of the v1→v2 manifest diff — shared VERBATIM by
+    * `q_manifest_diff` (the diff verb itself) and `q_shard_resync` (the
+    * incremental re-export, whose receipt IS this diff). */
+  private val manifestDiffOracleSql: String =
+    """WITH base AS (SELECT doc_id, text, doc_id // 20 AS shard
+      |  FROM documents),
+      |v1 AS (SELECT * FROM base WHERE shard % 7 <> 0),
+      |v2 AS (SELECT doc_id, shard,
+      |    CASE WHEN shard % 5 = 1 AND doc_id % 3 = 0
+      |      THEN text || ' rev2' ELSE text END AS text
+      |  FROM base
+      |  WHERE shard % 9 <> 0 AND NOT (shard % 5 = 2 AND doc_id % 13 = 0)),
+      |m1 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+      |    bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS fp
+      |  FROM v1 GROUP BY 1),
+      |m2 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+      |    bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS fp
+      |  FROM v2 GROUP BY 1)
+      |SELECT coalesce(m1.shard, m2.shard) AS shard,
+      |  CASE WHEN m1.fp IS NULL THEN 'added'
+      |       WHEN m2.fp IS NULL THEN 'removed'
+      |       WHEN m1.fp = m2.fp AND m1.n_rows = m2.n_rows
+      |            AND m1.n_tokens IS NOT DISTINCT FROM m2.n_tokens
+      |         THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  m1.n_rows AS n_rows_old, m2.n_rows AS n_rows_new,
+      |  m1.n_tokens AS n_tokens_old, m2.n_tokens AS n_tokens_new
+      |FROM m1 FULL OUTER JOIN m2 ON m1.shard = m2.shard""".stripMargin
+
   import SparkEntry.Q
 
   // ======================================================================
@@ -1139,6 +1170,33 @@ object SparkEntry2 {
       graft.ops.Scale.manifestDiff(mf(v1), mf(v2))
     }),
 
+    // Incremental re-export in the driver gate: export v1, then RESYNC
+    // the export to v2 — only added/changed shards rewrite (dynamic
+    // partition overwrite), removed partitions drop, and the returned
+    // receipt is exactly the manifest diff, so the oracle is
+    // q_manifest_diff's VERBATIM. (ScaleSpec separately pins that
+    // untouched shard files stay byte-identical and the resynced export
+    // verifies all-unchanged.)
+    "q_shard_resync" -> ((s, dir) => {
+      val base = t(s, dir, "documents").df
+        .select(col("doc_id"), col("text"))
+        .withColumn("shard", expr("doc_id div 20"))
+      val v1 = base.filter(col("shard") % 7 =!= 0)
+      val v2 = base.filter(col("shard") % 9 =!= 0)
+        .withColumn("text",
+          when(col("shard") % 5 === 1 && col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .filter(!(col("shard") % 5 === 2 && col("doc_id") % 13 === 0))
+      def sized(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("n_tok",
+          TextFns.tokenCount(col("text")).cast("long"))
+      val path = scratchPath(dir, "shard_resync")
+      graft.ops.Scale.writeShardsWithManifest(sized(v1), path, "shard",
+        "doc_id", col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      graft.ops.Scale.resyncShards(s, sized(v2), path, "shard", "doc_id",
+        col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+    }),
+
     // The manifest's CONSUMER side: the deterministic resumable epoch
     // schedule — shards permuted by the portable hash of (shard, seed),
     // dealt round-robin to 4 dataloader workers, each worker's shards
@@ -1815,33 +1873,10 @@ object SparkEntry2 {
         |  n_rows AS n_rows_old, n_rows AS n_rows_new,
         |  n_tokens AS n_tokens_old, n_tokens AS n_tokens_new
         |FROM m""".stripMargin,
-    "q_manifest_diff" ->
-      """WITH base AS (SELECT doc_id, text, doc_id // 20 AS shard
-        |  FROM documents),
-        |v1 AS (SELECT * FROM base WHERE shard % 7 <> 0),
-        |v2 AS (SELECT doc_id, shard,
-        |    CASE WHEN shard % 5 = 1 AND doc_id % 3 = 0
-        |      THEN text || ' rev2' ELSE text END AS text
-        |  FROM base
-        |  WHERE shard % 9 <> 0 AND NOT (shard % 5 = 2 AND doc_id % 13 = 0)),
-        |m1 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
-        |    CAST(sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
-        |    bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS fp
-        |  FROM v1 GROUP BY 1),
-        |m2 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
-        |    CAST(sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
-        |    bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS fp
-        |  FROM v2 GROUP BY 1)
-        |SELECT coalesce(m1.shard, m2.shard) AS shard,
-        |  CASE WHEN m1.fp IS NULL THEN 'added'
-        |       WHEN m2.fp IS NULL THEN 'removed'
-        |       WHEN m1.fp = m2.fp AND m1.n_rows = m2.n_rows
-        |            AND m1.n_tokens IS NOT DISTINCT FROM m2.n_tokens
-        |         THEN 'unchanged'
-        |       ELSE 'changed' END AS status,
-        |  m1.n_rows AS n_rows_old, m2.n_rows AS n_rows_new,
-        |  m1.n_tokens AS n_tokens_old, m2.n_tokens AS n_tokens_new
-        |FROM m1 FULL OUTER JOIN m2 ON m1.shard = m2.shard""".stripMargin,
+    "q_manifest_diff" -> manifestDiffOracleSql,
+    // the resync receipt IS the manifest diff over the same v1/v2 —
+    // oracle shared VERBATIM (the persisted-artifact discipline)
+    "q_shard_resync" -> manifestDiffOracleSql,
     "q_epoch_plan" ->
       """WITH s AS (SELECT doc_id, text,
         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok

@@ -634,6 +634,60 @@ object Scale {
       .parquet(s"$path/data")
   }
 
+  /** INCREMENTAL re-export — bring a [[writeShardsWithManifest]] export
+    * in line with a NEW corpus version by rewriting ONLY the shards
+    * whose content moved: the new packed relation's [[shardManifest]]
+    * diffs against the stored one ([[manifestDiff]] — two micro-table
+    * scans), `added`/`changed` shards rewrite via DYNAMIC partition
+    * overwrite (only the touched `shard=` partitions are replaced;
+    * unchanged shard files are never opened, never rewritten), `removed`
+    * shards' partitions are deleted, and the stored manifest is replaced
+    * by the new one — manifest FIRST, mirroring
+    * [[writeShardsWithManifest]]'s crash convention (a crash between the
+    * manifest write and the data writes leaves [[verifyShards]] naming
+    * exactly the shards whose rewrite didn't land; re-running the same
+    * resync is idempotent and completes it). Returns the diff relation —
+    * the re-export's receipt: which shards were rewritten, removed, or
+    * left untouched.
+    *
+    * This is incremental materialization at corpus scale: a 100 TB
+    * export where one crawl slice changed rewrites that slice's shards,
+    * not the corpus. The write cost is O(changed shards); the decision
+    * cost is two manifest scans. ScaleSpec pins that untouched shard
+    * FILES are byte-identical (not merely equivalent) and that the
+    * resynced export verifies all-`unchanged` against the new corpus.
+    */
+  def resyncShards(spark: org.apache.spark.sql.SparkSession,
+                   packed: DataFrame, path: String, shardCol: String,
+                   idCol: String, sizeCol: Column, fpCol: Column): DataFrame = {
+    val stored = spark.read.parquet(s"$path/manifest")
+    val newMan = shardManifest(packed, shardCol, idCol, sizeCol, fpCol)
+      .localCheckpoint(true)
+    val diff = manifestDiff(stored, newMan, shardCol).localCheckpoint(true)
+    // manifest first (the writeShardsWithManifest convention) — its
+    // source relations are checkpointed, so overwriting is safe
+    coalesceForWrite(newMan).write.mode("overwrite")
+      .parquet(s"$path/manifest")
+    // rewrite only the touched partitions: dynamic overwrite replaces
+    // exactly the shard= dirs present in the written frame
+    val touched = diff.filter(col("status").isin("added", "changed"))
+      .select(col(shardCol))
+    packed.join(touched, Seq(shardCol), "left_semi")
+      .write.partitionBy(shardCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/data")
+    // removed shards: drop their partitions (driver list — removals are
+    // the exception path and bounded by the diff)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    diff.filter(col("status") === "removed").select(col(shardCol))
+      .collect().foreach { r =>
+        fs.delete(new Path(s"$path/data/$shardCol=${r.get(0)}"), true)
+      }
+    diff
+  }
+
   /** Verify a [[writeShardsWithManifest]] export by recomputing the
     * manifest from the files on disk and diffing against the stored
     * one. Returns the [[manifestDiff]] relation: every row `unchanged`

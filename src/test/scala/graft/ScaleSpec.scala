@@ -789,6 +789,79 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("resyncShards: only changed shards rewrite (untouched files " +
+      "byte-identical), removed partitions drop, the export verifies " +
+      "against the new corpus") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("shard", expr("doc_id div 20"))
+    def sized(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("shard"), col("doc_id"),
+      graft.text.TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+      col("text"))
+    // v1 = everything; v2 mutates shard 1's text, truncates shard 2,
+    // removes shard 3, adds shard 999 — every diff status exercised
+    val v1 = sized(base)
+    val extra = spark.range(3).select(
+      (col("id") + 9000000L).as("doc_id"),
+      concat(lit("fresh shard content row "), col("id").cast("string"))
+        .as("text"))
+      .withColumn("shard", lit(999L))
+    val v2 = sized(base
+      .withColumn("text", when(col("shard") === 1 && col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .filter(!(col("shard") === 2 && col("doc_id") % 13 === 0))
+      .filter(col("shard") =!= 3)
+      .unionByName(extra.select("doc_id", "text", "shard")))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-resync")
+    val path = dirP.toString
+    try {
+      Scale.writeShardsWithManifest(v1, path, "shard", "doc_id",
+        col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      // fingerprint shard 0's files before the resync (it is unchanged
+      // in v2, so its bytes must not be rewritten — not merely re-equal)
+      import scala.jdk.CollectionConverters._
+      def files(shard: Long) = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(path, "data", s"shard=$shard"))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.getFileName.toString ->
+          (java.nio.file.Files.size(p),
+           java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+      val before0 = files(0L)
+      val diff = Scale.resyncShards(spark, v2, path, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(diff(0L) == "unchanged" && diff(1L) == "changed" &&
+        diff(2L) == "changed" && diff(3L) == "removed" &&
+        diff(999L) == "added", diff.toString)
+      // untouched shard: same file names, sizes, AND mtimes
+      assert(files(0L) == before0, "unchanged shard was rewritten")
+      // removed shard partition is gone
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "data", "shard=3")))
+      // the resynced export IS the v2 export: verification all-unchanged
+      val ver = Scale.verifyShards(spark, path, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(ver.nonEmpty && ver.values.forall(_ == "unchanged"),
+        s"resynced export must verify: $ver")
+      // and idempotent: a second resync with the same corpus touches
+      // nothing
+      val again = Scale.resyncShards(spark, v2, path, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(again.values.forall(_ == "unchanged"))
+      assert(files(0L) == before0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("epochPlanVerified: damaged shards are excluded from the schedule " +
       "and named; the plan equals epochPlan over the verifying shards") {
     val docs = spark.read

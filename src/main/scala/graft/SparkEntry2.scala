@@ -1333,6 +1333,25 @@ object SparkEntry2 {
         .select(Seq("doc_id", "lang", "source"): _*).df
     }),
 
+    // The GROWING-benchmark path: the index is built on half the
+    // benchmark slice and the other half APPENDS (text-scan cost paid
+    // only for the new slice; the union's Bloom rebuilt over slim
+    // standing grams) — the scrub against the appended index must equal
+    // the scrub against the whole benchmark, so the oracle is
+    // q_decontaminate's VERBATIM.
+    "q_decontam_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val path = scratchPath(dir, "decontam_index_append")
+      Dedup.buildDecontamIndex(s,
+        bench.filter(col("doc_id") % 2 === 0), "text", path, n = 5)
+      Dedup.appendToDecontamIndex(s, path,
+        bench.filter(col("doc_id") % 2 =!= 0), "text")
+      Tbl(Dedup.decontaminateFromIndex(s, path, docs, "doc_id", "text",
+          maxContaminatedFrac = 0.5))
+        .select(Seq("doc_id", "lang", "source"): _*).df
+    }),
+
     // minhash at fixed seed is fully deterministic; with the SQL-portable
     // md5 shingle leaf the whole pipeline (signatures -> banding -> scored
     // pairs) is reproducible in DuckDB, graduating this query from
@@ -2671,6 +2690,8 @@ object SparkEntry2 {
     "q_decontaminate" -> decontaminateOracleSql,
     // persisted-artifact scrub == inline scrub: the oracle is SHARED
     "q_decontam_pers" -> decontaminateOracleSql,
+    // append(half) ∘ build(half) == build(whole): same oracle verbatim
+    "q_decontam_append" -> decontaminateOracleSql,
     "q_ngram_jaccard" -> ngramJaccardOracleSql(0.5),
     "q_pipeline_e2e" ->
       """WITH RECURSIVE qual AS (

@@ -447,6 +447,53 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** APPEND a new benchmark slice to a persisted [[buildDecontamIndex]]
+    * artifact — benchmark suites GROW, and rebuilding from scratch
+    * re-derives every slice's grams from text. The append pays the
+    * text-scan cost only for the NEW slice: the standing grams are slim
+    * hashed longs, re-aggregated with the new ones for the union's Bloom
+    * (a sketch sized for k items cannot absorb more — it is rebuilt over
+    * the union at the recorded `bits_per_item`; the gram width `n` also
+    * rides the meta, so an appended slice can never gram differently
+    * than the build did). Swap order is META-then-GRAMS, each via the
+    * staged-replace discipline: a crash between the two leaves an index
+    * whose exact-join behavior is exactly PRE-append (the oversized
+    * sketch only prefilters — no false negatives are possible), and
+    * re-running the same append completes it idempotently. Probe output
+    * after the append is identical to an index built on the union from
+    * scratch (PipelineSpec pins it; q_decontam_append shares
+    * q_decontaminate's oracle VERBATIM).
+    */
+  def appendToDecontamIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, bench: DataFrame,
+                            benchText: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val shim = org.apache.spark.sql.graftshim.Shim
+    graft.ops.CarryState.recoverDir(spark, s"$path/meta")
+    graft.ops.CarryState.recoverDir(spark, s"$path/grams")
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (n, bits) = (m.getAs[Int]("n"), m.getAs[Int]("bits_per_item"))
+    val union = scopedCache(spark.read.parquet(s"$path/grams")
+      .unionByName(benchmarkGrams(bench, benchText, n, hashed = true))
+      .distinct())
+    val items = math.max(union.count(), 1L)
+    val bloomBytes = union.agg(shim.columnOf(
+        new BloomFilterAggregate(shim.exprOf(col("g")),
+          Literal(items), Literal(items * bits))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    graft.ops.CarryState.replaceDir(spark, s"$path/meta") { staging =>
+      spark.range(1).select(lit(n).as("n"),
+          lit(bits).as("bits_per_item"), lit(items).as("items"),
+          lit(bloomBytes).as("bloom"))
+        .write.mode("overwrite").parquet(staging)
+    }
+    graft.ops.CarryState.replaceDir(spark, s"$path/grams") { staging =>
+      union.write.mode("overwrite").parquet(staging)
+    }
+  }
+
   /** [[contaminationReportBloomAgainst]] probing a persisted
     * [[buildDecontamIndex]] artifact: the frozen sketch rides into the
     * plan as a literal (one driver read), the exact join runs against
@@ -457,6 +504,8 @@ object Dedup {
                                    path: String, train: DataFrame,
                                    trainId: String,
                                    trainText: String): DataFrame = {
+    graft.ops.CarryState.recoverDir(spark, s"$path/meta")
+    graft.ops.CarryState.recoverDir(spark, s"$path/grams")
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val shim = org.apache.spark.sql.graftshim.Shim
     val m = spark.read.parquet(s"$path/meta").head()

@@ -877,6 +877,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToDecontamIndex: append(half) o build(half) == build(whole); " +
+      "re-append is idempotent") {
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-decapA")
+    val dirW = java.nio.file.Files.createTempDirectory("graft-decapW")
+    val (idxApp, idxWhole) = (dirA.toString, dirW.toString)
+    try {
+      Dedup.buildDecontamIndex(spark,
+        bench.filter(col("doc_id") % 2 === 0), "text", idxApp, n = 5)
+      Dedup.appendToDecontamIndex(spark, idxApp,
+        bench.filter(col("doc_id") % 2 =!= 0), "text")
+      Dedup.buildDecontamIndex(spark, bench, "text", idxWhole, n = 5)
+      def kept(p: String) = Dedup.decontaminateFromIndex(spark, p, docs,
+          "doc_id", "text", maxContaminatedFrac = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val (a, w) = (kept(idxApp), kept(idxWhole))
+      assert(a == w && a.nonEmpty, s"append ${a.size} vs whole ${w.size}")
+      // grams and recorded item counts agree with the from-scratch build
+      def grams(p: String) = spark.read.parquet(s"$p/grams")
+        .collect().map(_.getLong(0)).toSet
+      assert(grams(idxApp) == grams(idxWhole))
+      assert(spark.read.parquet(s"$idxApp/meta").head().getAs[Long]("items")
+        == spark.read.parquet(s"$idxWhole/meta").head().getAs[Long]("items"))
+      // re-appending the same slice changes nothing (distinct union)
+      Dedup.appendToDecontamIndex(spark, idxApp,
+        bench.filter(col("doc_id") % 2 =!= 0), "text")
+      assert(kept(idxApp) == w && grams(idxApp) == grams(idxWhole))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dirA, dirW).foreach(d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
+
   test("minhash LSH hot-bucket guard drops degenerate band buckets") {
     import spark.implicits._
     // 40 byte-identical docs: every band bucket holds all 40 — the

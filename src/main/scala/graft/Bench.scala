@@ -144,7 +144,22 @@ object Bench {
     // round's complete record.
     if (args.isEmpty) {
       val file = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
-      val body = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"contended":$contended,"queries":$qs,"errors":$errs,"sf":"$sfDir"}\n"""
+      // canary-normalized ratios: each query / the mean of the trivial
+      // trio (q_select/q_rename/q1_agg — map-only plans that never
+      // change). Host-window drift moves the whole record INCLUDING the
+      // trio, so a code-attributable regression is one whose NORMALIZED
+      // ratio moved across rounds — the cross-round drift adjudication
+      // (README perf table) reads this block instead of relitigating raw
+      // seconds by hand every round.
+      val trio = Seq("q_select", "q_rename", "q1_agg")
+        .flatMap(results.toMap.get)
+      val canaryMean = if (trio.nonEmpty) trio.sum / trio.size else 0.0
+      val norm =
+        if (canaryMean > 0)
+          results.map { case (k, v) => "\"" + k + "\":" + f3(v / canaryMean) }
+            .mkString("{", ",", "}")
+        else "{}"
+      val body = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"contended":$contended,"canary_mean":${f3(canaryMean)},"queries":$qs,"normalized":$norm,"errors":$errs,"sf":"$sfDir"}\n"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(file),
         body.getBytes("UTF-8"))
       catch { case e: Exception =>

@@ -950,6 +950,20 @@ object SparkEntry2 {
       Dedup.keepCanonical(docs, "doc_id", pairs).select("doc_id", "lang")
     }),
 
+    // winnow candidates served from the PERSISTED bucket-pruned fp index:
+    // corpus = even doc_ids indexed under fp_part=pmod(fp,16), probe =
+    // odd doc_ids reading only its own fps' partitions — identical
+    // output to the flat distinct-fps join (the oracle IS that join)
+    "q_winnow_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val idx = scratchPath(dir, "winnow_idx")
+      Dedup.buildWinnowIndex(s, docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idx, n = 5, w = 4, parts = 16, portable = true)
+      Dedup.winnowCandidatesAgainstIndex(s, idx,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        minShared = 2)
+    }),
+
     // winnow pair verification: candidates graded by the longest shared
     // token run (MOSS's contiguity check) — scattered idiom overlap scores
     // low, lifted passages score high. Same portable md5 gram hash.
@@ -2482,6 +2496,15 @@ object SparkEntry2 {
         |       AS BIGINT)) // CAST(sum(cnt * nt) AS BIGINT) AS dup_bp
         |FROM per""".stripMargin,
     "q_winnow" -> winnowOracleSql(minShared = None),
+    "q_winnow_indexed" -> (winnowOracleSql(minShared = None)
+      .replaceFirst("\nSELECT doc_id, pos, fp FROM fp$",
+        """,
+          |d AS (SELECT DISTINCT doc_id, fp FROM fp)
+          |SELECT p.doc_id AS id_new, c.doc_id AS id_corpus,
+          |  count(*) AS n_shared
+          |FROM d p JOIN d c ON p.fp = c.fp
+          |WHERE p.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
     "q_winnow_pairs" -> winnowOracleSql(minShared = Some(3L)),
     "q_winnow_resolve" -> winnowResolveOracleSql(minShared = 3L),
     "q_winnow_verify" -> winnowVerifyOracleSql(minShared = 3L),

@@ -44,6 +44,24 @@ object SparkEntry4 {
   private val CW_LEN = 64
   private val CARD_VOCAB_K = 16L
 
+  /** The admission gate's threshold: max score whose PR point meets the
+    * recall floor. Admit-none is a FAILURE, not an empty card — if no PR
+    * point meets the floor the gate cannot admit anything, and downstream
+    * every card row vanishes with no exception (the one code path that
+    * yields exactly-0 rows silently — the r16 flake's hiding place). Fail
+    * loudly naming the gate and the curve instead. */
+  private[graft] def gateThreshold(pr: DataFrame, gateRecall: Double,
+                                   who: String): Double = {
+    val thr = pr.filter(col("recall") >= gateRecall).agg(max("s")).head()
+    if (thr.isNullAt(0))
+      throw new RuntimeException(
+        s"$who: admission gate found NO threshold with recall >= " +
+          s"$gateRecall over a ${pr.count()}-point PR curve — the scored " +
+          "relation is empty or degenerate; refusing to emit an empty " +
+          "data card")
+    thr.getDouble(0)
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").df
       .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -360,10 +378,8 @@ object SparkEntry4 {
         tokPath, nMerges = 8, sepToken = true))
       val scored = graft.ml.Dedup.trackCache(nbBinaryScored(s, dir))
       val pr = Eval.prCurve(scored, "truth", "s")
-      val thr = pr.filter(col("recall") >= GATE_RECALL).agg(max("s")).head()
-      val admIds = if (thr.isNullAt(0))
-        scored.filter(lit(false)).select("doc_id")
-        else scored.filter(col("s") >= thr.getDouble(0)).select("doc_id")
+      val admIds = scored.filter(col("s") >= gateThreshold(pr, GATE_RECALL,
+        "q_lifecycle_e2e")).select("doc_id")
       val gated = docs.join(admIds, Seq("doc_id"), "left_semi")
       val dec = graft.ml.Dedup.decontaminateBloom(gated, "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "text", n = 3,
@@ -533,11 +549,8 @@ object SparkEntry4 {
       // chain runs once (trackCache: released with the dedup registry)
       val scored = graft.ml.Dedup.trackCache(nbBinaryScored(s, dir))
       val pr = Eval.prCurve(scored, "truth", "s")
-      val thr = pr.filter(col("recall") >= GATE_RECALL)
-        .agg(max("s")).head()
-      if (thr.isNullAt(0)) scored.filter(lit(false))
-        .select(col("doc_id"), col("s"), col("truth"))
-      else scored.filter(col("s") >= thr.getDouble(0))
+      scored.filter(col("s") >= gateThreshold(pr, GATE_RECALL,
+          "q_gate_calibrated"))
         .select(col("doc_id"), col("s"), col("truth"))
     }),
 

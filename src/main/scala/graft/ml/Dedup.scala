@@ -440,7 +440,12 @@ object Dedup {
           Literal(items), Literal(items * bitsPerItem))
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    grams.write.mode("overwrite").parquet(s"$path/grams")
+    // grams live as slice_seq= partitions (the minhash batch_seq
+    // discipline): the build is slice 0, every append lands its OWN new
+    // partition — O(new slice) write, standing slices never rewritten
+    grams.withColumn("slice_seq", lit(0L))
+      .write.partitionBy("slice_seq").mode("overwrite")
+      .parquet(s"$path/grams")
     spark.range(1).select(lit(n).as("n"),
         lit(bitsPerItem).as("bits_per_item"), lit(items).as("items"),
         lit(bloomBytes).as("bloom"))
@@ -450,47 +455,80 @@ object Dedup {
   /** APPEND a new benchmark slice to a persisted [[buildDecontamIndex]]
     * artifact — benchmark suites GROW, and rebuilding from scratch
     * re-derives every slice's grams from text. The append pays the
-    * text-scan cost only for the NEW slice: the standing grams are slim
-    * hashed longs, re-aggregated with the new ones for the union's Bloom
-    * (a sketch sized for k items cannot absorb more — it is rebuilt over
-    * the union at the recorded `bits_per_item`; the gram width `n` also
-    * rides the meta, so an appended slice can never gram differently
-    * than the build did). Swap order is META-then-GRAMS, each via the
-    * staged-replace discipline: a crash between the two leaves an index
-    * whose exact-join behavior is exactly PRE-append (the oversized
-    * sketch only prefilters — no false negatives are possible), and
-    * re-running the same append completes it idempotently. Probe output
-    * after the append is identical to an index built on the union from
-    * scratch (PipelineSpec pins it; q_decontam_append shares
-    * q_decontaminate's oracle VERBATIM).
+    * text-scan cost only for the NEW slice, and (since round 17) the
+    * WRITE cost only for the new slice too: grams live as `slice_seq=`
+    * partitions (the minhash `batch_seq` discipline), the new slice's
+    * grams are anti-joined against the standing table (keeping it
+    * globally DISTINCT — probes count per-gram matches) and land as ONE
+    * new partition via staging + atomic rename; standing slices are
+    * never rewritten. The Bloom is rebuilt over the slim standing+fresh
+    * union scan (a sketch sized for k items cannot absorb more; the
+    * gram width `n` rides the meta, so an appended slice can never gram
+    * differently than the build did). Commit order is META first, then
+    * the grams partition: a crash between the two leaves an index whose
+    * exact-join behavior is exactly PRE-append (the oversized sketch
+    * only prefilters — no false negatives are possible), and re-running
+    * the same append completes it idempotently (the anti-join re-derives
+    * the same fresh set; an already-landed slice re-appends as a no-op).
+    * Probe output after the append is identical to an index built on
+    * the union from scratch (PipelineSpec pins it; q_decontam_append
+    * shares q_decontaminate's oracle VERBATIM). Pre-r17 flat gram
+    * tables self-upgrade to the partitioned layout on first append
+    * (one-time O(standing) staged rewrite — README migration note).
     */
   def appendToDecontamIndex(spark: org.apache.spark.sql.SparkSession,
                             path: String, bench: DataFrame,
                             benchText: String): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.hadoop.fs.Path
     val shim = org.apache.spark.sql.graftshim.Shim
     graft.ops.CarryState.recoverDir(spark, s"$path/meta")
     graft.ops.CarryState.recoverDir(spark, s"$path/grams")
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$path/grams_staging"), true)
     val m = spark.read.parquet(s"$path/meta").head()
     val (n, bits) = (m.getAs[Int]("n"), m.getAs[Int]("bits_per_item"))
-    val union = scopedCache(spark.read.parquet(s"$path/grams")
-      .unionByName(benchmarkGrams(bench, benchText, n, hashed = true))
-      .distinct())
+    if (!spark.read.parquet(s"$path/grams").columns.contains("slice_seq"))
+      // legacy flat layout: one-time upgrade so this and every future
+      // append writes only its own partition
+      graft.ops.CarryState.replaceDir(spark, s"$path/grams") { staging =>
+        spark.read.parquet(s"$path/grams").withColumn("slice_seq", lit(0L))
+          .write.partitionBy("slice_seq").mode("overwrite").parquet(staging)
+      }
+    val standing = spark.read.parquet(s"$path/grams")
+    val nextSeq = standing.agg(coalesce(max(col("slice_seq").cast("long")),
+      lit(0L))).head().getLong(0) + 1
+    // only grams the standing table does not already hold — the global
+    // DISTINCT invariant across slices
+    val fresh = scopedCache(benchmarkGrams(bench, benchText, n,
+        hashed = true)
+      .join(standing.select("g"), Seq("g"), "left_anti"))
+    val union = scopedCache(standing.select("g").unionByName(fresh))
     val items = math.max(union.count(), 1L)
     val bloomBytes = union.agg(shim.columnOf(
         new BloomFilterAggregate(shim.exprOf(col("g")),
           Literal(items), Literal(items * bits))
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // META first: a crash before the grams partition lands leaves the
+    // oversized-sketch pre-append behavior; the rerun completes it
     graft.ops.CarryState.replaceDir(spark, s"$path/meta") { staging =>
       spark.range(1).select(lit(n).as("n"),
           lit(bits).as("bits_per_item"), lit(items).as("items"),
           lit(bloomBytes).as("bloom"))
         .write.mode("overwrite").parquet(staging)
     }
-    graft.ops.CarryState.replaceDir(spark, s"$path/grams") { staging =>
-      union.write.mode("overwrite").parquet(staging)
+    if (!fresh.isEmpty) {
+      // the new slice's partition, atomic via staging + ONE rename
+      val staging = new Path(s"$path/grams_staging/slice_$nextSeq")
+      fresh.write.mode("overwrite").parquet(staging.toString)
+      val dest = new Path(s"$path/grams/slice_seq=$nextSeq")
+      fs.delete(dest, true)
+      require(fs.rename(staging, dest),
+        s"decontam gram-slice promote failed: $dest")
+      fs.delete(new Path(s"$path/grams_staging"), true)
     }
   }
 
@@ -962,6 +1000,77 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** The single-writer MAINTENANCE LEASE: `<path>/_MAINTENANCE` is taken
+    * by [[compactMinhashIndex]] for the duration of the swap and checked
+    * by [[ingestDedup]] / [[dedupeAgainstIndex]] on open, turning the
+    * documented "run maintenance next to a paused ingest" contract into
+    * a LOUD failure instead of a race: a concurrent batch-mode ingest
+    * could otherwise append its partition into the pre-compaction dir
+    * and have it deleted by the staged swap. The lease file records its
+    * owner (pid@host) and epoch-millis; a lease older than
+    * `staleLeaseMs` (default 60 min — far beyond any compaction) is a
+    * CRASHED compaction's leftover and is cleared on open so it cannot
+    * brick the index (the staged-swap discipline already guarantees the
+    * index itself is intact after a crash). The foreachBatch
+    * auto-compaction rider is unaffected: it takes and releases the
+    * lease inside the serial slot where no ingest can run concurrently.
+    */
+  private val MaintenanceLease = "_MAINTENANCE"
+  private[graft] var staleLeaseMs: Long = 60L * 60 * 1000
+
+  private def leasePath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/$MaintenanceLease")
+
+  private def leaseFs(spark: org.apache.spark.sql.SparkSession,
+                      path: String) =
+    leasePath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[graft] def takeMaintenanceLease(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = leaseFs(spark, path)
+    checkMaintenanceLease(spark, path, "compactMinhashIndex")
+    val owner = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName
+    val out = fs.create(leasePath(path), false)
+    try out.write(s"$owner\n${System.currentTimeMillis()}\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def releaseMaintenanceLease(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    leaseFs(spark, path).delete(leasePath(path), false)
+
+  /** Fail loudly if a LIVE maintenance lease is present; silently clear
+    * a stale one (crashed compaction). Called by every index open. */
+  private[graft] def checkMaintenanceLease(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      who: String): Unit = {
+    val fs = leaseFs(spark, path)
+    val p = leasePath(path)
+    if (!fs.exists(p)) return
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.linesIterator.toVector
+    val (owner, takenAt) =
+      (lines.headOption.getOrElse("?"),
+        lines.lift(1).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          .getOrElse(0L))
+    val age = System.currentTimeMillis() - takenAt
+    if (age < staleLeaseMs)
+      throw new IllegalStateException(
+        s"$who: index at $path is under MAINTENANCE (lease held by " +
+          s"$owner for ${age / 1000}s) — compactMinhashIndex is " +
+          "replacing the signature partitions; a concurrent append " +
+          "could land in the pre-compaction dir and be deleted by the " +
+          "swap. Retry after the maintenance completes, or delete " +
+          s"$path/$MaintenanceLease if the compactor is known dead.")
+    // stale: the compactor crashed. The staged swap left the index
+    // intact (recoverDir handles the staging dir); clear and proceed.
+    fs.delete(p, false)
+  }
+
   /** COMPACT a [[buildMinhashIndex]] artifact that has accumulated many
     * [[ingestDedup]] `batch_seq=` partitions — the maintenance verb that
     * keeps streaming-cadence ingest from drowning the slim signature
@@ -978,9 +1087,12 @@ object Dedup {
     * [[graft.ops.CarryState.replaceDir]] (staging + marker + rename), so
     * a crashed compaction never corrupts the index — every reader runs
     * [[graft.ops.CarryState.recoverDir]] on open. Single-writer
-    * maintenance: run it OFFLINE next to a paused ingest (the
-    * foreachBatch serial-execution guarantee makes "between batches" a
-    * natural slot).
+    * maintenance is MACHINE-ENFORCED: the verb takes the
+    * `_MAINTENANCE` lease for its duration, and [[ingestDedup]] /
+    * [[dedupeAgainstIndex]] fail loudly on open while it is held (a
+    * crashed compactor's stale lease is cleared on open — see
+    * [[checkMaintenanceLease]]). The foreachBatch serial-execution slot
+    * remains the natural place to run it in a streaming deployment.
     *
     * What compaction consciously DISCARDS: the stale-redelivery evidence
     * of compacted-away batches (their batch_id/fp/n reset to the
@@ -997,6 +1109,14 @@ object Dedup {
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, targetFiles: Int = 0): Unit = {
+    takeMaintenanceLease(spark, path)
+    try compactMinhashIndexLocked(spark, path, targetFiles)
+    finally releaseMaintenanceLease(spark, path)
+  }
+
+  private def compactMinhashIndexLocked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int): Unit = {
     graft.ops.CarryState.recoverDir(spark, s"$path/sigs")
     val m = spark.read.parquet(s"$path/meta").head()
     val sigs0 = spark.read.parquet(s"$path/sigs")
@@ -1047,6 +1167,7 @@ object Dedup {
                          path: String, newDocs: DataFrame, idCol: String,
                          textCol: String, threshold: Double = 0.8,
                          maxBucket: Int = 100000): DataFrame = {
+    checkMaintenanceLease(spark, path, "dedupeAgainstIndex")
     graft.ops.CarryState.recoverDir(spark, s"$path/sigs")
     val m = spark.read.parquet(s"$path/meta").head()
     val (n, bands, rows) = (m.getAs[Int]("n"), m.getAs[Int]("bands"),
@@ -1128,6 +1249,7 @@ object Dedup {
                   batch: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8, maxBucket: Int = 100000,
                   batchId: Long = -1L): DataFrame = {
+    checkMaintenanceLease(spark, path, "ingestDedup")
     graft.ops.CarryState.recoverDir(spark, s"$path/sigs")
     val m = spark.read.parquet(s"$path/meta").head()
     val (n, bands, rows) = (m.getAs[Int]("n"), m.getAs[Int]("bands"),
@@ -1919,6 +2041,99 @@ object Dedup {
         when(col("__maxrun").isNull, lit(0L))
           .otherwise(col("__maxrun") + (n - 1)))
       .drop("__maxrun")
+  }
+
+  // -- persisted winnow-fingerprint index (bucket-pruned probes) -----------
+
+  /** The two persistable winnow gram-hash conventions — a pluggable
+    * `Column => Column` cannot ride a parquet meta row, so the persisted
+    * index records WHICH of these it was built with and the probe
+    * recomputes with the same one. `portable=true` is the 60-bit md5
+    * leaf (cross-engine / oracle-reproducible); false is xxhash64
+    * (faster, engine-native). */
+  private[graft] def winnowHashOf(portable: Boolean): Column => Column =
+    if (portable) (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    else (c: Column) => xxhash64(c)
+
+  private def fpPart(parts: Int): Column =
+    pmod(col("fp"), lit(parts.toLong)).cast("int")
+
+  /** PERSIST a corpus's winnowed fingerprints as a probe-ready index:
+    * `<path>/fps/fp_part=H` holds DISTINCT (fp, id) rows bucketed by
+    * `pmod(fp, parts)` — all rows of one fingerprint land in ONE
+    * partition, so a probe that prunes to its own fps' partitions still
+    * sees every id it can collide with ([[lshPairsBetweenBanded]]'s
+    * `bkt_part=` discipline applied to winnow fps). `<path>/meta`
+    * records (n, w, parts, portable, max_df) and is written LAST — the
+    * commit point: a crashed build leaves no meta and the open fails
+    * loudly asking for a rebuild, never serves a partial fp table.
+    *
+    * `maxDf > 0` drops stop-fingerprints (boilerplate shared by more
+    * than maxDf docs) at BUILD time — the [[winnowPairs]] guard moved
+    * into the index so every probe inherits it for free.
+    *
+    * At 100 TB: the fp table is the ~2/(w+1) winnow sample of the gram
+    * table, bucketed; each micro-batch probe reads
+    * ≤ min(|batch fps|, parts)/parts of it instead of the whole corpus
+    * ([[graft.streaming.StreamVerbs.streamingWinnowCandidatesIndexed]]
+    * was the motivating consumer — its flat form re-joined the FULL
+    * corpus fp table every micro-batch). */
+  def buildWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                       docs: DataFrame, idCol: String, textCol: String,
+                       path: String, n: Int = 5, w: Int = 4,
+                       parts: Int = 64, portable: Boolean = false,
+                       maxDf: Long = 0L): Unit = {
+    require(parts >= 1, "parts must be >= 1")
+    val fps0 = winnowFingerprints(docs, idCol, textCol, n, w,
+        winnowHashOf(portable))
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val fps = if (maxDf > 0L) {
+      val pinned = trackCache(fps0)
+      pinned.join(pinned.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= maxDf).select("fp"), "fp")
+    } else fps0
+    fps.withColumn("fp_part", fpPart(parts))
+      // one file per partition dir, not one per shuffle task per dir
+      .repartition(col("fp_part"))
+      .write.partitionBy("fp_part").mode("overwrite")
+      .parquet(s"$path/fps")
+    // meta LAST — the commit point
+    spark.range(1).select(lit(n).as("n"), lit(w).as("w"),
+        lit(parts).as("parts"), lit(portable).as("portable"),
+        lit(maxDf).as("max_df"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Winnow near-dup CANDIDATES of a batch against a persisted
+    * [[buildWinnowIndex]] — (id_new, id_corpus, n_shared >= minShared).
+    * The batch's fps are computed with the index's recorded convention;
+    * their `fp_part` keys (≤ `parts` ints, collected driver-side — the
+    * DPP handle) prune the standing read to only the partitions a shared
+    * fingerprint can live in. Output identical to the flat
+    * distinct-fps join (StreamingSpec pins it); the probe reads
+    * O(touched partitions), not O(corpus). */
+  def winnowCandidatesAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, newDocs: DataFrame,
+                                   idCol: String, textCol: String,
+                                   minShared: Long = 2L): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (n, w, parts) = (m.getAs[Int]("n"), m.getAs[Int]("w"),
+      m.getAs[Int]("parts"))
+    val newFps = scopedCache(
+      winnowFingerprints(newDocs, idCol, textCol, n, w,
+          winnowHashOf(m.getAs[Boolean]("portable")))
+        .select(col(idCol).as("id_new"), col("fp")).distinct()
+        .withColumn("fp_part", fpPart(parts)))
+    val touched = newFps.select("fp_part").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val standing = spark.read.parquet(s"$path/fps")
+      .filter(col("fp_part").isin(touched: _*))
+      .select(col("id").as("id_corpus"), col("fp"))
+    newFps.select("id_new", "fp").join(standing, "fp")
+      .groupBy("id_new", "id_corpus")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 
   // -- exact substring-span dedup (Lee et al. 2022, "Deduplicating Training

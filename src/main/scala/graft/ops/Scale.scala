@@ -642,13 +642,16 @@ object Scale {
     * overwrite (only the touched `shard=` partitions are replaced;
     * unchanged shard files are never opened, never rewritten), `removed`
     * shards' partitions are deleted, and the stored manifest is replaced
-    * by the new one — manifest FIRST, mirroring
-    * [[writeShardsWithManifest]]'s crash convention (a crash between the
-    * manifest write and the data writes leaves [[verifyShards]] naming
-    * exactly the shards whose rewrite didn't land; re-running the same
-    * resync is idempotent and completes it). Returns the diff relation —
+    * by the new one — data FIRST, manifest LAST (the opposite of
+    * [[writeShardsWithManifest]], deliberately): a crash anywhere before
+    * the manifest replace leaves the OLD manifest authoritative, so
+    * re-running the same resync recomputes the same old-vs-new diff and
+    * completes via the naturally idempotent dynamic partition overwrite.
+    * (Were the manifest replaced first, a crashed rerun would diff the
+    * new manifest against itself, see all-`unchanged`, rewrite nothing,
+    * and report success over stale data.) Returns the diff relation —
     * the re-export's receipt: which shards were rewritten, removed, or
-    * left untouched.
+    * left untouched — computed against the PRE-resync manifest.
     *
     * This is incremental materialization at corpus scale: a 100 TB
     * export where one crawl slice changed rewrites that slice's shards,
@@ -664,12 +667,9 @@ object Scale {
     val newMan = shardManifest(packed, shardCol, idCol, sizeCol, fpCol)
       .localCheckpoint(true)
     val diff = manifestDiff(stored, newMan, shardCol).localCheckpoint(true)
-    // manifest first (the writeShardsWithManifest convention) — its
-    // source relations are checkpointed, so overwriting is safe
-    coalesceForWrite(newMan).write.mode("overwrite")
-      .parquet(s"$path/manifest")
-    // rewrite only the touched partitions: dynamic overwrite replaces
-    // exactly the shard= dirs present in the written frame
+    // DATA first: rewrite only the touched partitions — dynamic overwrite
+    // replaces exactly the shard= dirs present in the written frame, and
+    // is idempotent under rerun
     val touched = diff.filter(col("status").isin("added", "changed"))
       .select(col(shardCol))
     packed.join(touched, Seq(shardCol), "left_semi")
@@ -685,6 +685,11 @@ object Scale {
       .collect().foreach { r =>
         fs.delete(new Path(s"$path/data/$shardCol=${r.get(0)}"), true)
       }
+    // manifest LAST — the commit point. A crash before this line leaves
+    // the old manifest authoritative and a rerun completes the resync;
+    // newMan is checkpointed, so overwriting its own source dir is safe.
+    coalesceForWrite(newMan).write.mode("overwrite")
+      .parquet(s"$path/manifest")
     diff
   }
 
@@ -1422,12 +1427,20 @@ object Scale {
     * verbs whose exactly-once claim covers CONTENT, not just the id set:
     * a batch id redelivered with the same ids and row count but MUTATED
     * text must fail loudly, not silently pass as a replay and re-emit a
-    * stale survivor set. Rows whose content is NULL contribute nothing
-    * to the XOR (the bit_xor aggregate skips NULL leaves), so a text
-    * mutated to NULL still moves the fingerprint. */
+    * stale survivor set. The encoding is UNAMBIGUOUS by construction:
+    * the id is length-prefixed (so (id="1|a", text="b") and (id="1",
+    * text="a|b") cannot alias — no delimiter can be smuggled across the
+    * boundary), and NULL content is a tagged case distinct from the
+    * empty string (so a text mutated to NULL moves the fingerprint
+    * instead of nulling the concat and erasing the row's id from the
+    * XOR, where a paired mutation could cancel). */
   private[graft] def contentFpSql(idCol: String, contentCol: String): String =
-    s"CAST(conv(substring(md5(concat(CAST(`$idCol` AS STRING), '|', " +
-      s"CAST(`$contentCol` AS STRING))), 1, 15), 16, 10) AS LONG)"
+    s"CAST(conv(substring(md5(concat(" +
+      s"CAST(length(CAST(`$idCol` AS STRING)) AS STRING), ':', " +
+      s"CAST(`$idCol` AS STRING), " +
+      s"IF(`$contentCol` IS NULL, '|0:', '|1:'), " +
+      s"coalesce(CAST(`$contentCol` AS STRING), ''))), 1, 15), 16, 10) " +
+      "AS LONG)"
 
   /** LENGTH-GROUPED batching (the padding-minimizing dynamic batcher —
     * HuggingFace's `group_by_length` / the bucketed-batching idea of

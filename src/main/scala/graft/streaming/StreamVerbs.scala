@@ -1184,17 +1184,30 @@ object StreamVerbs {
                         (sink: LifecycleBatchOut => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(lifecycleIngest(batch.sparkSession, statePath, batch, idCol,
-        textCol, srcCol, gatePath, decontamPath, indexPath, tokPath,
-        windowLen, boundaries, batchBudget, maxContaminatedFrac,
-        dedupThreshold, maxBucket, batchId = batchId,
-        oovVocabLimit = oovVocabLimit, eceLabelCol = eceLabelCol))
       // auto-maintenance between batches (see streamingIngestDedup): the
       // standing minhash index compacts every compactEvery batches in the
       // serial foreachBatch slot, keeping its partition count bounded for
       // the life of the stream
-      if (compactEvery > 0 && batchId >= 0 &&
-          batchId % compactEvery == (compactEvery - 1))
+      val compactNow = compactEvery > 0 && batchId >= 0 &&
+        batchId % compactEvery == (compactEvery - 1)
+      val o0 = lifecycleIngest(batch.sparkSession, statePath, batch, idCol,
+        textCol, srcCol, gatePath, decontamPath, indexPath, tokPath,
+        windowLen, boundaries, batchBudget, maxContaminatedFrac,
+        dedupThreshold, maxBucket, batchId = batchId,
+        oovVocabLimit = oovVocabLimit, eceLabelCol = eceLabelCol)
+      // on a compacting batch, pin every emitted frame first — they are
+      // lazy over the pre-compaction sigs files the swap will delete
+      // (see streamingIngestDedup)
+      val o = if (compactNow)
+        o0.copy(admitted = o0.admitted.localCheckpoint(true),
+          windows = o0.windows.localCheckpoint(true),
+          batches = o0.batches.localCheckpoint(true),
+          manifest = o0.manifest.localCheckpoint(true),
+          oov = o0.oov.map(_.localCheckpoint(true)),
+          ece = o0.ece.map(_.localCheckpoint(true)))
+        else o0
+      sink(o)
+      if (compactNow)
         graft.ml.Dedup.compactMinhashIndex(batch.sparkSession, indexPath)
     }
 
@@ -1289,19 +1302,24 @@ object StreamVerbs {
                           (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val out = graft.ml.Dedup.ingestDedup(batch.sparkSession, path, batch,
-        idCol, textCol, threshold, maxBucket, batchId)
-      sink(out)
       // AUTO-MAINTENANCE: foreachBatch micro-batches run serially, so
       // "after the sink, before the next batch" is the natural offline
-      // slot the compactor's single-writer contract asks for. Compaction
+      // slot the compactor's single-writer lease asks for. Compaction
       // preserves the LAST partition verbatim, so an immediate replay of
       // THIS batch still re-emits across the boundary; partition count
       // stays bounded at streaming cadence instead of growing forever.
-      // The sink runs first — its consumer sees the partition layout the
-      // batch was computed against.
-      if (compactEvery > 0 && batchId >= 0 &&
-          batchId % compactEvery == (compactEvery - 1))
+      val compactNow = compactEvery > 0 && batchId >= 0 &&
+        batchId % compactEvery == (compactEvery - 1)
+      val out0 = graft.ml.Dedup.ingestDedup(batch.sparkSession, path, batch,
+        idCol, textCol, threshold, maxBucket, batchId)
+      // on a compacting batch, PIN the emitted frame before the sink:
+      // `out` is lazy over the PRE-compaction sigs files, and a sink that
+      // does not fully materialize its input synchronously (async write,
+      // retained lazy frame) would otherwise hit FileNotFound when the
+      // swap deletes them. localCheckpoint severs the file-index lineage.
+      val out = if (compactNow) out0.localCheckpoint(true) else out0
+      sink(out)
+      if (compactNow)
         graft.ml.Dedup.compactMinhashIndex(batch.sparkSession, path)
     }
 
@@ -1328,6 +1346,24 @@ object StreamVerbs {
         .groupBy("id_new", "id_corpus")
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= minShared))
+    }
+
+  /** [[streamingWinnowCandidates]] served from a PERSISTED
+    * [[graft.ml.Dedup.buildWinnowIndex]] with partition pruning: each
+    * micro-batch probes only the `fp_part=` partitions its own
+    * fingerprints can collide in, instead of re-joining the WHOLE corpus
+    * fp table per batch (the flat form's scan — the pre-r16 minhash
+    * shape). Output identical to the flat join against the same corpus
+    * (StreamingSpec pins it); n/w/hash come from the index meta.
+    * foreachBatch, stateless — the index is the only state. */
+  def streamingWinnowCandidatesIndexed(t: Tbl, idCol: String,
+                                       textCol: String, indexPath: String,
+                                       minShared: Long = 2)
+                                      (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ml.Dedup.winnowCandidatesAgainstIndex(batch.sparkSession,
+        indexPath, batch, idCol, textCol, minShared))
     }
 
   def runningTotals(t: Tbl, keyCol: String, valueCol: String): DataFrame = {

@@ -483,4 +483,44 @@ class MiscSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       graft.ops.Scale.snapshotDiff(v1, v2, "id", Seq.empty))
   }
+
+  test("gateThreshold: admit-none raises loudly naming the gate instead " +
+      "of silently yielding an empty card (the r16 0-row flake's shape)") {
+    import spark.implicits._
+    // a degenerate scored relation — no positives, so NO PR point can
+    // reach any recall floor
+    val scored = Seq((1L, 0.9, false), (2L, 0.1, false))
+      .toDF("doc_id", "s", "truth")
+    val pr = graft.ml.Eval.prCurve(scored, "truth", "s")
+    val e = intercept[RuntimeException](
+      SparkEntry4.gateThreshold(pr, 0.8, "q_test_gate"))
+    assert(e.getMessage.contains("q_test_gate") &&
+      e.getMessage.contains("NO threshold"), e.getMessage)
+    // the healthy path still picks max score meeting the floor
+    val ok = Seq((1L, 0.9, true), (2L, 0.5, true), (3L, 0.1, false))
+      .toDF("doc_id", "s", "truth")
+    val thr = SparkEntry4.gateThreshold(
+      graft.ml.Eval.prCurve(ok, "truth", "s"), 0.8, "q_test_gate")
+    assert(thr <= 0.5 + 1e-9, s"recall 0.8 over 2 positives needs both: $thr")
+  }
+
+  test("contentFpSql: delimiter aliasing and NULL-text erasure are " +
+      "impossible by construction") {
+    import spark.implicits._
+    val fp = graft.ops.Scale.contentFpSql("id", "t")
+    def agg(rows: Seq[(String, String)]) =
+      rows.toDF("id", "t").selectExpr(s"bit_xor($fp) AS f")
+        .head().getLong(0)
+    // the r16 formula's alias pair: (id="1|a", t="b") vs (id="1", t="a|b")
+    assert(agg(Seq(("1|a", "b"))) != agg(Seq(("1", "a|b"))))
+    // NULL text moves the fingerprint instead of erasing the row (the
+    // bit_xor leaf must not null out), and differs from empty string
+    val withNull = Seq(("1", null.asInstanceOf[String]), ("2", "x"))
+    val withEmpty = Seq(("1", ""), ("2", "x"))
+    val withText = Seq(("1", "y"), ("2", "x"))
+    assert(agg(withNull) != agg(withEmpty))
+    assert(agg(withNull) != agg(withText))
+    // and the NULL row's id still contributes: dropping it changes the XOR
+    assert(agg(withNull) != agg(Seq(("2", "x"))))
+  }
 }

@@ -819,6 +819,56 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("maintenance lease: ingest and probe during a compaction fail " +
+      "loudly; a crashed compactor's stale lease is cleared on open") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhlease")
+    val idx = dir.toString
+    try {
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", idx)
+      ingestSeq(idx, 1)
+      // simulate an in-flight compaction: hold the lease as the compactor
+      // does for its whole critical section
+      Dedup.takeMaintenanceLease(spark, idx)
+      val e1 = intercept[IllegalStateException] {
+        Dedup.ingestDedup(spark, idx, mhBatch(2), "doc_id", "text",
+          threshold = 0.9, batchId = 2L)
+      }
+      assert(e1.getMessage.contains("MAINTENANCE"), e1.getMessage)
+      val e2 = intercept[IllegalStateException] {
+        Dedup.dedupeAgainstIndex(spark, idx, mhBatch(2), "doc_id", "text")
+      }
+      assert(e2.getMessage.contains("MAINTENANCE"), e2.getMessage)
+      // a second concurrent compactor is refused too
+      intercept[IllegalStateException] {
+        Dedup.takeMaintenanceLease(spark, idx)
+      }
+      Dedup.releaseMaintenanceLease(spark, idx)
+      // crashed compactor: the lease outlives its owner. Model staleness
+      // by shrinking the TTL to zero — the next open clears it and
+      // proceeds (the staged swap already guarantees the index is intact)
+      Dedup.takeMaintenanceLease(spark, idx)
+      val savedTtl = Dedup.staleLeaseMs
+      try {
+        Dedup.staleLeaseMs = 0L
+        val out = Dedup.ingestDedup(spark, idx, mhBatch(2), "doc_id",
+          "text", threshold = 0.9, batchId = 2L)
+        assert(out.count() > 0)
+        assert(!java.nio.file.Files.exists(dir.resolve("_MAINTENANCE")),
+          "stale lease must be cleared on open")
+      } finally Dedup.staleLeaseMs = savedTtl
+      // a completed compaction leaves no lease behind
+      Dedup.compactMinhashIndex(spark, idx)
+      assert(!java.nio.file.Files.exists(dir.resolve("_MAINTENANCE")))
+      // and the index still ingests normally afterwards
+      assert(Dedup.ingestDedup(spark, idx, mhBatch(3), "doc_id", "text",
+        threshold = 0.9, batchId = 3L).count() > 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("band-keyed signature layout: outputs identical to the flat scan, " +
       "probe prunes partitions, crash self-heals, compaction preserved") {
     val dirA = java.nio.file.Files.createTempDirectory("graft-mhbandA")
@@ -877,6 +927,55 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("banded probe reads ONLY its touched bkt_part partitions — " +
+      "quantitative scan-metric evidence, default-on (no wall clock)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhprune")
+    val idx = dir.toString
+    try {
+      // 64 bucket partitions; a 1-doc probe emits 16 band rows, touching
+      // AT MOST 16 of them — the scan metric must show the other ≥48
+      // were never opened
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", idx, bandParts = 64)
+      ingestSeq(idx, 2)
+      import spark.implicits._
+      val oneDoc = Seq((77000001L,
+        "a single probe document with enough words to shingle properly " +
+          "and generate all sixteen band keys for the pruning assertion"))
+        .toDF("doc_id", "text")
+      val probe = Dedup.dedupeAgainstIndex(spark, idx, oneDoc,
+        "doc_id", "text", threshold = 0.9)
+      probe.count() // execute so scan metrics populate
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other => (other.children ++ other.subqueries).flatMap(scans)
+      }
+      val bandScans = scans(probe.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(
+          _.toString.contains("/bands")))
+      assert(bandScans.nonEmpty, "probe must read the band layout")
+      val filesRead = bandScans.map(_.metrics("numFiles").value).sum
+      // total files on disk: one per (batch_seq, bkt_part) dir written
+      import scala.jdk.CollectionConverters._
+      val totalFiles = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(idx, "bands"))
+        .iterator().asScala
+        .count(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+      // ≤ 16 touched keys × 3 seq partitions (build + 2 ingests), and
+      // strictly fewer than the full layout — pruning is REAL, not
+      // just a filter string in the plan
+      assert(filesRead <= 16L * 3 && filesRead < totalFiles,
+        s"bands scan read $filesRead of $totalFiles files — not pruned")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("appendToDecontamIndex: append(half) o build(half) == build(whole); " +
       "re-append is idempotent") {
     val bench = docs.filter(col("doc_id") % 17 === 0)
@@ -886,8 +985,24 @@ class PipelineSpec extends AnyFunSuite {
     try {
       Dedup.buildDecontamIndex(spark,
         bench.filter(col("doc_id") % 2 === 0), "text", idxApp, n = 5)
+      // fingerprint the build slice's files: the append must write ONLY
+      // its own slice_seq partition, never rewrite the standing one
+      import scala.jdk.CollectionConverters._
+      def sliceFiles(seq: Long) = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(idxApp, "grams", s"slice_seq=$seq"))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.getFileName.toString ->
+          (java.nio.file.Files.size(p),
+           java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+      val slice0Before = sliceFiles(0L)
       Dedup.appendToDecontamIndex(spark, idxApp,
         bench.filter(col("doc_id") % 2 =!= 0), "text")
+      assert(sliceFiles(0L) == slice0Before,
+        "append must not rewrite the standing gram slice")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(idxApp, "grams", "slice_seq=1")),
+        "append must land as its own slice_seq partition")
       Dedup.buildDecontamIndex(spark, bench, "text", idxWhole, n = 5)
       def kept(p: String) = Dedup.decontaminateFromIndex(spark, p, docs,
           "doc_id", "text", maxContaminatedFrac = 0.5)
@@ -903,6 +1018,20 @@ class PipelineSpec extends AnyFunSuite {
       // re-appending the same slice changes nothing (distinct union)
       Dedup.appendToDecontamIndex(spark, idxApp,
         bench.filter(col("doc_id") % 2 =!= 0), "text")
+      assert(kept(idxApp) == w && grams(idxApp) == grams(idxWhole))
+      // legacy flat gram table (pre-r17, no slice_seq): the first append
+      // self-upgrades to the partitioned layout, probe output unchanged
+      val gramsP = java.nio.file.Paths.get(idxApp, "grams")
+      val flatP = java.nio.file.Paths.get(idxApp, "grams_legacy")
+      spark.read.parquet(gramsP.toString).select("g")
+        .write.mode("overwrite").parquet(flatP.toString)
+      java.nio.file.Files.walk(gramsP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      java.nio.file.Files.move(flatP, gramsP)
+      Dedup.appendToDecontamIndex(spark, idxApp,
+        bench.filter(col("doc_id") % 2 =!= 0), "text")
+      assert(java.nio.file.Files.isDirectory(gramsP.resolve("slice_seq=0")),
+        "legacy flat grams must upgrade to the slice_seq layout")
       assert(kept(idxApp) == w && grams(idxApp) == grams(idxWhole))
     } finally {
       import scala.jdk.CollectionConverters._
@@ -1158,6 +1287,62 @@ class PipelineSpec extends AnyFunSuite {
     val b = cs.filter(_._1 == 2L).map(_._2).toSet
     assert(a.intersect(b).nonEmpty,
       s"a one-token shift must preserve later chunk fingerprints: $a vs $b")
+  }
+
+  test("persisted winnow index: probe == flat distinct-fp join, probe " +
+      "plan prunes fp_part partitions, maxDf drops stop-fps, crashed " +
+      "build (no meta) fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-widx")
+    val idx = dir.toString
+    try {
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val probe = docs.filter(col("doc_id") % 2 === 1).limit(40)
+      Dedup.buildWinnowIndex(spark, corpus, "doc_id", "text", idx,
+        n = 5, w = 4, parts = 16)
+      val indexed = Dedup.winnowCandidatesAgainstIndex(spark, idx, probe,
+          "doc_id", "text", minShared = 1)
+      // flat form: the streamingWinnowCandidates join shape
+      val cfps = Dedup.winnowFingerprints(corpus, "doc_id", "text", 5, 4)
+        .select(col("doc_id").as("id_corpus"), col("fp")).distinct()
+      val pfps = Dedup.winnowFingerprints(probe, "doc_id", "text", 5, 4)
+        .select(col("doc_id").as("id_new"), col("fp")).distinct()
+      val flat = pfps.join(cfps, "fp").groupBy("id_new", "id_corpus")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 1)
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val (gi, gf) = (rows(indexed), rows(flat))
+      assert(gi == gf && gi.nonEmpty, s"indexed $gi vs flat $gf")
+      // the probe plan carries the fp_part pruning filter
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("fp_part"),
+        s"probe plan must prune on fp_part:\n$plan")
+      // maxDf applies at build time: a boilerplate fp shared by every
+      // corpus doc disappears from the index
+      import spark.implicits._
+      val boiler = (1L to 30L).map(i =>
+        (i * 2, s"shared boilerplate header tail one two three unique$i " +
+          s"marker$i word$i end$i close$i fin$i"))
+        .toDF("doc_id", "text")
+      val idx2 = dir.resolve("guarded").toString
+      Dedup.buildWinnowIndex(spark, boiler, "doc_id", "text", idx2,
+        n = 5, w = 4, parts = 4, maxDf = 5L)
+      val guarded = spark.read.parquet(s"$idx2/fps")
+      val dfMax = guarded.groupBy("fp").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head().getLong(0)
+      assert(dfMax <= 5L, s"stop-fps must be dropped at build: $dfMax")
+      // crashed build: fps written, meta (the commit point) missing
+      val idx3 = dir.resolve("crashed").toString
+      spark.read.parquet(s"$idx/fps").write.parquet(s"$idx3/fps")
+      assertThrows[org.apache.spark.sql.AnalysisException](
+        Dedup.winnowCandidatesAgainstIndex(spark, idx3, probe,
+          "doc_id", "text").count())
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      Dedup.unpersistIntermediates()
+    }
   }
 
   test("winnowing: brute-force replay, shared-substring guarantee, pairs") {

@@ -862,6 +862,91 @@ class ScaleSpec extends AnyFunSuite {
     graft.ml.Dedup.unpersistIntermediates()
   }
 
+  test("resyncShards crash recovery: a crash between the data writes and " +
+      "the manifest replace leaves the OLD manifest authoritative — the " +
+      "rerun recomputes the same diff and COMPLETES the resync") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("shard", expr("doc_id div 20"))
+    def sized(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("shard"), col("doc_id"),
+      graft.text.TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+      col("text"))
+    val v1 = sized(base)
+    val v2 = sized(base
+      .withColumn("text", when(col("shard") === 1 && col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .filter(col("shard") =!= 3))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-resync-crash")
+    val path = dirP.toString
+    import scala.jdk.CollectionConverters._
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    try {
+      Scale.writeShardsWithManifest(v1, path, "shard", "doc_id",
+        col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+      // keep the v1 manifest and v1 shard=1 data — the raw material for
+      // reconstructing the crash states below
+      val v1Man = dirP.resolve("v1_manifest_copy")
+      val v1Shard1 = dirP.resolve("v1_shard1_copy")
+      copyTree(java.nio.file.Paths.get(path, "manifest"), v1Man)
+      copyTree(java.nio.file.Paths.get(path, "data", "shard=1"), v1Shard1)
+      // run the resync to completion once to obtain the v2 end state
+      val origDiff = Scale.resyncShards(spark, v2, path, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(origDiff(1L) == "changed" && origDiff(3L) == "removed")
+
+      // CRASH STATE A: all data writes landed, manifest replace did not
+      // (the widest window) — reconstruct by restoring the v1 manifest
+      rmTree(java.nio.file.Paths.get(path, "manifest"))
+      copyTree(v1Man, java.nio.file.Paths.get(path, "manifest"))
+      val rerunA = Scale.resyncShards(spark, v2, path, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // the receipt names the ORIGINALLY-changed shards (diff is computed
+      // against the pre-resync manifest), not all-unchanged
+      assert(rerunA == origDiff,
+        s"rerun after crash must recompute the same diff: $rerunA")
+      val verA = Scale.verifyShards(spark, path, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(verA.nonEmpty && verA.values.forall(_ == "unchanged"),
+        s"rerun must complete the resync: $verA")
+
+      // CRASH STATE B: crash mid-data-write — shard 1's rewrite did NOT
+      // land (still v1 content) and the manifest was not replaced
+      rmTree(java.nio.file.Paths.get(path, "manifest"))
+      copyTree(v1Man, java.nio.file.Paths.get(path, "manifest"))
+      rmTree(java.nio.file.Paths.get(path, "data", "shard=1"))
+      copyTree(v1Shard1, java.nio.file.Paths.get(path, "data", "shard=1"))
+      val rerunB = Scale.resyncShards(spark, v2, path, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rerunB == origDiff)
+      val verB = Scale.verifyShards(spark, path, "shard", "doc_id",
+          col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(verB.nonEmpty && verB.values.forall(_ == "unchanged"),
+        s"rerun must repair the unlanded shard rewrite: $verB")
+    } finally {
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("epochPlanVerified: damaged shards are excluded from the schedule " +
       "and named; the plan equals epochPlan over the verifying shards") {
     val docs = spark.read

@@ -17,6 +17,13 @@ class SmokeSpec extends AnyFunSuite {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
       assert(n > 0, s"query $name returned 0 rows")
+      // per-query hygiene, matching Bench.scala and PlanAuditSpec: the
+      // 269-query sweep otherwise accumulates every query's pinned caches
+      // for the whole session — in a long full-suite run that is exactly
+      // the block-eviction pressure that turns "recomputable" into racy
+      // (the r16 q_lifecycle_e2e 0-row flake).
+      graft.ml.Dedup.unpersistIntermediates()
+      spark.catalog.clearCache()
     }
   }
 

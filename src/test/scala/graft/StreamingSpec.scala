@@ -505,6 +505,51 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming winnow candidates INDEXED: identical to the flat form, " +
+      "probe prunes to its batch's fp_part partitions") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "aa bb cc dd ee ff gg hh xx yy zz qq ww rr tt uu"),
+      (101L, "totally different words here nothing shared at all everywhere"),
+      (102L, "aa bb cc dd ee ff gg hh completely reworded second half body")
+    ).toDF("doc_id", "text")
+    val idxDir = Files.createTempDirectory("graft-swci-idx").toFile
+    graft.ml.Dedup.buildWinnowIndex(spark, corpus, "doc_id", "text",
+      idxDir.getAbsolutePath, n = 5, w = 4, parts = 8)
+    val arrivals = Seq(
+      (1L, "intro aa bb cc dd ee ff gg hh outro closing words"),
+      (2L, "unrelated text with zero overlap against anything stored"))
+    val dir = Files.createTempDirectory("graft-swci").toFile
+    val ckpt = Files.createTempDirectory("graft-swci-ckpt").toFile
+    arrivals.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = arrivals.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = StreamVerbs.streamingWinnowCandidatesIndexed(
+        Tbl(stream), "doc_id", "text", idxDir.getAbsolutePath,
+        minShared = 1) { c =>
+        c.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // flat twin over the same corpus/arrivals
+    val fps = graft.ml.Dedup.winnowFingerprints(corpus, "doc_id", "text",
+        n = 5, w = 4).select(col("doc_id").as("id_corpus"), col("fp"))
+      .distinct()
+    val nf = graft.ml.Dedup.winnowFingerprints(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", n = 5, w = 4)
+      .select(col("doc_id").as("id_new"), col("fp")).distinct()
+    val flat = nf.join(fps, "fp").groupBy("id_new", "id_corpus")
+      .agg(count(lit(1)).as("n_shared")).where(col("n_shared") >= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet == flat && flat.nonEmpty, s"${got.toSet} vs $flat")
+    assert(got.exists(t => t._1 == 1L && t._2 == 100L))
+    assert(!got.exists(t => t._1 == 2L))
+  }
+
   test("streaming winnow candidates: arriving near-dup found against persisted fps") {
     import spark.implicits._
     val corpus = Seq(

@@ -1168,7 +1168,23 @@ object StreamVerbs {
     * running per micro-batch under foreachBatch, batchId-idempotent at
     * every stateful stage (StreamingSpec pins streamed windows, batch
     * assignments, and the final manifest against the one-shot batch
-    * composition over the same frozen artifacts). */
+    * composition over the same frozen artifacts).
+    *
+    * OPTIONAL EXPORT RIDER (`exportEvery` > 0 + `exportPath`): the one
+    * lifecycle stream also keeps a TRAINING-SHARD EXPORT in line.
+    * Each batch's admitted survivors land in a standing
+    * `<statePath>/admitted` store as their OWN `batch_seq=batchId`
+    * partition (dynamic overwrite — a redelivered batch replaces its own
+    * partition with the identical re-emitted survivor set, so the store
+    * is replay-idempotent); every `exportEvery` batches the accumulated
+    * store is packed into `shard = id div exportDocsPerShard` shards and
+    * reconciled against `exportPath` via
+    * [[graft.ops.Scale.resyncShards]] (first export bootstraps with
+    * [[graft.ops.Scale.writeShardsWithManifest]]). Documents arrive in
+    * ascending id order (the packing contract), so new docs land in the
+    * TAIL shards only — each resync rewrites O(new shards), never the
+    * standing export; a crashed resync leaves the old manifest
+    * authoritative and the next cycle completes it. */
   def streamingLifecycle(t: Tbl, idCol: String, textCol: String,
                          srcCol: String, gatePath: String,
                          decontamPath: String, indexPath: String,
@@ -1180,17 +1196,23 @@ object StreamVerbs {
                          maxBucket: Int = 100000,
                          oovVocabLimit: Option[Long] = None,
                          eceLabelCol: Option[String] = None,
-                         compactEvery: Int = 0)
+                         compactEvery: Int = 0,
+                         exportEvery: Int = 0,
+                         exportPath: String = null,
+                         exportDocsPerShard: Long = 1000L)
                         (sink: LifecycleBatchOut => Unit):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(exportEvery <= 0 || exportPath != null,
+      "exportEvery > 0 requires exportPath")
     t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
       // auto-maintenance between batches (see streamingIngestDedup): the
       // standing minhash index compacts every compactEvery batches in the
       // serial foreachBatch slot, keeping its partition count bounded for
       // the life of the stream
       val compactNow = compactEvery > 0 && batchId >= 0 &&
         batchId % compactEvery == (compactEvery - 1)
-      val o0 = lifecycleIngest(batch.sparkSession, statePath, batch, idCol,
+      val o0 = lifecycleIngest(spark, statePath, batch, idCol,
         textCol, srcCol, gatePath, decontamPath, indexPath, tokPath,
         windowLen, boundaries, batchBudget, maxContaminatedFrac,
         dedupThreshold, maxBucket, batchId = batchId,
@@ -1207,9 +1229,38 @@ object StreamVerbs {
           ece = o0.ece.map(_.localCheckpoint(true)))
         else o0
       sink(o)
+      if (exportEvery > 0 && batchId >= 0) {
+        // standing admitted store — the batch's own partition, replaced
+        // wholesale on redelivery (ingestDedup re-emits the identical
+        // survivor set). Written BEFORE any compaction so the frame's
+        // file lineage is still alive.
+        o.admitted.withColumn("batch_seq", lit(batchId))
+          .write.partitionBy("batch_seq")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$statePath/admitted")
+        if (batchId % exportEvery == (exportEvery - 1)) {
+          val packed = spark.read.parquet(s"$statePath/admitted")
+            .drop("batch_seq")
+            .withColumn("shard",
+              expr(s"CAST(`$idCol` AS BIGINT) div $exportDocsPerShard"))
+          val sizeC = graft.text.TextFns.tokenCount(col(textCol))
+            .cast("long")
+          val fpC = graft.ops.Sketch.portableHash(col(textCol))
+          val fs = new org.apache.hadoop.fs.Path(exportPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(
+              s"$exportPath/manifest")))
+            graft.ops.Scale.writeShardsWithManifest(packed, exportPath,
+              "shard", idCol, sizeC, fpC)
+          else
+            graft.ops.Scale.resyncShards(spark, packed, exportPath,
+              "shard", idCol, sizeC, fpC)
+        }
+      }
       if (compactNow)
-        graft.ml.Dedup.compactMinhashIndex(batch.sparkSession, indexPath)
+        graft.ml.Dedup.compactMinhashIndex(spark, indexPath)
     }
+  }
 
   /** Ingest-time snapshot classification against a FROZEN corpus version
     * ([[graft.ops.Scale.snapshotDiff]] per micro-batch): every arriving

@@ -2227,6 +2227,8 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
     val idxS = freshIdx()
+    val export = Files.createTempDirectory("graft-slc-exp").toString
+    val gotA = scala.collection.mutable.Set.empty[Long]
     val gotW = scala.collection.mutable.Map.empty[Long, List[Long]]
     val gotB = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
     val gotM = scala.collection.mutable.Map
@@ -2234,8 +2236,12 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamVerbs.streamingLifecycle(Tbl(stream), "doc_id", "text",
         "source", gate, decIdx, idxS, tok, L, boundaries, budget,
         state, maxContaminatedFrac = 0.5,
-        dedupThreshold = 0.3) { out =>
+        dedupThreshold = 0.3,
+        exportEvery = 1, exportPath = export,
+        exportDocsPerShard = 100L) { out =>
         gotW.synchronized {
+          out.admitted.select("doc_id").collect().foreach(r =>
+            gotA += r.getLong(0))
           out.windows.select("window_id", "ids").collect().foreach(r =>
             gotW(r.getLong(0)) = r.getSeq[Long](1).toList)
           out.batches.collect().foreach(r =>
@@ -2289,6 +2295,38 @@ class StreamingSpec extends AnyFunSuite {
       s"batches: stream ${gotB.size} vs batch ${expB.size}")
     assert(gotM.toMap == expM && expM.nonEmpty,
       s"manifest: stream $gotM vs batch $expM")
+    // EXPORT RIDER: the maintained shard export holds exactly the
+    // admitted corpus and verifies clean against its own manifest
+    val sizeC = graft.text.TextFns.tokenCount(col("text")).cast("long")
+    val fpC = graft.ops.Sketch.portableHash(col("text"))
+    val expIds = spark.read.parquet(s"$export/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expIds == gotA.toSet && expIds.nonEmpty,
+      s"export ${expIds.size} docs vs streamed admitted ${gotA.size}")
+    val ver = graft.ops.Scale.verifyShards(spark, export, "shard",
+        "doc_id", sizeC, fpC)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ver.nonEmpty && ver.values.forall(_ == "unchanged"),
+      s"maintained export must verify: $ver")
+    // a further resync with the unchanged store is a byte-level no-op —
+    // the incremental claim (only moved shards ever rewrite)
+    import scala.jdk.CollectionConverters._
+    def expFiles() = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(export, "data"))
+      .iterator().asScala.filter(p =>
+        java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        (java.nio.file.Files.size(p),
+         java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+    val before = expFiles()
+    val packed = spark.read.parquet(s"$state/admitted").drop("batch_seq")
+      .withColumn("shard", expr("CAST(doc_id AS BIGINT) div 100"))
+    val again = graft.ops.Scale.resyncShards(spark, packed, export,
+        "shard", "doc_id", sizeC, fpC)
+      .collect().map(r => r.getString(1)).toSet
+    assert(again == Set("unchanged"), s"no-op resync receipt: $again")
+    assert(expFiles() == before, "no-op resync must not rewrite files")
     graft.ml.Dedup.unpersistIntermediates()
   }
 }

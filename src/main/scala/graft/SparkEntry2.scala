@@ -964,6 +964,21 @@ object SparkEntry2 {
         minShared = 2)
     }),
 
+    // winnow index GROWTH: build(quarter) then append(the other even
+    // quarter) must probe identically to build(all evens) — oracle
+    // shared VERBATIM with q_winnow_indexed
+    "q_winnow_indexed_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val idx = scratchPath(dir, "winnow_idx_app")
+      Dedup.buildWinnowIndex(s, docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", idx, n = 5, w = 4, parts = 16, portable = true)
+      Dedup.appendToWinnowIndex(s, idx,
+        docs.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+      Dedup.winnowCandidatesAgainstIndex(s, idx,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        minShared = 2)
+    }),
+
     // winnow pair verification: candidates graded by the longest shared
     // token run (MOSS's contiguity check) — scattered idiom overlap scores
     // low, lifted passages score high. Same portable md5 gram hash.
@@ -2496,15 +2511,10 @@ object SparkEntry2 {
         |       AS BIGINT)) // CAST(sum(cnt * nt) AS BIGINT) AS dup_bp
         |FROM per""".stripMargin,
     "q_winnow" -> winnowOracleSql(minShared = None),
-    "q_winnow_indexed" -> (winnowOracleSql(minShared = None)
-      .replaceFirst("\nSELECT doc_id, pos, fp FROM fp$",
-        """,
-          |d AS (SELECT DISTINCT doc_id, fp FROM fp)
-          |SELECT p.doc_id AS id_new, c.doc_id AS id_corpus,
-          |  count(*) AS n_shared
-          |FROM d p JOIN d c ON p.fp = c.fp
-          |WHERE p.doc_id % 2 = 1 AND c.doc_id % 2 = 0
-          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+    "q_winnow_indexed" -> winnowIndexedOracleSql,
+    // oracle VERBATIM with q_winnow_indexed: build(quarter)∘append(rest
+    // of evens) must equal build(evens)
+    "q_winnow_indexed_append" -> winnowIndexedOracleSql,
     "q_winnow_pairs" -> winnowOracleSql(minShared = Some(3L)),
     "q_winnow_resolve" -> winnowResolveOracleSql(minShared = 3L),
     "q_winnow_verify" -> winnowVerifyOracleSql(minShared = 3L),
@@ -3165,6 +3175,20 @@ object SparkEntry2 {
     * with `minShared` — candidate pairs sharing that many fingerprints.
     * Mirrors the rightmost-minimal-per-window rule exactly.
     */
+  /** odd-docs probe vs even-docs winnow corpus: the persisted-index
+    * probe's oracle — shared VERBATIM by q_winnow_indexed (one-shot
+    * build) and q_winnow_indexed_append (build + append). */
+  private def winnowIndexedOracleSql: String =
+    winnowOracleSql(minShared = None)
+      .replaceFirst("\nSELECT doc_id, pos, fp FROM fp$",
+        """,
+          |d AS (SELECT DISTINCT doc_id, fp FROM fp)
+          |SELECT p.doc_id AS id_new, c.doc_id AS id_corpus,
+          |  count(*) AS n_shared
+          |FROM d p JOIN d c ON p.fp = c.fp
+          |WHERE p.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
+
   private def winnowOracleSql(minShared: Option[Long]): String = {
     val base =
       """WITH tok AS (SELECT doc_id,

@@ -501,11 +501,15 @@ object Dedup {
     val nextSeq = standing.agg(coalesce(max(col("slice_seq").cast("long")),
       lit(0L))).head().getLong(0) + 1
     // only grams the standing table does not already hold — the global
-    // DISTINCT invariant across slices
-    val fresh = scopedCache(benchmarkGrams(bench, benchText, n,
-        hashed = true)
-      .join(standing.select("g"), Seq("g"), "left_anti"))
-    val union = scopedCache(standing.select("g").unionByName(fresh))
+    // DISTINCT invariant across slices. localCheckpoint, NOT cache: a
+    // replayed append's identical plan would cache-hit the FIRST
+    // append's pinned anti-join over the pre-append gram table and
+    // re-land its rows as duplicates (see appendToWinnowIndex).
+    val fresh = benchmarkGrams(bench, benchText, n, hashed = true)
+      .join(standing.select("g"), Seq("g"), "left_anti")
+      .localCheckpoint(true)
+    val union = standing.select("g").unionByName(fresh)
+      .localCheckpoint(true)
     val items = math.max(union.count(), 1L)
     val bloomBytes = union.agg(shim.columnOf(
         new BloomFilterAggregate(shim.exprOf(col("g")),
@@ -2093,16 +2097,80 @@ object Dedup {
       pinned.join(pinned.groupBy("fp").agg(count(lit(1)).as("__df"))
         .where(col("__df") <= maxDf).select("fp"), "fp")
     } else fps0
-    fps.withColumn("fp_part", fpPart(parts))
+    fps.withColumn("batch_seq", lit(0L))
+      .withColumn("fp_part", fpPart(parts))
       // one file per partition dir, not one per shuffle task per dir
       .repartition(col("fp_part"))
-      .write.partitionBy("fp_part").mode("overwrite")
+      .write.partitionBy("batch_seq", "fp_part").mode("overwrite")
       .parquet(s"$path/fps")
     // meta LAST — the commit point
     spark.range(1).select(lit(n).as("n"), lit(w).as("w"),
         lit(parts).as("parts"), lit(portable).as("portable"),
         lit(maxDf).as("max_df"))
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** APPEND new documents' winnowed fingerprints to a persisted
+    * [[buildWinnowIndex]] — the corpus GROWS, and re-deriving every
+    * standing document's fingerprints from text per growth step is the
+    * cost this avoids. The new docs' fps (computed with the index's
+    * recorded convention) are anti-joined against the standing (id, fp)
+    * rows — re-appending an already-indexed slice is a no-op, keeping
+    * probe counts exact — and land as ONE new
+    * `batch_seq=K/fp_part=H` partition set via staging + atomic rename
+    * (the minhash band-layout discipline): standing partitions are
+    * never rewritten, the rename is the commit point, a crashed append
+    * leaves only a staging dir swept at the next append. Probe output
+    * after the append is identical to an index built on the union from
+    * scratch (PipelineSpec pins it; q_winnow_indexed_append shares
+    * q_winnow_indexed's oracle VERBATIM).
+    *
+    * Refused (loudly) on indexes built with `maxDf > 0`: the stop-fp
+    * guard drops rows at build time, so fps already discarded cannot be
+    * re-counted when an append pushes their document frequency over the
+    * cut — append-equality would silently break. Guarded indexes
+    * rebuild instead. */
+  def appendToWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, docs: DataFrame, idCol: String,
+                          textCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val m = spark.read.parquet(s"$path/meta").head()
+    require(m.getAs[Long]("max_df") <= 0L,
+      "appendToWinnowIndex: this index was built with maxDf > 0 (stop-" +
+        "fp rows were dropped at build time), so an append cannot " +
+        "reproduce build-on-the-union semantics — rebuild the index " +
+        "over the grown corpus instead")
+    val (n, w, parts) = (m.getAs[Int]("n"), m.getAs[Int]("w"),
+      m.getAs[Int]("parts"))
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$path/fps_staging"), true)
+    val standing = spark.read.parquet(s"$path/fps")
+    val nextSeq = fs.listStatus(new Path(s"$path/fps")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch_seq="))
+      .map(_.stripPrefix("batch_seq=").toLong)
+      .foldLeft(0L)(math.max) + 1
+    // localCheckpoint, NOT cache: a cached plan here would be matched by
+    // a REPLAYED append's textually-identical plan (same path string) and
+    // serve the stale pre-append anti-join, re-deriving rows the first
+    // append already landed — duplicating them. Checkpointing severs the
+    // plan identity so every call re-reads the standing table as it is.
+    val fresh = winnowFingerprints(docs, idCol, textCol, n, w,
+        winnowHashOf(m.getAs[Boolean]("portable")))
+      .select(col(idCol).as("id"), col("fp")).distinct()
+      .join(standing.select("id", "fp"), Seq("id", "fp"), "left_anti")
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return // full replay of an indexed slice: no-op
+    val staging = new Path(s"$path/fps_staging/seq_$nextSeq")
+    fresh.withColumn("fp_part", fpPart(parts))
+      .repartition(col("fp_part"))
+      .write.partitionBy("fp_part").mode("overwrite")
+      .parquet(staging.toString)
+    val dest = new Path(s"$path/fps/batch_seq=$nextSeq")
+    fs.delete(dest, true)
+    require(fs.rename(staging, dest),
+      s"winnow fp-slice promote failed: $dest")
+    fs.delete(new Path(s"$path/fps_staging"), true)
   }
 
   /** Winnow near-dup CANDIDATES of a batch against a persisted

@@ -949,6 +949,10 @@ class PipelineSpec extends AnyFunSuite {
       probe.count() // execute so scan metrics populate
       def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
         case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          scans(i.relation.cachedPlan)
         case f: FileSourceScanExec    => Seq(f)
         case other => (other.children ++ other.subqueries).flatMap(scans)
       }
@@ -1015,10 +1019,16 @@ class PipelineSpec extends AnyFunSuite {
       assert(grams(idxApp) == grams(idxWhole))
       assert(spark.read.parquet(s"$idxApp/meta").head().getAs[Long]("items")
         == spark.read.parquet(s"$idxWhole/meta").head().getAs[Long]("items"))
-      // re-appending the same slice changes nothing (distinct union)
+      // re-appending the same slice changes nothing (distinct union) —
+      // including NO duplicate rows (a stale-cache replay once re-landed
+      // the slice as a duplicate partition; probes count rows, so
+      // duplicates would silently inflate contamination counts)
       Dedup.appendToDecontamIndex(spark, idxApp,
         bench.filter(col("doc_id") % 2 =!= 0), "text")
       assert(kept(idxApp) == w && grams(idxApp) == grams(idxWhole))
+      val gAll = spark.read.parquet(s"$idxApp/grams")
+      assert(gAll.count() == gAll.select("g").distinct().count(),
+        "re-append must not land duplicate gram rows")
       // legacy flat gram table (pre-r17, no slice_seq): the first append
       // self-upgrades to the partitioned layout, probe output unchanged
       val gramsP = java.nio.file.Paths.get(idxApp, "grams")
@@ -1313,10 +1323,91 @@ class PipelineSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val (gi, gf) = (rows(indexed), rows(flat))
       assert(gi == gf && gi.nonEmpty, s"indexed $gi vs flat $gf")
-      // the probe plan carries the fp_part pruning filter
+      // the probe plan carries the fp_part pruning filter, and the scan
+      // metric proves partitions were actually SKIPPED (quantitative,
+      // wall-clock-free — the default-on scaling evidence)
+      indexed.count()
       val plan = indexed.queryExecution.executedPlan.toString
       assert(plan.contains("fp_part"),
         s"probe plan must prune on fp_part:\n$plan")
+      locally {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: QueryStageExec        => scans(q.plan)
+          case i: InMemoryTableScanExec => scans(i.relation.cachedPlan)
+          case f: FileSourceScanExec    => Seq(f)
+          case other => (other.children ++ other.subqueries).flatMap(scans)
+        }
+        // quantitative pruning: a 64-partition index probed by ONE short
+        // doc (a handful of fps) must open only its touched fp_part dirs
+        import spark.implicits._
+        val idxP = dir.resolve("pruned").toString
+        Dedup.buildWinnowIndex(spark, corpus, "doc_id", "text", idxP,
+          n = 5, w = 4, parts = 64)
+        val tiny = Seq((88000001L,
+          "short probe document of barely twenty words so its winnowed " +
+            "fingerprint set stays tiny")).toDF("doc_id", "text")
+        val probeP = Dedup.winnowCandidatesAgainstIndex(spark, idxP, tiny,
+          "doc_id", "text", minShared = 1)
+        probeP.count()
+        val fpScans = scans(probeP.queryExecution.executedPlan)
+          .filter(_.relation.location.rootPaths.exists(
+            _.toString.contains("/fps")))
+        assert(fpScans.nonEmpty, "probe must read the fp layout")
+        import scala.jdk.CollectionConverters._
+        val totalFiles = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(idxP, "fps"))
+          .iterator().asScala
+          .count(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+        val filesRead = fpScans.map(_.metrics("numFiles").value).sum
+        assert(filesRead < totalFiles,
+          s"fps scan read $filesRead of $totalFiles files — not pruned")
+      }
+      // APPEND: build(half of corpus) + append(other half) probes
+      // identically to build(whole), writes ONLY its own batch_seq
+      // partition, and a replayed append is a no-op
+      val idxApp = dir.resolve("appended").toString
+      Dedup.buildWinnowIndex(spark, corpus.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", idxApp, n = 5, w = 4, parts = 16)
+      def slice0Files() = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files
+          .walk(java.nio.file.Paths.get(idxApp, "fps", "batch_seq=0"))
+          .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => p.toString ->
+            (java.nio.file.Files.size(p),
+             java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+      }
+      val s0 = slice0Files()
+      Dedup.appendToWinnowIndex(spark, idxApp,
+        corpus.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+      assert(slice0Files() == s0,
+        "append must not rewrite the standing fp partition")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(idxApp, "fps", "batch_seq=1")))
+      val appended = rows(Dedup.winnowCandidatesAgainstIndex(spark, idxApp,
+        probe, "doc_id", "text", minShared = 1))
+      assert(appended == gi, s"append ${appended.size} vs whole ${gi.size}")
+      // replayed append: anti-join makes it a no-op
+      Dedup.appendToWinnowIndex(spark, idxApp,
+        corpus.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+      assert(rows(Dedup.winnowCandidatesAgainstIndex(spark, idxApp,
+        probe, "doc_id", "text", minShared = 1)) == gi)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idxApp, "fps", "batch_seq=2")),
+        "replayed append must not land a partition")
+      // maxDf-guarded indexes refuse appends loudly (dropped stop-fps
+      // could not be re-counted — rebuild instead)
+      val idxG = dir.resolve("guarded2").toString
+      Dedup.buildWinnowIndex(spark, corpus, "doc_id", "text", idxG,
+        n = 5, w = 4, parts = 4, maxDf = 5L)
+      val eG = intercept[IllegalArgumentException](
+        Dedup.appendToWinnowIndex(spark, idxG, probe, "doc_id", "text"))
+      assert(eG.getMessage.contains("maxDf"), eG.getMessage)
       // maxDf applies at build time: a boilerplate fp shared by every
       // corpus doc disappears from the index
       import spark.implicits._

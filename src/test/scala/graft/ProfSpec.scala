@@ -184,6 +184,46 @@ class ProfSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow-index probe latency scales with the PROBE, not the corpus: " +
+       "a small probe against 1x vs 4x corpus depth stays within 2.5x") {
+    assume(sys.env.contains("GRAFT_PROF"), "set GRAFT_PROF=1 to run profiling")
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-prof-widx")
+    try {
+      // 1x index: a quarter of the corpus; 4x: the whole corpus — both
+      // at the same partition count, so the probe's pruned read is the
+      // same FRACTION and the per-partition depth quadruples
+      val idx1 = s"$dir/one"; val idx4 = s"$dir/four"
+      Dedup.buildWinnowIndex(spark, docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", idx1, n = 5, w = 4, parts = 64)
+      Dedup.buildWinnowIndex(spark, docs, "doc_id", "text", idx4,
+        n = 5, w = 4, parts = 64)
+      val probe = docs.filter(col("doc_id") % 97 === 3).limit(50)
+        .localCheckpoint()
+      def t(idx: String): Double = {
+        val t0 = System.nanoTime()
+        Dedup.winnowCandidatesAgainstIndex(spark, idx, probe,
+          "doc_id", "text", minShared = 2).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      t(idx1); t(idx4) // warm
+      val t1 = (1 to 3).map(_ => t(idx1)).min
+      val t4 = (1 to 3).map(_ => t(idx4)).min
+      println(f"[prof] winnow probe s: 1x-depth $t1%.2f, 4x-depth $t4%.2f")
+      // a full-scan probe would track corpus size ~4x; the pruned probe
+      // pays only its touched partitions' extra depth
+      assert(t4 < t1 * 2.5,
+        f"probe must not track corpus depth: $t4%.2f vs $t1%.2f")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** The 12-batch ingest-flatness loop shared by the flat and banded
     * layouts: novel synthetic batches append 500 sigs each; per-batch
     * latency must not grow with the standing partition count. */

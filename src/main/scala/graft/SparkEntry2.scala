@@ -979,6 +979,24 @@ object SparkEntry2 {
         minShared = 2)
     }),
 
+    // winnow index MAINTENANCE: build(quarter) ∘ append(the other even
+    // quarter) ∘ COMPACT (every batch_seq partition collapsed into the
+    // base, fp_part bucketing recomputed under the staged swap + lease)
+    // must still probe identically to build(all evens) — oracle shared
+    // VERBATIM with q_winnow_indexed
+    "q_winnow_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val idx = scratchPath(dir, "winnow_idx_cmp")
+      Dedup.buildWinnowIndex(s, docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", idx, n = 5, w = 4, parts = 16, portable = true)
+      Dedup.appendToWinnowIndex(s, idx,
+        docs.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+      Dedup.compactWinnowIndex(s, idx)
+      Dedup.winnowCandidatesAgainstIndex(s, idx,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        minShared = 2)
+    }),
+
     // winnow pair verification: candidates graded by the longest shared
     // token run (MOSS's contiguity check) — scattered idiom overlap scores
     // low, lifted passages score high. Same portable md5 gram hash.
@@ -1224,6 +1242,56 @@ object SparkEntry2 {
         "doc_id", col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
       graft.ops.Scale.resyncShards(s, sized(v2), path, "shard", "doc_id",
         col("n_tok"), graft.ops.Sketch.portableHash(col("text")))
+    }),
+
+    // O(delta) incremental re-export for a GROWING corpus: export the
+    // doc_id < 390 prefix (tail shard 19 partial), then hand
+    // resyncShardsDelta ONLY the touched shards' full new content (the
+    // grown tail shard + the brand-new shards — the ascending-id packing
+    // contract); untouched shards are never read or rewritten, their
+    // manifest rows carry forward verbatim. The emitted relation is
+    // verifyShards over the final export: every shard 'unchanged' proves
+    // the on-disk bytes (prefix write + delta rewrite) match the full
+    // corpus exactly — the oracle recomputes those per-shard stats from
+    // scratch. (ScaleSpec separately pins receipt statuses, untouched-
+    // file byte-identity, and the scan set.)
+    "q_resync_delta" -> ((s, dir) => {
+      val base = t(s, dir, "documents").df
+        .select(col("doc_id"), col("text"))
+        .withColumn("shard", expr("doc_id div 20"))
+        .withColumn("n_tok",
+          TextFns.tokenCount(col("text")).cast("long"))
+      val fp = graft.ops.Sketch.portableHash(col("text"))
+      val path = scratchPath(dir, "shard_resync_delta")
+      graft.ops.Scale.writeShardsWithManifest(
+        base.filter(col("doc_id") < 390), path, "shard", "doc_id",
+        col("n_tok"), fp)
+      graft.ops.Scale.resyncShardsDelta(s,
+        base.filter(col("shard") >= 19), path, "shard", "doc_id",
+        col("n_tok"), fp)
+      graft.ops.Scale.verifyShards(s, path, "shard", "doc_id",
+        col("n_tok"), fp)
+    }),
+
+    // batch_seq-store compaction (the streaming admitted store's
+    // maintenance verb): three dynamic-overwrite partitions land, the
+    // first two fold into the base batch_seq=-1 under the staged swap +
+    // lease, the last stays individually addressable (the redelivery /
+    // export-cursor contract). Rows and their fold assignment replay
+    // exactly in the oracle.
+    "q_batchstore_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df.select(col("doc_id"), col("lang"))
+      val path = scratchPath(dir, "batch_store_cmp")
+      (0 to 2).foreach { b =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .withColumn("batch_seq", lit(b.toLong))
+          .write.partitionBy("batch_seq")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(path)
+      }
+      graft.ops.Scale.compactBatchStore(s, path, upToSeq = 1L)
+      s.read.parquet(path).select(col("doc_id"), col("lang"),
+        col("batch_seq").cast("long").as("batch_seq"))
     }),
 
     // The manifest's CONSUMER side: the deterministic resumable epoch
@@ -1925,6 +1993,26 @@ object SparkEntry2 {
     // the resync receipt IS the manifest diff over the same v1/v2 —
     // oracle shared VERBATIM (the persisted-artifact discipline)
     "q_shard_resync" -> manifestDiffOracleSql,
+    // after the delta resync the export must hold EXACTLY the full
+    // corpus, shard by shard — verifyShards all-'unchanged' with the
+    // per-shard stats the oracle recomputes from scratch
+    "q_resync_delta" ->
+      """WITH base AS (SELECT doc_id, text, doc_id // 20 AS shard
+        |  FROM documents),
+        |m AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM base GROUP BY 1)
+        |SELECT shard, 'unchanged' AS status,
+        |  n_rows AS n_rows_old, n_rows AS n_rows_new,
+        |  n_tokens AS n_tokens_old, n_tokens AS n_tokens_new
+        |FROM m""".stripMargin,
+    // compaction folds batches 0 and 1 into the base partition, keeps
+    // batch 2 addressable; no row gained, lost, or re-labeled otherwise
+    "q_batchstore_compact" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 3 <= 1 THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST(2 AS BIGINT) END AS batch_seq
+        |FROM documents""".stripMargin,
     "q_epoch_plan" ->
       """WITH s AS (SELECT doc_id, text,
         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
@@ -2512,6 +2600,10 @@ object SparkEntry2 {
         |FROM per""".stripMargin,
     "q_winnow" -> winnowOracleSql(minShared = None),
     "q_winnow_indexed" -> winnowIndexedOracleSql,
+    // oracle VERBATIM with q_winnow_indexed: append ∘ compact preserves
+    // probe output exactly (the compaction collapses partitions, never
+    // rows)
+    "q_winnow_compact" -> winnowIndexedOracleSql,
     // oracle VERBATIM with q_winnow_indexed: build(quarter)∘append(rest
     // of evens) must equal build(evens)
     "q_winnow_indexed_append" -> winnowIndexedOracleSql,

@@ -478,7 +478,18 @@ object Dedup {
     */
   def appendToDecontamIndex(spark: org.apache.spark.sql.SparkSession,
                             path: String, bench: DataFrame,
-                            benchText: String): Unit = {
+                            benchText: String): Unit =
+    // single-writer, machine-enforced: concurrent appends would compute
+    // the same nextSeq and silently replace each other's slice partition
+    // (see appendToWinnowIndex); the lease heartbeats for the duration
+    graft.ops.Lease.withLease(spark, path, "appendToDecontamIndex") {
+      appendToDecontamIndexLocked(spark, path, bench, benchText)
+    }
+
+  private def appendToDecontamIndexLocked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, bench: DataFrame,
+      benchText: String): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.hadoop.fs.Path
@@ -546,6 +557,9 @@ object Dedup {
                                    path: String, train: DataFrame,
                                    trainId: String,
                                    trainText: String): DataFrame = {
+    // refuse loudly while a maintenance writer (slice append) is staging
+    // a meta swap this probe could read half-replaced
+    graft.ops.Lease.check(spark, path, "contaminationReportFromIndex")
     graft.ops.CarryState.recoverDir(spark, s"$path/meta")
     graft.ops.CarryState.recoverDir(spark, s"$path/grams")
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -1004,76 +1018,39 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** The single-writer MAINTENANCE LEASE: `<path>/_MAINTENANCE` is taken
-    * by [[compactMinhashIndex]] for the duration of the swap and checked
-    * by [[ingestDedup]] / [[dedupeAgainstIndex]] on open, turning the
-    * documented "run maintenance next to a paused ingest" contract into
-    * a LOUD failure instead of a race: a concurrent batch-mode ingest
-    * could otherwise append its partition into the pre-compaction dir
-    * and have it deleted by the staged swap. The lease file records its
-    * owner (pid@host) and epoch-millis; a lease older than
-    * `staleLeaseMs` (default 60 min — far beyond any compaction) is a
-    * CRASHED compaction's leftover and is cleared on open so it cannot
-    * brick the index (the staged-swap discipline already guarantees the
-    * index itself is intact after a crash). The foreachBatch
-    * auto-compaction rider is unaffected: it takes and releases the
-    * lease inside the serial slot where no ingest can run concurrently.
+  /** The single-writer MAINTENANCE LEASE — [[graft.ops.Lease]], shared
+    * since round 18 by every persisted-index writer (minhash compaction,
+    * winnow/decontam slice appends, shard resyncs): `<path>/_MAINTENANCE`
+    * is taken by the maintenance writer for its whole critical section
+    * and checked by [[ingestDedup]] / [[dedupeAgainstIndex]] (and the
+    * other guarded opens) so a concurrent append cannot land its
+    * partition in the pre-compaction dir and have it deleted by the
+    * staged swap, and two concurrent appends cannot compute the same
+    * next partition seq and silently replace each other's landed data.
+    * Liveness is HEARTBEAT-based ([[graft.ops.Lease.withLease]] renews
+    * on a daemon schedule), so a compaction legitimately outrunning the
+    * TTL keeps its lease while a crashed holder's goes stale and is
+    * cleared on the next open. These thin delegates keep the historical
+    * `Dedup.*` call surface (tests model crashed holders through them).
     */
-  private val MaintenanceLease = "_MAINTENANCE"
-  private[graft] var staleLeaseMs: Long = 60L * 60 * 1000
-
-  private def leasePath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/$MaintenanceLease")
-
-  private def leaseFs(spark: org.apache.spark.sql.SparkSession,
-                      path: String) =
-    leasePath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private[graft] def staleLeaseMs: Long = graft.ops.Lease.staleLeaseMs
+  private[graft] def staleLeaseMs_=(v: Long): Unit =
+    graft.ops.Lease.staleLeaseMs = v
 
   private[graft] def takeMaintenanceLease(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val fs = leaseFs(spark, path)
-    checkMaintenanceLease(spark, path, "compactMinhashIndex")
-    val owner = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getName
-    val out = fs.create(leasePath(path), false)
-    try out.write(s"$owner\n${System.currentTimeMillis()}\n"
-      .getBytes("UTF-8"))
-    finally out.close()
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.ops.Lease.take(spark, path, "compactMinhashIndex")
 
   private[graft] def releaseMaintenanceLease(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit =
-    leaseFs(spark, path).delete(leasePath(path), false)
+    graft.ops.Lease.release(spark, path)
 
   /** Fail loudly if a LIVE maintenance lease is present; silently clear
-    * a stale one (crashed compaction). Called by every index open. */
+    * a stale one (crashed holder). Called by every index open. */
   private[graft] def checkMaintenanceLease(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      who: String): Unit = {
-    val fs = leaseFs(spark, path)
-    val p = leasePath(path)
-    if (!fs.exists(p)) return
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = txt.linesIterator.toVector
-    val (owner, takenAt) =
-      (lines.headOption.getOrElse("?"),
-        lines.lift(1).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
-          .getOrElse(0L))
-    val age = System.currentTimeMillis() - takenAt
-    if (age < staleLeaseMs)
-      throw new IllegalStateException(
-        s"$who: index at $path is under MAINTENANCE (lease held by " +
-          s"$owner for ${age / 1000}s) — compactMinhashIndex is " +
-          "replacing the signature partitions; a concurrent append " +
-          "could land in the pre-compaction dir and be deleted by the " +
-          "swap. Retry after the maintenance completes, or delete " +
-          s"$path/$MaintenanceLease if the compactor is known dead.")
-    // stale: the compactor crashed. The staged swap left the index
-    // intact (recoverDir handles the staging dir); clear and proceed.
-    fs.delete(p, false)
-  }
+      who: String): Unit =
+    graft.ops.Lease.check(spark, path, who)
 
   /** COMPACT a [[buildMinhashIndex]] artifact that has accumulated many
     * [[ingestDedup]] `batch_seq=` partitions — the maintenance verb that
@@ -1112,11 +1089,10 @@ object Dedup {
     * rebuilt from the compacted signatures in the same pass.
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String, targetFiles: Int = 0): Unit = {
-    takeMaintenanceLease(spark, path)
-    try compactMinhashIndexLocked(spark, path, targetFiles)
-    finally releaseMaintenanceLease(spark, path)
-  }
+                          path: String, targetFiles: Int = 0): Unit =
+    graft.ops.Lease.withLease(spark, path, "compactMinhashIndex") {
+      compactMinhashIndexLocked(spark, path, targetFiles)
+    }
 
   private def compactMinhashIndexLocked(
       spark: org.apache.spark.sql.SparkSession,
@@ -1295,12 +1271,17 @@ object Dedup {
             s"bit_xor(${graft.ops.Scale.contentFpSql(idCol, textCol)})"),
           lit(0L)).as("bfp")).head()
       else null
+    // the aggregated fp carries the encoding-version nibble
+    // (Scale.tagContentFp) so a cross-version replay is diagnosable
+    // instead of silently colliding — see CarryState.isReplay
+    def bfp: Long =
+      graft.ops.Scale.tagContentFp(bst.getAs[Long]("bfp"))
     if (hasEvidence && seq > 1) {
       val last = existing.filter(col("batch_seq") === (seq - 1))
         .select(col("batch_id"), col("batch_fp"), col("batch_n"))
         .head()
       if (graft.ops.CarryState.isReplay("ingestDedup", batchId,
-          bst.getAs[Long]("bfp"), bst.getAs[Long]("bn"),
+          bfp, bst.getAs[Long]("bn"),
           (last.getAs[Long]("batch_id"), last.getAs[Long]("batch_fp"),
             last.getAs[Long]("batch_n"))))
         return emitFrom(seq - 1)
@@ -1339,7 +1320,7 @@ object Dedup {
     val survivors = keptSigs.join(dupInBatch, Seq("id"), "left_anti")
     (if (hasEvidence)
         survivors.withColumn("batch_id", lit(batchId))
-          .withColumn("batch_fp", lit(bst.getAs[Long]("bfp")))
+          .withColumn("batch_fp", lit(bfp))
           .withColumn("batch_n", lit(bst.getAs[Long]("bn")))
       else survivors)
       .withColumn("batch_seq", lit(seq))
@@ -2089,6 +2070,15 @@ object Dedup {
                        parts: Int = 64, portable: Boolean = false,
                        maxDf: Long = 0L): Unit = {
     require(parts >= 1, "parts must be >= 1")
+    // REBUILD over an existing index: retract the OLD meta before the fps
+    // overwrite, so the meta-LAST commit contract holds for rebuilds too —
+    // a crash mid-fps-write leaves a meta-less index that fails loudly on
+    // open, never old-parameter meta over new-parameter fps (a parts or
+    // hash-convention change under stale meta would make fp_part pruning
+    // silently MISS candidates instead of failing)
+    new org.apache.hadoop.fs.Path(s"$path/meta")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
     val fps0 = winnowFingerprints(docs, idCol, textCol, n, w,
         winnowHashOf(portable))
       .select(col(idCol).as("id"), col("fp")).distinct()
@@ -2129,11 +2119,28 @@ object Dedup {
     * guard drops rows at build time, so fps already discarded cannot be
     * re-counted when an append pushes their document frequency over the
     * cut — append-equality would silently break. Guarded indexes
-    * rebuild instead. */
+    * rebuild instead.
+    *
+    * SINGLE-WRITER, machine-enforced ([[graft.ops.Lease]]): two
+    * concurrent appends would both list the same `nextSeq` and the
+    * second's delete+rename would silently REPLACE the first's landed
+    * partition — data loss, not corruption — so the append holds the
+    * index's `_MAINTENANCE` lease (with heartbeat) for its duration and
+    * a concurrent append or compaction is refused loudly naming the
+    * holder. */
   def appendToWinnowIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, docs: DataFrame, idCol: String,
-                          textCol: String): Unit = {
+                          textCol: String): Unit =
+    graft.ops.Lease.withLease(spark, path, "appendToWinnowIndex") {
+      appendToWinnowIndexLocked(spark, path, docs, idCol, textCol)
+    }
+
+  private def appendToWinnowIndexLocked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String,
+      textCol: String): Unit = {
     import org.apache.hadoop.fs.Path
+    graft.ops.CarryState.recoverDir(spark, s"$path/fps")
     val m = spark.read.parquet(s"$path/meta").head()
     require(m.getAs[Long]("max_df") <= 0L,
       "appendToWinnowIndex: this index was built with maxDf > 0 (stop-" +
@@ -2173,6 +2180,46 @@ object Dedup {
     fs.delete(new Path(s"$path/fps_staging"), true)
   }
 
+  /** COMPACT a [[buildWinnowIndex]] artifact that has accumulated many
+    * [[appendToWinnowIndex]] `batch_seq=` partitions — the
+    * [[compactMinhashIndex]] maintenance verb applied to the winnow fp
+    * table, keeping append-cadence growth from drowning the pruned
+    * probes in parquet listing/footer overhead. Winnow appends carry NO
+    * replay evidence (their idempotence is the anti-join against
+    * standing (id, fp) rows, which partition layout cannot affect), so
+    * ALL partitions collapse into the base `batch_seq=0` — nothing to
+    * preserve verbatim. The `fp_part` bucketing is RECOMPUTED from the
+    * meta's recorded `parts` in the same pass (every fp stays confined
+    * to ONE partition — the pruning invariant survives compaction), and
+    * the swap rides [[graft.ops.CarryState.replaceDir]] (staging +
+    * marker + rename) under the heartbeated `_MAINTENANCE` lease:
+    * probes and appends are refused loudly for the duration, a crashed
+    * compaction never corrupts the index, and every reader runs
+    * recovery on open. `targetFiles` > 0 additionally bounds the file
+    * count via coalesce-by-bucket; 0 keeps one file per bucket dir. */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit =
+    graft.ops.Lease.withLease(spark, path, "compactWinnowIndex") {
+      graft.ops.CarryState.recoverDir(spark, s"$path/fps")
+      val m = spark.read.parquet(s"$path/meta").head()
+      val parts = m.getAs[Int]("parts")
+      val fps = spark.read.parquet(s"$path/fps")
+      val maxSeq = fps.agg(coalesce(max(col("batch_seq").cast("long")),
+        lit(0L))).head().getLong(0)
+      if (maxSeq > 0) {
+        // the staging write IS the materialization of the union — it
+        // reads the old files before replaceDir deletes them
+        graft.ops.CarryState.replaceDir(spark, s"$path/fps") { staging =>
+          fps.select("id", "fp")
+            .withColumn("batch_seq", lit(0L))
+            .withColumn("fp_part", fpPart(parts))
+            .repartition(col("fp_part"))
+            .write.partitionBy("batch_seq", "fp_part").mode("overwrite")
+            .parquet(staging)
+        }
+      }
+    }
+
   /** Winnow near-dup CANDIDATES of a batch against a persisted
     * [[buildWinnowIndex]] — (id_new, id_corpus, n_shared >= minShared).
     * The batch's fps are computed with the index's recorded convention;
@@ -2185,6 +2232,11 @@ object Dedup {
                                    path: String, newDocs: DataFrame,
                                    idCol: String, textCol: String,
                                    minShared: Long = 2L): DataFrame = {
+    // refuse loudly while a maintenance writer (append/compaction) holds
+    // the lease — a compaction's staged swap deletes the fps dir this
+    // probe is about to read
+    graft.ops.Lease.check(spark, path, "winnowCandidatesAgainstIndex")
+    graft.ops.CarryState.recoverDir(spark, s"$path/fps")
     val m = spark.read.parquet(s"$path/meta").head()
     val (n, w, parts) = (m.getAs[Int]("n"), m.getAs[Int]("w"),
       m.getAs[Int]("parts"))

@@ -83,12 +83,52 @@ private[graft] object CarryState {
     if (batchId >= 0L && lastBatchId >= 0L) {
       if (batchId == lastBatchId) {
         require(fp == lastFp && n == lastN,
-          s"$verb: batchId $batchId was already applied with DIFFERENT " +
-            "content (fingerprint/count mismatch) — a batch id must name " +
-            "one batch")
+          if ((fp >>> 60) != (lastFp >>> 60))
+            s"$verb: batchId $batchId was already applied, but its " +
+              "recorded fingerprint was written under a DIFFERENT " +
+              s"encoding version (${lastFp >>> 60} vs ${fp >>> 60}) — a " +
+              "replay spanning a fingerprint-encoding upgrade cannot be " +
+              "verified. Rebuild the state (or re-deliver the next fresh " +
+              "batch) to re-arm after the upgrade."
+          else
+            s"$verb: batchId $batchId was already applied with DIFFERENT " +
+              "content (fingerprint/count mismatch) — a batch id must " +
+              "name one batch")
         true
       } else false
-    } else batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
+    } else {
+      // CROSS-VERSION AMBIGUITY GUARD for id-less callers: tagged
+      // fingerprints ([[Scale.tagContentFp]]) carry their encoding
+      // version in the top nibble (pre-tag evidence reads back as
+      // version 0 — the leaves are 60-bit, so aggregated fps never set
+      // those bits). The one batch a version upgrade puts at risk is
+      // the LAST pre-upgrade batch redelivered immediately after: its
+      // re-encoded fp mismatches the recorded one while its row count
+      // MATCHES, and treating it as fresh would silently collide it
+      // with its own standing state (near-empty output). The version
+      // nibble makes that case diagnosable without false positives: a
+      // count match with a SAME-version fp mismatch is a genuinely
+      // fresh batch (uniform chunk sizes are the NORM, not a
+      // coincidence) and passes as fresh, while a count match across
+      // DIFFERENT versions is the undecidable replay shape and fails
+      // loudly. (An id-less MUTATED redelivery with an unchanged row
+      // count remains indistinguishable from a fresh batch by design —
+      // callers needing that guarantee pass an explicit batchId, the
+      // documented foreachBatch recipe.)
+      if (batchId < 0L && lastBatchId < 0L && lastN >= 0L &&
+          n == lastN && (fp >>> 60) != (lastFp >>> 60))
+        throw new IllegalArgumentException(
+          s"$verb: an id-less batch arrived with the same row count " +
+            s"($n) as the last applied batch, but the recorded " +
+            s"fingerprint was written under a different encoding " +
+            s"version (${lastFp >>> 60} vs ${fp >>> 60}) — replay " +
+            "detection is blind across a fingerprint-encoding upgrade, " +
+            "and if this batch is the last pre-upgrade batch redelivered, " +
+            "applying it would silently collide it with its own standing " +
+            "state. Pass an explicit batchId if this is genuinely a new " +
+            "batch, or rebuild the state to re-arm after the upgrade.")
+      batchId < 0L && lastN >= 0L && n == lastN && fp == lastFp
+    }
   }
 
   /** Commit new state: clear staging, run `write` against the staging

@@ -622,17 +622,22 @@ object Scale {
     */
   def writeShardsWithManifest(packed: DataFrame, path: String,
                               shardCol: String, idCol: String,
-                              sizeCol: Column, fpCol: Column): Unit = {
-    // manifest FIRST from the in-memory relation, then the data write:
-    // both derive from `packed`, so a reader that sees both sees them
-    // consistent; a crash between the two leaves a manifest with no
-    // data — verifyShards reports every shard `removed`, loudly
-    coalesceForWrite(shardManifest(packed, shardCol, idCol, sizeCol,
-        fpCol))
-      .write.mode("overwrite").parquet(s"$path/manifest")
-    packed.write.partitionBy(shardCol).mode("overwrite")
-      .parquet(s"$path/data")
-  }
+                              sizeCol: Column, fpCol: Column): Unit =
+    // single-writer, machine-enforced: a concurrent resync interleaving
+    // dynamic overwrites with this full export would silently mix two
+    // corpus versions — the heartbeated lease refuses it loudly instead
+    graft.ops.Lease.withLease(packed.sparkSession, path,
+      "writeShardsWithManifest") {
+      // manifest FIRST from the in-memory relation, then the data write:
+      // both derive from `packed`, so a reader that sees both sees them
+      // consistent; a crash between the two leaves a manifest with no
+      // data — verifyShards reports every shard `removed`, loudly
+      coalesceForWrite(shardManifest(packed, shardCol, idCol, sizeCol,
+          fpCol))
+        .write.mode("overwrite").parquet(s"$path/manifest")
+      packed.write.partitionBy(shardCol).mode("overwrite")
+        .parquet(s"$path/data")
+    }
 
   /** INCREMENTAL re-export — bring a [[writeShardsWithManifest]] export
     * in line with a NEW corpus version by rewriting ONLY the shards
@@ -661,6 +666,18 @@ object Scale {
     * resynced export verifies all-`unchanged` against the new corpus.
     */
   def resyncShards(spark: org.apache.spark.sql.SparkSession,
+                   packed: DataFrame, path: String, shardCol: String,
+                   idCol: String, sizeCol: Column, fpCol: Column): DataFrame =
+    // single-writer, machine-enforced (graft.ops.Lease): two concurrent
+    // resyncs interleaving dynamic partition overwrites would silently
+    // mix two corpus versions shard by shard — refused loudly instead,
+    // with heartbeat so a long resync is never mistaken for a crash
+    graft.ops.Lease.withLease(spark, path, "resyncShards") {
+      resyncShardsLocked(spark, packed, path, shardCol, idCol, sizeCol,
+        fpCol)
+    }
+
+  private def resyncShardsLocked(spark: org.apache.spark.sql.SparkSession,
                    packed: DataFrame, path: String, shardCol: String,
                    idCol: String, sizeCol: Column, fpCol: Column): DataFrame = {
     val stored = spark.read.parquet(s"$path/manifest")
@@ -692,6 +709,109 @@ object Scale {
       .parquet(s"$path/manifest")
     diff
   }
+
+  /** O(delta) re-export for GROWTH-ONLY maintained exports — the
+    * [[resyncShards]] contract restricted to the shards the caller KNOWS
+    * may have moved, so a 100 TB export whose last ingest window touched
+    * two tail shards reads and writes two tail shards, not the corpus.
+    * `touched` must be the FULL new content of every shard it mentions;
+    * every shard it does NOT mention is unchanged BY CONTRACT and is
+    * never read, diffed, or rewritten (its stored manifest row carries
+    * forward verbatim — one micro-table anti-join). Removals cannot be
+    * expressed (a shard whose full new content is empty has no rows to
+    * mention) — use [[resyncShards]] for shrinking corpora.
+    *
+    * Commit order is [[resyncShards]]'s, deliberately: data FIRST
+    * (dynamic overwrite of exactly the `added`/`changed` shards —
+    * idempotent under rerun), manifest LAST (the commit point — a crash
+    * leaves the old manifest, or for a bootstrap NO manifest,
+    * authoritative, and the rerun recomputes the same touched diff and
+    * completes). Bootstrapping a missing export through this verb is
+    * therefore data-first — the opposite of [[writeShardsWithManifest]],
+    * and the RIGHT order for a MAINTAINED export: a bootstrap crash
+    * between a manifest-first write and its data would leave a manifest
+    * exactly matching the replayed packed set, so the replay's diff
+    * would report all-`unchanged` over missing shard data and the export
+    * would silently serve a hole forever (the round-17 advisory's
+    * window). Returns the [[manifestDiff]] receipt restricted to the
+    * touched shards. Single-writer via the heartbeated
+    * [[graft.ops.Lease]], like every shard-export writer.
+    */
+  def resyncShardsDelta(spark: org.apache.spark.sql.SparkSession,
+                        touched: DataFrame, path: String, shardCol: String,
+                        idCol: String, sizeCol: Column,
+                        fpCol: Column): DataFrame =
+    graft.ops.Lease.withLease(spark, path, "resyncShardsDelta") {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val touchedMan = shardManifest(touched, shardCol, idCol, sizeCol,
+        fpCol).localCheckpoint(true)
+      val stored = if (fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/manifest")))
+        spark.read.parquet(s"$path/manifest")
+      else touchedMan.limit(0)
+      // diff ONLY the touched shards' stored rows against their recomputed
+      // manifest — `removed` is impossible by construction (the stored
+      // side is semi-joined to the touched keys)
+      val diff = manifestDiff(
+        stored.join(touchedMan.select(shardCol), Seq(shardCol),
+          "left_semi"),
+        touchedMan, shardCol).localCheckpoint(true)
+      val toWrite = diff.filter(col("status").isin("added", "changed"))
+        .select(col(shardCol))
+      touched.join(toWrite, Seq(shardCol), "left_semi")
+        .write.partitionBy(shardCol)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/data")
+      // untouched manifest rows carry forward verbatim; checkpointed
+      // before the overwrite of their own source dir
+      val newMan = stored.join(touchedMan.select(shardCol), Seq(shardCol),
+          "left_anti")
+        .unionByName(touchedMan).localCheckpoint(true)
+      coalesceForWrite(newMan).write.mode("overwrite")
+        .parquet(s"$path/manifest")
+      diff
+    }
+
+  /** COMPACT a `batch_seq=`-partitioned standing store (the streaming
+    * lifecycle's admitted export buffer, or any store maintained by
+    * per-batch dynamic partition overwrite): every partition with
+    * `batch_seq` in [0, upToSeq] collapses into the base partition
+    * `batch_seq=-1` (merging with any existing base), bounding the
+    * partition count that otherwise grows +1 per micro-batch at
+    * streaming cadence. Plain data with NO evidence contract — the
+    * replay discipline of these stores is "a redelivered batch replaces
+    * its OWN partition with identical content", which constrains the
+    * CALLER: never pass an `upToSeq` covering a batch that can still
+    * redeliver (the foreachBatch window is the latest batch, so
+    * `currentBatchId - 1` is always safe, intersected with any export
+    * cursor so un-exported partitions stay individually addressable).
+    * The swap rides [[CarryState.replaceDir]] (staging + marker +
+    * rename) under the heartbeated [[graft.ops.Lease]]: a crashed
+    * compaction never corrupts the store, and concurrent writers are
+    * refused loudly. The lease lives at the SIBLING root `<path>.maint`
+    * (the `.staging` sibling precedent) because the swap replaces the
+    * store dir wholesale — a lease inside it would vanish mid-hold;
+    * writers guarding against this compaction check the same root. */
+  def compactBatchStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String, upToSeq: Long): Unit =
+    graft.ops.Lease.withLease(spark, s"$path.maint", "compactBatchStore") {
+      CarryState.recoverDir(spark, path)
+      val df = spark.read.parquet(path)
+      val foldable = df.filter(col("batch_seq") >= 0 &&
+          col("batch_seq") <= upToSeq)
+        .select("batch_seq").distinct().count()
+      if (foldable > 0)
+        // the staging write materializes the fold before the old dir is
+        // deleted (it reads the old files)
+        CarryState.replaceDir(spark, path) { staging =>
+          df.withColumn("batch_seq",
+              when(col("batch_seq") <= upToSeq, lit(-1L))
+                .otherwise(col("batch_seq").cast("long")))
+            .write.partitionBy("batch_seq").mode("overwrite")
+            .parquet(staging)
+        }
+    }
 
   /** Verify a [[writeShardsWithManifest]] export by recomputing the
     * manifest from the files on disk and diffing against the stored
@@ -1441,6 +1561,28 @@ object Scale {
       s"IF(`$contentCol` IS NULL, '|0:', '|1:'), " +
       s"coalesce(CAST(`$contentCol` AS STRING), ''))), 1, 15), 16, 10) " +
       "AS LONG)"
+
+  /** ENCODING-VERSION TAG for aggregated [[contentFpSql]] fingerprints.
+    * The leaves are 60-bit (15 hex chars), so any `bit_xor` of them
+    * leaves bits 60..63 ZERO — the top nibble is free, and every
+    * fingerprint recorded by pre-tag versions (the r16 `md5(id|text)`
+    * and r17 length-prefixed encodings alike) reads back as version 0.
+    * Tagging the AGGREGATED value (never the leaves — a per-leaf tag
+    * would XOR-cancel on even row counts) makes a cross-version replay
+    * DIAGNOSABLE for id-less callers: the one batch at risk is the LAST
+    * pre-upgrade batch redelivered after an upgrade, whose re-encoded
+    * fingerprint mismatches the recorded one while its row count
+    * matches — [[CarryState.isReplay]] sees the version nibbles differ
+    * and fails loudly naming the boundary, while a genuinely fresh
+    * same-version batch that happens to repeat the last row count (the
+    * NORMAL shape under uniform chunking) passes as fresh. Bump this
+    * when (and only when) the [[contentFpSql]] encoding changes. */
+  private[graft] val ContentFpVersion: Long = 1L
+
+  /** Tag an aggregated 60-bit content fingerprint with
+    * [[ContentFpVersion]] in the top nibble. */
+  private[graft] def tagContentFp(xor60: Long): Long =
+    (ContentFpVersion << 60) | (xor60 & ((1L << 60) - 1))
 
   /** LENGTH-GROUPED batching (the padding-minimizing dynamic batcher —
     * HuggingFace's `group_by_length` / the bucketed-batching idea of

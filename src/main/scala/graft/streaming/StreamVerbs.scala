@@ -1176,15 +1176,27 @@ object StreamVerbs {
     * `<statePath>/admitted` store as their OWN `batch_seq=batchId`
     * partition (dynamic overwrite — a redelivered batch replaces its own
     * partition with the identical re-emitted survivor set, so the store
-    * is replay-idempotent); every `exportEvery` batches the accumulated
-    * store is packed into `shard = id div exportDocsPerShard` shards and
-    * reconciled against `exportPath` via
-    * [[graft.ops.Scale.resyncShards]] (first export bootstraps with
-    * [[graft.ops.Scale.writeShardsWithManifest]]). Documents arrive in
-    * ascending id order (the packing contract), so new docs land in the
-    * TAIL shards only — each resync rewrites O(new shards), never the
-    * standing export; a crashed resync leaves the old manifest
-    * authoritative and the next cycle completes it. */
+    * is replay-idempotent); every `exportEvery` batches
+    * [[lifecycleExportCycle]] reconciles the export at O(delta), not
+    * O(corpus): a persisted cursor (`<statePath>/export_cursor`,
+    * staged-swap committed LAST) names the highest batch_seq already
+    * exported, the cycle reads ONLY the newer `batch_seq=` partitions
+    * (partition-pruned), derives the touched `shard = id div
+    * exportDocsPerShard` keys from them (documents arrive in ascending
+    * id order — the packing contract — so these are the tail shards),
+    * re-reads ONLY those shards' standing rows from the export itself
+    * (shard-pruned), and hands the deduped union to
+    * [[graft.ops.Scale.resyncShardsDelta]] (data first, manifest last,
+    * bootstrap included — a crashed cycle at ANY point leaves the prior
+    * manifest-or-absence authoritative and the rerun completes
+    * idempotently; the id-dedup absorbs rows a crashed data write
+    * already landed). `admittedCompactEvery` > 0 additionally collapses
+    * the admitted store's already-exported `batch_seq=` partitions into
+    * a base every that many batches ([[graft.ops.Scale
+    * .compactBatchStore]]), bounding the store's partition count for
+    * the life of the stream; the current batch and un-exported
+    * partitions are never folded, so redelivery overwrite and the
+    * cursor's pruning both keep working across the boundary. */
   def streamingLifecycle(t: Tbl, idCol: String, textCol: String,
                          srcCol: String, gatePath: String,
                          decontamPath: String, indexPath: String,
@@ -1199,7 +1211,8 @@ object StreamVerbs {
                          compactEvery: Int = 0,
                          exportEvery: Int = 0,
                          exportPath: String = null,
-                         exportDocsPerShard: Long = 1000L)
+                         exportDocsPerShard: Long = 1000L,
+                         admittedCompactEvery: Int = 0)
                         (sink: LifecycleBatchOut => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(exportEvery <= 0 || exportPath != null,
@@ -1233,32 +1246,111 @@ object StreamVerbs {
         // standing admitted store — the batch's own partition, replaced
         // wholesale on redelivery (ingestDedup re-emits the identical
         // survivor set). Written BEFORE any compaction so the frame's
-        // file lineage is still alive.
+        // file lineage is still alive. Refused loudly while an offline
+        // compactBatchStore holds the store's sibling maintenance lease.
+        val admittedPath = s"$statePath/admitted"
+        graft.ops.Lease.check(spark, s"$admittedPath.maint",
+          "streamingLifecycle admitted append")
+        graft.ops.CarryState.recoverDir(spark, admittedPath)
         o.admitted.withColumn("batch_seq", lit(batchId))
           .write.partitionBy("batch_seq")
           .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(s"$statePath/admitted")
-        if (batchId % exportEvery == (exportEvery - 1)) {
-          val packed = spark.read.parquet(s"$statePath/admitted")
-            .drop("batch_seq")
-            .withColumn("shard",
-              expr(s"CAST(`$idCol` AS BIGINT) div $exportDocsPerShard"))
-          val sizeC = graft.text.TextFns.tokenCount(col(textCol))
-            .cast("long")
-          val fpC = graft.ops.Sketch.portableHash(col(textCol))
-          val fs = new org.apache.hadoop.fs.Path(exportPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(new org.apache.hadoop.fs.Path(
-              s"$exportPath/manifest")))
-            graft.ops.Scale.writeShardsWithManifest(packed, exportPath,
-              "shard", idCol, sizeC, fpC)
-          else
-            graft.ops.Scale.resyncShards(spark, packed, exportPath,
-              "shard", idCol, sizeC, fpC)
+          .mode("overwrite").parquet(admittedPath)
+        if (batchId % exportEvery == (exportEvery - 1))
+          lifecycleExportCycle(spark, statePath, exportPath, idCol,
+            textCol, batchId, exportDocsPerShard)
+        if (admittedCompactEvery > 0 &&
+            batchId % admittedCompactEvery == (admittedCompactEvery - 1)) {
+          // fold only partitions that are BOTH already exported (the
+          // cursor's pruning needs un-exported ones individually
+          // addressable) AND past the redelivery window (the current
+          // batch's partition must stay replaceable wholesale)
+          val upTo = math.min(exportCursor(spark, statePath), batchId - 1)
+          if (upTo >= 0)
+            graft.ops.Scale.compactBatchStore(spark, admittedPath, upTo)
         }
       }
       if (compactNow)
         graft.ml.Dedup.compactMinhashIndex(spark, indexPath)
+    }
+  }
+
+  /** The export rider's persisted cursor: the highest `batch_seq` whose
+    * admitted partition has been folded into the shard export. -1 before
+    * the first completed cycle (or if a crash corrupted the cursor — the
+    * cycle then re-derives from ALL partitions, slower but idempotent). */
+  private[graft] def exportCursor(
+      spark: org.apache.spark.sql.SparkSession, statePath: String): Long = {
+    graft.ops.CarryState.recoverDir(spark, s"$statePath/export_cursor")
+    scala.util.Try(
+      spark.read.parquet(s"$statePath/export_cursor").head()
+        .getAs[Long]("last_seq")).getOrElse(-1L)
+  }
+
+  /** ONE EXPORT CYCLE of [[streamingLifecycle]]'s training-shard rider,
+    * O(delta) in the new admitted data, never O(accumulated corpus):
+    *
+    *   1. read ONLY the admitted partitions newer than the persisted
+    *      cursor (`batch_seq > last_seq` — partition-pruned);
+    *   2. derive the touched `shard` keys from those rows alone
+    *      (ascending-id packing → the tail shards; bounded driver list,
+    *      the DPP-handle idiom);
+    *   3. re-read ONLY those shards' standing rows from the export
+    *      (shard-pruned — the export is its own record of what each
+    *      shard held), dedup by id against the new rows (absorbs rows a
+    *      crashed previous cycle's data write already landed);
+    *   4. [[graft.ops.Scale.resyncShardsDelta]]: rewrite exactly the
+    *      added/changed shards (data first), carry every untouched
+    *      manifest row forward verbatim, manifest last;
+    *   5. advance the cursor (staged swap, [[graft.ops.CarryState
+    *      .replaceDir]]) — LAST, so a crash anywhere earlier replays the
+    *      whole cycle against the old cursor and lands identically.
+    *
+    * Exposed private[graft] so the spec can drive cycles directly and
+    * pin the scan set. */
+  private[graft] def lifecycleExportCycle(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      exportPath: String, idCol: String, textCol: String, batchId: Long,
+      docsPerShard: Long): Unit = {
+    val admittedPath = s"$statePath/admitted"
+    val lastSeq = exportCursor(spark, statePath)
+    val newRows = spark.read.parquet(admittedPath)
+      .filter(col("batch_seq").cast("long") > lastSeq)
+      .drop("batch_seq")
+    val shardOf = expr(s"CAST(`$idCol` AS BIGINT) div $docsPerShard")
+    // tail-shard keys, from the new rows alone (bounded: new docs only)
+    val touchedKeys = newRows.select(shardOf.as("shard")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (touchedKeys.nonEmpty) {
+      val sizeC = graft.text.TextFns.tokenCount(col(textCol)).cast("long")
+      val fpC = graft.ops.Sketch.portableHash(col(textCol))
+      val fs = new org.apache.hadoop.fs.Path(exportPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the touched shards' standing rows come from the export ITSELF
+      // (shard-pruned read), so the accumulated admitted store is never
+      // re-scanned; absent on bootstrap
+      val standing =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$exportPath/data")))
+          scala.util.Try(
+            spark.read.parquet(s"$exportPath/data")
+              .filter(col("shard").isin(touchedKeys: _*))
+              .drop("shard"))
+            .getOrElse(newRows.limit(0))
+        else newRows.limit(0)
+      // id-dedup: disjoint in normal operation (ascending ids); under a
+      // crashed-cycle replay the standing tail already holds some new
+      // rows — identical content, either copy serves
+      val full = standing.unionByName(newRows)
+        .dropDuplicates(Seq(idCol))
+        .withColumn("shard", shardOf)
+      graft.ops.Scale.resyncShardsDelta(spark, full, exportPath, "shard",
+        idCol, sizeC, fpC)
+    }
+    // cursor LAST — the cycle's commit point
+    graft.ops.CarryState.replaceDir(spark, s"$statePath/export_cursor") {
+      staging =>
+        spark.range(1).select(lit(batchId).as("last_seq"))
+          .write.mode("overwrite").parquet(staging)
     }
   }
 

@@ -523,4 +523,47 @@ class MiscSpec extends AnyFunSuite {
     // and the NULL row's id still contributes: dropping it changes the XOR
     assert(agg(withNull) != agg(Seq(("2", "x"))))
   }
+
+  test("CarryState.isReplay cross-version ambiguity guard: an id-less " +
+      "batch matching the last batch's count under a DIFFERENT " +
+      "fingerprint-encoding version fails loudly (the re-encoded-replay " +
+      "shape); a SAME-version count match with a different fp is a " +
+      "genuinely fresh batch (uniform chunk sizes) and passes") {
+    import graft.ops.{CarryState, Scale}
+    val v1 = Scale.tagContentFp _ // current version tag (nibble 1)
+    // id-keyed: replay, fresh, and mutated-content cases (unchanged)
+    assert(CarryState.isReplay("v", 3L, v1(7L), 10L, (3L, v1(7L), 10L)))
+    assert(!CarryState.isReplay("v", 4L, v1(9L), 10L, (3L, v1(7L), 10L)))
+    intercept[IllegalArgumentException](
+      CarryState.isReplay("v", 3L, v1(9L), 10L, (3L, v1(7L), 10L)))
+    // id-keyed across the version boundary: recorded untagged (pre-r18),
+    // replay arrives tagged — loud, with the upgrade-specific message
+    val ek = intercept[IllegalArgumentException](
+      CarryState.isReplay("v", 3L, v1(7L), 10L, (3L, 7L, 10L)))
+    assert(ek.getMessage.contains("encoding version"), ek.getMessage)
+    // fp-keyed: exact match is a replay; a count mismatch is fresh
+    assert(CarryState.isReplay("v", -1L, v1(7L), 10L, (-1L, v1(7L), 10L)))
+    assert(!CarryState.isReplay("v", -1L, v1(9L), 11L, (-1L, v1(7L), 10L)))
+    // SAME-version count match + fp mismatch = a fresh batch that
+    // happens to repeat the last row count — the NORMAL uniform-chunking
+    // shape, NOT an error (the r18 guard keys on the version nibble,
+    // never the count alone)
+    assert(!CarryState.isReplay("v", -1L, v1(9L), 10L, (-1L, v1(7L), 10L)))
+    // the guard: count match ACROSS encoding versions (untagged r16/r17
+    // evidence vs tagged current fp) is the undecidable re-encoded-replay
+    // shape — refuse loudly
+    val e = intercept[IllegalArgumentException](
+      CarryState.isReplay("v", -1L, v1(9L), 10L, (-1L, 7L, 10L)))
+    assert(e.getMessage.contains("encoding") &&
+      e.getMessage.contains("batchId"), e.getMessage)
+    // cross-version with a DIFFERENT count: certainly not a replay
+    // (replays preserve n) — passes as fresh, no forced rebuild
+    assert(!CarryState.isReplay("v", -1L, v1(9L), 11L, (-1L, 7L, 10L)))
+    // id-KEYED recorded evidence probed id-lessly stays permissive
+    assert(!CarryState.isReplay("v", -1L, v1(9L), 10L, (5L, v1(7L), 10L)))
+    // no state yet: nothing to guard
+    assert(!CarryState.isReplay("v", -1L, v1(9L), 10L, (-1L, 0L, -1L)))
+    // the tag itself: version nibble 1, low 60 bits preserved
+    assert((v1(7L) >>> 60) == 1L && (v1(7L) & ((1L << 60) - 1)) == 7L)
+  }
 }

@@ -939,14 +939,16 @@ class PipelineSpec extends AnyFunSuite {
       // were never opened
       Dedup.buildMinhashIndex(docs, "doc_id", "text", idx, bandParts = 64)
       ingestSeq(idx, 2)
-      import spark.implicits._
-      val oneDoc = Seq((77000001L,
-        "a single probe document with enough words to shingle properly " +
-          "and generate all sixteen band keys for the pruning assertion"))
-        .toDF("doc_id", "text")
+      // the probe is an INDEXED doc: its band buckets collide, so AQE's
+      // empty-relation propagation cannot delete the pruned scan from
+      // the final plan (a non-colliding probe made this pin vacuous)
+      val oneDoc = docs.filter(col("doc_id") === 42)
+        .select("doc_id", "text").localCheckpoint(true)
       val probe = Dedup.dedupeAgainstIndex(spark, idx, oneDoc,
         "doc_id", "text", threshold = 0.9)
-      probe.count() // execute so scan metrics populate
+      // collect(), not count(): metrics populate only on THIS dataset's
+      // own QueryExecution
+      probe.collect()
       def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
         case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
@@ -970,8 +972,10 @@ class PipelineSpec extends AnyFunSuite {
           p.getFileName.toString.endsWith(".parquet"))
       // ≤ 16 touched keys × 3 seq partitions (build + 2 ingests), and
       // strictly fewer than the full layout — pruning is REAL, not
-      // just a filter string in the plan
-      assert(filesRead <= 16L * 3 && filesRead < totalFiles,
+      // just a filter string in the plan. filesRead > 0 keeps the pin
+      // non-vacuous (an unpopulated metric reads 0 and would "pass")
+      assert(filesRead > 0 && filesRead <= 16L * 3 &&
+        filesRead < totalFiles,
         s"bands scan read $filesRead of $totalFiles files — not pruned")
     } finally {
       import scala.jdk.CollectionConverters._
@@ -1341,18 +1345,21 @@ class PipelineSpec extends AnyFunSuite {
           case f: FileSourceScanExec    => Seq(f)
           case other => (other.children ++ other.subqueries).flatMap(scans)
         }
-        // quantitative pruning: a 64-partition index probed by ONE short
-        // doc (a handful of fps) must open only its touched fp_part dirs
-        import spark.implicits._
+        // quantitative pruning: a 64-partition index probed by ONE doc
+        // (a handful of fps) must open only its touched fp_part dirs.
+        // The probe is an INDEXED doc — collisions keep the pruned scan
+        // in the executed plan (AQE's empty-relation propagation deletes
+        // it otherwise) — and collect() executes THIS dataset's own
+        // QueryExecution so the metric actually populates (a count()
+        // left it 0 and the pin vacuous; round-18 hardening).
         val idxP = dir.resolve("pruned").toString
         Dedup.buildWinnowIndex(spark, corpus, "doc_id", "text", idxP,
           n = 5, w = 4, parts = 64)
-        val tiny = Seq((88000001L,
-          "short probe document of barely twenty words so its winnowed " +
-            "fingerprint set stays tiny")).toDF("doc_id", "text")
+        val tiny = corpus.filter(col("doc_id") === 42)
+          .select("doc_id", "text").localCheckpoint(true)
         val probeP = Dedup.winnowCandidatesAgainstIndex(spark, idxP, tiny,
           "doc_id", "text", minShared = 1)
-        probeP.count()
+        probeP.collect()
         val fpScans = scans(probeP.queryExecution.executedPlan)
           .filter(_.relation.location.rootPaths.exists(
             _.toString.contains("/fps")))
@@ -1364,7 +1371,7 @@ class PipelineSpec extends AnyFunSuite {
           .count(p => java.nio.file.Files.isRegularFile(p) &&
             p.getFileName.toString.endsWith(".parquet"))
         val filesRead = fpScans.map(_.metrics("numFiles").value).sum
-        assert(filesRead < totalFiles,
+        assert(filesRead > 0 && filesRead < totalFiles,
           s"fps scan read $filesRead of $totalFiles files — not pruned")
       }
       // APPEND: build(half of corpus) + append(other half) probes
@@ -1432,6 +1439,221 @@ class PipelineSpec extends AnyFunSuite {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      Dedup.unpersistIntermediates()
+    }
+  }
+
+  test("compactWinnowIndex: partitions collapse to the base, probe parity " +
+      "and fp_part pruning survive, replayed append stays a no-op; " +
+      "REBUILD over an existing index honors new parameters and its crash " +
+      "window (meta retracted first) fails loudly, never prunes wrong") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wcmp")
+    val idx = dir.toString
+    import scala.jdk.CollectionConverters._
+    try {
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val probe = docs.filter(col("doc_id") % 2 === 1).limit(40)
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      Dedup.buildWinnowIndex(spark, corpus.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", idx, n = 5, w = 4, parts = 16)
+      Dedup.appendToWinnowIndex(spark, idx,
+        corpus.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+      val before = rows(Dedup.winnowCandidatesAgainstIndex(spark, idx,
+        probe, "doc_id", "text", minShared = 1))
+      def seqDirs() = java.nio.file.Files
+        .list(java.nio.file.Paths.get(idx, "fps")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("batch_seq="))
+        .toSet
+      assert(seqDirs() == Set("batch_seq=0", "batch_seq=1"))
+      Dedup.compactWinnowIndex(spark, idx)
+      assert(seqDirs() == Set("batch_seq=0"),
+        s"compaction must collapse to the base: ${seqDirs()}")
+      val afterC = Dedup.winnowCandidatesAgainstIndex(spark, idx, probe,
+        "doc_id", "text", minShared = 1)
+      assert(rows(afterC) == before && before.nonEmpty,
+        "probe output must survive compaction exactly")
+      afterC.count()
+      assert(afterC.queryExecution.executedPlan.toString.contains("fp_part"),
+        "fp_part pruning must survive compaction")
+      // no lease left behind; a replayed append is still a no-op (the
+      // anti-join sees the compacted rows)
+      assert(!java.nio.file.Files.exists(dir.resolve("_MAINTENANCE")))
+      Dedup.appendToWinnowIndex(spark, idx,
+        corpus.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+      assert(seqDirs() == Set("batch_seq=0"),
+        "replayed append after compaction must not land a partition")
+      // REBUILD over the existing index with different parameters: the
+      // new meta governs (parts 16 -> 4, portable hash), and the probe
+      // still equals the flat join under the NEW convention
+      val ph = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      Dedup.buildWinnowIndex(spark, corpus, "doc_id", "text", idx,
+        n = 5, w = 4, parts = 4, portable = true)
+      val rebuilt = rows(Dedup.winnowCandidatesAgainstIndex(spark, idx,
+        probe, "doc_id", "text", minShared = 1))
+      val cfps = Dedup.winnowFingerprints(corpus, "doc_id", "text", 5, 4,
+          ph).select(col("doc_id").as("id_corpus"), col("fp")).distinct()
+      val pfps = Dedup.winnowFingerprints(probe, "doc_id", "text", 5, 4,
+          ph).select(col("doc_id").as("id_new"), col("fp")).distinct()
+      val flat = rows(pfps.join(cfps, "fp").groupBy("id_new", "id_corpus")
+        .agg(count(lit(1)).as("n_shared")).where(col("n_shared") >= 1))
+      assert(rebuilt == flat && rebuilt.nonEmpty,
+        s"rebuild must serve the new convention: $rebuilt vs $flat")
+      // the rebuild crash window: meta is RETRACTED before the fps
+      // overwrite, so a crash mid-rebuild leaves a meta-less index that
+      // fails loudly on open — never an old-parameter meta silently
+      // mis-pruning new-layout fps. Reconstruct that state exactly.
+      val fsj = java.nio.file.Paths.get(idx, "meta")
+      java.nio.file.Files.walk(fsj).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      assertThrows[org.apache.spark.sql.AnalysisException](
+        Dedup.winnowCandidatesAgainstIndex(spark, idx, probe,
+          "doc_id", "text").count())
+    } finally {
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      Dedup.unpersistIntermediates()
+    }
+  }
+
+  test("probe scan cost is FLAT in corpus depth (default-on, wall-clock-" +
+      "free): the same 1-doc probe opens the same file count against a " +
+      "2x corpus for BOTH index families, and compaction collapses " +
+      "append-accumulated partition growth back to the base cost") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case i: InMemoryTableScanExec => scans(i.relation.cachedPlan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    // collect(), NOT count(): count() wraps the frame in a NEW
+    // QueryExecution, so the captured plan's metrics never populate and
+    // a scan assertion passes vacuously at 0 — collect() executes THIS
+    // dataset's own plan. The probe must also COLLIDE with the corpus:
+    // AQE's empty-relation propagation otherwise deletes the pruned scan
+    // from the final plan entirely (round-18 finding; the r17 pins were
+    // hardened the same way).
+    def filesReadFrom(d: org.apache.spark.sql.DataFrame,
+                      sub: String): Long = {
+      d.collect()
+      val got = scans(d.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(
+          _.toString.contains(sub)))
+        .map(_.metrics("numFiles").value).sum
+      assert(got > 0, s"no executed scan under $sub — vacuous metric")
+      got
+    }
+    // a probe that EXISTS in both corpora (even id): its fps/bands are
+    // identical against either index, and its collisions keep the scan
+    // in the executed plan
+    val tiny = docs.filter(col("doc_id") === 42).select("doc_id", "text")
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-depth")
+    try {
+      // WINNOW: half-corpus vs full-corpus index, same layout — the
+      // probe touches the SAME fp_part dirs (its own fps decide), so
+      // depth cannot move the file count
+      val (wH, wF) = (s"$dir/winH", s"$dir/winF")
+      Dedup.buildWinnowIndex(spark, docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", wH, n = 5, w = 4, parts = 32)
+      Dedup.buildWinnowIndex(spark, docs, "doc_id", "text", wF,
+        n = 5, w = 4, parts = 32)
+      val fH = filesReadFrom(Dedup.winnowCandidatesAgainstIndex(spark, wH,
+        tiny, "doc_id", "text", minShared = 1), "/fps")
+      val fF = filesReadFrom(Dedup.winnowCandidatesAgainstIndex(spark, wF,
+        tiny, "doc_id", "text", minShared = 1), "/fps")
+      assert(fF == fH && fF > 0,
+        s"winnow probe cost moved with corpus depth: $fH -> $fF")
+      // append growth adds one partition set; compaction collapses the
+      // probe cost back to the base
+      Dedup.appendToWinnowIndex(spark, wF,
+        docs.select(col("doc_id") + 1000000L as "doc_id", col("text")),
+        "doc_id", "text")
+      val fApp = filesReadFrom(Dedup.winnowCandidatesAgainstIndex(spark,
+        wF, tiny, "doc_id", "text", minShared = 1), "/fps")
+      assert(fApp > fF, s"append must add a partition set: $fF -> $fApp")
+      Dedup.compactWinnowIndex(spark, wF)
+      val fCmp = filesReadFrom(Dedup.winnowCandidatesAgainstIndex(spark,
+        wF, tiny, "doc_id", "text", minShared = 1), "/fps")
+      assert(fCmp == fF,
+        s"compaction must restore the base probe cost: $fCmp vs $fF")
+      // MINHASH (banded): the 1-doc probe emits 16 band keys — the band
+      // scan opens at most those buckets' dirs on EITHER corpus depth
+      val (mH, mF) = (s"$dir/mhH", s"$dir/mhF")
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", mH, bandParts = 64)
+      Dedup.buildMinhashIndex(docs, "doc_id", "text", mF, bandParts = 64)
+      val bH = filesReadFrom(Dedup.dedupeAgainstIndex(spark, mH, tiny,
+        "doc_id", "text", threshold = 0.9), "/bands")
+      val bF = filesReadFrom(Dedup.dedupeAgainstIndex(spark, mF, tiny,
+        "doc_id", "text", threshold = 0.9), "/bands")
+      assert(bH <= 16 && bF <= 16 && bF > 0,
+        s"banded probe must stay within its touched buckets: $bH, $bF")
+      assert(bF <= bH + 2,
+        s"minhash probe cost moved with corpus depth: $bH -> $bF")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      Dedup.unpersistIntermediates()
+    }
+  }
+
+  test("persisted-index writer leases: concurrent winnow/decontam appends, " +
+      "probes, and compactions are refused loudly while a maintenance " +
+      "writer holds the lease; appends leave no lease behind") {
+    val dirW = java.nio.file.Files.createTempDirectory("graft-wlease")
+    val dirD = java.nio.file.Files.createTempDirectory("graft-dlease")
+    val (idxW, idxD) = (dirW.toString, dirD.toString)
+    import scala.jdk.CollectionConverters._
+    try {
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val extra = docs.filter(col("doc_id") % 2 === 1).limit(20)
+      Dedup.buildWinnowIndex(spark, corpus, "doc_id", "text", idxW,
+        n = 5, w = 4, parts = 8)
+      // simulate an in-flight maintenance writer (append/compactor) on
+      // the winnow index: every other writer AND prober refuses loudly
+      graft.ops.Lease.take(spark, idxW, "in-flight-append")
+      val e1 = intercept[IllegalStateException](
+        Dedup.appendToWinnowIndex(spark, idxW, extra, "doc_id", "text"))
+      assert(e1.getMessage.contains("MAINTENANCE"), e1.getMessage)
+      val e2 = intercept[IllegalStateException](
+        Dedup.compactWinnowIndex(spark, idxW))
+      assert(e2.getMessage.contains("MAINTENANCE"), e2.getMessage)
+      val e3 = intercept[IllegalStateException](
+        Dedup.winnowCandidatesAgainstIndex(spark, idxW, extra,
+          "doc_id", "text").count())
+      assert(e3.getMessage.contains("MAINTENANCE"), e3.getMessage)
+      graft.ops.Lease.release(spark, idxW)
+      // single-writer paths unaffected: the append works and releases
+      Dedup.appendToWinnowIndex(spark, idxW, extra, "doc_id", "text")
+      assert(!java.nio.file.Files.exists(dirW.resolve("_MAINTENANCE")),
+        "append must release its lease")
+      // same contract on the decontam index
+      Dedup.buildDecontamIndex(spark, corpus.limit(40), "text", idxD, n = 3)
+      graft.ops.Lease.take(spark, idxD, "in-flight-append")
+      val e4 = intercept[IllegalStateException](
+        Dedup.appendToDecontamIndex(spark, idxD, extra, "text"))
+      assert(e4.getMessage.contains("MAINTENANCE"), e4.getMessage)
+      val e5 = intercept[IllegalStateException](
+        Dedup.contaminationReportFromIndex(spark, idxD, extra,
+          "doc_id", "text").count())
+      assert(e5.getMessage.contains("MAINTENANCE"), e5.getMessage)
+      graft.ops.Lease.release(spark, idxD)
+      Dedup.appendToDecontamIndex(spark, idxD, extra, "text")
+      assert(!java.nio.file.Files.exists(dirD.resolve("_MAINTENANCE")),
+        "decontam append must release its lease")
+      assert(Dedup.contaminationReportFromIndex(spark, idxD, extra,
+        "doc_id", "text").count() > 0)
+    } finally {
+      Seq(dirW, dirD).foreach(d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p)))
       Dedup.unpersistIntermediates()
     }
   }

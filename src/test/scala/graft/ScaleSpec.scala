@@ -1487,4 +1487,277 @@ class ScaleSpec extends AnyFunSuite {
     assert(zRows <= hRows / 2,
       s"z-order scan read $zRows rows vs hash $hRows — expected real pruning")
   }
+
+  private def docsSized() = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+    .withColumn("shard", expr("doc_id div 20"))
+    .withColumn("n_tok",
+      graft.text.TextFns.tokenCount(col("text")).cast("long"))
+
+  private def shardFiles(path: String, shard: Long) = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files
+      .walk(java.nio.file.Paths.get(path, "data", s"shard=$shard"))
+      .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => p.getFileName.toString ->
+        (java.nio.file.Files.size(p),
+         java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toMap
+  }
+
+  test("resyncShardsDelta: touched tail shards rewrite, untouched shards " +
+      "never read or written (files byte-identical, scan shard-pruned), " +
+      "manifest rows carry forward verbatim, export == full corpus") {
+    val base = docsSized() // ids 0..499, shards 0..24
+    val fp = graft.ops.Sketch.portableHash(col("text"))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-rsd")
+    val path = dirP.toString
+    try {
+      // export the < 390 prefix: shards 0..18 full, 19 partial (380-389)
+      Scale.writeShardsWithManifest(base.filter(col("doc_id") < 390),
+        path, "shard", "doc_id", col("n_tok"), fp)
+      val before0 = shardFiles(path, 0L)
+      val before18 = shardFiles(path, 18L)
+      val manBefore = spark.read.parquet(s"$path/manifest")
+        .filter(col("shard") < 19)
+        .collect().map(r => r.getAs[Long]("shard") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("fingerprint"))).toMap
+      // growth: ids >= 390 — the caller hands the FULL new content of
+      // exactly the touched shards (19 grown, 20..24 new)
+      val diff = Scale.resyncShardsDelta(spark,
+          base.filter(col("shard") >= 19), path, "shard", "doc_id",
+          col("n_tok"), fp)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(diff(19L) == "changed", diff.toString)
+      assert((20L to 24L).forall(diff(_) == "added"), diff.toString)
+      assert(!diff.contains(0L) && !diff.contains(18L),
+        s"untouched shards must not appear in the receipt: $diff")
+      // untouched shard files byte-identical (never rewritten)
+      assert(shardFiles(path, 0L) == before0)
+      assert(shardFiles(path, 18L) == before18)
+      // untouched manifest rows carried forward verbatim
+      val manAfter = spark.read.parquet(s"$path/manifest")
+        .filter(col("shard") < 19)
+        .collect().map(r => r.getAs[Long]("shard") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("fingerprint"))).toMap
+      assert(manAfter == manBefore)
+      // the export now holds EXACTLY the full corpus
+      val ver = Scale.verifyShards(spark, path, "shard", "doc_id",
+          col("n_tok"), fp)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(ver.size == 25 && ver.values.forall(_ == "unchanged"),
+        s"delta-resynced export must verify: $ver")
+      // the rider's standing-read pattern over the export is SHARD-PRUNED:
+      // an isin filter on the touched keys opens only their partitions
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val probe = spark.read.parquet(s"$path/data")
+        .filter(col("shard").isin(19L, 20L))
+      // collect(), not count(): metrics populate only on THIS dataset's
+      // own QueryExecution (count() wraps a new one and reads 0)
+      probe.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other => (other.children ++ other.subqueries).flatMap(scans)
+      }
+      val filesRead = scans(probe.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      import scala.jdk.CollectionConverters._
+      val totalFiles = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(path, "data"))
+        .iterator().asScala
+        .count(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+      assert(filesRead > 0 && filesRead <= 2L * (totalFiles / 25 + 1) &&
+        filesRead < totalFiles,
+        s"standing read opened $filesRead of $totalFiles files — not pruned")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("resyncShardsDelta crash windows: bootstrap is DATA-FIRST (a crash " +
+      "before the manifest leaves no manifest — the replay completes, " +
+      "never all-unchanged over missing data); a crashed grown-tail " +
+      "rewrite is repaired by the rerun") {
+    val base = docsSized()
+    val fp = graft.ops.Sketch.portableHash(col("text"))
+    import scala.jdk.CollectionConverters._
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-rsd-crash")
+    val path = dirP.toString
+    try {
+      // BOOTSTRAP CRASH (the round-17 advisory's window): data landed,
+      // manifest did not — reconstruct by bootstrapping via the delta
+      // verb, then deleting the manifest
+      Scale.resyncShardsDelta(spark, base.filter(col("doc_id") < 390),
+        path, "shard", "doc_id", col("n_tok"), fp)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "manifest")))
+      rmTree(java.nio.file.Paths.get(path, "manifest"))
+      // replay: with NO manifest the whole touched set diffs as 'added'
+      // (absence is authoritative), the data rewrite is idempotent, and
+      // the manifest completes — the export cannot silently serve a hole
+      val replay = Scale.resyncShardsDelta(spark,
+          base.filter(col("doc_id") < 390), path, "shard", "doc_id",
+          col("n_tok"), fp)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(replay.values.forall(_ == "added"), replay.toString)
+      val ver0 = Scale.verifyShards(spark, path, "shard", "doc_id",
+          col("n_tok"), fp)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(ver0.nonEmpty && ver0.values.forall(_ == "unchanged"), s"$ver0")
+      // GROWN-TAIL CRASH: the delta's data write landed but the manifest
+      // replace did not — old manifest stays authoritative, the rerun
+      // recomputes the same touched diff and completes
+      val manCopy = dirP.resolve("man_copy")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path, "manifest"))
+        .iterator().asScala.foreach { p =>
+          val t = manCopy.resolve(
+            java.nio.file.Paths.get(path, "manifest").relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t)
+        }
+      val growth = base.filter(col("shard") >= 19)
+      val orig = Scale.resyncShardsDelta(spark, growth, path, "shard",
+          "doc_id", col("n_tok"), fp)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // crash state: restore the pre-growth manifest (data stays grown)
+      rmTree(java.nio.file.Paths.get(path, "manifest"))
+      java.nio.file.Files.walk(manCopy).iterator().asScala.foreach { p =>
+        val t = java.nio.file.Paths.get(path, "manifest")
+          .resolve(manCopy.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+      val rerun = Scale.resyncShardsDelta(spark, growth, path, "shard",
+          "doc_id", col("n_tok"), fp)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rerun == orig,
+        s"rerun must recompute the same touched diff: $rerun vs $orig")
+      val ver = Scale.verifyShards(spark, path, "shard", "doc_id",
+          col("n_tok"), fp)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(ver.size == 25 && ver.values.forall(_ == "unchanged"), s"$ver")
+    } finally {
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("compactBatchStore: folded partitions merge into the base, newer " +
+      "partitions stay addressable, rows exact; concurrent writers are " +
+      "refused on the sibling lease; a sealed crashed staging recovers") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-bsc")
+    val path = s"$dirP/store"
+    try {
+      (0 to 3).foreach { b =>
+        docs.filter(pmod(col("doc_id"), lit(4)) === b)
+          .withColumn("batch_seq", lit(b.toLong))
+          .write.partitionBy("batch_seq")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(path)
+      }
+      val beforeRows = spark.read.parquet(path)
+        .select(col("doc_id"), col("lang")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      Scale.compactBatchStore(spark, path, upToSeq = 2L)
+      import scala.jdk.CollectionConverters._
+      def parts() = java.nio.file.Files
+        .list(java.nio.file.Paths.get(path)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("batch_seq="))
+        .toSet
+      assert(parts() == Set("batch_seq=-1", "batch_seq=3"), parts().toString)
+      val after = spark.read.parquet(path)
+      assert(after.select(col("doc_id"), col("lang")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == beforeRows)
+      // fold labels: batches 0..2 in the base, batch 3 kept
+      assert(after.filter(col("batch_seq") === -1)
+        .select("doc_id").collect()
+        .forall(_.getLong(0) % 4 <= 2))
+      // a second compaction folding the rest merges WITH the base
+      Scale.compactBatchStore(spark, path, upToSeq = 3L)
+      assert(parts() == Set("batch_seq=-1"))
+      assert(spark.read.parquet(path).select(col("doc_id"), col("lang"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .toSet == beforeRows)
+      // concurrent-writer refusal on the SIBLING lease root (the store
+      // dir itself is swapped wholesale, so the lease lives beside it)
+      graft.ops.Lease.take(spark, s"$path.maint", "test-holder")
+      val e = intercept[IllegalStateException] {
+        Scale.compactBatchStore(spark, path, upToSeq = 3L)
+      }
+      assert(e.getMessage.contains("MAINTENANCE"), e.getMessage)
+      graft.ops.Lease.release(spark, s"$path.maint")
+      // crashed swap: a marker-sealed staging with no target promotes on
+      // the next open (the CarryState.replaceDir discipline)
+      val target = java.nio.file.Paths.get(path)
+      val staging = java.nio.file.Paths.get(s"$path.staging")
+      java.nio.file.Files.move(target, staging)
+      // the marker may already ride along (every completed replaceDir
+      // leaves one inside the promoted dir)
+      if (!java.nio.file.Files.exists(staging.resolve("_COMMITTED")))
+        java.nio.file.Files.createFile(staging.resolve("_COMMITTED"))
+      Scale.compactBatchStore(spark, path, upToSeq = 3L) // recovers, no-op
+      assert(spark.read.parquet(path).select(col("doc_id"), col("lang"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .toSet == beforeRows)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("maintenance lease heartbeat: a holder outliving the stale TTL " +
+      "keeps its lease alive (renewals, not taken-at, decide staleness); " +
+      "simultaneous takers get the friendly refusal; release is clean") {
+    val dirP = java.nio.file.Files.createTempDirectory("graft-leasehb")
+    val root = dirP.toString
+    val savedTtl = graft.ops.Lease.staleLeaseMs
+    try {
+      graft.ops.Lease.staleLeaseMs = 3000L
+      @volatile var insideOk = false
+      graft.ops.Lease.withLease(spark, root, "long-maintenance") {
+        // outlive the TTL: without the heartbeat the concurrent check
+        // below would CLEAR the live lease (the round-17 advisory's
+        // silent data-loss race); with it the lease stays refused
+        Thread.sleep(7000L)
+        val e = intercept[IllegalStateException] {
+          graft.ops.Lease.check(spark, root, "concurrent-ingest")
+        }
+        insideOk = e.getMessage.contains("MAINTENANCE")
+        // and a second taker is refused with the friendly message too
+        val e2 = intercept[IllegalStateException] {
+          graft.ops.Lease.take(spark, root, "second-compactor")
+        }
+        assert(e2.getMessage.contains("MAINTENANCE"), e2.getMessage)
+      }
+      assert(insideOk, "the heartbeated lease must refuse while held")
+      // released on exit: the next take succeeds immediately
+      graft.ops.Lease.take(spark, root, "next-holder")
+      graft.ops.Lease.release(spark, root)
+    } finally {
+      graft.ops.Lease.staleLeaseMs = savedTtl
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirP).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

@@ -2238,7 +2238,7 @@ class StreamingSpec extends AnyFunSuite {
         state, maxContaminatedFrac = 0.5,
         dedupThreshold = 0.3,
         exportEvery = 1, exportPath = export,
-        exportDocsPerShard = 100L) { out =>
+        exportDocsPerShard = 100L, admittedCompactEvery = 1) { out =>
         gotW.synchronized {
           out.admitted.select("doc_id").collect().foreach(r =>
             gotA += r.getLong(0))
@@ -2320,6 +2320,14 @@ class StreamingSpec extends AnyFunSuite {
         (java.nio.file.Files.size(p),
          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
     val before = expFiles()
+    // the admitted-compaction rider bounded the store: base + the newest
+    // batch's partition, nothing else (exported partitions folded away)
+    val seqDirs = java.nio.file.Files
+      .list(java.nio.file.Paths.get(state, "admitted"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("batch_seq=")).toSet
+    assert(seqDirs == Set("batch_seq=-1", "batch_seq=2"),
+      s"admitted store must stay bounded: $seqDirs")
     val packed = spark.read.parquet(s"$state/admitted").drop("batch_seq")
       .withColumn("shard", expr("CAST(doc_id AS BIGINT) div 100"))
     val again = graft.ops.Scale.resyncShards(spark, packed, export,
@@ -2328,5 +2336,126 @@ class StreamingSpec extends AnyFunSuite {
     assert(again == Set("unchanged"), s"no-op resync receipt: $again")
     assert(expFiles() == before, "no-op resync must not rewrite files")
     graft.ml.Dedup.unpersistIntermediates()
+  }
+
+  test("export cycle is O(delta): already-exported admitted partitions " +
+      "are NEVER re-read (poisoned with junk and the cycle still lands " +
+      "the right bytes), untouched export shards never rewrite, crash " +
+      "windows replay idempotently, admitted compaction bounds partitions") {
+    import java.nio.file.Files
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    val state = Files.createTempDirectory("graft-odelta-state").toString
+    val export = Files.createTempDirectory("graft-odelta-exp").toString
+    val admitted = s"$state/admitted"
+    def writeBatch(seq: Long, lo: Long, hi: Long): Unit =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .withColumn("batch_seq", lit(seq))
+        .write.partitionBy("batch_seq")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(admitted)
+    def cycle(batchId: Long): Unit =
+      StreamVerbs.lifecycleExportCycle(spark, state, export, "doc_id",
+        "text", batchId, docsPerShard = 50L)
+    def verifyAll(): Map[Long, String] =
+      graft.ops.Scale.verifyShards(spark, export, "shard", "doc_id",
+          graft.text.TextFns.tokenCount(col("text")).cast("long"),
+          graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def exportIds(): Set[Long] = spark.read.parquet(s"$export/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    import scala.jdk.CollectionConverters._
+    def shardFiles(): Map[String, (Long, Long)] = Files
+      .walk(java.nio.file.Paths.get(export, "data"))
+      .iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        (Files.size(p), Files.getLastModifiedTime(p).toMillis)).toMap
+    try {
+      // bootstrap: three batches (ids 0..274, shard 5 partial at 250-274)
+      writeBatch(0L, 0L, 100L)
+      writeBatch(1L, 100L, 200L)
+      writeBatch(2L, 200L, 275L)
+      cycle(2L)
+      assert(StreamVerbs.exportCursor(spark, state) == 2L)
+      assert(exportIds() == (0L until 275L).toSet)
+      assert(verifyAll().values.forall(_ == "unchanged"))
+      val afterBoot = shardFiles()
+      // POISON every already-exported admitted partition: if a later
+      // cycle reads ANY of them, junk ids land in the export (or the
+      // read blows up) — the content assertions below prove non-reads
+      val junk = spark.range(1).select(lit(888888L).as("doc_id"),
+        lit("POISON").as("text"), lit("junk").as("source"))
+      (0L to 2L).foreach { b =>
+        junk.write.mode("overwrite").parquet(s"$admitted/batch_seq=$b")
+      }
+      // growth batch: ids 275..349 — grows shard 5, adds shard 6
+      writeBatch(3L, 275L, 350L)
+      cycle(3L)
+      assert(StreamVerbs.exportCursor(spark, state) == 3L)
+      assert(exportIds() == (0L until 350L).toSet,
+        "delta cycle must land exactly the new ids — and read no poison")
+      assert(verifyAll().values.forall(_ == "unchanged"))
+      val afterGrow = shardFiles()
+      // untouched shards 0..4: byte-identical files (never rewritten)
+      val untouched = afterBoot.filter(!_._1.contains("shard=5"))
+      assert(untouched.forall { case (k, v) => afterGrow.get(k).contains(v) },
+        "untouched export shards must not be rewritten")
+      // CRASH WINDOW: cursor advance lost (crash between the resync and
+      // the cursor swap) — rewind the cursor and replay the cycle: the
+      // id-dedup absorbs the already-landed rows, the diff comes out
+      // all-unchanged, and NOT EVEN the tail shards rewrite
+      graft.ops.CarryState.replaceDir(spark, s"$state/export_cursor") {
+        staging => spark.range(1).select(lit(2L).as("last_seq"))
+          .write.mode("overwrite").parquet(staging)
+      }
+      cycle(3L)
+      assert(StreamVerbs.exportCursor(spark, state) == 3L)
+      assert(shardFiles() == afterGrow,
+        "crash-replay of a completed cycle must be a byte-level no-op")
+      assert(exportIds() == (0L until 350L).toSet)
+      // BOOTSTRAP CRASH (the r17 advisory window): data landed, manifest
+      // did not — the export must not silently serve a hole
+      val export2 = Files.createTempDirectory("graft-odelta-exp2").toString
+      val state2 = Files.createTempDirectory("graft-odelta-st2").toString
+      docs.filter(col("doc_id") < 100)
+        .withColumn("batch_seq", lit(0L))
+        .write.partitionBy("batch_seq").mode("overwrite")
+        .parquet(s"$state2/admitted")
+      StreamVerbs.lifecycleExportCycle(spark, state2, export2, "doc_id",
+        "text", 0L, docsPerShard = 50L)
+      // reconstruct the crash: manifest gone, cursor not advanced
+      Files.walk(java.nio.file.Paths.get(export2, "manifest"))
+        .iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Files.walk(java.nio.file.Paths.get(state2, "export_cursor"))
+        .iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      StreamVerbs.lifecycleExportCycle(spark, state2, export2, "doc_id",
+        "text", 0L, docsPerShard = 50L)
+      val ver2 = graft.ops.Scale.verifyShards(spark, export2, "shard",
+          "doc_id", graft.text.TextFns.tokenCount(col("text")).cast("long"),
+          graft.ops.Sketch.portableHash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(ver2.nonEmpty && ver2.values.forall(_ == "unchanged"),
+        s"bootstrap crash replay must complete the export: $ver2")
+      // ADMITTED COMPACTION across the export boundary: folding the
+      // exported partitions (never the newest) bounds the dir count and
+      // the next cycle still prunes correctly off the cursor
+      graft.ops.Scale.compactBatchStore(spark, admitted, upToSeq = 2L)
+      def seqDirs() = Files.list(java.nio.file.Paths.get(admitted))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch_seq=")).toSet
+      assert(seqDirs() == Set("batch_seq=-1", "batch_seq=3"), seqDirs())
+      writeBatch(4L, 350L, 400L)
+      cycle(4L)
+      assert(exportIds() == (0L until 400L).toSet)
+      assert(verifyAll().values.forall(_ == "unchanged"))
+    } finally {
+      Seq(state, export).foreach { d =>
+        Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+      graft.ml.Dedup.unpersistIntermediates()
+    }
   }
 }

@@ -997,6 +997,44 @@ object SparkEntry2 {
         minShared = 2)
     }),
 
+    // winnow dedup-on-INGEST with index growth: build(quarter), admit
+    // the other even quarter (drops vs the standing quarter, survivors'
+    // fps append), then admit the odds — which dedup against quarter ∪
+    // first batch's ADMITTED set (growth is what the oracle replays).
+    // Output = the admitted odd docs; too-short docs pass through.
+    "q_winnow_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val idx = scratchPath(dir, "winnow_idx_ing")
+      Dedup.buildWinnowIndex(s, docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", idx, n = 5, w = 4, parts = 16, portable = true)
+      Dedup.winnowIngest(s, idx, docs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", minShared = 2)
+      Dedup.winnowIngest(s, idx, docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", minShared = 2)
+        .select("doc_id")
+    }),
+
+    // the ingest lifecycle round trip: same admissions, but the index is
+    // COMPACTED between batches AND the final batch is REPLAYED across a
+    // compaction boundary — the re-derived emission (batch-id exclusion;
+    // no recorded evidence anywhere) must come out identical, so the
+    // oracle is q_winnow_ingest's VERBATIM
+    "q_winnow_ingest_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val idx = scratchPath(dir, "winnow_idx_ingc")
+      Dedup.buildWinnowIndex(s, docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", idx, n = 5, w = 4, parts = 16, portable = true)
+      Dedup.winnowIngest(s, idx, docs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", minShared = 2)
+      Dedup.compactWinnowIndex(s, idx)
+      Dedup.winnowIngest(s, idx, docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", minShared = 2)
+      Dedup.compactWinnowIndex(s, idx)
+      Dedup.winnowIngest(s, idx, docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", minShared = 2)
+        .select("doc_id")
+    }),
+
     // winnow pair verification: candidates graded by the longest shared
     // token run (MOSS's contiguity check) — scattered idiom overlap scores
     // low, lifted passages score high. Same portable md5 gram hash.
@@ -2604,6 +2642,10 @@ object SparkEntry2 {
     // probe output exactly (the compaction collapses partitions, never
     // rows)
     "q_winnow_compact" -> winnowIndexedOracleSql,
+    "q_winnow_ingest" -> winnowIngestOracleSql,
+    // oracle VERBATIM with q_winnow_ingest: compaction between batches
+    // and a replayed final batch change nothing — re-derived emission
+    "q_winnow_ingest_compact" -> winnowIngestOracleSql,
     // oracle VERBATIM with q_winnow_indexed: build(quarter)∘append(rest
     // of evens) must equal build(evens)
     "q_winnow_indexed_append" -> winnowIndexedOracleSql,
@@ -3280,6 +3322,33 @@ object SparkEntry2 {
           |FROM d p JOIN d c ON p.fp = c.fp
           |WHERE p.doc_id % 2 = 1 AND c.doc_id % 2 = 0
           |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)
+
+  /** q_winnow_ingest / q_winnow_ingest_compact: the two-stage winnow
+    * admission replayed from scratch — batch 1 (doc_id %4=2) admits
+    * against the built quarter (%4=0), batch 2 (odds) admits against
+    * quarter ∪ batch 1's ADMITTED set (the index-growth semantics).
+    * A doc is dropped iff it shares >= 2 fps with any standing doc;
+    * too-short docs (no fps) pass through via the final NOT IN. */
+  private def winnowIngestOracleSql: String =
+    winnowOracleSql(minShared = None)
+      .replaceFirst("\nSELECT doc_id, pos, fp FROM fp$",
+        """,
+          |d AS (SELECT DISTINCT doc_id, fp FROM fp),
+          |dup1 AS (SELECT DISTINCT p.doc_id AS id
+          |  FROM d p JOIN d c ON p.fp = c.fp
+          |  WHERE p.doc_id % 4 = 2 AND c.doc_id % 4 = 0
+          |  GROUP BY p.doc_id, c.doc_id HAVING count(*) >= 2),
+          |std2 AS (SELECT doc_id, fp FROM d WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id, fp FROM d WHERE doc_id % 4 = 2
+          |    AND doc_id NOT IN (SELECT id FROM dup1)),
+          |dup2 AS (SELECT DISTINCT p.doc_id AS id
+          |  FROM d p JOIN std2 c ON p.fp = c.fp
+          |  WHERE p.doc_id % 2 = 1
+          |  GROUP BY p.doc_id, c.doc_id HAVING count(*) >= 2)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id % 2 = 1
+          |  AND doc_id NOT IN (SELECT id FROM dup2)""".stripMargin)
 
   private def winnowOracleSql(minShared: Option[Long]): String = {
     val base =

@@ -2256,6 +2256,72 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Dedup-on-ingest against a persisted [[buildWinnowIndex]] WITH index
+    * growth — the winnow-family sibling of [[ingestDedup]]: a batch doc
+    * is DROPPED when it shares >= `minShared` winnowed fingerprints with
+    * any STANDING corpus doc whose id is not in the arriving batch
+    * itself, the survivors' fingerprints append as one new `batch_seq=`
+    * partition ([[appendToWinnowIndex]]'s staging+rename discipline) so
+    * later batches dedup against everything admitted, and the admitted
+    * rows are emitted. Docs too short to fingerprint pass through by
+    * contract; `maxDf`-guarded indexes refuse loudly (the append
+    * contract). Holds the `_MAINTENANCE` lease across probe+append —
+    * one writer, and concurrent probes/appends are refused naming it.
+    *
+    * REPLAY IS RE-DERIVED, not recorded: the probe EXCLUDES standing
+    * corpus ids that appear in the arriving batch, so a redelivered
+    * batch's own landed fingerprints can never block it — the rerun
+    * sees exactly the collision set the original saw (admitted ids are
+    * a subset of batch ids and thus excluded; dropped docs never
+    * landed), emits the identical survivor set, and the fp append
+    * anti-joins to a no-op. No evidence columns, no recorded survivor
+    * set, and the derivation survives [[compactWinnowIndex]] (the fold
+    * preserves (id, fp) rows exactly). The one contract shared with
+    * [[ingestDedup]]'s window-1: a redelivery is only exact while no
+    * LATER batch has admitted content colliding with it.
+    *
+    * INTRA-BATCH near-dups admit TOGETHER by design — a batch is exempt
+    * from its own collisions, which is precisely what makes replays
+    * exact without evidence. Compose [[dedupWinnow]]/[[resolveWinnow]]
+    * upstream of the ingest when within-batch precision matters; the
+    * admitted set then both is intra-clean and stays replay-exact.
+    */
+  def winnowIngest(spark: org.apache.spark.sql.SparkSession, path: String,
+                   batch: DataFrame, idCol: String, textCol: String,
+                   minShared: Long = 2L): DataFrame =
+    graft.ops.Lease.withLease(spark, path, "winnowIngest") {
+      graft.ops.CarryState.recoverDir(spark, s"$path/fps")
+      val m = spark.read.parquet(s"$path/meta").head()
+      require(m.getAs[Long]("max_df") <= 0L,
+        "winnowIngest: this index was built with maxDf > 0 (stop-" +
+          "fingerprints were dropped at build time), so admitted batches " +
+          "cannot append equal fps — rebuild without maxDf to ingest")
+      val (n, w, parts) = (m.getAs[Int]("n"), m.getAs[Int]("w"),
+        m.getAs[Int]("parts"))
+      val bfps = scopedCache(
+        winnowFingerprints(batch, idCol, textCol, n, w,
+            winnowHashOf(m.getAs[Boolean]("portable")))
+          .select(col(idCol).as("id_new"), col("fp")).distinct()
+          .withColumn("fp_part", fpPart(parts)))
+      val touched = bfps.select("fp_part").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val batchIds = batch.select(col(idCol).as("id")).distinct()
+      val standing = spark.read.parquet(s"$path/fps")
+        .filter(col("fp_part").isin(touched: _*))
+        .select(col("id"), col("fp"))
+        // the replay-exactness exclusion: a batch is never blocked by
+        // ids it carries itself (its own landed fps on a redelivery)
+        .join(batchIds, Seq("id"), "left_anti")
+      val dropped = bfps.select("id_new", "fp").join(standing, "fp")
+        .groupBy("id_new", "id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared)
+        .select(col("id_new").as(idCol)).distinct()
+      val admitted = batch.join(dropped, Seq(idCol), "left_anti")
+      appendToWinnowIndexLocked(spark, path, admitted, idCol, textCol)
+      admitted
+    }
+
   // -- exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
   //    Data Makes Language Models Better") ---------------------------------
   // The paper's ExactSubstr pass finds every >=N-token span that occurs

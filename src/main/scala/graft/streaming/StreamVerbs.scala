@@ -1509,6 +1509,45 @@ object StreamVerbs {
         indexPath, batch, idCol, textCol, minShared))
     }
 
+  /** Winnow dedup-on-ingest WITH index growth — the streaming twin of
+    * running [[graft.ml.Dedup.winnowIngest]] batch after batch: each
+    * micro-batch drops docs sharing `minShared` winnowed fingerprints
+    * with the standing corpus, appends the survivors' fps as a fresh
+    * partition, and emits the admitted rows, so later micro-batches
+    * dedup against everything earlier ones admitted (StreamingSpec pins
+    * stream == sequential batch ingest). foreachBatch; micro-batches run
+    * serially, so index growth is race-free and the per-batch
+    * `_MAINTENANCE` lease never contends with itself. Replays re-derive
+    * exactly (the batch-id exclusion — see [[graft.ml.Dedup
+    * .winnowIngest]]), so no streaming state exists: the index IS the
+    * state, durable and shared with any batch backfill.
+    *
+    * `compactEvery` > 0 folds the accumulated `batch_seq=` partitions
+    * into the base every that many batches
+    * ([[graft.ml.Dedup.compactWinnowIndex]]) in the serial slot after
+    * the sink — the partition count stays bounded at streaming cadence.
+    * On compacting batches the emitted frame is localCheckpoint-pinned
+    * BEFORE the sink: the swap deletes the pre-compaction fps files the
+    * lazy frame reads, and a sink that does not materialize its input
+    * synchronously would otherwise hit FileNotFound (the
+    * [[streamingIngestDedup]] hazard, closed the same way).
+    */
+  def streamingWinnowIngest(t: Tbl, idCol: String, textCol: String,
+                            indexPath: String, minShared: Long = 2L,
+                            compactEvery: Int = 0)
+                           (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    t.df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val compactNow = compactEvery > 0 && batchId >= 0 &&
+        batchId % compactEvery == (compactEvery - 1)
+      val out0 = graft.ml.Dedup.winnowIngest(batch.sparkSession, indexPath,
+        batch, idCol, textCol, minShared)
+      val out = if (compactNow) out0.localCheckpoint(true) else out0
+      sink(out)
+      if (compactNow)
+        graft.ml.Dedup.compactWinnowIndex(batch.sparkSession, indexPath)
+    }
+
   def runningTotals(t: Tbl, keyCol: String, valueCol: String): DataFrame = {
     val spark = t.df.sparkSession
     import spark.implicits._

@@ -1517,6 +1517,83 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowIngest: admission vs standing corpus with index growth; " +
+      "replay re-derives the identical emission with a no-op append " +
+      "(batch-id exclusion, no recorded evidence); intra-batch dups " +
+      "admit together; guarded index refuses; lease released") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wing")
+    val idx = dir.toString
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    try {
+      val corpus = docs.filter(col("doc_id") % 4 === 0)
+      Dedup.buildWinnowIndex(spark, corpus, "doc_id", "text", idx,
+        n = 5, w = 4, parts = 8)
+      // batch 1: one planted copy of an indexed doc + one novel doc
+      val copied = docs.filter(col("doc_id") === 8)
+        .select(lit(900001L).as("doc_id"), col("text"))
+      val novel = docs.filter(col("doc_id") === 3)
+        .select(lit(900002L).as("doc_id"), col("text"))
+      val b1 = copied.unionByName(novel)
+      val a1 = Dedup.winnowIngest(spark, idx, b1, "doc_id", "text",
+          minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a1 == Set(900002L),
+        s"copy must drop vs standing, novel must admit: $a1")
+      // growth: a copy of the ADMITTED novel doc arriving later drops
+      val b2 = docs.filter(col("doc_id") === 3)
+        .select(lit(900003L).as("doc_id"), col("text"))
+      val a2 = Dedup.winnowIngest(spark, idx, b2, "doc_id", "text",
+          minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a2.isEmpty, s"copy of an admitted doc must drop: $a2")
+      // REPLAY of batch 1: the admitted doc's own standing fps must not
+      // block it (batch-id exclusion) — identical emission, and the
+      // append lands no new ROWS (an empty partition dir is fine)
+      def fpRows() = spark.read.parquet(s"$idx/fps")
+        .select("id", "fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val before = fpRows()
+      val r1 = Dedup.winnowIngest(spark, idx, b1, "doc_id", "text",
+          minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(r1 == a1, s"replay must re-derive identically: $r1 vs $a1")
+      assert(fpRows() == before, "replayed append must land no new rows")
+      // ... and the re-derivation survives compaction (fold keeps rows)
+      Dedup.compactWinnowIndex(spark, idx)
+      val r2 = Dedup.winnowIngest(spark, idx, b1, "doc_id", "text",
+          minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(r2 == a1 && fpRows() == before,
+        s"replay across compaction must re-derive identically: $r2")
+      // intra-batch near-dups admit TOGETHER (documented: compose
+      // resolveWinnow upstream for within-batch precision) — fresh text
+      // so neither collides with anything standing
+      val twinFresh = Seq(
+        (910001L, "completely unprecedented prose about volcanic glass " +
+          "formations and their crystalline cooling behavior patterns"),
+        (910002L, "completely unprecedented prose about volcanic glass " +
+          "formations and their crystalline cooling behavior patterns"))
+        .toDF("doc_id", "text")
+      val a3 = Dedup.winnowIngest(spark, idx, twinFresh, "doc_id", "text",
+          minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a3 == Set(910001L, 910002L),
+        s"intra-batch dups admit together by contract: $a3")
+      // no lease left behind; guarded index refuses
+      assert(!java.nio.file.Files.exists(dir.resolve("_MAINTENANCE")))
+      val guarded = java.nio.file.Files
+        .createTempDirectory("graft-wing-g").toString
+      Dedup.buildWinnowIndex(spark, corpus, "doc_id", "text", guarded,
+        n = 5, w = 4, parts = 8, maxDf = 5L)
+      val e = intercept[IllegalArgumentException](
+        Dedup.winnowIngest(spark, guarded, b1, "doc_id", "text"))
+      assert(e.getMessage.contains("maxDf"), e.getMessage)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(guarded))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally {
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      Dedup.unpersistIntermediates()
+    }
+  }
+
   test("probe scan cost is FLAT in corpus depth (default-on, wall-clock-" +
       "free): the same 1-doc probe opens the same file count against a " +
       "2x corpus for BOTH index families, and compaction collapses " +

@@ -1422,6 +1422,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids(cIdx) == ids(pIdx))
   }
 
+  test("streaming winnow ingest == sequential batch winnowIngest with " +
+      "mid-stream growth; the compaction rider bounds partitions with " +
+      "identical admissions") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    // batch k+1 copies a batch-k survivor: only index GROWTH drops it
+    val arrivals = Seq(
+      Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          (11L, "turbine blades hum across the northern valley ridge line")),
+      Seq((20L, "turbine blades hum across the northern valley ridge line"),
+          (21L, "granite slabs weather slowly under coastal winter rain")),
+      Seq((30L, "granite slabs weather slowly under coastal winter rain"),
+          (31L, "ledger entries reconcile nightly before the audit window")))
+    def buildIdx(): String = {
+      val p = Files.createTempDirectory("graft-swing-idx").toString
+      graft.ml.Dedup.buildWinnowIndex(spark, ref, "doc_id", "text", p,
+        n = 5, w = 4, parts = 8)
+      p
+    }
+    def runStream(idx: String, every: Int): Set[Long] = {
+      val dir = Files.createTempDirectory("graft-swing-in").toFile
+      val ckpt = Files.createTempDirectory("graft-swing-ck").toFile
+      arrivals.foreach { a =>
+        a.toDF("doc_id", "text").repartition(1)
+          .write.mode("append").parquet(dir.getAbsolutePath)
+        Thread.sleep(1100) // distinct mtimes pin batch order
+      }
+      val stream = spark.readStream
+        .schema(arrivals.head.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+      val got = scala.collection.mutable.Set.empty[Long]
+      val q = StreamVerbs.streamingWinnowIngest(Tbl(stream), "doc_id",
+          "text", idx, minShared = 1, compactEvery = every) { out =>
+          got.synchronized {
+            out.select("doc_id").collect().foreach(r => got += r.getLong(0))
+          }
+        }
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      got.toSet
+    }
+    val pIdx = buildIdx()
+    val cIdx = buildIdx()
+    val streamed = runStream(pIdx, every = 0)
+    val compacted = runStream(cIdx, every = 1)
+    // sequential batch twin
+    val bIdx = buildIdx()
+    val batchGot = arrivals.flatMap { a =>
+      graft.ml.Dedup.winnowIngest(spark, bIdx, a.toDF("doc_id", "text"),
+          "doc_id", "text", minShared = 1)
+        .select("doc_id").collect().map(_.getLong(0))
+    }.toSet
+    assert(streamed == batchGot && streamed == Set(11L, 21L, 31L),
+      s"stream $streamed vs batch $batchGot")
+    assert(compacted == streamed,
+      s"compaction rider must not change admissions: $compacted")
+    // the rider bounds the fp partition count (every batch folds to the
+    // base) while the plain stream accumulates one per ingested batch
+    def nParts(p: String) = spark.read.parquet(s"$p/fps")
+      .select(col("batch_seq").cast("long")).distinct().count()
+    assert(nParts(cIdx) == 1L, s"rider must fold: ${nParts(cIdx)}")
+    assert(nParts(pIdx) == 4L, s"plain grew ${nParts(pIdx)}")
+    // identical standing (id, fp) rows either way
+    def fpRows(p: String) = spark.read.parquet(s"$p/fps")
+      .select("id", "fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fpRows(cIdx) == fpRows(pIdx))
+    graft.ml.Dedup.unpersistIntermediates()
+  }
+
   test("streaming SQ8 probe == batch probe against the persisted index") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -47,7 +47,7 @@ object Bench {
     // queries were recorded as 0.06-0.18s "results" (time-to-throw), three
     // of which read as improvements. Failures go to a parallel errors map.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val allTimes = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -67,8 +67,9 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(dt) else None
       }
-      if (times.isEmpty) None else Some(name -> times.min)
+      if (times.isEmpty) None else Some(name -> times)
     }
+    val results = allTimes.map { case (name, ts) => name -> ts.min }
     // 3dp per-query values: full-precision doubles pushed the single JSON
     // line past the driver's bounded stdout-tail capture in round 6 and the
     // first ~35 queries (incl. q1_agg and the whole dedup tail) were lost
@@ -159,7 +160,19 @@ object Bench {
           results.map { case (k, v) => "\"" + k + "\":" + f3(v / canaryMean) }
             .mkString("{", ",", "}")
         else "{}"
-      val body = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"contended":$contended,"canary_mean":${f3(canaryMean)},"queries":$qs,"normalized":$norm,"errors":$errs,"sf":"$sfDir"}\n"""
+      // per-query WITHIN-RUN scatter (max/min across the reps): the r18
+      // q_interleave A/B showed some queries scatter 2x+ between
+      // invocations of IDENTICAL bytecode inside one window — more than
+      // the canary trio models — so a cross-round normalized ratio on a
+      // high-spread query is scatter until a same-minute A/B says
+      // otherwise. This block is the evidence: drift adjudication reads
+      // the PRIOR record's spread before escalating a ratio.
+      def f2(v: Double) = BigDecimal(v).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toString
+      val spread = allTimes.filter(_._2.size >= 2)
+        .map { case (k, ts) => "\"" + k + "\":" + f2(ts.max / ts.min) }
+        .mkString("{", ",", "}")
+      val body = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"contended":$contended,"canary_mean":${f3(canaryMean)},"queries":$qs,"normalized":$norm,"spread":$spread,"errors":$errs,"sf":"$sfDir"}\n"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(file),
         body.getBytes("UTF-8"))
       catch { case e: Exception =>

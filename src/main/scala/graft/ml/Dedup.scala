@@ -1052,6 +1052,26 @@ object Dedup {
       who: String): Unit =
     graft.ops.Lease.check(spark, path, who)
 
+  /** max `batch_seq=` of a partitioned artifact dir from DIRECTORY
+    * LISTING — one O(#partitions) namenode call, replacing the
+    * max(batch_seq) AGGREGATE SCAN the ingest/compaction verbs used to
+    * run over the whole standing relation just to pick the next
+    * partition number (at 100 TB that scan reads every partition's
+    * footers and batch_seq values; the listing reads none). None when
+    * the dir is missing or holds no `batch_seq=` partitions (a flat
+    * legacy layout) — callers fall back to the aggregate for those. */
+  private def listedMaxSeq(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val seqs = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_seq="))
+      .map(_.stripPrefix("batch_seq=").toLong)
+    if (seqs.isEmpty) None else Some(seqs.max)
+  }
+
   /** COMPACT a [[buildMinhashIndex]] artifact that has accumulated many
     * [[ingestDedup]] `batch_seq=` partitions — the maintenance verb that
     * keeps streaming-cadence ingest from drowning the slim signature
@@ -1101,8 +1121,9 @@ object Dedup {
     val m = spark.read.parquet(s"$path/meta").head()
     val sigs0 = spark.read.parquet(s"$path/sigs")
     val hasEvidence = sigs0.columns.contains("batch_id")
-    val maxSeq = sigs0.agg(coalesce(max(col("batch_seq").cast("long")),
-      lit(0L))).head().getLong(0)
+    val maxSeq = listedMaxSeq(spark, s"$path/sigs").getOrElse(
+      sigs0.agg(coalesce(max(col("batch_seq").cast("long")),
+        lit(0L))).head().getLong(0))
     if (maxSeq > 0) {
       val dataCols = sigs0.columns.filterNot(_ == "batch_seq").toSeq
       val base0 = sigs0.filter(col("batch_seq") < maxSeq)
@@ -1250,8 +1271,9 @@ object Dedup {
     // Legacy indexes (no evidence columns) keep the old at-least-once
     // behavior — rebuild to upgrade (README migration note).
     val hasEvidence = existing.columns.contains("batch_id")
-    val seq = existing.agg(coalesce(max(col("batch_seq")), lit(0L)))
-      .head().getLong(0) + 1
+    val seq = listedMaxSeq(spark, s"$path/sigs").getOrElse(
+      existing.agg(coalesce(max(col("batch_seq")), lit(0L)))
+        .head().getLong(0)) + 1
     def emitFrom(seqNo: Long): DataFrame = {
       // survivors = the recorded partition; dropped = sig'd batch docs
       // not in it (shingle-less docs pass through)
@@ -2138,10 +2160,14 @@ object Dedup {
   private def appendToWinnowIndexLocked(
       spark: org.apache.spark.sql.SparkSession,
       path: String, docs: DataFrame, idCol: String,
-      textCol: String): Unit = {
+      textCol: String, metaRow: org.apache.spark.sql.Row = null,
+      precomputedFps: DataFrame = null): Unit = {
     import org.apache.hadoop.fs.Path
     graft.ops.CarryState.recoverDir(spark, s"$path/fps")
-    val m = spark.read.parquet(s"$path/meta").head()
+    // callers inside one lease hold (winnowIngest) already read meta —
+    // re-reading it here would be one extra driver job per ingest
+    val m = if (metaRow != null) metaRow
+      else spark.read.parquet(s"$path/meta").head()
     require(m.getAs[Long]("max_df") <= 0L,
       "appendToWinnowIndex: this index was built with maxDf > 0 (stop-" +
         "fp rows were dropped at build time), so an append cannot " +
@@ -2157,14 +2183,21 @@ object Dedup {
       .map(_.getPath.getName).filter(_.startsWith("batch_seq="))
       .map(_.stripPrefix("batch_seq=").toLong)
       .foldLeft(0L)(math.max) + 1
+    // `precomputedFps`: the docs' DISTINCT (id, fp) rows under THIS
+    // index's recorded convention, when the caller already computed them
+    // (winnowIngest's probe did — fingerprints are a pure function of
+    // text, so re-deriving them from text here would be a second full
+    // shingle+winnow pass over the batch per ingest).
+    val docFps = if (precomputedFps != null) precomputedFps
+      else winnowFingerprints(docs, idCol, textCol, n, w,
+          winnowHashOf(m.getAs[Boolean]("portable")))
+        .select(col(idCol).as("id"), col("fp")).distinct()
     // localCheckpoint, NOT cache: a cached plan here would be matched by
     // a REPLAYED append's textually-identical plan (same path string) and
     // serve the stale pre-append anti-join, re-deriving rows the first
     // append already landed — duplicating them. Checkpointing severs the
     // plan identity so every call re-reads the standing table as it is.
-    val fresh = winnowFingerprints(docs, idCol, textCol, n, w,
-        winnowHashOf(m.getAs[Boolean]("portable")))
-      .select(col(idCol).as("id"), col("fp")).distinct()
+    val fresh = docFps
       .join(standing.select("id", "fp"), Seq("id", "fp"), "left_anti")
       .localCheckpoint(true)
     if (fresh.isEmpty) return // full replay of an indexed slice: no-op
@@ -2204,8 +2237,9 @@ object Dedup {
       val m = spark.read.parquet(s"$path/meta").head()
       val parts = m.getAs[Int]("parts")
       val fps = spark.read.parquet(s"$path/fps")
-      val maxSeq = fps.agg(coalesce(max(col("batch_seq").cast("long")),
-        lit(0L))).head().getLong(0)
+      val maxSeq = listedMaxSeq(spark, s"$path/fps").getOrElse(
+        fps.agg(coalesce(max(col("batch_seq").cast("long")),
+          lit(0L))).head().getLong(0))
       if (maxSeq > 0) {
         // the staging write IS the materialization of the union — it
         // reads the old files before replaceDir deletes them
@@ -2318,7 +2352,15 @@ object Dedup {
         .where(col("n_shared") >= minShared)
         .select(col("id_new").as(idCol)).distinct()
       val admitted = batch.join(dropped, Seq(idCol), "left_anti")
-      appendToWinnowIndexLocked(spark, path, admitted, idCol, textCol)
+      // the admitted docs' fps are a SUBSET of the probe's cached bfps
+      // (fingerprints are a pure function of text) — hand them to the
+      // append instead of letting it re-derive them from text, which
+      // doubled the per-ingest shingle+winnow work
+      val admittedFps = bfps.select(col("id_new").as("id"), col("fp"))
+        .join(admitted.select(col(idCol).as("id")).distinct(),
+          Seq("id"), "left_semi")
+      appendToWinnowIndexLocked(spark, path, admitted, idCol, textCol,
+        metaRow = m, precomputedFps = admittedFps)
       admitted
     }
 

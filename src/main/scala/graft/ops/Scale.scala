@@ -270,12 +270,43 @@ object Scale {
           Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
     }.drop(values.indices.map(i => s"__psum$i"): _*)
-    val joined = parted.join(broadcast(offs), "__pid")
-    values.zipWithIndex.foldLeft(joined) { case (d, ((v, out), i)) =>
-      d.withColumn(out,
-        col(s"__off$i") + sum(v).over(
-          Window.partitionBy("__pid").orderBy(orderCols: _*)))
-    }.drop("__pid").drop(values.indices.map(i => s"__off$i"): _*)
+    // The within-partition phase: integral values ride the dedicated
+    // partition-local running-sum operator (no distribution requirement —
+    // Catalyst cannot know spark_partition_id() is already clustered, so
+    // the Window form paid a SECOND full exchange, hashpartitioning(__pid),
+    // on top of the range exchange; the operator needs only a local sort).
+    // Exact-equivalence note: sum over an ordered Window uses a RANGE
+    // frame (ties share one value) while the operator is per-row — under
+    // the documented total-order contract there are no ties, and with
+    // ties the Window form was already partition-split-dependent.
+    // Non-integral values (float cumsums) keep the Window form.
+    val integral = values.forall { case (v, _) =>
+      parted.select(v).schema.head.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+    }
+    if (integral) {
+      val runs = org.apache.spark.sql.graftshim.PartitionPrefix.runningSums(
+        parted, orderCols, Seq.empty,
+        values.zipWithIndex.map { case ((v, _), i) => (v, s"__run$i") })
+      val joined = runs.join(broadcast(offs), "__pid")
+      values.zipWithIndex.foldLeft(joined) { case (d, ((_, out), i)) =>
+        d.withColumn(out, col(s"__off$i") + col(s"__run$i"))
+      }.drop("__pid")
+        .drop(values.indices.map(i => s"__off$i"): _*)
+        .drop(values.indices.map(i => s"__run$i"): _*)
+    } else {
+      val joined = parted.join(broadcast(offs), "__pid")
+      values.zipWithIndex.foldLeft(joined) { case (d, ((v, out), i)) =>
+        d.withColumn(out,
+          col(s"__off$i") + sum(v).over(
+            Window.partitionBy("__pid").orderBy(orderCols: _*)))
+      }.drop("__pid").drop(values.indices.map(i => s"__off$i"): _*)
+    }
   }
 
   /** Approximate distinct-set overlap of two corpora on a key column (doc
@@ -354,14 +385,34 @@ object Scale {
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .drop("__psum")
-    parted.join(broadcast(offs), "__pid" +: grpCols)
-      .withColumn(outCol,
-        col("__off") + sum(valueCol).over(
-          Window.partitionBy(("__pid" +: grpCols).map(col): _*)
-            .orderBy(orderCols: _*)))
-      // the using-join hoisted the key columns to the front; restore the
-      // caller's column order (same contract as globalCumSum)
-      .select((df.columns.map(col) :+ col(outCol)): _*)
+    // within-partition phase: same operator swap as [[globalCumSums]] —
+    // the group tuple is a PREFIX of the range-partition key, so group
+    // blocks are contiguous within each partition and the running sum
+    // restarts on group change with no hashpartitioning(__pid, grp…)
+    // exchange. Non-integral values keep the Window form.
+    val integral = parted.select(valueCol).schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integral) {
+      val runs = org.apache.spark.sql.graftshim.PartitionPrefix.runningSums(
+        parted, grpCols.map(col) ++ orderCols, grpCols.map(col),
+        Seq((valueCol, "__run")))
+      runs.join(broadcast(offs), "__pid" +: grpCols)
+        .withColumn(outCol, col("__off") + col("__run"))
+        .select((df.columns.map(col) :+ col(outCol)): _*)
+    } else
+      parted.join(broadcast(offs), "__pid" +: grpCols)
+        .withColumn(outCol,
+          col("__off") + sum(valueCol).over(
+            Window.partitionBy(("__pid" +: grpCols).map(col): _*)
+              .orderBy(orderCols: _*)))
+        // the using-join hoisted the key columns to the front; restore the
+        // caller's column order (same contract as globalCumSum)
+        .select((df.columns.map(col) :+ col(outCol)): _*)
   }
 
   /** Exact per-group 1-based row number — [[groupedCumSum]] of 1. */

@@ -278,15 +278,87 @@ class ScaleSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
       .map { case (g, xs) => g -> xs.map(_._2).sorted.toSeq }
     rn.foreach { case (g, xs) => assert(xs == (1L to xs.size), s"group $g: $xs") }
-    // the data-side window must stay partitioned by __pid — no
-    // per-group single-reducer window over the data
+    // the data-side running sum must stay partition-local — either the
+    // dedicated no-exchange operator (integral values) or a window
+    // partitioned by __pid; never a per-group single-reducer window
     val plan = rnDf.queryExecution.executedPlan.toString
-    assert(plan.contains("windowspecdefinition(__pid"),
-      "grouped prefix sum must window within range partitions")
+    assert(plan.contains("PartitionRunningSum") ||
+      plan.contains("windowspecdefinition(__pid"),
+      "grouped prefix sum must run within range partitions")
     // empty group-col list degrades to the global form
     val glob = graft.ops.Scale.groupedCumSum(d, Nil, Seq(col("g"), col("id")),
       col("v"), "cum")
     assert(glob.count() == d.count())
+  }
+
+  test("partition-local running-sum operator: desc order, NULL adds 0, " +
+      "multi-value, non-integral values fall back to the window form") {
+    import spark.implicits._
+    // desc ordering + NULL values (sum semantics: null contributes 0)
+    val d = (1L to 500L).map(i =>
+        (i, if (i % 11 == 0) null else java.lang.Long.valueOf(i % 5 + 1)))
+      .toDF("id", "v")
+    val fast = graft.ops.Scale.globalCumSum(d, Seq(col("id").desc), col("v"),
+        "cum").select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id").desc)
+    val slow = d.repartition(1).withColumn("cum", sum("v").over(w))
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    // the integral path must carry the dedicated operator (no second
+    // exchange) …
+    val plan = graft.ops.Scale.globalCumSum(d, Seq(col("id").desc),
+      col("v"), "cum").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionRunningSum"))
+    // the data-side hash exchange the window form paid is gone: nothing
+    // between the running-sum operator and its (cached) ranged input may
+    // shuffle. (The offs micro-table's own tiny groupBy(__pid) exchange
+    // on the broadcast side is legitimate — it is the cross-partition
+    // meet point and carries ≤ one row per partition.)
+    val pDf = graft.ops.Scale.globalCumSum(d, Seq(col("id").desc),
+      col("v"), "cum")
+    pDf.count() // finalize AQE so the executed plan is walkable
+    val pExec = pDf.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case x => x
+    }
+    val prsNodes = pExec.collect {
+      case p: org.apache.spark.sql.graftshim.PartitionRunningSumExec => p }
+    assert(prsNodes.nonEmpty, "expected the PartitionRunningSumExec node")
+    prsNodes.foreach { n =>
+      assert(n.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "no exchange may sit under the partition-local running sum")
+    }
+    // … and DOUBLE values keep the window form, same ground truth
+    val dd = d.withColumn("vd", col("v").cast("double") * 0.5)
+    val fastD = graft.ops.Scale.globalCumSum(dd, Seq(col("id")), col("vd"),
+        "cum").select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val slowD = dd.repartition(1).withColumn("cum",
+        sum("vd").over(org.apache.spark.sql.expressions.Window.orderBy("id")))
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fastD.keySet == slowD.keySet &&
+      fastD.forall { case (k, v) => math.abs(v - slowD(k)) < 1e-9 })
+    val planD = graft.ops.Scale.globalCumSum(dd, Seq(col("id")), col("vd"),
+      "cum").queryExecution.executedPlan.toString
+    assert(!planD.contains("PartitionRunningSum"))
+    // grouped: string reset keys, hot group, multi-partition
+    val g = (1L to 2000L).map(i =>
+        (if (i % 3 == 0) "aa" else s"g${i % 7}", i, i % 4 + 1))
+      .toDF("g", "id", "v")
+    val fg = graft.ops.Scale.groupedCumSum(g, Seq("g"), Seq(col("id")),
+        col("v"), "cum").select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy("id")
+    val sg = g.withColumn("cum", sum("v").over(wg))
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fg == sg)
   }
 
   test("packByBudget: contiguous shards, budget respected up to one straddler") {

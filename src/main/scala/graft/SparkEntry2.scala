@@ -662,7 +662,7 @@ object SparkEntry2 {
     // fixed-length sequence packing. PlanSpec asserts the plan shape.
     "q_quality_e2e" -> ((s, dir) => {
       val ph = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        graft.ops.Sketch.portableHash(c) // digest-direct, value-identical
       val docs = t(s, dir, "documents").df
         .withColumn("tx",
           expr("replace(replace(text, ' the ', chr(10)), ' a ', chr(10))"))
@@ -693,7 +693,7 @@ object SparkEntry2 {
     // offender set (and its collision behavior) exactly.
     "q_line_dedup" -> ((s, dir) => {
       val ph = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        graft.ops.Sketch.portableHash(c) // digest-direct, value-identical
       val docs = t(s, dir, "documents").df
         .withColumn("tx",
           expr("replace(replace(text, ' the ', chr(10)), ' a ', chr(10))"))
@@ -885,7 +885,7 @@ object SparkEntry2 {
     // (mod 8) — shift-resistant dedup units with md5 chunk fingerprints
     "q_cdc_chunks" -> ((s, dir) => {
       val ph = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        graft.ops.Sketch.portableHash(c) // digest-direct, value-identical
       t(s, dir, "documents").df
         .withColumn("__w", TextFns.tokens(col("text")))
         .select(col("doc_id"),
@@ -901,7 +901,7 @@ object SparkEntry2 {
     // the triage number a storage/dedup pass starts from. All integers.
     "q_cdc_dedup" -> ((s, dir) => {
       val ph = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        graft.ops.Sketch.portableHash(c) // digest-direct, value-identical
       val chunks = t(s, dir, "documents").df
         .withColumn("__w", TextFns.tokens(col("text")))
         .select(explode(TextFns.cdcChunks(col("__w"), n = 5, divisor = 8,
@@ -924,7 +924,7 @@ object SparkEntry2 {
     // sampling, every >=8-token shared substring guaranteed a shared fp
     "q_winnow" -> ((s, dir) => {
       val ph = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        graft.ops.Sketch.portableHash(c) // digest-direct, value-identical
       Dedup.winnowFingerprints(t(s, dir, "documents").df, "doc_id", "text",
         n = 5, w = 4, hash = ph)
     }),
@@ -932,7 +932,7 @@ object SparkEntry2 {
     // winnowed candidate pairs: docs sharing >= 3 selected fingerprints
     "q_winnow_pairs" -> ((s, dir) => {
       val ph = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        graft.ops.Sketch.portableHash(c) // digest-direct, value-identical
       Dedup.winnowPairs(t(s, dir, "documents").df, "doc_id", "text",
         n = 5, w = 4, minShared = 3, maxDf = 1000, hash = ph)
     }),
@@ -943,7 +943,7 @@ object SparkEntry2 {
     // Jaccard: only ~2/(w+1) of grams ever join)
     "q_winnow_resolve" -> ((s, dir) => {
       val ph = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        graft.ops.Sketch.portableHash(c) // digest-direct, value-identical
       val docs = t(s, dir, "documents").df
       val pairs = Dedup.winnowPairs(docs, "doc_id", "text", n = 5, w = 4,
         minShared = 3, maxDf = 1000, hash = ph)
@@ -1040,7 +1040,7 @@ object SparkEntry2 {
     // low, lifted passages score high. Same portable md5 gram hash.
     "q_winnow_verify" -> ((s, dir) => {
       val ph = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        graft.ops.Sketch.portableHash(c) // digest-direct, value-identical
       val docs = t(s, dir, "documents").df
       val pairs = Dedup.winnowPairs(docs, "doc_id", "text", n = 5, w = 4,
         minShared = 3, maxDf = 1000, hash = ph)
@@ -1053,7 +1053,7 @@ object SparkEntry2 {
     // portable md5 leaf so DuckDB reproduces counts (and collisions) exactly.
     "q_substr_dedup" -> ((s, dir) => {
       val ph = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        graft.ops.Sketch.portableHash(c) // digest-direct, value-identical
       val docs = t(s, dir, "documents").df
       val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text",
         n = 8, hash = ph)
@@ -1080,9 +1080,8 @@ object SparkEntry2 {
         // nondeterministic in BOTH engines
         .quantilesBySample(col("cents"), Seq(0.25, 0.5, 0.75), k = 500,
           sampleKey = Seq(col("l_orderkey"), col("l_linenumber"), col("cents")),
-          hash = Some(conv(substring(md5(concat_ws("|",
-            col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
-            .cast("long")))
+          hash = Some(graft.ops.Sketch.portableHash(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber")))))
         .df),
 
     // leakage-safe train/val/test split keyed on the GROUP (source), not the
@@ -1092,8 +1091,7 @@ object SparkEntry2 {
       t(s, dir, "documents")
         .splitByHash("source",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-          hash = Some(conv(substring(md5(col("source")), 1, 15), 16, 10)
-            .cast("long")))
+          hash = Some(graft.ops.Sketch.portableHash(col("source"))))
         .select(Seq("doc_id", "source", "split"): _*).df),
 
     "q_domain_quota" -> ((s, dir) => {
@@ -1548,8 +1546,8 @@ object SparkEntry2 {
             x => floor(x.cast("double") * 1000000.0).cast("double")).as("qv"))
       graft.ml.Clustering.kmeans(emb, k = 8, iters = 2,
         idCol = "vec_id", vecCol = "qv",
-        initHash = Some(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
-          16, 10).cast("long")))
+        initHash = Some(graft.ops.Sketch.portableHash(
+          col("vec_id").cast("string"))))
     }),
 
     "q_knn_join" -> ((s, dir) => {
@@ -1634,8 +1632,7 @@ object SparkEntry2 {
       // metadata stub runs on the portable md5 leaf (60-bit: nonnegative,
       // so % == pmod on both sides) instead of xxhash64.
       val ph = (h: org.apache.spark.sql.Column, k: Int) =>
-        conv(substring(md5(concat(h.cast("string"), lit("|" + k))), 1, 15),
-          16, 10).cast("long")
+        graft.ops.Sketch.portableHash(concat(h.cast("string"), lit("|" + k)))
       val media = Multimodal.attachMeta(
         t(s, dir, "documents").df.withColumn("payload",
           to_binary(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""), lit("utf-8"))),

@@ -122,8 +122,8 @@ object SparkEntry3 {
         to_binary(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""),
           lit("utf-8")).as("payload"))
     val phF = (m: Column, i: Column) =>
-      conv(substring(md5(concat(m.cast("string"), lit("|"),
-        i.cast("string"))), 1, 15), 16, 10).cast("long")
+      graft.ops.Sketch.portableHash(concat(m.cast("string"), lit("|"),
+        i.cast("string")))
     val featPath = scratchPath(dir, "media_feats")
     media.select(col("doc_id").as("media_id"),
       transform(

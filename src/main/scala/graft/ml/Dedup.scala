@@ -2059,8 +2059,9 @@ object Dedup {
     * leaf (cross-engine / oracle-reproducible); false is xxhash64
     * (faster, engine-native). */
   private[graft] def winnowHashOf(portable: Boolean): Column => Column =
-    if (portable) (c: Column) =>
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // the portable leaf is Sketch.portableHash's codegen'd digest-direct
+    // form — value-identical to conv(substring(md5(c),1,15),16,10)
+    if (portable) (c: Column) => graft.ops.Sketch.portableHash(c)
     else (c: Column) => xxhash64(c)
 
   private def fpPart(parts: Int): Column =

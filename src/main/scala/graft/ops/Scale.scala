@@ -258,30 +258,14 @@ object Scale {
     val src = if (checkpointInput) df.localCheckpoint(true) else df
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sparkContext.defaultParallelism
-    val parted = graft.ml.Dedup.trackCache(
-      src.repartitionByRange(n, orderCols: _*)
-        .withColumn("__pid", spark_partition_id()))
-    val psums = values.zipWithIndex.map { case ((v, _), i) =>
-      sum(v).as(s"__psum$i") }
-    val offs0 = parted.groupBy("__pid").agg(psums.head, psums.tail: _*)
-    val offs = values.zipWithIndex.foldLeft(offs0) { case (d, (_, i)) =>
-      d.withColumn(s"__off$i",
-        coalesce(sum(s"__psum$i").over(
-          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-    }.drop(values.indices.map(i => s"__psum$i"): _*)
-    // The within-partition phase: integral values ride the dedicated
-    // partition-local running-sum operator (no distribution requirement —
-    // Catalyst cannot know spark_partition_id() is already clustered, so
-    // the Window form paid a SECOND full exchange, hashpartitioning(__pid),
-    // on top of the range exchange; the operator needs only a local sort).
     // Exact-equivalence note: sum over an ordered Window uses a RANGE
-    // frame (ties share one value) while the operator is per-row — under
-    // the documented total-order contract there are no ties, and with
-    // ties the Window form was already partition-split-dependent.
-    // Non-integral values (float cumsums) keep the Window form.
+    // frame (ties share one value) while the operators below are per-row —
+    // under the documented total-order contract there are no ties, and
+    // with ties the Window form was already partition-split-dependent.
+    // Non-integral values (float cumsums) keep the cached two-branch
+    // Window form below.
     val integral = values.forall { case (v, _) =>
-      parted.select(v).schema.head.dataType match {
+      df.select(v).schema.head.dataType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.ShortType |
@@ -290,16 +274,31 @@ object Scale {
       }
     }
     if (integral) {
-      val runs = org.apache.spark.sql.graftshim.PartitionPrefix.runningSums(
-        parted, orderCols, Seq.empty,
-        values.zipWithIndex.map { case ((v, _), i) => (v, s"__run$i") })
-      val joined = runs.join(broadcast(offs), "__pid")
-      values.zipWithIndex.foldLeft(joined) { case (d, ((_, out), i)) =>
-        d.withColumn(out, col(s"__off$i") + col(s"__run$i"))
-      }.drop("__pid")
-        .drop(values.indices.map(i => s"__off$i"): _*)
-        .drop(values.indices.map(i => s"__run$i"): _*)
+      // ONE operator does the whole two-phase sum over ONE exchange
+      // instance (GlobalRunningSumExec: per-partition totals via a
+      // micro-job over the same materialized shuffle, offsets folded in
+      // as initial values) — the ranged relation is not cached, there is
+      // no offsets aggregate, no broadcast, no join. Boundary consistency
+      // is structural: both passes read the SAME exchange.
+      org.apache.spark.sql.graftshim.PartitionPrefix.globalRunningSums(
+        src.repartitionByRange(n, orderCols: _*), orderCols,
+        values.map { case (v, out) => (v, out) })
     } else {
+      // float path: the classic cached two-branch shape — the offsets
+      // aggregate and the data join must read ONE materialized
+      // partitioning (RangePartitioner sampling is per-exchange-instance)
+      val parted = graft.ml.Dedup.trackCache(
+        src.repartitionByRange(n, orderCols: _*)
+          .withColumn("__pid", spark_partition_id()))
+      val psums = values.zipWithIndex.map { case ((v, _), i) =>
+        sum(v).as(s"__psum$i") }
+      val offs0 = parted.groupBy("__pid").agg(psums.head, psums.tail: _*)
+      val offs = values.zipWithIndex.foldLeft(offs0) { case (d, (_, i)) =>
+        d.withColumn(s"__off$i",
+          coalesce(sum(s"__psum$i").over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+      }.drop(values.indices.map(i => s"__psum$i"): _*)
       val joined = parted.join(broadcast(offs), "__pid")
       values.zipWithIndex.foldLeft(joined) { case (d, ((v, out), i)) =>
         d.withColumn(out,
@@ -1356,11 +1355,14 @@ object Scale {
     *
     * Shapes at 100 TB: each document's absolute offset is ONE
     * range-partitioned two-phase prefix sum over doc rows ([[globalCumSum]]
-    * — no global window), the token-level explode is the job's actual
-    * output (training sequences ARE token-scale), window assembly is two
-    * hash aggregates — (window, doc) runs, then windows — each with
-    * per-group state bounded by `windowLen`, and every id lands via
-    * integer arithmetic (`p div L`, `p mod L`) — the whole packing
+    * — no global window), each document is sliced MAP-SIDE into its
+    * per-window runs (a doc occupying stream positions [off, off+n)
+    * intersects windows off div L .. (off+n−1) div L; start/len/token
+    * slice are pure integer arithmetic on the offsets — no per-token
+    * rows ever exist), and window assembly is ONE hash aggregate over
+    * run rows (≈ n_docs + n_tokens/L rows, each carrying its token
+    * slice as one array cell) with per-group state bounded by
+    * `windowLen` — the whole packing
     * replays exactly in the oracle (q_context_windows, q_context_spans).
     * `orderCol` must be unique per row (a document id) so the stream
     * order — and therefore every window — is deterministic.
@@ -1408,29 +1410,40 @@ object Scale {
         concat(col(idsCol), array(lit(sep))))
       case None => df
     }
-    val keyCols = if (orderCol == docCol) Seq(col(orderCol))
-                  else Seq(col(orderCol), col(docCol))
     val c = globalCumSum(
       src.withColumn("__n", size(col(idsCol)).cast("long")),
       Seq(col(orderCol)), col("__n"), "__cum")
+    val L = windowLen.toLong
+    // map-side run slicing: a doc at stream positions [__off, __cum)
+    // intersects windows __off div L .. (__cum−1) div L; its run in
+    // window w starts at greatest(__off, w·L) and ends at
+    // least(__cum, (w+1)·L). One row per (doc, window) run — the
+    // per-token rows the old two-level aggregate shuffled never exist,
+    // and the single window_id exchange carries each token once, inside
+    // its run's array slice.
     c.withColumn("__off", col("__cum") - col("__n"))
-      .select(keyCols ++ Seq(col("__off"),
-        posexplode(col(idsCol)).as(Seq("__i", "tid"))): _*)
-      .withColumn("__p", col("__off") + col("__i"))
-      // level 1: each (window, document) run — its start inside the
-      // window, its length, its tokens in window order (docCol rides
-      // the group: it is functionally dependent on orderCol)
-      .groupBy(expr(s"__p div $windowLen").as("window_id") +: keyCols: _*)
-      .agg(min(col("__p") % windowLen).as("start"),
-        count(lit(1)).as("len"),
-        expr("transform(array_sort(collect_list(" +
-          s"struct(__p % $windowLen AS wpos, tid))), s -> s.tid)")
-          .as("toks"))
-      // level 2: assemble windows from their document runs
-      .groupBy("window_id")
-      .agg(sum("len").as("n_filled"), count(lit(1)).as("n_docs"),
-        collect_list(struct(col("start"), col(docCol).as("doc_id"),
-          col("len"), col("toks"))).as("__ss"))
+      .filter(col("__n") > 0)
+      .select(col(docCol).as("__doc"),
+        explode(expr(
+          s"""transform(sequence(__off div ${L}L, (__cum - 1) div ${L}L),
+             |  w -> named_struct(
+             |    'window_id', w,
+             |    'start', greatest(__off, w * ${L}L) - w * ${L}L,
+             |    'len', least(__cum, (w + 1) * ${L}L)
+             |             - greatest(__off, w * ${L}L),
+             |    'toks', slice(`$idsCol`,
+             |      CAST(greatest(__off, w * ${L}L) - __off + 1 AS INT),
+             |      CAST(least(__cum, (w + 1) * ${L}L)
+             |             - greatest(__off, w * ${L}L) AS INT))))"""
+            .stripMargin)).as("__run"))
+      // assemble windows from their document runs (one aggregate; the
+      // struct field order (start, doc_id, len, toks) is the array_sort
+      // key and matches the old two-level form bit for bit)
+      .groupBy(col("__run.window_id").as("window_id"))
+      .agg(sum(col("__run.len")).as("n_filled"), count(lit(1)).as("n_docs"),
+        collect_list(struct(col("__run.start").as("start"),
+          col("__doc").as("doc_id"), col("__run.len").as("len"),
+          col("__run.toks").as("toks"))).as("__ss"))
       .withColumn("__ss", expr("array_sort(__ss)"))
       .select(col("window_id"), col("n_filled"), col("n_docs"),
         expr("flatten(transform(__ss, s -> s.toks))").as("ids"),

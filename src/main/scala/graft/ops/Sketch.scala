@@ -35,9 +35,13 @@ object Sketch {
   /** The portable 60-bit md5 hash shared with the DuckDB oracles:
     * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)` on the other side.
     * Nonnegative (60 bits), so `%` and `pmod` agree across engines.
+    * Computed straight from the digest bytes by the codegen'd
+    * [[graft.plans.Md5Hash60]] (value-identical to the composed
+    * conv∘substring∘md5 chain — TextFnsSpec pins the parity).
     */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.Md5Hash60(org.apache.spark.sql.graftshim.Shim.exprOf(c)))
 
   private def bucket(d: Column, k: Column, width: Int): Column =
     pmod(portableHash(concat(d.cast("string"), lit("|"), k)), lit(width))

@@ -141,12 +141,17 @@ object Bpe {
         val (l, r, f) =
           (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
         merges += ((rank.toLong, l, r, f))
-        val prev = words
-        rot.rotate {
-          words = prev
-            .withColumn("__l", lit(l)).withColumn("__r", lit(r))
-            .select(col("cnt"), expr(applyMergeExpr).as("ts"))
-            .localCheckpoint()
+        // the final round's applied word table has no consumer (the merge
+        // it encodes is already in `merges`; the next iteration's argmax
+        // is the only reader) — skip its apply fold + checkpoint job
+        if (rank < nMerges) {
+          val prev = words
+          rot.rotate {
+            words = prev
+              .withColumn("__l", lit(l)).withColumn("__r", lit(r))
+              .select(col("cnt"), expr(applyMergeExpr).as("ts"))
+              .localCheckpoint()
+          }
         }
       }
     }
@@ -253,17 +258,22 @@ object Bpe {
             count(lit(1))).head()
           onRound(rank, c.getLong(0), c.getLong(1))
         }
-        val delta = pairStats(affected.select("cnt", "ts"))
-          .withColumn("freq", -col("freq"))
-          .unionByName(pairStats(merged))
-        val prevStats = stats
-        rot.rotate {
-          words = untouched.unionByName(merged).coalesce(nPart)
-            .localCheckpoint()
-          stats = prevStats.unionByName(delta)
-            .groupBy("__l", "__r").agg(sum("freq").as("freq"))
-            .where(col("freq") > 0)
-            .localCheckpoint()
+        // the final round's updated word/stat tables have no consumer
+        // (the next round's argmax is the only reader) — skip their
+        // apply-fold + delta-fold checkpoint jobs
+        if (rank < nMerges) {
+          val delta = pairStats(affected.select("cnt", "ts"))
+            .withColumn("freq", -col("freq"))
+            .unionByName(pairStats(merged))
+          val prevStats = stats
+          rot.rotate {
+            words = untouched.unionByName(merged).coalesce(nPart)
+              .localCheckpoint()
+            stats = prevStats.unionByName(delta)
+              .groupBy("__l", "__r").agg(sum("freq").as("freq"))
+              .where(col("freq") > 0)
+              .localCheckpoint()
+          }
         }
       }
     }
@@ -427,25 +437,32 @@ object Bpe {
         // input.
         val bk = array(batch.map { case (l, r, _) =>
           lit(l + "\u0001" + r) }.toSeq: _*)
-        val flagged = words.withColumn("__bm", bm).withColumn("__bk", bk)
-          .withColumn("__hit", size(col("ts")) >= 2 &&
-            expr("exists(sequence(0, size(ts) - 2), " +
-              "i -> array_contains(__bk, concat(ts[i], chr(1), ts[i + 1])))"))
-        val affected = flagged.where(col("__hit"))
-          .select("cnt", "ts", "__bm")
-        val untouched = flagged.where(!col("__hit")).select("cnt", "ts")
-        val merged = affected.select(col("cnt"), expr(applyBatchExpr).as("ts"))
-        val delta = pairStats(affected.select("cnt", "ts"))
-          .withColumn("freq", -col("freq"))
-          .unionByName(pairStats(merged))
-        val prevStats = stats
-        rot.rotate {
-          words = untouched.unionByName(merged).coalesce(nPart)
-            .localCheckpoint()
-          stats = prevStats.unionByName(delta)
-            .groupBy("__l", "__r").agg(sum("freq").as("freq"))
-            .where(col("freq") > 0)
-            .localCheckpoint()
+        // the final round's updated word/stat tables have no consumer
+        // (the next round's argmax is the only reader) — skip their
+        // apply-fold + delta-fold checkpoint jobs once the merge budget
+        // is exhausted
+        if (merges.size < nMerges) {
+          val flagged = words.withColumn("__bm", bm).withColumn("__bk", bk)
+            .withColumn("__hit", size(col("ts")) >= 2 &&
+              expr("exists(sequence(0, size(ts) - 2), " +
+                "i -> array_contains(__bk, concat(ts[i], chr(1), ts[i + 1])))"))
+          val affected = flagged.where(col("__hit"))
+            .select("cnt", "ts", "__bm")
+          val untouched = flagged.where(!col("__hit")).select("cnt", "ts")
+          val merged = affected.select(col("cnt"),
+            expr(applyBatchExpr).as("ts"))
+          val delta = pairStats(affected.select("cnt", "ts"))
+            .withColumn("freq", -col("freq"))
+            .unionByName(pairStats(merged))
+          val prevStats = stats
+          rot.rotate {
+            words = untouched.unionByName(merged).coalesce(nPart)
+              .localCheckpoint()
+            stats = prevStats.unionByName(delta)
+              .groupBy("__l", "__r").agg(sum("freq").as("freq"))
+              .where(col("freq") > 0)
+              .localCheckpoint()
+          }
         }
       }
     }

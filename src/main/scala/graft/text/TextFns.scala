@@ -318,11 +318,24 @@ object TextFns {
     * prefix of each lowercase whitespace-split word n-gram. Every step
     * (split / concat / md5 / hex->int) exists in ANSI-ish SQL engines, so a
     * minhash pipeline seeded from THIS leaf is reproducible outside Spark —
-    * the oracle path for `q_dedup_minhash`. Slower than [[shingleHashes]]
-    * (md5 + gram strings vs one codegen'd xxhash pass); production callers
-    * should keep the default leaf.
+    * the oracle path for `q_dedup_minhash`. Computed by the one-pass
+    * codegen'd [[graft.plans.ShingleHashMd5]] expression (tokenize once,
+    * digest each gram once, 60 bits straight from the digest bytes) —
+    * value-identical to [[shingleHashesPortableComposed]], which stays as
+    * the differential oracle. Still slower than [[shingleHashes]] (md5 is
+    * the semantic); production callers should keep the default leaf.
     */
-  def shingleHashesPortable(text: Column, n: Int): Column = {
+  def shingleHashesPortable(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.ShingleHashMd5(
+        org.apache.spark.sql.graftshim.Shim.exprOf(text), n))
+
+  /** Reference formulation of [[shingleHashesPortable]] in composed
+    * built-ins — kept as the differential oracle for the custom
+    * expression (VALUES must agree exactly, unlike the xxhash64 pair
+    * where only equality classes match). */
+  private[graft] def shingleHashesPortableComposed(text: Column,
+                                                   n: Int): Column = {
     val w = split(lower(trim(text)), "\\s+")
     val cnt = size(w) - lit(n - 1)
     val grams = when(cnt >= 1,
@@ -340,6 +353,13 @@ object TextFns {
     * [[shingleHashesPortable]]: feeds oracle-reproducible simhash.
     */
   def portableHash64(s: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.Md5Hash64(org.apache.spark.sql.graftshim.Shim.exprOf(s)))
+
+  /** Reference formulation of [[portableHash64]] in composed built-ins —
+    * the differential oracle for [[graft.plans.Md5Hash64]] (values must
+    * agree exactly). */
+  private[graft] def portableHash64Composed(s: Column): Column =
     shiftleft(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), 32)
       .bitwiseOR(conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
 
@@ -621,8 +641,8 @@ object TextFns {
     val w = tokens(text)
     val idx = sequence(lit(0), size(w) - 1)
     def coin(i: Column): Column =
-      conv(substring(md5(concat(seed.cast("string"), lit("|"),
-        i.cast("string"))), 1, 15), 16, 10).cast("long") % 10000 < rateBp
+      graft.ops.Sketch.portableHash(concat(seed.cast("string"), lit("|"),
+        i.cast("string"))) % 10000 < rateBp
     // single left fold so the hash coin evaluates exactly once per
     // position (a flags-array formulation re-evaluates the producer array
     // inside every element_at — O(n²) md5 calls)

@@ -105,13 +105,119 @@ case class PartitionRunningSumExec(order: Seq[SortOrder],
       newChild: SparkPlan): PartitionRunningSumExec = copy(child = newChild)
 }
 
-/** Planner strategy mapping the logical node to its exec — injected once
-  * per session via `spark.experimental.extraStrategies` (public API). */
+/** GLOBAL running sums over an already-range-partitioned child — the WHOLE
+  * two-phase prefix sum as one operator. The two-phase shape needs (a) each
+  * partition's running sums and (b) every partition's exclusive offset (the
+  * sum of all earlier partitions). Expressed in DataFrame operators, (b)
+  * forced the ranged relation to be CACHED (two consumers of one exchange —
+  * without a shared materialization the range sampler can draw different
+  * boundaries per consumer and ranks corrupt silently), aggregated,
+  * windowed, broadcast and hash-joined back. This operator computes (b) as
+  * a MICRO-JOB over the child's OWN materialized shuffle output (one
+  * bounded driver collect of numPartitions × nValues longs — the same
+  * driver-literal idiom as the broadcast offsets it replaces) and folds the
+  * offsets into the partition-local pass as initial values.
+  *
+  * Scale consequence: the ranged relation is no longer cached AT ALL — a
+  * 100 TB prefix sum stops writing 100 TB into the block manager (and
+  * evicting everything else) just to pin partition boundaries; boundary
+  * consistency is free here because both passes execute the SAME exchange
+  * instance (one RangePartitioner, one map output). Locally each prefix sum
+  * drops the cache fill, the offsets shuffle, the broadcast build and the
+  * join — ~3 fewer jobs per call.
+  */
+case class GlobalRunningSum(order: Seq[SortOrder],
+                            values: Seq[Expression],
+                            outAttrs: Seq[AttributeReference],
+                            child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GlobalRunningSum = copy(child = newChild)
+}
+
+case class GlobalRunningSumExec(order: Seq[SortOrder],
+                                values: Seq[Expression],
+                                outAttrs: Seq[AttributeReference],
+                                child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+  // no required distribution — the caller owns the (range) partitioning;
+  // the partition-local sort orders rows within each partition
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = order
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val nVals = values.length
+    val childOutput = child.output
+    val valueExprs = values
+    val fullOutput = output
+    val sumAttrs: Seq[Attribute] = outAttrs
+    // PASS 1 — per-partition totals, a micro-job over the same exchange
+    // instance pass 2 reads (sums are order-independent; the duplicated
+    // partition-local sort is the price of not caching the relation).
+    // Bounded driver data: numPartitions × nVals longs.
+    val partSums: Array[Array[Long]] = sparkContext.runJob(
+      child.execute(),
+      (it: Iterator[InternalRow]) => {
+        val proj = UnsafeProjection.create(valueExprs, childOutput)
+        val s = new Array[Long](nVals)
+        while (it.hasNext) {
+          val v = proj(it.next())
+          var i = 0
+          while (i < nVals) {
+            if (!v.isNullAt(i)) s(i) += v.getLong(i)
+            i += 1
+          }
+        }
+        s
+      })
+    // exclusive prefix offsets per partition
+    val offsets = new Array[Array[Long]](partSums.length)
+    val acc = new Array[Long](nVals)
+    var p = 0
+    while (p < partSums.length) {
+      offsets(p) = acc.clone()
+      var i = 0
+      while (i < nVals) { acc(i) += partSums(p)(i); i += 1 }
+      p += 1
+    }
+    // PASS 2 — partition-local running sums seeded with the offsets
+    child.execute().mapPartitionsWithIndexInternal { (pid, iter) =>
+      val valProj = UnsafeProjection.create(valueExprs, childOutput)
+      val outProj = UnsafeProjection.create(
+        fullOutput.map(_.asInstanceOf[Expression]), childOutput ++ sumAttrs)
+      val sums = offsets(pid).clone()
+      val sumsRow = new GenericInternalRow(nVals)
+      val joined = new JoinedRow
+      iter.map { row =>
+        val v = valProj(row)
+        var i = 0
+        while (i < nVals) {
+          if (!v.isNullAt(i)) sums(i) += v.getLong(i)
+          sumsRow.update(i, sums(i))
+          i += 1
+        }
+        outProj(joined(row, sumsRow))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): GlobalRunningSumExec = copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical nodes to their execs — injected
+  * once per session via `spark.experimental.extraStrategies` (public API). */
 object PartitionPrefixStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case PartitionRunningSum(order, resets, values, outAttrs, child) =>
       PartitionRunningSumExec(order, resets, values, outAttrs,
         planLater(child)) :: Nil
+    case GlobalRunningSum(order, values, outAttrs, child) =>
+      GlobalRunningSumExec(order, values, outAttrs, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -194,5 +300,60 @@ object PartitionPrefix {
       child)
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  }
+
+  /** Append inclusive GLOBAL running sums of each `values` column
+    * (integral, NULL adds 0) to `df`, which the caller must already have
+    * range-partitioned by `order` (every partition a contiguous key
+    * range). One operator does the whole two-phase prefix sum: a micro-job
+    * collects per-partition totals from the same materialized exchange,
+    * and the partition-local pass starts each partition at its exclusive
+    * offset — no cache, no offsets shuffle, no broadcast join. */
+  def globalRunningSums(df: DataFrame, order: Seq[Column],
+                        values: Seq[(Column, String)]): DataFrame = {
+    require(values.nonEmpty, "need at least one (value, name) pair")
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val orderSplit = order.map(splitSort)
+    val allCols = orderSplit.map(_._1) ++ values.map(_._1)
+    val probe = df.select(allCols.zipWithIndex.map { case (c, i) =>
+      c.as(s"__ppx$i") }: _*)
+    val proj = probe.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+    val resolved: Seq[Expression] = proj.projectList.map {
+      case Alias(e, _) => e
+      case a => a
+    }
+    val child = proj.child
+    val nOrd = order.length
+    val sorts = orderSplit.zipWithIndex.map { case ((_, dir, no), i) =>
+      SortOrder(resolved(i), dir, no, Seq.empty)
+    }
+    val valueExprs = resolved.drop(nOrd).map { e =>
+      e.dataType match {
+        case LongType => e
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => Cast(e, LongType)
+        case other => throw new IllegalArgumentException(
+          s"globalRunningSums: value must be integral, got $other")
+      }
+    }
+    // internal names, re-aliased through a Project below: a custom node's
+    // produced attributes must NOT surface directly in the Dataset output —
+    // the analyzer's self-join deduplication renews Project aliases but
+    // not unknown nodes' produced attrs (two copies of this subtree in one
+    // join would then carry the SAME exprId and fail analysis with
+    // "conflicting references"). Hidden behind the alias they stay
+    // subtree-internal, exactly like the old two-branch form's __run cols.
+    val outAttrs = values.map { case (_, name) =>
+      AttributeReference(s"__grs_$name", LongType, nullable = false)()
+    }
+    val plan = GlobalRunningSum(sorts, valueExprs, outAttrs, child)
+    val raw = org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+    raw.select(df.columns.map(org.apache.spark.sql.functions.col).toSeq ++
+      values.map { case (_, name) =>
+        org.apache.spark.sql.functions.col(s"__grs_$name").as(name) }: _*)
   }
 }

@@ -402,6 +402,47 @@ class PipelineSpec extends AnyFunSuite {
       == pairCommons(TextFns.shingleHashesComposed(col("text"), 3)))
   }
 
+  test("ShingleHashMd5 / Md5Hash60 / Md5Hash64 equal the composed md5 " +
+      "formulations VALUE-FOR-VALUE (the portable leaf is oracle-shared)") {
+    import spark.implicits._
+    // corpus texts + adversarial edges: empty, whitespace-only, tabs (a
+    // leading tab yields a leading "" token), interior multi-space,
+    // unicode case-mapping, fewer-than-n tokens, repeats (distinct order)
+    val edges = Seq(
+      "", " ", "\t", "\t x", "a", "a b", "a b c", "a  b   c", "x x x x",
+      "ümlaut Ünïcode İstanbul ẞharp", "tab\tsep mixed \n newline",
+      "a b c a b c a b c", "  leading and trailing  ", "trail\t",
+      "punct, punct. punct!"
+    ).zipWithIndex.map { case (t, i) => (100000L + i, t) }
+    val df = docs.select(col("doc_id"), col("text"))
+      .unionByName(edges.toDF("doc_id", "text"))
+    for (n <- Seq(1, 3, 5)) {
+      val diff = df.select(
+          TextFns.shingleHashesPortable(col("text"), n).as("fast"),
+          TextFns.shingleHashesPortableComposed(col("text"), n).as("slow"))
+        .filter(!(col("fast") <=> col("slow"))).count()
+      assert(diff == 0, s"shingleHashesPortable n=$n diverges from composed")
+    }
+    val h60 = df.select(
+        graft.ops.Sketch.portableHash(col("text")).as("fast"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+          .as("slow"))
+      .filter(!(col("fast") <=> col("slow"))).count()
+    assert(h60 == 0, "Md5Hash60 diverges from conv∘substring∘md5")
+    val h64 = df.select(
+        TextFns.portableHash64(col("text")).as("fast"),
+        TextFns.portableHash64Composed(col("text")).as("slow"))
+      .filter(!(col("fast") <=> col("slow"))).count()
+    assert(h64 == 0, "Md5Hash64 diverges from the composed two-half form")
+    // NULL text: all three return NULL, like the composed chains
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = nulls.select(
+      TextFns.shingleHashesPortable(col("text"), 3),
+      graft.ops.Sketch.portableHash(col("text")),
+      TextFns.portableHash64(col("text"))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("DotProduct expression equals the composed zip_with/aggregate formulation") {
     import spark.implicits._
     val diff = emb.select(

@@ -245,13 +245,23 @@ class ScaleSpec extends AnyFunSuite {
       .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ids = d.select("id").collect().map(_.getLong(0)).sorted
     assert(ids.zipWithIndex.forall { case (id, i) => rn(id) == i + 1 })
-    // the DATA-side window must be partitioned by __pid (a SinglePartition
-    // exchange is only acceptable on the tiny per-partition-offsets table,
-    // which is bounded by numPartitions rows)
-    val plan = graft.ops.Scale.globalRowNumber(d, Seq(col("id")))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("windowspecdefinition(__pid"),
-      "two-phase prefix sum must window within range partitions, not globally")
+    // the integral global prefix sum is ONE operator over ONE range
+    // exchange: no Window anywhere, no offsets aggregate, no broadcast
+    // join, no cache — GlobalRunningSumExec collects per-partition totals
+    // via a micro-job over its own materialized shuffle
+    val pDf = graft.ops.Scale.globalRowNumber(d, Seq(col("id")))
+    val plan = pDf.queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRunningSum"),
+      "global prefix sum must plan the dedicated one-exchange operator")
+    assert(!plan.contains("windowspecdefinition"),
+      "no Window may remain in the integral global prefix sum")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("InMemoryRelation"),
+      "the offsets broadcast join and the ranged-relation cache are gone")
+    val nExchanges = "Exchange rangepartitioning".r
+      .findAllIn(plan).length + "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(nExchanges == 1,
+      s"exactly the range exchange may shuffle data, got $nExchanges:\n$plan")
   }
 
   test("groupedCumSum/globalRowNumberBy equal the per-group window ground truth") {
@@ -306,16 +316,13 @@ class ScaleSpec extends AnyFunSuite {
       .select("id", "cum").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast == slow)
-    // the integral path must carry the dedicated operator (no second
-    // exchange) …
+    // the integral path must carry the dedicated one-exchange operator …
     val plan = graft.ops.Scale.globalCumSum(d, Seq(col("id").desc),
       col("v"), "cum").queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionRunningSum"))
-    // the data-side hash exchange the window form paid is gone: nothing
-    // between the running-sum operator and its (cached) ranged input may
-    // shuffle. (The offs micro-table's own tiny groupBy(__pid) exchange
-    // on the broadcast side is legitimate — it is the cross-partition
-    // meet point and carries ≤ one row per partition.)
+    assert(plan.contains("GlobalRunningSum"))
+    // … whose ONLY shuffle is its own range exchange: the hash exchange
+    // the window form paid, the offsets aggregate's exchange, the
+    // broadcast build and the ranged-relation cache are all gone
     val pDf = graft.ops.Scale.globalCumSum(d, Seq(col("id").desc),
       col("v"), "cum")
     pDf.count() // finalize AQE so the executed plan is walkable
@@ -324,13 +331,17 @@ class ScaleSpec extends AnyFunSuite {
         a.executedPlan
       case x => x
     }
-    val prsNodes = pExec.collect {
-      case p: org.apache.spark.sql.graftshim.PartitionRunningSumExec => p }
-    assert(prsNodes.nonEmpty, "expected the PartitionRunningSumExec node")
-    prsNodes.foreach { n =>
-      assert(n.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }.isEmpty, "no exchange may sit under the partition-local running sum")
+    val grsNodes = pExec.collect {
+      case p: org.apache.spark.sql.graftshim.GlobalRunningSumExec => p }
+    assert(grsNodes.nonEmpty, "expected the GlobalRunningSumExec node")
+    grsNodes.foreach { n =>
+      val shuffles = n.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => q
+      }
+      assert(shuffles.size == 1,
+        s"exactly the range exchange may sit under GlobalRunningSumExec, " +
+          s"got ${shuffles.size}")
     }
     // … and DOUBLE values keep the window form, same ground truth
     val dd = d.withColumn("vd", col("v").cast("double") * 0.5)

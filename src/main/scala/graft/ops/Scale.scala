@@ -369,27 +369,7 @@ object Scale {
     val src = if (checkpointInput) df.localCheckpoint(true) else df
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sparkContext.defaultParallelism
-    // same shared pin as globalCumSum: the offsets aggregate and the data
-    // join must read ONE materialized partitioning
-    val parted = graft.ml.Dedup.trackCache(src
-      .repartitionByRange(n, (grpCols.map(col) ++ orderCols): _*)
-      .withColumn("__pid", spark_partition_id()))
-    // micro-table: one row per (partition, group) — the only windows below
-    // run over it, never over the data
-    val offs = parted.groupBy(("__pid" +: grpCols).map(col): _*)
-      .agg(sum(valueCol).as("__psum"))
-      .withColumn("__off",
-        coalesce(sum("__psum").over(
-          Window.partitionBy(grpCols.map(col): _*).orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .drop("__psum")
-    // within-partition phase: same operator swap as [[globalCumSums]] —
-    // the group tuple is a PREFIX of the range-partition key, so group
-    // blocks are contiguous within each partition and the running sum
-    // restarts on group change with no hashpartitioning(__pid, grp…)
-    // exchange. Non-integral values keep the Window form.
-    val integral = parted.select(valueCol).schema.head.dataType match {
+    val integral = df.select(valueCol).schema.head.dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
@@ -397,13 +377,36 @@ object Scale {
       case _ => false
     }
     if (integral) {
-      val runs = org.apache.spark.sql.graftshim.PartitionPrefix.runningSums(
-        parted, grpCols.map(col) ++ orderCols, grpCols.map(col),
-        Seq((valueCol, "__run")))
-      runs.join(broadcast(offs), "__pid" +: grpCols)
-        .withColumn(outCol, col("__off") + col("__run"))
+      // ONE operator over ONE range exchange (GroupedRunningSumExec): the
+      // group tuple is a PREFIX of the range-partition key, so each
+      // group's rows are contiguous across the partition sequence and
+      // cross-partition offsets exist only for each partition's FIRST
+      // group — collected as boundary-group sums (2 keys per partition,
+      // not the old ≤ partitions × groups offsets micro-table) and fixed
+      // up on the driver. No cache, no broadcast join; boundary
+      // consistency is structural (both passes read the same exchange).
+      org.apache.spark.sql.graftshim.PartitionPrefix.groupedRunningSums(
+        src.repartitionByRange(n, (grpCols.map(col) ++ orderCols): _*),
+        grpCols.map(col) ++ orderCols, grpCols.map(col),
+        Seq((valueCol, outCol)))
         .select((df.columns.map(col) :+ col(outCol)): _*)
-    } else
+    } else {
+      // float path: the classic cached two-branch shape — the offsets
+      // aggregate and the data join must read ONE materialized
+      // partitioning
+      val parted = graft.ml.Dedup.trackCache(src
+        .repartitionByRange(n, (grpCols.map(col) ++ orderCols): _*)
+        .withColumn("__pid", spark_partition_id()))
+      // micro-table: one row per (partition, group) — the only windows
+      // below run over it, never over the data
+      val offs = parted.groupBy(("__pid" +: grpCols).map(col): _*)
+        .agg(sum(valueCol).as("__psum"))
+        .withColumn("__off",
+          coalesce(sum("__psum").over(
+            Window.partitionBy(grpCols.map(col): _*).orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .drop("__psum")
       parted.join(broadcast(offs), "__pid" +: grpCols)
         .withColumn(outCol,
           col("__off") + sum(valueCol).over(
@@ -412,6 +415,7 @@ object Scale {
         // the using-join hoisted the key columns to the front; restore the
         // caller's column order (same contract as globalCumSum)
         .select((df.columns.map(col) :+ col(outCol)): _*)
+    }
   }
 
   /** Exact per-group 1-based row number — [[groupedCumSum]] of 1. */

@@ -66,13 +66,12 @@ object Bpe {
     * slicing of multi-byte text is where engines disagree).
     */
   def wordCounts(df: DataFrame, textCol: String,
-                 asciiOnly: Boolean = true): DataFrame = {
-    val words = df
-      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
-      .where(col("word") =!= "")
-    (if (asciiOnly) words.where(col("word").rlike("^[a-z]+$")) else words)
+                 asciiOnly: Boolean = true): DataFrame =
+    // same token classes as before (lower/whitespace/`^[a-z]+$`), via the
+    // one-pass codegen'd tokenizer Lm.tokens now routes through — the
+    // split + two interpreted array-filter lambdas collapse into one call
+    df.select(explode(Lm.tokens(col(textCol), asciiOnly)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-  }
 
   /** Initial tokenization: one token per character plus the `</w>`
     * end-of-word marker (so merges can learn word-final units). Built by

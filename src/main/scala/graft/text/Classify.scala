@@ -85,18 +85,34 @@ object Classify {
     require(totalDocs > 0, "totalDocs must be positive")
     // the bounded label set as a literal struct array: the doc x class
     // expansion is a map-side explode, never a join the optimizer has to
-    // get right
-    val clsArr = array(classStats.sortBy(_._1).map { case (c, nd, nt) =>
+    // get right. The model joins PIVOTED to one row per word (each class's
+    // count a column — |classes| is a model parameter, bounded), so the
+    // corpus-scale join probes once per TOKEN, not once per token × class;
+    // the class explode happens AFTER the join on the slim joined rows.
+    // Values are unchanged: cnt_c read from the pivoted column is exactly
+    // the (cls, w) count the per-class join row carried.
+    val classes = classStats.sortBy(_._1)
+    val clsArr = array(classes.map { case (c, nd, nt) =>
       struct(lit(c).as("cls"), lit(nd).as("n_docs"), lit(nt).as("n_tokens"))
     }: _*)
+    val cntCols = classes.zipWithIndex.map { case ((c, _, _), i) =>
+      max(when(col("cls") === c, col("cnt"))).as(s"__cnt_$i") }
+    val pivoted = wordCounts.groupBy("w")
+      .agg(cntCols.head, cntCols.tail: _*)
     val ex = docs
       .select(col(idCol), Lm.tokens(col(textCol), asciiOnly).as("__ts"))
       .select(col(idCol), posexplode_outer(col("__ts")).as(Seq("pos", "w")))
-      .select(col(idCol), col("pos"), col("w"), explode(clsArr).as("c"))
-      .select(col(idCol), col("pos"), col("w"), col("c.cls").as("cls"),
-        col("c.n_docs").as("n_docs"), col("c.n_tokens").as("n_tokens"))
     val lp = ex
-      .join(wordCounts.select("cls", "w", "cnt"), Seq("cls", "w"), "left")
+      .join(pivoted, Seq("w"), "left")
+      .select(Seq(col(idCol), col("pos"), col("w"),
+        explode(clsArr).as("c")) ++
+        classes.indices.map(i => col(s"__cnt_$i")): _*)
+      .select(col(idCol), col("pos"), col("w"), col("c.cls").as("cls"),
+        col("c.n_docs").as("n_docs"), col("c.n_tokens").as("n_tokens"),
+        classes.zipWithIndex.foldLeft(lit(null).cast("long")) {
+          case (acc, ((c, _, _), i)) =>
+            when(col("c.cls") === c, col(s"__cnt_$i")).otherwise(acc)
+        }.as("cnt"))
       .withColumn("lp", when(col("w").isNotNull, log(
         (coalesce(col("cnt"), lit(0L)) + lit(1.0d)) /
           (col("n_tokens") + lit(vocab)))))

@@ -51,17 +51,30 @@ object Lm {
     * [[Bpe.wordCounts]]'s tokenization (same lower/whitespace/`^[a-z]+$`
     * normalization), kept in document order because scoring is positional.
     */
-  private[text] def tokens(textCol: Column, asciiOnly: Boolean): Column = {
+  private[text] def tokens(textCol: Column, asciiOnly: Boolean): Column =
+    org.apache.spark.sql.graftshim.Shim.columnOf(
+      graft.plans.AsciiWords(
+        org.apache.spark.sql.graftshim.Shim.exprOf(textCol), asciiOnly))
+
+  /** Composed-built-ins form of [[tokens]] — the differential oracle for
+    * [[graft.plans.AsciiWords]] (values must agree exactly). */
+  private[graft] def tokensComposed(textCol: Column,
+                                    asciiOnly: Boolean): Column = {
     val ws = filter(split(trim(lower(textCol)), "\\s+"), w => w =!= "")
     if (asciiOnly) filter(ws, w => w.rlike("^[a-z]+$")) else ws
   }
+
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftshim.Shim.columnOf(e)
+  private def exprOf(c: Column) =
+    org.apache.spark.sql.graftshim.Shim.exprOf(c)
 
   /** The (pos, ctx, w) gram array of a token array: ctx is the n−1
     * preceding words joined with ' ' ("" for unigrams), w the word at the
     * gram's end. Shared by training and scoring so the two sides can
     * never tokenize differently.
     */
-  private def gramExpr(n: Int): String =
+  private[graft] def gramExpr(n: Int): String =
     s"""IF(size(__ts) >= $n,
        |  transform(sequence(0, size(__ts) - $n), i -> named_struct(
        |    'ctx', array_join(slice(__ts, i + 1, ${n - 1}), ' '),
@@ -79,7 +92,8 @@ object Lm {
                   asciiOnly: Boolean = true): DataFrame = {
     require(n >= 1, "n must be >= 1")
     df.select(tokens(col(textCol), asciiOnly).as("__ts"))
-      .select(explode(expr(gramExpr(n))).as("g"))
+      .select(explode(colOf(graft.plans.NGramPairs(exprOf(col("__ts")), n)))
+        .as("g"))
       .groupBy(col("g.ctx").as("ctx"), col("g.w").as("w"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -132,7 +146,8 @@ object Lm {
     val ex = docs
       .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
       .select(col(idCol),
-        posexplode_outer(expr(gramExpr(n))).as(Seq("pos", "g")))
+        posexplode_outer(colOf(graft.plans.NGramPairs(exprOf(col("__ts")),
+          n))).as(Seq("pos", "g")))
       .select(col(idCol), col("pos"), col("g.ctx").as("ctx"),
         col("g.w").as("w"))
     val lp = ex
@@ -177,7 +192,7 @@ object Lm {
     * occurrence rides along with every o-gram occurrence), so denominators
     * are always ≥ numerators and never zero when the numerator is seen.
     */
-  private def allGramExpr(n: Int): String =
+  private[graft] def allGramExpr(n: Int): String =
     s"""flatten(transform(sequence(1, $n), o ->
        |  IF(size(__ts) >= o,
        |    transform(sequence(o - 1, size(__ts) - 1), i -> named_struct(
@@ -196,7 +211,8 @@ object Lm {
                     asciiOnly: Boolean = true): DataFrame = {
     require(n >= 1, "n must be >= 1")
     df.select(tokens(col(textCol), asciiOnly).as("__ts"))
-      .select(explode(expr(allGramExpr(n))).as("g"))
+      .select(explode(colOf(graft.plans.AllOrderGrams(exprOf(col("__ts")),
+        n))).as("g"))
       .groupBy(col("g.ord").as("ord"), col("g.gram").as("gram"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -215,7 +231,7 @@ object Lm {
     * one earlier, counted at ord o−1). 2n−1 slim (pos, lvl, role, ord,
     * gram) rows per position — the model joins back in ONE hash equi-join.
     */
-  private def lookupExpr(n: Int): String = {
+  private[graft] def lookupExpr(n: Int): String = {
     val num =
       s"""transform(sequence(1, $n), o -> named_struct(
          |  'pos', i - ${n - 1}, 'lvl', o, 'role', 'n',
@@ -267,7 +283,9 @@ object Lm {
     require(backoff > 0 && backoff <= 1, "backoff must be in (0, 1]")
     val ex = docs
       .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
-      .select(col(idCol), posexplode_outer(expr(lookupExpr(n))).as(Seq("__i", "g")))
+      .select(col(idCol), posexplode_outer(colOf(
+        graft.plans.BackoffLookupGrams(exprOf(col("__ts")), n)))
+        .as(Seq("__i", "g")))
       .select(col(idCol), col("g.pos").as("pos"), col("g.lvl").as("lvl"),
         col("g.role").as("role"), col("g.ord").as("ord"),
         col("g.gram").as("gram"))
@@ -439,7 +457,8 @@ object Lm {
     val ex = docs
       .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
       .select(col(idCol),
-        posexplode_outer(expr(knLookupExprPivot(n))).as(Seq("__i", "g")))
+        posexplode_outer(colOf(graft.plans.KnLookupGrams(
+          exprOf(col("__ts")), n))).as(Seq("__i", "g")))
       .select(col(idCol), col("g.pos").as("pos"), col("g.role").as("role"),
         col("g.k").as("k"), col("g.gram").as("gram"))
     val joined = ex.join(pivotKnModel(model), Seq("k", "gram"), "left")
@@ -635,7 +654,7 @@ object Lm {
     * and the unigram ('u') — 2n−1 slim rows per position (5 at n=3,
     * down from 7 / 11), one hash equi-join on (k, gram).
     */
-  private def knLookupExprPivot(n: Int): String = {
+  private[graft] def knLookupExprPivot(n: Int): String = {
     def st(role: String, k: Int, gram: String): String =
       s"""named_struct('pos', i - ${n - 1}, 'role', '$role',
          |  'k', $k, 'gram', $gram)""".stripMargin
@@ -716,7 +735,8 @@ object Lm {
     val ex = docs
       .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
       .select(col(idCol),
-        posexplode_outer(expr(knLookupExprPivot(n))).as(Seq("__i", "g")))
+        posexplode_outer(colOf(graft.plans.KnLookupGrams(
+          exprOf(col("__ts")), n))).as(Seq("__i", "g")))
       .select(col(idCol), col("g.pos").as("pos"), col("g.role").as("role"),
         col("g.k").as("k"), col("g.gram").as("gram"))
     val joined = ex.join(pivotKnModel(model), Seq("k", "gram"), "left")
@@ -928,7 +948,8 @@ object Lm {
     val ex = docs
       .select(col(idCol), tokens(col(textCol), asciiOnly).as("__ts"))
       .select(col(idCol),
-        posexplode_outer(expr(lookupExpr(n))).as(Seq("__i", "g")))
+        posexplode_outer(colOf(graft.plans.BackoffLookupGrams(
+          exprOf(col("__ts")), n))).as(Seq("__i", "g")))
       .select(col(idCol), col("g.pos").as("pos"), col("g.lvl").as("lvl"),
         col("g.role").as("role"), col("g.ord").as("ord"),
         col("g.gram").as("gram"))

@@ -209,6 +209,155 @@ case class GlobalRunningSumExec(order: Seq[SortOrder],
       newChild: SparkPlan): GlobalRunningSumExec = copy(child = newChild)
 }
 
+/** PER-GROUP running sums over an already-range-partitioned child — the
+  * grouped sibling of [[GlobalRunningSum]], same contract as
+  * `Scale.groupedCumSum`: the child is range-partitioned by
+  * (groups ++ order), so each group's rows are CONTIGUOUS across the
+  * partition sequence. Cross-partition offsets then exist only for the
+  * FIRST group of each partition (a group reaching partition p from
+  * earlier partitions must be p's first group — contiguity), so pass 1
+  * collects just (first group key, its sums, last group key, its sums)
+  * per partition — 2 keys per partition regardless of group count, which
+  * beats the old offsets micro-table (≤ partitions × groups rows,
+  * aggregated + windowed + broadcast + joined, over a CACHED copy of the
+  * whole relation). The driver walks partitions backwards accumulating
+  * last-group sums while the boundary group continues (the classic
+  * segmented-scan fixup), and pass 2 seeds each partition's first group
+  * with its offset.
+  */
+case class GroupedRunningSum(order: Seq[SortOrder],
+                             resets: Seq[Expression],
+                             values: Seq[Expression],
+                             outAttrs: Seq[AttributeReference],
+                             child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GroupedRunningSum = copy(child = newChild)
+}
+
+case class GroupedRunningSumExec(order: Seq[SortOrder],
+                                 resets: Seq[Expression],
+                                 values: Seq[Expression],
+                                 outAttrs: Seq[AttributeReference],
+                                 child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = order
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val nVals = values.length
+    val childOutput = child.output
+    val resetExprs = resets
+    val valueExprs = values
+    val fullOutput = output
+    val sumAttrs: Seq[Attribute] = outAttrs
+    // PASS 1 — boundary-group sums per partition (rows arrive sorted, so
+    // the first/last group are the leading/trailing runs). Tuple per
+    // partition: (firstKeyBytes, firstSums, lastKeyBytes, lastSums);
+    // null keys = empty partition.
+    val edges: Array[(Array[Byte], Array[Long], Array[Byte], Array[Long])] =
+      sparkContext.runJob(
+      child.execute(),
+      (it: Iterator[InternalRow]) => {
+        val keyProj = UnsafeProjection.create(resetExprs, childOutput)
+        val valProj = UnsafeProjection.create(valueExprs, childOutput)
+        var firstKey: UnsafeRow = null
+        var firstSums: Array[Long] = null
+        var curKey: UnsafeRow = null
+        var curSums = new Array[Long](nVals)
+        while (it.hasNext) {
+          val row = it.next()
+          val k = keyProj(row)
+          if (curKey == null || k != curKey) {
+            if (curKey != null && firstKey == null) {
+              // the leading run just ended
+              firstKey = curKey
+              firstSums = curSums
+            }
+            if (curKey != null) curSums = new Array[Long](nVals)
+            curKey = k.copy()
+          }
+          val v = valProj(row)
+          var i = 0
+          while (i < nVals) {
+            if (!v.isNullAt(i)) curSums(i) += v.getLong(i)
+            i += 1
+          }
+        }
+        if (curKey == null) // empty partition
+          (null: Array[Byte], null: Array[Long],
+            null: Array[Byte], null: Array[Long])
+        else if (firstKey == null) { // one group spans the whole partition
+          val kb = curKey.getBytes
+          (kb, curSums, kb, curSums)
+        } else
+          (firstKey.getBytes, firstSums, curKey.getBytes, curSums)
+      })
+    // driver fixup: offset of partition p's FIRST group = sum of the
+    // trailing runs of the maximal chain of earlier partitions whose last
+    // group equals it (walk stops at a partition holding >1 group; empty
+    // partitions are skipped — a group can span one)
+    val offsets = new Array[Array[Long]](edges.length)
+    var p = 0
+    while (p < edges.length) {
+      val off = new Array[Long](nVals)
+      if (edges(p)._1 != null) {
+        val fk = edges(p)._1
+        var q = p - 1
+        var walking = true
+        while (walking && q >= 0) {
+          val (efk, _, elk, els) = edges(q)
+          if (efk == null) q -= 1 // empty partition: look past it
+          else if (java.util.Arrays.equals(elk, fk)) {
+            var i = 0
+            while (i < nVals) { off(i) += els(i); i += 1 }
+            if (java.util.Arrays.equals(efk, elk)) q -= 1
+            else walking = false
+          } else walking = false
+        }
+      }
+      offsets(p) = off
+      p += 1
+    }
+    // PASS 2 — partition-local running sums restarting per group, the
+    // first group seeded with its cross-partition offset
+    child.execute().mapPartitionsWithIndexInternal { (pid, iter) =>
+      val keyProj = UnsafeProjection.create(resetExprs, childOutput)
+      val valProj = UnsafeProjection.create(valueExprs, childOutput)
+      val outProj = UnsafeProjection.create(
+        fullOutput.map(_.asInstanceOf[Expression]), childOutput ++ sumAttrs)
+      val sums = offsets(pid).clone()
+      val sumsRow = new GenericInternalRow(nVals)
+      val joined = new JoinedRow
+      var prevKey: UnsafeRow = null
+      var first = true
+      iter.map { row =>
+        val k = keyProj(row)
+        if (first) { prevKey = k.copy(); first = false }
+        else if (k != prevKey) {
+          java.util.Arrays.fill(sums, 0L)
+          prevKey = k.copy()
+        }
+        val v = valProj(row)
+        var i = 0
+        while (i < nVals) {
+          if (!v.isNullAt(i)) sums(i) += v.getLong(i)
+          sumsRow.update(i, sums(i))
+          i += 1
+        }
+        outProj(joined(row, sumsRow))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): GroupedRunningSumExec = copy(child = newChild)
+}
+
 /** Planner strategy mapping the logical nodes to their execs — injected
   * once per session via `spark.experimental.extraStrategies` (public API). */
 object PartitionPrefixStrategy extends SparkStrategy {
@@ -218,6 +367,9 @@ object PartitionPrefixStrategy extends SparkStrategy {
         planLater(child)) :: Nil
     case GlobalRunningSum(order, values, outAttrs, child) =>
       GlobalRunningSumExec(order, values, outAttrs, planLater(child)) :: Nil
+    case GroupedRunningSum(order, resets, values, outAttrs, child) =>
+      GroupedRunningSumExec(order, resets, values, outAttrs,
+        planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -350,6 +502,58 @@ object PartitionPrefix {
       AttributeReference(s"__grs_$name", LongType, nullable = false)()
     }
     val plan = GlobalRunningSum(sorts, valueExprs, outAttrs, child)
+    val raw = org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+    raw.select(df.columns.map(org.apache.spark.sql.functions.col).toSeq ++
+      values.map { case (_, name) =>
+        org.apache.spark.sql.functions.col(s"__grs_$name").as(name) }: _*)
+  }
+
+  /** [[globalRunningSums]] restarting per `resets` group — the grouped
+    * two-phase prefix sum as ONE operator over the caller's range
+    * partitioning by (resets ++ order). Cross-partition offsets are
+    * collected as boundary-group sums (2 group keys per partition) and
+    * fixed up on the driver; no cache, no offsets micro-table, no
+    * broadcast join. */
+  def groupedRunningSums(df: DataFrame, order: Seq[Column],
+                         resets: Seq[Column],
+                         values: Seq[(Column, String)]): DataFrame = {
+    require(values.nonEmpty, "need at least one (value, name) pair")
+    require(resets.nonEmpty, "use globalRunningSums when there are no groups")
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val orderSplit = order.map(splitSort)
+    val allCols = orderSplit.map(_._1) ++ resets ++ values.map(_._1)
+    val probe = df.select(allCols.zipWithIndex.map { case (c, i) =>
+      c.as(s"__ppx$i") }: _*)
+    val proj = probe.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+    val resolved: Seq[Expression] = proj.projectList.map {
+      case Alias(e, _) => e
+      case a => a
+    }
+    val child = proj.child
+    val nOrd = order.length
+    val nRst = resets.length
+    val sorts = orderSplit.zipWithIndex.map { case ((_, dir, no), i) =>
+      SortOrder(resolved(i), dir, no, Seq.empty)
+    }
+    val resetExprs = resolved.slice(nOrd, nOrd + nRst)
+    val valueExprs = resolved.drop(nOrd + nRst).map { e =>
+      e.dataType match {
+        case LongType => e
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => Cast(e, LongType)
+        case other => throw new IllegalArgumentException(
+          s"groupedRunningSums: value must be integral, got $other")
+      }
+    }
+    val outAttrs = values.map { case (_, name) =>
+      AttributeReference(s"__grs_$name", LongType, nullable = false)()
+    }
+    val plan = GroupedRunningSum(sorts, resetExprs, valueExprs, outAttrs,
+      child)
     val raw = org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
     raw.select(df.columns.map(org.apache.spark.sql.functions.col).toSeq ++

@@ -7,6 +7,61 @@ import graft.text.Lm
 class LmSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("codegen'd tokenize/gram expressions equal the composed HOF " +
+      "formulations VALUE-FOR-VALUE (corpus + adversarial texts)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = Seq(
+      "", " ", "\t", "\t x", "a", "a b", "a b c d e f", "a  b   c",
+      "x x x x", "ümlaut Ünïcode İstanbul", "tab\tsep mixed \n newline",
+      "UPPER lower MiXeD 123 mix3d", "  leading and trailing  ",
+      "punct, punct. punct!", "one"
+    ).zipWithIndex.map { case (t, i) => (100000L + i, t) }
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(edges.toDF("doc_id", "text"))
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.graftshim.Shim.columnOf(e)
+    def exprOf(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftshim.Shim.exprOf(c)
+    // tokens (both asciiOnly modes)
+    for (ascii <- Seq(true, false)) {
+      val diff = df.select(
+          colOf(graft.plans.AsciiWords(exprOf(col("text")), ascii)).as("f"),
+          graft.text.Lm.tokensComposed(col("text"), ascii).as("s"))
+        .filter(!(col("f") <=> col("s"))).count()
+      assert(diff == 0, s"AsciiWords(ascii=$ascii) diverges from composed")
+    }
+    // gram builders over the ascii token array, several orders
+    val ts = df.select(graft.text.Lm.tokensComposed(col("text"), true)
+      .as("__ts"))
+    def check(name: String, fast: org.apache.spark.sql.Column,
+              slowSql: String): Unit = {
+      val diff = ts.select(fast.as("f"), expr(slowSql).as("s"))
+        .filter(!(col("f") <=> col("s"))).count()
+      assert(diff == 0, s"$name diverges from the composed form")
+    }
+    for (n <- Seq(1, 2, 3)) {
+      check(s"NGramPairs($n)",
+        colOf(graft.plans.NGramPairs(exprOf(col("__ts")), n)),
+        graft.text.Lm.gramExpr(n))
+      check(s"AllOrderGrams($n)",
+        colOf(graft.plans.AllOrderGrams(exprOf(col("__ts")), n)),
+        graft.text.Lm.allGramExpr(n))
+      check(s"BackoffLookupGrams($n)",
+        colOf(graft.plans.BackoffLookupGrams(exprOf(col("__ts")), n)),
+        graft.text.Lm.lookupExpr(n))
+    }
+    for (n <- Seq(2, 3, 4))
+      check(s"KnLookupGrams($n)",
+        colOf(graft.plans.KnLookupGrams(exprOf(col("__ts")), n)),
+        graft.text.Lm.knLookupExprPivot(n))
+    // NULL text: AsciiWords is NULL like the composed chain
+    val r = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(colOf(graft.plans.AsciiWords(exprOf(col("text")), true))).head()
+    assert(r.isNullAt(0))
+  }
+
   test("bigram counts, vocab, and add-1 scores match a hand computation") {
     import spark.implicits._
     val corpus = Seq(

@@ -192,11 +192,11 @@ class PlanSpec extends AnyFunSuite {
     val p = graft.ops.Scale.packByBudget(docs, Seq(col("doc_id")),
         col("n_chars"), budget = 10000)
       .queryExecution.executedPlan.toString
-    // the big window runs within __pid partitions; a global (SinglePartition)
-    // window over the data would be the 100 TB killer
-    assert(p.contains("windowspecdefinition(__pid"), p.take(800))
-    // the range exchange now lives inside the pinned (localCheckpoint'd)
-    // ranged-table lineage — the plan shows its materialized scan instead
+    // the running sum stays within range partitions — the dedicated
+    // one-exchange operator (a global SinglePartition window over the
+    // data would be the 100 TB killer)
+    assert(p.contains("GlobalRunningSum"), p.take(800))
+    assert(!p.contains("windowspecdefinition"), p.take(800))
     assert(p.contains("rangepartitioning") || p.contains("ExistingRDD"),
       p.take(800))
   }
@@ -205,14 +205,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_curation_e2e")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(800))
-    assert(p.contains("windowspecdefinition(__pid"), "packing window must be per-__pid")
+    assert(p.contains("GlobalRunningSum") ||
+      p.contains("windowspecdefinition(__pid"),
+      "packing must stay within range partitions")
     assert(p.contains("rangepartitioning") || p.contains("ExistingRDD"),
       "packing must read the range-pinned table")
   }
 
   test("packSequences plan: per-__pid window only, no global window") {
     val p = plan("q_pack_sequences")
-    assert(p.contains("windowspecdefinition(__pid"), p.take(800))
+    assert(p.contains("GlobalRunningSum") ||
+      p.contains("windowspecdefinition(__pid"), p.take(800))
     assert(p.contains("rangepartitioning") || p.contains("ExistingRDD"),
       p.take(800))
     // a SinglePartition window over the corpus would be the 100 TB killer
@@ -242,7 +245,9 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") &&
       p.linesIterator.exists(l => l.contains("LeftAnti") && l.contains("Broadcast")),
       p.take(1200))
-    assert(p.contains("windowspecdefinition(__pid"), "packing window must be per-__pid")
+    assert(p.contains("GlobalRunningSum") ||
+      p.contains("windowspecdefinition(__pid"),
+      "packing must stay within range partitions")
   }
 
   test("ewm plans a per-group window with the function's running row frame") {

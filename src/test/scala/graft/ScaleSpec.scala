@@ -288,13 +288,18 @@ class ScaleSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
       .map { case (g, xs) => g -> xs.map(_._2).sorted.toSeq }
     rn.foreach { case (g, xs) => assert(xs == (1L to xs.size), s"group $g: $xs") }
-    // the data-side running sum must stay partition-local — either the
-    // dedicated no-exchange operator (integral values) or a window
-    // partitioned by __pid; never a per-group single-reducer window
+    // the data-side running sum must stay partition-local — the dedicated
+    // one-exchange operator (integral values) or a window partitioned by
+    // __pid (float fallback); never a per-group single-reducer window
     val plan = rnDf.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionRunningSum") ||
+    assert(plan.contains("GroupedRunningSum") ||
       plan.contains("windowspecdefinition(__pid"),
       "grouped prefix sum must run within range partitions")
+    assert(!plan.contains("windowspecdefinition"),
+      "no Window may remain in the integral grouped prefix sum")
+    assert(!plan.contains("InMemoryRelation") &&
+      !plan.contains("BroadcastHashJoin"),
+      "the offsets micro-table join and the ranged cache are gone")
     // empty group-col list degrades to the global form
     val glob = graft.ops.Scale.groupedCumSum(d, Nil, Seq(col("g"), col("id")),
       col("v"), "cum")
@@ -370,6 +375,47 @@ class ScaleSpec extends AnyFunSuite {
       .select("g", "id", "cum").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(fg == sg)
+  }
+
+  test("GroupedRunningSum boundary fixup: one group spanning many whole " +
+      "partitions; many tiny groups; two-group split straddling a boundary") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    // ONE group over every partition: the driver walk must accumulate
+    // last-group sums through the whole partition chain
+    val one = (1L to 5000L).map(i => ("g", i, i % 7 + 1)).toDF("g", "id", "v")
+    val fastOne = graft.ops.Scale.groupedCumSum(one, Seq("g"),
+        Seq(col("id")), col("v"), "cum", numPartitions = 11)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slowOne = one.withColumn("cum",
+        sum("v").over(w.partitionBy("g").orderBy("id")))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastOne == slowOne)
+    // many tiny groups (each inside one partition): offsets all zero
+    val tiny = (1L to 3000L).map(i => (s"g${i / 3}", i, i % 5 + 1))
+      .toDF("g", "id", "v")
+    val fastTiny = graft.ops.Scale.groupedCumSum(tiny, Seq("g"),
+        Seq(col("id")), col("v"), "cum", numPartitions = 7)
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val slowTiny = tiny.withColumn("cum",
+        sum("v").over(w.partitionBy("g").orderBy("id")))
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fastTiny == slowTiny)
+    // two giant groups: exactly one boundary partition starts mid-group
+    val two = (1L to 4000L).map(i =>
+      (if (i <= 2000) "a" else "b", i, i % 3 + 1)).toDF("g", "id", "v")
+    val fastTwo = graft.ops.Scale.groupedCumSum(two, Seq("g"),
+        Seq(col("id")), col("v"), "cum", numPartitions = 9)
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val slowTwo = two.withColumn("cum",
+        sum("v").over(w.partitionBy("g").orderBy("id")))
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fastTwo == slowTwo)
+    graft.ml.Dedup.unpersistIntermediates()
   }
 
   test("packByBudget: contiguous shards, budget respected up to one straddler") {

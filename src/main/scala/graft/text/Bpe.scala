@@ -44,6 +44,7 @@ object Bpe {
     */
   private final class CheckpointRotator(sc: org.apache.spark.SparkContext) {
     private var live = Set.empty[Int]
+    private var pending = Set.empty[Int]
     def rotate(body: => Unit): Unit = {
       val pre = sc.getPersistentRDDs.keySet.toSet
       body
@@ -53,10 +54,30 @@ object Bpe {
       stale.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
+    /** Track a LAZY (eager=false) checkpoint registered by `body` WITHOUT
+      * releasing the previous round's blocks yet — a lazy checkpoint's
+      * lineage still READS them until its first materializing job, and a
+      * local checkpoint cannot recompute after its input is unpersisted.
+      * Call [[settle]] right after the job that materialized it. */
+    def deferRotate(body: => Unit): Unit = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      body
+      pending = pending ++ (sc.getPersistentRDDs.keySet.toSet -- pre)
+    }
+    /** Promote the pending (now-materialized) checkpoint to live and
+      * release the superseded round's blocks. No-op with nothing pending. */
+    def settle(): Unit = if (pending.nonEmpty) {
+      val stale = live
+      live = pending
+      pending = Set.empty
+      stale.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
     def release(): Unit = {
-      live.foreach(id =>
+      (live ++ pending).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       live = Set.empty
+      pending = Set.empty
     }
   }
 
@@ -125,6 +146,11 @@ object Bpe {
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
     for (rank <- 1 to nMerges if !done) {
+      // ONE job per round: the argmax aggregate computes every partition
+      // of `words`, which MATERIALIZES the previous round's lazy
+      // checkpoint as a side effect — settle() then releases the round
+      // before it. (The eager-per-round form paid a separate checkpoint
+      // job on top of the argmax.)
       val win = words
         .select(col("cnt"), explode(when(size(col("ts")) >= 2,
             expr("transform(sequence(0, size(ts) - 2), " +
@@ -135,6 +161,7 @@ object Bpe {
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(col("freq").desc, col("__l"), col("__r"))
         .limit(1).collect()
+      rot.settle()
       if (win.isEmpty) done = true
       else {
         val (l, r, f) =
@@ -142,14 +169,14 @@ object Bpe {
         merges += ((rank.toLong, l, r, f))
         // the final round's applied word table has no consumer (the merge
         // it encodes is already in `merges`; the next iteration's argmax
-        // is the only reader) — skip its apply fold + checkpoint job
+        // is the only reader) — skip its apply fold entirely
         if (rank < nMerges) {
           val prev = words
-          rot.rotate {
+          rot.deferRotate {
             words = prev
               .withColumn("__l", lit(l)).withColumn("__r", lit(r))
               .select(col("cnt"), expr(applyMergeExpr).as("ts"))
-              .localCheckpoint()
+              .localCheckpoint(false)
           }
         }
       }

@@ -37,9 +37,18 @@ object JobProbe {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskMs = 0L
+    val jobSites = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val verbose = sys.env.contains("GRAFT_PROBE_JOBS")
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        synchronized {
+          jobs += 1
+          if (verbose) {
+            // the final stage's name is the action's call site
+            val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+            jobSites.merge(site, 1, (a, b) => a + b)
+          }
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         synchronized { stages += 1 }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
@@ -62,6 +71,12 @@ object JobProbe {
         println(f"[probe] $name%-28s rep$r wall ${dt}%6.2f s  " +
           f"jobs $jobs%4d  stages $stages%4d  tasks $tasks%5d  " +
           f"taskTime ${taskMs / 1e3}%7.1f s")
+        if (verbose && r == reps - 1) {
+          import scala.jdk.CollectionConverters._
+          jobSites.asScala.toSeq.sortBy(-_._2).take(30).foreach {
+            case (site, nJ) => println(f"[probe-jobs] $nJ%4d  $site") }
+          jobSites.clear()
+        } else jobSites.clear()
       }
     }
     spark.stop()

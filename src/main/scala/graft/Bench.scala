@@ -135,8 +135,24 @@ object Bench {
           "; this record reflects a contended host, re-run in a quiet window")
       hot.nonEmpty
     }
-    println(s"""{"metric":"queries_only","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Full contract line (metric/value/unit/queries/sf) printed FIRST: the
+    // per-query map alone is ~6 KB at 276 queries, far past the driver's
+    // ~2 KB stdout-tail capture — BENCH_r15..r18 all recorded parsed:null
+    // because this line used to be LAST and its head (including "metric" and
+    // "value") fell off the front of the tail. The driver reads the tail
+    // from the END, so the parseable line must be the final one and must be
+    // small; the full map stays here (whole-stdout consumers, humans) and in
+    // the committed bench_local.json record.
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","contended":$contended,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // canary-normalized ratios baseline: mean of the trivial trio
+    // (map-only plans that never change) — used both in the compact line
+    // below and the durable record's normalized block.
+    val trio = Seq("q_select", "q_rename", "q1_agg").flatMap(results.toMap.get)
+    val canaryMean = if (trio.nonEmpty) trio.sum / trio.size else 0.0
+    // Compact summary LAST (~200 bytes): always intact inside the tail
+    // capture, so the driver's cross-round comparison has a non-null total
+    // again. Per-query ground truth lives in bench_local.json (committed).
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"contended":$contended,"canary_mean":${f3(canaryMean)},"queries_file":"bench_local.json","errors":$errs,"sf":"$sfDir"}""")
     // Durable record: the driver's stdout-tail capture truncates long lines
     // (r6 and r7 both lost the head of the per-query map), so the full map
     // is ALSO written to a repo file and committed each round — cross-round
@@ -152,9 +168,6 @@ object Bench {
       // ratio moved across rounds — the cross-round drift adjudication
       // (README perf table) reads this block instead of relitigating raw
       // seconds by hand every round.
-      val trio = Seq("q_select", "q_rename", "q1_agg")
-        .flatMap(results.toMap.get)
-      val canaryMean = if (trio.nonEmpty) trio.sum / trio.size else 0.0
       val norm =
         if (canaryMean > 0)
           results.map { case (k, v) => "\"" + k + "\":" + f3(v / canaryMean) }

@@ -486,6 +486,20 @@ object Dedup {
       appendToDecontamIndexLocked(spark, path, bench, benchText)
     }
 
+  /** The decontam index meta row with its EXPLICIT schema (same
+    * rationale as [[readWinnowMeta]]: no per-open schema-inference job).
+    * All decontam metas carry all four fields. */
+  private def readDecontamMeta(spark: org.apache.spark.sql.SparkSession,
+                               path: String): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("n", IntegerType),
+        StructField("bits_per_item", IntegerType),
+        StructField("items", LongType),
+        StructField("bloom", BinaryType))))
+      .parquet(s"$path/meta").head()
+  }
+
   private def appendToDecontamIndexLocked(
       spark: org.apache.spark.sql.SparkSession,
       path: String, bench: DataFrame,
@@ -499,30 +513,43 @@ object Dedup {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"$path/grams_staging"), true)
-    val m = spark.read.parquet(s"$path/meta").head()
+    val m = readDecontamMeta(spark, path)
     val (n, bits) = (m.getAs[Int]("n"), m.getAs[Int]("bits_per_item"))
-    if (!spark.read.parquet(s"$path/grams").columns.contains("slice_seq"))
+    val standing0 = spark.read.parquet(s"$path/grams")
+    val standing = if (!standing0.columns.contains("slice_seq")) {
       // legacy flat layout: one-time upgrade so this and every future
       // append writes only its own partition
       graft.ops.CarryState.replaceDir(spark, s"$path/grams") { staging =>
-        spark.read.parquet(s"$path/grams").withColumn("slice_seq", lit(0L))
+        standing0.withColumn("slice_seq", lit(0L))
           .write.partitionBy("slice_seq").mode("overwrite").parquet(staging)
       }
-    val standing = spark.read.parquet(s"$path/grams")
-    val nextSeq = standing.agg(coalesce(max(col("slice_seq").cast("long")),
-      lit(0L))).head().getLong(0) + 1
+      spark.read.parquet(s"$path/grams")
+    } else standing0
+    // next slice number from DIRECTORY LISTING (the winnow/minhash
+    // listedMaxSeq discipline) — the old agg(max(slice_seq)) ran a full
+    // scan of the standing gram table per append just to pick a number
+    val nextSeq = listedMaxSeq(spark, s"$path/grams", "slice_seq=")
+      .getOrElse(0L) + 1
     // only grams the standing table does not already hold — the global
     // DISTINCT invariant across slices. localCheckpoint, NOT cache: a
     // replayed append's identical plan would cache-hit the FIRST
     // append's pinned anti-join over the pre-append gram table and
-    // re-land its rows as duplicates (see appendToWinnowIndex).
+    // re-land its rows as duplicates (see appendToWinnowIndex). The
+    // fresh slice is small (one benchmark slice); the STANDING table is
+    // never checkpointed — the old union checkpoint pushed the whole
+    // gram table through the block manager on every append.
     val fresh = benchmarkGrams(bench, benchText, n, hashed = true)
       .join(standing.select("g"), Seq("g"), "left_anti")
       .localCheckpoint(true)
-    val union = standing.select("g").unionByName(fresh)
-      .localCheckpoint(true)
-    val items = math.max(union.count(), 1L)
-    val bloomBytes = union.agg(shim.columnOf(
+    val nFresh = fresh.count()
+    // standing count = the meta's recorded items (slices are globally
+    // distinct and disjoint, so the union count is their sum) — this
+    // replaces the union-scan count job. (A 0-gram build records the
+    // max(·,1)=1 sentinel, but such an index has no readable gram files
+    // and cannot reach an append.)
+    val items = math.max(m.getAs[Long]("items") + nFresh, 1L)
+    val bloomBytes = standing.select("g").unionByName(fresh)
+      .agg(shim.columnOf(
         new BloomFilterAggregate(shim.exprOf(col("g")),
           Literal(items), Literal(items * bits))
           .toAggregateExpression()).as("bf"))
@@ -535,7 +562,7 @@ object Dedup {
           lit(bloomBytes).as("bloom"))
         .write.mode("overwrite").parquet(staging)
     }
-    if (!fresh.isEmpty) {
+    if (nFresh > 0) {
       // the new slice's partition, atomic via staging + ONE rename
       val staging = new Path(s"$path/grams_staging/slice_$nextSeq")
       fresh.write.mode("overwrite").parquet(staging.toString)
@@ -564,7 +591,7 @@ object Dedup {
     graft.ops.CarryState.recoverDir(spark, s"$path/grams")
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val shim = org.apache.spark.sql.graftshim.Shim
-    val m = spark.read.parquet(s"$path/meta").head()
+    val m = readDecontamMeta(spark, path)
     val n = m.getAs[Int]("n")
     val mightContain = shim.columnOf(BloomFilterMightContain(
       Literal(m.getAs[Array[Byte]]("bloom")), shim.exprOf(col("g"))))
@@ -940,8 +967,12 @@ object Dedup {
     * the authoritative signatures. Returns the layout's partition count
     * (0 = no layout). */
   private def openBandLayout(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Int = {
-    val m = spark.read.parquet(s"$path/meta").head()
+                             path: String,
+                             metaRow: org.apache.spark.sql.Row = null): Int = {
+    // callers that already read meta pass it in — re-reading it here was
+    // one extra schema+head driver job per ingest/probe
+    val m = if (metaRow != null) metaRow
+      else spark.read.parquet(s"$path/meta").head()
     val parts = bandPartsOf(m)
     if (parts <= 0) return 0
     import org.apache.hadoop.fs.Path
@@ -988,7 +1019,7 @@ object Dedup {
   private def lshPairsBetweenBanded(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newSigs: DataFrame, bands: Int, rows: Int, threshold: Double,
-      maxBucket: Int, parts: Int): DataFrame = {
+      maxBucket: Int, parts: Int, sigsDf: DataFrame = null): DataFrame = {
     val k = bands * rows
     val nb = scopedCache(bandExplode(newSigs, bands, rows)
       .withColumn("bkt_part", bktPart(parts)))
@@ -1007,10 +1038,15 @@ object Dedup {
       graft.plans.ArrayEqCount(
         org.apache.spark.sql.graftshim.Shim.exprOf(col("new_sig")),
         org.apache.spark.sql.graftshim.Shim.exprOf(col("existing_sig"))))
+    // sig fetch side: reuse the caller's already-opened sigs relation
+    // when there is one (ingestDedup's `existing`) — a second
+    // spark.read.parquet re-lists the whole partition tree per call
+    val sigTable = if (sigsDf != null) sigsDf
+      else spark.read.parquet(s"$path/sigs")
     cand
       .join(newSigs.select(col("id").as("new_id"),
         col("sig").as("new_sig")), Seq("new_id"))
-      .join(spark.read.parquet(s"$path/sigs")
+      .join(sigTable
         .select(col("id").as("existing_id"),
           col("sig").as("existing_sig")), Seq("existing_id"))
       .select(col("new_id"), col("existing_id"),
@@ -1061,14 +1097,15 @@ object Dedup {
     * the dir is missing or holds no `batch_seq=` partitions (a flat
     * legacy layout) — callers fall back to the aggregate for those. */
   private def listedMaxSeq(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): Option[Long] = {
+                           dir: String,
+                           prefix: String = "batch_seq="): Option[Long] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val seqs = fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch_seq="))
-      .map(_.stripPrefix("batch_seq=").toLong)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong)
     if (seqs.isEmpty) None else Some(seqs.max)
   }
 
@@ -1153,7 +1190,7 @@ object Dedup {
         spark.sparkContext.hadoopConfiguration)
       fs.delete(new Path(s"$path/bands"), true)
       fs.delete(new Path(s"$path/bands_staging"), true)
-      openBandLayout(spark, path)
+      openBandLayout(spark, path, m)
     }
   }
 
@@ -1176,7 +1213,7 @@ object Dedup {
     val newSigs = minhashSignatures(newDocs, idCol, textCol, n,
       bands * rows, m.getAs[Long]("seed"),
       indexLeaf(textCol, n, m.getAs[Boolean]("portable")))
-    val parts = openBandLayout(spark, path)
+    val parts = openBandLayout(spark, path, m)
     val pairs = if (parts > 0)
       lshPairsBetweenBanded(spark, path, scopedCache(newSigs), bands,
         rows, threshold, maxBucket, parts)
@@ -1252,10 +1289,12 @@ object Dedup {
                   batchId: Long = -1L): DataFrame = {
     checkMaintenanceLease(spark, path, "ingestDedup")
     graft.ops.CarryState.recoverDir(spark, s"$path/sigs")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val m = spark.read.parquet(s"$path/meta").head()
     val (n, bands, rows) = (m.getAs[Int]("n"), m.getAs[Int]("bands"),
       m.getAs[Int]("rows"))
-    val bandLayout = openBandLayout(spark, path)
+    val bandLayout = openBandLayout(spark, path, m)
     val existing = spark.read.parquet(s"$path/sigs")
     val newSigs = trackCache(minhashSignatures(batch, idCol, textCol, n,
       bands * rows, m.getAs[Long]("seed"),
@@ -1276,9 +1315,15 @@ object Dedup {
         .head().getLong(0)) + 1
     def emitFrom(seqNo: Long): DataFrame = {
       // survivors = the recorded partition; dropped = sig'd batch docs
-      // not in it (shingle-less docs pass through)
-      val survIds = spark.read.parquet(s"$path/sigs")
-        .filter(col("batch_seq") === seqNo).select("id")
+      // not in it (shingle-less docs pass through). The partition dir is
+      // read DIRECTLY — a full-table open re-lists every batch_seq
+      // partition just to prune back down to this one. A batch whose
+      // survivor set was empty wrote no partition: every sig'd doc drops.
+      val seqDir = s"$path/sigs/batch_seq=$seqNo"
+      val survIds =
+        if (fs.exists(new org.apache.hadoop.fs.Path(seqDir)))
+          spark.read.parquet(seqDir).select("id")
+        else newSigs.select("id").limit(0)
       val dropped = newSigs.select("id")
         .join(survIds, Seq("id"), "left_anti")
         .withColumnRenamed("id", idCol)
@@ -1331,7 +1376,7 @@ object Dedup {
     }
     val dupVsIndex = (if (bandLayout > 0)
         lshPairsBetweenBanded(spark, path, newSigs, bands, rows,
-          threshold, maxBucket, bandLayout)
+          threshold, maxBucket, bandLayout, sigsDf = existing)
       else lshPairsBetween(newSigs, existing.select("id", "sig"),
         bands, rows, threshold, maxBucket))
       .select(col("new_id").as("id")).distinct()
@@ -1348,14 +1393,17 @@ object Dedup {
       .withColumn("batch_seq", lit(seq))
       .write.partitionBy("batch_seq").mode("append").parquet(s"$path/sigs")
     // band layout (when built with one): derive the new partition's slim
-    // (band, bucket, id) rows FROM the partition just written. The sigs
-    // append is the commit point — a crash before this write completes
-    // leaves a sigs partition without band rows, which openBandLayout
-    // rebuilds deterministically at the next open.
-    if (bandLayout > 0)
+    // (band, bucket, id) rows FROM the partition just written (direct
+    // subdir read — not a full-table open pruned back down; an
+    // empty-survivor batch wrote no partition and needs no band rows).
+    // The sigs append is the commit point — a crash before this write
+    // completes leaves a sigs partition without band rows, which
+    // openBandLayout rebuilds deterministically at the next open.
+    val seqDir = s"$path/sigs/batch_seq=$seq"
+    if (bandLayout > 0 &&
+        fs.exists(new org.apache.hadoop.fs.Path(seqDir)))
       writeBandPartition(spark, path, seq,
-        spark.read.parquet(s"$path/sigs")
-          .filter(col("batch_seq") === seq).select("id", "sig"),
+        spark.read.parquet(seqDir).select("id", "sig"),
         bands, rows, bandLayout)
     // authoritative survivor list = the partition just written
     emitFrom(seq)
@@ -1941,11 +1989,51 @@ object Dedup {
                          n: Int = 5, w: Int = 4,
                          hash: Column => Column = xxhash64(_)): DataFrame = {
     require(n >= 1 && w >= 1, "n and w must be >= 1")
-    val grams = gramOccurrences(df, idCol, textCol, n, hash)
-      .groupBy("__id")
-      .agg(sort_array(collect_list(struct(col("__pos"), col("__gk"))))
-        .as("__g"))
-    // collect_list is per-doc bounded; sort_array restores token order
+    val shim = org.apache.spark.sql.graftshim.Shim
+    // Leaf detection: when `hash` is one of the two standard leaves
+    // (the portable md5-60 leaf or bare xxhash64), the WHOLE gram+winnow
+    // selection runs as ONE codegen'd expression
+    // ([[graft.plans.WinnowFps]] — tokens encoded once, digests
+    // streamed, O(m) deque window minima) instead of the interpreted
+    // higher-order-function transform chain below, which stays as the
+    // differential oracle and the path for custom leaves.
+    // Column equality is structural over origin-normalized nodes (Spark 4
+    // Column.equals), so `hash(probe) == <leaf>(probe)` is true exactly
+    // when `hash` IS that leaf applied verbatim — any wrapper (concat,
+    // upper, salt) compares unequal and keeps the composed path.
+    val probe = col("__wfp_probe__")
+    val fastLeaf: Option[Boolean] =
+      try {
+        val h = hash(probe)
+        if (h == graft.ops.Sketch.portableHash(probe)) Some(false)
+        else if (h == xxhash64(probe)) Some(true)
+        else None
+      } catch { case _: Throwable => None }
+    fastLeaf match {
+      case Some(xx) =>
+        return df.select(col(idCol),
+            explode(shim.columnOf(graft.plans.WinnowFps(
+              shim.exprOf(col(textCol)), n, w, xx))).as("__wf"))
+          .select(col(idCol), col("__wf.pos").as("pos"),
+            col("__wf.fp").as("fp"))
+      case None => ()
+    }
+    // The per-doc positional gram-hash array is a pure function of the
+    // doc's own text — built MAP-SIDE. (The old shape posexploded one row
+    // per gram and immediately re-grouped per doc with
+    // collect_list+sort_array: a full exchange of every gram hash in the
+    // corpus that reassembled exactly the array the transform below
+    // produces directly — sort_array over unique __pos restores token
+    // order, which IS the construction order.) Same (__pos int, __gk
+    // long) structs, same <n-token empty-array contract as
+    // gramOccurrences, so the selection arithmetic below is untouched.
+    val toks = TextFns.tokens(col(textCol))
+    val gArr = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => struct((i - 1).cast("int").as("__pos"),
+            hash(concat_ws(" ", slice(toks, i, lit(n)))).as("__gk"))))
+      .otherwise(array().cast("array<struct<__pos:int,__gk:bigint>>"))
+    val grams = df.select(col(idCol).as("__id"), gArr.as("__g"))
     val hs = transform(col("__g"), _.getField("__gk"))
     val nW = size(col("__g")) - w + 1
     val sel = when(nW >= 1,
@@ -2067,6 +2155,21 @@ object Dedup {
   private def fpPart(parts: Int): Column =
     pmod(col("fp"), lit(parts.toLong)).cast("int")
 
+  /** The winnow index meta row, read with its EXPLICIT schema — schema
+    * inference over the meta file is a one-job footer read per open, and
+    * every ingest/probe/compact opens the meta. All winnow metas carry
+    * all five fields ([[buildWinnowIndex]] has always written them). */
+  private def readWinnowMeta(spark: org.apache.spark.sql.SparkSession,
+                             path: String): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("n", IntegerType), StructField("w", IntegerType),
+        StructField("parts", IntegerType),
+        StructField("portable", BooleanType),
+        StructField("max_df", LongType))))
+      .parquet(s"$path/meta").head()
+  }
+
   /** PERSIST a corpus's winnowed fingerprints as a probe-ready index:
     * `<path>/fps/fp_part=H` holds DISTINCT (fp, id) rows bucketed by
     * `pmod(fp, parts)` — all rows of one fingerprint land in ONE
@@ -2162,13 +2265,15 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String, docs: DataFrame, idCol: String,
       textCol: String, metaRow: org.apache.spark.sql.Row = null,
-      precomputedFps: DataFrame = null): Unit = {
+      precomputedFps: DataFrame = null,
+      touchedParts: Seq[Int] = null,
+      standingDf: DataFrame = null): Unit = {
     import org.apache.hadoop.fs.Path
     graft.ops.CarryState.recoverDir(spark, s"$path/fps")
     // callers inside one lease hold (winnowIngest) already read meta —
     // re-reading it here would be one extra driver job per ingest
     val m = if (metaRow != null) metaRow
-      else spark.read.parquet(s"$path/meta").head()
+      else readWinnowMeta(spark, path)
     require(m.getAs[Long]("max_df") <= 0L,
       "appendToWinnowIndex: this index was built with maxDf > 0 (stop-" +
         "fp rows were dropped at build time), so an append cannot " +
@@ -2179,7 +2284,11 @@ object Dedup {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"$path/fps_staging"), true)
-    val standing = spark.read.parquet(s"$path/fps")
+    // `standingDf`: callers inside one lease hold (winnowIngest's probe)
+    // already opened the fps table — re-opening it here would re-list the
+    // partition tree per ingest (one extra driver/listing job)
+    val standing0 = if (standingDf != null) standingDf
+      else spark.read.parquet(s"$path/fps")
     val nextSeq = fs.listStatus(new Path(s"$path/fps")).toSeq
       .map(_.getPath.getName).filter(_.startsWith("batch_seq="))
       .map(_.stripPrefix("batch_seq=").toLong)
@@ -2193,20 +2302,35 @@ object Dedup {
       else winnowFingerprints(docs, idCol, textCol, n, w,
           winnowHashOf(m.getAs[Boolean]("portable")))
         .select(col(idCol).as("id"), col("fp")).distinct()
-    // localCheckpoint, NOT cache: a cached plan here would be matched by
-    // a REPLAYED append's textually-identical plan (same path string) and
-    // serve the stale pre-append anti-join, re-deriving rows the first
-    // append already landed — duplicating them. Checkpointing severs the
-    // plan identity so every call re-reads the standing table as it is.
+    // `touchedParts`: a standing row can only anti-join-match a batch row
+    // that carries the SAME fp, and every fp of the batch lives in a
+    // touched fp_part — so when the caller already collected that set
+    // (the probe's pruning handle) the anti-join's standing side prunes
+    // to the same partitions instead of scanning the whole fp table.
+    val standing = if (touchedParts != null)
+      standing0.filter(col("fp_part").isin(touchedParts: _*))
+      else standing0
     val fresh = docFps
       .join(standing.select("id", "fp"), Seq("id", "fp"), "left_anti")
-      .localCheckpoint(true)
-    if (fresh.isEmpty) return // full replay of an indexed slice: no-op
+    // The anti-join is materialized ONCE, by the staging write itself —
+    // the old shape (eager localCheckpoint + isEmpty + write) ran three
+    // jobs and pushed every fresh row through the block manager twice.
+    // Emptiness (a full replay of an already-indexed slice) is read off
+    // the staged directory: a partitioned write emits a fp_part= dir iff
+    // at least one row landed. The plan-identity staleness the checkpoint
+    // guarded against cannot occur — nothing caches this plan, so every
+    // call re-reads the standing table as it is on disk.
     val staging = new Path(s"$path/fps_staging/seq_$nextSeq")
     fresh.withColumn("fp_part", fpPart(parts))
       .repartition(col("fp_part"))
       .write.partitionBy("fp_part").mode("overwrite")
       .parquet(staging.toString)
+    val hasRows = fs.exists(staging) && fs.listStatus(staging).exists(
+      _.getPath.getName.startsWith("fp_part="))
+    if (!hasRows) { // full replay of an indexed slice: no-op
+      fs.delete(new Path(s"$path/fps_staging"), true)
+      return
+    }
     val dest = new Path(s"$path/fps/batch_seq=$nextSeq")
     fs.delete(dest, true)
     require(fs.rename(staging, dest),
@@ -2235,7 +2359,7 @@ object Dedup {
                          path: String): Unit =
     graft.ops.Lease.withLease(spark, path, "compactWinnowIndex") {
       graft.ops.CarryState.recoverDir(spark, s"$path/fps")
-      val m = spark.read.parquet(s"$path/meta").head()
+      val m = readWinnowMeta(spark, path)
       val parts = m.getAs[Int]("parts")
       val fps = spark.read.parquet(s"$path/fps")
       val maxSeq = listedMaxSeq(spark, s"$path/fps").getOrElse(
@@ -2272,7 +2396,7 @@ object Dedup {
     // probe is about to read
     graft.ops.Lease.check(spark, path, "winnowCandidatesAgainstIndex")
     graft.ops.CarryState.recoverDir(spark, s"$path/fps")
-    val m = spark.read.parquet(s"$path/meta").head()
+    val m = readWinnowMeta(spark, path)
     val (n, w, parts) = (m.getAs[Int]("n"), m.getAs[Int]("w"),
       m.getAs[Int]("parts"))
     val newFps = scopedCache(
@@ -2326,7 +2450,7 @@ object Dedup {
                    minShared: Long = 2L): DataFrame =
     graft.ops.Lease.withLease(spark, path, "winnowIngest") {
       graft.ops.CarryState.recoverDir(spark, s"$path/fps")
-      val m = spark.read.parquet(s"$path/meta").head()
+      val m = readWinnowMeta(spark, path)
       require(m.getAs[Long]("max_df") <= 0L,
         "winnowIngest: this index was built with maxDf > 0 (stop-" +
           "fingerprints were dropped at build time), so admitted batches " +
@@ -2341,7 +2465,11 @@ object Dedup {
       val touched = bfps.select("fp_part").distinct()
         .collect().map(_.getInt(0)).toSeq
       val batchIds = batch.select(col(idCol).as("id")).distinct()
-      val standing = spark.read.parquet(s"$path/fps")
+      // ONE open of the fps table per ingest, shared by the probe and the
+      // append's anti-join (the second spark.read.parquet re-listed the
+      // whole partition tree — one extra driver/listing job per ingest)
+      val standingBase = spark.read.parquet(s"$path/fps")
+      val standing = standingBase
         .filter(col("fp_part").isin(touched: _*))
         .select(col("id"), col("fp"))
         // the replay-exactness exclusion: a batch is never blocked by
@@ -2361,7 +2489,8 @@ object Dedup {
         .join(admitted.select(col(idCol).as("id")).distinct(),
           Seq("id"), "left_semi")
       appendToWinnowIndexLocked(spark, path, admitted, idCol, textCol,
-        metaRow = m, precomputedFps = admittedFps)
+        metaRow = m, precomputedFps = admittedFps,
+        touchedParts = touched, standingDf = standingBase)
       admitted
     }
 

@@ -137,6 +137,23 @@ private[graft] object Lease {
       fsOf(spark, root).delete(leasePath(root), false)
     }
 
+  /** ONE shared daemon scheduler for every lease heartbeat in the JVM —
+    * [[withLease]] used to create and tear down a single-thread executor
+    * per call, a thread spawn on every guarded ingest/append/compaction
+    * (dozens per composite query). Heartbeats are tiny scheduled fs
+    * writes; one thread serves them all. */
+  private lazy val hbExec = {
+    val e = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-lease-heartbeat")
+        t.setDaemon(true)
+        t
+      })
+    // cancelled renewals must not linger in the queue until fire time
+    e.setRemoveOnCancelPolicy(true)
+    e
+  }
+
   /** Run `body` holding the lease, with a daemon heartbeat renewing it
     * every `staleLeaseMs / 6` (clamped to [1s, 60s]) so a long-running
     * maintenance job is never mistaken for a crashed one, while a real
@@ -145,18 +162,12 @@ private[graft] object Lease {
                   (body: => T): T = {
     take(spark, root, who)
     val interval = math.min(math.max(staleLeaseMs / 6, 1000L), 60000L)
-    val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
-      (r: Runnable) => {
-        val t = new Thread(r, s"graft-lease-heartbeat")
-        t.setDaemon(true)
-        t
-      })
-    hb.scheduleAtFixedRate(
+    val hb = hbExec.scheduleAtFixedRate(
       () => try renew(spark, root) catch { case _: Throwable => () },
       interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
-      hb.shutdownNow()
+      hb.cancel(false)
       release(spark, root)
     }
   }

@@ -262,18 +262,24 @@ object Scale {
     // frame (ties share one value) while the operators below are per-row —
     // under the documented total-order contract there are no ties, and
     // with ties the Window form was already partition-split-dependent.
-    // Non-integral values (float cumsums) keep the cached two-branch
-    // Window form below.
-    val integral = values.forall { case (v, _) =>
+    // Double values follow SQL SUM (NULL skipped; NULL until the first
+    // non-null) and are emitted as offset + partition-local running sum —
+    // the same association the two-branch form produced, with a BETTER
+    // determinism story (pass-1 totals add in sorted order, not cache
+    // arrival order). Only unsupported types (decimal) keep the cached
+    // two-branch Window form below.
+    val supported = values.forall { case (v, _) =>
       df.select(v).schema.head.dataType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => true
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => true
         case _ => false
       }
     }
-    if (integral) {
+    if (supported) {
       // ONE operator does the whole two-phase sum over ONE exchange
       // instance (GlobalRunningSumExec: per-partition totals via a
       // micro-job over the same materialized shuffle, offsets folded in
@@ -284,9 +290,10 @@ object Scale {
         src.repartitionByRange(n, orderCols: _*), orderCols,
         values.map { case (v, out) => (v, out) })
     } else {
-      // float path: the classic cached two-branch shape — the offsets
-      // aggregate and the data join must read ONE materialized
-      // partitioning (RangePartitioner sampling is per-exchange-instance)
+      // unsupported-type path (decimal): the classic cached two-branch
+      // shape — the offsets aggregate and the data join must read ONE
+      // materialized partitioning (RangePartitioner sampling is
+      // per-exchange-instance)
       val parted = graft.ml.Dedup.trackCache(
         src.repartitionByRange(n, orderCols: _*)
           .withColumn("__pid", spark_partition_id()))
@@ -369,14 +376,16 @@ object Scale {
     val src = if (checkpointInput) df.localCheckpoint(true) else df
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sparkContext.defaultParallelism
-    val integral = df.select(valueCol).schema.head.dataType match {
+    val supported = df.select(valueCol).schema.head.dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType => true
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
       case _ => false
     }
-    if (integral) {
+    if (supported) {
       // ONE operator over ONE range exchange (GroupedRunningSumExec): the
       // group tuple is a PREFIX of the range-partition key, so each
       // group's rows are contiguous across the partition sequence and
@@ -391,9 +400,9 @@ object Scale {
         Seq((valueCol, outCol)))
         .select((df.columns.map(col) :+ col(outCol)): _*)
     } else {
-      // float path: the classic cached two-branch shape — the offsets
-      // aggregate and the data join must read ONE materialized
-      // partitioning
+      // unsupported-type path (decimal): the classic cached two-branch
+      // shape — the offsets aggregate and the data join must read ONE
+      // materialized partitioning
       val parted = graft.ml.Dedup.trackCache(src
         .repartitionByRange(n, (grpCols.map(col) ++ orderCols): _*)
         .withColumn("__pid", spark_partition_id()))

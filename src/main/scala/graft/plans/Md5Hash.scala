@@ -29,18 +29,37 @@ private[graft] object Md5Digest {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  /** Big-endian signed long of the first 8 digest bytes of md5(bytes). */
-  def first64(bytes: Array[Byte]): Long = {
-    val d = md.get()
-    d.reset()
-    val dig = d.digest(bytes)
+  private def pack64(dig: Array[Byte]): Long =
     ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
       ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
       ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
       ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
+  /** Big-endian signed long of the first 8 digest bytes of md5(bytes). */
+  def first64(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    pack64(d.digest(bytes))
   }
   /** The 60-bit portable hash: first 15 md5 hex chars as a long. */
   def first60(bytes: Array[Byte]): Long = first64(bytes) >>> 4
+  /** [[first64]] of the gram string `toks(from) ' ' … toks(from+n-1)` with
+    * the token UTF-8 bytes STREAMED through the digest — md5 over the
+    * identical byte sequence, without building the gram string (or its
+    * byte array) per gram. */
+  def first64Gram(toks: Array[Array[Byte]], from: Int, n: Int): Long = {
+    val d = md.get()
+    d.reset()
+    var j = 0
+    while (j < n) {
+      if (j > 0) d.update(0x20.toByte)
+      d.update(toks(from + j))
+      j += 1
+    }
+    pack64(d.digest())
+  }
+  /** [[first60]] of the same streamed gram bytes. */
+  def first60Gram(toks: Array[Array[Byte]], from: Int, n: Int): Long =
+    first64Gram(toks, from, n) >>> 4
 }
 
 private[graft] trait Md5HashInput { self: UnaryExpression =>
@@ -137,18 +156,18 @@ case class ShingleHashMd5(child: Expression, n: Int) extends UnaryExpression {
     val seen = new java.util.HashSet[java.lang.Long](Math.min(m, 1024))
     val out = new Array[Long](m)
     var w = 0
-    val sb = new java.lang.StringBuilder
+    // encode each token's UTF-8 bytes ONCE and stream them through the
+    // digest per gram — the old shape rebuilt the gram string AND its
+    // byte array for every gram (n token re-encodes per position)
+    val tb = new Array[Array[Byte]](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      tb(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t += 1
+    }
     var i = 0
     while (i < m) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      val h = Md5Digest.first60(
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = Md5Digest.first60Gram(tb, i, n)
       if (seen.add(h)) { out(w) = h; w += 1 }
       i += 1
     }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** PARTITION-LOCAL RUNNING SUMS — the per-partition phase of graft's
   * two-phase prefix sums ([[graft.ops.Scale.globalCumSums]] /
@@ -155,33 +155,59 @@ case class GlobalRunningSumExec(order: Seq[SortOrder],
     val valueExprs = values
     val fullOutput = output
     val sumAttrs: Seq[Attribute] = outAttrs
+    // LongType sums add exactly (order-free); DoubleType sums follow SQL
+    // SUM semantics (NULL skipped; NULL result while no non-null value has
+    // been seen yet) and are emitted as offset + local-running-sum — the
+    // same association the two-branch Window form produced.
+    val isDbl: Array[Boolean] = values.map(_.dataType == DoubleType).toArray
+    val anyDbl = isDbl.exists(identity)
+    PartitionPrefix.assertTwoPassSafe(child, nodeName)
     // PASS 1 — per-partition totals, a micro-job over the same exchange
-    // instance pass 2 reads (sums are order-independent; the duplicated
-    // partition-local sort is the price of not caching the relation).
-    // Bounded driver data: numPartitions × nVals longs.
-    val partSums: Array[Array[Long]] = sparkContext.runJob(
-      child.execute(),
+    // instance pass 2 reads. All-integral totals are order-independent, so
+    // the micro-job reads BENEATH the EnsureRequirements-inserted
+    // partition-local sort (dropping one redundant full sort per prefix
+    // sum); double totals keep the sorted read so their addition order —
+    // and thus the float result — is deterministic run to run.
+    // Bounded driver data: numPartitions × nVals accumulators.
+    val pass1Plan = if (anyDbl) child else child match {
+      case s: org.apache.spark.sql.execution.SortExec if !s.global => s.child
+      case other => other
+    }
+    val partTotals: Array[(Array[Long], Array[Double], Array[Long])] =
+      sparkContext.runJob(
+      pass1Plan.execute(),
       (it: Iterator[InternalRow]) => {
         val proj = UnsafeProjection.create(valueExprs, childOutput)
-        val s = new Array[Long](nVals)
+        val ls = new Array[Long](nVals)
+        val ds = new Array[Double](nVals)
+        val cs = new Array[Long](nVals) // non-null counts (double NULL rule)
         while (it.hasNext) {
           val v = proj(it.next())
           var i = 0
           while (i < nVals) {
-            if (!v.isNullAt(i)) s(i) += v.getLong(i)
+            if (!v.isNullAt(i)) {
+              if (isDbl(i)) { ds(i) += v.getDouble(i); cs(i) += 1 }
+              else ls(i) += v.getLong(i)
+            }
             i += 1
           }
         }
-        s
+        (ls, ds, cs)
       })
-    // exclusive prefix offsets per partition
-    val offsets = new Array[Array[Long]](partSums.length)
-    val acc = new Array[Long](nVals)
+    // exclusive prefix offsets per partition (doubles accumulate in
+    // ascending pid order — the order the offsets window added them)
+    val lOff = new Array[Array[Long]](partTotals.length)
+    val dOff = new Array[Array[Double]](partTotals.length)
+    val cOff = new Array[Array[Long]](partTotals.length)
+    val lAcc = new Array[Long](nVals)
+    val dAcc = new Array[Double](nVals)
+    val cAcc = new Array[Long](nVals)
     var p = 0
-    while (p < partSums.length) {
-      offsets(p) = acc.clone()
+    while (p < partTotals.length) {
+      lOff(p) = lAcc.clone(); dOff(p) = dAcc.clone(); cOff(p) = cAcc.clone()
+      val (ls, ds, cs) = partTotals(p)
       var i = 0
-      while (i < nVals) { acc(i) += partSums(p)(i); i += 1 }
+      while (i < nVals) { lAcc(i) += ls(i); dAcc(i) += ds(i); cAcc(i) += cs(i); i += 1 }
       p += 1
     }
     // PASS 2 — partition-local running sums seeded with the offsets
@@ -189,15 +215,25 @@ case class GlobalRunningSumExec(order: Seq[SortOrder],
       val valProj = UnsafeProjection.create(valueExprs, childOutput)
       val outProj = UnsafeProjection.create(
         fullOutput.map(_.asInstanceOf[Expression]), childOutput ++ sumAttrs)
-      val sums = offsets(pid).clone()
+      val sums = lOff(pid).clone()
+      val dBase = dOff(pid)
+      val cBase = cOff(pid)
+      val dLoc = new Array[Double](nVals)
+      val cLoc = new Array[Long](nVals)
       val sumsRow = new GenericInternalRow(nVals)
       val joined = new JoinedRow
       iter.map { row =>
         val v = valProj(row)
         var i = 0
         while (i < nVals) {
-          if (!v.isNullAt(i)) sums(i) += v.getLong(i)
-          sumsRow.update(i, sums(i))
+          if (isDbl(i)) {
+            if (!v.isNullAt(i)) { dLoc(i) += v.getDouble(i); cLoc(i) += 1 }
+            if (cBase(i) + cLoc(i) == 0L) sumsRow.update(i, null)
+            else sumsRow.update(i, dBase(i) + dLoc(i))
+          } else {
+            if (!v.isNullAt(i)) sums(i) += v.getLong(i)
+            sumsRow.update(i, sums(i))
+          }
           i += 1
         }
         outProj(joined(row, sumsRow))
@@ -255,20 +291,25 @@ case class GroupedRunningSumExec(order: Seq[SortOrder],
     val valueExprs = values
     val fullOutput = output
     val sumAttrs: Seq[Attribute] = outAttrs
+    val isDbl: Array[Boolean] = values.map(_.dataType == DoubleType).toArray
+    PartitionPrefix.assertTwoPassSafe(child, nodeName)
     // PASS 1 — boundary-group sums per partition (rows arrive sorted, so
-    // the first/last group are the leading/trailing runs). Tuple per
-    // partition: (firstKeyBytes, firstSums, lastKeyBytes, lastSums);
-    // null keys = empty partition.
-    val edges: Array[(Array[Byte], Array[Long], Array[Byte], Array[Long])] =
-      sparkContext.runJob(
+    // the first/last group are the leading/trailing runs; the sort cannot
+    // be unwrapped here — boundary detection needs the grouped order).
+    // GroupEdge per partition; null keys = empty partition.
+    val edges: Array[PartitionPrefix.GroupEdge] = sparkContext.runJob(
       child.execute(),
       (it: Iterator[InternalRow]) => {
         val keyProj = UnsafeProjection.create(resetExprs, childOutput)
         val valProj = UnsafeProjection.create(valueExprs, childOutput)
         var firstKey: UnsafeRow = null
-        var firstSums: Array[Long] = null
+        var firstL: Array[Long] = null
+        var firstD: Array[Double] = null
+        var firstC: Array[Long] = null
         var curKey: UnsafeRow = null
-        var curSums = new Array[Long](nVals)
+        var curL = new Array[Long](nVals)
+        var curD = new Array[Double](nVals)
+        var curC = new Array[Long](nVals)
         while (it.hasNext) {
           val row = it.next()
           val k = keyProj(row)
@@ -276,51 +317,72 @@ case class GroupedRunningSumExec(order: Seq[SortOrder],
             if (curKey != null && firstKey == null) {
               // the leading run just ended
               firstKey = curKey
-              firstSums = curSums
+              firstL = curL; firstD = curD; firstC = curC
             }
-            if (curKey != null) curSums = new Array[Long](nVals)
+            if (curKey != null) {
+              curL = new Array[Long](nVals)
+              curD = new Array[Double](nVals)
+              curC = new Array[Long](nVals)
+            }
             curKey = k.copy()
           }
           val v = valProj(row)
           var i = 0
           while (i < nVals) {
-            if (!v.isNullAt(i)) curSums(i) += v.getLong(i)
+            if (!v.isNullAt(i)) {
+              if (isDbl(i)) { curD(i) += v.getDouble(i); curC(i) += 1 }
+              else curL(i) += v.getLong(i)
+            }
             i += 1
           }
         }
         if (curKey == null) // empty partition
-          (null: Array[Byte], null: Array[Long],
-            null: Array[Byte], null: Array[Long])
+          PartitionPrefix.GroupEdge(null, null, null, null, null, null, null, null)
         else if (firstKey == null) { // one group spans the whole partition
           val kb = curKey.getBytes
-          (kb, curSums, kb, curSums)
+          PartitionPrefix.GroupEdge(kb, curL, curD, curC, kb, curL, curD, curC)
         } else
-          (firstKey.getBytes, firstSums, curKey.getBytes, curSums)
+          PartitionPrefix.GroupEdge(firstKey.getBytes, firstL, firstD, firstC,
+            curKey.getBytes, curL, curD, curC)
       })
     // driver fixup: offset of partition p's FIRST group = sum of the
     // trailing runs of the maximal chain of earlier partitions whose last
     // group equals it (walk stops at a partition holding >1 group; empty
-    // partitions are skipped — a group can span one)
-    val offsets = new Array[Array[Long]](edges.length)
+    // partitions are skipped — a group can span one). The chain is
+    // collected walking backwards, then folded ASCENDING so double
+    // addition order matches the pid-ascending offsets window it replaces.
+    val lOffs = new Array[Array[Long]](edges.length)
+    val dOffs = new Array[Array[Double]](edges.length)
+    val cOffs = new Array[Array[Long]](edges.length)
     var p = 0
     while (p < edges.length) {
-      val off = new Array[Long](nVals)
-      if (edges(p)._1 != null) {
-        val fk = edges(p)._1
+      val lo = new Array[Long](nVals)
+      val dOffAcc = new Array[Double](nVals)
+      val co = new Array[Long](nVals)
+      if (edges(p).firstKey != null) {
+        val fk = edges(p).firstKey
+        val chain = scala.collection.mutable.ArrayBuffer
+          .empty[PartitionPrefix.GroupEdge]
         var q = p - 1
         var walking = true
         while (walking && q >= 0) {
-          val (efk, _, elk, els) = edges(q)
-          if (efk == null) q -= 1 // empty partition: look past it
-          else if (java.util.Arrays.equals(elk, fk)) {
-            var i = 0
-            while (i < nVals) { off(i) += els(i); i += 1 }
-            if (java.util.Arrays.equals(efk, elk)) q -= 1
+          val e = edges(q)
+          if (e.firstKey == null) q -= 1 // empty partition: look past it
+          else if (java.util.Arrays.equals(e.lastKey, fk)) {
+            chain += e
+            if (java.util.Arrays.equals(e.firstKey, e.lastKey)) q -= 1
             else walking = false
           } else walking = false
         }
+        chain.reverseIterator.foreach { e =>
+          var i = 0
+          while (i < nVals) {
+            lo(i) += e.lastL(i); dOffAcc(i) += e.lastD(i); co(i) += e.lastC(i)
+            i += 1
+          }
+        }
       }
-      offsets(p) = off
+      lOffs(p) = lo; dOffs(p) = dOffAcc; cOffs(p) = co
       p += 1
     }
     // PASS 2 — partition-local running sums restarting per group, the
@@ -330,7 +392,13 @@ case class GroupedRunningSumExec(order: Seq[SortOrder],
       val valProj = UnsafeProjection.create(valueExprs, childOutput)
       val outProj = UnsafeProjection.create(
         fullOutput.map(_.asInstanceOf[Expression]), childOutput ++ sumAttrs)
-      val sums = offsets(pid).clone()
+      val zeroD = new Array[Double](nVals)
+      val zeroL = new Array[Long](nVals)
+      val sums = lOffs(pid).clone()
+      var dBase = dOffs(pid)
+      var cBase = cOffs(pid)
+      val dLoc = new Array[Double](nVals)
+      val cLoc = new Array[Long](nVals)
       val sumsRow = new GenericInternalRow(nVals)
       val joined = new JoinedRow
       var prevKey: UnsafeRow = null
@@ -340,13 +408,22 @@ case class GroupedRunningSumExec(order: Seq[SortOrder],
         if (first) { prevKey = k.copy(); first = false }
         else if (k != prevKey) {
           java.util.Arrays.fill(sums, 0L)
+          java.util.Arrays.fill(dLoc, 0.0)
+          java.util.Arrays.fill(cLoc, 0L)
+          dBase = zeroD; cBase = zeroL // groups past the first: no offset
           prevKey = k.copy()
         }
         val v = valProj(row)
         var i = 0
         while (i < nVals) {
-          if (!v.isNullAt(i)) sums(i) += v.getLong(i)
-          sumsRow.update(i, sums(i))
+          if (isDbl(i)) {
+            if (!v.isNullAt(i)) { dLoc(i) += v.getDouble(i); cLoc(i) += 1 }
+            if (cBase(i) + cLoc(i) == 0L) sumsRow.update(i, null)
+            else sumsRow.update(i, dBase(i) + dLoc(i))
+          } else {
+            if (!v.isNullAt(i)) sums(i) += v.getLong(i)
+            sumsRow.update(i, sums(i))
+          }
           i += 1
         }
         outProj(joined(row, sumsRow))
@@ -375,6 +452,57 @@ object PartitionPrefixStrategy extends SparkStrategy {
 }
 
 object PartitionPrefix {
+
+  /** Pass-1 boundary-group record of [[GroupedRunningSumExec]]: the
+    * leading and trailing group run of one partition (key bytes are the
+    * UnsafeRow projection of the reset tuple; all-null = empty
+    * partition). `*L` holds Long sums, `*D` double sums, `*C` double
+    * non-null counts (SQL SUM's NULL rule). */
+  final case class GroupEdge(
+      firstKey: Array[Byte], firstL: Array[Long],
+      firstD: Array[Double], firstC: Array[Long],
+      lastKey: Array[Byte], lastL: Array[Long],
+      lastD: Array[Double], lastC: Array[Long])
+
+  /** The two-pass operators execute their child TWICE (totals micro-job +
+    * output pass); consistency relies on every expression above the
+    * child's materialization boundary (shuffle / query stage / cached
+    * scan) being deterministic — a nondeterministic one (rand()-derived
+    * columns without a checkpoint) would diverge between the passes and
+    * corrupt sums silently. All in-repo callers route through
+    * `repartitionByRange`, whose exchange IS that boundary; this assert
+    * turns the contract violation into a loud failure. */
+  private[graftshim] def assertTwoPassSafe(root: SparkPlan, op: String): Unit = {
+    def walk(p: SparkPlan): Unit = p match {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => ()
+      case _: org.apache.spark.sql.execution.adaptive.QueryStageExec => ()
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => ()
+      case other =>
+        require(other.expressions.forall(_.deterministic),
+          s"$op executes its child twice; nondeterministic expressions " +
+            "above the child's shuffle/materialization boundary would " +
+            "compute different values per pass and corrupt the sums — " +
+            "materialize them first (localCheckpoint, or the callers' " +
+            s"checkpointInput flag). Offending node: $other")
+        other.children.foreach(walk)
+    }
+    walk(root)
+  }
+
+  /** Value expressions the running-sum operators accept: integral types
+    * sum exactly as Long; float/double sum as Double (SQL SUM's result
+    * type), with the NULL-until-first-non-null rule preserved. Anything
+    * else (decimal, interval) keeps the callers' Window fallback. */
+  private def toSumValue(fn: String)(e: Expression): Expression =
+    e.dataType match {
+      case LongType | DoubleType => e
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => Cast(e, LongType)
+      case org.apache.spark.sql.types.FloatType => Cast(e, DoubleType)
+      case other => throw new IllegalArgumentException(
+        s"$fn: value must be integral or float, got $other")
+    }
 
   private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
     spark match {
@@ -481,16 +609,7 @@ object PartitionPrefix {
     val sorts = orderSplit.zipWithIndex.map { case ((_, dir, no), i) =>
       SortOrder(resolved(i), dir, no, Seq.empty)
     }
-    val valueExprs = resolved.drop(nOrd).map { e =>
-      e.dataType match {
-        case LongType => e
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => Cast(e, LongType)
-        case other => throw new IllegalArgumentException(
-          s"globalRunningSums: value must be integral, got $other")
-      }
-    }
+    val valueExprs = resolved.drop(nOrd).map(toSumValue("globalRunningSums"))
     // internal names, re-aliased through a Project below: a custom node's
     // produced attributes must NOT surface directly in the Dataset output —
     // the analyzer's self-join deduplication renews Project aliases but
@@ -498,8 +617,9 @@ object PartitionPrefix {
     // join would then carry the SAME exprId and fail analysis with
     // "conflicting references"). Hidden behind the alias they stay
     // subtree-internal, exactly like the old two-branch form's __run cols.
-    val outAttrs = values.map { case (_, name) =>
-      AttributeReference(s"__grs_$name", LongType, nullable = false)()
+    val outAttrs = values.zip(valueExprs).map { case ((_, name), e) =>
+      AttributeReference(s"__grs_$name", e.dataType,
+        nullable = e.dataType == DoubleType)()
     }
     val plan = GlobalRunningSum(sorts, valueExprs, outAttrs, child)
     val raw = org.apache.spark.sql.classic.Dataset.ofRows(
@@ -539,18 +659,11 @@ object PartitionPrefix {
       SortOrder(resolved(i), dir, no, Seq.empty)
     }
     val resetExprs = resolved.slice(nOrd, nOrd + nRst)
-    val valueExprs = resolved.drop(nOrd + nRst).map { e =>
-      e.dataType match {
-        case LongType => e
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => Cast(e, LongType)
-        case other => throw new IllegalArgumentException(
-          s"groupedRunningSums: value must be integral, got $other")
-      }
-    }
-    val outAttrs = values.map { case (_, name) =>
-      AttributeReference(s"__grs_$name", LongType, nullable = false)()
+    val valueExprs =
+      resolved.drop(nOrd + nRst).map(toSumValue("groupedRunningSums"))
+    val outAttrs = values.zip(valueExprs).map { case ((_, name), e) =>
+      AttributeReference(s"__grs_$name", e.dataType,
+        nullable = e.dataType == DoubleType)()
     }
     val plan = GroupedRunningSum(sorts, resetExprs, valueExprs, outAttrs,
       child)

@@ -2036,4 +2036,40 @@ class PipelineSpec extends AnyFunSuite {
       k = 1, iters = 1).isEmpty)
     Dedup.unpersistIntermediates()
   }
+
+  test("winnowFingerprints one-pass expression == composed reference form, " +
+      "both leaves, adversarial texts") {
+    import spark.implicits._
+    // the fast path fires on the two standard leaves; wrapping the leaf in
+    // concat(c, '') defeats detection WITHOUT changing any hash value, so
+    // the same call runs the composed transform chain — the differential
+    val md5Fast = (c: org.apache.spark.sql.Column) =>
+      graft.ops.Sketch.portableHash(c)
+    val md5Slow = (c: org.apache.spark.sql.Column) =>
+      graft.ops.Sketch.portableHash(concat(c, lit("")))
+    val xxFast = (c: org.apache.spark.sql.Column) => xxhash64(c)
+    val xxSlow = (c: org.apache.spark.sql.Column) => xxhash64(concat(c, lit("")))
+    val adversarial = Seq(
+      (1001L, ""), (1002L, "   "), (1003L, "\t\n  \t"),
+      (1004L, "one"), (1005L, "one two three four"),
+      (1006L, "one two three four five"),
+      (1007L, "one two three four five six"),
+      (1008L, "x x x x x x x x x x x x"),          // all-equal gram hashes
+      (1009L, "a  b\tc   d\ne f g h i j"),          // mixed whitespace
+      (1010L, "Zürich CAFÉ Straße MIXED case Tokens emoji 🙂 ok fine"),
+      (1011L, "a b a b a b a b a b a b a b")        // periodic ties
+    ).toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(adversarial)
+    for ((n, w) <- Seq((5, 4), (3, 2), (2, 5));
+         (fast, slow) <- Seq((md5Fast, md5Slow), (xxFast, xxSlow))) {
+      val f = Dedup.winnowFingerprints(corpus, "doc_id", "text", n, w, fast)
+      val g = Dedup.winnowFingerprints(corpus, "doc_id", "text", n, w, slow)
+      // fast path must actually plan the one-pass expression
+      assert(f.queryExecution.executedPlan.toString.contains("winnow_fps"),
+        s"n=$n w=$w: expected the WinnowFps expression in the fast plan")
+      assert(!g.queryExecution.executedPlan.toString.contains("winnow_fps"),
+        s"n=$n w=$w: the wrapped leaf must keep the composed path")
+      TestSpark.assertSameRows(f, g)
+    }
+  }
 }

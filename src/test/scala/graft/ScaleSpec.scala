@@ -348,20 +348,59 @@ class ScaleSpec extends AnyFunSuite {
         s"exactly the range exchange may sit under GlobalRunningSumExec, " +
           s"got ${shuffles.size}")
     }
-    // … and DOUBLE values keep the window form, same ground truth
-    val dd = d.withColumn("vd", col("v").cast("double") * 0.5)
-    val fastD = graft.ops.Scale.globalCumSum(dd, Seq(col("id")), col("vd"),
-        "cum").select("id", "cum").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // … and DOUBLE values ride the SAME one-exchange operator (round 19:
+    // the float path no longer caches the ranged relation) with SQL SUM
+    // semantics: NULL skipped, NULL result until the first non-null —
+    // including LEADING NULLs, where the value stays NULL
+    val dd = d.withColumn("vd",
+      when(col("id") <= 50, lit(null).cast("double"))
+        .otherwise(col("v").cast("double") * 0.5))
+    val fastDf = graft.ops.Scale.globalCumSum(dd, Seq(col("id")), col("vd"),
+      "cum")
+    val fastD = fastDf.select("id", "cum").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
     val slowD = dd.repartition(1).withColumn("cum",
         sum("vd").over(org.apache.spark.sql.expressions.Window.orderBy("id")))
       .select("id", "cum").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
     assert(fastD.keySet == slowD.keySet &&
-      fastD.forall { case (k, v) => math.abs(v - slowD(k)) < 1e-9 })
-    val planD = graft.ops.Scale.globalCumSum(dd, Seq(col("id")), col("vd"),
-      "cum").queryExecution.executedPlan.toString
-    assert(!planD.contains("PartitionRunningSum"))
+      fastD.forall { case (k, v) => (v, slowD(k)) match {
+        case (null, null) => true
+        case (a: Any, b: Any) => math.abs(a.asInstanceOf[Double] -
+          b.asInstanceOf[Double]) < 1e-9
+        case _ => false
+      } }, "double cumsum must match the single-reducer window, NULLs included")
+    val planD = fastDf.queryExecution.executedPlan.toString
+    assert(planD.contains("GlobalRunningSum"),
+      "double values must plan the one-exchange operator too")
+    assert(!planD.contains("windowspecdefinition") &&
+      !planD.contains("InMemoryRelation") &&
+      !planD.contains("BroadcastHashJoin"),
+      "the cached two-branch float shape is gone")
+    // grouped doubles: same operator, per-group window ground truth
+    val gd = (1L to 2000L).map(i =>
+        (s"g${i % 5}", i, if (i % 13 == 0) null
+         else java.lang.Double.valueOf((i % 7 + 1) * 0.25)))
+      .toDF("g", "id", "vd")
+    val fgD = graft.ops.Scale.groupedCumSum(gd, Seq("g"), Seq(col("id")),
+        col("vd"), "cum", numPartitions = 7)
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    val sgD = gd.withColumn("cum", sum("vd").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("id")))
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(fgD.keySet == sgD.keySet &&
+      fgD.forall { case (k, v) => (v, sgD(k)) match {
+        case (null, null) => true
+        case (a: Any, b: Any) => math.abs(a.asInstanceOf[Double] -
+          b.asInstanceOf[Double]) < 1e-9
+        case _ => false
+      } }, "grouped double cumsum must match the per-group window")
     // grouped: string reset keys, hot group, multi-partition
     val g = (1L to 2000L).map(i =>
         (if (i % 3 == 0) "aa" else s"g${i % 7}", i, i % 4 + 1))

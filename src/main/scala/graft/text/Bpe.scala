@@ -758,8 +758,8 @@ object Bpe {
       spark.read.parquet(s"$statePath/carry/totals").collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       else Map.empty
-    val merges = spark.read.parquet(s"$tokPath/merges")
-    val vocab0 = spark.read.parquet(s"$tokPath/vocab")
+    val merges = readMergesArtifact(spark, tokPath)
+    val vocab0 = readVocabArtifact(spark, tokPath)
     val vocab = if (vocabLimit == Long.MaxValue) vocab0
                 else vocabTruncate(vocab0, vocabLimit)
     val enc = encodeDocs(batch, idCol, textCol, merges)
@@ -941,7 +941,7 @@ object Bpe {
     val merges = train(df, textCol, nMerges, asciiOnly)
     merges.write.mode("overwrite").parquet(s"$path/merges")
     val spark = df.sparkSession
-    val frozen = spark.read.parquet(s"$path/merges")
+    val frozen = readMergesArtifact(spark, path)
     val wc = wordCounts(df, textCol, asciiOnly)
     val counts = encodeWords(wc, "word", frozen)
       .join(wc, Seq("word"))
@@ -962,6 +962,41 @@ object Bpe {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Persisted-tokenizer artifact readers with EXPLICIT schemas —
+    * schema inference over merges/vocab/meta is a one-job footer read
+    * per open, and every persisted-tokenizer query opens 2-4 of them.
+    * The meta schema lists byte_base even for pre-byte-tier artifacts:
+    * a missing parquet column reads back NULL, which is exactly the
+    * "no byte tier" answer [[tokenizerByteBase]] gives for them. */
+  private def readMergesArtifact(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("rank", LongType), StructField("left", StringType),
+        StructField("right", StringType), StructField("freq", LongType))))
+      .parquet(s"$path/merges")
+  }
+
+  private def readVocabArtifact(spark: org.apache.spark.sql.SparkSession,
+                                path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("token", StringType),
+        StructField("n_occur", LongType),
+        StructField("token_id", LongType))))
+      .parquet(s"$path/vocab")
+  }
+
+  private def readMetaArtifact(spark: org.apache.spark.sql.SparkSession,
+                               path: String): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("sep_id", LongType), StructField("n_merges", LongType),
+        StructField("vocab_shift", LongType),
+        StructField("byte_base", LongType))))
+      .parquet(s"$path/meta").head()
+  }
+
   /** Read a persisted tokenizer's `<path>/meta` row: (sep_id — NULL for
     * a plain tokenizer, n_merges, vocab_shift). One driver-side row, the
     * [[graft.ml.Sq]] index-metadata pattern. Reads by NAME, so it
@@ -969,11 +1004,9 @@ object Bpe {
     * is read separately by [[tokenizerByteBase]]. */
   def tokenizerMeta(spark: org.apache.spark.sql.SparkSession,
                     path: String): (Option[Long], Long, Long) = {
-    val m = spark.read.parquet(s"$path/meta")
-      .select("sep_id", "n_merges", "vocab_shift")
-    val r = m.head()
+    val r = readMetaArtifact(spark, path)
     (if (r.isNullAt(0)) None else Some(r.getLong(0)),
-      r.getLong(1), r.getLong(2))
+      r.getAs[Long]("n_merges"), r.getAs[Long]("vocab_shift"))
   }
 
   /** The byte-fallback base id of a persisted tokenizer, when it was
@@ -982,12 +1015,12 @@ object Bpe {
     * byte_base column), so old artifacts keep working unchanged. */
   def tokenizerByteBase(spark: org.apache.spark.sql.SparkSession,
                         path: String): Option[Long] = {
-    val m = spark.read.parquet(s"$path/meta")
-    if (!m.columns.contains("byte_base")) None
-    else {
-      val r = m.select("byte_base").head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
-    }
+    // pre-byte-tier artifacts have no byte_base column; under the
+    // explicit schema it reads back NULL — the same None answer the old
+    // columns-contains check gave, one schema-inference job cheaper
+    val r = readMetaArtifact(spark, path)
+    val i = r.fieldIndex("byte_base")
+    if (r.isNullAt(i)) None else Some(r.getLong(i))
   }
 
   /** Encode documents to id sequences against a persisted
@@ -1006,8 +1039,8 @@ object Bpe {
                               path: String, docs: DataFrame, idCol: String,
                               textCol: String,
                               asciiOnly: Boolean = true): DataFrame = {
-    val merges = spark.read.parquet(s"$path/merges")
-    val vocab = spark.read.parquet(s"$path/vocab")
+    val merges = readMergesArtifact(spark, path)
+    val vocab = readVocabArtifact(spark, path)
     val enc = encodeDocs(docs, idCol, textCol, merges, asciiOnly)
     tokenizerByteBase(spark, path) match {
       case Some(bb) => idsFromTokensBytes(enc, idCol, vocab, bb)
@@ -1025,7 +1058,7 @@ object Bpe {
   def decodeIdsFromTokenizer(spark: org.apache.spark.sql.SparkSession,
                              path: String, ids: DataFrame,
                              idCol: String): DataFrame = {
-    val vocab = spark.read.parquet(s"$path/vocab")
+    val vocab = readVocabArtifact(spark, path)
     tokenizerByteBase(spark, path) match {
       case Some(bb) => decodeIdsBytes(ids, idCol, vocab, bb)
       case None => decodeIds(ids, idCol, vocab)

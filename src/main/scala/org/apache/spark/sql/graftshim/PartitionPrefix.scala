@@ -634,7 +634,13 @@ object PartitionPrefix {
     * partitioning by (resets ++ order). Cross-partition offsets are
     * collected as boundary-group sums (2 group keys per partition) and
     * fixed up on the driver; no cache, no offsets micro-table, no
-    * broadcast join. */
+    * broadcast join.
+    *
+    * GROUP-KEY CONTRACT: group columns must be EXACT types (integers,
+    * strings, dates…). Group boundaries compare by projected UnsafeRow
+    * BYTES, which differs from SQL grouping for floating-point keys
+    * (-0.0 vs 0.0, NaN bit patterns) — normalize float group keys
+    * upstream (no in-repo caller groups by floats). */
   def groupedRunningSums(df: DataFrame, order: Seq[Column],
                          resets: Seq[Column],
                          values: Seq[(Column, String)]): DataFrame = {
